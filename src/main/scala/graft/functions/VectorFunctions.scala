@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnShim, CosineSimilarity}
+
+object VectorFunctions {
+
+  /** Codegen'd cosine similarity (see
+    * [[org.apache.spark.sql.graft.CosineSimilarity]]).
+    */
+  def cosine(a: Column, b: Column): Column =
+    ColumnShim.column(CosineSimilarity(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Pure-`sql.functions` fallback with identical semantics — kept as a
+    * differential-test oracle for the native expression and as the
+    * shape to use where the shim is unavailable.
+    */
+  def cosineBuiltin(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val d = dot(a, b)
+    val na = dot(a, a)
+    val nb = dot(b, b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (sqrt(na) * sqrt(nb)))
+  }
+
+  /** Dot product against a fixed plane (for LSH signatures). */
+  def dotWithConst(v: Column, plane: Seq[Double]): Column =
+    aggregate(
+      zip_with(v, lit(plane.toArray), (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, x) => acc + x)
+}

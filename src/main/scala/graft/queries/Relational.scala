@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The relational query layer (SURVEY.md §2 Q1–Q15, T1–T4).
+  *
+  * The reference exposes "run arbitrary SQL against the stored table"
+  * (week_1/data_ingest/data_ingest.py:109 `query_data_from_table`; its
+  * defaults are `COUNT(*)` and `SELECT * LIMIT 100`) plus a toy
+  * transform (week_2/data_ingest/pipeline.py:178 `transform_data`:
+  * first-10-columns projection + constant column). Here that surface is
+  * declared as DataFrame plans so Catalyst prunes/pushes/reorders, and
+  * widened to the aggregation/join/window shapes the course homework
+  * runs.
+  *
+  * Determinism conventions shared with the DuckDB oracle: every output
+  * is explicitly ordered, double aggregates are rounded (2dp for money
+  * sums, 4dp for averages) to absorb summation-order ulps.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Q1: the reference's default query — COUNT(*). */
+  def qCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  /** Q2: the reference's notebook query (`SELECT * LIMIT 100`), made
+    * deterministic with an explicit ordering.
+    */
+  def qLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  /** Q3: filter + projection; both reach the parquet scan (PushedFilters). */
+  def qFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q4: TPC-H Q1 pricing summary — partial aggregation (map-side
+    * combine) means the shuffle carries one row per (flag,status) per
+    * task regardless of input size.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q5: multi-way dimension join. `nation`/`region` are broadcast —
+    * no shuffle on the dimension side at any SF; the orders⋈customer
+    * join shuffles on the key only after Catalyst prunes both sides to
+    * the joined/aggregated columns.
+    */
+  def qJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val nation = broadcast(t(spark, dir, "nation"))
+    val region = broadcast(t(spark, dir, "region"))
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Q6: top-K spenders. Ordered by the *rounded* aggregate so the
+    * ranking is identical across engines; ties broken by key.
+    */
+  def qTopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+      .orderBy(col("spend").desc, col("c_custkey"))
+      .limit(10)
+
+  /** Q7: date roll-up over the events stream table (the course's
+    * per-day trip-count/revenue shape).
+    */
+  def qDaily(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("ts").cast("date").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("d", "event_type")
+
+  /** Q8: window functions — top-3 orders per customer by price, with a
+    * deterministic running total. Single shuffle on o_custkey serves
+    * both window functions (same partitioning).
+    */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("running_spend", round(sum("o_totalprice").over(w), 2))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "rnk", "running_spend")
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Q9: exact distinct counts (approx HLL variant in
+    * [[approxDistinct]] — spec-tested, not oracle-gated).
+    */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+
+  /** Approx count-distinct (HyperLogLog++). At 100 TB this is the one
+    * to run: fixed-size sketches merge map-side instead of shuffling
+    * the full distinct key set.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps_approx"))
+
+  /** Q10: HAVING — post-aggregation filter. */
+  def qHaving(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .filter(col("n") > 35)
+      .orderBy("l_partkey")
+
+  /** Q11: conditional aggregation (pivot-style status breakdown). */
+  def qCase(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** Q12: anti join — orders that have no lineitems. Spark plans a
+    * broadcast/shuffled hash anti-join; no NOT-IN materialization.
+    */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  /** Q13: "orders above their customer's average" — the correlated
+    * subquery decorrelated into an aggregate + equi-join, which is the
+    * plan shape that scales (one shuffle on the grouping key).
+    */
+  def qSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val avgs = orders.groupBy(col("o_custkey").as("k"))
+      .agg(avg("o_totalprice").as("cust_avg"))
+    orders.join(avgs, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q14: set operations — nations with customers vs nations with
+    * suppliers (INTERSECT / EXCEPT / UNION ALL).
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = t(spark, dir, "customer").select(col("c_nationkey").as("nk"))
+    val suppNations = t(spark, dir, "supplier").select(col("s_nationkey").as("nk"))
+    val both = custNations.intersect(suppNations).withColumn("tag", lit("both"))
+    val custOnly = custNations.except(suppNations).withColumn("tag", lit("cust_only"))
+    both.unionAll(custOnly).select("tag", "nk").orderBy("tag", "nk")
+  }
+
+  /** Q15: arbitrary-SQL passthrough over registered views — the literal
+    * capability of the reference's `query_data_from_table` (user ships a
+    * SQL string).
+    */
+  def qSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT r_name, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin)
+  }
+
+  /** T1: the reference's transform verbatim in semantics — first 10
+    * columns + constant annotation column
+    * (week_2/data_ingest/pipeline.py:178-189).
+    */
+  def tProjectConst(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.select(li.columns.take(10).map(col): _*)
+      .withColumn("transformation", lit("this is an artificial transformation just to practice prefect"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** T2: schema normalization — renames + explicit casts (floor before
+    * int cast: Spark truncates, DuckDB rounds, floor makes both agree).
+    */
+  def tCastRename(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        floor(col("l_quantity")).cast("int").as("qty"),
+        // decimal cast demonstrates the normalization; surfaced as double so
+        // the parquet dump and the DuckDB oracle agree on physical type
+        col("l_extendedprice").cast("decimal(18,2)").cast("double").as("price_dec"),
+        col("l_shipdate").cast("date").as("ship_date"))
+      .orderBy("order_id", "line_no")
+
+  /** T3: null handling — inject nulls deterministically, then fill. */
+  def tNulls(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("status_maybe", when(col("o_orderstatus") === "P", lit(null).cast("string")).otherwise(col("o_orderstatus")))
+      .na.fill(Map("status_maybe" -> "UNKNOWN"))
+      .select("o_orderkey", "status_maybe")
+      .orderBy("o_orderkey")
+
+  /** T4: keep-first dedup by key (idempotent re-ingest semantics —
+    * what the reference's `if_exists='replace'` is standing in for).
+    */
+  def tDedupKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    t(spark, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey")
+  }
+}
