@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{IOQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -36,7 +36,18 @@ object SparkEntry {
     "t_project_const" -> (Relational.tProjectConst _),
     "t_cast_rename" -> (Relational.tCastRename _),
     "t_nulls" -> (Relational.tNulls _),
-    "t_dedup_key" -> (Relational.tDedupKey _)
+    "t_dedup_key" -> (Relational.tDedupKey _),
+    // Sources (S1–S4)
+    "src_parquet" -> (IOQueries.srcParquet _),
+    "src_csv" -> (IOQueries.srcCsv _),
+    "src_json" -> (IOQueries.srcJson _),
+    "src_autodetect" -> (IOQueries.srcAutodetect _),
+    // Sinks (K1–K5)
+    "sink_modes" -> (IOQueries.sinkModes _),
+    "sink_compress" -> (IOQueries.sinkCompress _),
+    "sink_csv" -> (IOQueries.sinkCsv _),
+    "sink_partitioned" -> (IOQueries.sinkPartitioned _),
+    "sink_warehouse" -> (IOQueries.sinkWarehouse _)
   )
 
   /** DuckDB-dialect oracle SQL, same column names as the Spark plans. */
@@ -148,6 +159,53 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
         |  SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
         |  FROM lineitem
-        |) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
+        |) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    // Sources: the oracle aggregates the ORIGINAL parquet — a match
+    // proves the write→read round-trip through the format was lossless.
+    "src_parquet" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem WHERE l_returnflag <> 'N'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "src_csv" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "src_json" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  max(o_orderdate) AS last_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "src_autodetect" ->
+      """SELECT * FROM (
+        |  SELECT 'parquet' AS fmt, count(*) AS n, cast(sum(n_nationkey) AS bigint) AS key_sum FROM nation
+        |  UNION ALL
+        |  SELECT 'csv', count(*), cast(sum(n_nationkey) AS bigint) FROM nation
+        |  UNION ALL
+        |  SELECT 'json', count(*), cast(sum(n_nationkey) AS bigint) FROM nation
+        |) ORDER BY fmt""".stripMargin,
+    "sink_modes" ->
+      """SELECT * FROM (
+        |  SELECT '1_replace' AS step, count(*) AS n_rows, true AS ok FROM orders
+        |  UNION ALL SELECT '2_append', 2 * count(*), true FROM orders
+        |  UNION ALL SELECT '3_fail', 2 * count(*), true FROM orders
+        |) ORDER BY step""".stripMargin,
+    "sink_compress" ->
+      """SELECT * FROM (
+        |  SELECT 'gzip' AS codec, count(*) AS n, round(sum(l_extendedprice), 2) AS total FROM lineitem
+        |  UNION ALL SELECT 'snappy', count(*), round(sum(l_extendedprice), 2) FROM lineitem
+        |  UNION ALL SELECT 'zstd', count(*), round(sum(l_extendedprice), 2) FROM lineitem
+        |) ORDER BY codec""".stripMargin,
+    "sink_csv" ->
+      """SELECT cast(ts AS date) AS d, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sink_partitioned" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "sink_warehouse" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice
+        |                 ELSE o_totalprice + 1000 END), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

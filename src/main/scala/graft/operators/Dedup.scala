@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Corpus deduplication (SURVEY.md §2 D1–D5) — the first pass of any
+  * LLM training-data pipeline.
+  *
+  * Scale architecture (the part that matters at 100 TB):
+  *   - Nothing here is all-pairs on the corpus. Candidate pairs always
+  *     come from an equi-join on a bounded blocking key (content hash,
+  *     shared shingle, LSH band bucket, simhash band), so Spark executes
+  *     them as ordinary shuffle joins — skew-handled by AQE.
+  *   - Signatures (minhash, simhash) are computed with higher-order
+  *     array functions inside the scan projection: per-document work,
+  *     no explode-shuffle-reaggregate cycle, no UDFs.
+  *   - The exact-verify step (true Jaccard / true cosine) runs only on
+  *     the candidate set, which LSH theory bounds near-linearly for a
+  *     fixed similarity threshold.
+  *   - Frequency-capped shingles (`maxDf`) drop degenerate hot blocks
+  *     ("the end"-type shingles shared by everything) — the classic
+  *     stop-shingle cap that keeps the inverted index join skew-free.
+  */
+object Dedup {
+
+  /** D1: exact dedup on the md5 of normalized text. One shuffle on the
+    * 128-bit hash; survivors = min doc_id per group (deterministic).
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(md5(normText(col("text"))).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+      .orderBy("content_hash")
+
+  /** Distinct 3-gram shingle set per document, exploded to an inverted
+    * index (shingle → doc), optionally df-capped.
+    */
+  private def shingleIndex(docs: DataFrame, n: Int, maxDf: Option[Int]): DataFrame = {
+    val idx = docs
+      .select(col("doc_id"), explode(wordShingles(col("text"), n)).as("shingle"))
+    maxDf.fold(idx) { cap =>
+      // stop-shingle cap: drop shingles present in more than `cap` docs.
+      // The df count is a broadcast-sized aggregate (distinct shingles
+      // above a cap are few by Zipf) — candidate recall for pairs whose
+      // overlap is not dominated by stop-shingles is unaffected.
+      val hot = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("shingle")
+      idx.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+  }
+
+  /** D2: exact n-gram Jaccard near-dup via inverted-index self-join.
+    * Intersection size comes from the shingle-equality join (one
+    * shuffle on the shingle); set sizes are a tiny per-doc aggregate
+    * broadcast back. Exact — every pair with J ≥ threshold is found —
+    * but O(sum of df²) in the worst case; minhash (D3) is the scale
+    * path when the df cap can't be afforded.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5, n: Int = 3): DataFrame = {
+    val idx = shingleIndex(Tables.load(spark, dir, "documents"), n, maxDf = None)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = idx.as("a"); val b = idx.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signature: k minimums over salted xxhash64 of the shingle
+    * set. Computed entirely inside the projection (nested higher-order
+    * functions) — per-doc cost k·|shingles|, zero shuffle.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(shingles, s => xxhash64(concat(i.cast("string"), s)))))
+
+  /** D3: MinHash + LSH banding. Candidates = pairs sharing ≥1 band
+    * bucket (equi-join on (band, band-hash) — bounded buckets, no
+    * all-pairs); then exact Jaccard verification of candidates only.
+    * With k=128, bands=32 (r=4), P(candidate | J=0.7) ≈ 0.9998.
+    * Probabilistic → no SQL oracle; the spec checks candidates ⊆ exact
+    * pairs and recall vs [[ngramJaccard]].
+    */
+  def minhashLsh(spark: SparkSession, dir: String,
+                 threshold: Double = 0.5, n: Int = 3,
+                 k: Int = 128, bands: Int = 32): DataFrame = {
+    val r = k / bands
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = docs.select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, r)).as("bh")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify on candidates only
+    val withSets = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+    withSets
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash of the token multiset, packed into a long. Bit j is
+    * the sign of Σ_tokens (2·bit_j(hash(token)) − 1). Higher-order
+    * functions only — stays in codegen.
+    */
+  def simhash64(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    val packed = aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, j) => {
+        val bitSum = aggregate(hashes, lit(0L),
+          (s, h) => s + shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)
+        acc.bitwiseOR(when(bitSum > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      })
+    packed
+  }
+
+  /** D4: SimHash near-dup, hamming ≤ maxHamming. Candidate generation
+    * by the pigeonhole principle: split the 64-bit signature into
+    * (maxHamming+1) bands — any pair within the hamming budget must
+    * agree exactly on ≥1 band, so an equi-join on (band, band-bits)
+    * finds ALL such pairs (this one is exact-by-construction, but the
+    * signature itself is a lossy sketch → rows-only check + spec).
+    */
+  def simhashNearDup(spark: SparkSession, dir: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+    val banded = docs.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => struct(b.as("band"),
+          shiftrightunsigned(col("sig"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("bits")))).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** D5: embedding-cosine near-dup — all pairs of `embeddings` with
+    * similarity ≥ threshold. Here the corpus side fits in one broadcast
+    * so the join is map-side; at 100 TB the same verify step runs on
+    * LSH-bucketed candidates from [[Similarity.lshAnn]] instead of the
+    * full cross product (never materialize O(n²)).
+    */
+  def embeddingCosine(spark: SparkSession, dir: String,
+                      threshold: Double = 0.4): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("ea"), col("eb")), 4))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.Tables
+import graft.sinks.TableStore
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.Files
+
+/** Source/sink operators (SURVEY.md §2 S1–S4, K1–K5) surfaced as
+  * driver-verifiable queries.
+  *
+  * Pattern: derive a dataset from the canonical parquet testdata, push
+  * it through the source/sink under test (write → read back), then
+  * produce a small deterministic aggregate. The DuckDB oracle computes
+  * the same aggregate straight from the original parquet — so a
+  * hash-match proves the round-trip was lossless, not just that the
+  * code ran.
+  */
+object IOQueries {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(s"graft_$prefix").toString
+
+  /** S1: parquet scan with projection+filter pushed down to the file. */
+  def srcParquet(spark: SparkSession, dir: String): DataFrame =
+    Ingest.read(spark, Tables.path(dir, "lineitem"))
+      .filter(col("l_returnflag") =!= "N")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy("l_returnflag")
+
+  /** S2: CSV round-trip with an explicit read schema (the no-inference
+    * scale path).
+    */
+  def srcCsv(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+    val src = Tables.load(spark, dir, "lineitem").select(cols.map(col): _*)
+    val out = tmpDir("csv") + "/lineitem_csv"
+    TableStore.writeCsv(src, out)
+    // files written as part-*.csv — read the directory back
+    Ingest.readCsv(spark, out, Some(src.schema))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("qty"),
+        round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy("l_returnflag")
+  }
+
+  /** S3: JSON round-trip with schema inference; dates come back as
+    * strings and are normalized by cast — the reference's "URL or file
+    * in, table out" ingestion shape.
+    */
+  def srcJson(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val out = tmpDir("json") + "/orders_json"
+    src.write.mode("overwrite").json(out)
+    Ingest.readJson(spark, out)
+      .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"),
+        max("o_orderdate").as("last_date"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** S4: extension-based format auto-detection over all three formats. */
+  def srcAutodetect(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val base = tmpDir("auto")
+    nation.write.mode("overwrite").parquet(s"$base/nation.parquet")
+    TableStore.writeCsv(nation, s"$base/nation.csv")
+    nation.write.mode("overwrite").json(s"$base/nation.json")
+    val perFmt = Seq("parquet", "csv", "json").map { fmt =>
+      val df = Ingest.read(spark, s"$base/nation.$fmt",
+        if (fmt == "csv") Some(nation.schema) else None)
+      df.agg(lit(fmt).as("fmt"), count(lit(1)).as("n"),
+        sum(col("n_nationkey").cast("long")).as("key_sum"))
+    }
+    perFmt.reduce(_ unionByName _).orderBy("fmt")
+  }
+
+  /** K1: replace / append / fail write-mode semantics
+    * (reference: `if_exists` in week_1/data_ingest/data_ingest.py:50).
+    * Emits the table row count observed after each step; `fail` must
+    * raise and leave the table untouched.
+    */
+  def sinkModes(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    val path = tmpDir("modes") + "/t"
+    TableStore.store(src, path, "replace")
+    val afterReplace = spark.read.parquet(path).count()
+    TableStore.store(src, path, "append")
+    val afterAppend = spark.read.parquet(path).count()
+    val failRaised =
+      try { TableStore.store(src, path, "fail"); false }
+      catch { case _: Throwable => true }
+    val afterFail = spark.read.parquet(path).count()
+    import spark.implicits._
+    Seq(
+      ("1_replace", afterReplace, true),
+      ("2_append", afterAppend, true),
+      ("3_fail", afterFail, failRaised)
+    ).toDF("step", "n_rows", "ok").orderBy("step")
+  }
+
+  /** K2: compressed parquet write (reference writes gzip parquet,
+    * week_2/data_ingest/pipeline.py:191) — each codec must round-trip
+    * identical data.
+    */
+  def sinkCompress(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val base = tmpDir("codec")
+    val rows = Seq("gzip", "snappy", "zstd").map { codec =>
+      TableStore.writeCompressed(src, s"$base/$codec", codec)
+      spark.read.parquet(s"$base/$codec")
+        .agg(lit(codec).as("codec"), count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("total"))
+    }
+    rows.reduce(_ unionByName _).orderBy("codec")
+  }
+
+  /** K3: CSV write with header + read-back. */
+  def sinkCsv(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("ts").cast("date").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    val out = tmpDir("csvsink") + "/daily"
+    TableStore.writeCsv(daily, out)
+    Ingest.readCsv(spark, out, Some(daily.schema)).orderBy("d", "event_type")
+  }
+
+  /** K4: hive-partitioned datalake write; the read-back filter on the
+    * partition column prunes to one directory (PartitionFilters in the
+    * explain — verified in the spec).
+    */
+  def sinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val lake = tmpDir("lake") + "/orders_lake"
+    TableStore.writePartitioned(orders, lake, Seq("o_orderstatus"))
+    spark.read.parquet(lake)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** K5: warehouse upsert — batch 2 overlaps batch 1 and must win.
+    * Final state: keys 0 mod 3 from batch 1 untouched, keys 1 mod 3
+    * overwritten with the +1000 price, keys 2 mod 3 inserted.
+    */
+  def sinkWarehouse(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val wh = tmpDir("wh") + "/warehouse"
+    val batch1 = orders.filter(col("o_orderkey") % 3 <= 1)
+    val batch2 = orders.filter(col("o_orderkey") % 3 >= 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    TableStore.upsert(spark, wh, batch1, Seq("o_orderkey"))
+    TableStore.upsert(spark, wh, batch2, Seq("o_orderkey"))
+    spark.read.parquet(wh)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+}

