@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{IOQueries, Relational}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.queries.{IOQueries, Relational, TextQueries}
+import graft.streaming.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -47,7 +49,33 @@ object SparkEntry {
     "sink_compress" -> (IOQueries.sinkCompress _),
     "sink_csv" -> (IOQueries.sinkCsv _),
     "sink_partitioned" -> (IOQueries.sinkPartitioned _),
-    "sink_warehouse" -> (IOQueries.sinkWarehouse _)
+    "sink_warehouse" -> (IOQueries.sinkWarehouse _),
+    // Text analysis (X1–X4)
+    "text_langid" -> (TextQueries.textLangid _),
+    "text_quality" -> (TextQueries.textQuality _),
+    "text_tokens" -> (TextQueries.textTokens _),
+    "text_fingerprint" -> (TextQueries.textFingerprint _),
+    // Deduplication (D1–D5)
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    // Similarity search (A1–A3)
+    "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
+    "ann_ivf" -> ((s, d) => Similarity.ivfAnn(s, d)),
+    // Multimodal (M1–M3)
+    "mm_schema" -> (Multimodal.mmSchema _),
+    "mm_features" -> (Multimodal.mmFeatures _),
+    "mm_sample" -> ((s, d) => Multimodal.mmSample(s, d)),
+    // Events & streaming (E1–E4)
+    "e_window_agg" -> (Events.windowAgg _),
+    "e_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    "e_stream_parity" -> (Events.streamParity _),
+    "e_stream_dedup" -> (Events.streamDedup _),
+    // Pipeline orchestration (P1)
+    "p_flow_e2e" -> (IOQueries.flowE2E _)
   )
 
   /** DuckDB-dialect oracle SQL, same column names as the Spark plans. */
@@ -206,6 +234,174 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice
         |                 ELSE o_totalprice + 1000 END), 2) AS total
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // Text analysis — the oracle replays the identical scoring in SQL
+    // (same normalization regex, same marker lists, same tie-break order).
+    "text_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','los','las','que','y','por','como'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','les','des','et','une','est','dans','pour'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('的','是','不','我','了','在'))) AS s_zh
+        |  FROM scored
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(toks) AS n_tokens,
+        |  round(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it')))
+        |        / greatest(len(toks), 1), 4) AS stopword_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[^a-z0-9\s]', '', 'g')))
+        |        / greatest(length(text), 1), 4) AS punct_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        |        / greatest(length(text), 1), 4) AS digit_ratio,
+        |  (len(toks) BETWEEN 20 AND 1000) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t
+        |)
+        |SELECT doc_id,
+        |  substring(md5(norm), 1, 16) AS content_id,
+        |  list_aggregate(
+        |    list_transform(
+        |      list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))),
+        |      s -> substring(md5(s), 1, 16)), 'min') AS min_shingle_hash
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // Dedup — D1/D2/D5 deterministic with SQL oracles; D3/D4 are
+    // sketch-based (xxhash64 seeds not replayable in DuckDB) → rows-only
+    // driver check + exactness specs in ScalaTest.
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash,
+        |  count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+        |  FROM t WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(
+        |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(
+        |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // A1: exact top-5 neighbors for the 10 lowest vec_ids. A2/A3 are
+    // probabilistic (seeded hyperplanes / k-means cells not replayable
+    // in SQL) → rows-only + recall specs vs A1.
+    "ann_bruteforce" ->
+      """WITH sims AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |    round(list_cosine_similarity(
+        |      list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |)
+        |SELECT q_id, rnk, vec_id, sim FROM (
+        |  SELECT q_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sims
+        |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "mm_schema" ->
+      """SELECT doc_id, 'utf8' AS format,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  cast(n_chars % 640 AS int) AS width
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(list_aggregate(list_transform(string_split(text, ' '),
+        |    t -> length(t)), 'avg'), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_sample" ->
+      """SELECT doc_id,
+        |  len(range(1, octet_length(encode(text)) + 1, 16)) AS n_sampled,
+        |  cast(ord(substring(text, 1, 1)) AS bigint) AS first_byte,
+        |  cast(list_aggregate(list_transform(range(1, octet_length(encode(text)) + 1, 16),
+        |    i -> ord(substring(text, CAST(i AS INT), 1))), 'sum') AS bigint) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |x AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    cast(sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS bigint) AS session_id
+        |  FROM x
+        |)
+        |SELECT user_id, session_id, min(tus) AS session_start_us,
+        |  count(*) AS n_events, max(tus) - min(tus) AS duration_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "e_stream_parity" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "p_flow_e2e" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
+        |  'this is an artificial transformation just to practice prefect' AS note
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -28,8 +28,10 @@ object Tables {
     val df = spark.read.parquet(path(dir, name))
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumnRenamed("ts", "ts_ns")
+        // integer `div`, NOT `/`: lossy long→double at ~1.7e18 shifts the
+        // truncation point by up to ~1 µs (observed vs the DuckDB oracle)
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.col("ts_ns") / 1000L cast "long"))
+          org.apache.spark.sql.functions.expr("ts_ns div 1000")))
     else df
   }
 

@@ -65,7 +65,11 @@ object TextFunctions {
     def pick(rest: List[(String, Column)]): Column = rest match {
       case (lang, _) :: Nil => lit(lang)
       case (lang, s) :: tail =>
-        when(s >= greatest(tail.map(_._2): _*), lit(lang)).otherwise(pick(tail))
+        val best = tail.map(_._2) match {
+          case single :: Nil => single
+          case more          => greatest(more: _*)
+        }
+        when(s >= best, lit(lang)).otherwise(pick(tail))
       case Nil => lit("und")
     }
     pick(scores.toList)

@@ -105,7 +105,7 @@ object Dedup {
     val banded = sigs.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, r)).as("bh")))).as("bb"))
+        b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -126,20 +126,19 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset, packed into a long. Bit j is
-    * the sign of Σ_tokens (2·bit_j(hash(token)) − 1). Higher-order
-    * functions only — stays in codegen.
+    * the sign of Σ_tokens (2·bit_j(hash(token)) − 1). The 64 bit-sums
+    * are unrolled Scala-side (shift amounts must be literals), each an
+    * `aggregate` over the per-token hashes — higher-order functions
+    * only, stays in codegen, zero shuffle.
     */
   def simhash64(toks: Column): Column = {
     val hashes = transform(toks, t => xxhash64(t))
-    val packed = aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, j) => {
-        val bitSum = aggregate(hashes, lit(0L),
-          (s, h) => s + shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)
-        acc.bitwiseOR(when(bitSum > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      })
-    packed
+    val bitCols = (0 until 64).map { j =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (s, h) => s + shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ bitwiseOR _)
   }
 
   /** D4: SimHash near-dup, hamming ≤ maxHamming. Candidate generation
@@ -155,12 +154,13 @@ object Dedup {
     val bandBits = 64 / nBands
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bits"))
+    }
     val banded = docs.select(
-      col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => struct(b.as("band"),
-          shiftrightunsigned(col("sig"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1)).as("bits")))).as("bb"))
+      col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bits").as("bits"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&

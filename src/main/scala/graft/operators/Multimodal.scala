@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY.md §2 M1–M3).
+  *
+  * Media are opaque `binary` columns + a typed metadata struct — the
+  * lakehouse pattern for image/audio/video at 100 TB: the engine never
+  * interprets payload bytes except inside explicitly-batched decode
+  * operators, so scans, partition pruning, and shuffles treat media
+  * rows like any other row (with `binary` kept OUT of `ReadSchema`
+  * until an operator needs it — column pruning is the whole game when
+  * rows are megabytes wide).
+  *
+  * The decode step itself is STUBBED deterministically (this container
+  * has no image/audio codecs): payloads are UTF-8 bytes of the document
+  * text and "decode" is UTF-8 decoding inside `mapPartitions`. The
+  * Spark-side shape — binary column, per-partition batch iteration,
+  * typed output schema — is exactly what a JNI/codec-backed decoder
+  * would use; swap `decodeBatch` for the real codec and nothing else
+  * changes.
+  */
+object Multimodal {
+
+  /** Synthesize the media table: payload (binary) + metadata struct.
+    * Deterministic: payload = UTF-8 bytes of `text`.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          lit("utf8").as("format"),
+          octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          (col("n_chars") % 640).cast("int").as("width"),
+          lit(1).as("n_channels")).as("meta"))
+
+  /** M1: schema plumbing — binary payload + typed metadata, projected
+    * without ever touching payload bytes (the pruning-friendly path).
+    */
+  def mmSchema(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(
+        col("doc_id"),
+        col("meta.format").as("format"),
+        col("meta.n_bytes").cast("long").as("n_bytes"),
+        col("meta.width").as("width"))
+      .orderBy("doc_id")
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("n_tokens", LongType),
+    StructField("avg_token_len", DoubleType)))
+
+  /** The stubbed decoder: batch of payloads in, feature rows out.
+    * Real-codec version would decode image bytes and emit embeddings /
+    * dimensions; the batch-iterator shape (one JNI context per
+    * partition, streamed rows, no per-row setup cost) is the part that
+    * matters for Spark.
+    */
+  private def decodeBatch(rows: Iterator[Row]): Iterator[Row] =
+    rows.map { r =>
+      val docId = r.getLong(0)
+      val payload = r.getAs[Array[Byte]](1)
+      val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      val toks = text.split(" ")
+      val avgLen =
+        if (toks.isEmpty) 0.0
+        else BigDecimal(toks.map(_.length).sum.toDouble / toks.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Row(docId, payload.length.toLong, toks.length.toLong, avgLen)
+    }
+
+  /** M2: batched feature extraction over the binary column via
+    * `mapPartitions` — narrow, no shuffle, decoder amortized per
+    * partition.
+    */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir).select("doc_id", "payload")
+    val out = spark.createDataFrame(
+      media.rdd.mapPartitions(decodeBatch), featureSchema)
+    out.orderBy("doc_id")
+  }
+
+  /** M3: deterministic stride sampling of payload bytes (the
+    * frame-sample analogue: every `stride`-th byte ≈ every k-th frame).
+    * Pure column expressions — the sample indices come from `sequence`,
+    * extraction via `substring` on the binary, so it codegens and never
+    * leaves the scan stage.
+    */
+  def mmSample(spark: SparkSession, dir: String, stride: Int = 16): DataFrame = {
+    val n = octet_length(col("payload"))
+    val idx = sequence(lit(1), n, lit(stride))
+    val sampled = transform(idx, i =>
+      // byte value of the 1-byte slice at offset i (ASCII payloads)
+      ascii(decode(substring(col("payload"), i, lit(1)), "UTF-8")).cast("long"))
+    mediaTable(spark, dir)
+      .select(
+        col("doc_id"),
+        size(idx).cast("long").as("n_sampled"),
+        element_at(sampled, 1).as("first_byte"),
+        aggregate(sampled, lit(0L), (acc, b) => acc + b).as("checksum"))
+      .orderBy("doc_id")
+  }
+}

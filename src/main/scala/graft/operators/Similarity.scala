@@ -1,0 +1,180 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2 A1–A3).
+  *
+  * Shapes, in ascending scale:
+  *   - A1 brute-force: corpus-side scan × broadcast query set, exact.
+  *     O(|corpus|·|queries|) codegen'd cosine — the right answer when
+  *     the query set is small, and the recall oracle for the others.
+  *   - A2 LSH: random-hyperplane signatures; candidates share a band
+  *     bucket in ≥1 table. Corpus side is one narrow projection + an
+  *     equi-join on the bucket — the scanned fraction drops to the
+  *     bucket collision rate.
+  *   - A3 IVF: Lloyd-iterated centroids (a tiny driver-side loop over
+  *     broadcast centroids — only the k×dim centroid matrix ever leaves
+  *     executors); queries probe the nprobe nearest cells, corpus rows
+  *     outside probed cells are never touched.
+  *
+  * All three rerank candidates with the exact codegen'd cosine and
+  * deterministic (rounded-sim, vec_id) tie-breaks.
+  */
+object Similarity {
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** The benchmark query set: lowest `nQueries` vec_ids. */
+  private def querySet(e: DataFrame, nQueries: Int): DataFrame =
+    e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** A1: exact brute-force top-k via broadcast nested-loop + window.
+    * The per-query rank partitions by q_id, so the (tiny) window input
+    * is |queries|·|corpus| rows *after* similarity filtering — at scale
+    * you'd pre-filter with a sim floor to keep the window input small.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = broadcast(querySet(e, nQueries))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    e.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "sim")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Deterministic random hyperplanes: `nTables` tables × `bitsPerTable`
+    * planes, components from a seeded xorshift-free PRNG
+    * (scala.util.Random(seed) is stable across JVM runs).
+    */
+  private[operators] def hyperplanes(dim: Int, nTables: Int, bitsPerTable: Int,
+                                     seed: Long): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nTables)(Seq.fill(bitsPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Signed-projection bucket code for one table: bit i = sign of the
+    * dot product with plane i. Pure column expression — the planes fold
+    * into the plan as literals (the degenerate broadcast).
+    */
+  private def bucketCode(emb: org.apache.spark.sql.Column,
+                         planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(VectorFunctions.dotWithConst(emb, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** A2: LSH-bucketed ANN. Candidate = corpus vector sharing a bucket
+    * with the query in ≥1 of the tables; exact cosine rerank on the
+    * candidates. Probabilistic recall (tunable via nTables) → rows-only
+    * driver check; the spec measures recall vs [[bruteForceTopK]].
+    *
+    * Defaults (16 tables × 4 bits) are sized for a weak-similarity
+    * corpus: p(bit agrees | cos=0.4) ≈ 0.63 → per-table collision
+    * 0.63⁴ ≈ 0.16 → recall ≈ 1−(1−0.16)¹⁶ ≈ 0.94. For a near-dup
+    * corpus (cos ≥ 0.9) the economical setting is 8 tables × 8–16 bits,
+    * which prunes much harder.
+    */
+  def lshAnn(spark: SparkSession, dir: String,
+             k: Int = 5, nQueries: Int = 10,
+             nTables: Int = 16, bitsPerTable: Int = 4,
+             seed: Long = 42L): DataFrame = {
+    val e = corpus(spark, dir)
+    val dim = 64
+    val tables = hyperplanes(dim, nTables, bitsPerTable, seed)
+    def codes(embCol: String): org.apache.spark.sql.Column =
+      array(tables.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("tbl"), bucketCode(col(embCol), planes).as("code"))
+      }: _*)
+    val corpusBuckets = e.select(col("vec_id"), col("embedding"),
+      explode(codes("embedding")).as("b"))
+      .select(col("vec_id"), col("embedding"), col("b.tbl"), col("b.code"))
+    val queryBuckets = broadcast(
+      querySet(e, nQueries).select(col("q_id"), col("q_emb"),
+        explode(codes("q_emb")).as("b"))
+        .select(col("q_id"), col("q_emb"), col("b.tbl"), col("b.code")))
+    val cand = corpusBuckets.join(queryBuckets, Seq("tbl", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "q_emb", "vec_id", "embedding")
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    cand
+      .withColumn("sim", round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "sim")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Lloyd-iterated centroids. Only the k×dim centroid matrix crosses
+    * the driver boundary each iteration (collect of `k` rows); the
+    * corpus-side assignment is a broadcast argmin, the update a single
+    * groupBy-avg shuffle of dim doubles per (cell, partition).
+    */
+  private[operators] def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var centroids: Seq[(Int, Seq[Double])] =
+      e.orderBy("vec_id").limit(k).collect().zipWithIndex.map { case (r, i) =>
+        i -> r.getAs[scala.collection.Seq[Float]]("embedding").toSeq.map(_.toDouble)
+      }.toSeq
+    for (_ <- 0 until iters) {
+      val cdf = broadcast(centroids.toDF("cell", "centroid"))
+      val assigned = e.crossJoin(cdf)
+        .withColumn("sim", VectorFunctions.cosineBuiltin(col("embedding"), col("centroid")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
+        .filter(col("rn") === 1)
+      centroids = assigned
+        .select(col("cell"), col("embedding"))
+        .groupBy("cell")
+        .agg(array((0 until 64).map(i =>
+          avg(element_at(col("embedding"), i + 1))): _*).as("centroid"))
+        .as[(Int, Seq[Double])]
+        .collect().toSeq.sortBy(_._1)
+    }
+    centroids
+  }
+
+  /** A3: IVF-style ANN — assign corpus to nearest centroid cell (one
+    * pass, broadcast centroids), probe the `nprobe` cells nearest to
+    * each query, exact-rerank inside probed cells. The corpus fraction
+    * scanned per query is ~nprobe/k cells.
+    */
+  def ivfAnn(spark: SparkSession, dir: String,
+             k: Int = 5, nQueries: Int = 10,
+             nCells: Int = 10, nprobe: Int = 2, iters: Int = 3): DataFrame = {
+    val e = corpus(spark, dir)
+    import spark.implicits._
+    val cents = kmeansCentroids(e, nCells, iters)
+    val cdf = broadcast(cents.toDF("cell", "centroid"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+    val assigned = e.crossJoin(cdf)
+      .withColumn("sim", VectorFunctions.cosineBuiltin(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))
+    val probes = querySet(e, nQueries).crossJoin(cdf)
+      .withColumn("sim", VectorFunctions.cosineBuiltin(col("q_emb"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "sim")
+      .orderBy("q_id", "rnk")
+  }
+}

@@ -150,6 +150,38 @@ object IOQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** P1: the reference's full ETL as a graft Flow — ingest → transform
+    * (first-10-cols + constant column, the reference's exact transform)
+    * → store → query, with task retries and logging
+    * (reference: week_2/data_ingest/pipeline.py:203 `main_flow`).
+    * The flow stays one Spark application: lineage is intact across
+    * tasks, nothing materializes until the store task writes.
+    */
+  def flowE2E(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Flow._
+    flow("graft-etl") {
+      val raw = task("ingest", TaskConfig(retries = 2)) {
+        Ingest.read(spark, Tables.path(dir, "lineitem"))
+      }
+      val transformed = task("transform") {
+        raw.select(raw.columns.take(10).map(col): _*)
+          .withColumn("transformation",
+            lit("this is an artificial transformation just to practice prefect"))
+      }
+      val stored = task("store") {
+        val path = tmpDir("flow") + "/lineitem_etl"
+        TableStore.store(transformed, path, "replace")
+        spark.read.parquet(path)
+      }
+      task("query") {
+        stored.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"),
+            max("transformation").as("note"))
+          .orderBy("l_returnflag")
+      }
+    }
+  }
+
   /** K5: warehouse upsert — batch 2 overlaps batch 1 and must win.
     * Final state: keys 0 mod 3 from batch 1 untouched, keys 1 mod 3
     * overwritten with the +1000 price, keys 2 mod 3 inserted.

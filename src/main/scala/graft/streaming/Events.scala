@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Event-stream operators (SURVEY.md §2 E1–E4) over the `events` table.
+  *
+  * E1/E2 are batch analytics with streaming-compatible semantics; E3/E4
+  * run REAL Structured Streaming queries (readStream → stateful op →
+  * sink) driven to completion with an availableNow trigger, so the
+  * driver's batch oracle can check them — batch/stream parity is the
+  * correctness property Structured Streaming guarantees and the thing
+  * worth testing.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * horizon; sessionization state per key is capped by the gap timeout;
+  * dedup state by the watermark (dropDuplicatesWithinWatermark).
+  * Session arithmetic runs on microsecond longs — the shared precision
+  * of Spark TimestampType and the oracle's parquet read.
+  */
+object Events {
+
+  /** E1: tumbling 1-hour window aggregation (batch form). The window
+    * start is `date_trunc(hour)` for hour-aligned tumbling windows —
+    * identical to the streaming group-by-window result.
+    */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** E2: gap-based sessionization — a new session starts when a user is
+    * idle longer than `gapMinutes`. One shuffle on user_id serves the
+    * lag + the running sum + the final per-session aggregate (same
+    * partitioning throughout). Microsecond arithmetic — the common
+    * precision of Spark TimestampType and the oracle engine (DuckDB
+    * truncates parquet nanos to micros on read).
+    */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev", lag("ts_us", 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum("brk").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("ts_us").as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        (max("ts_us") - min("ts_us")).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val streamCounter = new AtomicInteger(0)
+
+  /** Copy the events table into a multi-file directory so the stream
+    * source sees several files (≈ several arriving batches).
+    */
+  private def stageStreamInput(spark: SparkSession, dir: String, copies: Int): String = {
+    val out = Files.createTempDirectory("graft_stream").toString + "/events"
+    val raw = spark.read.parquet(Tables.path(dir, "events"))
+    val staged = Iterator.fill(copies)(raw).reduce(_ unionByName _)
+    staged.repartition(8).write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** E3: real streaming ingest — readStream(parquet) → event-time
+    * watermark → tumbling-window agg → in-memory sink, driven to
+    * completion with availableNow. Returns the final windowed counts,
+    * which batch/stream parity makes equal to [[windowAgg]] — that
+    * equality IS the driver's oracle check.
+    */
+  def streamParity(spark: SparkSession, dir: String): DataFrame = {
+    val input = stageStreamInput(spark, dir, copies = 1)
+    val schema = spark.read.parquet(input).schema
+    val stream = spark.readStream.schema(schema).parquet(input)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    val sinkName = s"graft_stream_parity_${streamCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("window_start", "event_type")
+  }
+
+  /** E4: stateful in-stream dedup — the input is the events table
+    * delivered twice (at-least-once duplication), deduped on event_id
+    * with `dropDuplicatesWithinWatermark` (state bounded by the
+    * watermark, unlike plain dropDuplicates whose state grows forever).
+    * The deduped rows land in the sink in append mode; the final
+    * aggregate must equal single-delivery per-type totals.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val input = stageStreamInput(spark, dir, copies = 2)
+    val schema = spark.read.parquet(input).schema
+    val stream = spark.readStream.schema(schema).parquet(input)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val sinkName = s"graft_stream_dedup_${streamCounter.incrementAndGet()}"
+    val q = deduped.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+}

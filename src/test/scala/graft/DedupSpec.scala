@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.Row
+
+/** Exactness/recall bounds for the probabilistic dedup ops (D3/D4) that
+  * have no SQL oracle — the deterministic counterpart (D2) is their
+  * ground truth.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def pairSet(rows: Array[Row]): Set[(Long, Long)] =
+    rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exactPairs: Set[(Long, Long)] =
+    pairSet(Dedup.ngramJaccard(spark, sfDir, threshold = 0.5).select("doc_a", "doc_b").collect())
+
+  test("exact n-gram jaccard finds the planted near-dup pairs") {
+    assert(exactPairs.nonEmpty, "testdata should contain planted near-dups")
+  }
+
+  test("minhash-LSH verified output is a subset of exact pairs (no false positives)") {
+    val mh = pairSet(Dedup.minhashLsh(spark, sfDir, threshold = 0.5).select("doc_a", "doc_b").collect())
+    assert(mh.subsetOf(exactPairs), s"false positives: ${mh.diff(exactPairs)}")
+  }
+
+  test("minhash-LSH recall >= 0.9 on exact pairs") {
+    val mh = pairSet(Dedup.minhashLsh(spark, sfDir, threshold = 0.5).select("doc_a", "doc_b").collect())
+    val recall = mh.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall=$recall exact=${exactPairs.size} mh=${mh.size}")
+  }
+
+  test("simhash banding finds every pair within the hamming budget (pigeonhole exactness)") {
+    // brute-force the true hamming<=3 pairs from the signatures and
+    // compare with the banded join's output
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val sigs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), Dedup.simhash64(TextFunctions.tokens(col("text"))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ida, idb)).toSet
+    val banded = pairSet(Dedup.simhashNearDup(spark, sfDir, maxHamming = 3)
+      .select("doc_a", "doc_b").collect())
+    assert(banded == truth, s"banded=${banded.size} truth=${truth.size}")
+  }
+
+  test("exact dedup groups every document exactly once") {
+    val total = Dedup.exact(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).collect()(0).getLong(0)
+    val docs = Tables.load(spark, sfDir, "documents").count()
+    assert(total == docs)
+  }
+}
