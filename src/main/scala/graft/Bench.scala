@@ -40,6 +40,10 @@ object Bench {
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         time(fn(spark, sfDir).count()) // cold: codegen + listing
+        // drop the previous query's broadcast/cache garbage so each
+        // measurement sees a clean heap, not its predecessor's GC debt
+        spark.catalog.clearCache()
+        System.gc()
         val warm = time(fn(spark, sfDir).count())
         name -> warm
       }

@@ -32,7 +32,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // 16 MiB: dimension tables (region/nation/supplier, centroid sets,
+      // marker lists) are KBs and always qualify; array-heavy corpus
+      // tables (shingle sets, embeddings) must NOT qualify — their
+      // deserialized footprint is several× the plan's serialized
+      // estimate and repeated broadcasts become driver-heap churn
+      .config("spark.sql.autoBroadcastJoinThreshold", (16L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       // testdata events.ts is TIMESTAMP(NANOS) — read as nanos long (see Tables.load)

@@ -83,7 +83,9 @@ object SparkEntry {
     "q_count" -> "SELECT count(*) AS cnt FROM lineitem",
     "q_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |LIMIT 100""".stripMargin,
     "q_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
@@ -185,7 +187,9 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "t_dedup_key" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
         |  FROM lineitem
         |) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
     // Sources: the oracle aggregates the ORIGINAL parquet — a match

@@ -33,14 +33,22 @@ object TextFunctions {
 
   /** Distinct word n-gram shingles (default 3) of the normalized text.
     * Empty array when the document has fewer than n tokens.
+    *
+    * Built from n shifted `slice`s zipped together, NOT a
+    * transform-over-indices with per-element `get`s: higher-order
+    * functions are CodegenFallback (interpreted), so every child
+    * expression re-evaluates on each lambda invocation — an
+    * index-transform re-runs the `split` of the whole text for every
+    * gram element (O(grams·n) splits per row, observed as a 1700 s
+    * single-task stall at sf0.1). The zip_with form evaluates each
+    * slice once per ROW.
     */
   def wordShingles(c: Column, n: Int = 3): Column = {
     val toks = tokens(c)
-    val idx = sequence(lit(1), size(toks) - lit(n - 1))
-    val grams = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(k => get(toks, i + lit(k) - lit(1))): _*))
-    when(size(toks) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
+    val len = greatest(size(toks) - lit(n - 1), lit(0))
+    val parts = (0 until n).map(k => slice(toks, lit(k + 1), len))
+    val grams = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+    array_distinct(grams)
   }
 
   /** Language-marker stopword lists. Scoring = number of tokens that are

@@ -35,11 +35,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
       .orderBy("content_hash")
 
+  /** Spread single-file document reads across all cores: the per-doc
+    * shingle/signature math is CPU-bound and must not serialize onto
+    * the scan's one-partition task. On a cluster this is the shuffle
+    * the downstream join needs anyway.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Distinct 3-gram shingle set per document, exploded to an inverted
     * index (shingle → doc), optionally df-capped.
     */
   private def shingleIndex(docs: DataFrame, n: Int, maxDf: Option[Int]): DataFrame = {
-    val idx = docs
+    val idx = spread(docs)
       .select(col("doc_id"), explode(wordShingles(col("text"), n)).as("shingle"))
     maxDf.fold(idx) { cap =>
       // stop-shingle cap: drop shingles present in more than `cap` docs.
@@ -68,9 +76,12 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // no broadcast hint: `sizes` is one row per document — broadcastable
+    // at test SF (AQE will pick that), but at corpus scale this must be
+    // a shuffle join keyed on doc_id
     inter
-      .join(broadcast(sizes).as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("inter")), 4))
@@ -79,13 +90,17 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signature: k minimums over salted xxhash64 of the shingle
-    * set. Computed entirely inside the projection (nested higher-order
-    * functions) — per-doc cost k·|shingles|, zero shuffle.
+  /** MinHash signature over PRE-HASHED shingles: k minimums of
+    * xxhash64(shingle_hash, salt). Hashing the string shingle once and
+    * salting the 8-byte result is ~10× cheaper per (shingle, salt) pair
+    * than re-hashing the string k times — with k=128 that's the
+    * difference between the signature being free and being the corpus
+    * scan's bottleneck. Computed entirely inside the projection —
+    * per-doc cost k·|shingles| long-hashes, zero shuffle.
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingles, s => xxhash64(concat(i.cast("string"), s)))))
+      array_min(transform(shingleHashes, h => xxhash64(h, i))))
 
   /** D3: MinHash + LSH banding. Candidates = pairs sharing ≥1 band
     * bucket (equi-join on (band, band-hash) — bounded buckets, no
@@ -98,10 +113,19 @@ object Dedup {
                  threshold: Double = 0.5, n: Int = 3,
                  k: Int = 128, bands: Int = 32): DataFrame = {
     val r = k / bands
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+    // each `.repartition` below is a materialization barrier as much as a
+    // distribution step: higher-order expressions are interpreted, and
+    // CollapseProject would otherwise inline the shingle tree into the
+    // 128-hash signature (and the signature into the 32-band explode),
+    // re-evaluating it per lambda element — O(k·|shingles|) text splits
+    // per row. Exchanges pin each stage's output to computed-once.
+    val docs = spread(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), wordShingles(col("text"), n).as("sh")))
       .filter(size(col("sh")) > 0)
-    val sigs = docs.select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
+    val hashed = spread(docs.select(col("doc_id"),
+      transform(col("sh"), s => xxhash64(s)).as("hs")))
+    val sigs = spread(hashed.select(col("doc_id"), minhashSignature(col("hs"), k).as("sig")))
     val banded = sigs.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -131,8 +155,15 @@ object Dedup {
     * `aggregate` over the per-token hashes — higher-order functions
     * only, stays in codegen, zero shuffle.
     */
-  def simhash64(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
+  def simhash64(toks: Column): Column =
+    simhashFromHashes(transform(toks, t => xxhash64(t)))
+
+  /** SimHash bit-packing over an already-computed hash array. Split out
+    * so pipelines can materialize the (cheap to store, expensive to
+    * recompute) hash array behind an exchange before the 64 interpreted
+    * aggregates each re-read it.
+    */
+  def simhashFromHashes(hashes: Column): Column = {
     val bitCols = (0 until 64).map { j =>
       val bitSum = aggregate(hashes, lit(0L),
         (s, h) => s + shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1)
@@ -152,8 +183,10 @@ object Dedup {
                      maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+    val docs = spread(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), transform(tokens(col("text")), t => xxhash64(t)).as("hs")))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("sig"))
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * bandBits)
@@ -180,7 +213,7 @@ object Dedup {
     */
   def embeddingCosine(spark: SparkSession, dir: String,
                       threshold: Double = 0.4): DataFrame = {
-    val e = Tables.load(spark, dir, "embeddings")
+    val e = spread(Tables.load(spark, dir, "embeddings"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(b, col("vec_a") < col("vec_b"))

@@ -26,8 +26,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Similarity {
 
+  /** Corpus scan, spread across cores: the single-file read arrives as
+    * one partition, and the signature/assignment math (interpreted
+    * higher-order functions) must parallelize. On a cluster the input
+    * is many files and this repartition coalesces into the join
+    * shuffle the plans need anyway.
+    */
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
 
   /** The benchmark query set: lowest `nQueries` vec_ids. */
   private def querySet(e: DataFrame, nQueries: Int): DataFrame =
@@ -94,17 +101,21 @@ object Similarity {
       array(tables.zipWithIndex.map { case (planes, t) =>
         struct(lit(t).as("tbl"), bucketCode(col(embCol), planes).as("code"))
       }: _*)
-    val corpusBuckets = e.select(col("vec_id"), col("embedding"),
-      explode(codes("embedding")).as("b"))
-      .select(col("vec_id"), col("embedding"), col("b.tbl"), col("b.code"))
+    // bucket join + dedup run on (id, id) pairs ONLY — never shuffle or
+    // hash-compare the 64-float embedding arrays; they re-join (corpus
+    // side by key, query side broadcast) just for the final rerank
+    val corpusBuckets = e.select(col("vec_id"), explode(codes("embedding")).as("b"))
+      .select(col("vec_id"), col("b.tbl"), col("b.code"))
     val queryBuckets = broadcast(
-      querySet(e, nQueries).select(col("q_id"), col("q_emb"),
-        explode(codes("q_emb")).as("b"))
-        .select(col("q_id"), col("q_emb"), col("b.tbl"), col("b.code")))
-    val cand = corpusBuckets.join(queryBuckets, Seq("tbl", "code"))
+      querySet(e, nQueries).select(col("q_id"), explode(codes("q_emb")).as("b"))
+        .select(col("q_id"), col("b.tbl"), col("b.code")))
+    val candIds = corpusBuckets.join(queryBuckets, Seq("tbl", "code"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select("q_id", "q_emb", "vec_id", "embedding")
+      .select("q_id", "vec_id")
       .distinct()
+    val cand = candIds
+      .join(e, Seq("vec_id"))
+      .join(broadcast(querySet(e, nQueries)), Seq("q_id"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     cand
       .withColumn("sim", round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4))

@@ -35,7 +35,9 @@ object Relational {
   def qLimit(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-      .orderBy("l_orderkey", "l_linenumber")
+      // order by every output column: (orderkey, linenumber) ties at
+      // larger SFs would make the LIMIT boundary engine-dependent
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
       .limit(100)
 
   /** Q3: filter + projection; both reach the parquet scan (PushedFilters). */
@@ -243,7 +245,10 @@ object Relational {
     * what the reference's `if_exists='replace'` is standing in for).
     */
   def tDedupKey(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    // total order inside the key group: linenumber can tie at larger SFs,
+    // so break ties on partkey/quantity to keep the winner deterministic
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_quantity")
     t(spark, dir, "lineitem")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
