@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnShim, MinHashSignature, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Corpus deduplication (SURVEY.md §2 D1–D5) — the first pass of any
@@ -90,17 +91,15 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signature over PRE-HASHED shingles: k minimums of
-    * xxhash64(shingle_hash, salt). Hashing the string shingle once and
-    * salting the 8-byte result is ~10× cheaper per (shingle, salt) pair
-    * than re-hashing the string k times — with k=128 that's the
-    * difference between the signature being free and being the corpus
-    * scan's bottleneck. Computed entirely inside the projection —
-    * per-doc cost k·|shingles| long-hashes, zero shuffle.
+  /** MinHash signature: native codegen'd expression
+    * ([[org.apache.spark.sql.graft.MinHashSignature]]) — the whole
+    * normalize → tokenize → shingle → k-min pipeline in one compiled
+    * loop per row, no intermediate arrays, runs at scan speed. The
+    * Column-HOF formulation of the same sketch is interpreted
+    * (CodegenFallback) and was the corpus scan's bottleneck.
     */
-  def minhashSignature(shingleHashes: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingleHashes, h => xxhash64(h, i))))
+  def minhashSignature(text: Column, n: Int, k: Int): Column =
+    ColumnShim.column(MinHashSignature(ColumnShim.expression(text), n, k))
 
   /** D3: MinHash + LSH banding. Candidates = pairs sharing ≥1 band
     * bucket (equi-join on (band, band-hash) — bounded buckets, no
@@ -113,19 +112,12 @@ object Dedup {
                  threshold: Double = 0.5, n: Int = 3,
                  k: Int = 128, bands: Int = 32): DataFrame = {
     val r = k / bands
-    // each `.repartition` below is a materialization barrier as much as a
-    // distribution step: higher-order expressions are interpreted, and
-    // CollapseProject would otherwise inline the shingle tree into the
-    // 128-hash signature (and the signature into the 32-band explode),
-    // re-evaluating it per lambda element — O(k·|shingles|) text splits
-    // per row. Exchanges pin each stage's output to computed-once.
-    val docs = spread(
-      Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), wordShingles(col("text"), n).as("sh")))
-      .filter(size(col("sh")) > 0)
-    val hashed = spread(docs.select(col("doc_id"),
-      transform(col("sh"), s => xxhash64(s)).as("hs")))
-    val sigs = spread(hashed.select(col("doc_id"), minhashSignature(col("hs"), k).as("sig")))
+    val documents = Tables.load(spark, dir, "documents")
+    // signature: one codegen'd expression per row; the repartition both
+    // spreads the single-file scan across cores and materializes the
+    // signature before the band explode references it per-element
+    val sigs = spread(documents.select(col("doc_id"),
+      minhashSignature(col("text"), n, k).as("sig")))
     val banded = sigs.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -136,10 +128,15 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verify on candidates only
+    // exact verify on candidates only: semi-join first so the string
+    // shingle sets are computed for candidate docs alone, not the corpus
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shSets = documents.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
     val withSets = cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .join(shSets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(shSets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
     withSets
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard", round(col("inter").cast("double") /
@@ -183,10 +180,9 @@ object Dedup {
                      maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    val docs = spread(
-      Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), transform(tokens(col("text")), t => xxhash64(t)).as("hs")))
-      .select(col("doc_id"), simhashFromHashes(col("hs")).as("sig"))
+    val docs = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        ColumnShim.column(SimHash64(ColumnShim.expression(col("text")))).as("sig"))
     val bandStructs = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * bandBits)

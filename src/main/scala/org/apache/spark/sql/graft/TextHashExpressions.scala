@@ -1,0 +1,146 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-sketch expressions for the dedup hot path.
+  *
+  * The Column-API forms of these sketches (nested `transform` /
+  * `aggregate` higher-order functions) evaluate interpreted — Spark's
+  * HOFs are CodegenFallback — which makes them the bottleneck of a
+  * corpus scan. These expressions do the whole
+  * normalize → tokenize → shingle → sketch pipeline in ONE compiled
+  * loop per row, with no intermediate array materialization at all:
+  * the scan stays at parquet-read speed.
+  *
+  * Hashing matches Spark's `xxhash64` family (XXH64, seed 42) so
+  * results are stable and well-mixed; shingles are hashed by chaining
+  * token hashes (hashLong composition) instead of building gram
+  * strings — set cardinalities are preserved (64-bit collisions are
+  * negligible), which is all MinHash/SimHash need.
+  */
+object TextHash {
+  final val Seed = 42L
+
+  /** Normalized whitespace tokens: lowercase, alnum runs only. */
+  private[graft] def tokenHashes(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    val len = str.length
+    while (i <= len) {
+      val c = if (i < len) Character.toLowerCase(str.charAt(i)) else ' '
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum) sb.append(c)
+      else if (sb.length() > 0) {
+        val b = UTF8String.fromString(sb.toString).getBytes
+        out += XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, Seed)
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Distinct hashed n-gram shingles of the normalized tokens. */
+  private[graft] def shingleHashes(s: UTF8String, n: Int): Array[Long] = {
+    val toks = tokenHashes(s)
+    if (toks.length < n) return Array.emptyLongArray
+    val seen = new java.util.HashSet[java.lang.Long](toks.length * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = Seed
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(toks(i + j), h); j += 1 }
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    out.toArray
+  }
+
+  def minhash(s: UTF8String, n: Int, k: Int, salts: Array[Long]): ArrayData = {
+    val grams = shingleHashes(s, n)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var g = 0
+    while (g < grams.length) {
+      val gh = grams(g)
+      var i = 0
+      while (i < k) {
+        val v = XXH64.hashLong(gh, salts(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhash(s: UTF8String): Long = {
+    val toks = tokenHashes(s)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = toks(t)
+      var j = 0
+      while (j < 64) {
+        counts(j) += (((h >>> j) & 1L).toInt << 1) - 1
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+}
+
+/** MinHash signature of a document: k minimums over salted hashes of
+  * the distinct n-gram shingles (reference behavior: near-dup corpus
+  * dedup; the banding/LSH layer lives in the DataFrame plan on top).
+  */
+case class MinHashSignature(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val salts: Array[Long] =
+    Array.tabulate(k)(i => XXH64.hashLong(i.toLong, TextHash.Seed))
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minhash(input.asInstanceOf[UTF8String], n, k, salts)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashSignature].getName)
+    defineCodeGen(ctx, ev, c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of the normalized token stream. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHash64].getName)
+    defineCodeGen(ctx, ev, c => s"((java.lang.Long) $ref.nullSafeEval($c)).longValue()")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
