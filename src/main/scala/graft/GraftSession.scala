@@ -43,6 +43,8 @@ object GraftSession {
       // testdata events.ts is TIMESTAMP(NANOS) — read as nanos long (see Tables.load)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

@@ -50,6 +50,7 @@ object SparkEntry {
     "sink_csv" -> (IOQueries.sinkCsv _),
     "sink_partitioned" -> (IOQueries.sinkPartitioned _),
     "sink_warehouse" -> (IOQueries.sinkWarehouse _),
+    "sink_bucketed" -> (IOQueries.sinkBucketed _),
     // Text analysis (X1–X4)
     "text_langid" -> (TextQueries.textLangid _),
     "text_quality" -> (TextQueries.textQuality _),
@@ -226,6 +227,10 @@ object SparkEntry {
         |  UNION ALL SELECT 'snappy', count(*), round(sum(l_extendedprice), 2) FROM lineitem
         |  UNION ALL SELECT 'zstd', count(*), round(sum(l_extendedprice), 2) FROM lineitem
         |) ORDER BY codec""".stripMargin,
+    "sink_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "sink_csv" ->
       """SELECT cast(ts AS date) AS d, event_type, count(*) AS n,
         |  round(sum(value), 2) AS total_value

@@ -150,6 +150,34 @@ object IOQueries {
       .orderBy("o_orderpriority")
   }
 
+  // unique across JVMs: the warehouse dir outlives the session, so a
+  // per-process counter alone collides with tables from prior runs
+  private val bucketRunId: String =
+    java.lang.Long.toHexString(System.nanoTime())
+  private val bucketCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** K6: bucketed co-located join — both tables pre-shuffled on the
+    * join key at write time, so the join itself plans with NO exchange
+    * on either side (asserted in IOSpec). At 100 TB this converts every
+    * recurring fact-fact join from a full shuffle into a local merge.
+    */
+  def sinkBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val id = s"${bucketRunId}_${bucketCounter.incrementAndGet()}"
+    val ordersT = s"graft_orders_b$id"
+    val lineitemT = s"graft_lineitem_b$id"
+    TableStore.writeBucketed(
+      Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      ordersT, "o_orderkey", 8)
+    TableStore.writeBucketed(
+      Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      lineitemT, "l_orderkey", 8)
+    spark.table(ordersT)
+      .join(spark.table(lineitemT), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("o_orderpriority")
+  }
+
   /** P1: the reference's full ETL as a graft Flow — ingest → transform
     * (first-10-cols + constant column, the reference's exact transform)
     * → store → query, with task retries and logging

@@ -51,6 +51,17 @@ object TableStore {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed managed table: pre-shuffled on the key at write time so
+    * subsequent joins/aggregations on that key run with NO exchange —
+    * the 100 TB answer to repeatedly joining the same fact tables.
+    * (Bucketing requires the table catalog, hence saveAsTable; the
+    * session's warehouse dir points at scratch space.)
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** Keyed upsert: new batch wins over existing rows with the same key.
     * Read-merge-swap with a window keep-latest; the swap (write to a
     * sibling dir, rename over) keeps readers from ever seeing a partial

@@ -49,6 +49,18 @@ class IOSpec extends SparkSpec {
     assert(got == Map(1L -> "a", 2L -> "B", 3L -> "C"))
   }
 
+  test("bucketed join plans without a shuffle exchange") {
+    val df = graft.queries.IOQueries.sinkBucketed(spark, sfDir)
+    // drop the presentation sort/agg: check the join itself
+    val joinPlan = df.queryExecution.executedPlan.toString
+    // the two bucketed scans feed SortMergeJoin directly - no
+    // hashpartitioning exchange may appear below the join
+    val exchanges = "Exchange hashpartitioning\\((o_orderkey|l_orderkey)".r
+      .findAllIn(joinPlan).length
+    assert(exchanges == 0, s"bucketed join still shuffles:\n$joinPlan")
+    assert(df.collect().nonEmpty)
+  }
+
   test("dimension joins broadcast (no shuffle on the dim side)") {
     val plan = graft.queries.Relational.qJoin(spark, sfDir)
       .queryExecution.executedPlan.toString
