@@ -73,8 +73,10 @@ object SparkEntry {
     // Events & streaming (E1–E4)
     "e_window_agg" -> (Events.windowAgg _),
     "e_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    "e_session_window" -> ((s, d) => Events.sessionWindow(s, d)),
     "e_stream_parity" -> (Events.streamParity _),
     "e_stream_dedup" -> (Events.streamDedup _),
+    "e_stream_sessionize" -> ((s, d) => Events.streamSessionize(s, d)),
     // Pipeline orchestration (P1)
     "p_flow_e2e" -> (IOQueries.flowE2E _)
   )
@@ -408,6 +410,39 @@ object SparkEntry {
     "e_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |x AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x
+        |)
+        |SELECT user_id, min(tus) AS session_start_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    "e_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |x AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x
+        |)
+        |SELECT user_id, min(tus) AS session_start_us,
+        |  count(*) AS n_events, max(tus) - min(tus) AS duration_us
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "p_flow_e2e" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
         |  'this is an artificial transformation just to practice prefect' AS note

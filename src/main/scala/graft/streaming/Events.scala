@@ -62,6 +62,19 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** E2b: the same gap sessions via Spark's native `session_window` —
+    * the declarative form that runs identically in batch and
+    * Structured Streaming (merging windows with a 30-min gap). Output
+    * matches [[sessionize]] except sessions are keyed by their start.
+    */
+  def sessionWindow(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+
   private val streamCounter = new AtomicInteger(0)
 
   /** Copy the events table into a multi-file directory so the stream
@@ -99,6 +112,77 @@ object Events {
       .start()
     q.awaitTermination()
     spark.table(sinkName).orderBy("window_start", "event_type")
+  }
+
+  /** E5: custom stateful sessionization in a real stream —
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` with per-user
+    * session state. Each invocation merges the batch's events into the
+    * open-tail session carried in state, emits every session closed by
+    * the gap, and keeps the still-open tail. A per-user sentinel event
+    * (2 gaps past that user's last event, flagged for removal) closes
+    * all tails by end of stream, so the emitted set equals the batch
+    * [[sessionize]] result — which is the oracle. State is bounded:
+    * one open session per active user.
+    */
+  def streamSessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    val base = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), lit(false).as("sentinel"))
+    val sentinels = base.groupBy("user_id")
+      .agg((max("ts_us") + 2 * gapUs).as("ts_us"))
+      .withColumn("sentinel", lit(true))
+    val staged = Files.createTempDirectory("graft_sess").toString + "/in"
+    base.unionByName(sentinels.select("user_id", "ts_us", "sentinel"))
+      .repartition(8).write.mode("overwrite").parquet(staged)
+
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged)
+      .as[(Long, Long, Boolean)]
+
+    // state: (start_us, last_us, n_events) of the open tail session
+    def fn(userId: Long, rows: Iterator[(Long, Long, Boolean)],
+           state: GroupState[(Long, Long, Long)]): Iterator[(Long, Long, Long, Long, Boolean)] = {
+      val ts = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
+      var open: Option[(Long, Long, Long)] = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Boolean)]()
+      var sentinelSeen = false
+      ts.foreach { case (t, isSentinel) =>
+        open match {
+          case Some((s, last, n)) if t - last <= gapUs =>
+            open = Some((s, t, n + 1))
+          case Some((s, last, n)) =>
+            out += ((userId, s, n, last - s, false)) // closed by gap
+            open = Some((t, t, 1L))
+          case None =>
+            open = Some((t, t, 1L))
+        }
+        if (isSentinel) sentinelSeen = true
+      }
+      if (sentinelSeen) {
+        // the sentinel session itself is the open tail — drop it
+        open = None
+        state.remove()
+      } else open.foreach(state.update)
+      out.iterator
+    }
+    val sessions = stream.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "session_start_us", "n_events", "duration_us", "drop")
+
+    val sinkName = s"graft_stream_sess_${streamCounter.incrementAndGet()}"
+    val q = sessions.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .filter(!col("drop"))
+      .select("user_id", "session_start_us", "n_events", "duration_us")
+      .orderBy("user_id", "session_start_us")
   }
 
   /** E4: stateful in-stream dedup — the input is the events table
