@@ -39,6 +39,11 @@ object SparkEntry {
     "t_cast_rename" -> (Relational.tCastRename _),
     "t_nulls" -> (Relational.tNulls _),
     "t_dedup_key" -> (Relational.tDedupKey _),
+    "t_salted_agg" -> ((s, d) => Relational.tSaltedAgg(s, d)),
+    // HLL sketch variant of Q9 — fixed-size mergeable state, the
+    // count-distinct to run at 100 TB. No SQL oracle (sketch estimates
+    // are engine-specific) → rows-only check; exactness bound in spec.
+    "q_distinct_approx" -> (Relational.approxDistinct _),
     // Sources (S1–S4)
     "src_parquet" -> (IOQueries.srcParquet _),
     "src_csv" -> (IOQueries.srcCsv _),
@@ -188,6 +193,9 @@ object SparkEntry {
     "t_nulls" ->
       """SELECT o_orderkey, coalesce(nullif(o_orderstatus, 'P'), 'UNKNOWN') AS status_maybe
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "t_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "t_dedup_key" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
         |  SELECT *, row_number() OVER (

@@ -241,6 +241,28 @@ object Relational {
       .select("o_orderkey", "status_maybe")
       .orderBy("o_orderkey")
 
+  /** T5: skew-resistant aggregation — the salting pattern. The group
+    * key here (l_returnflag, 3 distinct values) is maximally skewed:
+    * a naive groupBy sends each key's entire mass to one reducer. The
+    * salt fans each hot key across `salts` reducers for the heavy
+    * partial phase; the final phase re-aggregates `salts` rows per key.
+    * Result is provably identical to the unsalted aggregate (sum/count
+    * are associative), which is what the oracle checks. (Spark's
+    * map-side partial aggregation usually makes this unnecessary for
+    * algebraic aggs — the pattern matters for holistic aggs like
+    * collect_list/percentile and for skewed JOIN keys.)
+    */
+  def tSaltedAgg(spark: SparkSession, dir: String, salts: Int = 16): DataFrame =
+    t(spark, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_orderkey"), lit(salts)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum("l_quantity").as("partial_qty"), count(lit(1)).as("partial_n"))
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum("partial_qty"), 2).as("qty"),
+        sum("partial_n").as("n"))
+      .orderBy("l_returnflag")
+
   /** T4: keep-first dedup by key (idempotent re-ingest semantics —
     * what the reference's `if_exists='replace'` is standing in for).
     */
