@@ -207,6 +207,32 @@ object Relational {
         |ORDER BY r_name""".stripMargin)
   }
 
+  /** Q16: ROLLUP — hierarchical subtotals + grand total in one pass
+    * (one shuffle; Spark expands the grouping sets map-side). Subtotal
+    * rows carry NULL group keys, coalesced to 'ALL' so both engines
+    * order and hash them identically.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("total"))
+      .orderBy("rf", "ls")
+
+  /** T6: PIVOT — status columns out of status rows (the reporting
+    * shape). The pivot values are declared, so the plan is a single
+    * conditional aggregation — no second pass to discover columns.
+    */
+  def tPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .orderBy("o_orderpriority")
+
   /** T1: the reference's transform verbatim in semantics — first 10
     * columns + constant annotation column
     * (week_2/data_ingest/pipeline.py:178-189).
