@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
@@ -359,6 +360,39 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, len(toks) AS n_tokens FROM t
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+        |  FROM t WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), nd AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
+        |), losers AS (
+        |  SELECT DISTINCT CASE WHEN qa.n_tokens < qb.n_tokens THEN doc_a
+        |                       WHEN qb.n_tokens < qa.n_tokens THEN doc_b
+        |                       ELSE greatest(doc_a, doc_b) END AS doc_id
+        |  FROM nd
+        |  JOIN q qa ON doc_a = qa.doc_id
+        |  JOIN q qb ON doc_b = qb.doc_id
+        |)
+        |SELECT doc_id, n_tokens FROM q
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_cosine_similarity(

@@ -201,6 +201,30 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** D6: the pipeline composite — near-dup detection feeding a
+    * keep-best-quality policy. For every near-dup pair the
+    * lower-quality document (fewer tokens; ties → higher doc_id) is
+    * dropped; survivors are the corpus minus losers. This is the shape
+    * an actual training-data pipeline ships: detect (D2/D3), rank
+    * (X2-style quality), resolve (anti-join). Fully deterministic →
+    * SQL oracle.
+    */
+  def keepBest(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, threshold)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+    val losers = pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("n_tokens").as("qa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("n_tokens").as("qb")), Seq("doc_b"))
+      .select(
+        when(col("qa") < col("qb"), col("doc_a"))
+          .when(col("qb") < col("qa"), col("doc_b"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** D5: embedding-cosine near-dup — all pairs of `embeddings` with
     * similarity ≥ threshold. Here the corpus side fits in one broadcast
     * so the join is map-side; at 100 TB the same verify step runs on
