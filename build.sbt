@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through unprefixed — the bench/verify JSON
+// contract lines must arrive on stdout without sbt's [info] decoration.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -23,8 +26,20 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Right-size the heap: above ~32 GiB the JVM loses compressed oops
+// (8-byte object pointers), which inflates GC and memory traffic for
+// pointer-heavy workloads (string shingles, array columns) — measured
+// as a multi-x slowdown on the dedup queries under a ~90 GiB heap.
+// local[32] at sf0.1 fits comfortably in 31 GiB, so cap there.
+def capHeap(mem: String): String = {
+  val gb = "^(\\d+)[gG]$".r
+  mem match {
+    case gb(n) if n.toInt > 31 => "31g"
+    case other                 => other
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${capHeap(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))}",
 )

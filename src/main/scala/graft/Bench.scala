@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main — one JSON line on stdout, per the driver contract.
   *
@@ -37,14 +37,27 @@ object Bench {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
 
+    // Full materialization: a bare .count() lets Catalyst prune the
+    // projected expressions (and drop final sorts) under
+    // Aggregate(count(1)), so pure-projection queries would report the
+    // scan, not the work. The noop sink evaluates every output column.
+    def materialize(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        time(fn(spark, sfDir).count()) // cold: codegen + listing
+        time(materialize(fn(spark, sfDir))) // cold: codegen + listing
         // drop the previous query's broadcast/cache garbage so each
         // measurement sees a clean heap, not its predecessor's GC debt
         spark.catalog.clearCache()
         System.gc()
-        val warm = time(fn(spark, sfDir).count())
+        // steady-state throughput = best of two warm runs: a single
+        // warm run still eats whatever GC/compaction debt the cold run
+        // left, which showed up as multi-x noise on allocation-heavy
+        // queries under large heaps
+        val warm = math.min(
+          time(materialize(fn(spark, sfDir))),
+          time(materialize(fn(spark, sfDir))))
         name -> warm
       }
     }

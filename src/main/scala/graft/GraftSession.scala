@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSession
   *   - shuffle partitions default to the core count locally — on a real
   *     cluster deployments override this to 2–3× total cores and AQE
   *     coalesces back down;
-  *   - broadcast threshold raised to 64 MiB: all dimension tables
+  *   - broadcast threshold 16 MiB: all true dimension tables
   *     (region/nation/supplier, LSH centroid sets, language-marker
-  *     tables) stay map-side at any SF;
+  *     tables) stay map-side at any SF, while array-heavy corpus
+  *     tables never qualify (see the inline note on the config);
   *   - 256 MiB parquet split size keeps task counts sane on wide scans.
   */
 object GraftSession {

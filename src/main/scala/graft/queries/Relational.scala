@@ -289,6 +289,73 @@ object Relational {
         sum("partial_n").as("n"))
       .orderBy("l_returnflag")
 
+  /** Q17: CUBE — all grouping combinations in one pass (one shuffle,
+    * grouping sets expanded map-side, like [[qRollup]] but the full
+    * lattice). NULL group keys coalesced to 'ALL' for cross-engine
+    * ordering/hashing.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy("rf", "ls")
+
+  /** Q18: exact percentiles (linear interpolation) per group. Exact
+    * percentile is a holistic aggregate — fine per-group here; at
+    * 100 TB the sketch twin is `approx_percentile` (KLL-style fixed
+    * state, map-side mergeable), same plan shape.
+    */
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 2).as("p75"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"))
+      .orderBy("l_returnflag")
+
+  /** Q19: range (band) join — each order priced into a static band
+    * table via an interval predicate. The band side is tiny and
+    * broadcast, so the theta-join is a map-side nested loop over ~6
+    * rows — no shuffle, no quadratic blowup; the general scale pattern
+    * for banding is exactly this (broadcast the bands), or precompute
+    * the band key arithmetically when bands are uniform.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = broadcast(spark.createDataFrame(Seq(
+      (0, 0d, 100000d), (1, 100000d, 200000d), (2, 200000d, 300000d),
+      (3, 300000d, 400000d), (4, 400000d, 500000d), (5, 500000d, 1e18)
+    )).toDF("band", "lo", "hi"))
+    t(spark, dir, "orders")
+      .join(bands, col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("band")
+  }
+
+  /** T7: deterministic hash sampling (per-stratum rates reported).
+    * The sample predicate is pure integer arithmetic (Knuth
+    * multiplicative hash mod 20 ≈ 5%) — reproducible on any engine,
+    * any partitioning, any run, unlike `rand()`-based `sample()`.
+    * That reproducibility is what makes a 100 TB dev-subset pipeline
+    * debuggable; the filter evaluates inside the scan (codegen) and
+    * costs nothing.
+    */
+  def tSampleHash(spark: SparkSession, dir: String, mod: Int = 20): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(pmod(
+        col("l_orderkey").cast("long") * lit(2654435761L) +
+          col("l_linenumber").cast("long") * lit(40503L),
+        lit(4294967296L)) % mod === 0)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("l_returnflag")
+
   /** T4: keep-first dedup by key (idempotent re-ingest semantics —
     * what the reference's `if_exists='replace'` is standing in for).
     */

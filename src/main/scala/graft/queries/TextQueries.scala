@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -83,4 +84,78 @@ object TextQueries {
         array_min(transform(wordShingles(col("text"), 3),
           s => substring(md5(s), 1, 16))).as("min_shingle_hash"))
       .orderBy("doc_id")
+
+  /** X5: PII redaction — URLs, then emails, then long digit runs are
+    * replaced with typed placeholder tags, applied in that order so an
+    * address inside a URL is counted once. Counts come from the
+    * pre-replacement text of each stage; the redacted text is surfaced
+    * as an md5 so the oracle can verify the full transform without
+    * hauling text through the compare. Single narrow projection — scan
+    * throughput at any corpus size.
+    */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val urlRe = "https?://[^\\s]+"
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val numRe = "[0-9]{4,}"
+    val txt = col("text")
+    val noUrl = regexp_replace(txt, urlRe, "<URL>")
+    val noEmail = regexp_replace(noUrl, emailRe, "<EMAIL>")
+    val clean = regexp_replace(noEmail, numRe, "<NUM>")
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(txt, lit(urlRe), lit(0))).as("n_urls"),
+        size(regexp_extract_all(noUrl, lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(noEmail, lit(numRe), lit(0))).as("n_nums"),
+        md5(clean).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** X6: repetition scoring (Gopher-style quality signal) — the
+    * fraction of word 2-grams / 3-grams that are repeats. High values
+    * flag boilerplate/spam for the quality filter. Positional grams
+    * minus their distinct count, all inside one scan projection.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    def dupFrac(n: Int) = {
+      val g = wordGrams(col("text"), n)
+      round((size(g) - size(array_distinct(g))).cast("double") /
+        greatest(size(g), lit(1)), 4)
+    }
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(wordGrams(col("text"), 2)).as("n_2grams"),
+        dupFrac(2).as("dup_2gram_frac"),
+        dupFrac(3).as("dup_3gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** X7: TF-IDF top terms per document. tf from one explode+aggregate
+    * (map-side combine), df from a second aggregate over (term, doc)
+    * pairs, idf quantized to integer MICRO-nats so the ranking is
+    * exactly reproducible across engines (double ln products differ in
+    * the last ulp between libms; integer tf·idf_micro cannot). The
+    * tf⋈df join keys on term — the same partitioning the df aggregate
+    * just produced, so AQE reuses the exchange.
+    */
+  def textTfidf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_micro").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_micro",
+        round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) * 1e6).cast("long"))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("doc_id", "rnk", "term", "tf", "df", "score_micro")
+      .orderBy("doc_id", "rnk")
+  }
 }

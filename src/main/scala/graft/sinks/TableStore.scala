@@ -63,10 +63,16 @@ object TableStore {
       .format("parquet").saveAsTable(table)
 
   /** Keyed upsert: new batch wins over existing rows with the same key.
-    * Read-merge-swap with a window keep-latest; the swap (write to a
-    * sibling dir, rename over) keeps readers from ever seeing a partial
-    * table — parquet directories have no transaction log, so atomicity
-    * comes from the filesystem rename.
+    * Read-merge-swap with a window keep-latest. The swap never deletes
+    * the live table before the replacement is in place: the new table
+    * is fully written to a staging dir, the old dir is renamed aside,
+    * the staging dir renamed in, and only then is the old copy deleted.
+    * Each rename is atomic on HDFS-like filesystems, so a reader sees
+    * either the old or the new table (a reader racing the two renames
+    * can observe a brief not-found and should retry); a crash leaves
+    * the data recoverable in `__old`/`__staging` rather than lost.
+    * True snapshot isolation needs a table format with a commit log
+    * (Delta/Iceberg) — out of scope for a parquet-directory store.
     */
   def upsert(spark: SparkSession, path: String, batch: DataFrame, keys: Seq[String]): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -82,8 +88,12 @@ object TableStore {
           .drop("__rn", "__v")
       } else tagged.drop("__v")
     val tmp = new Path(path + "__staging")
+    val old = new Path(path + "__old")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadTarget = fs.exists(target)
+    if (hadTarget) fs.rename(target, old)
     fs.rename(tmp, target)
+    if (hadTarget) fs.delete(old, true)
   }
 }

@@ -75,6 +75,66 @@ object Events {
         col("n_events"))
       .orderBy("user_id", "session_start_us")
 
+  /** E7: AS-OF join — each purchase matched to the user's latest click
+    * at or before it. NOT a range join: both streams union into one
+    * sort per user (a single shuffle on user_id), and a running
+    * `last(click_ts)` window carries the as-of match forward. This is
+    * the merge-join formulation that scales — candidate pairs are never
+    * materialized, state per user is one value, and the same shape runs
+    * in Structured Streaming as a stateful op. Ties (click and purchase
+    * at the same microsecond) resolve click-first, i.e. the match is
+    * inclusive, matching ASOF JOIN (>=) semantics.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(1).as("side"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_us",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id"), col("ts_us").as("purchase_us"),
+        col("click_us"), (col("ts_us") - col("click_us")).as("gap_us"))
+      .orderBy("user_id", "purchase_us", "event_id")
+  }
+
+  /** E8: sliding-window aggregation — 1-hour windows every 30 minutes,
+    * so each event lands in exactly 2 windows. Spark expands the window
+    * assignment map-side (no self-join); output keyed by epoch-micros
+    * window start for engine-neutral comparison.
+    */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(
+        window(col("ts"), "1 hour", "30 minutes").getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(unix_micros(col("ws")).as("window_start_us"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start_us", "event_type")
+
+  /** E9: semi-structured extraction — pull a typed field out of the
+    * `props` JSON string column. `get_json_object` evaluates inside the
+    * scan projection (no UDF, no parse-to-struct materialization); at
+    * scale, promote hot JSON fields to real columns at ingest and keep
+    * the raw string for the long tail.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   private val streamCounter = new AtomicInteger(0)
 
   /** Copy the events table into a multi-file directory so the stream
