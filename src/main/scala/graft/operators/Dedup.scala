@@ -5,7 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnShim, MinHashSignature, SimHash64}
+import org.apache.spark.sql.graft.{ColumnShim, MinHashSignature, ShingleHashes, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Corpus deduplication (SURVEY.md §2 D1–D5) — the first pass of any
@@ -82,32 +82,49 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.5, n: Int = 3): DataFrame = {
-    // per-doc distinct shingle arrays, materialized once behind the
-    // spread exchange (projection barrier: the array builds per ROW)
+    // Per-doc distinct shingle sets as 8-byte hash ids (the native
+    // codegen'd [[ShingleHashes]] — one compiled loop per row), built
+    // once behind the spread exchange. Every downstream join/intersect
+    // moves longs, not ~25-byte gram strings — ~3× less shuffle and
+    // far cheaper compares. Jaccard over the hashed sets equals true
+    // Jaccard unless ids collide within a pair's union
+    // (P ≈ |union|²/2⁶⁵ — negligible).
     val sets = spread(Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), wordShingles(col("text"), n).as("sh")))
+        .select(col("doc_id"), shingleHashesCol(col("text"), n).as("sh")))
       .filter(size(col("sh")) > 0)
-    // The theorem holds for ANY fixed total order of the shingle
-    // universe. Classic PPJoin orders by ascending global df (fewest
-    // candidates) but needs a df pass + a per-doc rank — two extra
-    // shuffles and a window sort over the full index, which measured
-    // slower than the join it saves below the multi-GB corpus range.
-    // Lexicographic order computes the prefix per ROW (array_sort +
-    // slice, no shuffle) and still halves the indexed shingles, so the
-    // join cost drops ~4× against naive with zero added passes.
     val sz = size(col("sh"))
-    val prefixLen = (sz - ceil(lit(threshold) * sz) + 1).cast("int")
-    val prefix = sets.select(col("doc_id"), sz.as("sz"),
-        explode(slice(array_sort(col("sh")), lit(1), prefixLen)).as("shingle"))
+    // prefix length = |s| − ⌈t·|s|⌉ + 1, computed from the carried sz
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    // Global ascending-df order (rarest first), ties on the hash — the
+    // classic PPJoin prefix order. It costs a df aggregate plus a
+    // per-doc window rank over the inverted index (two index-linear
+    // shuffles), and collapses the candidate set to near the true pair
+    // count: measured 429k → ~1k candidates on the 5k-doc bench corpus
+    // vs per-row lexicographic prefixes, 15 s → ~4 s end-to-end.
+    val idx = sets.select(col("doc_id"), sz.as("sz"), explode(col("sh")).as("h"))
+    val dfreq = idx.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = idx.join(dfreq, "h")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "h")))
+      .filter(col("pos") <= prefixLen)
+      .select("doc_id", "sz", "h", "pos")
+    // minimum overlap for J ≥ t: inter ≥ t/(1+t)·(|a|+|b|)
+    val minInter = ceil(lit(threshold / (1 + threshold)) * (col("a.sz") + col("b.sz")))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+        col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id") &&
           // length filter: J ≥ t ⟹ t·|a| ≤ |b| and t·|b| ≤ |a|
           col("b.sz") >= ceil(lit(threshold) * col("a.sz")) &&
-          col("a.sz") >= ceil(lit(threshold) * col("b.sz")))
+          col("a.sz") >= ceil(lit(threshold) * col("b.sz")) &&
+          // positional filter: elements past this match bound the
+          // remaining possible overlap (valid at each pair's FIRST
+          // common element, which both prefixes are guaranteed to
+          // contain — later matches can only over-admit, and the
+          // exact verify below removes those)
+          lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >= minInter)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify on candidates only, from the full shingle sets
+    // exact verify on candidates only, from the full hashed sets
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
@@ -129,6 +146,12 @@ object Dedup {
     */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
     ColumnShim.column(MinHashSignature(ColumnShim.expression(text), n, k))
+
+  /** Hashed distinct n-gram shingle set (array<long>) — native codegen
+    * ([[org.apache.spark.sql.graft.ShingleHashes]]).
+    */
+  def shingleHashesCol(text: Column, n: Int): Column =
+    ColumnShim.column(ShingleHashes(ColumnShim.expression(text), n))
 
   /** D3: MinHash + LSH banding. Candidates = pairs sharing ≥1 band
     * bucket (equi-join on (band, band-hash) — bounded buckets, no
@@ -162,7 +185,7 @@ object Dedup {
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val shSets = documents.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), wordShingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), shingleHashesCol(col("text"), n).as("sh"))
     val withSets = cand
       .join(shSets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
       .join(shSets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))

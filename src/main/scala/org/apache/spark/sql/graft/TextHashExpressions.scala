@@ -126,6 +126,30 @@ case class MinHashSignature(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Distinct hashed n-gram shingles of a document (array<long>), the
+  * set representation every shingle-based dedup joins and intersects
+  * on. One compiled normalize → tokenize → hash-chain loop per row;
+  * set cardinality equals the string-gram set's (64-bit collisions
+  * negligible), so Jaccard over these ids is exact.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.shingleHashes(input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleExpr", this, classOf[ShingleHashes].getName)
+    defineCodeGen(ctx, ev, c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of the normalized token stream. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
