@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnShim, LangIdExpr, MinGramMd5}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2
@@ -18,14 +19,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TextQueries {
 
-  /** X1: dictionary language ID. The marker "tables" are literal arrays
-    * folded into the plan — the degenerate (and fastest) broadcast.
-    * Output includes the ground-truth `lang` column so accuracy is
+  /** X1: dictionary language ID. The marker "tables" are literal sets
+    * compiled into the expression — the degenerate (and fastest)
+    * broadcast. Scored by the native [[LangIdExpr]] (one compiled
+    * tokenize-and-score pass per row; the when-chain Column form
+    * re-evaluated the interpreted tokenize ~10× per row). Output
+    * includes the ground-truth `lang` column so accuracy is
     * inspectable; the oracle replays the identical scoring in SQL.
     */
   def textLangid(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang"))
+      .select(col("doc_id"), col("lang"),
+        ColumnShim.column(LangIdExpr(ColumnShim.expression(col("text")), langMarkers))
+          .as("pred_lang"))
       .orderBy("doc_id")
 
   /** X2: quality scoring — length, punctuation density, stopword ratio,
@@ -81,8 +87,10 @@ object TextQueries {
       .select(
         col("doc_id"),
         fingerprint(col("text")).as("content_id"),
-        array_min(transform(wordShingles(col("text"), 3),
-          s => substring(md5(s), 1, 16))).as("min_shingle_hash"))
+        // native one-pass min-of-gram-md5s ([[MinGramMd5]]); the
+        // transform-over-shingles Column form is interpreted
+        ColumnShim.column(MinGramMd5(ColumnShim.expression(col("text")), 3))
+          .as("min_shingle_hash"))
       .orderBy("doc_id")
 
   /** X5: PII redaction — URLs, then emails, then long digit runs are
