@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnShim, HyperplaneCodes}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2 A1–A3).
@@ -38,12 +39,16 @@ object Similarity {
 
   /** Embedding dimensionality, read from the data (one single-row job
     * over a limit-1 scan) — never assumed. A dim mismatch between the
-    * hyperplanes and the vectors would silently truncate the zip_with
-    * dot products and degrade recall with no error.
+    * hyperplanes and the vectors would silently truncate the
+    * dot products and degrade recall with no error. Memoized per
+    * table dir: the dim is a property of the dataset, and the probe
+    * job is pure fixed overhead on every re-run otherwise.
     */
+  private val dimCache = new scala.collection.concurrent.TrieMap[String, Int]
   private[operators] def embeddingDim(spark: SparkSession, dir: String): Int =
-    Tables.load(spark, dir, "embeddings")
-      .select(size(col("embedding")).as("d")).limit(1).head.getInt(0)
+    dimCache.getOrElseUpdate(dir,
+      Tables.load(spark, dir, "embeddings")
+        .select(size(col("embedding")).as("d")).limit(1).head.getInt(0))
 
   /** The benchmark query set: lowest `nQueries` vec_ids. */
   private def querySet(e: DataFrame, nQueries: Int): DataFrame =
@@ -78,16 +83,6 @@ object Similarity {
     Seq.fill(nTables)(Seq.fill(bitsPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
   }
 
-  /** Signed-projection bucket code for one table: bit i = sign of the
-    * dot product with plane i. Pure column expression — the planes fold
-    * into the plan as literals (the degenerate broadcast).
-    */
-  private def bucketCode(emb: org.apache.spark.sql.Column,
-                         planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(VectorFunctions.dotWithConst(emb, p) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-
   /** A2: LSH-bucketed ANN. Candidate = corpus vector sharing a bucket
     * with the query in ≥1 of the tables; exact cosine rerank on the
     * candidates. Probabilistic recall (tunable via nTables) → rows-only
@@ -106,18 +101,19 @@ object Similarity {
     val e = corpus(spark, dir)
     val dim = embeddingDim(spark, dir)
     val tables = hyperplanes(dim, nTables, bitsPerTable, seed)
+    // all table codes in ONE native compiled pass per row (the
+    // per-plane Column dot products are interpreted HOFs — they were
+    // the corpus scan's bottleneck); posexplode recovers (tbl, code)
     def codes(embCol: String): org.apache.spark.sql.Column =
-      array(tables.zipWithIndex.map { case (planes, t) =>
-        struct(lit(t).as("tbl"), bucketCode(col(embCol), planes).as("code"))
-      }: _*)
+      ColumnShim.column(HyperplaneCodes(ColumnShim.expression(col(embCol)), tables))
     // bucket join + dedup run on (id, id) pairs ONLY — never shuffle or
     // hash-compare the 64-float embedding arrays; they re-join (corpus
     // side by key, query side broadcast) just for the final rerank
-    val corpusBuckets = e.select(col("vec_id"), explode(codes("embedding")).as("b"))
-      .select(col("vec_id"), col("b.tbl"), col("b.code"))
+    val corpusBuckets = e.select(col("vec_id"), posexplode(codes("embedding")))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "code"))
     val queryBuckets = broadcast(
-      querySet(e, nQueries).select(col("q_id"), explode(codes("q_emb")).as("b"))
-        .select(col("q_id"), col("b.tbl"), col("b.code")))
+      querySet(e, nQueries).select(col("q_id"), posexplode(codes("q_emb")))
+        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "code")))
     val candIds = corpusBuckets.join(queryBuckets, Seq("tbl", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id")

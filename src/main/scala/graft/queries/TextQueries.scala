@@ -4,8 +4,8 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnShim, LangIdExpr, MinGramMd5}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graft.{ColumnShim, LangIdExpr, MinGramMd5, TextStatsExpr}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2
   * X1–X4) — the per-document quality/language/token metadata a
@@ -40,28 +40,25 @@ object TextQueries {
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(spark, dir, "documents")
-    val txt = col("text")
-    val toks = tokens(txt)
-    val nTok = size(toks).cast("long")
+    // one compiled counting pass per row ([[TextStatsExpr]]); the
+    // pure-Column form re-evaluated the interpreted tokenize for every
+    // ratio. Ratio division + rounding stay in Column arithmetic —
+    // numerically identical to before (and to the oracle).
     val enStop = langMarkers.toMap.apply("en")
-    val stopRatio = round(
-      size(filter(toks, t => t.isInCollection(enStop))).cast("double") /
-        greatest(nTok, lit(1L)), 4)
-    val punctRatio = round(
-      (length(txt) - length(regexp_replace(txt, "[^a-z0-9\\s]", ""))).cast("double") /
-        greatest(length(txt).cast("long"), lit(1L)), 4)
-    val digitRatio = round(
-      (length(txt) - length(regexp_replace(txt, "[0-9]", ""))).cast("double") /
-        greatest(length(txt).cast("long"), lit(1L)), 4)
-    d.select(
-      col("doc_id"),
-      length(txt).cast("long").as("n_chars"),
-      nTok.as("n_tokens"),
-      stopRatio.as("stopword_ratio"),
-      punctRatio.as("punct_ratio"),
-      digitRatio.as("digit_ratio"),
-      (nTok >= 20 && nTok <= 1000).as("keep")
-    ).orderBy("doc_id")
+    val st = col("st")
+    def ratio(num: Column, den: Column): Column =
+      round(num.cast("double") / greatest(den, lit(1L)), 4)
+    d.select(col("doc_id"),
+        ColumnShim.column(TextStatsExpr(ColumnShim.expression(col("text")), enStop)).as("st"))
+      .select(
+        col("doc_id"),
+        st.getField("n_chars").as("n_chars"),
+        st.getField("n_tokens").as("n_tokens"),
+        ratio(st.getField("n_stop"), st.getField("n_tokens")).as("stopword_ratio"),
+        ratio(st.getField("n_punct"), st.getField("n_chars")).as("punct_ratio"),
+        ratio(st.getField("n_digit"), st.getField("n_chars")).as("digit_ratio"),
+        (st.getField("n_tokens") >= 20 && st.getField("n_tokens") <= 1000).as("keep")
+      ).orderBy("doc_id")
   }
 
   /** X3: token counting — whitespace tokens and a BPE-ish piece count

@@ -106,6 +106,67 @@ object TextAnalysis {
   }
 }
 
+/** One-pass per-document quality counters — the inputs to the C4-style
+  * quality ratios. Returns raw counts; the ratio division and rounding
+  * stay in (codegen'd) Column arithmetic so numeric semantics are
+  * identical to the previous pure-Column form:
+  *   - n_chars:  character count of the raw text
+  *   - n_tokens: normalized-token count with `split` semantics (an
+  *               all-separator document yields 1, matching
+  *               split/string_split returning [""])
+  *   - n_stop:   tokens (with multiplicity) in the stopword set
+  *   - n_punct:  raw chars outside [a-z0-9] and Java \\s (so uppercase
+  *               counts as punctuation — same as the regex it replaces)
+  *   - n_digit:  raw chars in [0-9]
+  */
+case class TextStatsExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false)))
+  override def prettyName: String = "text_stats"
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.size * 2)
+    stopwords.foreach(s.add); s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val u8 = input.asInstanceOf[UTF8String]
+    val str = u8.toString
+    var punct = 0L; var digit = 0L
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      val isDigit = c >= '0' && c <= '9'
+      val isWs = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (isDigit) digit += 1
+      if (!(c >= 'a' && c <= 'z') && !isDigit && !isWs) punct += 1
+      i += 1
+    }
+    val toks = TextAnalysis.tokenStrings(u8)
+    var stop = 0L
+    var t = 0
+    while (t < toks.length) { if (stopSet.contains(toks(t))) stop += 1; t += 1 }
+    val nTok = if (toks.length == 0) 1L else toks.length.toLong
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](u8.numChars().toLong, nTok, stop, punct, digit))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textStatsExpr", this, classOf[TextStatsExpr].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Language ID over marker word lists — one compiled
   * tokenize-and-score pass per row. Tie-break: first language in
   * `markers` order wins (same as the when-chain Column form).
