@@ -38,6 +38,10 @@ object SparkEntry {
     "q_cube" -> (Relational.qCube _),
     "q_quantiles" -> (Relational.qQuantiles _),
     "q_range_join" -> (Relational.qRangeJoin _),
+    "q_grouping_sets" -> (Relational.qGroupingSets _),
+    "q_stats" -> (Relational.qStats _),
+    "q_lag" -> (Relational.qLag _),
+    "q_exists" -> (Relational.qExists _),
     "t_pivot" -> (Relational.tPivot _),
     "t_sample_hash" -> ((s, d) => Relational.tSampleHash(s, d)),
     // Transforms (T1–T4)
@@ -62,6 +66,8 @@ object SparkEntry {
     "sink_partitioned" -> (IOQueries.sinkPartitioned _),
     "sink_warehouse" -> (IOQueries.sinkWarehouse _),
     "sink_bucketed" -> (IOQueries.sinkBucketed _),
+    "sink_orc" -> (IOQueries.sinkOrc _),
+    "sink_compact" -> (IOQueries.sinkCompact _),
     // Text analysis (X1–X4)
     "text_langid" -> (TextQueries.textLangid _),
     "text_quality" -> (TextQueries.textQuality _),
@@ -83,6 +89,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivfAnn(s, d)),
     "emb_norm" -> (Similarity.embNorm _),
+    "emb_quantize" -> (Similarity.embQuantize _),
     // Multimodal (M1–M3)
     "mm_schema" -> (Multimodal.mmSchema _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -94,6 +101,7 @@ object SparkEntry {
     "e_stream_parity" -> (Events.streamParity _),
     "e_stream_dedup" -> (Events.streamDedup _),
     "e_stream_sessionize" -> ((s, d) => Events.streamSessionize(s, d)),
+    "e_stream_sliding" -> (Events.streamSliding _),
     "e_asof_join" -> (Events.asofJoin _),
     "e_sliding_window" -> (Events.slidingWindow _),
     "e_json_extract" -> (Events.jsonExtract _),
@@ -220,6 +228,34 @@ object SparkEntry {
         |SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin,
+    "q_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_lag" ->
+      """SELECT o_custkey, o_orderkey, days_since_prev FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    date_diff('day',
+        |      CAST(lag(o_orderdate) OVER w AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS days_since_prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) WHERE days_since_prev IS NOT NULL
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_exists" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
     "t_sample_hash" ->
       """SELECT l_returnflag, count(*) AS n_sampled, round(sum(l_quantity), 2) AS qty
         |FROM lineitem
@@ -455,12 +491,46 @@ object SparkEntry {
         |SELECT window_start_us, event_type, count(*) AS n,
         |  round(sum(value), 2) AS total_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e_stream_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+        |w AS (
+        |  SELECT unnest([tus // 1800000000 * 1800000000,
+        |                 tus // 1800000000 * 1800000000 - 1800000000]) AS window_start_us,
+        |    event_type, value
+        |  FROM e
+        |)
+        |SELECT window_start_us, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  cast(sum(CAST(props->>'$.k' AS BIGINT)) AS bigint) AS sum_k,
         |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
         |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sink_orc" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sink_compact" ->
+      """SELECT '1_fragmented' AS step, CAST(64 AS BIGINT) AS n, true AS ok
+        |UNION ALL
+        |SELECT '2_compacted', 4, true
+        |UNION ALL
+        |SELECT '3_rows_kept', (SELECT count(*) FROM events), true
+        |ORDER BY step""".stripMargin,
+    "emb_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v,
+        |    127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+        |  FROM e
+        |)
+        |SELECT vec_id, len(v) AS dim, round(scale, 4) AS scale_r,
+        |  CAST(list_aggregate(list_transform(v, x -> round(x * scale)), 'sum') AS BIGINT) AS q_sum,
+        |  round(list_aggregate(list_transform(v, x -> abs(x - round(x * scale) / scale)), 'max'), 6) AS max_err
+        |FROM s ORDER BY vec_id""".stripMargin,
     // Dedup — D1/D2/D5 deterministic with SQL oracles; D3/D4 are
     // sketch-based (xxhash64 seeds not replayable in DuckDB) → rows-only
     // driver check + exactness specs in ScalaTest.

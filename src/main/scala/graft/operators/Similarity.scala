@@ -145,6 +145,31 @@ object Similarity {
           (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm"))
       .orderBy("vec_id")
 
+  /** A5: int8 embedding quantization — the 4× storage/bandwidth cut
+    * every large vector store applies before ANN. Symmetric absmax
+    * scaling: scale = 127/max|x|, qᵢ = round(xᵢ·scale) (|q| ≤ 127 by
+    * construction, no clamp needed). Output surfaces the quantized
+    * checksum (exact integer — a strong lossless-transform oracle) and
+    * the max reconstruction error. All arithmetic is double with
+    * order-independent reductions (max, integer-valued sum), so the
+    * oracle matches bit-for-bit before the final rounding.
+    */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val absmax = array_max(transform(v, x => abs(x)))
+    val scale = lit(127.0) / absmax
+    val q = transform(v, x => round(x * scale))
+    val err = array_max(transform(v, x => abs(x - round(x * scale) / scale)))
+    Tables.load(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(scale, 4).as("scale_r"),
+        aggregate(q, lit(0.0), (acc, x) => acc + x).cast("long").as("q_sum"),
+        round(err, 6).as("max_err"))
+      .orderBy("vec_id")
+  }
+
   /** Lloyd-iterated centroids. Only the k×dim centroid matrix crosses
     * the driver boundary each iteration (collect of `k` rows); the
     * corpus-side assignment is a broadcast argmin, the update a single

@@ -178,6 +178,47 @@ object IOQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** K7: ORC round-trip — the second columnar format a warehouse
+    * interop layer needs (Spark-native writer/reader; predicate
+    * pushdown and column pruning work the same as parquet). The oracle
+    * computes the aggregate straight from the source parquet, so a
+    * match proves the ORC write → read was lossless.
+    */
+  def sinkOrc(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val out = tmpDir("orc") + "/orders_orc"
+    src.write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** K8: small-file compaction — the datalake maintenance pass. A
+    * fragmented table (64 files here; in production, thousands of
+    * per-micro-batch files) is rewritten to a handful of scan-sized
+    * files. At 100 TB this is the difference between a listing+open
+    * storm and clean 256 MiB scans; the rewrite is one shuffle-free
+    * coalesce. Emits before/after file counts and row parity.
+    */
+  def sinkCompact(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "events").select("event_id", "event_type", "value")
+    val frag = tmpDir("compact") + "/frag"
+    val tidy = tmpDir("compact") + "/tidy"
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    def nFiles(p: String): Long =
+      new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet")).toLong
+    val fragged = spark.read.parquet(frag)
+    fragged.coalesce(4).write.mode("overwrite").parquet(tidy)
+    val nRows = spark.read.parquet(tidy).count()
+    import spark.implicits._
+    Seq(("1_fragmented", nFiles(frag), nFiles(frag) >= 32),
+        ("2_compacted", nFiles(tidy), nFiles(tidy) <= 4),
+        ("3_rows_kept", nRows, nRows == src.count()))
+      .toDF("step", "n", "ok").orderBy("step")
+  }
+
   /** P1: the reference's full ETL as a graft Flow — ingest → transform
     * (first-10-cols + constant column, the reference's exact transform)
     * → store → query, with task retries and logging

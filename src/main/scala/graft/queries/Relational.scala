@@ -356,6 +356,65 @@ object Relational {
       .agg(count(lit(1)).as("n_sampled"), round(sum("l_quantity"), 2).as("qty"))
       .orderBy("l_returnflag")
 
+  /** Q20: explicit GROUPING SETS — the non-hierarchical marginals
+    * ((returnflag), (linestatus)) that neither ROLLUP nor CUBE
+    * expresses alone. One pass, grouping-set expansion map-side.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy("rf", "ls")
+
+  /** Q21: statistical aggregates per group — Pearson correlation,
+    * sample stddev/covariance. All three are single-pass mergeable
+    * moment sketches (sum, sum², cross-sum) — the same partial-agg
+    * shuffle shape as a plain SUM at any scale. Rounded to absorb
+    * merge-order ulps vs the oracle.
+    */
+  def qStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"))
+      .orderBy("l_returnflag")
+
+  /** Q22: LAG — days since the customer's previous order. One shuffle
+    * on the partition key; the (date, key) ordering is total so the
+    * lag target is deterministic at any SF.
+    */
+  def qLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev_date").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), col("prev_date")).cast("long").as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q23: EXISTS semantics — orders having at least one high-quantity
+    * line item, as a left-semi join (the plan EXISTS compiles to; no
+    * row multiplication, the probe side short-circuits per key).
+    */
+  def qExists(spark: SparkSession, dir: String): DataFrame = {
+    val bigLines = t(spark, dir, "lineitem")
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"))
+    t(spark, dir, "orders")
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderkey")
+  }
+
   /** T4: keep-first dedup by key (idempotent re-ingest semantics —
     * what the reference's `if_exists='replace'` is standing in for).
     */

@@ -120,6 +120,35 @@ object Events {
         col("n"), col("total_value"))
       .orderBy("window_start_us", "event_type")
 
+  /** E10: streaming sliding-window aggregation — the stream twin of
+    * [[slidingWindow]] (same 1 h / 30 min windows), run as
+    * readStream → watermark → windowed agg → AvailableNow drain.
+    * Watermark bounds state to windows newer than (max ts − 1 h); the
+    * batch query is the parity oracle.
+    */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val input = stageStreamInput(spark, dir, copies = 1)
+    val schema = spark.read.parquet(input).schema
+    val stream = spark.readStream.schema(schema).parquet(input)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").getField("start").as("ws"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    val sinkName = s"graft_stream_sliding_${streamCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(unix_micros(col("ws")).as("window_start_us"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("window_start_us", "event_type")
+  }
+
   /** E9: semi-structured extraction — pull a typed field out of the
     * `props` JSON string column. `get_json_object` evaluates inside the
     * scan projection (no UDF, no parse-to-struct materialization); at
