@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "dedup_paragraph" -> (Dedup.paragraphDedup _),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
@@ -94,6 +95,7 @@ object SparkEntry {
     "mm_schema" -> (Multimodal.mmSchema _),
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_sample" -> ((s, d) => Multimodal.mmSample(s, d)),
+    "mm_binary_files" -> ((s, d) => Multimodal.mmBinaryFiles(s, d)),
     // Events & streaming (E1–E4)
     "e_window_agg" -> (Events.windowAgg _),
     "e_sessionize" -> ((s, d) => Events.sessionize(s, d)),
@@ -105,6 +107,7 @@ object SparkEntry {
     "e_asof_join" -> (Events.asofJoin _),
     "e_sliding_window" -> (Events.slidingWindow _),
     "e_json_extract" -> (Events.jsonExtract _),
+    "e_stream_join" -> (Events.streamStreamJoin _),
     // Pipeline orchestration (P1)
     "p_flow_e2e" -> (IOQueries.flowE2E _)
   )
@@ -502,6 +505,15 @@ object SparkEntry {
         |SELECT window_start_us, event_type, count(*) AS n,
         |  round(sum(value), 2) AS total_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |c AS (SELECT user_id AS cu, ts_us AS click_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts_us AS purchase_us FROM e WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, purchase_us, click_us
+        |FROM p JOIN c ON user_id = cu
+        |  AND click_us <= purchase_us
+        |  AND click_us >= purchase_us - 1800000000
+        |ORDER BY user_id, purchase_us, event_id, click_us""".stripMargin,
     "e_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  cast(sum(CAST(props->>'$.k' AS BIGINT)) AS bigint) AS sum_k,
@@ -561,6 +573,38 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+        |  FROM t WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), walk(src, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, w.reach FROM edges e JOIN walk w ON e.dst = w.src
+        |), lbl AS (
+        |  SELECT src AS id, min(reach) AS cluster_id FROM walk GROUP BY 1
+        |)
+        |SELECT cluster_id, count(*) AS n_members
+        |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_keep_best" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -634,6 +678,16 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // byte-exact sampling oracle: hex() the UTF-8 blob and decode each
     // sampled hex pair to its integer byte value (no charset round-trip)
+    "mm_binary_files" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id < 50
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |  cast(list_aggregate(list_transform(range(1, n + 1),
+        |    i -> 16 * (strpos('0123456789ABCDEF', substring(h, CAST(2*i-1 AS INT), 1)) - 1)
+        |       + (strpos('0123456789ABCDEF', substring(h, CAST(2*i AS INT), 1)) - 1)), 'sum') AS bigint) AS byte_sum
+        |FROM b ORDER BY doc_id""".stripMargin,
     "mm_sample" ->
       """WITH b AS (
         |  SELECT doc_id, hex(encode(text)) AS h,

@@ -297,6 +297,54 @@ object Dedup {
       .filter(col("n_occ") > 1)
       .orderBy("sent_hash")
 
+  /** D8: near-dup cluster resolution — connected components over the
+    * D2 pair graph, so transitive chains (A~B, B~C) collapse into ONE
+    * cluster instead of independent pairwise decisions. This is the
+    * step that makes dedup sound: keep-one-per-pair can keep A and C
+    * even though they're both near B.
+    *
+    * Algorithm: iterative min-label propagation — every node adopts
+    * the minimum label in its neighborhood until fixpoint. Each
+    * iteration is one join + one aggregate (shuffles linear in edge
+    * count); rounds ≤ graph diameter, and near-dup clusters are
+    * shallow (dups of a common source), so 2–4 rounds in practice.
+    * `localCheckpoint` truncates the lineage each round — without it
+    * the plan doubles per iteration. This is the Spark-native
+    * formulation of the "large-star/small-star" connected-components
+    * pattern (Kiveris et al., "Connected Components in MapReduce").
+    *
+    * Output: one row per multi-document cluster (cluster_id = min
+    * member, member count) — the survivor set is "cluster_id kept,
+    * everything else dropped".
+    */
+  def dedupClusters(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, threshold).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("dst_lbl")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("dst_lbl").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("lbl").as("old_lbl")), Seq("id"))
+        .filter(col("lbl") =!= col("old_lbl")).count()
+      labels = next
+    }
+    labels.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** D5: embedding-cosine near-dup — all pairs of `embeddings` with
     * similarity ≥ threshold. Here the corpus side fits in one broadcast
     * so the join is map-side; at 100 TB the same verify step runs on

@@ -39,6 +39,41 @@ object Multimodal {
           (col("n_chars") % 640).cast("int").as("width"),
           lit(1).as("n_channels")).as("meta"))
 
+  /** M4: binary-FILE ingestion — the `binaryFile` source, how raw
+    * media objects (one image/audio file per object) actually enter a
+    * lakehouse before being compacted into binary columns. Payload
+    * files are staged to a directory (driver-side test plumbing, one
+    * file per document), read back with `spark.read.format
+    * ("binaryFile")`, and checksummed: doc_id parsed from the path,
+    * n_bytes from the source's `length`, byte_sum from the `content`
+    * bytes. The oracle recomputes all three from `documents` — a match
+    * proves the file round-trip is byte-exact. Only docs < `nDocs`
+    * stage (bounds file count; the source itself streams any number).
+    */
+  def mmBinaryFiles(spark: SparkSession, dir: String, nDocs: Int = 50): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_binfiles").toString
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < nDocs)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(stage, f"doc_${r.getLong(0)}%06d.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    // byte_sum via the same hex-pair decode as mm_sample: raw byte
+    // semantics, no charset round-trip
+    val byteSum = aggregate(
+      transform(sequence(lit(1), octet_length(col("content"))),
+        i => conv(hex(substring(col("content"), i, lit(1))), 16, 10).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    spark.read.format("binaryFile").load(stage)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        byteSum.as("byte_sum"))
+      .orderBy("doc_id")
+  }
+
   /** M1: schema plumbing — binary payload + typed metadata, projected
     * without ever touching payload bytes (the pruning-friendly path).
     */

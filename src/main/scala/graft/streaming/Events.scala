@@ -149,6 +149,43 @@ object Events {
       .orderBy("window_start_us", "event_type")
   }
 
+  /** E11: stream-stream interval join — purchases joined to the same
+    * user's clicks within the preceding 30 minutes, both sides real
+    * streams. Watermarks bound both join-state buffers (a side can
+    * discard buffered rows once the other side's watermark passes the
+    * interval), which is what makes this run indefinitely at scale;
+    * inner-join matches emit as soon as both rows arrive. Batch twin
+    * of the same join is the oracle.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val input = stageStreamInput(spark, dir, copies = 1)
+    val schema = spark.read.parquet(input).schema
+    def stream() = spark.readStream.schema(schema).parquet(input)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("p_ts") &&
+        col("click_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+    val sinkName = s"graft_stream_join_${streamCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("click_us"))
+      .orderBy("user_id", "purchase_us", "event_id", "click_us")
+  }
+
   /** E9: semi-structured extraction — pull a typed field out of the
     * `props` JSON string column. `get_json_object` evaluates inside the
     * scan projection (no UDF, no parse-to-struct materialization); at

@@ -144,4 +144,51 @@ class Round2Spec extends SparkSpec {
       assert(r.getAs[Long]("min_k") <= r.getAs[Long]("max_k"))
     }
   }
+
+  test("dedup clusters match a driver-side union-find over the pair graph") {
+    val pairs = Dedup.ngramJaccard(spark, sfDir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.groupBy(find).map { case (root, ms) => (root, ms.length.toLong) }
+    val got = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
+  test("binaryFile ingestion round-trips byte counts and checksums") {
+    val expected = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 50).select("doc_id", "text").collect()
+      .map { r =>
+        val bytes = r.getString(1).getBytes("UTF-8")
+        (r.getLong(0), (bytes.length.toLong, bytes.map(b => (b & 0xff).toLong).sum))
+      }.toMap
+    val got = operators.Multimodal.mmBinaryFiles(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("stream-stream interval join matches the batch equivalent") {
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicksByUser = events.filter(_._4 == "click").groupBy(_._1)
+    val expected = events.filter(_._4 == "purchase").flatMap { case (u, eid, ts, _) =>
+      clicksByUser.getOrElse(u, Array.empty).collect {
+        case (_, _, cts, _) if cts <= ts && cts >= ts - 1800000000L => (u, eid, ts, cts)
+      }
+    }.toSet
+    val got = Events.streamStreamJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
 }
