@@ -44,6 +44,8 @@ object SparkEntry {
     "q_exists" -> (Relational.qExists _),
     "t_pivot" -> (Relational.tPivot _),
     "t_sample_hash" -> ((s, d) => Relational.tSampleHash(s, d)),
+    "t_stratified_sample" -> (Relational.tStratifiedSample _),
+    "q_ntile" -> (Relational.qNtile _),
     // Transforms (T1–T4)
     "t_project_const" -> (Relational.tProjectConst _),
     "t_cast_rename" -> (Relational.tCastRename _),
@@ -59,6 +61,8 @@ object SparkEntry {
     "src_csv" -> (IOQueries.srcCsv _),
     "src_json" -> (IOQueries.srcJson _),
     "src_autodetect" -> (IOQueries.srcAutodetect _),
+    "src_schema_evolution" -> (IOQueries.srcSchemaEvolution _),
+    "src_incremental" -> (IOQueries.srcIncremental _),
     // Sinks (K1–K5)
     "sink_modes" -> (IOQueries.sinkModes _),
     "sink_compress" -> (IOQueries.sinkCompress _),
@@ -76,6 +80,7 @@ object SparkEntry {
     "text_pii_redact" -> (TextQueries.textPiiRedact _),
     "text_repetition" -> (TextQueries.textRepetition _),
     "text_tfidf" -> ((s, d) => TextQueries.textTfidf(s, d)),
+    "text_chunk" -> ((s, d) => TextQueries.textChunk(s, d)),
     // Deduplication (D1–D5)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -108,6 +113,7 @@ object SparkEntry {
     "e_sliding_window" -> (Events.slidingWindow _),
     "e_json_extract" -> (Events.jsonExtract _),
     "e_stream_join" -> (Events.streamStreamJoin _),
+    "e_stream_enrich" -> (Events.streamStaticEnrich _),
     // Pipeline orchestration (P1)
     "p_flow_e2e" -> (IOQueries.flowE2E _)
   )
@@ -265,6 +271,59 @@ object SparkEntry {
         |WHERE (CAST(l_orderkey AS BIGINT) * 2654435761
         |     + CAST(l_linenumber AS BIGINT) * 40503) % 4294967296 % 20 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "t_stratified_sample" ->
+      """SELECT o_orderstatus, count(*) AS n_sampled,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE (CAST(o_orderkey AS BIGINT) * 2654435761) % 4294967296
+        |  % (CASE WHEN o_orderstatus = 'F' THEN 10
+        |          WHEN o_orderstatus = 'O' THEN 20 ELSE 2 END) = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_ntile" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+        |  FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT spend, ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+        |  FROM spend
+        |)
+        |SELECT decile, count(*) AS n_customers,
+        |  round(min(spend), 2) AS min_spend, round(max(spend), 2) AS max_spend
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+        |            ELSE 'PRE_EVOLUTION' END AS status,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    "src_incremental" ->
+      """SELECT year(o_orderdate) AS yr, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, CAST(floor((len(toks) - 1) / 48) AS BIGINT) + 1)) AS chunk_idx
+        |  FROM t
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "e_stream_enrich" ->
+      """WITH dim AS (
+        |  SELECT user_id, cast(count(*) AS bigint) AS user_events,
+        |    round(avg(value), 2) AS user_avg_value
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.user_id, event_id, epoch_us(ts) AS ts_us,
+        |  user_events, user_avg_value
+        |FROM events e JOIN dim USING (user_id)
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "t_pivot" ->
       """SELECT o_orderpriority,
         |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,

@@ -84,6 +84,53 @@ object IOQueries {
     perFmt.reduce(_ unionByName _).orderBy("fmt")
   }
 
+  /** S5: schema evolution on read — two parquet batches with different
+    * schemas (an added column) merged by `mergeSchema`: old rows surface
+    * the new column as null. This is how a long-lived datalake table
+    * absorbs producer schema changes without rewriting history; the
+    * merge is footer-metadata-only, no data scan. Disjoint key ranges
+    * per batch keep the check content-exact.
+    */
+  def srcSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val base = tmpDir("evo") + "/orders_evo"
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$base/batch=1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$base/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(base)
+      .groupBy(coalesce(col("o_orderstatus"), lit("PRE_EVOLUTION")).as("status"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("status")
+  }
+
+  /** S6: incremental high-watermark ingestion — the CDC-lite pattern
+    * behind every recurring batch load: first run stores history up to
+    * a cutoff; the next run reads the stored table's MAX(date) (a
+    * metadata-scale scalar lookup) and appends only rows strictly
+    * newer. The oracle aggregates the FULL source table — a match
+    * proves the two incremental passes reached exact parity with a
+    * from-scratch load (no dropped rows, no duplicates). At 100 TB the
+    * watermark filter prunes the source scan to the new partitions.
+    */
+  def srcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val store = tmpDir("incr") + "/orders_incr"
+    TableStore.store(orders.filter(col("o_orderdate") < lit("1998-01-01")), store, "replace")
+    val wmUs = spark.read.parquet(store)
+      .agg(max(unix_micros(col("o_orderdate").cast("timestamp")))).head.getLong(0)
+    TableStore.store(
+      orders.filter(unix_micros(col("o_orderdate").cast("timestamp")) > wmUs),
+      store, "append")
+    spark.read.parquet(store)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("yr")
+  }
+
   /** K1: replace / append / fail write-mode semantics
     * (reference: `if_exists` in week_1/data_ingest/data_ingest.py:50).
     * Emits the table row count observed after each step; `fail` must

@@ -356,6 +356,45 @@ object Relational {
       .agg(count(lit(1)).as("n_sampled"), round(sum("l_quantity"), 2).as("qty"))
       .orderBy("l_returnflag")
 
+  /** T8: stratified deterministic sampling — per-stratum rates via the
+    * same multiplicative-hash predicate as T7, but with the modulus
+    * chosen per group: abundant strata downsampled hard, rare strata
+    * kept at a high rate. This is the training-mixture shape (cap the
+    * head domain, keep the tail) and stays a pure scan-side filter —
+    * reproducible on any engine/partitioning, zero shuffle, codegen.
+    */
+  def tStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(col("o_orderkey").cast("long") * lit(2654435761L), lit(4294967296L))
+    val mod = when(col("o_orderstatus") === "F", 10)   // abundant: 10%
+      .when(col("o_orderstatus") === "O", 20)          // abundant: 5%
+      .otherwise(2)                                    // rare P: 50%
+    t(spark, dir, "orders")
+      .filter(h % mod === 0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_sampled"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Q24: NTILE deciles over per-customer spend. The ranked input is
+    * the per-customer AGGREGATE (3 orders of magnitude smaller than the
+    * fact table), so the unpartitioned ranking window is a deliberate
+    * single-task step over a reduced set; at full 100 TB one would cut
+    * by `approx_percentile` boundaries instead (same output contract,
+    * no global sort) — this exact form is the reporting-scale variant.
+    */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val spend = t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+    val w = Window.orderBy(col("spend"), col("o_custkey"))
+    spend.withColumn("decile", ntile(10).over(w))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        round(min("spend"), 2).as("min_spend"),
+        round(max("spend"), 2).as("max_spend"))
+      .orderBy("decile")
+  }
+
   /** Q20: explicit GROUPING SETS — the non-hierarchical marginals
     * ((returnflag), (linestatus)) that neither ROLLUP nor CUBE
     * expresses alone. One pass, grouping-set expansion map-side.

@@ -163,4 +163,32 @@ object TextQueries {
       .select("doc_id", "rnk", "term", "tf", "df", "score_micro")
       .orderBy("doc_id", "rnk")
   }
+
+  /** X8: document chunking — fixed-size token windows with overlap
+    * (`chunkSize` tokens every `stride`), the standard prep step that
+    * turns variable-length documents into training-sequence-sized
+    * pieces. Chunk starts are `i·stride` while they fall inside the
+    * document, so consecutive chunks share `chunkSize − stride` tokens
+    * of context and the final chunk may be short. One generator
+    * (`explode` over the start indices) + per-row `slice` — a narrow
+    * map, no shuffle, and the fan-out is bounded by tokens/stride so
+    * output size is a fixed multiple of corpus size at any scale.
+    * Chunks are surfaced as md5 + token count (the compare-friendly
+    * form); a production pipeline would keep the text.
+    */
+  def textChunk(spark: SparkSession, dir: String,
+                chunkSize: Int = 64, stride: Int = 48): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), floor((col("n") - 1) / stride).cast("int")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
 }

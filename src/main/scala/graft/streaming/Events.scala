@@ -186,6 +186,38 @@ object Events {
       .orderBy("user_id", "purchase_us", "event_id", "click_us")
   }
 
+  /** E12: stream-static enrichment join — the standard "enrich events
+    * with a dimension" shape: a real stream (purchases) joined to a
+    * BATCH-computed per-user profile, broadcast to every task. The
+    * static side is re-resolvable per micro-batch (Spark re-plans it),
+    * the stream side keeps NO join state (unlike stream-stream), so
+    * this runs at scan throughput indefinitely; at 100 TB the profile
+    * table broadcast is the only data movement.
+    */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val input = stageStreamInput(spark, dir, copies = 1)
+    val schema = spark.read.parquet(input).schema
+    val userDim = Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("user_events"), round(avg("value"), 2).as("user_avg_value"))
+    val stream = spark.readStream.schema(schema).parquet(input)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === "purchase")
+    val joined = stream.join(broadcast(userDim), Seq("user_id"))
+    val sinkName = s"graft_stream_enrich_${streamCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("user_events"), col("user_avg_value"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   /** E9: semi-structured extraction — pull a typed field out of the
     * `props` JSON string column. `get_json_object` evaluates inside the
     * scan projection (no UDF, no parse-to-struct materialization); at

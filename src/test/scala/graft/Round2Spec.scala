@@ -191,4 +191,55 @@ class Round2Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == expected)
   }
+
+  test("chunking covers every token and consecutive chunks overlap by size-stride") {
+    val chunkSize = 64; val stride = 48
+    val docs = Tables.load(spark, sfDir, "documents").count()
+    val chunks = TextQueries.textChunk(spark, sfDir, chunkSize, stride).collect()
+    // exact replay: chunk i holds min(chunkSize, n_tokens - i*stride)
+    // tokens, starts are consecutive multiples of stride inside the doc
+    val docTokens = TextQueries.textTokens(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_.getLong(0)).foreach { case (docId, cs) =>
+      val n = docTokens(docId)
+      val byIdx = cs.sortBy(_.getLong(1))
+      assert(byIdx.map(_.getLong(1)).toSeq == byIdx.indices.map(_.toLong))
+      assert(byIdx.length == (n - 1) / stride + 1)
+      byIdx.foreach { r =>
+        val start = r.getLong(1) * stride
+        assert(r.getLong(2) == math.min(chunkSize, n - start), s"doc $docId chunk $r")
+      }
+    }
+    assert(chunks.map(_.getLong(0)).distinct.length.toLong == docs)
+  }
+
+  test("stratified sample is a deterministic subset with per-stratum rates") {
+    val a = Relational.tStratifiedSample(spark, sfDir).collect()
+    val b = Relational.tStratifiedSample(spark, sfDir).collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+    val full = Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.foreach { r =>
+      val (status, n) = (r.getString(0), r.getLong(1))
+      val rate = n.toDouble / full(status)
+      val expected = status match { case "F" => 0.10; case "O" => 0.05; case _ => 0.50 }
+      assert(rate > expected / 3 && rate < expected * 3,
+        s"$status rate $rate far from $expected")
+    }
+  }
+
+  test("ntile deciles partition all customers with balanced sizes") {
+    val rows = Relational.qNtile(spark, sfDir).collect()
+    val nCustomers = Tables.load(spark, sfDir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCustomers)
+    val sizes = rows.map(_.getAs[Long]("n_customers"))
+    assert(sizes.max - sizes.min <= 1)
+    // decile boundaries are monotone
+    val byDecile = rows.sortBy(_.getInt(0))
+    byDecile.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Double]("max_spend") <= hi.getAs[Double]("min_spend"))
+    }
+  }
 }
