@@ -28,6 +28,8 @@ object GraftSession {
       .builder()
       .appName(appName)
       .master(master)
+      // native graft expressions on the SQL surface (graft_cosine, …)
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Dedup, Multimodal, Similarity}
-import graft.queries.{IOQueries, Relational, TextQueries}
+import graft.queries.{Analytics, IOQueries, Relational, TextQueries}
 import graft.streaming.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -46,6 +46,11 @@ object SparkEntry {
     "t_sample_hash" -> ((s, d) => Relational.tSampleHash(s, d)),
     "t_stratified_sample" -> (Relational.tStratifiedSample _),
     "q_ntile" -> (Relational.qNtile _),
+    "q_outer_join" -> (Analytics.qOuterJoin _),
+    "q_mode" -> (Analytics.qMode _),
+    "q_native_sql" -> (Analytics.qNativeSql _),
+    "t_unpivot" -> (Analytics.tUnpivot _),
+    "dq_rules" -> (Analytics.dqRules _),
     // Transforms (T1–T4)
     "t_project_const" -> (Relational.tProjectConst _),
     "t_cast_rename" -> (Relational.tCastRename _),
@@ -114,6 +119,8 @@ object SparkEntry {
     "e_json_extract" -> (Events.jsonExtract _),
     "e_stream_join" -> (Events.streamStreamJoin _),
     "e_stream_enrich" -> (Events.streamStaticEnrich _),
+    "e_funnel" -> (Analytics.funnel _),
+    "e_retention" -> (Analytics.retention _),
     // Pipeline orchestration (P1)
     "p_flow_e2e" -> (IOQueries.flowE2E _)
   )
@@ -313,6 +320,96 @@ object SparkEntry {
         |  CAST(len(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_outer_join" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1
+        |), supp AS (
+        |  SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier
+        |  WHERE s_acctbal < 0 GROUP BY 1
+        |)
+        |SELECT coalesce(nk_c, nk_s) AS nationkey,
+        |  cast(coalesce(n_cust, 0) AS bigint) AS n_cust,
+        |  cast(coalesce(n_supp, 0) AS bigint) AS n_supp
+        |FROM cust FULL JOIN supp ON nk_c = nk_s
+        |ORDER BY nationkey""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2
+        |), r AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY n DESC, o_orderpriority) AS rk
+        |  FROM c
+        |)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority
+        |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
+    "q_native_sql" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(
+        |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 20 AND b.vec_id < 20
+        |ORDER BY id_a, id_b""".stripMargin,
+    "t_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+    "dq_rules" ->
+      """WITH rules AS (
+        |  SELECT 'null_quantity' AS rule,
+        |    cast(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'range_quantity',
+        |    cast(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS bigint)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'dup_pk', cast(coalesce(sum(n - 1), 0) AS bigint)
+        |  FROM (SELECT count(*) AS n FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber) WHERE n > 1
+        |  UNION ALL
+        |  SELECT 'orphan_lineitem', cast(count(*) AS bigint)
+        |  FROM lineitem WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |)
+        |SELECT rule, n_violations, n_violations = 0 AS pass
+        |FROM rules ORDER BY rule""".stripMargin,
+    "e_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), v AS (
+        |  SELECT user_id, min(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(us) AS c_us FROM e
+        |  JOIN v ON e.user_id = v.user_id AND us > v_us
+        |  WHERE event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(us) AS p_us FROM e
+        |  JOIN c ON e.user_id = c.user_id AND us > c_us
+        |  WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT '1_view' AS stage, cast(count(*) AS bigint) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click_after_view', cast(count(*) AS bigint) FROM c
+        |UNION ALL
+        |SELECT '3_purchase_after_click', cast(count(*) AS bigint) FROM p
+        |ORDER BY stage""".stripMargin,
+    "e_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |), coh AS (
+        |  SELECT user_id, min(d) AS cohort_d FROM act GROUP BY 1
+        |)
+        |SELECT cohort_d,
+        |  cast(count(DISTINCT a.user_id) AS bigint) AS n_users,
+        |  cast(count(DISTINCT CASE WHEN d = cohort_d + 1 THEN a.user_id END) AS bigint) AS d1_retained,
+        |  cast(count(DISTINCT CASE WHEN d = cohort_d + 7 THEN a.user_id END) AS bigint) AS d7_retained
+        |FROM act a JOIN coh ON a.user_id = coh.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "e_stream_enrich" ->
       """WITH dim AS (
         |  SELECT user_id, cast(count(*) AS bigint) AS user_events,

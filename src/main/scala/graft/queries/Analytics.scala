@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Aggregators
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Event-analytics and data-quality operators (funnel, retention,
+  * quality rules, unpivot, outer join, custom aggregates, SQL-native
+  * functions) — the reporting layer a pipeline team runs on top of the
+  * ingested tables.
+  */
+object Analytics {
+
+  /** E13: ordered funnel — first view → first click AFTER that view →
+    * first purchase AFTER that click, per user; output is the user
+    * count surviving each stage. Three aggregations all keyed on
+    * user_id (one shuffle partitioning reused across stages, each
+    * stage's input already reduced to ≤1 row/user), then a single-row
+    * conditional count unpivoted to (stage, n_users). No collect; the
+    * whole funnel is one job at any event volume.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("v_us"))
+      .groupBy("user_id").agg(min("us").as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("c_us"))
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    v.join(c.select("user_id", "c_us"), Seq("user_id"), "left")
+      .join(p.select("user_id", "p_us"), Seq("user_id"), "left")
+      .agg(count("v_us").as("v"), count("c_us").as("c"), count("p_us").as("p"))
+      .select(expr(
+        "stack(3, '1_view', v, '2_click_after_view', c, '3_purchase_after_click', p) AS (stage, n_users)"))
+      .orderBy("stage")
+  }
+
+  /** E14: cohort retention — cohort = first active day; day-1 / day-7
+    * retention per cohort. The activity set is deduplicated to
+    * (user, day) FIRST (bounds everything downstream by users×days,
+    * not raw events), then one self-join-free pass: cohort via min-day
+    * aggregate, retention via conditional distinct counts.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohort = act.groupBy("user_id").agg(min("d").as("cohort_d"))
+    act.join(cohort, "user_id")
+      .withColumn("off", datediff(col("d"), col("cohort_d")))
+      .groupBy("cohort_d")
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        countDistinct(when(col("off") === 1, col("user_id"))).as("d1_retained"),
+        countDistinct(when(col("off") === 7, col("user_id"))).as("d7_retained"))
+      .orderBy("cohort_d")
+  }
+
+  /** DQ1: declarative data-quality rules — null check, range check,
+    * primary-key uniqueness, referential integrity — each emitting
+    * (rule, n_violations, pass). The scalar rules share ONE scan+agg
+    * pass; uniqueness is a keyed count; the referential rule is a
+    * left-anti join (broadcast/shuffle as the optimizer sizes it).
+    * This is the pre-ingest gate a managed pipeline runs before
+    * publishing a table version.
+    */
+  def dqRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val scalars = li.agg(
+        sum(when(col("l_quantity").isNull, 1).otherwise(0)).cast("long").as("nulls"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1).otherwise(0))
+          .cast("long").as("ranges"))
+      .select(expr("stack(2, 'null_quantity', nulls, 'range_quantity', ranges) AS (rule, n_violations)"))
+    val dup = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(coalesce(sum(col("n") - 1), lit(0L)).cast("long").as("n_violations"))
+      .select(lit("dup_pk").as("rule"), col("n_violations"))
+    val orphan = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orphan_lineitem").as("rule"), col("n_violations"))
+    scalars.unionByName(dup).unionByName(orphan)
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy("rule")
+  }
+
+  /** T9: UNPIVOT/melt — the inverse of T6's pivot: wide per-status
+    * columns back to (priority, status, total) rows via `stack` (a
+    * map-side generator, no shuffle beyond the source aggregate).
+    */
+  def tUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Relational.tPivot(spark, dir)
+      .select(col("o_orderpriority"),
+        expr("stack(3, 'F', F, 'O', O, 'P', P) AS (o_orderstatus, total)"))
+      .filter(col("total").isNotNull)
+      .orderBy("o_orderpriority", "o_orderstatus")
+
+  /** Q25: FULL OUTER join — per-nation customer counts vs per-nation
+    * counts of negative-balance suppliers (a sparse side, so real
+    * null-padding shows up); unmatched sides coalesce to 0. Both inputs
+    * are pre-aggregated before the join — at scale the join operands
+    * are nation-cardinality, not fact-cardinality.
+    */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_cust"))
+    val supp = Tables.load(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0)
+      .groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Q26: custom typed Aggregator — exact per-group MODE (most frequent
+    * value, ties → lexicographically smallest) via a mergeable
+    * count-map buffer: partial maps combine map-side exactly like a
+    * built-in aggregate, so the shuffle moves one (value→count) map per
+    * group per partition, never raw rows. The extension point shown
+    * here (`Aggregator` + `functions.udaf`) is how any domain aggregate
+    * joins graft's declarative plans.
+    */
+  def qMode(spark: SparkSession, dir: String): DataFrame = {
+    val modeOf = udaf(Aggregators.StringMode)
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(modeOf(col("o_orderpriority")).as("mode_priority"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** F1: the SQL surface of graft's native expressions — registration
+    * (extensions or runtime) + a pure-SQL query using `graft_cosine`,
+    * proving the Catalyst expression is first-class in both APIs.
+    */
+  def qNativeSql(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 20)
+      .createOrReplaceTempView("graft_emb")
+    spark.sql(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(graft_cosine(a.embedding, b.embedding), 4) AS cos
+        |FROM graft_emb a JOIN graft_emb b ON a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin)
+  }
+}

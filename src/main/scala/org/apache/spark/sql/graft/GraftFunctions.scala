@@ -1,0 +1,59 @@
+package org.apache.spark.sql.graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's native Catalyst expressions, so
+  * `spark.sql("SELECT graft_cosine(a, b) ...")` works exactly like the
+  * Column API — same codegen'd expression, no UDF wrapper.
+  *
+  * Two entry points, matching Spark's two registration models:
+  *   - [[GraftExtensions]]: a `SparkSessionExtensions` injector for
+  *     session-build time (`builder.withExtensions(new GraftExtensions)`
+  *     or `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`)
+  *     — the production path; every session built from [[graft.GraftSession]]
+  *     gets these.
+  *   - [[GraftFunctions.register]]: runtime registration into an
+  *     already-built session (temp functions) — the notebook/driver path.
+  *
+  * Lives in the `org.apache.spark.sql` namespace because the runtime
+  * path needs `sessionState.functionRegistry` (private[sql]).
+  */
+object GraftFunctions {
+
+  private def info(name: String, clazz: String): ExpressionInfo =
+    new ExpressionInfo(clazz, name)
+
+  /** (name, ExpressionInfo, builder) triples — the FunctionDescription
+    * shape `SparkSessionExtensions.injectFunction` expects.
+    */
+  private[graft] val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", classOf[CosineSimilarity].getName),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    (FunctionIdentifier("graft_langid"),
+      info("graft_langid", classOf[LangIdExpr].getName),
+      (children: Seq[Expression]) => LangIdExpr(children.head, TextFunctions.langMarkers)),
+    (FunctionIdentifier("graft_min_gram_md5"),
+      info("graft_min_gram_md5", classOf[MinGramMd5].getName),
+      (children: Seq[Expression]) => MinGramMd5(children.head, 3))
+  )
+
+  /** Runtime registration into an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+}
+
+/** Session-build-time injector (`builder.withExtensions(new GraftExtensions)`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach { case (ident, einfo, builder) =>
+      ext.injectFunction((ident, einfo, builder))
+    }
+}
