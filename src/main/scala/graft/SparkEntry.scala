@@ -51,6 +51,7 @@ object SparkEntry {
     "q_native_sql" -> (Analytics.qNativeSql _),
     "t_unpivot" -> (Analytics.tUnpivot _),
     "dq_rules" -> (Analytics.dqRules _),
+    "q_histogram" -> ((s, d) => Analytics.qHistogram(s, d)),
     // Transforms (T1–T4)
     "t_project_const" -> (Relational.tProjectConst _),
     "t_cast_rename" -> (Relational.tCastRename _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "sink_bucketed" -> (IOQueries.sinkBucketed _),
     "sink_orc" -> (IOQueries.sinkOrc _),
     "sink_compact" -> (IOQueries.sinkCompact _),
+    "sink_versioned" -> (IOQueries.sinkVersioned _),
     // Text analysis (X1–X4)
     "text_langid" -> (TextQueries.textLangid _),
     "text_quality" -> (TextQueries.textQuality _),
@@ -86,6 +88,7 @@ object SparkEntry {
     "text_repetition" -> (TextQueries.textRepetition _),
     "text_tfidf" -> ((s, d) => TextQueries.textTfidf(s, d)),
     "text_chunk" -> ((s, d) => TextQueries.textChunk(s, d)),
+    "text_pack" -> ((s, d) => TextQueries.textPack(s, d)),
     // Deduplication (D1–D5)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -121,6 +124,8 @@ object SparkEntry {
     "e_stream_enrich" -> (Events.streamStaticEnrich _),
     "e_funnel" -> (Analytics.funnel _),
     "e_retention" -> (Analytics.retention _),
+    "e_anomaly" -> (Analytics.eAnomaly _),
+    "e_stream_upsert" -> (Events.streamUpsert _),
     // Pipeline orchestration (P1)
     "p_flow_e2e" -> (IOQueries.flowE2E _)
   )
@@ -410,6 +415,55 @@ object SparkEntry {
         |  cast(count(DISTINCT CASE WHEN d = cohort_d + 7 THEN a.user_id END) AS bigint) AS d7_retained
         |FROM act a JOIN coh ON a.user_id = coh.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 60000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_versioned" ->
+      """SELECT 'v1_pinned' AS snapshot, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderdate < '1998-01-01'
+        |UNION ALL
+        |SELECT 'v2_latest', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
+        |FROM orders
+        |ORDER BY snapshot""".stripMargin,
+    "text_pack" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, n_toks,
+        |    coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        |  FROM t
+        |)
+        |SELECT source, CAST(floor(cum_excl / 256) AS BIGINT) AS seq_id,
+        |  cast(count(*) AS bigint) AS n_docs, cast(sum(n_toks) AS bigint) AS n_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin,
+    "e_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, h, n,
+        |    CAST(round(avg(n) OVER (PARTITION BY event_type) * 1e6) AS BIGINT) AS mean_micro,
+        |    CAST(round(stddev_samp(n) OVER (PARTITION BY event_type) * 1e6) AS BIGINT) AS sd_micro
+        |  FROM hourly
+        |)
+        |SELECT event_type, epoch_us(h) AS hour_us, n, mean_micro, sd_micro
+        |FROM stats
+        |WHERE abs(n * 1000000 - mean_micro) > 2 * sd_micro
+        |ORDER BY event_type, hour_us""".stripMargin,
+    "e_stream_upsert" ->
+      """WITH p AS (
+        |  SELECT DISTINCT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT cast(count(*) AS bigint) AS n_rows,
+        |  cast(count(DISTINCT event_id) AS bigint) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM p""".stripMargin,
     "e_stream_enrich" ->
       """WITH dim AS (
         |  SELECT user_id, cast(count(*) AS bigint) AS user_events,

@@ -148,6 +148,39 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** E16: statistical anomaly detection — hourly event counts per type,
+    * flagged where the count deviates from that type's mean by more
+    * than 2 sample standard deviations. The per-type moments come from
+    * ONE window pass over the (type, hour) aggregate — mergeable
+    * moment sketches, so the same query runs on a 100 TB event log
+    * with the hourly rollup as the only fact-scale shuffle. Integer
+    * micro-units for the threshold comparison keep the flag
+    * reproducible across engines (double stddev differs in final ulps).
+    */
+  def eAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("mean_micro", round(avg("n").over(byType) * 1e6).cast("long"))
+      .withColumn("sd_micro", round(stddev_samp("n").over(byType) * 1e6).cast("long"))
+      .filter(abs(col("n") * 1000000L - col("mean_micro")) > col("sd_micro") * 2)
+      .select(col("event_type"), unix_micros(col("h")).as("hour_us"), col("n"),
+        col("mean_micro"), col("sd_micro"))
+      .orderBy("event_type", "hour_us")
+  }
+
+  /** Q28: fixed-width histogram — integer bucket arithmetic (floor
+    * division), one aggregate pass; the declarative form of
+    * `width_bucket` that pushes the whole binning into the scan
+    * projection.
+    */
+  def qHistogram(spark: SparkSession, dir: String, width: Double = 60000.0): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("bucket")
+
   /** F1: the SQL surface of graft's native expressions — registration
     * (extensions or runtime) + a pure-SQL query using `graft_cosine`,
     * proving the Catalyst expression is first-class in both APIs.

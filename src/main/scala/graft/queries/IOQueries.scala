@@ -131,6 +131,27 @@ object IOQueries {
       .orderBy("yr")
   }
 
+  /** K9: versioned snapshot table — two writes land as immutable
+    * `v=1`/`v=2` directories; a reader pinned to v1 still sees the
+    * pre-update snapshot after v2 publishes (time-travel lite). The
+    * aggregate of each pinned read is checked against the source —
+    * proving snapshots are isolated AND lossless.
+    */
+  def sinkVersioned(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val base = tmpDir("ver") + "/orders_ver"
+    TableStore.writeVersion(orders.filter(col("o_orderdate") < lit("1998-01-01")), base)
+    TableStore.writeVersion(orders, base)
+    val v1 = TableStore.readVersion(spark, base, Some(1))
+      .agg(lit("v1_pinned").as("snapshot"), count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+    val v2 = TableStore.readVersion(spark, base, None)
+      .agg(lit("v2_latest").as("snapshot"), count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+    v1.unionByName(v2).orderBy("snapshot")
+  }
+
   /** K1: replace / append / fail write-mode semantics
     * (reference: `if_exists` in week_1/data_ingest/data_ingest.py:50).
     * Emits the table row count observed after each step; `fail` must

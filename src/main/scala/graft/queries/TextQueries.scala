@@ -191,4 +191,26 @@ object TextQueries {
         size(col("chunk")).cast("long").as("n_tokens"),
         md5(array_join(col("chunk"), " ")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
+
+  /** X9: sequence packing — documents concatenated in deterministic
+    * order within each source shard and split at a fixed token budget
+    * (`seqLen`): each document's sequence id is its exclusive running
+    * token offset ÷ seqLen. This is the concat-and-chunk packing step
+    * that turns a filtered corpus into fixed-length training rows.
+    * Packing is PER SOURCE (the shard key), so the running-sum window
+    * parallelizes across shards — no global sequential pass; output per
+    * (source, seq_id) is the packed stats row.
+    */
+  def textPack(spark: SparkSession, dir: String, seqLen: Int = 256): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_toks"))
+      .withColumn("cum_excl", coalesce(sum("n_toks").over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("cum_excl") / seqLen).cast("long"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+      .orderBy("source", "seq_id")
+  }
 }

@@ -77,7 +77,11 @@ object TableStore {
   def upsert(spark: SparkSession, path: String, batch: DataFrame, keys: Seq[String]): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
-    val tagged = batch.withColumn("__v", lit(1))
+    // within-batch dedup first: a batch carrying the same key twice
+    // (e.g. a replayed stream micro-batch) must land as one row —
+    // without this the first-ever batch (no existing table to merge
+    // against) would store duplicates verbatim
+    val tagged = batch.dropDuplicates(keys).withColumn("__v", lit(1))
     val merged =
       if (fs.exists(target)) {
         val existing = spark.read.parquet(path).withColumn("__v", lit(0))
@@ -95,5 +99,38 @@ object TableStore {
     if (hadTarget) fs.rename(target, old)
     fs.rename(tmp, target)
     if (hadTarget) fs.delete(old, true)
+  }
+
+  /** Versioned snapshot write: each call lands a new immutable
+    * `v=N` directory under `base` — append-only table history, so
+    * readers pin a snapshot while writers publish the next one (the
+    * poor-man's time travel; a commit-log format generalizes this).
+    * Returns the version just written.
+    */
+  def writeVersion(df: DataFrame, base: String): Int = {
+    val fs = new Path(base).getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val next = latestVersion(fs, base).getOrElse(0) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$base/v=$next")
+    next
+  }
+
+  /** Read a pinned snapshot (or the latest when `version` is None). */
+  def readVersion(spark: SparkSession, base: String,
+                  version: Option[Int] = None): DataFrame = {
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.orElse(latestVersion(fs, base)).getOrElse(
+      throw new IllegalStateException(s"no versions under $base"))
+    spark.read.parquet(s"$base/v=$v")
+  }
+
+  private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
+                            base: String): Option[Int] = {
+    val p = new Path(base)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toInt }
+      .maxOption
   }
 }

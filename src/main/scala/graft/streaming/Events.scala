@@ -218,6 +218,40 @@ object Events {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** E15: streaming foreachBatch → keyed upsert sink — the
+    * exactly-once-by-idempotence pattern: the input stream carries
+    * every event TWICE (staged duplicate), each micro-batch lands via
+    * [[graft.sinks.TableStore.upsert]] keyed on event_id, and the
+    * final table still holds each purchase exactly once. This is how
+    * a stream publishes into a keyed warehouse table such that replays
+    * and duplicate delivery are harmless. Output: one aggregate row
+    * over the final table; the oracle computes the same from the
+    * deduplicated batch source.
+    */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val input = stageStreamInput(spark, dir, copies = 2)
+    val schema = spark.read.parquet(input).schema
+    val target = Files.createTempDirectory("graft_stream_upsert").toString + "/purchases"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "4") // force several micro-batches
+      .parquet(input)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sinks.TableStore.upsert(spark, target, batch, Seq("event_id"))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(target)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("event_id").as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+  }
+
   /** E9: semi-structured extraction — pull a typed field out of the
     * `props` JSON string column. `get_json_object` evaluates inside the
     * scan projection (no UDF, no parse-to-struct materialization); at

