@@ -126,8 +126,9 @@ object SparkEntry {
     "e_retention" -> (Analytics.retention _),
     "e_anomaly" -> (Analytics.eAnomaly _),
     "e_stream_upsert" -> (Events.streamUpsert _),
-    // Pipeline orchestration (P1)
-    "p_flow_e2e" -> (IOQueries.flowE2E _)
+    // Pipeline orchestration (P1–P2)
+    "p_flow_e2e" -> (IOQueries.flowE2E _),
+    "p_corpus_e2e" -> ((s, d) => graft.pipeline.CorpusPipeline.corpusE2E(s, d))
   )
 
   /** DuckDB-dialect oracle SQL, same column names as the Spark plans. */
@@ -976,6 +977,51 @@ object SparkEntry {
     "p_flow_e2e" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
         |  'this is an artificial transformation just to practice prefect' AS note
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "p_corpus_e2e" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, source,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks, toks, h
+        |  FROM t WHERE len(toks) BETWEEN 20 AND 1000
+        |), ke AS (
+        |  SELECT min(doc_id) AS doc_id FROM q GROUP BY h
+        |), qe AS (
+        |  SELECT q.* FROM q JOIN ke USING (doc_id)
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+        |  FROM qe WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), walk(src, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, w.reach FROM edges e JOIN walk w ON e.dst = w.src
+        |), lbl AS (
+        |  SELECT src AS id, min(reach) AS cluster_id FROM walk GROUP BY 1
+        |), fin AS (
+        |  SELECT * FROM qe
+        |  WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id != cluster_id)
+        |)
+        |SELECT source, cast(count(*) AS bigint) AS n_docs,
+        |  cast(sum(CAST(floor((n_toks - 1) / 48) AS BIGINT) + 1) AS bigint) AS n_chunks,
+        |  cast(sum(n_toks) AS bigint) AS n_tokens
+        |FROM fin GROUP BY 1 ORDER BY source""".stripMargin
   )
 }

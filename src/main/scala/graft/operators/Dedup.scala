@@ -318,8 +318,18 @@ object Dedup {
     * everything else dropped".
     */
   def dedupClusters(spark: SparkSession, dir: String,
-                    threshold: Double = 0.5): DataFrame = {
-    val pairs = ngramJaccard(spark, dir, threshold).select("doc_a", "doc_b")
+                    threshold: Double = 0.5): DataFrame =
+    clusterLabels(ngramJaccard(spark, dir, threshold).select("doc_a", "doc_b"))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+
+  /** Connected-component labels (id → min-member-id of its component)
+    * for an undirected pair graph — the shared core of D8 and the
+    * composite corpus pipeline. See [[dedupClusters]] for the
+    * algorithm/scale discussion.
+    */
+  def clusterLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -340,9 +350,7 @@ object Dedup {
         .filter(col("lbl") =!= col("old_lbl")).count()
       labels = next
     }
-    labels.groupBy(col("lbl").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy("cluster_id")
+    labels
   }
 
   /** D5: embedding-cosine near-dup — all pairs of `embeddings` with

@@ -127,6 +127,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("corpus pipeline: stage survivors shrink monotonically, stats consistent") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val total = docs.count()
+    val stats = pipeline.CorpusPipeline.corpusE2E(spark, sfDir).collect()
+    val kept = stats.map(_.getAs[Long]("n_docs")).sum
+    assert(kept > 0 && kept <= total)
+    stats.foreach { r =>
+      val (nd, nc, nt) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_tokens"))
+      assert(nc >= nd, "every kept doc yields at least one chunk")
+      assert(nt >= nd * 20 && nt <= nd * 1000, "token totals respect the quality bounds")
+    }
+  }
+
   test("extensions-built session resolves graft_cosine in pure SQL") {
     // the shared fixture session is built through GraftSession, which
     // wires GraftExtensions — the function must already resolve
