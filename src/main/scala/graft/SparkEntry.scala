@@ -89,6 +89,8 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextQueries.textTfidf(s, d)),
     "text_chunk" -> ((s, d) => TextQueries.textChunk(s, d)),
     "text_pack" -> ((s, d) => TextQueries.textPack(s, d)),
+    "text_decontaminate" -> ((s, d) => TextQueries.textDecontaminate(s, d)),
+    "text_mixture" -> (TextQueries.textMixture _),
     // Deduplication (D1–D5)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -102,6 +104,7 @@ object SparkEntry {
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivfAnn(s, d)),
+    "ann_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     "emb_norm" -> (Similarity.embNorm _),
     "emb_quantize" -> (Similarity.embQuantize _),
     // Multimodal (M1–M3)
@@ -465,6 +468,51 @@ object SparkEntry {
         |  cast(count(DISTINCT event_id) AS bigint) AS n_events,
         |  round(sum(value), 2) AS total_value
         |FROM p""".stripMargin,
+    "text_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+        |                        toks[i+4], toks[i+5], toks[i+6], toks[i+7])))) AS gram
+        |  FROM t WHERE len(toks) >= 8
+        |), bench AS (
+        |  SELECT DISTINCT gram, doc_id AS bench_id FROM g WHERE doc_id < 20
+        |)
+        |SELECT c.doc_id,
+        |  cast(count(DISTINCT c.gram) AS bigint) AS n_shared_grams,
+        |  cast(count(DISTINCT bench_id) AS bigint) AS n_bench_docs
+        |FROM g c JOIN bench b ON c.gram = b.gram
+        |WHERE c.doc_id >= 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_mixture" ->
+      """WITH s AS (
+        |  SELECT source, cast(count(*) AS bigint) AS n_docs,
+        |    cast(sum(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))) AS bigint) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT *, sum(n_tokens) OVER () AS total, count(*) OVER () AS n_src FROM s
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(round(n_tokens * 1000000 / total) AS BIGINT) AS share_micro,
+        |  least(1000000, CAST(round(total * 1000000.0 / (n_src * n_tokens)) AS BIGINT)) AS keep_rate_micro
+        |FROM w ORDER BY source""".stripMargin,
+    "ann_knn_join" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS nbr,
+        |    round(list_cosine_similarity(
+        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        |), r AS (
+        |  SELECT src, nbr, sim,
+        |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rk
+        |  FROM p
+        |)
+        |SELECT src, rk, nbr, sim FROM r WHERE rk <= 3
+        |ORDER BY src, rk""".stripMargin,
     "e_stream_enrich" ->
       """WITH dim AS (
         |  SELECT user_id, cast(count(*) AS bigint) AS user_events,

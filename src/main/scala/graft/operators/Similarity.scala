@@ -73,6 +73,30 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** A6: exact kNN JOIN — top-k neighbors for EVERY vector (the
+    * similarity graph behind embedding-cluster dedup and diversity
+    * sampling), not just a query set. Exact all-pairs is the verify
+    * baseline; the plan broadcasts one side and streams the other
+    * through the codegen'd cosine, so the corpus side never shuffles
+    * before the per-vector top-k window. At 100 TB the same rerank
+    * runs per LSH/IVF bucket (A2/A3) instead of all-pairs — identical
+    * output contract, candidate set cut by the bucketer.
+    */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = corpus(spark, dir)
+    val nbrs = broadcast(
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id").as("nbr"), col("embedding").as("nbr_emb")))
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("nbr"))
+    e.select(col("vec_id").as("src"), col("embedding"))
+      .join(nbrs, col("src") =!= col("nbr"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("embedding"), col("nbr_emb")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("src", "rk", "nbr", "sim")
+      .orderBy("src", "rk")
+  }
+
   /** Deterministic random hyperplanes: `nTables` tables × `bitsPerTable`
     * planes, components from a seeded xorshift-free PRNG
     * (scala.util.Random(seed) is stable across JVM runs).

@@ -213,4 +213,54 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
       .orderBy("source", "seq_id")
   }
+
+  /** X10: benchmark decontamination — corpus documents sharing any
+    * 8-gram with the benchmark/eval set are flagged (the overlap check
+    * every training run owes its eval suite). The benchmark side
+    * (eval suites are MBs, not TBs) collapses to a distinct gram set
+    * and BROADCASTS; the corpus side streams through the scan — no
+    * corpus-side shuffle before the per-doc overlap rollup, which is
+    * exactly the 100 TB shape. Output per contaminated doc: how many
+    * distinct grams leaked and from how many benchmark docs.
+    */
+  def textDecontaminate(spark: SparkSession, dir: String,
+                        benchMax: Int = 20, n: Int = 8): DataFrame = {
+    val grams = Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(array_distinct(wordGrams(col("text"), n))).as("gram"))
+    val bench = grams.filter(col("doc_id") < benchMax)
+      .select(col("gram"), col("doc_id").as("bench_id")).distinct()
+    grams.filter(col("doc_id") >= benchMax)
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct("gram").as("n_shared_grams"),
+        countDistinct("bench_id").as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** X11: domain-mixture rebalancing plan — per-source token mass,
+    * its natural share, and the deterministic keep-rate that levels
+    * every source to an equal token budget (rate capped at 1 for
+    * under-represented sources, i.e. downsample the head, keep the
+    * tail whole). Integer micro-units for cross-engine determinism.
+    * Pairs with T8: this computes the per-stratum rates T8 applies.
+    */
+  def textMixture(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy()
+    Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("total", sum("n_tokens").over(all))
+      .withColumn("n_src", count(lit(1)).over(all))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") * 1000000L / col("total")).cast("long").as("share_micro"),
+        least(lit(1000000L),
+          round(col("total") * lit(1000000.0) / (col("n_src") * col("n_tokens"))))
+          .cast("long").as("keep_rate_micro"))
+      .orderBy("source")
+  }
 }

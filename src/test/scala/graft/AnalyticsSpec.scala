@@ -141,6 +141,44 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("decontamination flags exactly the docs sharing an 8-gram with the bench set") {
+    import graft.functions.TextFunctions._
+    val grams = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), array_distinct(wordGrams(col("text"), 8)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val benchGrams = grams.filter(_._1 < 20).values.flatten.toSet
+    val expected = grams.filter { case (id, g) =>
+      id >= 20 && g.exists(benchGrams.contains)
+    }.map { case (id, g) => id -> g.count(benchGrams.contains).toLong }
+    val got = queries.TextQueries.textDecontaminate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("mixture keep-rates level every source to at most the equal budget") {
+    val rows = queries.TextQueries.textMixture(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val nSrc = rows.length
+    rows.foreach { r =>
+      val rate = r.getAs[Long]("keep_rate_micro")
+      assert(rate >= 1L && rate <= 1000000L)
+      val keptTokens = r.getAs[Long]("n_tokens") * rate / 1e6
+      assert(keptTokens <= total.toDouble / nSrc * 1.001,
+        s"source ${r.getString(0)} keeps more than the equal budget")
+    }
+  }
+
+  test("knn join: k rows per vector, sims non-increasing, symmetric top-1 plausible") {
+    val rows = operators.Similarity.knnJoin(spark, sfDir).collect()
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.length == n * 3)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRk = rs.sortBy(_.getInt(1))
+      assert(byRk.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+      assert(byRk.map(_.getDouble(3)).sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
   test("extensions-built session resolves graft_cosine in pure SQL") {
     // the shared fixture session is built through GraftSession, which
     // wires GraftExtensions — the function must already resolve
