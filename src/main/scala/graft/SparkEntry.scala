@@ -52,6 +52,10 @@ object SparkEntry {
     "t_unpivot" -> (Analytics.tUnpivot _),
     "dq_rules" -> (Analytics.dqRules _),
     "q_histogram" -> ((s, d) => Analytics.qHistogram(s, d)),
+    "q_heavy_hitters" -> ((s, d) => Analytics.qHeavyHitters(s, d)),
+    "q_mom" -> (Analytics.qMoM _),
+    "t_profile" -> (Analytics.tProfile _),
+    "e_transitions" -> (Analytics.eTransitions _),
     // Transforms (T1–T4)
     "t_project_const" -> (Relational.tProjectConst _),
     "t_cast_rename" -> (Relational.tCastRename _),
@@ -79,6 +83,8 @@ object SparkEntry {
     "sink_orc" -> (IOQueries.sinkOrc _),
     "sink_compact" -> (IOQueries.sinkCompact _),
     "sink_versioned" -> (IOQueries.sinkVersioned _),
+    "sink_sorted" -> (IOQueries.sinkSorted _),
+    "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
     // Text analysis (X1–X4)
     "text_langid" -> (TextQueries.textLangid _),
     "text_quality" -> (TextQueries.textQuality _),
@@ -91,6 +97,7 @@ object SparkEntry {
     "text_pack" -> ((s, d) => TextQueries.textPack(s, d)),
     "text_decontaminate" -> ((s, d) => TextQueries.textDecontaminate(s, d)),
     "text_mixture" -> (TextQueries.textMixture _),
+    "text_topgrams" -> ((s, d) => TextQueries.textTopgrams(s, d)),
     // Deduplication (D1–D5)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -100,6 +107,7 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "dedup_paragraph" -> (Dedup.paragraphDedup _),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
@@ -107,6 +115,7 @@ object SparkEntry {
     "ann_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     "emb_norm" -> (Similarity.embNorm _),
     "emb_quantize" -> (Similarity.embQuantize _),
+    "emb_centroid" -> (Similarity.embCentroid _),
     // Multimodal (M1–M3)
     "mm_schema" -> (Multimodal.mmSchema _),
     "mm_features" -> (Multimodal.mmFeatures _),
@@ -423,6 +432,125 @@ object SparkEntry {
       """SELECT CAST(floor(o_totalprice / 60000.0) AS BIGINT) AS bucket,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT count(*) AS total FROM lineitem)
+        |SELECT l_partkey, count(*) AS n, (SELECT total FROM t) AS total
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING count(*) * 1500 > (SELECT total FROM t)
+        |ORDER BY l_partkey""".stripMargin,
+    "q_mom" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY 1
+        |), l AS (
+        |  SELECT month, total, lag(total) OVER (ORDER BY month) AS prev_total FROM m
+        |)
+        |SELECT month, total, prev_total,
+        |  CASE WHEN prev_total IS NOT NULL
+        |    THEN CAST(round((total - prev_total) / prev_total * 1e6) AS BIGINT)
+        |  END AS delta_micro
+        |FROM l ORDER BY month""".stripMargin,
+    "t_profile" ->
+      """WITH s AS (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |    cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_nulls,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_s
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*),
+        |    cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS bigint),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |    cast(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS bigint),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*),
+        |    cast(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS bigint),
+        |    count(DISTINCT o_totalprice),
+        |    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*),
+        |    cast(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS bigint),
+        |    count(DISTINCT o_orderdate),
+        |    CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+        |  FROM orders
+        |)
+        |SELECT * FROM s ORDER BY col_name""".stripMargin,
+    "e_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type FROM events
+        |), x AS (
+        |  SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS from_type
+        |  FROM e
+        |)
+        |SELECT from_type, to_type, count(*) AS n FROM x
+        |WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    "text_topgrams" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks), 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1])))) AS gram
+        |  FROM t WHERE len(toks) >= 2
+        |)
+        |SELECT gram, count(*) AS n_docs FROM g GROUP BY 1
+        |ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin,
+    "dedup_semantic" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS seed_emb FROM embeddings WHERE vec_id < 8
+        |), sims AS (
+        |  SELECT e.vec_id, s.seed_id,
+        |    round(list_cosine_similarity(
+        |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(s.seed_emb, x -> CAST(x AS DOUBLE))), 4) AS sim
+        |  FROM embeddings e CROSS JOIN seeds s
+        |), a AS (
+        |  SELECT vec_id, seed_id AS cluster_id, sim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rk
+        |  FROM sims
+        |), asg AS (
+        |  SELECT vec_id, cluster_id, sim FROM a WHERE rk = 1
+        |), k AS (
+        |  SELECT vec_id, cluster_id, sim,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY sim DESC, vec_id) AS krk
+        |  FROM asg
+        |)
+        |SELECT cluster_id, cast(count(*) AS bigint) AS n_members,
+        |  min(CASE WHEN krk = 1 THEN vec_id END) AS keep_id,
+        |  min(CASE WHEN krk = 1 THEN sim END) AS keep_sim
+        |FROM k GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    "emb_centroid" ->
+      """WITH dims AS (
+        |  SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings
+        |                          ORDER BY vec_id LIMIT 1))) AS dim
+        |)
+        |SELECT label, CAST(dim AS INT) AS dim, cast(count(*) AS bigint) AS n_vecs,
+        |  CAST(round(sum(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE))
+        |             / count(*) * 1e6) AS BIGINT) AS mean_micro
+        |FROM embeddings, dims
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    "sink_sorted" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 5000""".stripMargin,
+    "src_jsonl_corrupt" ->
+      """SELECT cast(sum(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END) AS bigint) AS n_good,
+        |  cast(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS bigint) AS n_corrupt,
+        |  round(sum(CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END), 2) AS total_good
+        |FROM orders""".stripMargin,
     "sink_versioned" ->
       """SELECT 'v1_pinned' AS snapshot, cast(count(*) AS bigint) AS n,
         |  round(sum(o_totalprice), 2) AS total

@@ -31,4 +31,42 @@ object Aggregators {
     override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
     override def outputEncoder: Encoder[String] = Encoders.STRING
   }
+
+  /** Element-wise vector sum + count: the mergeable state behind a
+    * per-group centroid (mean embedding). The buffer is ONE
+    * fixed-size double array per (group, partition) — the shuffle
+    * never carries raw vectors, which is what makes a centroid over
+    * billions of embeddings one cheap aggregate. (The posexplode →
+    * groupBy(dim) alternative multiplies shuffle rows by the
+    * dimensionality.) Dim is taken from the first vector seen; a
+    * mismatched vector is a hard error, not silent truncation.
+    */
+  object VectorSum extends Aggregator[Seq[Float], (Array[Double], Long), (Seq[Double], Long)] {
+    override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+    override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+      if (v == null) b
+      else {
+        val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+        require(sums.length == v.length,
+          s"embedding dim mismatch: ${v.length} vs ${sums.length}")
+        var i = 0
+        while (i < v.length) { sums(i) += v(i).toDouble; i += 1 }
+        (sums, b._2 + 1L)
+      }
+    }
+    override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) =
+      if (x._1.isEmpty) y
+      else if (y._1.isEmpty) x
+      else {
+        require(x._1.length == y._1.length,
+          s"embedding dim mismatch: ${x._1.length} vs ${y._1.length}")
+        var i = 0
+        while (i < y._1.length) { x._1(i) += y._1(i); i += 1 }
+        (x._1, x._2 + y._2)
+      }
+    override def finish(b: (Array[Double], Long)): (Seq[Double], Long) =
+      (b._1.toSeq, b._2)
+    override def bufferEncoder: Encoder[(Array[Double], Long)] = ExpressionEncoder()
+    override def outputEncoder: Encoder[(Seq[Double], Long)] = ExpressionEncoder()
+  }
 }

@@ -370,4 +370,38 @@ object Dedup {
       .select("vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** D9: SemDeDup-style semantic dedup — assign every embedding to its
+    * nearest seed vector (the cluster), then keep only the member most
+    * similar to the seed. Seeds (here: the lowest `k` vec_ids; in
+    * production the k-means centroids from [[Similarity.ivfAnn]]'s
+    * training step) are a broadcast — the corpus side is ONE scan with
+    * a map-side argmax, then one shuffle for the per-cluster keep
+    * decision. O(n·k), never O(n²): the cluster radius bounds which
+    * vectors can be near-duplicates, so the pairwise step D5 needs
+    * disappears entirely.
+    */
+  def semanticDedup(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = spread(Tables.load(spark, dir, "embeddings"))
+    val seeds = broadcast(
+      Tables.load(spark, dir, "embeddings").filter(col("vec_id") < k)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb")))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("seed_id"))
+    val byCluster = Window.partitionBy("cluster_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.crossJoin(seeds)
+      .withColumn("sim", round(VectorFunctions.cosine(col("embedding"), col("seed_emb")), 4))
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("seed_id").as("cluster_id"), col("sim"))
+      .withColumn("keep_rk", row_number().over(byCluster))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(when(col("keep_rk") === 1, col("vec_id"))).as("keep_id"),
+        min(when(col("keep_rk") === 1, col("sim"))).as("keep_sim"))
+      .orderBy("cluster_id")
+  }
 }

@@ -194,6 +194,25 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** A7: per-label centroid (mean embedding) via the mergeable
+    * [[graft.functions.Aggregators.VectorSum]] state — the shuffle
+    * carries one double[dim] per (label, partition), not vectors, so
+    * the same plan computes class centroids over billions of rows.
+    * Output is unpivoted to (label, dim, mean_micro) rows AFTER the
+    * aggregate (the explode touches |labels|·dim rows, not the corpus).
+    */
+  def embCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val vsum = udaf(graft.functions.Aggregators.VectorSum)
+    Tables.load(spark, dir, "embeddings")
+      .groupBy("label")
+      .agg(vsum(col("embedding")).as("acc"))
+      .select(col("label"), col("acc._2").as("n_vecs"),
+        posexplode(col("acc._1")).as(Seq("dim", "s")))
+      .select(col("label"), col("dim").cast("int").as("dim"), col("n_vecs"),
+        round(col("s") / col("n_vecs") * 1e6).cast("long").as("mean_micro"))
+      .orderBy("label", "dim")
+  }
+
   /** Lloyd-iterated centroids. Only the k×dim centroid matrix crosses
     * the driver boundary each iteration (collect of `k` rows); the
     * corpus-side assignment is a broadcast argmin, the update a single

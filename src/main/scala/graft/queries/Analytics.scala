@@ -181,6 +181,88 @@ object Analytics {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
       .orderBy("bucket")
 
+  /** Q29: exact heavy hitters — parts accounting for more than 1/1500 of
+    * all lineitem rows. The per-key counts come from one map-side-combined
+    * aggregate; the global total is a one-row broadcast (cross join of a
+    * scalar), so the whole plan is a single fact-scale shuffle. At 100 TB
+    * the same shape holds; the approximate twin is count-min/`approx_top_k`
+    * when the key domain itself is too large to aggregate exactly.
+    */
+  def qHeavyHitters(spark: SparkSession, dir: String, denom: Long = 1500L): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val total = li.agg(count(lit(1)).as("total"))
+    li.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      // integer cross-multiplication: no double division in the predicate,
+      // so the cut is reproducible on any engine
+      .filter(col("n") * denom > col("total"))
+      .select(col("l_partkey"), col("n"), col("total"))
+      .orderBy("l_partkey")
+  }
+
+  /** E17: event-type transition matrix — for each user's time-ordered
+    * event stream, count (from_type → to_type) adjacent transitions (the
+    * first-order Markov summary behind "what do users do next").
+    * One shuffle on user_id serves the lag window; the final count is
+    * over a #types² domain, map-side combined.
+    */
+  def eTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
+      .withColumn("from_type", lag("event_type", 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Q30: month-over-month revenue deltas — monthly rollup, then lag +
+    * integer-micro percent change over the (tiny) month dimension. The
+    * fact-scale work is one aggregate; the window runs on months, so its
+    * single-partition ORDER BY is bounded by the calendar, not the data.
+    */
+  def qMoM(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("month")
+    Tables.load(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("prev_total", lag("total", 1).over(w))
+      .withColumn("delta_micro",
+        when(col("prev_total").isNotNull,
+          round((col("total") - col("prev_total")) / col("prev_total") * 1e6).cast("long")))
+      .orderBy("month")
+  }
+
+  /** T11: column profiler — per-column row/null/distinct counts and
+    * min/max (stringified) for a declared column list, unpivoted to one
+    * row per column. ONE scan computes every statistic (a single
+    * aggregate projection; count-distincts expand to grouping sets
+    * internally but stay a bounded number of passes over the same
+    * exchange) — the schema-drift/table-health report a pipeline runs
+    * after each load.
+    */
+  def tProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val ord = Tables.load(spark, dir, "orders")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__rows"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__rows, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
+    ord.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_rows, n_nulls, n_distinct, min_s, max_s)"))
+      .orderBy("col_name")
+  }
+
   /** F1: the SQL surface of graft's native expressions — registration
     * (extensions or runtime) + a pure-SQL query using `graft_cosine`,
     * proving the Catalyst expression is first-class in both APIs.

@@ -337,4 +337,59 @@ object IOQueries {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
       .orderBy("o_orderstatus")
   }
+
+  /** K10: sort-clustered datalake write — `repartitionByRange` on the
+    * query key + `sortWithinPartitions` gives every parquet file a
+    * narrow, non-overlapping key range, so a key-range read touches one
+    * file's row groups and parquet min/max statistics skip the rest
+    * (the poor man's Z-order; at 100 TB this is the difference between
+    * a full scan and reading one file per predicate). The aggregate
+    * matches the original table under the same filter — proving the
+    * clustering write was lossless.
+    */
+  def sinkSorted(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val out = tmpDir("sorted") + "/orders_sorted"
+    orders.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 5000)
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
+  /** S7: corrupt-tolerant JSONL ingestion — real feeds carry broken
+    * lines, and a 100 TB load must quarantine them, not die. Every 7th
+    * record is truncated mid-object before the write; the PERMISSIVE
+    * read with an explicit schema + `_corrupt_record` routes bad lines
+    * to the quarantine column and parses the rest. The oracle computes
+    * the same good/bad split from the source table arithmetic — a match
+    * proves no good row was dropped and no bad row leaked through.
+    * (Explicit schema also means NO inference scan — one pass at scale.)
+    */
+  def srcJsonlCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val out = tmpDir("jsonl") + "/orders_jsonl"
+    Tables.load(spark, dir, "orders")
+      .select(to_json(struct(col("o_orderkey"), col("o_totalprice"))).as("line"),
+        col("o_orderkey"))
+      .select(when(col("o_orderkey") % 7 === 0, substring(col("line"), 1, 20))
+        .otherwise(col("line")).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .agg(
+        count(col("o_orderkey")).as("n_good"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        round(sum("o_totalprice"), 2).as("total_good"))
+  }
 }

@@ -263,4 +263,20 @@ object TextQueries {
           .cast("long").as("keep_rate_micro"))
       .orderBy("source")
   }
+
+  /** X12: corpus-wide top-K n-grams — the global boilerplate detector
+    * ("lorem ipsum", cookie banners, license headers surface here
+    * first). Explode per-doc DISTINCT bigrams (document frequency, not
+    * raw term frequency, so one spammy doc can't promote a gram), then
+    * one map-side-combined count and a distributed TakeOrdered top-K —
+    * no global sort, each partition ships only its K best. Tie-break on
+    * the gram string keeps the cut deterministic.
+    */
+  def textTopgrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(wordGrams(col("text"), 2))).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(k)
 }

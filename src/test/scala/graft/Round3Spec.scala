@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.queries.{Analytics, IOQueries, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** Property specs for the round-2 batch-3 operators (Q29/Q30/T11, E17,
+  * X12, D9, A7, K10, S7). The DuckDB oracle gate covers value-level
+  * equality; these pin the semantic invariants that survive refactors.
+  */
+class Round3Spec extends SparkSpec {
+
+  test("heavy hitters: exactly the parts above the frequency cut, with proof columns") {
+    val total = Tables.load(spark, sfDir, "lineitem").count()
+    val expected = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, n) => n * 1500 > total }.toMap
+    val got = Analytics.qHeavyHitters(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSet == expected.keySet)
+    got.foreach { r =>
+      assert(r.getLong(2) == total)
+      assert(r.getLong(1) == expected(r.getLong(0)))
+    }
+  }
+
+  test("transitions: per-user adjacent pairs sum to events minus users") {
+    val e = Tables.load(spark, sfDir, "events")
+    val nEvents = e.count()
+    val nUsers = e.select("user_id").distinct().count()
+    val sumN = Analytics.eTransitions(spark, sfDir)
+      .agg(sum("n")).head.getLong(0)
+    assert(sumN == nEvents - nUsers)
+  }
+
+  test("month-over-month: prev_total chains exactly to the prior row's total") {
+    val rows = Analytics.qMoM(spark, sfDir).collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Double]("prev_total") == a.getAs[Double]("total"))
+      case _ =>
+    }
+    assert(rows.head.isNullAt(rows.head.fieldIndex("prev_total")))
+  }
+
+  test("profile: row counts uniform, key column unique and non-null") {
+    val n = Tables.load(spark, sfDir, "orders").count()
+    val prof = Analytics.tProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    prof.values.foreach(r => assert(r.getAs[Long]("n_rows") == n))
+    val key = prof("o_orderkey")
+    assert(key.getAs[Long]("n_nulls") == 0L)
+    assert(key.getAs[Long]("n_distinct") == n)
+  }
+
+  test("topgrams: counts are document frequencies, sorted descending") {
+    val rows = TextQueries.textTopgrams(spark, sfDir, k = 5).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).toSeq ==
+      rows.map(_.getAs[Long]("n_docs")).sortBy(-_).toSeq)
+    // replay every reported gram's document frequency by brute force
+    val docBigrams = Tables.load(spark, sfDir, "documents")
+      .select(lower(col("text")).as("t")).collect().map { r =>
+        val toks = r.getString(0).replaceAll("[^a-z0-9]+", " ").trim.split(" ")
+        toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+      }
+    rows.foreach { r =>
+      val gram = r.getString(0)
+      assert(docBigrams.count(_.contains(gram)).toLong == r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("semantic dedup: clusters partition the corpus; seeds own their clusters") {
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    val rows = Dedup.semanticDedup(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == nVecs)
+    assert(rows.map(_.getLong(0)).forall(c => c >= 0 && c < 8))
+    // every seed scores 1.0 against itself, so each occupied seed
+    // cluster keeps a member at sim 1.0
+    rows.foreach(r => assert(r.getAs[Double]("keep_sim") == 1.0))
+  }
+
+  test("centroid: per-label means match a driver-side replay") {
+    val replay = Tables.load(spark, sfDir, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .groupBy(_._1).map { case (l, vs) =>
+        val n = vs.length
+        val dim = vs.head._2.length
+        val means = (0 until dim).map { d =>
+          math.round(vs.map(_._2(d).toDouble).sum / n * 1e6)
+        }
+        l -> ((n.toLong, means))
+      }
+    Similarity.embCentroid(spark, sfDir).collect().foreach { r =>
+      val (n, means) = replay(r.getInt(0))
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(r.getAs[Long]("mean_micro") == means(r.getInt(1)))
+    }
+  }
+
+  test("sorted sink: clustered write round-trips the key-range aggregate") {
+    val df = IOQueries.sinkSorted(spark, sfDir)
+    val direct = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 5000)
+      .agg(count(lit(1)), round(sum("o_totalprice"), 2)).head
+    val got = df.head
+    assert(got.getLong(0) == direct.getLong(0))
+    assert(got.getDouble(1) == direct.getDouble(1))
+  }
+
+  test("corrupt jsonl: good+corrupt partitions the source rows exactly") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val n = orders.count()
+    val nBad = orders.filter(col("o_orderkey") % 7 === 0).count()
+    val r = IOQueries.srcJsonlCorrupt(spark, sfDir).head
+    assert(r.getAs[Long]("n_good") == n - nBad)
+    assert(r.getAs[Long]("n_corrupt") == nBad)
+  }
+}
