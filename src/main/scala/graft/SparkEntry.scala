@@ -56,6 +56,9 @@ object SparkEntry {
     "q_mom" -> (Analytics.qMoM _),
     "t_profile" -> (Analytics.tProfile _),
     "e_transitions" -> (Analytics.eTransitions _),
+    "t_global_ids" -> (Analytics.tGlobalIds _),
+    "t_shuffle_hash" -> ((s, d) => Analytics.tShuffleHash(s, d)),
+    "t_table_diff" -> (Analytics.tTableDiff _),
     // Transforms (T1–T4)
     "t_project_const" -> (Relational.tProjectConst _),
     "t_cast_rename" -> (Relational.tCastRename _),
@@ -546,6 +549,36 @@ object SparkEntry {
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 5000""".stripMargin,
+    "t_global_ids" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS global_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_shuffle_hash" ->
+      """WITH s AS (
+        |  SELECT doc_id, md5(concat('shuf:', CAST(doc_id AS VARCHAR))) AS shuffle_key
+        |  FROM documents ORDER BY shuffle_key LIMIT 100
+        |)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY shuffle_key) AS INT) AS position
+        |FROM s ORDER BY position""".stripMargin,
+    "t_table_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |v1 AS (
+        |  SELECT k, md5(concat(CAST(k AS VARCHAR), '|',
+        |    CAST(CAST(round(p * 100) AS BIGINT) AS VARCHAR))) AS h1
+        |  FROM o WHERE k % 11 <> 0
+        |), v2 AS (
+        |  SELECT k, md5(concat(CAST(k AS VARCHAR), '|',
+        |    CAST(CAST(round(CASE WHEN k % 7 = 0 THEN p + 50 ELSE p END * 100) AS BIGINT) AS VARCHAR))) AS h2
+        |  FROM o WHERE k % 13 <> 0
+        |)
+        |SELECT CASE WHEN v1.k IS NULL THEN 'added'
+        |            WHEN v2.k IS NULL THEN 'removed'
+        |            WHEN h1 = h2 THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |  count(*) AS n
+        |FROM v1 FULL JOIN v2 ON v1.k = v2.k
+        |GROUP BY 1 ORDER BY status""".stripMargin,
     "src_jsonl_corrupt" ->
       """SELECT cast(sum(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END) AS bigint) AS n_good,
         |  cast(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS bigint) AS n_corrupt,

@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.Aggregators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Event-analytics and data-quality operators (funnel, retention,
   * quality rules, unpivot, outer join, custom aggregates, SQL-native
@@ -261,6 +261,74 @@ object Analytics {
       .select(expr(
         s"stack(${cols.size}, $stackArgs) AS (col_name, n_rows, n_nulls, n_distinct, min_s, max_s)"))
       .orderBy("col_name")
+  }
+
+  /** T12: contiguous global ID assignment — the scalable zipWithIndex.
+    * `row_number() OVER (ORDER BY …)` forces every row through ONE
+    * partition (the classic 100 TB trap); instead: range-repartition +
+    * sort-within (a normal distributed sort), then per-partition offsets
+    * via `zipWithIndex` (two narrow jobs: partition counts, then offset
+    * add — the one place imperative RDD logic is the right tool).
+    * Output ids are the global rank by doc_id — independent of how the
+    * range boundaries split the data.
+    */
+  def tGlobalIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"))
+      .repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[Long].rdd.zipWithIndex()
+      .toDF("doc_id", "global_id")
+      .orderBy("doc_id")
+  }
+
+  /** T13: deterministic training-data shuffle — global order by a keyed
+    * hash (md5 of a salted key), the reproducible stand-in for
+    * `ORDER BY rand()`: any engine, any partitioning, any re-run gives
+    * the same permutation, so a training run can be resumed/replayed.
+    * The sort is a distributed range sort; the take-N is TakeOrdered
+    * (each partition ships N rows, no global sort materialized).
+    */
+  def tShuffleHash(spark: SparkSession, dir: String, n: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("shuffle_key")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("shuffle_key"))
+      .orderBy("shuffle_key").limit(n)
+      // rank AFTER the limit: the window input is n rows, not the corpus
+      .withColumn("position", row_number().over(w))
+  }
+
+  /** T14: CDC-style table diff — two table versions full-outer-joined on
+    * the key, rows compared by a single md5 row-hash (one narrow column
+    * through the join instead of every payload column), classified
+    * added / removed / changed / unchanged. The join shuffles on the
+    * key; at 100 TB both sides bucket on the key and the diff is
+    * co-located. This is the audit a versioned publish (K9) runs before
+    * promoting a snapshot.
+    */
+  def tTableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    // integer cents in the hash: double→string formatting differs
+    // across engines (E-notation thresholds); integers never do
+    def rowHash(key: Column, price: Column): Column =
+      md5(concat_ws("|", key.cast("string"),
+        round(price * 100).cast("long").cast("string")))
+    val v1 = o.filter(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey").as("k1"), rowHash(col("o_orderkey"), col("o_totalprice")).as("h1"))
+    val v2 = o.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("p2", when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 50.0)
+        .otherwise(col("o_totalprice")))
+      .select(col("o_orderkey").as("k2"), rowHash(col("o_orderkey"), col("p2")).as("h2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .select(
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
   }
 
   /** F1: the SQL surface of graft's native expressions — registration

@@ -108,6 +108,46 @@ class Round3Spec extends SparkSpec {
     assert(got.getDouble(1) == direct.getDouble(1))
   }
 
+  test("global ids: contiguous 0..n-1 in doc_id order, no single-partition window") {
+    val rows = Analytics.tGlobalIds(spark, sfDir).collect()
+    val n = rows.length
+    assert(rows.map(_.getLong(1)).toSeq == (0L until n).toSeq)
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("shuffle hash: permutation is reproducible run-over-run") {
+    val a = Analytics.tShuffleHash(spark, sfDir, n = 50).collect().map(_.getLong(0)).toSeq
+    val b = Analytics.tShuffleHash(spark, sfDir, n = 50).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(a.toSet.size == 50)
+  }
+
+  test("table diff: statuses partition the key universe") {
+    val o = Tables.load(spark, sfDir, "orders").select("o_orderkey")
+    val keys = o.collect().map(_.getLong(0))
+    val v1 = keys.filter(_ % 11 != 0).toSet
+    val v2 = keys.filter(_ % 13 != 0).toSet
+    val expected = Map(
+      "added" -> (v2 -- v1).size.toLong,
+      "removed" -> (v1 -- v2).size.toLong,
+      "changed" -> (v1 & v2).count(k => k % 7 == 0).toLong,
+      "unchanged" -> (v1 & v2).count(k => k % 7 != 0).toLong)
+    val got = Analytics.tTableDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected.filter(_._2 > 0))
+  }
+
+  test("plan shapes: rank-filter pushdown, distributed top-K, sort-clustered write") {
+    val semantic = Dedup.semanticDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(semantic.contains("WindowGroupLimit"),
+      "dedup_semantic should push the rank<=1 filter below the window exchange")
+    val topg = TextQueries.textTopgrams(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(topg.contains("TakeOrderedAndProject"),
+      "text_topgrams must use distributed top-K, not a global sort")
+  }
+
   test("corrupt jsonl: good+corrupt partitions the source rows exactly") {
     val orders = Tables.load(spark, sfDir, "orders")
     val n = orders.count()
