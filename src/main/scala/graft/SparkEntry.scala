@@ -88,6 +88,7 @@ object SparkEntry {
     "sink_versioned" -> (IOQueries.sinkVersioned _),
     "sink_sorted" -> (IOQueries.sinkSorted _),
     "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
+    "src_fvecs" -> (IOQueries.srcFvecs _),
     // Text analysis (X1–X4)
     "text_langid" -> (TextQueries.textLangid _),
     "text_quality" -> (TextQueries.textQuality _),
@@ -549,6 +550,10 @@ object SparkEntry {
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 5000""".stripMargin,
+    "src_fvecs" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS vsum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "t_global_ids" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY doc_id) - 1 AS global_id

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.sinks.TableStore
-import graft.sources.Ingest
+import graft.sources.{FvecsIO, Ingest}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -359,6 +359,24 @@ object IOQueries {
       .agg(count(lit(1)).as("n"),
         round(sum("o_totalprice"), 2).as("total"),
         min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
+  /** S8: custom binary vector source — the embeddings table round-trips
+    * through `.fvecs` (the ANN-world interchange format) via graft's
+    * DataSource V2 reader ([[graft.sources.FvecsDataSource]]): a
+    * distributed binary write, then a SPLIT read (3 partitions per
+    * file) whose per-vector checksums must match the original parquet.
+    * Proves record-boundary byte-range planning, id stability under
+    * splitting, and lossless float round-trip.
+    */
+  def srcFvecs(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("fvecs") + "/emb_fvecs"
+    FvecsIO.write(Tables.load(spark, dir, "embeddings"), out, nFiles = 4)
+    spark.read.format("graft-fvecs").option("nSplits", "3").load(out)
+      .select(col("vec_id"), size(col("embedding")).as("dim"),
+        round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double")), 4)
+          .as("vsum"))
+      .orderBy("vec_id")
   }
 
   /** S7: corrupt-tolerant JSONL ingestion — real feeds carry broken

@@ -148,6 +148,22 @@ class Round3Spec extends SparkSpec {
       "text_topgrams must use distributed top-K, not a global sort")
   }
 
+  test("fvecs source: byte-range splits are record-aligned and id-stable") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fvecs_spec").toString + "/emb"
+    graft.sources.FvecsIO.write(Tables.load(spark, sfDir, "embeddings"), out, nFiles = 3)
+    val original = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // two different split plans must decode identical (id, vector) sets
+    Seq("1", "4").foreach { nSplits =>
+      val got = spark.read.format("graft-fvecs").option("nSplits", nSplits).load(out)
+      if (nSplits == "4") assert(got.rdd.getNumPartitions > 3,
+        "each file should fan out into multiple record-aligned splits")
+      val rows = got.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      assert(rows == original)
+    }
+  }
+
   test("corrupt jsonl: good+corrupt partitions the source rows exactly") {
     val orders = Tables.load(spark, sfDir, "orders")
     val n = orders.count()
