@@ -57,6 +57,7 @@ object SparkEntry {
     "t_profile" -> (Analytics.tProfile _),
     "e_transitions" -> (Analytics.eTransitions _),
     "t_global_ids" -> (Analytics.tGlobalIds _),
+    "t_global_ids_native" -> (Analytics.tGlobalIdsNative _),
     "t_shuffle_hash" -> ((s, d) => Analytics.tShuffleHash(s, d)),
     "t_table_diff" -> (Analytics.tTableDiff _),
     // Transforms (T1–T4)
@@ -555,6 +556,10 @@ object SparkEntry {
         |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS vsum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "t_global_ids" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS global_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_global_ids_native" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY doc_id) - 1 AS global_id
         |FROM documents ORDER BY doc_id""".stripMargin,

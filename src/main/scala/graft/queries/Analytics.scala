@@ -283,6 +283,19 @@ object Analytics {
       .orderBy("doc_id")
   }
 
+  /** T12b: the same contiguous-id semantics as [[tGlobalIds]], but as
+    * graft's custom Catalyst operator ([[org.apache.spark.sql.graft.GlobalIndexPlan]]
+    * → `GlobalIndexExec` via the injected planner strategy): the plan
+    * stays declarative — EnsureRequirements plants the range exchange
+    * from the node's `OrderedDistribution` requirement, and no
+    * single-partition window or RDD drop-down appears anywhere.
+    */
+  def tGlobalIdsNative(spark: SparkSession, dir: String): DataFrame =
+    org.apache.spark.sql.graft.GraftPlans.withGlobalIndex(
+      Tables.load(spark, dir, "documents").select(col("doc_id")),
+      "global_id", "doc_id")
+      .orderBy("doc_id")
+
   /** T13: deterministic training-data shuffle — global order by a keyed
     * hash (md5 of a salted key), the reproducible stand-in for
     * `ORDER BY rand()`: any engine, any partitioning, any re-run gives

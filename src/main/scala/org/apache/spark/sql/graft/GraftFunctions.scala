@@ -52,8 +52,11 @@ object GraftFunctions {
 
 /** Session-build-time injector (`builder.withExtensions(new GraftExtensions)`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach { case (ident, einfo, builder) =>
       ext.injectFunction((ident, einfo, builder))
     }
+    // whole-operator extension: graft's custom physical operators
+    ext.injectPlannerStrategy(_ => GraftStrategies)
+  }
 }

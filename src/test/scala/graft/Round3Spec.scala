@@ -148,6 +148,18 @@ class Round3Spec extends SparkSpec {
       "text_topgrams must use distributed top-K, not a global sort")
   }
 
+  test("native global-index operator: same ids as the RDD form, distributed plan") {
+    val native = Analytics.tGlobalIdsNative(spark, sfDir)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalIndex"), "custom strategy should plan the node")
+    assert(plan.contains("rangepartitioning"),
+      "OrderedDistribution must be satisfied by a range exchange")
+    assert(!plan.contains("Window"), "no single-partition window allowed")
+    val viaRdd = Analytics.tGlobalIds(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaNative = native.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaNative.toSeq == viaRdd.toSeq)
+  }
+
   test("fvecs source: byte-range splits are record-aligned and id-stable") {
     val out = java.nio.file.Files.createTempDirectory("graft_fvecs_spec").toString + "/emb"
     graft.sources.FvecsIO.write(Tables.load(spark, sfDir, "embeddings"), out, nFiles = 3)
