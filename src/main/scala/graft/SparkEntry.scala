@@ -60,6 +60,7 @@ object SparkEntry {
     "t_global_ids_native" -> (Analytics.tGlobalIdsNative _),
     "t_shuffle_hash" -> ((s, d) => Analytics.tShuffleHash(s, d)),
     "t_table_diff" -> (Analytics.tTableDiff _),
+    "t_salted_join" -> ((s, d) => Analytics.tSaltedJoin(s, d)),
     // Transforms (T1–T4)
     "t_project_const" -> (Relational.tProjectConst _),
     "t_cast_rename" -> (Relational.tCastRename _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "text_decontaminate" -> ((s, d) => TextQueries.textDecontaminate(s, d)),
     "text_mixture" -> (TextQueries.textMixture _),
     "text_topgrams" -> ((s, d) => TextQueries.textTopgrams(s, d)),
+    "text_vocab" -> ((s, d) => TextQueries.textVocab(s, d)),
     // Deduplication (D1–D5)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -589,6 +591,27 @@ object SparkEntry {
         |  count(*) AS n
         |FROM v1 FULL JOIN v2 ON v1.k = v2.k
         |GROUP BY 1 ORDER BY status""".stripMargin,
+    "t_salted_join" ->
+      """WITH li AS (
+        |  SELECT l_partkey % 20 AS k, l_quantity FROM lineitem
+        |), ord AS (
+        |  SELECT o_orderkey % 20 AS k2, round(sum(o_totalprice), 2) AS k_total
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT k, count(*) AS n, round(sum(l_quantity), 2) AS qty, max(k_total) AS k_total
+        |FROM li JOIN ord ON k = k2
+        |GROUP BY k ORDER BY k""".stripMargin,
+    "text_vocab" ->
+      """WITH terms AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+        |  FROM documents
+        |), f AS (
+        |  SELECT term, count(*) AS freq FROM terms WHERE term <> '' GROUP BY 1
+        |  ORDER BY freq DESC, term LIMIT 100
+        |)
+        |SELECT term, freq,
+        |  CAST(row_number() OVER (ORDER BY freq DESC, term) - 1 AS INT) AS token_id
+        |FROM f ORDER BY token_id""".stripMargin,
     "src_jsonl_corrupt" ->
       """SELECT cast(sum(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END) AS bigint) AS n_good,
         |  cast(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS bigint) AS n_corrupt,

@@ -344,6 +344,33 @@ object Analytics {
       .orderBy("status")
   }
 
+  /** T15: salted skew JOIN — the big-big shuffle-join twin of T5's
+    * salted aggregation. Both sides are fact-derived (a broadcast would
+    * sidestep the point, so the merge-join hint pins the shuffle path):
+    * the heavy side takes a deterministic salt, the other side explodes
+    * ×SALTS, and the join key becomes (key, salt) — a hot key's rows
+    * now land on SALTS reducers instead of one. This is the manual form
+    * of what AQE skew-join does adaptively; at 100 TB you want BOTH
+    * (AQE splits what sampling finds; salting guarantees the bound).
+    */
+  def tSaltedJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      // %20 makes the key domain tiny relative to the rows — every key
+      // is "skewed" relative to a 32-partition shuffle
+      .select((col("l_partkey") % 20).as("k"), col("l_quantity"),
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)).as("salt"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select((col("o_orderkey") % 20).as("k2"), col("o_totalprice"))
+      .groupBy("k2").agg(round(sum("o_totalprice"), 2).as("k_total"))
+      .withColumn("salt2", explode(array((0 until salts).map(lit): _*)))
+    li.hint("merge")
+      .join(ord, col("k") === col("k2") && col("salt") === col("salt2"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"),
+        max("k_total").as("k_total"))
+      .orderBy("k")
+  }
+
   /** F1: the SQL surface of graft's native expressions — registration
     * (extensions or runtime) + a pure-SQL query using `graft_cosine`,
     * proving the Catalyst expression is first-class in both APIs.

@@ -272,6 +272,23 @@ object TextQueries {
     * no global sort, each partition ships only its K best. Tie-break on
     * the gram string keeps the cut deterministic.
     */
+  /** X13: vocabulary build — the top-V terms by corpus frequency with
+    * contiguous stable ids (the tokenizer-training / embedding-table
+    * prep step). Fact-scale work is one map-side-combined term count +
+    * a distributed TakeOrdered cut; id assignment (a rank window) runs
+    * on the V survivors only, never the corpus. Ties break on the term
+    * so the vocabulary is reproducible.
+    */
+  def textVocab(spark: SparkSession, dir: String, vocabSize: Int = 100): DataFrame = {
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    Tables.load(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(vocabSize)
+      .withColumn("token_id", row_number().over(w) - 1)
+  }
+
   def textTopgrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(array_distinct(wordGrams(col("text"), 2))).as("gram"))

@@ -176,6 +176,33 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("salted join: shuffle join on (key, salt), same result as unsalted") {
+    val salted = Analytics.tSaltedJoin(spark, sfDir)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "merge hint must pin the shuffle-join path")
+    assert(!plan.contains("BroadcastHashJoin"))
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select((col("l_partkey") % 20).as("k"), col("l_quantity"))
+    val ord = Tables.load(spark, sfDir, "orders")
+      .select((col("o_orderkey") % 20).as("k2"), col("o_totalprice"))
+      .groupBy("k2").agg(round(sum("o_totalprice"), 2).as("k_total"))
+    val unsalted = li.join(ord, col("k") === col("k2"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"),
+        max("k_total").as("k_total"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val got = salted.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == unsalted)
+  }
+
+  test("vocab: contiguous ids in (freq desc, term) order") {
+    val rows = TextQueries.textVocab(spark, sfDir, vocabSize = 20).collect()
+    assert(rows.map(_.getAs[Int]("token_id")).toSeq == rows.indices.toSeq)
+    val freqs = rows.map(_.getAs[Long]("freq")).toSeq
+    assert(freqs == freqs.sortBy(-_))
+  }
+
   test("corrupt jsonl: good+corrupt partitions the source rows exactly") {
     val orders = Tables.load(spark, sfDir, "orders")
     val n = orders.count()
