@@ -145,6 +145,7 @@ object SparkEntry {
     "e_retention" -> (Analytics.retention _),
     "e_anomaly" -> (Analytics.eAnomaly _),
     "e_stream_upsert" -> (Events.streamUpsert _),
+    "e_stream_tws" -> (Events.streamTransformWithState _),
     // Pipeline orchestration (P1–P2)
     "p_flow_e2e" -> (IOQueries.flowE2E _),
     "p_corpus_e2e" -> ((s, d) => graft.pipeline.CorpusPipeline.corpusE2E(s, d))
@@ -653,6 +654,11 @@ object SparkEntry {
         |FROM stats
         |WHERE abs(n * 1000000 - mean_micro) > 2 * sd_micro
         |ORDER BY event_type, hour_us""".stripMargin,
+    "e_stream_tws" ->
+      """SELECT user_id, cast(count(*) AS bigint) AS n_purchases,
+        |  round(sum(value), 2) AS total_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
     "e_stream_upsert" ->
       """WITH p AS (
         |  SELECT DISTINCT event_id, user_id, epoch_us(ts) AS ts_us, value

@@ -404,4 +404,67 @@ object Events {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .orderBy("event_type")
   }
+
+  /** E18: per-user running purchase stats via `transformWithState` —
+    * Spark 4's arbitrary-state API (StatefulProcessor + typed state
+    * variables on the RocksDB state store), the successor to E6's
+    * `flatMapGroupsWithState`. Update mode emits a snapshot per key per
+    * batch; counts are strictly increasing, so "row with max count per
+    * user" is the final state no matter how AvailableNow slices the
+    * input into batches — that final state must equal the batch
+    * aggregate (parity oracle).
+    */
+  def streamTransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val staged = Files.createTempDirectory("graft_tws").toString + "/in"
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"))
+      .repartition(8).write.mode("overwrite").parquet(staged)
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema).parquet(staged).as[(Long, Double)]
+    val updates = stream.groupByKey(_._1)
+      .transformWithState(new PurchaseStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "n_purchases", "total_value")
+    val sinkName = s"graft_stream_tws_${streamCounter.incrementAndGet()}"
+    val q = updates.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val byUser = Window.partitionBy("user_id").orderBy(col("n_purchases").desc)
+    spark.table(sinkName)
+      .withColumn("rk", row_number().over(byUser)).filter(col("rk") === 1)
+      .select(col("user_id"), col("n_purchases"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy("user_id")
+  }
+}
+
+/** The E18 StatefulProcessor: one ValueState[(count, sum)] per user —
+  * mergeable running totals, emitted as an updated snapshot per batch.
+  */
+class PurchaseStatsProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Double)]("agg",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+    var (n, tot) = if (st.exists()) st.get() else (0L, 0.0)
+    rows.foreach { r => n += 1; tot += r._2 }
+    st.update((n, tot))
+    Iterator.single((key, n, tot))
+  }
 }

@@ -203,6 +203,17 @@ class Round3Spec extends SparkSpec {
     assert(freqs == freqs.sortBy(-_))
   }
 
+  test("transformWithState: final snapshots equal the batch aggregate") {
+    val batch = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"), round(sum("value"), 2).as("total_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = graft.streaming.Events.streamTransformWithState(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("corrupt jsonl: good+corrupt partitions the source rows exactly") {
     val orders = Tables.load(spark, sfDir, "orders")
     val n = orders.count()
