@@ -148,7 +148,8 @@ object SparkEntry {
     "e_stream_tws" -> (Events.streamTransformWithState _),
     // Pipeline orchestration (P1–P2)
     "p_flow_e2e" -> (IOQueries.flowE2E _),
-    "p_corpus_e2e" -> ((s, d) => graft.pipeline.CorpusPipeline.corpusE2E(s, d))
+    "p_corpus_e2e" -> ((s, d) => graft.pipeline.CorpusPipeline.corpusE2E(s, d)),
+    "p_backfill" -> (IOQueries.pBackfill _)
   )
 
   /** DuckDB-dialect oracle SQL, same column names as the Spark plans. */
@@ -1222,6 +1223,11 @@ object SparkEntry {
         |  count(*) AS n_events, max(tus) - min(tus) AS duration_us
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+    "p_backfill" ->
+      """SELECT year(o_orderdate) AS yr, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE year(o_orderdate) IN (1995, 1996, 1997)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "p_flow_e2e" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
         |  'this is an artificial transformation just to practice prefect' AS note

@@ -319,6 +319,41 @@ object IOQueries {
     }
   }
 
+  /** P3: parameterized backfill — the reference's parameterized
+    * mainflow loops the whole ETL over a LIST of sources
+    * (reference: week_2/data_ingest/parametrized.py:364 `mainflow`,
+    * the `isinstance(url, list)` branch at :387). Here the parameter
+    * is a year-partition: one Flow run per year ingests that slice and
+    * appends it into a hive-partitioned lake (`yr=NNNN`), and the final
+    * read-back aggregates the whole lake. The oracle computes the same
+    * per-year rollup straight from the source — parity proves every
+    * backfill run landed its partition exactly once, none twice.
+    * Each run's filter prunes the source scan to its year; the lake
+    * read groups by the partition column (no data-file scan needed for
+    * the key).
+    */
+  def pBackfill(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Flow._
+    val lake = tmpDir("backfill") + "/orders_lake"
+    Seq(1995, 1996, 1997).foreach { y =>
+      flow(s"backfill-$y") {
+        val slice = task("ingest", TaskConfig(retries = 2)) {
+          Tables.load(spark, dir, "orders")
+            .filter(year(col("o_orderdate")) === y)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              year(col("o_orderdate")).as("yr"))
+        }
+        task("store") {
+          slice.write.mode("append").partitionBy("yr").parquet(lake)
+        }
+      }
+    }
+    spark.read.parquet(lake)
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("yr")
+  }
+
   /** K5: warehouse upsert — batch 2 overlaps batch 1 and must win.
     * Final state: keys 0 mod 3 from batch 1 untouched, keys 1 mod 3
     * overwritten with the +1000 price, keys 2 mod 3 inserted.
