@@ -56,6 +56,7 @@ object SparkEntry {
     "q_mom" -> (Analytics.qMoM _),
     "t_profile" -> (Analytics.tProfile _),
     "e_transitions" -> (Analytics.eTransitions _),
+    "e_gap_fill" -> (Analytics.eGapFill _),
     "t_global_ids" -> (Analytics.tGlobalIds _),
     "t_global_ids_native" -> (Analytics.tGlobalIdsNative _),
     "t_shuffle_hash" -> ((s, d) => Analytics.tShuffleHash(s, d)),
@@ -505,6 +506,21 @@ object SparkEntry {
         |SELECT from_type, to_type, count(*) AS n FROM x
         |WHERE from_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    "e_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT min(date_trunc('hour', ts)) AS mn, max(date_trunc('hour', ts)) AS mx
+        |  FROM events
+        |), cal AS (
+        |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+        |), t AS (SELECT DISTINCT event_type AS et FROM events)
+        |SELECT t.et AS event_type, epoch_us(cal.h) AS hour_us,
+        |  cast(coalesce(n, 0) AS bigint) AS n
+        |FROM t CROSS JOIN cal
+        |LEFT JOIN hourly ON t.et = hourly.event_type AND cal.h = hourly.h
+        |ORDER BY event_type, hour_us""".stripMargin,
     "text_topgrams" ->
       """WITH t AS (
         |  SELECT doc_id,

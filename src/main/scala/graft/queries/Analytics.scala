@@ -371,6 +371,33 @@ object Analytics {
       .orderBy("k")
   }
 
+  /** E19: time-series gap filling — densify hourly per-type counts over
+    * the full [min, max] hour calendar, emitting explicit zeros for
+    * silent hours (monitoring and forecasting both need the zeros; a
+    * plain group-by silently drops them). The calendar is GENERATED
+    * (one-row bounds aggregate → `sequence` explode — never a scan),
+    * crossed with the distinct type dimension, then left-joined to the
+    * fact rollup. Fact-scale cost is the one hourly aggregate; the
+    * dense frame is |types|·|hours| — calendar-bounded, not
+    * data-bounded.
+    */
+  def eGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val cal = events
+      .agg(min(date_trunc("hour", col("ts"))).as("mn"),
+        max(date_trunc("hour", col("ts"))).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("h"))
+    val types = events.select("event_type").distinct()
+    types.crossJoin(cal)
+      .join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), unix_micros(col("h")).as("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour_us")
+  }
+
   /** F1: the SQL surface of graft's native expressions — registration
     * (extensions or runtime) + a pure-SQL query using `graft_cosine`,
     * proving the Catalyst expression is first-class in both APIs.

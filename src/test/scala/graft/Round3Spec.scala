@@ -214,6 +214,17 @@ class Round3Spec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("gap fill: dense calendar frame, zeros only where the rollup is silent") {
+    val rows = Analytics.eGapFill(spark, sfDir).collect()
+    val types = rows.map(_.getString(0)).distinct.length
+    val hours = rows.map(_.getLong(1)).distinct.length
+    assert(rows.length == types * hours, "output must be the full types x hours grid")
+    val nonZero = rows.count(_.getLong(2) > 0)
+    val rollup = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts"))).count().count()
+    assert(nonZero.toLong == rollup)
+  }
+
   test("corrupt jsonl: good+corrupt partitions the source rows exactly") {
     val orders = Tables.load(spark, sfDir, "orders")
     val n = orders.count()
