@@ -57,6 +57,8 @@ object SparkEntry {
     "t_profile" -> (Analytics.tProfile _),
     "e_transitions" -> (Analytics.eTransitions _),
     "e_gap_fill" -> (Analytics.eGapFill _),
+    "q_bloom_semi" -> (Analytics.qBloomSemi _),
+    "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "t_global_ids" -> (Analytics.tGlobalIds _),
     "t_global_ids_native" -> (Analytics.tGlobalIdsNative _),
     "t_shuffle_hash" -> ((s, d) => Analytics.tShuffleHash(s, d)),
@@ -506,6 +508,53 @@ object SparkEntry {
         |SELECT from_type, to_type, count(*) AS n FROM x
         |WHERE from_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    "q_bloom_semi" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "dedup_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), d AS (SELECT doc_id, md5(norm) AS h, toks FROM t),
+        |base AS (SELECT * FROM d WHERE doc_id < 400),
+        |delta AS (SELECT * FROM d WHERE doc_id >= 400),
+        |exact AS (
+        |  SELECT delta.doc_id, min(base.doc_id) AS match_id
+        |  FROM delta JOIN base ON delta.h = base.h GROUP BY 1
+        |),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+        |  FROM d WHERE len(toks) >= 3
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |restsh AS (SELECT * FROM sh WHERE doc_id >= 400
+        |           AND doc_id NOT IN (SELECT doc_id FROM exact)),
+        |basesh AS (SELECT * FROM sh WHERE doc_id < 400),
+        |inter AS (
+        |  SELECT r.doc_id AS d_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM restsh r JOIN basesh b ON r.shingle = b.shingle
+        |  GROUP BY 1, 2
+        |),
+        |near AS (
+        |  SELECT d_id AS doc_id, min(b_id) AS match_id
+        |  FROM inter
+        |  JOIN sizes sd ON d_id = sd.doc_id
+        |  JOIN sizes sb ON b_id = sb.doc_id
+        |  WHERE round(i / (sd.sz + sb.sz - i), 4) >= 0.5
+        |  GROUP BY 1
+        |),
+        |dup AS (
+        |  SELECT doc_id, 'exact_dup' AS verdict, match_id FROM exact
+        |  UNION ALL SELECT doc_id, 'near_dup', match_id FROM near
+        |)
+        |SELECT delta.doc_id, coalesce(verdict, 'new') AS verdict, match_id
+        |FROM delta LEFT JOIN dup ON delta.doc_id = dup.doc_id
+        |ORDER BY delta.doc_id""".stripMargin,
     "e_gap_fill" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n

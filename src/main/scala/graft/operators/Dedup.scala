@@ -371,6 +371,53 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** D10: INCREMENTAL dedup — the production topology: a new delta
+    * batch (here doc_id ≥ 400) is deduped AGAINST the already-ingested
+    * base corpus, never base-vs-base. Exact hash membership first
+    * (cheapest), then a delta×base inverted-index join for near-dups
+    * among the survivors — candidate pairs are bounded by
+    * |delta| · df(shared shingles), independent of base size growth
+    * run over run. Verdicts: exact_dup > near_dup > new, with the
+    * smallest matching base doc as evidence.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       splitAt: Long = 400, threshold: Double = 0.5,
+                       n: Int = 3): DataFrame = {
+    val docs = spread(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), md5(normText(col("text"))).as("h"),
+        shingleHashesCol(col("text"), n).as("sh"))
+    val base = docs.filter(col("doc_id") < splitAt)
+    val delta = docs.filter(col("doc_id") >= splitAt)
+    // exact: content-hash membership in the base (semi-ish join keeping
+    // the smallest matching base doc as evidence)
+    val exact = delta.as("d")
+      .join(base.as("b"), col("d.h") === col("b.h"))
+      .groupBy(col("d.doc_id").as("doc_id"))
+      .agg(min(col("b.doc_id")).as("match_id"))
+      .withColumn("verdict", lit("exact_dup"))
+    // near: inverted-index join of the remaining delta against the base
+    val rest = delta.join(exact.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    def index(df: DataFrame, side: String) =
+      df.filter(size(col("sh")) > 0)
+        .select(col("doc_id").as(s"${side}_id"), size(col("sh")).as(s"${side}_sz"),
+          explode(col("sh")).as("hash"))
+    val inter = index(rest, "d").join(index(base, "b"), "hash")
+      .groupBy("d_id", "b_id", "d_sz", "b_sz")
+      .agg(count(lit(1)).as("i"))
+      .filter(round(col("i") / (col("d_sz") + col("b_sz") - col("i")), 4) >= threshold)
+    val near = inter.groupBy(col("d_id").as("doc_id"))
+      .agg(min("b_id").as("match_id"))
+      .withColumn("verdict", lit("near_dup"))
+    val dup = exact.unionByName(near)
+    val fresh = delta.select("doc_id")
+      .join(dup.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("match_id", lit(null).cast("long"))
+      .withColumn("verdict", lit("new"))
+    dup.unionByName(fresh)
+      .select("doc_id", "verdict", "match_id")
+      .orderBy("doc_id")
+  }
+
   /** D9: SemDeDup-style semantic dedup — assign every embedding to its
     * nearest seed vector (the cluster), then keep only the member most
     * similar to the seed. Seeds (here: the lowest `k` vec_ids; in

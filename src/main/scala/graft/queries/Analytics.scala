@@ -371,6 +371,37 @@ object Analytics {
       .orderBy("k")
   }
 
+  /** Q31: Bloom-filter semi-join — the runtime-filter pattern made
+    * explicit: a fixed-size bloom sketch of the (filtered) dimension
+    * keys broadcasts to the fact scan as a `might_contain` predicate,
+    * discarding most non-matching rows BEFORE the join shuffle; the
+    * exact semi-join then removes bloom false positives, so the result
+    * is exactly the plain semi-join. At 100 TB this is what turns a
+    * fact-scale shuffle into a post-filter-scale one when the dim
+    * predicate is selective (Spark's InjectRuntimeFilter does the same
+    * rewrite automatically for eligible shuffle joins; the explicit
+    * form works on any plan and documents the mechanism).
+    */
+  def qBloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.load(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+    GraftFunctions.register(spark)
+    dim.createOrReplaceTempView("graft_bloom_dim")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_bloom_orders")
+    // the bloom must reach might_contain as a scalar subquery — the
+    // same contract InjectRuntimeFilter uses when planting the filter
+    spark.sql(
+      """WITH bf AS (
+        |  SELECT graft_bloom_agg(xxhash64(c_custkey), 1000L, 8192L) AS b
+        |  FROM graft_bloom_dim
+        |)
+        |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM graft_bloom_orders
+        |WHERE graft_might_contain((SELECT b FROM bf), xxhash64(o_custkey))
+        |  AND o_custkey IN (SELECT c_custkey FROM graft_bloom_dim)
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** E19: time-series gap filling — densify hourly per-type counts over
     * the full [min, max] hour calendar, emitting explicit zeros for
     * silent hours (monitoring and forecasting both need the zeros; a

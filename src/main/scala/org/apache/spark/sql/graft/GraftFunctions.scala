@@ -39,7 +39,23 @@ object GraftFunctions {
       (children: Seq[Expression]) => LangIdExpr(children.head, TextFunctions.langMarkers)),
     (FunctionIdentifier("graft_min_gram_md5"),
       info("graft_min_gram_md5", classOf[MinGramMd5].getName),
-      (children: Seq[Expression]) => MinGramMd5(children.head, 3))
+      (children: Seq[Expression]) => MinGramMd5(children.head, 3)),
+    // Spark's runtime-filter machinery (BloomFilterAggregate /
+    // BloomFilterMightContain) is internal-only — InjectRuntimeFilter
+    // uses it, but no SQL name exists. Registering it makes the
+    // explicit bloom-semi-join pattern (Q31) expressible on any plan.
+    (FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain",
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1)))
   )
 
   /** Runtime registration into an existing session (idempotent). */

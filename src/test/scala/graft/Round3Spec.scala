@@ -225,6 +225,33 @@ class Round3Spec extends SparkSpec {
     assert(nonZero.toLong == rollup)
   }
 
+  test("incremental dedup: verdicts partition the delta; exact beats near") {
+    val rows = Dedup.incrementalDedup(spark, sfDir, splitAt = 400).collect()
+    val deltaCount = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") >= 400).count()
+    assert(rows.length.toLong == deltaCount, "one verdict per delta doc")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      val verdict = r.getString(1)
+      assert(Set("exact_dup", "near_dup", "new")(verdict))
+      if (verdict == "new") assert(r.isNullAt(2))
+      else assert(r.getLong(2) < 400, "evidence must come from the base corpus")
+    }
+  }
+
+  test("bloom semi-join: bloom prefilter + exact verify equals the plain semi-join") {
+    val got = Analytics.qBloomSemi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val dim = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+    val plain = Tables.load(spark, sfDir, "orders")
+      .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == plain)
+  }
+
   test("corrupt jsonl: good+corrupt partitions the source rows exactly") {
     val orders = Tables.load(spark, sfDir, "orders")
     val n = orders.count()
