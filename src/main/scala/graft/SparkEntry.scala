@@ -58,6 +58,7 @@ object SparkEntry {
     "e_transitions" -> (Analytics.eTransitions _),
     "e_gap_fill" -> (Analytics.eGapFill _),
     "q_bloom_semi" -> (Analytics.qBloomSemi _),
+    "q_rolling_7d" -> (Analytics.qRolling7d _),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "t_global_ids" -> (Analytics.tGlobalIds _),
     "t_global_ids_native" -> (Analytics.tGlobalIdsNative _),
@@ -508,6 +509,15 @@ object SparkEntry {
         |SELECT from_type, to_type, count(*) AS n FROM x
         |WHERE from_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    "q_rolling_7d" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS day_total
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT d, day_total,
+        |  round(sum(day_total) OVER (ORDER BY d
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2) AS rolling_7d
+        |FROM daily ORDER BY d""".stripMargin,
     "q_bloom_semi" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders

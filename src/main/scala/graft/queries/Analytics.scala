@@ -371,6 +371,25 @@ object Analytics {
       .orderBy("k")
   }
 
+  /** Q32: rolling 7-day revenue — a RANGE window frame (value-based,
+    * `[d−6, d]` days), which unlike ROWS frames handles calendar gaps
+    * correctly: a missing day contributes nothing instead of shifting
+    * the frame. Fact-scale work is the daily rollup; the window runs on
+    * the calendar-bounded daily set (its single-partition ORDER BY is
+    * bounded by distinct days, not data — same rationale as Q30).
+    */
+  def qRolling7d(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("d_epoch").rangeBetween(-6, 0)
+    Tables.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round(sum("o_totalprice"), 2).as("day_total"))
+      .withColumn("d_epoch", datediff(col("d"), lit("1970-01-01").cast("date")))
+      .withColumn("rolling_7d", round(sum("day_total").over(w), 2))
+      .select("d", "day_total", "rolling_7d")
+      .orderBy("d")
+  }
+
   /** Q31: Bloom-filter semi-join — the runtime-filter pattern made
     * explicit: a fixed-size bloom sketch of the (filtered) dimension
     * keys broadcasts to the fact scan as a `might_contain` predicate,

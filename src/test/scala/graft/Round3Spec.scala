@@ -252,6 +252,16 @@ class Round3Spec extends SparkSpec {
     assert(got == plain)
   }
 
+  test("rolling 7d: frame sums only the days within [d-6, d]") {
+    val rows = Analytics.qRolling7d(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getDouble(1), r.getDouble(2)))
+    val byDay = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (d, _, roll) =>
+      val expected = (d - 6 to d).flatMap(byDay.get).sum
+      assert(math.abs(roll - expected) < 0.02, s"day $d: $roll vs $expected")
+    }
+  }
+
   test("corrupt jsonl: good+corrupt partitions the source rows exactly") {
     val orders = Tables.load(spark, sfDir, "orders")
     val n = orders.count()
