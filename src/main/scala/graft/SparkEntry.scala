@@ -124,6 +124,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivfAnn(s, d)),
     "ann_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    "ann_knn_lsh" -> ((s, d) => Similarity.knnJoinLsh(s, d)),
     "emb_norm" -> (Similarity.embNorm _),
     "emb_quantize" -> (Similarity.embQuantize _),
     "emb_centroid" -> (Similarity.embCentroid _),

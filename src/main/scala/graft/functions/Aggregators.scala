@@ -69,4 +69,27 @@ object Aggregators {
     override def bufferEncoder: Encoder[(Array[Double], Long)] = ExpressionEncoder()
     override def outputEncoder: Encoder[(Seq[Double], Long)] = ExpressionEncoder()
   }
+
+  /** Bounded top-k by (score desc, id asc): the mergeable state behind
+    * a kNN join that never shuffles the candidate set. A window
+    * (`row_number() over (partition by src)`) must shuffle EVERY
+    * candidate row to its src's reducer — O(n·|candidates|) shuffled
+    * rows; this aggregate keeps ≤ k entries per (group, partition)
+    * buffer, so partial aggregation runs map-side and only k rows per
+    * (src, partition) ever cross the wire. The (score desc, id asc)
+    * comparison is a TOTAL order, so the kept set is independent of
+    * partitioning and merge order — deterministic at any parallelism.
+    */
+  final case class TopKByScore(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def order(e: (Double, Long)): (Double, Long) = (-e._1, e._2)
+    override def zero: Seq[(Double, Long)] = Seq.empty
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      ((b :+ a).sortBy(order)).take(k)
+    override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      ((x ++ y).sortBy(order)).take(k)
+    override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+  }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnShim, CosineSimilarity}
+import org.apache.spark.sql.graft.{ColumnShim, CosineSimilarity, NearestCentroids}
 
 object VectorFunctions {
 
@@ -11,6 +11,12 @@ object VectorFunctions {
     */
   def cosine(a: Column, b: Column): Column =
     ColumnShim.column(CosineSimilarity(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** The `nProbe` nearest-centroid indexes by cosine, shuffle-free (see
+    * [[org.apache.spark.sql.graft.NearestCentroids]]).
+    */
+  def nearestCentroids(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    ColumnShim.column(NearestCentroids(ColumnShim.expression(v), centroids, nProbe))
 
   /** Pure-`sql.functions` fallback with identical semantics — kept as a
     * differential-test oracle for the native expression and as the

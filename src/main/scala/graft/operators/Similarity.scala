@@ -75,14 +75,59 @@ object Similarity {
 
   /** A6: exact kNN JOIN — top-k neighbors for EVERY vector (the
     * similarity graph behind embedding-cluster dedup and diversity
-    * sampling), not just a query set. Exact all-pairs is the verify
-    * baseline; the plan broadcasts one side and streams the other
-    * through the codegen'd cosine, so the corpus side never shuffles
-    * before the per-vector top-k window. At 100 TB the same rerank
-    * runs per LSH/IVF bucket (A2/A3) instead of all-pairs — identical
-    * output contract, candidate set cut by the bucketer.
+    * sampling), not just a query set.
+    *
+    * Memory-bounded exact plan: the neighbor side is broadcast in
+    * `nBlocks` hash blocks (each bounded at corpus/nBlocks — pick
+    * nBlocks so a block fits the broadcast budget; a single full-corpus
+    * broadcast is OOM-by-construction at scale). Within each block the
+    * per-src top-k is a MERGEABLE aggregate ([[graft.functions
+    * .Aggregators.TopKByScore]]), so partial aggregation runs map-side
+    * and only k rows per (src, partition) cross the shuffle — never the
+    * O(n²) candidate set a window rank would move. Global top-k =
+    * top-k of the per-block top-k union (ranking restricted to a subset
+    * can only improve a candidate's rank), so the result is EXACT.
+    * The O(n²) cosine compute is inherent to exact kNN — the cheap
+    * approximate path with the same output contract is [[knnJoinLsh]].
     */
-  def knnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 3, nBlocks: Int = 4): DataFrame = {
+    val e = corpus(spark, dir).select(col("vec_id").as("src"), col("embedding"))
+    val topk = udaf(graft.functions.Aggregators.TopKByScore(k))
+    val partials = (0 until nBlocks).map { b =>
+      val blk = broadcast(
+        Tables.load(spark, dir, "embeddings")
+          .filter(pmod(col("vec_id"), lit(nBlocks)) === b)
+          .select(col("vec_id").as("nbr"), col("embedding").as("nbr_emb")))
+      e.join(blk, col("src") =!= col("nbr"))
+        .select(col("src"),
+          round(VectorFunctions.cosine(col("embedding"), col("nbr_emb")), 4).as("sim"),
+          col("nbr"))
+        .groupBy("src")
+        .agg(topk(col("sim"), col("nbr")).as("nn"))
+        .select(col("src"), explode(col("nn")).as("e"))
+        .select(col("src"), col("e._1").as("sim"), col("e._2").as("nbr"))
+    }
+    rankTopK(partials.reduce(_ unionByName _), topk)
+  }
+
+  /** Shared tail of the kNN joins: merge per-block/per-bucket partial
+    * top-k rows into the final per-src ranking. Input: (src, sim, nbr).
+    */
+  private def rankTopK(partial: DataFrame,
+                       topk: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+    partial
+      .groupBy("src")
+      .agg(topk(col("sim"), col("nbr")).as("nn"))
+      .select(col("src"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("src"), (col("pos") + 1).cast("int").as("rk"),
+        col("e._2").as("nbr"), col("e._1").as("sim"))
+      .orderBy("src", "rk")
+
+  /** The full-corpus-broadcast exact form — kept ONLY as the spec
+    * oracle for [[knnJoin]]/[[knnJoinLsh]] (one broadcast, one window;
+    * simplest possible exact plan, fine at spec SF, OOM at scale).
+    */
+  private[graft] def knnJoinBroadcast(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val e = corpus(spark, dir)
     val nbrs = broadcast(
       Tables.load(spark, dir, "embeddings")
@@ -95,6 +140,40 @@ object Similarity {
       .filter(col("rk") <= k)
       .select("src", "rk", "nbr", "sim")
       .orderBy("src", "rk")
+  }
+
+  /** A6b: approximate kNN join via LSH blocking — the 100 TB default
+    * when exact isn't required. Candidates = pairs sharing a band
+    * bucket in ≥1 table (the D3/A2 blocking applied to the self-join),
+    * exact cosine rerank per candidate, same mergeable top-k tail as
+    * [[knnJoin]]. The bucket join moves (id, id) pairs only — vectors
+    * re-join by key for the rerank — so shuffle volume is
+    * candidate-linear, not corpus². Probabilistic recall (tunable via
+    * nTables/bits) → rows-only driver check; the spec measures recall
+    * vs the exact [[knnJoin]].
+    */
+  def knnJoinLsh(spark: SparkSession, dir: String, k: Int = 3,
+                 nTables: Int = 16, bitsPerTable: Int = 4,
+                 seed: Long = 42L): DataFrame = {
+    val e = corpus(spark, dir)
+    val dim = embeddingDim(spark, dir)
+    val tables = hyperplanes(dim, nTables, bitsPerTable, seed)
+    def codes(embCol: String): org.apache.spark.sql.Column =
+      ColumnShim.column(HyperplaneCodes(ColumnShim.expression(col(embCol)), tables))
+    val buckets = e.select(col("vec_id"), posexplode(codes("embedding")))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "code"))
+    val pairs = buckets
+      .join(buckets.select(col("vec_id").as("nbr"), col("tbl"), col("code")), Seq("tbl", "code"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id").as("src"), col("nbr"))
+      .distinct()
+    val cand = pairs
+      .join(e.select(col("vec_id").as("src"), col("embedding")), Seq("src"))
+      .join(e.select(col("vec_id").as("nbr"), col("embedding").as("nbr_emb")), Seq("nbr"))
+      .select(col("src"),
+        round(VectorFunctions.cosine(col("embedding"), col("nbr_emb")), 4).as("sim"),
+        col("nbr"))
+    rankTopK(cand, udaf(graft.functions.Aggregators.TopKByScore(k)))
   }
 
   /** Deterministic random hyperplanes: `nTables` tables × `bitsPerTable`
@@ -213,61 +292,60 @@ object Similarity {
       .orderBy("label", "dim")
   }
 
-  /** Lloyd-iterated centroids. Only the k×dim centroid matrix crosses
-    * the driver boundary each iteration (collect of `k` rows); the
-    * corpus-side assignment is a broadcast argmin, the update a single
-    * groupBy-avg shuffle of dim doubles per (cell, partition).
+  /** Nearest-cell assignment as a NARROW projection: the centroid
+    * matrix folds into the plan as a reference object inside the native
+    * [[org.apache.spark.sql.graft.NearestCentroids]] argmax, so the
+    * `cell` column is born in the scan stage — zero shuffled bytes,
+    * any corpus size. (The previous `crossJoin(centroids) +
+    * row_number() over (partition by vec_id)` shape shuffled corpus×k
+    * rows per pass.) Cell id = position in `centroids`.
     */
-  private[operators] def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+  private[graft] def assignCells(e: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    e.withColumn("cell",
+      element_at(VectorFunctions.nearestCentroids(col("embedding"), centroids, 1), 1))
+
+  /** Lloyd-iterated centroids. Per iteration: one narrow assignment
+    * pass ([[assignCells]]) and ONE mergeable-aggregate shuffle — the
+    * [[graft.functions.Aggregators.VectorSum]] buffer carries one
+    * double[dim] per (cell, partition), so the corpus never re-shuffles
+    * and only the k×dim centroid matrix crosses the driver boundary.
+    * Cells that lose all members drop out (k shrinks), as in classic
+    * Lloyd; ids stay positional in the returned sequence.
+    */
+  private[operators] def kmeansCentroids(e: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
     val spark = e.sparkSession
     import spark.implicits._
-    var centroids: Seq[(Int, Seq[Double])] =
-      e.orderBy("vec_id").limit(k).collect().zipWithIndex.map { case (r, i) =>
-        i -> r.getAs[scala.collection.Seq[Float]]("embedding").toSeq.map(_.toDouble)
-      }.toSeq
+    var centroids: Seq[Seq[Double]] =
+      e.orderBy("vec_id").limit(k).collect().map(r =>
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq.map(_.toDouble)).toSeq
+    val vsum = udaf(graft.functions.Aggregators.VectorSum)
     for (_ <- 0 until iters) {
-      val cdf = broadcast(centroids.toDF("cell", "centroid"))
-      val assigned = e.crossJoin(cdf)
-        .withColumn("sim", VectorFunctions.cosineBuiltin(col("embedding"), col("centroid")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))))
-        .filter(col("rn") === 1)
-      val dim = centroids.head._2.length
-      centroids = assigned
-        .select(col("cell"), col("embedding"))
+      centroids = assignCells(e, centroids)
         .groupBy("cell")
-        .agg(array((0 until dim).map(i =>
-          avg(element_at(col("embedding"), i + 1))): _*).as("centroid"))
-        .as[(Int, Seq[Double])]
+        .agg(vsum(col("embedding")).as("acc"))
+        .select(col("cell"), col("acc._1").as("sums"), col("acc._2").as("n"))
+        .as[(Int, Seq[Double], Long)]
         .collect().toSeq.sortBy(_._1)
+        .map { case (_, sums, n) => sums.map(_ / n) }
     }
     centroids
   }
 
-  /** A3: IVF-style ANN — assign corpus to nearest centroid cell (one
-    * pass, broadcast centroids), probe the `nprobe` cells nearest to
-    * each query, exact-rerank inside probed cells. The corpus fraction
-    * scanned per query is ~nprobe/k cells.
+  /** A3: IVF-style ANN — assign corpus to nearest centroid cell (a
+    * narrow projection, see [[assignCells]]), probe the `nprobe` cells
+    * nearest to each query, exact-rerank inside probed cells. The
+    * corpus fraction scanned per query is ~nprobe/k cells, and nothing
+    * in the index-build or assignment path shuffles the corpus.
     */
   def ivfAnn(spark: SparkSession, dir: String,
              k: Int = 5, nQueries: Int = 10,
              nCells: Int = 10, nprobe: Int = 2, iters: Int = 3): DataFrame = {
     val e = corpus(spark, dir)
-    import spark.implicits._
     val cents = kmeansCentroids(e, nCells, iters)
-    val cdf = broadcast(cents.toDF("cell", "centroid"))
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
-    val assigned = e.crossJoin(cdf)
-      .withColumn("sim", VectorFunctions.cosineBuiltin(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    val wProbe = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))
-    val probes = querySet(e, nQueries).crossJoin(cdf)
-      .withColumn("sim", VectorFunctions.cosineBuiltin(col("q_emb"), col("centroid")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("cell"))
+    val assigned = assignCells(e, cents).select("vec_id", "embedding", "cell")
+    val probes = querySet(e, nQueries)
+      .select(col("q_id"), col("q_emb"),
+        explode(VectorFunctions.nearestCentroids(col("q_emb"), cents, nprobe)).as("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
