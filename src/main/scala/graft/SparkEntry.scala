@@ -996,10 +996,16 @@ object SparkEntry {
         |  FROM scored
         |) WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "dedup_paragraph" ->
-      """WITH s AS (
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || '. Subscribe to our newsletter for the latest updates. All rights reserved'
+        |      ELSE text END AS text
+        |  FROM documents
+        |), s AS (
         |  SELECT doc_id, md5(trim(lower(sent))) AS sent_hash
         |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\.\s+')) AS sent
-        |        FROM documents)
+        |        FROM docs)
         |  WHERE length(trim(sent)) > 0
         |)
         |SELECT sent_hash, count(*) AS n_occ,

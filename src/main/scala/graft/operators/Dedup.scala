@@ -277,16 +277,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Deterministic boilerplate injection for D7: every 7th document
+    * gets the same two trailing sentences, simulating the repeated
+    * footer/disclaimer text real web corpora carry. The synthetic
+    * testdata has no naturally repeated sentences, so without this the
+    * D7 gate passes vacuously (0 rows = 0 rows); the oracle SQL applies
+    * the identical derivation, so the check stays exact.
+    */
+  private[graft] val boilerplate =
+    ". Subscribe to our newsletter for the latest updates. All rights reserved"
+  private[graft] def withBoilerplate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(boilerplate)))
+        .otherwise(col("text")).as("text"))
+
   /** D7: paragraph/sentence-level exact dedup — the sub-document pass
     * that catches boilerplate repeated across otherwise-distinct pages
     * (headers, disclaimers, nav text). Sentences explode out of the
     * scan, hash, and aggregate in one shuffle on the hash; emitted are
     * hashes occurring more than once, with occurrence/document counts
     * and the canonical keeper. At 100 TB the output feeds a semi-join
-    * back against the corpus to strip the repeated spans.
+    * back against the corpus to strip the repeated spans. (Input passes
+    * through [[withBoilerplate]] so the gate exercises real collisions
+    * at every SF.)
     */
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
-    spread(Tables.load(spark, dir, "documents"))
+    spread(withBoilerplate(Tables.load(spark, dir, "documents")))
       .select(col("doc_id"), explode(split(col("text"), "\\.\\s+")).as("sent"))
       .filter(length(trim(col("sent"))) > 0)
       .select(col("doc_id"), md5(trim(lower(col("sent")))).as("sent_hash"))

@@ -111,7 +111,9 @@ class Round2Spec extends SparkSpec {
       .select("doc_id", "text").collect()
     val counts = scala.collection.mutable.Map[String, Int]()
     docs.foreach { r =>
-      r.getString(1).split("\\.\\s+").filter(_.trim.nonEmpty).foreach { s =>
+      val text =
+        if (r.getLong(0) % 7 == 0) r.getString(1) + Dedup.boilerplate else r.getString(1)
+      text.split("\\.\\s+").filter(_.trim.nonEmpty).foreach { s =>
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(s.trim.toLowerCase.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
@@ -119,6 +121,8 @@ class Round2Spec extends SparkSpec {
       }
     }
     val expected = counts.count(_._2 > 1)
+    // the injected boilerplate guarantees the gate is non-vacuous
+    assert(expected > 0, "boilerplate injection produced no repeated sentences")
     assert(Dedup.paragraphDedup(spark, sfDir).count() == expected)
   }
 
