@@ -95,6 +95,7 @@ object SparkEntry {
     "sink_sorted" -> (IOQueries.sinkSorted _),
     "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
     "src_fvecs" -> (IOQueries.srcFvecs _),
+    "src_url" -> (IOQueries.srcUrl _),
     // Text analysis (X1–X4)
     "text_langid" -> (TextQueries.textLangid _),
     "text_quality" -> (TextQueries.textQuality _),
@@ -837,6 +838,8 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
         |FROM lineitem WHERE l_returnflag <> 'N'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "src_url" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "src_csv" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
         |  round(sum(l_extendedprice), 2) AS total

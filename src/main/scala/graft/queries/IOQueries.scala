@@ -84,6 +84,42 @@ object IOQueries {
     perFmt.reduce(_ unionByName _).orderBy("fmt")
   }
 
+  /** S9: remote-URL ingestion — the reference's DEFAULT input flow
+    * (reference: week_1/data_ingest/data_ingest.py:40-48 downloads the
+    * source URL with wget before reading). A CSV derived from `region`
+    * is served over a loopback HTTP server and ingested via
+    * [[Ingest.read]] with the URL — the full production path (URL →
+    * staged local file → extension dispatch → schema'd CSV parse); the
+    * only test-specific part is that the host is 127.0.0.1 (the sandbox
+    * has no egress). The oracle reads `region` straight from parquet —
+    * a hash match proves the HTTP round-trip was lossless.
+    */
+  def srcUrl(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region")
+    val base = tmpDir("url")
+    TableStore.writeCsv(region.coalesce(1), s"$base/serve")
+    val part = new java.io.File(s"$base/serve").listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    val served = java.nio.file.Paths.get(base, "region.csv")
+    java.nio.file.Files.copy(part.toPath, served)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (exchange: com.sun.net.httpserver.HttpExchange) => {
+      val bytes = java.nio.file.Files.readAllBytes(served)
+      exchange.sendResponseHeaders(200, bytes.length)
+      val os = exchange.getResponseBody
+      try os.write(bytes) finally os.close()
+    })
+    server.start()
+    try {
+      // read() stages eagerly, so the server can stop before the (lazy)
+      // scan of the staged copy runs
+      Ingest.read(spark, s"http://127.0.0.1:${server.getAddress.getPort}/region.csv",
+          Some(region.schema))
+        .orderBy("r_regionkey")
+    } finally server.stop(0)
+  }
+
   /** S5: schema evolution on read — two parquet batches with different
     * schemas (an added column) merged by `mergeSchema`: old rows surface
     * the new column as null. This is how a long-lived datalake table

@@ -49,9 +49,44 @@ object Ingest {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
-  /** The reference's single entry point: point at a file, get a table. */
+  /** Stage a remote file locally, returning the staged path — the
+    * reference's default flow downloads its input before reading
+    * (reference: week_1/data_ingest/data_ingest.py:40-48
+    * `wget.download(my_url)`; week_2/data_ingest/parametrized.py:31).
+    *
+    * One URL = one stream, so the fetch is inherently a single-writer
+    * step (exactly like wget); the staged file then parses with full
+    * scan parallelism. For a many-file ingest at scale, run one fetch
+    * per URL from the backfill task list ([[graft.pipeline.Flow]]) —
+    * the fetches are independent and parallelize across tasks. The
+    * file name (and so the format detection) comes from the URL path,
+    * query string stripped.
+    */
+  def fetchToStaging(url: String, stagingDir: Option[String] = None): String = {
+    val name = url.split('/').last.split("[?#]").head
+    require(name.nonEmpty, s"cannot derive a file name from url $url")
+    val dir = stagingDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_url").toString)
+    val dest = java.nio.file.Paths.get(dir, name)
+    val conn = java.net.URI.create(url).toURL.openConnection()
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(120000)
+    val in = conn.getInputStream
+    try java.nio.file.Files.copy(in, dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    dest.toString
+  }
+
+  /** The reference's single entry point: point at a file OR an
+    * `http(s)://` URL, get a table. Remote inputs stage through
+    * [[fetchToStaging]] first (eagerly — the returned plan reads the
+    * local staged copy), then dispatch on format like any local path.
+    */
   def read(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
-    detectFormat(path) match {
+    if (path.startsWith("http://") || path.startsWith("https://"))
+      read(spark, fetchToStaging(path), schema)
+    else detectFormat(path) match {
       case "parquet" => readParquet(spark, path)
       case "csv"     => readCsv(spark, path, schema)
       case "json"    => readJson(spark, path, schema)
