@@ -155,7 +155,8 @@ object SparkEntry {
     // Pipeline orchestration (P1–P2)
     "p_flow_e2e" -> (IOQueries.flowE2E _),
     "p_corpus_e2e" -> ((s, d) => graft.pipeline.CorpusPipeline.corpusE2E(s, d)),
-    "p_backfill" -> (IOQueries.pBackfill _)
+    "p_backfill" -> (IOQueries.pBackfill _),
+    "p_flow_cache" -> (IOQueries.pFlowCache _)
   )
 
   /** DuckDB-dialect oracle SQL, same column names as the Spark plans. */
@@ -1317,6 +1318,18 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
         |  'this is an artificial transformation just to practice prefect' AS note
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "p_flow_cache" ->
+      """WITH m AS (
+        |  SELECT month(o_orderdate) AS mo, cast(count(*) AS bigint) AS n,
+        |    round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT 1 AS call_idx, 1 AS month, n, total, 1 AS body_runs FROM m WHERE mo = 1
+        |UNION ALL
+        |SELECT 2 AS call_idx, 2 AS month, n, total, 2 AS body_runs FROM m WHERE mo = 2
+        |UNION ALL
+        |SELECT 3 AS call_idx, 1 AS month, n, total, 2 AS body_runs FROM m WHERE mo = 1
+        |ORDER BY call_idx""".stripMargin,
     "p_corpus_e2e" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, source,

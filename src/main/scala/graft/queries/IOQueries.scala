@@ -390,6 +390,38 @@ object IOQueries {
       .orderBy("yr")
   }
 
+  /** P4: task-result caching — the reference's
+    * `cache_key_fn=task_input_hash, cache_expiration` surface
+    * (reference: week_2/data_ingest/parametrized.py:80,144). A month
+    * aggregate runs as a cached task over the call sequence
+    * month 1 → month 2 → month 1 again: the repeat must serve from
+    * cache (body_runs stays 2) while returning a result identical to
+    * the fresh run. The oracle recomputes the per-month aggregates and
+    * pins the expected cumulative body-run counts — a hash match proves
+    * both the cache hit AND that the memoized result is value-identical
+    * to recomputation.
+    */
+  def pFlowCache(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Flow
+    import spark.implicits._
+    Flow.clearCache()
+    val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    def monthAgg(m: Int): (Long, Double) =
+      Flow.cachedTask("month_agg", Seq(dir, m), Flow.CacheConfig(ttlMs = 86400000L)) {
+        runs.incrementAndGet()
+        val r = Tables.load(spark, dir, "orders")
+          .filter(month(col("o_orderdate")) === m)
+          .agg(count(lit(1)), round(sum("o_totalprice"), 2)).head
+        (r.getLong(0), r.getDouble(1))
+      }
+    val calls = Seq(1, 2, 1).zipWithIndex.map { case (m, i) =>
+      val (n, total) = monthAgg(m)
+      (i + 1, m, n, total, runs.get())
+    }
+    calls.toDF("call_idx", "month", "n", "total", "body_runs")
+      .orderBy("call_idx")
+  }
+
   /** K5: warehouse upsert — batch 2 overlaps batch 1 and must win.
     * Final state: keys 0 mod 3 from batch 1 untouched, keys 1 mod 3
     * overwritten with the +1000 price, keys 2 mod 3 inserted.

@@ -32,6 +32,45 @@ class FlowSpec extends SparkSpec {
     }
   }
 
+  test("cached task: identical inputs within TTL skip the body") {
+    Flow.clearCache()
+    val runs = new AtomicInteger(0)
+    def call(x: Int): Int =
+      Flow.cachedTask("memo", Seq(x), Flow.CacheConfig(ttlMs = 60000)) {
+        runs.incrementAndGet(); x * 2
+      }
+    assert(call(21) == 42)
+    assert(call(21) == 42)
+    assert(runs.get() == 1, "second identical call must hit the cache")
+    assert(call(7) == 14)
+    assert(runs.get() == 2, "different inputs must run the body")
+  }
+
+  test("cached task: expired TTL re-runs the body") {
+    Flow.clearCache()
+    var now = 1000L
+    Flow.clock = () => now
+    try {
+      val runs = new AtomicInteger(0)
+      def call(): Int =
+        Flow.cachedTask("ttl", Seq("same"), Flow.CacheConfig(ttlMs = 500)) {
+          runs.incrementAndGet()
+        }
+      call()
+      now += 100
+      call()
+      assert(runs.get() == 1, "fresh entry must be served from cache")
+      now += 1000
+      call()
+      assert(runs.get() == 2, "expired entry must re-run")
+    } finally Flow.resetClock()
+  }
+
+  test("input hash separates adjacent inputs unambiguously") {
+    assert(Flow.inputHash(Seq("ab", "c")) != Flow.inputHash(Seq("a", "bc")))
+    assert(Flow.inputHash(Seq(1, 2)) == Flow.inputHash(Seq(1, 2)))
+  }
+
   test("end-to-end flow produces the transformed aggregate") {
     val out = graft.queries.IOQueries.flowE2E(spark, sfDir).collect()
     assert(out.nonEmpty)
