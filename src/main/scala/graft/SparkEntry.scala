@@ -93,6 +93,7 @@ object SparkEntry {
     "sink_compact" -> (IOQueries.sinkCompact _),
     "sink_versioned" -> (IOQueries.sinkVersioned _),
     "sink_sorted" -> (IOQueries.sinkSorted _),
+    "sink_jdbc" -> (IOQueries.sinkJdbc _),
     "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
     "src_fvecs" -> (IOQueries.srcFvecs _),
     "src_url" -> (IOQueries.srcUrl _),
@@ -862,6 +863,13 @@ object SparkEntry {
         |  SELECT '1_replace' AS step, count(*) AS n_rows, true AS ok FROM orders
         |  UNION ALL SELECT '2_append', 2 * count(*), true FROM orders
         |  UNION ALL SELECT '3_fail', 2 * count(*), true FROM orders
+        |) ORDER BY step""".stripMargin,
+    "sink_jdbc" ->
+      """SELECT * FROM (
+        |  SELECT '1_replace' AS step, count(*) AS n_rows, true AS ok FROM nation
+        |  UNION ALL SELECT '2_append', 2 * count(*), true FROM nation
+        |  UNION ALL SELECT '3_fail', 2 * count(*), true FROM nation
+        |  UNION ALL SELECT '4_replace_again', count(*), true FROM nation
         |) ORDER BY step""".stripMargin,
     "sink_compress" ->
       """SELECT * FROM (

@@ -212,6 +212,37 @@ object IOQueries {
     ).toDF("step", "n_rows", "ok").orderBy("step")
   }
 
+  /** K11: external-warehouse store through the JDBC-shaped
+    * [[graft.sinks.WarehouseWriter]] interface — the reference's
+    * Postgres path (reference: week_1/data_ingest/data_ingest.py:66
+    * `store_table_in_db` via a SQLAlchemy engine URL). The gate drives
+    * replace/append/fail through the interface; here it binds to the
+    * file-backed double (no DB server in the sandbox), production binds
+    * [[graft.sinks.JdbcWarehouse]] with zero caller changes.
+    */
+  def sinkJdbc(spark: SparkSession, dir: String): DataFrame = {
+    val wh: graft.sinks.WarehouseWriter =
+      new graft.sinks.FileWarehouse(tmpDir("jdbc_wh"))
+    val src = Tables.load(spark, dir, "nation").select("n_nationkey", "n_name")
+    wh.write(src, "nation", "replace")
+    val afterReplace = wh.read(spark, "nation").count()
+    wh.write(src, "nation", "append")
+    val afterAppend = wh.read(spark, "nation").count()
+    val failRaised =
+      try { wh.write(src, "nation", "fail"); false }
+      catch { case _: Throwable => true }
+    val afterFail = wh.read(spark, "nation").count()
+    wh.write(src, "nation", "replace")
+    val afterRestore = wh.read(spark, "nation").count()
+    import spark.implicits._
+    Seq(
+      ("1_replace", afterReplace, true),
+      ("2_append", afterAppend, true),
+      ("3_fail", afterFail, failRaised),
+      ("4_replace_again", afterRestore, true)
+    ).toDF("step", "n_rows", "ok").orderBy("step")
+  }
+
   /** K2: compressed parquet write (reference writes gzip parquet,
     * week_2/data_ingest/pipeline.py:191) — each codec must round-trip
     * identical data.

@@ -68,6 +68,25 @@ class Round4Spec extends SparkSpec {
     assert(recall >= 0.7, s"recall=$recall")
   }
 
+  test("warehouse writer: replace/append/fail through the JDBC-shaped interface") {
+    val wh: graft.sinks.WarehouseWriter = new graft.sinks.FileWarehouse(
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    val spark2 = spark
+    import spark2.implicits._
+    val batch = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    assert(!wh.exists(spark, "t"))
+    wh.write(batch, "t", "replace")
+    assert(wh.read(spark, "t").count() == 2)
+    wh.write(batch, "t", "append")
+    assert(wh.read(spark, "t").count() == 4)
+    intercept[Throwable] { wh.write(batch, "t", "fail") }
+    assert(wh.read(spark, "t").count() == 4, "failed write must leave the table untouched")
+    wh.write(batch, "t", "replace")
+    assert(wh.read(spark, "t").count() == 2)
+    assert(wh.exists(spark, "t"))
+    intercept[RuntimeException] { wh.write(batch, "t", "bogus_mode") }
+  }
+
   test("kNN join top-k aggregate keeps candidate rows out of the shuffle") {
     val plan = Similarity.knnJoin(spark, sfDir).queryExecution.executedPlan
     assert(plan.collect { case w: WindowExec => w }.isEmpty,
