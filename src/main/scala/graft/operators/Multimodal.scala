@@ -42,23 +42,30 @@ object Multimodal {
   /** M4: binary-FILE ingestion — the `binaryFile` source, how raw
     * media objects (one image/audio file per object) actually enter a
     * lakehouse before being compacted into binary columns. Payload
-    * files are staged to a directory (driver-side test plumbing, one
-    * file per document), read back with `spark.read.format
-    * ("binaryFile")`, and checksummed: doc_id parsed from the path,
-    * n_bytes from the source's `length`, byte_sum from the `content`
-    * bytes. The oracle recomputes all three from `documents` — a match
-    * proves the file round-trip is byte-exact. Only docs < `nDocs`
-    * stage (bounds file count; the source itself streams any number).
+    * files stage via a DISTRIBUTED `foreachPartition` write (each
+    * executor writes its partition's documents through the Hadoop FS
+    * API — one object per document, no driver materialization, the
+    * same pattern that stages onto HDFS/object storage at scale), are
+    * read back with `spark.read.format("binaryFile")`, and
+    * checksummed: doc_id parsed from the path, n_bytes from the
+    * source's `length`, byte_sum from the `content` bytes. The oracle
+    * recomputes all three from `documents` — a match proves the file
+    * round-trip is byte-exact. Only docs < `nDocs` stage (bounds file
+    * count for the gate; the source itself streams any number).
     */
   def mmBinaryFiles(spark: SparkSession, dir: String, nDocs: Int = 50): DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory("graft_binfiles").toString
     Tables.load(spark, dir, "documents")
       .filter(col("doc_id") < nDocs)
-      .select(col("doc_id"), col("text")).collect()
-      .foreach { r =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(stage, f"doc_${r.getLong(0)}%06d.bin"),
-          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { rows: Iterator[Row] =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        rows.foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(f"$stage/doc_${r.getLong(0)}%06d.bin")
+          val out = p.getFileSystem(conf).create(p, true)
+          try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
       }
     // byte_sum via the same hex-pair decode as mm_sample: raw byte
     // semantics, no charset round-trip

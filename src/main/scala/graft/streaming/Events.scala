@@ -416,33 +416,53 @@ object Events {
     */
   def streamTransformWithState(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // transformWithState requires the RocksDB provider, but the session
+    // is shared — scope the conf change to THIS query and restore the
+    // prior provider afterwards, or every later streaming operator in
+    // the run would silently execute under a different state store
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val staged = Files.createTempDirectory("graft_tws").toString + "/in"
-    Tables.load(spark, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("value"))
-      .repartition(8).write.mode("overwrite").parquet(staged)
-    val schema = spark.read.parquet(staged).schema
-    val stream = spark.readStream.schema(schema).parquet(staged).as[(Long, Double)]
-    val updates = stream.groupByKey(_._1)
-      .transformWithState(new PurchaseStatsProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
-        org.apache.spark.sql.streaming.OutputMode.Update())
-      .toDF("user_id", "n_purchases", "total_value")
-    val sinkName = s"graft_stream_tws_${streamCounter.incrementAndGet()}"
-    val q = updates.writeStream
-      .format("memory").queryName(sinkName)
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val byUser = Window.partitionBy("user_id").orderBy(col("n_purchases").desc)
-    spark.table(sinkName)
-      .withColumn("rk", row_number().over(byUser)).filter(col("rk") === 1)
-      .select(col("user_id"), col("n_purchases"),
-        round(col("total_value"), 2).as("total_value"))
-      .orderBy("user_id")
+    val base = Files.createTempDirectory("graft_tws")
+    val staged = base.toString + "/in"
+    try {
+      Tables.load(spark, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"))
+        .repartition(8).write.mode("overwrite").parquet(staged)
+      val schema = spark.read.parquet(staged).schema
+      val stream = spark.readStream.schema(schema).parquet(staged).as[(Long, Double)]
+      val updates = stream.groupByKey(_._1)
+        .transformWithState(new PurchaseStatsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n_purchases", "total_value")
+      val sinkName = s"graft_stream_tws_${streamCounter.incrementAndGet()}"
+      val q = updates.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("update")
+        .option("checkpointLocation", base.toString + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val byUser = Window.partitionBy("user_id").orderBy(col("n_purchases").desc)
+      // materialize BEFORE the finally block restores the provider and
+      // deletes the RocksDB checkpoint/state dirs
+      val snapshot = spark.table(sinkName)
+        .withColumn("rk", row_number().over(byUser)).filter(col("rk") === 1)
+        .select(col("user_id"), col("n_purchases"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id")
+        .localCheckpoint()
+      snapshot
+    } finally {
+      priorProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
   }
 }
 
