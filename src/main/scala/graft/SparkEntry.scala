@@ -267,10 +267,10 @@ object SparkEntry {
         |ORDER BY rf, ls""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+        |  round(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p25,
+        |  round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p50,
+        |  round(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p75,
+        |  round(percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_range_join" ->
       """WITH bands(band, lo, hi) AS (VALUES

@@ -82,7 +82,13 @@ object Aggregators {
     */
   final case class TopKByScore(k: Int)
       extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
-    private def order(e: (Double, Long)): (Double, Long) = (-e._1, e._2)
+    private def order(e: (Double, Long)): (Double, Long) = {
+      // -0.0 sorts below 0.0 under Ordering[Double]; collapse the zero
+      // sign before negating so a ±0.0 score tie falls through to the
+      // id-asc tie-break exactly like a SQL window (where -0.0 == 0.0).
+      val s = if (e._1 == 0.0) 0.0 else e._1
+      (-s, e._2)
+    }
     override def zero: Seq[(Double, Long)] = Seq.empty
     override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
       ((b :+ a).sortBy(order)).take(k)

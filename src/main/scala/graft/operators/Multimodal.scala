@@ -52,14 +52,33 @@ object Multimodal {
     * recomputes all three from `documents` — a match proves the file
     * round-trip is byte-exact. Only docs < `nDocs` stage (bounds file
     * count for the gate; the source itself streams any number).
+    *
+    * `stageDir` must be on a filesystem every executor can reach — an
+    * HDFS/object-store URI on a real cluster (the Hadoop FS API
+    * resolves the scheme through the shipped session conf); the
+    * driver-local tmpdir default is only valid where driver and
+    * executors share a filesystem (local mode, NFS).
     */
-  def mmBinaryFiles(spark: SparkSession, dir: String, nDocs: Int = 50): DataFrame = {
-    val stage = java.nio.file.Files.createTempDirectory("graft_binfiles").toString
+  def mmBinaryFiles(spark: SparkSession, dir: String, nDocs: Int = 50,
+                    stageDir: Option[String] = None): DataFrame = {
+    val stage = stageDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_binfiles").toString)
+    // Executors must resolve the staging FS through the SESSION's Hadoop
+    // conf (fs.defaultFS, credentials, connector settings) — a bare
+    // new Configuration() on an executor sees only the XML defaults.
+    // Configuration isn't Serializable, so ship its entries and rebuild.
+    val hadoopProps: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
     Tables.load(spark, dir, "documents")
       .filter(col("doc_id") < nDocs)
       .select(col("doc_id"), col("text"))
       .foreachPartition { rows: Iterator[Row] =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        hadoopProps.foreach { case (k, v) => conf.set(k, v) }
         rows.foreach { r =>
           val p = new org.apache.hadoop.fs.Path(f"$stage/doc_${r.getLong(0)}%06d.bin")
           val out = p.getFileSystem(conf).create(p, true)

@@ -309,15 +309,18 @@ object Relational {
     * 100 TB the sketch twin is `approx_percentile` (KLL-style fixed
     * state, map-side mergeable), same plan shape.
     */
-  def qQuantiles(spark: SparkSession, dir: String): DataFrame =
+  def qQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    // percentile_disc (SQL standard: smallest value with cume_dist >= p)
+    // picks an ACTUAL element, so both engines return the identical
+    // parquet double — continuous interpolation arithmetic diverges by
+    // an ulp across engines and can round to a different cent.
+    def pd(p: Double, as: String) =
+      round(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as(as)
     t(spark, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(
-        round(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 2).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 2).as("p75"),
-        round(percentile(col("l_extendedprice"), lit(0.95)), 2).as("p95"))
+      .agg(pd(0.25, "p25"), pd(0.5, "p50"), pd(0.75, "p75"), pd(0.95, "p95"))
       .orderBy("l_returnflag")
+  }
 
   /** Q19: range (band) join — each order priced into a static band
     * table via an interval predicate. The band side is tiny and

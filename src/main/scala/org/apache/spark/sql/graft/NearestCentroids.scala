@@ -53,7 +53,11 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], nPro
       val base = c * dim
       var j = 0
       while (j < n) { dot += v.getFloat(j) * flat(base + j); j += 1 }
-      sims(c) = if (vNorm == 0.0 || cNorm(c) == 0.0) 0.0 else dot / (vNorm * cNorm(c))
+      val s = if (vNorm == 0.0 || cNorm(c) == 0.0) 0.0 else dot / (vNorm * cNorm(c))
+      // a NaN component makes dot NaN, and NaN loses every > comparison;
+      // rank such rows below every real similarity instead of letting
+      // the selection loop fall through with best = -1
+      sims(c) = if (s.isNaN) Double.NegativeInfinity else s
       c += 1
     }
     val m = math.min(nProbe, k)
@@ -66,8 +70,10 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], nPro
       var cc = 0
       while (cc < k) {
         // strict > keeps the LOWEST index on ties — same order as
-        // row_number() over (order by sim desc, cell asc)
-        if (!used(cc) && sims(cc) > bestSim) { bestSim = sims(cc); best = cc }
+        // row_number() over (order by sim desc, cell asc); the
+        // best == -1 arm guarantees progress even if every remaining
+        // sim is -Infinity (all-NaN embedding)
+        if (!used(cc) && (best == -1 || sims(cc) > bestSim)) { bestSim = sims(cc); best = cc }
         cc += 1
       }
       used(best) = true
