@@ -23,6 +23,13 @@ object Bench {
     "ann_bruteforce", "ann_lsh",
     "e_window_agg", "e_sessionize")
 
+  // Heavier operators benched separately so perf work on them is
+  // measurable round-over-round; the 20-query headline stays frozen
+  // for comparability with earlier rounds.
+  val extended: Seq[String] = Seq(
+    "text_tfidf", "dedup_clusters", "ann_knn_join", "ann_knn_lsh",
+    "dedup_incremental", "dedup_semantic", "q_rolling_7d")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -44,7 +51,7 @@ object Bench {
     def materialize(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val results = headline.flatMap { name =>
+    def bench(names: Seq[String]): Seq[(String, Double)] = names.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         time(materialize(fn(spark, sfDir))) // cold: codegen + listing
         // drop the previous query's broadcast/cache garbage so each
@@ -61,10 +68,14 @@ object Bench {
         name -> warm
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val results = bench(headline)
+    val ext = bench(extended)
     val total = results.map(_._2).sum
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ONE JSON line per the driver contract; "value" stays the frozen
+    // 20-query headline total, extended timings ride as an extra key
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${json(results)},"extended":${json(ext)},"extended_total":${ext.map(_._2).sum}%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
