@@ -45,6 +45,7 @@ object SparkEntry {
     "t_pivot" -> (Relational.tPivot _),
     "t_sample_hash" -> ((s, d) => Relational.tSampleHash(s, d)),
     "t_stratified_sample" -> (Relational.tStratifiedSample _),
+    "t_zorder" -> ((s, d) => Relational.tZorder(s, d)),
     "q_ntile" -> (Relational.qNtile _),
     "q_outer_join" -> (Analytics.qOuterJoin _),
     "q_mode" -> (Analytics.qMode _),
@@ -111,6 +112,7 @@ object SparkEntry {
     "text_mixture" -> (TextQueries.textMixture _),
     "text_topgrams" -> ((s, d) => TextQueries.textTopgrams(s, d)),
     "text_vocab" -> ((s, d) => TextQueries.textVocab(s, d)),
+    "text_gopher_rules" -> (TextQueries.textGopherRules _),
     // Deduplication (D1–D5)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -119,6 +121,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "dedup_paragraph" -> (Dedup.paragraphDedup _),
+    "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
     // Similarity search (A1–A3)
@@ -313,6 +316,22 @@ object SparkEntry {
         |WHERE (CAST(l_orderkey AS BIGINT) * 2654435761
         |     + CAST(l_linenumber AS BIGINT) * 40503) % 4294967296 % 20 = 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "t_zorder" -> {
+      val terms = (0 until 10).map(b =>
+        s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT (CAST(o_custkey AS BIGINT) % 1024) AS x,
+         |    (CAST(floor(o_totalprice / 1000) AS BIGINT) % 1024) AS y
+         |  FROM orders
+         |), z AS (
+         |  SELECT x, y, ($terms) AS zkey FROM d
+         |)
+         |SELECT (zkey >> 12) AS bucket, count(*) AS n,
+         |  min(x) AS min_cust, max(x) AS max_cust,
+         |  min(y) AS min_band, max(y) AS max_band
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
     "t_stratified_sample" ->
       """SELECT o_orderstatus, count(*) AS n_sampled,
         |  round(sum(o_totalprice), 2) AS total
@@ -917,6 +936,33 @@ object SparkEntry {
         |       WHEN s_fr >= s_zh THEN 'fr'
         |       ELSE 'zh' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, text,
+        |    len(toks) AS n_words,
+        |    CAST(floor(length(array_to_string(toks, '')) * 1000000
+        |         / greatest(len(toks), 1)) AS BIGINT) AS mean_wlen_micro,
+        |    length(text) - length(regexp_replace(text, '[^a-z0-9\s]', '', 'g')) AS n_symbol,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS n_stop
+        |  FROM t
+        |)
+        |SELECT doc_id, n_words, mean_wlen_micro, n_stop,
+        |  (n_words BETWEEN 50 AND 100000) AS r_nwords,
+        |  (mean_wlen_micro BETWEEN 3000000 AND 10000000) AS r_wlen,
+        |  (n_symbol * 10 <= length(text)) AS r_symbol,
+        |  (n_digit * 5 <= length(text)) AS r_digit,
+        |  (n_stop >= 2) AS r_stop,
+        |  ((n_words BETWEEN 50 AND 100000)
+        |   AND (mean_wlen_micro BETWEEN 3000000 AND 10000000)
+        |   AND n_symbol * 10 <= length(text)
+        |   AND n_digit * 5 <= length(text)
+        |   AND n_stop >= 2) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text,
@@ -1024,6 +1070,29 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_doc
         |FROM s GROUP BY sent_hash HAVING count(*) > 1
         |ORDER BY sent_hash""".stripMargin,
+    "dedup_substring" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || '. Subscribe to our newsletter for the latest updates. All rights reserved'
+        |      ELSE text END AS text
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM docs
+        |), spans AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(t) - 7, 0)),
+        |      i -> md5(array_to_string(t[i:i+7], ' ')))) AS h
+        |  FROM toks
+        |), dup AS (
+        |  SELECT h, count(DISTINCT doc_id) AS n_docs
+        |  FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |)
+        |SELECT s.doc_id,
+        |  CAST(count(DISTINCT s.h) AS BIGINT) AS n_dup_spans,
+        |  CAST(max(d.n_docs) AS BIGINT) AS max_span_docs
+        |FROM spans s JOIN dup d USING (h)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "emb_norm" ->
       """SELECT vec_id, label, len(embedding) AS dim,
         |  round(sqrt(list_aggregate(list_transform(embedding,

@@ -313,6 +313,46 @@ object Dedup {
       .filter(col("n_occ") > 1)
       .orderBy("sent_hash")
 
+  /** D11: exact duplicated-substring detection at w-token granularity —
+    * the "exact substring dedup" pass from training-data dedup practice
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): verbatim spans copied between otherwise-distinct
+    * documents (quotes, licenses, templated text) that document-level
+    * near-dup misses because the containing docs are dissimilar.
+    *
+    * Plan shape: every doc explodes to its (n_tokens − w + 1) sliding
+    * w-token span hashes inside the scan projection (higher-order
+    * `transform` over `sequence` — no UDF), then ONE shuffle groups
+    * span hashes to find those spanning ≥ 2 docs, and an equi-join
+    * (duplicated-span side is Zipf-small → AQE broadcasts it) maps
+    * survivors back to per-doc counts. Nothing is all-pairs; the blowup
+    * is ×w rows of (id, 128-bit hash) — the same index-linear budget as
+    * the shingle index, which is how the suffix-array formulation of
+    * this op is approximated on a shared-nothing engine. Input passes
+    * through [[withBoilerplate]] so the gate exercises real collisions
+    * at every SF.
+    *
+    * Output: per document containing at least one duplicated span —
+    * how many distinct duplicated spans, and the widest span fan-out.
+    */
+  def substringDedup(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    val spanHashes = when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - w + 1),
+          i => md5(concat_ws(" ", slice(toks, i, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+    val spans = spread(withBoilerplate(Tables.load(spark, dir, "documents")))
+      .select(col("doc_id"), explode(spanHashes).as("h"))
+    val dup = spans.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    spans.join(dup, "h")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_dup_spans"),
+        max("n_docs").as("max_span_docs"))
+      .orderBy("doc_id")
+  }
+
   /** D8: near-dup cluster resolution — connected components over the
     * D2 pair graph, so transitive chains (A~B, B~C) collapse into ONE
     * cluster instead of independent pairwise decisions. This is the

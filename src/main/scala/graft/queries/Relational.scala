@@ -322,6 +322,38 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** T16: Z-order clustering key — bit-interleave two dimensions so ONE
+    * sort key preserves locality in BOTH (the technique behind
+    * OPTIMIZE ZORDER in lakehouse table formats): rows close in
+    * (customer, price band) land in the same file after a K10-style
+    * sort-clustered write on `zkey`, so per-file min/max stats prune
+    * scans filtered on EITHER dimension — the data-skipping move that
+    * matters most at 100 TB, where the fastest byte is the one never
+    * read. The key is pure bit arithmetic in the scan projection
+    * (codegen, zero shuffle).
+    *
+    * Output: per top-8-bit z-bucket, member count and the per-dimension
+    * bounding box — tight boxes on both axes are the evidence the curve
+    * localizes (a plain sort on x gives tight x-boxes but y spanning
+    * the whole domain).
+    */
+  def tZorder(spark: SparkSession, dir: String, bits: Int = 10): DataFrame = {
+    val base = t(spark, dir, "orders").select(
+      (col("o_custkey").cast("long") % 1024).as("x"),
+      (floor(col("o_totalprice") / 1000.0).cast("long") % 1024).as("y"))
+    val zkey = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      acc +
+        shiftleft(shiftright(col("x"), b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(col("y"), b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }
+    base.select(col("x"), col("y"), zkey.as("zkey"))
+      .groupBy(shiftright(col("zkey"), 12).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_cust"), max("x").as("max_cust"),
+        min("y").as("min_band"), max("y").as("max_band"))
+      .orderBy("bucket")
+  }
+
   /** Q19: range (band) join — each order priced into a static band
     * table via an interval predicate. The band side is tiny and
     * broadcast, so the theta-join is a map-side nested loop over ~6

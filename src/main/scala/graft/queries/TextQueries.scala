@@ -61,6 +61,54 @@ object TextQueries {
       ).orderBy("doc_id")
   }
 
+  /** X14: Gopher-style quality rule bundle (Rae et al., "Scaling
+    * Language Models: ... Gopher", the repetition/quality heuristics
+    * most corpus pipelines inherit): hard per-document predicates —
+    * word-count bounds, mean-word-length bounds, symbol and digit
+    * ratio caps, minimum stopword evidence — each emitted as its own
+    * flag so a pipeline can tune thresholds from the flag marginals
+    * before committing to the conjunction (`keep`).
+    *
+    * All ratios compare in integer space (micro-units / cross-
+    * multiplied) — no double formatting to diverge across engines.
+    * Single narrow pass over the scan, fully codegen'd; at 100 TB this
+    * runs at scan throughput like X2.
+    */
+  def textGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ", -1)
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(
+        col("doc_id"), col("text"),
+        size(col("toks")).as("n_words"),
+        // mean word length in micro-units by exact integer-ish floor:
+        // token chars = normalized string minus separators
+        floor(length(concat_ws("", col("toks"))).cast("long") * lit(1000000L) /
+          greatest(size(col("toks")), lit(1))).cast("long").as("mean_wlen_micro"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-z0-9\\s]", ""))).as("n_symbol"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit"),
+        size(filter(col("toks"), t => t.isInCollection(stop))).as("n_stop"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("mean_wlen_micro"),
+        col("n_stop"),
+        col("n_words").between(50, 100000).as("r_nwords"),
+        col("mean_wlen_micro").between(3000000L, 10000000L).as("r_wlen"),
+        (col("n_symbol") * 10 <= length(col("text"))).as("r_symbol"),
+        (col("n_digit") * 5 <= length(col("text"))).as("r_digit"),
+        (col("n_stop") >= 2).as("r_stop"),
+        (col("n_words").between(50, 100000) &&
+          col("mean_wlen_micro").between(3000000L, 10000000L) &&
+          col("n_symbol") * 10 <= length(col("text")) &&
+          col("n_digit") * 5 <= length(col("text")) &&
+          col("n_stop") >= 2).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** X3: token counting — whitespace tokens and a BPE-ish piece count
     * (letter runs / single digits / single punctuation), the cheap
     * stand-in for a real pre-tokenizer when budgeting token counts for

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Dedup
+import graft.queries.{Relational, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** Round-4 specs: semantics of the new training-pipeline operators —
+  * exact-substring dedup, Gopher quality rules, Z-order clustering.
+  */
+class Round5Spec extends SparkSpec {
+
+  test("substring dedup: every boilerplate doc shares the planted spans") {
+    // withBoilerplate appends the same 11-token suffix to every 7th doc
+    // → 11 - 8 + 1 = 4 fully-interior shared 8-token spans per doc.
+    val out = Dedup.substringDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 7 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(planted.length >= 2, "need at least two boilerplate docs")
+    planted.foreach { id =>
+      assert(out.contains(id), s"boilerplate doc $id missing from output")
+      assert(out(id) >= 4, s"doc $id has ${out(id)} dup spans, expected >= 4")
+    }
+  }
+
+  test("substring dedup: no false positives on unique spans") {
+    // every reported span fans out to >= 2 docs by construction
+    val maxDocs = Dedup.substringDedup(spark, sfDir)
+      .agg(min("max_span_docs")).collect().head.getLong(0)
+    assert(maxDocs >= 2)
+  }
+
+  test("gopher rules: keep is exactly the conjunction of the flags") {
+    val df = TextQueries.textGopherRules(spark, sfDir)
+    val bad = df.filter(
+      col("keep") =!= (col("r_nwords") && col("r_wlen") && col("r_symbol") &&
+        col("r_digit") && col("r_stop"))).count()
+    assert(bad === 0)
+    // thresholds actually discriminate on this corpus: both keep
+    // outcomes occur, so the gate is not vacuous
+    val kept = df.filter(col("keep")).count()
+    assert(kept > 0 && kept < df.count())
+  }
+
+  test("z-order buckets are tight rectangles in BOTH dimensions") {
+    // bucket = top 8 bits of the 20-bit interleaved key → each bucket
+    // fixes the high 4 bits of each 10-bit dimension, a 64x64 box. A
+    // plain sort on x would give y-extents spanning the whole domain.
+    val viol = Relational.tZorder(spark, sfDir)
+      .filter(col("max_cust") - col("min_cust") > 63 ||
+        col("max_band") - col("min_band") > 63)
+      .count()
+    assert(viol === 0)
+  }
+}
