@@ -398,13 +398,16 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("lbl").as("dst_lbl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("dst_lbl").as("nbr_min"))
+      // carry the did-it-shrink flag through the checkpoint: the
+      // convergence count is then a scan of already-materialized rows,
+      // not an extra labels-vs-labels join per round
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
+          (coalesce(col("nbr_min"), col("lbl")) < col("lbl")).as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("lbl").as("old_lbl")), Seq("id"))
-        .filter(col("lbl") =!= col("old_lbl")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select("id", "lbl")
     }
     labels
   }

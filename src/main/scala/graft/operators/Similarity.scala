@@ -80,13 +80,14 @@ object Similarity {
     * Memory-bounded exact plan: the neighbor side is broadcast in
     * `nBlocks` hash blocks (each bounded at corpus/nBlocks — pick
     * nBlocks so a block fits the broadcast budget; a single full-corpus
-    * broadcast is OOM-by-construction at scale). Within each block the
-    * per-src top-k is a MERGEABLE aggregate ([[graft.functions
-    * .Aggregators.TopKByScore]]), so partial aggregation runs map-side
-    * and only k rows per (src, partition) cross the shuffle — never the
-    * O(n²) candidate set a window rank would move. Global top-k =
-    * top-k of the per-block top-k union (ranking restricted to a subset
-    * can only improve a candidate's rank), so the result is EXACT.
+    * broadcast is OOM-by-construction at scale). The per-block joins
+    * stay narrow (broadcast, no shuffle) and feed ONE mergeable top-k
+    * aggregate ([[graft.functions.Aggregators.TopKByScore]]): partial
+    * aggregation runs map-side over the unioned candidate stream, so
+    * only k rows per (src, partition) cross the shuffle — never the
+    * O(n²) candidate set a window rank would move, and no per-block
+    * aggregate/explode round-trips (a k-bounded buffer merged once is
+    * the same shuffle bound with 1 aggregation instead of nBlocks+1).
     * The O(n²) cosine compute is inherent to exact kNN — the cheap
     * approximate path with the same output contract is [[knnJoinLsh]].
     */
@@ -102,10 +103,6 @@ object Similarity {
         .select(col("src"),
           round(VectorFunctions.cosine(col("embedding"), col("nbr_emb")), 4).as("sim"),
           col("nbr"))
-        .groupBy("src")
-        .agg(topk(col("sim"), col("nbr")).as("nn"))
-        .select(col("src"), explode(col("nn")).as("e"))
-        .select(col("src"), col("e._1").as("sim"), col("e._2").as("nbr"))
     }
     rankTopK(partials.reduce(_ unionByName _), topk)
   }
