@@ -102,8 +102,12 @@ object Dedup {
     // count: measured 429k → ~1k candidates on the 5k-doc bench corpus
     // vs per-row lexicographic prefixes, 15 s → ~4 s end-to-end.
     val idx = sets.select(col("doc_id"), sz.as("sz"), explode(col("sh")).as("h"))
-    val dfreq = idx.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = idx.join(dfreq, "h")
+    // df via an unordered window over h, not groupBy+join: the index
+    // must shuffle by h either way (for the join it would too), but the
+    // window form skips materializing the df aggregate and joining it
+    // back — one pass, same two index-linear exchanges (by h, by doc)
+    val prefix = idx
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy("df", "h")))
       .filter(col("pos") <= prefixLen)
