@@ -76,6 +76,8 @@ object SparkEntry {
     // count-distinct to run at 100 TB. No SQL oracle (sketch estimates
     // are engine-specific) → rows-only check; exactness bound in spec.
     "q_distinct_approx" -> (Relational.approxDistinct _),
+    // KLL/GK-sketch variant of Q18, same rationale → rows-only check
+    "q_quantiles_approx" -> ((s, d) => Relational.qQuantilesApprox(s, d)),
     // Sources (S1–S4)
     "src_parquet" -> (IOQueries.srcParquet _),
     "src_csv" -> (IOQueries.srcCsv _),

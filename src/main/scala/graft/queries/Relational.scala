@@ -322,6 +322,29 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Q18b: approximate percentiles — `approx_percentile`'s fixed-size
+    * mergeable sketch (Greenwald-Khanna style) is the quantile to run
+    * at 100 TB: partial sketches combine map-side and one small state
+    * object per (group, partition) crosses the shuffle, vs Q18's exact
+    * percentile buffering every value per group on the reducer. Rank
+    * error ≤ 1/accuracy by contract; Round5Spec bounds the realized
+    * value error against the exact Q18. No SQL oracle (sketch
+    * estimates are engine-specific) → rows-only driver check + spec.
+    */
+  def qQuantilesApprox(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame = {
+    val ps = percentile_approx(col("l_extendedprice"),
+      array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(accuracy))
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(ps.as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 2).as("p25"),
+        round(element_at(col("ps"), 2), 2).as("p50"),
+        round(element_at(col("ps"), 3), 2).as("p75"),
+        round(element_at(col("ps"), 4), 2).as("p95"))
+      .orderBy("l_returnflag")
+  }
+
   /** T16: Z-order clustering key — bit-interleave two dimensions so ONE
     * sort key preserves locality in BOTH (the technique behind
     * OPTIMIZE ZORDER in lakehouse table formats): rows close in

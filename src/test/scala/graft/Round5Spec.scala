@@ -43,6 +43,19 @@ class Round5Spec extends SparkSpec {
     assert(kept > 0 && kept < df.count())
   }
 
+  test("approx percentiles within 2% of exact discrete percentiles") {
+    val exact = Relational.qQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    Relational.qQuantilesApprox(spark, sfDir).collect().foreach { r =>
+      val ex = exact(r.getString(0))
+      (1 to 4).foreach { i =>
+        val (a, e) = (r.getDouble(i), ex(i - 1))
+        assert(math.abs(a - e) / math.max(e, 1.0) < 0.02,
+          s"flag=${r.getString(0)} p$i approx=$a exact=$e")
+      }
+    }
+  }
+
   test("z-order buckets are tight rectangles in BOTH dimensions") {
     // bucket = top 8 bits of the 20-bit interleaved key → each bucket
     // fixes the high 4 bits of each 10-bit dimension, a 64x64 box. A
