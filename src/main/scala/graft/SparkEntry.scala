@@ -131,6 +131,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivfAnn(s, d)),
     "ann_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    "emb_rproj" -> ((s, d) => Similarity.embRproj(s, d)),
     "ann_knn_lsh" -> ((s, d) => Similarity.knnJoinLsh(s, d)),
     "emb_norm" -> (Similarity.embNorm _),
     "emb_quantize" -> (Similarity.embQuantize _),
@@ -1100,6 +1101,19 @@ object SparkEntry {
         |  round(sqrt(list_aggregate(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "emb_rproj" ->
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 16), j ->
+        |      list_sum(list_transform(range(0, CAST(len(embedding) AS BIGINT)), i ->
+        |        (1 - 2 * ((((j * len(embedding) + i) * 2654435761) >> 13) & 1))
+        |          * CAST(embedding[i + 1] AS DOUBLE))) / sqrt(16.0)) AS y
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, 16 AS out_dim,
+        |  CAST(round(y[1] * 1000000) AS BIGINT) AS y1_micro,
+        |  CAST(round(sqrt(list_sum(list_transform(y, v -> v * v))) * 1000000) AS BIGINT) AS norm_micro
+        |FROM p ORDER BY vec_id""".stripMargin,
     "e_asof_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
         |c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click'),

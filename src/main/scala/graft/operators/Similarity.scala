@@ -5,7 +5,7 @@ import graft.functions.VectorFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{ColumnShim, HyperplaneCodes}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2 A1–A3).
   *
@@ -267,6 +267,42 @@ object Similarity {
         round(scale, 4).as("scale_r"),
         aggregate(q, lit(0.0), (acc, x) => acc + x).cast("long").as("q_sum"),
         round(err, 6).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  /** A8: random-projection dimensionality reduction (Johnson-
+    * Lindenstrauss): project d-dim embeddings to k dims with a
+    * deterministic Rademacher (±1) matrix — the standard cheap
+    * pre-step before clustering/ANN when d is large (×d/k less
+    * vector bandwidth downstream, pairwise distances preserved within
+    * JL distortion, E‖y‖² = ‖x‖² exactly for ±1/√k entries).
+    *
+    * The matrix never exists as data: sign(j,i) derives from integer
+    * arithmetic on (j·d+i) inside the projection lambda, so the
+    * operator is a pure narrow map — zero shuffle, zero broadcast,
+    * nothing to ship to 1000 executors. The oracle replays the same
+    * arithmetic in SQL. Unbiasedness is spec-asserted (Round5Spec);
+    * at 100 TB this runs at scan throughput like A4/A5.
+    */
+  def embRproj(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val d = size(col("embedding"))
+    // sign(j,i) = 1 − 2·bit13((j·d+i) · 2654435761): Knuth-hash parity,
+    // identical integer semantics in Spark and the SQL oracle
+    def signed(j: Column, i: Column, x: Column): Column =
+      (lit(1) - lit(2) * shiftright((j * d + i) * lit(2654435761L), 13)
+        .bitwiseAND(lit(1L))) * x.cast("double")
+    val y = transform(sequence(lit(0), lit(k - 1)), j =>
+      aggregate(
+        zip_with(col("embedding"), sequence(lit(0), d - 1), (x, i) => signed(j, i, x)),
+        lit(0.0), (acc, v) => acc + v) / sqrt(lit(k.toDouble)))
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), y.as("y"))
+      .select(
+        col("vec_id"),
+        lit(k).as("out_dim"),
+        round(element_at(col("y"), 1) * 1e6).cast("long").as("y1_micro"),
+        round(sqrt(aggregate(col("y"), lit(0.0), (a, v) => a + v * v)) * 1e6)
+          .cast("long").as("norm_micro"))
       .orderBy("vec_id")
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import graft.queries.{Relational, TextQueries}
 import org.apache.spark.sql.functions._
 
@@ -54,6 +54,19 @@ class Round5Spec extends SparkSpec {
           s"flag=${r.getString(0)} p$i approx=$a exact=$e")
       }
     }
+  }
+
+  test("random projection preserves norms (JL unbiasedness)") {
+    // E‖y‖² = ‖x‖² for ±1/√k entries: individual ratios scatter with
+    // std ≈ √(2/k) ≈ 0.35 at k=16, the corpus mean must sit near 1
+    val ratios = Similarity.embRproj(spark, sfDir)
+      .join(Similarity.embNorm(spark, sfDir), "vec_id")
+      .select((col("norm_micro") / 1e6 / col("l2_norm")).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(ratios.forall(r => r > 0.2 && r < 2.5),
+      s"ratio outlier: ${ratios.filterNot(r => r > 0.2 && r < 2.5).mkString(",")}")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.9 && mean < 1.1, s"mean norm ratio $mean")
   }
 
   test("z-order buckets are tight rectangles in BOTH dimensions") {
