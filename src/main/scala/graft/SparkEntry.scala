@@ -46,6 +46,7 @@ object SparkEntry {
     "t_sample_hash" -> ((s, d) => Relational.tSampleHash(s, d)),
     "t_stratified_sample" -> (Relational.tStratifiedSample _),
     "t_zorder" -> ((s, d) => Relational.tZorder(s, d)),
+    "t_scd2" -> (Relational.tScd2 _),
     "q_ntile" -> (Relational.qNtile _),
     "q_outer_join" -> (Analytics.qOuterJoin _),
     "q_mode" -> (Analytics.qMode _),
@@ -335,6 +336,23 @@ object SparkEntry {
          |  min(y) AS min_band, max(y) AS max_band
          |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
     },
+    "t_scd2" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderstatus AS status, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER w AS prev
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |), chg AS (
+        |  SELECT o_custkey, status, o_orderdate, o_orderkey
+        |  FROM o WHERE prev IS NULL OR prev <> status
+        |)
+        |SELECT o_custkey,
+        |  CAST(row_number() OVER w2 AS INT) AS version,
+        |  status,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w2 AS valid_to,
+        |  (lead(o_orderdate) OVER w2 IS NULL) AS is_current
+        |FROM chg WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
     "t_stratified_sample" ->
       """SELECT o_orderstatus, count(*) AS n_sampled,
         |  round(sum(o_totalprice), 2) AS total

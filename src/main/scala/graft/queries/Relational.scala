@@ -322,6 +322,36 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** T17: SCD Type-2 dimension build — turn an entity's change stream
+    * into versioned rows with effective-date ranges (valid_from /
+    * valid_to, open-ended current row), the standard warehouse shape
+    * for tracking attribute history. Consecutive same-value rows
+    * collapse (a version exists only where the attribute CHANGED).
+    *
+    * Plan: ONE shuffle on the entity key serves everything — the
+    * change-detection lag, the post-filter version numbering and the
+    * valid_to lead all share hashpartitioning(custkey), so Catalyst
+    * plans lag → filter → (row_number, lead) over a single Exchange
+    * (the filter preserves partitioning; the second sort collapses).
+    * At 100 TB this is the canonical way to rebuild a dimension from
+    * CDC history: linear in changes, no self-join.
+    */
+  def tScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus").as("status"),
+        col("o_orderdate"), col("o_orderkey"),
+        lag("o_orderstatus", 1).over(w).as("prev"))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+      .select(col("o_custkey"),
+        row_number().over(w).as("version"),
+        col("status"),
+        col("o_orderdate").as("valid_from"),
+        lead("o_orderdate", 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("o_custkey", "version")
+  }
+
   /** Q18b: approximate percentiles — `approx_percentile`'s fixed-size
     * mergeable sketch (Greenwald-Khanna style) is the quantile to run
     * at 100 TB: partial sketches combine map-side and one small state

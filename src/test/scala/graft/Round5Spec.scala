@@ -56,6 +56,36 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("scd2: version chains are contiguous, dated, and single-current") {
+    val rows = Relational.tScd2(spark, sfDir).collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    byKey.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to vs.length), s"custkey $k versions not contiguous")
+      assert(vs.count(_.getBoolean(5)) == 1, s"custkey $k current-row count != 1")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(4) == b.get(3), s"custkey $k range gap at v${b.getInt(1)}")
+          assert(a.getString(2) != b.getString(2), s"custkey $k uncollapsed same-status version")
+        case _ =>
+      }
+    }
+  }
+
+  test("scd2: both windows share ONE hash exchange") {
+    // exchanges exist only in the PREPARED plan, and AQE hides its
+    // subtree from collect() until execution — run the query, then
+    // count exchanges in the finalized adaptive plan
+    val df = Relational.tScd2(spark, sfDir)
+    df.collect()
+    // the adaptive toString prints final AND initial plans — scope the
+    // count to the final section
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$plan")
+  }
+
   test("random projection preserves norms (JL unbiasedness)") {
     // E‖y‖² = ‖x‖² for ±1/√k entries: individual ratios scatter with
     // std ≈ √(2/k) ≈ 0.35 at k=16, the corpus mean must sit near 1
