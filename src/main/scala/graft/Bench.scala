@@ -28,7 +28,8 @@ object Bench {
   // for comparability with earlier rounds.
   val extended: Seq[String] = Seq(
     "text_tfidf", "dedup_clusters", "ann_knn_join", "ann_knn_lsh",
-    "dedup_incremental", "dedup_semantic", "q_rolling_7d")
+    "dedup_incremental", "dedup_semantic", "q_rolling_7d",
+    "dedup_substring", "emb_rproj", "t_scd2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

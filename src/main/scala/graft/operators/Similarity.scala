@@ -285,16 +285,15 @@ object Similarity {
     * at 100 TB this runs at scan throughput like A4/A5.
     */
   def embRproj(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
-    val d = size(col("embedding"))
     // sign(j,i) = 1 − 2·bit13((j·d+i) · 2654435761): Knuth-hash parity,
-    // identical integer semantics in Spark and the SQL oracle
-    def signed(j: Column, i: Column, x: Column): Column =
-      (lit(1) - lit(2) * shiftright((j * d + i) * lit(2654435761L), 13)
-        .bitwiseAND(lit(1L))) * x.cast("double")
-    val y = transform(sequence(lit(0), lit(k - 1)), j =>
-      aggregate(
-        zip_with(col("embedding"), sequence(lit(0), d - 1), (x, i) => signed(j, i, x)),
-        lit(0.0), (acc, v) => acc + v) / sqrt(lit(k.toDouble)))
+    // identical integer semantics in the native expression and the SQL
+    // oracle. One compiled k·d multiply-add loop per row
+    // ([[org.apache.spark.sql.graft.RademacherProject]]) — the HOF
+    // Column form (aggregate over zip_with) is interpreted and was
+    // ~20× slower at bench scale.
+    val y = ColumnShim.column(
+      org.apache.spark.sql.graft.RademacherProject(
+        ColumnShim.expression(col("embedding")), k))
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), y.as("y"))
       .select(
