@@ -55,7 +55,11 @@ object GraftFunctions {
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName),
       (children: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          children(0), children(1)))
+          children(0), children(1))),
+    (FunctionIdentifier("graft_rproj"),
+      info("graft_rproj", classOf[RademacherProject].getName),
+      (children: Seq[Expression]) => RademacherProject(children(0),
+        children(1).eval(null).asInstanceOf[Number].intValue()))
   )
 
   /** Runtime registration into an existing session (idempotent). */

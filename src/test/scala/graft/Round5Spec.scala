@@ -99,6 +99,16 @@ class Round5Spec extends SparkSpec {
     assert(mean > 0.9 && mean < 1.1, s"mean norm ratio $mean")
   }
 
+  test("graft_rproj is callable from SQL and agrees with the Column path") {
+    Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("emb_r5")
+    val sql = spark.sql(
+      """SELECT vec_id, round(element_at(graft_rproj(embedding, 16), 1) * 1e6) AS y1
+        |FROM emb_r5""".stripMargin)
+    val viaCol = Similarity.embRproj(spark, sfDir)
+      .select(col("vec_id"), col("y1_micro").cast("double").as("y1"))
+    assert(sql.exceptAll(viaCol).count() === 0)
+  }
+
   test("z-order buckets are tight rectangles in BOTH dimensions") {
     // bucket = top 8 bits of the 20-bit interleaved key → each bucket
     // fixes the high 4 bits of each 10-bit dimension, a 64x64 box. A
