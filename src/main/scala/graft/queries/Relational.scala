@@ -544,16 +544,22 @@ object Relational {
 
   /** T4: keep-first dedup by key (idempotent re-ingest semantics —
     * what the reference's `if_exists='replace'` is standing in for).
+    *
+    * Formulated as `min(struct(...))` — lexicographic struct min IS
+    * keep-first under the (linenumber, partkey, quantity) total order
+    * (ties at larger SFs break on the later fields, so the winner is
+    * deterministic). A hash aggregate beats the row_number window here
+    * on both axes at scale: no sort anywhere (the window needs a full
+    * per-partition sort even with WindowGroupLimit), and partial
+    * aggregation bounds the shuffle at one buffer row per (key,
+    * partition) — the same bound WindowGroupLimit achieves, minus the
+    * sort CPU.
     */
-  def tDedupKey(spark: SparkSession, dir: String): DataFrame = {
-    // total order inside the key group: linenumber can tie at larger SFs,
-    // so break ties on partkey/quantity to keep the winner deterministic
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy("l_linenumber", "l_partkey", "l_quantity")
+  def tDedupKey(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(min(struct("l_linenumber", "l_partkey", "l_quantity")).as("f"))
+      .select(col("l_orderkey"), col("f.l_linenumber").as("l_linenumber"),
+        col("f.l_partkey").as("l_partkey"), col("f.l_quantity").as("l_quantity"))
       .orderBy("l_orderkey")
-  }
 }
