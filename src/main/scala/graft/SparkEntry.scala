@@ -116,6 +116,7 @@ object SparkEntry {
     "text_topgrams" -> ((s, d) => TextQueries.textTopgrams(s, d)),
     "text_vocab" -> ((s, d) => TextQueries.textVocab(s, d)),
     "text_gopher_rules" -> (TextQueries.textGopherRules _),
+    "text_surprisal" -> (TextQueries.textSurprisal _),
     // Deduplication (D1–D5)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -153,6 +154,7 @@ object SparkEntry {
     "e_asof_join" -> (Events.asofJoin _),
     "e_sliding_window" -> (Events.slidingWindow _),
     "e_json_extract" -> (Events.jsonExtract _),
+    "e_json_variant" -> (Events.jsonVariant _),
     "e_stream_join" -> (Events.streamStreamJoin _),
     "e_stream_enrich" -> (Events.streamStaticEnrich _),
     "e_funnel" -> (Analytics.funnel _),
@@ -957,6 +959,26 @@ object SparkEntry {
         |       WHEN s_fr >= s_zh THEN 'fr'
         |       ELSE 'zh' END AS pred_lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_surprisal" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents
+        |), tt AS (
+        |  SELECT doc_id, tok FROM t WHERE length(tok) > 0
+        |), c AS (
+        |  SELECT tok, count(*) AS cnt FROM tt GROUP BY tok
+        |), n AS (
+        |  SELECT count(*) AS total FROM tt
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(CAST(total AS DOUBLE) / cnt) * 1000000) AS BIGINT) AS m
+        |  FROM tt JOIN c USING (tok) CROSS JOIN n
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(m) AS BIGINT) AS sum_surprisal_micro,
+        |  CAST(sum(m) // count(*) AS BIGINT) AS mean_surprisal_micro
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_gopher_rules" ->
       """WITH t AS (
         |  SELECT doc_id, text,
@@ -1172,6 +1194,12 @@ object SparkEntry {
         |  AND click_us >= purchase_us - 1800000000
         |ORDER BY user_id, purchase_us, event_id, click_us""".stripMargin,
     "e_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(CAST(props->>'$.k' AS BIGINT)) AS bigint) AS sum_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e_json_variant" ->
       """SELECT event_type, count(*) AS n,
         |  cast(sum(CAST(props->>'$.k' AS BIGINT)) AS bigint) AS sum_k,
         |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,

@@ -109,6 +109,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** X15: unigram-LM surprisal scoring — the honest, self-contained
+    * form of the "perplexity filter" every corpus pipeline runs: train
+    * a unigram model on the corpus itself (token counts), then score
+    * each document by its mean token surprisal −ln p(tok). Low-scoring
+    * docs are repetitive/templated; high scorers are token salad —
+    * both tails get reviewed or cut. (A production KenLM n-gram model
+    * slots into the same two-pass plan: global aggregate → per-token
+    * score → per-doc reduce.)
+    *
+    * Scale shape: one shuffle builds counts (partial agg map-side);
+    * the count table is vocabulary-bounded so the score join
+    * AQE-broadcasts it (never a corpus shuffle); the scalar total rides
+    * a 1-row broadcast cross join. Per-token surprisal is rounded to
+    * integer micro-nats BEFORE the per-doc sum (the text_tfidf trick),
+    * so cross-engine doubles never aggregate.
+    */
+  def textSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ", -1)
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("total").cast("double") / col("cnt")) * 1e6).cast("long").as("m"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("m").as("sum_surprisal_micro"))
+      .withColumn("mean_surprisal_micro", expr("sum_surprisal_micro DIV n_toks"))
+      .orderBy("doc_id")
+  }
+
   /** X3: token counting — whitespace tokens and a BPE-ish piece count
     * (letter runs / single digits / single punctuation), the cheap
     * stand-in for a real pre-tokenizer when budgeting token counts for

@@ -267,6 +267,25 @@ object Events {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** E9b: the same extraction through Spark 4's VARIANT type —
+    * `parse_json` decodes the string ONCE into the binary variant
+    * encoding, and every `variant_get` path walks that encoding
+    * directly. With `get_json_object`, N extracted paths mean N full
+    * string parses per row; with variant it's one parse + N cheap
+    * walks — the right ingest shape when semi-structured events carry
+    * many hot fields. Same aggregate and oracle as E9 (the value
+    * semantics are identical; only the decode path differs).
+    */
+  def jsonVariant(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   private val streamCounter = new AtomicInteger(0)
 
   /** Copy the events table into a multi-file directory so the stream
