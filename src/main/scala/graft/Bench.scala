@@ -29,7 +29,7 @@ object Bench {
   val extended: Seq[String] = Seq(
     "text_tfidf", "dedup_clusters", "ann_knn_join", "ann_knn_lsh",
     "dedup_incremental", "dedup_semantic", "q_rolling_7d",
-    "dedup_substring", "emb_rproj", "t_scd2")
+    "dedup_substring", "emb_rproj", "t_scd2", "ann_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -134,6 +134,9 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Similarity.ivfAnn(s, d)),
     "ann_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     "emb_rproj" -> ((s, d) => Similarity.embRproj(s, d)),
+    // PQ codes + ADC are approximations by design → rows-only check;
+    // recall vs the exact brute force is bounded in Round5Spec
+    "ann_pq" -> ((s, d) => Similarity.pqAnn(s, d)),
     "ann_knn_lsh" -> ((s, d) => Similarity.knnJoinLsh(s, d)),
     "emb_norm" -> (Similarity.embNorm _),
     "emb_quantize" -> (Similarity.embQuantize _),

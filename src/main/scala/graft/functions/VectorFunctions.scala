@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnShim, CosineSimilarity, NearestCentroids}
+import org.apache.spark.sql.graft.{ColumnShim, CosineSimilarity, NearestCentroids, PqEncode}
 
 object VectorFunctions {
 
@@ -17,6 +17,12 @@ object VectorFunctions {
     */
   def nearestCentroids(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
     ColumnShim.column(NearestCentroids(ColumnShim.expression(v), centroids, nProbe))
+
+  /** Per-subspace product-quantization codes, shuffle-free (see
+    * [[org.apache.spark.sql.graft.PqEncode]]).
+    */
+  def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnShim.column(PqEncode(ColumnShim.expression(v), codebooks))
 
   /** Pure-`sql.functions` fallback with identical semantics — kept as a
     * differential-test oracle for the native expression and as the

@@ -230,6 +230,86 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** A9: product-quantization ANN (the PQ half of FAISS's IVF-PQ; A3
+    * demonstrates the IVF coarse stage): vectors compress to `m` small
+    * codes and the search never touches floats until the final rerank.
+    *
+    *   1. Codebooks: `m` subspaces × `k` centroids, deterministically
+    *      sampled from the corpus (classic PQ Lloyd-trains these; the
+    *      sampled build keeps index construction one narrow pass and
+    *      the recall spec measures what sampling actually buys).
+    *   2. Encode: one compiled argmin-L2 pass per row
+    *      ([[org.apache.spark.sql.graft.PqEncode]]) — 64 floats → 8
+    *      ints, a 32× cut in what the ANN scan reads and ships. Narrow.
+    *   3. ADC (asymmetric distance computation): per query, dot-product
+    *      lookup tables vs every codebook entry, computed IN the plan
+    *      on the (tiny) query side; approximate dot(q, x) =
+    *      Σ_j table[j·k + code_j] — m array lookups per (query, vec),
+    *      no vector arithmetic in the hot loop.
+    *   4. Shortlist by ADC score with the mergeable top-k aggregate
+    *      (only `shortlist` ids per (query, partition) cross the
+    *      shuffle), then exact cosine rerank on the shortlist only.
+    *
+    * Embeddings are L2-normalized before encoding so ADC dot ranking
+    * estimates cosine ranking. Probabilistic recall → rows-only driver
+    * check; Round5Spec measures recall vs the exact brute force.
+    */
+  def pqAnn(spark: SparkSession, dir: String,
+            kNN: Int = 5, nQueries: Int = 10,
+            m: Int = 8, k: Int = 16, shortlist: Int = 32): DataFrame = {
+    val dim = embeddingDim(spark, dir)
+    val sub = dim / m
+    require(sub * m == dim, s"dim $dim not divisible into $m subspaces")
+    val e = corpus(spark, dir).select(col("vec_id"),
+      normalized(col("embedding")).as("embedding"))
+    // sampled codebooks: first k corpus vectors, sliced per subspace
+    val seeds = e.orderBy("vec_id").limit(k).collect().map(r =>
+      r.getAs[scala.collection.Seq[Float]]("embedding").toSeq.map(_.toDouble))
+    val codebooks: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => seeds.toSeq.map(_.slice(j * sub, (j + 1) * sub)))
+    val flatCb = typedlit(codebooks.flatten.flatten)
+    val encoded = e.select(col("vec_id"), col("embedding"),
+      VectorFunctions.pqEncode(col("embedding"), codebooks).as("codes"))
+    // per-query ADC tables, built in-plan on the nQueries-row side:
+    // tables[j*k + c] = dot(q_sub_j, codebook[j][c])
+    val tables = transform(sequence(lit(0), lit(m * k - 1)), idx =>
+      aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0), (acc, i) =>
+        // (idx div k) = subspace index; Column `/` is double division,
+        // so go through floor to stay integral
+        acc + element_at(col("q_emb"),
+          (floor(idx / lit(k)).cast("int") * sub + i + 1)).cast("double") *
+          element_at(flatCb, idx * sub + i + 1)))
+    val queries = broadcast(
+      querySet(e, nQueries).select(col("q_id"), col("q_emb"), tables.as("tbl")))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + element_at(col("tbl"), j * k + element_at(col("codes"), j + 1) + 1))
+    val topk = udaf(graft.functions.Aggregators.TopKByScore(shortlist))
+    val short = encoded.select(col("vec_id"), col("codes"))
+      .join(queries.select("q_id", "tbl"), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), adc.as("score"), col("vec_id"))
+      .groupBy("q_id").agg(topk(col("score"), col("vec_id")).as("nn"))
+      .select(col("q_id"), explode(col("nn")).as("s"))
+      .select(col("q_id"), col("s._2").as("vec_id"))
+    // exact rerank touches floats for shortlist·nQueries rows only
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    short
+      .join(e, Seq("vec_id"))
+      .join(queries.select("q_id", "q_emb"), Seq("q_id"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kNN)
+      .select("q_id", "rnk", "vec_id", "sim")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** L2-normalize an embedding (zero vectors pass through unchanged). */
+  private def normalized(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = sqrt(aggregate(v, lit(0.0), (acc, x) =>
+      acc + x.cast("double") * x.cast("double")))
+    when(n === 0.0, transform(v, x => x.cast("float")))
+      .otherwise(transform(v, x => (x.cast("double") / n).cast("float")))
+  }
+
   /** A4: embedding hygiene — per-vector L2 norm and dimensionality,
     * the validation pass run before any similarity work (zero vectors
     * and dim drift silently poison cosine scores). Fixed left-to-right

@@ -40,4 +40,12 @@ class SimilaritySpec extends SparkSpec {
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall=$recall")
   }
+
+  test("PQ ANN recall >= 0.6 vs brute force") {
+    // sampled codebooks + 32-candidate ADC shortlist + exact rerank;
+    // the shortlist is what buys the recall back from the lossy codes
+    val pq = topkSet(Similarity.pqAnn(spark, sfDir).select("q_id", "vec_id").collect())
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
 }
