@@ -60,8 +60,10 @@ object SparkEntry {
     "e_transitions" -> (Analytics.eTransitions _),
     "e_gap_fill" -> (Analytics.eGapFill _),
     "q_bloom_semi" -> (Analytics.qBloomSemi _),
+    "q_heavy_hitters_sketch" -> ((s, d) => Analytics.qHeavyHittersSketch(s, d)),
     "q_rolling_7d" -> (Analytics.qRolling7d _),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "dedup_bloom_gate" -> ((s, d) => Dedup.bloomGate(s, d)),
     "t_global_ids" -> (Analytics.tGlobalIds _),
     "t_global_ids_native" -> (Analytics.tGlobalIdsNative _),
     "t_shuffle_hash" -> ((s, d) => Analytics.tShuffleHash(s, d)),
@@ -117,6 +119,11 @@ object SparkEntry {
     "text_vocab" -> ((s, d) => TextQueries.textVocab(s, d)),
     "text_gopher_rules" -> (TextQueries.textGopherRules _),
     "text_surprisal" -> (TextQueries.textSurprisal _),
+    "text_dsir" -> (TextQueries.textDsir _),
+    // BPE merge learning is iterative (driver-looped argmax rounds) —
+    // not SQL-expressible → rows-only check; exactness pinned on a
+    // hand-computed corpus in Round6Spec
+    "text_bpe" -> ((s, d) => TextQueries.textBpe(s, d)),
     // Deduplication (D1–D5)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -500,6 +507,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_partkey
         |HAVING count(*) * 1500 > (SELECT total FROM t)
         |ORDER BY l_partkey""".stripMargin,
+    // CMS prefilter + exact verify ≡ the exact heavy-hitters query —
+    // the sketch only changes the plan, never the result
+    "q_heavy_hitters_sketch" ->
+      """WITH t AS (SELECT count(*) AS total FROM lineitem)
+        |SELECT l_partkey, count(*) AS n, (SELECT total FROM t) AS total
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING count(*) * 1500 > (SELECT total FROM t)
+        |ORDER BY l_partkey""".stripMargin,
     "q_mom" ->
       """WITH m AS (
         |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -613,6 +628,26 @@ object SparkEntry {
         |)
         |SELECT delta.doc_id, coalesce(verdict, 'new') AS verdict, match_id
         |FROM delta LEFT JOIN dup ON delta.doc_id = dup.doc_id
+        |ORDER BY delta.doc_id""".stripMargin,
+    // the bloom is a prefilter only — exact verify makes the output
+    // identical to plain hash membership, which is what the oracle runs
+    "dedup_bloom_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+        |  FROM documents
+        |), base AS (SELECT * FROM d WHERE doc_id < 400),
+        |delta AS (SELECT * FROM d WHERE doc_id >= 400
+        |          UNION ALL
+        |          SELECT doc_id + 10000, h FROM base WHERE doc_id % 50 = 0),
+        |verified AS (
+        |  SELECT delta.doc_id, min(base.doc_id) AS match_id
+        |  FROM delta JOIN base ON delta.h = base.h GROUP BY 1
+        |)
+        |SELECT delta.doc_id,
+        |  CASE WHEN match_id IS NOT NULL THEN 'dup' ELSE 'new' END AS verdict,
+        |  match_id
+        |FROM delta LEFT JOIN verified ON delta.doc_id = verified.doc_id
         |ORDER BY delta.doc_id""".stripMargin,
     "e_gap_fill" ->
       """WITH hourly AS (
@@ -982,6 +1017,34 @@ object SparkEntry {
         |  CAST(sum(m) AS BIGINT) AS sum_surprisal_micro,
         |  CAST(sum(m) // count(*) AS BIGINT) AS mean_surprisal_micro
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents
+        |), tt AS (
+        |  SELECT doc_id, lang, substr(md5(tok), 1, 2) AS bucket
+        |  FROM t WHERE length(tok) > 0
+        |), raw AS (
+        |  SELECT bucket, count(*) AS r_cnt FROM tt GROUP BY bucket
+        |), tgt AS (
+        |  SELECT bucket, count(*) AS t_cnt FROM tt WHERE lang = 'en' GROUP BY bucket
+        |), dists AS (
+        |  SELECT raw.bucket, r_cnt, coalesce(t_cnt, 0) AS t_cnt
+        |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket
+        |), totals AS (
+        |  SELECT sum(r_cnt) AS r_total, sum(t_cnt) AS t_total FROM dists
+        |), scored AS (
+        |  SELECT bucket,
+        |    CAST(round((ln(CAST(t_cnt + 1 AS DOUBLE) / (t_total + 256))
+        |              - ln(CAST(r_cnt + 1 AS DOUBLE) / (r_total + 256))) * 1000000) AS BIGINT) AS m
+        |  FROM dists CROSS JOIN totals
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(m) AS BIGINT) AS sum_logratio_micro,
+        |  CAST(sum(m) // count(*) AS BIGINT) AS mean_logratio_micro
+        |FROM tt JOIN scored USING (bucket)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_gopher_rules" ->
       """WITH t AS (
         |  SELECT doc_id, text,

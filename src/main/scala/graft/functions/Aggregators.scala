@@ -70,6 +70,35 @@ object Aggregators {
     override def outputEncoder: Encoder[(Seq[Double], Long)] = ExpressionEncoder()
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): a fixed-size
+    * `depth × width` counter grid whose merge is elementwise addition —
+    * the mergeable frequency summary for key domains too large to
+    * group exactly. Input rows arrive pre-hashed as their `depth`
+    * column indices (computed with `xxhash64(key, row)` Column
+    * arithmetic, so the probe side can reproduce the exact same
+    * indices declaratively). Estimates only ever OVER-count (each cell
+    * is a superset sum), which is what makes the sketch a sound
+    * prefilter: `estimate ≥ threshold` can never drop a truly-heavy
+    * key.
+    */
+  final case class CountMinSketch(depth: Int, width: Int)
+      extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(b: Array[Long], idx: Seq[Int]): Array[Long] = {
+      var i = 0
+      while (i < depth) { b(i * width + idx(i)) += 1L; i += 1 }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
   /** Bounded top-k by (score desc, id asc): the mergeable state behind
     * a kNN join that never shuffles the candidate set. A window
     * (`row_number() over (partition by src)`) must shuffle EVERY

@@ -481,6 +481,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** D12: bloom-gated incremental membership — the "have we ingested
+    * this document before?" gate a re-crawl runs before any expensive
+    * near-dup work. The base corpus compresses into ONE fixed-size
+    * bloom sketch (an aggregate: map-side partials, bitset-sized state
+    * across the shuffle — the base is never re-shuffled per delta
+    * batch); the sketch broadcasts to the delta scan as a map-side
+    * `might_contain` predicate. Bloom filters have no false negatives,
+    * so unflagged delta docs are provably new without touching the
+    * base; the (few) flagged docs are exact-verified with a hash join
+    * scoped to just them, removing false positives. Output is exact —
+    * every delta doc tagged `dup` (with its earliest base match) or
+    * `new` — so the oracle is plain SQL, while the plan does
+    * base-scan + delta-scan + candidate-sized join instead of a full
+    * delta×base shuffle.
+    *
+    * The delta batch is the re-crawl shape: genuinely-new documents
+    * plus a re-keyed slice of the base (every 50th doc under a fresh
+    * doc_id) — a crawler re-delivering pages it already fetched. The
+    * re-ingested slice guarantees the `dup` path is exercised (never
+    * vacuously green) at any SF.
+    */
+  def bloomGate(spark: SparkSession, dir: String, splitAt: Long = 400): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), md5(normText(col("text"))).as("h"))
+    val base = docs.filter(col("doc_id") < splitAt)
+    base.createOrReplaceTempView("graft_bg_base")
+    docs.filter(col("doc_id") >= splitAt)
+      .unionByName(base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("h")))
+      .createOrReplaceTempView("graft_bg_delta")
+    spark.sql(
+      s"""WITH bf AS (
+         |  SELECT graft_bloom_agg(xxhash64(h), 1000L, 16384L) AS b
+         |  FROM graft_bg_base
+         |), flagged AS (
+         |  SELECT doc_id, h FROM graft_bg_delta
+         |  WHERE graft_might_contain((SELECT b FROM bf), xxhash64(h))
+         |), verified AS (
+         |  SELECT f.doc_id, min(b.doc_id) AS match_id
+         |  FROM flagged f JOIN graft_bg_base b ON f.h = b.h
+         |  GROUP BY f.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CASE WHEN v.match_id IS NOT NULL THEN 'dup' ELSE 'new' END AS verdict,
+         |  v.match_id
+         |FROM graft_bg_delta d LEFT JOIN verified v ON d.doc_id = v.doc_id
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   /** D9: SemDeDup-style semantic dedup — assign every embedding to its
     * nearest seed vector (the cluster), then keep only the member most
     * similar to the seed. Seeds (here: the lowest `k` vec_ids; in

@@ -201,6 +201,48 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** Q33: heavy hitters via count-min-sketch prefilter + exact verify —
+    * the shape Q29 grows into when the key domain itself is too big to
+    * group exactly as a first pass. One `CountMinSketch` aggregate
+    * compresses the full scan into a fixed `depth × width` grid
+    * (map-side partials, one ~256 KB state per partition crosses the
+    * shuffle); the sketch broadcasts back and each row probes it
+    * MAP-SIDE (`least` of `depth` array lookups — pure Column
+    * arithmetic, same `xxhash64(key, row)` indices the build used).
+    * Because CMS only over-counts, rows whose estimate clears the
+    * frequency cut are a SUPERSET of the true heavy hitters — so the
+    * exact groupBy that follows shuffles only those rows, and its
+    * exact filter trims the false positives. Result is bit-identical
+    * to Q29's exact plan; the oracle is plain SQL.
+    */
+  def qHeavyHittersSketch(spark: SparkSession, dir: String, denom: Long = 1500L,
+                          depth: Int = 4, width: Int = 8192): DataFrame = {
+    import graft.functions.Aggregators
+    val li = Tables.load(spark, dir, "lineitem").select("l_partkey")
+    // the probe side recomputes these same indices declaratively — the
+    // hash lives in the plan, not in the aggregator
+    val idxCols = (0 until depth).map { r =>
+      pmod(xxhash64(col("l_partkey"), lit(r)), lit(width)).cast("int")
+    }
+    val rows = li.select(col("l_partkey"), array(idxCols: _*).as("idx"))
+    val cms = udaf(Aggregators.CountMinSketch(depth, width))
+    val sketch = rows.agg(cms(col("idx")).as("sk"))
+    val total = li.agg(count(lit(1)).as("total"))
+    val est = (0 until depth).map { r =>
+      element_at(col("sk"), col("idx").getItem(r) + lit(r * width + 1))
+    }.reduce(least(_, _))
+    rows.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+      // sketch prefilter: estimate ≥ truth, so no true heavy hitter is lost
+      .filter(est * denom > col("total"))
+      .groupBy("l_partkey")
+      // every row of a key passes or fails the prefilter together, so
+      // this count over survivors is the key's exact global count
+      .agg(count(lit(1)).as("n"), min("total").as("total"))
+      .filter(col("n") * denom > col("total"))
+      .select(col("l_partkey"), col("n"), col("total"))
+      .orderBy("l_partkey")
+  }
+
   /** E17: event-type transition matrix — for each user's time-ordered
     * event stream, count (from_type → to_type) adjacent transitions (the
     * first-order Markov summary behind "what do users do next").

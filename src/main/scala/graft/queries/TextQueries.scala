@@ -142,6 +142,109 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** X16: DSIR-style importance scoring (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much more likely its hashed-n-gram features
+    * are under a TARGET distribution (here: the English subset — in
+    * production, a curated high-quality corpus) than under the raw
+    * corpus. Features are tokens hashed into 256 buckets (md5-prefix —
+    * deterministic and engine-portable); both distributions are add-1
+    * smoothed bucket unigram models; a document's score is its mean
+    * per-token log importance ratio, the quantity DSIR resamples on.
+    *
+    * Scale shape: two bucket-count aggregates over the exploded token
+    * stream (map-side combined, 256-row results), one 1-row totals
+    * broadcast, and a 256-row broadcast join back onto the token
+    * stream — the corpus is scanned twice and shuffled only by doc_id
+    * for the final per-doc reduce. Ratios round to integer micro-nats
+    * BEFORE the per-doc sum (the X15 trick) so doubles never aggregate.
+    */
+  def textDsir(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ", -1)
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(toksCol).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("bucket", substring(md5(col("tok")), 1, 2))
+    val raw = toks.groupBy("bucket").agg(count(lit(1)).as("r_cnt"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
+    val dists = raw.join(tgt, Seq("bucket"), "left").na.fill(0L, Seq("t_cnt"))
+    val totals = dists.agg(sum("r_cnt").as("r_total"), sum("t_cnt").as("t_total"))
+    val scored = dists.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round((log((col("t_cnt") + 1).cast("double") / (col("t_total") + 256)) -
+               log((col("r_cnt") + 1).cast("double") / (col("r_total") + 256))) * 1e6)
+          .cast("long").as("m"))
+    toks.join(broadcast(scored), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("m").as("sum_logratio_micro"))
+      .withColumn("mean_logratio_micro", expr("sum_logratio_micro DIV n_toks"))
+      .orderBy("doc_id")
+  }
+
+  /** X17: distributed BPE merge learning (Sennrich et al. 2016) — learn
+    * the first `nMerges` byte-pair merges from the corpus. BPE trains
+    * on WORD TYPES, not corpus positions: the first aggregate collapses
+    * the corpus to a (word, freq) table bounded by vocabulary size, and
+    * every Lloyd-style round after that — count adjacent symbol pairs
+    * weighted by word freq, pick the argmax, splice it into every word
+    * — runs on that vocabulary-bounded table, never the corpus. The
+    * per-round argmax is a 1-row `orderBy.limit(1)` collect (driver
+    * control flow, like the k-means loop); the splice is a single
+    * left-to-right `aggregate` lambda per word; lineage is truncated
+    * per round with `localCheckpoint` (the D8 pattern). Greedy
+    * left-to-right splice + (count desc, pair asc) tie-break make the
+    * learned table deterministic on any partitioning. Iterative →
+    * not SQL-expressible → rows-only driver check; exactness is pinned
+    * by a hand-computed corpus in Round6Spec.
+    */
+  def textBpe(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    val toksCol = split(trim(regexp_replace(lower(col("text")), "[^a-z ]+", " ")), " ", -1)
+    var words = Tables.load(spark, dir, "documents")
+      .select(explode(toksCol).as("word"))
+      .filter(length(col("word")) > 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(split(col("word"), "").as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val best = words
+        .select(col("freq"),
+          explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+            slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        val n = best(0).getLong(2)
+        merges += ((rank, l, r, n))
+        // greedy left-to-right splice: carry (out, prev); emit prev
+        // unless (prev, s) is the merge pair — non-overlapping by
+        // construction, matching reference BPE application order
+        val spliced = aggregate(col("syms"),
+          struct(array().cast("array<string>").as("out"), lit("").as("prev")),
+          (st, s) => {
+            val out = st.getField("out"); val prev = st.getField("prev")
+            when(prev === lit(l) && s === lit(r),
+              struct(concat(out, array(lit(l + r))).as("out"), lit("").as("prev")))
+              .otherwise(struct(
+                when(prev === "", out).otherwise(concat(out, array(prev))).as("out"),
+                s.as("prev")))
+          },
+          st => when(st.getField("prev") === "", st.getField("out"))
+            .otherwise(concat(st.getField("out"), array(st.getField("prev")))))
+        words = words.select(spliced.as("syms"), col("freq")).localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "left", "right", "pair_freq")
+      .orderBy("rank")
+  }
+
   /** X3: token counting — whitespace tokens and a BPE-ish piece count
     * (letter runs / single digits / single punctuation), the cheap
     * stand-in for a real pre-tokenizer when budgeting token counts for

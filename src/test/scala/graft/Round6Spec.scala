@@ -1,0 +1,117 @@
+package graft
+
+import graft.functions.Aggregators
+import graft.operators.Dedup
+import graft.queries.{Analytics, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** Round-4 batch-2 specs: sketch-prefiltered heavy hitters, the bloom
+  * membership gate, DSIR importance scoring, and BPE merge learning.
+  */
+class Round6Spec extends SparkSpec {
+
+  test("CMS estimates never under-count (the prefilter soundness property)") {
+    import spark.implicits._
+    val depth = 4; val width = 64
+    val keys = (1L to 500L).map(i => i % 37) // skewed small domain
+    val rows = keys.toDF("k").select(col("k"),
+      array((0 until depth).map(r =>
+        pmod(xxhash64(col("k"), lit(r)), lit(width)).cast("int")): _*).as("idx"))
+    val cms = udaf(Aggregators.CountMinSketch(depth, width))
+    val sk = rows.agg(cms(col("idx"))).collect().head.getSeq[Long](0)
+    val est = (0 until depth).map { r =>
+      element_at(typedLit(sk), col("idx").getItem(r) + lit(r * width + 1))
+    }.reduce(least(_, _))
+    val under = rows.groupBy("k", "idx").agg(count(lit(1)).as("truth"))
+      .filter(est < col("truth")).count()
+    assert(under === 0)
+  }
+
+  test("sketch heavy hitters ≡ exact heavy hitters (prefilter changes plan, not result)") {
+    val exact = Analytics.qHeavyHitters(spark, sfDir).collect().map(_.toSeq)
+    val sketched = Analytics.qHeavyHittersSketch(spark, sfDir).collect().map(_.toSeq)
+    assert(sketched.toSeq === exact.toSeq)
+    assert(exact.nonEmpty)
+  }
+
+  test("bloom gate ≡ exact hash membership, and flags every re-ingested doc") {
+    import graft.functions.TextFunctions.normText
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(normText(col("text"))).as("h"))
+    val base = docs.filter(col("doc_id") < 400)
+    // same re-crawl derivation as the operator: new docs + re-keyed base slice
+    val delta = docs.filter(col("doc_id") >= 400)
+      .unionByName(base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("h")))
+    val expected = delta.as("d")
+      .join(base.as("b"), col("d.h") === col("b.h"), "left")
+      .groupBy(col("d.doc_id").as("doc_id"))
+      .agg(min(col("b.doc_id")).as("match_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val got = Dedup.bloomGate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(got === expected)
+    // every re-ingested doc must be flagged dup with its original as match
+    val reingested = base.filter(col("doc_id") % 50 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(reingested.nonEmpty)
+    reingested.foreach { id =>
+      assert(got(id + 10000).isDefined, s"re-ingested $id not flagged")
+    }
+    assert(got.values.exists(_.isEmpty), "some delta docs must be new")
+  }
+
+  test("DSIR scores separate target-like from off-target documents") {
+    val scored = TextQueries.textDsir(spark, sfDir)
+      .join(Tables.load(spark, sfDir, "documents").select("doc_id", "lang"), "doc_id")
+    val means = scored
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("mean_logratio_micro")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // English docs (the target) must score strictly higher on average
+    assert(means(true) > means(false),
+      s"target mean ${means(true)} not above off-target ${means(false)}")
+  }
+
+  test("BPE learns the hand-computed merges on a fixed corpus") {
+    import spark.implicits._
+    // corpus: "low low low lower lower newest newest newest newest"
+    // word freqs: low=3, lower=2, newest=4 (single chars after split)
+    // pair counts r1: (e,s)=4+? ... computed by hand below.
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_spec").toString
+    Seq((1L, "low low low lower lower newest newest newest newest", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val merges = TextQueries.textBpe(spark, tmp, nMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // hand computation, freqs low=3 lower=2 newest=4 ("we" counts in
+    // BOTH lower and newest):
+    //   round 1: lo=5, ow=5, we=2+4=6, er=2, ne=4, ew=4, es=4, st=4
+    //     → (w,e)=6 wins
+    //   round 2 (lower→[l,o,we,r], newest→[n,e,we,s,t]):
+    //     lo=5, ow=3, o·we=2, we·r=2, ne=4, e·we=4, we·s=4, st=4
+    //     → (l,o)=5 wins
+    //   round 3 (low→[lo,w], lower→[lo,we,r]):
+    //     lo·w=3, lo·we=2, we·r=2, ne=4, e·we=4, we·s=4, st=4
+    //     → tie at 4: (e,we) < (n,e) < (s,t) < (we,s) lexicographically
+    assert(merges(0) === ((1, "w", "e", 6L)))
+    assert(merges(1) === ((2, "l", "o", 5L)))
+    assert(merges(2) === ((3, "e", "we", 4L)))
+  }
+
+  test("BPE splice is greedy left-to-right (non-overlapping)") {
+    import spark.implicits._
+    // "aaaa" with merge (a,a) must become [aa, aa], not [aa, a, a] or overlap
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_spec2").toString
+    Seq((1L, "aaaa aaaa aaa", "en", "s", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val merges = TextQueries.textBpe(spark, tmp, nMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // freqs: aaaa=2, aaa=1. round 1: (a,a) = 2*3 + 1*2 = 8
+    // round 2: aaaa → [aa,aa] gives (aa,aa)=2; aaa → [aa,a] gives (aa,a)=1
+    //   → argmax (aa,a)... tie? (aa,aa)=2 vs (aa,a)=1 → (aa,aa) wins
+    assert(merges(0) === ((1, "a", "a", 8L)))
+    assert(merges(1) === ((2, "aa", "aa", 2L)))
+  }
+}
