@@ -99,6 +99,29 @@ class Round6Spec extends SparkSpec {
     assert(merges(2) === ((3, "e", "we", 4L)))
   }
 
+  test("sketch heavy hitters plan: CMS is an aggregate, probe is map-side") {
+    val plan = Analytics.qHeavyHittersSketch(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // sketch built as a mergeable aggregate (partial state map-side)...
+    assert(plan.contains("ObjectHashAggregate"))
+    // ...and broadcast back, never shuffled row-wise
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    // the prefilter folds into the broadcast join's condition, so it
+    // runs before the exact aggregate's exchange
+    assert(plan.contains("element_at"))
+  }
+
+  test("DSIR plan: score table broadcasts; corpus shuffles once by doc_id") {
+    val plan = TextQueries.textDsir(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the 256-row bucket-score table joins back as a broadcast
+    assert(plan.contains("BroadcastHashJoin"))
+    // exactly one exchange keyed on doc_id (the final per-doc reduce);
+    // bucket-model exchanges are bounded-size aggregates
+    val docExchanges = "hashpartitioning\\(doc_id".r.findAllIn(plan).length
+    assert(docExchanges === 1, s"expected 1 doc_id exchange, plan:\n$plan")
+  }
+
   test("BPE splice is greedy left-to-right (non-overlapping)") {
     import spark.implicits._
     // "aaaa" with merge (a,a) must become [aa, aa], not [aa, a, a] or overlap
