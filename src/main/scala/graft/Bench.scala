@@ -30,7 +30,8 @@ object Bench {
     "text_tfidf", "dedup_clusters", "ann_knn_join", "ann_knn_lsh",
     "dedup_incremental", "dedup_semantic", "q_rolling_7d",
     "dedup_substring", "emb_rproj", "t_scd2", "ann_pq",
-    "q_heavy_hitters_sketch", "dedup_bloom_gate", "text_dsir", "text_surprisal")
+    "q_heavy_hitters_sketch", "dedup_bloom_gate", "text_dsir", "text_surprisal",
+    "emb_pca")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

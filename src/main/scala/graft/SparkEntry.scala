@@ -145,6 +145,9 @@ object SparkEntry {
     // recall vs the exact brute force is bounded in Round5Spec
     "ann_pq" -> ((s, d) => Similarity.pqAnn(s, d)),
     "ann_knn_lsh" -> ((s, d) => Similarity.knnJoinLsh(s, d)),
+    // PCA's eigensolve depends on double summation order → rows-only
+    // check; orthonormality/variance invariants pinned in Round6Spec
+    "emb_pca" -> ((s, d) => Similarity.embPca(s, d)),
     "emb_norm" -> (Similarity.embNorm _),
     "emb_quantize" -> (Similarity.embQuantize _),
     "emb_centroid" -> (Similarity.embCentroid _),

@@ -70,6 +70,60 @@ object Aggregators {
     override def outputEncoder: Encoder[(Seq[Double], Long)] = ExpressionEncoder()
   }
 
+  /** Mergeable second-moment state for distributed PCA: per-partition
+    * (n, Σx, upper-triangular ΣxxT), combined by elementwise addition —
+    * the covariance of a billion embeddings costs ONE aggregate whose
+    * shuffle carries a dim·(dim+3)/2-double buffer per partition, never
+    * vectors. The driver finishes the job: C = G/n − μμᵀ is a dim×dim
+    * matrix, eigensolved locally (see [[LinAlg.symEig]]) — the classic
+    * big-data PCA split (heavy pass distributed, tiny solve local).
+    */
+  object GramMatrix
+      extends Aggregator[Seq[Float], (Array[Double], Array[Double], Long),
+                         (Seq[Double], Seq[Double], Long)] {
+    override def zero: (Array[Double], Array[Double], Long) =
+      (Array.empty[Double], Array.empty[Double], 0L)
+    override def reduce(b: (Array[Double], Array[Double], Long),
+                        v: Seq[Float]): (Array[Double], Array[Double], Long) = {
+      if (v == null) b
+      else {
+        val d = v.length
+        val sums = if (b._1.isEmpty) new Array[Double](d) else b._1
+        val gram = if (b._2.isEmpty) new Array[Double](d * (d + 1) / 2) else b._2
+        require(sums.length == d, s"embedding dim mismatch: $d vs ${sums.length}")
+        var i = 0
+        var t = 0
+        while (i < d) {
+          val xi = v(i).toDouble
+          sums(i) += xi
+          var j = i
+          while (j < d) { gram(t) += xi * v(j).toDouble; j += 1; t += 1 }
+          i += 1
+        }
+        (sums, gram, b._3 + 1L)
+      }
+    }
+    override def merge(x: (Array[Double], Array[Double], Long),
+                       y: (Array[Double], Array[Double], Long)): (Array[Double], Array[Double], Long) =
+      if (x._1.isEmpty) y
+      else if (y._1.isEmpty) x
+      else {
+        require(x._1.length == y._1.length,
+          s"embedding dim mismatch: ${x._1.length} vs ${y._1.length}")
+        var i = 0
+        while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
+        var t = 0
+        while (t < x._2.length) { x._2(t) += y._2(t); t += 1 }
+        (x._1, x._2, x._3 + y._3)
+      }
+    override def finish(b: (Array[Double], Array[Double], Long)): (Seq[Double], Seq[Double], Long) =
+      (b._1.toSeq, b._2.toSeq, b._3)
+    override def bufferEncoder: Encoder[(Array[Double], Array[Double], Long)] =
+      ExpressionEncoder()
+    override def outputEncoder: Encoder[(Seq[Double], Seq[Double], Long)] =
+      ExpressionEncoder()
+  }
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005): a fixed-size
     * `depth × width` counter grid whose merge is elementwise addition —
     * the mergeable frequency summary for key domains too large to

@@ -385,6 +385,70 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** A10: distributed PCA — the data-DEPENDENT complement of A8's
+    * data-independent JL projection (SemDeDup-style pipelines whiten /
+    * reduce embeddings exactly this way). Three-phase split, each at
+    * its natural scale:
+    *   1. ONE corpus aggregate ([[graft.functions.Aggregators.GramMatrix]])
+    *      reduces n vectors to (n, Σx, ΣxxT) — a dim·(dim+3)/2-double
+    *      mergeable buffer per partition; vectors never shuffle.
+    *   2. The driver builds C = G/n − μμᵀ (dim×dim) and eigensolves it
+    *      with cyclic Jacobi ([[graft.functions.LinAlg.symEig]]) —
+    *      microseconds, no native-library dependency, deterministic
+    *      sign-pinned components.
+    *   3. The top-k components fold into ONE compiled affine map
+    *      ([[org.apache.spark.sql.graft.MatrixProject]], centering
+    *      folded into the offset) — a narrow scan-speed projection,
+    *      nothing but the k×dim matrix shipped.
+    * Eigensolve output depends on double summation order (partition
+    * ulps) → no cross-engine oracle; invariants (orthonormality,
+    * variance ordering, captured-variance fraction, projection parity)
+    * are spec-pinned in Round6Spec.
+    */
+  def embPca(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val gram = udaf(graft.functions.Aggregators.GramMatrix)
+    val row = Tables.load(spark, dir, "embeddings")
+      .agg(gram(col("embedding")).as("g"))
+      .select(col("g._1").as("sums"), col("g._2").as("tri"), col("g._3").as("n"))
+      .collect().head
+    val sums = row.getSeq[Double](0).toArray
+    val tri = row.getSeq[Double](1).toArray
+    val n = row.getLong(2).toDouble
+    val d = sums.length
+    val mu = sums.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var t = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = tri(t) / n - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    val (values, vectors) = graft.functions.LinAlg.symEig(cov)
+    val comps = vectors.take(k).map(_.toSeq).toSeq
+    val offs = comps.map(c => c.zip(mu).map { case (a, b) => a * b }.sum)
+    val y = ColumnShim.column(
+      org.apache.spark.sql.graft.MatrixProject(
+        ColumnShim.expression(col("embedding")), comps, offs))
+    val totalVar = (0 until d).map(i => cov(i)(i)).sum
+    val capturedVar = values.take(k).sum
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), y.as("y"))
+      .select(
+        col("vec_id"),
+        lit(k).as("out_dim"),
+        round(lit(capturedVar / totalVar), 4).as("var_fraction"),
+        round(element_at(col("y"), 1), 4).as("pc1"),
+        round(element_at(col("y"), 2), 4).as("pc2"),
+        round(sqrt(aggregate(col("y"), lit(0.0), (a, v) => a + v * v)), 4)
+          .as("norm"))
+      .orderBy("vec_id")
+  }
+
   /** A7: per-label centroid (mean embedding) via the mergeable
     * [[graft.functions.Aggregators.VectorSum]] state — the shuffle
     * carries one double[dim] per (label, partition), not vectors, so

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.Aggregators.{StringMode, TopKByScore, VectorSum}
+import graft.functions.Aggregators.{CountMinSketch, StringMode, TopKByScore, VectorSum}
 import org.scalacheck.Prop.forAll
 import org.scalacheck.{Gen, Properties}
 
@@ -57,6 +57,28 @@ object AggregatorLawsProps extends Properties("AggregatorLaws") {
       val rnd = new scala.util.Random(seed ^ 0x51ed2701L)
       val merged = StringMode.finish(rnd.shuffle(partial).reduceLeft(StringMode.merge))
       merged == direct
+    }
+
+  property("CountMinSketch: grid independent of partitioning and merge order") =
+    forAll(
+      Gen.listOf(Gen.listOfN(3, Gen.chooseNum(0, 15)).map(_.toSeq)),
+      Gen.long) { (idxs, seed) =>
+      val agg = CountMinSketch(3, 16)
+      val direct = agg.finish(idxs.foldLeft(agg.zero)(agg.reduce))
+      val partial = chunks(idxs, seed).map(_.foldLeft(agg.zero)(agg.reduce))
+      val rnd = new scala.util.Random(seed ^ 0x7f4a7c15L)
+      val merged = agg.finish(rnd.shuffle(partial).reduceLeft(agg.merge))
+      // integer counters: exact equality, not tolerance
+      merged == direct
+    }
+
+  property("CountMinSketch: every cell a key touches counts it (no undercount)") =
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(3, Gen.chooseNum(0, 15)).map(_.toSeq))) { idxs =>
+      val agg = CountMinSketch(3, 16)
+      val grid = agg.finish(idxs.foldLeft(agg.zero)(agg.reduce))
+      idxs.groupBy(identity).forall { case (idx, occs) =>
+        (0 until 3).forall(r => grid(r * 16 + idx(r)) >= occs.size)
+      }
     }
 
   property("VectorSum: counts exact, sums within fp tolerance of direct") =

@@ -122,6 +122,65 @@ class Round6Spec extends SparkSpec {
     assert(docExchanges === 1, s"expected 1 doc_id exchange, plan:\n$plan")
   }
 
+  test("Jacobi eigensolve: orthonormal vectors, A·v = λ·v, descending values") {
+    // fixed symmetric matrix with known structure
+    val a = Array(
+      Array(4.0, 1.0, 0.5, 0.0),
+      Array(1.0, 3.0, 0.2, 0.1),
+      Array(0.5, 0.2, 2.0, 0.3),
+      Array(0.0, 0.1, 0.3, 1.0))
+    val (values, vectors) = graft.functions.LinAlg.symEig(a)
+    val n = 4
+    assert(values.sliding(2).forall { case Array(x, y) => x >= y })
+    // trace preserved
+    assert(math.abs(values.sum - (a(0)(0) + a(1)(1) + a(2)(2) + a(3)(3))) < 1e-9)
+    for (i <- 0 until n; j <- 0 until n) {
+      val dot = (0 until n).map(t => vectors(i)(t) * vectors(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"v${i}.v${j} = $dot")
+    }
+    for (i <- 0 until n) {
+      val av = (0 until n).map(r => (0 until n).map(c => a(r)(c) * vectors(i)(c)).sum)
+      av.zip(vectors(i)).foreach { case (x, v) =>
+        assert(math.abs(x - values(i) * v) < 1e-8, s"A·v$i mismatch")
+      }
+    }
+  }
+
+  test("PCA: variance ordering, captured fraction, projection parity") {
+    import graft.functions.Aggregators
+    val out = operators.Similarity.embPca(spark, sfDir, k = 4).collect()
+    assert(out.nonEmpty)
+    // var_fraction is a sane fraction and pc1 captures the most variance
+    val vf = out.head.getDouble(2)
+    assert(vf > 0.0 && vf <= 1.0 + 1e-9)
+    def variance(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val pc1 = out.map(_.getDouble(3))
+    val pc2 = out.map(_.getDouble(4))
+    assert(variance(pc1) >= variance(pc2) - 1e-6,
+      s"pc1 var ${variance(pc1)} < pc2 var ${variance(pc2)}")
+    // projections are centered: each component's mean ≈ 0
+    assert(math.abs(pc1.sum / pc1.length) < 1e-2)
+    assert(math.abs(pc2.sum / pc2.length) < 1e-2)
+    // parity: the gram-aggregate covariance diagonal matches a direct
+    // two-pass computation on the collected vectors
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = vecs.head.length
+    val gram = vecs.foldLeft(Aggregators.GramMatrix.zero)((b, v) =>
+      Aggregators.GramMatrix.reduce(b, v.map(_.toFloat).toSeq))
+    val (sums, tri, n) = (gram._1, gram._2, gram._3.toDouble)
+    for (i <- 0 until d) {
+      val triIdx = i * d - i * (i - 1) / 2 // offset of (i,i) in the packed triangle
+      val aggVar = tri(triIdx) / n - math.pow(sums(i) / n, 2)
+      val direct = variance(vecs.map(_(i)))
+      assert(math.abs(aggVar - direct) < 1e-6, s"dim $i: $aggVar vs $direct")
+    }
+  }
+
   test("BPE splice is greedy left-to-right (non-overlapping)") {
     import spark.implicits._
     // "aaaa" with merge (a,a) must become [aa, aa], not [aa, a, a] or overlap
