@@ -74,6 +74,7 @@ object SparkEntry {
     "t_cast_rename" -> (Relational.tCastRename _),
     "t_nulls" -> (Relational.tNulls _),
     "t_dedup_key" -> (Relational.tDedupKey _),
+    "t_dedup_key_rule" -> (Relational.tDedupKeyRule _),
     "t_salted_agg" -> ((s, d) => Relational.tSaltedAgg(s, d)),
     // HLL sketch variant of Q9 — fixed-size mergeable state, the
     // count-distinct to run at 100 TB. No SQL oracle (sketch estimates
@@ -120,10 +121,12 @@ object SparkEntry {
     "text_gopher_rules" -> (TextQueries.textGopherRules _),
     "text_surprisal" -> (TextQueries.textSurprisal _),
     "text_dsir" -> (TextQueries.textDsir _),
+    "text_bigram_surprisal" -> (TextQueries.textBigramSurprisal _),
     // BPE merge learning is iterative (driver-looped argmax rounds) —
     // not SQL-expressible → rows-only check; exactness pinned on a
     // hand-computed corpus in Round6Spec
     "text_bpe" -> ((s, d) => TextQueries.textBpe(s, d)),
+    "text_bpe_apply" -> ((s, d) => TextQueries.textBpeApply(s, d)),
     // Deduplication (D1–D5)
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -917,6 +920,15 @@ object SparkEntry {
         |    ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
         |  FROM lineitem
         |) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    // same oracle as t_dedup_key: the optimizer rule must not change
+    // results, only the plan
+    "t_dedup_key_rule" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+        |  FROM lineitem
+        |) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
     // Sources: the oracle aggregates the ORIGINAL parquet — a match
     // proves the write→read round-trip through the format was lossless.
     "src_parquet" ->
@@ -1048,6 +1060,33 @@ object SparkEntry {
         |  CAST(sum(m) // count(*) AS BIGINT) AS mean_logratio_micro
         |FROM tt JOIN scored USING (bucket)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bigram_surprisal" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), dd AS (
+        |  SELECT doc_id, toks FROM d WHERE len(toks) >= 2
+        |), bg AS (
+        |  SELECT doc_id, toks[i] AS l, toks[i+1] AS r
+        |  FROM dd, unnest(range(1, len(toks))) AS u(i)
+        |), pc AS (
+        |  SELECT l, r, count(*) AS c_lr FROM bg GROUP BY l, r
+        |), cc AS (
+        |  SELECT l, count(*) AS c_l FROM bg GROUP BY l
+        |), vv AS (
+        |  SELECT count(DISTINCT tok) AS v FROM (
+        |    SELECT unnest(toks) AS tok FROM d
+        |  ) WHERE length(tok) > 0
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(CAST(c_l + v AS DOUBLE) / (c_lr + 1)) * 1000000) AS BIGINT) AS m
+        |  FROM bg JOIN pc USING (l, r) JOIN cc USING (l) CROSS JOIN vv
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(m) AS BIGINT) AS sum_surprisal_micro,
+        |  CAST(sum(m) // count(*) AS BIGINT) AS mean_surprisal_micro
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_gopher_rules" ->
       """WITH t AS (
         |  SELECT doc_id, text,

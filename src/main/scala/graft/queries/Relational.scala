@@ -562,4 +562,25 @@ object Relational {
       .select(col("l_orderkey"), col("f.l_linenumber").as("l_linenumber"),
         col("f.l_partkey").as("l_partkey"), col("f.l_quantity").as("l_quantity"))
       .orderBy("l_orderkey")
+
+  /** T4b: the same keep-first dedup WRITTEN as the naive
+    * `row_number() ≤ 1` window — and rewritten to T4's struct-min
+    * aggregation by the [[org.apache.spark.sql.graft.KeepFirstRewrite]]
+    * optimizer rule (the `injectOptimizerRule` extension rung: the
+    * "keep-first is an aggregation, not a window" lesson applied by the
+    * engine, not the query author). Round7Spec asserts the optimized
+    * plan contains no Window or Sort; the oracle is T4's — identical
+    * results are the point.
+    */
+  def tDedupKeyRule(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.KeepFirstRewrite.ensure(spark)
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_quantity")
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey")
+  }
 }

@@ -142,6 +142,49 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** X19: bigram-LM surprisal — the conditional upgrade of X15's
+    * unigram filter: score each document by its mean −ln p(tok | prev),
+    * p estimated from corpus bigram counts with add-1 smoothing over
+    * the observed vocabulary (p = (c(l,r)+1) / (c(l·)+V)). Repetitive
+    * boilerplate scores LOW (its transitions are memorized); token
+    * salad scores HIGH — the two tails every corpus pipeline reviews.
+    *
+    * Scale shape: bigrams come from a zip of two shifted slices in the
+    * scan projection (per-row, no self-join); counts are one shuffle
+    * with map-side combine; the count tables are vocabulary-bounded so
+    * the score join AQE-broadcasts; V and doc scores follow the X15
+    * pattern (micro-nat integer rounding BEFORE the per-doc sum).
+    * Documents with fewer than two tokens have no transitions and are
+    * excluded (deterministic row count).
+    */
+  def textBigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toksCol = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ", -1)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), toksCol.as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = docs.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("l"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("r"))).as("p"))
+      .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+    val pairCnt = bigrams.groupBy("l", "r").agg(count(lit(1)).as("c_lr"))
+    val ctxCnt = bigrams.groupBy("l").agg(count(lit(1)).as("c_l"))
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(toksCol).as("tok")).filter(length(col("tok")) > 0)
+      .agg(countDistinct("tok").as("v"))
+    bigrams
+      .join(pairCnt, Seq("l", "r"))
+      .join(ctxCnt, Seq("l"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(log((col("c_l") + col("v")).cast("double") / (col("c_lr") + 1)) * 1e6)
+          .cast("long").as("m"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("m").as("sum_surprisal_micro"))
+      .withColumn("mean_surprisal_micro", expr("sum_surprisal_micro DIV n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** X16: DSIR-style importance scoring (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every document by how much more likely its hashed-n-gram features
@@ -199,12 +242,25 @@ object TextQueries {
     * by a hand-computed corpus in Round6Spec.
     */
   def textBpe(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    import spark.implicits._
+    bpeLearn(spark, dir, nMerges)._1
+      .toDF("rank", "left", "right", "pair_freq")
+      .orderBy("rank")
+  }
+
+  /** Shared BPE trainer: returns the ranked merges AND the word-type
+    * table in its final segmentation (word, syms, freq) — the learn
+    * loop's end state IS the tokenizer's lookup table, so X18 gets
+    * word-type tokenization for free.
+    */
+  private def bpeLearn(spark: SparkSession, dir: String, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val toksCol = split(trim(regexp_replace(lower(col("text")), "[^a-z ]+", " ")), " ", -1)
     var words = Tables.load(spark, dir, "documents")
       .select(explode(toksCol).as("word"))
       .filter(length(col("word")) > 1)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(split(col("word"), "").as("syms"), col("freq"))
+      .select(col("word"), split(col("word"), "").as("syms"), col("freq"))
       .localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- 1 to nMerges) {
@@ -237,12 +293,35 @@ object TextQueries {
           },
           st => when(st.getField("prev") === "", st.getField("out"))
             .otherwise(concat(st.getField("out"), array(st.getField("prev")))))
-        words = words.select(spliced.as("syms"), col("freq")).localCheckpoint()
+        words = words.select(col("word"), spliced.as("syms"), col("freq"))
+          .localCheckpoint()
       }
     }
-    import spark.implicits._
-    merges.result().toDF("rank", "left", "right", "pair_freq")
-      .orderBy("rank")
+    (merges.result(), words)
+  }
+
+  /** X18: BPE tokenization with the learned merges — the APPLY side of
+    * X17, done the 100 TB way: the corpus never replays merge splices.
+    * The learn loop's final word table already holds every word TYPE's
+    * segmentation, so tokenizing the corpus is one broadcast join from
+    * exploded words to `size(syms)` — per-doc BPE token counts at
+    * shuffle-join cost, independent of the merge count. Words outside
+    * the trained table (single letters here) are their own piece.
+    * Derives from the iterative trainer → rows-only check; counts
+    * pinned by hand on a fixed corpus in Round6Spec.
+    */
+  def textBpeApply(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+    val (_, words) = bpeLearn(spark, dir, nMerges)
+    val pieces = broadcast(words.select(col("word"), size(col("syms")).as("n_pieces")))
+    val toksCol = split(trim(regexp_replace(lower(col("text")), "[^a-z ]+", " ")), " ", -1)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(toksCol).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(pieces, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_pieces"), lit(1))).as("bpe_tokens"))
+      .orderBy("doc_id")
   }
 
   /** X3: token counting — whitespace tokens and a BPE-ish piece count

@@ -78,5 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // whole-operator extension: graft's custom physical operators
     ext.injectPlannerStrategy(_ => GraftStrategies)
+    // optimizer extension: keep-first windows → struct-min aggregation
+    ext.injectOptimizerRule(_ => KeepFirstRewrite)
   }
 }

@@ -181,6 +181,44 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("bigram surprisal: memorized transitions score below novel ones") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bigram_spec").toString
+    Seq((1L, "a b a b a b a b a b", "en", "s", 19L),   // one repeated transition
+        (2L, "q w e r t y u i o p", "en", "s", 19L))   // all transitions unique
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextQueries.textBigramSurprisal(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) < out(2L),
+      s"repetitive doc ${out(1L)} not below novel doc ${out(2L)}")
+  }
+
+  test("BPE apply: per-doc piece counts match the learned segmentation") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_apply").toString
+    Seq((1L, "low low lower newest", "en", "s", 9L),
+        (2L, "low a newest newest", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // freqs: low=3, lower=1, newest=3. 3 merges by hand:
+    //   r1: lo=4, ow=4, we=4, er=1, ne=3, ew=3, es=3, st=3
+    //       → tie at 4: (l,o) < (o,w) < (w,e) → (l,o)
+    //   r2 (low→[lo,w], lower→[lo,w,e,r]): lo·w=4, we=4, er=1, ne/ew/es/st=3
+    //       → tie at 4: (lo,w) < (w,e) → (lo,w)
+    //   r3 (low→[low], lower→[low,e,r]): low·e=1, er=1, ne/ew/es/st=3, we=3
+    //       → tie at 3: (e,s) < (e,w) < (n,e) < (s,t) < (w,e) → (e,s)
+    // segmentations after 3 merges:
+    //   low    → [low]              = 1 piece
+    //   lower  → [low, e, r]        = 3 pieces
+    //   newest → [n, e, w, es, t]   = 5 pieces
+    //   a      → untrained single letter = 1 piece
+    val out = TextQueries.textBpeApply(spark, tmp, nMerges = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((4L, 1 + 1 + 3 + 5)))  // low low lower newest
+    assert(out(2L) === ((4L, 1 + 1 + 5 + 5)))  // low a newest newest
+  }
+
   test("BPE splice is greedy left-to-right (non-overlapping)") {
     import spark.implicits._
     // "aaaa" with merge (a,a) must become [aa, aa], not [aa, a, a] or overlap

@@ -1,0 +1,72 @@
+package graft
+
+import graft.queries.Relational
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Specs for the KeepFirstRewrite optimizer rule (the
+  * injectOptimizerRule extension rung): a `row_number() ≤ 1` keep-first
+  * window must compile to a struct-min aggregation — no Window, no rank
+  * evaluation, partial aggregation bounding the shuffle — without
+  * changing results; patterns outside the rule's conservative guards
+  * must be left alone. (min(struct) plans as SortAggregate — struct
+  * buffers aren't hash-aggregable — but it sorts by the KEY only,
+  * where the window form sorts by key ++ order columns on both sides
+  * of its exchange and then ranks.)
+  */
+class Round7Spec extends SparkSpec {
+
+  test("keep-first window compiles to an aggregate (no Window in the plan)") {
+    val plan = Relational.tDedupKeyRule(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+    assert(plan.contains("partial_min(named_struct"),
+      s"expected a partial struct-min aggregate:\n$plan")
+  }
+
+  test("rewritten keep-first equals the hand-written struct-min dedup") {
+    val viaRule = Relational.tDedupKeyRule(spark, sfDir).collect().map(_.toSeq)
+    val direct = Relational.tDedupKey(spark, sfDir).collect().map(_.toSeq)
+    assert(viaRule.toSeq === direct.toSeq)
+    assert(viaRule.nonEmpty)
+  }
+
+  test("descending keep-first is NOT rewritten (outside the guard)") {
+    // struct-min cannot express DESC without per-type inversion — the
+    // rule must leave this plan to the window machinery
+    val w = Window.partitionBy("l_orderkey").orderBy(col("l_quantity").desc)
+    val plan = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("row_number") || plan.contains("Window"),
+      s"descending pattern was wrongly rewritten:\n$plan")
+  }
+
+  test("rank cutoffs beyond 1 are NOT rewritten") {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_quantity")
+    val plan = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("row_number") || plan.contains("Window"),
+      s"rank-2 pattern was wrongly rewritten:\n$plan")
+  }
+
+  test("rule fires through the session extensions (no runtime ensure needed)") {
+    // the test session is built by GraftSession.withExtensions — the
+    // production path; write the naive pattern with no ensure() call
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_quantity")
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    // and the kept rn column is the literal 1 for every row
+    assert(df.select(min("rn"), max("rn")).collect().head.toSeq === Seq(1, 1))
+  }
+}
