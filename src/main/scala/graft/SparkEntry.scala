@@ -101,6 +101,7 @@ object SparkEntry {
     "sink_versioned" -> (IOQueries.sinkVersioned _),
     "sink_sorted" -> (IOQueries.sinkSorted _),
     "sink_jdbc" -> (IOQueries.sinkJdbc _),
+    "t_incr_rollup" -> ((s, d) => IOQueries.tIncrRollup(s, d)),
     "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
     "src_fvecs" -> (IOQueries.srcFvecs _),
     "src_url" -> (IOQueries.srcUrl _),
@@ -920,6 +921,13 @@ object SparkEntry {
         |    ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
         |  FROM lineitem
         |) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    // incremental maintenance must be indistinguishable from a full
+    // rebuild — the oracle recomputes the rollup from all of orders
+    "t_incr_rollup" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
     // same oracle as t_dedup_key: the optimizer rule must not change
     // results, only the plan
     "t_dedup_key_rule" ->

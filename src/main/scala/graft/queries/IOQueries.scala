@@ -544,4 +544,38 @@ object IOQueries {
         count(col("_corrupt_record")).as("n_corrupt"),
         round(sum("o_totalprice"), 2).as("total_good"))
   }
+
+  /** T18: incremental aggregate maintenance — keep a monthly revenue
+    * rollup current as batches land WITHOUT rescanning history: the
+    * stored rollup holds MERGEABLE partials (count + raw double sum —
+    * rounding only at presentation, so merge never compounds rounding),
+    * a new batch aggregates only its own rows, and the refresh is
+    * `stored ∪ delta-partials → one combine` — work proportional to
+    * |delta| + |rollup|, not |history|. This is the materialized-view
+    * maintenance loop every warehouse runs at 100 TB, built from the
+    * same partial/final contract Spark's own aggregates use (the
+    * reason every custom Aggregator here must be mergeable). The
+    * oracle recomputes the rollup from ALL of orders — merged
+    * partials must be indistinguishable from a full rebuild.
+    */
+  def tIncrRollup(spark: SparkSession, dir: String,
+                  cutoff: String = "1997-01-01"): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_totalprice"))
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("month").agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"))
+    // day 1: history is rolled up once and STORED (partials, not
+    // presentation values)
+    val stored = tmpDir("incr_rollup") + "/rollup"
+    partials(orders.filter(col("month") < lit(cutoff.substring(0, 7))))
+      .write.mode("overwrite").parquet(stored)
+    // day 2: a new batch lands; only ITS rows aggregate, then one
+    // rollup-sized combine refreshes the store
+    val delta = partials(orders.filter(col("month") >= lit(cutoff.substring(0, 7))))
+    spark.read.parquet(stored).unionByName(delta)
+      .groupBy("month")
+      .agg(sum("n").as("n"), round(sum("total"), 2).as("total"))
+      .orderBy("month")
+  }
 }
