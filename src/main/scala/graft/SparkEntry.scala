@@ -178,6 +178,7 @@ object SparkEntry {
     "e_retention" -> (Analytics.retention _),
     "e_anomaly" -> (Analytics.eAnomaly _),
     "e_stream_upsert" -> (Events.streamUpsert _),
+    "e_stream_incr_rollup" -> (Events.streamIncrRollup _),
     "e_stream_tws" -> (Events.streamTransformWithState _),
     // Pipeline orchestration (P1–P2)
     "p_flow_e2e" -> (IOQueries.flowE2E _),
@@ -1507,6 +1508,13 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the stream-maintained rollup must equal a from-scratch daily
+    // rollup — integer-micro partials make the merge order irrelevant
+    "e_stream_incr_rollup" ->
+      """SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+        |        / 1000000.0, 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
     "e_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
         |x AS (

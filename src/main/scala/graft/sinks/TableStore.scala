@@ -101,6 +101,38 @@ object TableStore {
     if (hadTarget) fs.delete(old, true)
   }
 
+  /** Additive rollup merge — the materialized-view maintenance sink:
+    * the stored table holds MERGEABLE partials (counts, integer-micro
+    * sums), and each call folds a batch's partials in with one
+    * keys-grouped sum over `stored ∪ batch` — work proportional to
+    * |rollup| + |batch|, never the fact history. Every non-key column
+    * must be additive (the caller keeps raw/integer partials and
+    * rounds only at presentation, or merges would compound rounding).
+    * Same rename-aside swap as [[upsert]], so a reader sees the old or
+    * the new rollup, never a half-written one.
+    */
+  def mergeAdditive(spark: SparkSession, path: String, batch: DataFrame,
+                    keys: Seq[String]): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val valueCols = batch.columns.filterNot(keys.contains)
+    val merged =
+      if (fs.exists(target))
+        spark.read.parquet(path).unionByName(batch)
+          .groupBy(keys.map(col): _*)
+          .agg(valueCols.map(c => sum(c).as(c)).head,
+            valueCols.map(c => sum(c).as(c)).tail: _*)
+      else batch
+    val tmp = new Path(path + "__staging")
+    val old = new Path(path + "__old")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadTarget = fs.exists(target)
+    if (hadTarget) fs.rename(target, old)
+    fs.rename(tmp, target)
+    if (hadTarget) fs.delete(old, true)
+  }
+
   /** Versioned snapshot write: each call lands a new immutable
     * `v=N` directory under `base` — append-only table history, so
     * readers pin a snapshot while writers publish the next one (the

@@ -252,6 +252,42 @@ object Events {
         round(sum("value"), 2).as("total_value"))
   }
 
+  /** E20: streaming materialized-view maintenance — T18's incremental
+    * rollup driven by Structured Streaming: each micro-batch aggregates
+    * only its own rows to daily partials (count + integer-micro value
+    * sum — exact additive merge, no float ulps across batch
+    * boundaries), and `foreachBatch` folds them into the stored rollup
+    * with [[graft.sinks.TableStore.mergeAdditive]]'s rename-aside swap.
+    * After the stream drains, the store must equal a from-scratch batch
+    * rollup of all events — that equality is the oracle, making the
+    * whole batch-split/merge machinery hash-checked. Rounding happens
+    * only at presentation.
+    */
+  def streamIncrRollup(spark: SparkSession, dir: String): DataFrame = {
+    val input = stageStreamInput(spark, dir, copies = 1)
+    val schema = spark.read.parquet(input).schema
+    val target = Files.createTempDirectory("graft_stream_rollup").toString + "/daily"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2") // force several merge rounds
+      .parquet(input)
+      .select(to_date(timestamp_micros(expr("ts div 1000"))).as("d"),
+        col("value"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val partials = batch.groupBy("d")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1e6).cast("long")).as("v_micro"))
+        graft.sinks.TableStore.mergeAdditive(spark, target, partials, Seq("d"))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(target)
+      .select(col("d"), col("n"),
+        round(col("v_micro") / 1e6, 2).as("total_value"))
+      .orderBy("d")
+  }
+
   /** E9: semi-structured extraction — pull a typed field out of the
     * `props` JSON string column. `get_json_object` evaluates inside the
     * scan projection (no UDF, no parse-to-struct materialization); at

@@ -56,6 +56,18 @@ class Round7Spec extends SparkSpec {
       s"rank-2 pattern was wrongly rewritten:\n$plan")
   }
 
+  test("stream-maintained rollup equals the from-scratch batch rollup") {
+    val streamed = graft.streaming.Events.streamIncrRollup(spark, sfDir)
+      .collect().map(_.toSeq)
+    val direct = Tables.load(spark, sfDir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("value") * 1e6).cast("long")) / 1e6, 2).as("total_value"))
+      .orderBy("d").collect().map(_.toSeq)
+    assert(streamed.toSeq === direct.toSeq)
+    assert(streamed.length > 1)
+  }
+
   test("rule fires through the session extensions (no runtime ensure needed)") {
     // the test session is built by GraftSession.withExtensions — the
     // production path; write the naive pattern with no ensure() call
