@@ -61,6 +61,7 @@ object SparkEntry {
     "e_gap_fill" -> (Analytics.eGapFill _),
     "q_bloom_semi" -> (Analytics.qBloomSemi _),
     "q_heavy_hitters_sketch" -> ((s, d) => Analytics.qHeavyHittersSketch(s, d)),
+    "q_rolling_distinct" -> ((s, d) => Analytics.qRollingDistinct(s, d)),
     "q_rolling_7d" -> (Analytics.qRolling7d _),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "dedup_bloom_gate" -> ((s, d) => Dedup.bloomGate(s, d)),
@@ -1508,6 +1509,15 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the windowed-coverage explosion must equal the direct per-day
+    // windowed distinct
+    "q_rolling_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        |), days AS (SELECT DISTINCT d FROM du)
+        |SELECT days.d, CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_active_7d
+        |FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY days.d ORDER BY days.d""".stripMargin,
     // the stream-maintained rollup must equal a from-scratch daily
     // rollup — integer-micro partials make the merge order irrelevant
     "e_stream_incr_rollup" ->

@@ -243,6 +243,31 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** Q34: rolling 7-day distinct actives — the "7-day active users"
+    * metric, computed the way that scales: distinct-count is NOT
+    * additive across a sliding frame (a RANGE window can't merge it),
+    * so instead each (day, user) activity row EXPLODES into the ≤7
+    * window-end days it covers, turning the rolling distinct into a
+    * plain per-day `count(distinct)` equi-aggregation. Fan-out is
+    * bounded by the window length and applies to the deduplicated
+    * (day, user) table — far smaller than the event stream — not to
+    * raw events; output days are semi-joined to days that actually
+    * occur (matching the oracle's day domain). The same coverage
+    * trick is how per-day HLL sketches union into rolling actives at
+    * 100 TB; this is the exact twin.
+    */
+  def qRollingDistinct(spark: SparkSession, dir: String, window: Int = 7): DataFrame = {
+    val du = Tables.load(spark, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val days = du.select("d").distinct()
+    du.select(explode(sequence(col("d"), date_add(col("d"), window - 1))).as("d"),
+        col("user_id"))
+      .join(days, Seq("d"), "left_semi")
+      .groupBy("d")
+      .agg(countDistinct("user_id").as("n_active_7d"))
+      .orderBy("d")
+  }
+
   /** E17: event-type transition matrix — for each user's time-ordered
     * event stream, count (from_type → to_type) adjacent transitions (the
     * first-order Markov summary behind "what do users do next").
