@@ -153,6 +153,7 @@ object SparkEntry {
     // PCA's eigensolve depends on double summation order → rows-only
     // check; orthonormality/variance invariants pinned in Round6Spec
     "emb_pca" -> ((s, d) => Similarity.embPca(s, d)),
+    "emb_whiten" -> ((s, d) => Similarity.embWhiten(s, d)),
     "emb_norm" -> (Similarity.embNorm _),
     "emb_quantize" -> (Similarity.embQuantize _),
     "emb_centroid" -> (Similarity.embCentroid _),

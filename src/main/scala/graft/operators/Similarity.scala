@@ -405,7 +405,12 @@ object Similarity {
     * variance ordering, captured-variance fraction, projection parity)
     * are spec-pinned in Round6Spec.
     */
-  def embPca(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  /** The distributed pass + driver eigensolve shared by A10/A11:
+    * returns (mean, eigenvalues desc, eigenvectors-as-rows, total
+    * variance) of the embeddings' covariance.
+    */
+  private def pcaModel(spark: SparkSession, dir: String)
+      : (Array[Double], Array[Double], Array[Array[Double]], Double) = {
     val gram = udaf(graft.functions.Aggregators.GramMatrix)
     val row = Tables.load(spark, dir, "embeddings")
       .agg(gram(col("embedding")).as("g"))
@@ -429,12 +434,16 @@ object Similarity {
       i += 1
     }
     val (values, vectors) = graft.functions.LinAlg.symEig(cov)
+    (mu, values, vectors, (0 until d).map(i => cov(i)(i)).sum)
+  }
+
+  def embPca(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val (mu, values, vectors, totalVar) = pcaModel(spark, dir)
     val comps = vectors.take(k).map(_.toSeq).toSeq
     val offs = comps.map(c => c.zip(mu).map { case (a, b) => a * b }.sum)
     val y = ColumnShim.column(
       org.apache.spark.sql.graft.MatrixProject(
         ColumnShim.expression(col("embedding")), comps, offs))
-    val totalVar = (0 until d).map(i => cov(i)(i)).sum
     val capturedVar = values.take(k).sum
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), y.as("y"))
@@ -445,6 +454,40 @@ object Similarity {
         round(element_at(col("y"), 1), 4).as("pc1"),
         round(element_at(col("y"), 2), 4).as("pc2"),
         round(sqrt(aggregate(col("y"), lit(0.0), (a, v) => a + v * v)), 4)
+          .as("norm"))
+      .orderBy("vec_id")
+  }
+
+  /** A11: PCA whitening — A10's projection with each component scaled
+    * by 1/√λ, so the output distribution has IDENTITY covariance (unit
+    * variance per component, zero cross-correlation). SemDeDup-style
+    * pipelines whiten before cosine thresholds so no direction
+    * dominates the similarity. Same three-phase plan as A10 — the
+    * scaling folds into the SAME single compiled affine map (scale
+    * rows of M and the offset; no extra pass). Components with λ ≤ ε
+    * are dropped (whitening a zero-variance direction divides by
+    * zero). The identity-covariance property is the spec — a sharper
+    * invariant than anything an oracle could check.
+    */
+  def embWhiten(spark: SparkSession, dir: String, k: Int = 8,
+                eps: Double = 1e-12): DataFrame = {
+    val (mu, values, vectors, _) = pcaModel(spark, dir)
+    val kept = values.zip(vectors).take(k).filter(_._1 > eps)
+    val comps = kept.map { case (lam, v) =>
+      val s = 1.0 / math.sqrt(lam)
+      v.map(_ * s).toSeq
+    }.toSeq
+    val offs = comps.map(c => c.zip(mu).map { case (a, b) => a * b }.sum)
+    val y = ColumnShim.column(
+      org.apache.spark.sql.graft.MatrixProject(
+        ColumnShim.expression(col("embedding")), comps, offs))
+    Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), y.as("w"))
+      .select(
+        col("vec_id"),
+        lit(comps.length).as("out_dim"),
+        round(element_at(col("w"), 1), 4).as("w1"),
+        round(sqrt(aggregate(col("w"), lit(0.0), (a, v) => a + v * v)), 4)
           .as("norm"))
       .orderBy("vec_id")
   }

