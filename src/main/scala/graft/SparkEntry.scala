@@ -649,7 +649,7 @@ object SparkEntry {
         |), base AS (SELECT * FROM d WHERE doc_id < 400),
         |delta AS (SELECT * FROM d WHERE doc_id >= 400
         |          UNION ALL
-        |          SELECT doc_id + 10000, h FROM base WHERE doc_id % 50 = 0),
+        |          SELECT -doc_id - 1, h FROM base WHERE doc_id % 50 = 0),
         |verified AS (
         |  SELECT delta.doc_id, min(base.doc_id) AS match_id
         |  FROM delta JOIN base ON delta.h = base.h GROUP BY 1

@@ -85,7 +85,10 @@ object Aggregators {
       (Array.empty[Double], Array.empty[Double], 0L)
     override def reduce(b: (Array[Double], Array[Double], Long),
                         v: Seq[Float]): (Array[Double], Array[Double], Long) = {
-      if (v == null) b
+      // zero-length vectors are skipped like nulls: counting them would
+      // break the merge law (merge treats an empty-sums state as "no
+      // data", so a partition of only empty vectors would lose its n)
+      if (v == null || v.isEmpty) b
       else {
         val d = v.length
         val sums = if (b._1.isEmpty) new Array[Double](d) else b._1
@@ -118,6 +121,8 @@ object Aggregators {
       }
     override def finish(b: (Array[Double], Array[Double], Long)): (Seq[Double], Seq[Double], Long) =
       (b._1.toSeq, b._2.toSeq, b._3)
+    // (partition/merge-order invariance property-tested in
+    // AggregatorLawsProps alongside the other mergeable states)
     override def bufferEncoder: Encoder[(Array[Double], Array[Double], Long)] =
       ExpressionEncoder()
     override def outputEncoder: Encoder[(Seq[Double], Seq[Double], Long)] =

@@ -500,7 +500,8 @@ object Dedup {
     * plus a re-keyed slice of the base (every 50th doc under a fresh
     * doc_id) — a crawler re-delivering pages it already fetched. The
     * re-ingested slice guarantees the `dup` path is exercised (never
-    * vacuously green) at any SF.
+    * vacuously green) at any SF. Re-keys are NEGATIVE (−doc_id − 1) so
+    * they can never collide with a real doc_id at any corpus size.
     */
   def bloomGate(spark: SparkSession, dir: String, splitAt: Long = 400): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
@@ -510,7 +511,7 @@ object Dedup {
     base.createOrReplaceTempView("graft_bg_base")
     docs.filter(col("doc_id") >= splitAt)
       .unionByName(base.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("h")))
+        .select((-col("doc_id") - 1).as("doc_id"), col("h")))
       .createOrReplaceTempView("graft_bg_delta")
     spark.sql(
       s"""WITH bf AS (

@@ -449,7 +449,9 @@ object Similarity {
       .select(col("vec_id"), y.as("y"))
       .select(
         col("vec_id"),
-        lit(k).as("out_dim"),
+        // comps, not k: when the embedding dim d < k only d components
+        // exist (embWhiten reports the same way)
+        lit(comps.length).as("out_dim"),
         round(lit(capturedVar / totalVar), 4).as("var_fraction"),
         round(element_at(col("y"), 1), 4).as("pc1"),
         round(element_at(col("y"), 2), 4).as("pc2"),

@@ -226,12 +226,16 @@ object Analytics {
     }
     val rows = li.select(col("l_partkey"), array(idxCols: _*).as("idx"))
     val cms = udaf(Aggregators.CountMinSketch(depth, width))
+    // the row total comes free from the sketch: every input row
+    // increments exactly one cell per depth row, so depth-row 0 sums to
+    // n — no separate COUNT(*) scan of the fact table
     val sketch = rows.agg(cms(col("idx")).as("sk"))
-    val total = li.agg(count(lit(1)).as("total"))
+      .withColumn("total",
+        aggregate(slice(col("sk"), 1, width), lit(0L), (a, x) => a + x))
     val est = (0 until depth).map { r =>
       element_at(col("sk"), col("idx").getItem(r) + lit(r * width + 1))
     }.reduce(least(_, _))
-    rows.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+    rows.crossJoin(broadcast(sketch))
       // sketch prefilter: estimate ≥ truth, so no true heavy hitter is lost
       .filter(est * denom > col("total"))
       .groupBy("l_partkey")

@@ -91,14 +91,7 @@ object TableStore {
           .filter(col("__rn") === 1)
           .drop("__rn", "__v")
       } else tagged.drop("__v")
-    val tmp = new Path(path + "__staging")
-    val old = new Path(path + "__old")
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    val hadTarget = fs.exists(target)
-    if (hadTarget) fs.rename(target, old)
-    fs.rename(tmp, target)
-    if (hadTarget) fs.delete(old, true)
+    swapInto(fs, path, merged)
   }
 
   /** Additive rollup merge — the materialized-view maintenance sink:
@@ -123,6 +116,17 @@ object TableStore {
           .agg(valueCols.map(c => sum(c).as(c)).head,
             valueCols.map(c => sum(c).as(c)).tail: _*)
       else batch
+    swapInto(fs, path, merged)
+  }
+
+  /** Rename-aside publish shared by [[upsert]] and [[mergeAdditive]]:
+    * write to `__staging`, move the live table to `__old`, move staging
+    * live, drop `__old`. Each rename is atomic on HDFS-like
+    * filesystems; a crash leaves data recoverable in the side dirs.
+    */
+  private def swapInto(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                       merged: DataFrame): Unit = {
+    val target = new Path(path)
     val tmp = new Path(path + "__staging")
     val old = new Path(path + "__old")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)

@@ -65,6 +65,10 @@ object KeepFirstRewrite extends Rule[LogicalPlan] {
             WindowSpecDefinition(_, _,
               SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)
             if keepsRankOne(cond, alias.toAttribute) &&
+              // empty PARTITION BY must NOT rewrite: a global Aggregate
+              // emits one (all-null) row on empty input where the
+              // window+filter emits zero
+              w.partitionSpec.nonEmpty &&
               w.partitionSpec.forall(_.isInstanceOf[Attribute]) &&
               w.orderSpec.nonEmpty &&
               w.orderSpec.forall(so => so.direction == Ascending &&

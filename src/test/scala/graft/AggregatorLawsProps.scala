@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.Aggregators.{CountMinSketch, StringMode, TopKByScore, VectorSum}
+import graft.functions.Aggregators.{CountMinSketch, GramMatrix, StringMode, TopKByScore, VectorSum}
 import org.scalacheck.Prop.forAll
 import org.scalacheck.{Gen, Properties}
 
@@ -79,6 +79,23 @@ object AggregatorLawsProps extends Properties("AggregatorLaws") {
       idxs.groupBy(identity).forall { case (idx, occs) =>
         (0 until 3).forall(r => grid(r * 16 + idx(r)) >= occs.size)
       }
+    }
+
+  property("GramMatrix: count exact, moments within fp tolerance, empty vectors inert") =
+    forAll(
+      Gen.chooseNum(1, 5).flatMap(d =>
+        Gen.listOf(Gen.frequency(
+          8 -> Gen.listOfN(d, Gen.chooseNum(-5.0f, 5.0f)).map(_.toSeq),
+          1 -> Gen.const(Seq.empty[Float])))),   // empty vectors must not skew n
+      Gen.long) { (vecs, seed) =>
+      val direct = GramMatrix.finish(vecs.foldLeft(GramMatrix.zero)(GramMatrix.reduce))
+      val partial = chunks(vecs, seed).map(_.foldLeft(GramMatrix.zero)(GramMatrix.reduce))
+      val rnd = new scala.util.Random(seed ^ 0x1b873593L)
+      val merged = GramMatrix.finish(rnd.shuffle(partial).reduceLeft(GramMatrix.merge))
+      merged._3 == direct._3 &&
+        merged._3 == vecs.count(_.nonEmpty) &&
+        merged._1.zip(direct._1).forall { case (a, b) => math.abs(a - b) < 1e-9 } &&
+        merged._2.zip(direct._2).forall { case (a, b) => math.abs(a - b) < 1e-9 }
     }
 
   property("VectorSum: counts exact, sums within fp tolerance of direct") =

@@ -42,7 +42,7 @@ class Round6Spec extends SparkSpec {
     // same re-crawl derivation as the operator: new docs + re-keyed base slice
     val delta = docs.filter(col("doc_id") >= 400)
       .unionByName(base.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("h")))
+        .select((-col("doc_id") - 1).as("doc_id"), col("h")))
     val expected = delta.as("d")
       .join(base.as("b"), col("d.h") === col("b.h"), "left")
       .groupBy(col("d.doc_id").as("doc_id"))
@@ -56,7 +56,7 @@ class Round6Spec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0))
     assert(reingested.nonEmpty)
     reingested.foreach { id =>
-      assert(got(id + 10000).isDefined, s"re-ingested $id not flagged")
+      assert(got(-id - 1).isDefined, s"re-ingested $id not flagged")
     }
     assert(got.values.exists(_.isEmpty), "some delta docs must be new")
   }

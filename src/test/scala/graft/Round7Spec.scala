@@ -56,6 +56,19 @@ class Round7Spec extends SparkSpec {
       s"rank-2 pattern was wrongly rewritten:\n$plan")
   }
 
+  test("global (no PARTITION BY) keep-first is NOT rewritten — empty input stays empty") {
+    // a global Aggregate would emit one all-null row on empty input
+    // where the window+filter emits zero rows
+    val w = Window.orderBy("l_orderkey")
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") < -1) // empty
+      .select("l_orderkey", "l_quantity")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(df.queryExecution.optimizedPlan.toString.contains("row_number"))
+    assert(df.count() === 0)
+  }
+
   test("stream-maintained rollup equals the from-scratch batch rollup") {
     val streamed = graft.streaming.Events.streamIncrRollup(spark, sfDir)
       .collect().map(_.toSeq)
