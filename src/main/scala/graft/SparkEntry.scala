@@ -103,6 +103,7 @@ object SparkEntry {
     "sink_sorted" -> (IOQueries.sinkSorted _),
     "sink_jdbc" -> (IOQueries.sinkJdbc _),
     "t_incr_rollup" -> ((s, d) => IOQueries.tIncrRollup(s, d)),
+    "sink_manifest" -> ((s, d) => IOQueries.sinkManifest(s, d)),
     "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
     "src_fvecs" -> (IOQueries.srcFvecs _),
     "src_url" -> (IOQueries.srcUrl _),
@@ -924,6 +925,13 @@ object SparkEntry {
         |    ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
         |  FROM lineitem
         |) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    // the manifest-pruned read must return exactly the raw-table range
+    // query; `pruned` asserts files were actually skipped
+    "sink_manifest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  true AS pruned
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
     // incremental maintenance must be indistinguishable from a full
     // rebuild — the oracle recomputes the rollup from all of orders
     "t_incr_rollup" ->

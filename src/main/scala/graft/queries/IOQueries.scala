@@ -545,6 +545,49 @@ object IOQueries {
         round(sum("o_totalprice"), 2).as("total_good"))
   }
 
+  /** K11: manifest-backed datalake write + manifest-pruned read — the
+    * metadata half of a lakehouse table format: K10's sort-clustered
+    * write makes file key ranges non-overlapping, and a MANIFEST
+    * sidecar (per-file min/max/rows, built in ONE read-back aggregate
+    * on `input_file_name`) lets a reader plan the file list
+    * driver-side from manifest rows alone. At 100 TB the expensive
+    * part of a selective scan is LISTING and footer-reading a million
+    * files, not reading the survivors — manifest pruning is why
+    * Delta/Iceberg readers don't touch storage to plan. The output
+    * proves both halves: the range query's result (oracle-checked
+    * against the raw table) and that pruning actually skipped files.
+    */
+  def sinkManifest(spark: SparkSession, dir: String,
+                   lo: Long = 1000, hi: Long = 5000): DataFrame = {
+    val base = tmpDir("manifest")
+    val lake = base + "/lake"
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(lake)
+    spark.read.parquet(lake)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").json(base + "/manifest")
+    val manifest = spark.read.json(base + "/manifest")
+    val wanted = manifest
+      .filter(col("max_key") >= lo && col("min_key") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val filesTotal = manifest.count()
+    // only intersecting files are opened; the residual predicate still
+    // applies inside them (manifest bounds are per-file, not per-row)
+    val hit = spark.read.parquet(wanted: _*)
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    // file split boundaries are an execution detail — the oracle-stable
+    // facts are the query result and THAT files were skipped
+    hit.select(col("n"), col("total"),
+      lit(wanted.length < filesTotal).as("pruned"))
+  }
+
   /** T18: incremental aggregate maintenance — keep a monthly revenue
     * rollup current as batches land WITHOUT rescanning history: the
     * stored rollup holds MERGEABLE partials (count + raw double sum —
