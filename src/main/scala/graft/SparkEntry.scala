@@ -187,7 +187,8 @@ object SparkEntry {
     "p_flow_e2e" -> (IOQueries.flowE2E _),
     "p_corpus_e2e" -> ((s, d) => graft.pipeline.CorpusPipeline.corpusE2E(s, d)),
     "p_backfill" -> (IOQueries.pBackfill _),
-    "p_flow_cache" -> (IOQueries.pFlowCache _)
+    "p_flow_cache" -> (IOQueries.pFlowCache _),
+    "p_parallel" -> (IOQueries.pParallel _)
   )
 
   /** DuckDB-dialect oracle SQL, same column names as the Spark plans. */
@@ -925,6 +926,18 @@ object SparkEntry {
         |    ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
         |  FROM lineitem
         |) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    // concurrent branches must produce exactly the sequential results
+    "p_parallel" ->
+      """SELECT 'events' AS branch,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups,
+        |  CAST(count(*) AS BIGINT) AS n_rows FROM events
+        |UNION ALL SELECT 'lineitem',
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'orders',
+        |  CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM orders
+        |ORDER BY branch""".stripMargin,
     // the manifest-pruned read must return exactly the raw-table range
     // query; `pruned` asserts files were actually skipped
     "sink_manifest" ->

@@ -545,6 +545,33 @@ object IOQueries {
         round(sum("o_totalprice"), 2).as("total_good"))
   }
 
+  /** P4: concurrent independent flow branches — three unrelated table
+    * summaries submitted simultaneously through [[graft.pipeline.Flow.parallel]]
+    * (the reference's concurrent task runner): each branch's jobs
+    * interleave in the one shared application instead of queueing
+    * back-to-back. Results assemble in declaration order, so the
+    * output (and its oracle) is deterministic even though completion
+    * order is not.
+    */
+  def pParallel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Flow
+    def summarize(table: String, groupExpr: org.apache.spark.sql.Column): (Long, Long) = {
+      val r = Tables.load(spark, dir, table)
+        .agg(countDistinct(groupExpr).as("g"), count(lit(1)).as("n"))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val results = Flow.parallel(Seq(
+      ("events_summary", () => summarize("events", col("event_type"))),
+      ("lineitem_summary", () => summarize("lineitem", col("l_returnflag"))),
+      ("orders_summary", () => summarize("orders", date_format(col("o_orderdate"), "yyyy-MM")))))
+    import spark.implicits._
+    Seq("events", "lineitem", "orders").zip(results)
+      .map { case (b, (g, n)) => (b, g, n) }
+      .toDF("branch", "n_groups", "n_rows")
+      .orderBy("branch")
+  }
+
   /** K11: manifest-backed datalake write + manifest-pruned read — the
     * metadata half of a lakehouse table format: K10's sort-clustered
     * write makes file key ranges non-overlapping, and a MANIFEST

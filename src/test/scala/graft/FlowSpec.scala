@@ -76,4 +76,26 @@ class FlowSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[String]("note").contains("artificial transformation")))
   }
+
+  test("parallel returns declaration order regardless of completion order") {
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val out = graft.pipeline.Flow.parallel(Seq(
+      ("slow", () => { Thread.sleep(300); done.add("slow"); "a" }),
+      ("fast", () => { done.add("fast"); "b" })))
+    assert(out === Seq("a", "b"))
+    // the fast branch really finished first — they ran concurrently
+    assert(done.peek() === "fast")
+  }
+
+  test("parallel keeps per-task retry semantics") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = graft.pipeline.Flow.parallel(Seq(
+      ("flaky", () => {
+        graft.pipeline.Flow.task("inner", graft.pipeline.Flow.TaskConfig(retries = 2)) {
+          if (attempts.incrementAndGet() < 3) sys.error("boom") else 42
+        }
+      })))
+    assert(out === Seq(42))
+    assert(attempts.get() === 3)
+  }
 }
