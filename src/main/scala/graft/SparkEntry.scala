@@ -163,6 +163,7 @@ object SparkEntry {
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_sample" -> ((s, d) => Multimodal.mmSample(s, d)),
     "mm_binary_files" -> ((s, d) => Multimodal.mmBinaryFiles(s, d)),
+    "mm_shards" -> ((s, d) => Multimodal.mmShards(s, d)),
     // Events & streaming (E1–E4)
     "e_window_agg" -> (Events.windowAgg _),
     "e_sessionize" -> ((s, d) => Events.sessionize(s, d)),
@@ -1500,6 +1501,13 @@ object SparkEntry {
         |  len(string_split(text, ' ')) AS n_tokens,
         |  round(list_aggregate(list_transform(string_split(text, ' '),
         |    t -> length(t)), 'avg'), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // shard round-trip is byte-exact: every payload's md5 must match
+    // the md5 of the source text's UTF-8 bytes
+    "mm_shards" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     // byte-exact sampling oracle: hex() the UTF-8 blob and decode each
     // sampled hex pair to its integer byte value (no charset round-trip)
