@@ -396,20 +396,27 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    def propagate(ls: DataFrame): DataFrame = {
       val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("lbl").as("dst_lbl")), Seq("dst"))
+        .join(ls.select(col("id").as("dst"), col("lbl").as("dst_lbl")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("dst_lbl").as("nbr_min"))
-      // carry the did-it-shrink flag through the checkpoint: the
-      // convergence count is then a scan of already-materialized rows,
-      // not an extra labels-vs-labels join per round
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      ls.select("id", "lbl").join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
           (coalesce(col("nbr_min"), col("lbl")) < col("lbl")).as("chg"))
-        .localCheckpoint()
+    }
+    var changed = 1L
+    while (changed > 0) {
+      // TWO propagation steps per materialization barrier: min-label
+      // propagation is monotone, so convergence detection only needs
+      // the LAST step's change flags (step 2 quiet ⟹ step 1's output
+      // was already a fixpoint of step 2's input — done). Halves the
+      // checkpoint + count job overhead, which dominates per-round
+      // cost once the label table is small.
+      // (chg is carried through the checkpoint so the convergence
+      // count scans materialized rows, never a labels-vs-labels join.)
+      val next = propagate(propagate(labels)).localCheckpoint()
       changed = next.filter(col("chg")).count()
       labels = next.select("id", "lbl")
     }
