@@ -183,6 +183,9 @@ object SparkEntry {
     "e_anomaly" -> (Analytics.eAnomaly _),
     "e_stream_upsert" -> (Events.streamUpsert _),
     "e_stream_incr_rollup" -> (Events.streamIncrRollup _),
+    // watermark-drop metrics come from StreamingQueryProgress, not SQL
+    // → rows-only (fixed 4-row shape); exact drops pinned in Round7Spec
+    "e_stream_late" -> (Events.streamLateData _),
     "e_stream_tws" -> (Events.streamTransformWithState _),
     // Pipeline orchestration (P1–P2)
     "p_flow_e2e" -> (IOQueries.flowE2E _),

@@ -288,6 +288,75 @@ object Events {
       .orderBy("d")
   }
 
+  /** E21: watermark late-data accounting — the operational truth every
+    * streaming pipeline must surface: how many events arrived too late
+    * and were DROPPED by the watermark. The input replays as two
+    * micro-batches — recent events first, then the oldest 20% as
+    * stragglers — so batch 1 advances the watermark past every batch-2
+    * event window and the drops actually happen (never vacuous). Drop
+    * counts come from the engine's own per-batch
+    * `stateOperators.numRowsDroppedByWatermark` metrics (what an ops
+    * dashboard reads) — NOTE they count rows at the state operator,
+    * i.e. post-partial-aggregation window GROUPS, not raw events; the
+    * event-level conservation `total = emitted + stragglers +
+    * open-window events` is pinned against an event-time computation
+    * in Round7Spec. Rows-only driver check (progress metrics are not
+    * SQL); the 4-row shape is fixed.
+    *
+    * The stragglers stage TWO batches behind the watermark-advancing
+    * file, not one: since SPARK-40925, late-record filtering uses the
+    * PREVIOUS micro-batch's watermark while eviction uses the current
+    * one (so chained stateful operators stay consistent) — a straggler
+    * in the very next batch is still admitted. Replay/backfill batch
+    * boundaries must account for this one-batch lag; this operator
+    * demonstrates exactly that.
+    */
+  def streamLateData(spark: SparkSession, dir: String): DataFrame = {
+    val inDir = Files.createTempDirectory("graft_stream_late").toString + "/in"
+    val raw = spark.read.parquet(graft.Tables.path(dir, "events")).select("event_id", "ts")
+    // exact percentiles of the long nanos — deterministic 3-way split:
+    // bulk recent, a small second recent file (advances the LATE-event
+    // watermark), then the oldest 20% as stragglers
+    val cuts = raw.selectExpr("percentile(ts, array(0.2, 0.95))")
+      .collect().head.getSeq[Double](0).map(_.toLong)
+    val (p20, p95) = (cuts(0), cuts(1))
+    raw.filter(col("ts") >= p20 && col("ts") < p95)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(1100) // distinct mtimes fix the file-stream batch order
+    raw.filter(col("ts") >= p95).coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(1100)
+    raw.filter(col("ts") < p20).coalesce(1).write.mode("append").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val sinkName = s"graft_stream_late_${streamCounter.incrementAndGet()}"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append") // append = only watermark-finalized windows emit
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the engine metric counts rows at the STATE operator, i.e. after
+    // partial aggregation: dropped window-GROUPS, not raw events
+    val droppedGroups = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsDroppedByWatermark).sum
+    val inState = q.recentProgress.toSeq.lastOption
+      .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).getOrElse(0L)
+    val emitted = spark.table(sinkName).agg(coalesce(sum("n"), lit(0L)))
+      .collect().head.getLong(0)
+    val total = raw.count()
+    import spark.implicits._
+    Seq(("1_total_events", total),
+        ("2_emitted_in_final_windows", emitted),
+        ("3_windows_still_in_state", inState),
+        ("4_late_dropped_groups", droppedGroups))
+      .toDF("metric", "n").orderBy("metric")
+  }
+
   /** E9: semi-structured extraction — pull a typed field out of the
     * `props` JSON string column. `get_json_object` evaluates inside the
     * scan projection (no UDF, no parse-to-struct materialization); at

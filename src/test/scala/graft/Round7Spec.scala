@@ -69,6 +69,30 @@ class Round7Spec extends SparkSpec {
     assert(df.count() === 0)
   }
 
+  test("watermark accounting: stragglers dropped, conservation holds") {
+    val out = graft.streaming.Events.streamLateData(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected values from event time directly
+    val ts = Tables.load(spark, sfDir, "events").select("ts_ns")
+      .collect().map(_.getLong(0)).sorted
+    val n = ts.length
+    val p20 = ts((0.2 * (n - 1)).round.toInt) // percentile(0.2) on sorted longs
+    val stragglers = ts.count(_ < p20)
+    assert(out("1_total_events") === n)
+    assert(out("4_late_dropped_groups") > 0, "stragglers must actually be dropped")
+    // every straggler was excluded from the emitted windows: emitted +
+    // stragglers + events-in-open-windows == total
+    val wmMicros = ts.max / 1000 - 3600L * 1000000L // final watermark (micros)
+    val openEvents = ts.count { t =>
+      val us = t / 1000
+      // window end = next hour boundary after the event
+      val windowEndUs = (us / 3600000000L + 1) * 3600000000L
+      t >= p20 && windowEndUs > wmMicros
+    }
+    assert(out("2_emitted_in_final_windows") + stragglers + openEvents === n,
+      s"conservation failed: $out stragglers=$stragglers open=$openEvents")
+  }
+
   test("stream-maintained rollup equals the from-scratch batch rollup") {
     val streamed = graft.streaming.Events.streamIncrRollup(spark, sfDir)
       .collect().map(_.toSeq)
