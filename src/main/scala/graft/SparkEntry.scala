@@ -62,6 +62,9 @@ object SparkEntry {
     "q_bloom_semi" -> (Analytics.qBloomSemi _),
     "q_heavy_hitters_sketch" -> ((s, d) => Analytics.qHeavyHittersSketch(s, d)),
     "q_rolling_distinct" -> ((s, d) => Analytics.qRollingDistinct(s, d)),
+    // DataSketches HLL estimates are engine-specific → rows-only;
+    // error vs the exact rolling distinct bounded in Round7Spec
+    "q_rolling_distinct_hll" -> ((s, d) => Analytics.qRollingDistinctHll(s, d)),
     "q_rolling_7d" -> (Analytics.qRolling7d _),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "dedup_bloom_gate" -> ((s, d) => Dedup.bloomGate(s, d)),

@@ -272,6 +272,31 @@ object Analytics {
       .orderBy("d")
   }
 
+  /** Q34b: rolling actives via mergeable HLL sketches — the form Q34
+    * takes when even the deduplicated (day, user) table is too big to
+    * re-aggregate per window: ONE pass builds a per-day DataSketches
+    * HLL (`hll_sketch_agg`, the Spark 4 native), and every rolling
+    * window is a UNION of 7 day-sketches (`hll_union_agg`) — events
+    * are never touched again, and the day-sketch table (|days| ×
+    * ~1.5 KB) is what ships to any window length, dashboard, or
+    * backfill. Same coverage-explosion as Q34, applied to sketches
+    * instead of activity rows. Estimates are engine-specific →
+    * rows-only check; relative error vs the exact Q34 is bounded in
+    * Round7Spec (lgConfigK=12 ⇒ ~1.6% RSE).
+    */
+  def qRollingDistinctHll(spark: SparkSession, dir: String, window: Int = 7): DataFrame = {
+    val daySk = Tables.load(spark, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .groupBy("d").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val days = daySk.select("d")
+    daySk.select(explode(sequence(col("d"), date_add(col("d"), window - 1))).as("d"),
+        col("sk"))
+      .join(days, Seq("d"), "left_semi")
+      .groupBy("d")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_active_7d"))
+      .orderBy("d")
+  }
+
   /** E17: event-type transition matrix — for each user's time-ordered
     * event stream, count (from_type → to_type) adjacent transitions (the
     * first-order Markov summary behind "what do users do next").

@@ -69,6 +69,19 @@ class Round7Spec extends SparkSpec {
     assert(df.count() === 0)
   }
 
+  test("HLL rolling actives within 5% of the exact rolling distinct") {
+    val exact = queries.Analytics.qRollingDistinct(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val approx = queries.Analytics.qRollingDistinctHll(spark, sfDir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (d, n) =>
+      val a = approx(d)
+      assert(math.abs(a - n).toDouble / math.max(n, 1) < 0.05,
+        s"day $d: approx $a vs exact $n")
+    }
+  }
+
   test("watermark accounting: stragglers dropped, conservation holds") {
     val out = graft.streaming.Events.streamLateData(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
