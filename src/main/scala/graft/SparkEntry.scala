@@ -34,6 +34,7 @@ object SparkEntry {
     "q_subquery" -> (Relational.qSubquery _),
     "q_setops" -> (Relational.qSetOps _),
     "q_sql" -> (Relational.qSql _),
+    "q_recursive" -> (Relational.qRecursive _),
     "q_rollup" -> (Relational.qRollup _),
     "q_cube" -> (Relational.qCube _),
     "q_quantiles" -> (Relational.qQuantiles _),
@@ -1545,6 +1546,25 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_recursive" ->
+      """WITH RECURSIVE pc AS (
+        |  SELECT DISTINCT l_partkey AS part, o_custkey AS cust
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), edges AS (
+        |  SELECT a.cust AS src, b.cust AS dst
+        |  FROM pc a JOIN pc b ON a.part = b.part AND a.cust <> b.cust
+        |  GROUP BY 1, 2 HAVING count(*) >= 4
+        |), seeds AS (
+        |  SELECT c_custkey AS cust FROM customer WHERE c_acctbal > 9900
+        |), hops (cust, hop) AS (
+        |  SELECT cust, 0 FROM seeds
+        |  UNION ALL
+        |  SELECT e.dst, h.hop + 1
+        |  FROM hops h JOIN edges e ON e.src = h.cust
+        |  WHERE h.hop < 2
+        |)
+        |SELECT cust, CAST(min(hop) AS INT) AS hop
+        |FROM hops GROUP BY cust ORDER BY cust""".stripMargin,
     // the windowed-coverage explosion must equal the direct per-day
     // windowed distinct
     "q_rolling_distinct" ->

@@ -207,6 +207,42 @@ object Relational {
         |ORDER BY r_name""".stripMargin)
   }
 
+  /** Q35: recursive CTE — multi-hop graph reachability in pure SQL
+    * (`WITH RECURSIVE`, new in Spark 4): BFS over a sparse co-purchase
+    * graph (customers become neighbors when they share >= 4 distinct
+    * parts — strong ties stay sparse on uniform data), seeded from the
+    * highest-balance accounts, bounded at 2 hops. The
+    * recursion IS the scalable frontier-expansion shape — each
+    * iteration is one frontier⋈edges join, exactly what the iterative
+    * DataFrame loop in D8 does by hand; the SQL form lets Catalyst own
+    * the loop. The shared-part support threshold keeps the
+    * graph sparse so UNION ALL frontiers stay bounded; min(hop) outside the recursion gives
+    * engine-order-independent results. Same SQL runs on DuckDB — the
+    * oracle is nearly verbatim.
+    */
+  def qRecursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE pc AS (
+        |  SELECT DISTINCT l_partkey AS part, o_custkey AS cust
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), edges AS (
+        |  SELECT a.cust AS src, b.cust AS dst
+        |  FROM pc a JOIN pc b ON a.part = b.part AND a.cust <> b.cust
+        |  GROUP BY 1, 2 HAVING count(*) >= 4
+        |), seeds AS (
+        |  SELECT c_custkey AS cust FROM customer WHERE c_acctbal > 9900
+        |), hops (cust, hop) AS (
+        |  SELECT cust, 0 FROM seeds
+        |  UNION ALL
+        |  SELECT e.dst, h.hop + 1
+        |  FROM hops h JOIN edges e ON e.src = h.cust
+        |  WHERE h.hop < 2
+        |)
+        |SELECT cust, CAST(min(hop) AS INT) AS hop
+        |FROM hops GROUP BY cust ORDER BY cust""".stripMargin)
+  }
+
   /** Q16: ROLLUP — hierarchical subtotals + grand total in one pass
     * (one shuffle; Spark expands the grouping sets map-side). Subtotal
     * rows carry NULL group keys, coalesced to 'ALL' so both engines

@@ -69,6 +69,13 @@ class Round7Spec extends SparkSpec {
     assert(df.count() === 0)
   }
 
+  test("recursive BFS actually expands: hop-1 frontier is non-empty") {
+    val hops = Relational.qRecursive(spark, sfDir).collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    assert(hops.getOrElse(0, 0) > 0, "no seeds")
+    assert(hops.getOrElse(1, 0) > 0, s"recursion never expanded: $hops")
+  }
+
   test("HLL rolling actives within 5% of the exact rolling distinct") {
     val exact = queries.Analytics.qRollingDistinct(spark, sfDir).collect()
       .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
