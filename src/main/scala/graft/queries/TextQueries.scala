@@ -413,10 +413,13 @@ object TextQueries {
     val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score_micro").desc, col("term"))
-    tf.join(dfreq, "term")
+    // df via an unordered window in the term exchange (not groupBy +
+    // join-back): the tf table would have to shuffle by term for that
+    // join anyway — the window form computes df in place, one exchange
+    // and one join fewer (the dedup_ngram_jaccard df rework, reapplied)
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(nDocs))
       .withColumn("idf_micro",
         round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) * 1e6).cast("long"))
