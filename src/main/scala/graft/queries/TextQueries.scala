@@ -167,14 +167,16 @@ object TextQueries {
           slice(col("toks"), lit(1), size(col("toks")) - 1).as("l"),
           slice(col("toks"), lit(2), size(col("toks")) - 1).as("r"))).as("p"))
       .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
-    val pairCnt = bigrams.groupBy("l", "r").agg(count(lit(1)).as("c_lr"))
-    val ctxCnt = bigrams.groupBy("l").agg(count(lit(1)).as("c_l"))
     val vocab = Tables.load(spark, dir, "documents")
       .select(explode(toksCol).as("tok")).filter(length(col("tok")) > 0)
       .agg(countDistinct("tok").as("v"))
+    // both counts via unordered windows in the exchanges the stream
+    // passes through anyway — no groupBy + join-back (the text_tfidf /
+    // ngram-jaccard df rework): bigram count in the (l, r) exchange,
+    // context count in the (l) exchange
     bigrams
-      .join(pairCnt, Seq("l", "r"))
-      .join(ctxCnt, Seq("l"))
+      .withColumn("c_lr", count(lit(1)).over(Window.partitionBy("l", "r")))
+      .withColumn("c_l", count(lit(1)).over(Window.partitionBy("l")))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
         round(log((col("c_l") + col("v")).cast("double") / (col("c_lr") + 1)) * 1e6)
