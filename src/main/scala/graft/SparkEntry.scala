@@ -74,6 +74,7 @@ object SparkEntry {
     "t_shuffle_hash" -> ((s, d) => Analytics.tShuffleHash(s, d)),
     "t_table_diff" -> (Analytics.tTableDiff _),
     "t_salted_join" -> ((s, d) => Analytics.tSaltedJoin(s, d)),
+    "t_kanon" -> ((s, d) => Analytics.tKanon(s, d)),
     // Transforms (T1–T4)
     "t_project_const" -> (Relational.tProjectConst _),
     "t_cast_rename" -> (Relational.tCastRename _),
@@ -1546,6 +1547,29 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t_kanon" ->
+      """WITH c AS (
+        |  SELECT c_acctbal, n_name FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |), l0 AS (SELECT min(cnt) m FROM (
+        |    SELECT count(*) cnt FROM c GROUP BY n_name, floor(c_acctbal/100))),
+        |l1 AS (SELECT min(cnt) m FROM (
+        |    SELECT count(*) cnt FROM c GROUP BY n_name, floor(c_acctbal/1000))),
+        |l2 AS (SELECT min(cnt) m FROM (
+        |    SELECT count(*) cnt FROM c GROUP BY n_name)),
+        |lv AS (SELECT CASE WHEN (SELECT m FROM l0) >= 5 THEN 0
+        |                   WHEN (SELECT m FROM l1) >= 5 THEN 1
+        |                   WHEN (SELECT m FROM l2) >= 5 THEN 2
+        |                   ELSE 3 END AS lvl)
+        |SELECT CASE WHEN lvl >= 3 THEN 'ALL' ELSE n_name END AS geo,
+        |  CASE lvl
+        |    WHEN 0 THEN CAST(CAST(floor(c_acctbal/100) AS BIGINT) AS VARCHAR)
+        |    WHEN 1 THEN CAST(CAST(floor(c_acctbal/1000) AS BIGINT) AS VARCHAR)
+        |    ELSE 'ALL' END AS band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(lvl AS INT) AS level
+        |FROM c CROSS JOIN lv
+        |GROUP BY 1, 2, lvl ORDER BY geo, band""".stripMargin,
     "q_recursive" ->
       """WITH RECURSIVE pc AS (
         |  SELECT DISTINCT l_partkey AS part, o_custkey AS cust

@@ -247,6 +247,42 @@ object Analytics {
       .orderBy("l_partkey")
   }
 
+  /** T19: k-anonymity generalization (Sweeney 2002) — the release-side
+    * privacy gate PII redaction (X5) doesn't cover: quasi-identifiers
+    * (here: nation × account-balance band) can re-identify individuals
+    * even with direct identifiers scrubbed, so the table generalizes up
+    * a fixed ladder — finer band → coarser band → drop band → drop
+    * geography — until EVERY group holds ≥ k members. Level choice is
+    * data-driven: four group-size probes (small aggregates, the
+    * k-anonymity audit every release pipeline runs) pick the first
+    * adequate rung; the published output is the grouped table at that
+    * rung. On the synthetic data the chosen rung genuinely varies by
+    * scale (global at sf0.001, per-nation at sf0.01, nation×band at
+    * sf0.1) — generalization NEED shrinks as data grows, which is the
+    * point of the ladder. Oracle replays the probes + CASE in SQL.
+    */
+  def tKanon(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+    def band(width: Int): Column =
+      floor(col("c_acctbal") / width).cast("long").cast("string")
+    val ladder: Seq[(Column, Column)] = Seq(
+      (col("n_name"), band(100)),
+      (col("n_name"), band(1000)),
+      (col("n_name"), lit("ALL")),
+      (lit("ALL"), lit("ALL")))
+    val minSizes = ladder.map { case (g, b) =>
+      c.groupBy(g.as("geo"), b.as("band")).agg(count(lit(1)).as("n"))
+        .agg(min("n")).collect().head.getLong(0)
+    }
+    val lvl = minSizes.indexWhere(_ >= k)
+    val (g, b) = ladder(lvl)
+    c.groupBy(g.as("geo"), b.as("band")).agg(count(lit(1)).as("n"))
+      .withColumn("level", lit(lvl))
+      .orderBy("geo", "band")
+  }
+
   /** Q34: rolling 7-day distinct actives — the "7-day active users"
     * metric, computed the way that scales: distinct-count is NOT
     * additive across a sliding frame (a RANGE window can't merge it),

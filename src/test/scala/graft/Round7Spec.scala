@@ -69,6 +69,30 @@ class Round7Spec extends SparkSpec {
     assert(df.count() === 0)
   }
 
+  test("k-anonymity: every published group >= k, and the rung is minimal") {
+    val k = 5
+    val rows = queries.Analytics.tKanon(spark, sfDir, k).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= k), "a group below k was published")
+    val lvl = rows.head.getInt(3)
+    assert(rows.forall(_.getInt(3) === lvl))
+    // minimality: the next-finer rung must violate k (else it would
+    // have been chosen); recompute its min group size directly
+    if (lvl > 0) {
+      val c = Tables.load(spark, sfDir, "customer")
+        .join(Tables.load(spark, sfDir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+      val finer = lvl match {
+        case 1 => c.groupBy(col("n_name"), floor(col("c_acctbal") / 100))
+        case 2 => c.groupBy(col("n_name"), floor(col("c_acctbal") / 1000))
+        case _ => c.groupBy(col("n_name"))
+      }
+      val minFiner = finer.agg(count(lit(1)).as("n"))
+        .agg(min("n")).collect().head.getLong(0)
+      assert(minFiner < k, s"finer rung min $minFiner >= $k — rung not minimal")
+    }
+  }
+
   test("recursive BFS actually expands: hop-1 frontier is non-empty") {
     val hops = Relational.qRecursive(spark, sfDir).collect()
       .groupBy(_.getInt(1)).view.mapValues(_.length).toMap
