@@ -35,6 +35,7 @@ object SparkEntry {
     "q_setops" -> (Relational.qSetOps _),
     "q_sql" -> (Relational.qSql _),
     "q_recursive" -> (Relational.qRecursive _),
+    "q_lateral" -> (Relational.qLateral _),
     "q_rollup" -> (Relational.qRollup _),
     "q_cube" -> (Relational.qCube _),
     "q_quantiles" -> (Relational.qQuantiles _),
@@ -1547,6 +1548,15 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_lateral" ->
+      """SELECT c_custkey, t.o_orderkey,
+        |       round(t.o_totalprice, 2) AS o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_acctbal > 9000
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "t_kanon" ->
       """WITH c AS (
         |  SELECT c_acctbal, n_name FROM customer

@@ -243,6 +243,29 @@ object Relational {
         |FROM hops GROUP BY cust ORDER BY cust""".stripMargin)
   }
 
+  /** Q36: correlated LATERAL join (SQL:2016, supported since Spark
+    * 3.4 for correlated subqueries with LIMIT): top-2 orders per
+    * high-balance customer written as a per-row subquery — the "for
+    * each row, run this query" form analysts reach for. Catalyst
+    * DECORRELATES it into the same rank-window plan Q8 hand-writes
+    * (`DomainJoin` → window top-k, WindowGroupLimit applies), so the
+    * declarative per-row form costs one join + one bounded window, not
+    * |customers| subquery executions — the reason lateral is safe at
+    * 100 TB. Oracle is near-verbatim (DuckDB executes the same SQL).
+    */
+  def qLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, t.o_orderkey,
+        |       round(t.o_totalprice, 2) AS o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_acctbal > 9000
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   /** Q16: ROLLUP — hierarchical subtotals + grand total in one pass
     * (one shuffle; Spark expands the grouping sets map-side). Subtotal
     * rows carry NULL group keys, coalesced to 'ALL' so both engines

@@ -93,6 +93,14 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("lateral top-2 decorrelates to a bounded rank window, not a per-row loop") {
+    val plan = Relational.qLateral(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected decorrelated window plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"lateral fell back to a cartesian per-row plan:\n$plan")
+  }
+
   test("recursive BFS actually expands: hop-1 frontier is non-empty") {
     val hops = Relational.qRecursive(spark, sfDir).collect()
       .groupBy(_.getInt(1)).view.mapValues(_.length).toMap
