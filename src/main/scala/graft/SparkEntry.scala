@@ -76,6 +76,7 @@ object SparkEntry {
     "t_table_diff" -> (Analytics.tTableDiff _),
     "t_salted_join" -> ((s, d) => Analytics.tSaltedJoin(s, d)),
     "t_kanon" -> ((s, d) => Analytics.tKanon(s, d)),
+    "t_pseudonym" -> ((s, d) => Analytics.tPseudonym(s, d)),
     // Transforms (T1–T4)
     "t_project_const" -> (Relational.tProjectConst _),
     "t_cast_rename" -> (Relational.tCastRename _),
@@ -1548,6 +1549,24 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the pseudonym-space join must reproduce the raw-key rollup
+    // exactly — DuckDB replays the same salted-hash surrogates
+    "t_pseudonym" ->
+      """WITH c AS (
+        |  SELECT substr(md5('graft_s1' || CAST(c_custkey AS VARCHAR)), 1, 16) AS cust_sid,
+        |         c_nationkey
+        |  FROM customer
+        |), o AS (
+        |  SELECT substr(md5('graft_s1' || CAST(o_custkey AS VARCHAR)), 1, 16) AS cust_sid,
+        |         o_totalprice
+        |  FROM orders
+        |)
+        |SELECT c_nationkey,
+        |  CAST(count(DISTINCT cust_sid) AS BIGINT) AS n_customers,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM c JOIN o USING (cust_sid)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_lateral" ->
       """SELECT c_custkey, t.o_orderkey,
         |       round(t.o_totalprice, 2) AS o_totalprice

@@ -283,6 +283,33 @@ object Analytics {
       .orderBy("geo", "band")
   }
 
+  /** T20: referential pseudonymization — the third privacy gate beside
+    * X5 (scrub direct identifiers) and T19 (generalize
+    * quasi-identifiers): replace entity KEYS with salted-hash
+    * surrogates so released tables stay JOINABLE without exposing the
+    * original keys. The surrogate is a pure scan-side projection
+    * (md5(salt ‖ key) prefix — deterministic, engine-portable, no
+    * lookup table to ship or leak), applied independently to each
+    * table; equal keys map to equal surrogates, so every downstream
+    * join works unchanged. Output proves it: per-nation order rollups
+    * computed ENTIRELY in pseudonym space match the rollups on raw
+    * keys (the oracle joins raw and compares shape/totals), and the
+    * surrogate column itself round-trips the hash in SQL.
+    */
+  def tPseudonym(spark: SparkSession, dir: String, salt: String = "graft_s1"): DataFrame = {
+    def surrogate(c: Column): Column = substring(md5(concat(lit(salt), c.cast("string"))), 1, 16)
+    val cust = Tables.load(spark, dir, "customer")
+      .select(surrogate(col("c_custkey")).as("cust_sid"), col("c_nationkey"))
+    val ords = Tables.load(spark, dir, "orders")
+      .select(surrogate(col("o_custkey")).as("cust_sid"), col("o_totalprice"))
+    cust.join(ords, "cust_sid")
+      .groupBy("c_nationkey")
+      .agg(countDistinct("cust_sid").as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_nationkey")
+  }
+
   /** Q34: rolling 7-day distinct actives — the "7-day active users"
     * metric, computed the way that scales: distinct-count is NOT
     * additive across a sliding frame (a RANGE window can't merge it),
