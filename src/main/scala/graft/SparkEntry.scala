@@ -110,6 +110,7 @@ object SparkEntry {
     "sink_sorted" -> (IOQueries.sinkSorted _),
     "sink_jdbc" -> (IOQueries.sinkJdbc _),
     "t_incr_rollup" -> ((s, d) => IOQueries.tIncrRollup(s, d)),
+    "dq_schema_contract" -> (IOQueries.dqSchemaContract _),
     "sink_manifest" -> ((s, d) => IOQueries.sinkManifest(s, d)),
     "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
     "src_fvecs" -> (IOQueries.srcFvecs _),
@@ -949,6 +950,27 @@ object SparkEntry {
         |  CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT),
         |  CAST(count(*) AS BIGINT) FROM orders
         |ORDER BY branch""".stripMargin,
+    // same contract diff replayed over DuckDB's DESCRIBE of the feed
+    "dq_schema_contract" ->
+      """WITH actual AS (
+        |  SELECT column_name AS col,
+        |    CASE column_type
+        |      WHEN 'BIGINT' THEN 'bigint' WHEN 'VARCHAR' THEN 'string'
+        |      WHEN 'DOUBLE' THEN 'double' WHEN 'TIMESTAMP' THEN 'timestamp'
+        |      ELSE lower(column_type) END AS actual
+        |  FROM (DESCRIBE SELECT * FROM orders)
+        |), contract(col, expected) AS (
+        |  VALUES ('o_orderkey', 'bigint'), ('o_custkey', 'bigint'),
+        |         ('o_orderstatus', 'string'), ('o_totalprice', 'decimal(12,2)'),
+        |         ('o_orderdate', 'timestamp'), ('o_channel', 'string')
+        |)
+        |SELECT coalesce(c.col, a.col) AS "column", expected, actual,
+        |  CASE WHEN expected IS NULL THEN 'unexpected'
+        |       WHEN actual IS NULL THEN 'missing'
+        |       WHEN expected = actual THEN 'ok'
+        |       ELSE 'type_mismatch' END AS verdict
+        |FROM contract c FULL OUTER JOIN actual a ON c.col = a.col
+        |ORDER BY "column"""".stripMargin,
     // the manifest-pruned read must return exactly the raw-table range
     // query; `pruned` asserts files were actually skipped
     "sink_manifest" ->

@@ -545,6 +545,38 @@ object IOQueries {
         round(sum("o_totalprice"), 2).as("total_good"))
   }
 
+  /** T21: schema-contract gate — the ingest check that runs BEFORE any
+    * row is read: diff the arriving feed's schema against the declared
+    * contract and report per-column verdicts (ok / missing /
+    * unexpected / type_mismatch) so a drifted upstream fails loudly at
+    * the gate instead of as nulls or corrupt casts mid-pipeline (the
+    * value-level rules in T10 assume the shape already matched). Pure
+    * metadata: one footer read, zero data scanned at any corpus size.
+    * The demo contract deliberately drifts from the feed — a declared
+    * column the feed lacks, an undeclared column it carries, one type
+    * change — so every verdict class is exercised, never vacuous.
+    */
+  def dqSchemaContract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val contract = Seq(
+      ("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+      ("o_orderstatus", "string"), ("o_totalprice", "decimal(12,2)"),
+      ("o_orderdate", "timestamp"), ("o_channel", "string"))
+      .toDF("column", "expected")
+    val actual = spark.read.parquet(Tables.path(dir, "orders")).schema
+      // ntz and ltz both arrive as plain TIMESTAMP through the oracle's
+      // reader — normalize so the contract compares the logical type
+      .map(f => (f.name, f.dataType.simpleString.replace("timestamp_ntz", "timestamp")))
+      .toSeq.toDF("column", "actual")
+    contract.join(actual, Seq("column"), "full_outer")
+      .withColumn("verdict",
+        when(col("expected").isNull, lit("unexpected"))
+          .when(col("actual").isNull, lit("missing"))
+          .when(col("expected") === col("actual"), lit("ok"))
+          .otherwise(lit("type_mismatch")))
+      .orderBy("column")
+  }
+
   /** P4: concurrent independent flow branches — three unrelated table
     * summaries submitted simultaneously through [[graft.pipeline.Flow.parallel]]
     * (the reference's concurrent task runner): each branch's jobs
