@@ -408,15 +408,17 @@ object Dedup {
     }
     var changed = 1L
     while (changed > 0) {
-      // TWO propagation steps per materialization barrier: min-label
+      // TWO propagation steps per convergence check: min-label
       // propagation is monotone, so convergence detection only needs
       // the LAST step's change flags (step 2 quiet ⟹ step 1's output
-      // was already a fixpoint of step 2's input — done). Halves the
-      // checkpoint + count job overhead, which dominates per-round
-      // cost once the label table is small.
+      // was already a fixpoint of step 2's input — done). Each step is
+      // checkpointed (an unmaterialized inner step would re-execute
+      // its join+aggregate for BOTH of step 2's references to it);
+      // the saving is the halved count-job cadence.
       // (chg is carried through the checkpoint so the convergence
       // count scans materialized rows, never a labels-vs-labels join.)
-      val next = propagate(propagate(labels)).localCheckpoint()
+      val mid = propagate(labels).localCheckpoint()
+      val next = propagate(mid).localCheckpoint()
       changed = next.filter(col("chg")).count()
       labels = next.select("id", "lbl")
     }

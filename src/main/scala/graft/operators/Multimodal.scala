@@ -144,9 +144,19 @@ object Multimodal {
       .mapPartitions { rows =>
         if (!rows.hasNext) Iterator.empty
         else {
-          val shard = org.apache.spark.TaskContext.getPartitionId()
-          val p = new org.apache.hadoop.fs.Path(f"$base/shard_$shard%04d.bin")
-          val out = p.getFileSystem(conf()).create(p, true)
+          val tc = org.apache.spark.TaskContext.get()
+          val shard = tc.partitionId()
+          val c = conf()
+          val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(c)
+          val dest = new org.apache.hadoop.fs.Path(f"$base/shard_$shard%04d.bin")
+          // speculative/retried attempts must not interleave writes into
+          // one file: each attempt writes an attempt-unique temp and
+          // renames into place. The partition is hash-assigned and
+          // sorted, so every attempt produces IDENTICAL bytes — the
+          // index offsets are valid for whichever attempt's rename wins.
+          val tmp = new org.apache.hadoop.fs.Path(
+            f"$base/shard_$shard%04d.bin.attempt-${tc.taskAttemptId()}")
+          val out = fs.create(tmp, true)
           var off = 0L
           val entries = try rows.map { case (id, bytes) =>
             out.write(bytes)
@@ -155,6 +165,7 @@ object Multimodal {
             e
           }.toList
           finally out.close()
+          if (!fs.rename(tmp, dest)) fs.delete(tmp, false) // lost the race
           entries.iterator
         }
       }.toDF("doc_id", "shard", "offset", "length")

@@ -272,11 +272,18 @@ object Analytics {
       (col("n_name"), band(1000)),
       (col("n_name"), lit("ALL")),
       (lit("ALL"), lit("ALL")))
-    val minSizes = ladder.map { case (g, b) =>
+    // probes run lazily: rungs past the first adequate one never execute
+    def minSize(g: Column, b: Column): Long =
       c.groupBy(g.as("geo"), b.as("band")).agg(count(lit(1)).as("n"))
         .agg(min("n")).collect().head.getLong(0)
+    val lvl = ladder.iterator.map { case (g, b) => minSize(g, b) }
+      .indexWhere(_ >= k) match {
+      // even the global rung below k: publish it anyway (matching the
+      // oracle's ELSE arm) — a sub-k global group means the release
+      // should really be suppressed entirely, which is the caller's call
+      case -1 => ladder.size - 1
+      case i  => i
     }
-    val lvl = minSizes.indexWhere(_ >= k)
     val (g, b) = ladder(lvl)
     c.groupBy(g.as("geo"), b.as("band")).agg(count(lit(1)).as("n"))
       .withColumn("level", lit(lvl))

@@ -593,12 +593,15 @@ object IOQueries {
         .collect().head
       (r.getLong(0), r.getLong(1))
     }
-    val results = Flow.parallel(Seq(
-      ("events_summary", () => summarize("events", col("event_type"))),
-      ("lineitem_summary", () => summarize("lineitem", col("l_returnflag"))),
-      ("orders_summary", () => summarize("orders", date_format(col("o_orderdate"), "yyyy-MM")))))
+    // ONE list carries both the label and the work — output labels
+    // cannot drift from task order
+    val branches: Seq[(String, () => (Long, Long))] = Seq(
+      ("events", () => summarize("events", col("event_type"))),
+      ("lineitem", () => summarize("lineitem", col("l_returnflag"))),
+      ("orders", () => summarize("orders", date_format(col("o_orderdate"), "yyyy-MM"))))
+    val results = Flow.parallel(branches.map { case (b, f) => (s"${b}_summary", f) })
     import spark.implicits._
-    Seq("events", "lineitem", "orders").zip(results)
+    branches.map(_._1).zip(results)
       .map { case (b, (g, n)) => (b, g, n) }
       .toDF("branch", "n_groups", "n_rows")
       .orderBy("branch")
@@ -637,10 +640,17 @@ object IOQueries {
       .select("file").collect().map(_.getString(0))
     val filesTotal = manifest.count()
     // only intersecting files are opened; the residual predicate still
-    // applies inside them (manifest bounds are per-file, not per-row)
-    val hit = spark.read.parquet(wanted: _*)
-      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    // applies inside them (manifest bounds are per-file, not per-row).
+    // Zero intersecting files is a legitimate outcome (range outside
+    // the table) — answer from the manifest alone, opening nothing.
+    val hit =
+      if (wanted.isEmpty)
+        spark.range(1).select(lit(0L).as("n"),
+          lit(null).cast("double").as("total"))
+      else
+        spark.read.parquet(wanted: _*)
+          .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
     // file split boundaries are an execution detail — the oracle-stable
     // facts are the query result and THAT files were skipped
     hit.select(col("n"), col("total"),

@@ -114,21 +114,28 @@ class Round7Spec extends SparkSpec {
     val approx = queries.Analytics.qRollingDistinctHll(spark, sfDir).collect()
       .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(approx.keySet === exact.keySet)
-    exact.foreach { case (d, n) =>
-      val a = approx(d)
-      assert(math.abs(a - n).toDouble / math.max(n, 1) < 0.05,
-        s"day $d: approx $a vs exact $n")
-    }
+    // per-day 8% (~5 sigma of the lgK=12 RSE — the per-day tail over
+    // ~100 window days must not flake) plus a tight 3% median bound
+    val relErrs = exact.toSeq.map { case (d, n) =>
+      val e = math.abs(approx(d) - n).toDouble / math.max(n, 1)
+      assert(e < 0.08, s"day $d: approx ${approx(d)} vs exact $n")
+      e
+    }.sorted
+    assert(relErrs(relErrs.size / 2) < 0.03,
+      s"median relative error ${relErrs(relErrs.size / 2)} too high")
   }
 
   test("watermark accounting: stragglers dropped, conservation holds") {
     val out = graft.streaming.Events.streamLateData(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // expected values from event time directly
+    // expected values from event time directly; the cut must replay the
+    // OPERATOR's own computation (interpolating percentile through a
+    // double) — a nearest-index approximation can disagree by one event
     val ts = Tables.load(spark, sfDir, "events").select("ts_ns")
       .collect().map(_.getLong(0)).sorted
     val n = ts.length
-    val p20 = ts((0.2 * (n - 1)).round.toInt) // percentile(0.2) on sorted longs
+    val p20 = Tables.load(spark, sfDir, "events")
+      .selectExpr("percentile(ts_ns, 0.2)").collect().head.getDouble(0).toLong
     val stragglers = ts.count(_ < p20)
     assert(out("1_total_events") === n)
     assert(out("4_late_dropped_groups") > 0, "stragglers must actually be dropped")
