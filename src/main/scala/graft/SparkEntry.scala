@@ -143,6 +143,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    // LSH band candidates + exact cosine verify: probabilistic recall
+    // → rows-only check; recall ≥ 0.95 vs the exact all-pairs form and
+    // a no-cartesian plan assertion are pinned in Round8Spec
     "dedup_embedding" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "dedup_paragraph" -> (Dedup.paragraphDedup _),
@@ -1496,16 +1499,10 @@ object SparkEntry {
         |SELECT doc_id, n_tokens FROM q
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
-    "dedup_embedding" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_cosine_similarity(
-        |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(
-        |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin,
+    // dedup_embedding has NO oracle: LSH band candidate generation is
+    // probabilistic (rows-only check; recall spec in Round8Spec). The
+    // old all-pairs SQL survives as the spec's oracle via
+    // Dedup.embeddingCosineExact.
     // A1: exact top-5 neighbors for the 10 lowest vec_ids. A2/A3 are
     // probabilistic (seeded hyperplanes / k-means cells not replayable
     // in SQL) → rows-only + recall specs vs A1.

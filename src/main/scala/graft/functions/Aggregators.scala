@@ -144,8 +144,20 @@ object Aggregators {
       extends Aggregator[Seq[Int], Array[Long], Seq[Long]] {
     override def zero: Array[Long] = new Array[Long](depth * width)
     override def reduce(b: Array[Long], idx: Seq[Int]): Array[Long] = {
+      // null rows are skipped (SQL-aggregate convention); a wrong-shaped
+      // or out-of-range index row fails loudly — silently wrapping
+      // i*width+idx(i) into a NEIGHBORING depth row would corrupt
+      // estimates instead of erroring (GramMatrix's dim-check contract)
+      if (idx == null) return b
+      require(idx.length == depth,
+        s"CMS row has ${idx.length} indices, expected depth=$depth")
       var i = 0
-      while (i < depth) { b(i * width + idx(i)) += 1L; i += 1 }
+      while (i < depth) {
+        val j = idx(i)
+        require(j >= 0 && j < width, s"CMS index $j out of [0, $width) at depth row $i")
+        b(i * width + j) += 1L
+        i += 1
+      }
       b
     }
     override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {

@@ -5,7 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnShim, MinHashSignature, ShingleHashes, SimHash64}
+import org.apache.spark.sql.graft.{ColumnShim, HyperplaneCodes, MinHashSignature, ShingleHashes, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Corpus deduplication (SURVEY.md §2 D1–D5) — the first pass of any
@@ -389,7 +389,14 @@ object Dedup {
     * composite corpus pipeline. See [[dedupClusters]] for the
     * algorithm/scale discussion.
     */
-  def clusterLabels(pairs: DataFrame): DataFrame = {
+  def clusterLabels(pairs: DataFrame): DataFrame =
+    clusterLabelsWithRounds(pairs)._1
+
+  /** [[clusterLabels]] plus the number of propagate+shortcut rounds it
+    * took to converge — exposed so the deep-graph spec can pin the
+    * O(log n) bound.
+    */
+  private[graft] def clusterLabelsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -406,33 +413,95 @@ object Dedup {
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"),
           (coalesce(col("nbr_min"), col("lbl")) < col("lbl")).as("chg"))
     }
+    // Pointer jumping (path doubling): label ← label-of-label. Every
+    // label is itself a node id (the invariant: lbl(v) is the min id
+    // seen so far in v's component), so one labels⋈labels hop halves
+    // the depth of every pointer chain. Alternating propagate (moves
+    // information one EDGE) with shortcut (halves POINTER chains)
+    // converges in O(log diameter) rounds instead of O(diameter) —
+    // the difference between 6 and 64 shuffles on a 64-deep chain.
+    // Kiveris et al.'s star-contraction achieves the same bound; the
+    // shortcut formulation reuses the existing labels relation with
+    // one extra equi-join per round and no graph rewriting.
+    def shortcut(ls: DataFrame): DataFrame = {
+      val hop = ls.select(col("id").as("lbl"), col("lbl").as("lbl2"))
+      ls.join(hop, Seq("lbl"), "left")
+        .select(col("id"),
+          coalesce(col("lbl2"), col("lbl")).as("lbl"),
+          (col("chg") || coalesce(col("lbl2"), col("lbl")) < col("lbl")).as("chg"))
+    }
+    // Each step is checkpointed (an unmaterialized inner step would
+    // re-execute its join+aggregate for both of the next step's
+    // references to it); chg is carried through the checkpoint so the
+    // convergence count scans materialized rows, never a
+    // labels-vs-labels join. Both steps only ever LOWER labels, so a
+    // round with neither step changing anything is a fixpoint of
+    // neighbor-min — labels are componentwise-constant minima.
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
-      // TWO propagation steps per convergence check: min-label
-      // propagation is monotone, so convergence detection only needs
-      // the LAST step's change flags (step 2 quiet ⟹ step 1's output
-      // was already a fixpoint of step 2's input — done). Each step is
-      // checkpointed (an unmaterialized inner step would re-execute
-      // its join+aggregate for BOTH of step 2's references to it);
-      // the saving is the halved count-job cadence.
-      // (chg is carried through the checkpoint so the convergence
-      // count scans materialized rows, never a labels-vs-labels join.)
       val mid = propagate(labels).localCheckpoint()
-      val next = propagate(mid).localCheckpoint()
+      val next = shortcut(mid).localCheckpoint()
       changed = next.filter(col("chg")).count()
       labels = next.select("id", "lbl")
+      rounds += 1
     }
-    labels
+    (labels, rounds)
   }
 
-  /** D5: embedding-cosine near-dup — all pairs of `embeddings` with
-    * similarity ≥ threshold. Here the corpus side fits in one broadcast
-    * so the join is map-side; at 100 TB the same verify step runs on
-    * LSH-bucketed candidates from [[Similarity.lshAnn]] instead of the
-    * full cross product (never materialize O(n²)).
+  /** D5: embedding-cosine near-dup — pairs of `embeddings` with
+    * similarity ≥ threshold, found WITHOUT materializing the O(n²)
+    * cross product. Candidates come from random-hyperplane LSH band
+    * buckets (the same [[Similarity.hyperplanes]]/`HyperplaneCodes`
+    * blocking that backs [[Similarity.knnJoinLsh]]): two vectors are a
+    * candidate iff they share a bucket in ≥ 1 of the `nTables` tables,
+    * so the self-join is an ordinary equi-join on (table, code) moving
+    * (id, id) pairs only — vectors re-join by key for the exact cosine
+    * verify. Shuffle volume is candidate-linear, never corpus².
+    *
+    * LSH candidate generation is probabilistic (a qualifying pair can
+    * land in disjoint buckets in every table), so this op is rows-only
+    * for the driver; recall vs the exact all-pairs oracle
+    * ([[embeddingCosineExact]]) is pinned ≥ 0.95 in Round8Spec, along
+    * with a plan assertion that no BroadcastNestedLoopJoin appears.
+    * Defaults are sized for the WORST admitted pair: at sim = 0.4 a
+    * hyperplane bit agrees with p = 1 − arccos(0.4)/π ≈ 0.63, so a
+    * 4-bit table collides with p ≈ 0.63⁴ ≈ 0.16 and 24 tables give
+    * boundary recall ≈ 1 − (1 − 0.16)²⁴ ≈ 0.98 (higher sims are
+    * strictly easier). A tighter threshold needs far fewer tables.
     */
   def embeddingCosine(spark: SparkSession, dir: String,
-                      threshold: Double = 0.4): DataFrame = {
+                      threshold: Double = 0.4,
+                      nTables: Int = 24, bitsPerTable: Int = 4,
+                      seed: Long = 42L): DataFrame = {
+    val e = spread(Tables.load(spark, dir, "embeddings"))
+    val dim = Similarity.embeddingDim(spark, dir)
+    val planes = Similarity.hyperplanes(dim, nTables, bitsPerTable, seed)
+    val codes = ColumnShim.column(
+      HyperplaneCodes(ColumnShim.expression(col("embedding")), planes))
+    val buckets = e.select(col("vec_id"), posexplode(codes))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "code"))
+    val pairs = buckets
+      .join(buckets.select(col("vec_id").as("vec_b"), col("tbl"), col("code")),
+        Seq("tbl", "code"))
+      .filter(col("vec_id") < col("vec_b"))
+      .select(col("vec_id").as("vec_a"), col("vec_b"))
+      .distinct()
+    pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("ea"), col("eb")), 4))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** The exact all-pairs form of [[embeddingCosine]] — kept ONLY as the
+    * recall oracle for its spec (a deliberate cartesian: fine at spec
+    * SF, forbidden at scale per SURVEY §5's "never materialize O(n²)").
+    */
+  private[graft] def embeddingCosineExact(spark: SparkSession, dir: String,
+                                          threshold: Double = 0.4): DataFrame = {
     val e = spread(Tables.load(spark, dir, "embeddings"))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
@@ -512,33 +581,46 @@ object Dedup {
     * vacuously green) at any SF. Re-keys are NEGATIVE (−doc_id − 1) so
     * they can never collide with a real doc_id at any corpus size.
     */
+  // Temp views are session-global, so concurrent bloomGate invocations
+  // (e.g. two Flow.parallel branches) must not share view names — each
+  // call gets a unique suffix and drops its views after the (eager)
+  // analysis of the returned plan resolves them.
+  private val bloomGateCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def bloomGate(spark: SparkSession, dir: String, splitAt: Long = 400): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val tag = bloomGateCalls.incrementAndGet()
+    val baseView = s"graft_bg_base_$tag"
+    val deltaView = s"graft_bg_delta_$tag"
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), md5(normText(col("text"))).as("h"))
     val base = docs.filter(col("doc_id") < splitAt)
-    base.createOrReplaceTempView("graft_bg_base")
+    base.createOrReplaceTempView(baseView)
     docs.filter(col("doc_id") >= splitAt)
       .unionByName(base.filter(col("doc_id") % 50 === 0)
         .select((-col("doc_id") - 1).as("doc_id"), col("h")))
-      .createOrReplaceTempView("graft_bg_delta")
-    spark.sql(
+      .createOrReplaceTempView(deltaView)
+    try spark.sql(
       s"""WITH bf AS (
          |  SELECT graft_bloom_agg(xxhash64(h), 1000L, 16384L) AS b
-         |  FROM graft_bg_base
+         |  FROM $baseView
          |), flagged AS (
-         |  SELECT doc_id, h FROM graft_bg_delta
+         |  SELECT doc_id, h FROM $deltaView
          |  WHERE graft_might_contain((SELECT b FROM bf), xxhash64(h))
          |), verified AS (
          |  SELECT f.doc_id, min(b.doc_id) AS match_id
-         |  FROM flagged f JOIN graft_bg_base b ON f.h = b.h
+         |  FROM flagged f JOIN $baseView b ON f.h = b.h
          |  GROUP BY f.doc_id
          |)
          |SELECT d.doc_id,
          |  CASE WHEN v.match_id IS NOT NULL THEN 'dup' ELSE 'new' END AS verdict,
          |  v.match_id
-         |FROM graft_bg_delta d LEFT JOIN verified v ON d.doc_id = v.doc_id
+         |FROM $deltaView d LEFT JOIN verified v ON d.doc_id = v.doc_id
          |ORDER BY doc_id""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(baseView)
+      spark.catalog.dropTempView(deltaView)
+    }
   }
 
   /** D9: SemDeDup-style semantic dedup — assign every embedding to its

@@ -88,10 +88,20 @@ object Similarity {
     * O(n²) candidate set a window rank would move, and no per-block
     * aggregate/explode round-trips (a k-bounded buffer merged once is
     * the same shuffle bound with 1 aggregation instead of nBlocks+1).
-    * The O(n²) cosine compute is inherent to exact kNN — the cheap
-    * approximate path with the same output contract is [[knnJoinLsh]].
+    *
+    * nBlocks is DATA-DRIVEN ([[knnBlockCount]]): the corpus row count
+    * × per-row bytes divided by a fixed per-block broadcast budget, so
+    * each broadcast block stays ≤ targetBlockBytes no matter how the
+    * corpus grows — a 100× corpus means 100× more (narrow, pipelined)
+    * block branches, never a 100× larger broadcast. The O(n²) cosine
+    * compute is inherent to exact kNN — the cheap approximate path
+    * with the same output contract (and the 100 TB default) is
+    * [[knnJoinLsh]].
     */
-  def knnJoin(spark: SparkSession, dir: String, k: Int = 3, nBlocks: Int = 4): DataFrame = {
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 3,
+              targetBlockBytes: Long = 32L << 20): DataFrame = {
+    val eTable = Tables.load(spark, dir, "embeddings")
+    val nBlocks = knnBlockCount(eTable.count(), embeddingDim(spark, dir), targetBlockBytes)
     val e = corpus(spark, dir).select(col("vec_id").as("src"), col("embedding"))
     val topk = udaf(graft.functions.Aggregators.TopKByScore(k))
     val partials = (0 until nBlocks).map { b =>
@@ -105,6 +115,21 @@ object Similarity {
           col("nbr"))
     }
     rankTopK(partials.reduce(_ unionByName _), topk)
+  }
+
+  /** Broadcast block count for [[knnJoin]]: enough hash blocks that
+    * each holds ≤ targetBytes of (vec_id, float[dim]) rows. The row
+    * estimate (id long + unsafe array header + 4B floats + row
+    * overhead) is deliberately generous — a block must FIT the
+    * executor's broadcast budget, not merely average out to it.
+    * Pure arithmetic (no Spark) so the spec can pin the bound at any
+    * synthetic corpus size.
+    */
+  private[graft] def knnBlockCount(rows: Long, dim: Int,
+                                   targetBytes: Long = 32L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val rowBytes = 8L + 16L + 4L * dim + 24L
+    math.max(1L, math.ceil(rows.toDouble * rowBytes / targetBytes).toLong).toInt
   }
 
   /** Shared tail of the kNN joins: merge per-block/per-bucket partial
@@ -445,6 +470,17 @@ object Similarity {
       org.apache.spark.sql.graft.MatrixProject(
         ColumnShim.expression(col("embedding")), comps, offs))
     val capturedVar = values.take(k).sum
+    // element_at under ANSI mode (Spark 4 default) throws on an index
+    // past the array end, so pc1/pc2 must be guarded on how many
+    // components actually exist (dim can be < 2); an all-constant
+    // corpus has totalVar 0 — its variance fraction is undefined, not
+    // a division by zero.
+    def pc(i: Int): Column =
+      if (comps.length >= i) round(element_at(col("y"), i), 4)
+      else lit(null).cast("double")
+    val varFraction =
+      if (totalVar > 0) round(lit(capturedVar / totalVar), 4)
+      else lit(null).cast("double")
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), y.as("y"))
       .select(
@@ -452,9 +488,9 @@ object Similarity {
         // comps, not k: when the embedding dim d < k only d components
         // exist (embWhiten reports the same way)
         lit(comps.length).as("out_dim"),
-        round(lit(capturedVar / totalVar), 4).as("var_fraction"),
-        round(element_at(col("y"), 1), 4).as("pc1"),
-        round(element_at(col("y"), 2), 4).as("pc2"),
+        varFraction.as("var_fraction"),
+        pc(1).as("pc1"),
+        pc(2).as("pc2"),
         round(sqrt(aggregate(col("y"), lit(0.0), (a, v) => a + v * v)), 4)
           .as("norm"))
       .orderBy("vec_id")

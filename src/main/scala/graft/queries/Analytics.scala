@@ -528,14 +528,26 @@ object Analytics {
     val ord = Tables.load(spark, dir, "orders")
       .select((col("o_orderkey") % 20).as("k2"), col("o_totalprice"))
       .groupBy("k2").agg(round(sum("o_totalprice"), 2).as("k_total"))
-      .withColumn("salt2", explode(array((0 until salts).map(lit): _*)))
-    li.hint("merge")
-      .join(ord, col("k") === col("k2") && col("salt") === col("salt2"))
+    saltedJoinOn(li, ord, salts)
+  }
+
+  /** The salting core of [[tSaltedJoin]], factored over arbitrary
+    * pre-salted fact rows (k, l_quantity, salt) and dim totals
+    * (k2, k_total), so the skew spec can drive it with a Zipf-hot key
+    * distribution (the canonical testdata is uniform — real skew never
+    * exercises the salt there). The dim side explodes ×salts and the
+    * join key becomes (k, salt): a hot key's rows land on `salts`
+    * reducers instead of one.
+    */
+  private[graft] def saltedJoinOn(facts: DataFrame, dimTotals: DataFrame,
+                                  salts: Int): DataFrame =
+    facts.hint("merge")
+      .join(dimTotals.withColumn("salt2", explode(array((0 until salts).map(lit): _*))),
+        col("k") === col("k2") && col("salt") === col("salt2"))
       .groupBy("k")
       .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"),
         max("k_total").as("k_total"))
       .orderBy("k")
-  }
 
   /** Q32: rolling 7-day revenue — a RANGE window frame (value-based,
     * `[d−6, d]` days), which unlike ROWS frames handles calendar gaps

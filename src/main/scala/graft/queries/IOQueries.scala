@@ -618,6 +618,11 @@ object IOQueries {
     * Delta/Iceberg readers don't touch storage to plan. The output
     * proves both halves: the range query's result (oracle-checked
     * against the raw table) and that pruning actually skipped files.
+    *
+    * The manifest publishes through [[graft.sinks.ManifestStore]]'s
+    * atomic temp-write + rename commit, so a reader pinned to a
+    * committed version can never see a partial file list under
+    * concurrent publish (the race is spec-exercised in Round8Spec).
     */
   def sinkManifest(spark: SparkSession, dir: String,
                    lo: Long = 1000, hi: Long = 5000): DataFrame = {
@@ -628,13 +633,12 @@ object IOQueries {
       .repartitionByRange(8, col("o_orderkey"))
       .sortWithinPartitions("o_orderkey")
       .write.mode("overwrite").parquet(lake)
-    spark.read.parquet(lake)
-      .groupBy(input_file_name().as("file"))
-      .agg(min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
-        count(lit(1)).as("n_rows"))
-      .coalesce(1)
-      .write.mode("overwrite").json(base + "/manifest")
-    val manifest = spark.read.json(base + "/manifest")
+    graft.sinks.ManifestStore.publish(spark, base + "/manifest",
+      spark.read.parquet(lake)
+        .groupBy(input_file_name().as("file"))
+        .agg(min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+          count(lit(1)).as("n_rows")))
+    val (_, manifest) = graft.sinks.ManifestStore.current(spark, base + "/manifest")
     val wanted = manifest
       .filter(col("max_key") >= lo && col("min_key") <= hi)
       .select("file").collect().map(_.getString(0))

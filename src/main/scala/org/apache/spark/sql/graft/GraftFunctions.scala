@@ -62,12 +62,19 @@ object GraftFunctions {
         children(1).eval(null).asInstanceOf[Number].intValue()))
   )
 
-  /** Runtime registration into an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Runtime registration into an existing session (idempotent —
+    * already-registered names are left alone, so operators can call
+    * this per-invocation without `createOrReplaceTempFunction`'s
+    * "replacing existing function" WARN spamming every bench/verify
+    * entry).
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
     descriptions.foreach { case (ident, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+      if (!registry.functionExists(ident))
+        registry.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
     }
+  }
 }
 
 /** Session-build-time injector (`builder.withExtensions(new GraftExtensions)`). */
