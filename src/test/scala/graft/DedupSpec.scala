@@ -27,6 +27,7 @@ class DedupSpec extends SparkSpec {
   test("minhash-LSH recall >= 0.9 on exact pairs") {
     val mh = pairSet(Dedup.minhashLsh(spark, sfDir, threshold = 0.5).select("doc_a", "doc_b").collect())
     val recall = mh.intersect(exactPairs).size.toDouble / exactPairs.size
+    RecallLog.record("dedup_minhash", "recall_vs_exact", recall)
     assert(recall >= 0.9, s"recall=$recall exact=${exactPairs.size} mh=${mh.size}")
   }
 
@@ -44,6 +45,8 @@ class DedupSpec extends SparkSpec {
     } yield (ida, idb)).toSet
     val banded = pairSet(Dedup.simhashNearDup(spark, sfDir, maxHamming = 3)
       .select("doc_a", "doc_b").collect())
+    RecallLog.record("dedup_simhash", "recall_vs_bruteforce",
+      if (truth.isEmpty) 1.0 else banded.intersect(truth).size.toDouble / truth.size)
     assert(banded == truth, s"banded=${banded.size} truth=${truth.size}")
   }
 

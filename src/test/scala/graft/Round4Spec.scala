@@ -65,6 +65,7 @@ class Round4Spec extends SparkSpec {
       assert(byRk.map(_.getDouble(3)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     }
     val recall = knnSet(approx).intersect(knnSet(exactKnn)).size.toDouble / exactKnn.length
+    RecallLog.record("ann_knn_lsh", "recall_vs_exact", recall)
     assert(recall >= 0.7, s"recall=$recall")
   }
 

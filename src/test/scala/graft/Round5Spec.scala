@@ -46,14 +46,16 @@ class Round5Spec extends SparkSpec {
   test("approx percentiles within 2% of exact discrete percentiles") {
     val exact = Relational.qQuantiles(spark, sfDir).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
-    Relational.qQuantilesApprox(spark, sfDir).collect().foreach { r =>
+    val errs = Relational.qQuantilesApprox(spark, sfDir).collect().flatMap { r =>
       val ex = exact(r.getString(0))
-      (1 to 4).foreach { i =>
+      (1 to 4).map { i =>
         val (a, e) = (r.getDouble(i), ex(i - 1))
-        assert(math.abs(a - e) / math.max(e, 1.0) < 0.02,
-          s"flag=${r.getString(0)} p$i approx=$a exact=$e")
+        val rel = math.abs(a - e) / math.max(e, 1.0)
+        assert(rel < 0.02, s"flag=${r.getString(0)} p$i approx=$a exact=$e")
+        rel
       }
     }
+    RecallLog.record("q_quantiles_approx", "max_rel_error", errs.max)
   }
 
   test("scd2: version chains are contiguous, dated, and single-current") {

@@ -83,6 +83,7 @@ class Round6Spec extends SparkSpec {
     val w1 = rows.map(_.getDouble(2))
     val m = w1.sum / w1.length
     val v = w1.map(x => (x - m) * (x - m)).sum / w1.length
+    RecallLog.record("emb_whiten", "unit_variance_abs_error", math.abs(v - 1.0))
     assert(math.abs(v - 1.0) < 0.05, s"w1 variance $v not ~1")
     assert(math.abs(m) < 0.05, s"w1 mean $m not ~0")
   }
@@ -167,6 +168,7 @@ class Round6Spec extends SparkSpec {
     assert(out.nonEmpty)
     // var_fraction is a sane fraction and pc1 captures the most variance
     val vf = out.head.getDouble(2)
+    RecallLog.record("emb_pca", "captured_var_fraction_k4", vf)
     assert(vf > 0.0 && vf <= 1.0 + 1e-9)
     def variance(xs: Array[Double]): Double = {
       val m = xs.sum / xs.length
@@ -231,6 +233,7 @@ class Round6Spec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out(1L) === ((4L, 1 + 1 + 3 + 5)))  // low low lower newest
     assert(out(2L) === ((4L, 1 + 1 + 5 + 5)))  // low a newest newest
+    RecallLog.record("text_bpe_apply", "exact_match_fixed_corpus", 1.0)
   }
 
   test("BPE splice is greedy left-to-right (non-overlapping)") {
@@ -247,5 +250,6 @@ class Round6Spec extends SparkSpec {
     //   → argmax (aa,a)... tie? (aa,aa)=2 vs (aa,a)=1 → (aa,aa) wins
     assert(merges(0) === ((1, "a", "a", 8L)))
     assert(merges(1) === ((2, "aa", "aa", 2L)))
+    RecallLog.record("text_bpe", "exact_match_fixed_corpus", 1.0)
   }
 }

@@ -121,6 +121,8 @@ class Round7Spec extends SparkSpec {
       assert(e < 0.08, s"day $d: approx ${approx(d)} vs exact $n")
       e
     }.sorted
+    RecallLog.record("q_rolling_distinct_hll", "median_rel_error", relErrs(relErrs.size / 2))
+    RecallLog.record("q_rolling_distinct_hll", "max_rel_error", relErrs.last)
     assert(relErrs(relErrs.size / 2) < 0.03,
       s"median relative error ${relErrs(relErrs.size / 2)} too high")
   }
@@ -148,6 +150,8 @@ class Round7Spec extends SparkSpec {
       val windowEndUs = (us / 3600000000L + 1) * 3600000000L
       t >= p20 && windowEndUs > wmMicros
     }
+    RecallLog.record("e_stream_late", "conservation_abs_error",
+      math.abs(out("2_emitted_in_final_windows") + stragglers + openEvents - n).toDouble)
     assert(out("2_emitted_in_final_windows") + stragglers + openEvents === n,
       s"conservation failed: $out stragglers=$stragglers open=$openEvents")
   }

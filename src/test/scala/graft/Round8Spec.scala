@@ -131,6 +131,18 @@ class Round8Spec extends SparkSpec {
     assert(got.toSeq == want.toSeq, "salted join must equal the unsalted aggregate")
   }
 
+  test("approx count-distinct within the HLL++ rsd of the exact counts") {
+    val exact = queries.Relational.qDistinct(spark, sfDir).head
+    val approx = queries.Relational.approxDistinct(spark, sfDir).head
+    val errs = Seq(0, 1).map { i =>
+      math.abs(approx.getLong(i) - exact.getLong(i)).toDouble /
+        math.max(exact.getLong(i), 1L)
+    }
+    RecallLog.record("q_distinct_approx", "max_rel_error", errs.max)
+    // rsd is configured at 0.01; 5x headroom keeps the gate stable
+    assert(errs.max < 0.05, s"relative errors $errs exceed the sketch bound")
+  }
+
   test("CountMinSketch.reduce skips nulls and fails loudly on malformed index rows") {
     val cms = graft.functions.Aggregators.CountMinSketch(2, 8)
     val b = cms.zero

@@ -32,12 +32,14 @@ class SimilaritySpec extends SparkSpec {
   test("LSH ANN recall >= 0.6 vs brute force") {
     val lsh = topkSet(Similarity.lshAnn(spark, sfDir).select("q_id", "vec_id").collect())
     val recall = lsh.intersect(exact).size.toDouble / exact.size
+    RecallLog.record("ann_lsh", "recall_vs_exact", recall)
     assert(recall >= 0.6, s"recall=$recall")
   }
 
   test("IVF ANN recall >= 0.6 vs brute force") {
     val ivf = topkSet(Similarity.ivfAnn(spark, sfDir).select("q_id", "vec_id").collect())
     val recall = ivf.intersect(exact).size.toDouble / exact.size
+    RecallLog.record("ann_ivf", "recall_vs_exact", recall)
     assert(recall >= 0.6, s"recall=$recall")
   }
 
@@ -46,6 +48,7 @@ class SimilaritySpec extends SparkSpec {
     // the shortlist is what buys the recall back from the lossy codes
     val pq = topkSet(Similarity.pqAnn(spark, sfDir).select("q_id", "vec_id").collect())
     val recall = pq.intersect(exact).size.toDouble / exact.size
+    RecallLog.record("ann_pq", "recall_vs_exact", recall)
     assert(recall >= 0.6, s"recall=$recall")
   }
 }
