@@ -190,8 +190,14 @@ object Aggregators {
       (-s, e._2)
     }
     override def zero: Seq[(Double, Long)] = Seq.empty
+    // The buffer is kept SORTED by `order` (zero is trivially sorted;
+    // reduce/merge re-sort), so a full buffer whose worst entry beats
+    // the incoming row can skip it without the per-row allocate+sort —
+    // on a corpus scan nearly every row loses, making the hot path one
+    // comparison against b.last.
     override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      ((b :+ a).sortBy(order)).take(k)
+      if (b.length >= k && Ordering[(Double, Long)].lteq(order(b.last), order(a))) b
+      else ((b :+ a).sortBy(order)).take(k)
     override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
       ((x ++ y).sortBy(order)).take(k)
     override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = b

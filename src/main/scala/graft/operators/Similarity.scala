@@ -55,21 +55,44 @@ object Similarity {
     e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
-  /** A1: exact brute-force top-k via broadcast nested-loop + window.
-    * The per-query rank partitions by q_id, so the (tiny) window input
-    * is |queries|·|corpus| rows *after* similarity filtering — at scale
-    * you'd pre-filter with a sim floor to keep the window input small.
+  /** A1: exact brute-force top-k — broadcast query set × corpus scan,
+    * ranked by the MERGEABLE top-k aggregate
+    * ([[graft.functions.Aggregators.TopKByScore]]) instead of a window:
+    * partial aggregation keeps ≤ k rows per (query, partition) map-side,
+    * so only |queries|·k·partitions rows ever cross the shuffle — a
+    * window rank would move the entire |queries|·|corpus| candidate
+    * stream to the q_id reducers first. The (sim desc, vec_id asc)
+    * total order matches the window's tie-break exactly, so the output
+    * is bit-identical to the rank formulation (and the DuckDB oracle).
     */
   def bruteForceTopK(spark: SparkSession, dir: String,
                      k: Int = 5, nQueries: Int = 10): DataFrame = {
     val e = corpus(spark, dir)
     val q = broadcast(querySet(e, nQueries))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    e.join(q, col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("q_id", "rnk", "vec_id", "sim")
+    rankTopKQueries(
+      e.join(q, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"),
+          round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4).as("sim"),
+          col("vec_id")),
+      k)
+  }
+
+  /** Shared exact-rerank tail for the query-set ANN paths: merge
+    * per-partition top-k rows of (q_id, sim, vec_id) into the final
+    * (q_id, rnk, vec_id, sim) ranking via the mergeable aggregate —
+    * k rows per (query, partition) cross the shuffle, never the
+    * candidate stream. (sim desc, vec_id asc) is a total order, so the
+    * result is deterministic at any parallelism and identical to a
+    * window-rank formulation.
+    */
+  private def rankTopKQueries(cand: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(graft.functions.Aggregators.TopKByScore(k))
+    cand
+      .groupBy("q_id")
+      .agg(topk(col("sim"), col("vec_id")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("e._2").as("vec_id"), col("e._1").as("sim"))
       .orderBy("q_id", "rnk")
   }
 
@@ -246,13 +269,11 @@ object Similarity {
     val cand = candIds
       .join(e, Seq("vec_id"))
       .join(broadcast(querySet(e, nQueries)), Seq("q_id"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    cand
-      .withColumn("sim", round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("q_id", "rnk", "vec_id", "sim")
-      .orderBy("q_id", "rnk")
+    rankTopKQueries(
+      cand.select(col("q_id"),
+        round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4).as("sim"),
+        col("vec_id")),
+      k)
   }
 
   /** A9: product-quantization ANN (the PQ half of FAISS's IVF-PQ; A3
@@ -316,15 +337,14 @@ object Similarity {
       .select(col("q_id"), explode(col("nn")).as("s"))
       .select(col("q_id"), col("s._2").as("vec_id"))
     // exact rerank touches floats for shortlist·nQueries rows only
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    short
-      .join(e, Seq("vec_id"))
-      .join(queries.select("q_id", "q_emb"), Seq("q_id"))
-      .withColumn("sim", round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= kNN)
-      .select("q_id", "rnk", "vec_id", "sim")
-      .orderBy("q_id", "rnk")
+    rankTopKQueries(
+      short
+        .join(e, Seq("vec_id"))
+        .join(queries.select("q_id", "q_emb"), Seq("q_id"))
+        .select(col("q_id"),
+          round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4).as("sim"),
+          col("vec_id")),
+      kNN)
   }
 
   /** L2-normalize an embedding (zero vectors pass through unchanged). */
@@ -603,13 +623,12 @@ object Similarity {
     val probes = querySet(e, nQueries)
       .select(col("q_id"), col("q_emb"),
         explode(VectorFunctions.nearestCentroids(col("q_emb"), cents, nprobe)).as("cell"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("q_id", "rnk", "vec_id", "sim")
-      .orderBy("q_id", "rnk")
+    rankTopKQueries(
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"),
+          round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4).as("sim"),
+          col("vec_id")),
+      k)
   }
 }
