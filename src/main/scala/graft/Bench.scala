@@ -41,7 +41,11 @@ object Bench {
       .builder(appName = "graft-bench", master = s"local[$cpus]",
         shufflePartitions = cpus.toInt)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the contract is ONE JSON line on stdout; the
+    // remaining WARNs (WindowExec on deliberately-global bounded
+    // windows, e.g. the |days|-row rolling frames) are design-noted in
+    // their operators and only spam the bench tail here.
+    spark.sparkContext.setLogLevel("ERROR")
 
     def time(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9

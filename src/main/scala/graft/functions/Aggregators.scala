@@ -196,7 +196,8 @@ object Aggregators {
     // on a corpus scan nearly every row loses, making the hot path one
     // comparison against b.last.
     override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
-      if (b.length >= k && Ordering[(Double, Long)].lteq(order(b.last), order(a))) b
+      if (b.nonEmpty && b.length >= k &&
+          Ordering[(Double, Long)].lteq(order(b.last), order(a))) b
       else ((b :+ a).sortBy(order)).take(k)
     override def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
       ((x ++ y).sortBy(order)).take(k)

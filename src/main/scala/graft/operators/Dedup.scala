@@ -457,7 +457,17 @@ object Dedup {
     * candidate iff they share a bucket in ≥ 1 of the `nTables` tables,
     * so the self-join is an ordinary equi-join on (table, code) moving
     * (id, id) pairs only — vectors re-join by key for the exact cosine
-    * verify. Shuffle volume is candidate-linear, never corpus².
+    * verify. Shuffle volume is CANDIDATE-linear; how far below n² the
+    * candidate count lands is a property of the data and the
+    * threshold: near-dup corpora (clustered vectors, thresholds ≥
+    * ~0.7) collide orders of magnitude below all-pairs, while a weak
+    * threshold over near-orthogonal vectors degenerates toward
+    * all-pairs for ANY hyperplane-LSH parameterization (the 0.63 vs
+    * 0.5 per-bit gap at sim 0.4 is thin) — there, bound the work with
+    * [[semanticDedup]]'s O(n·k) cluster-then-verify instead of a pair
+    * enumeration. The default threshold mirrors the testdata's
+    * clustered embeddings; raise bitsPerTable with corpus density so
+    * bucket df stays bounded.
     *
     * LSH candidate generation is probabilistic (a qualifying pair can
     * land in disjoint buckets in every table), so this op is rows-only

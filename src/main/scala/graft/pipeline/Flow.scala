@@ -59,26 +59,47 @@ object Flow {
     * order, so downstream composition stays deterministic.
     *
     * The pool is capped at `maxConcurrency` (a thread per branch is
-    * unbounded for a wide backfill — excess branches queue), each
-    * branch is bounded by `timeoutMs` (a hung branch must not hang the
-    * caller forever), and the first failure cancels the still-running
-    * siblings (interrupt + shutdownNow) instead of letting them burn
-    * cluster time behind a doomed flow.
+    * unbounded for a wide backfill — excess branches queue), the whole
+    * call is bounded by `timeoutMs` (a hung branch must not hang the
+    * caller forever), and the first failure — observed in COMPLETION
+    * order via an ExecutorCompletionService, so it is seen even while
+    * a slower sibling still runs — cancels the remaining branches
+    * (interrupt + shutdownNow) instead of letting them burn cluster
+    * time behind a doomed flow.
     */
   def parallel[A](tasks: Seq[(String, () => A)],
                   maxConcurrency: Int = 16,
                   timeoutMs: Long = 24L * 60 * 60 * 1000): Seq[A] = {
-    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    import java.util.concurrent.{Callable, ExecutorCompletionService, Executors, TimeUnit, TimeoutException}
     if (tasks.isEmpty) return Seq.empty
     val pool = Executors.newFixedThreadPool(
       math.max(1, math.min(tasks.size, maxConcurrency)))
     try {
-      val futures = tasks.map { case (name, body) =>
-        pool.submit(new Callable[A] { override def call(): A = task(name)(body()) })
+      // completions are consumed in COMPLETION order (a failure behind
+      // a slow sibling is observed the moment it happens, not after the
+      // sibling finishes); results are indexed back into declaration
+      // order for the caller
+      val ecs = new ExecutorCompletionService[(Int, A)](pool)
+      val futures = tasks.zipWithIndex.map { case ((name, body), i) =>
+        ecs.submit(new Callable[(Int, A)] {
+          override def call(): (Int, A) = (i, task(name)(body()))
+        })
       }
       val deadline = System.currentTimeMillis() + timeoutMs
-      try futures.map { f =>
-        f.get(math.max(1L, deadline - System.currentTimeMillis()), TimeUnit.MILLISECONDS)
+      val results = new Array[Any](tasks.size)
+      try {
+        var done = 0
+        while (done < tasks.size) {
+          val f = ecs.poll(
+            math.max(1L, deadline - System.currentTimeMillis()), TimeUnit.MILLISECONDS)
+          if (f == null)
+            throw new TimeoutException(
+              s"Flow.parallel: ${tasks.size - done}/${tasks.size} branches still running after ${timeoutMs}ms")
+          val (i, a) = f.get()
+          results(i) = a
+          done += 1
+        }
+        results.toSeq.map(_.asInstanceOf[A])
       } catch {
         case e: Throwable =>
           futures.foreach(_.cancel(true))

@@ -8,17 +8,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Protocol (Iceberg-flavored optimistic concurrency, no lock service):
   *   1. The manifest dataset is written to a dot-prefixed TEMP dir —
-  *      invisible to readers, garbage if the writer dies mid-write.
-  *   2. Commit = one atomic `rename(temp, manifest_v<N>)`. Directory
-  *      rename is atomic on HDFS and POSIX, and FAILS if the
-  *      destination exists — so the rename is simultaneously the
-  *      version CLAIM and the publish. A loser (concurrent publisher
-  *      claimed the same N first) bumps N and renames again; its data
-  *      is untouched in temp, so retry costs no rewrite.
+  *      invisible to readers, garbage if the writer dies mid-write —
+  *      along with an underscore-prefixed writer-unique SENTINEL file
+  *      (hidden from Spark reads by Hadoop's hidden-file filter).
+  *   2. Commit = `rename(temp, manifest_v<N>)` followed by an
+  *      OWNERSHIP CHECK: the sentinel must exist directly under the
+  *      destination. Directory rename is atomic on HDFS and POSIX, so
+  *      a committed version is complete-by-construction; the sentinel
+  *      check is what makes the version CLAIM trustworthy — Hadoop's
+  *      LocalFileSystem `rename` does NOT simply fail when the
+  *      destination exists (its fallback copies the source INTO the
+  *      existing destination and returns true), so the returned
+  *      boolean alone cannot prove the writer won. A loser cleans up
+  *      any stray copy, re-stages its temp dir if the fallback
+  *      consumed it, bumps N, and retries.
   *   3. Readers list `manifest_v*` and take the highest version: every
-  *      listed version is complete-by-construction (it appeared via
-  *      atomic rename), so a reader can NEVER observe a partial file
-  *      list, no matter how many publishers race.
+  *      listed version appeared via atomic rename, so a reader can
+  *      NEVER observe a partial file list, no matter how many
+  *      publishers race.
   *
   * No pointer file is needed — "highest committed version" is derived
   * from the listing, which keeps the commit a single atomic primitive
@@ -52,20 +59,39 @@ object ManifestStore {
     val fs = fileSystem(spark, base)
     val basePath = new Path(base)
     fs.mkdirs(basePath)
-    val temp = new Path(basePath,
-      s".manifest_tmp_${java.util.UUID.randomUUID().toString.take(12)}")
-    manifest.coalesce(1).write.mode("overwrite").json(temp.toString)
+    val writerId = java.util.UUID.randomUUID().toString.take(12)
+    val tempName = s".manifest_tmp_$writerId"
+    val sentinelName = s"_writer_$writerId"
+    def stageTemp(): Path = {
+      val temp = new Path(basePath, tempName)
+      manifest.coalesce(1).write.mode("overwrite").json(temp.toString)
+      fs.create(new Path(temp, sentinelName), true).close()
+      temp
+    }
+    var temp = stageTemp()
     var v = versions(spark, base).lastOption.getOrElse(0L) + 1
-    while (true) {
+    var attempts = 0
+    while (attempts < 10000) {
+      attempts += 1
       val dst = new Path(basePath, s"manifest_v$v")
-      if (fs.rename(temp, dst)) return v
-      // rename only legitimately fails when a concurrent publisher
-      // claimed this version first; anything else is a real IO error
-      if (!fs.exists(dst))
+      val renamed = fs.rename(temp, dst)
+      if (renamed && fs.exists(new Path(dst, sentinelName))) return v
+      if (!renamed && !fs.exists(dst))
+        // rename only legitimately fails when a concurrent publisher
+        // claimed this version first; anything else is a real IO error
         throw new java.io.IOException(s"manifest commit rename failed for $dst")
+      // lost the race. Either rename returned false (temp untouched),
+      // or LocalFileSystem's exists-destination fallback COPIED temp
+      // into the winner's dir as dst/<tempName> and deleted the source
+      // — remove the stray (dot-prefixed, so readers never saw it) and
+      // re-stage before claiming the next version.
+      val stray = new Path(dst, tempName)
+      if (fs.exists(stray)) fs.delete(stray, true)
+      if (!fs.exists(temp)) temp = stageTemp()
       v += 1
     }
-    v // unreachable
+    throw new java.io.IOException(
+      s"manifest commit under $base did not win a version after $attempts attempts")
   }
 
   /** The highest committed version and its manifest rows. Throws if

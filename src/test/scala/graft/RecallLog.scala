@@ -7,9 +7,12 @@ package graft
   * `RECALL_<round>.json` at the repo root so the driver's rows-only
   * correctness rows carry a quantity, not just a green spec.
   *
-  * Writes are merge-on-write (read file → merge → rewrite), so the
-  * artifact accumulates across suites regardless of execution order
-  * and survives forked/partial test runs.
+  * Writes are merge-on-write (read file → merge → atomic-move
+  * rewrite), so the artifact accumulates across suites regardless of
+  * execution order within the one forked test JVM, and a reader never
+  * sees a half-written file. (Concurrent WRITER JVMs could still lose
+  * each other's merges — sbt runs all suites in a single forked JVM
+  * here, where the method-level lock is sufficient.)
   */
 object RecallLog {
   private val round = sys.env.getOrElse("GRAFT_ROUND", "r05")
@@ -27,7 +30,11 @@ object RecallLog {
         .map { case (m, v) => s""""$m": ${fmt(v)}""" }.mkString(", ")
       s"""  "$o": {$fields}"""
     }.mkString("{\n", ",\n", "\n}\n")
-    java.nio.file.Files.writeString(path, json)
+    val tmp = path.resolveSibling(s".${path.getFileName}.tmp")
+    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def fmt(v: Double): String =

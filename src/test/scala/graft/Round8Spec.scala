@@ -176,6 +176,39 @@ class Round8Spec extends SparkSpec {
     assert(interrupted.get, "failing branch must cancel still-running siblings")
   }
 
+  test("Flow.parallel observes a failure declared AFTER a slower sibling") {
+    // completions are consumed in completion order, so a failing branch
+    // behind a long-running one must surface immediately (and cancel
+    // the sibling), not after the sibling finishes
+    val interrupted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t0 = System.currentTimeMillis()
+    val boom = intercept[RuntimeException] {
+      Flow.parallel(Seq(
+        ("slow_first", () => {
+          try { Thread.sleep(600000); 1 }
+          catch {
+            case _: InterruptedException =>
+              interrupted.set(true)
+              throw new RuntimeException("interrupted")
+          }
+        }),
+        ("doomed_second", () => { Thread.sleep(100); throw new RuntimeException("boom") })))
+    }
+    assert(boom.getMessage.contains("doomed_second"),
+      s"the doomed branch's failure must surface, got: ${boom.getMessage}")
+    assert(System.currentTimeMillis() - t0 < 60000,
+      "failure must be observed long before the slow branch would finish")
+    val deadline = System.currentTimeMillis() + 10000
+    while (!interrupted.get && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(interrupted.get, "the slow sibling must be cancelled")
+  }
+
+  test("TopKByScore with k = 0 returns empty instead of throwing") {
+    val topk = graft.functions.Aggregators.TopKByScore(0)
+    assert(topk.reduce(topk.zero, (1.0, 7L)).isEmpty)
+    assert(topk.merge(topk.zero, topk.zero).isEmpty)
+  }
+
   test("concurrent bloomGate invocations do not clobber each other's views") {
     val Seq(a, b) = Flow.parallel(Seq(
       ("gate_a", () => Dedup.bloomGate(spark, sfDir).collect().toSeq),
