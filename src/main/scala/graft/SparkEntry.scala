@@ -133,6 +133,10 @@ object SparkEntry {
     "text_surprisal" -> (TextQueries.textSurprisal _),
     "text_dsir" -> (TextQueries.textDsir _),
     "text_bigram_surprisal" -> (TextQueries.textBigramSurprisal _),
+    // trained rule-distillation classifier: sigmoid doubles + xxhash64
+    // buckets are unreplayable in SQL → rows-only; weight determinism
+    // across partitionings + accuracy >= 0.9 pinned in Round8Spec
+    "text_quality_model" -> ((s, d) => TextQueries.textQualityModel(s, d)),
     // BPE merge learning is iterative (driver-looped argmax rounds) —
     // not SQL-expressible → rows-only check; exactness pinned on a
     // hand-computed corpus in Round6Spec

@@ -564,4 +564,118 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("gram"))
       .limit(k)
+
+  /** X20: TRAINED quality classifier — distill the X14 rule bundle
+    * into a hashed-linear model, the fastText-style quality-filter
+    * step of modern corpus pipelines (DCLM/FineWeb shape: expensive
+    * labels once, a cheap compiled scorer at corpus scale; here the
+    * label source is the rule bundle itself, i.e. rule distillation).
+    *
+    * Features (integer micro-units, each in [0, 1e6]): bias, capped
+    * word count, mean word length, symbol ratio, digit ratio, stopword
+    * fraction, and `buckets` hashed-unigram frequency buckets — one
+    * narrow projection, computed once and checkpointed.
+    *
+    * Training is batch gradient descent with the k-means/PCA split:
+    * one MERGEABLE aggregate per iteration (bounded explode to
+    * (feature, contribution) rows → map-side partial sums), and only
+    * the d-long gradient crosses the driver boundary. Determinism at
+    * any parallelism: each doc's gradient contribution is rounded to
+    * an integer micro BEFORE the sum, so gradients — and therefore the
+    * learned micro-weights — are exact long arithmetic, independent of
+    * partitioning and merge order (spec-pinned by training twice under
+    * different repartitionings).
+    *
+    * The sigmoid's double math makes the scores unreplayable in
+    * DuckDB (and the bucket hash is Spark's xxhash64) → rows-only;
+    * Round8Spec pins weight determinism and training accuracy ≥ the
+    * majority-class prior (the number lands in RECALL_r05.json).
+    */
+  def textQualityModel(spark: SparkSession, dir: String,
+                       iters: Int = 40, lrMicro: Long = 3000000L,
+                       buckets: Int = 16,
+                       repartitionTo: Option[Int] = None): DataFrame = {
+    val toks = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ", -1)
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    val nToks = greatest(size(col("toks")), lit(1))
+    def microFrac(num: Column): Column =
+      least(lit(1000000L), floor(num.cast("long") * lit(1000000L) / nToks).cast("long"))
+    val bucketFeats = (0 until buckets).map { b =>
+      microFrac(size(filter(col("toks"),
+        t => pmod(xxhash64(t), lit(buckets)) === b)))
+    }
+    val feats = array(
+      Seq(
+        lit(1000000L),                                                // bias
+        least(lit(1000000L), size(col("toks")).cast("long") * 2000L), // words / 500, capped
+        least(lit(1000000L), floor(length(concat_ws("", col("toks")))
+          .cast("long") * lit(100000L) / nToks).cast("long")),        // mean word len / 10
+        least(lit(1000000L), floor((length(col("text")) -
+          length(regexp_replace(col("text"), "[^a-z0-9\\s]", "")))
+          .cast("long") * lit(1000000L) / greatest(length(col("text")), lit(1))).cast("long")),
+        least(lit(1000000L), floor((length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long") * lit(1000000L) / greatest(length(col("text")), lit(1))).cast("long")),
+        microFrac(size(filter(col("toks"), t => t.isInCollection(stop))))
+      ) ++ bucketFeats: _*)
+    val d = 6 + buckets
+    // features + rule label, computed once; every GD iteration re-reads
+    // these materialized rows instead of re-running the tokenization.
+    // repartitionTo exists for the determinism spec — training must
+    // produce identical weights under ANY partitioning.
+    val base = textGopherRules(spark, dir).select(col("doc_id"), col("keep"))
+      .join(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"), toks.as("toks"))
+          .select(col("doc_id"), feats.as("x")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("x"), col("keep").cast("double").as("y"))
+    val raw = repartitionTo.fold(base)(p => base.repartition(p)).localCheckpoint()
+    val n = raw.count()
+    // Standardize every non-bias feature to zero-mean/unit-variance
+    // micro-ints — raw features are all non-negative, and un-centered
+    // GD spends its budget fitting the bias instead of separating.
+    // μ and σ derive from EXACT long sums (Σx, Σx² via one mergeable
+    // aggregate), so the standardized ints — like the gradients — are
+    // identical under any partitioning.
+    val stats = raw
+      .select(posexplode(col("x")).as(Seq("b", "v")))
+      .groupBy("b").agg(sum("v").as("s"), sum(col("v") * col("v")).as("s2"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mu = (0 until d).map(b => stats(b)._1.toDouble / n).toArray
+    val sd = (0 until d).map { b =>
+      math.sqrt(math.max(0.0, stats(b)._2.toDouble / n - mu(b) * mu(b)))
+    }.toArray
+    val muLit = typedlit(mu.toSeq)
+    val sdLit = typedlit(sd.map(s => if (s < 1e-9) 1.0 else s).toSeq)
+    val keepBias = typedlit((0 until d).map(b => if (sd(b) < 1e-9) 1 else 0))
+    val labeled = raw
+      .select(col("doc_id"),
+        zip_with(col("x"), sequence(lit(0), lit(d - 1)), (xi, b) =>
+          when(element_at(keepBias, b + 1) === 1, xi) // constant cols (bias) pass through
+            .otherwise(round((xi.cast("double") - element_at(muLit, b + 1)) /
+              element_at(sdLit, b + 1) * 1e6).cast("long"))).as("x"),
+        col("y"))
+      .localCheckpoint()
+    var w = Array.fill(d)(0L) // micro-weights
+    def zCol(weights: Array[Long]): Column =
+      aggregate(zip_with(col("x"), typedlit(weights.toSeq), (xi, wi) => xi * wi),
+        lit(0L), (acc, p) => acc + p).cast("double") / 1e12
+    def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    for (_ <- 0 until iters) {
+      val grad = labeled
+        .select(posexplode(transform(col("x"),
+          xi => round((sig(zCol(w)) - col("y")) * xi).cast("long"))).as(Seq("b", "g")))
+        .groupBy("b").agg(sum("g").as("g"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = w.indices.map(b =>
+        w(b) - math.round(lrMicro.toDouble * grad.getOrElse(b, 0L) / n / 1e6)).toArray
+    }
+    labeled
+      .select(col("doc_id"),
+        round(sig(zCol(w)) * 1e6).cast("long").as("score_micro"),
+        (sig(zCol(w)) >= 0.5).as("predicted"),
+        (col("y") > 0.5).as("label"))
+      .orderBy("doc_id")
+  }
 }

@@ -209,6 +209,28 @@ class Round8Spec extends SparkSpec {
     assert(topk.merge(topk.zero, topk.zero).isEmpty)
   }
 
+  test("quality-model training is deterministic under any partitioning") {
+    // per-doc gradient contributions round to integer micros BEFORE the
+    // sum, so the learned weights — and every score — must be identical
+    // whether the corpus sits in 1 partition or 7
+    val a = queries.TextQueries.textQualityModel(spark, sfDir, repartitionTo = Some(1))
+      .collect().map(_.toSeq)
+    val b = queries.TextQueries.textQualityModel(spark, sfDir, repartitionTo = Some(7))
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("quality model distills the rule bundle well above the majority prior") {
+    val out = queries.TextQueries.textQualityModel(spark, sfDir).collect()
+    val n = out.length.toDouble
+    val acc = out.count(r => r.getBoolean(2) == r.getBoolean(3)) / n
+    val prior = math.max(out.count(_.getBoolean(3)) / n, out.count(!_.getBoolean(3)) / n)
+    RecallLog.record("text_quality_model", "train_accuracy", acc)
+    RecallLog.record("text_quality_model", "majority_prior", prior)
+    assert(acc >= 0.9, s"accuracy $acc below 0.9")
+    assert(acc > prior + 0.2, s"accuracy $acc does not beat the prior $prior")
+  }
+
   test("concurrent bloomGate invocations do not clobber each other's views") {
     val Seq(a, b) = Flow.parallel(Seq(
       ("gate_a", () => Dedup.bloomGate(spark, sfDir).collect().toSeq),
