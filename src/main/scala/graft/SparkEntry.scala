@@ -132,6 +132,7 @@ object SparkEntry {
     "text_gopher_rules" -> (TextQueries.textGopherRules _),
     "text_surprisal" -> (TextQueries.textSurprisal _),
     "text_dsir" -> (TextQueries.textDsir _),
+    "text_drift" -> ((s, d) => TextQueries.textDrift(s, d)),
     "text_bigram_surprisal" -> (TextQueries.textBigramSurprisal _),
     // trained rule-distillation classifier: sigmoid doubles + xxhash64
     // buckets are unreplayable in SQL → rows-only; weight determinism
@@ -1132,6 +1133,32 @@ object SparkEntry {
         |  CAST(sum(m) // count(*) AS BIGINT) AS mean_logratio_micro
         |FROM tt JOIN scored USING (bucket)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_drift" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents
+        |), tt AS (
+        |  SELECT doc_id >= 400 AS is_delta, substr(md5(tok), 1, 2) AS bucket
+        |  FROM t WHERE length(tok) > 0
+        |), counts AS (
+        |  SELECT bucket,
+        |    cast(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS bigint) AS d_cnt,
+        |    cast(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS bigint) AS b_cnt
+        |  FROM tt GROUP BY bucket
+        |), totals AS (
+        |  SELECT sum(d_cnt) AS d_total, sum(b_cnt) AS b_total FROM counts
+        |)
+        |SELECT bucket, b_cnt, d_cnt,
+        |  CAST(round((ln(CAST(d_cnt + 1 AS DOUBLE) / (d_total + 256))
+        |            - ln(CAST(b_cnt + 1 AS DOUBLE) / (b_total + 256))) * 1000000) AS BIGINT)
+        |    AS logratio_micro,
+        |  CAST(round((CAST(d_cnt + 1 AS DOUBLE) / (d_total + 256)) *
+        |             (ln(CAST(d_cnt + 1 AS DOUBLE) / (d_total + 256))
+        |            - ln(CAST(b_cnt + 1 AS DOUBLE) / (b_total + 256))) * 1000000000) AS BIGINT)
+        |    AS kl_term_nano
+        |FROM counts CROSS JOIN totals
+        |ORDER BY bucket""".stripMargin,
     "text_bigram_surprisal" ->
       """WITH d AS (
         |  SELECT doc_id,

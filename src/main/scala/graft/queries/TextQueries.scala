@@ -227,6 +227,42 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** X21: corpus drift monitor — per-bucket KL(delta ‖ base) of the
+    * hashed-token distribution between an incoming batch (doc_id ≥
+    * splitAt, D10's delta convention) and the already-ingested base:
+    * the "did this crawl batch shift the corpus?" gate a continuously-
+    * ingesting pipeline runs before committing a snapshot. Shares
+    * X16's hashed-bucket model (md5-prefix buckets, add-1 smoothing,
+    * integer micro/nano-nat rounding) so the DuckDB oracle replays it
+    * exactly.
+    *
+    * Scale shape: the exploded token stream feeds ONE conditional
+    * aggregate (base and delta counted in the same groupBy — one
+    * shuffle, 256 result rows); totals ride a 1-row broadcast cross
+    * join; everything after the aggregate is 256-row arithmetic. The
+    * summary statistic is Σ kl_term over exact longs — consumers
+    * alert on the total, triage on the per-bucket terms.
+    */
+  def textDrift(spark: SparkSession, dir: String, splitAt: Long = 400): DataFrame = {
+    val toksCol = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ", -1)
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(toksCol).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select((col("doc_id") >= splitAt).as("is_delta"),
+        substring(md5(col("tok")), 1, 2).as("bucket"))
+    val counts = toks.groupBy("bucket").agg(
+      sum(when(col("is_delta"), 1L).otherwise(0L)).as("d_cnt"),
+      sum(when(col("is_delta"), 0L).otherwise(1L)).as("b_cnt"))
+    val totals = counts.agg(sum("d_cnt").as("d_total"), sum("b_cnt").as("b_total"))
+    val q = (col("d_cnt") + 1).cast("double") / (col("d_total") + 256)
+    val p = (col("b_cnt") + 1).cast("double") / (col("b_total") + 256)
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("b_cnt"), col("d_cnt"),
+        round((log(q) - log(p)) * 1e6).cast("long").as("logratio_micro"),
+        round(q * (log(q) - log(p)) * 1e9).cast("long").as("kl_term_nano"))
+      .orderBy("bucket")
+  }
+
   /** X17: distributed BPE merge learning (Sennrich et al. 2016) — learn
     * the first `nMerges` byte-pair merges from the corpus. BPE trains
     * on WORD TYPES, not corpus positions: the first aggregate collapses
