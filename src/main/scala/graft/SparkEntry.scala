@@ -172,6 +172,10 @@ object SparkEntry {
     "emb_pca" -> ((s, d) => Similarity.embPca(s, d)),
     "emb_whiten" -> ((s, d) => Similarity.embWhiten(s, d)),
     "emb_norm" -> (Similarity.embNorm _),
+    "emb_decontaminate" -> ((s, d) => Similarity.embDecontaminate(s, d)),
+    // k driver-looped argmax rounds → not SQL-expressible → rows-only;
+    // exactness vs a driver-side greedy replay pinned in Round8Spec
+    "emb_coreset" -> ((s, d) => Similarity.embCoreset(s, d)),
     "emb_quantize" -> (Similarity.embQuantize _),
     "emb_centroid" -> (Similarity.embCentroid _),
     // Multimodal (M1–M3)
@@ -1530,6 +1534,24 @@ object SparkEntry {
         |SELECT doc_id, n_tokens FROM q
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    "emb_decontaminate" ->
+      """WITH b AS (
+        |  SELECT vec_id AS bench_id, embedding FROM embeddings WHERE vec_id < 20
+        |), c AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20
+        |), sims AS (
+        |  SELECT c.vec_id, b.bench_id,
+        |    round(list_cosine_similarity(
+        |      list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+        |  FROM c CROSS JOIN b
+        |), r AS (
+        |  SELECT vec_id, sim, bench_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id) AS rk
+        |  FROM sims
+        |)
+        |SELECT vec_id, sim AS max_sim, bench_id, sim >= 0.4 AS contaminated
+        |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     // dedup_embedding has NO oracle: LSH band candidate generation is
     // probabilistic (rows-only check; recall spec in Round8Spec). The
     // old all-pairs SQL survives as the spec's oracle via

@@ -364,6 +364,87 @@ object Similarity {
       .otherwise(transform(v, x => (x.cast("double") / n).cast("float")))
   }
 
+  /** A13: semantic decontamination — flag corpus vectors whose
+    * embedding is near-identical to ANY benchmark vector (the
+    * embedding-space complement of X10's n-gram decontamination:
+    * catches paraphrased leakage that verbatim n-grams miss; the
+    * bench set is the lowest `nBench` vec_ids, X10's doc_id<20
+    * convention). The bench side broadcasts (eval suites are tiny);
+    * the corpus scans ONCE; the per-vector argmax is max(struct(sim,
+    * -bench_id)) — partial-aggregable map-side, deterministic ties to
+    * the smallest bench id — so the only shuffle carries one row per
+    * corpus vector. O(n·|bench|), never n².
+    */
+  def embDecontaminate(spark: SparkSession, dir: String, nBench: Int = 20,
+                       threshold: Double = 0.4): DataFrame = {
+    val e = corpus(spark, dir)
+    val bench = broadcast(
+      Tables.load(spark, dir, "embeddings").filter(col("vec_id") < nBench)
+        .select(col("vec_id").as("bench_id"), col("embedding").as("bench_emb")))
+    e.filter(col("vec_id") >= nBench)
+      .crossJoin(bench)
+      .select(col("vec_id"),
+        round(VectorFunctions.cosine(col("embedding"), col("bench_emb")), 4).as("sim"),
+        col("bench_id"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("bench_id")).as("nid"))).as("m"))
+      .select(col("vec_id"),
+        col("m.sim").as("max_sim"),
+        (-col("m.nid")).as("bench_id"),
+        (col("m.sim") >= threshold).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  /** A14: k-center greedy coreset (farthest-point sampling, the
+    * classic 2-approximation) — pick `k` maximally-diverse exemplar
+    * vectors, the diversity-sampling step that keeps a downsampled
+    * training corpus covering the embedding space instead of
+    * oversampling its dense clusters.
+    *
+    * Round r: one NARROW projection updates each vector's
+    * distance-to-nearest-chosen incrementally against ONLY the newest
+    * center (min(prev, d_new) — centers never re-scan), then one 1-row
+    * argmax aggregate (max of (dist, -vec_id)) picks the farthest
+    * vector. The corpus never shuffles; per-round driver traffic is
+    * one row; state is (vec_id, embedding, min_dist) behind a
+    * localCheckpoint (the k-means/BPE loop pattern). Distances are
+    * micro-rounded BEFORE the argmax, so the chosen set is exact long
+    * arithmetic — deterministic at any parallelism. Iterative (k
+    * driver rounds) → not SQL-expressible → rows-only; Round8Spec
+    * replays the greedy selection on collected vectors and pins
+    * exactness.
+    *
+    * Output: (rank, center_id, radius_micro) — radius_micro of rank r
+    * is the coverage radius AFTER r−1 centers, i.e. the distance that
+    * made this center the farthest point; it is non-increasing.
+    */
+  def embCoreset(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val e = corpus(spark, dir).select(col("vec_id"), col("embedding"))
+    def distTo(center: Seq[Float]): Column =
+      round((lit(1.0) - VectorFunctions.cosine(col("embedding"), typedlit(center))) * 1e6)
+        .cast("long")
+    // seed: the lowest vec_id (deterministic, mirroring kmeans/PQ seeds)
+    val seedRow = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).head
+    var chosen = List((1, seedRow.getLong(0), 0L))
+    var center = seedRow.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    var state = e.withColumn("min_dist", distTo(center)).localCheckpoint()
+    for (r <- 2 to k) {
+      val far = state
+        .agg(max(struct(col("min_dist"), (-col("vec_id")).as("nid"))).as("m"))
+        .select(col("m.min_dist"), (-col("m.nid")).as("vec_id")).head
+      val (radius, cid) = (far.getLong(0), far.getLong(1))
+      chosen ::= ((r, cid, radius))
+      center = state.filter(col("vec_id") === cid)
+        .head.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      state = state
+        .withColumn("min_dist", least(col("min_dist"), distTo(center)))
+        .localCheckpoint()
+    }
+    chosen.reverse.toDF("rank", "center_id", "radius_micro").orderBy("rank")
+  }
+
   /** A4: embedding hygiene — per-vector L2 norm and dimensionality,
     * the validation pass run before any similarity work (zero vectors
     * and dim drift silently poison cosine scores). Fixed left-to-right

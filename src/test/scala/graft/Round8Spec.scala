@@ -231,6 +231,43 @@ class Round8Spec extends SparkSpec {
     assert(acc > prior + 0.2, s"accuracy $acc does not beat the prior $prior")
   }
 
+  test("k-center coreset matches a driver-side greedy replay exactly") {
+    val k = 6
+    val out = Similarity.embCoreset(spark, sfDir, k = k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // replay the greedy selection with the native cosine's exact
+    // accumulation order (left-to-right float-to-double, dot/(√na·√nb))
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def distMicro(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val (x, y) = (a(i).toDouble, b(i).toDouble)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      math.round((1.0 - cos) * 1e6)
+    }
+    var center = vecs.head._2
+    val minDist = scala.collection.mutable.Map(vecs.map { case (id, v) =>
+      id -> distMicro(v, center) }: _*)
+    var expect = List((1, vecs.head._1, 0L))
+    for (r <- 2 to k) {
+      val (cid, radius) = minDist.toSeq.maxBy { case (id, d) => (d, -id) }
+      expect ::= ((r, cid, radius))
+      center = vecs.find(_._1 == cid).get._2
+      vecs.foreach { case (id, v) =>
+        minDist(id) = math.min(minDist(id), distMicro(v, center)) }
+    }
+    RecallLog.record("emb_coreset", "greedy_replay_exact_match",
+      if (out.toSeq == expect.reverse) 1.0 else 0.0)
+    assert(out.toSeq == expect.reverse,
+      s"coreset ${out.toSeq} != greedy replay ${expect.reverse}")
+    // coverage radius is non-increasing
+    assert(out.map(_._3).drop(1).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
   test("concurrent bloomGate invocations do not clobber each other's views") {
     val Seq(a, b) = Flow.parallel(Seq(
       ("gate_a", () => Dedup.bloomGate(spark, sfDir).collect().toSeq),
