@@ -180,6 +180,7 @@ object SparkEntry {
     "emb_centroid" -> (Similarity.embCentroid _),
     // Multimodal (M1–M3)
     "mm_schema" -> (Multimodal.mmSchema _),
+    "mm_dedup" -> (Multimodal.mmDedup _),
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_sample" -> ((s, d) => Multimodal.mmSample(s, d)),
     "mm_binary_files" -> ((s, d) => Multimodal.mmBinaryFiles(s, d)),
@@ -1577,6 +1578,20 @@ object SparkEntry {
         |  octet_length(encode(text)) AS n_bytes,
         |  cast(n_chars % 640 AS int) AS width
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN 'MEDIA_' || CAST((doc_id // 9) % 3 AS VARCHAR)
+        |         ELSE text END AS p
+        |  FROM documents
+        |)
+        |SELECT md5(p) AS payload_md5,
+        |  cast(count(*) AS bigint) AS n_copies,
+        |  min(doc_id) AS keep_id,
+        |  cast(sum(octet_length(encode(p))) - min(octet_length(encode(p))) AS bigint)
+        |    AS bytes_reclaimed
+        |FROM m GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY payload_md5""".stripMargin,
     "mm_features" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

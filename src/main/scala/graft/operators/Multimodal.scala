@@ -191,6 +191,36 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** M6: binary payload dedup — the exact-dup pass every multimodal
+    * pipeline runs before perceptual hashing: identical media bytes
+    * (re-crawled images, mirrored assets) collapse to one stored copy,
+    * reporting how many object-store bytes the dedup reclaims. ONE
+    * shuffle on the 128-bit content hash; payload bytes never shuffle
+    * (md5 + length are computed in the scan projection, and only
+    * (hash, id, len) rows move — at 100 TB the payloads are the data,
+    * so keeping them out of the exchange IS the plan). Input passes
+    * through a deterministic re-ingest plant (every 9th doc carries
+    * one of 3 shared payloads — a crawler re-delivering mirrored
+    * media) so the gate is non-vacuous at every SF; the oracle
+    * replays the identical derivation.
+    */
+  def mmDedup(spark: SparkSession, dir: String): DataFrame = {
+    // (doc_id/9) % 3, not doc_id % 3: a multiple of 9 is always ≡ 0
+    // mod 3, which would collapse the plant to a single variant
+    val p = when(col("doc_id") % 9 === 0,
+      concat(lit("MEDIA_"), (floor(col("doc_id") / 9).cast("long") % 3).cast("string")))
+      .otherwise(col("text"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), encode(p, "UTF-8").as("payload"))
+      .select(col("doc_id"), md5(col("payload")).as("payload_md5"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy("payload_md5")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"),
+        (sum("n_bytes") - min("n_bytes")).as("bytes_reclaimed"))
+      .filter(col("n_copies") > 1)
+      .orderBy("payload_md5")
+  }
+
   /** M1: schema plumbing — binary payload + typed metadata, projected
     * without ever touching payload bytes (the pruning-friendly path).
     */
