@@ -1146,11 +1146,16 @@ object SparkEntry {
         |), tt AS (
         |  SELECT doc_id >= 400 AS is_delta, substr(md5(tok), 1, 2) AS bucket
         |  FROM t WHERE length(tok) > 0
-        |), counts AS (
+        |), observed AS (
         |  SELECT bucket,
         |    cast(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS bigint) AS d_cnt,
         |    cast(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS bigint) AS b_cnt
         |  FROM tt GROUP BY bucket
+        |), spine AS (
+        |  SELECT printf('%02x', range) AS bucket FROM range(256)
+        |), counts AS (
+        |  SELECT s.bucket, coalesce(o.d_cnt, 0) AS d_cnt, coalesce(o.b_cnt, 0) AS b_cnt
+        |  FROM spine s LEFT JOIN observed o USING (bucket)
         |), totals AS (
         |  SELECT sum(d_cnt) AS d_total, sum(b_cnt) AS b_total FROM counts
         |)

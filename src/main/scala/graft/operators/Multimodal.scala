@@ -204,14 +204,25 @@ object Multimodal {
     * media) so the gate is non-vacuous at every SF; the oracle
     * replays the identical derivation.
     */
-  def mmDedup(spark: SparkSession, dir: String): DataFrame = {
-    // (doc_id/9) % 3, not doc_id % 3: a multiple of 9 is always ≡ 0
-    // mod 3, which would collapse the plant to a single variant
+  /** Deterministic media re-ingest plant for M6 (the
+    * [[graft.operators.Dedup.withBoilerplate]] convention): every 9th
+    * document's payload becomes one of 3 shared blobs — a crawler
+    * re-delivering mirrored media — so the dedup gate is non-vacuous
+    * at every SF. (doc_id/9) % 3, not doc_id % 3: a multiple of 9 is
+    * always ≡ 0 mod 3, which would collapse the plant to one variant.
+    * The oracle applies the identical derivation; production callers
+    * hand their real media table to [[payloadDedup]] directly.
+    */
+  private[graft] def withMirroredMedia(docs: DataFrame): DataFrame = {
     val p = when(col("doc_id") % 9 === 0,
       concat(lit("MEDIA_"), (floor(col("doc_id") / 9).cast("long") % 3).cast("string")))
       .otherwise(col("text"))
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), encode(p, "UTF-8").as("payload"))
+    docs.select(col("doc_id"), encode(p, "UTF-8").as("payload"))
+  }
+
+  /** The M6 operator body over ANY (doc_id, payload) media table. */
+  def payloadDedup(media: DataFrame): DataFrame =
+    media
       .select(col("doc_id"), md5(col("payload")).as("payload_md5"),
         octet_length(col("payload")).cast("long").as("n_bytes"))
       .groupBy("payload_md5")
@@ -219,7 +230,9 @@ object Multimodal {
         (sum("n_bytes") - min("n_bytes")).as("bytes_reclaimed"))
       .filter(col("n_copies") > 1)
       .orderBy("payload_md5")
-  }
+
+  def mmDedup(spark: SparkSession, dir: String): DataFrame =
+    payloadDedup(withMirroredMedia(Tables.load(spark, dir, "documents")))
 
   /** M1: schema plumbing — binary payload + typed metadata, projected
     * without ever touching payload bytes (the pruning-friendly path).

@@ -19,6 +19,18 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object TextQueries {
 
+  /** THE corpus tokenizer — whitespace-normalized lowercase tokens —
+    * shared by the rule bundle (X14), the LM scorers (X15/X19), the
+    * drift monitor (X21), and the quality model (X20). X20's features
+    * and their X14 label source MUST tokenize identically, so there is
+    * exactly one definition.
+    */
+  private[queries] def normToks: Column =
+    split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ", -1)
+
+  /** The stopword-evidence list shared by X14 and X20. */
+  private[queries] val stopWords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
   /** X1: dictionary language ID. The marker "tables" are literal sets
     * compiled into the expression — the degenerate (and fastest)
     * broadcast. Scored by the native [[LangIdExpr]] (one compiled
@@ -75,8 +87,8 @@ object TextQueries {
     * runs at scan throughput like X2.
     */
   def textGopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ", -1)
-    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    val toks = normToks
+    val stop = stopWords
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), toks.as("toks"))
       .select(
@@ -126,7 +138,7 @@ object TextQueries {
     * so cross-engine doubles never aggregate.
     */
   def textSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    val toksCol = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ", -1)
+    val toksCol = normToks
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(toksCol).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -158,7 +170,7 @@ object TextQueries {
     * excluded (deterministic row count).
     */
   def textBigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
-    val toksCol = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ", -1)
+    val toksCol = normToks
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), toksCol.as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -205,7 +217,7 @@ object TextQueries {
     * BEFORE the per-doc sum (the X15 trick) so doubles never aggregate.
     */
   def textDsir(spark: SparkSession, dir: String): DataFrame = {
-    val toksCol = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ", -1)
+    val toksCol = normToks
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(toksCol).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -244,15 +256,24 @@ object TextQueries {
     * alert on the total, triage on the per-bucket terms.
     */
   def textDrift(spark: SparkSession, dir: String, splitAt: Long = 400): DataFrame = {
-    val toksCol = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ", -1)
+    val toksCol = normToks
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(toksCol).as("tok"))
       .filter(length(col("tok")) > 0)
       .select((col("doc_id") >= splitAt).as("is_delta"),
         substring(md5(col("tok")), 1, 2).as("bucket"))
-    val counts = toks.groupBy("bucket").agg(
+    val observed = toks.groupBy("bucket").agg(
       sum(when(col("is_delta"), 1L).otherwise(0L)).as("d_cnt"),
       sum(when(col("is_delta"), 0L).otherwise(1L)).as("b_cnt"))
+    // every one of the 256 buckets carries smoothed probability mass
+    // (the +1/+256 denominators), so buckets with zero tokens on BOTH
+    // sides still contribute a nonzero KL term whenever the totals
+    // differ — a groupBy of observed buckets alone would understate
+    // the Σ kl_term alert statistic. Join against the full hex spine.
+    val spine = spark.range(256)
+      .select(format_string("%02x", col("id")).as("bucket"))
+    val counts = spine.join(observed, Seq("bucket"), "left")
+      .na.fill(0L, Seq("d_cnt", "b_cnt"))
     val totals = counts.agg(sum("d_cnt").as("d_total"), sum("b_cnt").as("b_total"))
     val q = (col("d_cnt") + 1).cast("double") / (col("d_total") + 256)
     val p = (col("b_cnt") + 1).cast("double") / (col("b_total") + 256)
@@ -631,8 +652,8 @@ object TextQueries {
                        iters: Int = 40, lrMicro: Long = 3000000L,
                        buckets: Int = 16,
                        repartitionTo: Option[Int] = None): DataFrame = {
-    val toks = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ", -1)
-    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    val toks = normToks
+    val stop = stopWords
     val nToks = greatest(size(col("toks")), lit(1))
     def microFrac(num: Column): Column =
       least(lit(1000000L), floor(num.cast("long") * lit(1000000L) / nToks).cast("long"))
@@ -674,13 +695,19 @@ object TextQueries {
     // μ and σ derive from EXACT long sums (Σx, Σx² via one mergeable
     // aggregate), so the standardized ints — like the gradients — are
     // identical under any partitioning.
+    // Σv fits a long up to ~9e12 docs, but Σv² (v ≤ 1e6 → v² ≤ 1e12)
+    // would overflow past ~9.2e6 docs — sum it as decimal(38,0), which
+    // is still EXACT integer arithmetic (order-independent), just wider
     val stats = raw
       .select(posexplode(col("x")).as(Seq("b", "v")))
-      .groupBy("b").agg(sum("v").as("s"), sum(col("v") * col("v")).as("s2"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .groupBy("b").agg(sum("v").as("s"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("s2"))
+      .collect().map(r =>
+        r.getInt(0) -> (r.getLong(1), r.getDecimal(2).toBigInteger)).toMap
     val mu = (0 until d).map(b => stats(b)._1.toDouble / n).toArray
     val sd = (0 until d).map { b =>
-      math.sqrt(math.max(0.0, stats(b)._2.toDouble / n - mu(b) * mu(b)))
+      math.sqrt(math.max(0.0, new java.math.BigDecimal(stats(b)._2).doubleValue() / n -
+        mu(b) * mu(b)))
     }.toArray
     val muLit = typedlit(mu.toSeq)
     val sdLit = typedlit(sd.map(s => if (s < 1e-9) 1.0 else s).toSeq)
@@ -689,8 +716,12 @@ object TextQueries {
       .select(col("doc_id"),
         zip_with(col("x"), sequence(lit(0), lit(d - 1)), (xi, b) =>
           when(element_at(keepBias, b + 1) === 1, xi) // constant cols (bias) pass through
-            .otherwise(round((xi.cast("double") - element_at(muLit, b + 1)) /
-              element_at(sdLit, b + 1) * 1e6).cast("long"))).as("x"),
+            // clip at ±10σ (1e7 micro): a near-constant feature's σ
+            // shrinks like Δ/√n, so an unclipped outlier z-score grows
+            // with corpus size and could overflow the long dot product
+            .otherwise(greatest(lit(-10000000L), least(lit(10000000L),
+              round((xi.cast("double") - element_at(muLit, b + 1)) /
+                element_at(sdLit, b + 1) * 1e6).cast("long"))))).as("x"),
         col("y"))
       .localCheckpoint()
     var w = Array.fill(d)(0L) // micro-weights
@@ -699,9 +730,14 @@ object TextQueries {
         lit(0L), (acc, p) => acc + p).cast("double") / 1e12
     def sig(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
     for (_ <- 0 until iters) {
+      // the margin is computed ONCE per row as a scalar projection —
+      // HOF lambdas are interpreted with no loop-invariant hoisting,
+      // so a sig(z) inside the transform would re-run the d-term dot
+      // product and the exp() for every one of the d elements
       val grad = labeled
+        .select(col("x"), (sig(zCol(w)) - col("y")).as("err"))
         .select(posexplode(transform(col("x"),
-          xi => round((sig(zCol(w)) - col("y")) * xi).cast("long"))).as(Seq("b", "g")))
+          xi => round(col("err") * xi).cast("long"))).as(Seq("b", "g")))
         .groupBy("b").agg(sum("g").as("g"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       w = w.indices.map(b =>
