@@ -123,6 +123,7 @@ object SparkEntry {
     "text_pii_redact" -> (TextQueries.textPiiRedact _),
     "text_repetition" -> (TextQueries.textRepetition _),
     "text_tfidf" -> ((s, d) => TextQueries.textTfidf(s, d)),
+    "text_bm25" -> ((s, d) => TextQueries.textBm25(s, d)),
     "text_chunk" -> ((s, d) => TextQueries.textChunk(s, d)),
     "text_pack" -> ((s, d) => TextQueries.textPack(s, d)),
     "text_decontaminate" -> ((s, d) => TextQueries.textDecontaminate(s, d)),
@@ -176,6 +177,10 @@ object SparkEntry {
     // k driver-looped argmax rounds → not SQL-expressible → rows-only;
     // exactness vs a driver-side greedy replay pinned in Round8Spec
     "emb_coreset" -> ((s, d) => Similarity.embCoreset(s, d)),
+    // spherical k-means: iterative (driver-looped Lloyd rounds) with
+    // float-cosine assignment — not SQL-expressible → rows-only;
+    // driver-replay exactness + partitioning-invariance in Round9Spec
+    "emb_kmeans" -> ((s, d) => Similarity.embKmeans(s, d)),
     "emb_quantize" -> (Similarity.embQuantize _),
     "emb_centroid" -> (Similarity.embCentroid _),
     // Multimodal (M1–M3)
@@ -1313,6 +1318,35 @@ object SparkEntry {
         |    ORDER BY score_micro DESC, term) AS rnk
         |  FROM scored
         |) WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "text_bm25" ->
+      """WITH q(q_id, term) AS (VALUES
+        |  (0,'spark'),(0,'query'),(0,'join'),
+        |  (1,'stream'),(1,'window'),(1,'batch'),
+        |  (2,'hash'),(2,'merge'),(2,'sort'),
+        |  (3,'customer'),(3,'data'),(3,'table')),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |    t -> t <> '') AS toks
+        |  FROM documents
+        |), dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+        |terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms
+        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2
+        |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT q.q_id, tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs / sum_dl)))) *
+        |      1e6) AS BIGINT) AS c_micro
+        |  FROM tf JOIN q USING (term) JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+        |), score AS (SELECT q_id, doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro FROM contrib GROUP BY 1, 2)
+        |SELECT CAST(q_id AS BIGINT) AS q_id, rnk, doc_id, score_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rnk
+        |  FROM score
+        |) WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "dedup_paragraph" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -445,6 +445,61 @@ object Similarity {
     chosen.reverse.toDF("rank", "center_id", "radius_micro").orderBy("rank")
   }
 
+  /** A15: spherical k-means (Lloyd's) — the corpus-clustering step
+    * behind topic bucketing, per-cluster mixture weighting, and
+    * cluster-local dedup at training-data scale.
+    *
+    * Scale shape, per iteration: assignment is the shuffle-free native
+    * [[org.apache.spark.sql.graft.NearestCentroids]] (the k×dim matrix
+    * rides into the scan as a literal — the degenerate broadcast), and
+    * the recompute is ONE partial-aggregated shuffle of (cluster, dim)
+    * long sums — k·dim rows reach the driver, never vectors. Corpus
+    * bytes cross no exchange at any scale; iteration cost is linear
+    * scans × `iters`.
+    *
+    * Determinism at any parallelism: per-component contributions are
+    * micro-rounded to longs BEFORE the sum (exact integer arithmetic,
+    * any partitioning/order), centroids are rebuilt from those exact
+    * sums with one fixed division order, and assignment ties keep the
+    * lowest centroid index. An empty cluster keeps its previous
+    * centroid (k never collapses). Exactness vs a driver replay and
+    * partitioning-invariance are pinned in Round9Spec; cluster purity
+    * vs the generator labels lands in RECALL via RecallLog.
+    *
+    * Seeds are the k lowest vec_ids (the coreset/PQ seed convention) —
+    * at 100 TB a k-center sweep ([[embCoreset]]) would seed better, but
+    * the seed rule must stay deterministic for the replay oracle.
+    */
+  def embKmeans(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 3,
+                repartitionTo: Option[Int] = None): DataFrame = {
+    val base = corpus(spark, dir).select(col("vec_id"), col("label"), col("embedding"))
+    val e = repartitionTo.map(base.repartition(_)).getOrElse(base)
+    var cent: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq.map(_.toDouble)).toSeq
+    def assign(c: Seq[Seq[Double]]): Column =
+      element_at(VectorFunctions.nearestCentroids(col("embedding"), c, 1), 1)
+    for (_ <- 0 until iters) {
+      val sums = e
+        .select(assign(cent).as("cluster"),
+          posexplode(transform(col("embedding"),
+            x => round(x.cast("double") * 1e6).cast("long"))).as(Seq("dim", "sm")))
+        .groupBy("cluster", "dim")
+        .agg(sum("sm").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      cent = cent.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1))
+              .map(r => r.getLong(2).toDouble / r.getLong(3) / 1e6).toSeq
+          case None => cent(c)
+        }
+      }
+    }
+    e.select(col("vec_id"), col("label"), assign(cent).as("cluster"))
+      .orderBy("vec_id")
+  }
+
   /** A4: embedding hygiene — per-vector L2 norm and dimensionality,
     * the validation pass run before any similarity work (zero vectors
     * and dim drift silently poison cosine scores). Fixed left-to-right

@@ -750,4 +750,71 @@ object TextQueries {
         (col("y") > 0.5).as("label"))
       .orderBy("doc_id")
   }
+
+  /** X22: BM25 top-k retrieval — score every document against a fixed
+    * query set with Lucene-form BM25 (idf = ln(1 + (N−df+0.5)/(df+0.5)),
+    * always positive) and return the k best docs per query. The
+    * retrieval step behind dataset curation-by-query (targeted domain
+    * upsampling, eval-set mining) over a web-scale corpus.
+    *
+    * Scale shape: the query vocabulary is filtered IN the corpus scan
+    * (`isin` over a literal set), so the per-term exchange moves only
+    * postings of query terms — O(|corpus ∩ query vocab|), not the full
+    * inverted index. df comes from a window inside that same exchange
+    * (the dedup_ngram_jaccard/text_tfidf rework — no aggregate+join
+    * back), corpus stats (N, Σdl) are ONE tiny global aggregate
+    * broadcast everywhere, and the final per-query top-k is the
+    * mergeable [[graft.functions.Aggregators.TopKByScore]] — partial
+    * map-side buffers mean k rows per partition cross the shuffle, so a
+    * handful of queries never concentrates the full candidate set on
+    * single reducers the way a window rank would.
+    *
+    * Determinism: per-(doc, term) contributions are micro-rounded then
+    * summed as longs, so scores are exact integers at any parallelism;
+    * ties break on doc_id asc inside the aggregate, matching the
+    * oracle's `ORDER BY score_micro DESC, doc_id`. BM25 constants are
+    * spelled as the same double literals on both sides (2.2 = k1+1,
+    * 0.25 = 1−b, not computed) so both engines parse identical doubles.
+    */
+  def textBm25(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    // (q_id, term) — fixed query set over the corpus vocabulary
+    val querySet = Seq(
+      (0L, "spark"), (0L, "query"), (0L, "join"),
+      (1L, "stream"), (1L, "window"), (1L, "batch"),
+      (2L, "hash"), (2L, "merge"), (2L, "sort"),
+      (3L, "customer"), (3L, "data"), (3L, "table"))
+    val qTerms = querySet.map(_._2).distinct
+    val withDl = Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), filter(normToks, t => t =!= "").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = withDl
+      // doc-level prune BEFORE the explode fan-out: a doc sharing no
+      // term with any query never produces a posting row at all
+      .filter(arrays_overlap(col("toks"), typedlit(qTerms)))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    val contrib = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(broadcast(querySet.toDF("q_id", "term")), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("tfn",
+        (col("tf") * lit(2.2)) / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") * col("n_docs") / col("sum_dl")))))
+      .withColumn("c_micro", round(col("idf") * col("tfn") * 1e6).cast("long"))
+    val scored = contrib.groupBy("q_id", "doc_id")
+      .agg(sum("c_micro").as("score_micro"))
+    val topk = udaf(graft.functions.Aggregators.TopKByScore(topK))
+    scored.groupBy("q_id")
+      .agg(topk(col("score_micro").cast("double"), col("doc_id")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("e._2").as("doc_id"), col("e._1").cast("long").as("score_micro"))
+      .orderBy("q_id", "rnk")
+  }
 }

@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.Similarity
+import graft.queries.TextQueries
+import org.apache.spark.sql.functions._
+
+/** Round-5 late additions: BM25 retrieval, k-means clustering, skyline,
+  * rolling median, sketch set-overlap.
+  */
+class Round9Spec extends SparkSpec {
+
+  test("text_bm25: ranks are dense, scores non-increasing, hits contain a query term") {
+    val rows = TextQueries.textBm25(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L), "every query returns hits")
+    byQuery.foreach { case (q, hits) =>
+      val ranked = hits.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to ranked.length),
+        s"query $q ranks must be dense from 1")
+      val scores = ranked.map(_.getLong(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores must be non-increasing")
+      assert(scores.forall(_ > 0), s"query $q BM25 scores are positive (Lucene idf form)")
+    }
+    // the top hit for query 0 ("spark query join") really contains one
+    // of its terms — retrieval is grounded in the corpus, not an
+    // artifact of the scoring plumbing
+    val top0 = byQuery(0L).minBy(_.getInt(1)).getLong(2)
+    val text = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") === top0).select("text").head.getString(0)
+    assert(Seq("spark", "query", "join").exists(text.contains),
+      s"top hit $top0 for query 0 should contain a query term")
+  }
+
+  // ---- emb_kmeans: exactness vs an independent driver replay ----
+
+  /** HALF_UP micro-rounding with Spark `round`'s BigDecimal semantics
+    * (Double.toString-based valueOf, not the raw binary expansion).
+    */
+  private def microRound(d: Double): Long =
+    java.math.BigDecimal.valueOf(d).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  /** Replays [[org.apache.spark.sql.graft.NearestCentroids]]'s
+    * float-widening cosine argmax exactly: dot accumulates
+    * float×double products, ties keep the lowest index.
+    */
+  private def nearestReplay(v: Array[Float], cent: Seq[Seq[Double]]): Int = {
+    val dim = cent.head.length
+    val n = math.min(v.length, dim)
+    var vNorm = 0.0
+    var i = 0
+    while (i < n) { val x = v(i).toDouble; vNorm += x * x; i += 1 }
+    vNorm = math.sqrt(vNorm)
+    val cNorm = cent.map(c => math.sqrt(c.map(x => x * x).sum))
+    var best = -1
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cent.length) {
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += v(j) * cent(c)(j); j += 1 }
+      val s0 = if (vNorm == 0.0 || cNorm(c) == 0.0) 0.0 else dot / (vNorm * cNorm(c))
+      val s = if (s0.isNaN) Double.NegativeInfinity else s0
+      if (best == -1 || s > bestSim) { bestSim = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def kmeansReplay(vecs: Array[(Long, Array[Float])], k: Int, iters: Int)
+      : Map[Long, Int] = {
+    var cent: Seq[Seq[Double]] =
+      vecs.sortBy(_._1).take(k).map(_._2.toSeq.map(_.toDouble)).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = vecs.map { case (_, v) => (nearestReplay(v, cent), v) }
+      cent = cent.indices.map { c =>
+        val members = assigned.filter(_._1 == c).map(_._2)
+        if (members.isEmpty) cent(c)
+        else {
+          val dim = cent(c).length
+          (0 until dim).map { j =>
+            val s = members.map(v => microRound(v(j).toDouble * 1e6)).sum
+            s.toDouble / members.length / 1e6
+          }
+        }
+      }
+    }
+    vecs.map { case (id, v) => id -> nearestReplay(v, cent) }.toMap
+  }
+
+  test("emb_kmeans matches an independent driver replay exactly") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val expected = kmeansReplay(vecs, k = 8, iters = 3)
+    val got = Similarity.embKmeans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got.size == expected.size)
+    val diff = got.filter { case (id, c) => expected(id) != c }
+    assert(diff.isEmpty, s"assignment mismatch for ${diff.size} vectors, e.g. ${diff.take(3)}")
+    // clusters are genuinely populated, not one mega-cluster
+    val sizes = got.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size >= 4, s"expected >=4 non-empty clusters, got ${sizes.size}")
+  }
+
+  test("emb_kmeans is invariant under repartitioning") {
+    val a = Similarity.embKmeans(spark, sfDir).collect().map(r => (r.getLong(0), r.getInt(2)))
+    val b = Similarity.embKmeans(spark, sfDir, repartitionTo = Some(7))
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(a.sameElements(b), "micro-rounded long sums must make assignments partitioning-exact")
+  }
+
+  test("emb_kmeans: record cluster purity vs generator labels") {
+    val rows = Similarity.embKmeans(spark, sfDir).collect()
+    val purity = rows.groupBy(_.getInt(2)).values
+      .map(g => g.groupBy(_.getInt(1)).values.map(_.size).max).sum.toDouble / rows.length
+    // the synthetic embeddings are only weakly label-separated (mean
+    // same-label cosine ≈ 0.02 vs ≈ 0.00 across labels), so the honest
+    // bar is the majority-label prior, not an absolute purity
+    val prior = rows.groupBy(_.getInt(1)).values.map(_.size).max.toDouble / rows.length
+    RecallLog.record("emb_kmeans", "purity", purity)
+    RecallLog.record("emb_kmeans", "purity_prior", prior)
+    RecallLog.record("emb_kmeans", "n_clusters",
+      rows.map(_.getInt(2)).distinct.length.toDouble)
+    assert(purity > prior,
+      s"k-means purity $purity should beat the majority-label prior $prior")
+  }
+}
