@@ -68,6 +68,8 @@ object SparkEntry {
     // error vs the exact rolling distinct bounded in Round7Spec
     "q_rolling_distinct_hll" -> ((s, d) => Analytics.qRollingDistinctHll(s, d)),
     "q_rolling_7d" -> (Analytics.qRolling7d _),
+    "q_rolling_median" -> (Analytics.qRollingMedian _),
+    "q_skyline" -> (Relational.qSkyline _),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "dedup_bloom_gate" -> ((s, d) => Dedup.bloomGate(s, d)),
     "t_global_ids" -> (Analytics.tGlobalIds _),
@@ -624,6 +626,23 @@ object SparkEntry {
         |  round(sum(day_total) OVER (ORDER BY d
         |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2) AS rolling_7d
         |FROM daily ORDER BY d""".stripMargin,
+    "q_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS day_micro
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, d, day_micro,
+        |  median(day_micro) OVER (PARTITION BY event_type ORDER BY d
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS med7_micro
+        |FROM daily ORDER BY event_type, d""".stripMargin,
+    "q_skyline" ->
+      """SELECT p_partkey, p_size, p_retailprice FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_size <= a.p_size AND b.p_retailprice <= a.p_retailprice
+        |    AND (b.p_size < a.p_size OR b.p_retailprice < a.p_retailprice))
+        |ORDER BY p_size, p_partkey""".stripMargin,
     "q_bloom_semi" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders

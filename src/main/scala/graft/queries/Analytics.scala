@@ -568,6 +568,39 @@ object Analytics {
       .orderBy("d")
   }
 
+  /** Q38: exact rolling median — per event type, the median of the
+    * daily value totals over a trailing 7-day RANGE frame. The
+    * robust-statistics twin of Q32's rolling sum: medians shrug off the
+    * single-day spikes that poison a mean-based monitor.
+    *
+    * Daily totals are micro-rounded longs summed exactly (a double sum
+    * is partitioning-order-dependent; long sums are not), so the window
+    * input is deterministic. The frame holds ≤7 values by construction
+    * — the collect+sort inside the window is O(7 log 7) per row on the
+    * DAILY aggregate (rows = days × event types, not events), so corpus
+    * scale only grows the one partial-aggregated groupBy shuffle; the
+    * window state stays constant-size. Even frames interpolate like
+    * `quantile_cont(0.5)` ((a+b)/2 in double — exact: inputs are
+    * integer-valued micros).
+    */
+  def qRollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d_epoch").rangeBetween(-6, 0)
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(sum(round(col("value") * 1e6).cast("long")).as("day_micro"))
+      .withColumn("d_epoch", datediff(col("d"), lit("1970-01-01").cast("date")))
+      .withColumn("win", sort_array(collect_list("day_micro").over(w)))
+      .withColumn("n", size(col("win")))
+      .withColumn("med7_micro",
+        when(col("n") % 2 === 1,
+          element_at(col("win"), ((col("n") + 1) / 2).cast("int")).cast("double"))
+          .otherwise((element_at(col("win"), (col("n") / 2).cast("int")) +
+            element_at(col("win"), (col("n") / 2).cast("int") + 1)).cast("double") / 2.0))
+      .select("event_type", "d", "day_micro", "med7_micro")
+      .orderBy("event_type", "d")
+  }
+
   /** Q31: Bloom-filter semi-join — the runtime-filter pattern made
     * explicit: a fixed-size bloom sketch of the (filtered) dimension
     * keys broadcasts to the fact scan as a `might_contain` predicate,

@@ -642,4 +642,38 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
       .orderBy("l_orderkey")
   }
+
+  /** Q37: skyline / Pareto frontier — parts no other part beats on BOTH
+    * (size, retail price), minimizing both. The multi-objective "best
+    * tradeoffs" query (cheapest-per-footprint here; quality-vs-cost
+    * curves in a curation pipeline).
+    *
+    * The naive form is a quadratic NOT EXISTS self-join — the oracle
+    * keeps that shape because DuckDB can afford it at oracle scale. The
+    * operator instead exploits that a 2-D skyline is a cumulative-min
+    * sweep: (1) per-size min price — ONE partial-aggregated shuffle on
+    * the bounded-cardinality size key; (2) a strict running min over
+    * smaller sizes — a window over the ≤|distinct sizes| aggregate rows
+    * (the single-partition window touches dozens of rows, never the
+    * corpus); (3) survivors broadcast back onto the part scan to
+    * recover every tied part at each frontier point. Corpus cost: one
+    * aggregation shuffle + one broadcast join, at any scale.
+    *
+    * Survival rule (strict dominance, ties co-survive): a part lives
+    * iff its price equals its size's min AND is strictly below every
+    * smaller size's min.
+    */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    val w = Window.orderBy("p_size").rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = p.groupBy("p_size").agg(min("p_retailprice").as("min_price"))
+      .withColumn("prev_min", min("min_price").over(w))
+      .filter(col("prev_min").isNull || col("min_price") < col("prev_min"))
+      .select(col("p_size").as("f_size"), col("min_price"))
+    p.join(broadcast(frontier),
+        p("p_size") === col("f_size") && p("p_retailprice") === col("min_price"))
+      .select("p_partkey", "p_size", "p_retailprice")
+      .orderBy("p_size", "p_partkey")
+  }
 }

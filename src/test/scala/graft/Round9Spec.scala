@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Similarity
-import graft.queries.TextQueries
+import graft.queries.{Relational, TextQueries}
 import org.apache.spark.sql.functions._
 
 /** Round-5 late additions: BM25 retrieval, k-means clustering, skyline,
@@ -31,6 +31,22 @@ class Round9Spec extends SparkSpec {
       .filter(col("doc_id") === top0).select("text").head.getString(0)
     assert(Seq("spark", "query", "join").exists(text.contains),
       s"top hit $top0 for query 0 should contain a query term")
+  }
+
+  test("q_skyline: cumulative-min sweep equals brute-force dominance, no corpus nest-loop") {
+    val df = Relational.qSkyline(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"skyline must not plan a quadratic join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "frontier should broadcast back onto the scan")
+    val parts = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_size", "p_retailprice").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val expected = parts.filter { case (_, s, pr) =>
+      !parts.exists { case (_, s2, p2) => s2 <= s && p2 <= pr && (s2 < s || p2 < pr) }
+    }.map(_._1).toSet
+    val got = df.collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"skyline mismatch: extra=${got.diff(expected)} missing=${expected.diff(got)}")
   }
 
   // ---- emb_kmeans: exactness vs an independent driver replay ----
