@@ -70,6 +70,9 @@ object SparkEntry {
     "q_rolling_7d" -> (Analytics.qRolling7d _),
     "q_rolling_median" -> (Analytics.qRollingMedian _),
     "q_skyline" -> (Relational.qSkyline _),
+    // HLL inclusion-exclusion overlap: sketch estimates are
+    // engine-specific -> rows-only; error vs exact in Round9Spec/RECALL
+    "q_overlap_sketch" -> (Analytics.qOverlapSketch _),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "dedup_bloom_gate" -> ((s, d) => Dedup.bloomGate(s, d)),
     "t_global_ids" -> (Analytics.tGlobalIds _),

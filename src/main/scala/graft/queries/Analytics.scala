@@ -367,6 +367,39 @@ object Analytics {
       .orderBy("d")
   }
 
+  /** Q39: sketch set-overlap — estimated distinct-user overlap between
+    * every pair of event types via HLL inclusion–exclusion:
+    * |A∩B| ≈ |A| + |B| − |A∪B|, with the union taken on the SKETCHES
+    * (`hll_union`), not the data.
+    *
+    * The audience-overlap / cross-source-contamination query at 100 TB:
+    * ONE pass over events builds a fixed-size mergeable sketch per type
+    * (partial aggregation map-side; kilobytes per type cross the
+    * shuffle), then all pairwise estimates come from the #types-row
+    * sketch table — the corpus is never rescanned or joined. The
+    * pairwise self-join is a bounded-cardinality (#types²/2) nested
+    * loop over kilobyte rows, not a data join.
+    *
+    * Sketch estimates are engine-specific → rows-only contract;
+    * relative error vs the exact intersection is asserted and recorded
+    * in RECALL by Round9Spec.
+    */
+  def qOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        expr("hll_sketch_estimate(sk_a)").as("est_a"),
+        expr("hll_sketch_estimate(sk_b)").as("est_b"),
+        expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").as("est_union"))
+      .withColumn("est_intersect",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .orderBy("type_a", "type_b")
+  }
+
   /** E17: event-type transition matrix — for each user's time-ordered
     * event stream, count (from_type → to_type) adjacent transitions (the
     * first-order Markov summary behind "what do users do next").

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Similarity
-import graft.queries.{Relational, TextQueries}
+import graft.queries.{Analytics, Relational, TextQueries}
 import org.apache.spark.sql.functions._
 
 /** Round-5 late additions: BM25 retrieval, k-means clustering, skyline,
@@ -47,6 +47,26 @@ class Round9Spec extends SparkSpec {
     }.map(_._1).toSet
     val got = df.collect().map(_.getLong(0)).toSet
     assert(got == expected, s"skyline mismatch: extra=${got.diff(expected)} missing=${expected.diff(got)}")
+  }
+
+  test("q_overlap_sketch: inclusion-exclusion tracks the exact overlap") {
+    val est = Analytics.qOverlapSketch(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(5))).toMap
+    assert(est.nonEmpty)
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = events.groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).toSet }
+    var worst = 0.0
+    est.foreach { case ((ta, tb), e) =>
+      val exact = byType(ta).intersect(byType(tb)).size
+      val err = if (exact == 0) math.abs(e).toDouble
+                else math.abs(e - exact).toDouble / exact
+      worst = math.max(worst, err)
+      assert(err <= 0.15, s"pair ($ta,$tb): est $e vs exact $exact, rel err $err")
+    }
+    RecallLog.record("q_overlap_sketch", "max_rel_err", worst)
+    RecallLog.record("q_overlap_sketch", "n_pairs", est.size.toDouble)
   }
 
   // ---- emb_kmeans: exactness vs an independent driver replay ----
