@@ -129,6 +129,7 @@ object SparkEntry {
     "text_repetition" -> (TextQueries.textRepetition _),
     "text_tfidf" -> ((s, d) => TextQueries.textTfidf(s, d)),
     "text_bm25" -> ((s, d) => TextQueries.textBm25(s, d)),
+    "text_pmi" -> ((s, d) => TextQueries.textPmi(s, d)),
     "text_chunk" -> ((s, d) => TextQueries.textChunk(s, d)),
     "text_pack" -> ((s, d) => TextQueries.textPack(s, d)),
     "text_decontaminate" -> ((s, d) => TextQueries.textDecontaminate(s, d)),
@@ -1369,6 +1370,27 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rnk
         |  FROM score
         |) WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "text_pmi" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), dd AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 2),
+        |bg AS (
+        |  SELECT toks[i] AS w1, toks[i+1] AS w2
+        |  FROM dd, unnest(range(1, len(toks))) AS u(i)
+        |), uni AS (SELECT unnest(toks) AS w FROM dd),
+        |uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM bg) AS n_bi,
+        |               (SELECT count(*) FROM uni) AS n_uni),
+        |bc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST(round(ln((CAST(c_ab AS DOUBLE) * n_uni * n_uni) /
+        |    (CAST(n_bi AS DOUBLE) * c_a * c_b)) * 1e6) AS BIGINT) AS pmi_micro
+        |FROM bc
+        |JOIN (SELECT w AS w1, c_w AS c_a FROM uc) USING (w1)
+        |JOIN (SELECT w AS w2, c_w AS c_b FROM uc) USING (w2), tot
+        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin,
     "dedup_paragraph" ->
       """WITH docs AS (
         |  SELECT doc_id,

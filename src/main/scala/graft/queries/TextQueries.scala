@@ -751,6 +751,51 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** X23: PMI collocations — the corpus's top-K word pairs by pointwise
+    * mutual information, ln(P(ab)/(P(a)P(b))), with a minimum bigram
+    * count (rare pairs make PMI explode; every collocation extractor
+    * thresholds). The phrase-mining step behind tokenizer vocab
+    * extensions and boilerplate-phrase detection.
+    *
+    * Shape at scale: positional bigrams come from shifted-slice zips in
+    * the scan projection (the X19 pattern); unigram and bigram counts
+    * are partial-aggregated groupBys; the count-join fan-in is
+    * vocab-bounded (distinct tokens/pairs, not corpus rows); totals are
+    * one broadcast row. The final top-K is `orderBy().limit()` — Spark
+    * plans TakeOrderedAndProject, a per-partition top-K merge, so the
+    * full scored pair table never concentrates anywhere.
+    *
+    * All probabilities reduce to exact long counts; the single double
+    * expression (one ln) is written with identical association on both
+    * engines and micro-rounded, so the oracle matches exactly.
+    */
+  def textPmi(spark: SparkSession, dir: String, topK: Int = 20, minCount: Int = 5): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), normToks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = docs.select(
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("l"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("r"))).as("p"))
+      .select(col("p.l").as("w1"), col("p.r").as("w2"))
+    val uni = docs.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val totals = bigrams.agg(count(lit(1)).as("n_bi"))
+      .crossJoin(uni.agg(sum("c_w").as("n_uni")))
+    bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_micro",
+        round(log((col("c_ab").cast("double") * col("n_uni") * col("n_uni")) /
+          (col("n_bi").cast("double") * col("c_a") * col("c_b"))) * 1e6).cast("long"))
+      .select("w1", "w2", "c_ab", "pmi_micro")
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** X22: BM25 top-k retrieval — score every document against a fixed
     * query set with Lucene-form BM25 (idf = ln(1 + (N−df+0.5)/(df+0.5)),
     * always positive) and return the k best docs per query. The
