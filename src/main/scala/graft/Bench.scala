@@ -31,7 +31,9 @@ object Bench {
     "dedup_incremental", "dedup_semantic", "q_rolling_7d",
     "dedup_substring", "emb_rproj", "t_scd2", "ann_pq",
     "q_heavy_hitters_sketch", "dedup_bloom_gate", "text_dsir", "text_surprisal",
-    "emb_pca")
+    "emb_pca",
+    // round-5 late additions
+    "text_bm25", "text_pmi", "emb_kmeans", "q_rolling_median")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -473,7 +473,10 @@ object Similarity {
   def embKmeans(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 3,
                 repartitionTo: Option[Int] = None): DataFrame = {
     val base = corpus(spark, dir).select(col("vec_id"), col("label"), col("embedding"))
-    val e = repartitionTo.map(base.repartition(_)).getOrElse(base)
+    // materialize once: every Lloyd round + the final assignment re-read
+    // this set (iters+2 passes), so truncating at the scan is the same
+    // localCheckpoint pattern as the BPE/GD/coreset loops
+    val e = repartitionTo.map(base.repartition(_)).getOrElse(base).localCheckpoint()
     var cent: Seq[Seq[Double]] = e.orderBy("vec_id").limit(k).collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq.map(_.toDouble)).toSeq
     def assign(c: Seq[Seq[Double]]): Column =

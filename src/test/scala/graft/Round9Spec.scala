@@ -69,6 +69,19 @@ class Round9Spec extends SparkSpec {
     RecallLog.record("q_overlap_sketch", "n_pairs", est.size.toDouble)
   }
 
+  test("text_pmi: top-K plans as TakeOrderedAndProject, not a global sort") {
+    val plan = TextQueries.textPmi(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy+limit should plan a per-partition top-K merge:\n$plan")
+  }
+
+  test("text_bm25: rank is the mergeable top-k aggregate, no corpus-wide window") {
+    val plan = TextQueries.textBm25(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TopKByScore should aggregate partial map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in BM25:\n$plan")
+  }
+
   // ---- emb_kmeans: exactness vs an independent driver replay ----
 
   /** HALF_UP micro-rounding with Spark `round`'s BigDecimal semantics
