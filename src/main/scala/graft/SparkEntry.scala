@@ -210,6 +210,7 @@ object SparkEntry {
     "e_json_variant" -> (Events.jsonVariant _),
     "e_stream_join" -> (Events.streamStreamJoin _),
     "e_stream_enrich" -> (Events.streamStaticEnrich _),
+    "e_stream_asof" -> (Events.streamAsof _),
     "e_funnel" -> (Analytics.funnel _),
     "e_retention" -> (Analytics.retention _),
     "e_anomaly" -> (Analytics.eAnomaly _),
@@ -1450,6 +1451,14 @@ object SparkEntry {
         |  CAST(round(sqrt(list_sum(list_transform(y, v -> v * v))) * 1000000) AS BIGINT) AS norm_micro
         |FROM p ORDER BY vec_id""".stripMargin,
     "e_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.ts_us AS purchase_us, c.ts_us AS click_us,
+        |  p.ts_us - c.ts_us AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.user_id, purchase_us, p.event_id""".stripMargin,
+    "e_stream_asof" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
         |c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click'),
         |p AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase')

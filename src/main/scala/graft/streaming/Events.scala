@@ -218,6 +218,50 @@ object Events {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
+  /** E22: streaming temporal (as-of) enrich — each purchase in the
+    * stream picks up the user's most recent click AT OR BEFORE the
+    * purchase's event time from a static history table. The streaming
+    * twin of E7: equality stream-static joins (E12) answer "what is
+    * this key", as-of answers "what was this key's state WHEN the
+    * event happened" — the dimension-version lookup every streaming
+    * enrichment against an SCD table needs.
+    *
+    * Spark has no streaming non-equi as-of join; the Spark-first form
+    * is: compact the history ONCE into (key, sorted ts array) — the
+    * per-key version list of a dimension table, bounded by versions not
+    * events — broadcast it, and resolve the as-of per row inside the
+    * scan with `filter(hist, v -> v <= ts)` + `array_max` (no shuffle
+    * on the stream side at any rate; per-row cost is |versions of that
+    * key|). A purchase before any click, or by a user with no clicks,
+    * yields null click/gap — exactly ASOF LEFT JOIN semantics, which is
+    * what the DuckDB oracle runs.
+    */
+  def streamAsof(spark: SparkSession, dir: String): DataFrame = {
+    val input = stageStreamInput(spark, dir, copies = 1)
+    val schema = spark.read.parquet(input).schema
+    val clickHist = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(unix_micros(col("ts")))).as("click_hist"))
+    val purchases = spark.readStream.schema(schema).parquet(input)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === "purchase")
+      .withColumn("purchase_us", unix_micros(col("ts")))
+    val joined = purchases.join(broadcast(clickHist), Seq("user_id"), "left")
+      .withColumn("click_us",
+        array_max(filter(col("click_hist"), v => v <= col("purchase_us"))))
+      .select(col("user_id"), col("event_id"), col("purchase_us"), col("click_us"),
+        (col("purchase_us") - col("click_us")).as("gap_us"))
+    val sinkName = s"graft_stream_asof_${streamCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("user_id", "purchase_us", "event_id")
+  }
+
   /** E15: streaming foreachBatch → keyed upsert sink — the
     * exactly-once-by-idempotence pattern: the input stream carries
     * every event TWICE (staged duplicate), each micro-batch lands via
