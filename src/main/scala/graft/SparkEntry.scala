@@ -130,6 +130,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextQueries.textTfidf(s, d)),
     "text_bm25" -> ((s, d) => TextQueries.textBm25(s, d)),
     "text_pmi" -> ((s, d) => TextQueries.textPmi(s, d)),
+    "text_entropy" -> ((s, d) => TextQueries.textEntropy(s, d)),
     "text_chunk" -> ((s, d) => TextQueries.textChunk(s, d)),
     "text_pack" -> ((s, d) => TextQueries.textPack(s, d)),
     "text_decontaminate" -> ((s, d) => TextQueries.textDecontaminate(s, d)),
@@ -1392,6 +1393,24 @@ object SparkEntry {
         |JOIN (SELECT w AS w1, c_w AS c_a FROM uc) USING (w1)
         |JOIN (SELECT w AS w2, c_w AS c_b FROM uc) USING (w2), tot
         |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin,
+    "text_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, '') AS chars FROM documents
+        |), s AS (
+        |  SELECT doc_id, CAST(len(chars) AS BIGINT) AS n_chars,
+        |    len(list_distinct(chars)) AS n_distinct
+        |  FROM t
+        |), u AS (SELECT doc_id, unnest(chars) AS ch FROM t),
+        |c AS (SELECT doc_id, ch, count(*) AS cnt FROM u GROUP BY 1, 2),
+        |e AS (
+        |  SELECT c.doc_id,
+        |    CAST(sum(CAST(round(-(CAST(cnt AS DOUBLE) / n_chars) *
+        |      ln(CAST(cnt AS DOUBLE) / n_chars) * 1e6) AS BIGINT)) AS BIGINT) AS entropy_micro
+        |  FROM c JOIN s ON c.doc_id = s.doc_id GROUP BY 1
+        |)
+        |SELECT s.doc_id, s.n_chars, s.n_distinct,
+        |  coalesce(e.entropy_micro, 0) AS entropy_micro
+        |FROM s LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_paragraph" ->
       """WITH docs AS (
         |  SELECT doc_id,

@@ -751,6 +751,40 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** X24: character-entropy quality signal — per-document Shannon
+    * entropy of the character distribution, the classic gibberish /
+    * binary-junk / keyboard-mash detector (natural text sits ~2.5–4.5
+    * bits; runs of one char or base64 blobs fall outside).
+    *
+    * Entirely per-row HOF arithmetic in the scan projection — zero
+    * shuffle at any corpus size (the presentation ORDER BY is the only
+    * exchange). Per-char entropy terms are micro-rounded to longs
+    * BEFORE the sum, so the reduction is order-free integer arithmetic
+    * and the DuckDB oracle (which sums per-char GROUP BY terms in
+    * whatever order) matches exactly — the same trick every
+    * order-sensitive double sum in this repo uses.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    // drop the trailing "" Spark's limit=-1 split appends (DuckDB's
+    // string_split has no such artifact)
+    val chars = filter(split(col("text"), ""), x => x =!= "")
+    val n = size(chars)
+    val uniq = array_sort(array_distinct(chars))
+    // -(c/n)·ln(c/n) in micro-nats per distinct char, as a long
+    val terms = transform(uniq, ch => {
+      val c = size(filter(chars, x => x === ch)).cast("double")
+      round(-(c / n) * log(c / n) * 1e6).cast("long")
+    })
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        n.cast("long").as("n_chars"),
+        size(uniq).as("n_distinct"),
+        when(n > 0, aggregate(terms, lit(0L), (acc, t) => acc + t))
+          .otherwise(lit(0L)).as("entropy_micro"))
+      .orderBy("doc_id")
+  }
+
   /** X23: PMI collocations — the corpus's top-K word pairs by pointwise
     * mutual information, ln(P(ab)/(P(a)P(b))), with a minimum bigram
     * count (rare pairs make PMI explode; every collocation extractor

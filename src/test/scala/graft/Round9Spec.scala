@@ -49,6 +49,18 @@ class Round9Spec extends SparkSpec {
     assert(got == expected, s"skyline mismatch: extra=${got.diff(expected)} missing=${expected.diff(got)}")
   }
 
+  test("e_stream_asof equals the batch as-of join row-for-row") {
+    val stream = graft.streaming.Events.streamAsof(spark, sfDir)
+      .select("user_id", "event_id", "purchase_us", "click_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val batch = graft.streaming.Events.asofJoin(spark, sfDir)
+      .select("user_id", "event_id", "purchase_us", "click_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(stream == batch, "streaming as-of must reproduce the batch as-of exactly")
+  }
+
   test("q_overlap_sketch: inclusion-exclusion tracks the exact overlap") {
     val est = Analytics.qOverlapSketch(spark, sfDir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(5))).toMap
