@@ -163,6 +163,7 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "dedup_paragraph" -> (Dedup.paragraphDedup _),
     "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
+    "dedup_substring_remove" -> ((s, d) => Dedup.substringRemove(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
     // Similarity search (A1–A3)
@@ -1451,6 +1452,37 @@ object SparkEntry {
         |  CAST(max(d.n_docs) AS BIGINT) AS max_span_docs
         |FROM spans s JOIN dup d USING (h)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "dedup_substring_remove" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || '. Subscribe to our newsletter for the latest updates. All rights reserved'
+        |      ELSE text END AS text
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM docs
+        |), spans AS (
+        |  SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+        |), flagged AS (
+        |  SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |), occ AS (
+        |  SELECT s.doc_id, s.i,
+        |    row_number() OVER (PARTITION BY s.h ORDER BY s.doc_id, s.i) AS rn
+        |  FROM spans s JOIN flagged USING (h)
+        |), covered AS (
+        |  SELECT DISTINCT doc_id, i + d AS pos
+        |  FROM occ, unnest(generate_series(0, 7)) AS g(d)
+        |  WHERE rn > 1
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_removed, list(pos) AS rm
+        |  FROM covered GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(array_to_string(list_filter(t.t, (x, i) ->
+        |    NOT coalesce(list_contains(a.rm, i), false)), ' '), '')) AS cleaned_md5
+        |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "emb_norm" ->
       """SELECT vec_id, label, len(embedding) AS dim,
         |  round(sqrt(list_aggregate(list_transform(embedding,

@@ -357,6 +357,62 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** D13: duplicated-substring REMOVAL — the rewrite step D11 only
+    * detects (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": repeated spans are cut from every
+    * occurrence but one). Each flagged `w`-token span keeps its
+    * globally-first occurrence — min (doc_id, start), a deterministic
+    * keeper at any parallelism — and every other occurrence's token
+    * positions are removed from their documents.
+    *
+    * Plan shape: the span index is the SAME index-linear shuffle pair
+    * as D11 (hash spans in the scan, one groupBy h); the keeper rides
+    * that aggregate as `min(struct(doc_id, i))` — no second pass, no
+    * window over the occurrence stream. Covered positions fan out ≤ w×
+    * flagged occurrences (duplicate mass, not corpus mass), distinct
+    * per (doc, pos), and re-join the corpus by doc_id once. The
+    * per-row rebuild filters tokens against that doc's removed-position
+    * list (bounded by doc length; a production rewrite would carry a
+    * bitmap instead of an int array, same plan).
+    *
+    * Output per document: token count, removed-token count, and the md5
+    * of the cleaned token stream — the compare-friendly form of the
+    * rewritten corpus (the oracle reconstructs the identical cleaned
+    * text in SQL).
+    */
+  def substringRemove(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val toksCol = split(col("text"), " ", -1)
+    val docs = spread(withBoilerplate(Tables.load(spark, dir, "documents")))
+      .select(col("doc_id"), toksCol.as("toks"))
+    val spans = docs
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("toks")) - (w - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(w)))))).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("int").as("i"), col("h"))
+    val flagged = spans.groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        min(struct(col("doc_id"), col("i"))).as("keep"))
+      .filter(col("n_docs") >= 2)
+      .select("h", "keep")
+    val covered = spans.join(flagged, "h")
+      .filter(!(col("doc_id") === col("keep.doc_id") && col("i") === col("keep.i")))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (w - 1))).as("pos"))
+      .distinct()
+    val rm = covered.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_removed"), collect_list("pos").as("rm"))
+    docs.join(rm, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        // Spark's filter-lambda index is 0-based; rm positions are
+        // 1-based (matching the oracle's 1-based list lambdas)
+        md5(concat_ws(" ", filter(col("toks"), (x, i) =>
+          !array_contains(coalesce(col("rm"), array().cast("array<int>")), i + 1))))
+          .as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
   /** D8: near-dup cluster resolution — connected components over the
     * D2 pair graph, so transitive chains (A~B, B~C) collapse into ONE
     * cluster instead of independent pairwise decisions. This is the

@@ -61,6 +61,23 @@ class Round9Spec extends SparkSpec {
     assert(stream == batch, "streaming as-of must reproduce the batch as-of exactly")
   }
 
+  test("dedup_substring_remove: keeps exactly one occurrence of shared boilerplate") {
+    val rows = graft.operators.Dedup.substringRemove(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.forall { case (_, n, rm) => rm >= 0 && rm <= n },
+      "removed count must be within [0, n_tokens]")
+    assert(rows.map(_._3).sum > 0, "the planted boilerplate must produce removals")
+    // every doc_id % 7 == 0 doc shares the appended boilerplate tail;
+    // all but the globally-first occurrence lose at least one w-token
+    // span (w = 8)
+    val boiler = rows.filter(_._1 % 7 == 0)
+    val untouched = boiler.count(_._3 == 0)
+    assert(untouched <= 1,
+      s"at most the keeper may retain the boilerplate span untouched, got $untouched")
+    assert(boiler.count(_._3 >= 8) >= boiler.length - 1,
+      "non-keeper boilerplate docs lose at least one full span")
+  }
+
   test("q_overlap_sketch: inclusion-exclusion tracks the exact overlap") {
     val est = Analytics.qOverlapSketch(spark, sfDir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(5))).toMap
