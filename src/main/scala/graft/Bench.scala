@@ -33,7 +33,8 @@ object Bench {
     "q_heavy_hitters_sketch", "dedup_bloom_gate", "text_dsir", "text_surprisal",
     "emb_pca",
     // round-5 late additions
-    "text_bm25", "text_pmi", "emb_kmeans", "q_rolling_median")
+    "text_bm25", "text_pmi", "emb_kmeans", "q_rolling_median",
+    "dedup_substring_remove")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
