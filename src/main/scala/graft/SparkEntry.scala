@@ -73,6 +73,7 @@ object SparkEntry {
     // HLL inclusion-exclusion overlap: sketch estimates are
     // engine-specific -> rows-only; error vs exact in Round9Spec/RECALL
     "q_overlap_sketch" -> (Analytics.qOverlapSketch _),
+    "t_fuzzy_join" -> (Analytics.tFuzzyJoin _),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "dedup_bloom_gate" -> ((s, d) => Dedup.bloomGate(s, d)),
     "t_global_ids" -> (Analytics.tGlobalIds _),
@@ -650,6 +651,19 @@ object SparkEntry {
         |  WHERE b.p_size <= a.p_size AND b.p_retailprice <= a.p_retailprice
         |    AND (b.p_size < a.p_size OR b.p_retailprice < a.p_retailprice))
         |ORDER BY p_size, p_partkey""".stripMargin,
+    "t_fuzzy_join" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |typos AS (
+        |  SELECT concat(
+        |    substr(name, 1, CAST(floor((length(name) + 1) / 2) AS INT) - 1),
+        |    substr(name, CAST(floor((length(name) + 1) / 2) AS INT) + 1)) AS name
+        |  FROM names WHERE length(name) % 3 = 0
+        |), vocab AS (SELECT name FROM names UNION SELECT name FROM typos)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM vocab a JOIN vocab b
+        |  ON a.name < b.name AND levenshtein(a.name, b.name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     "q_bloom_semi" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders

@@ -367,6 +367,46 @@ object Analytics {
       .orderBy("d")
   }
 
+  /** T22: fuzzy entity join — all pairs of part names within edit
+    * distance 1, the entity-canonicalization / typo-clustering join
+    * (product feeds, author names, crawler URL titles). A deterministic
+    * typo slice (middle char deleted from every name whose length ≡ 0
+    * mod 3) is unioned in so the fuzzy path is never vacuous — the
+    * D12 re-crawl-slice convention.
+    *
+    * Blocking is FastSS deletion neighborhoods: each name expands to
+    * itself + its |name| one-char-deletions, and ANY levenshtein-≤1
+    * pair shares a variant (substitution at i → both delete i;
+    * insertion/deletion → the longer one's deletion IS the shorter),
+    * so the candidate set provably covers every true pair. The
+    * inverted-index self-join on variants is linear in index size —
+    * the quadratic all-pairs form exists ONLY as the DuckDB oracle,
+    * which independently verifies both the blocking theorem and the
+    * verify step. Entity vocabularies are distinct-bounded (the first
+    * `distinct()` collapses corpus rows), so at 100 TB this runs on
+    * the name dictionary, never the fact table.
+    */
+  def tFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.load(spark, dir, "part").select(col("p_name").as("name")).distinct()
+    val pos = floor((length(col("name")) + 1) / 2).cast("int")
+    val typos = names.filter(length(col("name")) % 3 === 0)
+      .select(concat(col("name").substr(lit(1), pos - 1),
+        col("name").substr(pos + 1, length(col("name")))).as("name"))
+    val vocab = names.unionByName(typos).distinct()
+    val variants = vocab.select(col("name"),
+      explode(array_union(array(col("name")),
+        transform(sequence(lit(1), length(col("name"))), i =>
+          concat(col("name").substr(lit(1), i - 1),
+            col("name").substr(i + 1, length(col("name"))))))).as("v"))
+    variants.as("a")
+      .join(variants.as("b"), col("a.v") === col("b.v") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+      .orderBy("name_a", "name_b")
+  }
+
   /** Q39: sketch set-overlap — estimated distinct-user overlap between
     * every pair of event types via HLL inclusion–exclusion:
     * |A∩B| ≈ |A| + |B| − |A∪B|, with the union taken on the SKETCHES

@@ -78,6 +78,18 @@ class Round9Spec extends SparkSpec {
       "non-keeper boilerplate docs lose at least one full span")
   }
 
+  test("t_fuzzy_join: blocked equi-join plan, non-vacuous fuzzy pairs") {
+    val df = Analytics.tFuzzyJoin(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"FastSS blocking must plan an equi-join on variants, not all-pairs:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) <= 1))
+    assert(rows.exists(_.getInt(2) == 1),
+      "the typo slice must produce at least one true distance-1 pair")
+  }
+
   test("q_overlap_sketch: inclusion-exclusion tracks the exact overlap") {
     val est = Analytics.qOverlapSketch(spark, sfDir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(5))).toMap
