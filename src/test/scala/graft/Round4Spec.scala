@@ -57,7 +57,8 @@ class Round4Spec extends SparkSpec {
     assert(blocked.toSeq == oracle.toSeq)
   }
 
-  test("LSH kNN join: recall >= 0.7 vs exact, rank contract holds") {
+  // floor = measured (0.899 at r05) minus margin, the D5 pin pattern
+  test("LSH kNN join: recall >= 0.85 vs exact, rank contract holds") {
     val approx = Similarity.knnJoinLsh(spark, sfDir).collect()
     approx.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       val byRk = rs.sortBy(_.getInt(1))
@@ -66,7 +67,7 @@ class Round4Spec extends SparkSpec {
     }
     val recall = knnSet(approx).intersect(knnSet(exactKnn)).size.toDouble / exactKnn.length
     RecallLog.record("ann_knn_lsh", "recall_vs_exact", recall)
-    assert(recall >= 0.7, s"recall=$recall")
+    assert(recall >= 0.85, s"recall=$recall")
   }
 
   test("warehouse writer: replace/append/fail through the JDBC-shaped interface") {

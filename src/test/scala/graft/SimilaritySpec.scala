@@ -29,26 +29,31 @@ class SimilaritySpec extends SparkSpec {
     assert(diff < 1e-12, s"max |native - builtin| = $diff")
   }
 
-  test("LSH ANN recall >= 0.6 vs brute force") {
+  // Floors are measured-minus-margin (r05/r06 measurements: LSH 0.96,
+  // IVF 0.90) so a quality regression fails the suite instead of
+  // silently drifting in the RECALL artifact — the D5 pattern.
+  test("LSH ANN recall >= 0.9 vs brute force") {
     val lsh = topkSet(Similarity.lshAnn(spark, sfDir).select("q_id", "vec_id").collect())
     val recall = lsh.intersect(exact).size.toDouble / exact.size
     RecallLog.record("ann_lsh", "recall_vs_exact", recall)
-    assert(recall >= 0.6, s"recall=$recall")
+    assert(recall >= 0.9, s"recall=$recall")
   }
 
-  test("IVF ANN recall >= 0.6 vs brute force") {
+  test("IVF ANN recall >= 0.85 vs brute force") {
     val ivf = topkSet(Similarity.ivfAnn(spark, sfDir).select("q_id", "vec_id").collect())
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     RecallLog.record("ann_ivf", "recall_vs_exact", recall)
-    assert(recall >= 0.6, s"recall=$recall")
+    assert(recall >= 0.85, s"recall=$recall")
   }
 
-  test("PQ ANN recall >= 0.6 vs brute force") {
-    // sampled codebooks + 32-candidate ADC shortlist + exact rerank;
-    // the shortlist is what buys the recall back from the lossy codes
+  test("PQ ANN recall >= 0.9 vs brute force") {
+    // Lloyd-trained 256-entry codebooks (8-bit codes, the standard PQ
+    // setup) + 64-candidate ADC shortlist + exact rerank. The floor is
+    // the round-6 contract: the round-5 first-k-sample codebooks sat
+    // at 0.76 and this pin keeps the fix from drifting back.
     val pq = topkSet(Similarity.pqAnn(spark, sfDir).select("q_id", "vec_id").collect())
     val recall = pq.intersect(exact).size.toDouble / exact.size
     RecallLog.record("ann_pq", "recall_vs_exact", recall)
-    assert(recall >= 0.6, s"recall=$recall")
+    assert(recall >= 0.9, s"recall=$recall")
   }
 }
