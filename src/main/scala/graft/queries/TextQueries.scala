@@ -284,21 +284,32 @@ object TextQueries {
       .orderBy("bucket")
   }
 
-  /** X17: distributed BPE merge learning (Sennrich et al. 2016) — learn
-    * the first `nMerges` byte-pair merges from the corpus. BPE trains
-    * on WORD TYPES, not corpus positions: the first aggregate collapses
-    * the corpus to a (word, freq) table bounded by vocabulary size, and
-    * every Lloyd-style round after that — count adjacent symbol pairs
-    * weighted by word freq, pick the argmax, splice it into every word
-    * — runs on that vocabulary-bounded table, never the corpus. The
-    * per-round argmax is a 1-row `orderBy.limit(1)` collect (driver
-    * control flow, like the k-means loop); the splice is a single
-    * left-to-right `aggregate` lambda per word; lineage is truncated
-    * per round with `localCheckpoint` (the D8 pattern). Greedy
-    * left-to-right splice + (count desc, pair asc) tie-break make the
-    * learned table deterministic on any partitioning. Iterative →
-    * not SQL-expressible → rows-only driver check; exactness is pinned
-    * by a hand-computed corpus in Round6Spec.
+  /** X17: BPE merge learning (Sennrich et al. 2016) — learn the first
+    * `nMerges` byte-pair merges from the corpus, at real tokenizer
+    * vocab sizes. BPE trains on WORD TYPES, not corpus positions: ONE
+    * distributed aggregate collapses the corpus to a (word, freq)
+    * table bounded by vocabulary size — the sufficient statistic for
+    * the whole training run — and the merge loop then runs driver-side
+    * over that bounded table with INCREMENTALLY-maintained pair counts
+    * (the HuggingFace-tokenizers architecture): a where-used index
+    * maps each pair to the word types containing it, so merging a pair
+    * touches only the affected types (delta the pair counts, never a
+    * full recount), and a lazy-deletion max-heap yields each round's
+    * argmax in O(log) with the (count desc, pair asc) tie-break.
+    *
+    * Versus the round-5 one-Spark-job-per-merge loop: the Spark job
+    * count is now O(1) in `nMerges` (one aggregate + one collect —
+    * Round10Spec pins it), and per-merge work is proportional to the
+    * merged pair's occurrence mass, so 50k merges are seconds of
+    * driver arithmetic, not days of job scheduling. At 100 TB the
+    * corpus-scale work stays in the one distributed aggregate; the
+    * driver holds only word types (`minFreq` > 1 prunes the
+    * hapax-legomena tail that dominates noisy web vocabularies, the
+    * SentencePiece posture). Greedy left-to-right splice + the total
+    * tie-break order keep the learned table deterministic on any
+    * partitioning. Iterative → not SQL-expressible → rows-only driver
+    * check; exactness is pinned by hand-computed corpora in Round6Spec
+    * and the job/touch bounds in Round10Spec.
     */
   def textBpe(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
     import spark.implicits._
@@ -314,49 +325,125 @@ object TextQueries {
     */
   private def bpeLearn(spark: SparkSession, dir: String, nMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val (merges, words, _) = bpeLearnStats(spark, dir, nMerges)
+    (merges, words)
+  }
+
+  /** [[bpeLearn]] plus per-round instrumentation: `touched(r)` = how
+    * many word types round r's merge actually rewrote — the quantity
+    * Round10Spec bounds to prove per-round work ∝ affected-word mass.
+    */
+  private[graft] def bpeLearnStats(
+      spark: SparkSession, dir: String, nMerges: Int, minFreq: Long = 1L)
+      : (Seq[(Int, String, String, Long)], DataFrame, Seq[Int]) = {
+    import spark.implicits._
     val toksCol = split(trim(regexp_replace(lower(col("text")), "[^a-z ]+", " ")), " ", -1)
-    var words = Tables.load(spark, dir, "documents")
+    // the ONLY corpus-scale work: one distributed (word, freq) aggregate
+    val types: Array[(String, Long)] = Tables.load(spark, dir, "documents")
       .select(explode(toksCol).as("word"))
       .filter(length(col("word")) > 1)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(col("word"), split(col("word"), "").as("syms"), col("freq"))
-      .localCheckpoint()
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (rank <- 1 to nMerges) {
-      val best = words
-        .select(col("freq"),
-          explode(arrays_zip(
-            slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
-            slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("freq").as("n"))
-        .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.nonEmpty) {
-        val l = best(0).getString(0)
-        val r = best(0).getString(1)
-        val n = best(0).getLong(2)
-        merges += ((rank, l, r, n))
-        // greedy left-to-right splice: carry (out, prev); emit prev
-        // unless (prev, s) is the merge pair — non-overlapping by
-        // construction, matching reference BPE application order
-        val spliced = aggregate(col("syms"),
-          struct(array().cast("array<string>").as("out"), lit("").as("prev")),
-          (st, s) => {
-            val out = st.getField("out"); val prev = st.getField("prev")
-            when(prev === lit(l) && s === lit(r),
-              struct(concat(out, array(lit(l + r))).as("out"), lit("").as("prev")))
-              .otherwise(struct(
-                when(prev === "", out).otherwise(concat(out, array(prev))).as("out"),
-                s.as("prev")))
-          },
-          st => when(st.getField("prev") === "", st.getField("out"))
-            .otherwise(concat(st.getField("out"), array(st.getField("prev")))))
-        words = words.select(col("word"), spliced.as("syms"), col("freq"))
-          .localCheckpoint()
+      .filter(col("freq") >= minFreq)
+      .as[(String, Long)].collect()
+
+    val nTypes = types.length
+    val syms: Array[Array[String]] =
+      types.map { case (w, _) => w.toCharArray.map(_.toString) }
+    val freqs: Array[Long] = types.map(_._2)
+
+    // positional adjacent-pair counts of one word (a pair repeated at
+    // several positions counts each position, matching the exploded
+    // arrays_zip aggregate this replaces)
+    def pairCounts(s: Array[String]): scala.collection.mutable.HashMap[(String, String), Int] = {
+      val m = scala.collection.mutable.HashMap.empty[(String, String), Int]
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        m.update(p, m.getOrElse(p, 0) + 1)
+        i += 1
+      }
+      m
+    }
+    // greedy left-to-right non-overlapping splice of (l, r) -> l+r
+    def splice(s: Array[String], l: String, r: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += (l + r); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.toArray
+    }
+
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    var w = 0
+    while (w < nTypes) {
+      pairCounts(syms(w)).foreach { case (p, c) =>
+        counts.update(p, counts.getOrElse(p, 0L) + c * freqs(w))
+        where.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += w
+      }
+      w += 1
+    }
+    // max-heap: highest count first, then lexicographically SMALLEST
+    // (l, r); entries go stale when counts change — lazy deletion
+    // revalidates against `counts` at pop time
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val cl = b._2.compareTo(a._2)
+          if (cl != 0) cl else b._3.compareTo(a._3)
+        }
       }
     }
-    (merges.result(), words)
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.foreach { case ((l, r), c) => pq.enqueue((c, l, r)) }
+
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    val touched = Seq.newBuilder[Int]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      var best: (Long, String, String) = null
+      while (best == null && pq.nonEmpty) {
+        val cand = pq.dequeue()
+        if (counts.get((cand._2, cand._3)).contains(cand._1)) best = cand
+      }
+      if (best == null) exhausted = true
+      else {
+        val (n, l, r) = best
+        merges += ((rank, l, r, n))
+        val affected = where.getOrElse((l, r), scala.collection.mutable.HashSet.empty).toArray
+        touched += affected.length
+        affected.foreach { widx =>
+          val old = syms(widx)
+          val neu = splice(old, l, r)
+          val oldPc = pairCounts(old)
+          val newPc = pairCounts(neu)
+          val pairs = oldPc.keySet ++ newPc.keySet
+          pairs.foreach { p =>
+            val delta = (newPc.getOrElse(p, 0) - oldPc.getOrElse(p, 0)).toLong * freqs(widx)
+            if (delta != 0L) {
+              val c = counts.getOrElse(p, 0L) + delta
+              if (c <= 0L) counts.remove(p)
+              else { counts.update(p, c); pq.enqueue((c, p._1, p._2)) }
+            }
+            if (newPc.contains(p) && !oldPc.contains(p))
+              where.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += widx
+            else if (oldPc.contains(p) && !newPc.contains(p))
+              where.get(p).foreach { s => s -= widx; if (s.isEmpty) where.remove(p) }
+          }
+          syms(widx) = neu
+        }
+        rank += 1
+      }
+    }
+    val wordsDf = spark.createDataFrame(
+      types.indices.map(i => (types(i)._1, syms(i).toSeq, freqs(i))))
+      .toDF("word", "syms", "freq")
+    (merges.result(), wordsDf, touched.result())
   }
 
   /** X18: BPE tokenization with the learned merges — the APPLY side of
