@@ -158,10 +158,63 @@ class Round9Spec extends SparkSpec {
     best
   }
 
+  /** Replays the operator's cosine micro-distance:
+    * round((1 − cos)·1e6) with the native expression's left-to-right
+    * float-widening accumulation.
+    */
+  private def distMicro(a: Array[Float], b: Array[Float]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) {
+      val (x, y) = (a(i).toDouble, b(i).toDouble)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    math.round((1.0 - cos) * 1e6)
+  }
+
+  /** Independent replay of [[Similarity.kmeansPlusPlusSeeds]]: seed 1
+    * minimizes (xxhash64(vec_id), vec_id); seed j minimizes the
+    * exponential key −ln(u_ij)/D_i² with u_ij from xxhash64(vec_id, j)
+    * and D_i the incrementally-maintained micro cosine distance to the
+    * nearest chosen seed. Hash values are fetched from Spark's
+    * xxhash64 (the published draw function); the selection logic —
+    * the thing the operator could get wrong — replays in plain Scala.
+    */
+  private def seedsReplay(vecs: Array[(Long, Array[Float])], k: Int)
+      : Seq[Seq[Double]] = {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val hashCols = col("vec_id").as("id") +: xxhash64(col("vec_id")).as("h0") +:
+      (2 to k).map(j => xxhash64(col("vec_id"), lit(j)).as(s"h$j"))
+    val hashes = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(hashCols: _*).collect()
+      .map(r => r.getLong(0) -> (1 to k).map(j =>
+        if (j == 1) r.getLong(1) else r.getLong(j)).toArray).toMap
+    val first = vecs.minBy { case (id, _) => (hashes(id)(0), id) }
+    var chosen = List(first._2)
+    val dmin = scala.collection.mutable.Map(
+      vecs.map { case (id, v) => id -> distMicro(v, first._2) }: _*)
+    for (j <- 2 to k) {
+      val (_, pickId, pickVec) = vecs.map { case (id, v) =>
+        val d = dmin(id)
+        val key =
+          if (d == 0L) Double.MaxValue
+          else {
+            val u = math.max(
+              hashes(id)(j - 1).toDouble / math.pow(2, 64) + 0.5, 1e-12)
+            -math.log(u) / (d.toDouble * d.toDouble)
+          }
+        (key, id, v)
+      }.minBy(t => (t._1, t._2))
+      chosen ::= pickVec
+      vecs.foreach { case (id, v) =>
+        dmin(id) = math.min(dmin(id), distMicro(v, pickVec)) }
+    }
+    chosen.reverse.map(_.toSeq.map(_.toDouble))
+  }
+
   private def kmeansReplay(vecs: Array[(Long, Array[Float])], k: Int, iters: Int)
       : Map[Long, Int] = {
-    var cent: Seq[Seq[Double]] =
-      vecs.sortBy(_._1).take(k).map(_._2.toSeq.map(_.toDouble)).toSeq
+    var cent: Seq[Seq[Double]] = seedsReplay(vecs, k)
     for (_ <- 0 until iters) {
       val assigned = vecs.map { case (_, v) => (nearestReplay(v, cent), v) }
       cent = cent.indices.map { c =>
@@ -184,7 +237,7 @@ class Round9Spec extends SparkSpec {
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0),
         r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
-    val expected = kmeansReplay(vecs, k = 8, iters = 3)
+    val expected = kmeansReplay(vecs, k = 8, iters = 5)
     val got = Similarity.embKmeans(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(got.size == expected.size)
