@@ -109,6 +109,7 @@ object SparkEntry {
     "sink_csv" -> (IOQueries.sinkCsv _),
     "sink_partitioned" -> (IOQueries.sinkPartitioned _),
     "sink_warehouse" -> (IOQueries.sinkWarehouse _),
+    "sink_merge" -> (IOQueries.sinkMerge _),
     "sink_bucketed" -> (IOQueries.sinkBucketed _),
     "sink_orc" -> (IOQueries.sinkOrc _),
     "sink_compact" -> (IOQueries.sinkCompact _),
@@ -1107,6 +1108,23 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // CDC apply replayed as arithmetic: 0 mod 4 untouched, 1 mod 4
+    // updated (+1000), 2 mod 4 deleted (update@seq1 superseded by
+    // delete@seq3), 3 mod 4 inserted (+500)
+    "sink_merge" ->
+      """WITH fin AS (
+        |  SELECT o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 1000
+        |  FROM orders WHERE o_orderkey % 4 = 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 500
+        |  FROM orders WHERE o_orderkey % 4 = 3
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM fin GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "sink_warehouse" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice

@@ -472,6 +472,47 @@ object IOQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** K13: CDC MERGE with deletes — the full change-data-capture apply
+    * K5's upsert lacks: a feed batch of (op ∈ insert|update|delete,
+    * key, payload, seq) nets out within-batch (k%4==2 is updated at
+    * seq 1 and deleted at seq 3 — the delete must win) and then merges
+    * against the stored snapshot through
+    * [[graft.sinks.TableStore.mergeCdc]]'s versioned optimistic
+    * commit. Final state: keys 0 mod 4 untouched from the initial
+    * load, 1 mod 4 carry the +1000 update, 2 mod 4 are DELETED, 3 mod
+    * 4 are fresh inserts at +500 — the oracle replays exactly that
+    * arithmetic over `orders`.
+    */
+  def sinkMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmpDir("cdc") + "/orders_cdc"
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val k = col("o_orderkey") % 4
+    // v1: the initial snapshot lands as an all-insert batch
+    TableStore.mergeCdc(spark, base,
+      orders.filter(k <= 2)
+        .withColumn("op", lit("insert")).withColumn("seq", lit(0L)),
+      Seq("o_orderkey"))
+    // v2: one feed batch with updates, inserts, deletes, and a
+    // within-batch supersede (update@1 then delete@3 of the same keys)
+    val batch = orders.filter(k === 2)
+      .withColumn("o_totalprice", col("o_totalprice") + 9999.0)
+      .withColumn("op", lit("update")).withColumn("seq", lit(1L))
+      .unionByName(orders.filter(k === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+        .withColumn("op", lit("insert")).withColumn("seq", lit(1L)))
+      .unionByName(orders.filter(k === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("op", lit("update")).withColumn("seq", lit(2L)))
+      .unionByName(orders.filter(k === 2)
+        .withColumn("op", lit("delete")).withColumn("seq", lit(3L)))
+    TableStore.mergeCdc(spark, base, batch, Seq("o_orderkey"))
+    TableStore.readCdcCurrent(spark, base)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** K10: sort-clustered datalake write — `repartitionByRange` on the
     * query key + `sortWithinPartitions` gives every parquet file a
     * narrow, non-overlapping key range, so a key-range read touches one

@@ -60,38 +60,75 @@ object ManifestStore {
     val basePath = new Path(base)
     fs.mkdirs(basePath)
     val writerId = java.util.UUID.randomUUID().toString.take(12)
-    val tempName = s".manifest_tmp_$writerId"
-    val sentinelName = s"_writer_$writerId"
-    def stageTemp(): Path = {
-      val temp = new Path(basePath, tempName)
-      manifest.coalesce(1).write.mode("overwrite").json(temp.toString)
-      fs.create(new Path(temp, sentinelName), true).close()
-      temp
-    }
-    var temp = stageTemp()
+    var temp = stageTemp(fs, basePath, manifest, writerId)
     var v = versions(spark, base).lastOption.getOrElse(0L) + 1
     var attempts = 0
     while (attempts < 10000) {
       attempts += 1
-      val dst = new Path(basePath, s"manifest_v$v")
-      val renamed = fs.rename(temp, dst)
-      if (renamed && fs.exists(new Path(dst, sentinelName))) return v
-      if (!renamed && !fs.exists(dst))
-        // rename only legitimately fails when a concurrent publisher
-        // claimed this version first; anything else is a real IO error
-        throw new java.io.IOException(s"manifest commit rename failed for $dst")
-      // lost the race. Either rename returned false (temp untouched),
-      // or LocalFileSystem's exists-destination fallback COPIED temp
-      // into the winner's dir as dst/<tempName> and deleted the source
-      // — remove the stray (dot-prefixed, so readers never saw it) and
-      // re-stage before claiming the next version.
-      val stray = new Path(dst, tempName)
-      if (fs.exists(stray)) fs.delete(stray, true)
-      if (!fs.exists(temp)) temp = stageTemp()
+      commitAttempt(fs, basePath, temp, writerId, v) match {
+        case Some(won) => if (won) return v
+        case None => // temp was consumed by the loser-copy fallback
+      }
+      // lost the race — claim the next version with a (re-)staged temp
+      if (!fs.exists(temp)) temp = stageTemp(fs, basePath, manifest, writerId)
       v += 1
     }
     throw new java.io.IOException(
       s"manifest commit under $base did not win a version after $attempts attempts")
+  }
+
+  /** Compare-and-swap publish: commit `manifest` at EXACTLY `version`,
+    * or return false if another publisher claimed it first — the
+    * primitive behind [[graft.sinks.TableStore.mergeCdc]]'s optimistic
+    * retry, where committing at any other version would silently
+    * serialize a merge computed against a stale base snapshot.
+    */
+  def tryPublish(spark: SparkSession, base: String, manifest: DataFrame,
+                 version: Long): Boolean = {
+    val fs = fileSystem(spark, base)
+    val basePath = new Path(base)
+    fs.mkdirs(basePath)
+    val writerId = java.util.UUID.randomUUID().toString.take(12)
+    val temp = stageTemp(fs, basePath, manifest, writerId)
+    val won = commitAttempt(fs, basePath, temp, writerId, version).contains(true)
+    if (!won && fs.exists(temp)) fs.delete(temp, true)
+    won
+  }
+
+  /** Write the manifest + writer sentinel into a dot-prefixed temp dir
+    * (invisible to readers; garbage if the writer dies mid-write).
+    */
+  private def stageTemp(fs: FileSystem, basePath: Path, manifest: DataFrame,
+                        writerId: String): Path = {
+    val temp = new Path(basePath, s".manifest_tmp_$writerId")
+    manifest.coalesce(1).write.mode("overwrite").json(temp.toString)
+    fs.create(new Path(temp, s"_writer_$writerId"), true).close()
+    temp
+  }
+
+  /** One rename-claim attempt of `temp` onto version `v`. Some(true) =
+    * won; Some(false) = lost with `temp` intact; None = lost and the
+    * LocalFileSystem exists-destination fallback consumed `temp` (it
+    * copies the source INTO the winner's dir and deletes the source —
+    * the stray copy is removed here; the caller re-stages). Directory
+    * rename is atomic on HDFS/POSIX; the sentinel ownership check is
+    * what makes the claim trustworthy, since the fallback returns true
+    * without the rename having happened.
+    */
+  private def commitAttempt(fs: FileSystem, basePath: Path, temp: Path,
+                            writerId: String, v: Long): Option[Boolean] = {
+    val dst = new Path(basePath, s"manifest_v$v")
+    val renamed = fs.rename(temp, dst)
+    if (renamed && fs.exists(new Path(dst, s"_writer_$writerId"))) Some(true)
+    else if (!renamed && !fs.exists(dst))
+      // rename only legitimately fails when a concurrent publisher
+      // claimed this version first; anything else is a real IO error
+      throw new java.io.IOException(s"manifest commit rename failed for $dst")
+    else {
+      val stray = new Path(dst, s".manifest_tmp_$writerId")
+      if (fs.exists(stray)) fs.delete(stray, true)
+      if (fs.exists(temp)) Some(false) else None
+    }
   }
 
   /** The highest committed version and its manifest rows. Throws if

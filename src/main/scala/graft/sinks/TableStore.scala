@@ -119,6 +119,91 @@ object TableStore {
     swapInto(fs, path, merged)
   }
 
+  /** K13: full CDC apply — MERGE with deletes, the half of a warehouse
+    * load [[upsert]] lacks: a change feed row is (`opCol` ∈
+    * insert|update|delete, key cols, payload cols, `seqCol` = feed
+    * position), and applying a batch must honor within-batch ordering
+    * (insert→update→delete of one key in one batch nets out to the
+    * LAST op) before merging against the stored table.
+    *
+    * Shape: ONE key-partitioned shuffle resolves the batch (window
+    * keep-highest-seq) and merges it against the current snapshot
+    * (union + keep-batch-over-stored, then drop keys whose winning op
+    * is `delete`) — work ∝ |table| + |batch| with no row-level
+    * rewrites, the right trade for an immutable-file store (Delta/
+    * Iceberg MERGE rewrites only matched files; a parquet-dir store
+    * has no file index, so the merge rewrites the table but never
+    * scans history twice).
+    *
+    * Commit protocol: the merged snapshot lands in an immutable
+    * `data_<writer>` dir, then a one-row manifest (data dir, row
+    * count, based-on version) commits via [[ManifestStore.tryPublish]]
+    * at EXACTLY basedOn+1 — if a concurrent merger won that version,
+    * this writer's merge is based on a stale snapshot, so it deletes
+    * its staged data, re-reads the new current version, RE-MERGES, and
+    * retries (Iceberg-style optimistic concurrency). Committed
+    * versions therefore form a serial history: every version's table
+    * equals its predecessor plus one whole CDC batch — racing
+    * publishers lose no updates (spec-raced in Round10Spec). Readers
+    * pin a committed manifest and can never observe a partial table.
+    * Returns the committed version.
+    */
+  def mergeCdc(spark: SparkSession, base: String, cdc: DataFrame, keys: Seq[String],
+               opCol: String = "op", seqCol: String = "seq",
+               maxRetries: Int = 50): Long = {
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // within-batch last-op-wins (op name breaks exact-seq ties
+    // deterministically; a real feed has unique positions)
+    val wBatch = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol))
+    val resolved = cdc
+      .withColumn("__rn", row_number().over(wBatch))
+      .filter(col("__rn") === 1).drop("__rn", seqCol)
+      .localCheckpoint() // the retry loop must not recompute the feed
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      attempt += 1
+      val basedOn = ManifestStore.versions(spark, s"$base/manifest").lastOption.getOrElse(0L)
+      val merged =
+        if (basedOn == 0L) resolved.filter(col(opCol) =!= "delete").drop(opCol)
+        else {
+          val current = readCdcVersion(spark, base, basedOn)
+            .withColumn(opCol, lit("update")).withColumn("__v", lit(0))
+          val wMerge = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").desc)
+          current.unionByName(resolved.withColumn("__v", lit(1)))
+            .withColumn("__rn", row_number().over(wMerge))
+            .filter(col("__rn") === 1 && col(opCol) =!= "delete")
+            .drop("__rn", "__v", opCol)
+        }
+      val writerId = java.util.UUID.randomUUID().toString.take(12)
+      val dataDir = s"$base/data_$writerId"
+      merged.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+      val nRows = spark.read.parquet(dataDir).count()
+      import spark.implicits._
+      val manifest = Seq((dataDir, nRows, basedOn))
+        .toDF("data_dir", "n_rows", "based_on")
+      if (ManifestStore.tryPublish(spark, s"$base/manifest", manifest, basedOn + 1))
+        return basedOn + 1
+      // lost the version race: this merge used a stale base snapshot —
+      // discard it and re-merge against the winner's table
+      fs.delete(new Path(dataDir), true)
+    }
+    throw new java.io.IOException(
+      s"CDC merge under $base lost the commit race $maxRetries times")
+  }
+
+  /** The table as of a committed CDC version. */
+  def readCdcVersion(spark: SparkSession, base: String, version: Long): DataFrame = {
+    val manifest = spark.read.json(s"$base/manifest/manifest_v$version")
+    spark.read.parquet(manifest.select("data_dir").head.getString(0))
+  }
+
+  /** The current committed CDC table (highest version). */
+  def readCdcCurrent(spark: SparkSession, base: String): DataFrame = {
+    val (v, _) = ManifestStore.current(spark, s"$base/manifest")
+    readCdcVersion(spark, base, v)
+  }
+
   /** Rename-aside publish shared by [[upsert]] and [[mergeAdditive]]:
     * write to `__staging`, move the live table to `__old`, move staging
     * live, drop `__old`. Each rename is atomic on HDFS-like

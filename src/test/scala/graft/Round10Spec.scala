@@ -90,6 +90,55 @@ class Round10Spec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  // ---- sink_merge: CDC MERGE with deletes ----
+
+  private def cdcDf(rows: Seq[(Long, Double, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("id", "v", "op", "seq")
+  }
+
+  test("CDC merge: within-batch last-op-wins; delete of absent key is a no-op") {
+    import graft.sinks.TableStore
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cdc_sem").toString + "/t"
+    // key 1: insert then update (update wins); key 2: insert then
+    // delete (nets out to nothing); key 3: delete of a key that never
+    // existed (must not fail, must not create a row)
+    TableStore.mergeCdc(spark, base, cdcDf(Seq(
+      (1L, 10.0, "insert", 1L), (1L, 11.0, "update", 2L),
+      (2L, 20.0, "insert", 1L), (2L, 0.0, "delete", 2L),
+      (3L, 0.0, "delete", 1L))), Seq("id"))
+    val t1 = TableStore.readCdcCurrent(spark, base)
+      .as[(Long, Double)].collect().toMap
+    assert(t1 == Map(1L -> 11.0), s"got $t1")
+    // a later batch deletes key 1 -> empty table at v2
+    TableStore.mergeCdc(spark, base, cdcDf(Seq((1L, 0.0, "delete", 1L))), Seq("id"))
+    assert(TableStore.readCdcCurrent(spark, base).count() == 0)
+    assert(graft.sinks.ManifestStore.versions(spark, s"$base/manifest") == Seq(1L, 2L))
+  }
+
+  test("CDC merge: racing publishers serialize with no lost updates") {
+    import graft.sinks.{ManifestStore, TableStore}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cdc_race").toString + "/t"
+    TableStore.mergeCdc(spark, base,
+      cdcDf((1L to 100L).map(k => (k, k * 10.0, "insert", 0L))), Seq("id"))
+    // two concurrent mergers: A deletes keys 1-50, B inserts 101-120.
+    // The tryPublish CAS forces the loser to re-merge against the
+    // winner's table, so BOTH effects must land regardless of order.
+    graft.pipeline.Flow.parallel(Seq(
+      ("cdc_a", () => TableStore.mergeCdc(spark, base,
+        cdcDf((1L to 50L).map(k => (k, 0.0, "delete", 1L))), Seq("id"))),
+      ("cdc_b", () => TableStore.mergeCdc(spark, base,
+        cdcDf((101L to 120L).map(k => (k, 7.0, "insert", 1L))), Seq("id")))))
+    val fin = TableStore.readCdcCurrent(spark, base)
+      .select("id").as[Long].collect().toSet
+    assert(fin == ((51L to 100L) ++ (101L to 120L)).toSet,
+      s"lost update: ${fin.size} keys")
+    // serial history: exactly one version per committed batch
+    assert(ManifestStore.versions(spark, s"$base/manifest") == Seq(1L, 2L, 3L))
+  }
+
   test("BPE per-round work is proportional to affected-word mass") {
     val (merges, _, touched) = TextQueries.bpeLearnStats(spark, sfDir, 64)
     val nTypes = typeTable(sfDir).length
