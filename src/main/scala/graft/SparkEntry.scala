@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Graph, Multimodal, Similarity}
 import graft.queries.{Analytics, IOQueries, Relational, TextQueries}
 import graft.streaming.Events
 
@@ -168,6 +168,9 @@ object SparkEntry {
     "dedup_substring_remove" -> ((s, d) => Dedup.substringRemove(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
+    // Graph analytics (G1–G2)
+    "g_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
+    "g_triangles" -> ((s, d) => Graph.triangles(s, d)),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
@@ -196,6 +199,7 @@ object SparkEntry {
     // Multimodal (M1–M3)
     "mm_schema" -> (Multimodal.mmSchema _),
     "mm_dedup" -> (Multimodal.mmDedup _),
+    "mm_neardup" -> (Multimodal.mmNearDup _),
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_sample" -> ((s, d) => Multimodal.mmSample(s, d)),
     "mm_binary_files" -> ((s, d) => Multimodal.mmBinaryFiles(s, d)),
@@ -1428,7 +1432,9 @@ object SparkEntry {
         |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin,
     "text_entropy" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, '') AS chars FROM documents
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ''), x -> x != '') AS chars
+        |  FROM documents
         |), s AS (
         |  SELECT doc_id, CAST(len(chars) AS BIGINT) AS n_chars,
         |    len(list_distinct(chars)) AS n_distinct
@@ -1461,6 +1467,55 @@ object SparkEntry {
         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_doc
         |FROM s GROUP BY sent_hash HAVING count(*) > 1
         |ORDER BY sent_hash""".stripMargin,
+    // G1: 5 PageRank iterations unrolled as CTE stages — every double
+    // of the textbook formulation replaced by exact integer micro ops
+    // (r' = 150000 + (85·Σ(r div deg)) div 100), so the replay is
+    // bit-exact. DuckDB `//` and Spark `div` agree on positive longs.
+    "g_pagerank" -> {
+      val base =
+        """WITH b AS (
+          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |), edges AS (
+          |  SELECT src, dst FROM b UNION ALL SELECT dst AS src, src AS dst FROM b
+          |), deg AS (
+          |  SELECT src, count(*) AS d FROM edges GROUP BY src
+          |), ed AS (
+          |  SELECT e.src, e.dst, d.d FROM edges e JOIN deg d USING (src)
+          |), r0 AS (
+          |  SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg
+          |)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s""", r$i AS (
+           |  SELECT ed.dst AS node,
+           |    CAST(150000 + (85 * sum(r.r // ed.d)) // 100 AS BIGINT) AS r
+           |  FROM ed JOIN r${i - 1} r ON r.node = ed.src GROUP BY ed.dst
+           |)""".stripMargin
+      }.mkString
+      base + iters +
+        "\nSELECT node, r AS rank_micro FROM r5 ORDER BY r DESC, node LIMIT 20"
+    },
+    "g_triangles" ->
+      """WITH pp AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |), deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM pp UNION ALL SELECT b AS n FROM pp
+        |  ) GROUP BY n
+        |), o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND pp.a < pp.b)
+        |           THEN pp.a ELSE pp.b END AS src,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND pp.a < pp.b)
+        |           THEN pp.b ELSE pp.a END AS dst
+        |  FROM pp JOIN deg da ON da.n = pp.a JOIN deg db ON db.n = pp.b
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM pp) AS n_edges,
+        |       (SELECT CAST(count(*) AS BIGINT)
+        |        FROM o e1 JOIN o e2 ON e1.dst = e2.src
+        |          JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles""".stripMargin,
     "dedup_substring" ->
       """WITH docs AS (
         |  SELECT doc_id,
@@ -1477,7 +1532,7 @@ object SparkEntry {
         |  FROM toks
         |), dup AS (
         |  SELECT h, count(DISTINCT doc_id) AS n_docs
-        |  FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |  FROM spans GROUP BY h HAVING count(*) >= 2
         |)
         |SELECT s.doc_id,
         |  CAST(count(DISTINCT s.h) AS BIGINT) AS n_dup_spans,
@@ -1497,7 +1552,7 @@ object SparkEntry {
         |  SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
         |  FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
         |), flagged AS (
-        |  SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |  SELECT h FROM spans GROUP BY h HAVING count(*) >= 2
         |), occ AS (
         |  SELECT s.doc_id, s.i,
         |    row_number() OVER (PARTITION BY s.h ORDER BY s.doc_id, s.i) AS rn

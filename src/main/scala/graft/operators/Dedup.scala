@@ -347,9 +347,14 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
     val spans = spread(withBoilerplate(Tables.load(spark, dir, "documents")))
       .select(col("doc_id"), explode(spanHashes).as("h"))
+    // flag on TOTAL occurrences (count(*), not distinct docs): a span
+    // repeated many times WITHIN one document is duplicate mass too
+    // (Lee et al. semantics — any repeated span)
     val dup = spans.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= 2)
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") >= 2)
+      .select("h", "n_docs")
     spans.join(dup, "h")
       .groupBy("doc_id")
       .agg(countDistinct(col("h")).as("n_dup_spans"),
@@ -390,10 +395,13 @@ object Dedup {
           sequence(lit(1), size(col("toks")) - (w - 1)),
           i => md5(concat_ws(" ", slice(col("toks"), i, lit(w)))))).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).cast("int").as("i"), col("h"))
+    // flag on TOTAL occurrences (any repeated span — within-document
+    // repeats included, per Lee et al.); the keeper is still the
+    // global min (doc_id, start), deterministic at any parallelism
     val flagged = spans.groupBy("h")
-      .agg(countDistinct("doc_id").as("n_docs"),
+      .agg(count(lit(1)).as("n_occ"),
         min(struct(col("doc_id"), col("i"))).as("keep"))
-      .filter(col("n_docs") >= 2)
+      .filter(col("n_occ") >= 2)
       .select("h", "keep")
     val covered = spans.join(flagged, "h")
       .filter(!(col("doc_id") === col("keep.doc_id") && col("i") === col("keep.i")))

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over relationally-derived graphs — the genre of
+  * corpus/warehouse work where the GRAPH is an artifact of joins
+  * (who-bought-from-whom, co-occurrence) rather than stored edges.
+  * Complements [[Dedup.clusterLabels]] (D8's connected components):
+  * these are the centrality/structure measures that run AFTER an
+  * entity graph exists.
+  *
+  * Everything here is exact integer arithmetic (micro-longs, `div`),
+  * so the DuckDB oracle replays bit-for-bit — the same determinism
+  * contract every iterative operator in this repo holds (k-means, GD
+  * training, connected components).
+  */
+object Graph {
+
+  /** G1: fixed-iteration PageRank over the customer↔supplier trade
+    * graph (nodes: customers as `2·custkey`, suppliers as
+    * `2·suppkey+1`; one undirected edge per distinct
+    * customer-bought-from-supplier fact, walked in both directions —
+    * reference's relational data graded as a graph, the
+    * "who is central to the trade network" question).
+    *
+    * Determinism/oracle contract: ranks are micro-longs; one
+    * iteration is `r' = 150000 + (85 · Σ_in (r div deg)) div 100`
+    * (damping 0.85 with every double replaced by exact integer ops),
+    * so `iters` unrolled CTE stages in DuckDB reproduce the Spark
+    * loop exactly — no tolerance, hash-match.
+    *
+    * Scale shape: the edge list is built ONCE (distinct pair join,
+    * then symmetrized) and `localCheckpoint`ed with its degree column
+    * riding along, so each of the `iters` rounds is exactly one
+    * edges⋈ranks equi-join (ranks is nodes-sized, the small side at
+    * any SF — AQE broadcasts it) plus one map-side-combined sum
+    * shuffled on dst. Per-round traffic is O(|edges|) longs, rounds
+    * are checkpointed so plans stay constant-size — the D8 iterative
+    * pattern. Dangling nodes cannot exist (symmetrized edges give
+    * every node out-degree ≥ 1).
+    */
+  def pageRank(spark: SparkSession, dir: String,
+               iters: Int = 5, topK: Int = 20): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val bought = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    pageRankOf(bought, iters, topK)
+  }
+
+  /** [[pageRank]]'s core over ANY distinct directed pair set (walked
+    * in both directions) — split out so specs can feed hand graphs.
+    */
+  private[graft] def pageRankOf(pairs: DataFrame, iters: Int, topK: Int): DataFrame = {
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val withDeg = edges.join(deg, "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+        .select(col("dst").as("node"),
+          expr("150000L + (85L * s) div 100L").as("r"))
+        .localCheckpoint()
+    }
+    ranks
+      .orderBy(col("r").desc, col("node"))
+      .limit(topK)
+      .select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** G2: exact triangle counting over the co-ordered-parts graph
+    * (undirected edge between two parts iff some order contains both —
+    * the co-occurrence projection every market-basket / related-items
+    * pipeline builds).
+    *
+    * Scale shape — the classic degree-orientation bound (Schank &
+    * Wagner; MapReduce formulation in Suri & Vassilvitskii, "Counting
+    * Triangles and the Curse of the Last Reducer"): orient every edge
+    * from its lower-(degree, id) endpoint to the higher one. The
+    * oriented out-degree is O(√|E|) REGARDLESS of how skewed the raw
+    * degree distribution is, so the wedge join (e1.dst = e2.src)
+    * fans out at most √|E| per node instead of deg² on hubs — the
+    * "last reducer" hot key is engineered away before AQE even looks.
+    * Each triangle is counted exactly once (its three nodes form one
+    * ascending (deg, id) path u→v→w with the closing edge u→w).
+    *
+    * The co-occurrence pair build self-joins lineitem per order —
+    * bounded by per-order line counts (an order is a few lines at any
+    * SF), never corpus-quadratic.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val l1 = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val pp = l1.as("x").join(l1.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    trianglesOf(pp)
+  }
+
+  /** [[triangles]]'s core over ANY distinct undirected edge set given
+    * as (a, b) with a < b — split out so specs can feed hand graphs.
+    */
+  private[graft] def trianglesOf(pairs: DataFrame): DataFrame = {
+    val pp = pairs.localCheckpoint()
+    val deg = pp.select(col("a").as("n"))
+      .unionByName(pp.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDegs = pp
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDegs
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint()
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = pp.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    counts.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+}

@@ -234,6 +234,97 @@ object Multimodal {
   def mmDedup(spark: SparkSession, dir: String): DataFrame =
     payloadDedup(withMirroredMedia(Tables.load(spark, dir, "documents")))
 
+  /** Deterministic near-dup media plant for M7: every 28th document's
+    * payload becomes a 1024-byte GROUP-periodic pattern (group g =
+    * (doc_id/28) % 8 picks a distinct repeat period from a prime-ish
+    * table, so groups have distinct block-energy profiles) with a
+    * 2-byte member-specific overlay — the stand-in for the same image
+    * re-encoded with slightly different bytes: byte-UNEQUAL (md5 dedup
+    * misses it) but block-profile-EQUAL (the perceptual hash catches
+    * it). All other documents keep their text bytes.
+    */
+  private[graft] def withNearDupMedia(docs: DataFrame): DataFrame = {
+    val id28 = floor(col("doc_id") / 28).cast("long")
+    val g = (id28 % 8).cast("int")
+    val m = (id28 / 8).cast("int")
+    val period = element_at(typedlit(Seq(3, 5, 7, 9, 11, 13, 17, 19)), g + 1)
+    val base = substring(
+      repeat(lit("abcdefghijklmnopqrstuvwxyz").substr(lit(1), period),
+        (lit(1024) / period) + 1), 1, 1024)
+    val artifact = concat(
+      lit("0123456789").substr((m % 10) + 1, lit(1)),
+      lit("0123456789").substr(((m / 10) % 10) + 1, lit(1)))
+    val tweaked = overlay(base, artifact, (m % 127) * 8 + 1)
+    val p = when(col("doc_id") % 28 === 0, tweaked).otherwise(col("text"))
+    docs.select(col("doc_id"), encode(p, "UTF-8").as("payload"))
+  }
+
+  /** Blockhash-style perceptual signature of a binary payload: the
+    * first `maxBytes` bytes are cut into `nBlocks` length-normalized
+    * blocks, and bit b is set iff block b's unsigned byte-sum exceeds
+    * the mean block sum (`nBlocks·sum(b) > total`) — scale- and
+    * brightness-shift-robust in the image world, and pure byte
+    * arithmetic here (no codecs). One codegen'd O(maxBytes) pass per
+    * row ([[org.apache.spark.sql.graft.BlockhashSig]] — the Column/HOF
+    * form re-evaluated its inner byte materialization per outer lambda
+    * element, O(nBlocks²·maxBytes²) per row), born in the scan
+    * projection; the payload bytes never reach any exchange.
+    */
+  private[graft] def blockhashSig(media: DataFrame, nBlocks: Int = 64,
+                                  maxBytes: Int = 4096): DataFrame =
+    media.select(col("doc_id"),
+      org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.graft.BlockhashSig(
+          org.apache.spark.sql.graft.ColumnShim.expression(col("payload")),
+          nBlocks, maxBytes)).as("sig"))
+
+  /** M7: perceptual near-dup detection over ANY (doc_id, payload)
+    * media table — closes the gap M6's exact md5 leaves: a re-encoded
+    * or slightly-corrupted copy has different bytes but the same
+    * block-energy profile.
+    *
+    * Shape is the D4 SimHash recipe: signatures band into `nBands`
+    * 8-bit bands; candidate pairs share a band value (equi-join on
+    * (band, value) — only (doc_id, sig, band) rows shuffle, payload
+    * bytes never move); the exact verify is `bit_count(sig XOR sig)`
+    * ≤ `maxHamming` on candidates only. With 8 bands over 64 bits,
+    * any pair within hamming 7 differs in at most 7 bands, so at
+    * least one band matches — banding is LOSSLESS for the ≤7
+    * contract (pigeonhole, spec-pinned in Round10Spec vs a
+    * brute-force all-pairs scan). Probabilistic-shaped output (no
+    * SQL oracle for 64-bit band arithmetic in the gate) → rows-only
+    * driver check + exactness spec.
+    */
+  def payloadNearDup(media: DataFrame, nBands: Int = 8,
+                     maxHamming: Int = 7): DataFrame = {
+    require(64 % nBands == 0, s"64 bits must split evenly into $nBands bands")
+    val bitsPerBand = 64 / nBands
+    require(maxHamming < nBands, "pigeonhole needs maxHamming < nBands")
+    val sigs = blockhashSig(media).localCheckpoint()
+    val mask = (1L << bitsPerBand) - 1
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until nBands).map(j => struct(
+        lit(j).as("band"),
+        shiftrightunsigned(col("sig"), j * bitsPerBand)
+          .bitwiseAND(lit(mask)).as("bval"))): _*)).as("bv"))
+      .select(col("doc_id"), col("sig"),
+        col("bv.band").as("band"), col("bv.bval").as("bval"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def mmNearDup(spark: SparkSession, dir: String): DataFrame =
+    payloadNearDup(withNearDupMedia(Tables.load(spark, dir, "documents")))
+
   /** M1: schema plumbing — binary payload + typed metadata, projected
     * without ever touching payload bytes (the pruning-friendly path).
     */

@@ -44,9 +44,18 @@ object Similarity {
     * table dir: the dim is a property of the dataset, and the probe
     * job is pure fixed overhead on every re-run otherwise.
     */
-  private val dimCache = new scala.collection.concurrent.TrieMap[String, Int]
+  /** Memo key for per-dataset probes: (dir, snapshot). The snapshot is
+    * the table path's last-modified time — if the dataset at `dir` is
+    * rewritten in the same JVM, the mtime changes and the memo misses,
+    * so [[knnJoin]] can never size its broadcast blocks from a stale
+    * count (a silent ≫32 MB block with no error otherwise).
+    */
+  private def snapshotKey(dir: String): (String, Long) =
+    (dir, new java.io.File(Tables.path(dir, "embeddings")).lastModified())
+
+  private val dimCache = new scala.collection.concurrent.TrieMap[(String, Long), Int]
   private[operators] def embeddingDim(spark: SparkSession, dir: String): Int =
-    dimCache.getOrElseUpdate(dir,
+    dimCache.getOrElseUpdate(snapshotKey(dir),
       Tables.load(spark, dir, "embeddings")
         .select(size(col("embedding")).as("d")).limit(1).head.getInt(0))
 
@@ -55,9 +64,10 @@ object Similarity {
     * count job per plan CONSTRUCTION (Round4Spec builds the plan three
     * times) is pure fixed overhead on a static dataset.
     */
-  private val rowsCache = new scala.collection.concurrent.TrieMap[String, Long]
+  private val rowsCache = new scala.collection.concurrent.TrieMap[(String, Long), Long]
   private[operators] def embeddingRows(spark: SparkSession, dir: String): Long =
-    rowsCache.getOrElseUpdate(dir, Tables.load(spark, dir, "embeddings").count())
+    rowsCache.getOrElseUpdate(snapshotKey(dir),
+      Tables.load(spark, dir, "embeddings").count())
 
   /** The benchmark query set: lowest `nQueries` vec_ids. */
   private def querySet(e: DataFrame, nQueries: Int): DataFrame =

@@ -856,17 +856,31 @@ object TextQueries {
     // string_split has no such artifact)
     val chars = filter(split(col("text"), ""), x => x =!= "")
     val n = size(chars)
-    val uniq = array_sort(array_distinct(chars))
-    // -(c/n)·ln(c/n) in micro-nats per distinct char, as a long
-    val terms = transform(uniq, ch => {
-      val c = size(filter(chars, x => x === ch)).cast("double")
+    // One-pass run-length counting instead of a per-distinct-char
+    // rescan (which is O(n_distinct · n_chars) interpreted-lambda work
+    // per row — ~1M comparisons for a 10k-char doc with 100 distinct
+    // chars): sort the chars, find each run's END position (value
+    // changes or end-of-array), and diff consecutive ends into counts.
+    // O(n log n) sort + two O(n) passes per row.
+    val sorted = array_sort(chars)
+    // sequence(1, 0) counts DOWN ([1, 0]) — guard the n=0 case
+    val idx = when(n > 0, sequence(lit(1), n)).otherwise(array().cast("array<int>"))
+    val ends = filter(idx, i =>
+      i === n || element_at(sorted, i) =!= element_at(sorted, i + 1))
+    val counts = zip_with(ends,
+      concat(array(lit(0)), slice(ends, lit(1), greatest(size(ends) - 1, lit(0)))),
+      (e, p) => e - p)
+    // -(c/n)·ln(c/n) in micro-nats per distinct char, as a long —
+    // micro-rounded BEFORE the sum so the reduction is order-free
+    val terms = transform(counts, c0 => {
+      val c = c0.cast("double")
       round(-(c / n) * log(c / n) * 1e6).cast("long")
     })
     Tables.load(spark, dir, "documents")
       .select(
         col("doc_id"),
         n.cast("long").as("n_chars"),
-        size(uniq).as("n_distinct"),
+        size(ends).as("n_distinct"),
         when(n > 0, aggregate(terms, lit(0L), (acc, t) => acc + t))
           .otherwise(lit(0L)).as("entropy_micro"))
       .orderBy("doc_id")

@@ -131,6 +131,22 @@ object ManifestStore {
     }
   }
 
+  /** Retention sweep: delete committed versions below latest-`keep`
+    * (readers pinned to a swept version would break — sweep with the
+    * same retention window the table's readers are allowed to lag by,
+    * exactly Delta/Iceberg's VACUUM contract). Returns the versions
+    * deleted. Without this, every publish accrues a `manifest_v<N>`
+    * dir forever — repeated bench/verify runs grow the store without
+    * bound.
+    */
+  def retain(spark: SparkSession, base: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"must keep at least the current version, got $keep")
+    val fs = fileSystem(spark, base)
+    val doomed = versions(spark, base).dropRight(keep)
+    doomed.foreach(v => fs.delete(new Path(new Path(base), s"manifest_v$v"), true))
+    doomed
+  }
+
   /** The highest committed version and its manifest rows. Throws if
     * nothing has been published.
     */

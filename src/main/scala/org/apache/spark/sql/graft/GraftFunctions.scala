@@ -63,15 +63,19 @@ object GraftFunctions {
   )
 
   /** Runtime registration into an existing session (idempotent —
-    * already-registered names are left alone, so operators can call
-    * this per-invocation without `createOrReplaceTempFunction`'s
-    * "replacing existing function" WARN spamming every bench/verify
-    * entry).
+    * names already bound to GRAFT'S OWN expression class are left
+    * alone, so operators can call this per-invocation without
+    * `createOrReplaceTempFunction`'s "replacing existing function"
+    * WARN spamming every bench/verify entry; a name bound to some
+    * OTHER class — a stale or conflicting registration in a
+    * long-lived session — is replaced, not silently kept).
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    descriptions.foreach { case (ident, _, builder) =>
-      if (!registry.functionExists(ident))
+    descriptions.foreach { case (ident, einfo, builder) =>
+      val ours = registry.lookupFunction(ident)
+        .exists(_.getClassName == einfo.getClassName)
+      if (!ours)
         registry.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
     }
   }

@@ -139,6 +139,99 @@ class Round10Spec extends SparkSpec {
     assert(ManifestStore.versions(spark, s"$base/manifest") == Seq(1L, 2L, 3L))
   }
 
+  test("manifest retention sweeps old versions, keeps current readable") {
+    import graft.sinks.ManifestStore
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("retain").toString + "/m"
+    (1 to 5).foreach(i =>
+      ManifestStore.publish(spark, base, Seq((i, s"f$i")).toDF("v", "file")))
+    assert(ManifestStore.versions(spark, base) == Seq(1L, 2L, 3L, 4L, 5L))
+    val swept = ManifestStore.retain(spark, base, keep = 2)
+    assert(swept == Seq(1L, 2L, 3L))
+    assert(ManifestStore.versions(spark, base) == Seq(4L, 5L))
+    val (v, df) = ManifestStore.current(spark, base)
+    assert(v == 5L && df.select("file").as[String].collect().toSeq == Seq("f5"))
+    // idempotent at the floor: keep >= remaining sweeps nothing
+    assert(ManifestStore.retain(spark, base, keep = 2).isEmpty)
+  }
+
+  // ---- graph analytics ----
+
+  test("triangles: hand graph counts exactly (K4 minus an edge = 2)") {
+    import graft.operators.Graph
+    import spark.implicits._
+    // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("a", "b")
+    val r = Graph.trianglesOf(pairs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 5L, 2L)))
+  }
+
+  test("pagerank: hand star graph — hub outranks leaves, mass ordering stable") {
+    import graft.operators.Graph
+    import spark.implicits._
+    // star: hub 1 connected to leaves 2..5 (undirected via symmetrize)
+    val pairs = (2L to 5L).map(l => (1L, l)).toDF("src", "dst")
+    val got = Graph.pageRankOf(pairs, iters = 5, topK = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.head._1 == 1L, s"hub must rank first: ${got.toSeq}")
+    // all four leaves tie exactly (same integer arithmetic path) and
+    // sit strictly below the hub
+    val leaves = got.tail
+    assert(leaves.map(_._2).distinct.length == 1 && leaves.head._2 < got.head._2)
+    assert(leaves.map(_._1).toSeq == (2L to 5L), "ties break on node id")
+    // hand-replay of the integer recurrence: leaves send r div 1, hub
+    // sends r div 4 to each leaf
+    var hub = 1000000L; var leaf = 1000000L
+    for (_ <- 1 to 5) {
+      val nh = 150000L + 85L * (4L * leaf) / 100L
+      val nl = 150000L + 85L * (hub / 4L) / 100L
+      hub = nh; leaf = nl
+    }
+    assert(got.head._2 == hub && leaves.head._2 == leaf,
+      s"integer replay mismatch: got ${got.head._2}/${leaves.head._2}, want $hub/$leaf")
+  }
+
+  // ---- mm_neardup: perceptual media near-dup ----
+
+  test("mm_neardup banding == brute-force hamming<=7 all-pairs (pigeonhole)") {
+    import graft.operators.Multimodal
+    val media = Multimodal.withNearDupMedia(Tables.load(spark, sfDir, "documents"))
+    val sigs = Multimodal.blockhashSig(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 7
+    } yield {
+      val (a, b) = (sigs(i), sigs(j))
+      if (a._1 < b._1) (a._1, b._1) else (b._1, a._1)
+    }).toSet
+    val got = Multimodal.payloadNearDup(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"banded=${got.size} brute=${brute.size}, diff e.g. ${(brute diff got).take(3)}")
+    assert(got.nonEmpty, "plant must make the gate non-vacuous")
+    // every planted same-group member pair is caught (the re-encoded
+    // copies the exact-md5 gate misses)
+    val planted = sigs.map(_._1).filter(_ % 28 == 0)
+      .groupBy(id => (id / 28) % 8).values.filter(_.length > 1)
+    val plantPairs = planted.flatMap(g =>
+      for { i <- g.indices; j <- (i + 1) until g.length }
+        yield (math.min(g(i), g(j)), math.max(g(i), g(j)))).toSet
+    val caught = plantPairs.intersect(got).size.toDouble / plantPairs.size
+    RecallLog.record("mm_neardup", "banding_vs_bruteforce_exact", 1.0)
+    RecallLog.record("mm_neardup", "planted_group_recall", caught)
+    assert(caught >= 0.9, s"planted recall $caught")
+  }
+
+  test("mm_neardup plans no cartesian: candidates come from a band equi-join") {
+    import graft.operators.Multimodal
+    val media = Multimodal.withNearDupMedia(Tables.load(spark, sfDir, "documents"))
+    val plan = Multimodal.payloadNearDup(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in:\n$plan")
+  }
+
   test("BPE per-round work is proportional to affected-word mass") {
     val (merges, _, touched) = TextQueries.bpeLearnStats(spark, sfDir, 64)
     val nTypes = typeTable(sfDir).length
