@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnShim, CosineSimilarity, NearestCentroids, PqEncode}
+import org.apache.spark.sql.graft.{ColumnShim, CosineSimilarity, L2Normalize, NearestCentroids, PqAdcScore, PqAdcTables, PqEncode}
 
 object VectorFunctions {
 
@@ -23,6 +23,25 @@ object VectorFunctions {
     */
   def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     ColumnShim.column(PqEncode(ColumnShim.expression(v), codebooks))
+
+  /** L2 normalization in one primitive pass (see
+    * [[org.apache.spark.sql.graft.L2Normalize]]); zero vectors pass
+    * through unchanged.
+    */
+  def l2normalize(v: Column): Column =
+    ColumnShim.column(L2Normalize(ColumnShim.expression(v)))
+
+  /** Per-query PQ ADC lookup tables, one primitive loop (see
+    * [[org.apache.spark.sql.graft.PqAdcTables]]).
+    */
+  def pqAdcTables(q: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnShim.column(PqAdcTables(ColumnShim.expression(q), codebooks))
+
+  /** ADC score lookup `Σ_j tbl[j·k + codes_j]` — the per-(query,
+    * vector) PQ hot loop (see [[org.apache.spark.sql.graft.PqAdcScore]]).
+    */
+  def pqAdcScore(codes: Column, tbl: Column): Column =
+    ColumnShim.column(PqAdcScore(ColumnShim.expression(codes), ColumnShim.expression(tbl)))
 
   /** Pure-`sql.functions` fallback with identical semantics — kept as a
     * differential-test oracle for the native expression and as the

@@ -328,24 +328,22 @@ object Similarity {
     val sub = dim / m
     require(sub * m == dim, s"dim $dim not divisible into $m subspaces")
     val e = corpus(spark, dir).select(col("vec_id"),
-      normalized(col("embedding")).as("embedding"))
+      VectorFunctions.l2normalize(col("embedding")).as("embedding"))
     val codebooks = trainCodebooks(e, m, k, sub, trainSample, trainIters)
-    val flatCb = typedlit(codebooks.flatten.flatten)
     val encoded = e.select(col("vec_id"), col("embedding"),
       VectorFunctions.pqEncode(col("embedding"), codebooks).as("codes"))
     // per-query ADC tables, built in-plan on the nQueries-row side:
-    // tables[j*k + c] = dot(q_sub_j, codebook[j][c])
-    val tables = transform(sequence(lit(0), lit(m * k - 1)), idx =>
-      aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0), (acc, i) =>
-        // (idx div k) = subspace index; Column `/` is double division,
-        // so go through floor to stay integral
-        acc + element_at(col("q_emb"),
-          (floor(idx / lit(k)).cast("int") * sub + i + 1)).cast("double") *
-          element_at(flatCb, idx * sub + i + 1)))
+    // tables[j*k + c] = dot(q_sub_j, codebook[j][c]) — a native
+    // expression (one primitive loop), NOT a transform/aggregate HOF:
+    // the HOF form re-evaluated its q_emb child (with the inlined
+    // normalization) once per table entry per component — ~10⁸
+    // interpreted ops for a 10-row query set (see PqAdcTables doc).
     val queries = broadcast(
-      querySet(e, nQueries).select(col("q_id"), col("q_emb"), tables.as("tbl")))
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
-      acc + element_at(col("tbl"), j * k + element_at(col("codes"), j + 1) + 1))
+      querySet(e, nQueries).select(col("q_id"), col("q_emb"),
+        VectorFunctions.pqAdcTables(col("q_emb"), codebooks).as("tbl")))
+    // native ADC lookup — the |corpus|·|queries| hot loop; the HOF
+    // `aggregate` form costs ~0.1 ms/row in interpreted lambda machinery
+    val adc = VectorFunctions.pqAdcScore(col("codes"), col("tbl"))
     val topk = udaf(graft.functions.Aggregators.TopKByScore(shortlist))
     val short = encoded.select(col("vec_id"), col("codes"))
       .join(queries.select("q_id", "tbl"), col("vec_id") =!= col("q_id"))
@@ -412,14 +410,6 @@ object Similarity {
       }
       cents.map(_.toSeq).toSeq
     }
-  }
-
-  /** L2-normalize an embedding (zero vectors pass through unchanged). */
-  private def normalized(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val n = sqrt(aggregate(v, lit(0.0), (acc, x) =>
-      acc + x.cast("double") * x.cast("double")))
-    when(n === 0.0, transform(v, x => x.cast("float")))
-      .otherwise(transform(v, x => (x.cast("double") / n).cast("float")))
   }
 
   /** A13: semantic decontamination — flag corpus vectors whose

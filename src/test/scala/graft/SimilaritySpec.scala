@@ -29,6 +29,49 @@ class SimilaritySpec extends SparkSpec {
     assert(diff < 1e-12, s"max |native - builtin| = $diff")
   }
 
+  test("native L2 normalize agrees with the HOF formulation") {
+    val e = Tables.load(spark, sfDir, "embeddings").limit(50)
+    def hofNorm(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val n = sqrt(aggregate(v, lit(0.0), (acc, x) =>
+        acc + x.cast("double") * x.cast("double")))
+      when(n === 0.0, transform(v, x => x.cast("float")))
+        .otherwise(transform(v, x => (x.cast("double") / n).cast("float")))
+    }
+    val diff = e.select(
+      zip_with(VectorFunctions.l2normalize(col("embedding")),
+        hofNorm(col("embedding")), (a, b) => abs(a - b)).as("d"))
+      .select(array_max(col("d")).as("m")).agg(max("m")).collect()(0).getFloat(0)
+    assert(diff == 0.0f, s"native vs HOF normalize max diff = $diff")
+  }
+
+  test("native ADC tables + score agree with the HOF formulation") {
+    val m = 8; val k = 16; val sub = 8
+    val e = Tables.load(spark, sfDir, "embeddings").limit(40)
+      .select(col("vec_id"), VectorFunctions.l2normalize(col("embedding")).as("embedding"))
+    val cb: Seq[Seq[Seq[Double]]] = (0 until m).map(j => (0 until k).map(c =>
+      (0 until sub).map(i => math.sin(j * 1000 + c * 10 + i).toDouble)))
+    val flatCb = typedlit(cb.flatten.flatten)
+    val hofTables = transform(sequence(lit(0), lit(m * k - 1)), idx =>
+      aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0), (acc, i) =>
+        acc + element_at(col("embedding"),
+          (floor(idx / lit(k)).cast("int") * sub + i + 1)).cast("double") *
+          element_at(flatCb, idx * sub + i + 1)))
+    val withBoth = e.select(col("vec_id"),
+      VectorFunctions.pqEncode(col("embedding"), cb).as("codes"),
+      VectorFunctions.pqAdcTables(col("embedding"), cb).as("tbl"),
+      hofTables.as("hof_tbl"))
+    val tblDiff = withBoth
+      .select(array_max(zip_with(col("tbl"), col("hof_tbl"), (a, b) => abs(a - b))).as("d"))
+      .agg(max("d")).collect()(0).getDouble(0)
+    assert(tblDiff == 0.0, s"native vs HOF ADC tables max diff = $tblDiff")
+    val hofScore = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      acc + element_at(col("tbl"), j * k + element_at(col("codes"), j + 1) + 1))
+    val scoreDiff = withBoth
+      .select(abs(VectorFunctions.pqAdcScore(col("codes"), col("tbl")) - hofScore).as("d"))
+      .agg(max("d")).collect()(0).getDouble(0)
+    assert(scoreDiff == 0.0, s"native vs HOF ADC score max diff = $scoreDiff")
+  }
+
   // Floors are measured-minus-margin (r05/r06 measurements: LSH 0.96,
   // IVF 0.90) so a quality regression fails the suite instead of
   // silently drifting in the RECALL artifact — the D5 pattern.
