@@ -171,6 +171,7 @@ object SparkEntry {
     // Graph analytics (G1–G2)
     "g_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     "g_triangles" -> ((s, d) => Graph.triangles(s, d)),
+    "g_communities" -> ((s, d) => Graph.labelProp(s, d)),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
@@ -1494,6 +1495,30 @@ object SparkEntry {
       }.mkString
       base + iters +
         "\nSELECT node, r AS rank_micro FROM r5 ORDER BY r DESC, node LIMIT 20"
+    },
+    "g_communities" -> {
+      val base =
+        """WITH b AS (
+          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |), edges AS (
+          |  SELECT src, dst FROM b UNION ALL SELECT dst AS src, src AS dst FROM b
+          |), l0 AS (
+          |  SELECT DISTINCT src AS node, src AS label FROM edges
+          |)""".stripMargin
+      val iters = (1 to 4).map { i =>
+        s""", l$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT e.dst AS node, l.label, count(*) AS c,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY count(*) DESC, l.label ASC) AS rn
+           |    FROM edges e JOIN l${i - 1} l ON l.node = e.src
+           |    GROUP BY e.dst, l.label
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString
+      base + iters +
+        "\nSELECT node, label AS community FROM l4 ORDER BY node"
     },
     "g_triangles" ->
       """WITH pp AS (

@@ -77,6 +77,63 @@ object Graph {
       .select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** G3: community detection by synchronous label propagation (LPA,
+    * Raghavan et al. 2007) over the customer↔supplier trade graph —
+    * the clustering that groups a trade network into dense buying
+    * blocs without a k parameter, and the standard cheap community
+    * pass over any relationally-derived entity graph.
+    *
+    * Determinism/oracle contract: every node starts labeled with its
+    * own id; each of the `iters` SYNCHRONOUS rounds relabels every
+    * node with its neighbors' most frequent label, ties broken to the
+    * SMALLEST label (classic async LPA is run-order-dependent; the
+    * synchronous min-tie-break variant is a pure function of the
+    * graph, so `iters` unrolled CTE stages in DuckDB replay it
+    * hash-exact — the G1 contract). Fixed rounds, not
+    * run-to-convergence: synchronous LPA can 2-cycle on bipartite
+    * structure, so convergence is not claimed and not needed for a
+    * deterministic community assignment.
+    *
+    * Scale shape: the symmetrized edge list is checkpointed once;
+    * each round is one edges⋈labels equi-join (labels is nodes-sized
+    * — AQE broadcasts it at small SF, hash-joins at scale) feeding
+    * two map-side-combinable aggregations: (dst, label) → count, then
+    * dst → max(struct(count, −label)) — the argmax-by-(count, min
+    * label) without a window over the full adjacency stream. Per-round
+    * traffic is O(|edges|) longs; rounds are checkpointed so plans
+    * stay constant-size (the D8/G1 iterative pattern).
+    */
+  def labelProp(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val bought = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    labelPropOf(bought, iters)
+  }
+
+  /** [[labelProp]]'s core over ANY distinct directed pair set (walked
+    * in both directions) — split out so specs can feed hand graphs.
+    */
+  private[graft] def labelPropOf(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("label").as("community")).orderBy("node")
+  }
+
   /** G2: exact triangle counting over the co-ordered-parts graph
     * (undirected edge between two parts iff some order contains both —
     * the co-occurrence projection every market-basket / related-items

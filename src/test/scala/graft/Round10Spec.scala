@@ -192,6 +192,35 @@ class Round10Spec extends SparkSpec {
       s"integer replay mismatch: got ${got.head._2}/${leaves.head._2}, want $hub/$leaf")
   }
 
+  test("label propagation: bridged cliques split into two exact communities") {
+    import graft.operators.Graph
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} bridged by edge (3,4). Four
+    // synchronous min-tie-break rounds hand-replay to: clique A all
+    // labeled 1, clique B all labeled 3 (the bridge pulls 4's label
+    // history through 3's side but B's majority holds at 3).
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.labelPropOf(pairs, iters = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L),
+      s"got $got")
+  }
+
+  test("label propagation is idempotent on disjoint cliques (labels = min id)") {
+    import graft.operators.Graph
+    import spark.implicits._
+    // disjoint triangles: each clique settles on its min id within two
+    // rounds (round 1 can hand the min node a neighbor's label; round
+    // 2 pulls it back) — 4 rounds must not drift
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L), (7L, 9L), (8L, 9L))
+      .toDF("src", "dst")
+    val got = Graph.labelPropOf(pairs, iters = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L),
+      s"got $got")
+  }
+
   // ---- mm_neardup: perceptual media near-dup ----
 
   test("mm_neardup banding == brute-force hamming<=7 all-pairs (pigeonhole)") {
