@@ -65,9 +65,17 @@ object Bench {
     * row would gain `factor−1` exact/near duplicates and pair-ops
     * would grow quadratically in the replication, measuring the plant
     * instead of the scale-up:
-    *   - documents: every token suffixed `_r<r>` (a bijective token
-    *     rename — within-replica similarity structure is preserved
-    *     exactly, across replicas no shingle ever matches);
+    *   - documents: every alphanumeric RUN suffixed `zr<r>` (a
+    *     bijective rename at exactly the granularity the repo's
+    *     alnum-run tokenizer produces — within-replica similarity
+    *     structure is preserved exactly, across replicas no shingle
+    *     ever matches). The suffix MUST fuse into the SAME normalized
+    *     token: an earlier `_r<r>` variant split at the underscore
+    *     and injected a replica token between every pair of real
+    *     tokens, collapsing every 3-shingle to a bracketed
+    *     unigram/bigram — unigram df ≫ trigram df, so PPJoin prefix
+    *     fan-out measured 443× base instead of 10× (the generator
+    *     manufactured a denser corpus, not a bigger one);
     *   - embeddings: dimensions cyclically rotated by r (norms and
     *     within-replica pairwise dot products are invariant under a
     *     common permutation; across replicas the rotated dots decay
@@ -75,7 +83,7 @@ object Bench {
     * Duplicate DENSITY therefore stays constant while volume grows
     * `factor`× — the regime a real 10× corpus growth has.
     */
-  private def ensureScaled(spark: SparkSession, sfDir: String, factor: Int): String = {
+  private[graft] def ensureScaled(spark: SparkSession, sfDir: String, factor: Int): String = {
     val base = new java.io.File(sfDir).getName
     val out = s"/tmp/graft_scale${factor}x_$base"
     val marker = new java.io.File(s"$out/_DONE")
@@ -87,8 +95,8 @@ object Bench {
         .select(
           (col("doc_id") + col("rep") * nDocs).as("doc_id"),
           when(col("rep") === 0, col("text"))
-            .otherwise(concat_ws(" ", transform(split(col("text"), " ", -1),
-              t => concat(t, lit("_r"), col("rep").cast("string")))))
+            .otherwise(regexp_replace(col("text"), lit("([a-zA-Z0-9]+)"),
+              concat(lit("$1zr"), col("rep").cast("string"))))
             .as("text"),
           col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$out/documents.parquet")

