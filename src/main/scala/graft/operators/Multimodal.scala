@@ -300,7 +300,13 @@ object Multimodal {
     require(64 % nBands == 0, s"64 bits must split evenly into $nBands bands")
     val bitsPerBand = 64 / nBands
     require(maxHamming < nBands, "pigeonhole needs maxHamming < nBands")
-    val sigs = blockhashSig(media).localCheckpoint()
+    // spread BEFORE the signature pass: a single-file media table
+    // arrives as one partition, and the O(maxBytes)-per-row signature
+    // (plus the checkpoint write) must parallelize — measured 3.6 s of
+    // one-task wall at sf0.1 otherwise
+    val spread = media.repartition(
+      media.sparkSession.sparkContext.defaultParallelism)
+    val sigs = blockhashSig(spread).localCheckpoint()
     val mask = (1L << bitsPerBand) - 1
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until nBands).map(j => struct(
@@ -309,16 +315,18 @@ object Multimodal {
           .bitwiseAND(lit(mask)).as("bval"))): _*)).as("bv"))
       .select(col("doc_id"), col("sig"),
         col("bv.band").as("band"), col("bv.bval").as("bval"))
-    val cand = banded.as("a").join(banded.as("b"),
+    // verify INSIDE the join projection, before the dedup: the hamming
+    // filter drops band-noise candidates (n·occupancy of them) right
+    // where they are produced, so the distinct only shuffles true
+    // near-dup pairs (≤ nBands copies each) — not the full candidate
+    // stream with two 8-byte sigs riding along
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-    cand
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

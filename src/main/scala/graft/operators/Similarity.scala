@@ -531,33 +531,81 @@ object Similarity {
     * at any partitioning; vectors never leave executors except the k
     * chosen rows. k−1 narrow rounds, localCheckpoint-truncated.
     */
-  private[operators] def kmeansPlusPlusSeeds(e: DataFrame, k: Int): Seq[Seq[Double]] = {
-    def distTo(center: Seq[Float]): Column =
-      round((lit(1.0) - VectorFunctions.cosine(col("embedding"), typedlit(center))) * 1e6)
-        .cast("long")
-    val first = e.select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(1).head
-    var chosen = List[Seq[Float]](
-      first.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
-    var state = e.select(col("vec_id"), col("embedding"))
-      .withColumn("min_dist", distTo(chosen.head)).localCheckpoint()
-    for (j <- 2 to k) {
-      val u = greatest(
-        xxhash64(col("vec_id"), lit(j)).cast("double") / lit(math.pow(2, 64)) + lit(0.5),
-        lit(1e-12))
-      val key = when(col("min_dist") === 0L, lit(Double.MaxValue))
-        .otherwise(-log(u) / (col("min_dist").cast("double") * col("min_dist").cast("double")))
-      val pick = state
-        .agg(min(struct(key.as("key"), col("vec_id"))).as("m"))
-        .select(col("m.vec_id")).head.getLong(0)
-      val cvec = state.filter(col("vec_id") === pick)
-        .head.getAs[scala.collection.Seq[Float]]("embedding").toSeq
-      chosen ::= cvec
-      state = state
-        .withColumn("min_dist", least(col("min_dist"), distTo(cvec)))
-        .localCheckpoint()
+  /** The operator-side micro cosine distance, `round((1 − cos)·1e6)`,
+    * with [[org.apache.spark.sql.graft.CosineSimilarity]]'s exact
+    * float-widening left-to-right accumulation — seeding on the driver
+    * must produce the same longs the distributed form did.
+    */
+  private def distMicro(a: Array[Float], b: Array[Float]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
     }
-    chosen.reverse.map(_.map(_.toDouble))
+    val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    math.round((1.0 - cos) * 1e6)
+  }
+
+  /** Deterministic k-means++ (D² sampling) seeds over a BOUNDED
+    * hash-ordered sample — the [[trainCodebooks]] posture: seeding
+    * needs a representative draw, not the corpus. The previous
+    * distributed form paid, PER SEED, a full-corpus aggregate, a
+    * row-lookup job and a corpus-wide checkpoint (k−1 sequential
+    * rounds — it alone doubled embKmeans's bench time); this runs the
+    * identical arithmetic in plain Scala over the lowest-`xxhash64`
+    * `sampleN` vectors, one narrow TakeOrdered pass total.
+    *
+    * Draw-for-draw identical rules: seed 1 minimizes (xxhash64(vec_id),
+    * vec_id) — the hash-min row is in every hash-ordered sample
+    * prefix, so it equals the old full-corpus pick; seed j minimizes
+    * the exponential race key −ln(u)/D² with u derived from Spark's
+    * own xxhash64(vec_id, j) (fetched WITH the sample, so the draw
+    * function stays the published one) and D the micro cosine distance
+    * to the nearest chosen seed, incrementally maintained. At any
+    * corpus ≤ sampleN the sample IS the corpus and seeds are
+    * bit-identical to the distributed form (the spec corpora all are);
+    * beyond that D² sees the sample only — the standard bounded-
+    * training trade every production k-means++ makes. Round9Spec
+    * replays the selection independently.
+    */
+  private[operators] def kmeansPlusPlusSeeds(e: DataFrame, k: Int,
+                                             sampleN: Int = 4096): Seq[Seq[Double]] = {
+    val cols = Seq(col("vec_id"), col("embedding"), xxhash64(col("vec_id")).as("h1")) ++
+      (2 to k).map(j => xxhash64(col("vec_id"), lit(j)).as(s"h$j"))
+    val rows = e.select(cols: _*)
+      .orderBy(col("h1"), col("vec_id")).limit(sampleN).collect()
+    require(rows.nonEmpty, "k-means++ seeding: empty corpus")
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getAs[scala.collection.Seq[Float]](1).toArray)
+    // hashes(i)(j-2) = xxhash64(vec_id_i, j) for draw j in 2..k
+    val drawHash = rows.map(r => (2 to k).map(j => r.getLong(j + 1)).toArray)
+    var chosen = List(vecs(0))
+    val dmin = vecs.map(v => distMicro(v, vecs(0)))
+    for (j <- 2 to k) {
+      var best = -1; var bestKey = Double.MaxValue; var bestId = Long.MaxValue
+      var i = 0
+      while (i < vecs.length) {
+        val d = dmin(i)
+        val key =
+          if (d == 0L) Double.MaxValue
+          else {
+            val u = math.max(drawHash(i)(j - 2).toDouble / math.pow(2, 64) + 0.5, 1e-12)
+            -math.log(u) / (d.toDouble * d.toDouble)
+          }
+        if (key < bestKey || (key == bestKey && ids(i) < bestId)) {
+          best = i; bestKey = key; bestId = ids(i)
+        }
+        i += 1
+      }
+      val cvec = vecs(best)
+      chosen ::= cvec
+      var p = 0
+      while (p < vecs.length) {
+        dmin(p) = math.min(dmin(p), distMicro(vecs(p), cvec)); p += 1
+      }
+    }
+    chosen.reverse.map(_.toSeq.map(_.toDouble))
   }
 
   /** A15: spherical k-means (Lloyd's) — the corpus-clustering step

@@ -180,8 +180,8 @@ class Round9Spec extends SparkSpec {
     * xxhash64 (the published draw function); the selection logic —
     * the thing the operator could get wrong — replays in plain Scala.
     */
-  private def seedsReplay(vecs: Array[(Long, Array[Float])], k: Int)
-      : Seq[Seq[Double]] = {
+  private def seedsReplay(allVecs: Array[(Long, Array[Float])], k: Int,
+                          sampleN: Int = 4096): Seq[Seq[Double]] = {
     import org.apache.spark.sql.functions.{col, lit, xxhash64}
     val hashCols = col("vec_id").as("id") +: xxhash64(col("vec_id")).as("h0") +:
       (2 to k).map(j => xxhash64(col("vec_id"), lit(j)).as(s"h$j"))
@@ -189,6 +189,9 @@ class Round9Spec extends SparkSpec {
       .select(hashCols: _*).collect()
       .map(r => r.getLong(0) -> (1 to k).map(j =>
         if (j == 1) r.getLong(1) else r.getLong(j)).toArray).toMap
+    // the operator seeds over the lowest-hash sampleN sample (the full
+    // corpus at every spec SF — this restriction is live only beyond)
+    val vecs = allVecs.sortBy { case (id, _) => (hashes(id)(0), id) }.take(sampleN)
     val first = vecs.minBy { case (id, _) => (hashes(id)(0), id) }
     var chosen = List(first._2)
     val dmin = scala.collection.mutable.Map(
