@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Dedup, Graph, Multimodal, Similarity}
-import graft.queries.{Analytics, IOQueries, Relational, TextQueries}
+import graft.queries.{Analytics, IOQueries, Relational, TextQueries, TimeSeries}
 import graft.streaming.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -172,6 +172,9 @@ object SparkEntry {
     "g_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     "g_triangles" -> ((s, d) => Graph.triangles(s, d)),
     "g_communities" -> ((s, d) => Graph.labelProp(s, d)),
+    "ts_snaive" -> (TimeSeries.snaive _),
+    "ts_decompose" -> (TimeSeries.decompose _),
+    "ts_cusum" -> (TimeSeries.cusum _),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
@@ -1496,6 +1499,60 @@ object SparkEntry {
       base + iters +
         "\nSELECT node, r AS rank_micro FROM r5 ORDER BY r DESC, node LIMIT 20"
     },
+    "ts_snaive" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT a.d, a.y AS actual_micro, b.y AS forecast_micro,
+        |  abs(a.y - b.y) AS abs_err_micro
+        |FROM daily a JOIN daily b ON a.d = b.d + 7
+        |ORDER BY a.d""".stripMargin,
+    "ts_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), dd AS (
+        |  SELECT datediff('day', DATE '1995-01-01', d) AS x, y FROM daily
+        |), g AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM dd
+        |)
+        |SELECT CAST(x % 7 AS INT) AS dow,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(round(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT) AS dow_mean_micro,
+        |  CAST(round(CAST(sum(y) AS DOUBLE) * CAST(g.n AS DOUBLE) * 1e6 /
+        |    (CAST(count(*) AS DOUBLE) * CAST(g.sy AS DOUBLE))) AS BIGINT)
+        |    AS seasonal_ratio_micro,
+        |  CAST(round(CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE) /
+        |    CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)) AS BIGINT)
+        |    AS slope_micro_per_day
+        |FROM dd, g
+        |GROUP BY x % 7, g.n, g.sy, g.sxy, g.sx, g.sxx
+        |ORDER BY dow""".stripMargin,
+    "ts_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), t AS (
+        |  SELECT sum(y) AS total, count(*) AS n FROM daily
+        |), c AS (
+        |  SELECT d, y,
+        |    sum(y) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cs,
+        |    row_number() OVER (ORDER BY d) AS i
+        |  FROM daily
+        |), s AS (
+        |  SELECT c.d, c.y,
+        |    CAST(c.cs - c.i * (t.total // t.n) AS BIGINT) AS cusum_micro
+        |  FROM c, t
+        |)
+        |SELECT d, y AS y_micro, cusum_micro,
+        |  (row_number() OVER (ORDER BY abs(cusum_micro) DESC, d) = 1) AS is_changepoint
+        |FROM s ORDER BY d""".stripMargin,
     "g_communities" -> {
       val base =
         """WITH b AS (

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series analytics over the daily order-revenue series (SURVEY
+  * §2 F1–F3) — the monitoring layer every warehouse grows on top of
+  * its fact tables: backtested forecasting, trend/seasonality
+  * decomposition, and changepoint detection.
+  *
+  * All three are exact integer-micro arithmetic over the aggregated
+  * daily series, so the DuckDB oracle replays them hash-exact (the
+  * iterative-operator determinism contract). The daily series itself
+  * is one map-side-combinable aggregation of the fact table — the
+  * only pass that touches fact rows at any scale; everything after
+  * operates on |days| rows (bounded: a decade is ~3.7k rows), so the
+  * global ordered windows below are the same deliberately-bounded
+  * shape as the rolling-median/7-day operators (design-noted there).
+  */
+object TimeSeries {
+
+  /** Daily revenue micro-longs: (d DATE, y = Σ round(price·1e6)). */
+  private def daily(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum(round(col("o_totalprice") * lit(1e6)).cast("long")).as("y"))
+
+  /** F1: seasonal-naive forecast backtest — forecast(d) = actual(d−7),
+    * the standard baseline every real forecaster must beat, evaluated
+    * as a per-day backtest (actual, forecast, absolute error). One
+    * self-join of the daily series on a 7-day shift; days without a
+    * d−7 observation are excluded (no forecast exists).
+    */
+  def snaive(spark: SparkSession, dir: String): DataFrame =
+    snaiveOf(daily(spark, dir))
+
+  /** [[snaive]]'s core over ANY (d DATE, y LONG) daily series — split
+    * out so specs can feed hand series.
+    */
+  private[graft] def snaiveOf(base: DataFrame): DataFrame = {
+    base.as("cur")
+      .join(base.select(date_add(col("d"), 7).as("d"), col("y").as("forecast_micro")), Seq("d"))
+      .select(col("d"), col("y").as("actual_micro"), col("forecast_micro"),
+        abs(col("y") - col("forecast_micro")).as("abs_err_micro"))
+      .orderBy("d")
+  }
+
+  /** F2: trend + weekly-seasonality decomposition — the two numbers a
+    * corpus/revenue monitor actually wants: the least-squares daily
+    * trend slope, and a per-day-of-week seasonal index.
+    *
+    * Exactness: x = days since a FIXED epoch (1995-01-01 — slope is
+    * shift-invariant, and a fixed reference is engine-identical,
+    * unlike dayofweek whose origin differs between Spark and DuckDB;
+    * dow = x mod 7). All sums are exact integers — Σxy overflows
+    * int64 (x ≤ thousands × y ~ 1e13 micro × |days|), so it
+    * accumulates as decimal(38,0) on Spark and HUGEINT in DuckDB,
+    * both exact 128-bit — and divisions happen once, at the end, on
+    * bit-equal integer inputs, so the rounded doubles match.
+    */
+  def decompose(spark: SparkSession, dir: String): DataFrame = {
+    val d = daily(spark, dir)
+      .select(datediff(col("d"), lit("1995-01-01").cast("date")).cast("long").as("x"), col("y"))
+    val g = d.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope = ((col("n").cast("decimal(38,0)") * col("sxy") -
+        col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+    val global = g.select(col("n"), col("sy"), round(slope).cast("long").as("slope_micro_per_day"))
+    d.groupBy((col("x") % 7).cast("int").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y").cast("decimal(38,0)")).as("syd"))
+      .crossJoin(global)
+      .select(col("dow"), col("n_days"),
+        round(col("syd").cast("double") / col("n_days")).cast("long").as("dow_mean_micro"),
+        round(col("syd").cast("double") * col("n").cast("double") * 1e6 /
+          (col("n_days").cast("double") * col("sy").cast("double"))).cast("long")
+          .as("seasonal_ratio_micro"),
+        col("slope_micro_per_day"))
+      .orderBy("dow")
+  }
+
+  /** F3: CUSUM changepoint detection — cumulative sum of deviations
+    * from the series mean; the day where |CUSUM| peaks is the
+    * level-shift point (Page's classic chart, the offline scan form).
+    *
+    * Exactness: the baseline is the FLOOR mean (`total div n`), which
+    * keeps every term a bounded int64 (scaling the deviations by n —
+    * the exact-mean alternative — overflows; the floor variant drifts
+    * the cusum by at most i·(total mod n)/n < n, noise at micro
+    * scale, and both engines replay the same floor). The peak flag is
+    * rank 1 by (|cusum| desc, d asc) — deterministic ties to the
+    * earliest day.
+    */
+  def cusum(spark: SparkSession, dir: String): DataFrame =
+    cusumOf(daily(spark, dir))
+
+  /** [[cusum]]'s core over ANY (d DATE, y LONG) daily series. */
+  private[graft] def cusumOf(series: DataFrame): DataFrame = {
+    val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = series
+      .withColumn("cs", sum("y").over(w))
+      .withColumn("i", row_number().over(Window.orderBy("d")))
+      .crossJoin(series.agg(
+        sum("y").as("total"), count(lit(1)).as("n")))
+      .withColumn("cusum_micro", col("cs") - col("i") * expr("total div n"))
+    base
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(abs(col("cusum_micro")).desc, col("d"))))
+      .select(col("d"), col("y").as("y_micro"), col("cusum_micro"),
+        (col("rnk") === 1).as("is_changepoint"))
+      .orderBy("d")
+  }
+}

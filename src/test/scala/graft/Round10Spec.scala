@@ -221,6 +221,35 @@ class Round10Spec extends SparkSpec {
       s"got $got")
   }
 
+  test("cusum flags the level-shift day on a hand series") {
+    import graft.queries.TimeSeries
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+    // 10 days at 100, then 10 at 200: floor-mean 150, CUSUM walks to
+    // −500 at day 10 and back to 0 — the shift boundary is the peak
+    val series = (0 until 20).map(i => (i, if (i < 10) 100L else 200L)).toDF("i", "y")
+      .select(date_add(to_date(lit("2020-01-01")), col("i")).as("d"), col("y"))
+    val rows = TimeSeries.cusumOf(series).collect()
+    val flagged = rows.filter(_.getBoolean(3)).map(_.getDate(0).toString).toSeq
+    assert(flagged == Seq("2020-01-10"), s"flagged $flagged")
+    val atPeak = rows.find(_.getDate(0).toString == "2020-01-10").get
+    assert(atPeak.getLong(2) == -500L, s"peak cusum ${atPeak.getLong(2)}")
+    assert(rows.last.getLong(2) == 0L, "cusum must return to ~0 at the end")
+  }
+
+  test("seasonal-naive backtest equals the week-ago value on a hand series") {
+    import graft.queries.TimeSeries
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+    val series = (0 until 14).map(i => (i, (i + 1) * 10L)).toDF("i", "y")
+      .select(date_add(to_date(lit("2020-01-01")), col("i")).as("d"), col("y"))
+    val rows = TimeSeries.snaiveOf(series).collect()
+    assert(rows.length == 7, s"${rows.length} backtest rows")
+    assert(rows.forall(r => r.getLong(1) - r.getLong(2) == 70L),
+      "every forecast must trail the actual by exactly 7 days' growth")
+    assert(rows.forall(_.getLong(3) == 70L), "abs_err = 70 on the linear ramp")
+  }
+
   // ---- mm_neardup: perceptual media near-dup ----
 
   test("mm_neardup banding == brute-force hamming<=7 all-pairs (pigeonhole)") {
