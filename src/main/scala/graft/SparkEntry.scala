@@ -172,6 +172,7 @@ object SparkEntry {
     "g_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     "g_triangles" -> ((s, d) => Graph.triangles(s, d)),
     "g_communities" -> ((s, d) => Graph.labelProp(s, d)),
+    "ann_sq" -> ((s, d) => Similarity.sqAnn(s, d)),
     "ts_snaive" -> (TimeSeries.snaive _),
     "ts_decompose" -> (TimeSeries.decompose _),
     "ts_cusum" -> (TimeSeries.cusum _),

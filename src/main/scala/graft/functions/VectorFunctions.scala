@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{ColumnShim, CosineSimilarity, L2Normalize, NearestCentroids, PqAdcScore, PqAdcTables, PqEncode}
+import org.apache.spark.sql.graft.{ColumnShim, CosineSimilarity, L2Normalize, NearestCentroids, PqAdcScore, PqAdcTables, PqEncode, Sq8Codes, Sq8Dot, Sq8Scale}
 
 object VectorFunctions {
 
@@ -42,6 +42,18 @@ object VectorFunctions {
     */
   def pqAdcScore(codes: Column, tbl: Column): Column =
     ColumnShim.column(PqAdcScore(ColumnShim.expression(codes), ColumnShim.expression(tbl)))
+
+  /** SQ8 scalar quantization: per-vector scale, byte codes, exact
+    * integer dot (see [[org.apache.spark.sql.graft.Sq8Scale]] /
+    * [[org.apache.spark.sql.graft.Sq8Codes]] /
+    * [[org.apache.spark.sql.graft.Sq8Dot]]).
+    */
+  def sq8Scale(v: Column): Column =
+    ColumnShim.column(Sq8Scale(ColumnShim.expression(v)))
+  def sq8Codes(v: Column): Column =
+    ColumnShim.column(Sq8Codes(ColumnShim.expression(v)))
+  def sq8Dot(a: Column, b: Column): Column =
+    ColumnShim.column(Sq8Dot(ColumnShim.expression(a), ColumnShim.expression(b)))
 
   /** Pure-`sql.functions` fallback with identical semantics — kept as a
     * differential-test oracle for the native expression and as the

@@ -316,6 +316,54 @@ object Similarity {
       k)
   }
 
+  /** A16: scalar-quantized (SQ8) ANN — the 4× bandwidth rung between
+    * raw floats and PQ's 32×, and what production vector stores ship
+    * as the default compression (faiss SQ8 / Milvus SQ): each vector
+    * becomes one double scale + one byte per dimension, and the scan
+    * scores candidates with an EXACT integer dot product rescaled
+    * once per pair — no codebook training, and far better fidelity
+    * than PQ at 8× less compression.
+    *
+    * Plan: corpus encodes in the scan projection (narrow; bytes are
+    * what a 100 TB store would persist), the query side broadcasts
+    * (codes + scales for `nQueries` rows), the approximate score
+    * shortlists via the mergeable top-k aggregate, and the exact
+    * float cosine reranks shortlist·queries rows only — the pqAnn
+    * skeleton with SQ8 in place of ADC. Probabilistic-shaped
+    * (quantization error) → rows-only driver check; the spec pins
+    * recall vs brute force.
+    */
+  def sqAnn(spark: SparkSession, dir: String,
+            kNN: Int = 5, nQueries: Int = 10, shortlist: Int = 64): DataFrame = {
+    val e = corpus(spark, dir).select(col("vec_id"),
+      VectorFunctions.l2normalize(col("embedding")).as("embedding"))
+    val encoded = e.select(col("vec_id"),
+      VectorFunctions.sq8Codes(col("embedding")).as("codes"),
+      VectorFunctions.sq8Scale(col("embedding")).as("sc"))
+    val queries = broadcast(querySet(e, nQueries)
+      .select(col("q_id"), col("q_emb"),
+        VectorFunctions.sq8Codes(col("q_emb")).as("q_codes"),
+        VectorFunctions.sq8Scale(col("q_emb")).as("q_sc")))
+    val score = when(col("sc") === 0.0 || col("q_sc") === 0.0, lit(0.0))
+      .otherwise(VectorFunctions.sq8Dot(col("codes"), col("q_codes")).cast("double") /
+        (col("sc") * col("q_sc")))
+    val topk = udaf(graft.functions.Aggregators.TopKByScore(shortlist))
+    val short = encoded
+      .join(queries.select("q_id", "q_codes", "q_sc"), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), score.as("score"), col("vec_id"))
+      .groupBy("q_id").agg(topk(col("score"), col("vec_id")).as("nn"))
+      .select(col("q_id"), explode(col("nn")).as("s"))
+      .select(col("q_id"), col("s._2").as("vec_id"))
+    rankTopKQueries(
+      short
+        .join(e, Seq("vec_id"))
+        .join(queries.select("q_id", "q_emb"), Seq("q_id"))
+        .select(col("q_id"),
+          round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4).as("sim"),
+          col("vec_id")),
+      kNN)
+  }
+
   /** A9: product-quantization ANN (the PQ half of FAISS's IVF-PQ; A3
     * demonstrates the IVF coarse stage): vectors compress to `m` small
     * codes and the search never touches floats until the final rerank.

@@ -89,6 +89,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, s"recall=$recall")
   }
 
+  test("SQ8 ANN recall >= 0.95 vs brute force") {
+    // int8 symmetric quantization of 64-dim normalized vectors loses
+    // well under a rank's worth of precision — the floor is tighter
+    // than the trained-codebook paths' by design
+    val sq = topkSet(Similarity.sqAnn(spark, sfDir).select("q_id", "vec_id").collect())
+    val recall = sq.intersect(exact).size.toDouble / exact.size
+    RecallLog.record("ann_sq", "recall_vs_exact", recall)
+    assert(recall >= 0.95, s"recall=$recall")
+  }
+
   test("PQ ANN recall >= 0.9 vs brute force") {
     // Lloyd-trained 256-entry codebooks (8-bit codes, the standard PQ
     // setup) + 64-candidate ADC shortlist + exact rerank. The floor is
