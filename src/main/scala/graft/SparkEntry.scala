@@ -173,6 +173,8 @@ object SparkEntry {
     "g_triangles" -> ((s, d) => Graph.triangles(s, d)),
     "g_communities" -> ((s, d) => Graph.labelProp(s, d)),
     "ann_sq" -> ((s, d) => Similarity.sqAnn(s, d)),
+    "q_mad_outliers" -> (Analytics.qMadOutliers _),
+    "emb_matryoshka" -> ((s, d) => Similarity.embMatryoshka(s, d)),
     "ts_snaive" -> (TimeSeries.snaive _),
     "ts_decompose" -> (TimeSeries.decompose _),
     "ts_cusum" -> (TimeSeries.cusum _),
@@ -1500,6 +1502,54 @@ object SparkEntry {
       base + iters +
         "\nSELECT node, r AS rank_micro FROM r5 ORDER BY r DESC, node LIMIT 20"
     },
+    "emb_matryoshka" ->
+      """WITH p(dp) AS (VALUES (8), (16), (32), (64)),
+        |sims AS (
+        |  SELECT p.dp, q.vec_id AS q_id, c.vec_id AS vec_id,
+        |    round(list_cosine_similarity(
+        |      list_transform(q.embedding[1:p.dp], x -> CAST(x AS DOUBLE)),
+        |      list_transform(c.embedding[1:p.dp], x -> CAST(x AS DOUBLE))), 4) AS sim
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id, p
+        |), top AS (
+        |  SELECT dp, q_id, vec_id FROM (
+        |    SELECT dp, q_id, vec_id,
+        |      row_number() OVER (PARTITION BY dp, q_id ORDER BY sim DESC, vec_id) AS rnk
+        |    FROM sims
+        |  ) WHERE rnk <= 5
+        |), fullset AS (
+        |  SELECT q_id, vec_id FROM top WHERE dp = 64
+        |)
+        |SELECT t.dp AS dim_prefix,
+        |  CAST(sum(CASE WHEN f.q_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_matched,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(round(CAST(sum(CASE WHEN f.q_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |    * 1e6 / count(*)) AS BIGINT) AS recall_micro
+        |FROM top t LEFT JOIN fullset f ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+        |GROUP BY t.dp ORDER BY dim_prefix""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), med AS (
+        |  SELECT event_type,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY n) AS med
+        |  FROM daily GROUP BY event_type
+        |), wm AS (
+        |  SELECT daily.event_type, d, n, med, abs(n - med) AS ad
+        |  FROM daily JOIN med USING (event_type)
+        |), mad AS (
+        |  SELECT event_type,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+        |  FROM wm GROUP BY event_type
+        |)
+        |SELECT wm.event_type, d, n, med, mad,
+        |  CASE WHEN mad > 0 THEN CAST(round(CAST(ad AS DOUBLE) * 1e6 /
+        |    (1.4826 * CAST(mad AS DOUBLE))) AS BIGINT) END AS robust_z_micro,
+        |  (mad > 0 AND CAST(ad AS DOUBLE) > 3.0 * 1.4826 * CAST(mad AS DOUBLE))
+        |    AS is_outlier
+        |FROM wm JOIN mad USING (event_type)
+        |ORDER BY event_type, d""".stripMargin,
     "ts_snaive" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,

@@ -316,6 +316,50 @@ object Similarity {
       k)
   }
 
+  /** A17: Matryoshka truncation evaluation — for each prefix length
+    * d' (MRL-style nested embeddings: the first d' dimensions used as
+    * a d'-dim embedding), the exact top-k recall vs the full-dimension
+    * ranking. This is the sizing study run before committing a corpus
+    * to truncated vectors (4× bandwidth at d/4 IF recall holds) — an
+    * EVAL operator: production runs it over a query sample, so the
+    * O(|prefixes|·n·|queries|·d) brute-force cost is the point, not a
+    * scale hazard; the per-(prefix, query) ranking still uses the
+    * mergeable top-k (k rows per group per partition cross the
+    * shuffle).
+    *
+    * Deterministic end to end (exact cosine, 4-dp rounding, (sim desc,
+    * vec_id) ties; recall counts are integers) → DuckDB-oracled, the
+    * only approximation being the one under study.
+    */
+  def embMatryoshka(spark: SparkSession, dir: String,
+                    k: Int = 5, nQueries: Int = 10,
+                    prefixes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = broadcast(querySet(e, nQueries))
+    val topk = udaf(graft.functions.Aggregators.TopKByScore(k))
+    val top = e.join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"),
+        explode(typedlit(prefixes)).as("dp"))
+      .select(col("dp"), col("q_id"),
+        round(VectorFunctions.cosine(
+          slice(col("q_emb"), lit(1), col("dp")),
+          slice(col("embedding"), lit(1), col("dp"))), 4).as("sim"),
+        col("vec_id"))
+      .groupBy("dp", "q_id").agg(topk(col("sim"), col("vec_id")).as("nn"))
+      .select(col("dp"), col("q_id"), explode(col("nn")).as("s"))
+      .select(col("dp"), col("q_id"), col("s._2").as("vec_id"))
+    val full = top.filter(col("dp") === prefixes.max)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+    top.join(full, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("dp").as("dim_prefix"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_matched"),
+        count(lit(1)).as("n_total"))
+      .select(col("dim_prefix"), col("n_matched"), col("n_total"),
+        round(col("n_matched").cast("double") * 1e6 / col("n_total")).cast("long")
+          .as("recall_micro"))
+      .orderBy("dim_prefix")
+  }
+
   /** A16: scalar-quantized (SQ8) ANN — the 4× bandwidth rung between
     * raw floats and PQ's 32×, and what production vector stores ship
     * as the default compression (faiss SQ8 / Milvus SQ): each vector

@@ -170,6 +170,42 @@ object Analytics {
       .orderBy("event_type", "hour_us")
   }
 
+  /** Q40: ROBUST outlier days via median absolute deviation — E16's
+    * complement for contaminated series: mean/σ thresholds are dragged
+    * by the very outliers they hunt (masking), while the median/MAD
+    * breakdown point is 50%. Daily event counts per type; med and MAD
+    * use `percentile_disc` (actual elements, the q_quantiles
+    * convention — interpolation arithmetic diverges across engines),
+    * so both stay exact longs; the 1.4826 normal-consistency constant
+    * enters once as the identical double literal in both engines. Two
+    * type-level aggregates over the |days|×|types| rollup — the only
+    * fact-scale work is the daily rollup itself. Every day is emitted
+    * with its robust z (micro) and flag, so the gate hashes
+    * non-vacuously even on a well-behaved series.
+    */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").as("med"))
+    val withMed = daily.join(med, Seq("event_type"))
+      .withColumn("ad", abs(col("n") - col("med")))
+    val mad = withMed.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)").as("mad"))
+    withMed.join(mad, Seq("event_type"))
+      .select(col("event_type"), col("d"), col("n"),
+        // Spark percentile_disc surfaces DOUBLE even over bigint input;
+        // the values are exact integers — cast back for the oracle
+        col("med").cast("long").as("med"), col("mad").cast("long").as("mad"),
+        when(col("mad") > 0,
+          round(col("ad").cast("double") * 1e6 / (lit(1.4826) * col("mad").cast("double")))
+            .cast("long")).as("robust_z_micro"),
+        (col("mad") > 0 && col("ad").cast("double") > lit(3.0) * lit(1.4826) * col("mad").cast("double"))
+          .as("is_outlier"))
+      .orderBy("event_type", "d")
+  }
+
   /** Q28: fixed-width histogram — integer bucket arithmetic (floor
     * division), one aggregate pass; the declarative form of
     * `width_bucket` that pushes the whole binning into the scan
