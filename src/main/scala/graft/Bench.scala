@@ -47,8 +47,8 @@ object Bench {
     // round-5 late additions
     "text_bm25", "text_pmi", "emb_kmeans", "q_rolling_median",
     "dedup_substring_remove",
-    // round-6 addition
-    "mm_neardup")
+    // round-6 additions
+    "mm_neardup", "ann_sq", "g_pagerank", "g_communities", "ts_cusum")
 
   /** The scale-step set: the heaviest operators that read ONLY the
     * documents/embeddings tables (the two the 10× blow-up synthesizes).
