@@ -178,6 +178,7 @@ object SparkEntry {
     "ts_snaive" -> (TimeSeries.snaive _),
     "ts_decompose" -> (TimeSeries.decompose _),
     "ts_cusum" -> (TimeSeries.cusum _),
+    "text_domain_cap" -> ((s, d) => TextQueries.textDomainCap(s, d)),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
@@ -1604,6 +1605,25 @@ object SparkEntry {
         |SELECT d, y AS y_micro, cusum_micro,
         |  (row_number() OVER (ORDER BY abs(cusum_micro) DESC, d) = 1) AS is_changepoint
         |FROM s ORDER BY d""".stripMargin,
+    // The window form is the SEMANTIC spec of the domain cap; the Spark
+    // plan computes the same keeper set with a bounded mergeable top-k
+    // aggregate (skew-immune map-side capping, see textDomainCap).
+    "text_domain_cap" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    (CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, doc_id, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      AS keep_rank,
+        |    count(*) OVER (PARTITION BY source) AS n_source
+        |  FROM h
+        |)
+        |SELECT source, doc_id, CAST(keep_rank AS BIGINT) AS keep_rank,
+        |  CAST(n_source AS BIGINT) AS n_source
+        |FROM r WHERE keep_rank <= 15
+        |ORDER BY source, keep_rank""".stripMargin,
     "g_communities" -> {
       val base =
         """WITH b AS (

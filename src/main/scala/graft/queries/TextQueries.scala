@@ -997,4 +997,48 @@ object TextQueries {
         col("e._2").as("doc_id"), col("e._1").cast("long").as("score_micro"))
       .orderBy("q_id", "rnk")
   }
+
+  /** X25: per-domain document cap — keep at most `cap` documents per
+    * source/domain, chosen by a deterministic hash order (the C4 /
+    * RefinedWeb "limit pages per domain" curation rule: without it a
+    * handful of template-heavy domains dominate the corpus mixture).
+    * The kept set is a deterministic uniform sample WITHIN each domain
+    * because the Knuth multiplicative hash of doc_id is
+    * order-uniform — not "first N by crawl order", which would bias
+    * toward whatever the ingest happened to list first.
+    *
+    * Scale shape: the naive form — `row_number() over (partition by
+    * source order by h)` then `rank <= cap` — shuffles and SORTS every
+    * corpus row into its domain's reducer, and a mega-domain (the
+    * exact thing the cap exists for) becomes one straggler reducer
+    * sorting its whole domain. Instead the per-domain keeper set is
+    * the bounded mergeable top-k aggregate
+    * ([[graft.functions.Aggregators.TopKByScore]] on score = −h):
+    * partial buffers cap at `cap` entries map-side, so ≤ cap rows per
+    * (domain, partition) cross the wire regardless of domain skew —
+    * traffic is O(domains · cap · parallelism), corpus rows stay put.
+    * Per-domain totals (the drop accounting every curation report
+    * needs) ride the SAME aggregate, and the domain table that comes
+    * back is vocab-bounded, never corpus-bounded.
+    *
+    * Determinism: h = (doc_id · 2654435761) mod 2^32 (exact in a
+    * double up to 2^32, negated for the aggregate's desc order) with
+    * doc_id-asc ties — a total order both engines replay; the oracle's
+    * window form is the semantic spec, this aggregate is the plan that
+    * survives the skew.
+    */
+  def textDomainCap(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val topk = udaf(graft.functions.Aggregators.TopKByScore(cap))
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), (-h.cast("double")).as("nh"))
+      .groupBy("source")
+      .agg(topk(col("nh"), col("doc_id")).as("keep"),
+        count(lit(1)).as("n_source"))
+      .select(col("source"), col("n_source"),
+        posexplode(col("keep")).as(Seq("pos", "e")))
+      .select(col("source"), col("e._2").as("doc_id"),
+        (col("pos") + 1).cast("long").as("keep_rank"), col("n_source"))
+      .orderBy("source", "keep_rank")
+  }
 }
