@@ -179,6 +179,7 @@ object SparkEntry {
     "ts_decompose" -> (TimeSeries.decompose _),
     "ts_cusum" -> (TimeSeries.cusum _),
     "text_domain_cap" -> ((s, d) => TextQueries.textDomainCap(s, d)),
+    "text_phrase" -> ((s, d) => TextQueries.textPhrase(s, d)),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
@@ -1624,6 +1625,39 @@ object SparkEntry {
         |  CAST(n_source AS BIGINT) AS n_source
         |FROM r WHERE keep_rank <= 15
         |ORDER BY source, keep_rank""".stripMargin,
+    // Same anchor-vote formulation as the Spark plan: a slot matches a
+    // given (doc, anchor) at most once, so count(*) = plen ⇔ full match.
+    "text_phrase" ->
+      """WITH p AS (
+        |  SELECT * FROM (VALUES (0, 'window batch'), (1, 'batch batch batch'),
+        |    (2, 'spark table small'), (3, 'data row column')) AS t(phrase_id, phrase)
+        |), ps AS (
+        |  SELECT phrase_id, phrase, string_split(phrase, ' ') AS pt FROM p
+        |), slots AS (
+        |  SELECT phrase_id, phrase, pt[i] AS term, i - 1 AS slot, len(pt) AS plen
+        |  FROM ps, unnest(range(1, len(pt) + 1)) AS u(i)
+        |), d AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |    x -> x != '') AS toks
+        |  FROM documents
+        |), post AS (
+        |  SELECT doc_id, toks[i] AS term, i - 1 AS pos
+        |  FROM d, unnest(range(1, len(toks) + 1)) AS u(i)
+        |), m AS (
+        |  SELECT s.phrase_id, s.phrase, s.plen, post.doc_id,
+        |    post.pos - s.slot AS anchor
+        |  FROM post JOIN slots s USING (term)
+        |  WHERE post.pos - s.slot >= 0
+        |), full_match AS (
+        |  SELECT phrase_id, phrase, doc_id, anchor
+        |  FROM m GROUP BY phrase_id, phrase, plen, doc_id, anchor
+        |  HAVING count(*) = plen
+        |)
+        |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, phrase, doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_occ
+        |FROM full_match GROUP BY phrase_id, phrase, doc_id
+        |ORDER BY phrase_id, doc_id""".stripMargin,
     "g_communities" -> {
       val base =
         """WITH b AS (

@@ -998,6 +998,54 @@ object TextQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** X26: exact phrase search over a positional index — per-document
+    * occurrence counts of fixed multi-token phrases, the exact-match
+    * retrieval rung under X22's BM25 bag-of-words ranking (boilerplate
+    * hunting, targeted curation-by-phrase, quote mining all need
+    * positions, not term frequencies).
+    *
+    * Scale shape: the positional postings (doc, pos, term) are born in
+    * the corpus scan and immediately filtered to the PHRASE vocabulary
+    * (`isin` over a literal set — postings of non-query terms never
+    * exist). Adjacency is then the anchor-vote trick: a posting at
+    * position p matching phrase slot i votes for anchor p−i, and an
+    * anchor holding ALL `plen` slots is a full occurrence — ONE
+    * map-side-combinable aggregate keyed (phrase, doc, anchor)
+    * replaces the textbook chain of plen−1 positional self-joins
+    * (each a full shuffle of the postings list). A slot can match a
+    * given anchor at most once (one token per position), so
+    * `count(*) = plen` is exact, and overlapping occurrences (e.g.
+    * "batch batch batch" twice inside 4 repeats) fall out naturally
+    * as distinct anchors. Slot table is a broadcast literal; traffic
+    * is O(postings of phrase terms), never corpus-bounded.
+    */
+  def textPhrase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val phrases = Seq(
+      (0L, "window batch"), (1L, "batch batch batch"),
+      (2L, "spark table small"), (3L, "data row column"))
+    val slots = phrases
+      .flatMap { case (id, p) =>
+        val ts = p.split(' ')
+        ts.zipWithIndex.map { case (t, i) => (id, p, i, t, ts.length) }
+      }.toDF("phrase_id", "phrase", "slot", "term", "plen")
+    val vocab = phrases.flatMap(_._2.split(' ')).distinct
+    val postings = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(filter(normToks, t => t =!= "")).as(Seq("pos", "term")))
+      .filter(col("term").isin(vocab: _*))
+    postings.join(broadcast(slots), "term")
+      .select(col("phrase_id"), col("phrase"), col("plen"),
+        col("doc_id"), (col("pos") - col("slot")).as("anchor"))
+      .filter(col("anchor") >= 0)
+      .groupBy("phrase_id", "phrase", "plen", "doc_id", "anchor")
+      .agg(count(lit(1)).as("n_slots"))
+      .filter(col("n_slots") === col("plen"))
+      .groupBy("phrase_id", "phrase", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy("phrase_id", "doc_id")
+  }
+
   /** X25: per-domain document cap — keep at most `cap` documents per
     * source/domain, chosen by a deterministic hash order (the C4 /
     * RefinedWeb "limit pages per domain" curation rule: without it a

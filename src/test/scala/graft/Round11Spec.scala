@@ -39,6 +39,36 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("text_phrase: counts match a driver scan, overlapping occurrences included") {
+    val out = TextQueries.textPhrase(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), (r.getString(1), r.getLong(3)))).toMap
+    val phrases = Seq((0L, "window batch"), (1L, "batch batch batch"),
+      (2L, "spark table small"), (3L, "data row column"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // driver replay: normalize exactly like normToks, count every
+    // anchor where the token window equals the phrase (overlaps count)
+    val expected = for {
+      (docId, text) <- docs
+      toks = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ", -1).filter(_.nonEmpty).toSeq
+      (pid, p) <- phrases
+      pt = p.split(' ').toSeq
+      n = (0 to toks.length - pt.length).count(a => toks.slice(a, a + pt.length) == pt)
+      if n > 0
+    } yield (pid, docId) -> (p, n.toLong)
+    assert(out == expected.toMap, "per-doc phrase occurrence counts must replay exactly")
+    assert(out.nonEmpty, "phrase set must actually hit the corpus")
+  }
+
+  test("text_phrase: one broadcast slot join + aggregates, no positional self-join chain") {
+    val plan = TextQueries.textPhrase(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"adjacency must be the anchor-vote aggregate, not shuffled self-joins:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"slot table should broadcast:\n$plan")
+  }
+
   test("text_domain_cap: plans a bounded partial top-k aggregate, not a corpus window sort") {
     val plan = TextQueries.textDomainCap(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
