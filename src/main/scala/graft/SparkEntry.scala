@@ -180,6 +180,7 @@ object SparkEntry {
     "ts_cusum" -> (TimeSeries.cusum _),
     "text_domain_cap" -> ((s, d) => TextQueries.textDomainCap(s, d)),
     "text_phrase" -> ((s, d) => TextQueries.textPhrase(s, d)),
+    "t_weighted_sample" -> ((s, d) => Relational.tWeightedSample(s, d)),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
@@ -1658,6 +1659,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_occ
         |FROM full_match GROUP BY phrase_id, phrase, doc_id
         |ORDER BY phrase_id, doc_id""".stripMargin,
+    // ln is libm on both engines (may differ in the last ulp) but keys
+    // are pico-rounded: a flip needs a value within ~1e-10 of a .5
+    // boundary — not observed at these SFs, same convention as text_pmi.
+    "t_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars AS w,
+        |    ((CAST(doc_id AS BIGINT) * 2654435761) % 4294967296 + 0.5)
+        |      / 4294967296.0 AS u
+        |  FROM documents WHERE n_chars > 0
+        |)
+        |SELECT doc_id, w,
+        |  CAST(round(-ln(u) / w * 1e12) AS BIGINT) AS key_pico
+        |FROM h
+        |ORDER BY key_pico, doc_id LIMIT 100""".stripMargin,
     "g_communities" -> {
       val base =
         """WITH b AS (

@@ -522,6 +522,37 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** T23: weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    * draw k documents with inclusion probability ∝ weight (here
+    * n_chars — sampling ∝ length is sampling ∝ token budget, the
+    * mixture-sampling rung T7/T8's uniform-rate filters can't reach).
+    * Each row gets key = −ln(u)/w from a per-row deterministic uniform
+    * u; the global k smallest keys ARE the weighted sample — one pass,
+    * no acceptance loops, no replacement bookkeeping.
+    *
+    * Determinism across engines: u = (knuth_hash(doc_id)+0.5)/2^32 —
+    * exact double arithmetic on both sides; the single ln is
+    * pico-rounded (×1e12: keys span (0, ~22], so micro would alias the
+    * small-key end where the winners live) following the repo's
+    * micro-integer convention for order-sensitive doubles.
+    *
+    * Scale shape: keys are born in the scan projection; the global
+    * top-k is `orderBy().limit(k)` which Spark plans as
+    * TakeOrderedAndProject — a per-partition bounded top-k merge (k
+    * rows per partition cross the wire), never a global sort. Zero
+    * joins, zero windows; corpus rows are touched exactly once.
+    */
+  def tWeightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val u = (h.cast("double") + 0.5) / 4294967296.0
+    Tables.load(spark, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars").as("w"),
+        round(-log(u) / col("n_chars") * 1e12).cast("long").as("key_pico"))
+      .orderBy(col("key_pico"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Q24: NTILE deciles over per-customer spend. The ranked input is
     * the per-customer AGGREGATE (3 orders of magnitude smaller than the
     * fact table), so the unpartitioned ranking window is a deliberate

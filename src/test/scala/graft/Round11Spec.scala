@@ -69,6 +69,37 @@ class Round11Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"slot table should broadcast:\n$plan")
   }
 
+  test("t_weighted_sample: selection replays driver-side and overweights long docs") {
+    import graft.queries.Relational
+    val out = Relational.tWeightedSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    val keyed = docs.map { case (id, w) =>
+      val h = java.lang.Long.remainderUnsigned(id * 2654435761L, 4294967296L)
+      val u = (h + 0.5) / 4294967296.0
+      (id, w, math.round(-math.log(u) / w * 1e12))
+    }
+    val expected = keyed.sortBy(e => (e._3, e._1)).take(100)
+    assert(out.toSeq == expected.toSeq,
+      "Efraimidis–Spirakis selection must replay exactly driver-side")
+    // inclusion probability ∝ weight: the sample's mean length must
+    // exceed the corpus mean (deterministic given the fixed hash)
+    val sampleMean = out.map(_._2).sum.toDouble / out.length
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean,
+      f"weighted sample mean w $sampleMean%.1f should exceed corpus mean $corpusMean%.1f")
+  }
+
+  test("t_weighted_sample: plans a bounded per-partition top-k, no global sort or window") {
+    import graft.queries.Relational
+    val plan = Relational.tWeightedSample(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global k smallest keys should be TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Window"), s"no window over the corpus:\n$plan")
+  }
+
   test("text_domain_cap: plans a bounded partial top-k aggregate, not a corpus window sort") {
     val plan = TextQueries.textDomainCap(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
