@@ -181,6 +181,7 @@ object SparkEntry {
     "text_domain_cap" -> ((s, d) => TextQueries.textDomainCap(s, d)),
     "text_phrase" -> ((s, d) => TextQueries.textPhrase(s, d)),
     "t_weighted_sample" -> ((s, d) => Relational.tWeightedSample(s, d)),
+    "ts_ewma" -> (TimeSeries.ewma _),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
@@ -1673,6 +1674,31 @@ object SparkEntry {
         |  CAST(round(-ln(u) / w * 1e12) AS BIGINT) AS key_pico
         |FROM h
         |ORDER BY key_pico, doc_id LIMIT 100""".stripMargin,
+    // weights interpolated from the same ewmaWeights the Spark plan
+    // compiles in — exact integers, HUGEINT ↔ decimal(38,0) numerator
+    "ts_ewma" -> {
+      val vals = graft.queries.TimeSeries.ewmaWeights(14).zipWithIndex
+        .map { case (w, j) => s"($j, $w)" }.mkString(", ")
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1
+         |), i AS (
+         |  SELECT d, y, row_number() OVER (ORDER BY d) AS i FROM daily
+         |), wts AS (
+         |  SELECT * FROM (VALUES $vals) AS t(j, wt)
+         |), a AS (
+         |  SELECT i.i + w.j AS ti,
+         |    sum(CAST(i.y AS HUGEINT) * w.wt) AS num, sum(w.wt) AS den
+         |  FROM i, wts w GROUP BY 1
+         |)
+         |SELECT i.d, i.y AS y_micro,
+         |  CAST(round(CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE)) AS BIGINT)
+         |    AS ewma_micro,
+         |  i.y - CAST(round(CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE)) AS BIGINT)
+         |    AS dev_micro
+         |FROM i JOIN a ON a.ti = i.i ORDER BY d""".stripMargin
+    },
     "g_communities" -> {
       val base =
         """WITH b AS (

@@ -100,6 +100,54 @@ object TimeSeries {
   def cusum(spark: SparkSession, dir: String): DataFrame =
     cusumOf(daily(spark, dir))
 
+  /** F4: EWMA smoothing — the exponentially-weighted moving average
+    * every streaming monitor layers under its alert thresholds
+    * (recent days dominate, old shocks decay geometrically), plus the
+    * per-day deviation y − ewma that feeds them.
+    *
+    * Exactness: the textbook recurrence s_t = α·y_t + (1−α)·s_{t−1}
+    * never stabilizes across engines (an infinite product of doubles).
+    * Instead: α = 1/4 (rational) and truncation at L = 14 lags — the
+    * dropped tail mass (3/4)^14 < 2% — with weights RENORMALIZED over
+    * the lags actually present (which also defines the warm-up rows).
+    * Weight_j ∝ (3/4)^j scaled by 4^(L−1): w_j = 3^j·4^(L−1−j), an
+    * exact integer; numerator Σ y·w accumulates as decimal(38,0) ↔
+    * HUGEINT (y ~ 1e13 micro × w ~ 7e7 × 14 lags ≈ 1e22 > int64), and
+    * the ONE division happens at the end on bit-equal integers — the
+    * F2/F3 convention. Lags are the previous L OBSERVATIONS (rows,
+    * not calendar days): a gap compresses, matching the monitoring
+    * use where the series is the unit of memory.
+    *
+    * Scale shape: fact rows are touched once by the daily aggregate;
+    * everything after is |days|·L bounded rows (a decade ≈ 52k) —
+    * the contribution fan-out replaces a per-lag weighted window
+    * (inexpressible as a plain window sum) with one posexplode +
+    * map-side-combinable aggregate.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame =
+    ewmaOf(daily(spark, dir))
+
+  /** [[ewma]]'s core over ANY (d DATE, y LONG) daily series. */
+  private[graft] def ewmaOf(series: DataFrame, lags: Int = 14): DataFrame = {
+    val wts = ewmaWeights(lags)
+    val idx = series.withColumn("i", row_number().over(Window.orderBy("d")))
+    val agg = idx
+      .select(col("i"), col("y"), posexplode(typedlit(wts)).as(Seq("j", "wt")))
+      .groupBy((col("i") + col("j")).as("ti"))
+      .agg(sum(col("y").cast("decimal(38,0)") * col("wt")).as("num"),
+        sum("wt").as("den"))
+    idx.join(agg, col("i") === col("ti"))
+      .select(col("d"), col("y").as("y_micro"),
+        round(col("num").cast("double") / col("den").cast("double"))
+          .cast("long").as("ewma_micro"))
+      .withColumn("dev_micro", col("y_micro") - col("ewma_micro"))
+      .orderBy("d")
+  }
+
+  /** w_j = 3^j · 4^(lags−1−j), j = 0 (current) … lags−1 (oldest). */
+  private[graft] def ewmaWeights(lags: Int): Seq[Long] =
+    (0 until lags).map(j => (BigInt(3).pow(j) * BigInt(4).pow(lags - 1 - j)).toLong)
+
   /** [[cusum]]'s core over ANY (d DATE, y LONG) daily series. */
   private[graft] def cusumOf(series: DataFrame): DataFrame = {
     val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)

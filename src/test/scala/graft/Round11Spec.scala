@@ -100,6 +100,31 @@ class Round11Spec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window over the corpus:\n$plan")
   }
 
+  test("ts_ewma: hand-series replay, warm-up renormalization, geometric decay") {
+    import graft.queries.TimeSeries
+    import spark.implicits._
+    val ys = Seq(100L, 200L, 50L, 400L, 300L, 250L, 150L, 500L)
+    val series = ys.zipWithIndex
+      .map { case (y, i) => (java.sql.Date.valueOf(f"2020-01-${i + 1}%02d"), y) }
+      .toDF("d", "y")
+    val out = TimeSeries.ewmaOf(series, lags = 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w = TimeSeries.ewmaWeights(4) // 64, 48, 36, 27 — ratio 3/4
+    val expected = ys.indices.map { t =>
+      val lags = (0 until math.min(4, t + 1)).map(j => (ys(t - j), w(j)))
+      val num = lags.map { case (y, wt) => BigInt(y) * wt }.sum
+      val den = lags.map(_._2).sum
+      val e = math.round(num.toDouble / den.toDouble)
+      (ys(t), e, ys(t) - e)
+    }
+    assert(out.toSeq == expected, "EWMA must replay the truncated renormalized form exactly")
+    // warm-up: first row has only its own lag → ewma = y
+    assert(out.head._2 == ys.head, "first observation smooths to itself")
+    // decay sanity: weights are geometric with ratio 3/4, newest largest
+    assert(w == w.sorted.reverse && w.zip(w.tail).forall { case (a, b) => a * 3 == b * 4 },
+      "weights must decay by exactly 3/4 per lag")
+  }
+
   test("text_domain_cap: plans a bounded partial top-k aggregate, not a corpus window sort") {
     val plan = TextQueries.textDomainCap(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
