@@ -182,6 +182,8 @@ object SparkEntry {
     "text_phrase" -> ((s, d) => TextQueries.textPhrase(s, d)),
     "t_weighted_sample" -> ((s, d) => Relational.tWeightedSample(s, d)),
     "ts_ewma" -> (TimeSeries.ewma _),
+    "q_winsorize" -> (Analytics.qWinsorize _),
+    "q_assoc_rules" -> ((s, d) => Analytics.qAssocRules(s, d)),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
@@ -1699,6 +1701,53 @@ object SparkEntry {
          |    AS dev_micro
          |FROM i JOIN a ON a.ti = i.i ORDER BY d""".stripMargin
     },
+    "q_winsorize" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice * 1e6) AS BIGINT) AS v
+        |  FROM orders
+        |), cuts AS (
+        |  SELECT grp,
+        |    CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY v) AS BIGINT) AS p_lo,
+        |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY v) AS BIGINT) AS p_hi
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT p.grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+        |  CAST(sum(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+        |  min(p_lo) AS p_lo_micro, min(p_hi) AS p_hi_micro,
+        |  CAST(round(CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS mean_micro,
+        |  CAST(round(CAST(sum(CAST(least(greatest(v, p_lo), p_hi) AS HUGEINT)) AS DOUBLE)
+        |    / count(*)) AS BIGINT) AS wmean_micro
+        |FROM p JOIN cuts USING (grp)
+        |GROUP BY p.grp ORDER BY p.grp""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+        |), n AS (SELECT count(DISTINCT o) AS n_orders FROM items),
+        |ic AS (SELECT i, count(*) AS c_i FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.i AS a, y.i AS b, count(*) AS c_ab
+        |  FROM items x JOIN items y ON x.o = y.o AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), rules AS (
+        |  SELECT a AS ante, b AS cons, c_ab FROM pairs
+        |  UNION ALL
+        |  SELECT b AS ante, a AS cons, c_ab FROM pairs
+        |)
+        |SELECT r.ante, r.cons, CAST(r.c_ab AS BIGINT) AS c_ab,
+        |  CAST(ia.c_i AS BIGINT) AS c_ante, CAST(ic2.c_i AS BIGINT) AS c_cons,
+        |  CAST(round(CAST(r.c_ab AS DOUBLE) * 1e6 / n.n_orders) AS BIGINT)
+        |    AS support_micro,
+        |  CAST(round(CAST(r.c_ab AS DOUBLE) * 1e6 / ia.c_i) AS BIGINT)
+        |    AS conf_micro,
+        |  CAST(round(CAST(r.c_ab AS DOUBLE) * n.n_orders * 1e6 /
+        |    (CAST(ia.c_i AS DOUBLE) * ic2.c_i)) AS BIGINT) AS lift_micro
+        |FROM rules r
+        |JOIN ic ia ON ia.i = r.ante
+        |JOIN ic ic2 ON ic2.i = r.cons, n
+        |ORDER BY lift_micro DESC, ante, cons LIMIT 20""".stripMargin,
     "g_communities" -> {
       val base =
         """WITH b AS (

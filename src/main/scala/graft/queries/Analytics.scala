@@ -206,6 +206,105 @@ object Analytics {
       .orderBy("event_type", "d")
   }
 
+  /** Q41: winsorization — clamp a per-group value distribution at its
+    * own [p05, p95] and report the robust mean alongside the raw one,
+    * plus how many rows each tail clamped (the feature-pipeline
+    * normalization that keeps one whale order from owning a mean; the
+    * clamp-in-place complement of Q40's flag-only MAD outliers).
+    *
+    * Exactness: values are micro longs; the cut points come from
+    * `percentile_disc` (an ACTUAL element — Q18's engine-identity
+    * argument), cast back to long (Spark surfaces DOUBLE over bigint);
+    * sums accumulate as decimal(38,0) ↔ HUGEINT (micro × 100 TB rows
+    * overflows int64) and the mean divisions happen once, at the end,
+    * on bit-equal integers.
+    *
+    * Scale shape: two passes over the fact table — one grouped exact
+    * percentile (Q18's documented reducer-buffering shape; the 100 TB
+    * variant swaps in approx_percentile cuts, same contract), then a
+    * broadcast of the tiny per-group cut table back onto the scan for
+    * clamp + ONE map-side-combinable aggregate. No window, no
+    * fact-scale join.
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 1e6).cast("long").as("v"))
+    val cuts = p.groupBy("grp").agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY v)")
+        .cast("long").as("p_lo"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY v)")
+        .cast("long").as("p_hi"))
+    p.join(broadcast(cuts), "grp")
+      .select(col("grp"), col("v"), col("p_lo"), col("p_hi"),
+        least(greatest(col("v"), col("p_lo")), col("p_hi")).as("w"))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") < col("p_lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when(col("v") > col("p_hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+        min("p_lo").as("p_lo_micro"), min("p_hi").as("p_hi_micro"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"),
+        sum(col("w").cast("decimal(38,0)")).as("sw"))
+      .select(col("grp"), col("n"), col("n_clamped_lo"), col("n_clamped_hi"),
+        col("p_lo_micro"), col("p_hi_micro"),
+        round(col("sv").cast("double") / col("n").cast("double"))
+          .cast("long").as("mean_micro"),
+        round(col("sw").cast("double") / col("n").cast("double"))
+          .cast("long").as("wmean_micro"))
+      .orderBy("grp")
+  }
+
+  /** Q42: association rules over order baskets — the top-K directed
+    * part→part rules by lift with support/confidence (the classic
+    * market-basket co-purchase miner; X23's PMI is the same shape
+    * over token windows, this is the transactional variant with the
+    * full support/confidence/lift triple).
+    *
+    * Scale shape: baskets come from one distinct over (order, item);
+    * the pair generator is a per-basket self-equi-join on the order
+    * key — fan-out bounded by basket size squared (single digits on
+    * order data; G2's degree-orientation note applies if baskets get
+    * huge), never corpus-quadratic. Item supports are one
+    * vocab-bounded aggregate; the global basket count is a one-row
+    * broadcast; the min-support filter runs BEFORE the support joins
+    * so only surviving pairs join; final top-K is
+    * TakeOrderedAndProject.
+    *
+    * Determinism: all counts are exact longs; the three ratios are
+    * single double divisions micro-rounded with identical association
+    * on both engines; top-K orders by (lift desc, ante, cons) — a
+    * total order.
+    */
+  def qAssocRules(spark: SparkSession, dir: String,
+      minCount: Int = 3, topK: Int = 20): DataFrame = {
+    val items = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("i")).distinct()
+    val nOrders = items.agg(countDistinct("o").as("n_orders"))
+    val itemCounts = items.groupBy("i").agg(count(lit(1)).as("c_i"))
+    val pairs = items.as("x")
+      .join(items.as("y"),
+        col("x.o") === col("y.o") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("a"), col("y.i").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    pairs.select(col("a").as("ante"), col("b").as("cons"), col("c_ab"))
+      .union(pairs.select(col("b").as("ante"), col("a").as("cons"), col("c_ab")))
+      .join(itemCounts.select(col("i").as("ante"), col("c_i").as("c_ante")), "ante")
+      .join(itemCounts.select(col("i").as("cons"), col("c_i").as("c_cons")), "cons")
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("c_ab"), col("c_ante"), col("c_cons"),
+        round(col("c_ab").cast("double") * 1e6 / col("n_orders"))
+          .cast("long").as("support_micro"),
+        round(col("c_ab").cast("double") * 1e6 / col("c_ante"))
+          .cast("long").as("conf_micro"),
+        round(col("c_ab").cast("double") * col("n_orders") * 1e6 /
+          (col("c_ante").cast("double") * col("c_cons")))
+          .cast("long").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("ante"), col("cons"))
+      .limit(topK)
+  }
+
   /** Q28: fixed-width histogram — integer bucket arithmetic (floor
     * division), one aggregate pass; the declarative form of
     * `width_bucket` that pushes the whole binning into the scan

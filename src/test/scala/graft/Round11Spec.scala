@@ -125,6 +125,48 @@ class Round11Spec extends SparkSpec {
       "weights must decay by exactly 3/4 per lag")
   }
 
+  test("q_winsorize: cuts and robust mean replay driver-side for every group") {
+    import graft.queries.Analytics
+    val out = Analytics.qWinsorize(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val vals = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 1e6).cast("long").as("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    vals.groupBy(_._1).foreach { case (grp, rows) =>
+      val vs = rows.map(_._2).sorted
+      // percentile_disc: smallest value with cume_dist >= p
+      def pd(p: Double) = vs(math.ceil(p * vs.length).toInt.max(1) - 1)
+      val (lo, hi) = (pd(0.05), pd(0.95))
+      val clamped = vs.map(v => math.min(math.max(v, lo), hi))
+      val (n, nLo, nHi, pLo, pHi, mean, wmean) = out(grp)
+      assert(n == vs.length && pLo == lo && pHi == hi, s"$grp cuts")
+      assert(nLo == vs.count(_ < lo) && nHi == vs.count(_ > hi), s"$grp clamp counts")
+      assert(mean == math.round(vs.map(BigInt(_)).sum.toDouble / vs.length), s"$grp mean")
+      assert(wmean == math.round(clamped.map(BigInt(_)).sum.toDouble / vs.length),
+        s"$grp winsorized mean")
+      assert(pLo <= wmean && wmean <= pHi, s"$grp wmean inside the clamp range")
+    }
+  }
+
+  test("q_assoc_rules: counts consistent, lift symmetric, confidence bounded") {
+    import graft.queries.Analytics
+    // large topK so symmetry pairs aren't cut mid-pair by the limit
+    val rules = Analytics.qAssocRules(spark, sfDir, minCount = 3, topK = 10000).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+    assert(rules.nonEmpty, "min-support pairs must exist at this SF")
+    val byPair = rules.toMap
+    rules.foreach { case ((a, b), (cab, ca, cb, sup, conf, lift)) =>
+      assert(cab >= 3 && cab <= math.min(ca, cb), s"($a,$b) count bounds")
+      assert(conf <= 1000000L && sup <= conf, s"($a,$b) support <= confidence <= 1")
+      val rev = byPair((b, a))
+      assert(rev._1 == cab && rev._6 == lift, s"($a,$b) lift must be symmetric")
+      assert(rev._2 == cb && rev._3 == ca, s"($a,$b) reversed supports swap")
+    }
+  }
+
   test("text_domain_cap: plans a bounded partial top-k aggregate, not a corpus window sort") {
     val plan = TextQueries.textDomainCap(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
