@@ -58,6 +58,8 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Analytics.qHistogram(s, d)),
     "q_heavy_hitters" -> ((s, d) => Analytics.qHeavyHitters(s, d)),
     "q_mom" -> (Analytics.qMoM _),
+    "q_ab_test" -> (Analytics.qAbTest _),
+    "t_target_encode" -> (Analytics.tTargetEncode _),
     "t_profile" -> (Analytics.tProfile _),
     "e_transitions" -> (Analytics.eTransitions _),
     "e_gap_fill" -> (Analytics.eGapFill _),
@@ -110,6 +112,7 @@ object SparkEntry {
     "sink_partitioned" -> (IOQueries.sinkPartitioned _),
     "sink_warehouse" -> (IOQueries.sinkWarehouse _),
     "sink_merge" -> (IOQueries.sinkMerge _),
+    "sink_delete" -> (IOQueries.sinkDelete(_, _)),
     "sink_bucketed" -> (IOQueries.sinkBucketed _),
     "sink_orc" -> (IOQueries.sinkOrc _),
     "sink_compact" -> (IOQueries.sinkCompact _),
@@ -120,6 +123,7 @@ object SparkEntry {
     "dq_schema_contract" -> (IOQueries.dqSchemaContract _),
     "sink_manifest" -> ((s, d) => IOQueries.sinkManifest(s, d)),
     "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
+    "src_logs" -> (IOQueries.srcLogs _),
     "src_fvecs" -> (IOQueries.srcFvecs _),
     "src_url" -> (IOQueries.srcUrl _),
     // Text analysis (X1–X4)
@@ -236,6 +240,7 @@ object SparkEntry {
     "e_retention" -> (Analytics.retention _),
     "e_anomaly" -> (Analytics.eAnomaly _),
     "e_stream_upsert" -> (Events.streamUpsert _),
+    "e_stream_cdc" -> (Events.streamCdc _),
     "e_stream_incr_rollup" -> (Events.streamIncrRollup _),
     // watermark-drop metrics come from StreamingQueryProgress, not SQL
     // → rows-only (fixed 4-row shape); exact drops pinned in Round7Spec
@@ -598,6 +603,39 @@ object SparkEntry {
         |    THEN CAST(round((total - prev_total) / prev_total * 1e6) AS BIGINT)
         |  END AS delta_micro
         |FROM l ORDER BY month""".stripMargin,
+    // Welch's t between the two user-parity cohorts, formula replayed
+    // verbatim (var_samp in both engines)
+    "q_ab_test" ->
+      """WITH p AS (
+        |  SELECT user_id % 2 AS variant, value FROM events
+        |  WHERE event_type = 'purchase'
+        |), s AS (
+        |  SELECT variant, cast(count(*) AS bigint) AS n, avg(value) AS m,
+        |    var_samp(value) AS v
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT a.n AS n_a, b.n AS n_b,
+        |  round(a.m - b.m, 4) AS mean_diff,
+        |  round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+        |  abs((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n)) > 1.96 AS significant
+        |FROM s a, s b WHERE a.variant = 0 AND b.variant = 1""".stripMargin,
+    // leave-one-out encode (sum-x)/(n-1) replayed per row, then the
+    // same per-category summary
+    "t_target_encode" ->
+      """WITH stats AS (
+        |  SELECT o_orderpriority, sum(o_totalprice) AS cat_sum,
+        |    cast(count(*) AS bigint) AS cat_n
+        |  FROM orders GROUP BY 1
+        |), enc AS (
+        |  SELECT o.o_orderpriority,
+        |    (s.cat_sum - o.o_totalprice) / (s.cat_n - 1) AS loo_enc
+        |  FROM orders o JOIN stats s USING (o_orderpriority)
+        |)
+        |SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+        |  round(avg(loo_enc), 2) AS enc_avg,
+        |  round(min(loo_enc), 2) AS enc_min,
+        |  round(max(loo_enc), 2) AS enc_max
+        |FROM enc GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "t_profile" ->
       """WITH s AS (
         |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
@@ -878,6 +916,33 @@ object SparkEntry {
         |  cast(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS bigint) AS n_corrupt,
         |  round(sum(CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END), 2) AS total_good
         |FROM orders""".stripMargin,
+    // the log lines are rendered from events with this exact
+    // arithmetic; a hash match proves the text round-trip parsed every
+    // field exactly
+    "src_logs" ->
+      """SELECT '/t/' || event_type AS path,
+        |  cast(200 + CASE WHEN event_id % 20 = 0 THEN 204 ELSE 0 END AS int) AS status,
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(sum(event_id % 997) AS bigint) AS total_bytes,
+        |  cast(min(epoch_us(ts) // 1000000) AS bigint) AS min_ts_s,
+        |  cast(max(epoch_us(ts) // 1000000) AS bigint) AS max_ts_s
+        |FROM events GROUP BY 1, 2 ORDER BY path, status""".stripMargin,
+    // the streamed CDC feed replays sink_merge's arithmetic, so the
+    // converged table must match the same final-state oracle
+    "e_stream_cdc" ->
+      """WITH fin AS (
+        |  SELECT o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 1000
+        |  FROM orders WHERE o_orderkey % 4 = 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 500
+        |  FROM orders WHERE o_orderkey % 4 = 3
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM fin GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "sink_versioned" ->
       """SELECT 'v1_pinned' AS snapshot, cast(count(*) AS bigint) AS n,
         |  round(sum(o_totalprice), 2) AS total
@@ -1083,8 +1148,13 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS total
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "src_json" ->
+      // CAST to DATE on the oracle side too: o_orderdate has shipped as
+      // both DATE and TIMESTAMP(MICROS) parquet across testdata
+      // generations, and the Spark side normalizes to DATE after the
+      // JSON round-trip — both casts truncate, so they agree under
+      // either encoding
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total,
-        |  max(o_orderdate) AS last_date
+        |  max(CAST(o_orderdate AS DATE)) AS last_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "src_autodetect" ->
       """SELECT * FROM (
@@ -1147,6 +1217,12 @@ object SparkEntry {
         |  round(sum(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice
         |                 ELSE o_totalprice + 1000 END), 2) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // targeted erasure: the surviving table is everything outside the
+    // doomed custkey range; `pruned` asserts files were carried forward
+    "sink_delete" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  true AS pruned
+        |FROM orders WHERE o_custkey < 100 OR o_custkey > 120""".stripMargin,
     // Text analysis — the oracle replays the identical scoring in SQL
     // (same normalization regex, same marker lists, same tie-break order).
     "text_langid" ->

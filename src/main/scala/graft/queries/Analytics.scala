@@ -867,6 +867,61 @@ object Analytics {
       .orderBy("event_type", "hour_us")
   }
 
+  /** Q43: A/B significance — Welch's unequal-variance t-test between
+    * two user cohorts' purchase values (the experiment readout every
+    * product pipeline ends in). One pass computes both cohorts'
+    * (n, mean, variance) in a single grouped aggregate — map-side
+    * combined, two rows total cross the shuffle — and the t statistic
+    * is assembled driver-free in a 1×1 self-join of the two summary
+    * rows. At any corpus size this moves O(1) data after the scan;
+    * the oracle replays the identical formula, so the statistic is
+    * hash-checked, not eyeballed.
+    */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("variant", (col("user_id") % 2).cast("int"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), avg("value").as("m"),
+        var_samp(col("value")).as("v"))
+    val a = s.filter(col("variant") === 0).alias("a")
+    val b = s.filter(col("variant") === 1).alias("b")
+    val t = (col("a.m") - col("b.m")) /
+      sqrt(col("a.v") / col("a.n") + col("b.v") / col("b.n"))
+    a.crossJoin(b) // 1×1: the two cohort summary rows
+      .select(col("a.n").as("n_a"), col("b.n").as("n_b"),
+        round(col("a.m") - col("b.m"), 4).as("mean_diff"),
+        round(t, 4).as("t_stat"),
+        (abs(t) > 1.96).as("significant"))
+  }
+
+  /** T24: leave-one-out target encoding — the feature-engineering
+    * staple for categorical columns feeding a model: each row's
+    * category is encoded as the mean target of every OTHER row in the
+    * category, `(sum_cat − x) / (n_cat − 1)`, which (unlike a plain
+    * group mean) does not leak the row's own target into its feature.
+    * One window-free formulation: a grouped (sum, count) aggregate
+    * broadcast back onto the scan — the encode is then per-row
+    * arithmetic, no second shuffle of the fact table. The output
+    * aggregates the encodings per category (count/avg/min/max) so the
+    * whole per-row encode path is oracle-checked.
+    */
+  def tTargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderpriority", "o_totalprice")
+    val stats = orders.groupBy("o_orderpriority")
+      .agg(sum("o_totalprice").as("cat_sum"), count(lit(1)).as("cat_n"))
+    val enc = orders.join(broadcast(stats), "o_orderpriority")
+      .withColumn("loo_enc",
+        (col("cat_sum") - col("o_totalprice")) / (col("cat_n") - 1))
+    enc.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(avg("loo_enc"), 2).as("enc_avg"),
+        round(min("loo_enc"), 2).as("enc_min"),
+        round(max("loo_enc"), 2).as("enc_max"))
+      .orderBy("o_orderpriority")
+  }
+
   /** F1: the SQL surface of graft's native expressions — registration
     * (extensions or runtime) + a pure-SQL query using `graft_cosine`,
     * proving the Catalyst expression is first-class in both APIs.

@@ -513,6 +513,73 @@ object IOQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** K14: targeted key erasure with manifest-pruned file rewrites —
+    * the GDPR right-to-be-forgotten shape: remove every row belonging
+    * to a doomed customer range from a lake WITHOUT rewriting the
+    * table. The lake is sort-clustered on `o_custkey` (K10) so each
+    * file covers a narrow key range; the erase planner intersects the
+    * doomed range against the CURRENT manifest's per-file [min,max]
+    * driver-side and rewrites ONLY intersecting files — every other
+    * file is carried into the next manifest version BY REFERENCE (its
+    * path, bounds, and row count copy over; zero data movement). At
+    * 100 TB an erasure request touches a handful of files out of a
+    * million, so rewrite traffic scales with the doomed keys' file
+    * footprint, not table size — the same reason Delta/Iceberg DELETE
+    * is a metadata-plus-touched-files operation. The v2 manifest
+    * publishes through [[graft.sinks.ManifestStore]]'s atomic rename
+    * commit: readers flip v1→v2 with no partial state, and a reader
+    * pinned to v1 still sees the pre-erasure table (the retention
+    * window is the compliance clock). Output: the surviving table's
+    * aggregate (oracle-checked against the raw table under the same
+    * predicate) plus proof that carry-forward actually happened.
+    */
+  def sinkDelete(spark: SparkSession, dir: String,
+                 lo: Long = 100, hi: Long = 120,
+                 baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(tmpDir("erase"))
+    val lake = base + "/lake"
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(lake)
+    def bounds(df: DataFrame) = df
+      .groupBy(input_file_name().as("file"))
+      .agg(min("o_custkey").as("min_key"), max("o_custkey").as("max_key"),
+        count(lit(1)).as("n_rows"))
+    graft.sinks.ManifestStore.publish(spark, base + "/manifest",
+      bounds(spark.read.parquet(lake)))
+    val (_, manifest) = graft.sinks.ManifestStore.current(spark, base + "/manifest")
+    val files = manifest.select("file", "min_key", "max_key", "n_rows")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a file is touched only if its key range intersects the doomed one
+    val (doomed, carried) = files.partition(f => f._2 <= hi && f._3 >= lo)
+    val rewritten =
+      if (doomed.isEmpty) Array.empty[(String, Long, Long, Long)]
+      else {
+        val rw = base + "/rewrite_v2"
+        spark.read.parquet(doomed.map(_._1): _*)
+          .filter(col("o_custkey") < lo || col("o_custkey") > hi)
+          .write.mode("overwrite").parquet(rw)
+        bounds(spark.read.parquet(rw))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+    import spark.implicits._
+    graft.sinks.ManifestStore.publish(spark, base + "/manifest",
+      (carried ++ rewritten).toSeq.toDF("file", "min_key", "max_key", "n_rows"))
+    val (_, v2) = graft.sinks.ManifestStore.current(spark, base + "/manifest")
+    val curFiles = v2.select("file").collect().map(_.getString(0))
+    val state =
+      if (curFiles.isEmpty)
+        spark.range(1).select(lit(0L).as("n"), lit(null).cast("double").as("total"))
+      else spark.read.parquet(curFiles: _*)
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    // file split boundaries are an execution detail; the oracle-stable
+    // facts are the surviving aggregate and THAT carry-forward happened
+    state.select(col("n"), col("total"),
+      lit(doomed.nonEmpty && carried.nonEmpty).as("pruned"))
+  }
+
   /** K10: sort-clustered datalake write — `repartitionByRange` on the
     * query key + `sortWithinPartitions` gives every parquet file a
     * narrow, non-overlapping key range, so a key-range read touches one
@@ -552,6 +619,42 @@ object IOQueries {
         round(aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double")), 4)
           .as("vsum"))
       .orderBy("vec_id")
+  }
+
+  /** S10: regex-structured log ingestion — access-log lines, the
+    * rawest shape a lake ingests, parsed into typed columns with
+    * `regexp_extract` evaluated inside the scan projection (no UDF,
+    * codegen'd). Lines are rendered deterministically from `events`,
+    * round-tripped through text files, and re-parsed; the oracle
+    * computes the same aggregate straight from the parquet table, so
+    * a hash match proves FIELD-EXACT parsing of every line (string,
+    * int, and long fields all survive). At 100 TB the parse is
+    * embarrassingly parallel (newline-split text), and malformed
+    * lines surface as nulls/empties filterable into a quarantine —
+    * S7's contract for text feeds.
+    */
+  def srcLogs(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("logs") + "/access_log"
+    Tables.load(spark, dir, "events")
+      .select(concat(
+        lit("10.0."), (col("user_id") % 256).cast("string"), lit(".1 - u"),
+        col("user_id").cast("string"),
+        lit(" ["), expr("ts_ns div 1000000000").cast("string"),
+        lit("] \"GET /t/"), col("event_type"), lit(" HTTP/1.1\" "),
+        (lit(200) + when(col("event_id") % 20 === 0, 204).otherwise(0)).cast("string"),
+        lit(" "), (col("event_id") % 997).cast("string")).as("value"))
+      .write.mode("overwrite").text(out)
+    val re = "^(\\S+) - (\\S+) \\[(\\d+)\\] \"(\\S+) (\\S+) HTTP/1\\.1\" (\\d+) (\\d+)$"
+    spark.read.text(out)
+      .select(
+        regexp_extract(col("value"), re, 5).as("path"),
+        regexp_extract(col("value"), re, 6).cast("int").as("status"),
+        regexp_extract(col("value"), re, 7).cast("long").as("bytes"),
+        regexp_extract(col("value"), re, 3).cast("long").as("epoch_s"))
+      .groupBy("path", "status")
+      .agg(count(lit(1)).as("n"), sum("bytes").as("total_bytes"),
+        min("epoch_s").as("min_ts_s"), max("epoch_s").as("max_ts_s"))
+      .orderBy("path", "status")
   }
 
   /** S7: corrupt-tolerant JSONL ingestion — real feeds carry broken

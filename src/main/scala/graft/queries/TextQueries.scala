@@ -843,46 +843,47 @@ object TextQueries {
     * binary-junk / keyboard-mash detector (natural text sits ~2.5–4.5
     * bits; runs of one char or base64 blobs fall outside).
     *
-    * Entirely per-row HOF arithmetic in the scan projection — zero
-    * shuffle at any corpus size (the presentation ORDER BY is the only
-    * exchange). Per-char entropy terms are micro-rounded to longs
-    * BEFORE the sum, so the reduction is order-free integer arithmetic
-    * and the DuckDB oracle (which sums per-char GROUP BY terms in
-    * whatever order) matches exactly — the same trick every
-    * order-sensitive double sum in this repo uses.
+    * Shape: explode chars → hash-aggregate (doc, char) counts → one
+    * window sum for the doc total → integer-term aggregate back to one
+    * row per doc. Everything is codegen'd hash aggregation; the
+    * partial agg collapses the exploded stream to vocab-bounded
+    * (doc × distinct-char) rows BEFORE any shuffle, so wire traffic is
+    * ~alphabet-sized per document at any corpus scale. (A per-row HOF
+    * formulation is tempting — zero shuffle — but interpreted lambda
+    * eval re-evaluates subtrees embedded in the closure per ELEMENT:
+    * an `array_sort` referenced inside a `filter` lambda re-sorts the
+    * array for every element, O(n²·log n) per doc. Measured: minutes
+    * per partition at sf0.01. Aggregates are the honest Spark shape.)
+    * Per-char entropy terms are micro-rounded to longs BEFORE the
+    * final sum, so the reduction is order-free integer arithmetic and
+    * the DuckDB oracle (same grouped-explode form) matches exactly.
     */
   def textEntropy(spark: SparkSession, dir: String): DataFrame = {
     // drop the trailing "" Spark's limit=-1 split appends (DuckDB's
     // string_split has no such artifact)
     val chars = filter(split(col("text"), ""), x => x =!= "")
-    val n = size(chars)
-    // One-pass run-length counting instead of a per-distinct-char
-    // rescan (which is O(n_distinct · n_chars) interpreted-lambda work
-    // per row — ~1M comparisons for a 10k-char doc with 100 distinct
-    // chars): sort the chars, find each run's END position (value
-    // changes or end-of-array), and diff consecutive ends into counts.
-    // O(n log n) sort + two O(n) passes per row.
-    val sorted = array_sort(chars)
-    // sequence(1, 0) counts DOWN ([1, 0]) — guard the n=0 case
-    val idx = when(n > 0, sequence(lit(1), n)).otherwise(array().cast("array<int>"))
-    val ends = filter(idx, i =>
-      i === n || element_at(sorted, i) =!= element_at(sorted, i + 1))
-    val counts = zip_with(ends,
-      concat(array(lit(0)), slice(ends, lit(1), greatest(size(ends) - 1, lit(0)))),
-      (e, p) => e - p)
-    // -(c/n)·ln(c/n) in micro-nats per distinct char, as a long —
-    // micro-rounded BEFORE the sum so the reduction is order-free
-    val terms = transform(counts, c0 => {
-      val c = c0.cast("double")
-      round(-(c / n) * log(c / n) * 1e6).cast("long")
-    })
-    Tables.load(spark, dir, "documents")
-      .select(
-        col("doc_id"),
-        n.cast("long").as("n_chars"),
-        size(ends).as("n_distinct"),
-        when(n > 0, aggregate(terms, lit(0L), (acc, t) => acc + t))
-          .otherwise(lit(0L)).as("entropy_micro"))
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), chars.as("chars"))
+    val counts = base
+      .select(col("doc_id"), explode(col("chars")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+    val byDoc = counts
+      .withColumn("n", sum("cnt").over(Window.partitionBy("doc_id")))
+    // -(c/n)·ln(c/n) in micro-nats per distinct char, as a long
+    val agg = byDoc
+      .select(col("doc_id"), col("n"),
+        round(-(col("cnt") / col("n")) * log(col("cnt") / col("n")) * 1e6)
+          .cast("long").as("term"))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_chars"),
+        count(lit(1)).cast("int").as("n_distinct"),
+        sum("term").as("entropy_micro"))
+    // empty-text docs vanish in the explode — restore them as zeros
+    base.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct"), lit(0)).as("n_distinct"),
+        coalesce(col("entropy_micro"), lit(0L)).as("entropy_micro"))
       .orderBy("doc_id")
   }
 

@@ -357,7 +357,7 @@ object Events {
     */
   def streamLateData(spark: SparkSession, dir: String): DataFrame = {
     val inDir = Files.createTempDirectory("graft_stream_late").toString + "/in"
-    val raw = spark.read.parquet(graft.Tables.path(dir, "events")).select("event_id", "ts")
+    val raw = graft.Tables.eventsTsAsNanosLong(spark, dir).select("event_id", "ts")
     // exact percentiles of the long nanos — deterministic 3-way split:
     // bulk recent, a small second recent file (advances the LATE-event
     // watermark), then the oldest 20% as stragglers
@@ -437,12 +437,76 @@ object Events {
 
   private val streamCounter = new AtomicInteger(0)
 
+  /** E23: streaming CDC apply with deletes — K13's full MERGE driven
+    * by Structured Streaming: a change feed lands as files, each
+    * micro-batch flows through `foreachBatch` into
+    * [[graft.sinks.TableStore.mergeCdc]]'s versioned optimistic
+    * commit, and the stored table converges to the same state the
+    * batch merge produces (that equality is the oracle — the feed
+    * replays `sink_merge`'s arithmetic: keys 0 mod 4 untouched, 1 mod
+    * 4 updated +1000, 2 mod 4 DELETED, 3 mod 4 inserted +500).
+    *
+    * Robust to batching: the staged feed files carry DISJOINT key
+    * sets with monotone `seq`, so any micro-batch split — one batch,
+    * file-per-batch, even a reordered pair — resolves to the same
+    * final table through mergeCdc's per-key highest-seq rule. That
+    * design (disjoint keys per feed chunk, or a total seq order when
+    * keys repeat) is exactly what makes a production CDC stream safe
+    * to replay from any checkpoint. Each micro-batch's merge is one
+    * key-partitioned window + full-outer apply; state lives in the
+    * versioned store, not executor memory, so a month-long feed holds
+    * no streaming state at all.
+    */
+  def streamCdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.TableStore
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val k = col("o_orderkey") % 4
+    val base = Files.createTempDirectory("graft_stream_cdc").toString + "/orders_cdc"
+    // v1: the initial snapshot lands as an all-insert batch
+    TableStore.mergeCdc(spark, base,
+      orders.filter(k <= 2)
+        .withColumn("op", lit("insert")).withColumn("seq", lit(0L)),
+      Seq("o_orderkey"))
+    // the change feed: updates+inserts in one file, deletes in a later
+    // one (distinct mtimes give the file source a deterministic order)
+    val feed = Files.createTempDirectory("graft_stream_cdc_feed").toString + "/feed"
+    orders.filter(k === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("op", lit("update")).withColumn("seq", lit(1L))
+      .unionByName(orders.filter(k === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+        .withColumn("op", lit("insert")).withColumn("seq", lit(1L)))
+      .coalesce(1).write.mode("append").parquet(feed)
+    Thread.sleep(1100)
+    orders.filter(k === 2)
+      .withColumn("op", lit("delete")).withColumn("seq", lit(2L))
+      .coalesce(1).write.mode("append").parquet(feed)
+    val schema = spark.read.parquet(feed).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one merge round per feed file
+      .parquet(feed)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          TableStore.mergeCdc(spark, base, batch, Seq("o_orderkey"))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TableStore.readCdcCurrent(spark, base)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Copy the events table into a multi-file directory so the stream
     * source sees several files (≈ several arriving batches).
     */
   private def stageStreamInput(spark: SparkSession, dir: String, copies: Int): String = {
     val out = Files.createTempDirectory("graft_stream").toString + "/events"
-    val raw = spark.read.parquet(Tables.path(dir, "events"))
+    val raw = Tables.eventsTsAsNanosLong(spark, dir)
     val staged = Iterator.fill(copies)(raw).reduce(_ unionByName _)
     staged.repartition(8).write.mode("overwrite").parquet(out)
     out
