@@ -113,6 +113,7 @@ object SparkEntry {
     "sink_warehouse" -> (IOQueries.sinkWarehouse _),
     "sink_merge" -> (IOQueries.sinkMerge _),
     "sink_delete" -> (IOQueries.sinkDelete(_, _)),
+    "sink_bloom_index" -> (IOQueries.sinkBloomIndex _),
     "sink_bucketed" -> (IOQueries.sinkBucketed _),
     "sink_orc" -> (IOQueries.sinkOrc _),
     "sink_compact" -> (IOQueries.sinkCompact _),
@@ -1223,6 +1224,17 @@ object SparkEntry {
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  true AS pruned
         |FROM orders WHERE o_custkey < 100 OR o_custkey > 120""".stripMargin,
+    // bloom point lookup: min/max orderkey probes against the raw
+    // table; `pruned` asserts the bloom manifest skipped files
+    "sink_bloom_index" ->
+      """WITH p AS (
+        |  SELECT min(o_orderkey) AS k FROM orders
+        |  UNION SELECT max(o_orderkey) FROM orders
+        |)
+        |SELECT o_orderkey, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total, true AS pruned
+        |FROM orders WHERE o_orderkey IN (SELECT k FROM p)
+        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
     // Text analysis — the oracle replays the identical scoring in SQL
     // (same normalization regex, same marker lists, same tie-break order).
     "text_langid" ->

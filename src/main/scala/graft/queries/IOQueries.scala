@@ -621,6 +621,84 @@ object IOQueries {
       .orderBy("vec_id")
   }
 
+  /** K15: bloom-augmented manifest point lookup — per-file bloom
+    * filters over a NON-clustered column, the data-skipping rung
+    * min/max zone maps cannot reach. The lake is hash-clustered on
+    * `o_custkey`, so every file spans (nearly) the full `o_orderkey`
+    * range — a range manifest prunes nothing for an orderkey lookup.
+    * But each orderkey lives in exactly ONE file, so a per-file bloom
+    * over `xxhash64(o_orderkey)` (built with graft's registered
+    * BloomFilterAggregate, one read-back aggregate grouped by
+    * `input_file_name`, bytes base64'd into the JSON manifest) lets
+    * the reader test each file's bloom against the probe keys
+    * DRIVER-SIDE — manifest rows, not data — and open only matching
+    * files. Blooms have no false negatives, so pruning can never drop
+    * a real row; false positives only cost an extra file read (≤ fpp ·
+    * n_files expected), and the exact key filter after the scan keeps
+    * the result precise. This is Parquet-bloom/Iceberg-style point
+    * lookup: at 100 TB a key probe touches O(probes) files out of a
+    * million, driven entirely by sidecar metadata. Output: per-probe
+    * aggregates (oracle: the same filter straight on the raw table)
+    * plus `pruned` asserting the scan really skipped files.
+    */
+  def sinkBloomIndex(spark: SparkSession, dir: String): DataFrame =
+    bloomIndexLookup(spark, dir)._1
+
+  /** [[sinkBloomIndex]]'s core, also returning (bloom-matching files,
+    * total files) so the pruning strength is spec-assertable.
+    */
+  private[graft] def bloomIndexLookup(spark: SparkSession, dir: String)
+      : (DataFrame, Int, Long) = {
+    import org.apache.spark.sql.graft.GraftFunctions
+    GraftFunctions.register(spark)
+    val base = tmpDir("bloomidx")
+    val lake = base + "/lake"
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    orders.repartition(16, col("o_custkey"))
+      .write.mode("overwrite").parquet(lake)
+    // manifest: one row per file — row count + a bloom of its orderkeys
+    // (sized for the largest file; deterministic for fixed data+params)
+    val manifest = spark.read.parquet(lake)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        base64(expr("graft_bloom_agg(xxhash64(o_orderkey), 20000L, 262144L)"))
+          .as("bloom_b64"))
+    graft.sinks.ManifestStore.publish(spark, base + "/manifest", manifest)
+    // probe keys: the table's min and max orderkey — deterministic and
+    // present at any SF (two 1-row driver lookups, bounded control flow)
+    val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).collect().head
+    val probes = Seq(mm.getLong(0), mm.getLong(1)).distinct
+    // hash each probe with the SAME xxhash64 the bloom build used —
+    // evaluated through the engine so the seed/variant can never drift
+    // from the aggregate side (`might_contain` itself only accepts
+    // constant/scalar-subquery blooms, so per-file tests run driver-side
+    // on the collected manifest rows — sidecar metadata, not data)
+    import spark.implicits._
+    val probeHashes = probes.toDF("k").select(xxhash64(col("k")))
+      .collect().map(_.getLong(0))
+    val (_, man) = graft.sinks.ManifestStore.current(spark, base + "/manifest")
+    val files = man.select("file", "bloom_b64").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val hit = files.filter { case (_, b64) =>
+      val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          // MIME decoder: Spark's base64() chunks at 76 chars with CRLF
+          java.util.Base64.getMimeDecoder.decode(b64)))
+      probeHashes.exists(bloom.mightContainLong)
+    }.map(_._1)
+    val nFiles = files.length.toLong
+    // the scan reads ONLY bloom-matching files; the exact key filter
+    // keeps the result precise through any bloom false positive
+    val out = spark.read.parquet(hit: _*)
+      .filter(col("o_orderkey").isin(probes: _*))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("pruned", lit(hit.length < nFiles))
+      .orderBy("o_orderkey")
+    (out, hit.length, nFiles)
+  }
+
   /** S10: regex-structured log ingestion — access-log lines, the
     * rawest shape a lake ingests, parsed into typed columns with
     * `regexp_extract` evaluated inside the scan projection (no UDF,

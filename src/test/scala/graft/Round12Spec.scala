@@ -92,6 +92,25 @@ class Round12Spec extends SparkSpec {
     assert(out.getBoolean(4) == (math.abs(t) > 1.96))
   }
 
+  test("sink_bloom_index: bloom manifest prunes most files, zero false negatives") {
+    val (df, nHit, nFiles) = IOQueries.bloomIndexLookup(spark, sfDir)
+    // 2 probe keys against 16 hash-clustered files: each key lives in
+    // exactly one file, fpp adds at most a file or two — reading more
+    // than 1/4 of the lake means the bloom isn't pruning
+    assert(nFiles == 16, s"expected 16 lake files, got $nFiles")
+    assert(nHit <= 4, s"bloom pruning too weak: read $nHit of $nFiles files")
+    // no false negatives: the pruned read returns exactly the probe rows
+    val out = df.collect()
+    val orders = Tables.load(spark, sfDir, "orders")
+    val mm = orders.agg(min("o_orderkey"), max("o_orderkey")).collect().head
+    val expect = orders
+      .filter(col("o_orderkey").isin(mm.getLong(0), mm.getLong(1)))
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toMap == expect)
+    assert(out.forall(_.getBoolean(3)), "pruned flag must be true")
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
