@@ -59,6 +59,7 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, d) => Analytics.qHeavyHitters(s, d)),
     "q_mom" -> (Analytics.qMoM _),
     "q_ab_test" -> (Analytics.qAbTest _),
+    "q_moments" -> (Analytics.qMoments _),
     "t_target_encode" -> (Analytics.tTargetEncode _),
     "t_profile" -> (Analytics.tProfile _),
     "e_transitions" -> (Analytics.eTransitions _),
@@ -637,6 +638,30 @@ object SparkEntry {
         |  round(min(loo_enc), 2) AS enc_min,
         |  round(max(loo_enc), 2) AS enc_max
         |FROM enc GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // the closing double formula is THE SAME generated text as the
+    // Spark side (Analytics.momentExprs) over the same exact integer
+    // power sums — IEEE-correctly-rounded ops only, so bit-identical
+    "q_moments" -> {
+      val sums = Seq("q", "p", "d").flatMap(c => Seq(
+        s"sum($c) AS ${c}1", s"sum($c*$c) AS ${c}2",
+        s"sum($c*$c*$c) AS ${c}3", s"sum($c*$c*$c*$c) AS ${c}4"))
+        .mkString(", ")
+      def sel(name: String, c: String) =
+        s"SELECT '$name' AS col_name, n, " +
+          Analytics.momentExprs(c).mkString(", ") + " FROM s"
+      s"""WITH c AS (
+         |  SELECT CAST(round(l_quantity*100, 0) AS HUGEINT) AS q,
+         |    CAST(round(l_extendedprice*100, 0) AS HUGEINT) AS p,
+         |    CAST(round(l_discount*100, 0) AS HUGEINT) AS d
+         |  FROM lineitem
+         |), s AS (
+         |  SELECT $sums, CAST(count(*) AS BIGINT) AS n FROM c
+         |)
+         |${sel("l_quantity", "q")}
+         |UNION ALL ${sel("l_extendedprice", "p")}
+         |UNION ALL ${sel("l_discount", "d")}
+         |ORDER BY col_name""".stripMargin
+    },
     "t_profile" ->
       """WITH s AS (
         |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,

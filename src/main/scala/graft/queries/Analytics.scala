@@ -922,6 +922,72 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Q44: higher-moment column profile — skewness and excess kurtosis
+    * (plus mean/std) for three lineitem measures in ONE pass, the
+    * distribution-shape profile T11's count/min/max profiler lacks
+    * (skew tells you a mean is lying; kurtosis tells you the tails
+    * will blow a z-score gate).
+    *
+    * Shape: each value becomes exact integer cents once in the scan,
+    * then a SINGLE map-side-combinable aggregate computes the four
+    * power sums Σc, Σc², Σc³, Σc⁴ per column — 12 decimal(38,0) sums,
+    * one row crossing the shuffle at any corpus size (cents⁴ for a
+    * 1e5-scale price is ~1e28, safely inside decimal38/HUGEINT;
+    * sums grow only linearly in rows). Moments are then assembled
+    * from the sums in double arithmetic at the very end.
+    *
+    * Determinism contract: the power sums are EXACT integers, and the
+    * closing double formula is the same text in both engines, built
+    * from IEEE-correctly-rounded ops only (+,−,×,/,sqrt — no `pow`,
+    * whose libm rounding may differ by an ulp between engines), so
+    * the doubles match bit-for-bit and the oracle hash-checks
+    * round(·,4) with no tolerance. Skew/kurtosis are scale-invariant,
+    * so the cents scale cancels; mean/std divide by 100 at the end.
+    */
+  def qMoments(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    def cents(c: String) =
+      round(col(c) * 100).cast("decimal(9,0)")
+    val aggs = Seq("q", "p", "d").flatMap { c =>
+      Seq(sum(col(c)).as(s"${c}1"),
+        sum(col(c) * col(c)).as(s"${c}2"),
+        sum(col(c) * col(c) * col(c)).as(s"${c}3"),
+        sum(col(c) * col(c) * col(c) * col(c)).as(s"${c}4"))
+    } :+ count(lit(1)).as("n")
+    val sums = li.select(
+        cents("l_quantity").as("q"), cents("l_extendedprice").as("p"),
+        cents("l_discount").as("d"))
+      .agg(aggs.head, aggs.tail: _*)
+    val perCol = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+      "l_discount" -> "d").map { case (name, c) =>
+      sums.selectExpr(
+        Seq(s"'$name' AS col_name", "n") ++ momentExprs(c): _*)
+    }
+    perCol.reduce(_ unionByName _)
+      .orderBy("col_name")
+  }
+
+  /** The closing double formula over the four power sums — THE SAME
+    * TEXT is interpolated into the DuckDB oracle, so both engines run
+    * an identical IEEE expression tree over identical exact sums.
+    */
+  private[graft] def momentExprs(c: String): Seq[String] = {
+    val (s1, s2, s3, s4) =
+      (s"CAST(${c}1 AS DOUBLE)", s"CAST(${c}2 AS DOUBLE)",
+        s"CAST(${c}3 AS DOUBLE)", s"CAST(${c}4 AS DOUBLE)")
+    val nd = "CAST(n AS DOUBLE)"
+    val m = s"($s1 / $nd)"
+    val m2 = s"($s2 / $nd - $m * $m)"
+    val m3 = s"($s3 / $nd - 3.0 * $m * ($s2 / $nd) + 2.0 * $m * $m * $m)"
+    val m4 = s"($s4 / $nd - 4.0 * $m * ($s3 / $nd)" +
+      s" + 6.0 * ($m * $m) * ($s2 / $nd) - 3.0 * ($m * $m) * ($m * $m))"
+    Seq(
+      s"round($m / 100.0, 4) AS mean",
+      s"round(sqrt($m2) / 100.0, 4) AS std",
+      s"round($m3 / (sqrt($m2) * $m2), 4) AS skewness",
+      s"round($m4 / ($m2 * $m2) - 3.0, 4) AS kurtosis_excess")
+  }
+
   /** F1: the SQL surface of graft's native expressions — registration
     * (extensions or runtime) + a pure-SQL query using `graft_cosine`,
     * proving the Catalyst expression is first-class in both APIs.

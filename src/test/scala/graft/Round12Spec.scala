@@ -111,6 +111,29 @@ class Round12Spec extends SparkSpec {
     assert(out.forall(_.getBoolean(3)), "pruned flag must be true")
   }
 
+  test("q_moments: skewness/kurtosis match a driver-side replay") {
+    val out = queries.Analytics.qMoments(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select("l_quantity", "l_extendedprice", "l_discount").collect()
+    Seq(("l_quantity", 0), ("l_extendedprice", 1), ("l_discount", 2))
+      .foreach { case (name, i) =>
+        val c = rows.map(r => math.round(r.getDouble(i) * 100).toDouble)
+        val n = c.length.toDouble
+        val m = c.sum / n
+        val m2 = c.map(x => (x - m) * (x - m)).sum / n
+        val m3 = c.map(x => math.pow(x - m, 3)).sum / n
+        val m4 = c.map(x => math.pow(x - m, 4)).sum / n
+        val r = out(name)
+        assert(math.abs(r.getDouble(2) - m / 100.0) < 1e-2, s"$name mean")
+        assert(math.abs(r.getDouble(3) - math.sqrt(m2) / 100.0) < 1e-2, s"$name std")
+        assert(math.abs(r.getDouble(4) - m3 / (math.sqrt(m2) * m2)) < 1e-3,
+          s"$name skew: ${r.getDouble(4)} vs ${m3 / (math.sqrt(m2) * m2)}")
+        assert(math.abs(r.getDouble(5) - (m4 / (m2 * m2) - 3.0)) < 1e-3,
+          s"$name kurt: ${r.getDouble(5)} vs ${m4 / (m2 * m2) - 3.0}")
+      }
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
