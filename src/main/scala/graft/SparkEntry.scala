@@ -126,6 +126,8 @@ object SparkEntry {
     "sink_manifest" -> ((s, d) => IOQueries.sinkManifest(s, d)),
     "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
     "src_logs" -> (IOQueries.srcLogs _),
+    "t_incr_join" -> (IOQueries.tIncrJoin _),
+    "dq_fk" -> (IOQueries.dqFk _),
     "src_fvecs" -> (IOQueries.srcFvecs _),
     "src_url" -> (IOQueries.srcUrl _),
     // Text analysis (X1–X4)
@@ -942,6 +944,42 @@ object SparkEntry {
         |  cast(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS bigint) AS n_corrupt,
         |  round(sum(CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END), 2) AS total_good
         |FROM orders""".stripMargin,
+    // each FK replayed with the same negated-key injection; LEFT JOIN +
+    // one aggregate mirrors the Spark side exactly
+    "dq_fk" -> {
+      def one(fk: String, childSel: String, inject: String,
+              parent: String, pkey: String) =
+        s"""SELECT '$fk' AS fk, cast(count(*) AS bigint) AS n_child,
+           |  cast(sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_orphan,
+           |  (SELECT cast(count(*) AS bigint) FROM $parent) AS n_parent,
+           |  cast(count(DISTINCT pk) AS bigint) AS n_ref_parent
+           |FROM (SELECT k, $pkey AS pk FROM ($childSel
+           |      UNION ALL $inject) c
+           |      LEFT JOIN $parent ON c.k = $pkey) j""".stripMargin
+      Seq(
+        one("orders.o_custkey->customer",
+          "SELECT o_custkey AS k FROM orders",
+          "SELECT -(o_custkey+1) FROM orders WHERE o_orderkey % 1000 = 1",
+          "customer", "c_custkey"),
+        one("lineitem.l_orderkey->orders",
+          "SELECT l_orderkey AS k FROM lineitem",
+          "SELECT -(l_orderkey+1) FROM lineitem WHERE l_orderkey % 1000 = 1",
+          "orders", "o_orderkey"),
+        one("lineitem.l_partkey->part",
+          "SELECT l_partkey AS k FROM lineitem",
+          "SELECT -(l_partkey+1) FROM lineitem WHERE l_orderkey % 1000 = 1",
+          "part", "p_partkey"),
+        one("lineitem.l_suppkey->supplier",
+          "SELECT l_suppkey AS k FROM lineitem",
+          "SELECT -(l_suppkey+1) FROM lineitem WHERE l_orderkey % 1000 = 1",
+          "supplier", "s_suppkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+    },
+    // the incremental four-term union must equal the from-scratch join
+    "t_incr_join" ->
+      """SELECT c_nationkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
     // the log lines are rendered from events with this exact
     // arithmetic; a hash match proves the text round-trip parsed every
     // field exactly

@@ -134,6 +134,48 @@ class Round12Spec extends SparkSpec {
       }
   }
 
+  test("t_incr_join: the stored view is read back, not recomputed") {
+    val df = IOQueries.tIncrJoin(spark, sfDir)
+    // the refresh plan must contain the materialized view's parquet
+    // scan — if the base join were recomputed, the orders/customer
+    // sources would appear four times instead of three delta terms
+    val scans = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Scan parquet")).size
+    assert(scans >= 1, "no parquet read-back of the stored view in the plan")
+    val incr = df.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getDouble(2)))
+    val scratch = Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("c_nationkey")
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getDouble(2)))
+    assert(incr.sameElements(scratch), "incremental refresh diverged from scratch join")
+  }
+
+  test("dq_fk: orphan counts equal the injected corruption exactly") {
+    val rows = IOQueries.dqFk(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size == 4)
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val injected = li.filter(col("l_orderkey") % 1000 === 1).count()
+    // every injected negated key is an orphan, and nothing else is
+    assert(rows("lineitem.l_orderkey->orders").getLong(2) == injected)
+    assert(rows("lineitem.l_partkey->part").getLong(2) == injected)
+    assert(rows("lineitem.l_suppkey->supplier").getLong(2) == injected)
+    val oInj = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 1000 === 1).count()
+    assert(rows("orders.o_custkey->customer").getLong(2) == oInj)
+    assert(injected > 0 && oInj > 0, "injection must be non-vacuous")
+    // intact base data: child rows == orphans + parented rows
+    rows.values.foreach { r =>
+      assert(r.getLong(1) > r.getLong(2), s"${r.getString(0)}: all rows orphaned")
+      assert(r.getLong(4) <= r.getLong(3), s"${r.getString(0)}: coverage > parent count")
+    }
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
