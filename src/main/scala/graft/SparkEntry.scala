@@ -60,6 +60,8 @@ object SparkEntry {
     "q_mom" -> (Analytics.qMoM _),
     "q_ab_test" -> (Analytics.qAbTest _),
     "q_moments" -> (Analytics.qMoments _),
+    "e_attribution" -> (Analytics.eAttribution _),
+    "t_group_split" -> (TextQueries.tGroupSplit _),
     "t_target_encode" -> (Analytics.tTargetEncode _),
     "t_profile" -> (Analytics.tProfile _),
     "e_transitions" -> (Analytics.eTransitions _),
@@ -640,6 +642,40 @@ object SparkEntry {
         |  round(min(loo_enc), 2) AS enc_min,
         |  round(max(loo_enc), 2) AS enc_max
         |FROM enc GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // same window (total order on ts_ns, event_id), same 7-day nanos
+    // expiry, IGNORE NULLS carrying the latest prior touch
+    "e_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS tns,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |                    THEN epoch_ns(ts) END IGNORE NULLS)
+        |      OVER w AS touch_ts,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT CASE WHEN touch_type IS NULL
+        |            OR tns - touch_ts > 604800000000000 THEN 'none'
+        |            ELSE touch_type END AS channel,
+        |  cast(count(*) AS bigint) AS n_purchases,
+        |  round(sum(value), 2) AS revenue
+        |FROM e WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    // identical md5-prefix bucket arithmetic: split is a pure function
+    // of source, so cross-split leakage is structurally impossible
+    "t_group_split" ->
+      """WITH d AS (
+        |  SELECT *, substr(md5('split2:' || source), 1, 2) AS b FROM documents
+        |)
+        |SELECT CASE WHEN b < 'cc' THEN 'train'
+        |            WHEN b < 'e6' THEN 'val' ELSE 'test' END AS split,
+        |  cast(count(*) AS bigint) AS n_docs,
+        |  cast(count(DISTINCT source) AS bigint) AS n_sources,
+        |  cast(sum(n_chars) AS bigint) AS total_chars
+        |FROM d GROUP BY 1 ORDER BY split""".stripMargin,
     // the closing double formula is THE SAME generated text as the
     // Spark side (Analytics.momentExprs) over the same exact integer
     // power sums — IEEE-correctly-rounded ops only, so bit-identical

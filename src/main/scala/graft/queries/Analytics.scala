@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Aggregators
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -920,6 +921,43 @@ object Analytics {
         round(min("loo_enc"), 2).as("enc_min"),
         round(max("loo_enc"), 2).as("enc_max"))
       .orderBy("o_orderpriority")
+  }
+
+  /** E24: last-touch revenue attribution — every purchase is credited
+    * to the user's most recent preceding click/view within a 7-day
+    * lookback, the reporting query behind every "which channel drove
+    * revenue" dashboard (and the event-log counterpart of E13's
+    * funnel, which counts sequences but doesn't assign credit).
+    *
+    * Shape: one window per user timeline — `last(touch, ignoreNulls)`
+    * over rows-unbounded-preceding-to-1-preceding carries the latest
+    * touch forward in a single pass, so the cost is one shuffle by
+    * user_id + a linear scan per partition at any event volume (the
+    * E2 sessionization shape; no self-join of purchases against the
+    * full touch history, which would be quadratic in per-user
+    * activity). Ordering is (ts_ns, event_id) — a total order, so
+    * same-timestamp events replay identically in both engines.
+    * Credit expires after 7 days (exact nanos arithmetic): stale
+    * touches fall to 'none', which keeps the attribution honest
+    * instead of crediting a click from last quarter.
+    */
+  def eAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val sevenDaysNs = 7L * 24 * 3600 * 1000000000L
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"),
+      struct(col("ts_ns"), col("event_type")))
+    val attributed = Tables.load(spark, dir, "events")
+      .select("user_id", "event_id", "event_type", "value", "ts_ns")
+      .withColumn("t", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("t").isNull || col("ts_ns") - col("t.ts_ns") > sevenDaysNs,
+          "none").otherwise(col("t.event_type")))
+    attributed.groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("revenue"))
+      .orderBy("channel")
   }
 
   /** Q44: higher-moment column profile — skewness and excess kurtosis

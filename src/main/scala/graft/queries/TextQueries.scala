@@ -1076,6 +1076,37 @@ object TextQueries {
     * window form is the semantic spec, this aggregate is the plan that
     * survives the skew.
     */
+  /** X27: group-aware train/val/test split — assignment is a pure
+    * function of the document's SOURCE, not its row, so every document
+    * from one domain lands in the same split. This is the
+    * leakage-safe split an eval pipeline needs: near-duplicate and
+    * template-sibling documents cluster within domains, and a row-hash
+    * split (T7) would scatter them across train and test, leaking
+    * training text into the benchmark. Group-hashing closes that
+    * channel by construction — cross-split source overlap is
+    * IMPOSSIBLE, not just unlikely (spec-pinned).
+    *
+    * Shape: split = md5-prefix of the salted source name bucketed
+    * 256-ways (~80/10/10 by hex thresholds) — computed in the scan
+    * projection, zero shuffles before the 3-group summary aggregate.
+    * The assignment is frozen forever for a given source name: domains
+    * that arrive in tomorrow's crawl land deterministically without
+    * reshuffling today's split (the C4/Dolma reproducibility
+    * property). Per-split doc/source/char tallies are the oracle
+    * surface; both engines replay the identical md5 arithmetic.
+    */
+  def tGroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val b = substring(md5(concat(lit("split2:"), col("source"))), 1, 2)
+    val split = when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+    Tables.load(spark, dir, "documents")
+      .withColumn("split", split)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("split")
+  }
+
   def textDomainCap(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
     val topk = udaf(graft.functions.Aggregators.TopKByScore(cap))
     val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))

@@ -176,6 +176,55 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("t_group_split: a source can never straddle two splits") {
+    import queries.TextQueries
+    val out = TextQueries.tGroupSplit(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSet == Set("train", "val", "test"),
+      "all three splits must be non-vacuous")
+    // leakage impossibility: re-derive the split per source and check
+    // each source maps to exactly one
+    val perSource = Tables.load(spark, sfDir, "documents")
+      .withColumn("b", substring(md5(concat(lit("split2:"), col("source"))), 1, 2))
+      .withColumn("split", when(col("b") < "cc", "train")
+        .when(col("b") < "e6", "val").otherwise("test"))
+      .groupBy("source").agg(countDistinct("split").as("k"))
+      .collect()
+    assert(perSource.forall(_.getLong(1) == 1L), "a source landed in two splits")
+    // split totals conserve the corpus
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(out.map(_.getLong(1)).sum == total)
+  }
+
+  test("e_attribution matches a driver-side replay of the user timelines") {
+    val out = queries.Analytics.eAttribution(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val events = Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_id", "event_type", "value", "ts_ns")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    val sevenDays = 7L * 24 * 3600 * 1000000000L
+    val replay = events.groupBy(_._1).values.flatMap { tl =>
+      val sorted = tl.sortBy(e => (e._5, e._2))
+      sorted.zipWithIndex.collect { case ((_, _, "purchase", v, ts), i) =>
+        val touch = sorted.take(i).filter(e => e._3 == "click" || e._3 == "view")
+          .lastOption
+        val ch = touch match {
+          case Some(t) if ts - t._5 <= sevenDays => t._3
+          case _ => "none"
+        }
+        (ch, v)
+      }
+    }.toSeq
+    val expected = replay.groupBy(_._1).map { case (ch, xs) =>
+      ch -> (xs.size.toLong, math.round(xs.map(_._2).sum * 100) / 100.0)
+    }
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (ch, (n, rev)) =>
+      assert(out(ch)._1 == n, s"$ch purchase count")
+      assert(math.abs(out(ch)._2 - rev) < 0.05, s"$ch revenue: ${out(ch)._2} vs $rev")
+    }
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
