@@ -129,6 +129,7 @@ object SparkEntry {
     "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
     "src_logs" -> (IOQueries.srcLogs _),
     "t_incr_join" -> (IOQueries.tIncrJoin _),
+    "q_dpp" -> (IOQueries.qDpp _),
     "dq_fk" -> (IOQueries.dqFk _),
     "src_fvecs" -> (IOQueries.srcFvecs _),
     "src_url" -> (IOQueries.srcUrl _),
@@ -1011,6 +1012,21 @@ object SparkEntry {
           "supplier", "s_suppkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
     },
+    // the runtime-pruned partitioned join must equal the raw-table join
+    "q_dpp" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+        |  FROM orders
+        |  WHERE substr(strftime(o_orderdate, '%Y-%m'), 1, 4) = '1996'
+        |    AND substr(strftime(o_orderdate, '%Y-%m'), 6, 2) IN ('01', '02', '03')
+        |)
+        |SELECT f.ship_month, cast(count(*) AS bigint) AS n,
+        |  round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |        l_quantity, l_extendedprice FROM lineitem) f
+        |JOIN dim USING (ship_month)
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin,
     // the incremental four-term union must equal the from-scratch join
     "t_incr_join" ->
       """SELECT c_nationkey, count(*) AS n, round(sum(o_totalprice), 2) AS total

@@ -735,6 +735,44 @@ object IOQueries {
       .orderBy("path", "status")
   }
 
+  /** Q45: dynamic partition pruning — the run-time half of partition
+    * pruning: the fact lake is hive-partitioned by ship month, and the
+    * selective filter lives on a DIMENSION attribute (quarter), so no
+    * static rule can know which fact partitions matter at plan time.
+    * Catalyst's DPP plants the broadcast dim's join keys as a runtime
+    * `dynamicpruning` subquery INSIDE the fact scan's partition
+    * filters: the scan lists only the months the filtered dim
+    * actually produced — at 100 TB that is the difference between
+    * reading 3 month-partitions and reading 84 (the star-schema
+    * pattern every warehouse fact query depends on). The spec pins
+    * the plan shape (`dynamicpruning#` present in the scan's
+    * PartitionFilters), not just the answer; the oracle replays the
+    * join from raw tables, proving pruning dropped no rows.
+    */
+  def qDpp(spark: SparkSession, dir: String): DataFrame = {
+    val lake = tmpDir("dpp") + "/lineitem_by_month"
+    Tables.load(spark, dir, "lineitem")
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .select("ship_month", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").partitionBy("ship_month").parquet(lake)
+    // the dim comes from an INDEPENDENT table (orders), carrying the
+    // attribute the user filters on — the join key is only discovered
+    // by running the dim query, which is exactly what DPP exploits
+    val dim = Tables.load(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+      .distinct()
+      .withColumn("yr", substring(col("ship_month"), 1, 4))
+      .withColumn("q", substring(col("ship_month"), 6, 2))
+      .filter(col("yr") === "1996" && col("q").isin("01", "02", "03"))
+      .select("ship_month")
+    spark.read.parquet(lake)
+      .join(broadcast(dim), "ship_month")
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"),
+        round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy("ship_month")
+  }
+
   /** T25: incremental JOIN maintenance — the materialized-view rung
     * past T18's aggregate-only rollup: keep `orders ⋈ customer`
     * materialized while BOTH sides receive deltas, without re-joining

@@ -225,6 +225,15 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("q_dpp: the fact scan carries a runtime dynamicpruning partition filter") {
+    val df = IOQueries.qDpp(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning subquery in the fact scan:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(0).startsWith("1996-0")))
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
