@@ -248,6 +248,7 @@ object SparkEntry {
     "e_anomaly" -> (Analytics.eAnomaly _),
     "e_stream_upsert" -> (Events.streamUpsert _),
     "e_stream_cdc" -> (Events.streamCdc _),
+    "e_stream_outer_join" -> (Events.streamStreamOuterJoin _),
     "e_stream_incr_rollup" -> (Events.streamIncrRollup _),
     // watermark-drop metrics come from StreamingQueryProgress, not SQL
     // → rows-only (fixed 4-row shape); exact drops pinned in Round7Spec
@@ -2112,6 +2113,17 @@ object SparkEntry {
         |p AS (SELECT user_id, event_id, ts_us AS purchase_us FROM e WHERE event_type = 'purchase')
         |SELECT user_id, event_id, purchase_us, click_us
         |FROM p JOIN c ON user_id = cu
+        |  AND click_us <= purchase_us
+        |  AND click_us >= purchase_us - 1800000000
+        |ORDER BY user_id, purchase_us, event_id, click_us""".stripMargin,
+    // LEFT OUTER with the identical interval — null-extended purchases
+    // prove the watermark actually flushed the unmatched tail
+    "e_stream_outer_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |c AS (SELECT user_id AS cu, ts_us AS click_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts_us AS purchase_us FROM e WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, purchase_us, click_us
+        |FROM p LEFT JOIN c ON user_id = cu
         |  AND click_us <= purchase_us
         |  AND click_us >= purchase_us - 1800000000
         |ORDER BY user_id, purchase_us, event_id, click_us""".stripMargin,

@@ -186,6 +186,77 @@ object Events {
       .orderBy("user_id", "purchase_us", "event_id", "click_us")
   }
 
+  /** E25: stream-stream LEFT OUTER interval join — the outer rung of
+    * E11: EVERY purchase emits, null-extended when no click preceded
+    * it within 30 minutes (the "conversions WITHOUT an ad touch"
+    * report, which the inner join structurally cannot produce). Outer
+    * rows only emit when the watermark PROVES no match can still
+    * arrive, so correctness hinges on watermark discipline, not luck.
+    *
+    * The flush mechanics are the operator's point: a terminating
+    * AvailableNow run computes batch N's filtering watermark from
+    * batch N−1's max event time (the SPARK-40925 lag E21 pins), so
+    * the tail of real purchases would end the run still sitting in
+    * state, never null-emitted. The feed therefore appends TWO
+    * far-future watermark-pusher files (distinct mtimes, one file per
+    * trigger): pusher 1 advances the computed watermark past every
+    * real event, pusher 2 runs one more batch under that advanced
+    * watermark, evicting and null-emitting the entire tail. Pusher
+    * rows use user_id = −1 and are dropped after the sink — they can
+    * join nothing real (and the left stream's own pusher is excluded
+    * from the oracle's contract by the filter). State size stays
+    * bounded by the 30-minute interval + 1-hour delay at any rate —
+    * the production shape for "did a touch precede this conversion"
+    * at stream speed. Oracle: DuckDB LEFT JOIN with the identical
+    * interval, nulls and multiplicities hash-checked.
+    */
+  def streamStreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val feed = Files.createTempDirectory("graft_stream_outer").toString + "/feed"
+    val real = Tables.eventsTsAsNanosLong(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_id", "ts", "user_id", "event_type")
+    real.coalesce(1).write.mode("append").parquet(feed)
+    val maxTs = real.agg(max("ts")).collect().head.getLong(0)
+    val dayNs = 24L * 3600 * 1000000000L
+    import spark.implicits._
+    def pusher(offsetDays: Int) = Seq(
+      (-1L, maxTs + offsetDays * dayNs, -1L, "click"),
+      (-2L, maxTs + offsetDays * dayNs, -1L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    Thread.sleep(1100)
+    pusher(30).coalesce(1).write.mode("append").parquet(feed)
+    Thread.sleep(1100)
+    pusher(31).coalesce(1).write.mode("append").parquet(feed)
+    val schema = spark.read.parquet(feed).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("p_ts") &&
+        col("click_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+    val sinkName = s"graft_stream_outer_${streamCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("click_us"))
+      .orderBy("user_id", "purchase_us", "event_id", "click_us")
+  }
+
   /** E12: stream-static enrichment join — the standard "enrich events
     * with a dimension" shape: a real stream (purchases) joined to a
     * BATCH-computed per-user profile, broadcast to every task. The

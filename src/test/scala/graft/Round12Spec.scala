@@ -234,6 +234,20 @@ class Round12Spec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getString(0).startsWith("1996-0")))
   }
 
+  test("e_stream_outer_join: every purchase emits — the watermark flushed the tail") {
+    val out = Events.streamStreamOuterJoin(spark, sfDir).collect()
+    val nPurchases = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase").count()
+    // outer property: unmatched purchases null-emit instead of being
+    // held in state at termination (this is what the pusher batches buy)
+    assert(out.length >= nPurchases,
+      s"${out.length} rows < $nPurchases purchases: the unmatched tail never flushed")
+    assert(out.map(_.getLong(1)).distinct.length == nPurchases,
+      "some purchase event_id is missing entirely")
+    assert(out.exists(_.isNullAt(3)), "no null-extended row — outer semantics lost")
+    assert(out.exists(!_.isNullAt(3)), "no matched row — interval join vacuous")
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
