@@ -63,6 +63,7 @@ object SparkEntry {
     "e_attribution" -> (Analytics.eAttribution _),
     "t_group_split" -> (TextQueries.tGroupSplit _),
     "t_target_encode" -> (Analytics.tTargetEncode _),
+    "t_quantile_bin" -> ((s, d) => Analytics.tQuantileBin(s, d)),
     "t_profile" -> (Analytics.tProfile _),
     "e_transitions" -> (Analytics.eTransitions _),
     "e_gap_fill" -> (Analytics.eGapFill _),
@@ -678,6 +679,26 @@ object SparkEntry {
         |  cast(count(DISTINCT source) AS bigint) AS n_sources,
         |  cast(sum(n_chars) AS bigint) AS total_chars
         |FROM d GROUP BY 1 ORDER BY split""".stripMargin,
+    // same percentile_disc cuts, same right-closed bin arithmetic
+    "t_quantile_bin" -> {
+      val qs = (1 until 10).map(i => i / 10.0)
+      val cutAggs = qs.zipWithIndex.map { case (q, i) =>
+        s"CAST(percentile_disc($q) WITHIN GROUP (ORDER BY v) AS BIGINT) AS c$i"
+      }.mkString(",\n    ")
+      val cutList = qs.indices.map(i => s"c$i").mkString(", ")
+      s"""WITH p AS (
+         |  SELECT CAST(round(o_totalprice * 1e6) AS BIGINT) AS v FROM orders
+         |), c AS (
+         |  SELECT $cutAggs
+         |  FROM p
+         |), a AS (SELECT [$cutList] AS cuts FROM c)
+         |SELECT CAST(len(list_filter(cuts, x -> v >= x)) AS INTEGER) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  min(v) AS min_micro, max(v) AS max_micro,
+         |  CAST(round(CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) / count(*)) AS BIGINT)
+         |    AS mean_micro
+         |FROM p, a GROUP BY 1 ORDER BY bin""".stripMargin
+    },
     // the closing double formula is THE SAME generated text as the
     // Spark side (Analytics.momentExprs) over the same exact integer
     // power sums — IEEE-correctly-rounded ops only, so bit-identical

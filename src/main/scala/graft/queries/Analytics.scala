@@ -256,6 +256,45 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** T27: equal-frequency quantile binning — discretize a continuous
+    * measure into deciles fit from its OWN distribution (the
+    * feature-engineering binning that feeds monotonic models and
+    * per-bucket monitoring; equal-WIDTH bins collapse under skew, the
+    * exact failure Q41's winsorization fights). Bin b = number of fit
+    * cut points ≤ the value, so bins are right-closed and every bin
+    * holds ~n/k rows by construction.
+    *
+    * Exactness: values are micro longs; the 9 decile cuts come from
+    * `percentile_disc` (actual elements — Q18's engine-identity
+    * argument) in ONE aggregate, packed into an array and broadcast
+    * back onto the scan; assignment is a 9-element array scan per row
+    * (codegen'd, no join key); per-bin means follow Q41's
+    * decimal-sum-then-one-division contract. Two passes total over
+    * the fact table, no window, no fact-scale shuffle beyond the
+    * k-row-bounded bin aggregate.
+    */
+  def tQuantileBin(spark: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    val p = Tables.load(spark, dir, "orders")
+      .select(round(col("o_totalprice") * 1e6).cast("long").as("v"))
+    val qs = (1 until bins).map(i => i / bins.toDouble)
+    val cutCols = qs.zipWithIndex.map { case (q, i) =>
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY v)")
+        .cast("long").as(s"c$i")
+    }
+    val cuts = p.agg(cutCols.head, cutCols.tail: _*)
+      .select(array(qs.indices.map(i => col(s"c$i")): _*).as("cuts"))
+    p.crossJoin(broadcast(cuts))
+      .select(size(filter(col("cuts"), c => col("v") >= c)).as("bin"), col("v"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min("v").as("min_micro"), max("v").as("max_micro"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"))
+      .select(col("bin"), col("n"), col("min_micro"), col("max_micro"),
+        round(col("sv").cast("double") / col("n").cast("double"))
+          .cast("long").as("mean_micro"))
+      .orderBy("bin")
+  }
+
   /** Q42: association rules over order baskets — the top-K directed
     * part→part rules by lift with support/confidence (the classic
     * market-basket co-purchase miner; X23's PMI is the same shape

@@ -248,6 +248,24 @@ class Round12Spec extends SparkSpec {
     assert(out.exists(!_.isNullAt(3)), "no matched row — interval join vacuous")
   }
 
+  test("t_quantile_bin: bins are equal-frequency and partition the table") {
+    val out = queries.Analytics.tQuantileBin(spark, sfDir).collect()
+    val total = Tables.load(spark, sfDir, "orders").count()
+    assert(out.map(_.getLong(1)).sum == total, "bins must partition the table")
+    assert(out.length == 10, s"expected 10 bins, got ${out.length}")
+    val target = total / 10.0
+    out.foreach { r =>
+      assert(math.abs(r.getLong(1) - target) <= math.max(2, target * 0.02),
+        s"bin ${r.getInt(0)} holds ${r.getLong(1)} rows, target ~$target")
+    }
+    // right-closed ordering: consecutive bins can't overlap
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(2),
+        s"bin ${a.getInt(0)} max >= bin ${b.getInt(0)} min")
+      case _ =>
+    }
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
