@@ -64,6 +64,7 @@ object SparkEntry {
     "t_group_split" -> (TextQueries.tGroupSplit _),
     "t_target_encode" -> (Analytics.tTargetEncode _),
     "t_quantile_bin" -> ((s, d) => Analytics.tQuantileBin(s, d)),
+    "q_aqe_skew" -> (Analytics.qAqeSkew _),
     "t_profile" -> (Analytics.tProfile _),
     "e_transitions" -> (Analytics.eTransitions _),
     "e_gap_fill" -> (Analytics.eGapFill _),
@@ -679,6 +680,21 @@ object SparkEntry {
         |  cast(count(DISTINCT source) AS bigint) AS n_sources,
         |  cast(sum(n_chars) AS bigint) AS total_chars
         |FROM d GROUP BY 1 ORDER BY split""".stripMargin,
+    // skew_handled pinned TRUE: the correctness gate fails if AQE's
+    // OptimizeSkewedJoin ever stops firing on the hot key
+    "q_aqe_skew" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0
+        |              ELSE 1 + l_orderkey % 19 END AS k, l_quantity
+        |  FROM lineitem
+        |), d AS (
+        |  SELECT o_orderkey % 20 AS k2, round(sum(o_totalprice), 2) AS k_total
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT k, cast(count(*) AS bigint) AS n,
+        |  round(sum(l_quantity), 2) AS qty, max(k_total) AS k_total,
+        |  true AS skew_handled
+        |FROM f JOIN d ON k = k2 GROUP BY k ORDER BY k""".stripMargin,
     // same percentile_disc cuts, same right-closed bin arithmetic
     "t_quantile_bin" -> {
       val qs = (1 until 10).map(i => i / 10.0)

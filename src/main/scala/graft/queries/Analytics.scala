@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
+import java.nio.file.Files
+
 /** Event-analytics and data-quality operators (funnel, retention,
   * quality rules, unpivot, outer join, custom aggregates, SQL-native
   * functions) — the reporting layer a pipeline team runs on top of the
@@ -254,6 +256,76 @@ object Analytics {
         round(col("sw").cast("double") / col("n").cast("double"))
           .cast("long").as("wmean_micro"))
       .orderBy("grp")
+  }
+
+  /** Q46: AQE runtime skew-join mitigation — the engine-native
+    * complement of T15's manual salting: a deterministic hot key
+    * (70% of fact rows) meets a sort-merge join with NO hand-salting,
+    * and Adaptive Query Execution's OptimizeSkewedJoin splits the hot
+    * shuffle partition into advisory-sized chunks at runtime (each
+    * chunk joins the replicated dim rows, exactly the salt expansion
+    * — but decided from observed map-output sizes, not foresight).
+    * This is the 100 TB answer when skew isn't known at authoring
+    * time; T15 remains the answer when it is (bucketed layouts,
+    * deterministic plans).
+    *
+    * The skew thresholds are lowered for the demo corpus and RESTORED
+    * after an eager in-op execution (AQE reads conf at execution, so
+    * a lazily-returned plan would see restored defaults); the
+    * executed plan's `skew=true` marker is surfaced as an output
+    * column — the oracle pins it true, so the correctness gate itself
+    * fails if skew handling ever stops firing. The 20-row result is
+    * re-wrapped driver-side (bounded), and the aggregate matches the
+    * plain-join oracle — proof the split-and-replicate rewrite
+    * changed the schedule, not the answer.
+    */
+  def qAqeSkew(spark: SparkSession, dir: String): DataFrame = {
+    val tuned = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // a terminal aggregate rides the join's partitioning, so the
+      // split adds one (tiny) extra shuffle — force accepts that
+      // trade, exactly what you'd do to kill a 100 TB straggler
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8k")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // both join inputs staged to parquet: (a) the rule only matches
+      // Sort-over-bare-ShuffleQueryStage children (a dim-side final
+      // aggregate between them defeats it), and (b) AQE splits a
+      // skewed partition along MAPPER boundaries — a single small
+      // input file means one mapper and nothing to split, so the fact
+      // is spread over 8 files (a 100 TB table has millions of maps;
+      // only the demo corpus needs the help)
+      val base = Files.createTempDirectory("graft_aqeskew").toString
+      Tables.load(spark, dir, "lineitem")
+        .select(when(col("l_orderkey") % 10 =!= 0, 0L)
+          .otherwise(lit(1L) + col("l_orderkey") % 19).as("k"),
+          col("l_quantity"), col("l_extendedprice"))
+        .repartition(8).write.mode("overwrite").parquet(base + "/fact")
+      Tables.load(spark, dir, "orders")
+        .select((col("o_orderkey") % 20).as("k2"), col("o_totalprice"))
+        .groupBy("k2").agg(round(sum("o_totalprice"), 2).as("k_total"))
+        .write.mode("overwrite").parquet(base + "/dim")
+      val joined = spark.read.parquet(base + "/fact").hint("merge")
+        .join(spark.read.parquet(base + "/dim"), col("k") === col("k2"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"),
+          max("k_total").as("k_total"))
+        .orderBy("k")
+      val rows = joined.collect()
+      val skewHandled = joined.queryExecution.executedPlan.toString
+        .contains("skew=true")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq, 1), joined.schema)
+        .withColumn("skew_handled", lit(skewHandled))
+        .orderBy("k")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   /** T27: equal-frequency quantile binning — discretize a continuous

@@ -266,6 +266,17 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("q_aqe_skew: AQE splits the hot partition and the answer is unchanged") {
+    val out = queries.Analytics.qAqeSkew(spark, sfDir).collect()
+    assert(out.forall(_.getBoolean(4)), "OptimizeSkewedJoin did not fire")
+    // ~90% of fact rows carry key 0 — the hot key must dominate
+    val n = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n(0L) > n.values.sum * 8 / 10, s"hot key not hot: $n")
+    // the split changed the schedule, not the answer
+    val li = Tables.load(spark, sfDir, "lineitem").count()
+    assert(n.values.sum == li, "inner join must preserve every fact row")
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
