@@ -251,6 +251,7 @@ object SparkEntry {
     "e_stream_upsert" -> (Events.streamUpsert _),
     "e_stream_cdc" -> (Events.streamCdc _),
     "e_stream_outer_join" -> (Events.streamStreamOuterJoin _),
+    "e_stream_resume" -> ((s, d) => Events.streamResume(s, d)),
     "e_stream_incr_rollup" -> (Events.streamIncrRollup _),
     // watermark-drop metrics come from StreamingQueryProgress, not SQL
     // → rows-only (fixed 4-row shape); exact drops pinned in Round7Spec
@@ -2153,6 +2154,13 @@ object SparkEntry {
         |  AND click_us <= purchase_us
         |  AND click_us >= purchase_us - 1800000000
         |ORDER BY user_id, purchase_us, event_id, click_us""".stripMargin,
+    // end-to-end conservation across two query instances: one duplicated
+    // or dropped row anywhere breaks n/n_distinct/total
+    "e_stream_resume" ->
+      """SELECT event_type, cast(count(*) AS bigint) AS n,
+        |  cast(count(DISTINCT event_id) AS bigint) AS n_distinct,
+        |  round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // LEFT OUTER with the identical interval — null-extended purchases
     // prove the watermark actually flushed the unmatched tail
     "e_stream_outer_join" ->

@@ -257,6 +257,58 @@ object Events {
       .orderBy("user_id", "purchase_us", "event_id", "click_us")
   }
 
+  /** E26: checkpointed resume with exactly-once output — the property
+    * that makes streaming operable: a query processes what has
+    * arrived, TERMINATES, and a later, separate query instance with
+    * the same checkpointLocation picks up exactly where the offsets
+    * log says the first stopped — no reprocessing, no gaps. Two
+    * thirds of the events arrive before the first run; the rest land
+    * between runs; the second run reads ONLY the new files.
+    *
+    * Exactly-once comes from the two transaction logs cooperating:
+    * the checkpoint's offset/commit log pins which source files each
+    * batch consumed, and the parquet sink's `_spark_metadata` log pins
+    * which output files each batch committed — a reader that resolves
+    * the directory through that log (as `spark.read.parquet` does)
+    * never sees orphaned output from a failed attempt. The oracle
+    * aggregates the RAW events table, so a single duplicated or
+    * dropped row anywhere across the two runs breaks the hash — the
+    * conservation check is end-to-end, not per-run. This is the
+    * nightly-restart / crash-recovery contract a 100 TB ingest
+    * pipeline runs on (AvailableNow + checkpoint = incremental batch).
+    */
+  def streamResume(spark: SparkSession, dir: String,
+                   baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(
+      Files.createTempDirectory("graft_stream_resume").toString)
+    val (feed, cp, out) = (base + "/feed", base + "/cp", base + "/out")
+    val events = Tables.eventsTsAsNanosLong(spark, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(feed).schema
+      val q = spark.readStream.schema(schema).parquet(feed)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    events.filter(col("event_id") % 3 =!= 0)
+      .coalesce(1).write.mode("append").parquet(feed)
+    runOnce()
+    // late arrivals land AFTER the first query instance terminated
+    Thread.sleep(1100)
+    events.filter(col("event_id") % 3 === 0)
+      .coalesce(1).write.mode("append").parquet(feed)
+    runOnce()
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        round(sum("value"), 2).as("total"))
+      .orderBy("event_type")
+  }
+
   /** E12: stream-static enrichment join — the standard "enrich events
     * with a dimension" shape: a real stream (purchases) joined to a
     * BATCH-computed per-user profile, broadcast to every task. The

@@ -277,6 +277,25 @@ class Round12Spec extends SparkSpec {
     assert(n.values.sum == li, "inner join must preserve every fact row")
   }
 
+  test("e_stream_resume: the second query instance consumes only the new files") {
+    val base = Files.createTempDirectory("graft_resume_spec").toString
+    val out = Events.streamResume(spark, sfDir, Some(base)).collect()
+    // the checkpoint's offsets log must show exactly two committed
+    // batches — one per query instance, no reprocessing
+    val offsets = new java.io.File(base + "/cp/offsets").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(offsets.sameElements(Array("0", "1")),
+      s"expected offset batches 0,1 — got ${offsets.mkString(",")}")
+    val commits = new java.io.File(base + "/cp/commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(commits.sameElements(Array("0", "1")), "both batches must be committed")
+    // end-to-end conservation: n == n_distinct per type (no duplicates)
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"${r.getString(0)}: ${r.getLong(1)} rows vs ${r.getLong(2)} distinct ids"))
+    val total = Tables.load(spark, sfDir, "events").count()
+    assert(out.map(_.getLong(1)).sum == total)
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
