@@ -132,6 +132,7 @@ object SparkEntry {
     "src_logs" -> (IOQueries.srcLogs _),
     "t_incr_join" -> (IOQueries.tIncrJoin _),
     "q_dpp" -> (IOQueries.qDpp _),
+    "p_dirty_partitions" -> ((s, d) => IOQueries.pDirtyPartitions(s, d)),
     "dq_fk" -> (IOQueries.dqFk _),
     "src_fvecs" -> (IOQueries.srcFvecs _),
     "src_url" -> (IOQueries.srcUrl _),
@@ -1051,6 +1052,17 @@ object SparkEntry {
           "supplier", "s_suppkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
     },
+    // the incrementally-rebuilt table must equal a from-scratch build
+    // of the MODIFIED source (stale or doubled partitions break this)
+    "p_dirty_partitions" ->
+      """WITH b AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CASE WHEN strftime(o_orderdate, '%Y-%m') = '1996-03'
+        |         THEN o_totalprice + 100 ELSE o_totalprice END AS p
+        |  FROM orders
+        |)
+        |SELECT month, cast(count(*) AS bigint) AS n, round(sum(p), 2) AS total
+        |FROM b GROUP BY 1 ORDER BY month""".stripMargin,
     // the runtime-pruned partitioned join must equal the raw-table join
     "q_dpp" ->
       """WITH dim AS (

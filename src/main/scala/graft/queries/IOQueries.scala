@@ -871,6 +871,62 @@ object IOQueries {
     audits.reduce(_ unionByName _).orderBy("fk")
   }
 
+  /** P6: dirty-partition incremental recompute — the "make for data"
+    * contract behind dbt incremental models and every sane nightly
+    * build: each output partition records a FINGERPRINT of its input
+    * slice (an order-independent sum of per-row hashes — one
+    * aggregate, no row comparison), and a rebuild recomputes ONLY
+    * partitions whose current input fingerprint differs from the
+    * manifest's, carrying every clean partition forward by reference.
+    * Here one month of orders is modified between builds: the v2
+    * build fingerprints the new source (one cheap pass), finds
+    * exactly that month dirty, recomputes its aggregate from a scan
+    * FILTERED to the dirty months (partition-pruned on a partitioned
+    * source), and re-publishes everything else untouched — at 100 TB
+    * a late-arriving correction to one day reprocesses one day, and
+    * the fingerprint pass is the only full read. Versions publish
+    * through the ManifestStore's atomic commit; the manifest records
+    * which build produced each partition, so the spec can pin
+    * "exactly one month was recomputed". Oracle: the modified source
+    * aggregated from scratch — carry-forward bugs (stale or doubled
+    * partitions) break the hash.
+    */
+  def pDirtyPartitions(spark: SparkSession, dir: String,
+                       baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(tmpDir("dirty"))
+    val monthCol = date_format(col("o_orderdate"), "yyyy-MM").as("month")
+    val srcA = Tables.load(spark, dir, "orders")
+      .select(monthCol, col("o_orderkey"), col("o_totalprice"))
+    // the between-builds change: one month's prices corrected +100
+    val srcB = srcA.withColumn("o_totalprice",
+      when(col("month") === "1996-03", col("o_totalprice") + 100.0)
+        .otherwise(col("o_totalprice")))
+    // fingerprint + build in ONE aggregate: order-independent sum of
+    // per-row hashes rides alongside the partition's real aggregate
+    def build(src: DataFrame, version: Long) = src.groupBy("month")
+      .agg(sum(xxhash64(col("o_orderkey"), col("o_totalprice"))
+        .cast("decimal(38,0)")).as("fp"),
+        count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("version_built", lit(version))
+    graft.sinks.ManifestStore.publish(spark, base + "/manifest", build(srcA, 1L))
+    // v2: fingerprint the new source, diff against the manifest
+    val (_, v1) = graft.sinks.ManifestStore.current(spark, base + "/manifest")
+    val fpB = srcB.groupBy("month")
+      .agg(sum(xxhash64(col("o_orderkey"), col("o_totalprice"))
+        .cast("decimal(38,0)")).as("fp_new"))
+    val dirty = fpB.join(v1.select(col("month"), col("fp")), Seq("month"), "left")
+      .filter(col("fp").isNull || col("fp") =!= col("fp_new"))
+      .select("month").collect().map(_.getString(0))
+    val rebuilt = build(srcB.filter(col("month").isin(dirty: _*)), 2L)
+    val carried = v1.filter(!col("month").isin(dirty: _*))
+      .select("month", "fp", "n", "total", "version_built")
+    graft.sinks.ManifestStore.publish(spark, base + "/manifest",
+      carried.unionByName(rebuilt))
+    val (_, v2) = graft.sinks.ManifestStore.current(spark, base + "/manifest")
+    v2.select(col("month"), col("n"), col("total"))
+      .orderBy("month")
+  }
+
   /** S7: corrupt-tolerant JSONL ingestion — real feeds carry broken
     * lines, and a 100 TB load must quarantine them, not die. Every 7th
     * record is truncated mid-object before the write; the PERMISSIVE

@@ -296,6 +296,20 @@ class Round12Spec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum == total)
   }
 
+  test("p_dirty_partitions: exactly the changed month is recomputed") {
+    val base = Files.createTempDirectory("graft_dirty_spec").toString
+    val out = IOQueries.pDirtyPartitions(spark, sfDir, Some(base)).collect()
+    val (_, v2) = graft.sinks.ManifestStore.current(spark, base + "/manifest")
+    val byVersion = v2.groupBy("version_built").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byVersion(2L) == 1L,
+      s"exactly one partition should rebuild, got ${byVersion.getOrElse(2L, 0L)}")
+    assert(byVersion(1L) == out.length - 1L, "every clean month must carry forward")
+    val rebuilt = v2.filter(col("version_built") === 2L)
+      .select("month").collect().map(_.getString(0))
+    assert(rebuilt.sameElements(Array("1996-03")), "the dirty month is 1996-03")
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
