@@ -200,6 +200,7 @@ object SparkEntry {
     "q_assoc_rules" -> ((s, d) => Analytics.qAssocRules(s, d)),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "ann_mips" -> ((s, d) => Similarity.mipsTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivfAnn(s, d)),
     "ann_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
@@ -2339,6 +2340,20 @@ object SparkEntry {
     // A1: exact top-5 neighbors for the 10 lowest vec_ids. A2/A3 are
     // probabilistic (seeded hyperplanes / k-means cells not replayable
     // in SQL) → rows-only + recall specs vs A1.
+    // same fold order + float->double widening as the codegen'd kernel
+    "ann_mips" ->
+      """WITH sims AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |    round(list_inner_product(
+        |      list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |)
+        |SELECT q_id, rnk, vec_id, sim FROM (
+        |  SELECT q_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sims
+        |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "ann_bruteforce" ->
       """WITH sims AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,

@@ -24,6 +24,14 @@ object VectorFunctions {
   def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     ColumnShim.column(PqEncode(ColumnShim.expression(v), codebooks))
 
+  /** Codegen'd raw inner product (see
+    * [[org.apache.spark.sql.graft.DotProduct]]) — MIPS scoring, where
+    * magnitude matters and cosine's normalization would erase it.
+    */
+  def dot(a: Column, b: Column): Column =
+    ColumnShim.column(org.apache.spark.sql.graft.DotProduct(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
   /** L2 normalization in one primitive pass (see
     * [[org.apache.spark.sql.graft.L2Normalize]]); zero vectors pass
     * through unchanged.

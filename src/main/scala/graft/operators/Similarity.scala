@@ -115,6 +115,42 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** A18: exact maximum-inner-product top-k (MIPS) — retrieval where
+    * MAGNITUDE is the point: recommendation scores, un-normalized
+    * output-embedding lookups, learned-sparse rankers. Cosine (A1)
+    * deliberately erases length; MIPS keeps it, and the two rankings
+    * genuinely differ whenever vector norms vary (spec-checked).
+    *
+    * Same scale shape as A1: broadcast query set × corpus scan scored
+    * by the codegen'd [[org.apache.spark.sql.graft.DotProduct]]
+    * kernel, ranked by the mergeable top-k aggregate — ≤ k rows per
+    * (query, partition) cross the shuffle. The classic
+    * norm-augmentation reduction (append sqrt(M²−‖x‖²) to make MIPS a
+    * cosine problem — Bachrach et al., RecSys 2014) is what you'd
+    * layer on to reuse the LSH/IVF index paths (A2/A3) at 100 TB;
+    * the exact kernel here is both the baseline and the rerank tail
+    * those paths share.
+    */
+  def mipsTopK(spark: SparkSession, dir: String,
+               k: Int = 5, nQueries: Int = 10): DataFrame =
+    mipsTopKOf(corpus(spark, dir), k, nQueries)
+
+  /** [[mipsTopK]]'s core over ANY (vec_id, embedding) frame — split
+    * out so the spec can feed a norm-scaled corpus (the canonical
+    * testdata is unit-norm, where MIPS and cosine coincide by
+    * construction; magnitude has to be planted to observe the
+    * difference).
+    */
+  private[graft] def mipsTopKOf(e: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val q = broadcast(querySet(e, nQueries))
+    rankTopKQueries(
+      e.join(q, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"),
+          round(VectorFunctions.dot(col("q_emb"), col("embedding")), 4).as("sim"),
+          col("vec_id")),
+      k)
+  }
+
   /** A6: exact kNN JOIN — top-k neighbors for EVERY vector (the
     * similarity graph behind embedding-cluster dedup and diversity
     * sampling), not just a query set.

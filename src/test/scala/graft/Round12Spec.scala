@@ -310,6 +310,39 @@ class Round12Spec extends SparkSpec {
     assert(rebuilt.sameElements(Array("1996-03")), "the dirty month is 1996-03")
   }
 
+  test("ann_mips: inner-product ranking is exact and differs from cosine") {
+    import operators.Similarity
+    val mips = Similarity.mipsTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val cos = Similarity.bruteForceTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(mips.keySet == cos.keySet, "same (query, rank) grid")
+    // the canonical corpus is unit-norm (MIPS ≡ cosine there, checked
+    // below via the replay); plant magnitude to see the difference:
+    // scaling vectors by (1 + id mod 3) must change the MIPS ranking
+    val scaled = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("embedding", transform(col("embedding"),
+        x => (x * (lit(1.0) + col("vec_id") % 3)).cast("float")))
+    val mipsScaled = Similarity.mipsTopKOf(scaled, 5, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(mipsScaled != mips,
+      "norm-scaled MIPS ranking unchanged — magnitude is being ignored")
+    // exactness: replay query 0's scores driver-side
+    val vecs = Tables.load(spark, sfDir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q0 = vecs(0L)
+    def dot(a: Array[Float], b: Array[Float]) = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val expect = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (math.round(dot(q0, v) * 10000) / 10000.0, id) }
+      .sortBy { case (s, id) => (-s, id) }.take(5).map(_._2)
+    val got = (1 to 5).map(r => mips((0L, r)))
+    assert(got == expect, s"query-0 top-5: $got vs replay $expect")
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
