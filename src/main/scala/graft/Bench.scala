@@ -48,7 +48,12 @@ object Bench {
     "text_bm25", "text_pmi", "emb_kmeans", "q_rolling_median",
     "dedup_substring_remove",
     // round-6 additions
-    "mm_neardup", "ann_sq", "g_pagerank", "g_communities", "ts_cusum")
+    "mm_neardup", "ann_sq", "g_pagerank", "g_communities", "ts_cusum",
+    // round-6 late additions (pure-read analytics only — the sink/
+    // stream entries stay correctness-gated in Verify per the note
+    // above)
+    "q_moments", "t_quantile_bin", "e_attribution", "t_group_split",
+    "ann_mips", "dq_fk")
 
   /** The scale-step set: the heaviest operators that read ONLY the
     * documents/embeddings tables (the two the 10× blow-up synthesizes).

@@ -701,16 +701,11 @@ object SparkEntry {
     // same percentile_disc cuts, same right-closed bin arithmetic
     "t_quantile_bin" -> {
       val qs = (1 until 10).map(i => i / 10.0)
-      val cutAggs = qs.zipWithIndex.map { case (q, i) =>
-        s"CAST(percentile_disc($q) WITHIN GROUP (ORDER BY v) AS BIGINT) AS c$i"
-      }.mkString(",\n    ")
-      val cutList = qs.indices.map(i => s"c$i").mkString(", ")
       s"""WITH p AS (
          |  SELECT CAST(round(o_totalprice * 1e6) AS BIGINT) AS v FROM orders
-         |), c AS (
-         |  SELECT $cutAggs
-         |  FROM p
-         |), a AS (SELECT [$cutList] AS cuts FROM c)
+         |), a AS (
+         |  SELECT quantile_cont(v, [${qs.mkString(", ")}]) AS cuts FROM p
+         |)
          |SELECT CAST(len(list_filter(cuts, x -> v >= x)) AS INTEGER) AS bin,
          |  CAST(count(*) AS BIGINT) AS n,
          |  min(v) AS min_micro, max(v) AS max_micro,

@@ -657,12 +657,17 @@ object IOQueries {
       .select("o_orderkey", "o_custkey", "o_totalprice")
     orders.repartition(16, col("o_custkey"))
       .write.mode("overwrite").parquet(lake)
-    // manifest: one row per file — row count + a bloom of its orderkeys
-    // (sized for the largest file; deterministic for fixed data+params)
+    // manifest: one row per file — row count + a bloom of its orderkeys.
+    // Bloom capacity derives from the ACTUAL table size (one bounded
+    // count): a fixed estimate saturates at bigger SFs and the false-
+    // positive rate quietly eats the pruning. ~16 bits/key ≈ 0.5% fpp.
+    val estPerFile = math.max(20000L,
+      Tables.load(spark, dir, "orders").count() / 16 * 2)
+    val nBits = estPerFile * 16
     val manifest = spark.read.parquet(lake)
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"),
-        base64(expr("graft_bloom_agg(xxhash64(o_orderkey), 20000L, 262144L)"))
+        base64(expr(s"graft_bloom_agg(xxhash64(o_orderkey), ${estPerFile}L, ${nBits}L)"))
           .as("bloom_b64"))
     graft.sinks.ManifestStore.publish(spark, base + "/manifest", manifest)
     // probe keys: the table's min and max orderkey — deterministic and
