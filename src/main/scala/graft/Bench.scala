@@ -178,7 +178,11 @@ object Bench {
         val factor = 10
         val scaledDir = ensureScaled(spark, sfDir, factor)
         val baseline = (results ++ ext).toMap
-        val scaled = bench(scaleStep, scaledDir, warmRuns = 1)
+        // warm medians here too: a single 10× run at the tail of a
+        // long bench session inherits its heap/GC debt — observed
+        // single-run ratios swinging 3–7× on unchanged code, which
+        // would read as regressions that do not exist
+        val scaled = bench(scaleStep, scaledDir, warmRuns = 3)
         val ratios = scaled.flatMap { case (n, t) =>
           baseline.get(n).map(b => n -> t.median / math.max(b.median, 1e-9)) }
         f""","scale_step":{"factor":$factor,"queries":${jsonField(scaled, _.median)},"ratio":${json(ratios)},"total":${scaled.map(_._2.median).sum}%.3f}"""

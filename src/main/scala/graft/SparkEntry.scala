@@ -133,6 +133,7 @@ object SparkEntry {
     "t_incr_join" -> (IOQueries.tIncrJoin _),
     "q_dpp" -> (IOQueries.qDpp _),
     "p_dirty_partitions" -> ((s, d) => IOQueries.pDirtyPartitions(s, d)),
+    "sink_wap" -> ((s, d) => IOQueries.sinkWap(s, d)),
     "dq_fk" -> (IOQueries.dqFk _),
     "src_fvecs" -> (IOQueries.srcFvecs _),
     "src_url" -> (IOQueries.srcUrl _),
@@ -1048,6 +1049,21 @@ object SparkEntry {
           "supplier", "s_suppkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
     },
+    // the oracle replays what SHOULD have happened at every stage of
+    // the write-audit-publish protocol — publishing a failing batch or
+    // drifting the visible version breaks the hash
+    "sink_wap" ->
+      """WITH n AS (SELECT cast(count(*) AS bigint) AS total FROM orders),
+        |bad AS (SELECT cast(count(*) AS bigint) AS nb FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT '1_publish_clean' AS stage, total AS n_rows,
+        |  cast(0 AS bigint) AS n_violations, true AS published,
+        |  cast(1 AS bigint) AS current_version,
+        |  total - nb AS live_rows FROM n, bad
+        |UNION ALL
+        |SELECT '2_reject_corrupt', total, nb, false, 1, total - nb FROM n, bad
+        |UNION ALL
+        |SELECT '3_publish_fixed', total - nb, 0, true, 2, total - nb FROM n, bad
+        |ORDER BY stage""".stripMargin,
     // the incrementally-rebuilt table must equal a from-scratch build
     // of the MODIFIED source (stale or doubled partitions break this)
     "p_dirty_partitions" ->

@@ -876,6 +876,78 @@ object IOQueries {
     audits.reduce(_ unionByName _).orderBy("fk")
   }
 
+  /** K16: write-audit-publish — the blue-green deploy of data: a
+    * candidate batch is STAGED invisibly, a DQ audit runs against the
+    * staged copy, and only a passing batch is atomically published as
+    * the next readable version; a failing batch leaves no trace a
+    * reader can observe (the Iceberg WAP / staging-branch pattern,
+    * and the missing half of T10's gate — which flags rows but has no
+    * publish protocol to withhold).
+    *
+    * Flow here: v1 publishes clean; a second candidate arrives with
+    * planted violations (every 500th key's price negated, one null
+    * status) — its audit counts violations against the STAGED parquet
+    * (never the live table), fails, and the candidate is discarded
+    * with the manifest still at v1; the corrected batch re-stages,
+    * passes, and publishes v2. Readers flip v1→v2 atomically via the
+    * ManifestStore rename commit and can never see the bad batch —
+    * at 100 TB the audit costs one scan of the candidate (not the
+    * table) and a bad nightly load costs zero reader-visible
+    * downtime. Output: one row per stage with the audit verdict and
+    * the version the stage left current — all replayed arithmetically
+    * by the oracle, so the protocol's outcome (not just its
+    * bookkeeping) is hash-checked.
+    */
+  def sinkWap(spark: SparkSession, dir: String,
+              baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(tmpDir("wap"))
+    val manifestDir = base + "/manifest"
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    def audit(staged: DataFrame) = staged.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= 0 || col("o_orderstatus").isNull, 1L)
+          .otherwise(0L)).as("n_bad"))
+      .collect().head
+    // every recorded value is the protocol's ACTUAL outcome (audit
+    // result, did-publish, version visible to readers after the
+    // stage), not a narration — the oracle replays what SHOULD have
+    // happened, so a protocol bug (publishing a failing batch,
+    // version drift) breaks the hash
+    def stage(name: String, batch: DataFrame): (Long, Long, Boolean, Long) = {
+      val path = s"$base/staged_$name"
+      batch.write.mode("overwrite").parquet(path)
+      val a = audit(spark.read.parquet(path))
+      val (n, bad) = (a.getLong(0), a.getLong(1))
+      if (bad == 0L) {
+        import spark.implicits._
+        graft.sinks.ManifestStore.publish(spark, manifestDir,
+          Seq((path, n)).toDF("path", "n_rows"))
+      }
+      val visible = graft.sinks.ManifestStore.versions(spark, manifestDir)
+        .lastOption.getOrElse(0L)
+      (n, bad, bad == 0L, visible)
+    }
+    val s1 = stage("v1", orders)
+    // the corrupted nightly load: every 7th key's price negated
+    val corrupt = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 7 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")))
+    val s2 = stage("candidate", corrupt)
+    val s3 = stage("fixed",
+      corrupt.filter(col("o_totalprice") > 0 && col("o_orderstatus").isNotNull))
+    val (_, cur) = graft.sinks.ManifestStore.current(spark, manifestDir)
+    val liveRows = spark.read.parquet(
+      cur.select("path").collect().head.getString(0)).count()
+    import spark.implicits._
+    Seq(("1_publish_clean", s1), ("2_reject_corrupt", s2),
+        ("3_publish_fixed", s3))
+      .map { case (st, (n, bad, pub, ver)) => (st, n, bad, pub, ver) }
+      .toDF("stage", "n_rows", "n_violations", "published", "current_version")
+      .withColumn("live_rows", lit(liveRows))
+      .orderBy("stage")
+  }
+
   /** P6: dirty-partition incremental recompute — the "make for data"
     * contract behind dbt incremental models and every sane nightly
     * build: each output partition records a FINGERPRINT of its input

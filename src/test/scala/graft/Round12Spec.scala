@@ -343,6 +343,25 @@ class Round12Spec extends SparkSpec {
     assert(got == expect, s"query-0 top-5: $got vs replay $expect")
   }
 
+  test("sink_wap: a failing audit leaves no reader-visible trace") {
+    val base = Files.createTempDirectory("graft_wap_spec").toString
+    val out = IOQueries.sinkWap(spark, sfDir, Some(base)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // the rejected candidate must not have consumed a version number —
+    // exactly v1 and v2 exist, nothing in between, nothing extra
+    val versions = graft.sinks.ManifestStore.versions(spark, base + "/manifest")
+    assert(versions == Seq(1L, 2L), s"expected v1+v2 only, got $versions")
+    assert(!out("2_reject_corrupt").getBoolean(3), "corrupt batch published")
+    assert(out("2_reject_corrupt").getLong(4) == 1L,
+      "visible version moved on a failed audit")
+    assert(out("2_reject_corrupt").getLong(2) > 0, "audit found nothing — vacuous")
+    // the live table is the fixed batch, row-exact
+    val (_, cur) = graft.sinks.ManifestStore.current(spark, base + "/manifest")
+    val live = spark.read.parquet(cur.select("path").collect().head.getString(0))
+    assert(live.filter(col("o_totalprice") <= 0).count() == 0L)
+    assert(live.count() == out("3_publish_fixed").getLong(1))
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
