@@ -65,6 +65,7 @@ object SparkEntry {
     "t_target_encode" -> (Analytics.tTargetEncode _),
     "t_quantile_bin" -> ((s, d) => Analytics.tQuantileBin(s, d)),
     "q_aqe_skew" -> (Analytics.qAqeSkew _),
+    "q_interval_join" -> (Analytics.qIntervalJoin _),
     "t_profile" -> (Analytics.tProfile _),
     "e_transitions" -> (Analytics.eTransitions _),
     "e_gap_fill" -> (Analytics.eGapFill _),
@@ -684,6 +685,26 @@ object SparkEntry {
         |  cast(count(DISTINCT source) AS bigint) AS n_sources,
         |  cast(sum(n_chars) AS bigint) AS total_chars
         |FROM d GROUP BY 1 ORDER BY split""".stripMargin,
+    // the oracle joins the RAW theta form — the banded equi-join plan
+    // must lose and double nothing
+    "q_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS tns, CAST(ts AS DATE) AS d FROM events
+        |), a AS (
+        |  SELECT user_id, d, min(tns) AS a_lo, max(tns) AS a_hi
+        |  FROM e GROUP BY 1, 2
+        |), b AS (
+        |  SELECT d AS wd,
+        |    epoch_ns(CAST(d AS TIMESTAMP)) + 18::BIGINT * 3600 * 1000000000 AS b_lo,
+        |    epoch_ns(CAST(d AS TIMESTAMP)) + 30::BIGINT * 3600 * 1000000000 AS b_hi
+        |  FROM (SELECT DISTINCT d FROM e)
+        |  WHERE datediff('day', DATE '1970-01-01', d) % 3 = 0
+        |)
+        |SELECT wd, cast(count(*) AS bigint) AS n_user_days,
+        |  cast(sum(least(a_hi, b_hi) - greatest(a_lo, b_lo)) AS bigint)
+        |    AS overlap_total_ns
+        |FROM a JOIN b ON a_lo < b_hi AND b_lo < a_hi
+        |GROUP BY 1 ORDER BY wd""".stripMargin,
     // skew_handled pinned TRUE: the correctness gate fails if AQE's
     // OptimizeSkewedJoin ever stops firing on the hot key
     "q_aqe_skew" ->

@@ -258,6 +258,49 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** Q47: interval-overlap join — interval × interval (not Q19's
+    * point-in-band): per-user DAILY ACTIVITY intervals [first event,
+    * last event] against overnight maintenance windows (18:00 → next
+    * day 06:00, every third day), reporting per-window affected
+    * user-days and total overlapped nanoseconds — the ad-exposure /
+    * downtime-impact shape no equi-join expresses directly.
+    *
+    * Scale shape: a naive theta-join (a_lo < b_hi AND b_lo < a_hi) is
+    * a cartesian at plan time. Instead both sides band to calendar-day
+    * buckets — an interval joins only buckets it touches (windows
+    * span two days → explode to two bucket rows; activity intervals
+    * are day-bounded by construction) — so the join is a plain
+    * equi-join on the bucket with the exact overlap predicate as a
+    * post-filter: shuffle traffic is interval-count-linear, the D3/M7
+    * banding argument applied to TIME. Per-pair dedup is structural
+    * here (one side single-bucket); general interval-interval banding
+    * assigns each pair to the bucket of max(starts) — documented so
+    * the pattern scales to multi-day intervals. Overlap lengths are
+    * exact nanos longs; the oracle joins the raw theta form, so the
+    * banded plan is proven to lose and double nothing.
+    */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val e = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts_ns"), to_date(col("ts")).as("d"))
+    val act = e.groupBy("user_id", "d")
+      .agg(min("ts_ns").as("a_lo"), max("ts_ns").as("a_hi"))
+    val windows = e.select("d").distinct()
+      .filter(datediff(col("d"), lit("1970-01-01").cast("date")) % 3 === 0)
+      .select(col("d").as("wd"),
+        (unix_micros(col("d").cast("timestamp")) * 1000 + lit(18) * hourNs).as("b_lo"),
+        (unix_micros(col("d").cast("timestamp")) * 1000 + lit(30) * hourNs).as("b_hi"))
+    val banded = windows.select(col("wd"), col("b_lo"), col("b_hi"),
+      explode(array(col("wd"), date_add(col("wd"), 1))).as("d"))
+    act.join(banded, Seq("d"))
+      .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .withColumn("overlap_ns",
+        least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")))
+      .groupBy("wd")
+      .agg(count(lit(1)).as("n_user_days"), sum("overlap_ns").as("overlap_total_ns"))
+      .orderBy("wd")
+  }
+
   /** Q46: AQE runtime skew-join mitigation — the engine-native
     * complement of T15's manual salting: a deterministic hot key
     * (70% of fact rows) meets a sort-merge join with NO hand-salting,

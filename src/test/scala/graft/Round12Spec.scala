@@ -362,6 +362,15 @@ class Round12Spec extends SparkSpec {
     assert(live.count() == out("3_publish_fixed").getLong(1))
   }
 
+  test("q_interval_join: the overlap join is banded — no nested-loop plan") {
+    val df = queries.Analytics.qIntervalJoin(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join fell back to a nested-loop/cartesian plan:\n$plan")
+    // non-vacuous at sf0.001: some overnight window overlaps activity
+    assert(df.collect().nonEmpty, "no overlapping window found")
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
