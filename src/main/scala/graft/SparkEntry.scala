@@ -198,6 +198,7 @@ object SparkEntry {
     "text_phrase" -> ((s, d) => TextQueries.textPhrase(s, d)),
     "t_weighted_sample" -> ((s, d) => Relational.tWeightedSample(s, d)),
     "ts_ewma" -> (TimeSeries.ewma _),
+    "ts_ols" -> (TimeSeries.ols _),
     "q_winsorize" -> (Analytics.qWinsorize _),
     "q_assoc_rules" -> ((s, d) => Analytics.qAssocRules(s, d)),
     // Similarity search (A1–A3)
@@ -685,6 +686,40 @@ object SparkEntry {
         |  cast(count(DISTINCT source) AS bigint) AS n_sources,
         |  cast(sum(n_chars) AS bigint) AS total_chars
         |FROM d GROUP BY 1 ORDER BY split""".stripMargin,
+    // identical window frame, identical double-assembly order over
+    // exact HUGEINT window sums
+    "ts_ols" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), idx AS (
+        |  SELECT d, y, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+        |  FROM daily
+        |), s AS (
+        |  SELECT d, y, t,
+        |    count(*) OVER w AS n,
+        |    sum(CAST(y AS HUGEINT)) OVER w AS sy,
+        |    sum(CAST(t * y AS HUGEINT)) OVER w AS sty,
+        |    sum(CAST(t AS HUGEINT)) OVER w AS st,
+        |    sum(CAST(t * t AS HUGEINT)) OVER w AS st2
+        |  FROM idx
+        |  WINDOW w AS (ORDER BY t ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+        |), f AS (
+        |  SELECT d, y, t, n,
+        |    (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+        |       - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE)
+        |       - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+        |    CAST(t AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS tdev
+        |  FROM s WHERE n >= 8
+        |)
+        |SELECT d, y AS y_micro,
+        |  CAST(round(slope) AS BIGINT) AS slope_micro_per_day,
+        |  CAST(round(ybar + slope * tdev) AS BIGINT) AS forecast_micro,
+        |  abs(y - CAST(round(ybar + slope * tdev) AS BIGINT)) AS abs_err_micro
+        |FROM f ORDER BY d""".stripMargin,
     // the oracle joins the RAW theta form — the banded equi-join plan
     // must lose and double nothing
     "q_interval_join" ->

@@ -144,6 +144,56 @@ object TimeSeries {
       .orderBy("d")
   }
 
+  /** F5: rolling-OLS trend forecast backtest — fit a least-squares
+    * line over the trailing 14 observations and forecast the NEXT
+    * day, evaluated as a per-day backtest (the linear-trend rung
+    * between F1's seasonal-naive and real models; unlike F4's EWMA it
+    * extrapolates slope, so it leads into trends instead of lagging
+    * them).
+    *
+    * Exactness: with t = absolute row index, the OLS pieces are plain
+    * window sums of (y, t·y, t, t²) over ROWS BETWEEN 14 PRECEDING
+    * AND 1 PRECEDING — no per-window recentering, so a vanilla window
+    * frame computes everything (the relative-index formulation would
+    * need per-frame weights like F4's fan-out). Products accumulate
+    * as decimal(38,0) ↔ HUGEINT (t·y ~ 1e13·1e4 and n·Σty overflow
+    * int64); slope and forecast assemble in double at the end from
+    * bit-equal integers — one division each, the F-family convention.
+    * ŷ_t = ȳ + b·(t − t̄) with b = (nΣty − ΣtΣy)/(nΣt² − (Σt)²),
+    * both engines evaluating the same expression text shape.
+    *
+    * Scale: fact rows are touched once by the daily aggregate; the
+    * window runs on |days| rows (bounded — the F-family note above).
+    */
+  def ols(spark: SparkSession, dir: String): DataFrame =
+    olsOf(daily(spark, dir))
+
+  /** [[ols]]'s core over ANY (d DATE, y LONG) daily series. */
+  private[graft] def olsOf(series: DataFrame, window: Int = 14): DataFrame = {
+    val idx = series.withColumn("t",
+      row_number().over(Window.orderBy("d")).cast("long"))
+    val w = Window.orderBy("t").rowsBetween(-window, -1)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val withSums = idx
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sy", sum(dec(col("y"))).over(w))
+      .withColumn("sty", sum(dec(col("t") * col("y"))).over(w))
+      .withColumn("st", sum(dec(col("t"))).over(w))
+      .withColumn("st2", sum(dec(col("t") * col("t"))).over(w))
+      .filter(col("n") >= 8)
+    val nd = col("n").cast("double")
+    val (sy, sty, st, st2) = (col("sy").cast("double"), col("sty").cast("double"),
+      col("st").cast("double"), col("st2").cast("double"))
+    val slope = (nd * sty - st * sy) / (nd * st2 - st * st)
+    val forecast = sy / nd + slope * (col("t").cast("double") - st / nd)
+    withSums
+      .select(col("d"), col("y").as("y_micro"),
+        round(slope).cast("long").as("slope_micro_per_day"),
+        round(forecast).cast("long").as("forecast_micro"))
+      .withColumn("abs_err_micro", abs(col("y_micro") - col("forecast_micro")))
+      .orderBy("d")
+  }
+
   /** w_j = 3^j · 4^(lags−1−j), j = 0 (current) … lags−1 (oldest). */
   private[graft] def ewmaWeights(lags: Int): Seq[Long] =
     (0 until lags).map(j => (BigInt(3).pow(j) * BigInt(4).pow(lags - 1 - j)).toLong)

@@ -371,6 +371,25 @@ class Round12Spec extends SparkSpec {
     assert(df.collect().nonEmpty, "no overlapping window found")
   }
 
+  test("ts_ols: a perfect line is forecast with zero error and exact slope") {
+    import spark.implicits._
+    val series = (1 to 40)
+      .map(i => (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        1000000L + 250L * i))
+      .toDF("d", "y")
+    val out = queries.TimeSeries.olsOf(series).collect()
+    assert(out.length == 40 - 8 + 1 || out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) == 250L, s"slope ${r.getLong(2)} != 250 on a perfect line")
+      assert(r.getLong(4) == 0L, s"nonzero forecast error ${r.getLong(4)} on a line")
+    }
+    // and on real data it runs with warmup rows excluded (forecasts
+    // may legitimately go negative on declining windows — only the
+    // backtest error being defined everywhere is contractual)
+    val real = queries.TimeSeries.ols(spark, sfDir).collect()
+    assert(real.nonEmpty && real.forall(_.getLong(4) >= 0))
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
