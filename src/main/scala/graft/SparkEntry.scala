@@ -230,6 +230,7 @@ object SparkEntry {
     // Multimodal (M1–M3)
     "mm_schema" -> (Multimodal.mmSchema _),
     "mm_dedup" -> (Multimodal.mmDedup _),
+    "mm_probe" -> (Multimodal.mmProbe _),
     "mm_neardup" -> (Multimodal.mmNearDup _),
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_sample" -> ((s, d) => Multimodal.mmSample(s, d)),
@@ -2438,6 +2439,15 @@ object SparkEntry {
       """SELECT doc_id, 'utf8' AS format,
         |  octet_length(encode(text)) AS n_bytes,
         |  cast(n_chars % 640 AS int) AS width
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // every header field recomputed arithmetically — a hash match
+    // proves the binary encode→parse round-trip is field-exact
+    "mm_probe" ->
+      """SELECT doc_id, true AS magic_ok,
+        |  cast(64 + doc_id % 1856 AS bigint) AS width,
+        |  cast(64 + (doc_id * 7) % 1024 AS bigint) AS height,
+        |  cast(1 + doc_id % 4 AS bigint) AS channels,
+        |  cast(octet_length(encode(text)) AS bigint) AS body_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_dedup" ->
       """WITH m AS (

@@ -39,6 +39,48 @@ object Multimodal {
           (col("n_chars") % 640).cast("int").as("width"),
           lit(1).as("n_channels")).as("meta"))
 
+  /** M8: container-header probe — the "ffprobe" rung of a media
+    * pipeline: every ingest must pull width/height/channels/body-size
+    * out of the LEADING BYTES of an opaque blob (no codec, no full
+    * decode) before routing, resizing decisions, or corrupt-file
+    * quarantine can happen. The synthetic container here is a 16-byte
+    * header — magic "GMM1" + three big-endian u32 fields — prepended
+    * to the payload; real formats (PNG IHDR, JPEG SOF, WAV fmt) are
+    * the same fixed-offset arithmetic with different offsets.
+    *
+    * The probe is pure binary projection IN THE SCAN: `substring` on
+    * the blob + `hex`/`conv` field extraction, all codegen'd — no
+    * UDF, and the payload bytes themselves never shuffle (the header
+    * fields are projected out before any exchange; at 100 TB the
+    * blobs are the data and this is the only way a probe stays
+    * scan-speed). A bad-magic row surfaces as `magic_ok = false` for
+    * quarantine (S7's contract for binary feeds). The oracle
+    * recomputes every field from the row's doc_id arithmetically, so
+    * a hash match proves FIELD-EXACT binary encode→parse round-trips
+    * — endianness, offsets, and lengths all survive.
+    */
+  def mmProbe(spark: SparkSession, dir: String): DataFrame = {
+    def be32(v: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(v.cast("long")), 8, "0"))
+    val docs = Tables.load(spark, dir, "documents")
+    val media = docs.select(
+      col("doc_id"),
+      concat(
+        encode(lit("GMM1"), "UTF-8"),
+        be32(lit(64) + col("doc_id") % 1856),
+        be32(lit(64) + (col("doc_id") * 7) % 1024),
+        be32(lit(1) + col("doc_id") % 4),
+        encode(col("text"), "UTF-8")).as("blob"))
+    media.select(
+        col("doc_id"),
+        (decode(substring(col("blob"), 1, 4), "UTF-8") === "GMM1").as("magic_ok"),
+        conv(hex(substring(col("blob"), 5, 4)), 16, 10).cast("long").as("width"),
+        conv(hex(substring(col("blob"), 9, 4)), 16, 10).cast("long").as("height"),
+        conv(hex(substring(col("blob"), 13, 4)), 16, 10).cast("long").as("channels"),
+        (octet_length(col("blob")) - 16).cast("long").as("body_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** M4: binary-FILE ingestion — the `binaryFile` source, how raw
     * media objects (one image/audio file per object) actually enter a
     * lakehouse before being compacted into binary columns. Payload
