@@ -188,6 +188,7 @@ object SparkEntry {
     "g_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     "g_triangles" -> ((s, d) => Graph.triangles(s, d)),
     "g_communities" -> ((s, d) => Graph.labelProp(s, d)),
+    "g_ppr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
     "ann_sq" -> ((s, d) => Similarity.sqAnn(s, d)),
     "q_mad_outliers" -> (Analytics.qMadOutliers _),
     "emb_matryoshka" -> ((s, d) => Similarity.embMatryoshka(s, d)),
@@ -1807,6 +1808,42 @@ object SparkEntry {
     // of the textbook formulation replaced by exact integer micro ops
     // (r' = 150000 + (85·Σ(r div deg)) div 100), so the replay is
     // bit-exact. DuckDB `//` and Spark `div` agree on positive longs.
+    // G1's unrolled-CTE replay with the teleport confined to the seed
+    // cohort (nation-0 customers); integer arithmetic → hash-exact
+    "g_ppr" -> {
+      val base =
+        """WITH b AS (
+          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |), edges AS (
+          |  SELECT src, dst FROM b UNION ALL SELECT dst AS src, src AS dst FROM b
+          |), deg AS (
+          |  SELECT src, count(*) AS d FROM edges GROUP BY src
+          |), ed AS (
+          |  SELECT e.src, e.dst, d.d FROM edges e JOIN deg d USING (src)
+          |), seeds AS (
+          |  SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = 0
+          |), r0 AS (
+          |  SELECT src AS node,
+          |    CAST(CASE WHEN src IN (SELECT node FROM seeds)
+          |         THEN 1000000 ELSE 0 END AS BIGINT) AS r
+          |  FROM deg
+          |)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s""", r$i AS (
+           |  SELECT ed.dst AS node,
+           |    CAST(CASE WHEN ed.dst IN (SELECT node FROM seeds)
+           |           THEN 150000 ELSE 0 END
+           |      + (85 * sum(r.r // ed.d)) // 100 AS BIGINT) AS r
+           |  FROM ed JOIN r${i - 1} r ON r.node = ed.src GROUP BY ed.dst
+           |)""".stripMargin
+      }.mkString
+      base + iters +
+        """
+          |SELECT node, r AS rank_micro,
+          |  node IN (SELECT node FROM seeds) AS is_seed
+          |FROM r5 ORDER BY r DESC, node LIMIT 20""".stripMargin
+    },
     "g_pagerank" -> {
       val base =
         """WITH b AS (

@@ -77,6 +77,70 @@ object Graph {
       .select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** G4: personalized PageRank — G1's walk with the teleport
+    * concentrated on a SEED COHORT (one nation's customers): "who is
+    * central to THESE buyers" instead of the whole network, the
+    * recommendation/fraud-neighborhood primitive (seeded random walk
+    * ≈ relatedness to the cohort). Same exact-integer contract as G1:
+    * r_i(v) = (150000 if v ∈ seeds else 0) + (85·Σ_in r_{i−1} div d)
+    * div 100, r_0 = 1e6 on seeds and 0 elsewhere — every double
+    * replaced by integer ops, so `iters` unrolled CTE stages in
+    * DuckDB replay hash-exact.
+    *
+    * Scale shape is G1's: edges built once and checkpointed with
+    * degrees riding along; the per-node reset vector is checkpointed
+    * once and joined back each round (nodes-sized — AQE broadcasts
+    * it); per-round traffic is O(|edges|) longs. Non-seed mass decays
+    * geometrically, which is why the top-k concentrates around the
+    * cohort's actual trading partners.
+    */
+  def personalizedPageRank(spark: SparkSession, dir: String,
+                           iters: Int = 5, topK: Int = 20): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val bought = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val seeds = Tables.load(spark, dir, "customer")
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("snode"))
+    pprOf(bought, seeds, iters, topK)
+  }
+
+  /** [[personalizedPageRank]]'s core over ANY distinct directed pair
+    * set (walked both directions) and seed-node set.
+    */
+  private[graft] def pprOf(pairs: DataFrame, seeds: DataFrame,
+                           iters: Int, topK: Int): DataFrame = {
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val withDeg = edges.join(deg, "src").localCheckpoint()
+    val reset = deg.select(col("src").as("node"))
+      .join(seeds.select(col("snode").as("node"), lit(150000L).as("rv")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("rv"), lit(0L)).as("reset"))
+      .localCheckpoint()
+    var ranks = reset
+      .select(col("node"), when(col("reset") > 0, 1000000L).otherwise(0L).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = withDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+        .join(reset.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("dst").as("node"),
+          (col("reset") + expr("(85L * s) div 100L")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.join(reset, Seq("node"))
+      .orderBy(col("r").desc, col("node"))
+      .limit(topK)
+      .select(col("node"), col("r").as("rank_micro"),
+        (col("reset") > 0).as("is_seed"))
+  }
+
   /** G3: community detection by synchronous label propagation (LPA,
     * Raghavan et al. 2007) over the customer↔supplier trade graph —
     * the clustering that groups a trade network into dense buying

@@ -390,6 +390,23 @@ class Round12Spec extends SparkSpec {
     assert(real.nonEmpty && real.forall(_.getLong(4) >= 0))
   }
 
+  test("g_ppr: teleport mass never reaches a disconnected component") {
+    import spark.implicits._
+    // two disjoint 3-cycles; seeds only in the first
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("snode")
+    val out = operators.Graph.pprOf(pairs, seeds, iters = 5, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (comp1, comp2) = (Set(1L, 2L, 3L), Set(10L, 11L, 12L))
+    assert(comp1.forall(n => out.getOrElse(n, 0L) > 0L),
+      s"seed component lost mass: $out")
+    assert(comp2.forall(n => out.getOrElse(n, 0L) == 0L),
+      s"mass leaked into the disconnected component: $out")
+    // the seed itself must outrank its non-seed neighbors
+    assert(out(1L) > out(2L) && out(1L) > out(3L), s"seed not dominant: $out")
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
