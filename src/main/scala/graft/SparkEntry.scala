@@ -196,6 +196,7 @@ object SparkEntry {
     "ts_decompose" -> (TimeSeries.decompose _),
     "ts_cusum" -> (TimeSeries.cusum _),
     "text_domain_cap" -> ((s, d) => TextQueries.textDomainCap(s, d)),
+    "text_novelty" -> ((s, d) => TextQueries.textNovelty(s, d)),
     "text_phrase" -> ((s, d) => TextQueries.textPhrase(s, d)),
     "t_weighted_sample" -> ((s, d) => Relational.tWeightedSample(s, d)),
     "ts_ewma" -> (TimeSeries.ewma _),
@@ -1681,6 +1682,29 @@ object SparkEntry {
         |  len(regexp_extract_all(no_email, '[0-9]{4,}')) AS n_nums,
         |  md5(regexp_replace(no_email, '[0-9]{4,}', '<NUM>', 'g')) AS redacted_md5
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    // same tokenizer + 5-gram construction; df computed on the raw
+    // gram (md5 on the Spark side only dedups bytes on the wire)
+    "text_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), gd AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))) AS grams
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, unnest(grams) AS g FROM gd
+        |), df AS (
+        |  SELECT g, count(*) AS df FROM e GROUP BY g
+        |)
+        |SELECT doc_id, cast(count(*) AS bigint) AS n_grams,
+        |  cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS bigint) AS n_unique,
+        |  CAST(round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    * 1e6 / count(*)) AS BIGINT) AS novelty_micro
+        |FROM e JOIN df USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,

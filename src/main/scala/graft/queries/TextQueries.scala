@@ -1107,6 +1107,39 @@ object TextQueries {
       .orderBy("split")
   }
 
+  /** X28: corpus-novelty scoring — for every document, the fraction
+    * of its DISTINCT 5-grams that appear in no other document. X6
+    * measures repetition WITHIN a document; this is the cross-corpus
+    * complement: boilerplate (navigation chrome, licenses, templated
+    * listings) scores near 0, original prose near 1 — the signal
+    * curation uses to down-weight template farms that aren't
+    * near-duplicates of any single page (D2/D3 can't see them because
+    * no PAIR is similar; the SHARED-GRAM mass is the tell).
+    *
+    * Shape: per-doc distinct gram md5s in the scan projection →
+    * explode → one (gram → doc-frequency) aggregate (map-side
+    * combined, corpus-linear like D7's paragraph hashing) → AQE
+    * broadcast-or-hash join back on the gram hash → per-doc
+    * aggregate. Gram strings never shuffle — only 128-bit hashes.
+    * Exactness: counts are longs, the one ratio is micro-rounded at
+    * the end; both engines replay the identical tokenizer + gram
+    * construction.
+    */
+  def textNovelty(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val grams = wordShingles(col("text"), n)
+    val docGrams = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(transform(grams, g => md5(g))).as("h"))
+    val df = docGrams.groupBy("h").agg(count(lit(1)).as("df"))
+    docGrams.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") * 1e6 / col("n_grams"))
+          .cast("long").as("novelty_micro"))
+      .orderBy("doc_id")
+  }
+
   def textDomainCap(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
     val topk = udaf(graft.functions.Aggregators.TopKByScore(cap))
     val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
