@@ -66,6 +66,7 @@ object SparkEntry {
     "t_quantile_bin" -> ((s, d) => Analytics.tQuantileBin(s, d)),
     "q_aqe_skew" -> (Analytics.qAqeSkew _),
     "q_interval_join" -> (Analytics.qIntervalJoin _),
+    "t_reconcile" -> (Analytics.tReconcile _),
     "t_profile" -> (Analytics.tProfile _),
     "e_transitions" -> (Analytics.eTransitions _),
     "e_gap_fill" -> (Analytics.eGapFill _),
@@ -723,6 +724,27 @@ object SparkEntry {
         |  CAST(round(ybar + slope * tdev) AS BIGINT) AS forecast_micro,
         |  abs(y - CAST(round(ybar + slope * tdev) AS BIGINT)) AS abs_err_micro
         |FROM f ORDER BY d""".stripMargin,
+    // identical per-line micro-rounding + integer bucket arithmetic
+    "t_reconcile" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |      * (1.0 + l_tax) * 1e6) AS BIGINT)) AS BIGINT) AS li_micro
+        |  FROM lineitem GROUP BY 1
+        |), o AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 1e6) AS BIGINT) AS o_micro
+        |  FROM orders
+        |), j AS (
+        |  SELECT o_micro, li_micro, o_micro - li_micro AS drift,
+        |    CASE WHEN li_micro IS NULL THEN '1_header_without_lines'
+        |         WHEN o_micro IS NULL THEN '2_lines_without_header'
+        |         WHEN abs(o_micro - li_micro) * 100 <= o_micro THEN '3_drift_within_1pct'
+        |         ELSE '4_drift_over_1pct' END AS bucket
+        |  FROM o FULL OUTER JOIN li ON o_orderkey = l_orderkey
+        |)
+        |SELECT bucket, cast(count(*) AS bigint) AS n,
+        |  cast(sum(coalesce(drift, 0)) AS bigint) AS drift_micro_total
+        |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin,
     // the oracle joins the RAW theta form — the banded equi-join plan
     // must lose and double nothing
     "q_interval_join" ->

@@ -258,6 +258,45 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** T28: cross-table financial reconciliation — the double-entry
+    * audit every warehouse load runs before anyone trusts a report:
+    * order HEADER totals against the LINE-ITEM rollup
+    * (Σ extprice·(1−disc)·(1+tax)), bucketed into headers-without-
+    * lines / lines-without-headers / within-1% / over-1% drift, with
+    * the signed drift mass per bucket. On this synthetic testdata the
+    * classic TPC-H pricing identity does NOT hold — which is the
+    * point: reconciliation REPORTS the discrepancy structure; a
+    * pipeline gate then decides what drift budget ships.
+    *
+    * Exactness: each line's contribution micro-rounds ONCE (one
+    * double product per row, identical expression both engines) and
+    * sums as exact longs; drift classification is pure integer
+    * comparison (|drift|·100 ≤ header), so the bucketing replays
+    * hash-exact. Shape: one map-side-combined rollup of lineitem +
+    * one FULL OUTER join on the order key + a 4-row aggregate — two
+    * shuffles, both key-partitioned, at any scale.
+    */
+  def tReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * 1e6).cast("long").as("c"))
+      .groupBy("l_orderkey").agg(sum("c").as("li_micro"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 1e6).cast("long").as("o_micro"))
+    val joined = o.join(li, col("o_orderkey") === col("l_orderkey"), "full_outer")
+    val drift = col("o_micro") - col("li_micro")
+    val bucket = when(col("li_micro").isNull, "1_header_without_lines")
+      .when(col("o_micro").isNull, "2_lines_without_header")
+      .when(abs(drift) * 100 <= col("o_micro"), "3_drift_within_1pct")
+      .otherwise("4_drift_over_1pct")
+    joined.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(drift, lit(0L))).as("drift_micro_total"))
+      .orderBy("bucket")
+  }
+
   /** Q47: interval-overlap join — interval × interval (not Q19's
     * point-in-band): per-user DAILY ACTIVITY intervals [first event,
     * last event] against overnight maintenance windows (18:00 → next
