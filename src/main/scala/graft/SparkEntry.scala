@@ -67,6 +67,7 @@ object SparkEntry {
     "q_aqe_skew" -> (Analytics.qAqeSkew _),
     "q_interval_join" -> (Analytics.qIntervalJoin _),
     "t_reconcile" -> (Analytics.tReconcile _),
+    "e_time_to_convert" -> (Analytics.eTimeToConvert _),
     "t_profile" -> (Analytics.tProfile _),
     "e_transitions" -> (Analytics.eTransitions _),
     "e_gap_fill" -> (Analytics.eGapFill _),
@@ -724,6 +725,26 @@ object SparkEntry {
         |  CAST(round(ybar + slope * tdev) AS BIGINT) AS forecast_micro,
         |  abs(y - CAST(round(ybar + slope * tdev) AS BIGINT)) AS abs_err_micro
         |FROM f ORDER BY d""".stripMargin,
+    // same two-pass shape, exact integer-second latencies, discrete
+    // percentiles (actual elements — engine-identical)
+    "e_time_to_convert" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS tv
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), conv AS (
+        |  SELECT e.user_id, min(fv.tv) AS tv, min(epoch_ns(e.ts)) AS tp
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= fv.tv
+        |  GROUP BY 1
+        |), d AS (
+        |  SELECT strftime(make_timestamp(tv // 1000), '%Y-%m') AS cohort,
+        |    (tp - tv) // 1000000000 AS delta_s
+        |  FROM conv
+        |)
+        |SELECT cohort, cast(count(*) AS bigint) AS n_converted,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delta_s) AS BIGINT) AS median_s,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delta_s) AS BIGINT) AS p90_s
+        |FROM d GROUP BY 1 ORDER BY cohort""".stripMargin,
     // identical per-line micro-rounding + integer bucket arithmetic
     "t_reconcile" ->
       """WITH li AS (

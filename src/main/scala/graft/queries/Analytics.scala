@@ -258,6 +258,52 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** E27: time-to-convert — per monthly cohort (month of the user's
+    * FIRST view), how long from first view to the first purchase
+    * AFTER it: converted-user counts plus exact median and p90
+    * latency. The latency complement of E13 (which counts funnel
+    * completions) and E14 (which tracks return visits): product
+    * decisions hinge on the conversion DELAY distribution, not just
+    * the rate.
+    *
+    * Shape: one conditional aggregate per user collapses the event
+    * stream to (first_view, first_purchase_after) — min(ts) and
+    * min(CASE purchase-after) in the same grouped pass, no window, no
+    * self-join; cohorts then aggregate user-level deltas with exact
+    * `percentile_disc` on integer-second latencies (user-bounded
+    * input per cohort — Q18's reducer-buffering note applies, with
+    * approx_percentile as the documented 100 TB swap). Nanos →
+    * seconds by integer div, so every engine-visible number is an
+    * exact integer.
+    *
+    * Two-pass contract: the purchase filter needs the user's first
+    * view, which is itself an aggregate — so pass 1 computes first
+    * views (map-side combined), pass 2 joins them back onto the
+    * purchase stream (AQE broadcasts the user-bounded first-view
+    * table at demo scale, hash-joins at 100 TB).
+    */
+  def eTimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+      .select("user_id", "event_type", "ts_ns")
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ns").as("tv"))
+    val converted = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts_ns") >= col("tv"))
+      .groupBy("user_id")
+      .agg(min("tv").as("tv"), min("ts_ns").as("tp"))
+      .select(col("user_id"),
+        date_format(timestamp_micros(expr("tv div 1000")), "yyyy-MM").as("cohort"),
+        expr("(tp - tv) div 1000000000").as("delta_s"))
+    converted.groupBy("cohort")
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delta_s)")
+          .cast("long").as("median_s"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delta_s)")
+          .cast("long").as("p90_s"))
+      .orderBy("cohort")
+  }
+
   /** T28: cross-table financial reconciliation — the double-entry
     * audit every warehouse load runs before anyone trusts a report:
     * order HEADER totals against the LINE-ITEM rollup
