@@ -173,6 +173,7 @@ object SparkEntry {
     "text_bpe_apply" -> ((s, d) => TextQueries.textBpeApply(s, d)),
     // Deduplication (D1–D5)
     "dedup_exact" -> (Dedup.exact _),
+    "dedup_delete_vectors" -> ((s, d) => Dedup.deleteVectors(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(s, d)),
@@ -2399,6 +2400,24 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash,
         |  count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    // a vector that deletes a keeper or misses a duplicate breaks this
+    "dedup_delete_vectors" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN 'DUP_' || CAST((doc_id // 9) % 3 AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents
+        |), k AS (
+        |  SELECT md5(text) AS h, min(doc_id) AS keep FROM p GROUP BY 1
+        |), s AS (
+        |  SELECT p.text, md5(p.text) AS h FROM p
+        |  JOIN k ON md5(p.text) = k.h AND p.doc_id = k.keep
+        |)
+        |SELECT cast(count(*) AS bigint) AS n_docs,
+        |  cast(count(DISTINCT h) AS bigint) AS n_distinct,
+        |  cast(sum(octet_length(encode(text))) AS bigint) AS total_bytes,
+        |  (SELECT cast(count(*) AS bigint) FROM p) - count(*) AS n_deleted
+        |FROM s""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id,

