@@ -192,6 +192,7 @@ object SparkEntry {
     "g_triangles" -> ((s, d) => Graph.triangles(s, d)),
     "g_communities" -> ((s, d) => Graph.labelProp(s, d)),
     "g_ppr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
+    "g_jaccard" -> ((s, d) => Graph.jaccardPairs(s, d)),
     "ann_sq" -> ((s, d) => Similarity.sqAnn(s, d)),
     "q_mad_outliers" -> (Analytics.qMadOutliers _),
     "emb_matryoshka" -> ((s, d) => Similarity.embMatryoshka(s, d)),
@@ -201,6 +202,7 @@ object SparkEntry {
     "text_domain_cap" -> ((s, d) => TextQueries.textDomainCap(s, d)),
     "text_novelty" -> ((s, d) => TextQueries.textNovelty(s, d)),
     "text_phrase" -> ((s, d) => TextQueries.textPhrase(s, d)),
+    "text_boilerplate" -> ((s, d) => TextQueries.textBoilerplate(s, d)),
     "t_weighted_sample" -> ((s, d) => Relational.tWeightedSample(s, d)),
     "ts_ewma" -> (TimeSeries.ewma _),
     "ts_ols" -> (TimeSeries.ols _),
@@ -2221,6 +2223,50 @@ object SparkEntry {
         |       (SELECT CAST(count(*) AS BIGINT)
         |        FROM o e1 JOIN o e2 ON e1.dst = e2.src
         |          JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles""".stripMargin,
+    // item-item Jaccard: candidates from the per-part self-join over
+    // the degree-capped bipartite graph; similarity is exact over the
+    // capped feature universe on both engines
+    "g_jaccard" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |pdeg AS (SELECT p, count(*) AS pd FROM sp GROUP BY p),
+        |capped AS (SELECT s, sp.p AS p FROM sp JOIN pdeg USING (p) WHERE pd <= 50),
+        |sz AS (SELECT s, count(*) AS sz FROM capped GROUP BY s),
+        |i AS (SELECT x.s AS a, y.s AS b, count(*) AS n_shared
+        |      FROM capped x JOIN capped y ON x.p = y.p AND x.s < y.s
+        |      GROUP BY 1, 2)
+        |SELECT a, b, n_shared, sa.sz + sb.sz - n_shared AS n_union,
+        |  (1000000 * n_shared) // (sa.sz + sb.sz - n_shared) AS jaccard_micro
+        |FROM i JOIN sz sa ON sa.s = i.a JOIN sz sb ON sb.s = i.b
+        |ORDER BY jaccard_micro DESC, a, b LIMIT 25""".stripMargin,
+    // boilerplate removal: same injection + sentence split as D7, the
+    // per-source 10% document-frequency threshold, and the cleaned
+    // text fingerprinted after order-preserving reassembly
+    "text_boilerplate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || '. Subscribe to our newsletter for the latest updates. All rights reserved'
+        |      ELSE text END AS text
+        |  FROM documents
+        |), arr AS (
+        |  SELECT doc_id, source, string_split_regex(text, '\.\s+') AS a FROM docs
+        |), s AS (
+        |  SELECT doc_id, source, i AS pos, trim(a[i]) AS sent, md5(trim(lower(a[i]))) AS h
+        |  FROM arr, unnest(generate_series(1, len(a))) AS u(i)
+        |  WHERE length(trim(a[i])) > 0
+        |), nd AS (
+        |  SELECT source, count(DISTINCT doc_id) AS n_src_docs FROM docs GROUP BY source
+        |), bp AS (
+        |  SELECT f.source, f.h
+        |  FROM (SELECT source, h, count(DISTINCT doc_id) AS df FROM s GROUP BY 1, 2) f
+        |  JOIN nd USING (source)
+        |  WHERE df * 100 >= 10 * n_src_docs
+        |)
+        |SELECT doc_id, count(*) AS n_sents,
+        |  CAST(count(*) FILTER (WHERE bp.h IS NOT NULL) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(sent, '. ' ORDER BY pos) FILTER (WHERE bp.h IS NULL), '')) AS clean_md5
+        |FROM s LEFT JOIN bp ON s.source = bp.source AND s.h = bp.h
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_substring" ->
       """WITH docs AS (
         |  SELECT doc_id,

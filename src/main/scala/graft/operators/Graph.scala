@@ -254,4 +254,57 @@ object Graph {
     counts.crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** G5: item-item Jaccard similarity over the supplier↔part
+    * bipartite graph (suppliers as items, their shipped part sets as
+    * feature sets) — the co-occurrence "similar items" primitive
+    * behind collaborative filtering, substitute detection, and entity
+    * canonicalization: J(a,b) = |P(a) ∩ P(b)| / |P(a) ∪ P(b)|.
+    *
+    * Scale shape (the G2 lesson applied to similarity): the naive
+    * supplier×supplier form is quadratic, but every pair with a
+    * nonzero intersection shares ≥ 1 part, so candidates come from a
+    * per-part self-join — fan-out Σ_p deg(p)², bounded by capping
+    * part degree (`maxFeatureDeg`). A part shipped by "everyone" is a
+    * stop-word feature: it contributes ~0 Jaccard signal at deg² cost
+    * — the hub drop every MinHash/PPJoin pipeline applies. The cap
+    * filters the BIPARTITE edges before set sizes are counted, so the
+    * similarity is exact over the capped feature universe (the
+    * contract, stated rather than hidden). Everything after is two
+    * index-linear shuffles: one (part) self-join grouped to
+    * intersection counts, one join against per-supplier set sizes.
+    *
+    * Integer-micro Jaccard with (micro desc, a, b) tie-break →
+    * hash-exact DuckDB oracle.
+    */
+  def jaccardPairs(spark: SparkSession, dir: String,
+                   maxFeatureDeg: Int = 50, topK: Int = 25): DataFrame = {
+    val sp = Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct()
+    jaccardPairsOf(sp, maxFeatureDeg, topK)
+  }
+
+  /** [[jaccardPairs]]'s core over ANY distinct (s, p) bipartite edge
+    * set — split out so specs can feed hand graphs.
+    */
+  private[graft] def jaccardPairsOf(sp: DataFrame, maxFeatureDeg: Int,
+                                    topK: Int): DataFrame = {
+    val pdeg = sp.groupBy("p").agg(count(lit(1)).as("pd"))
+    val capped = sp.join(pdeg.filter(col("pd") <= maxFeatureDeg), "p")
+      .select("s", "p").localCheckpoint()
+    val ssize = capped.groupBy("s").agg(count(lit(1)).as("sz"))
+    val inter = capped.as("x").join(capped.as("y"),
+        col("x.p") === col("y.p") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(ssize.select(col("s").as("a"), col("sz").as("sa")), "a")
+      .join(ssize.select(col("s").as("b"), col("sz").as("sb")), "b")
+      .select(col("a"), col("b"), col("n_shared"),
+        (col("sa") + col("sb") - col("n_shared")).as("n_union"),
+        expr("(1000000L * n_shared) div (sa + sb - n_shared)").as("jaccard_micro"))
+      .orderBy(col("jaccard_micro").desc, col("a"), col("b"))
+      .limit(topK)
+  }
 }

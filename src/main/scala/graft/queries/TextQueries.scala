@@ -1154,4 +1154,64 @@ object TextQueries {
         (col("pos") + 1).cast("long").as("keep_rank"), col("n_source"))
       .orderBy("source", "keep_rank")
   }
+
+  /** X29: per-source boilerplate line removal (the CCNet/RefinedWeb
+    * cleaning pass): a sentence is boilerplate for a source when it
+    * appears in ≥ `thresholdPct`% of that source's documents —
+    * nav/footer/disclaimer text that D7 merely DETECTS globally. The
+    * per-source fractional threshold is what distinguishes template
+    * text ("All rights reserved" on 90% of a domain's pages) from a
+    * merely popular sentence, and the output is the CLEANED document
+    * (surviving sentences re-joined in original order, fingerprinted)
+    * rather than a report.
+    *
+    * Plan shape: one explode in the scan projection → one
+    * (source, sent_hash) doc-frequency aggregate (map-side combined,
+    * corpus-linear) joined against per-source doc counts (sources are
+    * few → AQE broadcasts); the boilerplate set is Zipf-small, so the
+    * join-back onto the sentence stream broadcasts too; one final
+    * per-doc aggregate reassembles. Sentence STRINGS cross the first
+    * shuffle only inside the per-doc reassembly group — frequency
+    * counting moves 128-bit hashes.
+    *
+    * Deterministic (exact counts, md5 fingerprint of the reassembled
+    * text, original sentence order preserved via pos) → DuckDB-oracled
+    * hash-exact. Input passes through [[graft.operators.Dedup
+    * .withBoilerplate]] so real boilerplate exists at every SF.
+    */
+  def textBoilerplate(spark: SparkSession, dir: String,
+                      thresholdPct: Int = 10): DataFrame = {
+    // the D7 injection, with `source` kept (withBoilerplate projects
+    // it away): same literal, same every-7th-doc rule
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(graft.operators.Dedup.boilerplate)))
+          .otherwise(col("text")).as("text"))
+    val sents = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), "\\.\\s+")))
+      .filter(length(trim(col("col"))) > 0)
+      .select(col("doc_id"), col("source"), col("pos"),
+        trim(col("col")).as("sent"),
+        md5(trim(lower(col("col")))).as("h"))
+    val srcDocs = docs.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_src_docs"))
+    val dropped = sents.groupBy("source", "h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .join(srcDocs, "source")
+      .filter(col("df") * 100 >= lit(thresholdPct) * col("n_src_docs"))
+      .select(col("source"), col("h"), lit(1).as("is_bp"))
+    sents.join(dropped, Seq("source", "h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("is_bp").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips nulls → only kept sentences enter; the
+        // (pos, sent) struct sort restores original document order
+        md5(array_join(transform(
+          array_sort(collect_list(
+            when(col("is_bp").isNull, struct(col("pos"), col("sent"))))),
+          x => x.getField("sent")), ". ")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Graph
+import graft.queries.TextQueries
+import org.apache.spark.sql.functions._
+
+/** Round-6 batch-5 specs: item-item Jaccard (G5) and boilerplate
+  * removal (X29).
+  *
+  * Both are DuckDB-oracled for values; what the oracle cannot see is
+  * pinned here — the hand-graph arithmetic and degree-cap semantics of
+  * the Jaccard candidates, and that the cleaner actually removes the
+  * injected template sentences while leaving clean documents intact.
+  */
+class Round13Spec extends SparkSpec {
+
+  test("g_jaccard: hand bipartite graph matches exact set arithmetic") {
+    import spark.implicits._
+    // P(1)={10,11,12}, P(2)={10,11,12,13}, P(3)={13}, P(4)={99}
+    val sp = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 12L), (2L, 13L),
+      (3L, 13L), (4L, 99L)).toDF("s", "p")
+    val out = Graph.jaccardPairsOf(sp, maxFeatureDeg = 50, topK = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(out((1L, 2L)) == 750000L) // 3/4
+    assert(out((2L, 3L)) == 250000L) // 1/4
+    assert(!out.contains((1L, 3L)) && !out.contains((1L, 4L)),
+      "pairs with empty intersections must not appear")
+  }
+
+  test("g_jaccard: a hub feature above the cap contributes neither candidates nor set mass") {
+    import spark.implicits._
+    // feature 50 is shared by everyone (degree 3 > cap 2) — with it
+    // capped away, only {1,2} intersect (on 10), and set sizes shrink
+    val sp = Seq(
+      (1L, 10L), (1L, 50L), (2L, 10L), (2L, 50L), (3L, 50L), (3L, 11L))
+      .toDF("s", "p")
+    val rows = Graph.jaccardPairsOf(sp, maxFeatureDeg = 2, topK = 10).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L && r.getLong(4) == 1000000L,
+      s"capped universe J(1,2) must be 1/1, got $r")
+  }
+
+  test("g_jaccard: candidate generation plans no cartesian join") {
+    val plan = Graph.jaccardPairs(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"expected equi-join candidate generation only:\n$plan")
+  }
+
+  test("text_boilerplate: injected template sentences are dropped from every 7th doc") {
+    val out = TextQueries.textBoilerplate(spark, sfDir).collect()
+    val byDoc = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val injected = byDoc.filter { case (id, _) => id % 7 == 0 }
+    assert(injected.nonEmpty)
+    // withBoilerplate appends 2 sentences; both exceed the 10%
+    // per-source document-frequency threshold at any SF
+    assert(injected.forall { case (_, (_, dropped)) => dropped >= 2L },
+      "every injected doc must lose at least the 2 template sentences")
+  }
+
+  test("text_boilerplate: a clean doc's fingerprint equals its reassembled text") {
+    val out = TextQueries.textBoilerplate(spark, sfDir)
+    // clean docs (nothing dropped) must fingerprint to md5 of the
+    // original sentence reassembly — the cleaner is a no-op for them
+    val clean = out.filter(col("n_dropped") === 0).limit(5).collect()
+    assert(clean.nonEmpty)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id").isin(clean.map(_.getLong(0)): _*))
+      .select(col("doc_id"),
+        md5(array_join(filter(transform(split(col("text"), "\\.\\s+"),
+          s => trim(s)), s => length(s) > 0), ". ")).as("expect_md5"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    clean.foreach { r =>
+      assert(r.getString(3) == docs(r.getLong(0)),
+        s"doc ${r.getLong(0)}: cleaner altered a doc with nothing to drop")
+    }
+  }
+}
