@@ -186,6 +186,7 @@ object SparkEntry {
     "dedup_substring" -> ((s, d) => Dedup.substringDedup(s, d)),
     "dedup_substring_remove" -> ((s, d) => Dedup.substringRemove(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_quarantine" -> ((s, d) => Dedup.clusterQuarantine(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
     // Graph analytics (G1–G2)
     "g_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
@@ -206,6 +207,7 @@ object SparkEntry {
     "t_weighted_sample" -> ((s, d) => Relational.tWeightedSample(s, d)),
     "ts_ewma" -> (TimeSeries.ewma _),
     "ts_ols" -> (TimeSeries.ols _),
+    "ts_residual_anomaly" -> (TimeSeries.residualAnomaly _),
     "q_winsorize" -> (Analytics.qWinsorize _),
     "q_assoc_rules" -> ((s, d) => Analytics.qAssocRules(s, d)),
     // Similarity search (A1–A3)
@@ -2020,6 +2022,31 @@ object SparkEntry {
         |FROM dd, g
         |GROUP BY x % 7, g.n, g.sy, g.sxy, g.sx, g.sxx
         |ORDER BY dow""".stripMargin,
+    // seasonal-residual anomaly: per-DOW median level removed first,
+    // then the 3·1.4826·MAD gate — order statistics only, no big sums
+    "ts_residual_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), d0 AS (
+        |  SELECT d, y, CAST(datediff('day', DATE '1995-01-01', d) % 7 AS INT) AS dow
+        |  FROM daily
+        |), dm AS (
+        |  SELECT dow,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY y) AS BIGINT) AS dow_med
+        |  FROM d0 GROUP BY dow
+        |), r AS (
+        |  SELECT d, y, d0.dow, dow_med,
+        |    y - dow_med AS resid_micro, abs(y - dow_med) AS ad
+        |  FROM d0 JOIN dm ON d0.dow = dm.dow
+        |), m AS (
+        |  SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS BIGINT) AS mad
+        |  FROM r
+        |)
+        |SELECT d, y AS y_micro, dow, dow_med, resid_micro, mad AS mad_micro,
+        |  (mad > 0 AND ad > 3.0 * 1.4826 * mad) AS is_anomaly
+        |FROM r, m ORDER BY d""".stripMargin,
     "ts_cusum" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,
@@ -2519,6 +2546,51 @@ object SparkEntry {
         |)
         |SELECT cluster_id, count(*) AS n_members
         |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // D15: the same recursive-CTE components as dedup_clusters, then
+    // per-doc actions — min-id exemplar keeps, size >= 4 quarantines
+    "dedup_quarantine" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+        |  FROM t WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), walk(src, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, w.reach FROM edges e JOIN walk w ON e.dst = w.src
+        |), lbl AS (
+        |  SELECT src AS id, min(reach) AS cluster_id FROM walk GROUP BY 1
+        |), csize AS (
+        |  SELECT cluster_id, count(*) AS sz FROM lbl GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+        |  CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size,
+        |  CASE WHEN l.cluster_id IS NULL THEN 'keep'
+        |       WHEN s.sz >= 4 THEN 'quarantine'
+        |       WHEN d.doc_id = l.cluster_id THEN 'keep'
+        |       ELSE 'drop' END AS action
+        |FROM documents d
+        |LEFT JOIN lbl l ON l.id = d.doc_id
+        |LEFT JOIN csize s ON s.cluster_id = l.cluster_id
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_keep_best" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -499,6 +499,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
 
+  /** D15: per-document cluster resolution with mega-cluster
+    * QUARANTINE — the corpus-side action plan D8's cluster report
+    * feeds. Normal-sized near-dup clusters resolve keep-one (the
+    * min-id exemplar survives, siblings drop), but a cluster far
+    * above normal size is a template farm / SEO spam ring — no single
+    * exemplar is trustworthy, so the WHOLE cluster is quarantined for
+    * review instead of laundered into the corpus through its min-id
+    * member (the FineWeb/RefinedWeb practice of treating cluster size
+    * itself as a quality signal).
+    *
+    * Scale shape: the label graph exists only over documents that
+    * appear in a near-dup pair (Zipf-small vs the corpus), so the
+    * labels and the cluster-size aggregate are tiny relations —
+    * both sides of the corpus join-back broadcast; the corpus scan is
+    * touched exactly once. Deterministic (exact components via D8's
+    * machinery, min-id exemplar, integer size cap) → DuckDB-oracled
+    * via the same recursive-CTE components as `dedup_clusters`.
+    */
+  def clusterQuarantine(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5, maxCluster: Int = 4): DataFrame = {
+    val labels = clusterLabels(
+      ngramJaccard(spark, dir, threshold).select("doc_a", "doc_b"))
+    val sized = labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
+    Tables.load(spark, dir, "documents").select("doc_id")
+      .join(labels.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .join(sized, Seq("lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+        coalesce(col("sz"), lit(1L)).as("cluster_size"),
+        when(col("lbl").isNull, lit("keep"))
+          .when(col("sz") >= maxCluster, lit("quarantine"))
+          .when(col("doc_id") === col("lbl"), lit("keep")) // lbl = min member
+          .otherwise(lit("drop")).as("action"))
+      .orderBy("doc_id")
+  }
+
   /** Connected-component labels (id → min-member-id of its component)
     * for an undirected pair graph — the shared core of D8 and the
     * composite corpus pipeline. See [[dedupClusters]] for the

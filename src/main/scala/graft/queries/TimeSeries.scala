@@ -214,4 +214,48 @@ object TimeSeries {
         (col("rnk") === 1).as("is_changepoint"))
       .orderBy("d")
   }
+
+  /** F6: seasonal-residual anomaly detection — the robust monitor the
+    * F2 decomposition feeds: remove the weekly shape FIRST (per-DOW
+    * MEDIAN level — a mean would absorb the very anomalies being
+    * hunted), then flag days whose residual exceeds 3·1.4826·MAD of
+    * all residuals. A plain z-score monitor (E16) pages every
+    * Saturday when weekends run hot; subtracting the DOW level first
+    * is what separates "weekend" from "incident", and the
+    * median/MAD pair keeps the threshold itself outlier-proof
+    * (50% breakdown point vs the mean/σ's 0).
+    *
+    * Exactness: `percentile_disc(0.5)` is an ORDER statistic — no
+    * large sums, engine-identical (the q_mad_outliers idiom);
+    * residuals and MAD are exact longs; the one 1.4826 (σ-consistency
+    * constant) comparison mirrors on both sides. dow = days since the
+    * F2 fixed epoch mod 7 (engine-identical, unlike dayofweek).
+    * Scale: fact rows are touched once by the daily aggregate;
+    * everything after is |days|-bounded (one per-dow aggregate, one
+    * global MAD, one broadcast join-back).
+    */
+  def residualAnomaly(spark: SparkSession, dir: String): DataFrame =
+    residualAnomalyOf(daily(spark, dir))
+
+  /** [[residualAnomaly]]'s core over ANY (d DATE, y LONG) series. */
+  private[graft] def residualAnomalyOf(series: DataFrame): DataFrame = {
+    val d0 = series.select(col("d"), col("y"),
+      (datediff(col("d"), lit("1995-01-01").cast("date")) % 7).cast("int").as("dow"))
+    val dowMed = d0.groupBy("dow")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)")
+        .cast("long").as("dow_med"))
+    val res = d0.join(dowMed, "dow")
+      .withColumn("resid_micro", col("y") - col("dow_med"))
+      .withColumn("ad", abs(col("resid_micro")))
+    val mad = res.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)")
+        .cast("long").as("mad"))
+    res.crossJoin(mad)
+      .select(col("d"), col("y").as("y_micro"), col("dow"), col("dow_med"),
+        col("resid_micro"), col("mad").as("mad_micro"),
+        (col("mad") > 0 &&
+          col("ad").cast("double") > lit(3.0) * lit(1.4826) * col("mad").cast("double"))
+          .as("is_anomaly"))
+      .orderBy("d")
+  }
 }

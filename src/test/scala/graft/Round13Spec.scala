@@ -78,4 +78,47 @@ class Round13Spec extends SparkSpec {
         s"doc ${r.getLong(0)}: cleaner altered a doc with nothing to drop")
     }
   }
+
+  test("ts_residual_anomaly: a weekday-shaped series flags only the planted spike") {
+    import spark.implicits._
+    // 28 days with a weekly shape (level depends on dow) + small noise;
+    // day 17 is a 10× spike. A plain z-score would also flag every
+    // high-dow day; the DOW-median removal must leave only the spike.
+    val rows = (0 until 28).map { i =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(i))
+      val dowLevel = 1000L + (i % 7) * 500L
+      val noise = (i % 3) * 10L
+      val y = if (i == 17) 20000L else dowLevel + noise
+      (d, y)
+    }
+    val out = queries.TimeSeries.residualAnomalyOf(rows.toDF("d", "y")).collect()
+    val flagged = out.filter(_.getBoolean(6)).map(_.getDate(0).toString)
+    assert(flagged.toSeq == Seq("1995-01-18"), s"flagged=$flagged")
+    // residual of an un-spiked day stays within the noise band (the
+    // i%3 noise cycle spans 0..20 around each dow's median)
+    assert(out.filter(!_.getBoolean(6)).forall(r => math.abs(r.getLong(4)) <= 20L))
+  }
+
+  test("dedup_quarantine: actions are consistent per cluster and conserve the corpus") {
+    val out = operators.Dedup.clusterQuarantine(spark, sfDir).collect()
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(out.length.toLong == nDocs, "every document must receive an action")
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      val size = members.head.getLong(2)
+      assert(members.forall(_.getLong(2) == size))
+      assert(members.length.toLong == size, s"cluster $cid size mismatch")
+      val actions = members.map(_.getString(3)).toSeq
+      if (size >= 4)
+        assert(actions.forall(_ == "quarantine"), s"cluster $cid: $actions")
+      else if (size > 1) {
+        assert(actions.count(_ == "keep") == 1 && actions.count(_ == "drop") == size - 1)
+        // the keeper is the min-id member (= the cluster id)
+        val keeper = members.find(_.getString(3) == "keep").get.getLong(0)
+        assert(keeper == cid && keeper == members.map(_.getLong(0)).min)
+      } else assert(actions == Seq("keep"))
+    }
+    assert(byCluster.exists(_._2.head.getLong(2) > 1L),
+      "testdata must contain at least one real near-dup cluster")
+  }
 }
