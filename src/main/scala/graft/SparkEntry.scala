@@ -230,6 +230,9 @@ object SparkEntry {
     // k driver-looped argmax rounds → not SQL-expressible → rows-only;
     // exactness vs a driver-side greedy replay pinned in Round8Spec
     "emb_coreset" -> ((s, d) => Similarity.embCoreset(s, d)),
+    // MMR re-rank: k data-dependent greedy rounds → rows-only;
+    // driver-replay exactness pinned in Round13Spec
+    "emb_mmr" -> ((s, d) => Similarity.embMmr(s, d)),
     // spherical k-means: iterative (driver-looped Lloyd rounds) with
     // float-cosine assignment — not SQL-expressible → rows-only;
     // driver-replay exactness + partitioning-invariance in Round9Spec
@@ -261,6 +264,7 @@ object SparkEntry {
     "e_stream_enrich" -> (Events.streamStaticEnrich _),
     "e_stream_asof" -> (Events.streamAsof _),
     "e_funnel" -> (Analytics.funnel _),
+    "e_seq_pattern" -> (Analytics.eSeqPattern _),
     "e_retention" -> (Analytics.retention _),
     "e_anomaly" -> (Analytics.eAnomaly _),
     "e_stream_upsert" -> (Events.streamUpsert _),
@@ -2022,6 +2026,25 @@ object SparkEntry {
         |FROM dd, g
         |GROUP BY x % 7, g.n, g.sy, g.sxy, g.sx, g.sxx
         |ORDER BY dow""".stripMargin,
+    // sequence patterns: same symbol encoding, same (ts, event_id)
+    // order, RE2-safe regexes evaluate identically in both engines
+    "e_seq_pattern" ->
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+        |  FROM events GROUP BY user_id
+        |), pats AS (
+        |  SELECT * FROM (VALUES
+        |    ('browse_to_buy', 'v[cv]*p'),
+        |    ('error_then_churn', 'e[^p]*$'),
+        |    ('retry_loop', 'ee')) AS t(pattern, re)
+        |)
+        |SELECT pattern,
+        |  CAST(sum(CASE WHEN regexp_matches(s, re) THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  count(*) AS n_users,
+        |  (1000000 * CAST(sum(CASE WHEN regexp_matches(s, re) THEN 1 ELSE 0 END) AS BIGINT)) // count(*)
+        |    AS match_rate_micro
+        |FROM seq, pats GROUP BY pattern ORDER BY pattern""".stripMargin,
     // seasonal-residual anomaly: per-DOW median level removed first,
     // then the 3·1.4826·MAD gate — order statistics only, no big sums
     "ts_residual_anomaly" ->

@@ -642,6 +642,74 @@ object Similarity {
     chosen.reverse.toDF("rank", "center_id", "radius_micro").orderBy("rank")
   }
 
+  /** A19: MMR diverse top-k re-ranking (Carbonell & Goldstein 1998) —
+    * the post-retrieval stage between ANN and the consumer: a raw
+    * cosine top-k returns k near-copies of the best answer; maximal
+    * marginal relevance re-ranks the shortlist by
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`, trading relevance
+    * against redundancy with what is already selected. RAG context
+    * assembly, dedup-aware retrieval eval, and diverse negative
+    * mining all run exactly this loop.
+    *
+    * Scale/plan shape: the corpus-sized work is the SHORTLIST (exact
+    * cosine top-`shortlist` via the mergeable top-k — A1's plan); the
+    * greedy stage is k narrow rounds over shortlist-sized state
+    * (embeddings rehydrated by key once), each an incremental
+    * max-sim-to-selected update plus a 1-row argmax — the coreset
+    * machinery with `greatest` in place of `least`. Relevance and
+    * scores are exact integer micro (λ as a percent, `div 100`), so a
+    * driver-side greedy replay reproduces the ranking bit-for-bit
+    * (spec-pinned); not SQL-expressible (k data-dependent rounds) →
+    * rows-only driver check.
+    */
+  def embMmr(spark: SparkSession, dir: String, k: Int = 10,
+             shortlist: Int = 64, lambdaPct: Int = 70): DataFrame = {
+    import spark.implicits._
+    val e = corpus(spark, dir)
+    val qRow = e.orderBy("vec_id").limit(1).head
+    val (qId, qEmb) = (qRow.getLong(0),
+      qRow.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
+    def simTo(v: Seq[Float]): Column =
+      round(VectorFunctions.cosine(col("embedding"), typedlit(v)) * 1e6).cast("long")
+    val topk = udaf(graft.functions.Aggregators.TopKByScore(shortlist))
+    val cand = e.join(
+        e.filter(col("vec_id") =!= qId)
+          .select(lit(1).as("g"), simTo(qEmb).cast("double").as("s"), col("vec_id"))
+          .groupBy("g").agg(topk(col("s"), col("vec_id")).as("nn"))
+          .select(explode(col("nn")).as("p"))
+          .select(col("p._2").as("vec_id"), col("p._1").cast("long").as("rel_micro")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("rel_micro"), col("embedding"))
+      .localCheckpoint()
+    def embOf(id: Long): Seq[Float] = cand.filter(col("vec_id") === id)
+      .head.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    // round 1 is pure relevance; λ only matters once S is non-empty
+    val first = cand
+      .agg(max(struct(col("rel_micro"), (-col("vec_id")).as("nid"))).as("m"))
+      .select(col("m.rel_micro"), (-col("m.nid")).as("vec_id")).head
+    var chosenId = first.getLong(1)
+    var sel = List((1, chosenId, first.getLong(0), first.getLong(0)))
+    var state = cand.filter(col("vec_id") =!= chosenId)
+      .withColumn("max_sel", simTo(embOf(chosenId)))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val best = state
+        .withColumn("score", expr(
+          s"($lambdaPct * rel_micro - ${100 - lambdaPct} * max_sel) div 100"))
+        .agg(max(struct(col("score"), (-col("vec_id")).as("nid"),
+          col("rel_micro"))).as("m"))
+        .select(col("m.score"), (-col("m.nid")).as("vec_id"), col("m.rel_micro"))
+        .head
+      chosenId = best.getLong(1)
+      sel ::= ((r, chosenId, best.getLong(2), best.getLong(0)))
+      state = state.filter(col("vec_id") =!= chosenId)
+        .withColumn("max_sel", greatest(col("max_sel"), simTo(embOf(chosenId))))
+        .localCheckpoint()
+    }
+    sel.reverse.toDF("rank", "vec_id", "rel_micro", "score_micro")
+      .orderBy("rank")
+  }
+
   /** Deterministic k-means++ (D²) seeding for the spherical Lloyd
     * loops ([[embKmeans]], [[kmeansCentroids]]) — replaces the round-5
     * first-k-by-vec_id rule, which degrades to k near-identical seeds

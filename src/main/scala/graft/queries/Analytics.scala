@@ -50,6 +50,51 @@ object Analytics {
       .orderBy("stage")
   }
 
+  /** E28: behavioral sequence-pattern matching — the MATCH_RECOGNIZE
+    * analogue: each user's event history becomes a compact symbol
+    * string (one char per event, time-ordered), and product questions
+    * become REGULAR EXPRESSIONS over it — "view, browsing, then
+    * purchase" is `v[cv]*p`, "an error never followed by a purchase"
+    * is `e[^p]*$`, "consecutive errors" is `ee`. E13's funnel
+    * hard-codes one 3-stage pattern; this is the general engine (any
+    * pattern, NFA evaluation per user) the funnel is a special case
+    * of.
+    *
+    * Scale shape: ONE events scan, ONE shuffle (the per-user
+    * group-by); the symbol encoding collapses each event to 1 char
+    * before the collect, so per-user state is bytes-per-event, and
+    * every pattern evaluates on the same assembled string (patterns ×
+    * users rows, never patterns × events). Per-user sequence length
+    * is bounded by per-user activity; an unbounded-history corpus
+    * would window the sequence first (E2's sessionization provides
+    * exactly that cut). Deterministic: (ts_ns, event_id) total order,
+    * RE2-compatible regexes (no lookaround) evaluate identically in
+    * Spark and DuckDB → hash-exact oracle.
+    */
+  def eSeqPattern(spark: SparkSession, dir: String): DataFrame = {
+    val patterns = Seq(
+      ("browse_to_buy", "v[cv]*p"),
+      ("error_then_churn", "e[^p]*$"),
+      ("retry_loop", "ee"))
+    val seqs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      .groupBy("user_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("ts_ns"), col("event_id"), col("ch")))),
+        x => x.getField("ch"))).as("s"))
+    val arr = array(patterns.map { case (name, re) =>
+      struct(lit(name).as("pattern"),
+        when(regexp_like(col("s"), lit(re)), 1L).otherwise(0L).as("hit"))
+    }: _*)
+    seqs.select(explode(arr).as("x"))
+      .groupBy(col("x.pattern").as("pattern"))
+      .agg(sum(col("x.hit")).as("n_matched"), count(lit(1)).as("n_users"))
+      .select(col("pattern"), col("n_matched"), col("n_users"),
+        expr("(1000000 * n_matched) div n_users").as("match_rate_micro"))
+      .orderBy("pattern")
+  }
+
   /** E14: cohort retention — cohort = first active day; day-1 / day-7
     * retention per cohort. The activity set is deduplicated to
     * (user, day) FIRST (bounds everything downstream by users×days,

@@ -121,4 +121,71 @@ class Round13Spec extends SparkSpec {
     assert(byCluster.exists(_._2.head.getLong(2) > 1L),
       "testdata must contain at least one real near-dup cluster")
   }
+
+  test("emb_mmr matches a driver-side greedy replay exactly") {
+    val (k, short, lam) = (8, 32, 70)
+    val out = operators.Similarity
+      .embMmr(spark, sfDir, k = k, shortlist = short, lambdaPct = lam)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // replay with the native cosine's exact accumulation order
+    // (left-to-right float-to-double, dot/(√na·√nb)) and Spark's
+    // truncating integral `div`
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def simMicro(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val (x, y) = (a(i).toDouble, b(i).toDouble)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      math.round(cos * 1e6)
+    }
+    val (qId, qEmb) = vecs.head
+    val rel = vecs.collect { case (id, v) if id != qId => (id, simMicro(v, qEmb), v) }
+      .sortBy { case (id, s, _) => (-s, id) }.take(short)
+    var remaining = rel.map { case (id, s, v) => id -> ((s, v)) }.toMap
+    val firstId = remaining.toSeq.maxBy { case (id, (s, _)) => (s, -id) }._1
+    var expect = List((1, firstId, remaining(firstId)._1, remaining(firstId)._1))
+    var maxSel = (remaining - firstId).map { case (id, (_, v)) =>
+      id -> simMicro(v, remaining(firstId)._2) }
+    remaining -= firstId
+    for (r <- 2 to k) {
+      val best = remaining.toSeq.maxBy { case (id, (s, _)) =>
+        ((lam * s - (100 - lam) * maxSel(id)) / 100, -id) }._1
+      val score = (lam * remaining(best)._1 - (100 - lam) * maxSel(best)) / 100
+      expect ::= ((r, best, remaining(best)._1, score))
+      val bv = remaining(best)._2
+      remaining -= best; maxSel -= best
+      maxSel = maxSel.map { case (id, m) =>
+        id -> math.max(m, simMicro(remaining(id)._2, bv)) }
+    }
+    RecallLog.record("emb_mmr", "greedy_replay_exact_match",
+      if (out.toSeq == expect.reverse) 1.0 else 0.0)
+    assert(out.toSeq == expect.reverse,
+      s"mmr ${out.toSeq} != greedy replay ${expect.reverse}")
+    assert(out.map(_._2).distinct.length == k)
+  }
+
+  test("e_seq_pattern: one per-user shuffle, complete pattern rows, sane rates") {
+    val df = queries.Analytics.eSeqPattern(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("browse_to_buy", "error_then_churn", "retry_loop"))
+    val nUsers = Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getLong(2) == nUsers, "every pattern evaluates over all users")
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= nUsers)
+      assert(r.getLong(3) == 1000000L * r.getLong(1) / nUsers)
+    }
+    // the symbol encoding must collapse BEFORE the collect: exactly
+    // one wide exchange on user_id feeds the sequence assembly
+    // AQE's toString repeats the tree under "== Initial Plan ==" —
+    // count only the final plan section
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges == 1, s"expected one user_id exchange, got $exchanges\n$plan")
+  }
 }
