@@ -53,7 +53,11 @@ object Bench {
     // stream entries stay correctness-gated in Verify per the note
     // above)
     "q_moments", "t_quantile_bin", "e_attribution", "t_group_split",
-    "ann_mips", "dq_fk")
+    "ann_mips", "dq_fk",
+    // round-6 batch-5 additions
+    "g_jaccard", "text_boilerplate", "ts_residual_anomaly",
+    "dedup_quarantine", "e_seq_pattern", "emb_mmr",
+    "g_sssp", "ts_acf", "text_transfer")
 
   /** The scale-step set: the heaviest operators that read ONLY the
     * documents/embeddings tables (the two the 10× blow-up synthesizes).
@@ -61,7 +65,8 @@ object Bench {
   val scaleStep: Seq[String] = Seq(
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_substring",
     "dedup_substring_remove", "dedup_incremental",
-    "emb_kmeans", "ann_pq", "ann_knn_lsh", "text_dsir", "text_bm25")
+    "emb_kmeans", "ann_pq", "ann_knn_lsh", "text_dsir", "text_bm25",
+    "text_boilerplate", "dedup_quarantine")
 
   /** Build (once; cached by a _DONE marker) a deterministic `factor`×
     * blow-up of documents + embeddings under /tmp. Replica 0 is the

@@ -194,6 +194,9 @@ object SparkEntry {
     "g_communities" -> ((s, d) => Graph.labelProp(s, d)),
     "g_ppr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
     "g_jaccard" -> ((s, d) => Graph.jaccardPairs(s, d)),
+    "g_sssp" -> ((s, d) => Graph.sssp(s, d)),
+    "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
+    "text_transfer" -> (TextQueries.textTransfer _),
     "ann_sq" -> ((s, d) => Similarity.sqAnn(s, d)),
     "q_mad_outliers" -> (Analytics.qMadOutliers _),
     "emb_matryoshka" -> ((s, d) => Similarity.embMatryoshka(s, d)),
@@ -2273,6 +2276,92 @@ object SparkEntry {
         |       (SELECT CAST(count(*) AS BIGINT)
         |        FROM o e1 JOIN o e2 ON e1.dst = e2.src
         |          JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles""".stripMargin,
+    // Bellman-Ford SSSP: 6 unrolled min-plus stages replay the Spark
+    // loop exactly (integer weights, INF sentinel, floor division)
+    "g_sssp" -> {
+      val inf = "1000000000000000"
+      val base =
+        """WITH w0 AS (
+          |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, count(*) AS n
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |  GROUP BY 1, 2
+          |), e AS (
+          |  SELECT src, dst, greatest(1, 1000000 // n) AS w FROM w0
+          |  UNION ALL
+          |  SELECT dst, src, greatest(1, 1000000 // n) FROM w0
+          |), sse AS (SELECT min(src) AS sid FROM e),
+          |d0 AS (
+          |  SELECT n.node, CASE WHEN n.node = sse.sid THEN 0 ELSE %INF% END AS dist
+          |  FROM (SELECT DISTINCT src AS node FROM e) n, sse
+          |)""".stripMargin.replace("%INF%", inf)
+      val stages = (1 to 6).map { i =>
+        s""",
+           |d$i AS (
+           |  SELECT d.node, least(d.dist, coalesce(r.cand, $inf)) AS dist
+           |  FROM d${i - 1} d LEFT JOIN (
+           |    SELECT e.dst AS node, min(p.dist + e.w) AS cand
+           |    FROM e JOIN d${i - 1} p ON p.node = e.src
+           |    WHERE p.dist < $inf
+           |    GROUP BY e.dst
+           |  ) r ON r.node = d.node
+           |)""".stripMargin
+      }.mkString
+      base + stages +
+        s"\nSELECT node, CAST(dist AS BIGINT) AS dist_micro FROM d6" +
+        s"\nWHERE dist < $inf ORDER BY dist, node LIMIT 20"
+    },
+    // ACF: floor-mean deviations, HUGEINT term products, one double
+    // division per lag on bit-equal 128-bit integers
+    "ts_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), g AS (
+        |  SELECT sum(y) AS total, count(*) AS n FROM daily
+        |), dev AS (
+        |  SELECT d, CAST(y - (g.total // g.n) AS BIGINT) AS dev,
+        |    row_number() OVER (ORDER BY d) AS rn
+        |  FROM daily, g
+        |), den AS (
+        |  SELECT sum(CAST(dev AS HUGEINT) * dev) AS den FROM dev
+        |), p AS (
+        |  SELECT u.k AS k, count(*) AS n_pairs,
+        |    sum(CAST(a.dev AS HUGEINT) * b.dev) AS num
+        |  FROM dev a CROSS JOIN unnest(generate_series(1, 14)) AS u(k)
+        |  JOIN dev b ON b.rn = a.rn - u.k
+        |  GROUP BY u.k
+        |)
+        |SELECT CAST(k AS INT) AS lag, n_pairs,
+        |  CAST(round(CAST(num AS DOUBLE) * 1e6 / CAST(den AS DOUBLE)) AS BIGINT) AS acf_micro
+        |FROM p, den ORDER BY lag""".stripMargin,
+    // transfer matrix: X15's per-token micro-rounding with add-one
+    // smoothing over the global vocab; identical tokenizer both sides
+    "text_transfer" ->
+      """WITH tt AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source,
+        |      unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |    FROM documents) WHERE length(tok) > 0
+        |), c AS (
+        |  SELECT source AS m_source, tok, count(*) AS cnt FROM tt GROUP BY 1, 2
+        |), t AS (
+        |  SELECT m_source, CAST(sum(cnt) AS BIGINT) AS total FROM c GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT tok) AS v FROM tt
+        |), srcs AS (
+        |  SELECT DISTINCT source AS m_source FROM tt
+        |), s AS (
+        |  SELECT srcs.m_source, tt.source AS target_source,
+        |    CAST(round(ln(CAST(t.total + v.v AS DOUBLE) / (coalesce(c.cnt, 0) + 1)) * 1000000) AS BIGINT) AS m
+        |  FROM tt CROSS JOIN srcs
+        |  LEFT JOIN c ON c.m_source = srcs.m_source AND c.tok = tt.tok
+        |  JOIN t ON t.m_source = srcs.m_source
+        |  CROSS JOIN v
+        |)
+        |SELECT m_source, target_source, CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(m) // count(*) AS BIGINT) AS mean_surprisal_micro
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // item-item Jaccard: candidates from the per-part self-join over
     // the degree-capped bipartite graph; similarity is exact over the
     // capped feature universe on both engines

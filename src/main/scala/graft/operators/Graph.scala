@@ -285,6 +285,70 @@ object Graph {
     jaccardPairsOf(sp, maxFeatureDeg, topK)
   }
 
+  /** G6: weighted single-source shortest paths by Bellman-Ford rounds
+    * — relationship STRENGTH as distance on the trade graph: each
+    * customer↔supplier edge weighs `max(1, 1e6 div n_facts)` micro
+    * (more order lines → closer), and the output is the `topK`
+    * nearest nodes to the minimum-id customer within `iters` hops.
+    * This is "how close is X to this account, weighted by volume" —
+    * the fraud/recommendation neighborhood query BFS hop counts
+    * (Q35) cannot answer because all hops count equally there.
+    *
+    * Exactness/oracle: distances are exact longs (weights integer,
+    * INF = 10¹⁵ sentinel safely above any 6-hop sum), each round is
+    * `dist' = least(dist, min_incoming(dist_src + w))` — a pure
+    * min-plus semiring step — so `iters` unrolled CTE stages replay
+    * the Spark loop bit-for-bit. Ties in the final ranking break on
+    * node id.
+    *
+    * Scale shape (the G1 pattern on the min-plus semiring): edges ⋈
+    * dist equi-join + one map-side-combinable min per round, dist is
+    * nodes-sized (AQE broadcasts it), edges checkpointed once, rounds
+    * checkpointed so plans stay constant-size. Bounded `iters` is the
+    * production contract (k-hop neighborhood), not a convergence
+    * loop.
+    */
+  def sssp(spark: SparkSession, dir: String,
+           iters: Int = 6, topK: Int = 20): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val weighted = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("src"), col("dst"),
+        greatest(lit(1L), expr("1000000L div n")).as("w"))
+    ssspOf(weighted, iters, topK)
+  }
+
+  /** [[sssp]]'s core over ANY weighted directed pair set (walked both
+    * directions; source = the minimum node id).
+    */
+  private[graft] def ssspOf(weighted: DataFrame, iters: Int, topK: Int): DataFrame = {
+    val INF = 1000000000000000L
+    val edges = weighted
+      .unionByName(weighted.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint()
+    val srcId = edges.agg(min("src")).head.getLong(0)
+    var dist = edges.select(col("src").as("node")).distinct()
+      .withColumn("dist", when(col("node") === srcId, 0L).otherwise(INF))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val relax = edges
+        .join(dist.select(col("node").as("src"), col("dist").as("sd")), "src")
+        .filter(col("sd") < INF)
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("sd") + col("w")).as("cand"))
+      dist = dist.join(relax, Seq("node"), "left")
+        .select(col("node"),
+          least(col("dist"), coalesce(col("cand"), lit(INF))).as("dist"))
+        .localCheckpoint()
+    }
+    dist.filter(col("dist") < INF)
+      .orderBy(col("dist"), col("node"))
+      .limit(topK)
+      .select(col("node"), col("dist").as("dist_micro"))
+  }
+
   /** [[jaccardPairs]]'s core over ANY distinct (s, p) bipartite edge
     * set — split out so specs can feed hand graphs.
     */

@@ -1155,6 +1155,51 @@ object TextQueries {
       .orderBy("source", "keep_rank")
   }
 
+  /** X30: cross-source surprisal transfer matrix — train a unigram
+    * model on EACH source, score EVERY source's token stream under
+    * it: entry (m, t) is the mean add-one-smoothed surprisal of
+    * target source t under model source m. The diagonal is X15's
+    * self-surprisal; the OFF-diagonal is the domain-transfer signal
+    * mixture designers actually weigh (DoReMi/DSIR-style: a target
+    * domain that stays low-surprisal under another domain's model is
+    * redundant with it; one that spikes is novel coverage).
+    *
+    * Exactness: the X15 contract — each token's surprisal is rounded
+    * to integer micro BEFORE summing, so sums are merge-order-free
+    * exact longs; add-one smoothing over the GLOBAL vocab size keeps
+    * OOV tokens finite and both engines replay the identical double
+    * `ln` on bit-equal integer inputs.
+    *
+    * Scale shape: one corpus explode; counts/totals/vocab are
+    * vocab-sized aggregates; the scoring pass fans each target token
+    * out ×|sources| (a handful) against the BROADCAST source list
+    * and hash-joins the (m_source, tok) count table — corpus-linear
+    * traffic with a small constant, never corpus × corpus.
+    */
+  def textTransfer(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(normToks).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy(col("source").as("m_source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("m_source").agg(sum("cnt").as("total"))
+    val vocab = toks.select("tok").distinct().agg(count(lit(1)).as("v"))
+    val sources = toks.select("source").distinct()
+      .select(col("source").as("m_source"))
+    toks.crossJoin(broadcast(sources))
+      .join(counts, Seq("m_source", "tok"), "left")
+      .join(broadcast(totals), "m_source")
+      .crossJoin(broadcast(vocab))
+      .select(col("m_source"), col("source").as("target_source"),
+        round(log((col("total") + col("v")).cast("double") /
+          (coalesce(col("cnt"), lit(0L)) + lit(1L))) * 1e6).cast("long").as("m"))
+      .groupBy("m_source", "target_source")
+      .agg(count(lit(1)).as("n_toks"), sum("m").as("sum_micro"))
+      .select(col("m_source"), col("target_source"), col("n_toks"),
+        expr("sum_micro div n_toks").as("mean_surprisal_micro"))
+      .orderBy("m_source", "target_source")
+  }
+
   /** X29: per-source boilerplate line removal (the CCNet/RefinedWeb
     * cleaning pass): a sentence is boilerplate for a source when it
     * appears in ≥ `thresholdPct`% of that source's documents —

@@ -237,6 +237,49 @@ object TimeSeries {
   def residualAnomaly(spark: SparkSession, dir: String): DataFrame =
     residualAnomalyOf(daily(spark, dir))
 
+  /** F7: autocorrelation function at lags 1..`maxLag` — the
+    * diagnostic that DECIDES the rest of the monitoring stack: a
+    * spike at lag 7 justifies F1's seasonal-naive baseline and F6's
+    * DOW adjustment; slow decay says trend (fit F2/F5 first);
+    * no structure says the EWMA monitor (F4) alone suffices.
+    * r_k = Σ d_t·d_{t−k} / Σ d_t² over deviations d = y − mean.
+    *
+    * Exactness: deviations are exact longs off the FLOOR mean (the F3
+    * convention); products d·d ~10²⁶ overflow int64, so terms cast to
+    * decimal(38,0) BEFORE multiplying (HUGEINT in DuckDB) and both
+    * 128-bit sums stay exact; the one double division per lag runs on
+    * bit-equal integers (F2's contract). Lags are observations (row
+    * shift via row_number self-join), not calendar days — F4's
+    * series-as-memory convention.
+    *
+    * Scale: fact rows are touched once by the daily aggregate; the
+    * lag fan-out is |days|·maxLag bounded rows through one equi-join.
+    */
+  def acf(spark: SparkSession, dir: String, maxLag: Int = 14): DataFrame =
+    acfOf(daily(spark, dir), maxLag)
+
+  /** [[acf]]'s core over ANY (d DATE, y LONG) daily series. */
+  private[graft] def acfOf(series: DataFrame, maxLag: Int): DataFrame = {
+    val dev = series
+      .crossJoin(series.agg(sum("y").as("total"), count(lit(1)).as("n")))
+      .select(col("d"), (col("y") - expr("total div n")).as("dev"))
+      .withColumn("rn", row_number().over(Window.orderBy("d")))
+    val den = dev.agg(
+      sum(col("dev").cast("decimal(38,0)") * col("dev")).as("den"))
+    dev.select(col("rn"), col("dev"))
+      .withColumn("k", explode(sequence(lit(1), lit(maxLag))))
+      .join(dev.select(col("rn").as("prn"), col("dev").as("pdev")),
+        col("prn") === col("rn") - col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dev").cast("decimal(38,0)") * col("pdev")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("k").cast("int").as("lag"), col("n_pairs"),
+        round(col("num").cast("double") * 1e6 / col("den").cast("double"))
+          .cast("long").as("acf_micro"))
+      .orderBy("lag")
+  }
+
   /** [[residualAnomaly]]'s core over ANY (d DATE, y LONG) series. */
   private[graft] def residualAnomalyOf(series: DataFrame): DataFrame = {
     val d0 = series.select(col("d"), col("y"),

@@ -188,4 +188,46 @@ class Round13Spec extends SparkSpec {
     val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning(user_id"))
     assert(exchanges == 1, s"expected one user_id exchange, got $exchanges\n$plan")
   }
+
+  test("g_sssp: a cheap 2-hop path beats an expensive direct edge; unreachables drop") {
+    import spark.implicits._
+    // 1→2 (10), 2→3 (10), 1→3 (100); node 9 only reaches 10 — from
+    // source 1 (the min id), node 3 must cost 20, nodes 9/10 ∞
+    val w = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 100L), (9L, 10L, 5L))
+      .toDF("src", "dst", "w")
+    val out = Graph.ssspOf(w, iters = 6, topK = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 10L, 3L -> 20L),
+      s"got $out") // 9 and 10 are unreachable from 1 and must not appear
+  }
+
+  test("ts_acf: a period-7 series has its ACF peak exactly at lag 7") {
+    import spark.implicits._
+    val rows = (0 until 56).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(i)),
+        if (i % 7 == 0) 10000L else 100L)
+    }
+    val acf = queries.TimeSeries.acfOf(rows.toDF("d", "y"), maxLag = 14)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(acf.size == 14)
+    // the biased estimator caps a perfect period-7 signal at (n−k)/n
+    // — 49/56 = 0.875 at lag 7 — so "near 1" means near that ceiling
+    assert(acf(7) > 800000L, s"lag-7 autocorrelation ${acf(7)} not near (n-7)/n")
+    assert(acf(14) > 700000L)
+    (1 to 6).foreach(k => assert(acf(k) < acf(7), s"lag $k >= lag 7"))
+  }
+
+  test("text_transfer: each target's own model is its strict row minimum") {
+    val rows = queries.TextQueries.textTransfer(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val srcs = rows.keys.map(_._1).toSeq.distinct
+    assert(rows.size == srcs.length * srcs.length, "matrix must be complete")
+    srcs.foreach { t =>
+      val diag = rows((t, t))
+      srcs.filter(_ != t).foreach { m =>
+        assert(diag < rows((m, t)),
+          s"model $m scores target $t no worse than its own model")
+      }
+    }
+  }
 }
