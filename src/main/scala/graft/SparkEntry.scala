@@ -132,6 +132,7 @@ object SparkEntry {
     "dq_schema_contract" -> (IOQueries.dqSchemaContract _),
     "sink_manifest" -> ((s, d) => IOQueries.sinkManifest(s, d)),
     "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
+    "src_csv_quoted" -> (IOQueries.srcCsvQuoted _),
     "src_logs" -> (IOQueries.srcLogs _),
     "t_incr_join" -> (IOQueries.tIncrJoin _),
     "q_dpp" -> (IOQueries.qDpp _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "dedup_substring_remove" -> ((s, d) => Dedup.substringRemove(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_quarantine" -> ((s, d) => Dedup.clusterQuarantine(s, d)),
+    "dedup_cdc" -> ((s, d) => Dedup.cdcDedup(s, d)),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
     // Graph analytics (G1–G2)
     "g_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
@@ -198,6 +200,7 @@ object SparkEntry {
     "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
     "text_transfer" -> (TextQueries.textTransfer _),
     "ann_sq" -> ((s, d) => Similarity.sqAnn(s, d)),
+    "ann_hamming" -> ((s, d) => Similarity.hammingAnn(s, d)),
     "q_mad_outliers" -> (Analytics.qMadOutliers _),
     "emb_matryoshka" -> ((s, d) => Similarity.embMatryoshka(s, d)),
     "ts_snaive" -> (TimeSeries.snaive _),
@@ -2276,6 +2279,46 @@ object SparkEntry {
         |       (SELECT CAST(count(*) AS BIGINT)
         |        FROM o e1 JOIN o e2 ON e1.dst = e2.src
         |          JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles""".stripMargin,
+    // quoted CSV: the oracle rebuilds the identical note (chr(10)
+    // newline, literal quotes) straight from parquet — a hash match
+    // proves the CSV round-trip was byte-exact on every row
+    "src_csv_quoted" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice, 2) AS o_totalprice,
+        |  md5('order "' || CAST(o_orderkey AS VARCHAR) ||
+        |      '", priority, line1' || chr(10) ||
+        |      'line2 for cust ' || CAST(o_custkey AS VARCHAR)) AS note_md5,
+        |  CAST(length('order "' || CAST(o_orderkey AS VARCHAR) ||
+        |      '", priority, line1' || chr(10) ||
+        |      'line2 for cust ' || CAST(o_custkey AS VARCHAR)) AS BIGINT) AS note_len
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // Hamming retrieval: identical sign-bit fold (acc·2+b over 32-bit
+    // words) and XOR+popcount on both engines — integer-exact
+    "ann_hamming" ->
+      """WITH enc AS (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(0, CAST(ceil(len(embedding) / 32.0) AS INT) - 1),
+        |      w -> list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(embedding[w*32+1 : w*32+32],
+        |            x -> CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT))),
+        |        (acc, b) -> acc * 2 + b)) AS code
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id, code AS qcode FROM enc WHERE vec_id < 10
+        |), c AS (
+        |  SELECT q_id, e.vec_id,
+        |    list_sum(list_transform(generate_series(1, len(e.code)),
+        |      i -> bit_count(xor(e.code[i], q.qcode[i])))) AS hamming
+        |  FROM enc e CROSS JOIN q
+        |  WHERE e.vec_id <> q.q_id
+        |), r AS (
+        |  SELECT q_id, vec_id, CAST(hamming AS BIGINT) AS hamming,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rnk
+        |  FROM c
+        |)
+        |SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, hamming
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // Bellman-Ford SSSP: 6 unrolled min-plus stages replay the Spark
     // loop exactly (integer weights, INF sentinel, floor division)
     "g_sssp" -> {
@@ -2658,6 +2701,43 @@ object SparkEntry {
         |)
         |SELECT cluster_id, count(*) AS n_members
         |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CDC: the identical polynomial fold ((acc·31+code) mod 2^20,
+    // prepended-zero seed) finds the same content-defined boundaries
+    "dedup_cdc" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || '. Subscribe to our newsletter for the latest updates. All rights reserved'
+        |      ELSE text END AS text
+        |  FROM documents
+        |), ch AS (
+        |  SELECT doc_id, text, string_split(text, '') AS cs, length(text) AS n FROM docs
+        |), cut AS (
+        |  SELECT doc_id, text, n,
+        |    list_prepend(0, list_append(
+        |      list_filter(
+        |        list_filter(generate_series(16, n),
+        |          i -> list_reduce(
+        |                 list_prepend(CAST(0 AS BIGINT),
+        |                   list_transform(generate_series(i - 15, i),
+        |                     j -> CAST(ascii(cs[j]) AS BIGINT))),
+        |                 (acc, c) -> (acc * 31 + c) % 1048576) % 64 = 0),
+        |        x -> x < n),
+        |      n)) AS b
+        |  FROM ch
+        |), chunks AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(b) - 1),
+        |      j -> md5(substr(text, b[j] + 1, b[j + 1] - b[j])))) AS h,
+        |    unnest(list_transform(generate_series(1, len(b) - 1),
+        |      j -> b[j + 1] - b[j])) AS clen
+        |  FROM cut
+        |)
+        |SELECT h AS chunk_hash, CAST(count(*) AS BIGINT) AS n_occ,
+        |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keep_doc,
+        |  CAST(min(clen) AS BIGINT) AS chunk_len
+        |FROM chunks GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
     // D15: the same recursive-CTE components as dedup_clusters, then
     // per-doc actions — min-id exemplar keeps, size >= 4 quarantines
     "dedup_quarantine" ->

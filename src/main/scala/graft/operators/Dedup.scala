@@ -368,6 +368,75 @@ object Dedup {
       .filter(col("n_occ") > 1)
       .orderBy("sent_hash")
 
+  /** D16: content-defined chunking (CDC) dedup — the rsync/LBFS/
+    * restic primitive D11's FIXED token windows cannot be: chunk
+    * boundaries are cut where a rolling hash of the trailing `w`
+    * characters satisfies `h mod mask == 0`, so boundaries are a
+    * function of LOCAL CONTENT alone. Insert one character at the
+    * front of a document and every fixed-stride chunking loses every
+    * chunk; CDC re-synchronizes within ~one chunk and the rest of the
+    * document still dedups (spec-pinned). This is how backup/storage
+    * dedup survives shifted content, and the right chunk-level rung
+    * between D7's exact sentences and D11's token spans.
+    *
+    * Determinism/oracle: the polynomial fold `(acc·31 + code) mod
+    * 2^20` over character codes is pure integer arithmetic — DuckDB
+    * replays bit-for-bit (list_reduce with the same prepended-zero
+    * seed). Docs shorter than `w` produce a single whole-doc chunk on
+    * both engines (Spark's `sequence` descends when start > stop —
+    * guarded; DuckDB's generate_series is empty).
+    *
+    * Scale shape: D7's exactly — chunk hashes explode out of the scan
+    * projection (O(n·w) arithmetic per row, embarrassingly parallel),
+    * one shuffle on the 128-bit hash finds cross-doc duplicates;
+    * chunk STRINGS never leave the scan. Input passes through
+    * [[withBoilerplate]] so cross-doc duplicate chunks exist at every
+    * SF.
+    */
+  def cdcDedup(spark: SparkSession, dir: String,
+               w: Int = 16, mask: Int = 64): DataFrame =
+    cdcChunksOf(withBoilerplate(Tables.load(spark, dir, "documents")), w, mask)
+      .groupBy(col("h").as("chunk_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("keep_doc"),
+        min("clen").cast("long").as("chunk_len"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_hash")
+
+  /** [[cdcDedup]]'s chunker over ANY (doc_id, text) frame — split out
+    * so the insertion-robustness spec can feed shifted hand docs.
+    * Emits one (doc_id, h = md5(chunk), clen) row per chunk.
+    */
+  private[graft] def cdcChunksOf(docs: DataFrame, w: Int, mask: Int): DataFrame = {
+    // each stage materializes its expensive array ONCE per row in its
+    // own projection: a multiply-referenced Column is INLINED (and so
+    // re-evaluated) at every reference site otherwise — with the char
+    // array read n·w times per row, inlining `split` is an O(n²·w)
+    // blow-up (CollapseProject keeps multi-referenced projections
+    // apart, so the staging survives optimization)
+    def hAt(i: Column): Column =
+      aggregate(sequence(i - (w - 1), i), lit(0L),
+        (acc, j) => (acc * 31 + ascii(element_at(col("cs"), j))) % 1048576)
+    val cuts = when(col("n") >= w,
+        filter(sequence(lit(w), col("n")), i => hAt(i) % mask === 0))
+      .otherwise(array().cast("array<int>"))
+    val bounds = concat(
+      array(lit(0)), filter(col("cuts"), x => x < col("n")), array(col("n")))
+    val chunks = transform(sequence(lit(1), size(col("b")) - 1),
+      j => struct(
+        md5(col("text").substr(element_at(col("b"), j) + 1,
+          element_at(col("b"), j + 1) - element_at(col("b"), j))).as("h"),
+        (element_at(col("b"), j + 1) - element_at(col("b"), j)).as("clen")))
+    docs
+      .select(col("doc_id"), col("text"),
+        split(col("text"), "").as("cs"), length(col("text")).as("n"))
+      .select(col("doc_id"), col("text"), col("n"), cuts.as("cuts"))
+      .select(col("doc_id"), col("text"), bounds.as("b"))
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.h").as("h"), col("c.clen").as("clen"))
+  }
+
   /** D11: exact duplicated-substring detection at w-token granularity —
     * the "exact substring dedup" pass from training-data dedup practice
     * (Lee et al., "Deduplicating Training Data Makes Language Models

@@ -642,6 +642,55 @@ object Similarity {
     chosen.reverse.toDF("rank", "center_id", "radius_micro").orderBy("rank")
   }
 
+  /** A20: binary-signature (Hamming) retrieval — sign-bit
+    * binarization packs each vector into ⌈dim/32⌉ integer words (1
+    * bit per dimension: 32× less than SQ8's byte, 128× less than
+    * float32), and neighbor search becomes XOR + popcount over words
+    * — the cheapest first-pass retrieval rung production vector
+    * stores ship (FAISS binary indexes / Hamming-packed sign hashes),
+    * usually feeding an exact float rerank (compose with A1's tail).
+    * The sign-random-projection theory is A2's: Hamming distance over
+    * sign bits estimates angle, here with the identity projection
+    * because the corpus dimensions are already decorrelated.
+    *
+    * Fully deterministic (integer codes, integer distances,
+    * (hamming asc, vec_id) total order) — unlike every other
+    * compressed-ANN rung this one is DuckDB-ORACLED, not spec-bound:
+    * both engines fold the same sign bits with the same `acc·2 + b`
+    * arithmetic (32-bit words so checked BIGINT math never
+    * overflows) and popcount the same XOR.
+    *
+    * Scale shape: the encode happens once in the scan projection
+    * (what a 100 TB store persists); the scan moves ⌈dim/32⌉ longs
+    * per row against the broadcast query codes, and the mergeable
+    * top-k keeps ≤ k rows per (query, partition) — A1's plan at 1/128
+    * the bandwidth.
+    */
+  def hammingAnn(spark: SparkSession, dir: String,
+                 k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val e = corpus(spark, dir)
+    val words = (embeddingDim(spark, dir) + 31) / 32
+    def enc(c: Column): Column = transform(sequence(lit(0), lit(words - 1)),
+      w => aggregate(slice(c, w * lit(32) + 1, lit(32)), lit(0L),
+        (acc, x) => acc * 2 + when(x > lit(0.0f), 1L).otherwise(0L)))
+    val coded = e.select(col("vec_id"), enc(col("embedding")).as("code"))
+    val q = broadcast(coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("code").as("qcode")))
+    val cand = coded.join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        aggregate(
+          zip_with(col("code"), col("qcode"), (x, y) => bit_count(x.bitwiseXOR(y))),
+          lit(0), (a, b) => a + b).as("hamming"))
+    val topk = udaf(graft.functions.Aggregators.TopKByScore(k))
+    cand
+      .groupBy("q_id")
+      .agg(topk((-col("hamming")).cast("double"), col("vec_id")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "e")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("e._2").as("vec_id"), (-col("e._1")).cast("long").as("hamming"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** A19: MMR diverse top-k re-ranking (Carbonell & Goldstein 1998) —
     * the post-retrieval stage between ANN and the consumer: a raw
     * cosine top-k returns k near-copies of the best answer; maximal

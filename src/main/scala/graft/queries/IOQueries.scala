@@ -704,6 +704,46 @@ object IOQueries {
     (out, hit.length, nFiles)
   }
 
+  /** S11: quoted/multiline CSV ingestion — the CSV edge cases that
+    * break naive pipelines: fields containing the DELIMITER, embedded
+    * DOUBLE QUOTES, and embedded NEWLINES. A note column exercising
+    * all three is constructed deterministically, round-tripped
+    * through a quoted CSV write and a `multiLine` read, and
+    * re-emitted as per-row md5 fingerprints — the oracle rebuilds the
+    * same note straight from the parquet table, so a hash match
+    * proves every row survived BYTE-EXACT (quoting, escaping, and
+    * record-splitting all correct), not just that row counts agree.
+    *
+    * Scale note, stated because it is the real cost of this format:
+    * `multiLine` CSV cannot split files on newlines (a newline may be
+    * inside a quoted field), so parallelism degrades to one task per
+    * FILE — acceptable here because the writer controls file count;
+    * a 100 TB feed of such CSV should be landed as many files, or
+    * re-encoded to parquet at the edge (S1) before anything heavy.
+    */
+  def srcCsvQuoted(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("csvq") + "/orders_quoted"
+    val note = concat(
+      lit("order \""), col("o_orderkey").cast("string"),
+      lit("\", priority, line1\nline2 for cust "),
+      col("o_custkey").cast("string"))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        note.as("note"))
+      .write.mode("overwrite")
+      .option("header", true).option("escape", "\"")
+      .csv(out)
+    spark.read
+      .option("header", true).option("multiLine", true).option("escape", "\"")
+      .schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, note STRING")
+      .csv(out)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        md5(col("note")).as("note_md5"),
+        length(col("note")).cast("long").as("note_len"))
+      .orderBy("o_orderkey")
+  }
+
   /** S10: regex-structured log ingestion — access-log lines, the
     * rawest shape a lake ingests, parsed into typed columns with
     * `regexp_extract` evaluated inside the scan projection (no UDF,

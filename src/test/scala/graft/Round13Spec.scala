@@ -217,6 +217,47 @@ class Round13Spec extends SparkSpec {
     (1 to 6).foreach(k => assert(acf(k) < acf(7), s"lag $k >= lag 7"))
   }
 
+  test("dedup_cdc: chunking re-synchronizes after a front insertion") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog while seventeen " +
+      "astronomers catalogued variable stars above the northern " +
+      "observatory and the archivist recorded every plate number in the " +
+      "leather ledger before dawn broke across the valley floor") * 2
+    val docs = Seq((1L, base), (2L, "X" + base)).toDF("doc_id", "text")
+    val chunks = operators.Dedup.cdcChunksOf(docs, w = 16, mask = 64)
+      .collect().groupBy(_.getLong(0))
+    val h1 = chunks(1L).map(_.getString(1)).toSet
+    val h2 = chunks(2L).map(_.getString(1)).toSet
+    assert(h1.size >= 3, s"base doc produced only ${h1.size} chunks — boundary rule too sparse")
+    val shared = (h1 intersect h2).size.toDouble / h1.size
+    // a 1-char front insertion perturbs only chunks before the first
+    // content-defined boundary; a fixed-stride chunker shares ZERO
+    assert(shared >= 0.6, s"only ${(shared * 100).round}% of chunks survived the shift")
+  }
+
+  test("ann_hamming: distances agree with an explicit sign-bit popcount replay") {
+    val out = operators.Similarity.hammingAnn(spark, sfDir, k = 5, nQueries = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def ham(a: Array[Float], b: Array[Float]): Long =
+      a.indices.count(i => (a(i) > 0f) != (b(i) > 0f)).toLong
+    out.foreach { case (q, _, v, d) =>
+      assert(d == ham(vecs(q), vecs(v)), s"q=$q v=$v: $d != replay")
+    }
+    // per query: ranked distances are non-decreasing and no
+    // non-selected vector beats the worst selected one
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val ds = rows.sortBy(_._2).map(_._4)
+      assert(ds.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      val picked = rows.map(_._3).toSet
+      val best = vecs.collect {
+        case (id, v) if id != q && !picked.contains(id) => ham(vecs(q), v) }.min
+      assert(best >= ds.max, s"q=$q: an unselected vector (d=$best) beats the top-k tail")
+    }
+  }
+
   test("text_transfer: each target's own model is its strict row minimum") {
     val rows = queries.TextQueries.textTransfer(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
