@@ -57,7 +57,8 @@ object Bench {
     // round-6 batch-5 additions
     "g_jaccard", "text_boilerplate", "ts_residual_anomaly",
     "dedup_quarantine", "e_seq_pattern", "emb_mmr",
-    "g_sssp", "ts_acf", "text_transfer", "ann_hamming", "dedup_cdc")
+    "g_sssp", "ts_acf", "text_transfer", "ann_hamming", "dedup_cdc",
+    "dedup_snm", "g_kcore")
 
   /** The scale-step set: the heaviest operators that read ONLY the
     * documents/embeddings tables (the two the 10× blow-up synthesizes).

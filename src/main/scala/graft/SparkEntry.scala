@@ -189,6 +189,9 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_quarantine" -> ((s, d) => Dedup.clusterQuarantine(s, d)),
     "dedup_cdc" -> ((s, d) => Dedup.cdcDedup(s, d)),
+    "dedup_snm" -> ((s, d) => Dedup.snmDedup(s, d)),
+    "g_kcore" -> ((s, d) => Graph.kcore(s, d)),
+    "p_dag" -> (IOQueries.pDag _),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
     // Graph analytics (G1–G2)
     "g_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
@@ -2701,6 +2704,75 @@ object SparkEntry {
         |)
         |SELECT cluster_id, count(*) AS n_members
         |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // SNM: replay both sort passes + the window-offset adjacency and
+    // exact-verify with string shingles (the D2 hash-vs-string contract)
+    "dedup_snm" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), 1, 32) AS k1,
+        |    substr(regexp_replace(lower(reverse(text)), '[^a-z0-9]+', ' ', 'g'), 1, 32) AS k2,
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+        |  FROM (SELECT doc_id, text,
+        |          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3
+        |), r1 AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY k1, doc_id) AS rn FROM t
+        |), p1 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM r1 a CROSS JOIN unnest(generate_series(1, 4)) AS u(d)
+        |  JOIN r1 b ON b.rn = a.rn + u.d
+        |), r2 AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY k2, doc_id) AS rn FROM t
+        |), p2 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM r2 a CROSS JOIN unnest(generate_series(1, 4)) AS u(d)
+        |  JOIN r2 b ON b.rn = a.rn + u.d
+        |), cand AS (
+        |  SELECT DISTINCT least(id_a, id_b) AS doc_a, greatest(id_a, id_b) AS doc_b
+        |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        |), sel AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    len(list_filter(ta.sh, x -> list_contains(tb.sh, x))) AS i,
+        |    len(ta.sh) AS sa, len(tb.sh) AS sb
+        |  FROM cand c
+        |  JOIN t ta ON ta.doc_id = c.doc_a
+        |  JOIN t tb ON tb.doc_id = c.doc_b
+        |)
+        |SELECT doc_a, doc_b, round(i / (sa + sb - i), 4) AS jaccard
+        |FROM sel WHERE round(i / (sa + sb - i), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // k-core: 8 unrolled synchronous peel stages replay the loop
+    "g_kcore" -> {
+      val base =
+        """WITH pp AS (
+          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |), e0 AS (
+          |  SELECT src, dst FROM pp UNION ALL SELECT dst, src FROM pp
+          |)""".stripMargin
+      // MATERIALIZED: each stage references its predecessor three
+      // times — default CTE inlining makes that 3^8 scans of the base
+      // tables ("too many open files"), materialization keeps it 8
+      val stages = (1 to 8).map { i =>
+        s""",
+           |k$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= 3),
+           |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+           |        JOIN k$i a ON a.src = e.src JOIN k$i b ON b.src = e.dst)""".stripMargin
+      }.mkString
+      base + stages +
+        "\nSELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree" +
+        "\nFROM e8 GROUP BY 1 ORDER BY 1"
+    },
+    // DAG: waves are a pure function of the declared edges
+    "p_dag" ->
+      """SELECT 'scan' AS task, 1 AS wave, (SELECT count(*) FROM lineitem) AS value
+        |UNION ALL SELECT 'orders_agg', 2, (SELECT count(*) FROM orders)
+        |UNION ALL SELECT 'customer_agg', 2, (SELECT count(*) FROM customer)
+        |UNION ALL SELECT 'report', 3,
+        |  (SELECT count(*) FROM orders) + (SELECT count(*) FROM customer)
+        |ORDER BY wave, task""".stripMargin,
     // CDC: the identical polynomial fold ((acc·31+code) mod 2^20,
     // prepended-zero seed) finds the same content-defined boundaries
     "dedup_cdc" ->

@@ -368,6 +368,63 @@ object Dedup {
       .filter(col("n_occ") > 1)
       .orderBy("sent_hash")
 
+  /** D17: sorted-neighborhood near-dup blocking (Hernández & Stolfo's
+    * SNM, the classic entity-resolution blocking rung): sort the
+    * corpus by a cheap normalized key, compare each record only with
+    * its `window−1` successors, exact-verify the candidates. Two
+    * passes with complementary keys (normalized PREFIX, and the
+    * prefix of the REVERSED text) so an edit near either end of a
+    * document cannot hide it from both orderings — the standard
+    * multi-pass SNM recipe. Complements D2/D3: candidate count is
+    * exactly `(passes·(window−1))·n` by CONSTRUCTION (no skew, no
+    * banding variance), the property that made SNM the ER-pipeline
+    * staple; recall depends on near-dups sorting nearby (measured in
+    * the spec, not contractual).
+    *
+    * Plan shape: the window adjacency is an EQUI-join — each row
+    * explodes `window−1` (rank + offset) probes against the rank
+    * column (no range join, no BNLJ; plan-asserted). The global sort
+    * rank is a single window at corpus-row granularity; at 100 TB
+    * the same algorithm runs per range-partition with a `window`-row
+    * boundary overlap (noted, not needed at bench scale). Exact
+    * verify reuses D2's hashed shingle sets; 4-dp Jaccard, full
+    * tie-break → DuckDB-oracled via string shingles (hash collisions
+    * negligible, the D2 contract).
+    */
+  def snmDedup(spark: SparkSession, dir: String, window: Int = 5,
+               threshold: Double = 0.5, n: Int = 3): DataFrame = {
+    val norm = (c: Column) =>
+      substring(regexp_replace(lower(c), "[^a-z0-9]+", " "), 1, 32)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), shingleHashesCol(col("text"), n).as("sh"),
+        norm(col("text")).as("k1"), norm(reverse(col("text"))).as("k2"))
+      .filter(size(col("sh")) > 0)
+    def passPairs(key: String): DataFrame = {
+      val ranked = docs
+        .withColumn("rn", row_number().over(Window.orderBy(col(key), col("doc_id"))))
+        .select(col("doc_id"), col("rn"))
+      ranked
+        .withColumn("d", explode(sequence(lit(1), lit(window - 1))))
+        .select(col("doc_id").as("id_a"), (col("rn") + col("d")).as("brn"))
+        .join(ranked.select(col("doc_id").as("id_b"), col("rn").as("brn")), "brn")
+        .select(col("id_a"), col("id_b"))
+    }
+    val cand = passPairs("k1").unionByName(passPairs("k2"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** D16: content-defined chunking (CDC) dedup — the rsync/LBFS/
     * restic primitive D11's FIXED token windows cannot be: chunk
     * boundaries are cut where a rolling hash of the trailing `w`

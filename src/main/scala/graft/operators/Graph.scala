@@ -285,6 +285,59 @@ object Graph {
     jaccardPairsOf(sp, maxFeatureDeg, topK)
   }
 
+  /** G7: k-core extraction by synchronous peeling — the density
+    * filter run before any expensive graph analytics: iteratively
+    * delete nodes with degree < k; what survives is the maximal
+    * subgraph where EVERYONE has ≥ k neighbors. On the trade graph
+    * this separates the committed many-relationship core from
+    * one-off purchasers — the "engaged subgraph" cut that
+    * community/centrality passes (G1/G3) should run on, and the
+    * standard cohesion measure (Seidman 1983).
+    *
+    * Determinism/oracle: peeling is SYNCHRONOUS (all sub-k nodes of a
+    * round drop together), so each round is a pure function of the
+    * previous edge set and `rounds` unrolled CTE stages replay the
+    * loop exactly. `rounds` is fixed (not run-to-convergence): each
+    * extra round only re-confirms a converged core, so equal
+    * intermediate states replay identically on both engines; the
+    * spec pins that the default converges within the budget on the
+    * bench graph.
+    *
+    * Scale shape: per round one degree aggregate (map-side combined)
+    * + two semi-joins of the edge list against the surviving node
+    * set (nodes-sized, AQE-broadcast); edges shrink monotonically;
+    * rounds checkpointed (the D8/G1 iterative pattern).
+    */
+  def kcore(spark: SparkSession, dir: String,
+            k: Int = 3, rounds: Int = 8): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val bought = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    kcoreOf(bought, k, rounds)
+  }
+
+  /** [[kcore]]'s core over ANY distinct directed pair set (walked in
+    * both directions).
+    */
+  private[graft] def kcoreOf(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      e = e.join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint()
+    }
+    e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+      .orderBy("node")
+  }
+
   /** G6: weighted single-source shortest paths by Bellman-Ford rounds
     * — relationship STRENGTH as distance on the trade graph: each
     * customer↔supplier edge weighs `max(1, 1e6 div n_facts)` micro

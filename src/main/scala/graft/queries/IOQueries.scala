@@ -704,6 +704,34 @@ object IOQueries {
     (out, hit.length, nFiles)
   }
 
+  /** P7: diamond-DAG orchestration over real tables — [[graft
+    * .pipeline.Dag]] layers a declared dependency graph into
+    * topological waves (scan → two independent aggregates → a report
+    * that needs both) and runs each wave's tasks concurrently through
+    * Flow.parallel. The wave number is a pure function of the
+    * declared edges, so (task, wave, value) is deterministic and the
+    * oracle replays it straight from the tables. Cycle / unknown-dep
+    * / duplicate-name declarations fail at submit time (spec-pinned
+    * in Round14Spec) — before any cluster work, the property that
+    * distinguishes a DAG scheduler from a task list.
+    */
+  def pDag(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Dag
+    val results = Dag.run[Long](Seq(
+      Dag.Task("scan", Nil,
+        () => Tables.load(spark, dir, "lineitem").count()),
+      Dag.Task("orders_agg", Seq("scan"),
+        () => Tables.load(spark, dir, "orders").count()),
+      Dag.Task("customer_agg", Seq("scan"),
+        () => Tables.load(spark, dir, "customer").count()),
+      Dag.Task("report", Seq("orders_agg", "customer_agg"),
+        () => Tables.load(spark, dir, "orders").count() +
+          Tables.load(spark, dir, "customer").count())))
+    import spark.implicits._
+    results.map(r => (r.name, r.wave, r.value)).toDF("task", "wave", "value")
+      .orderBy("wave", "task")
+  }
+
   /** S11: quoted/multiline CSV ingestion — the CSV edge cases that
     * break naive pipelines: fields containing the DELIMITER, embedded
     * DOUBLE QUOTES, and embedded NEWLINES. A note column exercising

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{Dedup, Graph}
+import graft.pipeline.Dag
+import org.apache.spark.sql.functions._
+
+/** Round-6 batch-7 specs: DAG scheduling (P7), sorted-neighborhood
+  * blocking (D17), and k-core peeling (G7).
+  */
+class Round14Spec extends SparkSpec {
+
+  test("Dag: diamond layers into 3 waves and respects dependencies") {
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def t(name: String, deps: String*) =
+      Dag.Task[Long](name, deps, () => { order.add(name); name.length.toLong })
+    val out = Dag.run(Seq(
+      t("a"), t("b1", "a"), t("b2", "a"), t("c", "b1", "b2")))
+    assert(out.map(r => r.name -> r.wave).toMap ==
+      Map("a" -> 1, "b1" -> 2, "b2" -> 2, "c" -> 3))
+    val seen = order.toArray.map(_.toString)
+    assert(seen.indexOf("a") < seen.indexOf("b1") && seen.indexOf("a") < seen.indexOf("b2"))
+    assert(seen.indexOf("c") > seen.indexOf("b1") && seen.indexOf("c") > seen.indexOf("b2"))
+  }
+
+  test("Dag: cycles, unknown deps, and duplicate names fail at submit time") {
+    var ran = false
+    def t(name: String, deps: String*) =
+      Dag.Task[Long](name, deps, () => { ran = true; 0L })
+    val cyc = intercept[IllegalArgumentException](
+      Dag.run(Seq(t("a", "b"), t("b", "a"))))
+    assert(cyc.getMessage.contains("cycle"))
+    val unk = intercept[IllegalArgumentException](
+      Dag.run(Seq(t("a", "ghost"))))
+    assert(unk.getMessage.contains("unknown"))
+    val dup = intercept[IllegalArgumentException](
+      Dag.run(Seq(t("a"), t("a"))))
+    assert(dup.getMessage.contains("duplicate"))
+    assert(!ran, "no task body may run when validation fails")
+  }
+
+  test("dedup_snm: window adjacency is equi-join only, and recall vs PPJoin is measured") {
+    val df = Dedup.snmDedup(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"SNM adjacency must stay an equi-join:\n$plan")
+    val snm = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // SNM verifies candidates exactly, so it can never emit a false pair
+    assert(snm.subsetOf(exact), s"false positives: ${snm.diff(exact)}")
+    val recall = if (exact.isEmpty) 1.0 else snm.size.toDouble / exact.size
+    RecallLog.record("dedup_snm", "recall_vs_ppjoin", recall)
+    assert(recall >= 0.5,
+      s"two-pass SNM found ${snm.size}/${exact.size} exact near-dup pairs")
+  }
+
+  test("g_kcore: every surviving node has core degree >= k; budget converges") {
+    val k = 3
+    val out = Graph.kcore(spark, sfDir, k = k, rounds = 8).collect()
+    assert(out.nonEmpty, "bench graph must have a non-empty 3-core")
+    assert(out.forall(_.getLong(1) >= k),
+      "a node below k survived peeling — not a k-core")
+    // the round budget suffices: one more round changes nothing
+    val more = Graph.kcore(spark, sfDir, k = k, rounds = 9).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      more.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "8 peel rounds did not reach the fixpoint on the bench graph")
+  }
+
+  test("g_kcore: a planted chain peels away while the clique survives") {
+    import spark.implicits._
+    // 4-clique (nodes 1-4) + a pendant chain 4-5-6: k=3 keeps exactly
+    // the clique, where every node has degree 3
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val out = Graph.kcoreOf(pairs, k = 3, rounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $out")
+  }
+}
