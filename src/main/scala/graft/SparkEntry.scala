@@ -190,6 +190,8 @@ object SparkEntry {
     "dedup_quarantine" -> ((s, d) => Dedup.clusterQuarantine(s, d)),
     "dedup_cdc" -> ((s, d) => Dedup.cdcDedup(s, d)),
     "dedup_snm" -> ((s, d) => Dedup.snmDedup(s, d)),
+    "dedup_cross_source" -> ((s, d) => Dedup.crossSourceMatrix(s, d)),
+    "text_rake" -> ((s, d) => TextQueries.textRake(s, d)),
     "g_kcore" -> ((s, d) => Graph.kcore(s, d)),
     "p_dag" -> (IOQueries.pDag _),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
@@ -2704,6 +2706,81 @@ object SparkEntry {
         |)
         |SELECT cluster_id, count(*) AS n_members
         |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // RAKE: identical gaps-and-islands segmentation (pos − rank is
+    // base-offset-invariant), word scores micro-rounded before sums
+    "text_rake" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id,
+        |          string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |        FROM documents)
+        |  CROSS JOIN unnest(generate_series(1, len(t))) AS u(i)
+        |  WHERE length(t[i]) > 0
+        |), ns AS (
+        |  SELECT doc_id, pos, tok,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+        |  FROM toks
+        |  WHERE tok NOT IN ('the','a','and','of','to','in','is','it')
+        |), ph AS (
+        |  SELECT doc_id, run, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    count(*) AS plen
+        |  FROM ns GROUP BY doc_id, run HAVING count(*) <= 3
+        |), wx AS (
+        |  SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM ph
+        |), ws AS (
+        |  SELECT w, (1000000 * CAST(sum(plen) AS BIGINT)) // count(*) AS wscore
+        |  FROM wx GROUP BY w
+        |), dp AS (
+        |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+        |    CAST(max(plen) AS BIGINT) AS plen
+        |  FROM ph GROUP BY phrase
+        |), scored AS (
+        |  SELECT dp.phrase, dp.plen, dp.n_occ,
+        |    CAST(sum(ws.wscore) AS BIGINT) AS score_micro
+        |  FROM dp CROSS JOIN unnest(string_split(dp.phrase, ' ')) AS t(tw)
+        |  JOIN ws ON ws.w = t.tw
+        |  GROUP BY dp.phrase, dp.plen, dp.n_occ
+        |)
+        |SELECT phrase, plen, n_occ, score_micro FROM scored
+        |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin,
+    // cross-source matrix: the dedup_clusters pair CTE + source labels
+    "dedup_cross_source" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+        |  FROM t WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
+        |), lab AS (
+        |  SELECT least(da.source, db.source) AS source_a,
+        |    greatest(da.source, db.source) AS source_b, p.doc_a, p.doc_b
+        |  FROM pairs p
+        |  JOIN documents da ON da.doc_id = p.doc_a
+        |  JOIN documents db ON db.doc_id = p.doc_b
+        |), np AS (
+        |  SELECT source_a, source_b, count(*) AS n_pairs FROM lab GROUP BY 1, 2
+        |), nd AS (
+        |  SELECT source_a, source_b, count(DISTINCT d) AS n_docs
+        |  FROM (SELECT source_a, source_b, doc_a AS d FROM lab
+        |        UNION ALL SELECT source_a, source_b, doc_b FROM lab)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT np.source_a, np.source_b, np.n_pairs, nd.n_docs
+        |FROM np JOIN nd USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin,
     // SNM: replay both sort passes + the window-offset adjacency and
     // exact-verify with string shingles (the D2 hash-vs-string contract)
     "dedup_snm" ->

@@ -368,6 +368,41 @@ object Dedup {
       .filter(col("n_occ") > 1)
       .orderBy("sent_hash")
 
+  /** D18: cross-source duplication matrix — D2's verified near-dup
+    * pairs rolled up by SOURCE pair: entry (a, b) counts near-dup
+    * pairs spanning sources a and b, plus the distinct documents
+    * involved. The diagonal is within-slice redundancy; the
+    * OFF-diagonAL is leakage between corpus slices — the number a
+    * train/eval split designer must see before trusting any split
+    * boundary (X27 makes leakage structurally impossible only for
+    * splits aligned to this matrix's blocks), and the
+    * per-distributor dedup bill in multi-vendor corpus assembly.
+    *
+    * Cost: D2's index-linear PPJoin plus one broadcast join of the
+    * (Zipf-small) pair list against the doc→source projection and a
+    * sources²-bounded aggregate — the matrix is free relative to the
+    * pair mining it reuses.
+    */
+  def crossSourceMatrix(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame = {
+    val src = Tables.load(spark, dir, "documents").select("doc_id", "source")
+    val pairs = ngramJaccard(spark, dir, threshold)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("doc_a"), col("doc_b"))
+    val nPairs = pairs.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = pairs
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy("source_a", "source_b")
+      .agg(countDistinct(col("d")).as("n_docs"))
+    nPairs.join(nDocs, Seq("source_a", "source_b"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** D17: sorted-neighborhood near-dup blocking (Hernández & Stolfo's
     * SNM, the classic entity-resolution blocking rung): sort the
     * corpus by a cheap normalized key, compare each record only with

@@ -1155,6 +1155,64 @@ object TextQueries {
       .orderBy("source", "keep_rank")
   }
 
+  /** X31: RAKE keyphrase extraction (Rose et al. 2010, Rapid
+    * Automatic Keyword Extraction) — the unsupervised keyphrase
+    * baseline: candidate phrases are maximal stopword-free token
+    * runs, each word scores `degree/frequency` over the phrase
+    * co-occurrence graph (degree = Σ length of phrases containing
+    * the word — words that travel in long phrases score high), and a
+    * phrase scores the sum of its word scores. Corpus-level roll-up:
+    * every distinct phrase scored once against corpus-wide word
+    * stats, with its occurrence count riding along.
+    *
+    * Phrase segmentation is the gaps-and-islands idiom: non-stopword
+    * tokens keep their original position, `run = pos − rank` is
+    * constant exactly within a maximal stopword-free run — one
+    * window, no per-token conditionals, identical in both engines
+    * (the 1-based/0-based position offset cancels inside the
+    * subtraction). Word scores are integer micro (`1e6·deg div
+    * freq`) before the phrase sum, so everything after the window is
+    * exact long arithmetic → hash-exact oracle.
+    *
+    * Scale: one corpus explode + one per-doc window (the X8/E2
+    * shape), then vocabulary-sized aggregates; phrase strings group
+    * once. `maxPhraseLen` caps the candidate tail (RAKE noise
+    * control), not the window.
+    */
+  def textRake(spark: SparkSession, dir: String,
+               topK: Int = 20, maxPhraseLen: Int = 3): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(normToks))
+      .filter(length(col("col")) > 0)
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    val nonstop = toks.filter(!col("tok").isInCollection(stopWords))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .withColumn("run", col("pos") - col("rn"))
+    val phrases = nonstop.groupBy("doc_id", "run")
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("phrase"),
+        count(lit(1)).as("plen"))
+      .filter(col("plen") <= maxPhraseLen)
+    val words = phrases.select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
+    val wordScore = words.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("w"), expr("(1000000L * deg) div freq").as("wscore"))
+    val distinctPhrases = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), max("plen").as("plen"))
+    distinctPhrases
+      .select(col("phrase"), col("n_occ"), col("plen"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wordScore, "w")
+      .groupBy("phrase")
+      .agg(max("n_occ").as("n_occ"), max("plen").as("plen"),
+        sum("wscore").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(topK)
+      .select("phrase", "plen", "n_occ", "score_micro")
+  }
+
   /** X30: cross-source surprisal transfer matrix — train a unigram
     * model on EACH source, score EVERY source's token stream under
     * it: entry (m, t) is the mean add-one-smoothed surprisal of

@@ -67,6 +67,30 @@ class Round14Spec extends SparkSpec {
       "8 peel rounds did not reach the fixpoint on the bench graph")
   }
 
+  test("text_rake: phrases are stopword-free, bounded, and score-consistent") {
+    val out = queries.TextQueries.textRake(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val stop = Set("the", "a", "and", "of", "to", "in", "is", "it")
+    out.foreach { r =>
+      val words = r.getString(0).split(" ")
+      assert(words.length == r.getLong(1) && words.length <= 3)
+      assert(!words.exists(stop), s"stopword inside phrase '${r.getString(0)}'")
+    }
+    // ranking is (score desc, phrase asc)
+    val scores = out.map(r => (r.getLong(3), r.getString(0)))
+    assert(scores.sliding(2).forall(p => p.length < 2 ||
+      p(0)._1 > p(1)._1 || (p(0)._1 == p(1)._1 && p(0)._2 < p(1)._2)))
+  }
+
+  test("dedup_cross_source: matrix mass equals the PPJoin pair count") {
+    val matrix = Dedup.crossSourceMatrix(spark, sfDir).collect()
+    val total = matrix.map(_.getLong(2)).sum
+    val exact = Dedup.ngramJaccard(spark, sfDir).count()
+    assert(total == exact, s"matrix n_pairs sum $total != $exact pairs")
+    matrix.foreach(r => assert(r.getLong(3) <= 2 * r.getLong(2),
+      "a pair involves at most two docs"))
+  }
+
   test("g_kcore: a planted chain peels away while the clique survives") {
     import spark.implicits._
     // 4-clique (nodes 1-4) + a pendant chain 4-5-6: k=3 keeps exactly
