@@ -133,6 +133,10 @@ object SparkEntry {
     "sink_manifest" -> ((s, d) => IOQueries.sinkManifest(s, d)),
     "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
     "src_csv_quoted" -> (IOQueries.srcCsvQuoted _),
+    "sink_ttl" -> ((s, d) => IOQueries.sinkTtl(s, d)),
+    // probabilistic LSH content → rows-only; monotone recall + floor
+    // pinned in Round14Spec, every point recorded in RECALL
+    "ann_lsh_sweep" -> ((s, d) => Similarity.lshSweep(s, d)),
     "src_logs" -> (IOQueries.srcLogs _),
     "t_incr_join" -> (IOQueries.tIncrJoin _),
     "q_dpp" -> (IOQueries.qDpp _),
@@ -2706,6 +2710,13 @@ object SparkEntry {
         |)
         |SELECT cluster_id, count(*) AS n_members
         |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // TTL: the oracle sees the surviving aggregate; the by-reference
+    // carry (no rewrite) is spec-pinned where the oracle can't reach
+    "sink_ttl" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS pruned
+        |FROM orders WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // RAKE: identical gaps-and-islands segmentation (pos − rank is
     // base-offset-invariant), word scores micro-rounded before sums
     "text_rake" ->

@@ -642,6 +642,37 @@ object Similarity {
     chosen.reverse.toDF("rank", "center_id", "radius_micro").orderBy("rank")
   }
 
+  /** A21: LSH tuning-curve sweep — the sizing study run BEFORE
+    * committing a 100 TB corpus to an index configuration (A17's
+    * evaluation pattern applied to A2): for each table count, the
+    * measured recall of [[lshAnn]] against the exact [[bruteForceTopK]]
+    * ranking, computed entirely in-plan (one join of the approximate
+    * and exact top-k sets per setting, counted — no driver-side
+    * comparisons). Recall rises with tables while candidate cost
+    * rises linearly: the curve is the evidence for choosing a point
+    * on that trade-off, which is otherwise folklore. Probabilistic
+    * content (LSH buckets) → rows-only driver check; the spec pins
+    * monotonicity and the top setting's recall floor, and records
+    * every point in RECALL.
+    */
+  def lshSweep(spark: SparkSession, dir: String,
+               k: Int = 5, nQueries: Int = 10,
+               tableCounts: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, nQueries)
+      .select(col("q_id"), col("vec_id"))
+    val denom = k.toLong * nQueries
+    val curves = tableCounts.map { nT =>
+      lshAnn(spark, dir, k, nQueries, nTables = nT)
+        .select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(nT).as("n_tables"), col("n_hits"),
+          lit(denom).as("n_exact"),
+          expr(s"(1000000L * n_hits) div ${denom}L").as("recall_micro"))
+    }
+    curves.reduce(_ unionByName _).orderBy("n_tables")
+  }
+
   /** A20: binary-signature (Hamming) retrieval — sign-bit
     * binarization packs each vector into ⌈dim/32⌉ integer words (1
     * bit per dimension: 32× less than SQ8's byte, 128× less than

@@ -704,6 +704,46 @@ object IOQueries {
     (out, hit.length, nFiles)
   }
 
+  /** K17: partition-TTL retention — the lakehouse expiry sweep
+    * (retention policy / GDPR storage-limitation at PARTITION
+    * granularity): the lake is month-partitioned, and expiring
+    * everything before the cutoff publishes a new manifest version
+    * that simply OMITS the expired partitions' files — surviving
+    * files carry by reference, nothing is rewritten, and readers
+    * pinned to v1 still see the full history until their version is
+    * retention-swept ([[graft.sinks.ManifestStore]]'s contract).
+    * This is the complement of K14's row-level targeted erasure:
+    * deletion aligned to the partition layout is METADATA-ONLY — the
+    * reason time-partitioning is the first schema decision every
+    * 100 TB fact table makes. The spec pins the scale property the
+    * oracle can't see: v2's files are a strict subset of v1's and no
+    * data file is written by the sweep.
+    */
+  def sinkTtl(spark: SparkSession, dir: String, retainFrom: String = "1997-01",
+              baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(tmpDir("ttl"))
+    val lake = base + "/lake"
+    Tables.load(spark, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select("month", "o_orderkey", "o_totalprice")
+      .write.mode("overwrite").partitionBy("month").parquet(lake)
+    graft.sinks.ManifestStore.publish(spark, base + "/manifest",
+      spark.read.parquet(lake)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"), min("month").as("month")))
+    val (_, v1) = graft.sinks.ManifestStore.current(spark, base + "/manifest")
+    graft.sinks.ManifestStore.publish(spark, base + "/manifest",
+      v1.filter(col("month") >= retainFrom))
+    val (_, v2) = graft.sinks.ManifestStore.current(spark, base + "/manifest")
+    val survivors = v2.select("file").collect().map(_.getString(0))
+    val nV1 = v1.count()
+    spark.read.option("basePath", lake).parquet(survivors: _*)
+      .groupBy("month")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("pruned", lit(survivors.length < nV1))
+      .orderBy("month")
+  }
+
   /** P7: diamond-DAG orchestration over real tables — [[graft
     * .pipeline.Dag]] layers a declared dependency graph into
     * topological waves (scan → two independent aggregates → a report

@@ -91,6 +91,36 @@ class Round14Spec extends SparkSpec {
       "a pair involves at most two docs"))
   }
 
+  test("sink_ttl: expiry is metadata-only — survivors carry by reference, nothing rewritten") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ttl_spec").toString
+    val out = queries.IOQueries.sinkTtl(spark, sfDir, baseOverride = Some(base)).collect()
+    assert(out.nonEmpty && out.forall(_.getBoolean(3)), "TTL must prune partitions")
+    assert(out.forall(_.getString(0) >= "1997-01"), "an expired month survived")
+    def fileSet(v: Long) = spark.read.json(s"$base/manifest/manifest_v$v")
+      .select("file").collect().map(_.getString(0)).toSet
+    val (v1, v2) = (fileSet(1), fileSet(2))
+    assert(v2.subsetOf(v1) && v2.size < v1.size,
+      "v2 must be a strict file subset of v1")
+    // metadata-only: the sweep wrote no data file — disk still holds
+    // exactly v1's files (expired ones are unreferenced, not deleted)
+    val onDisk = new java.io.File(base + "/lake").listFiles().toSeq
+      .filter(_.isDirectory).flatMap(_.listFiles().toSeq)
+      .filter(_.getName.endsWith(".parquet")).map(_.toURI.toString).toSet
+    assert(onDisk.size == v1.size, s"disk ${onDisk.size} != v1 ${v1.size}")
+  }
+
+  test("ann_lsh_sweep: recall is monotone in table count and the top setting clears 0.9") {
+    val out = operators.Similarity.lshSweep(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(4, 8, 16))
+    out.foreach { case (nT, rec) =>
+      RecallLog.record("ann_lsh_sweep", s"recall_tables_$nT", rec / 1e6)
+    }
+    assert(out.sliding(2).forall(p => p.length < 2 || p(0)._2 <= p(1)._2),
+      s"recall not monotone: $out")
+    assert(out.last._2 >= 900000L, s"16-table recall ${out.last._2} below 0.9")
+  }
+
   test("g_kcore: a planted chain peels away while the clique survives") {
     import spark.implicits._
     // 4-clique (nodes 1-4) + a pendant chain 4-5-6: k=3 keeps exactly
