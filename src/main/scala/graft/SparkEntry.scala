@@ -196,6 +196,8 @@ object SparkEntry {
     "dedup_snm" -> ((s, d) => Dedup.snmDedup(s, d)),
     "dedup_cross_source" -> ((s, d) => Dedup.crossSourceMatrix(s, d)),
     "text_rake" -> ((s, d) => TextQueries.textRake(s, d)),
+    "text_langid_eval" -> (TextQueries.textLangidEval _),
+    "e_funnel_window" -> ((s, d) => Analytics.funnelWindow(s, d)),
     "g_kcore" -> ((s, d) => Graph.kcore(s, d)),
     "p_dag" -> (IOQueries.pDag _),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
@@ -2710,6 +2712,55 @@ object SparkEntry {
         |)
         |SELECT cluster_id, count(*) AS n_members
         |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bounded funnel: the e_funnel oracle with the 1h gap predicate
+    // inside each stage's conditional min
+    "e_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), v AS (
+        |  SELECT user_id, min(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(us) AS c_us FROM e
+        |  JOIN v ON e.user_id = v.user_id AND us > v_us AND us <= v_us + 3600000000
+        |  WHERE event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(us) AS p_us FROM e
+        |  JOIN c ON e.user_id = c.user_id AND us > c_us AND us <= c_us + 3600000000
+        |  WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT '1_view' AS stage, cast(count(*) AS bigint) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click_within_1h', cast(count(*) AS bigint) FROM c
+        |UNION ALL
+        |SELECT '3_purchase_within_1h', cast(count(*) AS bigint) FROM p
+        |ORDER BY stage""".stripMargin,
+    // langid confusion: the X1 oracle's scoring grouped by
+    // (truth, predicted)
+    "text_langid_eval" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','los','las','que','y','por','como'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','les','des','et','une','est','dans','pour'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('的','是','不','我','了','在'))) AS s_zh
+        |  FROM scored
+        |), pred AS (
+        |  SELECT lang,
+        |    CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM s
+        |)
+        |SELECT lang, pred_lang, cast(count(*) AS bigint) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
     // TTL: the oracle sees the surviving aggregate; the by-reference
     // carry (no rewrite) is spec-pinned where the oracle can't reach
     "sink_ttl" ->

@@ -50,6 +50,38 @@ object Analytics {
       .orderBy("stage")
   }
 
+  /** E29: TIME-BOUNDED funnel — E13 with a conversion window: a
+    * click only counts if it lands within `windowUs` of the first
+    * view, a purchase within `windowUs` of that click. Unbounded
+    * funnels (E13) credit a purchase six months later to a banner
+    * view — every real attribution/conversion metric bounds the gap,
+    * and the drop between the two funnels IS the stale-conversion
+    * mass. Same single-scan single-shuffle window-minima plan as
+    * E13: the bound is one extra predicate inside each conditional
+    * min, zero extra exchanges.
+    */
+  def funnelWindow(spark: SparkSession, dir: String,
+                   windowUs: Long = 3600L * 1000000L): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val marks = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("v_us", min(when(col("event_type") === "view", col("us"))).over(byUser))
+      .withColumn("c_us", min(when(col("event_type") === "click" &&
+        col("us") > col("v_us") && col("us") <= col("v_us") + windowUs,
+        col("us"))).over(byUser))
+      .withColumn("p_us", min(when(col("event_type") === "purchase" &&
+        col("us") > col("c_us") && col("us") <= col("c_us") + windowUs,
+        col("us"))).over(byUser))
+      .groupBy("user_id")
+      .agg(max("v_us").as("v_us"), max("c_us").as("c_us"), max("p_us").as("p_us"))
+    marks
+      .agg(count("v_us").as("v"), count("c_us").as("c"), count("p_us").as("p"))
+      .select(expr(
+        "stack(3, '1_view', v, '2_click_within_1h', c, '3_purchase_within_1h', p) AS (stage, n_users)"))
+      .orderBy("stage")
+  }
+
   /** E28: behavioral sequence-pattern matching — the MATCH_RECOGNIZE
     * analogue: each user's event history becomes a compact symbol
     * string (one char per event, time-ordered), and product questions

@@ -1155,6 +1155,21 @@ object TextQueries {
       .orderBy("source", "keep_rank")
   }
 
+  /** X32: language-ID confusion matrix — X1's predictions folded
+    * against the corpus's generator labels: entry (lang, pred_lang)
+    * counts documents. The per-class error structure (which languages
+    * leak into which) is what a filter designer reads before setting
+    * a language threshold — aggregate accuracy hides that 'es'
+    * confusions land in 'fr', not uniformly. Classifier EVALUATION
+    * as a first-class corpus operator: the same roll-up works for
+    * any (truth, predicted) column pair.
+    */
+  def textLangidEval(spark: SparkSession, dir: String): DataFrame =
+    textLangid(spark, dir)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
   /** X31: RAKE keyphrase extraction (Rose et al. 2010, Rapid
     * Automatic Keyword Extraction) — the unsupervised keyphrase
     * baseline: candidate phrases are maximal stopword-free token

@@ -121,6 +121,19 @@ class Round14Spec extends SparkSpec {
     assert(out.last._2 >= 900000L, s"16-table recall ${out.last._2} below 0.9")
   }
 
+  test("e_funnel_window: the bound only removes conversions, never adds") {
+    def stages(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0).take(1) -> r.getLong(1)).toMap
+    val bounded = stages(queries.Analytics.funnelWindow(spark, sfDir))
+    val open = stages(queries.Analytics.funnel(spark, sfDir))
+    assert(bounded("1") == open("1"), "stage 1 has no gap to bound")
+    assert(bounded("2") <= open("2") && bounded("3") <= open("3"))
+    // a generous window converges to the unbounded funnel
+    val wide = stages(queries.Analytics.funnelWindow(spark, sfDir,
+      windowUs = 365L * 24 * 3600 * 1000000L))
+    assert(wide == open, s"wide-window funnel $wide != unbounded $open")
+  }
+
   test("g_kcore: a planted chain peels away while the clique survives") {
     import spark.implicits._
     // 4-clique (nodes 1-4) + a pendant chain 4-5-6: k=3 keeps exactly
