@@ -501,18 +501,16 @@ object Dedup {
     * Emits one (doc_id, h = md5(chunk), clen) row per chunk.
     */
   private[graft] def cdcChunksOf(docs: DataFrame, w: Int, mask: Int): DataFrame = {
-    // each stage materializes its expensive array ONCE per row in its
-    // own projection: a multiply-referenced Column is INLINED (and so
-    // re-evaluated) at every reference site otherwise — with the char
-    // array read n·w times per row, inlining `split` is an O(n²·w)
-    // blow-up (CollapseProject keeps multi-referenced projections
-    // apart, so the staging survives optimization)
-    def hAt(i: Column): Column =
-      aggregate(sequence(i - (w - 1), i), lit(0L),
-        (acc, j) => (acc * 31 + ascii(element_at(col("cs"), j))) % 1048576)
-    val cuts = when(col("n") >= w,
-        filter(sequence(lit(w), col("n")), i => hAt(i) % mask === 0))
-      .otherwise(array().cast("array<int>"))
+    import org.apache.spark.sql.graft.{CdcBoundaries, ColumnShim}
+    // boundary scan is the native O(n) rolling-hash expression
+    // (org.apache.spark.sql.graft.CdcBoundaries) — bit-identical to
+    // the w-refold the oracle evaluates, w× cheaper and compiled.
+    // Each stage still materializes its array once per row: a
+    // multiply-referenced Column is INLINED (re-evaluated) at every
+    // reference site, and `b` is read five times by the chunk builder
+    // (CollapseProject keeps multi-referenced projections apart).
+    val cuts = ColumnShim.column(
+      CdcBoundaries(ColumnShim.expression(col("text")), w, mask))
     val bounds = concat(
       array(lit(0)), filter(col("cuts"), x => x < col("n")), array(col("n")))
     val chunks = transform(sequence(lit(1), size(col("b")) - 1),
@@ -521,9 +519,7 @@ object Dedup {
           element_at(col("b"), j + 1) - element_at(col("b"), j))).as("h"),
         (element_at(col("b"), j + 1) - element_at(col("b"), j)).as("clen")))
     docs
-      .select(col("doc_id"), col("text"),
-        split(col("text"), "").as("cs"), length(col("text")).as("n"))
-      .select(col("doc_id"), col("text"), col("n"), cuts.as("cuts"))
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"), cuts.as("cuts"))
       .select(col("doc_id"), col("text"), bounds.as("b"))
       .select(col("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.h").as("h"), col("c.clen").as("clen"))

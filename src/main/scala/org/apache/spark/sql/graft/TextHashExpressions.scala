@@ -150,6 +150,61 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Content-defined chunk boundaries (array<int> of cut positions,
+  * 1-based, ascending, excluding the final position) — the D16
+  * boundary rule `hash(trailing w chars) mod mask == 0` evaluated
+  * with a TRUE rolling hash: one multiply-subtract-add per character
+  * (O(n)) instead of the Column-HOF form's re-fold per position
+  * (O(n·w), interpreted — it benched as the slowest extended entry).
+  *
+  * Exactness contract: the window hash is the same polynomial the
+  * declarative form and the DuckDB oracle fold — h(i) =
+  * Σ c_{i−w+1+j}·31^{w−1−j} mod 2^20 — maintained incrementally as
+  * `h' = (h − c_out·31^{w−1})·31 + c_in (mod 2^20)`; the modulus is a
+  * power of two, so `& (2^20−1)` on the two's-complement long IS the
+  * mathematical mod even through the subtraction. Boundaries are
+  * therefore bit-identical to the fold, just w× cheaper.
+  */
+case class CdcBoundaries(child: Expression, w: Int, mask: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  private val M = 1048576L
+  private val topPow: Long = {
+    var p = 1L
+    var k = 0
+    while (k < w - 1) { p = (p * 31L) & (M - 1); k += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < w) return new GenericArrayData(Array.emptyIntArray)
+    val out = new scala.collection.mutable.ArrayBuffer[Int](8)
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * 31L + s.charAt(i)) & (M - 1); i += 1 }
+    if (h % mask == 0) out += w
+    while (i < n) {
+      h = ((h - s.charAt(i - w) * topPow) * 31L + s.charAt(i)) & (M - 1)
+      i += 1
+      if (h % mask == 0) out += i
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdcExpr", this, classOf[CdcBoundaries].getName)
+    defineCodeGen(ctx, ev, c => s"(org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of the normalized token stream. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
