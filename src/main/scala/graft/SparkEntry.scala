@@ -195,6 +195,7 @@ object SparkEntry {
     "dedup_cdc" -> ((s, d) => Dedup.cdcDedup(s, d)),
     "dedup_snm" -> ((s, d) => Dedup.snmDedup(s, d)),
     "dedup_cross_source" -> ((s, d) => Dedup.crossSourceMatrix(s, d)),
+    "dedup_band_plan" -> ((s, d) => Dedup.bandPlan(s, d)),
     "text_rake" -> ((s, d) => TextQueries.textRake(s, d)),
     "text_langid_eval" -> (TextQueries.textLangidEval _),
     "e_funnel_window" -> ((s, d) => Analytics.funnelWindow(s, d)),
@@ -2805,6 +2806,40 @@ object SparkEntry {
         |)
         |SELECT phrase, plen, n_occ, score_micro FROM scored
         |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin,
+    // band planning: powers by left-fold multiplication (pow() differs
+    // in the last ulp between JVM and libm), micro-round before sums
+    "dedup_band_plan" ->
+      """WITH cfg AS (
+        |  SELECT * FROM (VALUES (128,1),(64,2),(32,4),(16,8),(8,16),(4,32),(2,64),(1,128))
+        |    AS t(bands, rows_per_band)
+        |), pts AS (
+        |  SELECT (i + 0.5) / 1000 AS s FROM unnest(generate_series(0, 999)) AS u(i)
+        |), curve AS (
+        |  SELECT bands, rows_per_band, s,
+        |    CAST(floor((1 - qb) * 1e6 + 0.5) AS BIGINT) AS p_micro
+        |  FROM (
+        |    SELECT bands, rows_per_band, s,
+        |      list_reduce(list_prepend(1.0, list_transform(generate_series(1, bands), x -> q)),
+        |        (a, b) -> a * b) AS qb
+        |    FROM (
+        |      SELECT bands, rows_per_band, s,
+        |        1 - list_reduce(list_prepend(1.0, list_transform(generate_series(1, rows_per_band), x -> s)),
+        |          (a, b) -> a * b) AS q
+        |      FROM cfg CROSS JOIN pts))
+        |), areas AS (
+        |  SELECT bands, rows_per_band,
+        |    CAST(floor(sum(CASE WHEN s < 0.5 THEN p_micro ELSE 0 END) / 1000) AS BIGINT) AS fp_area_micro,
+        |    CAST(floor(sum(CASE WHEN s >= 0.5 THEN 1000000 - p_micro ELSE 0 END) / 1000) AS BIGINT) AS fn_area_micro
+        |  FROM curve GROUP BY 1, 2
+        |), wt AS (
+        |  SELECT *, fp_area_micro + fn_area_micro AS total_err_micro FROM areas
+        |), best AS (
+        |  SELECT total_err_micro AS be, bands AS bb FROM wt
+        |  ORDER BY total_err_micro, bands LIMIT 1
+        |)
+        |SELECT wt.bands, wt.rows_per_band, fp_area_micro, fn_area_micro, total_err_micro,
+        |  (total_err_micro = be AND wt.bands = bb) AS is_chosen
+        |FROM wt CROSS JOIN best ORDER BY wt.bands DESC""".stripMargin,
     // cross-source matrix: the dedup_clusters pair CTE + source labels
     "dedup_cross_source" ->
       """WITH t AS (

@@ -368,6 +368,59 @@ object Dedup {
       .filter(col("n_occ") > 1)
       .orderBy("sent_hash")
 
+  /** D19: MinHash-LSH band planning — the S-curve analysis that
+    * chooses D3's (bands, rows) split PRINCIPLED instead of by
+    * folklore: for every factorization b·r = k of the signature
+    * budget, the collision probability at similarity s is
+    * p(s) = 1 − (1 − s^r)^b; the false-positive area is ∫₀ᵗ p and
+    * the false-negative area ∫ₜ¹ (1 − p). The chosen split minimizes
+    * their sum — at 100 TB the FP area is exactly the wasted verify
+    * compute and the FN area the duplicates that survive, so this
+    * table IS the index-sizing decision, emitted as data.
+    *
+    * Exactness (the pow-ulp trap): `pow()` differs between JVM and
+    * libm in the last ulp, so powers are evaluated by LEFT-FOLD
+    * MULTIPLICATION in both engines — identical operation sequence →
+    * bit-equal doubles — and each grid point micro-rounds BEFORE the
+    * integer area sum (the X15 contract). Pure planning compute
+    * (configs × grid rows), no corpus scan.
+    */
+  def bandPlan(spark: SparkSession, dir: String, k: Int = 128,
+               threshold: Double = 0.5, grid: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val splits = (0 to 7).map(i => (k >> i, 1 << i)).filter(_._1 * 2 > 1)
+      .filter { case (b, r) => b * r == k }
+    val cfg = splits.toDF("bands", "rows_per_band")
+    val pts = spark.range(grid).select((col("id") + 0.5) / grid as "s")
+    def powFold(base: Column, e: Column): Column =
+      aggregate(sequence(lit(1), e), lit(1.0), (acc, _) => acc * base)
+    val curve = cfg.crossJoin(pts)
+      .withColumn("sr", powFold(col("s"), col("rows_per_band")))
+      .withColumn("p", lit(1.0) - powFold(lit(1.0) - col("sr"), col("bands")))
+      .select(col("bands"), col("rows_per_band"), col("s"),
+        // floor(x+0.5), not round(): Spark's round() goes through
+        // Double.toString→BigDecimal and can disagree with a C round
+        // in the last ulp; floor on the raw double is exact binary
+        floor(col("p") * 1e6 + 0.5).cast("long").as("p_micro"))
+    val areas = curve.groupBy("bands", "rows_per_band")
+      .agg(
+        // floor, not a bare cast: DuckDB's double→BIGINT cast ROUNDS
+        // while Spark's truncates — floor is explicit on both engines
+        floor(sum(when(col("s") < threshold, col("p_micro")).otherwise(0L)) / grid)
+          .cast("long").as("fp_area_micro"),
+        floor(sum(when(col("s") >= threshold, lit(1000000L) - col("p_micro"))
+          .otherwise(0L)) / grid).cast("long").as("fn_area_micro"))
+      .withColumn("total_err_micro", col("fp_area_micro") + col("fn_area_micro"))
+    val best = areas.agg(min(struct(col("total_err_micro"), col("bands"))).as("m"))
+      .select(col("m.total_err_micro").as("be"), col("m.bands").as("bb"))
+    areas.crossJoin(broadcast(best))
+      .select(col("bands"), col("rows_per_band"), col("fp_area_micro"),
+        col("fn_area_micro"), col("total_err_micro"),
+        (col("total_err_micro") === col("be") && col("bands") === col("bb"))
+          .as("is_chosen"))
+      .orderBy(col("bands").desc)
+  }
+
   /** D18: cross-source duplication matrix — D2's verified near-dup
     * pairs rolled up by SOURCE pair: entry (a, b) counts near-dup
     * pairs spanning sources a and b, plus the distinct documents

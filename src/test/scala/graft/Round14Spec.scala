@@ -134,6 +134,21 @@ class Round14Spec extends SparkSpec {
     assert(wide == open, s"wide-window funnel $wide != unbounded $open")
   }
 
+  test("dedup_band_plan: the planner derives D3's shipped default and a sane S-curve") {
+    val out = operators.Dedup.bandPlan(spark, sfDir).collect()
+    assert(out.length == 8)
+    val chosen = out.filter(_.getBoolean(5))
+    // the principled optimum at t=0.5 IS minhashNearDup's default
+    // (32 bands × 4 rows) — the planner justifies the shipped config
+    assert(chosen.length == 1 && chosen.head.getInt(0) == 32 &&
+      chosen.head.getInt(1) == 4, s"chosen=${chosen.toSeq}")
+    assert(chosen.head.getLong(4) == out.map(_.getLong(4)).min)
+    // monotone structure: fp shrinks and fn grows as rows-per-band rise
+    val byR = out.sortBy(_.getInt(1))
+    assert(byR.map(_.getLong(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(byR.map(_.getLong(3)).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
   test("g_kcore: a planted chain peels away while the clique survives") {
     import spark.implicits._
     // 4-clique (nodes 1-4) + a pendant chain 4-5-6: k=3 keeps exactly
