@@ -199,6 +199,9 @@ object SparkEntry {
     "text_rake" -> ((s, d) => TextQueries.textRake(s, d)),
     "text_langid_eval" -> (TextQueries.textLangidEval _),
     "e_funnel_window" -> ((s, d) => Analytics.funnelWindow(s, d)),
+    "text_gram_decay" -> ((s, d) => TextQueries.textGramDecay(s, d)),
+    "t_feature_asof" -> (Analytics.tFeatureAsof _),
+    "emb_drift" -> (Similarity.embDrift _),
     "g_kcore" -> ((s, d) => Graph.kcore(s, d)),
     "p_dag" -> (IOQueries.pDag _),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
@@ -2713,6 +2716,72 @@ object SparkEntry {
         |)
         |SELECT cluster_id, count(*) AS n_members
         |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gram decay: contribution lands at each gram's FIRST occurrence
+    "text_gram_decay" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), gd AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS g
+        |  FROM t
+        |), f AS (
+        |  SELECT g, min(doc_id) AS fd FROM gd GROUP BY g
+        |), b AS (
+        |  SELECT fd // 50 AS bucket, count(*) AS new_grams FROM f GROUP BY 1
+        |)
+        |SELECT bucket, new_grams,
+        |  CAST(sum(new_grams) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_grams
+        |FROM b ORDER BY bucket""".stripMargin,
+    // point-in-time features: the strictly-before frame on both sides
+    "t_feature_asof" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(o_totalprice * 1e6) AS BIGINT) AS spend_micro
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(count(*) OVER f AS BIGINT) AS prior_orders,
+        |  CAST(coalesce(sum(spend_micro) OVER f, 0) AS BIGINT) AS prior_spend_micro,
+        |  CAST(datediff('day', lag(d) OVER w, d) AS INT) AS days_since_prev
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey),
+        |  f AS (PARTITION BY o_custkey ORDER BY d, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |ORDER BY o_orderkey""".stripMargin,
+    // embedding drift: micro-quantized component sums, cosine on the
+    // summed integer vectors (scale-invariant — no centroid division)
+    "emb_drift" ->
+      """WITH e AS (
+        |  SELECT label, CAST(vec_id % 2 = 0 AS INT) AS snapshot,
+        |    i AS pos, CAST(round(embedding[i] * 1e6) AS BIGINT) AS q
+        |  FROM embeddings
+        |  CROSS JOIN unnest(generate_series(1, len(embedding))) AS u(i)
+        |), s AS (
+        |  SELECT label, snapshot, pos, CAST(sum(q) AS BIGINT) AS s
+        |  FROM e GROUP BY 1, 2, 3
+        |), n AS (
+        |  SELECT label, CAST(vec_id % 2 = 0 AS INT) AS snapshot, count(*) AS n
+        |  FROM embeddings GROUP BY 1, 2
+        |), dots AS (
+        |  SELECT a.label,
+        |    sum(CAST(a.s AS HUGEINT) * b.s) AS dot,
+        |    sum(CAST(a.s AS HUGEINT) * a.s) AS na,
+        |    sum(CAST(b.s AS HUGEINT) * b.s) AS nb
+        |  FROM (SELECT * FROM s WHERE snapshot = 0) a
+        |  JOIN (SELECT * FROM s WHERE snapshot = 1) b
+        |    ON a.label = b.label AND a.pos = b.pos
+        |  GROUP BY a.label
+        |)
+        |SELECT d.label,
+        |  (SELECT n FROM n WHERE n.label = d.label AND snapshot = 0) AS n_a,
+        |  (SELECT n FROM n WHERE n.label = d.label AND snapshot = 1) AS n_b,
+        |  CAST(round(CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) * 1e6) AS BIGINT)
+        |    AS centroid_cos_micro
+        |FROM dots d ORDER BY d.label""".stripMargin,
     // bounded funnel: the e_funnel oracle with the 1h gap predicate
     // inside each stage's conditional min
     "e_funnel_window" ->

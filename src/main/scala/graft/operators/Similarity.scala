@@ -642,6 +642,60 @@ object Similarity {
     chosen.reverse.toDF("rank", "center_id", "radius_micro").orderBy("rank")
   }
 
+  /** A22: embedding-space drift monitor — X21's corpus-drift idea in
+    * vector space: split the corpus into two snapshots (even/odd
+    * vec_id here; production passes yesterday/today), and per label
+    * compare the snapshot CENTROIDS by cosine. A re-embedded corpus,
+    * a model upgrade, or an upstream filter change all show up as
+    * per-class centroid rotation long before downstream metrics move
+    * — this is the embedding-pipeline regression test run on every
+    * refresh.
+    *
+    * Exactness: each component quantizes to micro-longs BEFORE
+    * summation (sums are exact, merge-order-free — the X15 contract;
+    * a float-summing aggregator would be ulp-order-dependent), and
+    * the cosine runs on the summed integer vectors directly — cosine
+    * is scale-invariant, so centroids never need the division. Dot
+    * products of dim-summed micro values overflow int64 → terms cast
+    * decimal(38,0) (HUGEINT in DuckDB), one double conversion at the
+    * end on bit-equal integers.
+    *
+    * Scale shape: one dim-exploded map-side-combinable sum (at real
+    * dims a quantized VectorSum Aggregator replaces the explode),
+    * then label-sized joins. DuckDB-oracled.
+    */
+  def embDrift(spark: SparkSession, dir: String): DataFrame =
+    embDriftOf(Tables.load(spark, dir, "embeddings")
+      .withColumn("snapshot", (col("vec_id") % 2 === 0).cast("int")))
+
+  /** [[embDrift]]'s core over ANY (label, snapshot ∈ {0,1},
+    * embedding) frame — split out so the planted-rotation spec can
+    * feed hand snapshots.
+    */
+  private[graft] def embDriftOf(df: DataFrame): DataFrame = {
+    val sums = df
+      .select(col("label"), col("snapshot"), posexplode(col("embedding")))
+      .groupBy("label", "snapshot", "pos")
+      .agg(sum(round(col("col") * 1e6).cast("long")).as("s"))
+    val counts = df.groupBy("label", "snapshot").agg(count(lit(1)).as("n"))
+    val a = sums.filter(col("snapshot") === 0).select(col("label"), col("pos"), col("s").as("sa"))
+    val b = sums.filter(col("snapshot") === 1).select(col("label"), col("pos"), col("s").as("sb"))
+    val dots = a.join(b, Seq("label", "pos"))
+      .groupBy("label")
+      .agg(
+        sum((col("sa").cast("decimal(38,0)") * col("sb"))).as("dot"),
+        sum((col("sa").cast("decimal(38,0)") * col("sa"))).as("na"),
+        sum((col("sb").cast("decimal(38,0)") * col("sb"))).as("nb"))
+    val na = counts.filter(col("snapshot") === 0).select(col("label"), col("n").as("n_a"))
+    val nb = counts.filter(col("snapshot") === 1).select(col("label"), col("n").as("n_b"))
+    dots.join(na, "label").join(nb, "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) * 1e6)
+          .cast("long").as("centroid_cos_micro"))
+      .orderBy("label")
+  }
+
   /** A21: LSH tuning-curve sweep — the sizing study run BEFORE
     * committing a 100 TB corpus to an index configuration (A17's
     * evaluation pattern applied to A2): for each table count, the

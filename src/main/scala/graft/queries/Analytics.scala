@@ -50,6 +50,41 @@ object Analytics {
       .orderBy("stage")
   }
 
+  /** T29: point-in-time-correct feature assembly — the feature-store
+    * contract that keeps training data leakage-free: every label row
+    * (an order) gets features computed ONLY from events strictly
+    * before it (prior order count, prior spend, recency), via a
+    * `rows between unbounded preceding and 1 preceding` frame over
+    * the per-customer history. The off-by-one that includes the
+    * current row is the classic target-leakage bug (T24's
+    * leave-one-out encoding guards the same boundary for
+    * aggregates); the as-of frame here is its per-event form — this
+    * is how an RFM / churn training set is actually assembled.
+    *
+    * One shuffle on the entity key; the frame is computed in a
+    * single window pass over each customer's ordered history —
+    * exactly the plan a 1000-executor backfill wants. Exact micro
+    * spend, (date, orderkey) total order → hash-exact oracle.
+    */
+  def tFeatureAsof(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
+    val frame = byCust.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("d"),
+        round(col("o_totalprice") * 1e6).cast("long").as("spend_micro"))
+      .withColumn("prior_orders", count(lit(1)).over(frame))
+      .withColumn("prior_spend_micro",
+        coalesce(sum("spend_micro").over(frame), lit(0L)))
+      .withColumn("days_since_prev",
+        datediff(col("d"), lag("d", 1).over(byCust)))
+      .select("o_orderkey", "o_custkey", "prior_orders",
+        "prior_spend_micro", "days_since_prev")
+      .orderBy("o_orderkey")
+  }
+
   /** E29: TIME-BOUNDED funnel — E13 with a conversion window: a
     * click only counts if it lands within `windowUs` of the first
     * view, a purchase within `windowUs` of that click. Unbounded

@@ -1155,6 +1155,36 @@ object TextQueries {
       .orderBy("source", "keep_rank")
   }
 
+  /** X33: n-gram novelty decay curve — the empirical Heaps'-law
+    * diagnostic behind "is more of this source still worth
+    * ingesting?": documents are consumed in doc_id order, and each
+    * bucket of `bucketSize` docs reports how many NEVER-SEEN-BEFORE
+    * distinct n-grams it contributed, plus the cumulative total. A
+    * flattening curve is diminishing returns — the signal corpus
+    * curators read before buying/crawling more of a source (and the
+    * corpus-level complement of X28's per-doc novelty).
+    *
+    * One pass, no cumulative distinct: a gram's contribution lands
+    * entirely at its FIRST occurrence (min doc_id per gram hash), so
+    * the curve is a vocabulary-sized min-aggregate + a bucket
+    * histogram + one tiny window cumsum — corpus-linear, no
+    * quadratic rescan of prefixes.
+    */
+  def textGramDecay(spark: SparkSession, dir: String,
+                    n: Int = 3, bucketSize: Int = 50): DataFrame = {
+    val first = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(transform(array_distinct(wordShingles(col("text"), n)),
+          g => md5(g))).as("h"))
+      .groupBy("h").agg(min("doc_id").as("fd"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    first.groupBy(expr(s"fd div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("new_grams"))
+      .withColumn("cum_grams", sum("new_grams").over(w))
+      .orderBy("bucket")
+  }
+
   /** X32: language-ID confusion matrix — X1's predictions folded
     * against the corpus's generator labels: entry (lang, pred_lang)
     * counts documents. The per-class error structure (which languages

@@ -149,6 +149,45 @@ class Round14Spec extends SparkSpec {
     assert(byR.map(_.getLong(3)).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
 
+  test("emb_drift: stable snapshots read ~1.0; a planted rotation is detected") {
+    import spark.implicits._
+    // two identical snapshots of an axis-aligned class → cos 1.0;
+    // class 1's snapshot-1 vectors flip their dominant axis → cos −1ish
+    val rows =
+      (0 until 8).map(i => (0, i % 2, Seq(1f, 0f, 0f, 0f))) ++
+      (0 until 8).map(i => (1, i % 2,
+        if (i % 2 == 1) Seq(-1f, 0.1f, 0f, 0f) else Seq(1f, 0.1f, 0f, 0f)))
+    val out = operators.Similarity.embDriftOf(
+      rows.toDF("label", "snapshot", "embedding"))
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(out(0) == 1000000L, s"stable class drifted: ${out(0)}")
+    assert(out(1) < -900000L, s"flipped class not detected: ${out(1)}")
+    // the real corpus's labels are weakly separated (kmeans purity
+    // 0.168 vs 0.126 prior — the repo's documented testdata note), so
+    // half-centroids are NOISE-dominated and their cosine sits near 0
+    // rather than 1: record the baseline, assert only sanity bounds —
+    // the monitor's signal claim is carried by the planted test above
+    val base = operators.Similarity.embDrift(spark, sfDir).collect()
+    assert(base.nonEmpty)
+    base.foreach(r => assert(math.abs(r.getLong(3)) <= 1000000L))
+    RecallLog.record("emb_drift", "median_abs_baseline_cos",
+      base.map(r => math.abs(r.getLong(3))).sorted.apply(base.length / 2) / 1e6)
+  }
+
+  test("t_feature_asof: a customer's first order carries zero history") {
+    val out = queries.Analytics.tFeatureAsof(spark, sfDir).collect()
+    val byCust = out.groupBy(_.getLong(1))
+    byCust.foreach { case (_, rows) =>
+      // exactly one zero-history row per customer (the first order);
+      // prior_orders counts strictly earlier rows
+      assert(rows.count(_.getLong(2) == 0L) == 1)
+      assert(rows.count(r => r.isNullAt(4)) == 1)
+      val n = rows.length.toLong
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (0L until n).toSeq,
+        "prior_orders must enumerate the customer's history 0..n-1")
+    }
+  }
+
   test("g_kcore: a planted chain peels away while the clique survives") {
     import spark.implicits._
     // 4-clique (nodes 1-4) + a pendant chain 4-5-6: k=3 keeps exactly
