@@ -264,6 +264,7 @@ object SparkEntry {
     "mm_schema" -> (Multimodal.mmSchema _),
     "mm_dedup" -> (Multimodal.mmDedup _),
     "mm_probe" -> (Multimodal.mmProbe _),
+    "mm_entropy" -> (Multimodal.mmEntropy _),
     "mm_neardup" -> (Multimodal.mmNearDup _),
     "mm_features" -> (Multimodal.mmFeatures _),
     "mm_sample" -> ((s, d) => Multimodal.mmSample(s, d)),
@@ -1864,6 +1865,29 @@ object SparkEntry {
         |JOIN (SELECT w AS w1, c_w AS c_a FROM uc) USING (w1)
         |JOIN (SELECT w AS w2, c_w AS c_b FROM uc) USING (w2), tot
         |ORDER BY pmi_micro DESC, w1, w2 LIMIT 20""".stripMargin,
+    // payload entropy: hex pairs ARE byte identities — no numeric
+    // decode; X24's micro-rounded entropy terms over payload bytes
+    "mm_entropy" ->
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+        |    list_transform(generate_series(1, nb), i -> substr(hx, i*2 - 1, 2)) AS bp
+        |  FROM m
+        |), u AS (SELECT doc_id, unnest(bp) AS b FROM p),
+        |c AS (SELECT doc_id, b, count(*) AS cnt FROM u GROUP BY 1, 2),
+        |e AS (
+        |  SELECT c.doc_id,
+        |    CAST(count(*) AS INT) AS n_distinct_bytes,
+        |    CAST(sum(CAST(round(-(CAST(cnt AS DOUBLE) / n_bytes) *
+        |      ln(CAST(cnt AS DOUBLE) / n_bytes) * 1e6) AS BIGINT)) AS BIGINT) AS entropy_micro
+        |  FROM c JOIN p ON c.doc_id = p.doc_id GROUP BY 1
+        |)
+        |SELECT p.doc_id, p.n_bytes,
+        |  coalesce(e.n_distinct_bytes, 0) AS n_distinct_bytes,
+        |  coalesce(e.entropy_micro, 0) AS entropy_micro
+        |FROM p LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_entropy" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -378,6 +378,47 @@ object Multimodal {
   /** M1: schema plumbing — binary payload + typed metadata, projected
     * without ever touching payload bytes (the pruning-friendly path).
     */
+  /** M9: payload byte-entropy gate — the binary-corpus quality probe
+    * that needs NO codec: Shannon entropy of the payload's byte
+    * distribution separates structured media (well below 8 bits/
+    * byte), text (~4.2 bits), and corrupt/encrypted/random blobs
+    * (≈ 8 bits — maximal). A shard whose entropy distribution jumps
+    * toward 8 is damaged or mis-encoded BEFORE any decoder runs;
+    * this is the cheap first gate of a multimodal ingest (X24's
+    * character entropy generalized to raw bytes).
+    *
+    * Engine trick: byte frequencies never need numeric byte values —
+    * the 2-char hex pair IS the byte's identity, so `hex(payload)`
+    * pairs group exactly like X24's characters and both engines
+    * replay the identical micro-rounded entropy terms. Bytes are
+    * touched once in the scan projection; only (doc, pair, count)
+    * rows aggregate.
+    */
+  def mmEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = transform(sequence(lit(1), col("nb")),
+      i => col("hx").substr(i * 2 - 1, lit(2)))
+    val base = mediaTable(spark, dir)
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        octet_length(col("payload")).cast("long").as("nb"))
+      .select(col("doc_id"), col("nb").as("n_bytes"), pairs.as("bp"))
+    val counts = base
+      .select(col("doc_id"), explode(col("bp")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+    val agg = counts
+      .join(base.select(col("doc_id"), col("n_bytes")), "doc_id")
+      .select(col("doc_id"),
+        round(-(col("cnt") / col("n_bytes")) * log(col("cnt") / col("n_bytes")) * 1e6)
+          .cast("long").as("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_distinct_bytes"),
+        sum("term").as("entropy_micro"))
+    base.select("doc_id", "n_bytes").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bytes"),
+        coalesce(col("n_distinct_bytes"), lit(0)).as("n_distinct_bytes"),
+        coalesce(col("entropy_micro"), lit(0L)).as("entropy_micro"))
+      .orderBy("doc_id")
+  }
+
   def mmSchema(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir)
       .select(

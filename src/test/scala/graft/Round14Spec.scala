@@ -188,6 +188,20 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("mm_entropy: ASCII text payloads sit in the text band, far from the random ceiling") {
+    val out = operators.Multimodal.mmEntropy(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val maxNats = math.log(256.0) * 1e6 // ≈ 5.545e6: random-byte ceiling
+    out.filter(_.getLong(1) >= 100).foreach { r =>
+      val e = r.getLong(3)
+      // natural-language bytes ≈ 4.2 bits ≈ 2.9e6 micro-nats; a text
+      // corpus reading near the ceiling would mean corrupt payloads
+      assert(e > 2000000L && e < 3800000L, s"doc ${r.getLong(0)}: $e")
+      assert(e < maxNats)
+      assert(r.getInt(2) < 100, "ASCII text cannot use >=100 distinct bytes")
+    }
+  }
+
   test("g_kcore: a planted chain peels away while the clique survives") {
     import spark.implicits._
     // 4-clique (nodes 1-4) + a pendant chain 4-5-6: k=3 keeps exactly
