@@ -58,7 +58,10 @@ object Bench {
     "g_jaccard", "text_boilerplate", "ts_residual_anomaly",
     "dedup_quarantine", "e_seq_pattern", "emb_mmr",
     "g_sssp", "ts_acf", "text_transfer", "ann_hamming", "dedup_cdc",
-    "dedup_snm", "g_kcore")
+    "dedup_snm", "g_kcore",
+    "text_rake", "dedup_cross_source", "dedup_band_plan",
+    "text_gram_decay", "t_feature_asof", "emb_drift", "mm_entropy",
+    "e_funnel_window", "text_langid_eval", "ann_lsh_sweep")
 
   /** The scale-step set: the heaviest operators that read ONLY the
     * documents/embeddings tables (the two the 10× blow-up synthesizes).
@@ -67,7 +70,7 @@ object Bench {
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_substring",
     "dedup_substring_remove", "dedup_incremental",
     "emb_kmeans", "ann_pq", "ann_knn_lsh", "text_dsir", "text_bm25",
-    "text_boilerplate", "dedup_quarantine")
+    "text_boilerplate", "dedup_quarantine", "dedup_snm", "dedup_cdc")
 
   /** Build (once; cached by a _DONE marker) a deterministic `factor`×
     * blow-up of documents + embeddings under /tmp. Replica 0 is the

@@ -134,6 +134,7 @@ object SparkEntry {
     "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
     "src_csv_quoted" -> (IOQueries.srcCsvQuoted _),
     "sink_ttl" -> ((s, d) => IOQueries.sinkTtl(s, d)),
+    "sink_vacuum" -> ((s, d) => IOQueries.sinkVacuum(s, d)),
     // probabilistic LSH content → rows-only; monotone recall + floor
     // pinned in Round14Spec, every point recorded in RECALL
     "ann_lsh_sweep" -> ((s, d) => Similarity.lshSweep(s, d)),
@@ -2855,6 +2856,12 @@ object SparkEntry {
         |)
         |SELECT lang, pred_lang, cast(count(*) AS bigint) AS n
         |FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    // vacuum: the oracle checks the survivors; which files died is
+    // spec-pinned (exactly the unreferenced set)
+    "sink_vacuum" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS vacuumed
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // TTL: the oracle sees the surviving aggregate; the by-reference
     // carry (no rewrite) is spec-pinned where the oracle can't reach
     "sink_ttl" ->

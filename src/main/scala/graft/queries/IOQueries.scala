@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.sinks.TableStore
 import graft.sources.{FvecsIO, Ingest}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -702,6 +703,62 @@ object IOQueries {
       .withColumn("pruned", lit(hit.length < nFiles))
       .orderBy("o_orderkey")
     (out, hit.length, nFiles)
+  }
+
+  /** K18: VACUUM — the data-file garbage collector every
+    * manifest-backed lake eventually needs: rewrites (K8 compaction,
+    * K14 erasure) and failed writers leave files on disk that no
+    * LIVE manifest version references — unreferenced rewrites,
+    * never-committed orphans. Vacuum lists the disk, subtracts every
+    * file referenced by the retained manifest versions, and deletes
+    * the rest. Referenced-set arithmetic runs on MANIFEST rows
+    * (sidecar metadata); the only storage ops are the list and the
+    * deletes — at 100 TB this is why vacuum is a metadata job, not a
+    * table scan. Deleting only against the retained-version set is
+    * the same reader contract as K17: a reader pinned within
+    * retention never loses a file under it.
+    *
+    * The demo plants all three populations: v1 files (superseded by
+    * a compacting rewrite), v2 files (live), and an orphan from a
+    * simulated failed writer. The oracle checks the surviving
+    * table; the spec pins what it can't see — exactly the
+    * unreferenced files died, the live set survives byte-identical.
+    */
+  def sinkVacuum(spark: SparkSession, dir: String,
+                 baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(tmpDir("vacuum"))
+    val lake = base + "/lake"
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    orders.repartition(8).write.mode("overwrite").parquet(lake + "/gen1")
+    def manifestOf(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+    graft.sinks.ManifestStore.publish(spark, base + "/manifest", manifestOf(lake + "/gen1"))
+    // compaction rewrite supersedes gen1; commit points at gen2
+    spark.read.parquet(lake + "/gen1").coalesce(2)
+      .write.mode("overwrite").parquet(lake + "/gen2")
+    graft.sinks.ManifestStore.publish(spark, base + "/manifest", manifestOf(lake + "/gen2"))
+    // a failed writer's orphan: on disk, referenced by nothing
+    orders.limit(10).coalesce(1).write.mode("overwrite").parquet(lake + "/orphan")
+    // vacuum: live = files of the retained (latest) version
+    val (_, cur) = graft.sinks.ManifestStore.current(spark, base + "/manifest")
+    val live = cur.select("file").collect().map(_.getString(0)).toSet
+    val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(lake), true)
+    val onDisk = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) onDisk += f.getPath
+    }
+    val doomed = onDisk.filterNot(p => live.contains(p.toUri.toString))
+    doomed.foreach(p => fs.delete(p, false))
+    spark.read.parquet(live.toSeq: _*)
+      .groupBy("month")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("vacuumed", lit(doomed.nonEmpty))
+      .orderBy("month")
   }
 
   /** K17: partition-TTL retention — the lakehouse expiry sweep

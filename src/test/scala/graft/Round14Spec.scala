@@ -202,6 +202,29 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("sink_vacuum: exactly the unreferenced files die; the live set survives intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_vac_spec").toString
+    val out = queries.IOQueries.sinkVacuum(spark, sfDir, Some(base)).collect()
+    assert(out.nonEmpty && out.forall(_.getBoolean(3)))
+    val live = spark.read.json(s"$base/manifest/manifest_v2")
+      .select("file").collect().map(_.getString(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(base + "/lake")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(base + "/lake"), true)
+    val onDisk = scala.collection.mutable.Set.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) onDisk += f.getPath.toUri.toString
+    }
+    assert(onDisk == live,
+      s"disk after vacuum must equal the live set (disk ${onDisk.size}, live ${live.size})")
+    // v1's superseded gen + the orphan are gone
+    assert(!onDisk.exists(_.contains("/gen1/")) && !onDisk.exists(_.contains("/orphan/")))
+    // survivors are byte-intact: full count preserved
+    val expect = Tables.load(spark, sfDir, "orders").count()
+    assert(spark.read.parquet(live.toSeq: _*).count() == expect)
+  }
+
   test("g_kcore: a planted chain peels away while the clique survives") {
     import spark.implicits._
     // 4-clique (nodes 1-4) + a pendant chain 4-5-6: k=3 keeps exactly
