@@ -34,6 +34,7 @@ object SparkEntry {
     "q_subquery" -> (Relational.qSubquery _),
     "q_setops" -> (Relational.qSetOps _),
     "q_sql" -> (Relational.qSql _),
+    "q_sql_script" -> (Relational.qSqlScript _),
     "q_recursive" -> (Relational.qRecursive _),
     "q_lateral" -> (Relational.qLateral _),
     "q_rollup" -> (Relational.qRollup _),
@@ -2856,6 +2857,12 @@ object SparkEntry {
         |)
         |SELECT lang, pred_lang, cast(count(*) AS bigint) AS n
         |FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    // variable binding must be invisible: literal-inlined equivalent
+    "q_sql_script" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem WHERE l_quantity >= 45.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // vacuum: the oracle checks the survivors; which files died is
     // spec-pinned (exactly the unreferenced set)
     "sink_vacuum" ->

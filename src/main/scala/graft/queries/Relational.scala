@@ -195,6 +195,28 @@ object Relational {
     * capability of the reference's `query_data_from_table` (user ships a
     * SQL string).
     */
+  /** Q48: SQL session variables + EXECUTE IMMEDIATE (the Spark 4
+    * scripting surface): the analysis threshold lives in a DECLAREd
+    * typed variable, is re-bound with SET VAR, and the query text is
+    * dispatched through EXECUTE IMMEDIATE with a USING parameter —
+    * the dynamic-SQL idiom dashboard backends and migration scripts
+    * use instead of string interpolation (parameters are BOUND, not
+    * spliced — no quoting bugs, plans cacheable by shape). The
+    * oracle is the equivalent query with the literal inlined:
+    * variable binding must be semantically invisible.
+    */
+  def qSqlScript(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_qty_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR graft_qty_floor = 45.0")
+    spark.sql(
+      """EXECUTE IMMEDIATE
+        |  'SELECT l_returnflag, count(*) AS n,
+        |          round(sum(l_extendedprice), 2) AS total
+        |   FROM lineitem WHERE l_quantity >= ? GROUP BY 1 ORDER BY 1'
+        |  USING graft_qty_floor""".stripMargin)
+  }
+
   def qSql(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(
