@@ -134,6 +134,7 @@ object SparkEntry {
     "sink_manifest" -> ((s, d) => IOQueries.sinkManifest(s, d)),
     "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
     "src_csv_quoted" -> (IOQueries.srcCsvQuoted _),
+    "src_fixed_width" -> (IOQueries.srcFixedWidth _),
     "sink_ttl" -> ((s, d) => IOQueries.sinkTtl(s, d)),
     "sink_vacuum" -> ((s, d) => IOQueries.sinkVacuum(s, d)),
     // probabilistic LSH content → rows-only; monotone recall + floor
@@ -2857,6 +2858,13 @@ object SparkEntry {
         |)
         |SELECT lang, pred_lang, cast(count(*) AS bigint) AS n
         |FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    // fixed-width: oracle projects the fields straight from parquet —
+    // hash match proves the render→parse cycle field-exact
+    "src_fixed_width" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(round(o_totalprice * 1e6) AS BIGINT) AS price_micro,
+        |  CAST(o_orderdate AS DATE) AS d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // variable binding must be invisible: literal-inlined equivalent
     "q_sql_script" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -488,9 +488,22 @@ object Dedup {
         norm(col("text")).as("k1"), norm(reverse(col("text"))).as("k2"))
       .filter(size(col("sh")) > 0)
     def passPairs(key: String): DataFrame = {
+      // global rank WITHOUT the single-partition window: range
+      // partitioning + per-partition sort + zipWithIndex (T12's
+      // global-id machinery) assigns the identical (key, doc_id)
+      // total-order ranks with every partition sorting only its own
+      // range — a Window.orderBy here collapsed the whole corpus onto
+      // one task and benched ~8× at the 10× scale step
+      val session = docs.sparkSession
+      import session.implicits._
       val ranked = docs
-        .withColumn("rn", row_number().over(Window.orderBy(col(key), col("doc_id"))))
-        .select(col("doc_id"), col("rn"))
+        .select(col("doc_id"), col(key).as("k"))
+        .repartitionByRange(
+          session.sparkContext.defaultParallelism, col("k"), col("doc_id"))
+        .sortWithinPartitions("k", "doc_id")
+        .select(col("doc_id"))
+        .as[Long].rdd.zipWithIndex()
+        .toDF("doc_id", "rn")
       ranked
         .withColumn("d", explode(sequence(lit(1), lit(window - 1))))
         .select(col("doc_id").as("id_a"), (col("rn") + col("d")).as("brn"))

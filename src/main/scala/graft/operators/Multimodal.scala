@@ -395,27 +395,16 @@ object Multimodal {
     * rows aggregate.
     */
   def mmEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = transform(sequence(lit(1), col("nb")),
-      i => col("hx").substr(i * 2 - 1, lit(2)))
-    val base = mediaTable(spark, dir)
-      .select(col("doc_id"), hex(col("payload")).as("hx"),
-        octet_length(col("payload")).cast("long").as("nb"))
-      .select(col("doc_id"), col("nb").as("n_bytes"), pairs.as("bp"))
-    val counts = base
-      .select(col("doc_id"), explode(col("bp")).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
-    val agg = counts
-      .join(base.select(col("doc_id"), col("n_bytes")), "doc_id")
+    import org.apache.spark.sql.graft.{ByteEntropy, ColumnShim}
+    // one compiled histogram pass per row (the native [[ByteEntropy]])
+    // — the declarative hex-pair explode shuffled |payload| rows per
+    // doc and benched ~10 s at sf0.1 for the same integer-exact answer
+    mediaTable(spark, dir)
       .select(col("doc_id"),
-        round(-(col("cnt") / col("n_bytes")) * log(col("cnt") / col("n_bytes")) * 1e6)
-          .cast("long").as("term"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_distinct_bytes"),
-        sum("term").as("entropy_micro"))
-    base.select("doc_id", "n_bytes").join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_bytes"),
-        coalesce(col("n_distinct_bytes"), lit(0)).as("n_distinct_bytes"),
-        coalesce(col("entropy_micro"), lit(0L)).as("entropy_micro"))
+        ColumnShim.column(ByteEntropy(ColumnShim.expression(col("payload")))).as("st"))
+      .select(col("doc_id"), col("st.n_bytes").as("n_bytes"),
+        col("st.n_distinct_bytes").as("n_distinct_bytes"),
+        col("st.entropy_micro").as("entropy_micro"))
       .orderBy("doc_id")
   }
 

@@ -829,6 +829,41 @@ object IOQueries {
       .orderBy("wave", "task")
   }
 
+  /** S12: fixed-width record ingestion — the mainframe/legacy-feed
+    * layout (COBOL copybook shape: no delimiters, fields at byte
+    * offsets, zero-padded numerics). Records are rendered
+    * deterministically from `orders`, round-tripped through a text
+    * file, and re-parsed by POSITION (`substring` + casts, all
+    * codegen'd in the scan projection — the same parse shape as
+    * S10's regex logs but offset-addressed, which is both faster and
+    * the only option when the layout has no separators at all). The
+    * oracle projects the same fields straight from parquet, so a
+    * hash match proves every field of every record survived the
+    * render → fixed-width → parse cycle exactly — including the
+    * leading-zero numeric padding that breaks naive `trim`+cast
+    * pipelines. Embarrassingly parallel at any scale (fixed-length
+    * lines split perfectly).
+    */
+  def srcFixedWidth(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("fixedw") + "/orders_fw"
+    Tables.load(spark, dir, "orders")
+      .select(concat(
+        lpad(col("o_orderkey").cast("string"), 10, "0"),
+        lpad(col("o_custkey").cast("string"), 10, "0"),
+        rpad(col("o_orderstatus"), 1, " "),
+        lpad(round(col("o_totalprice") * 1e6).cast("long").cast("string"), 14, "0"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd")).as("value"))
+      .write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .select(
+        substring(col("value"), 1, 10).cast("long").as("o_orderkey"),
+        substring(col("value"), 11, 10).cast("long").as("o_custkey"),
+        substring(col("value"), 21, 1).as("o_orderstatus"),
+        substring(col("value"), 22, 14).cast("long").as("price_micro"),
+        substring(col("value"), 36, 10).cast("date").as("d"))
+      .orderBy("o_orderkey")
+  }
+
   /** S11: quoted/multiline CSV ingestion — the CSV edge cases that
     * break naive pipelines: fields containing the DELIMITER, embedded
     * DOUBLE QUOTES, and embedded NEWLINES. A note column exercising
