@@ -483,10 +483,14 @@ object Dedup {
                threshold: Double = 0.5, n: Int = 3): DataFrame = {
     val norm = (c: Column) =>
       substring(regexp_replace(lower(c), "[^a-z0-9]+", " "), 1, 32)
+    // checkpointed: referenced by both sort passes AND both sides of
+    // the exact verify — uncheckpointed that is 4 corpus scans + 4
+    // shingle passes
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), shingleHashesCol(col("text"), n).as("sh"),
         norm(col("text")).as("k1"), norm(reverse(col("text"))).as("k2"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     def passPairs(key: String): DataFrame = {
       // global rank WITHOUT the single-partition window: range
       // partitioning + per-partition sort + zipWithIndex (T12's
@@ -496,6 +500,9 @@ object Dedup {
       // one task and benched ~8× at the 10× scale step
       val session = docs.sparkSession
       import session.implicits._
+      // checkpointed: the rank map is referenced twice by the
+      // adjacency self-join — uncheckpointed, the sort + zipWithIndex
+      // jobs re-run per reference
       val ranked = docs
         .select(col("doc_id"), col(key).as("k"))
         .repartitionByRange(
@@ -504,6 +511,7 @@ object Dedup {
         .select(col("doc_id"))
         .as[Long].rdd.zipWithIndex()
         .toDF("doc_id", "rn")
+        .localCheckpoint()
       ranked
         .withColumn("d", explode(sequence(lit(1), lit(window - 1))))
         .select(col("doc_id").as("id_a"), (col("rn") + col("d")).as("brn"))
