@@ -205,6 +205,9 @@ object SparkEntry {
     "text_gram_decay" -> ((s, d) => TextQueries.textGramDecay(s, d)),
     "t_feature_asof" -> (Analytics.tFeatureAsof _),
     "emb_drift" -> (Similarity.embDrift _),
+    "ann_knn_eval" -> ((s, d) => Similarity.knnLabelEval(s, d)),
+    "t_fpe" -> (Analytics.tFpe _),
+    "text_summary" -> (TextQueries.textSummary _),
     "g_kcore" -> ((s, d) => Graph.kcore(s, d)),
     "p_dag" -> (IOQueries.pDag _),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
@@ -2743,6 +2746,69 @@ object SparkEntry {
         |)
         |SELECT cluster_id, count(*) AS n_members
         |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // kNN label vote: A1's exact ranking + (cnt desc, label) argmax
+    "ann_knn_eval" ->
+      """WITH sims AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.label,
+        |    round(list_cosine_similarity(
+        |      list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 50 AND c.vec_id <> q.vec_id
+        |), nn AS (
+        |  SELECT q_id, label FROM (
+        |    SELECT q_id, label,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |    FROM sims) WHERE rnk <= 5
+        |), votes AS (
+        |  SELECT q_id, label AS pred_label FROM (
+        |    SELECT q_id, label,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, label) AS r
+        |    FROM (SELECT q_id, label, count(*) AS cnt FROM nn GROUP BY 1, 2))
+        |  WHERE r = 1
+        |)
+        |SELECT e.label AS true_label, count(*) AS n_eval,
+        |  CAST(sum(CASE WHEN v.pred_label = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  (1000000 * CAST(sum(CASE WHEN v.pred_label = e.label THEN 1 ELSE 0 END) AS BIGINT)) // count(*)
+        |    AS acc_micro
+        |FROM votes v JOIN embeddings e ON e.vec_id = v.q_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // FPE: the same keyed per-position digit shift on both engines
+    "t_fpe" ->
+      """SELECT c_custkey, acct,
+        |  array_to_string(list_transform(generate_series(1, 10),
+        |    j -> CAST((CAST(substr(acct, j, 1) AS INT) + (j*7 + 3) % 10) % 10 AS VARCHAR)),
+        |    '') AS token
+        |FROM (SELECT c_custkey, lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS acct
+        |      FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    // key-sentence: per-doc sentence graph, 0-based positions both sides
+    "text_summary" ->
+      """WITH s AS (
+        |  SELECT doc_id, i - 1 AS pos, trim(a[i]) AS sent
+        |  FROM (SELECT doc_id, string_split_regex(text, '\.\s+') AS a FROM documents)
+        |  CROSS JOIN unnest(generate_series(1, len(a))) AS u(i)
+        |  WHERE length(trim(a[i])) > 0
+        |), t AS (
+        |  SELECT doc_id, pos, unnest(list_distinct(list_filter(
+        |    string_split(trim(regexp_replace(lower(sent), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |    x -> length(x) > 0))) AS tok
+        |  FROM s
+        |), ov AS (
+        |  SELECT a.doc_id, a.pos, count(*) AS score
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.pos <> b.pos
+        |  GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT s.doc_id, s.pos, s.sent, coalesce(ov.score, 0) AS score
+        |  FROM s LEFT JOIN ov ON s.doc_id = ov.doc_id AND s.pos = ov.pos
+        |), best AS (
+        |  SELECT doc_id, pos, sent, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, pos) AS r,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_sents
+        |  FROM sc
+        |)
+        |SELECT doc_id, CAST(n_sents AS BIGINT) AS n_sents, CAST(pos AS INT) AS best_pos,
+        |  CAST(score AS BIGINT) AS score, md5(sent) AS sent_md5
+        |FROM best WHERE r = 1 ORDER BY doc_id""".stripMargin,
     // gram decay: contribution lands at each gram's FIRST occurrence
     "text_gram_decay" ->
       """WITH t AS (

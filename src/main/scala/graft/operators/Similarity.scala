@@ -642,6 +642,51 @@ object Similarity {
     chosen.reverse.toDF("rank", "center_id", "radius_micro").orderBy("rank")
   }
 
+  /** A23: kNN label-vote evaluation — "can the embedding space
+    * classify its own labels": for an eval sample, predict each
+    * vector's label by majority vote of its k exact nearest
+    * neighbors (leave-one-out) and score against the generator
+    * label. This is the standard intrinsic embedding-quality probe
+    * (kNN accuracy) run before trusting a space for retrieval — the
+    * eval-family sibling of X32's confusion matrix, and the
+    * diagnostic that quantifies what `emb_kmeans`' purity hints at.
+    *
+    * Plan: A1's exact ranking (mergeable top-k — ≤ k rows per
+    * (query, partition) cross the shuffle) over the `nEval` sample,
+    * labels joined back by key, vote = `max(struct(cnt, −label))`
+    * (most votes, ties to the smaller label). Integer counts, 4-dp
+    * sims, full tie-breaks → hash-exact oracle.
+    */
+  def knnLabelEval(spark: SparkSession, dir: String,
+                   k: Int = 5, nEval: Int = 50): DataFrame = {
+    val e = corpus(spark, dir)
+    val labels = Tables.load(spark, dir, "embeddings").select("vec_id", "label")
+    val q = broadcast(e.filter(col("vec_id") < nEval)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    val topk = udaf(graft.functions.Aggregators.TopKByScore(k))
+    val nn = e.join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4).as("sim"),
+        col("vec_id"))
+      .groupBy("q_id").agg(topk(col("sim"), col("vec_id")).as("nn"))
+      .select(col("q_id"), explode(col("nn")).as("p"))
+      .select(col("q_id"), col("p._2").as("vec_id"))
+    val votes = nn.join(labels, "vec_id")
+      .groupBy("q_id", "label").agg(count(lit(1)).as("cnt"))
+      .groupBy("q_id")
+      .agg(max(struct(col("cnt"), (-col("label")).cast("long").as("nl"))).as("m"))
+      .select(col("q_id"), (-col("m.nl")).cast("int").as("pred_label"))
+    votes
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+      .groupBy("true_label")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("true_label"), col("n_eval"), col("n_correct"),
+        expr("(1000000 * n_correct) div n_eval").as("acc_micro"))
+      .orderBy("true_label")
+  }
+
   /** A22: embedding-space drift monitor — X21's corpus-drift idea in
     * vector space: split the corpus into two snapshots (even/odd
     * vec_id here; production passes yesterday/today), and per label

@@ -50,6 +50,31 @@ object Analytics {
       .orderBy("stage")
   }
 
+  /** T30: format-preserving pseudonymization — T20's hashing destroys
+    * FORMAT (a hashed account number no longer passes downstream
+    * validators, fixed-width loaders, or checksum gates); this keeps
+    * it: each digit of the rendered account id maps through a keyed
+    * per-position digit permutation, so tokens are same-length,
+    * all-digit, deterministic (joinable across tables), and
+    * reversible with the key. The per-position modular shift here
+    * stands in for the real cipher — production swaps in FF1/FF3
+    * (NIST SP 800-38G) behind the SAME per-digit plumbing, which is
+    * the part the engine owns: format-preserving transforms stay
+    * whole-stage-codegen string/arithmetic ops, never UDFs.
+    */
+  def tFpe(spark: SparkSession, dir: String): DataFrame = {
+    val acct = lpad(col("c_custkey").cast("string"), 10, "0")
+    // keyed per-position shift: k_j = (7·j + 3) mod 10 over 1-based j
+    val token = concat_ws("",
+      transform(sequence(lit(1), lit(10)),
+        j => ((col("acct").substr(j, lit(1)).cast("int")
+          + (j * 7 + 3) % 10) % 10).cast("string")))
+    Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), acct.as("acct"))
+      .select(col("c_custkey"), col("acct"), token.as("token"))
+      .orderBy("c_custkey")
+  }
+
   /** T29: point-in-time-correct feature assembly — the feature-store
     * contract that keeps training data leakage-free: every label row
     * (an order) gets features computed ONLY from events strictly

@@ -1155,6 +1155,49 @@ object TextQueries {
       .orderBy("source", "keep_rank")
   }
 
+  /** X34: extractive key-sentence selection (TextRank-lite) — pick
+    * each document's most CENTRAL sentence: score(s) = Σ over the
+    * doc's other sentences of |shared normalized tokens| (degree
+    * centrality on the sentence-similarity graph — one power-
+    * iteration short of TextRank, deterministic and integer-exact),
+    * winner by (score desc, position asc). The data-prep use is
+    * snippet/preview generation and lead-sentence heuristics for
+    * retrieval indexing — summarization as a corpus operator, no
+    * model required.
+    *
+    * Scale: the sentence graph is PER-DOCUMENT (explode → per-doc
+    * token self-join bounded by sentences²-per-doc, never corpus²);
+    * token strings shuffle once keyed by (doc, token). Integer
+    * overlap counts, total-order tie-break, md5 of the winning
+    * sentence → hash-exact oracle.
+    */
+  def textSummary(spark: SparkSession, dir: String): DataFrame = {
+    val sents = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), "\\.\\s+")))
+      .filter(length(trim(col("col"))) > 0)
+      .select(col("doc_id"), col("pos"), trim(col("col")).as("sent"))
+    val toks = sents.select(col("doc_id"), col("pos"),
+        explode(array_distinct(split(
+          trim(regexp_replace(lower(col("sent")), "[^a-z0-9]+", " ")), " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val overlap = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") === col("b.tok") &&
+          col("a.pos") =!= col("b.pos"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"))
+      .agg(count(lit(1)).as("score"))
+    val best = sents.join(overlap, Seq("doc_id", "pos"), "left")
+      .select(col("doc_id"), col("pos"), col("sent"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sents"),
+        max(struct(col("score"), (-col("pos")).cast("long").as("np"),
+          col("sent"))).as("m"))
+    best.select(col("doc_id"), col("n_sents"),
+        (-col("m.np")).cast("int").as("best_pos"),
+        col("m.score").as("score"), md5(col("m.sent")).as("sent_md5"))
+      .orderBy("doc_id")
+  }
+
   /** X33: n-gram novelty decay curve — the empirical Heaps'-law
     * diagnostic behind "is more of this source still worth
     * ingesting?": documents are consumed in doc_id order, and each
