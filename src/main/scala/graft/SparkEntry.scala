@@ -211,6 +211,7 @@ object SparkEntry {
     "g_kcore" -> ((s, d) => Graph.kcore(s, d)),
     "p_dag" -> (IOQueries.pDag _),
     "dedup_semantic" -> ((s, d) => Dedup.semanticDedup(s, d)),
+    "dedup_semantic_sweep" -> ((s, d) => Dedup.semanticSweep(s, d)),
     // Graph analytics (G1–G2)
     "g_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
     "g_triangles" -> ((s, d) => Graph.triangles(s, d)),
@@ -1079,6 +1080,46 @@ object SparkEntry {
         |  min(CASE WHEN krk = 1 THEN vec_id END) AS keep_id,
         |  min(CASE WHEN krk = 1 THEN sim END) AS keep_sim
         |FROM k GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+    // SemDeDup ε sweep: D9's assignment + keeper rehydration, micro
+    // thresholds compared through bit-equal 4-dp doubles
+    "dedup_semantic_sweep" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS seed_emb FROM embeddings WHERE vec_id < 8
+        |), sims AS (
+        |  SELECT e.vec_id, s.seed_id,
+        |    round(list_cosine_similarity(
+        |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(s.seed_emb, x -> CAST(x AS DOUBLE))), 4) AS sim
+        |  FROM embeddings e CROSS JOIN seeds s
+        |), a AS (
+        |  SELECT vec_id, seed_id AS cluster_id, sim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, seed_id) AS rk
+        |  FROM sims
+        |), k2 AS (
+        |  SELECT vec_id, cluster_id, sim,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY sim DESC, vec_id) AS krk
+        |  FROM a WHERE rk = 1
+        |), keep AS (
+        |  SELECT cluster_id, vec_id AS keep_id FROM k2 WHERE krk = 1
+        |), simk AS (
+        |  SELECT m.vec_id, kp.keep_id,
+        |    round(list_cosine_similarity(
+        |      list_transform(em.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(ek.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim_keep
+        |  FROM k2 m JOIN keep kp USING (cluster_id)
+        |  JOIN embeddings em ON em.vec_id = m.vec_id
+        |  JOIN embeddings ek ON ek.vec_id = kp.keep_id
+        |), sweep AS (
+        |  SELECT eps, count(*) AS n_total,
+        |    CAST(sum(CASE WHEN vec_id <> keep_id AND sim_keep * 1e6 >= 1000000 - eps
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |  FROM simk CROSS JOIN (SELECT unnest([600000, 750000, 900000]) AS eps)
+        |  GROUP BY eps
+        |)
+        |SELECT CAST(eps AS INT) AS eps_micro, n_total, n_dropped,
+        |  n_total - n_dropped AS n_kept,
+        |  (1000000 * n_dropped) // n_total AS drop_rate_micro
+        |FROM sweep ORDER BY eps_micro""".stripMargin,
     "emb_centroid" ->
       """WITH dims AS (
         |  SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings

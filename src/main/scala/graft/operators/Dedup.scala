@@ -1025,6 +1025,61 @@ object Dedup {
     * vectors can be near-duplicates, so the pairwise step D5 needs
     * disappears entirely.
     */
+  /** D21: SemDeDup threshold sweep — D9 keeps one exemplar per
+    * cluster unconditionally; the published SemDeDup (Abbas et al.
+    * 2023) DROPS only members within ε of each other, and ε is the
+    * knob that decides how much corpus survives. This sweep measures
+    * the drop-rate curve over candidate ε (member dropped iff its
+    * cosine to the cluster's keeper ≥ 1 − ε) — the A21/D19 pattern:
+    * the tuning decision emitted as data rather than folklore,
+    * because at 100 TB each ε point IS a corpus-size/diversity
+    * trade worth millions of documents.
+    *
+    * Cost: D9's assignment plus one keeper-rehydration join and a
+    * |eps|× fan-out of (id, id, sim) rows — cluster-linear, never
+    * pairwise. Deterministic (4-dp cosines both engines, integer
+    * micro thresholds compared through bit-equal doubles) →
+    * hash-exact oracle.
+    */
+  def semanticSweep(spark: SparkSession, dir: String, k: Int = 8,
+                    // this corpus is weakly similar (sim-to-keeper tops
+                    // out ~0.49), so the informative ε grid sits high;
+                    // a near-dup production corpus sweeps ε ∈ [0.01,0.1]
+                    epsMicro: Seq[Int] = Seq(600000, 750000, 900000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = spread(Tables.load(spark, dir, "embeddings"))
+    val seeds = broadcast(
+      Tables.load(spark, dir, "embeddings").filter(col("vec_id") < k)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb")))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("seed_id"))
+    val byCluster = Window.partitionBy("cluster_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val asg = e.crossJoin(seeds)
+      .withColumn("sim", round(VectorFunctions.cosine(col("embedding"), col("seed_emb")), 4))
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("seed_id").as("cluster_id"), col("sim"))
+      .withColumn("krk", row_number().over(byCluster))
+      .localCheckpoint()
+    val keepers = asg.filter(col("krk") === 1)
+      .select(col("cluster_id"), col("vec_id").as("keep_id"),
+        col("embedding").as("keep_emb"))
+    asg.join(keepers, "cluster_id")
+      .select(col("vec_id"), col("keep_id"),
+        round(VectorFunctions.cosine(col("embedding"), col("keep_emb")), 4).as("sim_keep"))
+      .withColumn("eps_micro", explode(typedlit(epsMicro)))
+      .groupBy("eps_micro")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("vec_id") =!= col("keep_id") &&
+          col("sim_keep") * 1e6 >= lit(1000000) - col("eps_micro"), 1L)
+          .otherwise(0L)).as("n_dropped"))
+      .select(col("eps_micro"), col("n_total"), col("n_dropped"),
+        (col("n_total") - col("n_dropped")).as("n_kept"),
+        expr("(1000000 * n_dropped) div n_total").as("drop_rate_micro"))
+      .orderBy("eps_micro")
+  }
+
   def semanticDedup(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = spread(Tables.load(spark, dir, "embeddings"))

@@ -260,6 +260,17 @@ class Round14Spec extends SparkSpec {
     assert(acc >= 0.0 && acc <= 1.0 && prior > 0.0)
   }
 
+  test("dedup_semantic_sweep: drop rate is monotone in epsilon and keepers survive") {
+    val out = operators.Dedup.semanticSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == out.map(_._1).sorted.toSeq)
+    // widening epsilon can only drop MORE
+    assert(out.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      s"drop counts not monotone: ${out.toSeq}")
+    // one keeper per cluster can never be dropped: kept >= k clusters
+    out.foreach { case (_, total, dropped) => assert(total - dropped >= 8L) }
+  }
+
   test("g_kcore: a planted chain peels away while the clique survives") {
     import spark.implicits._
     // 4-clique (nodes 1-4) + a pendant chain 4-5-6: k=3 keeps exactly
