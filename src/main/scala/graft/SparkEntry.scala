@@ -223,6 +223,9 @@ object SparkEntry {
     "text_transfer" -> (TextQueries.textTransfer _),
     "ann_sq" -> ((s, d) => Similarity.sqAnn(s, d)),
     "ann_hamming" -> ((s, d) => Similarity.hammingAnn(s, d)),
+    // binary-prefilter cascade: approximation by design → rows-only;
+    // end-to-end recall floor pinned in Round14Spec
+    "ann_cascade" -> ((s, d) => Similarity.cascadeAnn(s, d)),
     "q_mad_outliers" -> (Analytics.qMadOutliers _),
     "emb_matryoshka" -> ((s, d) => Similarity.embMatryoshka(s, d)),
     "ts_snaive" -> (TimeSeries.snaive _),

@@ -687,6 +687,54 @@ object Similarity {
       .orderBy("true_label")
   }
 
+  /** A24: two-stage retrieval cascade — the production architecture
+    * A20 exists to enable: a cheap binary HAMMING prefilter scans the
+    * packed sign bits (⌈dim/32⌉ longs/row — 1/128 the float
+    * bandwidth) and keeps `prefilter` candidates per query; the
+    * exact float cosine then reranks only those. At 100 TB the
+    * float vectors for stage 2 are fetched BY KEY for
+    * prefilter·queries rows — the full-precision corpus is never
+    * scanned, which is the entire economics of compressed-first
+    * retrieval (FAISS binary-prefilter / two-tier serving).
+    *
+    * Both stages rank through the mergeable top-k (≤ candidates per
+    * (query, partition) cross each shuffle). The prefilter is an
+    * approximation (sign bits estimate angle) → rows-only driver
+    * check; the spec measures end-to-end recall vs [[bruteForceTopK]]
+    * and pins a floor.
+    */
+  def cascadeAnn(spark: SparkSession, dir: String,
+                 k: Int = 5, nQueries: Int = 10, prefilter: Int = 100): DataFrame = {
+    val e = corpus(spark, dir)
+    val words = (embeddingDim(spark, dir) + 31) / 32
+    def enc(c: Column): Column = transform(sequence(lit(0), lit(words - 1)),
+      w => aggregate(slice(c, w * lit(32) + 1, lit(32)), lit(0L),
+        (acc, x) => acc * 2 + when(x > lit(0.0f), 1L).otherwise(0L)))
+    val coded = e.select(col("vec_id"), enc(col("embedding")).as("code"))
+      .localCheckpoint()
+    val q = broadcast(e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        enc(col("embedding")).as("qcode")))
+    val pre = udaf(graft.functions.Aggregators.TopKByScore(prefilter))
+    val shortlist = coded
+      .join(q.select(col("q_id"), col("qcode")), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (-aggregate(
+          zip_with(col("code"), col("qcode"), (x, y) => bit_count(x.bitwiseXOR(y))),
+          lit(0), (a, b) => a + b)).cast("double").as("s"))
+      .groupBy("q_id").agg(pre(col("s"), col("vec_id")).as("nn"))
+      .select(col("q_id"), explode(col("nn")).as("p"))
+      .select(col("q_id"), col("p._2").as("vec_id"))
+    rankTopKQueries(
+      shortlist
+        .join(e, Seq("vec_id"))
+        .join(q.select(col("q_id"), col("q_emb")), Seq("q_id"))
+        .select(col("q_id"),
+          round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4).as("sim"),
+          col("vec_id")),
+      k)
+  }
+
   /** A22: embedding-space drift monitor — X21's corpus-drift idea in
     * vector space: split the corpus into two snapshots (even/odd
     * vec_id here; production passes yesterday/today), and per label

@@ -271,6 +271,16 @@ class Round14Spec extends SparkSpec {
     out.foreach { case (_, total, dropped) => assert(total - dropped >= 8L) }
   }
 
+  test("ann_cascade: binary prefilter + exact rerank recovers the exact top-k") {
+    val cas = operators.Similarity.cascadeAnn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = operators.Similarity.bruteForceTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (cas intersect exact).size.toDouble / exact.size
+    RecallLog.record("ann_cascade", "recall_vs_exact", recall)
+    assert(recall >= 0.9, s"cascade recall $recall below 0.9")
+  }
+
   test("g_kcore: a planted chain peels away while the clique survives") {
     import spark.implicits._
     // 4-clique (nodes 1-4) + a pendant chain 4-5-6: k=3 keeps exactly
