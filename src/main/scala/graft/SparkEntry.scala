@@ -207,6 +207,7 @@ object SparkEntry {
     "emb_drift" -> (Similarity.embDrift _),
     "ann_knn_eval" -> ((s, d) => Similarity.knnLabelEval(s, d)),
     "t_fpe" -> (Analytics.tFpe _),
+    "dq_observe" -> (Analytics.dqObserve _),
     "text_summary" -> (TextQueries.textSummary _),
     "g_kcore" -> ((s, d) => Graph.kcore(s, d)),
     "p_dag" -> (IOQueries.pDag _),
@@ -2816,6 +2817,21 @@ object SparkEntry {
         |    AS acc_micro
         |FROM votes v JOIN embeddings e ON e.vec_id = v.q_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // observe: the in-flight counters must equal a direct aggregate
+    "dq_observe" ->
+      """WITH g AS (
+        |  SELECT count(*) AS observed_rows,
+        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS observed_null_price,
+        |    round(sum(o_totalprice), 2) AS observed_sum
+        |  FROM orders
+        |)
+        |SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  g.observed_rows, g.observed_null_price, g.observed_sum
+        |FROM orders CROSS JOIN g
+        |GROUP BY 1, g.observed_rows, g.observed_null_price, g.observed_sum
+        |ORDER BY month""".stripMargin,
     // FPE: the same keyed per-position digit shift on both engines
     "t_fpe" ->
       """SELECT c_custkey, acct,

@@ -50,6 +50,39 @@ object Analytics {
       .orderBy("stage")
   }
 
+  /** T31: in-flight observed metrics (`Dataset.observe`) — data
+    * quality counters that ride the SAME job as the business query:
+    * Spark's observation API attaches aggregates to a plan node and
+    * collects them as the rows stream PAST it, so row counts / null
+    * counts / sum invariants for every production run cost ZERO
+    * extra passes — at 100 TB the difference between "we monitor
+    * every load" and "we monitor the loads we can afford to rescan"
+    * (T10's rule gate recomputes; this observes). The observed
+    * totals ride the output as columns, and the oracle recomputes
+    * them directly — proving the in-flight counters equal a direct
+    * aggregate of the same scan.
+    */
+  def dqObserve(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation("graft_dq")
+    val base = Tables.load(spark, dir, "orders")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_null_price"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+    // eager checkpoint = the action that flushes the observation;
+    // the rollup and the counters come from ONE pass over orders
+    val out = base
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .localCheckpoint()
+    val m = obs.get
+    out
+      .withColumn("observed_rows", lit(m("n_rows").asInstanceOf[Long]))
+      .withColumn("observed_null_price", lit(m("n_null_price").asInstanceOf[Long]))
+      .withColumn("observed_sum", lit(m("sum_price").asInstanceOf[Double]))
+      .orderBy("month")
+  }
+
   /** T30: format-preserving pseudonymization — T20's hashing destroys
     * FORMAT (a hashed account number no longer passes downstream
     * validators, fixed-width loaders, or checksum gates); this keeps
