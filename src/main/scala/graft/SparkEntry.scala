@@ -135,6 +135,8 @@ object SparkEntry {
     "src_jsonl_corrupt" -> (IOQueries.srcJsonlCorrupt _),
     "src_csv_quoted" -> (IOQueries.srcCsvQuoted _),
     "src_fixed_width" -> (IOQueries.srcFixedWidth _),
+    "src_jsonl_gz" -> (IOQueries.srcJsonlGz _),
+    "g_clustering" -> ((s, d) => Graph.clusteringCoeff(s, d)),
     "sink_ttl" -> ((s, d) => IOQueries.sinkTtl(s, d)),
     "sink_vacuum" -> ((s, d) => IOQueries.sinkVacuum(s, d)),
     // probabilistic LSH content → rows-only; monotone recall + floor
@@ -2984,6 +2986,43 @@ object SparkEntry {
         |)
         |SELECT lang, pred_lang, cast(count(*) AS bigint) AS n
         |FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    // gzip JSONL: oracle aggregates the same fields from parquet —
+    // a match proves the compressed round-trip field-exact
+    "src_jsonl_gz" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    // local clustering: G2's oriented wedge join, each triangle
+    // credits its three corners
+    "g_clustering" ->
+      """WITH pp AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |), deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM pp UNION ALL SELECT b AS n FROM pp
+        |  ) GROUP BY n
+        |), o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND pp.a < pp.b)
+        |           THEN pp.a ELSE pp.b END AS src,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND pp.a < pp.b)
+        |           THEN pp.b ELSE pp.a END AS dst
+        |  FROM pp JOIN deg da ON da.n = pp.a JOIN deg db ON db.n = pp.b
+        |), tri AS (
+        |  SELECT n, count(*) AS tri FROM (
+        |    SELECT unnest([e1.src, e1.dst, e2.dst]) AS n
+        |    FROM o e1 JOIN o e2 ON e1.dst = e2.src
+        |      JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        |  ) GROUP BY n
+        |)
+        |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(coalesce(tri.tri, 0) AS BIGINT) AS n_triangles,
+        |  (2000000 * CAST(coalesce(tri.tri, 0) AS BIGINT)) // (deg.d * (deg.d - 1))
+        |    AS cc_micro
+        |FROM deg LEFT JOIN tri ON tri.n = deg.n
+        |WHERE deg.d >= 2
+        |ORDER BY cc_micro DESC, node LIMIT 25""".stripMargin,
     // fixed-width: oracle projects the fields straight from parquet —
     // hash match proves the render→parse cycle field-exact
     "src_fixed_width" ->

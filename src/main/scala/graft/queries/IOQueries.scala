@@ -829,6 +829,32 @@ object IOQueries {
       .orderBy("wave", "task")
   }
 
+  /** S13: gzip-compressed JSONL ingestion — the wire format web-scale
+    * corpora actually arrive in (CommonCrawl derivatives, API export
+    * dumps): newline-delimited JSON, gzip per file. Spark reads the
+    * codec transparently; the catch worth stating is that gzip is
+    * NOT splittable — each .gz file is one task, so parallelism =
+    * file count. The mitigation is exactly what the writer side here
+    * does (many files from a parallel write); a single fat .gz from
+    * an upstream vendor gets recompressed or re-sharded at the edge
+    * before anything heavy (S1's parquet conversion). Round-trip
+    * verified field-exact: the oracle aggregates the same columns
+    * straight from parquet.
+    */
+  def srcJsonlGz(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("jsonlgz") + "/docs_jsonl"
+    Tables.load(spark, dir, "documents")
+      .select(to_json(struct(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"))).as("value"))
+      .write.mode("overwrite").option("compression", "gzip").text(out)
+    spark.read
+      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+      .json(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+  }
+
   /** S12: fixed-width record ingestion — the mainframe/legacy-feed
     * layout (COBOL copybook shape: no delimiters, fields at byte
     * offsets, zero-padded numerics). Records are rendered
