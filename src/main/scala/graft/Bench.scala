@@ -62,7 +62,8 @@ object Bench {
     "text_rake", "dedup_cross_source", "dedup_band_plan",
     "text_gram_decay", "t_feature_asof", "emb_drift", "mm_entropy",
     "e_funnel_window", "text_langid_eval", "ann_lsh_sweep",
-    "ann_knn_eval", "text_summary", "ann_cascade", "dedup_semantic_sweep")
+    "ann_knn_eval", "text_summary", "ann_cascade", "dedup_semantic_sweep",
+    "g_clustering", "dq_observe")
 
   /** The scale-step set: the heaviest operators that read ONLY the
     * documents/embeddings tables (the two the 10× blow-up synthesizes).
