@@ -242,6 +242,7 @@ object SparkEntry {
     "ts_ewma" -> (TimeSeries.ewma _),
     "ts_ols" -> (TimeSeries.ols _),
     "ts_residual_anomaly" -> (TimeSeries.residualAnomaly _),
+    "ts_theil_sen" -> (TimeSeries.theilSen _),
     "q_winsorize" -> (Analytics.qWinsorize _),
     "q_assoc_rules" -> ((s, d) => Analytics.qAssocRules(s, d)),
     // Similarity search (A1–A3)
@@ -2143,6 +2144,25 @@ object SparkEntry {
         |  (1000000 * CAST(sum(CASE WHEN regexp_matches(s, re) THEN 1 ELSE 0 END) AS BIGINT)) // count(*)
         |    AS match_rate_micro
         |FROM seq, pats GROUP BY pattern ORDER BY pattern""".stripMargin,
+    // Theil-Sen: floor(x+0.5) slopes on bit-equal integer divisions,
+    // percentile_disc median — order statistics only
+    "ts_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), d0 AS (
+        |  SELECT CAST(datediff('day', DATE '1995-01-01', d) AS BIGINT) AS x, y
+        |  FROM daily
+        |), p AS (
+        |  SELECT CAST(floor(CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) + 0.5) AS BIGINT) AS s
+        |  FROM d0 a JOIN d0 b ON a.x < b.x
+        |)
+        |SELECT (SELECT count(*) FROM daily) AS n_days,
+        |  count(*) AS n_pairs,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY s) AS BIGINT)
+        |    AS slope_micro_per_day
+        |FROM p""".stripMargin,
     // seasonal-residual anomaly: per-DOW median level removed first,
     // then the 3·1.4826·MAD gate — order statistics only, no big sums
     "ts_residual_anomaly" ->

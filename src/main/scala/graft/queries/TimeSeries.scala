@@ -237,6 +237,39 @@ object TimeSeries {
   def residualAnomaly(spark: SparkSession, dir: String): DataFrame =
     residualAnomalyOf(daily(spark, dir))
 
+  /** F8: Theil–Sen robust trend slope — the median of all pairwise
+    * slopes (y_j−y_i)/(x_j−x_i): F2's least-squares line has a 0%
+    * breakdown point (one bad day drags it arbitrarily), Theil–Sen
+    * survives ~29% contamination — the robust-statistics thread
+    * (F6/Q40) applied to TREND. The day a revenue backfill doubles a
+    * month, LSQ reports a fake trend change; Theil–Sen doesn't.
+    *
+    * Cost is |days|² PAIRS — days-squared, never corpus-squared
+    * (a decade ≈ 6.7M pairs: trivially parallel map work after the
+    * daily aggregate touches the facts once). Exactness: slopes are
+    * micro-longs via `floor(x+0.5)` on a double division of
+    * bit-equal integers (the documented round()/cast trap
+    * workarounds), and the median is `percentile_disc` — an order
+    * statistic, engine-identical.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame =
+    theilSenOf(daily(spark, dir))
+
+  /** [[theilSen]]'s core over ANY (d DATE, y LONG) daily series. */
+  private[graft] def theilSenOf(series: DataFrame): DataFrame = {
+    val d0 = series.select(
+      datediff(col("d"), lit("1995-01-01").cast("date")).cast("long").as("x"),
+      col("y"))
+    val slopes = d0.as("a").join(d0.as("b"), col("a.x") < col("b.x"))
+      .select(floor((col("b.y") - col("a.y")).cast("double") /
+        (col("b.x") - col("a.x")) + 0.5).cast("long").as("s"))
+    slopes.agg(count(lit(1)).as("n_pairs"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY s)")
+          .cast("long").as("slope_micro_per_day"))
+      .crossJoin(broadcast(series.agg(count(lit(1)).as("n_days"))))
+      .select(col("n_days"), col("n_pairs"), col("slope_micro_per_day"))
+  }
+
   /** F7: autocorrelation function at lags 1..`maxLag` — the
     * diagnostic that DECIDES the rest of the monitoring stack: a
     * spike at lag 7 justifies F1's seasonal-naive baseline and F6's

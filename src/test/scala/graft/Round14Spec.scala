@@ -300,6 +300,19 @@ class Round14Spec extends SparkSpec {
     assert(viaOp >= 1)
   }
 
+  test("ts_theil_sen: one planted outlier day cannot move the robust slope") {
+    import spark.implicits._
+    def series(withSpike: Boolean) = (0 until 60).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(i)),
+        if (withSpike && i == 30) 1000000L else 1000L + 7L * i)
+    }.toDF("d", "y")
+    def slope(withSpike: Boolean): Long =
+      queries.TimeSeries.theilSenOf(series(withSpike)).collect().head.getLong(2)
+    assert(slope(withSpike = false) == 7L, "perfect line must yield its exact slope")
+    assert(slope(withSpike = true) == 7L,
+      "a single 1000x outlier day moved the Theil-Sen slope — not robust")
+  }
+
   test("g_kcore: a planted chain peels away while the clique survives") {
     import spark.implicits._
     // 4-clique (nodes 1-4) + a pendant chain 4-5-6: k=3 keeps exactly
