@@ -132,6 +132,19 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Driver contract: ONE parseable JSON line on stdout. Round 6's
+    // driver artifact came back `parsed: null` because other stdout
+    // writers (Spark/Ivy banners, third-party prints) pushed the JSON
+    // line out of the captured tail — so stdout is handed to stderr
+    // for the whole run and restored only to print the result, making
+    // the JSON the FIRST (and only) stdout line regardless of what
+    // anything else prints.
+    val realOut = System.out
+    System.setOut(System.err)
+    scala.Console.withOut(System.err) { runBench(realOut) }
+  }
+
+  private def runBench(realOut: java.io.PrintStream): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -202,7 +215,8 @@ object Bench {
     // ONE JSON line per the driver contract; "value" stays the frozen
     // 20-query headline total (sum of warm medians), per-query min and
     // spread (max−min of the 3 warm runs) ride as extra keys
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${jsonField(results, _.median)},"queries_min":${jsonField(results, _.min)},"queries_spread":${jsonField(results, _.spread)},"extended":${jsonField(ext, _.median)},"extended_min":${jsonField(ext, _.min)},"extended_spread":${jsonField(ext, _.spread)},"extended_total":${ext.map(_._2.median).sum}%.3f$scaleJson,"sf":"$sfDir"}""")
+    realOut.println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${jsonField(results, _.median)},"queries_min":${jsonField(results, _.min)},"queries_spread":${jsonField(results, _.spread)},"extended":${jsonField(ext, _.median)},"extended_min":${jsonField(ext, _.min)},"extended_spread":${jsonField(ext, _.spread)},"extended_total":${ext.map(_._2.median).sum}%.3f$scaleJson,"sf":"$sfDir"}""")
+    realOut.flush()
     spark.stop()
   }
 }

@@ -2843,16 +2843,17 @@ object SparkEntry {
     "dq_observe" ->
       """WITH g AS (
         |  SELECT count(*) AS observed_rows,
-        |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS observed_null_price,
-        |    round(sum(o_totalprice), 2) AS observed_sum
+        |    CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS observed_null_price,
+        |    CAST(coalesce(sum(CAST(round(o_totalprice * 1000000) AS BIGINT)), 0)
+        |      AS BIGINT) AS observed_sum_micro
         |  FROM orders
         |)
         |SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
-        |  g.observed_rows, g.observed_null_price, g.observed_sum
+        |  g.observed_rows, g.observed_null_price, g.observed_sum_micro
         |FROM orders CROSS JOIN g
-        |GROUP BY 1, g.observed_rows, g.observed_null_price, g.observed_sum
+        |GROUP BY 1, g.observed_rows, g.observed_null_price, g.observed_sum_micro
         |ORDER BY month""".stripMargin,
     // FPE: the same keyed per-position digit shift on both engines
     "t_fpe" ->

@@ -388,8 +388,11 @@ object Dedup {
   def bandPlan(spark: SparkSession, dir: String, k: Int = 128,
                threshold: Double = 0.5, grid: Int = 1000): DataFrame = {
     import spark.implicits._
-    val splits = (0 to 7).map(i => (k >> i, 1 << i)).filter(_._1 * 2 > 1)
-      .filter { case (b, r) => b * r == k }
+    // every factorization b·r = k: enumerate ALL divisors of k (for
+    // the shipped k=128 these are exactly the 8 power-of-two splits;
+    // a non-power-of-two budget, e.g. k=96, gets its full divisor
+    // lattice rather than a silently truncated subset)
+    val splits = (1 to k).filter(k % _ == 0).map(r => (k / r, r))
     val cfg = splits.toDF("bands", "rows_per_band")
     val pts = spark.range(grid).select((col("id") + 0.5) / grid as "s")
     def powFold(base: Column, e: Column): Column =

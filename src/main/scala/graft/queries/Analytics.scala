@@ -64,11 +64,19 @@ object Analytics {
     */
   def dqObserve(spark: SparkSession, dir: String): DataFrame = {
     val obs = org.apache.spark.sql.Observation("graft_dq")
+    // coalesce: on an empty feed sum() observes null and the driver
+    // read below would NPE — a DQ monitor must survive the empty load
+    // it exists to flag. The price total is micro-long-quantized
+    // BEFORE summation (X15's contract) so the observed value is an
+    // exact merge-order-free integer, not a partitioning-dependent
+    // double sum.
     val base = Tables.load(spark, dir, "orders")
       .observe(obs,
         count(lit(1)).as("n_rows"),
-        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_null_price"),
-        round(sum("o_totalprice"), 2).as("sum_price"))
+        coalesce(sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_null_price"),
+        coalesce(sum(round(col("o_totalprice") * 1e6).cast("long")),
+          lit(0L)).as("sum_price_micro"))
     // eager checkpoint = the action that flushes the observation;
     // the rollup and the counters come from ONE pass over orders
     val out = base
@@ -79,7 +87,7 @@ object Analytics {
     out
       .withColumn("observed_rows", lit(m("n_rows").asInstanceOf[Long]))
       .withColumn("observed_null_price", lit(m("n_null_price").asInstanceOf[Long]))
-      .withColumn("observed_sum", lit(m("sum_price").asInstanceOf[Double]))
+      .withColumn("observed_sum_micro", lit(m("sum_price_micro").asInstanceOf[Long]))
       .orderBy("month")
   }
 
@@ -168,10 +176,16 @@ object Analytics {
         col("us"))).over(byUser))
       .groupBy("user_id")
       .agg(max("v_us").as("v_us"), max("c_us").as("c_us"), max("p_us").as("p_us"))
+    // stage labels carry the ACTUAL bound (a non-default window must
+    // not report itself as "within_1h")
+    val w =
+      if (windowUs % 3600000000L == 0L) s"${windowUs / 3600000000L}h"
+      else if (windowUs % 60000000L == 0L) s"${windowUs / 60000000L}m"
+      else s"${windowUs / 1000000L}s"
     marks
       .agg(count("v_us").as("v"), count("c_us").as("c"), count("p_us").as("p"))
       .select(expr(
-        "stack(3, '1_view', v, '2_click_within_1h', c, '3_purchase_within_1h', p) AS (stage, n_users)"))
+        s"stack(3, '1_view', v, '2_click_within_$w', c, '3_purchase_within_$w', p) AS (stage, n_users)"))
       .orderBy("stage")
   }
 
@@ -572,10 +586,10 @@ object Analytics {
     * a lazily-returned plan would see restored defaults); the
     * executed plan's `skew=true` marker is surfaced as an output
     * column — the oracle pins it true, so the correctness gate itself
-    * fails if skew handling ever stops firing. The 20-row result is
-    * re-wrapped driver-side (bounded), and the aggregate matches the
-    * plain-join oracle — proof the split-and-replicate rewrite
-    * changed the schedule, not the answer.
+    * fails if skew handling ever stops firing. The ≤20-row result is
+    * cached and served from the cache (no driver round-trip), and the
+    * aggregate matches the plain-join oracle — proof the
+    * split-and-replicate rewrite changed the schedule, not the answer.
     */
   def qAqeSkew(spark: SparkSession, dir: String): DataFrame = {
     val tuned = Map(
@@ -613,13 +627,17 @@ object Analytics {
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"),
           max("k_total").as("k_total"))
         .orderBy("k")
-      val rows = joined.collect()
+      // Cache + eager count materializes the join under the tuned conf
+      // (AQE reads conf at execution time); the skew=true marker is
+      // read from the executed plan tree (the InMemoryRelation prints
+      // its cached AdaptiveSparkPlan as an inner child). The returned
+      // DataFrame scans the ≤20-row cache — no driver round-trip, and
+      // no re-join under the restored (un-tuned) conf.
+      joined.persist()
+      joined.count()
       val skewHandled = joined.queryExecution.executedPlan.toString
         .contains("skew=true")
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toSeq, 1), joined.schema)
-        .withColumn("skew_handled", lit(skewHandled))
-        .orderBy("k")
+      joined.withColumn("skew_handled", lit(skewHandled)).orderBy("k")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -742,9 +742,17 @@ object IOQueries {
     graft.sinks.ManifestStore.publish(spark, base + "/manifest", manifestOf(lake + "/gen2"))
     // a failed writer's orphan: on disk, referenced by nothing
     orders.limit(10).coalesce(1).write.mode("overwrite").parquet(lake + "/orphan")
-    // vacuum: live = files of the retained (latest) version
+    // vacuum: live = files of the retained (latest) version. Both the
+    // manifest entries (input_file_name() renderings) and the disk
+    // listing (FileSystem Path renderings) normalize through the SAME
+    // representation — new Path(_).toUri — because any divergence
+    // between the two (URL-encoding, scheme/authority normalization,
+    // non-local FS) would otherwise fail DESTRUCTIVELY: every live
+    // file misses the match and gets deleted. The subset guard below
+    // turns a residual mismatch into an abort instead of data loss.
+    def norm(s: String): String = new Path(s).toUri.toString
     val (_, cur) = graft.sinks.ManifestStore.current(spark, base + "/manifest")
-    val live = cur.select("file").collect().map(_.getString(0)).toSet
+    val live = cur.select("file").collect().map(r => norm(r.getString(0))).toSet
     val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(new Path(lake), true)
     val onDisk = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -752,7 +760,12 @@ object IOQueries {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) onDisk += f.getPath
     }
-    val doomed = onDisk.filterNot(p => live.contains(p.toUri.toString))
+    val onDiskSet = onDisk.map(p => norm(p.toUri.toString)).toSet
+    require(live.nonEmpty && live.subsetOf(onDiskSet),
+      s"vacuum aborted: live set is not a non-empty subset of the disk " +
+        s"listing (${live.size} live, ${(live -- onDiskSet).size} unmatched) " +
+        "— path-representation mismatch would delete live data")
+    val doomed = onDisk.filterNot(p => live.contains(norm(p.toUri.toString)))
     doomed.foreach(p => fs.delete(p, false))
     spark.read.parquet(live.toSeq: _*)
       .groupBy("month")

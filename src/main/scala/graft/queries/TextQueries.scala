@@ -311,9 +311,10 @@ object TextQueries {
     * check; exactness is pinned by hand-computed corpora in Round6Spec
     * and the job/touch bounds in Round10Spec.
     */
-  def textBpe(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
+  def textBpe(spark: SparkSession, dir: String, nMerges: Int = 8,
+              minFreq: Long = 2L, maxTypes: Int = 65536): DataFrame = {
     import spark.implicits._
-    bpeLearn(spark, dir, nMerges)._1
+    bpeLearn(spark, dir, nMerges, minFreq, maxTypes)._1
       .toDF("rank", "left", "right", "pair_freq")
       .orderBy("rank")
   }
@@ -323,9 +324,10 @@ object TextQueries {
     * loop's end state IS the tokenizer's lookup table, so X18 gets
     * word-type tokenization for free.
     */
-  private def bpeLearn(spark: SparkSession, dir: String, nMerges: Int)
+  private def bpeLearn(spark: SparkSession, dir: String, nMerges: Int,
+                       minFreq: Long = 2L, maxTypes: Int = 65536)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    val (merges, words, _) = bpeLearnStats(spark, dir, nMerges)
+    val (merges, words, _) = bpeLearnStats(spark, dir, nMerges, minFreq, maxTypes)
     (merges, words)
   }
 
@@ -334,16 +336,30 @@ object TextQueries {
     * Round10Spec bounds to prove per-round work ∝ affected-word mass.
     */
   private[graft] def bpeLearnStats(
-      spark: SparkSession, dir: String, nMerges: Int, minFreq: Long = 1L)
+      spark: SparkSession, dir: String, nMerges: Int, minFreq: Long = 2L,
+      maxTypes: Int = 65536)
       : (Seq[(Int, String, String, Long)], DataFrame, Seq[Int]) = {
     import spark.implicits._
     val toksCol = split(trim(regexp_replace(lower(col("text")), "[^a-z ]+", " ")), " ", -1)
-    // the ONLY corpus-scale work: one distributed (word, freq) aggregate
+    // the ONLY corpus-scale work: one distributed (word, freq)
+    // aggregate. The driver-side type table is BOUNDED two ways, both
+    // defaults, because at web scale minFreq=1 collects every distinct
+    // token type to the driver (the one genuine driver bottleneck this
+    // operator can have): minFreq ≥ 2 drops the hapax-legomena tail
+    // that dominates noisy web vocabularies, and maxTypes keeps the
+    // top-V types by (freq desc, word) via TakeOrderedAndProject — ≤ V
+    // rows per partition cross the wire, which is also what real
+    // tokenizer trainers (SentencePiece/HF) do with their vocab caps.
+    // The hand-pinned exactness specs pass minFreq=1 explicitly: they
+    // verify the merge ALGORITHM on corpora whose words are deliberate
+    // singletons; the defaults are the 100 TB posture.
     val types: Array[(String, Long)] = Tables.load(spark, dir, "documents")
       .select(explode(toksCol).as("word"))
       .filter(length(col("word")) > 1)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxTypes)
       .as[(String, Long)].collect()
 
     val nTypes = types.length
@@ -456,17 +472,23 @@ object TextQueries {
     * Derives from the iterative trainer → rows-only check; counts
     * pinned by hand on a fixed corpus in Round6Spec.
     */
-  def textBpeApply(spark: SparkSession, dir: String, nMerges: Int = 8): DataFrame = {
-    val (_, words) = bpeLearn(spark, dir, nMerges)
+  def textBpeApply(spark: SparkSession, dir: String, nMerges: Int = 8,
+                   minFreq: Long = 2L, maxTypes: Int = 65536): DataFrame = {
+    val (_, words) = bpeLearn(spark, dir, nMerges, minFreq, maxTypes)
     val pieces = broadcast(words.select(col("word"), size(col("syms")).as("n_pieces")))
     val toksCol = split(trim(regexp_replace(lower(col("text")), "[^a-z ]+", " ")), " ", -1)
+    // OOV fallback = character count: a word type outside the bounded
+    // trained table (single letters, the pruned hapax tail) counts as
+    // its untrained character-level segmentation — conservative, and
+    // exact for the single-char case the length>1 training filter
+    // always excludes
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(toksCol).as("word"))
       .filter(length(col("word")) > 0)
       .join(pieces, Seq("word"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
-        sum(coalesce(col("n_pieces"), lit(1))).as("bpe_tokens"))
+        sum(coalesce(col("n_pieces"), length(col("word")))).as("bpe_tokens"))
       .orderBy("doc_id")
   }
 

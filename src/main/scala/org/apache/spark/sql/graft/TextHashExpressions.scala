@@ -181,15 +181,33 @@ case class CdcBoundaries(child: Expression, w: Int, mask: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // CODEPOINT semantics throughout: positions are codepoint indices
+    // and hashed values are codepoint values, matching the chunk
+    // builder's Spark `length()`/`substr()` (codepoint-based) and the
+    // oracle's `ascii()` per-char hash. Iterating UTF-16 code units
+    // here (charAt/length) silently shifted boundaries on any
+    // supplementary-plane character (emoji, rare CJK) — it only
+    // agreed because the corpus is BMP-only; this holds the
+    // bit-equality contract off the BMP too.
+    val nUnits = s.length
+    val cps = new Array[Int](s.codePointCount(0, nUnits))
+    var ci = 0
+    var off = 0
+    while (off < nUnits) {
+      val cp = s.codePointAt(off)
+      cps(ci) = cp
+      ci += 1
+      off += Character.charCount(cp)
+    }
+    val n = cps.length
     if (n < w) return new GenericArrayData(Array.emptyIntArray)
     val out = new scala.collection.mutable.ArrayBuffer[Int](8)
     var h = 0L
     var i = 0
-    while (i < w) { h = (h * 31L + s.charAt(i)) & (M - 1); i += 1 }
+    while (i < w) { h = (h * 31L + cps(i)) & (M - 1); i += 1 }
     if (h % mask == 0) out += w
     while (i < n) {
-      h = ((h - s.charAt(i - w) * topPow) * 31L + s.charAt(i)) & (M - 1)
+      h = ((h - cps(i - w) * topPow) * 31L + cps(i)) & (M - 1)
       i += 1
       if (h % mask == 0) out += i
     }

@@ -61,7 +61,32 @@ class Round10Spec extends SparkSpec {
       .select(explode(toksCol).as("word"))
       .filter(length(col("word")) > 1)
       .groupBy("word").agg(count(lit(1)).as("freq"))
+      // mirror the trainer's default driver-side bound (minFreq >= 2 +
+      // top-V cap) so the naive replay models the SHIPPED path
+      .filter(col("freq") >= 2)
+      .orderBy(col("freq").desc, col("word")).limit(65536)
       .as[(String, Long)].collect()
+  }
+
+  test("BPE driver-side type table is bounded: minFreq prunes hapax, maxTypes caps rows") {
+    import spark.implicits._
+    // corpus: two repeated words + three hapax words; default minFreq=2
+    // must keep only the repeated types, and maxTypes=1 must keep only
+    // the (freq desc, word) leader — the collected-row bound VERDICT r6
+    // asked to pin (an unbounded table is the driver OOM at web scale)
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_bound").toString
+    Seq((1L, "alpha alpha alpha beta beta gamma delta epsilon", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val (_, wordsDefault, _) = TextQueries.bpeLearnStats(spark, tmp, 4)
+    val keptDefault = wordsDefault.select("word").as[String].collect().toSet
+    assert(keptDefault == Set("alpha", "beta"),
+      s"minFreq=2 default kept $keptDefault, expected the non-hapax types only")
+    val (_, wordsCapped, _) =
+      TextQueries.bpeLearnStats(spark, tmp, 4, minFreq = 1L, maxTypes = 1)
+    val keptCapped = wordsCapped.select("word").as[String].collect().toSeq
+    assert(keptCapped == Seq("alpha"),
+      s"maxTypes=1 kept $keptCapped, expected the single highest-freq type")
   }
 
   test("incremental BPE == naive full-recount BPE for 64 merges on real data") {

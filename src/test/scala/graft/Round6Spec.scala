@@ -97,7 +97,7 @@ class Round6Spec extends SparkSpec {
     Seq((1L, "low low low lower lower newest newest newest newest", "en", "s", 9L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val merges = TextQueries.textBpe(spark, tmp, nMerges = 3).collect()
+    val merges = TextQueries.textBpe(spark, tmp, nMerges = 3, minFreq = 1).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     // hand computation, freqs low=3 lower=2 newest=4 ("we" counts in
     // BOTH lower and newest):
@@ -229,7 +229,7 @@ class Round6Spec extends SparkSpec {
     //   lower  → [low, e, r]        = 3 pieces
     //   newest → [n, e, w, es, t]   = 5 pieces
     //   a      → untrained single letter = 1 piece
-    val out = TextQueries.textBpeApply(spark, tmp, nMerges = 3).collect()
+    val out = TextQueries.textBpeApply(spark, tmp, nMerges = 3, minFreq = 1).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out(1L) === ((4L, 1 + 1 + 3 + 5)))  // low low lower newest
     assert(out(2L) === ((4L, 1 + 1 + 5 + 5)))  // low a newest newest
@@ -243,7 +243,7 @@ class Round6Spec extends SparkSpec {
     Seq((1L, "aaaa aaaa aaa", "en", "s", 12L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val merges = TextQueries.textBpe(spark, tmp, nMerges = 2).collect()
+    val merges = TextQueries.textBpe(spark, tmp, nMerges = 2, minFreq = 1).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     // freqs: aaaa=2, aaa=1. round 1: (a,a) = 2*3 + 1*2 = 8
     // round 2: aaaa → [aa,aa] gives (aa,aa)=2; aaa → [aa,a] gives (aa,a)=1
