@@ -268,17 +268,7 @@ object Similarity {
     // raising nTables (the standard (bits, tables) LSH dial), and the
     // spec's measured recall floor applies at the spec corpus where
     // the floor depth is active.
-    val bits = lshDepth(embeddingRows(spark, dir), bitsPerTable, targetOccupancy)
-    val tables = hyperplanes(dim, nTables, bits, seed)
-    def codes(embCol: String): org.apache.spark.sql.Column =
-      ColumnShim.column(HyperplaneCodes(ColumnShim.expression(col(embCol)), tables))
-    val buckets = e.select(col("vec_id"), posexplode(codes("embedding")))
-      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "code"))
-    val pairs = buckets
-      .join(buckets.select(col("vec_id").as("nbr"), col("tbl"), col("code")), Seq("tbl", "code"))
-      .filter(col("vec_id") =!= col("nbr"))
-      .select(col("vec_id").as("src"), col("nbr"))
-      .distinct()
+    val pairs = knnLshPairs(spark, dir, nTables, bitsPerTable, seed, targetOccupancy)
     val cand = pairs
       .join(e.select(col("vec_id").as("src"), col("embedding")), Seq("src"))
       .join(e.select(col("vec_id").as("nbr"), col("embedding").as("nbr_emb")), Seq("nbr"))
@@ -286,6 +276,37 @@ object Similarity {
         round(VectorFunctions.cosine(col("embedding"), col("nbr_emb")), 4).as("sim"),
         col("nbr"))
     rankTopK(cand, udaf(graft.functions.Aggregators.TopKByScore(k)))
+  }
+
+  /** [[knnJoinLsh]]'s candidate-pair stage, split out so the scale
+    * spec can MEASURE the occupancy law instead of trusting it:
+    * distinct (src, nbr) pairs sharing a band bucket in ≥ 1 table.
+    * The law: bits = lshDepth(n) pins E[bucket] ≤ targetOccupancy, so
+    * expected pairs ≤ nTables · n · targetOccupancy — linear in n with
+    * an occupancy-drift constant (occupancy saw-tooths within
+    * [target/2, target] as ceil(log2) steps). Round14Spec builds the
+    * 10× corpus and asserts both the absolute bound and that
+    * per-vector candidate load does not grow at the step — the
+    * empirical pin VERDICT r6 required before un-flagging this
+    * operator's measured 10× wall ratio.
+    */
+  private[graft] def knnLshPairs(spark: SparkSession, dir: String,
+                                 nTables: Int = 16, bitsPerTable: Int = 4,
+                                 seed: Long = 42L,
+                                 targetOccupancy: Long = 128L): DataFrame = {
+    val e = corpus(spark, dir)
+    val dim = embeddingDim(spark, dir)
+    val bits = lshDepth(embeddingRows(spark, dir), bitsPerTable, targetOccupancy)
+    val tables = hyperplanes(dim, nTables, bits, seed)
+    def codes(embCol: String): org.apache.spark.sql.Column =
+      ColumnShim.column(HyperplaneCodes(ColumnShim.expression(col(embCol)), tables))
+    val buckets = e.select(col("vec_id"), posexplode(codes("embedding")))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "code"))
+    buckets
+      .join(buckets.select(col("vec_id").as("nbr"), col("tbl"), col("code")), Seq("tbl", "code"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id").as("src"), col("nbr"))
+      .distinct()
   }
 
   /** [[knnJoinLsh]]'s occupancy law, split out so the spec can pin the

@@ -109,6 +109,35 @@ class Round14Spec extends SparkSpec {
     assert(onDisk.size == v1.size, s"disk ${onDisk.size} != v1 ${v1.size}")
   }
 
+  test("ann_knn_lsh: candidate pairs obey the occupancy law at the 10x scale step") {
+    import graft.operators.Similarity
+    // The claimed scale law (Similarity.knnLshPairs): depth follows
+    // the corpus, so DISTINCT candidate pairs <= nTables * n *
+    // targetOccupancy — linear in n with the occupancy ceiling as the
+    // constant. This builds the actual 10x corpus and measures the
+    // law rather than trusting it: the pin VERDICT r6 required, since
+    // the 10x WALL ratio (10-15x measured) comes from occupancy
+    // drifting upward WITHIN the ceiling (e.g. 321 -> 1197 candidate
+    // pairs per vector here), not from quadratic candidate growth.
+    val nTables = 16L
+    val target = 128L
+    val scaled = Bench.ensureScaled(spark, sfDir, 10)
+    def load(dir: String): (Long, Long) = {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      (n, Similarity.knnLshPairs(spark, dir).count())
+    }
+    val (n1, p1) = load(sfDir)
+    val (n10, p10) = load(scaled)
+    assert(n10 == 10 * n1, s"scale step must be 10x: $n1 -> $n10")
+    assert(p1 <= nTables * n1 * target,
+      s"1x pairs $p1 exceed the occupancy bound ${nTables * n1 * target}")
+    assert(p10 <= nTables * n10 * target,
+      s"10x pairs $p10 exceed the occupancy bound ${nTables * n10 * target}")
+    RecallLog.record("ann_knn_lsh", "pairs_per_vec_1x", p1.toDouble / n1)
+    RecallLog.record("ann_knn_lsh", "pairs_per_vec_10x", p10.toDouble / n10)
+    RecallLog.record("ann_knn_lsh", "occupancy_ceiling", (nTables * target).toDouble)
+  }
+
   test("ann_lsh_sweep: recall is monotone in table count and the top setting clears 0.9") {
     val out = operators.Similarity.lshSweep(spark, sfDir).collect()
       .map(r => r.getInt(0) -> r.getLong(3)).sortBy(_._1)
