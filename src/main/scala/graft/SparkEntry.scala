@@ -139,6 +139,13 @@ object SparkEntry {
     "g_clustering" -> ((s, d) => Graph.clusteringCoeff(s, d)),
     "sink_ttl" -> ((s, d) => IOQueries.sinkTtl(s, d)),
     "sink_vacuum" -> ((s, d) => IOQueries.sinkVacuum(s, d)),
+    // K19: write-side schema evolution through the manifest commit;
+    // no-rewrite + pinned-old-version + type-conflict-rejection are
+    // spec-pinned in Round15Spec where the oracle can't reach
+    "sink_schema_evolve" -> ((s, d) => IOQueries.sinkSchemaEvolve(s, d)),
+    // E30: streaming append whose mid-feed schema drift evolves the
+    // lake through K19's commit across a checkpointed query restart
+    "e_stream_evolve" -> ((s, d) => streaming.Events.streamEvolve(s, d)),
     // probabilistic LSH content → rows-only; monotone recall + floor
     // pinned in Round14Spec, every point recorded in RECALL
     "ann_lsh_sweep" -> ((s, d) => Similarity.lshSweep(s, d)),
@@ -3063,6 +3070,32 @@ object SparkEntry {
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS vacuumed
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streaming twin: restart + exactly-once + evolution all sit
+    // under the same raw-table replay hash
+    "e_stream_evolve" ->
+      """WITH u AS (
+        |  SELECT o_totalprice,
+        |    CASE WHEN strftime(o_orderdate, '%Y-%m') >= '1997-01'
+        |      THEN (CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END)
+        |    END AS channel
+        |  FROM orders
+        |)
+        |SELECT coalesce(channel, 'pre_evolution') AS channel,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM u GROUP BY 1 ORDER BY channel""".stripMargin,
+    // evolution replayed from the raw table: batch-1 months carry a
+    // NULL channel (the column predates them), batch-2 months derive it
+    "sink_schema_evolve" ->
+      """WITH u AS (
+        |  SELECT o_totalprice,
+        |    CASE WHEN strftime(o_orderdate, '%Y-%m') >= '1997-01'
+        |      THEN (CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END)
+        |    END AS channel
+        |  FROM orders
+        |)
+        |SELECT coalesce(channel, 'pre_evolution') AS channel,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS evolved
+        |FROM u GROUP BY 1 ORDER BY channel""".stripMargin,
     // TTL: the oracle sees the surviving aggregate; the by-reference
     // carry (no rewrite) is spec-pinned where the oracle can't reach
     "sink_ttl" ->

@@ -1391,6 +1391,113 @@ object IOQueries {
       lit(wanted.length < filesTotal).as("pruned"))
   }
 
+  /** K19: WRITE-side schema evolution through the manifest commit —
+    * the first drift a production feed causes: a batch arrives with an
+    * ADDED column. Read-side `mergeSchema` (S5) can union footers, but
+    * a lake needs the schema to be a VERSIONED, committed fact: here
+    * every manifest row carries its file's schema version, the
+    * table-level schema (as DDL) rides the manifest, and an appending
+    * batch whose schema is an additive superset evolves the table
+    * schema atomically inside the SAME [[graft.sinks.ManifestStore]]
+    * rename-commit that publishes its files — old files carry by
+    * reference (never rewritten), and readers plan the evolved schema
+    * DRIVER-SIDE from manifest metadata, null-filling missing columns
+    * via `spark.read.schema(evolved)` with zero footer scans (the
+    * Delta/Iceberg `mergeSchema`-on-write rung; column renames/maps
+    * are the next rung up, out of scope and stated). A batch whose
+    * shared columns CHANGE TYPE is rejected at submit time and
+    * publishes nothing — drift that can't null-fill must fail the
+    * writer, not corrupt the readers (spec-pinned, with the
+    * no-rewrite and pinned-old-version contracts).
+    *
+    * Output: channel-level rollup over the evolved read — the
+    * pre-evolution files surface the added column as null, and the
+    * oracle replays both batches (null channel for batch 1) from the
+    * raw table, so the evolve-then-read cycle is value-exact.
+    */
+  def sinkSchemaEvolve(spark: SparkSession, dir: String,
+                       cutoff: String = "1997-01",
+                       baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(tmpDir("schema_evolve"))
+    val man = base + "/manifest"
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+    // batch 1: the original feed schema
+    evolveAppend(spark, base + "/lake/batch1", man,
+      orders.filter(col("month") < cutoff).select("o_orderkey", "o_totalprice"))
+    // batch 2: the same feed after upstream drift — one added column
+    evolveAppend(spark, base + "/lake/batch2", man,
+      orders.filter(col("month") >= cutoff)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          when(col("o_orderkey") % 3 === 0, "web").otherwise("store").as("channel")))
+    val (_, cur) = graft.sinks.ManifestStore.current(spark, man)
+    val rows = cur.select("file", "schema_version", "ddl").collect()
+    val evolvedDdl = rows.maxBy(_.getLong(1)).getString(2)
+    val files = rows.map(_.getString(0))
+    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(evolvedDdl))
+      .parquet(files: _*)
+      .groupBy(coalesce(col("channel"), lit("pre_evolution")).as("channel"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("evolved", lit(rows.map(_.getLong(1)).max > 1L))
+      .orderBy("channel")
+  }
+
+  /** The K19 writer primitive (E30's streaming sink reuses it): stage
+    * `batch` under its own directory, then publish ONE atomic manifest
+    * version whose rows are the previous version's files BY REFERENCE
+    * plus the new batch's files. Schema rule: identical → same
+    * schema_version; additive superset / subset on shared-type columns
+    * → schema_version + 1 with the union DDL; any shared-column TYPE
+    * conflict → IllegalArgumentException BEFORE anything publishes.
+    * Returns the committed manifest version.
+    */
+  private[graft] def evolveAppend(spark: SparkSession, batchDir: String,
+                                  manifestBase: String,
+                                  batch: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.types.StructType
+    batch.write.mode("overwrite").parquet(batchDir)
+    val onDisk = spark.read.parquet(batchDir)
+    val incoming = onDisk.schema
+    val prev = graft.sinks.ManifestStore.versions(spark, manifestBase).lastOption
+      .map(_ => graft.sinks.ManifestStore.current(spark, manifestBase)._2)
+    val (schemaV, ddl) = prev match {
+      case None => (1L, incoming.toDDL)
+      case Some(cur) =>
+        val rows = cur.select("schema_version", "ddl").collect()
+        val curV = rows.map(_.getLong(0)).max
+        val curSchema = StructType.fromDDL(
+          rows.find(_.getLong(0) == curV).get.getString(1))
+        val conflicts = curSchema.flatMap { f =>
+          incoming.find(_.name == f.name).collect {
+            case g if g.dataType != f.dataType =>
+              s"${f.name}: ${f.dataType.simpleString} -> ${g.dataType.simpleString}"
+          }
+        }
+        require(conflicts.isEmpty,
+          s"schema evolution rejected — type conflicts on shared columns: " +
+            conflicts.mkString(", "))
+        val added = incoming.filterNot(f => curSchema.exists(_.name == f.name))
+        // no NEW columns → no evolution (a batch missing lake columns
+        // is fine as-is: the evolved-schema read null-fills them)
+        if (added.isEmpty) (curV, curSchema.toDDL)
+        else (curV + 1, StructType(curSchema.fields ++ added).toDDL)
+    }
+    val newRows = onDisk
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("schema_version", lit(schemaV))
+      .withColumn("ddl", lit(ddl))
+    val manifest = prev match {
+      case None => newRows
+      case Some(cur) =>
+        // carried files keep THEIR schema_version/ddl — a reader
+        // pinned to an old version (K9's contract) sees its exact
+        // schema; only the table-level max row set evolves
+        cur.select("file", "n_rows", "schema_version", "ddl").unionByName(newRows)
+    }
+    graft.sinks.ManifestStore.publish(spark, manifestBase, manifest)
+  }
+
   /** T18: incremental aggregate maintenance — keep a monthly revenue
     * rollup current as batches land WITHOUT rescanning history: the
     * stored rollup holds MERGEABLE partials (count + raw double sum —

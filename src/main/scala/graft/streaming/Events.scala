@@ -624,6 +624,68 @@ object Events {
       .orderBy("o_orderstatus")
   }
 
+  /** E30: streaming append with SCHEMA EVOLUTION into the manifest
+    * lake — the production feed-drift sequence end to end: a file
+    * stream lands batches into the K19 lake through `foreachBatch` →
+    * [[graft.queries.IOQueries.evolveAppend]] (one atomic manifest
+    * commit per micro-batch); mid-feed the upstream adds a column.
+    * Spark's contract is that ONE streaming query cannot change its
+    * source schema, so the drift is a query RESTART (the real
+    * operational event) sharing the checkpoint — E26's exactly-once
+    * contract makes run 2 consume ONLY the post-drift files, and its
+    * first commit evolves the lake schema through K19's additive
+    * rule while every pre-drift file carries by reference. The final
+    * evolved-manifest read (schema planned driver-side, old files
+    * null-filled) rolls up by the added column; the oracle replays
+    * both feed eras from the raw table, so restart, evolution, and
+    * exactly-once delivery all sit under the hash.
+    */
+  def streamEvolve(spark: SparkSession, dir: String,
+                   baseOverride: Option[String] = None): DataFrame = {
+    import graft.queries.IOQueries
+    val base = baseOverride.getOrElse(
+      Files.createTempDirectory("graft_stream_evolve").toString)
+    val feed = base + "/feed"
+    val man = base + "/manifest"
+    val ckpt = base + "/ckpt"
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+    val era1 = orders.filter(col("month") < "1997-01")
+      .select("o_orderkey", "o_totalprice")
+    val era2 = orders.filter(col("month") >= "1997-01")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderkey") % 3 === 0, "web").otherwise("store").as("channel"))
+    def runFeed(run: Int, schema: org.apache.spark.sql.types.StructType): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1") // several commits per run
+        .parquet(feed)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty) IOQueries.evolveAppend(spark, s"$base/lake/r${run}_b$id", man, b)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    era1.repartition(2).write.mode("append").parquet(feed)
+    runFeed(1, era1.schema)
+    // upstream drift lands: same feed dir, one added column — a NEW
+    // query instance (era-2 schema) resumes from the shared checkpoint
+    era2.repartition(2).write.mode("append").parquet(feed)
+    runFeed(2, era2.schema)
+    val (_, cur) = graft.sinks.ManifestStore.current(spark, man)
+    val rows = cur.select("file", "schema_version", "ddl").collect()
+    val evolvedDdl = rows.maxBy(_.getLong(1)).getString(2)
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(evolvedDdl))
+      .parquet(rows.map(_.getString(0)): _*)
+      .groupBy(coalesce(col("channel"), lit("pre_evolution")).as("channel"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("channel")
+  }
+
   /** Copy the events table into a multi-file directory so the stream
     * source sees several files (≈ several arriving batches).
     */

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.IOQueries
+import graft.sinks.ManifestStore
+
+/** Round-7 additions: K19 write-side schema evolution through the
+  * manifest commit (and its contracts the DuckDB oracle can't see),
+  * plus the E30 streaming twin.
+  */
+class Round15Spec extends SparkSpec {
+
+  test("sink_schema_evolve: old files carry by reference, old versions stay pinned") {
+    val base = java.nio.file.Files.createTempDirectory("evolve_pin").toString
+    IOQueries.sinkSchemaEvolve(spark, sfDir, baseOverride = Some(base)).collect()
+    val man = base + "/manifest"
+    val vs = ManifestStore.versions(spark, man)
+    assert(vs == Seq(1L, 2L), s"expected exactly two committed versions, got $vs")
+    def rowsOf(v: Long) = spark.read.json(s"$man/manifest_v$v")
+      .select("file", "schema_version", "ddl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val v1 = rowsOf(1L)
+    val v2 = rowsOf(2L)
+    // no rewrite: every v1 file appears verbatim in v2 (carried by
+    // reference, schema_version/ddl intact)
+    val v2map = v2.map(t => t._1 -> t).toMap
+    v1.foreach { t =>
+      assert(v2map.get(t._1).contains(t), s"v1 file ${t._1} not carried intact")
+    }
+    assert(v2.length > v1.length, "v2 must add the new batch's files")
+    // schema versions: v1 all schema 1; v2 contains both 1 and 2
+    assert(v1.forall(_._2 == 1L))
+    assert(v2.map(_._2).toSet == Set(1L, 2L))
+    // a reader PINNED to v1 (K9's contract) sees the pre-evolution
+    // schema — no channel column — and exactly the batch-1 rows
+    val v1Ddl = v1.head._3
+    assert(!v1Ddl.contains("channel"), s"v1 ddl leaked the evolved column: $v1Ddl")
+    val pinned = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(v1Ddl))
+      .parquet(v1.map(_._1): _*)
+    assert(!pinned.columns.contains("channel"))
+    val expectB1 = graft.Tables.load(spark, sfDir, "orders")
+      .filter(date_format(col("o_orderdate"), "yyyy-MM") < "1997-01").count()
+    assert(pinned.count() == expectB1)
+  }
+
+  test("sink_schema_evolve: a type-conflicting batch is rejected and publishes nothing") {
+    val base = java.nio.file.Files.createTempDirectory("evolve_reject").toString
+    val man = base + "/manifest"
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    IOQueries.evolveAppend(spark, base + "/lake/b1", man,
+      orders.select("o_orderkey", "o_totalprice").limit(100))
+    val before = ManifestStore.versions(spark, man)
+    // same column name, different type: must fail BEFORE any commit
+    val ex = intercept[IllegalArgumentException] {
+      IOQueries.evolveAppend(spark, base + "/lake/bad", man,
+        orders.select(col("o_orderkey"),
+          col("o_totalprice").cast("string").as("o_totalprice")).limit(100))
+    }
+    assert(ex.getMessage.contains("type conflicts"))
+    assert(ManifestStore.versions(spark, man) == before,
+      "a rejected batch must not consume a manifest version")
+  }
+
+  test("e_stream_evolve: restart consumes only post-drift files; commits evolve mid-feed") {
+    val base = java.nio.file.Files.createTempDirectory("stream_evolve_pin").toString
+    val out = graft.streaming.Events.streamEvolve(spark, sfDir, Some(base)).collect()
+    assert(out.length == 3, s"expected 3 channel rows, got ${out.length}")
+    // exactly-once across the restart: total streamed rows == orders rows
+    val totalN = out.map(_.getLong(1)).sum
+    assert(totalN == graft.Tables.load(spark, sfDir, "orders").count(),
+      "restart duplicated or dropped feed rows")
+    // the lake evolved mid-feed: current manifest carries both schema
+    // versions, era-1 files still on schema 1 (never rewritten)
+    val (_, cur) = ManifestStore.current(spark, base + "/manifest")
+    val rows = cur.select("file", "schema_version").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_._2).toSet == Set(1L, 2L), s"schema versions: ${rows.map(_._2).toSet}")
+    assert(rows.filter(_._2 == 1L).forall(_._1.contains("r1_")),
+      "schema-1 files must all come from the pre-drift run")
+    assert(rows.filter(_._2 == 2L).forall(_._1.contains("r2_")),
+      "schema-2 files must all come from the post-drift run")
+    // several atomic commits per run (maxFilesPerTrigger=1, 2 files/era)
+    assert(ManifestStore.versions(spark, base + "/manifest").size >= 4)
+  }
+
+  test("evolveAppend: identical and subset schemas do not bump the schema version") {
+    val base = java.nio.file.Files.createTempDirectory("evolve_stable").toString
+    val man = base + "/manifest"
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+    IOQueries.evolveAppend(spark, base + "/lake/b1", man,
+      orders.select("o_orderkey", "o_totalprice").limit(100))
+    IOQueries.evolveAppend(spark, base + "/lake/b2", man,
+      orders.select("o_orderkey", "o_totalprice").limit(50))
+    // a batch MISSING a lake column is additive-compatible: no bump,
+    // the evolved-schema read null-fills it
+    IOQueries.evolveAppend(spark, base + "/lake/b3", man,
+      orders.select("o_orderkey").limit(10))
+    val (_, cur) = ManifestStore.current(spark, man)
+    assert(cur.select("schema_version").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+}
