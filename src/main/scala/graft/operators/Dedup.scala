@@ -1049,25 +1049,29 @@ object Dedup {
                     // out ~0.49), so the informative ε grid sits high;
                     // a near-dup production corpus sweeps ε ∈ [0.01,0.1]
                     epsMicro: Seq[Int] = Seq(600000, 750000, 900000)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = spread(Tables.load(spark, dir, "embeddings"))
     val seeds = broadcast(
       Tables.load(spark, dir, "embeddings").filter(col("vec_id") < k)
         .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb")))
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("seed_id"))
-    val byCluster = Window.partitionBy("cluster_id")
-      .orderBy(col("sim").desc, col("vec_id"))
+    // rank-1 selections as mergeable struct-max aggregates (see
+    // semanticDedup); the embedding rides inside the struct — it can
+    // never influence the ordering because (sim, ns) ties are
+    // impossible within one vec_id (seed ids are distinct)
     val asg = e.crossJoin(seeds)
-      .withColumn("sim", round(VectorFunctions.cosine(col("embedding"), col("seed_emb")), 4))
-      .withColumn("rk", row_number().over(byVec))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("seed_id").as("cluster_id"), col("sim"))
-      .withColumn("krk", row_number().over(byCluster))
+      .select(col("vec_id"),
+        struct(
+          round(VectorFunctions.cosine(col("embedding"), col("seed_emb")), 4).as("sim"),
+          (-col("seed_id")).as("ns"), col("embedding").as("emb")).as("cand"))
+      .groupBy("vec_id").agg(max("cand").as("m"))
+      .select(col("vec_id"), col("m.emb").as("embedding"),
+        (-col("m.ns")).as("cluster_id"), col("m.sim").as("sim"))
       .localCheckpoint()
-    val keepers = asg.filter(col("krk") === 1)
-      .select(col("cluster_id"), col("vec_id").as("keep_id"),
-        col("embedding").as("keep_emb"))
+    val keepers = asg
+      .groupBy("cluster_id")
+      .agg(max(struct(col("sim"), (-col("vec_id")).as("nv"),
+        col("embedding").as("emb"))).as("kp"))
+      .select(col("cluster_id"), (-col("kp.nv")).as("keep_id"),
+        col("kp.emb").as("keep_emb"))
     asg.join(keepers, "cluster_id")
       .select(col("vec_id"), col("keep_id"),
         round(VectorFunctions.cosine(col("embedding"), col("keep_emb")), 4).as("sim_keep"))
@@ -1084,26 +1088,28 @@ object Dedup {
   }
 
   def semanticDedup(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = spread(Tables.load(spark, dir, "embeddings"))
     val seeds = broadcast(
       Tables.load(spark, dir, "embeddings").filter(col("vec_id") < k)
         .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb")))
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("sim").desc, col("seed_id"))
-    val byCluster = Window.partitionBy("cluster_id")
-      .orderBy(col("sim").desc, col("vec_id"))
-    e.crossJoin(seeds)
-      .withColumn("sim", round(VectorFunctions.cosine(col("embedding"), col("seed_emb")), 4))
-      .withColumn("rk", row_number().over(byVec))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("seed_id").as("cluster_id"), col("sim"))
-      .withColumn("keep_rk", row_number().over(byCluster))
-      .groupBy("cluster_id")
+    // both rank-1 selections are mergeable struct-max AGGREGATES, not
+    // windows (the Round-4 keep-first lesson, desc order via negated
+    // tie columns): the n·k assignment stream takes one map-side
+    // combine instead of a full per-key sort exchange, and the keeper
+    // election ships one row per (cluster, partition)
+    val asg = e.crossJoin(seeds)
+      .select(col("vec_id"),
+        struct(
+          round(VectorFunctions.cosine(col("embedding"), col("seed_emb")), 4).as("sim"),
+          (-col("seed_id")).as("ns")).as("cand"))
+      .groupBy("vec_id").agg(max("cand").as("m"))
+      .select(col("vec_id"), (-col("m.ns")).as("cluster_id"), col("m.sim").as("sim"))
+    asg.groupBy("cluster_id")
       .agg(
         count(lit(1)).as("n_members"),
-        min(when(col("keep_rk") === 1, col("vec_id"))).as("keep_id"),
-        min(when(col("keep_rk") === 1, col("sim"))).as("keep_sim"))
+        max(struct(col("sim"), (-col("vec_id")).as("nv"))).as("kp"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("kp.nv")).as("keep_id"), col("kp.sim").as("keep_sim"))
       .orderBy("cluster_id")
   }
 }

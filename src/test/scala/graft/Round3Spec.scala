@@ -138,10 +138,15 @@ class Round3Spec extends SparkSpec {
   }
 
   test("plan shapes: rank-filter pushdown, distributed top-K, sort-clustered write") {
+    // round 7: the rank<=1 windows became mergeable struct-max
+    // aggregates outright — stronger than WindowGroupLimit pushdown:
+    // no window exchange exists at all, and the map side combines
     val semantic = Dedup.semanticDedup(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(semantic.contains("WindowGroupLimit"),
-      "dedup_semantic should push the rank<=1 filter below the window exchange")
+    assert(!semantic.contains("Window"),
+      "dedup_semantic must not plan any window operator")
+    assert(semantic.contains("partial_max(struct"),
+      "keep-first must run as a map-side-combinable struct-max aggregate")
     val topg = TextQueries.textTopgrams(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(topg.contains("TakeOrderedAndProject"),
