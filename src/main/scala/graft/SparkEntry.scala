@@ -228,11 +228,15 @@ object SparkEntry {
     "g_communities" -> ((s, d) => Graph.labelProp(s, d)),
     "g_ppr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
     "g_jaccard" -> ((s, d) => Graph.jaccardPairs(s, d)),
+    "g_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
     "g_sssp" -> ((s, d) => Graph.sssp(s, d)),
     "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
     "text_transfer" -> (TextQueries.textTransfer _),
     "ann_sq" -> ((s, d) => Similarity.sqAnn(s, d)),
     "ann_hamming" -> ((s, d) => Similarity.hammingAnn(s, d)),
+    // A25: IVF+PQ composite (trained coarse + fine quantizers) →
+    // rows-only; recall floor pinned in SimilaritySpec
+    "ann_ivfpq" -> ((s, d) => Similarity.ivfpqAnn(s, d)),
     // binary-prefilter cascade: approximation by design → rows-only;
     // end-to-end recall floor pinned in Round14Spec
     "ann_cascade" -> ((s, d) => Similarity.cascadeAnn(s, d)),
@@ -2527,7 +2531,23 @@ object SparkEntry {
     // item-item Jaccard: candidates from the per-part self-join over
     // the degree-capped bipartite graph; similarity is exact over the
     // capped feature universe on both engines
-    "g_jaccard" ->
+        "g_adamic_adar" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_partkey AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), sdeg AS (
+        |  SELECT s, CAST(floor(1000000.0 / ln(d) + 0.5) AS BIGINT) AS w_micro
+        |  FROM (SELECT s, count(*) AS d FROM cs GROUP BY s)
+        |  WHERE d >= 2 AND d <= 50
+        |), w AS (
+        |  SELECT x.c AS a, y.c AS b, sdeg.w_micro
+        |  FROM cs x JOIN cs y ON x.s = y.s AND x.c < y.c
+        |  JOIN sdeg ON sdeg.s = x.s
+        |)
+        |SELECT a, b, count(*) AS n_common, CAST(sum(w_micro) AS BIGINT) AS aa_micro
+        |FROM w GROUP BY a, b
+        |ORDER BY aa_micro DESC, a, b LIMIT 25""".stripMargin,
+"g_jaccard" ->
       """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
         |pdeg AS (SELECT p, count(*) AS pd FROM sp GROUP BY p),
         |capped AS (SELECT s, sp.p AS p FROM sp JOIN pdeg USING (p) WHERE pd <= 50),

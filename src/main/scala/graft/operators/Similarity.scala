@@ -532,6 +532,68 @@ object Similarity {
       kNN)
   }
 
+  /** A25: IVF-PQ composite ANN — the FAISS workhorse index, both
+    * dials at once: the IVF coarse quantizer cuts the FRACTION of the
+    * corpus scanned per query (~nprobe/nCells), and PQ cuts the BYTES
+    * per scanned vector (dim floats → m codes, 32× here) — combined,
+    * the per-query cost is (nprobe/nCells)·n·m table lookups plus an
+    * exact rerank on the shortlist. PQ encodes the raw normalized
+    * vectors, not cell residuals (`by_residual=false`), which is the
+    * standard FAISS configuration for inner-product/cosine metrics —
+    * ADC tables then depend only on the query, not the probed cell,
+    * so ONE table broadcast serves every probe (the residual form
+    * needs a table per (query, cell) and pays off for L2, stated).
+    *
+    * Plan: cell assignment and PQ codes are both narrow projections
+    * born in the scan ([[assignCells]] / native pqEncode); the probe
+    * is an equi-join of the encoded corpus against the broadcast
+    * (query, probed-cell, ADC-table) rows; the shortlist is the
+    * mergeable top-k aggregate (shortlist rows per (query, partition)
+    * cross the shuffle); floats are touched only for
+    * shortlist·queries rerank rows. Probabilistic (trained coarse +
+    * fine quantizers) → rows-only; recall floor pinned in
+    * SimilaritySpec, measured value in RECALL.
+    */
+  def ivfpqAnn(spark: SparkSession, dir: String,
+               kNN: Int = 5, nQueries: Int = 10,
+               nCells: Int = 10, nprobe: Int = 6, coarseIters: Int = 3,
+               m: Int = 8, k: Int = 256, shortlist: Int = 64,
+               trainSample: Int = 4096, trainIters: Int = 5): DataFrame = {
+    val dim = embeddingDim(spark, dir)
+    val sub = dim / m
+    require(sub * m == dim, s"dim $dim not divisible into $m subspaces")
+    val e = corpus(spark, dir).select(col("vec_id"),
+      VectorFunctions.l2normalize(col("embedding")).as("embedding"))
+    val coarse = kmeansCentroids(e, nCells, coarseIters)
+    val codebooks = trainCodebooks(e, m, k, sub, trainSample, trainIters)
+    val encoded = assignCells(e, coarse)
+      .select(col("vec_id"), col("cell"),
+        VectorFunctions.pqEncode(col("embedding"), codebooks).as("codes"))
+    val queries = querySet(e, nQueries)
+      .select(col("q_id"), col("q_emb"),
+        VectorFunctions.pqAdcTables(col("q_emb"), codebooks).as("tbl"))
+    val probes = broadcast(
+      queries.select(col("q_id"), col("tbl"),
+        explode(VectorFunctions.nearestCentroids(col("q_emb"), coarse, nprobe)).as("cell")))
+    val topk = udaf(graft.functions.Aggregators.TopKByScore(shortlist))
+    val short = encoded
+      .join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), VectorFunctions.pqAdcScore(col("codes"), col("tbl")).as("score"),
+        col("vec_id"))
+      .groupBy("q_id").agg(topk(col("score"), col("vec_id")).as("nn"))
+      .select(col("q_id"), explode(col("nn")).as("s"))
+      .select(col("q_id"), col("s._2").as("vec_id"))
+    rankTopKQueries(
+      short
+        .join(e, Seq("vec_id"))
+        .join(broadcast(queries.select("q_id", "q_emb")), Seq("q_id"))
+        .select(col("q_id"),
+          round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4).as("sim"),
+          col("vec_id")),
+      kNN)
+  }
+
   /** PQ codebook training: per-subspace Lloyd (k-means) over a
     * DETERMINISTIC bounded sample — the lowest-`xxhash64(vec_id)`
     * `sampleN` vectors (TakeOrdered, one narrow pass; hash order is a

@@ -84,6 +84,35 @@ class Round15Spec extends SparkSpec {
     assert(ManifestStore.versions(spark, base + "/manifest").size >= 4)
   }
 
+  test("g_adamic_adar: hand graph scores and ordering match the closed form") {
+    import spark.implicits._
+    // parts as intermediaries: part 10 bought by {1,2} (deg 2), part 20
+    // by {1,2,3} (deg 3), part 30 by {3} alone (deg 1 -> excluded).
+    // w(10) = floor(1e6/ln2 + .5) = 1442695, w(20) = floor(1e6/ln3 + .5)
+    // = 910239. AA(1,2) = w10 + w20; AA(1,3) = AA(2,3) = w20; the tie
+    // breaks on (a, b).
+    val cs = Seq((1L, 10L), (2L, 10L), (1L, 20L), (2L, 20L), (3L, 20L), (3L, 30L))
+      .toDF("c", "s")
+    val out = graft.operators.Graph.adamicAdarOf(cs, maxDeg = 50, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1442695L + 910239L),
+      (1L, 3L, 1L, 910239L),
+      (2L, 3L, 1L, 910239L)), s"got ${out.toSeq}")
+  }
+
+  test("g_adamic_adar: the hub cap drops commodity intermediaries, not the scores of survivors") {
+    import spark.implicits._
+    // one rare part {1,2} plus a hub part bought by everyone: with the
+    // cap below the hub degree, pairs connected ONLY through the hub
+    // vanish while the rare-part pair keeps its exact rare-part term
+    val hub = (1L to 10L).map(c => (c, 99L))
+    val cs = (Seq((1L, 10L), (2L, 10L)) ++ hub).toDF("c", "s")
+    val capped = graft.operators.Graph.adamicAdarOf(cs, maxDeg = 5, topK = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(capped.toSeq == Seq((1L, 2L, 1442695L)), s"got ${capped.toSeq}")
+  }
+
   test("evolveAppend: identical and subset schemas do not bump the schema version") {
     val base = java.nio.file.Files.createTempDirectory("evolve_stable").toString
     val man = base + "/manifest"

@@ -99,6 +99,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.95, s"recall=$recall")
   }
 
+  test("IVF-PQ ANN recall >= 0.9 vs brute force") {
+    // the composite compounds IVF's probed-mass recall with PQ's ADC
+    // shortlist; on this weakly-clustered corpus recall tracks probed
+    // mass (the A3 note), measured 0.94 at the spec corpus — floor at
+    // 0.9, the measured-minus-margin pattern
+    val c = topkSet(Similarity.ivfpqAnn(spark, sfDir).select("q_id", "vec_id").collect())
+    val recall = c.intersect(exact).size.toDouble / exact.size
+    RecallLog.record("ann_ivfpq", "recall_vs_exact", recall)
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("PQ ANN recall >= 0.9 vs brute force") {
     // Lloyd-trained 256-entry codebooks (8-bit codes, the standard PQ
     // setup) + 64-candidate ADC shortlist + exact rerank. The floor is
