@@ -143,6 +143,9 @@ object SparkEntry {
     // no-rewrite + pinned-old-version + type-conflict-rejection are
     // spec-pinned in Round15Spec where the oracle can't reach
     "sink_schema_evolve" -> ((s, d) => IOQueries.sinkSchemaEvolve(s, d)),
+    // K20: dynamic partition overwrite — no-rewrite of untouched
+    // partitions is spec-pinned in Round15Spec
+    "sink_dyn_overwrite" -> ((s, d) => IOQueries.sinkDynamicOverwrite(s, d)),
     // E30: streaming append whose mid-feed schema drift evolves the
     // lake through K19's commit across a checkpointed query restart
     "e_stream_evolve" -> ((s, d) => streaming.Events.streamEvolve(s, d)),
@@ -207,6 +210,7 @@ object SparkEntry {
     "dedup_cdc" -> ((s, d) => Dedup.cdcDedup(s, d)),
     "dedup_snm" -> ((s, d) => Dedup.snmDedup(s, d)),
     "dedup_cross_source" -> ((s, d) => Dedup.crossSourceMatrix(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_band_plan" -> ((s, d) => Dedup.bandPlan(s, d)),
     "text_rake" -> ((s, d) => TextQueries.textRake(s, d)),
     "text_langid_eval" -> (TextQueries.textLangidEval _),
@@ -2785,6 +2789,37 @@ object SparkEntry {
         |  cast(sum(octet_length(encode(text))) AS bigint) AS total_bytes,
         |  (SELECT cast(count(*) AS bigint) FROM p) - count(*) AS n_deleted
         |FROM s""".stripMargin,
+    // containment replays the SAME df cap the operator contracts
+    // (candidates from capped shingles, exact verify from full sets)
+    "dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+        |  FROM t WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), df AS (
+        |  SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+        |), kept AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle) WHERE df <= 50
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS inner_id, b.doc_id AS outer_id
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |), inter AS (
+        |  SELECT c.inner_id, c.outer_id, count(*) AS i
+        |  FROM cand c
+        |  JOIN sh x ON x.doc_id = c.inner_id
+        |  JOIN sh y ON y.doc_id = c.outer_id AND y.shingle = x.shingle
+        |  GROUP BY 1, 2
+        |)
+        |SELECT inner_id, outer_id, round(i / sa.sz, 4) AS containment
+        |FROM inter JOIN sizes sa ON inner_id = sa.doc_id
+        |WHERE round(i / sa.sz, 4) >= 0.8
+        |ORDER BY inner_id, outer_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -3089,6 +3124,13 @@ object SparkEntry {
     "sink_vacuum" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS vacuumed
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_dyn_overwrite" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n,
+        |  round(sum(CASE WHEN strftime(o_orderdate, '%Y-%m') = '1997-03'
+        |    THEN round(o_totalprice + 10.0, 2) ELSE o_totalprice END), 2) AS total,
+        |  strftime(o_orderdate, '%Y-%m') = '1997-03' AS corrected
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streaming twin: restart + exactly-once + evolution all sit
     // under the same raw-table replay hash

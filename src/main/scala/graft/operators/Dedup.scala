@@ -192,6 +192,54 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** D22: shingle-containment detection — the ASYMMETRIC near-dup
+    * relation Jaccard cannot see: C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)|,
+    * "how much of a lives inside b". A short document quoted wholesale
+    * by a long one has tiny Jaccard (the union is dominated by b) but
+    * containment ≈ 1 — exactly the quote/boilerplate-embed/
+    * subset-page structure a training-corpus dedup must catch (Lee et
+    * al.'s substring work at the document-set level). Emits every
+    * DIRECTED pair with C ≥ threshold.
+    *
+    * Scale shape: no length filter exists for containment (a 10-gram
+    * doc can live inside a 10k-gram one — PPJoin's symmetric prefix
+    * bounds don't apply), so candidates come from the hashed inverted
+    * index under the STOP-SHINGLE df cap: Σ df² over kept shingles ≤
+    * cap · |index| — index-linear by construction, the D2-cap/G9-hub
+    * argument. The cap is part of the operator CONTRACT (pairs whose
+    * every shared shingle is hotter than the cap are out of scope —
+    * such overlap is boilerplate mass, not quotation), and the oracle
+    * replays the same cap, so the result is exact over the capped
+    * universe. Exact verify on candidates from the full hashed sets;
+    * joins move 8-byte hashes, never gram strings.
+    */
+  def containment(spark: SparkSession, dir: String,
+                  threshold: Double = 0.8, n: Int = 3,
+                  maxDf: Int = 50): DataFrame = {
+    val sets = spread(Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), shingleHashesCol(col("text"), n).as("sh")))
+      .filter(size(col("sh")) > 0)
+    val idx = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+    // df via the unordered window in the index's own h-exchange (the
+    // D2 pattern: no separate aggregate + join-back)
+    val kept = idx
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxDf)
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("inner_id"), col("b.doc_id").as("outer_id"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("inner_id"), col("sh").as("sha")), Seq("inner_id"))
+      .join(sets.select(col("doc_id").as("outer_id"), col("sh").as("shb")), Seq("outer_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("containment",
+        round(col("inter").cast("double") / size(col("sha")), 4))
+      .filter(col("containment") >= threshold)
+      .select("inner_id", "outer_id", "containment")
+      .orderBy("inner_id", "outer_id")
+  }
+
   /** MinHash signature: native codegen'd expression
     * ([[org.apache.spark.sql.graft.MinHashSignature]]) — the whole
     * normalize → tokenize → shingle → k-min pipeline in one compiled

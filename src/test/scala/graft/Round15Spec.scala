@@ -84,6 +84,41 @@ class Round15Spec extends SparkSpec {
     assert(ManifestStore.versions(spark, base + "/manifest").size >= 4)
   }
 
+  test("dynamic partition overwrite replaces only the re-landed partition's files") {
+    val base = java.nio.file.Files.createTempDirectory("dyn_pin").toString
+    val lake = base + "/lake"
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select("month", "o_orderkey", "o_totalprice")
+    orders.write.mode("overwrite").partitionBy("month").parquet(lake)
+    def listing(): Map[String, Set[(String, Long, Long)]] = {
+      val root = new java.io.File(lake)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("month="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified())).toSet).toMap
+    }
+    val before = listing()
+    assert(before.size > 1, "need several partitions for the test to mean anything")
+    val fix = before.keys.min
+    Thread.sleep(1100) // distinct mtimes even on coarse filesystems
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(conf)
+    spark.conf.set(conf, "dynamic")
+    try orders.filter(concat(lit("month="), col("month")) === fix)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 10.0, 2))
+      .write.mode("overwrite").partitionBy("month").parquet(lake)
+    finally saved match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+    val after = listing()
+    assert(after.keySet == before.keySet, "partition set must not change")
+    (before.keySet - fix).foreach { m =>
+      assert(after(m) == before(m), s"untouched partition $m was rewritten")
+    }
+    assert(after(fix) != before(fix), s"re-landed partition $fix kept its old files")
+  }
+
   test("g_adamic_adar: hand graph scores and ordering match the closed form") {
     import spark.implicits._
     // parts as intermediaries: part 10 bought by {1,2} (deg 2), part 20
