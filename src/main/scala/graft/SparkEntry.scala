@@ -235,6 +235,7 @@ object SparkEntry {
     "g_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
     "g_sssp" -> ((s, d) => Graph.sssp(s, d)),
     "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
+    "ts_mann_kendall" -> ((s, d) => TimeSeries.mannKendall(s, d)),
     "text_transfer" -> (TextQueries.textTransfer _),
     "ann_sq" -> ((s, d) => Similarity.sqAnn(s, d)),
     "ann_hamming" -> ((s, d) => Similarity.hammingAnn(s, d)),
@@ -2161,6 +2162,41 @@ object SparkEntry {
         |FROM seq, pats GROUP BY pattern ORDER BY pattern""".stripMargin,
     // Theil-Sen: floor(x+0.5) slopes on bit-equal integer divisions,
     // percentile_disc median — order statistics only
+    "ts_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), dd AS (
+        |  SELECT d, y, CAST(datediff('day', DATE '1995-01-01', d) % 7 AS BIGINT) AS dow
+        |  FROM daily
+        |), sgn AS (
+        |  SELECT a.dow AS dow,
+        |    CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM dd a JOIN dd b ON a.dow = b.dow AND a.d < b.d GROUP BY 1
+        |), cnt AS (
+        |  SELECT dow, CAST(count(*) AS BIGINT) AS n FROM dd GROUP BY 1
+        |), ties AS (
+        |  SELECT dow, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT dow, y, CAST(count(*) AS BIGINT) AS t FROM dd GROUP BY 1, 2)
+        |  WHERE t > 1 GROUP BY dow
+        |), base AS (
+        |  SELECT cnt.dow, cnt.n, coalesce(sgn.s, 0) AS s,
+        |    cnt.n * (cnt.n - 1) * (2 * cnt.n + 5) - coalesce(ties.tie_term, 0) AS var18
+        |  FROM cnt LEFT JOIN sgn ON cnt.dow = sgn.dow
+        |  LEFT JOIN ties ON cnt.dow = ties.dow
+        |), z AS (
+        |  SELECT dow, n, s, var18,
+        |    CASE WHEN var18 <= 0 THEN 0
+        |    ELSE CAST(floor((CAST(CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1 ELSE 0 END AS DOUBLE)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0)) * 1e6 + 0.5) AS BIGINT) END AS z_micro
+        |  FROM base
+        |)
+        |SELECT dow, n, s, var18, z_micro,
+        |  CASE WHEN z_micro >= 1959964 THEN 'increasing'
+        |    WHEN z_micro <= -1959964 THEN 'decreasing'
+        |    ELSE 'no_trend' END AS trend
+        |FROM z ORDER BY dow""".stripMargin,
     "ts_theil_sen" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,

@@ -334,4 +334,60 @@ object TimeSeries {
           .as("is_anomaly"))
       .orderBy("d")
   }
+
+  /** F9: seasonal Mann–Kendall trend test — the DETECTION complement
+    * of F8's Theil–Sen slope: is there a monotone trend at all, per
+    * weekday, judged by rank statistics immune to outliers and to the
+    * weekly cycle (running plain MK across a seasonal series reads
+    * the seasonality as trend; the seasonal variant tests within each
+    * day-of-week sub-series — Hirsch & Slack 1984, the standard
+    * environmental-monitoring formulation). S = Σ_{i<j} sign(y_j −
+    * y_i) is a PURE INTEGER pair statistic — the best possible fit
+    * for the exact cross-engine replay contract — and the normal
+    * approximation z = (S − sgn(S)) / √Var(S), with the tie-corrected
+    * Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, uses only
+    * IEEE-correctly-rounded ops (one division, one sqrt) on bit-equal
+    * integers, so even z hash-matches at micro precision.
+    *
+    * Scale shape: one fact pass builds the daily series (the family
+    * contract); pairs are (|days|/7)² per weekday — |days|-quadratic,
+    * never corpus-quadratic (F8's argument: a decade is ~190k pairs
+    * per weekday, trivially parallel). Fixed-epoch dow (F2's trap
+    * note: engine-native dayofweek origins differ).
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendallOf(daily(spark, dir))
+
+  /** [[mannKendall]]'s core over ANY (d DATE, y LONG) daily series. */
+  private[graft] def mannKendallOf(base: DataFrame): DataFrame = {
+    val d = base.select(col("d"), col("y"),
+      (datediff(col("d"), lit("1995-01-01").cast("date")) % 7).cast("long").as("dow"))
+    val s = d.as("a").join(d.as("b"),
+        col("a.dow") === col("b.dow") && col("a.d") < col("b.d"))
+      .groupBy(col("a.dow").as("dow"))
+      .agg(sum(when(col("b.y") > col("a.y"), 1L)
+        .when(col("b.y") < col("a.y"), -1L).otherwise(0L)).as("s"))
+    val n = d.groupBy("dow").agg(count(lit(1)).as("n"))
+    val ties = d.groupBy(col("dow"), col("y")).agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .groupBy("dow")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_term"))
+    n.join(s, Seq("dow"), "left").join(ties, Seq("dow"), "left")
+      .select(col("dow"), col("n"), coalesce(col("s"), lit(0L)).as("s"),
+        (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+          - coalesce(col("tie_term"), lit(0L))).as("var18"))
+      .withColumn("z_micro",
+        when(col("var18") <= 0, lit(0L)).otherwise(
+          // continuity-corrected numerator, then ONE division and ONE
+          // sqrt on bit-equal integers — IEEE-identical both engines
+          floor((when(col("s") > 0, col("s") - 1)
+            .when(col("s") < 0, col("s") + 1).otherwise(lit(0L)).cast("double")
+            / sqrt(col("var18").cast("double") / lit(18.0))) * 1e6 + 0.5)
+            .cast("long")))
+      .withColumn("trend",
+        when(col("z_micro") >= 1959964L, "increasing")
+          .when(col("z_micro") <= -1959964L, "decreasing")
+          .otherwise("no_trend"))
+      .orderBy("dow")
+  }
 }

@@ -148,6 +148,32 @@ class Round15Spec extends SparkSpec {
     assert(capped.toSeq == Seq((1L, 2L, 1442695L)), s"got ${capped.toSeq}")
   }
 
+  test("ts_mann_kendall: monotone series flag, constant series stay quiet, outliers cannot flip") {
+    import spark.implicits._
+    import java.sql.Date
+    def series(ys: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ys.zipWithIndex.map { case (y, i) =>
+        // stay on ONE weekday so the seasonal split leaves one sub-series
+        (Date.valueOf(java.time.LocalDate.parse("1995-01-01").plusDays(7L * i)), y)
+      }.toDF("d", "y")
+    def verdict(ys: Seq[Long]): (String, Long) = {
+      val r = graft.queries.TimeSeries.mannKendallOf(series(ys)).collect()
+      assert(r.length == 1)
+      (r.head.getAs[String]("trend"), r.head.getAs[Long]("s"))
+    }
+    val up = (1L to 20L).map(_ * 1000000L)
+    assert(verdict(up) == (("increasing", 190L))) // S = C(20,2), z well past 1.96
+    assert(verdict(up.reverse)._1 == "decreasing")
+    val flat = Seq.fill(20)(5000000L)
+    val (t, s0) = verdict(flat)
+    assert(t == "no_trend" && s0 == 0L, "all-tied series must be var18<=0, z=0")
+    // robustness: one wild outlier shifts S by at most 2(n-1) of C(n,2)
+    // pair signs — the monotone verdict cannot flip (the F8 argument
+    // applied to DETECTION)
+    val spiked = up.updated(10, 999999999999L)
+    assert(verdict(spiked)._1 == "increasing")
+  }
+
   test("evolveAppend: identical and subset schemas do not bump the schema version") {
     val base = java.nio.file.Files.createTempDirectory("evolve_stable").toString
     val man = base + "/manifest"
