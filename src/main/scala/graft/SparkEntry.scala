@@ -216,6 +216,7 @@ object SparkEntry {
     "text_langid_eval" -> (TextQueries.textLangidEval _),
     "e_funnel_window" -> ((s, d) => Analytics.funnelWindow(s, d)),
     "text_gram_decay" -> ((s, d) => TextQueries.textGramDecay(s, d)),
+    "text_zipf" -> ((s, d) => TextQueries.textZipf(s, d)),
     "t_feature_asof" -> (Analytics.tFeatureAsof _),
     "emb_drift" -> (Similarity.embDrift _),
     "ann_knn_eval" -> ((s, d) => Similarity.knnLabelEval(s, d)),
@@ -1205,6 +1206,36 @@ object SparkEntry {
         |SELECT k, count(*) AS n, round(sum(l_quantity), 2) AS qty, max(k_total) AS k_total
         |FROM li JOIN ord ON k = k2
         |GROUP BY k ORDER BY k""".stripMargin,
+    "text_zipf" ->
+      """WITH terms AS (
+        |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+        |  FROM documents
+        |), f AS (
+        |  SELECT term, count(*) AS freq FROM terms WHERE term <> '' GROUP BY 1
+        |  ORDER BY freq DESC, term LIMIT 1000
+        |), xy AS (
+        |  SELECT
+        |    CAST(floor(ln(CAST(row_number() OVER (ORDER BY freq DESC, term) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+        |  FROM f
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM xy
+        |)
+        |SELECT n AS n_types,
+        |  CAST(floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |    AS slope_micro,
+        |  CAST(floor(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |    * (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+        |    AS r2_micro
+        |FROM g""".stripMargin,
     "text_vocab" ->
       """WITH terms AS (
         |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term

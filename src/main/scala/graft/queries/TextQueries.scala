@@ -713,6 +713,52 @@ object TextQueries {
     * on the V survivors only, never the corpus. Ties break on the term
     * so the vocabulary is reproducible.
     */
+  /** X35: Zipf rank–frequency fit — the corpus-health diagnostic
+    * paired with X33's Heaps-law curve: natural text follows
+    * freq(rank) ∝ rank^(−s) with s ≈ 1; a slope far from −1 flags a
+    * degenerate corpus (template farms flatten the head, OCR noise
+    * fattens the tail), and the R² says whether a power law holds at
+    * all — the two numbers a curator reads before trusting token
+    * statistics from a new source. OLS on (ln rank, ln freq) over the
+    * top-V vocabulary.
+    *
+    * Exactness (the X15 contract): ONE micro-rounded ln per
+    * coordinate, exact long sums after (V ≤ 1000 → Σxy ≤ V·(ln V·1e6)²
+    * ≈ 1e17 < int64), the closing slope/R² doubles assembled once on
+    * bit-equal integers in the same operation order both engines.
+    * Rank = row_number over the V SURVIVORS only (X13's pattern — the
+    * window never sees the corpus), full (freq desc, term) total
+    * order.
+    */
+  def textZipf(spark: SparkSession, dir: String, topV: Int = 1000): DataFrame = {
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    val ranked = Tables.load(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(topV)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        floor(log(col("rank").cast("double")) * 1e6 + 0.5).cast("long").as("x"),
+        floor(log(col("freq").cast("double")) * 1e6 + 0.5).cast("long").as("y"))
+    val g = ranked.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    // slope/R² assembled once on bit-equal longs; numerators exceed
+    // int64 (micro² · V² terms) → exact decimal(38,0)/HUGEINT products
+    val num = (col("n").cast("decimal(38,0)") * col("sxy")
+      - col("sx").cast("decimal(38,0)") * col("sy")).cast("double")
+    val denX = (col("n").cast("decimal(38,0)") * col("sxx")
+      - col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+    val denY = (col("n").cast("decimal(38,0)") * col("syy")
+      - col("sy").cast("decimal(38,0)") * col("sy")).cast("double")
+    g.select(col("n").as("n_types"),
+      floor(num / denX * 1e6 + 0.5).cast("long").as("slope_micro"),
+      floor(num / denX * (num / denY) * 1e6 + 0.5).cast("long").as("r2_micro"))
+  }
+
   def textVocab(spark: SparkSession, dir: String, vocabSize: Int = 100): DataFrame = {
     val w = Window.orderBy(col("freq").desc, col("term"))
     Tables.load(spark, dir, "documents")

@@ -174,6 +174,26 @@ class Round15Spec extends SparkSpec {
     assert(verdict(spiked)._1 == "increasing")
   }
 
+  test("text_zipf: a planted power-law corpus fits slope -1 with r2 ~ 1") {
+    import spark.implicits._
+    // term i repeated floor(1000/i) times, i = 1..50: exact Zipf with
+    // s = 1 up to floor dust -> the fit must recover slope ~ -1, r2 ~ 1.
+    // The committed registry run records the honest finding on the
+    // SYNTHETIC corpus: 31 types, slope -0.18, r2 0.06 -- template
+    // generation is NOT Zipfian, which is what the diagnostic is FOR.
+    val text = (1 to 50).flatMap(i => Seq.fill(1000 / i)(f"w$i%03d")).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("zipf_spec").toString
+    Seq((1L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.queries.TextQueries.textZipf(spark, tmp).collect().head
+    val slope = r.getLong(1)
+    val r2 = r.getLong(2)
+    assert(r.getLong(0) == 50L)
+    assert(slope > -1100000L && slope < -900000L, s"slope_micro=$slope not ~ -1e6")
+    assert(r2 > 990000L, s"r2_micro=$r2 not ~ 1e6")
+  }
+
   test("evolveAppend: identical and subset schemas do not bump the schema version") {
     val base = java.nio.file.Files.createTempDirectory("evolve_stable").toString
     val man = base + "/manifest"
