@@ -218,6 +218,7 @@ object SparkEntry {
     "text_gram_decay" -> ((s, d) => TextQueries.textGramDecay(s, d)),
     "text_zipf" -> ((s, d) => TextQueries.textZipf(s, d)),
     "t_feature_asof" -> (Analytics.tFeatureAsof _),
+    "t_purged_folds" -> ((s, d) => Analytics.tPurgedFolds(s, d)),
     "emb_drift" -> (Similarity.embDrift _),
     "ann_knn_eval" -> ((s, d) => Similarity.knnLabelEval(s, d)),
     "t_fpe" -> (Analytics.tFpe _),
@@ -1206,6 +1207,31 @@ object SparkEntry {
         |SELECT k, count(*) AS n, round(sum(l_quantity), 2) AS qty, max(k_total) AS k_total
         |FROM li JOIN ord ON k = k2
         |GROUP BY k ORDER BY k""".stripMargin,
+    "t_purged_folds" ->
+      """WITH b AS (
+        |  SELECT min(CAST(o_orderdate AS DATE)) AS dmin,
+        |    max(CAST(o_orderdate AS DATE)) AS dmax,
+        |    datediff('day', min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))) + 1 AS span
+        |  FROM orders
+        |), folds AS (
+        |  SELECT CAST(i AS INT) AS fold, dmin,
+        |    (i * span) // 5 AS ts, ((i + 1) * span) // 5 AS te
+        |  FROM unnest(generate_series(0, 4)) AS u(i), b
+        |), r AS (
+        |  SELECT fold, CAST(o_orderdate AS DATE) AS d, o_totalprice,
+        |    CASE
+        |      WHEN datediff('day', dmin, CAST(o_orderdate AS DATE)) >= ts
+        |        AND datediff('day', dmin, CAST(o_orderdate AS DATE)) < te THEN '3_test'
+        |      WHEN datediff('day', dmin, CAST(o_orderdate AS DATE)) >= ts - 7
+        |        AND datediff('day', dmin, CAST(o_orderdate AS DATE)) < ts THEN '2_purged'
+        |      WHEN datediff('day', dmin, CAST(o_orderdate AS DATE)) >= te
+        |        AND datediff('day', dmin, CAST(o_orderdate AS DATE)) < te + 7 THEN '4_embargo'
+        |      ELSE '1_train' END AS split
+        |  FROM orders, folds
+        |)
+        |SELECT fold, split, count(*) AS n, min(d) AS min_d, max(d) AS max_d,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_zipf" ->
       """WITH terms AS (
         |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term

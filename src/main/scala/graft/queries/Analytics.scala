@@ -132,6 +132,49 @@ object Analytics {
     * exactly the plan a 1000-executor backfill wants. Exact micro
     * spend, (date, orderkey) total order → hash-exact oracle.
     */
+  /** T32: purged k-fold TIME splits with embargo (López de Prado's
+    * combinatorial-purged CV contract, the time-series complement of
+    * X27's group split): each fold's test window is a contiguous
+    * date range; training rows within `purgeDays` BEFORE the window
+    * are PURGED (their forward-looking features overlap test labels)
+    * and rows within `purgeDays` AFTER are EMBARGOED (test-period
+    * information leaks backward through serially-correlated
+    * features). A plain random or even plain chronological split
+    * leaks here — purge+embargo is the difference between a backtest
+    * and a self-fulfilling one.
+    *
+    * Plan: one scan; the k-row fold table (boundaries = integer
+    * day-offset arithmetic over a 1-row min/max aggregate, `div` on
+    * both engines) broadcasts and fans each row out k ways; one
+    * (fold, split) aggregate. All boundary arithmetic is exact
+    * integer days → hash-exact oracle; the no-leakage geometry
+    * (train never within purge of test, splits partition each fold)
+    * is spec-pinned.
+    */
+  def tPurgedFolds(spark: SparkSession, dir: String,
+                   k: Int = 5, purgeDays: Int = 7): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderdate").cast("date").as("d"), col("o_totalprice"))
+    val bounds = orders.agg(min("d").as("dmin"), max("d").as("dmax"))
+      .withColumn("span", datediff(col("dmax"), col("dmin")) + 1)
+    val folds = spark.range(k).select(col("id").cast("int").as("fold"))
+      .crossJoin(broadcast(bounds))
+      .select(col("fold"), col("dmin"),
+        expr(s"(fold * span) div $k").as("ts"),
+        expr(s"((fold + 1) * span) div $k").as("te"))
+    val x = datediff(col("d"), col("dmin"))
+    orders.crossJoin(broadcast(folds))
+      .select(col("fold"), col("d"), col("o_totalprice"),
+        when(x >= col("ts") && x < col("te"), "3_test")
+          .when(x >= col("ts") - purgeDays && x < col("ts"), "2_purged")
+          .when(x >= col("te") && x < col("te") + purgeDays, "4_embargo")
+          .otherwise("1_train").as("split"))
+      .groupBy("fold", "split")
+      .agg(count(lit(1)).as("n"), min("d").as("min_d"), max("d").as("max_d"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("fold", "split")
+  }
+
   def tFeatureAsof(spark: SparkSession, dir: String): DataFrame = {
     val byCust = org.apache.spark.sql.expressions.Window
       .partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
