@@ -153,6 +153,7 @@ object SparkEntry {
     // pinned in Round14Spec, every point recorded in RECALL
     "ann_lsh_sweep" -> ((s, d) => Similarity.lshSweep(s, d)),
     "src_logs" -> (IOQueries.srcLogs _),
+    "src_json_multiline" -> (IOQueries.srcJsonMultiline _),
     "t_incr_join" -> (IOQueries.tIncrJoin _),
     "q_dpp" -> (IOQueries.qDpp _),
     "p_dirty_partitions" -> ((s, d) => IOQueries.pDirtyPartitions(s, d)),
@@ -1207,6 +1208,10 @@ object SparkEntry {
         |SELECT k, count(*) AS n, round(sum(l_quantity), 2) AS qty, max(k_total) AS k_total
         |FROM li JOIN ord ON k = k2
         |GROUP BY k ORDER BY k""".stripMargin,
+    "src_json_multiline" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_purged_folds" ->
       """WITH b AS (
         |  SELECT min(CAST(o_orderdate AS DATE)) AS dmin,

@@ -868,6 +868,58 @@ object IOQueries {
       .orderBy("lang")
   }
 
+  /** S14: multiLine JSON-ARRAY ingestion — the other JSON wire shape
+    * (S13's JSONL is line-delimited; REST API exports and config
+    * dumps arrive as ONE top-level array `[ {...}, {...} ]`, often
+    * pretty-printed across lines). Line-oriented readers silently
+    * produce corrupt records on this shape; Spark's `multiLine=true`
+    * parses the whole document and yields one row per array element.
+    * The trade to state: a multiLine JSON file is NOT splittable —
+    * the whole file is one task (the S11/S13 story again), so fat
+    * API dumps get exploded to JSONL or parquet at the edge before
+    * anything heavy; this operator IS that edge step. The staged
+    * array file is assembled deterministically (sorted elements)
+    * from the orders slice; the oracle aggregates the same rows
+    * straight from parquet, so the hash proves array parsing loses
+    * and invents nothing.
+    */
+  def srcJsonMultiline(spark: SparkSession, dir: String): DataFrame = {
+    val base = tmpDir("json_multiline")
+    val lines = tmpDir("json_multiline_stage") + "/jsonl"
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))).as("value"))
+      .write.mode("overwrite").text(lines)
+    // assemble the single array document (sorted for determinism) —
+    // bounded edge-side staging of the demo wire file, not a data path
+    val fs = new Path(lines).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val elems = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(new Path(lines), false)
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) {
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(f.getPath), java.nio.charset.StandardCharsets.UTF_8))
+        var l = in.readLine()
+        while (l != null) { if (l.nonEmpty) elems += l; l = in.readLine() }
+        in.close()
+      }
+    }
+    val doc = elems.sorted.mkString("[\n  ", ",\n  ", "\n]\n")
+    val outFile = new Path(base + "/orders.json")
+    val os = fs.create(outFile, true)
+    os.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    os.close()
+    spark.read
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+      .option("multiLine", "true")
+      .json(base)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** S12: fixed-width record ingestion — the mainframe/legacy-feed
     * layout (COBOL copybook shape: no delimiters, fields at byte
     * offsets, zero-padded numerics). Records are rendered
