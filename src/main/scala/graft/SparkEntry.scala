@@ -216,6 +216,7 @@ object SparkEntry {
     "text_rake" -> ((s, d) => TextQueries.textRake(s, d)),
     "text_langid_eval" -> (TextQueries.textLangidEval _),
     "e_funnel_window" -> ((s, d) => Analytics.funnelWindow(s, d)),
+    "q_streaks" -> ((s, d) => Analytics.qStreaks(s, d)),
     "text_gram_decay" -> ((s, d) => TextQueries.textGramDecay(s, d)),
     "text_zipf" -> ((s, d) => TextQueries.textZipf(s, d)),
     "t_feature_asof" -> (Analytics.tFeatureAsof _),
@@ -1208,6 +1209,19 @@ object SparkEntry {
         |SELECT k, count(*) AS n, round(sum(l_quantity), 2) AS qty, max(k_total) AS k_total
         |FROM li JOIN ord ON k = k2
         |GROUP BY k ORDER BY k""".stripMargin,
+    "q_streaks" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), g AS (
+        |  SELECT user_id, day,
+        |    datediff('day', DATE '1970-01-01', day)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM act
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS streak_days,
+        |  min(day) AS start_day, max(day) AS end_day
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY streak_days DESC, user_id, start_day LIMIT 25""".stripMargin,
     "src_json_multiline" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderkey % 20 = 0

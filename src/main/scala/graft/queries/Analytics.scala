@@ -132,6 +132,40 @@ object Analytics {
     * exactly the plan a 1000-executor backfill wants. Exact micro
     * spend, (date, orderkey) total order → hash-exact oracle.
     */
+  /** Q49: gaps-and-islands activity streaks — longest runs of
+    * CONSECUTIVE active days per user (the engagement/retention
+    * primitive behind "7-day streak" product metrics and the
+    * canonical gaps-and-islands SQL interview shape, here as a
+    * first-class operator; X31's phrase-run segmentation uses the
+    * same trick on token positions). Island key = epoch_day −
+    * row_number over the user's DISTINCT active days: constant
+    * within a consecutive run, strictly decreasing across gaps — one
+    * exchange on user_id, no self-join, no recursive walk.
+    *
+    * Scale shape: events collapse to distinct (user, day) FIRST (one
+    * map-side-combinable aggregate — the fan-in that makes the
+    * window input per-user-days-sized, not event-sized), then one
+    * per-user window pass and a streak-sized aggregate. Integer day
+    * arithmetic, full (len desc, user, start) tie-break, TakeOrdered
+    * top-K → hash-exact oracle.
+    */
+  def qStreaks(spark: SparkSession, dir: String, topK: Int = 25): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date"))
+          - row_number().over(byUser))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("streak_days"),
+        min("day").as("start_day"), max("day").as("end_day"))
+      .select("user_id", "streak_days", "start_day", "end_day")
+      .orderBy(col("streak_days").desc, col("user_id"), col("start_day"))
+      .limit(topK)
+  }
+
   /** T32: purged k-fold TIME splits with embargo (López de Prado's
     * combinatorial-purged CV contract, the time-series complement of
     * X27's group split): each fold's test window is a contiguous
