@@ -63,7 +63,10 @@ object Bench {
     "text_gram_decay", "t_feature_asof", "emb_drift", "mm_entropy",
     "e_funnel_window", "text_langid_eval", "ann_lsh_sweep",
     "ann_knn_eval", "text_summary", "ann_cascade", "dedup_semantic_sweep",
-    "g_clustering", "dq_observe")
+    "g_clustering", "dq_observe",
+    // round-7 additions (pure-read analytics only, per the note above)
+    "ann_ivfpq", "g_adamic_adar", "dedup_containment", "ts_mann_kendall",
+    "q_streaks", "t_purged_folds", "text_zipf")
 
   /** The scale-step set: the heaviest operators over the tables the
     * 10× blow-up synthesizes (documents/embeddings since round 6;
