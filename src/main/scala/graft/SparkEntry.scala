@@ -146,6 +146,8 @@ object SparkEntry {
     // K20: dynamic partition overwrite — no-rewrite of untouched
     // partitions is spec-pinned in Round15Spec
     "sink_dyn_overwrite" -> ((s, d) => IOQueries.sinkDynamicOverwrite(s, d)),
+    // K21: manifest-planned OPTIMIZE; mechanics spec-pinned in Round15Spec
+    "sink_optimize" -> ((s, d) => IOQueries.sinkOptimize(s, d)),
     // E30: streaming append whose mid-feed schema drift evolves the
     // lake through K19's commit across a checkpointed query restart
     "e_stream_evolve" -> ((s, d) => streaming.Events.streamEvolve(s, d)),
@@ -154,6 +156,7 @@ object SparkEntry {
     "ann_lsh_sweep" -> ((s, d) => Similarity.lshSweep(s, d)),
     "src_logs" -> (IOQueries.srcLogs _),
     "src_json_multiline" -> (IOQueries.srcJsonMultiline _),
+    "src_xml" -> (IOQueries.srcXml _),
     "t_incr_join" -> (IOQueries.tIncrJoin _),
     "q_dpp" -> (IOQueries.qDpp _),
     "p_dirty_partitions" -> ((s, d) => IOQueries.pDirtyPartitions(s, d)),
@@ -1209,6 +1212,10 @@ object SparkEntry {
         |SELECT k, count(*) AS n, round(sum(l_quantity), 2) AS qty, max(k_total) AS k_total
         |FROM li JOIN ord ON k = k2
         |GROUP BY k ORDER BY k""".stripMargin,
+    "src_xml" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_streaks" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
@@ -3236,6 +3243,10 @@ object SparkEntry {
     "sink_vacuum" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS vacuumed
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_optimize" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS optimized
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "sink_dyn_overwrite" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,

@@ -868,6 +868,98 @@ object IOQueries {
       .orderBy("lang")
   }
 
+  /** K21: OPTIMIZE — manifest-aware small-file compaction (Delta
+    * OPTIMIZE / Iceberg rewrite_data_files, completing the K8→K11
+    * story: K8 compacts a directory blindly; this plans the rewrite
+    * from MANIFEST rows and publishes it as a versioned commit).
+    * Small files are detected metadata-only (n_rows below threshold
+    * in the sidecar — at 100 TB the planner never lists or opens
+    * storage); ONLY those files are read and rewritten into few
+    * key-sorted replacements, every healthy file carries into the
+    * new version by reference, and the swap is one atomic manifest
+    * commit — readers pinned to v1 keep the fragmented layout until
+    * retention sweeps it (K9's contract), and K18's vacuum later
+    * GC's the superseded fragments. Rewrite traffic ∝ fragmented
+    * mass, never table size.
+    *
+    * The demo plants the two populations (one month landed 16-way
+    * fragmented, the rest landed healthy), optimizes, and reads back
+    * through v2. The oracle checks the data is untouched (rollup ≡
+    * raw table); the spec pins the mechanics the oracle can't see —
+    * fewer files in v2, healthy files carried verbatim, fragments
+    * gone from v2 but alive on disk for v1 readers.
+    */
+  // threshold separates the planted populations at every testdata SF
+  // (fragment shards carry ≤ ~120 rows, healthy halves ≥ ~750); in
+  // production this is the target-file-size dial
+  def sinkOptimize(spark: SparkSession, dir: String,
+                   smallRowThreshold: Long = 500L,
+                   baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(tmpDir("optimize"))
+    val lake = base + "/lake"
+    val man = base + "/manifest"
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select("month", "o_orderkey", "o_totalprice")
+    // a fragmented landing (one month arrived as 16 shards) next to a
+    // healthy one — the mixed layout every long-lived table grows
+    orders.filter(col("month") === "1997-01").repartition(16)
+      .write.mode("overwrite").parquet(lake + "/frag")
+    orders.filter(col("month") =!= "1997-01").repartition(2)
+      .write.mode("overwrite").parquet(lake + "/ok")
+    def manifestOf(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+    graft.sinks.ManifestStore.publish(spark, man,
+      manifestOf(lake + "/frag").unionByName(manifestOf(lake + "/ok")))
+    // OPTIMIZE: plan from manifest rows only (metadata), rewrite the
+    // small set sorted+coalesced, publish carried ∪ compacted
+    val (_, v1) = graft.sinks.ManifestStore.current(spark, man)
+    val small = v1.filter(col("n_rows") < smallRowThreshold)
+      .select("file").collect().map(_.getString(0))
+    val kept = v1.filter(col("n_rows") >= smallRowThreshold)
+      .select("file", "n_rows")
+    spark.read.parquet(small: _*)
+      .repartitionByRange(2, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(lake + "/compacted")
+    graft.sinks.ManifestStore.publish(spark, man,
+      kept.unionByName(manifestOf(lake + "/compacted")))
+    val (_, v2) = graft.sinks.ManifestStore.current(spark, man)
+    val files = v2.select("file").collect().map(_.getString(0))
+    spark.read.parquet(files: _*)
+      .groupBy("month")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("optimized", lit(files.length < v1.count()))
+      .orderBy("month")
+  }
+
+  /** S15: XML ingestion — Spark 4's BUILT-IN XML source (the
+    * spark-xml package merged into core, SPARK-44265): enterprise
+    * feeds (B2B order interchange, config exports, SOAP-era APIs)
+    * still arrive as XML, and the rowTag reader turns each element
+    * into a row with the same explicit-schema discipline as every
+    * other source here (no inference scan). Round-trips a
+    * deterministic order feed through the XML writer and back; the
+    * oracle aggregates the same rows straight from parquet, so the
+    * hash proves the render → XML → parse cycle is field-exact —
+    * including the double round-trip, the classic XML-feed hazard.
+    */
+  def srcXml(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmpDir("xml") + "/orders_xml"
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").option("rowTag", "order").format("xml").save(out)
+    spark.read.format("xml")
+      .option("rowTag", "order")
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+      .load(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** S14: multiLine JSON-ARRAY ingestion — the other JSON wire shape
     * (S13's JSONL is line-delimited; REST API exports and config
     * dumps arrive as ONE top-level array `[ {...}, {...} ]`, often

@@ -119,6 +119,30 @@ class Round15Spec extends SparkSpec {
     assert(after(fix) != before(fix), s"re-landed partition $fix kept its old files")
   }
 
+  test("sink_optimize: fragments leave v2, healthy files carry verbatim, v1 still readable") {
+    val base = java.nio.file.Files.createTempDirectory("optimize_pin").toString
+    graft.queries.IOQueries.sinkOptimize(spark, sfDir, baseOverride = Some(base)).collect()
+    val man = base + "/manifest"
+    def rowsOf(v: Long) = spark.read.json(s"$man/manifest_v$v")
+      .select("file", "n_rows").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val v1 = rowsOf(1L)
+    val v2 = rowsOf(2L)
+    assert(v2.length < v1.length, s"optimize must shrink the file count: ${v1.length} -> ${v2.length}")
+    // healthy files carried verbatim; fragments absent from v2
+    val healthy = v1.filter(_._2 >= 500L).toSet
+    val frags = v1.filter(_._2 < 500L)
+    assert(frags.nonEmpty && healthy.nonEmpty, "demo must plant both populations")
+    assert(healthy.subsetOf(v2.toSet), "healthy files must carry by reference")
+    assert(!v2.exists(f => frags.exists(_._1 == f._1)), "fragments must leave v2")
+    // compacted row mass equals the fragment mass (nothing lost)
+    val compacted = v2.toSet -- healthy
+    assert(compacted.toSeq.map(_._2).sum == frags.map(_._2).sum)
+    // a v1-pinned reader still works: every v1 file is alive on disk
+    val total1 = spark.read.parquet(v1.map(_._1): _*).count()
+    assert(total1 == v1.map(_._2).sum)
+  }
+
   test("g_adamic_adar: hand graph scores and ordering match the closed form") {
     import spark.implicits._
     // parts as intermediaries: part 10 bought by {1,2} (deg 2), part 20
