@@ -151,6 +151,9 @@ object SparkEntry {
     // E30: streaming append whose mid-feed schema drift evolves the
     // lake through K19's commit across a checkpointed query restart
     "e_stream_evolve" -> ((s, d) => streaming.Events.streamEvolve(s, d)),
+    // E31: event-time timers on the transformWithState surface;
+    // result == batch gap sessionization (the oracle below)
+    "e_stream_timer_sessions" -> ((s, d) => streaming.Events.streamTimerSessions(s, d)),
     // probabilistic LSH content → rows-only; monotone recall + floor
     // pinned in Round14Spec, every point recorded in RECALL
     "ann_lsh_sweep" -> ((s, d) => Similarity.lshSweep(s, d)),
@@ -3790,6 +3793,23 @@ object SparkEntry {
         |  round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
         |        / 1000000.0, 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
+    "e_stream_timer_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |x AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM x
+        |)
+        |SELECT user_id, min(tus) AS session_start_us,
+        |  count(*) AS n_events, max(tus) - min(tus) AS duration_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin,
     "e_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
         |x AS (

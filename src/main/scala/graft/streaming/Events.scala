@@ -881,6 +881,96 @@ object Events {
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
     }
   }
+
+  /** E31: TIMER-driven session finalization via `transformWithState`
+    * — the remaining Spark 4 arbitrary-state surface E18 doesn't
+    * touch: EVENT-TIME TIMERS (`registerTimer` / `handleExpiredTimer`
+    * under `TimeMode.EventTime`). Each user's open session tail lives
+    * in ValueState with ONE armed timer at `last + gap`; sessions
+    * that close inside a batch emit immediately, and the open tail is
+    * emitted by the state store itself when the watermark passes its
+    * timer — the push-based inactivity-timeout pattern (cart
+    * abandonment, device-offline alerts) that E5's declarative
+    * `session_window` cannot express per-key side effects for.
+    *
+    * Batch-parity correctness argument (why the feed stages as
+    * TIME-RANGE-ORDERED batches): a watermark-fired timer could split
+    * a session batch sessionization would merge IF an event ≤ gap
+    * after the tail arrived while the watermark had already passed
+    * `tail + gap`. With time-ordered batches the watermark after
+    * batch k equals batch k's max event time = the lower bound of
+    * batch k+1, so any later event y satisfies y ≥ watermark, and a
+    * split would need y ≤ tail + gap < watermark ≤ y — contradiction.
+    * Real feeds are approximately time-ordered for exactly this
+    * reason; the two far-future sentinel batches then push the
+    * watermark past every open tail's timer through the SPARK-40925
+    * two-batch lag (E25's flush mechanics), so the final sessions
+    * actually emit before AvailableNow terminates. Result ≡ E2's
+    * batch gap-sessionization → DuckDB-oracled.
+    */
+  def streamTimerSessions(spark: SparkSession, dir: String,
+                          gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = Files.createTempDirectory("graft_timer_sess")
+    val staged = base.toString + "/in"
+    try {
+      val ev = Tables.eventsTsAsNanosLong(spark, dir)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      val Array(medRow) = ev.agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ts_us)").cast("long").as("m"),
+        max("ts_us").as("mx")).collect()
+      val (median, maxUs) = (medRow.getLong(0), medRow.getLong(1))
+      // time-range-ordered arrival: older half, then newer half, then
+      // two far-future watermark pushers (sentinel user −1) — distinct
+      // mtimes give the file source the intended batch order
+      ev.filter(col("ts_us") <= median).coalesce(1)
+        .write.mode("append").parquet(staged)
+      Thread.sleep(1100)
+      ev.filter(col("ts_us") > median).coalesce(1)
+        .write.mode("append").parquet(staged)
+      Thread.sleep(1100)
+      Seq((-1L, maxUs + 365L * 86400L * 1000000L)).toDF("user_id", "ts_us")
+        .coalesce(1).write.mode("append").parquet(staged)
+      Thread.sleep(1100)
+      Seq((-1L, maxUs + 366L * 86400L * 1000000L)).toDF("user_id", "ts_us")
+        .coalesce(1).write.mode("append").parquet(staged)
+      val schema = spark.read.parquet(staged).schema
+      val sessions = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "1 second")
+        .as[(Long, Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(new TimerSessionProcessor(gapUs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF("user_id", "session_start_us", "n_events", "duration_us")
+      val sinkName = s"graft_timer_sess_${streamCounter.incrementAndGet()}"
+      val q = sessions.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", base.toString + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sinkName)
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_start_us")
+        .localCheckpoint()
+    } finally {
+      priorProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
 }
 
 /** The E18 StatefulProcessor: one ValueState[(count, sum)] per user —
@@ -904,4 +994,54 @@ class PurchaseStatsProcessor
     st.update((n, tot))
     Iterator.single((key, n, tot))
   }
+}
+
+/** The E31 StatefulProcessor: gap sessionization with the open tail in
+  * ValueState[(start, last, count)] and ONE event-time timer armed at
+  * `last + gap`. In-batch gaps close sessions inline; the timer closes
+  * the tail when the watermark passes it (`handleExpiredTimer` emits
+  * and clears). The sentinel key (−1, the watermark pusher) never
+  * touches state and never arms a timer.
+  */
+class TimerSessionProcessor(gapUs: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long)]("sess",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    if (key < 0) return Iterator.empty
+    val ts = rows.map(_._2).toArray.sorted
+    if (ts.isEmpty) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var (start, last, cnt) = if (st.exists()) st.get() else (-1L, -1L, 0L)
+    ts.foreach { t =>
+      if (start < 0) { start = t; last = t; cnt = 1L }
+      else if (t - last > gapUs) {
+        out += ((key, start, cnt, last - start)); start = t; last = t; cnt = 1L
+      } else { cnt += 1L; last = t }
+    }
+    st.update((start, last, cnt))
+    // re-arm the single open-tail timer (event time, ms; +1 so the
+    // micro remainder can never round the expiry EARLY)
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    getHandle.registerTimer((last + gapUs) / 1000L + 1L)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] =
+    if (st.exists()) {
+      val (s, l, c) = st.get()
+      st.clear()
+      Iterator.single((key, s, c, l - s))
+    } else Iterator.empty
 }

@@ -143,6 +143,24 @@ class Round15Spec extends SparkSpec {
     assert(total1 == v1.map(_._2).sum)
   }
 
+  test("round-7 plan shapes: no cartesian anywhere, top-K distributed, probes broadcast") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val aa = plan(graft.operators.Graph.adamicAdar(spark, sfDir))
+    assert(!aa.contains("CartesianProduct") && !aa.contains("BroadcastNestedLoop"),
+      "adamic-adar candidates must come from the wedge equi-join")
+    assert(aa.contains("TakeOrderedAndProject"), "adamic-adar top-K must distribute")
+    val cont = plan(graft.operators.Dedup.containment(spark, sfDir))
+    assert(!cont.contains("CartesianProduct") && !cont.contains("BroadcastNestedLoop"),
+      "containment candidates must come from the capped inverted-index equi-join")
+    val streaks = plan(graft.queries.Analytics.qStreaks(spark, sfDir))
+    assert(streaks.contains("TakeOrderedAndProject"), "streak top-K must distribute")
+    val ivfpq = plan(graft.operators.Similarity.ivfpqAnn(spark, sfDir))
+    assert(!ivfpq.contains("CartesianProduct") && !ivfpq.contains("BroadcastNestedLoop"),
+      "ivfpq probe must be an equi-join on cell")
+    assert(ivfpq.contains("BroadcastHashJoin"), "probe side must broadcast")
+  }
+
   test("g_adamic_adar: hand graph scores and ordering match the closed form") {
     import spark.implicits._
     // parts as intermediaries: part 10 bought by {1,2} (deg 2), part 20
