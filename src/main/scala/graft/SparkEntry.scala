@@ -148,6 +148,9 @@ object SparkEntry {
     "sink_dyn_overwrite" -> ((s, d) => IOQueries.sinkDynamicOverwrite(s, d)),
     // K21: manifest-planned OPTIMIZE; mechanics spec-pinned in Round15Spec
     "sink_optimize" -> ((s, d) => IOQueries.sinkOptimize(s, d)),
+    // K22: zero-copy shallow clone; zero-data-write + source-isolation
+    // spec-pinned in Round15Spec
+    "sink_clone" -> ((s, d) => IOQueries.sinkClone(s, d)),
     // E30: streaming append whose mid-feed schema drift evolves the
     // lake through K19's commit across a checkpointed query restart
     "e_stream_evolve" -> ((s, d) => streaming.Events.streamEvolve(s, d)),
@@ -157,6 +160,9 @@ object SparkEntry {
     // probabilistic LSH content → rows-only; monotone recall + floor
     // pinned in Round14Spec, every point recorded in RECALL
     "ann_lsh_sweep" -> ((s, d) => Similarity.lshSweep(s, d)),
+    // A26: IVF nprobe sweep — probabilistic → rows-only; monotone
+    // curve + top-point floor pinned in Round15Spec
+    "ann_ivf_sweep" -> ((s, d) => Similarity.ivfSweep(s, d)),
     "src_logs" -> (IOQueries.srcLogs _),
     "src_json_multiline" -> (IOQueries.srcJsonMultiline _),
     "src_xml" -> (IOQueries.srcXml _),
@@ -3246,6 +3252,12 @@ object SparkEntry {
     "sink_vacuum" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS vacuumed
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_clone" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders WHERE strftime(o_orderdate, '%Y-%m') < '1997-01')
+        |    AS source_rows
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "sink_optimize" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,

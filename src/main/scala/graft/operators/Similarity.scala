@@ -885,6 +885,36 @@ object Similarity {
     * monotonicity and the top setting's recall floor, and records
     * every point in RECALL.
     */
+  /** A26: IVF nprobe tuning-curve sweep — A21's emit-the-decision-as-
+    * data pattern applied to the SECOND index family: measured recall
+    * vs `nprobe` (the probed-cell count), the one dial every IVF
+    * deployment must size before committing a corpus. On a weakly
+    * clustered corpus recall tracks probed MASS (A3's documented
+    * behavior), so the curve is near-linear in nprobe; on a clustered
+    * corpus it saturates early — which regime you are in IS the
+    * measurement, and it decides whether IVF buys anything over the
+    * cascade. Probabilistic (trained centroids) → rows-only; the
+    * sweep's monotonicity + top-point floor are spec-pinned, every
+    * point lands in RECALL.
+    */
+  def ivfSweep(spark: SparkSession, dir: String,
+               k: Int = 5, nQueries: Int = 10,
+               nCells: Int = 10, probeCounts: Seq[Int] = Seq(2, 4, 6, 8)): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, k, nQueries)
+      .select(col("q_id"), col("vec_id"))
+    val denom = k.toLong * nQueries
+    val curves = probeCounts.map { np =>
+      ivfAnn(spark, dir, k, nQueries, nCells = nCells, nprobe = np)
+        .select(col("q_id"), col("vec_id"))
+        .join(exact, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np).as("nprobe"), col("n_hits"),
+          lit(denom).as("n_exact"),
+          expr(s"(1000000L * n_hits) div ${denom}L").as("recall_micro"))
+    }
+    curves.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
   def lshSweep(spark: SparkSession, dir: String,
                k: Int = 5, nQueries: Int = 10,
                tableCounts: Seq[Int] = Seq(4, 8, 16)): DataFrame = {

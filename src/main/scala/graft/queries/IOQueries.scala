@@ -868,6 +868,63 @@ object IOQueries {
       .orderBy("lang")
   }
 
+  /** K22: zero-copy SHALLOW CLONE — Delta's dev/test sandbox
+    * primitive: a clone is a NEW manifest store whose v1 simply
+    * references the source table's live files — no data moves, the
+    * clone is a metadata write regardless of table size (at 100 TB
+    * the difference between "give the analyst a sandbox" being
+    * seconds or a day). Writes then DIVERGE: an append to the clone
+    * publishes clone-v2 with its own new files while the source's
+    * manifest never changes — and because K18's vacuum deletes only
+    * against its OWN store's retained versions, cloning implies a
+    * shared-file GC contract (source vacuum must not reap files a
+    * live clone references; production formats track this by clone
+    * lineage, stated here as the operational caveat).
+    *
+    * The demo clones the source, appends a delta to the CLONE only,
+    * and reads both: the clone sees source ∪ delta, the source is
+    * bit-identical to pre-clone. Oracle replays both populations from
+    * the raw table; zero-copy (no data file written by the clone
+    * step) and source-isolation are spec-pinned.
+    */
+  def sinkClone(spark: SparkSession, dir: String,
+                baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(tmpDir("clone"))
+    val srcLake = base + "/src_lake"
+    val srcMan = base + "/src_manifest"
+    val cloneMan = base + "/clone_manifest"
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select("month", "o_orderkey", "o_totalprice")
+    orders.filter(col("month") < "1997-01")
+      .repartition(4).write.mode("overwrite").parquet(srcLake + "/gen1")
+    def manifestOf(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+    graft.sinks.ManifestStore.publish(spark, srcMan, manifestOf(srcLake + "/gen1"))
+    // CLONE: one metadata publish referencing the source's live files
+    val (_, srcV1) = graft.sinks.ManifestStore.current(spark, srcMan)
+    graft.sinks.ManifestStore.publish(spark, cloneMan,
+      srcV1.select("file", "n_rows"))
+    // the clone diverges: an append lands under the CLONE's store only
+    val deltaDir = base + "/clone_lake/delta1"
+    orders.filter(col("month") >= "1997-01")
+      .repartition(2).write.mode("overwrite").parquet(deltaDir)
+    val (_, cloneV1) = graft.sinks.ManifestStore.current(spark, cloneMan)
+    graft.sinks.ManifestStore.publish(spark, cloneMan,
+      cloneV1.select("file", "n_rows").unionByName(manifestOf(deltaDir)))
+    val (_, cloneCur) = graft.sinks.ManifestStore.current(spark, cloneMan)
+    val cloneFiles = cloneCur.select("file").collect().map(_.getString(0))
+    val (_, srcCur) = graft.sinks.ManifestStore.current(spark, srcMan)
+    val srcN = spark.read.parquet(
+      srcCur.select("file").collect().map(_.getString(0)): _*).count()
+    spark.read.parquet(cloneFiles: _*)
+      .groupBy("month")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("source_rows", lit(srcN))
+      .orderBy("month")
+  }
+
   /** K21: OPTIMIZE — manifest-aware small-file compaction (Delta
     * OPTIMIZE / Iceberg rewrite_data_files, completing the K8→K11
     * story: K8 compacts a directory blindly; this plans the rewrite

@@ -119,6 +119,38 @@ class Round15Spec extends SparkSpec {
     assert(after(fix) != before(fix), s"re-landed partition $fix kept its old files")
   }
 
+  test("ann_ivf_sweep: recall is monotone in nprobe and the top setting clears 0.85") {
+    val out = graft.operators.Similarity.ivfSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(2, 4, 6, 8))
+    out.foreach { case (np, rec) =>
+      RecallLog.record("ann_ivf_sweep", s"recall_nprobe_$np", rec / 1e6)
+    }
+    assert(out.sliding(2).forall(p => p.length < 2 || p(0)._2 <= p(1)._2),
+      s"recall not monotone in nprobe: ${out.toSeq}")
+    assert(out.last._2 >= 850000L, s"nprobe=8 recall ${out.last._2} below 0.85")
+  }
+
+  test("sink_clone: the clone step writes zero data files and the source never changes") {
+    val base = java.nio.file.Files.createTempDirectory("clone_pin").toString
+    graft.queries.IOQueries.sinkClone(spark, sfDir, baseOverride = Some(base)).collect()
+    def files(man: String, v: Long) = spark.read.json(s"$man/manifest_v$v")
+      .select("file").collect().map(_.getString(0)).toSet
+    val srcV = ManifestStore.versions(spark, base + "/src_manifest")
+    assert(srcV == Seq(1L), s"source must never re-publish: $srcV")
+    val src = files(base + "/src_manifest", 1L)
+    val cloneV1 = files(base + "/clone_manifest", 1L)
+    // zero-copy: clone v1 IS the source file set, by reference
+    assert(cloneV1 == src, "clone v1 must reference exactly the source files")
+    assert(!cloneV1.exists(_.contains("clone_lake")),
+      "the clone step must not write any data file")
+    // divergence: clone v2 adds its own files; the source set is intact
+    val cloneV2 = files(base + "/clone_manifest", 2L)
+    assert(src.subsetOf(cloneV2) && (cloneV2 -- src).nonEmpty)
+    assert((cloneV2 -- src).forall(_.contains("clone_lake")),
+      "diverged files must live under the clone's own lake")
+  }
+
   test("sink_optimize: fragments leave v2, healthy files carry verbatim, v1 still readable") {
     val base = java.nio.file.Files.createTempDirectory("optimize_pin").toString
     graft.queries.IOQueries.sinkOptimize(spark, sfDir, baseOverride = Some(base)).collect()
