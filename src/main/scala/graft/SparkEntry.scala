@@ -233,6 +233,7 @@ object SparkEntry {
     "text_zipf" -> ((s, d) => TextQueries.textZipf(s, d)),
     "t_feature_asof" -> (Analytics.tFeatureAsof _),
     "t_purged_folds" -> ((s, d) => Analytics.tPurgedFolds(s, d)),
+    "t_skew_advisor" -> ((s, d) => Analytics.tSkewAdvisor(s, d)),
     "emb_drift" -> (Similarity.embDrift _),
     "ann_knn_eval" -> ((s, d) => Similarity.knnLabelEval(s, d)),
     "t_fpe" -> (Analytics.tFpe _),
@@ -1242,6 +1243,28 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderkey % 20 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_skew_advisor" ->
+      """WITH a AS (
+        |  SELECT 'l_orderkey' AS key, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY l_orderkey
+        |  UNION ALL
+        |  SELECT 'hot_bucket' AS key, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem
+        |  GROUP BY (CASE WHEN l_orderkey % 10 <> 0 THEN 0 ELSE 1 + l_orderkey % 19 END)
+        |), g AS (
+        |  SELECT key, CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(c) AS BIGINT) AS max_key_rows,
+        |    CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT) AS p99_key_rows
+        |  FROM a GROUP BY key
+        |)
+        |SELECT key, n_rows, n_keys,
+        |  (1000000 * n_rows) // n_keys AS mean_rows_micro,
+        |  p99_key_rows, max_key_rows,
+        |  (1000000 * max_key_rows * n_keys) // n_rows AS skew_factor_micro,
+        |  greatest(1, (max_key_rows * 32 + n_rows - 1) // n_rows) AS recommended_salts,
+        |  greatest(1, (max_key_rows * 32 + n_rows - 1) // n_rows) > 1 AS needs_salting
+        |FROM g ORDER BY key""".stripMargin,
     "t_purged_folds" ->
       """WITH b AS (
         |  SELECT min(CAST(o_orderdate AS DATE)) AS dmin,

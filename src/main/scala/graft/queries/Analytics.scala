@@ -132,6 +132,48 @@ object Analytics {
     * exactly the plan a 1000-executor backfill wants. Exact micro
     * spend, (date, orderkey) total order → hash-exact oracle.
     */
+  /** T33: shuffle-skew advisor — the measurement that DECIDES between
+    * a plain shuffle, AQE skew-join (Q46), and manual salting (T5/
+    * T15), emitted as data: per candidate shuffle key, the per-key
+    * row distribution (keys, mean, p99, max), the skew factor
+    * (max/mean), and the derived prescription — the salt count a
+    * fair schedule needs, `ceil(max_key_rows · P / n_rows)` for P
+    * reducers (a key owning fraction f of rows needs ⌈f·P⌉ reducers
+    * to not be a straggler). At 100 TB this one cheap aggregate per
+    * candidate key is the difference between discovering skew in a
+    * planner table and discovering it in a 6-hour straggler. Run on
+    * two keys: the natural order key (healthy) and the Q46-style
+    * hot-bucketed key (90%+ mass on one value) — both verdicts
+    * exercised, never vacuous.
+    *
+    * Exactness: per-key counts are exact longs; mean/skew in integer
+    * micros via `div`; p99 = percentile_disc (an actual element);
+    * the prescription is pure integer ceiling arithmetic →
+    * hash-exact oracle.
+    */
+  def tSkewAdvisor(spark: SparkSession, dir: String, reducers: Int = 32): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    def analyze(keyName: String, key: org.apache.spark.sql.Column): DataFrame =
+      li.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+        .agg(
+          sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("c").as("max_key_rows"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)")
+            .cast("long").as("p99_key_rows"))
+        .select(lit(keyName).as("key"), col("n_rows"), col("n_keys"),
+          expr("(1000000L * n_rows) div n_keys").as("mean_rows_micro"),
+          col("p99_key_rows"), col("max_key_rows"),
+          expr("(1000000L * max_key_rows * n_keys) div n_rows").as("skew_factor_micro"),
+          expr(s"greatest(1L, (max_key_rows * ${reducers}L + n_rows - 1L) div n_rows)")
+            .as("recommended_salts"))
+        .withColumn("needs_salting", col("recommended_salts") > 1L)
+    analyze("l_orderkey", col("l_orderkey"))
+      .unionByName(analyze("hot_bucket",
+        when(col("l_orderkey") % 10 =!= 0, 0L)
+          .otherwise(lit(1L) + col("l_orderkey") % 19)))
+      .orderBy("key")
+  }
+
   /** Q49: gaps-and-islands activity streaks — longest runs of
     * CONSECUTIVE active days per user (the engagement/retention
     * primitive behind "7-day streak" product metrics and the
