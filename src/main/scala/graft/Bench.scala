@@ -66,7 +66,8 @@ object Bench {
     "g_clustering", "dq_observe",
     // round-7 additions (pure-read analytics only, per the note above)
     "ann_ivfpq", "g_adamic_adar", "dedup_containment", "ts_mann_kendall",
-    "q_streaks", "t_purged_folds", "text_zipf")
+    "q_streaks", "t_purged_folds", "text_zipf", "ann_ivf_sweep",
+    "t_skew_advisor")
 
   /** The scale-step set: the heaviest operators over the tables the
     * 10× blow-up synthesizes (documents/embeddings since round 6;
