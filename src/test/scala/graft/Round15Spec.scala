@@ -119,6 +119,43 @@ class Round15Spec extends SparkSpec {
     assert(after(fix) != before(fix), s"re-landed partition $fix kept its old files")
   }
 
+  test("cdc boundaries use codepoint positions: emoji do not shift the cut points") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{CdcBoundaries, ColumnShim}
+    // two strings identical except a supplementary-plane char (2 UTF-16
+    // code units, 1 codepoint) replaces a BMP char at the front: with
+    // codepoint semantics, boundary POSITIONS after the substitution
+    // depend only on codepoint values, and a driver-side codepoint
+    // replay must agree exactly — the round-6 UTF-16 form shifted every
+    // downstream cut by one on such input (ADVICE r6 finding)
+    val w = 16
+    val mask = 64
+    val body = "the quick brown fox jumps over the lazy dog " * 8
+    val texts = Seq("a" + body, "😀" + body) // 😀
+    def replay(t: String): Seq[Int] = {
+      val cps = t.codePoints().toArray
+      val M = 1048576L
+      var top = 1L
+      (1 until w).foreach(_ => top = (top * 31L) & (M - 1))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var h = 0L
+      cps.indices.foreach { i =>
+        h = if (i < w) (h * 31L + cps(i)) & (M - 1)
+            else ((h - cps(i - w) * top) * 31L + cps(i)) & (M - 1)
+        if (i >= w - 1 && h % mask == 0) out += i + 1
+      }
+      out.toSeq
+    }
+    val got = texts.toDF("text")
+      .select(ColumnShim.column(
+        CdcBoundaries(ColumnShim.expression(col("text")), w, mask)).as("b"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == replay(t), s"boundaries diverge from codepoint replay for ${t.take(8)}")
+    }
+    assert(got(0).nonEmpty, "test corpus must actually produce boundaries")
+  }
+
   test("ann_ivf_sweep: recall is monotone in nprobe and the top setting clears 0.85") {
     val out = graft.operators.Similarity.ivfSweep(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(3)))
