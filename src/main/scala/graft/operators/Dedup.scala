@@ -216,6 +216,30 @@ object Dedup {
   def containment(spark: SparkSession, dir: String,
                   threshold: Double = 0.8, n: Int = 3,
                   maxDf: Int = 50): DataFrame = {
+    val (sets, cand) = containmentCandidates(spark, dir, n, maxDf)
+    cand
+      .join(sets.select(col("doc_id").as("inner_id"), col("sh").as("sha")), Seq("inner_id"))
+      .join(sets.select(col("doc_id").as("outer_id"), col("sh").as("shb")), Seq("outer_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("containment",
+        round(col("inter").cast("double") / size(col("sha")), 4))
+      .filter(col("containment") >= threshold)
+      .select("inner_id", "outer_id", "containment")
+      .orderBy("inner_id", "outer_id")
+  }
+
+  /** [[containment]]'s candidate stage, split out so the scale spec
+    * can MEASURE the df-cap law instead of trusting it: returns the
+    * per-doc hashed shingle sets and the DISTINCT directed candidate
+    * pairs from the capped inverted index. The law: pre-dedup
+    * candidate rows ≤ (maxDf − 1) · |kept index| (each kept index row
+    * meets at most maxDf − 1 partners in its bucket), so distinct
+    * pairs are index-linear with the cap constant — Round15Spec
+    * builds the 10× corpus and asserts it at both scales.
+    */
+  private[graft] def containmentCandidates(spark: SparkSession, dir: String,
+                                           n: Int = 3, maxDf: Int = 50)
+      : (DataFrame, DataFrame) = {
     val sets = spread(Tables.load(spark, dir, "documents")
         .select(col("doc_id"), shingleHashesCol(col("text"), n).as("sh")))
       .filter(size(col("sh")) > 0)
@@ -229,15 +253,19 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("inner_id"), col("b.doc_id").as("outer_id"))
       .distinct()
-    cand
-      .join(sets.select(col("doc_id").as("inner_id"), col("sh").as("sha")), Seq("inner_id"))
-      .join(sets.select(col("doc_id").as("outer_id"), col("sh").as("shb")), Seq("outer_id"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("containment",
-        round(col("inter").cast("double") / size(col("sha")), 4))
-      .filter(col("containment") >= threshold)
-      .select("inner_id", "outer_id", "containment")
-      .orderBy("inner_id", "outer_id")
+    (sets, cand)
+  }
+
+  /** The kept-index row count for [[containmentCandidates]]'s law. */
+  private[graft] def containmentKeptIndexRows(spark: SparkSession, dir: String,
+                                              n: Int = 3, maxDf: Int = 50): Long = {
+    val sets = spread(Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), shingleHashesCol(col("text"), n).as("sh")))
+      .filter(size(col("sh")) > 0)
+    sets.select(col("doc_id"), explode(col("sh")).as("h"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= maxDf)
+      .count()
   }
 
   /** MinHash signature: native codegen'd expression

@@ -560,6 +560,29 @@ object Graph {
     adamicAdarOf(cs, maxDeg, topK)
   }
 
+  /** [[adamicAdar]]'s candidate (wedge) count and capped-edge count,
+    * split out so the scale spec can MEASURE the hub-cap law: wedge
+    * rows = Σ_w d_w(d_w − 1) ≤ (maxDeg − 1) · |capped edges| — the
+    * bound that makes candidate generation index-linear by
+    * construction. Round15Spec builds the 10× trade tables and
+    * asserts it at both scales.
+    */
+  private[graft] def adamicAdarStats(spark: SparkSession, dir: String,
+                                     maxDeg: Int = 50): (Long, Long) = {
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("s"))
+      .distinct()
+    val sdeg = cs.groupBy("s").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2 && col("d") <= maxDeg)
+      .select("s")
+    val capped = cs.join(sdeg, "s").localCheckpoint()
+    val wedges = capped.as("x").join(capped.as("y"),
+      col("x.s") === col("y.s") && col("x.c") =!= col("y.c")).count()
+    (capped.count(), wedges)
+  }
+
   /** [[adamicAdar]]'s core over ANY distinct (c, s) bipartite edge
     * set — split out so specs can feed hand graphs.
     */

@@ -119,6 +119,34 @@ class Round15Spec extends SparkSpec {
     assert(after(fix) != before(fix), s"re-landed partition $fix kept its old files")
   }
 
+  test("dedup_containment: candidate volume obeys the df-cap law at the 10x step") {
+    import graft.operators.Dedup
+    val scaled = Bench.ensureScaled(spark, sfDir, 10)
+    for (d <- Seq(sfDir, scaled)) {
+      val kept = Dedup.containmentKeptIndexRows(spark, d)
+      val cand = Dedup.containmentCandidates(spark, d)._2.count()
+      // distinct pairs <= pre-dedup candidate rows <= (maxDf-1) * kept
+      assert(cand <= 49L * kept,
+        s"$d: $cand candidates exceed the df-cap bound ${49L * kept}")
+      RecallLog.record("dedup_containment",
+        if (d == sfDir) "cand_per_index_row_1x" else "cand_per_index_row_10x",
+        cand.toDouble / math.max(kept, 1L))
+    }
+  }
+
+  test("g_adamic_adar: wedge volume obeys the hub-cap law at the 10x step") {
+    import graft.operators.Graph
+    val scaled = Bench.ensureScaled(spark, sfDir, 10)
+    for (d <- Seq(sfDir, scaled)) {
+      val (cappedEdges, wedges) = Graph.adamicAdarStats(spark, d)
+      assert(wedges <= 49L * cappedEdges,
+        s"$d: $wedges wedges exceed the cap bound ${49L * cappedEdges}")
+      RecallLog.record("g_adamic_adar",
+        if (d == sfDir) "wedges_per_edge_1x" else "wedges_per_edge_10x",
+        wedges.toDouble / math.max(cappedEdges, 1L))
+    }
+  }
+
   test("cdc boundaries use codepoint positions: emoji do not shift the cut points") {
     import spark.implicits._
     import org.apache.spark.sql.graft.{CdcBoundaries, ColumnShim}
