@@ -310,6 +310,7 @@ object SparkEntry {
     // Multimodal (M1–M3)
     "mm_schema" -> (Multimodal.mmSchema _),
     "mm_dedup" -> (Multimodal.mmDedup _),
+    "mm_block_dedup" -> (Multimodal.mmBlockDedup _),
     "mm_probe" -> (Multimodal.mmProbe _),
     "mm_entropy" -> (Multimodal.mmEntropy _),
     "mm_neardup" -> (Multimodal.mmNearDup _),
@@ -3685,6 +3686,30 @@ object SparkEntry {
         |  cast(1 + doc_id % 4 AS bigint) AS channels,
         |  cast(octet_length(encode(text)) AS bigint) AS body_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // block ids are md5 over the block's HEX rendering (injective →
+    // byte-exact identity) because this engine has no BLOB md5; the
+    // hex text slices at byte boundaries (2 chars/byte)
+    "mm_block_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      substring(repeat('HDR' || CAST((doc_id // 7) % 2 AS VARCHAR) || 'abcdefghijk', 40), 1, 512)
+        |        || 'tail_' || CAST(doc_id AS VARCHAR)
+        |    ELSE text END AS p
+        |  FROM documents
+        |), hx AS (
+        |  SELECT doc_id, hex(encode(p)) AS h, octet_length(encode(p)) AS nbytes FROM m
+        |), b AS (
+        |  SELECT md5(substring(h, i * 512 + 1, 512)) AS block_md5,
+        |    least(256, nbytes - i * 256) AS block_bytes
+        |  FROM hx, LATERAL unnest(generate_series(0,
+        |    CAST(ceil(nbytes / 256.0) AS INT) - 1)) AS u(i)
+        |)
+        |SELECT block_md5, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(max(block_bytes) AS BIGINT) AS block_bytes,
+        |  CAST((count(*) - 1) * max(block_bytes) AS BIGINT) AS bytes_reclaimed
+        |FROM b GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY block_md5""".stripMargin,
     "mm_dedup" ->
       """WITH m AS (
         |  SELECT doc_id,

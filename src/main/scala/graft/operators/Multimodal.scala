@@ -276,6 +276,61 @@ object Multimodal {
   def mmDedup(spark: SparkSession, dir: String): DataFrame =
     payloadDedup(withMirroredMedia(Tables.load(spark, dir, "documents")))
 
+  /** M10: block-level payload dedup — the storage-dedup primitive
+    * UNDER exact-payload dedup (restic/borg/Venti): payloads are cut
+    * into fixed `blockSize`-byte blocks and identical blocks dedup
+    * ACROSS payloads, catching shared sub-content M6's whole-payload
+    * md5 cannot see (the same asset embedded behind different
+    * prefixes, containers sharing headers, append-only media
+    * variants). The per-request-billed object store then keeps one
+    * copy per distinct block plus a per-payload block index — M5's
+    * shard+index layout at block granularity.
+    *
+    * Scale shape: block ids are born in the scan projection (the
+    * payload explodes to per-block offsets NARROWLY, each block
+    * hashes in place), so ONLY (hash, len) rows cross the one
+    * shuffle — payload bytes never move, the M6 contract at block
+    * granularity. Block id = md5 of the block's HEX rendering:
+    * hex is injective so identity semantics are byte-exact, and it
+    * is the cross-engine-checkable form (the oracle's engine has no
+    * BLOB md5/substring — it slices the hex text at byte boundaries
+    * and hashes the same characters; probed bit-equal including
+    * case). Plant: every 7th doc carries one of two 512-byte shared
+    * headers + a unique tail — partial sharing, exactly what
+    * whole-payload dedup misses — so the gate is non-vacuous at
+    * every SF and the oracle replays the derivation.
+    */
+  private[graft] def withSharedHeaderMedia(docs: DataFrame): DataFrame = {
+    val variant = (floor(col("doc_id") / 7).cast("long") % 2).cast("string")
+    val header = substring(
+      repeat(concat(lit("HDR"), variant, lit("abcdefghijk")), 40), 1, 512)
+    val p = when(col("doc_id") % 7 === 0,
+      concat(header, lit("tail_"), col("doc_id").cast("string")))
+      .otherwise(col("text"))
+    docs.select(col("doc_id"), encode(p, "UTF-8").as("payload"))
+  }
+
+  /** The M10 operator body over ANY (doc_id, payload) media table. */
+  def blockDedup(media: DataFrame, blockSize: Int = 256): DataFrame = {
+    val nb = ceil(octet_length(col("payload")).cast("double") / blockSize).cast("int")
+    media
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), nb - 1)).as("bi"))
+      .select(
+        md5(hex(col("payload").substr(col("bi") * blockSize + 1, lit(blockSize))))
+          .as("block_md5"),
+        octet_length(col("payload").substr(col("bi") * blockSize + 1, lit(blockSize)))
+          .cast("long").as("block_bytes"))
+      .groupBy("block_md5")
+      .agg(count(lit(1)).as("n_copies"), max("block_bytes").as("block_bytes"),
+        ((count(lit(1)) - 1) * max("block_bytes")).as("bytes_reclaimed"))
+      .filter(col("n_copies") > 1)
+      .orderBy("block_md5")
+  }
+
+  def mmBlockDedup(spark: SparkSession, dir: String): DataFrame =
+    blockDedup(withSharedHeaderMedia(Tables.load(spark, dir, "documents")))
+
   /** Deterministic near-dup media plant for M7: every 28th document's
     * payload becomes a 1024-byte GROUP-periodic pattern (group g =
     * (doc_id/28) % 8 picks a distinct repeat period from a prime-ish
