@@ -151,6 +151,7 @@ object SparkEntry {
     // K22: zero-copy shallow clone; zero-data-write + source-isolation
     // spec-pinned in Round15Spec
     "sink_clone" -> ((s, d) => IOQueries.sinkClone(s, d)),
+    "sink_cdf" -> ((s, d) => IOQueries.sinkCdf(s, d)),
     // E30: streaming append whose mid-feed schema drift evolves the
     // lake through K19's commit across a checkpointed query restart
     "e_stream_evolve" -> ((s, d) => streaming.Events.streamEvolve(s, d)),
@@ -3277,6 +3278,27 @@ object SparkEntry {
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS vacuumed
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_cdf" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        |  WHERE strftime(o_orderdate, '%Y-%m') < '1997-01'
+        |), v2 AS (
+        |  SELECT k, CASE WHEN k % 5 = 1 THEN round(p + 100.0, 2) ELSE p END AS p
+        |  FROM v1 WHERE k % 5 <> 2
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
+        |), j AS (
+        |  SELECT coalesce(v1.k, v2.k) AS o_orderkey, v1.p AS pre_price, v2.p AS post_price
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+        |)
+        |SELECT CASE WHEN post_price IS NULL THEN 'delete'
+        |         WHEN pre_price IS NULL THEN 'insert'
+        |         ELSE 'update' END AS "_change_type",
+        |  o_orderkey, pre_price, post_price
+        |FROM j
+        |WHERE post_price IS NULL OR pre_price IS NULL OR pre_price <> post_price
+        |ORDER BY 1, o_orderkey""".stripMargin,
     "sink_clone" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total,

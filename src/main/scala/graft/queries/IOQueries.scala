@@ -868,6 +868,76 @@ object IOQueries {
       .orderBy("lang")
   }
 
+  /** K23: CHANGE DATA FEED between committed versions — Delta's
+    * `table_changes()` surface: given two manifest versions, derive
+    * the ROW-LEVEL diff (insert / update pre+post / delete) from the
+    * LAKE ALONE — no upstream change log required, which is the point:
+    * downstream incremental consumers (T18/T25's view maintenance,
+    * E23's CDC apply) subscribe to a table they don't own, and the
+    * table's versions are the only contract. The feed is derived by
+    * reading both versions' file sets (planned driver-side from
+    * manifest rows, K11's metadata-skipping shape) and one full-outer
+    * join on the key: v1-only → delete, v2-only → insert, both with
+    * different payloads → update with pre/post images.
+    *
+    * At 100 TB the full-outer is key-partitioned on both sides and
+    * the output is change-mass-sized; production formats shortcut
+    * further by diffing only files that CHANGED between the versions
+    * (carried files cancel — K14/K21's by-reference carry makes the
+    * candidate file set small), stated as the scale refinement. The
+    * demo's v2 applies deletes (keys ≡ 2 mod 5), updates (≡ 1 mod 5,
+    * +100), and inserts (the post-cutoff months); the oracle replays
+    * the same derivation from the raw table, so every change row,
+    * image, and type sits under the hash.
+    */
+  def sinkCdf(spark: SparkSession, dir: String, cutoff: String = "1997-01",
+              baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(tmpDir("cdf"))
+    val lake = base + "/lake"
+    val man = base + "/manifest"
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("month"))
+    val v1data = orders.filter(col("month") < cutoff)
+    v1data.repartition(4).write.mode("overwrite").parquet(lake + "/gen1")
+    def manifestOf(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+    graft.sinks.ManifestStore.publish(spark, man, manifestOf(lake + "/gen1"))
+    val k5 = col("o_orderkey") % 5
+    v1data.filter(k5 =!= 2)
+      .withColumn("o_totalprice",
+        when(k5 === 1, round(col("o_totalprice") + 100.0, 2))
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.filter(col("month") >= cutoff))
+      .repartition(4).write.mode("overwrite").parquet(lake + "/gen2")
+    graft.sinks.ManifestStore.publish(spark, man, manifestOf(lake + "/gen2"))
+    tableChanges(spark, man, 1L, 2L)
+  }
+
+  /** The K23 reader primitive: row-level changes between two committed
+    * manifest versions, derived from the lake alone.
+    */
+  private[graft] def tableChanges(spark: SparkSession, manifestBase: String,
+                                  fromV: Long, toV: Long): DataFrame = {
+    def filesOf(v: Long): Array[String] =
+      spark.read.json(new Path(new Path(manifestBase), s"manifest_v$v").toString)
+        .select("file").collect().map(_.getString(0))
+    val pre = spark.read.parquet(filesOf(fromV): _*)
+      .select(col("o_orderkey"), col("o_totalprice").as("pre_price"))
+    val post = spark.read.parquet(filesOf(toV): _*)
+      .select(col("o_orderkey"), col("o_totalprice").as("post_price"))
+    pre.join(post, Seq("o_orderkey"), "full_outer")
+      .withColumn("_change_type",
+        when(col("post_price").isNull, "delete")
+          .when(col("pre_price").isNull, "insert")
+          .when(col("pre_price") =!= col("post_price"), "update")
+          .otherwise("unchanged"))
+      .filter(col("_change_type") =!= "unchanged")
+      .select(col("_change_type"), col("o_orderkey"), col("pre_price"), col("post_price"))
+      .orderBy("_change_type", "o_orderkey")
+  }
+
   /** K22: zero-copy SHALLOW CLONE — Delta's dev/test sandbox
     * primitive: a clone is a NEW manifest store whose v1 simply
     * references the source table's live files — no data moves, the
