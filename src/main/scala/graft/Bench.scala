@@ -145,10 +145,12 @@ object Bench {
       // line up within each replica.
       val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val maxO = orders.agg(max("o_orderkey").cast("long")).head.getLong(0) + 1
-      val maxC = orders.agg(max("o_custkey").cast("long")).head.getLong(0) + 1
-      val maxS = li.agg(max("l_suppkey").cast("long")).head.getLong(0) + 1
-      val maxP = li.agg(max("l_partkey").cast("long")).head.getLong(0) + 1
+      val oMax = orders.agg(max("o_orderkey").cast("long"),
+        max("o_custkey").cast("long")).head
+      val (maxO, maxC) = (oMax.getLong(0) + 1, oMax.getLong(1) + 1)
+      val lMax = li.agg(max("l_suppkey").cast("long"),
+        max("l_partkey").cast("long")).head
+      val (maxS, maxP) = (lMax.getLong(0) + 1, lMax.getLong(1) + 1)
       orders.crossJoin(broadcast(reps))
         .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxO)
         .withColumn("o_custkey", col("o_custkey") + col("rep") * maxC)

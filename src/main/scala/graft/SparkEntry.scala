@@ -2246,7 +2246,7 @@ object SparkEntry {
         |    sum(x * y) AS sxy, sum(x * x) AS sxx
         |  FROM dd
         |)
-        |SELECT CAST(x % 7 AS INT) AS dow,
+        |SELECT CAST(((x % 7) + 7) % 7 AS INT) AS dow,
         |  CAST(count(*) AS BIGINT) AS n_days,
         |  CAST(round(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT) AS dow_mean_micro,
         |  CAST(round(CAST(sum(y) AS DOUBLE) * CAST(g.n AS DOUBLE) * 1e6 /
@@ -2256,7 +2256,7 @@ object SparkEntry {
         |    CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)) AS BIGINT)
         |    AS slope_micro_per_day
         |FROM dd, g
-        |GROUP BY x % 7, g.n, g.sy, g.sxy, g.sx, g.sxx
+        |GROUP BY ((x % 7) + 7) % 7, g.n, g.sy, g.sxy, g.sx, g.sxx
         |ORDER BY dow""".stripMargin,
     // sequence patterns: same symbol encoding, same (ts, event_id)
     // order, RE2-safe regexes evaluate identically in both engines
@@ -2285,7 +2285,7 @@ object SparkEntry {
         |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
         |  FROM orders GROUP BY 1
         |), dd AS (
-        |  SELECT d, y, CAST(datediff('day', DATE '1995-01-01', d) % 7 AS BIGINT) AS dow
+        |  SELECT d, y, CAST(((datediff('day', DATE '1995-01-01', d) % 7) + 7) % 7 AS BIGINT) AS dow
         |  FROM daily
         |), sgn AS (
         |  SELECT a.dow AS dow,
@@ -2339,7 +2339,7 @@ object SparkEntry {
         |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
         |  FROM orders GROUP BY 1
         |), d0 AS (
-        |  SELECT d, y, CAST(datediff('day', DATE '1995-01-01', d) % 7 AS INT) AS dow
+        |  SELECT d, y, CAST(((datediff('day', DATE '1995-01-01', d) % 7) + 7) % 7 AS INT) AS dow
         |  FROM daily
         |), dm AS (
         |  SELECT dow,
@@ -3721,6 +3721,7 @@ object SparkEntry {
         |  FROM documents
         |), hx AS (
         |  SELECT doc_id, hex(encode(p)) AS h, octet_length(encode(p)) AS nbytes FROM m
+        |  WHERE octet_length(encode(p)) > 0
         |), b AS (
         |  SELECT md5(substring(h, i * 512 + 1, 512)) AS block_md5,
         |    least(256, nbytes - i * 256) AS block_bytes

@@ -240,6 +240,22 @@ object Dedup {
   private[graft] def containmentCandidates(spark: SparkSession, dir: String,
                                            n: Int = 3, maxDf: Int = 50)
       : (DataFrame, DataFrame) = {
+    val (sets, kept) = containmentKeptIndex(spark, dir, n, maxDf)
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("inner_id"), col("b.doc_id").as("outer_id"))
+      .distinct()
+    (sets, cand)
+  }
+
+  /** ONE definition of the capped inverted index — the candidate stage
+    * and the law spec both consume it, so the bound the spec measures
+    * can never drift from the pipeline the operator runs (review r7
+    * finding: the first cut duplicated this block verbatim).
+    */
+  private[graft] def containmentKeptIndex(spark: SparkSession, dir: String,
+                                          n: Int = 3, maxDf: Int = 50)
+      : (DataFrame, DataFrame) = {
     val sets = spread(Tables.load(spark, dir, "documents")
         .select(col("doc_id"), shingleHashesCol(col("text"), n).as("sh")))
       .filter(size(col("sh")) > 0)
@@ -249,23 +265,7 @@ object Dedup {
     val kept = idx
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("df") <= maxDf)
-    val cand = kept.as("a").join(kept.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("inner_id"), col("b.doc_id").as("outer_id"))
-      .distinct()
-    (sets, cand)
-  }
-
-  /** The kept-index row count for [[containmentCandidates]]'s law. */
-  private[graft] def containmentKeptIndexRows(spark: SparkSession, dir: String,
-                                              n: Int = 3, maxDf: Int = 50): Long = {
-    val sets = spread(Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), shingleHashesCol(col("text"), n).as("sh")))
-      .filter(size(col("sh")) > 0)
-    sets.select(col("doc_id"), explode(col("sh")).as("h"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") <= maxDf)
-      .count()
+    (sets, kept)
   }
 
   /** MinHash signature: native codegen'd expression

@@ -314,6 +314,10 @@ object Multimodal {
   def blockDedup(media: DataFrame, blockSize: Int = 256): DataFrame = {
     val nb = ceil(octet_length(col("payload")).cast("double") / blockSize).cast("int")
     media
+      // empty payloads generate NO blocks: without the guard, Spark's
+      // sequence(0, -1) silently produces a DESCENDING [0, -1] and two
+      // phantom md5('')-blocks per empty payload (review r7 finding)
+      .filter(octet_length(col("payload")) > 0)
       .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0), nb - 1)).as("bi"))
       .select(

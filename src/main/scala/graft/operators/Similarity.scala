@@ -256,7 +256,6 @@ object Similarity {
                  nTables: Int = 16, bitsPerTable: Int = 4,
                  seed: Long = 42L, targetOccupancy: Long = 128L): DataFrame = {
     val e = corpus(spark, dir)
-    val dim = embeddingDim(spark, dir)
     // Depth follows the corpus (the memoized count — same probe the
     // exact knnJoin sizes its blocks with): E[bucket] = n / 2^bits, so
     // bits = max(floor, ceil(log2(n / targetOccupancy))) pins expected

@@ -746,17 +746,17 @@ object Analytics {
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"),
           max("k_total").as("k_total"))
         .orderBy("k")
-      // Cache + eager count materializes the join under the tuned conf
-      // (AQE reads conf at execution time); the skew=true marker is
-      // read from the executed plan tree (the InMemoryRelation prints
-      // its cached AdaptiveSparkPlan as an inner child). The returned
-      // DataFrame scans the ≤20-row cache — no driver round-trip, and
-      // no re-join under the restored (un-tuned) conf.
-      joined.persist()
-      joined.count()
+      // Eager localCheckpoint materializes the join under the tuned
+      // conf (AQE reads conf at execution time) and truncates the
+      // returned plan to the materialized blocks — no driver
+      // round-trip, no persistent cache entry to leak, and no way for
+      // a later consumer to silently re-run the join under the
+      // restored (un-tuned) conf. The skew=true marker is read from
+      // the executed AdaptiveSparkPlan the checkpoint just ran.
+      val snapped = joined.localCheckpoint()
       val skewHandled = joined.queryExecution.executedPlan.toString
         .contains("skew=true")
-      joined.withColumn("skew_handled", lit(skewHandled)).orderBy("k")
+      snapped.withColumn("skew_handled", lit(skewHandled)).orderBy("k")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -73,7 +73,7 @@ object TimeSeries {
         col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
       (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
     val global = g.select(col("n"), col("sy"), round(slope).cast("long").as("slope_micro_per_day"))
-    d.groupBy((col("x") % 7).cast("int").as("dow"))
+    d.groupBy((((col("x") % 7) + 7) % 7).cast("int").as("dow"))
       .agg(count(lit(1)).as("n_days"), sum(col("y").cast("decimal(38,0)")).as("syd"))
       .crossJoin(global)
       .select(col("dow"), col("n_days"),
@@ -316,7 +316,8 @@ object TimeSeries {
   /** [[residualAnomaly]]'s core over ANY (d DATE, y LONG) series. */
   private[graft] def residualAnomalyOf(series: DataFrame): DataFrame = {
     val d0 = series.select(col("d"), col("y"),
-      (datediff(col("d"), lit("1995-01-01").cast("date")) % 7).cast("int").as("dow"))
+      (((datediff(col("d"), lit("1995-01-01").cast("date")) % 7) + 7) % 7)
+        .cast("int").as("dow"))
     val dowMed = d0.groupBy("dow")
       .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)")
         .cast("long").as("dow_med"))
@@ -361,7 +362,8 @@ object TimeSeries {
   /** [[mannKendall]]'s core over ANY (d DATE, y LONG) daily series. */
   private[graft] def mannKendallOf(base: DataFrame): DataFrame = {
     val d = base.select(col("d"), col("y"),
-      (datediff(col("d"), lit("1995-01-01").cast("date")) % 7).cast("long").as("dow"))
+      (((datediff(col("d"), lit("1995-01-01").cast("date")) % 7) + 7) % 7)
+        .cast("long").as("dow"))
     val s = d.as("a").join(d.as("b"),
         col("a.dow") === col("b.dow") && col("a.d") < col("b.d"))
       .groupBy(col("a.dow").as("dow"))

@@ -123,7 +123,7 @@ class Round15Spec extends SparkSpec {
     import graft.operators.Dedup
     val scaled = Bench.ensureScaled(spark, sfDir, 10)
     for (d <- Seq(sfDir, scaled)) {
-      val kept = Dedup.containmentKeptIndexRows(spark, d)
+      val kept = Dedup.containmentKeptIndex(spark, d)._2.count()
       val cand = Dedup.containmentCandidates(spark, d)._2.count()
       // distinct pairs <= pre-dedup candidate rows <= (maxDf-1) * kept
       assert(cand <= 49L * kept,
@@ -285,6 +285,23 @@ class Round15Spec extends SparkSpec {
     val capped = graft.operators.Graph.adamicAdarOf(cs, maxDeg = 5, topK = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
     assert(capped.toSeq == Seq((1L, 2L, 1442695L)), s"got ${capped.toSeq}")
+  }
+
+  test("ts_mann_kendall: pre-epoch dates land in the same weekday bucket (floor-mod dow)") {
+    import spark.implicits._
+    import java.sql.Date
+    // a weekly series STRADDLING the fixed epoch: signed % would split
+    // this one weekday into two disjoint sub-series (dow -6..0 vs 0..6)
+    // and hide any trend spanning the epoch (review r7 finding); with
+    // floor-mod the output has exactly ONE row and sees the full trend
+    val series = (-10 to 9).map { i =>
+      (Date.valueOf(java.time.LocalDate.parse("1995-01-01").plusDays(7L * i)),
+        (i + 11L) * 1000000L)
+    }.toDF("d", "y")
+    val out = graft.queries.TimeSeries.mannKendallOf(series).collect()
+    assert(out.length == 1, s"epoch-straddling weekday split into ${out.length} buckets")
+    assert(out.head.getAs[String]("trend") == "increasing")
+    assert(out.head.getAs[Long]("n") == 20L)
   }
 
   test("ts_mann_kendall: monotone series flag, constant series stay quiet, outliers cannot flip") {
