@@ -215,7 +215,7 @@ object Bench {
         // the scale-step ratio of a shared-pass operator would measure
         // cache-hit arithmetic and read as fake sub-linearity
         def run(): Double = {
-          graft.operators.Graph.dropSharedCache()
+          graft.operators.Graph.dropSharedCache(spark)
           time(materialize(fn(spark, dir)))
         }
         run() // cold: codegen + listing

@@ -18,7 +18,7 @@ object ProfileGraphScale {
     }
     def med(name: String, dir: String): Double = {
       def run(): Double = {
-        graft.operators.Graph.dropSharedCache()
+        graft.operators.Graph.dropSharedCache(spark)
         time(SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save())
       }

@@ -133,6 +133,30 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.5, n: Int = 3): DataFrame = {
+    val (sets, cand) = ngramJaccardCandidates(spark, dir, threshold, n)
+    // exact verify on candidates only, from the full hashed sets
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** D2's prefix-filtered candidate stage, exposed so the scale spec
+    * (Round16Spec) can measure the candidate LAW directly: with
+    * duplicate density held constant, PPJoin candidates are
+    * corpus-linear (pairs/doc ≈ invariant across a 10× step) — the
+    * quadratic Σ df² form exists only pre-filter. Returns (sets,
+    * candidates) so the public operator verifies from the same sets.
+    */
+  private[graft] def ngramJaccardCandidates(
+      spark: SparkSession, dir: String,
+      threshold: Double = 0.5, n: Int = 3): (DataFrame, DataFrame) = {
     // Per-doc distinct shingle sets as 8-byte hash ids (the native
     // codegen'd [[ShingleHashes]] — one compiled loop per row), built
     // once behind the spread exchange. Every downstream join/intersect
@@ -179,17 +203,7 @@ object Dedup {
           lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) >= minInter)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verify on candidates only, from the full hashed sets
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (size(col("sha")) + size(col("shb")) - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    (sets, cand)
   }
 
   /** D22: shingle-containment detection — the ASYMMETRIC near-dup

@@ -303,26 +303,52 @@ object Graph {
     * explicitly.
     */
   private val partsGraphCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, Seq[Int])]
 
   /** Drop the shared G2/G8 artifacts — Bench calls this before every
     * timed run so benchmark numbers grade the full pipeline, never
-    * memo reuse (the checkpointed blocks are released by the context
-    * cleaner once unreferenced).
+    * memo reuse.
+    *
+    * The unpersist must be EXPLICIT and BLOCKING, and it must target
+    * the RDD blocks, not the Dataset: `Dataset.unpersist` only clears
+    * CacheManager entries, and a `localCheckpoint`'ed Dataset has
+    * none — its storage lives on the internal RDD that
+    * `localCheckpoint` persisted. Clearing only the memo map orphans
+    * those blocks to the lazy post-GC ContextCleaner; under a long
+    * one-JVM bench sweep that rebuilds the pass 4× per timed entry,
+    * orphaned MEMORY_AND_DISK blocks accumulate until
+    * storage-eviction churn dominates (the round-7 driver-box
+    * pathology: g_clustering 67.7 s median vs the same run's
+    * ~12.6 s scale-step base). So [[partsGraph]] records the RDD ids
+    * it persists and this frees them by id via
+    * `getPersistentRDDs` — blocking, so the blocks are gone before
+    * the next timed run starts.
     */
-  private[graft] def dropSharedCache(): Unit = partsGraphCache.clear()
+  private[graft] def dropSharedCache(spark: SparkSession): Unit = {
+    val persisted = spark.sparkContext.getPersistentRDDs
+    partsGraphCache.values.foreach { case (_, _, rddIds) =>
+      rddIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = true)))
+    }
+    partsGraphCache.clear()
+  }
 
-  private def partsGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    partsGraphCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + dir, {
-      val l1 = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val pp = l1.as("x").join(l1.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-        .distinct()
-        .localCheckpoint()
-      (pp, triangleStream(orientedOf(pp)).localCheckpoint())
-    })
+  private def partsGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (pp, stream, _) =
+      partsGraphCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + dir, {
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val l1 = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+        val pp = l1.as("x").join(l1.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .distinct()
+          .localCheckpoint()
+        val stream = triangleStream(orientedOf(pp)).localCheckpoint()
+        val mine = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSeq.sorted
+        (pp, stream, mine)
+      })
+    (pp, stream)
+  }
 
   /** G5: item-item Jaccard similarity over the supplier↔part
     * bipartite graph (suppliers as items, their shipped part sets as

@@ -1,0 +1,70 @@
+package graft
+
+/** Round-8 specs: the two VERDICT r7 pins —
+  *   1. the G2/G8 shared-cache leak (the only weak grade): prove
+  *      `Graph.dropSharedCache` actually frees the localCheckpoint'ed
+  *      RDD blocks, not just the memo map;
+  *   2. the D2 PPJoin candidate law at the 10× scale step, the same
+  *      empirical treatment Round14Spec gave ann_knn_lsh.
+  */
+class Round16Spec extends SparkSpec {
+
+  test("g_clustering shared cache: dropSharedCache frees the checkpoint blocks (r7 driver pathology)") {
+    import graft.operators.Graph
+    // The r7 driver-box pathology: dropSharedCache() cleared the memo
+    // TrieMap but left the localCheckpoint'ed pp/stream RDD blocks to
+    // the lazy ContextCleaner, so a long one-JVM bench sweep
+    // accumulated orphaned MEMORY_AND_DISK blocks until eviction
+    // churn dominated (g_clustering 67.7 s vs its own ~12.6 s base).
+    // The deterministic observable: persistent-RDD count must return
+    // to its pre-build level after EVERY drop, across repeated
+    // rebuilds in one JVM — the exact access pattern Bench has.
+    Graph.dropSharedCache(spark) // clear any earlier suite's artifacts
+    val base = spark.sparkContext.getPersistentRDDs.size
+    (1 to 4).foreach { i =>
+      SparkEntry.queries("g_clustering")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val during = spark.sparkContext.getPersistentRDDs.size
+      assert(during > base,
+        s"iteration $i: expected the shared pass to persist blocks " +
+          s"(got $during, base $base) — the observable is vacuous")
+      Graph.dropSharedCache(spark)
+      val after = spark.sparkContext.getPersistentRDDs.size
+      assert(after == base,
+        s"iteration $i: $after persistent RDDs survive dropSharedCache " +
+          s"(base $base) — orphaned checkpoint blocks accumulate across " +
+          "a bench sweep exactly as in BENCH_r07")
+    }
+  }
+
+  test("dedup_ngram_jaccard: PPJoin candidates are corpus-linear at the 10x scale step") {
+    import graft.operators.Dedup
+    // The claimed scale law (Dedup.ngramJaccard): with duplicate
+    // density held constant (the generator's contract — replicas are
+    // shingle-disjoint bijective renames), prefix-filtered candidates
+    // grow linearly with the corpus: pairs/doc ≈ invariant across the
+    // step. The naive Σ df² quadratic form exists only pre-filter.
+    // This measures the law rather than trusting it — VERDICT r7 #3
+    // flagged the 10.93× wall ratio as needing exactly this pin.
+    val scaled = Bench.ensureScaled(spark, sfDir, 10)
+    def load(dir: String): (Long, Long) = {
+      val n = spark.read.parquet(s"$dir/documents.parquet").count()
+      val (_, cand) = Dedup.ngramJaccardCandidates(spark, dir)
+      (n, cand.count())
+    }
+    val (n1, p1) = load(sfDir)
+    val (n10, p10) = load(scaled)
+    assert(n10 == 10 * n1, s"scale step must be 10x: $n1 -> $n10")
+    // per-doc candidate load must hold within 2× across the step —
+    // replica hash renames can reorder df-tied prefixes slightly, so
+    // exact 10× is not guaranteed, but quadratic growth (100×) is
+    // three doublings away from this bound
+    val perDoc1 = p1.toDouble / n1
+    val perDoc10 = p10.toDouble / n10
+    assert(perDoc10 <= 2.0 * math.max(perDoc1, 1e-9),
+      s"candidates/doc grew ${perDoc1} -> ${perDoc10} across the 10x " +
+        "step — super-linear candidate growth, the PPJoin law is broken")
+    RecallLog.record("dedup_ngram_jaccard", "cand_per_doc_1x", perDoc1)
+    RecallLog.record("dedup_ngram_jaccard", "cand_per_doc_10x", perDoc10)
+  }
+}
