@@ -205,7 +205,12 @@ object Bench {
     def materialize(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    case class Timing(median: Double, min: Double, spread: Double)
+    // iters holds every measurement in RUN ORDER (cold first, then
+    // the warm runs) so run-over-run degradation inside one JVM —
+    // the r7 g_clustering pathology — is visible in the artifact
+    // itself rather than inferred from cross-block comparisons
+    case class Timing(median: Double, min: Double, spread: Double,
+                      iters: Seq[Double])
 
     def benchOne(name: String, dir: String, warmRuns: Int): Option[Timing] =
       SparkEntry.queries.get(name).map { fn =>
@@ -218,13 +223,15 @@ object Bench {
           graft.operators.Graph.dropSharedCache(spark)
           time(materialize(fn(spark, dir)))
         }
-        run() // cold: codegen + listing
+        val cold = run() // cold: codegen + listing
         // drop the previous query's broadcast/cache garbage so each
         // measurement sees a clean heap, not its predecessor's GC debt
         spark.catalog.clearCache()
         System.gc()
-        val runs = Seq.fill(warmRuns)(run()).sorted
-        Timing(runs(runs.length / 2), runs.head, runs.last - runs.head)
+        val warm = Seq.fill(warmRuns)(run())
+        val sorted = warm.sorted
+        Timing(sorted(sorted.length / 2), sorted.head,
+          sorted.last - sorted.head, cold +: warm)
       }
 
     def bench(names: Seq[String], dir: String, warmRuns: Int = 3): Seq[(String, Timing)] =
@@ -241,8 +248,8 @@ object Bench {
 
     // scale-step: heaviest doc/embedding operators at 10× volume,
     // ratioed against this same run's 1× medians
-    val scaleJson =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) ""
+    val (scaleJsonStr, scaleRatios) =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) ("", Seq.empty[(String, Double)])
       else {
         val factor = 10
         val scaledDir = ensureScaled(spark, sfDir, factor)
@@ -254,13 +261,46 @@ object Bench {
         val scaled = bench(scaleStep, scaledDir, warmRuns = 3)
         val ratios = scaled.flatMap { case (n, t) =>
           baseline.get(n).map(b => n -> t.median / math.max(b.median, 1e-9)) }
-        f""","scale_step":{"factor":$factor,"queries":${jsonField(scaled, _.median)},"ratio":${json(ratios)},"total":${scaled.map(_._2.median).sum}%.3f}"""
+        (f""","scale_step":{"factor":$factor,"queries":${jsonField(scaled, _.median)},"ratio":${json(ratios)},"total":${scaled.map(_._2.median).sum}%.3f}""", ratios)
       }
+
+    // streaming micro-batch throughput (VERDICT r7 #5): events/sec
+    // over the staged feed for 5 representative state-store pipelines
+    val streamingJson =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_STREAMING")) ""
+      else {
+        val entries = graft.streaming.StreamBench.run(spark, sfDir)
+        val evps = entries.map(e => e.name -> e.eventsPerSec)
+        f""","streaming":{"events":${entries.headOption.fold(0L)(_.events)},"queries":${json(entries.map(e => e.name -> e.sec))},"queries_min":${json(entries.map(e => e.name -> e.minSec))},"events_per_sec":${json(evps)},"total":${entries.map(_.sec).sum}%.3f}"""
+      }
+
+    // per-iteration times (run order: cold, then warm) for every
+    // entry whose median exceeds 5 s — the degradation observable
+    // VERDICT r7 #2 asked for
+    val slow = (results ++ ext).filter(_._2.median > 5.0)
+    val itersJson =
+      if (slow.isEmpty) ""
+      else ",\"iters\":" + slow.map { case (k, t) =>
+        "\"" + k + "\":" + t.iters.map(v => f"$v%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+
+    // compact summary as the LAST fields of the line: the driver
+    // captures only a 2000-char tail, which in r7 cut the headline
+    // block entirely (VERDICT r7 "What's wrong" #3) — everything a
+    // reader needs must survive tail truncation
+    val worst = (results ++ ext).sortBy(-_._2.median).take(5)
+    val worstJson = worst.map { case (k, t) =>
+      f"""{"q":"$k","med":${t.median}%.3f,"min":${t.min}%.3f}""" }.mkString("[", ",", "]")
+    val ratioWorst = scaleRatios.sortBy(-_._2).take(3)
+    val ratioWorstJson = ratioWorst.map { case (k, r) =>
+      f"""{"q":"$k","ratio":$r%.2f}""" }.mkString("[", ",", "]")
+    val summaryJson =
+      f""","summary":{"headline_total":$total%.3f,"extended_total":${ext.map(_._2.median).sum}%.3f,"worst":$worstJson,"scale_ratio_worst":$ratioWorstJson}"""
 
     // ONE JSON line per the driver contract; "value" stays the frozen
     // 20-query headline total (sum of warm medians), per-query min and
     // spread (max−min of the 3 warm runs) ride as extra keys
-    realOut.println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${jsonField(results, _.median)},"queries_min":${jsonField(results, _.min)},"queries_spread":${jsonField(results, _.spread)},"extended":${jsonField(ext, _.median)},"extended_min":${jsonField(ext, _.min)},"extended_spread":${jsonField(ext, _.spread)},"extended_total":${ext.map(_._2.median).sum}%.3f$scaleJson,"sf":"$sfDir"}""")
+    realOut.println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${jsonField(results, _.median)},"queries_min":${jsonField(results, _.min)},"queries_spread":${jsonField(results, _.spread)},"extended":${jsonField(ext, _.median)},"extended_min":${jsonField(ext, _.min)},"extended_spread":${jsonField(ext, _.spread)},"extended_total":${ext.map(_._2.median).sum}%.3f$scaleJsonStr$streamingJson$itersJson,"sf":"$sfDir"$summaryJson}""")
     realOut.flush()
     spark.stop()
   }

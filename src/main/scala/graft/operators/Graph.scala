@@ -301,6 +301,14 @@ object Graph {
     * is cheap; at 100 TB this is the "materialize the shared
     * intermediate view" decision a production pipeline makes
     * explicitly.
+    *
+    * CONTRACT: the memo key is (applicationId, dir) with NO
+    * file-listing validation — input data under `dir` is assumed
+    * immutable for the session's lifetime (true for the driver's
+    * testdata and any production snapshot/manifest-versioned read).
+    * A path whose files are rewritten mid-session would serve stale
+    * triangles; such callers must [[dropSharedCache]] after the
+    * rewrite (Bench does, for timing fairness rather than staleness).
     */
   private val partsGraphCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, Seq[Int])]

@@ -75,8 +75,14 @@ object Analytics {
         count(lit(1)).as("n_rows"),
         coalesce(sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)),
           lit(0L)).as("n_null_price"),
-        coalesce(sum(round(col("o_totalprice") * 1e6).cast("long")),
-          lit(0L)).as("sum_price_micro"))
+        // sum in decimal(38,0), not long: a long sum wraps silently
+        // past int64 (~9.2e12 in price units — reachable at 100 TB)
+        // while the DuckDB oracle sums into HUGEINT; the decimal sum
+        // is exact to 1e38 and the final long cast fails LOUDLY under
+        // ANSI on overflow, matching the oracle's HUGEINT→BIGINT
+        // behavior instead of diverging wrap-vs-exact
+        coalesce(sum(round(col("o_totalprice") * 1e6).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).cast("long").as("sum_price_micro"))
     // eager checkpoint = the action that flushes the observation;
     // the rollup and the counters come from ONE pass over orders
     val out = base

@@ -1046,12 +1046,19 @@ object IOQueries {
       .select("file").collect().map(_.getString(0))
     val kept = v1.filter(col("n_rows") >= smallRowThreshold)
       .select("file", "n_rows")
-    spark.read.parquet(small: _*)
-      .repartitionByRange(2, col("o_orderkey"))
-      .sortWithinPartitions("o_orderkey")
-      .write.mode("overwrite").parquet(lake + "/compacted")
-    graft.sinks.ManifestStore.publish(spark, man,
-      kept.unionByName(manifestOf(lake + "/compacted")))
+    // OPTIMIZE over a healthy table is a NO-OP, not a failure: with
+    // no file under the threshold (larger SFs push every shard past
+    // it, or the caller lowers the dial) there is nothing to rewrite
+    // and nothing to publish — v2 stays v1. An empty-list
+    // spark.read.parquet would throw UNABLE_TO_INFER_SCHEMA here.
+    if (small.nonEmpty) {
+      spark.read.parquet(small: _*)
+        .repartitionByRange(2, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(lake + "/compacted")
+      graft.sinks.ManifestStore.publish(spark, man,
+        kept.unionByName(manifestOf(lake + "/compacted")))
+    }
     val (_, v2) = graft.sinks.ManifestStore.current(spark, man)
     val files = v2.select("file").collect().map(_.getString(0))
     spark.read.parquet(files: _*)

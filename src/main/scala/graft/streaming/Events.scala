@@ -215,7 +215,6 @@ object Events {
     val real = Tables.eventsTsAsNanosLong(spark, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select("event_id", "ts", "user_id", "event_type")
-    real.coalesce(1).write.mode("append").parquet(feed)
     val maxTs = real.agg(max("ts")).collect().head.getLong(0)
     val dayNs = 24L * 3600 * 1000000000L
     import spark.implicits._
@@ -223,10 +222,10 @@ object Events {
       (-1L, maxTs + offsetDays * dayNs, -1L, "click"),
       (-2L, maxTs + offsetDays * dayNs, -1L, "purchase"))
       .toDF("event_id", "ts", "user_id", "event_type")
-    Thread.sleep(1100)
-    pusher(30).coalesce(1).write.mode("append").parquet(feed)
-    Thread.sleep(1100)
-    pusher(31).coalesce(1).write.mode("append").parquet(feed)
+    // arrival order is SET via explicit mtimes (StreamStage), not
+    // slept for — coarse/non-monotonic filesystem mtimes can't
+    // reorder the pusher batches behind the real feed
+    StreamStage.stageOrderedBatches(feed, Seq(real, pusher(30), pusher(31)))
     val schema = spark.read.parquet(feed).schema
     def stream() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(feed)
@@ -487,12 +486,11 @@ object Events {
     val cuts = raw.selectExpr("percentile(ts, array(0.2, 0.95))")
       .collect().head.getSeq[Double](0).map(_.toLong)
     val (p20, p95) = (cuts(0), cuts(1))
-    raw.filter(col("ts") >= p20 && col("ts") < p95)
-      .coalesce(1).write.mode("append").parquet(inDir)
-    Thread.sleep(1100) // distinct mtimes fix the file-stream batch order
-    raw.filter(col("ts") >= p95).coalesce(1).write.mode("append").parquet(inDir)
-    Thread.sleep(1100)
-    raw.filter(col("ts") < p20).coalesce(1).write.mode("append").parquet(inDir)
+    // explicit mtimes (StreamStage) fix the file-stream batch order
+    StreamStage.stageOrderedBatches(inDir, Seq(
+      raw.filter(col("ts") >= p20 && col("ts") < p95),
+      raw.filter(col("ts") >= p95),
+      raw.filter(col("ts") < p20)))
     val schema = spark.read.parquet(inDir).schema
     val sinkName = s"graft_stream_late_${streamCounter.incrementAndGet()}"
     val q = spark.readStream.schema(schema)
@@ -594,17 +592,15 @@ object Events {
     // the change feed: updates+inserts in one file, deletes in a later
     // one (distinct mtimes give the file source a deterministic order)
     val feed = Files.createTempDirectory("graft_stream_cdc_feed").toString + "/feed"
-    orders.filter(k === 1)
-      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-      .withColumn("op", lit("update")).withColumn("seq", lit(1L))
-      .unionByName(orders.filter(k === 3)
-        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
-        .withColumn("op", lit("insert")).withColumn("seq", lit(1L)))
-      .coalesce(1).write.mode("append").parquet(feed)
-    Thread.sleep(1100)
-    orders.filter(k === 2)
-      .withColumn("op", lit("delete")).withColumn("seq", lit(2L))
-      .coalesce(1).write.mode("append").parquet(feed)
+    StreamStage.stageOrderedBatches(feed, Seq(
+      orders.filter(k === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("op", lit("update")).withColumn("seq", lit(1L))
+        .unionByName(orders.filter(k === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+          .withColumn("op", lit("insert")).withColumn("seq", lit(1L))),
+      orders.filter(k === 2)
+        .withColumn("op", lit("delete")).withColumn("seq", lit(2L))))
     val schema = spark.read.parquet(feed).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1") // one merge round per feed file
@@ -926,19 +922,15 @@ object Events {
         max("ts_us").as("mx")).collect()
       val (median, maxUs) = (medRow.getLong(0), medRow.getLong(1))
       // time-range-ordered arrival: older half, then newer half, then
-      // two far-future watermark pushers (sentinel user −1) — distinct
-      // mtimes give the file source the intended batch order
-      ev.filter(col("ts_us") <= median).coalesce(1)
-        .write.mode("append").parquet(staged)
-      Thread.sleep(1100)
-      ev.filter(col("ts_us") > median).coalesce(1)
-        .write.mode("append").parquet(staged)
-      Thread.sleep(1100)
-      Seq((-1L, maxUs + 365L * 86400L * 1000000L)).toDF("user_id", "ts_us")
-        .coalesce(1).write.mode("append").parquet(staged)
-      Thread.sleep(1100)
-      Seq((-1L, maxUs + 366L * 86400L * 1000000L)).toDF("user_id", "ts_us")
-        .coalesce(1).write.mode("append").parquet(staged)
+      // two far-future watermark pushers (sentinel user −1) —
+      // explicitly-set strictly increasing mtimes (StreamStage) give
+      // the file source the intended batch order without wall-clock
+      // sleeps that coarse-mtime filesystems could defeat
+      StreamStage.stageOrderedBatches(staged, Seq(
+        ev.filter(col("ts_us") <= median),
+        ev.filter(col("ts_us") > median),
+        Seq((-1L, maxUs + 365L * 86400L * 1000000L)).toDF("user_id", "ts_us"),
+        Seq((-1L, maxUs + 366L * 86400L * 1000000L)).toDF("user_id", "ts_us")))
       val schema = spark.read.parquet(staged).schema
       val sessions = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")

@@ -67,4 +67,17 @@ class Round16Spec extends SparkSpec {
     RecallLog.record("dedup_ngram_jaccard", "cand_per_doc_1x", perDoc1)
     RecallLog.record("dedup_ngram_jaccard", "cand_per_doc_10x", perDoc10)
   }
+
+  test("sink_optimize: OPTIMIZE with nothing to compact is a no-op, not a failure") {
+    // threshold 0 puts every manifest file above the small-file bar —
+    // the healthy-table case larger SFs reach naturally; before the
+    // round-8 guard this threw UNABLE_TO_INFER_SCHEMA on the empty
+    // spark.read.parquet list
+    val out = graft.queries.IOQueries.sinkOptimize(spark, sfDir,
+      smallRowThreshold = 0L)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "no-op OPTIMIZE must still return the rollup")
+    assert(rows.forall(!_.getBoolean(rows.head.fieldIndex("optimized"))),
+      "nothing was rewritten, so the optimized flag must be false")
+  }
 }
