@@ -80,7 +80,10 @@ object Bench {
     "dedup_substring_remove", "dedup_incremental",
     "emb_kmeans", "ann_pq", "ann_knn_lsh", "text_dsir", "text_bm25",
     "text_boilerplate", "dedup_quarantine", "dedup_snm", "dedup_cdc",
-    "g_pagerank", "g_kcore", "g_clustering")
+    "g_pagerank", "g_kcore", "g_clustering",
+    // round-8 additions (VERDICT r7 #6): the IVF family and the two
+    // biggest text extended entries, never stepped before
+    "ann_ivfpq", "ann_ivf_sweep", "text_transfer", "text_rake")
 
   /** Build (once; cached by a _DONE marker) a deterministic `factor`×
     * blow-up of documents + embeddings under /tmp. Replica 0 is the

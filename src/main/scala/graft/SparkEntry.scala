@@ -152,6 +152,9 @@ object SparkEntry {
     // spec-pinned in Round15Spec
     "sink_clone" -> ((s, d) => IOQueries.sinkClone(s, d)),
     "sink_cdf" -> ((s, d) => IOQueries.sinkCdf(s, d)),
+    // K24: SQL time travel — graft_table('<base>', version) TVF over
+    // the manifest lake (injectTableFunction extension rung)
+    "sink_time_travel" -> ((s, d) => IOQueries.sinkTimeTravelSql(s, d)),
     // E30: streaming append whose mid-feed schema drift evolves the
     // lake through K19's commit across a checkpointed query restart
     "e_stream_evolve" -> ((s, d) => streaming.Events.streamEvolve(s, d)),
@@ -1443,6 +1446,16 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total
         |FROM fin GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "sink_versioned" ->
+      """SELECT 'v1_pinned' AS snapshot, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderdate < '1998-01-01'
+        |UNION ALL
+        |SELECT 'v2_latest', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
+        |FROM orders
+        |ORDER BY snapshot""".stripMargin,
+    // K24: the pinned v1 TVF read must equal pre-1998 history; the
+    // un-pinned read must equal the full table (v2 = v1 + appends)
+    "sink_time_travel" ->
       """SELECT 'v1_pinned' AS snapshot, cast(count(*) AS bigint) AS n,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderdate < '1998-01-01'

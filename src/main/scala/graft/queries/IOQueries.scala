@@ -189,6 +189,50 @@ object IOQueries {
     v1.unionByName(v2).orderBy("snapshot")
   }
 
+  /** K24: SQL-surface time travel — `VERSION AS OF` expressed as the
+    * `graft_table('<base>'[, version])` table-valued function over
+    * the manifest-versioned lake (K9/K23's machinery lifted onto the
+    * SQL surface via `injectTableFunction`; see
+    * [[org.apache.spark.sql.graft.GraftTableFunction]]). Lands the
+    * orders table in two committed versions (v1 = pre-1998 history,
+    * v2 = v1's files carried + the 1998 arrivals appended — file-level
+    * append, nothing rewritten), then aggregates BOTH snapshots from
+    * plain SQL: the pinned v1 read must see history exactly as
+    * committed even though the lake has moved on. The TVF resolves
+    * the pin to a parquet scan of the version's file list at analysis
+    * time, so the query plan is a stock pruned scan — time travel is
+    * a metadata-plane choice, free at execution (the Delta/Iceberg
+    * snapshot model).
+    */
+  def sinkTimeTravelSql(spark: SparkSession, dir: String): DataFrame = {
+    // the TVF must exist even in sessions built without GraftExtensions
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val base = tmpDir("ttravel")
+    val lake = base + "/lake"
+    val man = base + "/manifest"
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    orders.filter(col("o_orderdate") < lit("1998-01-01"))
+      .repartition(2).write.mode("overwrite").parquet(lake + "/hist")
+    orders.filter(col("o_orderdate") >= lit("1998-01-01"))
+      .repartition(2).write.mode("overwrite").parquet(lake + "/y1998")
+    def manifestOf(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+    val v1 = manifestOf(lake + "/hist")
+    graft.sinks.ManifestStore.publish(spark, man, v1)
+    graft.sinks.ManifestStore.publish(spark, man,
+      v1.unionByName(manifestOf(lake + "/y1998")))
+    spark.sql(
+      s"""SELECT 'v1_pinned' AS snapshot, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM graft_table('$man', 1)
+         |UNION ALL
+         |SELECT 'v2_latest', count(*), round(sum(o_totalprice), 2)
+         |FROM graft_table('$man')
+         |ORDER BY snapshot""".stripMargin)
+  }
+
   /** K1: replace / append / fail write-mode semantics
     * (reference: `if_exists` in week_1/data_ingest/data_ingest.py:50).
     * Emits the table row count observed after each step; `fail` must

@@ -155,4 +155,21 @@ object ManifestStore {
       throw new java.util.NoSuchElementException(s"no committed manifest under $base"))
     (v, spark.read.json(new Path(new Path(base), s"manifest_v$v").toString))
   }
+
+  /** Time travel: the manifest rows AT a pinned committed version
+    * (`None` = latest) — the `VERSION AS OF` read path. Throws with
+    * the available versions listed if the pin is not committed (a
+    * swept or never-committed version must fail loudly, not fall
+    * back to some other snapshot).
+    */
+  def at(spark: SparkSession, base: String, version: Option[Long]): (Long, DataFrame) =
+    version match {
+      case None => current(spark, base)
+      case Some(v) =>
+        val committed = versions(spark, base)
+        if (!committed.contains(v))
+          throw new java.util.NoSuchElementException(
+            s"version $v is not committed under $base (available: ${committed.mkString(", ")})")
+        (v, spark.read.json(new Path(new Path(base), s"manifest_v$v").toString))
+    }
 }

@@ -86,7 +86,58 @@ object GraftFunctions {
       if (!ours)
         registry.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
     }
+    // table-valued functions live in a SEPARATE registry (plans, not
+    // expressions) — sessions built without GraftExtensions (the
+    // driver's plain Verify session) get graft_table here
+    val tReg = spark.sessionState.tableFunctionRegistry
+    val (tIdent, tInfo, tBuilder) = GraftTableFunction.description
+    val oursT = tReg.lookupFunction(tIdent)
+      .exists(_.getClassName == tInfo.getClassName)
+    if (!oursT) tReg.createOrReplaceTempFunction(tIdent.funcName, tBuilder, "built-in")
   }
+}
+
+/** SQL-surface TIME TRAVEL over graft's manifest-versioned lake: the
+  * table-valued function `graft_table('<base>'[, version])` resolves,
+  * at analysis time, to a parquet scan of EXACTLY the files the
+  * pinned manifest version lists — `VERSION AS OF` re-expressed on
+  * the `injectTableFunction` rung of the extension ladder (the rung
+  * T4b's optimizer rule and the GlobalIndex strategy don't cover).
+  *
+  * The plan it returns is an ordinary analyzed parquet relation, so
+  * everything downstream is stock Catalyst: filters/column pruning
+  * push into the pinned scan, joins broadcast, AQE re-plans — time
+  * travel costs one driver-side manifest read (a metadata-plane list,
+  * the Delta/Iceberg snapshot-resolution pattern) and nothing at
+  * execution. A non-committed version fails analysis loudly with the
+  * available versions listed.
+  */
+object GraftTableFunction {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private[graft] val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_table"),
+    new ExpressionInfo(GraftTableFunction.getClass.getName, "graft_table"),
+    (children: Seq[Expression]) => {
+      require(children.nonEmpty && children.size <= 2,
+        s"graft_table(base_path[, version]) takes 1 or 2 arguments, got ${children.size}")
+      require(children.forall(_.foldable),
+        "graft_table arguments must be literals")
+      val base = children.head.eval(null) match {
+        case null => throw new IllegalArgumentException("graft_table base path is null")
+        case s => s.toString
+      }
+      val version = children.lift(1).map(_.eval(null) match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_table version must be an integer literal, got $other")
+      })
+      val spark = SparkSession.active
+      val (_, manifest) = graft.sinks.ManifestStore.at(spark, base, version)
+      val files = manifest.select("file").collect().map(_.getString(0))
+      require(files.nonEmpty, s"manifest under $base lists no files")
+      spark.read.parquet(files.toIndexedSeq: _*).queryExecution.analyzed
+    })
 }
 
 /** Session-build-time injector (`builder.withExtensions(new GraftExtensions)`). */
@@ -95,6 +146,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptions.foreach { case (ident, einfo, builder) =>
       ext.injectFunction((ident, einfo, builder))
     }
+    // SQL time travel over the manifest lake (VERSION AS OF as a TVF)
+    ext.injectTableFunction(GraftTableFunction.description)
     // whole-operator extension: graft's custom physical operators
     ext.injectPlannerStrategy(_ => GraftStrategies)
     // optimizer extension: keep-first windows → struct-min aggregation

@@ -68,6 +68,46 @@ class Round16Spec extends SparkSpec {
     RecallLog.record("dedup_ngram_jaccard", "cand_per_doc_10x", perDoc10)
   }
 
+  test("graft_table TVF: pinned version isolation, loud bad-pin failure, pushdown into the pinned scan") {
+    import graft.sinks.ManifestStore
+    import org.apache.spark.sql.functions._
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf_spec").toString
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(base + "/even")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .write.mode("overwrite").parquet(base + "/odd")
+    def manifestOf(p: String) = spark.read.parquet(p)
+      .groupBy(input_file_name().as("file")).agg(count(lit(1)).as("n_rows"))
+    val man = base + "/man"
+    ManifestStore.publish(spark, man, manifestOf(base + "/even"))
+    val pinnedBefore = spark.sql(s"SELECT count(*) AS n FROM graft_table('$man', 1)")
+      .head.getLong(0)
+    // the lake moves on; the pin must not
+    ManifestStore.publish(spark, man,
+      manifestOf(base + "/even").unionByName(manifestOf(base + "/odd")))
+    val pinnedAfter = spark.sql(s"SELECT count(*) AS n FROM graft_table('$man', 1)")
+      .head.getLong(0)
+    val latest = spark.sql(s"SELECT count(*) AS n FROM graft_table('$man')")
+      .head.getLong(0)
+    assert(pinnedAfter == pinnedBefore, "pinned v1 changed after a later publish")
+    assert(latest == orders.count(), "unpinned read must see the latest version")
+    // a never-committed pin fails analysis loudly, names the options
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table('$man', 99)").collect()
+    }
+    assert(err.getMessage.contains("99"), s"bad-pin error must name the version: ${err.getMessage}")
+    // the TVF result is a stock parquet relation: predicates reach the
+    // pinned scan as PushedFilters, not a post-scan filter only
+    val plan = spark.sql(
+      s"SELECT o_orderkey FROM graft_table('$man', 1) WHERE o_orderkey = 42")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"),
+      s"filter must push into the pinned scan:\n$plan")
+  }
+
   test("sink_optimize: OPTIMIZE with nothing to compact is a no-op, not a failure") {
     // threshold 0 puts every manifest file above the small-file bar —
     // the healthy-table case larger SFs reach naturally; before the
