@@ -73,6 +73,9 @@ object SparkEntry {
     "e_transitions" -> (Analytics.eTransitions _),
     "e_gap_fill" -> (Analytics.eGapFill _),
     "q_bloom_semi" -> (Analytics.qBloomSemi _),
+    // Q50: the same bloom pushdown applied AUTOMATICALLY by the
+    // BloomJoinRewrite optimizer rule over a plain inner join
+    "q_bloom_join_rule" -> (Analytics.qBloomJoinRule _),
     "q_heavy_hitters_sketch" -> ((s, d) => Analytics.qHeavyHittersSketch(s, d)),
     "q_rolling_distinct" -> ((s, d) => Analytics.qRollingDistinct(s, d)),
     // DataSketches HLL estimates are engine-specific → rows-only;
@@ -1011,6 +1014,14 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // Q50: the bloom is a pre-filter only — the exact inner join
+    // defines the result, so the oracle is the plain join
+    "q_bloom_join_rule" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "dedup_incremental" ->
       """WITH t AS (

@@ -1393,6 +1393,47 @@ object Analytics {
         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Q50: AUTOMATIC bloom-filter join pushdown — Q31's pattern moved
+    * from the query text into the OPTIMIZER
+    * ([[org.apache.spark.sql.graft.BloomJoinRewrite]], the
+    * `injectOptimizerRule` rung applied to joins): the query below is
+    * a PLAIN inner join + aggregate, and the rule plants the
+    * bloom-sketch `might_contain` pre-filter on the fact side because
+    * the dimension side carries a selective filter. Same 100 TB
+    * economics as Q31 (fact-scale exchange → post-filter-scale), now
+    * with zero query-author involvement — exactly what
+    * `InjectRuntimeFilter` does for eligible shuffle joins, made
+    * explicit, unconditional on stage shape, and plan-assertable
+    * (Round16Spec checks the might_contain lands and that the result
+    * equals the un-rewritten join).
+    *
+    * Conf discipline: the rewrite is opt-in via
+    * `spark.graft.bloomJoinPushdown`; the flag is scoped to THIS
+    * query by eager materialization before the finally restores it
+    * (the E18 pattern), so no other registry entry's plan changes.
+    */
+  def qBloomJoinRule(spark: SparkSession, dir: String): DataFrame = {
+    org.apache.spark.sql.graft.BloomJoinRewrite.ensure(spark)
+    val flag = "spark.graft.bloomJoinPushdown"
+    val prior = spark.conf.getOption(flag)
+    spark.conf.set(flag, "true")
+    try {
+      val dim = Tables.load(spark, dir, "customer")
+        .filter(col("c_acctbal") > 9000).select("c_custkey")
+      Tables.load(spark, dir, "orders")
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+        .localCheckpoint() // eager: the plan optimizes while the flag is on
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(flag, v)
+        case None    => spark.conf.unset(flag)
+      }
+    }
+  }
+
   /** E19: time-series gap filling — densify hourly per-type counts over
     * the full [min, max] hour calendar, emitting explicit zeros for
     * silent hours (monitoring and forecasting both need the zeros; a

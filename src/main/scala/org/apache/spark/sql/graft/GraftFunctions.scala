@@ -152,5 +152,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => GraftStrategies)
     // optimizer extension: keep-first windows → struct-min aggregation
     ext.injectOptimizerRule(_ => KeepFirstRewrite)
+    // optimizer extension: automatic bloom-filter join pushdown
+    // (conf-gated by spark.graft.bloomJoinPushdown, default off)
+    ext.injectOptimizerRule(_ => BloomJoinRewrite)
   }
 }

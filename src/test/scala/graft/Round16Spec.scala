@@ -108,6 +108,36 @@ class Round16Spec extends SparkSpec {
       s"filter must push into the pinned scan:\n$plan")
   }
 
+  test("BloomJoinRewrite: plants might_contain on the probe side, preserves the join result, respects the flag") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.BloomJoinRewrite
+    BloomJoinRewrite.ensure(spark)
+    val flag = "spark.graft.bloomJoinPushdown"
+    def joined = {
+      val dim = Tables.load(spark, sfDir, "customer")
+        .filter(col("c_acctbal") > 9000).select("c_custkey")
+      Tables.load(spark, sfDir, "orders")
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }
+    val plain = joined.collect()
+    try {
+      spark.conf.set(flag, "true")
+      val rewritten = joined
+      val opt = rewritten.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"flag on: the bloom pre-filter must land in the optimized plan:\n$opt")
+      assert(rewritten.collect().toSeq == plain.toSeq,
+        "bloom pushdown changed the join result — it must be a pure pre-filter")
+    } finally spark.conf.unset(flag)
+    // flag off (default): plans untouched — the other registry
+    // entries' joins must never see this rule
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("might_contain"),
+      "flag off: no rewrite may happen")
+  }
+
   test("sink_optimize: OPTIMIZE with nothing to compact is a no-op, not a failure") {
     // threshold 0 puts every manifest file above the small-file bar —
     // the healthy-table case larger SFs reach naturally; before the
