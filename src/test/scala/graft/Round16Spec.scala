@@ -138,6 +138,59 @@ class Round16Spec extends SparkSpec {
       "flag off: no rewrite may happen")
   }
 
+  test("hand-data: graft_table TVF returns exactly the pinned rows (literal 5-row lake)") {
+    // the §6 standing-gate hand-data spec for K24: fixed literal rows,
+    // expected output computed by hand, independent of any oracle SQL
+    import graft.sinks.ManifestStore
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf_hand").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .coalesce(1).write.parquet(base + "/a")
+    Seq((3L, 30.0), (4L, 40.0), (5L, 50.0)).toDF("k", "v")
+      .coalesce(1).write.parquet(base + "/b")
+    def manifestOf(p: String) = spark.read.parquet(p)
+      .groupBy(input_file_name().as("file")).agg(count(lit(1)).as("n_rows"))
+    val man = base + "/man"
+    ManifestStore.publish(spark, man, manifestOf(base + "/a"))
+    ManifestStore.publish(spark, man,
+      manifestOf(base + "/a").unionByName(manifestOf(base + "/b")))
+    // hand-computed: v1 = {10, 20} → n=2 sum=30; latest adds {30,40,50} → n=5 sum=150
+    val v1 = spark.sql(s"SELECT count(*) AS n, sum(v) AS s FROM graft_table('$man', 1)").head
+    assert((v1.getLong(0), v1.getDouble(1)) == ((2L, 30.0)), s"v1 got $v1")
+    val v2 = spark.sql(s"SELECT count(*) AS n, sum(v) AS s FROM graft_table('$man')").head
+    assert((v2.getLong(0), v2.getDouble(1)) == ((5L, 150.0)), s"latest got $v2")
+  }
+
+  test("hand-data: BloomJoinRewrite join equals the hand-computed result on literal rows") {
+    // the §6 standing-gate hand-data spec for Q50: 4 fact rows, 2 dim
+    // rows, one selective dim filter — join result computed by hand
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.BloomJoinRewrite
+    import spark.implicits._
+    BloomJoinRewrite.ensure(spark)
+    val base = java.nio.file.Files.createTempDirectory("bloom_hand").toString
+    Seq((1L, 100.0), (2L, 200.0), (2L, 250.0), (3L, 300.0)).toDF("fk", "amt")
+      .write.parquet(base + "/fact")
+    Seq((1L, "keep"), (2L, "keep"), (3L, "drop")).toDF("dk", "tag")
+      .write.parquet(base + "/dim")
+    val flag = "spark.graft.bloomJoinPushdown"
+    try {
+      spark.conf.set(flag, "true")
+      val out = spark.read.parquet(base + "/fact")
+        .join(spark.read.parquet(base + "/dim").filter(col("tag") === "keep"),
+          col("fk") === col("dk"))
+        .agg(count(lit(1)).as("n"), sum("amt").as("s"))
+      assert(out.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "the rewrite must fire on this shape")
+      val r = out.head
+      // hand-computed: keys {1,2} survive the dim filter → rows
+      // (1,100), (2,200), (2,250) → n=3, sum=550
+      assert((r.getLong(0), r.getDouble(1)) == ((3L, 550.0)), s"got $r")
+    } finally spark.conf.unset(flag)
+  }
+
   test("sink_optimize: OPTIMIZE with nothing to compact is a no-op, not a failure") {
     // threshold 0 puts every manifest file above the small-file bar —
     // the healthy-table case larger SFs reach naturally; before the
