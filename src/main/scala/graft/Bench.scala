@@ -67,7 +67,10 @@ object Bench {
     // round-7 additions (pure-read analytics only, per the note above)
     "ann_ivfpq", "g_adamic_adar", "dedup_containment", "ts_mann_kendall",
     "q_streaks", "t_purged_folds", "text_zipf", "ann_ivf_sweep",
-    "t_skew_advisor")
+    "t_skew_advisor",
+    // round-8 addition (sink_time_travel is a sink entry — stays
+    // correctness-gated per the policy above)
+    "q_bloom_join_rule")
 
   /** The scale-step set: the heaviest operators over the tables the
     * 10× blow-up synthesizes (documents/embeddings since round 6;
