@@ -254,8 +254,9 @@ object Bench {
 
     // scale-step: heaviest doc/embedding operators at 10× volume,
     // ratioed against this same run's 1× medians
-    val (scaleJsonStr, scaleRatios) =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE")) ("", Seq.empty[(String, Double)])
+    val (scaleJsonStr, scaleRatios, scaledTimings) =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SCALE"))
+        ("", Seq.empty[(String, Double)], Seq.empty[(String, Timing)])
       else {
         val factor = 10
         val scaledDir = ensureScaled(spark, sfDir, factor)
@@ -267,7 +268,7 @@ object Bench {
         val scaled = bench(scaleStep, scaledDir, warmRuns = 3)
         val ratios = scaled.flatMap { case (n, t) =>
           baseline.get(n).map(b => n -> t.median / math.max(b.median, 1e-9)) }
-        (f""","scale_step":{"factor":$factor,"queries":${jsonField(scaled, _.median)},"ratio":${json(ratios)},"total":${scaled.map(_._2.median).sum}%.3f}""", ratios)
+        (f""","scale_step":{"factor":$factor,"queries":${jsonField(scaled, _.median)},"ratio":${json(ratios)},"total":${scaled.map(_._2.median).sum}%.3f}""", ratios, scaled)
       }
 
     // streaming micro-batch throughput (VERDICT r7 #5): events/sec
@@ -282,8 +283,13 @@ object Bench {
 
     // per-iteration times (run order: cold, then warm) for every
     // entry whose median exceeds 5 s — the degradation observable
-    // VERDICT r7 #2 asked for
-    val slow = (results ++ ext).filter(_._2.median > 5.0)
+    // VERDICT r7 #2 asked for. The scale-step block is INCLUDED
+    // (prefixed "scale:") — the r7 g_clustering pathology lived in
+    // exactly that session-tail block, so excluding it would omit
+    // the evidence the field exists to carry
+    val slow = (results ++ ext ++
+      scaledTimings.map { case (n, t) => (s"scale:$n", t) })
+      .filter(_._2.median > 5.0)
     val itersJson =
       if (slow.isEmpty) ""
       else ",\"iters\":" + slow.map { case (k, t) =>

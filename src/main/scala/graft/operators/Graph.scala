@@ -333,11 +333,28 @@ object Graph {
     * the next timed run starts.
     */
   private[graft] def dropSharedCache(spark: SparkSession): Unit = {
+    // only THIS context's entries: RDD ids restart at 0 per
+    // SparkContext, so a stale entry from a stopped context would
+    // alias (and blocking-unpersist) unrelated RDDs of the new one
+    val prefix = spark.sparkContext.applicationId + "|"
     val persisted = spark.sparkContext.getPersistentRDDs
-    partsGraphCache.values.foreach { case (_, _, rddIds) =>
-      rddIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = true)))
+    partsGraphCache.foreach { case (key, (_, _, rddIds)) =>
+      if (key.startsWith(prefix))
+        rddIds.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = true)))
     }
     partsGraphCache.clear()
+  }
+
+  /** The checkpoint RDD ids currently held by the shared-pass memo
+    * for `spark`'s context — the race-free observable Round16Spec
+    * asserts on (global persistent-RDD counts race the async
+    * ContextCleaner collecting OTHER operators' orphans).
+    */
+  private[graft] def sharedCacheRddIds(spark: SparkSession): Seq[Int] = {
+    val prefix = spark.sparkContext.applicationId + "|"
+    partsGraphCache.collect {
+      case (key, (_, _, ids)) if key.startsWith(prefix) => ids
+    }.flatten.toSeq
   }
 
   private def partsGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {

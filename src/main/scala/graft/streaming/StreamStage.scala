@@ -55,12 +55,22 @@ object StreamStage {
     */
   private[graft] def stageTimeOrdered(df: DataFrame, tsCol: String,
                                       out: String, nFiles: Int): Unit = {
+    // free the checkpointed staging blocks by RDD id: Dataset.unpersist
+    // is a no-op for localCheckpoint'ed frames (CacheManager has no
+    // entry — the storage is on the internal RDD), the exact leak
+    // class fixed in Graph.dropSharedCache this round
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val bucketed = df
       .withColumn("_b", ntile(nFiles).over(Window.orderBy(col(tsCol))))
       .localCheckpoint()
+    val mine = sc.getPersistentRDDs.keySet -- before
     try
       stageOrderedBatches(out,
         (1 to nFiles).map(b => bucketed.filter(col("_b") === b).drop("_b")))
-    finally bucketed.unpersist()
+    finally {
+      val persisted = sc.getPersistentRDDs
+      mine.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = true)))
+    }
   }
 }

@@ -34,6 +34,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     (that filter is what makes the sketch selective), the
   *     APPLICATION side must have none — symmetric filters give no
   *     cheap side to sketch;
+  *   - the creation side must be fully DETERMINISTIC: the rewrite
+  *     duplicates that subtree into the scalar subquery, so a
+  *     nondeterministic filter (rand/sample/nondeterministic UDF)
+  *     would build the bloom from a DIFFERENT evaluation than the
+  *     join sees and wrongly pre-drop probe rows — the same guard
+  *     `InjectRuntimeFilter` applies before duplicating a plan;
   *   - idempotent: an application side already carrying a
   *     `might_contain` is left alone (the rule runs in a fixed-point
   *     batch).
@@ -55,6 +61,9 @@ object BloomJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def hasBloom(p: LogicalPlan): Boolean =
     p.exists(_.expressions.exists(_.exists(_.isInstanceOf[BloomFilterMightContain])))
+
+  private def fullyDeterministic(p: LogicalPlan): Boolean =
+    !p.exists(_.expressions.exists(e => !e.deterministic))
 
   private def inject(app: LogicalPlan, appKey: Attribute,
                      cre: LogicalPlan, creKey: Attribute): LogicalPlan = {
@@ -81,10 +90,12 @@ object BloomJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               if left.outputSet.contains(b) && right.outputSet.contains(a) => (b, a)
         }
         keys match {
-          case Some((lk, rk)) if hasFilter(right) && !hasFilter(left) && !hasBloom(left) =>
+          case Some((lk, rk)) if hasFilter(right) && !hasFilter(left) &&
+              !hasBloom(left) && fullyDeterministic(right) =>
             j.copy(left = inject(left, lk, right, rk))
           case Some((lk, rk)) if jt == Inner &&
-              hasFilter(left) && !hasFilter(right) && !hasBloom(right) =>
+              hasFilter(left) && !hasFilter(right) &&
+              !hasBloom(right) && fullyDeterministic(left) =>
             j.copy(right = inject(right, rk, left, lk))
           case _ => j
         }

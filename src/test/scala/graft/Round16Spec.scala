@@ -16,24 +16,29 @@ class Round16Spec extends SparkSpec {
     // the lazy ContextCleaner, so a long one-JVM bench sweep
     // accumulated orphaned MEMORY_AND_DISK blocks until eviction
     // churn dominated (g_clustering 67.7 s vs its own ~12.6 s base).
-    // The deterministic observable: persistent-RDD count must return
-    // to its pre-build level after EVERY drop, across repeated
-    // rebuilds in one JVM — the exact access pattern Bench has.
+    // The observable is the SPECIFIC ids the shared pass recorded —
+    // global persistent-RDD counts would race the async ContextCleaner
+    // collecting other suites' orphans (review finding, round 8):
+    // after every drop, none of the recorded ids may remain persisted.
     Graph.dropSharedCache(spark) // clear any earlier suite's artifacts
-    val base = spark.sparkContext.getPersistentRDDs.size
     (1 to 4).foreach { i =>
       SparkEntry.queries("g_clustering")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      val during = spark.sparkContext.getPersistentRDDs.size
-      assert(during > base,
-        s"iteration $i: expected the shared pass to persist blocks " +
-          s"(got $during, base $base) — the observable is vacuous")
+      val mine = Graph.sharedCacheRddIds(spark)
+      assert(mine.nonEmpty,
+        s"iteration $i: the shared pass recorded no checkpoint ids — " +
+          "the observable is vacuous")
+      val persistedNow = spark.sparkContext.getPersistentRDDs.keySet
+      assert(mine.forall(persistedNow.contains),
+        s"iteration $i: recorded ids $mine not all persisted — " +
+          "the id capture is broken")
       Graph.dropSharedCache(spark)
-      val after = spark.sparkContext.getPersistentRDDs.size
-      assert(after == base,
-        s"iteration $i: $after persistent RDDs survive dropSharedCache " +
-          s"(base $base) — orphaned checkpoint blocks accumulate across " +
-          "a bench sweep exactly as in BENCH_r07")
+      val persistedAfter = spark.sparkContext.getPersistentRDDs.keySet
+      val leaked = mine.filter(persistedAfter.contains)
+      assert(leaked.isEmpty,
+        s"iteration $i: checkpoint RDDs $leaked survive dropSharedCache " +
+          "— orphaned blocks accumulate across a bench sweep exactly " +
+          "as in BENCH_r07")
     }
   }
 
@@ -136,6 +141,28 @@ class Round16Spec extends SparkSpec {
     // entries' joins must never see this rule
     assert(!joined.queryExecution.optimizedPlan.toString.contains("might_contain"),
       "flag off: no rewrite may happen")
+  }
+
+  test("BloomJoinRewrite: a nondeterministic creation side is never sketched") {
+    // review finding (round 8): the rewrite duplicates the creation
+    // subtree into the scalar subquery, so a nondeterministic filter
+    // (rand) would build the bloom from a DIFFERENT evaluation than
+    // the join sees and wrongly pre-drop probe rows. Guard: no
+    // might_contain may appear when the filter is nondeterministic.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.BloomJoinRewrite
+    BloomJoinRewrite.ensure(spark)
+    val flag = "spark.graft.bloomJoinPushdown"
+    try {
+      spark.conf.set(flag, "true")
+      val dim = Tables.load(spark, sfDir, "customer")
+        .filter(rand(7) < 0.5).select("c_custkey")
+      val out = Tables.load(spark, sfDir, "orders")
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("n"))
+      assert(!out.queryExecution.optimizedPlan.toString.contains("might_contain"),
+        "nondeterministic creation side must not be duplicated into a bloom")
+    } finally spark.conf.unset(flag)
   }
 
   test("hand-data: graft_table TVF returns exactly the pinned rows (literal 5-row lake)") {
