@@ -186,6 +186,7 @@ object SparkEntry {
     "text_tokens" -> (TextQueries.textTokens _),
     "text_fingerprint" -> (TextQueries.textFingerprint _),
     "text_pii_redact" -> (TextQueries.textPiiRedact _),
+    "text_encoding" -> (TextQueries.textEncoding _),
     "text_repetition" -> (TextQueries.textRepetition _),
     "text_tfidf" -> ((s, d) => TextQueries.textTfidf(s, d)),
     "text_bm25" -> ((s, d) => TextQueries.textBm25(s, d)),
@@ -258,6 +259,7 @@ object SparkEntry {
     "g_jaccard" -> ((s, d) => Graph.jaccardPairs(s, d)),
     "g_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
     "g_sssp" -> ((s, d) => Graph.sssp(s, d)),
+    "g_components" -> ((s, d) => Graph.components(s, d)),
     "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
     "ts_mann_kendall" -> ((s, d) => TimeSeries.mannKendall(s, d)),
     "text_transfer" -> (TextQueries.textTransfer _),
@@ -273,6 +275,7 @@ object SparkEntry {
     "emb_matryoshka" -> ((s, d) => Similarity.embMatryoshka(s, d)),
     "ts_snaive" -> (TimeSeries.snaive _),
     "ts_decompose" -> (TimeSeries.decompose _),
+    "ts_strength" -> (TimeSeries.seasonalStrength _),
     "ts_cusum" -> (TimeSeries.cusum _),
     "text_domain_cap" -> ((s, d) => TextQueries.textDomainCap(s, d)),
     "text_novelty" -> ((s, d) => TextQueries.textNovelty(s, d)),
@@ -284,6 +287,8 @@ object SparkEntry {
     "ts_residual_anomaly" -> (TimeSeries.residualAnomaly _),
     "ts_theil_sen" -> (TimeSeries.theilSen _),
     "q_winsorize" -> (Analytics.qWinsorize _),
+    "t_impute" -> (Analytics.tImpute _),
+    "q_mv_rewrite" -> (Analytics.qMvRewrite _),
     "q_assoc_rules" -> ((s, d) => Analytics.qAssocRules(s, d)),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -318,6 +323,7 @@ object SparkEntry {
     "mm_schema" -> (Multimodal.mmSchema _),
     "mm_dedup" -> (Multimodal.mmDedup _),
     "mm_block_dedup" -> (Multimodal.mmBlockDedup _),
+    "mm_integrity" -> ((s, d) => Multimodal.mmIntegrity(s, d)),
     "mm_probe" -> (Multimodal.mmProbe _),
     "mm_entropy" -> (Multimodal.mmEntropy _),
     "mm_neardup" -> (Multimodal.mmNearDup _),
@@ -353,6 +359,7 @@ object SparkEntry {
     // → rows-only (fixed 4-row shape); exact drops pinned in Round7Spec
     "e_stream_late" -> (Events.streamLateData _),
     "e_stream_tws" -> (Events.streamTransformWithState _),
+    "e_stream_quota" -> ((s, d) => Events.streamQuota(s, d)),
     // Pipeline orchestration (P1–P2)
     "p_flow_e2e" -> (IOQueries.flowE2E _),
     "p_corpus_e2e" -> ((s, d) => graft.pipeline.CorpusPipeline.corpusE2E(s, d)),
@@ -1507,6 +1514,21 @@ object SparkEntry {
         |  round(sum(value), 2) AS total_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // E32: the quota stream's admit set replays as a batch row_number
+    // over the same (ts, event_id) per-user order (the engine orders
+    // by the exact nanos long; epoch order ≡ timestamp order here)
+    "e_stream_quota" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen,
+        |  CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        |  CAST(sum(CASE WHEN rn <= 20 THEN event_id ELSE 0 END) AS BIGINT)
+        |    AS admitted_id_sum
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "e_stream_upsert" ->
       """WITH p AS (
         |  SELECT DISTINCT event_id, user_id, epoch_us(ts) AS ts_us, value
@@ -1967,6 +1989,32 @@ object SparkEntry {
         |  len(regexp_extract_all(no_email, '[0-9]{4,}')) AS n_nums,
         |  md5(regexp_replace(no_email, '[0-9]{4,}', '<NUM>', 'g')) AS redacted_md5
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    // X36: byte-identical artifact planting via chr(); detection by
+    // replace-length-diff (fixed sequences) + one C0 regex class.
+    // All planted chars are BMP so both engines' length() agree.
+    "text_encoding" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' caf' || chr(233) || ' isn' ||
+        |      chr(226) || chr(8364) || chr(8482) || 't' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN chr(65533) ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN chr(7) ELSE '' END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT) AS n_repl,
+        |  CAST(length(t) - length(regexp_replace(t,
+        |    '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT) AS n_ctrl,
+        |  CAST((length(t) - length(replace(t, chr(226) || chr(8364), ''))) // 2
+        |    AS BIGINT) AS n_moji,
+        |  1000000 * CAST(length(regexp_replace(t, '[\x00-\x7f]', '', 'g')) AS BIGINT)
+        |    // length(t) AS nonascii_micro,
+        |  (length(t) - length(replace(t, chr(65533), '')) > 0
+        |   OR length(t) - length(regexp_replace(t,
+        |        '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) > 0
+        |   OR length(t) - length(replace(t, chr(226) || chr(8364), '')) > 0)
+        |    AS is_suspect
+        |FROM p ORDER BY doc_id""".stripMargin,
     // same tokenizer + 5-gram construction; df computed on the raw
     // gram (md5 on the Spark side only dedups bytes on the wire)
     "text_novelty" ->
@@ -2282,6 +2330,52 @@ object SparkEntry {
         |FROM dd, g
         |GROUP BY ((x % 7) + 7) % 7, g.n, g.sy, g.sxy, g.sx, g.sxx
         |ORDER BY dow""".stripMargin,
+    // F10: same F2 slope CTE; floor-means on the min-shifted detrended
+    // series (div vs // agree on nonnegatives); HUGEINT variance
+    // numerators; one double division per score at the end
+    "ts_strength" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), dd AS (
+        |  SELECT datediff('day', DATE '1995-01-01', d) AS x, y FROM daily
+        |), g AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM dd
+        |), sl AS (
+        |  SELECT CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT) AS slope
+        |  FROM g
+        |), z0 AS (
+        |  SELECT x, y, y - sl.slope * x AS z,
+        |    CAST(((x % 7) + 7) % 7 AS INT) AS dow
+        |  FROM dd, sl
+        |), zm AS (SELECT min(z) AS zmin FROM z0),
+        |z AS (SELECT z0.*, z0.z - zm.zmin AS zp FROM z0, zm),
+        |sd AS (SELECT dow, sum(zp) // count(*) AS mp FROM z GROUP BY 1),
+        |r AS (
+        |  SELECT z.z, z.zp - sd.mp AS r, z.y - (sd.mp + zm.zmin) AS des
+        |  FROM z JOIN sd USING (dow), zm
+        |), v AS (
+        |  SELECT count(*) AS n,
+        |    count(*) * sum(CAST(z AS HUGEINT) * z) -
+        |      sum(CAST(z AS HUGEINT)) * sum(CAST(z AS HUGEINT)) AS dz,
+        |    count(*) * sum(CAST(r AS HUGEINT) * r) -
+        |      sum(CAST(r AS HUGEINT)) * sum(CAST(r AS HUGEINT)) AS dr,
+        |    count(*) * sum(CAST(des AS HUGEINT) * des) -
+        |      sum(CAST(des AS HUGEINT)) * sum(CAST(des AS HUGEINT)) AS dd2
+        |  FROM r
+        |)
+        |SELECT CAST(v.n AS BIGINT) AS n_days, sl.slope AS slope_micro_per_day,
+        |  CASE WHEN dz > 0 THEN CAST(round(1e6 * greatest(0.0,
+        |    1.0 - CAST(dr AS DOUBLE) / CAST(dz AS DOUBLE))) AS BIGINT) END
+        |    AS seasonal_strength_micro,
+        |  CASE WHEN dd2 > 0 THEN CAST(round(1e6 * greatest(0.0,
+        |    1.0 - CAST(dr AS DOUBLE) / CAST(dd2 AS DOUBLE))) AS BIGINT) END
+        |    AS trend_strength_micro
+        |FROM v, sl""".stripMargin,
     // sequence patterns: same symbol encoding, same (ts, event_id)
     // order, RE2-safe regexes evaluate identically in both engines
     "e_seq_pattern" ->
@@ -2512,6 +2606,36 @@ object SparkEntry {
         |    / count(*)) AS BIGINT) AS wmean_micro
         |FROM p JOIN cuts USING (grp)
         |GROUP BY p.grp ORDER BY p.grp""".stripMargin,
+    // Q51: the oracle checks the SERVED RESULT equals the direct
+    // aggregate — the substitution itself (MV files scanned, orders
+    // untouched) is plan-asserted in Round17Spec
+    "q_mv_rewrite" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t_impute" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice * 1e6) AS BIGINT) AS raw,
+        |    (o_orderkey % 7 = 0) AS miss
+        |  FROM orders
+        |), obs AS (SELECT grp, raw FROM base WHERE NOT miss),
+        |gmed AS (
+        |  SELECT grp,
+        |    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY raw) AS BIGINT) AS gmed
+        |  FROM obs GROUP BY 1
+        |), gl AS (
+        |  SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY raw) AS BIGINT) AS gl
+        |  FROM obs
+        |)
+        |SELECT b.grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN b.miss THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+        |  min(g.gmed) AS impute_micro,
+        |  CAST(round(CAST(sum(CAST(CASE WHEN b.miss THEN coalesce(g.gmed, gl.gl)
+        |    ELSE b.raw END AS HUGEINT)) AS DOUBLE) / count(*)) AS BIGINT) AS mean_micro
+        |FROM base b LEFT JOIN gmed g USING (grp), gl
+        |GROUP BY b.grp ORDER BY b.grp""".stripMargin,
     "q_assoc_rules" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
@@ -2562,6 +2686,29 @@ object SparkEntry {
       base + iters +
         "\nSELECT node, label AS community FROM l4 ORDER BY node"
     },
+    // G10: the oracle reaches the same component labels by transitive
+    // closure (recursive CTE) + min-reachable-id — a different route
+    // than the engine's pointer jumping, valid because converged
+    // min-label CC is schedule-independent (label = component min)
+    "g_components" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= 2
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM b UNION SELECT b, a FROM b
+        |), walk(src, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, w.reach FROM edges e JOIN walk w ON e.dst = w.src
+        |), lbl AS (
+        |  SELECT src AS node, min(reach) AS component FROM walk GROUP BY 1
+        |), sz AS (
+        |  SELECT component, CAST(count(*) AS BIGINT) AS comp_size
+        |  FROM lbl GROUP BY 1
+        |)
+        |SELECT l.node, l.component, s.comp_size
+        |FROM lbl l JOIN sz s USING (component) ORDER BY node""".stripMargin,
     "g_triangles" ->
       """WITH pp AS (
         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
@@ -3732,6 +3879,39 @@ object SparkEntry {
         |  cast(1 + doc_id % 4 AS bigint) AS channels,
         |  cast(octet_length(encode(text)) AS bigint) AS body_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // M11: ASCII corpus ⇒ codepoint ops ≡ byte ops, so the oracle
+    // replays the plant + block digests on text; NULL-on-absent
+    // list_position matches the Spark side's mapped array_position
+    "mm_integrity" ->
+      """WITH m AS (
+        |  SELECT doc_id, text AS p, length(text) AS len FROM documents
+        |), c AS (
+        |  SELECT doc_id, p, len, 1 + (doc_id % greatest(len, 1)) AS pos FROM m
+        |), r AS (
+        |  SELECT doc_id, p, len,
+        |    CASE WHEN doc_id % 23 = 0 THEN
+        |      substr(p, 1, CAST(pos - 1 AS INT)) ||
+        |      (CASE WHEN substr(p, CAST(pos AS INT), 1) = '#'
+        |        THEN '@' ELSE '#' END) ||
+        |      substr(p, CAST(pos + 1 AS INT), CAST(len - pos AS INT))
+        |    ELSE p END AS recv
+        |  FROM c
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, (len + 63) // 64),
+        |      i -> md5(substr(p, CAST(i * 64 + 1 AS INT), 64))) AS ho,
+        |    list_transform(range(0, (len + 63) // 64),
+        |      i -> md5(substr(recv, CAST(i * 64 + 1 AS INT), 64))) AS hr
+        |  FROM r
+        |)
+        |SELECT doc_id, CAST(len(ho) AS BIGINT) AS n_blocks,
+        |  md5(array_to_string(ho, '')) AS root_md5,
+        |  (md5(array_to_string(ho, '')) <> md5(array_to_string(hr, '')))
+        |    AS is_corrupted,
+        |  CAST(coalesce(list_position(list_transform(range(1, len(ho) + 1),
+        |    i -> ho[CAST(i AS INT)] <> hr[CAST(i AS INT)]), true), 0) AS BIGINT)
+        |    AS first_bad_block
+        |FROM h ORDER BY doc_id""".stripMargin,
     // block ids are md5 over the block's HEX rendering (injective →
     // byte-exact identity) because this engine has no BLOB md5; the
     // hex text slices at byte boundaries (2 chars/byte)

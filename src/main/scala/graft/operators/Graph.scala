@@ -673,4 +673,44 @@ object Graph {
       .orderBy(col("jaccard_micro").desc, col("a"), col("b"))
       .limit(topK)
   }
+
+  /** G10: connected components over the REPEAT-trade graph — the
+    * customer↔supplier edge kept only where the pair traded in at
+    * least `minOrders` distinct orders (the full trade graph is
+    * near-complete bipartite — see [[adamicAdar]]'s note — so raw CC
+    * is one giant blob; thresholding to repeat relationships is the
+    * standard "strong-ties backbone" projection, and the component
+    * question "which trading blocs exist once one-off trades are
+    * discounted" is the useful one). GraphFrames' `connectedComponents`
+    * surface, Spark-native.
+    *
+    * Algorithm: delegates to [[graft.operators.Dedup#clusterLabels]]
+    * — the shared min-label propagation + pointer-jumping core
+    * (O(log diameter) rounds, checkpointed; see D8's scaladoc for the
+    * scale argument). Labels converge to the component's minimum node
+    * id, a pure function of the graph — schedule-independent — so the
+    * DuckDB oracle can reach the same labels by a completely different
+    * route (recursive-CTE transitive closure + min per node, viable
+    * at oracle SF only).
+    *
+    * Output: one row per node with its component label and the
+    * component's size — the partition map a downstream per-bloc
+    * rollup or quarantine step consumes.
+    */
+  def components(spark: SparkSession, dir: String,
+                 minOrders: Int = 2): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val repeat = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("doc_a"),
+        (col("l_suppkey") * 2 + 1).as("doc_b"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+      .filter(col("n_orders") >= minOrders)
+      .select("doc_a", "doc_b")
+    val labels = Dedup.clusterLabels(repeat)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, "lbl")
+      .select(col("id").as("node"), col("lbl").as("component"), col("comp_size"))
+      .orderBy("node")
+  }
 }

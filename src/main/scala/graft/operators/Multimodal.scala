@@ -537,4 +537,70 @@ object Multimodal {
         aggregate(sampled, lit(0L), (acc, b) => acc + b).as("checksum"))
       .orderBy("doc_id")
   }
+
+  /** M11: payload integrity audit — Merkle-style chained block digests
+    * with corrupted-replica LOCALIZATION: each payload is digested as
+    * fixed-size blocks (md5 per block, root = md5 of the concatenated
+    * block hashes — the torrent/par2/object-store-etag-with-parts
+    * scheme), and a replica of the corpus is audited against the
+    * original by root comparison, localizing the FIRST corrupt block
+    * for targeted re-fetch. At 100 TB the point is the block
+    * granularity: a root mismatch alone forces re-reading the whole
+    * object, the block index re-reads one `blockSize` range (M5's
+    * byte-range seek).
+    *
+    * The audit demo plants bit-rot deterministically (every 23rd doc
+    * gets ONE byte overwritten at a doc_id-derived offset — '#', or
+    * '@' if the original byte was already '#'), so detection is
+    * non-vacuous at every SF; the oracle replays plant and digests on
+    * the same bytes (ASCII corpus: codepoint ops ≡ byte ops).
+    *
+    * Shape: pure column expressions over the payload in the scan
+    * projection (sequence → transform → md5 of binary substrings) —
+    * payload bytes never shuffle; only (doc_id, hashes) rows move.
+    */
+  def mmIntegrity(spark: SparkSession, dir: String,
+                  blockSize: Int = 64): DataFrame =
+    integrityOf(mediaTable(spark, dir).select(col("doc_id"), col("payload")),
+      blockSize)
+
+  /** [[mmIntegrity]]'s core over ANY (doc_id, payload BINARY) media
+    * frame — split out so specs can feed hand payloads and pin the
+    * localization arithmetic (corrupt offset → block index).
+    */
+  private[graft] def integrityOf(media: DataFrame,
+                                 blockSize: Int): DataFrame = {
+    val len = octet_length(col("payload"))
+    // 1-based corrupt offset inside the payload, derived from doc_id
+    // (greatest guards the empty-payload edge: % 0 is null)
+    val pos = (col("doc_id") % greatest(len, lit(1))).cast("int") + 1
+    val origByte = conv(hex(col("payload").substr(pos, lit(1))), 16, 10)
+    val flip = when(origByte === 35, lit("@")).otherwise(lit("#"))
+    val corrupted = concat(
+      col("payload").substr(lit(1), (pos - 1).cast("int")),
+      encode(flip, "UTF-8"),
+      col("payload").substr(pos + 1, (len - pos).cast("int")))
+    val received = when(col("doc_id") % 23 === 0, corrupted)
+      .otherwise(col("payload"))
+    def blockHashes(c: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0),
+          ((octet_length(c) + blockSize - 1) / blockSize).cast("int") - 1),
+        i => md5(c.substr(i * blockSize + 1, lit(blockSize))))
+    val apos = array_position(zip_with(col("h_orig"), col("h_recv"),
+      (a, b) => a =!= b), true)
+    media
+      .withColumn("h_orig", blockHashes(col("payload")))
+      .withColumn("h_recv", blockHashes(received))
+      .select(
+        col("doc_id"),
+        size(col("h_orig")).cast("long").as("n_blocks"),
+        md5(array_join(col("h_orig"), "")).as("root_md5"),
+        (md5(array_join(col("h_orig"), "")) =!= md5(array_join(col("h_recv"), "")))
+          .as("is_corrupted"),
+        // 1-based index of the first differing block, 0 = clean
+        // (array_position's no-hit 0 kept as-is: a NULL here turns the
+        // whole column float under pandas-side consumers)
+        apos.cast("long").as("first_bad_block"))
+      .orderBy("doc_id")
+  }
 }

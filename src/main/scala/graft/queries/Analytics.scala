@@ -567,6 +567,62 @@ object Analytics {
       .orderBy("grp")
   }
 
+  /** T34: group-wise missing-value imputation — fill nulls in a
+    * numeric column with the GROUP's median over observed rows,
+    * falling back to the global median for a group with nothing
+    * observed (sklearn's `SimpleImputer(strategy="median")` with
+    * per-group fits; the standard feature-pipeline repair step
+    * between ingestion and training). Missingness here is planted
+    * deterministically (`o_orderkey % 7`) so the oracle sees the
+    * identical holes; production callers pass a column that is
+    * already nullable.
+    *
+    * Exactness: values are micro longs; the fill value is
+    * `percentile_disc(0.5)` over observed rows (an actual element —
+    * Q18's engine-identity argument) cast back to long; the completed
+    * column sums as decimal(38,0) ↔ HUGEINT with ONE double division
+    * at the end (Q41's mean idiom).
+    *
+    * Scale shape: one grouped exact-percentile pass over observed
+    * rows (Q18's reducer-buffering shape; approx_percentile is the
+    * documented 100 TB swap), then the tiny per-group fill table and
+    * the 1-row global fallback broadcast back onto the scan for ONE
+    * map-side-combinable rollup. No window, no fact-scale join.
+    */
+  def tImpute(spark: SparkSession, dir: String): DataFrame =
+    imputeOf(Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 1e6).cast("long").as("raw"),
+        (col("o_orderkey") % 7 === 0).as("miss")))
+
+  /** [[tImpute]]'s core over ANY (grp, raw LONG, miss BOOLEAN) frame —
+    * split out so specs can feed hand groups (including a group with
+    * NOTHING observed, which must fall back to the global median).
+    */
+  private[graft] def imputeOf(base: DataFrame): DataFrame = {
+    val obs = base.filter(!col("miss"))
+    val gmed = obs.groupBy("grp")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY raw)")
+        .cast("long").as("gmed"))
+    val global = obs
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY raw)")
+        .cast("long").as("gl"))
+    base.join(broadcast(gmed), Seq("grp"), "left")
+      .crossJoin(broadcast(global))
+      .withColumn("filled",
+        when(col("miss"), coalesce(col("gmed"), col("gl"))).otherwise(col("raw")))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("miss"), 1L).otherwise(0L)).as("n_imputed"),
+        min("gmed").as("impute_micro"),
+        sum(col("filled").cast("decimal(38,0)")).as("s"))
+      .select(col("grp"), col("n"), col("n_imputed"), col("impute_micro"),
+        round(col("s").cast("double") / col("n").cast("double"))
+          .cast("long").as("mean_micro"))
+      .orderBy("grp")
+  }
+
   /** E27: time-to-convert — per monthly cohort (month of the user's
     * FIRST view), how long from first view to the first purchase
     * AFTER it: converted-user counts plus exact median and p90
@@ -1431,6 +1487,48 @@ object Analytics {
         case Some(v) => spark.conf.set(flag, v)
         case None    => spark.conf.unset(flag)
       }
+    }
+  }
+
+  /** Q51: MATERIALIZED-VIEW query rewrite — the consumption half of
+    * the MV story ([[org.apache.spark.sql.graft.MvRewrite]]; T18/E20
+    * own the refresh half): a monthly revenue rollup is registered as
+    * a materialized view, and the consumer below writes the PLAIN
+    * fact-table aggregate — the optimizer substitutes the
+    * materialization, so the executed plan scans |months| rows
+    * instead of the orders table. The classic warehouse trade
+    * (dashboard fleets re-running one aggregate × every few minutes →
+    * refresh once, serve many), expressed as the third
+    * `injectOptimizerRule` rung: T4b rewrites windows, Q50 joins,
+    * this one whole subtrees via Catalyst's own `sameResult`
+    * exact-match machinery.
+    *
+    * Conf discipline: opt-in `spark.graft.mvRewrite`, scoped to this
+    * query by eager materialization (the Q50/E18 pattern). The spec
+    * (Round17Spec) pins what the oracle can't see: the rewritten plan
+    * reads the MV files and NOT the orders table, parity with the
+    * flag off, and a non-matching query left untouched.
+    */
+  def qMvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.MvRewrite
+    MvRewrite.ensure(spark)
+    def monthly = Tables.load(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    val path = java.nio.file.Files.createTempDirectory("graft_mv").toString + "/orders_monthly"
+    MvRewrite.register(spark, "orders_monthly", monthly, path)
+    val flag = "spark.graft.mvRewrite"
+    val prior = spark.conf.getOption(flag)
+    spark.conf.set(flag, "true")
+    try
+      // the consumer writes the plain fact-table aggregate — the MV
+      // substitution is the optimizer's business, not the author's
+      monthly
+        .orderBy("month")
+        .localCheckpoint() // eager: the plan optimizes while the flag is on
+    finally prior match {
+      case Some(v) => spark.conf.set(flag, v)
+      case None    => spark.conf.unset(flag)
     }
   }
 

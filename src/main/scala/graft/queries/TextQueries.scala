@@ -547,6 +547,61 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** X36: encoding-artifact gate — the corpus-hygiene signal that
+    * catches BROKEN TEXT rather than bad content: U+FFFD replacement
+    * characters (a decoder already gave up), C0 control characters
+    * outside \t\n\r (binary junk that survived extraction), and
+    * CP-1252-through-UTF-8 mojibake ("â€¦"-family sequences, the
+    * signature of a double-encoding bug upstream). Clean non-ASCII
+    * (accented words, CJK) is NOT flagged — the non-ASCII ratio rides
+    * along as a plain diagnostic so the gate can't be mistaken for an
+    * ASCII filter. Every web-scale corpus pipeline runs this before
+    * tokenization: mojibake inflates vocab and poisons dedup keys.
+    *
+    * The synthetic corpus is pure ASCII, so artifacts are PLANTED
+    * deterministically (doc_id residues; one suffix carries a clean
+    * "café" + a mojibake "â€™", the others U+FFFD / BEL) and the
+    * detectors run on the planted text — the oracle plants
+    * byte-identical suffixes via chr() and must agree hash-exact.
+    * Counting is replace()-length-diff for fixed sequences and one
+    * regexp class removal for C0 — all BMP single-code-unit chars, so
+    * Spark's UTF-16 length and DuckDB's codepoint length agree.
+    * Single narrow projection: scan throughput at any corpus size.
+    */
+  def textEncoding(spark: SparkSession, dir: String): DataFrame =
+    encodingGateOf(Tables.load(spark, dir, "documents"))
+
+  /** [[textEncoding]]'s core over ANY (doc_id, text) frame — split out
+    * so specs can feed hand documents (clean ASCII, clean non-ASCII,
+    * and a doc_id = 11·13·17 row that collects every plant at once).
+    */
+  private[graft] def encodingGateOf(docs: DataFrame): DataFrame = {
+    val repl = "�"
+    val mojiPrefix = "â€" // CP-1252 punctuation family
+    val t = col("planted")
+    def cnt(seq: String) =
+      ((length(t) - length(regexp_replace(t,
+        lit(java.util.regex.Pattern.quote(seq)), lit(""))))
+        / seq.length).cast("long")
+    docs
+      .withColumn("planted", concat(col("text"),
+        when(col("doc_id") % 11 === 0,
+          lit(" café isn" + mojiPrefix + "™t")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(repl)).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit("\u0007")).otherwise(lit(""))))
+      .select(
+        col("doc_id"),
+        cnt(repl).as("n_repl"),
+        (length(t) - length(regexp_replace(t,
+          lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), lit("")))).cast("long").as("n_ctrl"),
+        cnt(mojiPrefix).as("n_moji"),
+        expr("1000000L * length(regexp_replace(planted, '[\\\\x00-\\\\x7f]', '')) div length(planted)")
+          .as("nonascii_micro"))
+      .withColumn("is_suspect",
+        col("n_repl") > 0 || col("n_ctrl") > 0 || col("n_moji") > 0)
+      .orderBy("doc_id")
+  }
+
   /** X6: repetition scoring (Gopher-style quality signal) — the
     * fraction of word 2-grams / 3-grams that are repeats. High values
     * flag boilerplate/spam for the quality filter. Positional grams

@@ -85,6 +85,86 @@ object TimeSeries {
       .orderBy("dow")
   }
 
+  /** F10: seasonal/trend STRENGTH — the two [0,1] scores from the STL
+    * playbook (Hyndman & Athanasopoulos, "Forecasting: Principles and
+    * Practice" §12/STL features: F_s = max(0, 1 − Var(R)/Var(y−T)),
+    * F_t = max(0, 1 − Var(R)/Var(y−S))) that turn F2's decomposition
+    * into a single monitorable number per signal — "is this series
+    * seasonal enough to warrant a seasonal model?" feeds model
+    * selection and the anomaly-detector choice (F6 needs seasonality;
+    * CUSUM doesn't).
+    *
+    * Components reuse F2's exact contract: T_t = slope_micro·x (the
+    * micro-rounded least-squares slope; intercepts cancel under
+    * variance), S = per-day-of-week FLOOR mean of the detrended
+    * series (F3's `div` discipline — keeps every residual an exact
+    * long), R = detrended − S. Variance numerators n·Σq² − (Σq)²
+    * accumulate as decimal(38,0) ↔ HUGEINT (q ~ 1e13 micro squares
+    * to 1e26, far past int64; the shared /n² cancels in the ratio),
+    * and the ONE double division per score happens at the end on
+    * bit-equal integers — hash-exact oracle replay.
+    *
+    * Scale shape: fact rows are touched once by the daily aggregate;
+    * the two scalar passes after (slope, then strengths) run over
+    * |days| rows with map-side-combinable sums and broadcast scalars
+    * — no window, no shuffle beyond the daily rollup.
+    */
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame =
+    seasonalStrengthOf(daily(spark, dir))
+
+  /** [[seasonalStrength]]'s core over ANY (d DATE, y LONG) daily
+    * series — split out so specs can feed hand series (pure weekly
+    * cycle → F_s = 1; pure linear trend → F_s = 0, F_t = 1).
+    */
+  private[graft] def seasonalStrengthOf(base: DataFrame): DataFrame = {
+    val d = base
+      .select(datediff(col("d"), lit("1995-01-01").cast("date")).cast("long").as("x"),
+        col("y"))
+    val g = d.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope = ((col("n").cast("decimal(38,0)") * col("sxy") -
+        col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+    val global = g.select(round(slope).cast("long").as("slope_micro_per_day"))
+    val z0 = d.crossJoin(broadcast(global))
+      .select(col("x"), col("y"), col("slope_micro_per_day"),
+        (col("y") - col("slope_micro_per_day") * col("x")).as("z"),
+        (((col("x") % 7) + 7) % 7).cast("int").as("dow"))
+    // shift the detrended series by its min BEFORE the div floor-mean:
+    // Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    // so they disagree exactly when the dividend is negative; on the
+    // shifted (nonnegative) series both are the same floor, and since
+    // floormean(z − c) = floormean(z) − c for integer c the residuals
+    // r and the deseasonalized series are unchanged by the shift
+    val zmin = z0.agg(min("z").as("zmin"))
+    val z = z0.crossJoin(broadcast(zmin))
+      .withColumn("zp", col("z") - col("zmin"))
+    val sdow = z.groupBy("dow")
+      .agg(expr("sum(zp) div count(1)").as("mp")) // floor mean: exact long
+    val r = z.join(broadcast(sdow), "dow")
+      .select(col("slope_micro_per_day"), col("z"),
+        (col("zp") - col("mp")).as("r"),
+        (col("y") - (col("mp") + col("zmin"))).as("des"))
+    def varNum(c: String) =
+      (count(lit(1)).cast("decimal(38,0)") *
+        sum((col(c).cast("decimal(38,0)") * col(c).cast("decimal(38,0)"))) -
+        sum(col(c).cast("decimal(38,0)")) * sum(col(c).cast("decimal(38,0)")))
+    r.agg(
+        count(lit(1)).as("n_days"),
+        min("slope_micro_per_day").as("slope_micro_per_day"),
+        varNum("z").as("dz"), varNum("r").as("dr"), varNum("des").as("dd"))
+      .select(col("n_days"), col("slope_micro_per_day"),
+        when(col("dz") > 0, round(lit(1e6) *
+          greatest(lit(0.0), lit(1.0) - col("dr").cast("double") / col("dz").cast("double")))
+          .cast("long")).as("seasonal_strength_micro"),
+        when(col("dd") > 0, round(lit(1e6) *
+          greatest(lit(0.0), lit(1.0) - col("dr").cast("double") / col("dd").cast("double")))
+          .cast("long")).as("trend_strength_micro"))
+  }
+
   /** F3: CUSUM changepoint detection — cumulative sum of deviations
     * from the series mean; the day where |CUSUM| peaks is the
     * level-shift point (Page's classic chart, the offline scan form).

@@ -963,6 +963,116 @@ object Events {
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
     }
   }
+  /** E32: per-key QUOTA enforcement in-stream — admit each user's
+    * first `cap` events in event-time order, reject the rest, and
+    * account for both (the rate-limiting / per-contributor-cap step a
+    * collection pipeline runs at the edge: crawl budgets per domain,
+    * per-device telemetry caps, free-tier ingest quotas). X25 is the
+    * BATCH per-domain cap; this is the same policy enforced
+    * incrementally with `transformWithState` counters, so the
+    * decision happens at arrival, not in a nightly sweep.
+    *
+    * Order contract (what "first" means): (ts, event_id) per user.
+    * The feed stages as four quartile-CUT batches ([[StreamStage]]
+    * mtime order; cuts by VALUE comparison, so equal timestamps can
+    * never straddle a batch boundary — unlike an ntile split), and
+    * each batch's rows sort per-user in the processor; concatenated,
+    * that is exactly the global (ts, event_id) order, so the batch
+    * oracle (row_number ≤ cap) replays the admit set hash-exact.
+    * The admitted-id SUM rides along to pin WHICH events passed, not
+    * just how many.
+    *
+    * Scale shape: state is 3 longs per user (counts + checksum);
+    * per-batch work is one shuffle of arriving rows onto their state
+    * partitions. Update-mode snapshots are monotone in n_seen, so
+    * the final per-user row is the max-n_seen snapshot (E18's
+    * memory-sink convention).
+    */
+  def streamQuota(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = Files.createTempDirectory("graft_quota")
+    val staged = base.toString + "/in"
+    try {
+      val ev = Tables.eventsTsAsNanosLong(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val cuts = ev.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY ts)").cast("long").as("q1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ts)").cast("long").as("q2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY ts)").cast("long").as("q3"))
+        .head()
+      val (q1, q2, q3) = (cuts.getLong(0), cuts.getLong(1), cuts.getLong(2))
+      StreamStage.stageOrderedBatches(staged, Seq(
+        ev.filter(col("ts") <= q1),
+        ev.filter(col("ts") > q1 && col("ts") <= q2),
+        ev.filter(col("ts") > q2 && col("ts") <= q3),
+        ev.filter(col("ts") > q3)))
+      val schema = spark.read.parquet(staged).schema
+      val updates = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new QuotaProcessor(cap),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n_seen", "n_admitted", "admitted_id_sum")
+      val sinkName = s"graft_stream_quota_${streamCounter.incrementAndGet()}"
+      val q = updates.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("update")
+        .option("checkpointLocation", base.toString + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val byUser = Window.partitionBy("user_id").orderBy(col("n_seen").desc)
+      val snapshot = spark.table(sinkName)
+        .withColumn("rk", row_number().over(byUser)).filter(col("rk") === 1)
+        .select(col("user_id"), col("n_seen"), col("n_admitted"),
+          col("admitted_id_sum"))
+        .orderBy("user_id")
+        .localCheckpoint()
+      snapshot
+    } finally {
+      priorProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+}
+
+/** The E32 StatefulProcessor: per-user quota counters — ValueState
+  * (n_seen, n_admitted, admitted_id_sum); each batch's rows sort by
+  * (ts, event_id) before the admit decision so the in-batch order
+  * matches the staging contract's global order.
+  */
+class QuotaProcessor(cap: Int)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long, Long)]("quota",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    var (seen, adm, idSum) = if (st.exists()) st.get() else (0L, 0L, 0L)
+    // rows arrive as (user_id, ts, event_id); admit in (ts, event_id)
+    rows.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+      seen += 1
+      if (adm < cap) { adm += 1; idSum += r._3 }
+    }
+    st.update((seen, adm, idSum))
+    Iterator.single((key, seen, adm, idSum))
+  }
 }
 
 /** The E18 StatefulProcessor: one ValueState[(count, sum)] per user —

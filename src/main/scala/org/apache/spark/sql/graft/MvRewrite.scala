@@ -1,0 +1,89 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: MATERIALIZED-VIEW substitution — the classic
+  * warehouse optimization (Oracle query rewrite, BigQuery/Snowflake
+  * materialized views, Databricks MV): a query whose plan matches a
+  * registered view DEFINITION is answered from the view's
+  * MATERIALIZATION instead of the base table. At 100 TB the economics
+  * are decisive: the fact-table aggregate the dashboard fleet re-runs
+  * every few minutes becomes a scan of a few thousand pre-aggregated
+  * rows — the rewrite moves work from query time (× every consumer)
+  * to refresh time (× once), and T18/E20 already own the refresh half
+  * (incremental aggregate maintenance); this rule is the missing
+  * CONSUMPTION half, with zero query-author involvement.
+  *
+  * Matching contract (exact-match substitution, stated not inferred):
+  * a plan subtree matches a registered view iff its CANONICALIZED
+  * optimized form equals the definition's — Catalyst's own
+  * `sameResult` machinery (expression-id-normalized structural
+  * equality), the same test `ReuseExchange`/cached-plan lookup trust.
+  * Exact match only — no partial/rollup matching (a coarser-grain
+  * query could be answered by RE-aggregating the view; that extension
+  * changes the marginal-cost story, not the mechanism, and is out of
+  * scope here). Substitution preserves the matched subtree's output
+  * attribute ids via an aliasing Project, so parent operators'
+  * references stay valid.
+  *
+  * Conf discipline: opt-in via `spark.graft.mvRewrite` (the Q50
+  * convention — no other registry entry's plan changes); the catalog
+  * is keyed by applicationId so a new context never sees a stale
+  * registration. Staleness contract: the materialization answers for
+  * the base data AS OF refresh time — the same freshness trade every
+  * MV system documents; K9/K23's versioned lake is where a production
+  * deployment would pin that snapshot explicitly.
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  private case class Mv(definition: LogicalPlan, materialization: LogicalPlan)
+
+  private val catalog =
+    scala.collection.concurrent.TrieMap.empty[String, Mv]
+
+  def ensure(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(MvRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewrite
+
+  /** Materialize `definition` to `path` and register it for
+    * substitution. The stored match key is the OPTIMIZED canonical
+    * plan (the rule runs after the main optimizer batches, so
+    * incoming subtrees are in the same normal form).
+    */
+  def register(spark: SparkSession, name: String,
+               definition: DataFrame, path: String): Unit = {
+    definition.write.mode("overwrite").parquet(path)
+    val mat = spark.read.parquet(path)
+    catalog.put(spark.sparkContext.applicationId + "|" + name,
+      Mv(definition.queryExecution.optimizedPlan,
+        mat.queryExecution.analyzed))
+  }
+
+  /** Drop this application's registrations (test/data-refresh hook). */
+  def clear(spark: SparkSession): Unit = {
+    val prefix = spark.sparkContext.applicationId + "|"
+    catalog.keys.filter(_.startsWith(prefix)).foreach(catalog.remove)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.mvRewrite", "false").toBoolean)
+      return plan
+    val views = catalog.toMap.values
+    if (views.isEmpty) return plan
+    plan.transformUp {
+      case sub if views.exists(v => sub.sameResult(v.definition)) =>
+        val mv = views.find(v => sub.sameResult(v.definition)).get
+        // the materialization's column ORDER matches the definition's
+        // output (parquet round-trip preserves it); re-alias onto the
+        // matched subtree's attribute ids so parents resolve unchanged
+        Project(sub.output.zip(mv.materialization.output).map {
+          case (orig, repl) =>
+            Alias(repl, orig.name)(exprId = orig.exprId)
+        }, mv.materialization)
+    }
+  }
+}
