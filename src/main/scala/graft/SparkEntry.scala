@@ -3889,7 +3889,7 @@ object SparkEntry {
         |  SELECT doc_id, p, len, 1 + (doc_id % greatest(len, 1)) AS pos FROM m
         |), r AS (
         |  SELECT doc_id, p, len,
-        |    CASE WHEN doc_id % 23 = 0 THEN
+        |    CASE WHEN doc_id % 23 = 0 AND len > 0 THEN
         |      substr(p, 1, CAST(pos - 1 AS INT)) ||
         |      (CASE WHEN substr(p, CAST(pos AS INT), 1) = '#'
         |        THEN '@' ELSE '#' END) ||

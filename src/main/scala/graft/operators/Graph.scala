@@ -19,6 +19,25 @@ import graft.Tables
   */
 object Graph {
 
+  /** The orders⋈lineitem trade join with the shared node-id encoding
+    * (customers even `2·custkey`, suppliers odd `2·suppkey+1`,
+    * `l_partkey` riding along for the part-mediated graphs) — the one
+    * derivation every graph operator starts from, factored so the
+    * encoding cannot drift between operators (review finding, round
+    * 8). Column pruning drops whichever columns a caller ignores, so
+    * sharing costs nothing in the scan.
+    */
+  private def tradeRows(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_partkey")
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), (col("o_custkey") * 2).as("cust_node"),
+        (col("l_suppkey") * 2 + 1).as("supp_node"),
+        col("o_custkey"), col("l_suppkey"), col("l_partkey"))
+  }
+
+
   /** G1: fixed-iteration PageRank over the customer↔supplier trade
     * graph (nodes: customers as `2·custkey`, suppliers as
     * `2·suppkey+1`; one undirected edge per distinct
@@ -44,10 +63,8 @@ object Graph {
     */
   def pageRank(spark: SparkSession, dir: String,
                iters: Int = 5, topK: Int = 20): DataFrame = {
-    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val bought = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val bought = tradeRows(spark, dir)
+      .select(col("cust_node").as("src"), col("supp_node").as("dst"))
       .distinct()
     pageRankOf(bought, iters, topK)
   }
@@ -96,10 +113,8 @@ object Graph {
     */
   def personalizedPageRank(spark: SparkSession, dir: String,
                            iters: Int = 5, topK: Int = 20): DataFrame = {
-    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val bought = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val bought = tradeRows(spark, dir)
+      .select(col("cust_node").as("src"), col("supp_node").as("dst"))
       .distinct()
     val seeds = Tables.load(spark, dir, "customer")
       .filter(col("c_nationkey") === 0)
@@ -168,10 +183,8 @@ object Graph {
     * stay constant-size (the D8/G1 iterative pattern).
     */
   def labelProp(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
-    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val bought = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val bought = tradeRows(spark, dir)
+      .select(col("cust_node").as("src"), col("supp_node").as("dst"))
       .distinct()
     labelPropOf(bought, iters)
   }
@@ -480,10 +493,8 @@ object Graph {
     */
   def kcore(spark: SparkSession, dir: String,
             k: Int = 3, rounds: Int = 8): DataFrame = {
-    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val bought = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val bought = tradeRows(spark, dir)
+      .select(col("cust_node").as("src"), col("supp_node").as("dst"))
       .distinct()
     kcoreOf(bought, k, rounds)
   }
@@ -533,10 +544,8 @@ object Graph {
     */
   def sssp(spark: SparkSession, dir: String,
            iters: Int = 6, topK: Int = 20): DataFrame = {
-    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val weighted = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val weighted = tradeRows(spark, dir)
+      .groupBy(col("cust_node").as("src"), col("supp_node").as("dst"))
       .agg(count(lit(1)).as("n"))
       .select(col("src"), col("dst"),
         greatest(lit(1L), expr("1000000L div n")).as("w"))
@@ -603,9 +612,7 @@ object Graph {
     */
   def adamicAdar(spark: SparkSession, dir: String,
                  maxDeg: Int = 50, topK: Int = 25): DataFrame = {
-    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
-    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+    val cs = tradeRows(spark, dir)
       .select(col("o_custkey").as("c"), col("l_partkey").as("s"))
       .distinct()
     adamicAdarOf(cs, maxDeg, topK)
@@ -620,9 +627,7 @@ object Graph {
     */
   private[graft] def adamicAdarStats(spark: SparkSession, dir: String,
                                      maxDeg: Int = 50): (Long, Long) = {
-    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
-    val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+    val cs = tradeRows(spark, dir)
       .select(col("o_custkey").as("c"), col("l_partkey").as("s"))
       .distinct()
     val sdeg = cs.groupBy("s").agg(count(lit(1)).as("d"))
@@ -699,11 +704,8 @@ object Graph {
     */
   def components(spark: SparkSession, dir: String,
                  minOrders: Int = 2): DataFrame = {
-    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val l = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
-    val repeat = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("doc_a"),
-        (col("l_suppkey") * 2 + 1).as("doc_b"))
+    val repeat = tradeRows(spark, dir)
+      .groupBy(col("cust_node").as("doc_a"), col("supp_node").as("doc_b"))
       .agg(countDistinct(col("o_orderkey")).as("n_orders"))
       .filter(col("n_orders") >= minOrders)
       .select("doc_a", "doc_b")

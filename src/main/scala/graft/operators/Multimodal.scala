@@ -580,12 +580,20 @@ object Multimodal {
       col("payload").substr(lit(1), (pos - 1).cast("int")),
       encode(flip, "UTF-8"),
       col("payload").substr(pos + 1, (len - pos).cast("int")))
-    val received = when(col("doc_id") % 23 === 0, corrupted)
+    // empty payloads are never corrupt-planted (there is no byte to
+    // flip; the oracle's substr arithmetic agrees only on len > 0)
+    val received = when(col("doc_id") % 23 === 0 && len > 0, corrupted)
       .otherwise(col("payload"))
-    def blockHashes(c: org.apache.spark.sql.Column) =
-      transform(sequence(lit(0),
-          ((octet_length(c) + blockSize - 1) / blockSize).cast("int") - 1),
-        i => md5(c.substr(i * blockSize + 1, lit(blockSize))))
+    // n>0 guard: Spark's sequence(0, -1) DESCENDS (default step -1,
+    // yielding [0, -1]) instead of returning empty like the oracle's
+    // range(0, 0) — an empty payload must digest to zero blocks
+    def blockHashes(c: org.apache.spark.sql.Column) = {
+      val nb = ((octet_length(c) + blockSize - 1) / blockSize).cast("int")
+      when(nb > 0,
+        transform(sequence(lit(0), nb - 1),
+          i => md5(c.substr(i * blockSize + 1, lit(blockSize)))))
+        .otherwise(array().cast("array<string>"))
+    }
     val apos = array_position(zip_with(col("h_orig"), col("h_recv"),
       (a, b) => a =!= b), true)
     media

@@ -1515,8 +1515,9 @@ object Analytics {
     def monthly = Tables.load(spark, dir, "orders")
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
-    val path = java.nio.file.Files.createTempDirectory("graft_mv").toString + "/orders_monthly"
-    MvRewrite.register(spark, "orders_monthly", monthly, path)
+    val base = java.nio.file.Files.createTempDirectory("graft_mv")
+    MvRewrite.register(spark, "orders_monthly", monthly,
+      base.toString + "/orders_monthly")
     val flag = "spark.graft.mvRewrite"
     val prior = spark.conf.getOption(flag)
     spark.conf.set(flag, "true")
@@ -1526,9 +1527,16 @@ object Analytics {
       monthly
         .orderBy("month")
         .localCheckpoint() // eager: the plan optimizes while the flag is on
-    finally prior match {
-      case Some(v) => spark.conf.set(flag, v)
-      case None    => spark.conf.unset(flag)
+    finally {
+      prior match {
+        case Some(v) => spark.conf.set(flag, v)
+        case None    => spark.conf.unset(flag)
+      }
+      // the result is checkpointed — the MV copy and its registration
+      // are scoped to this call (repeat bench runs must not pile up
+      // tmp parquet or serve a stale registration)
+      MvRewrite.clear(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
     }
   }
 

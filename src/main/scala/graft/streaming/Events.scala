@@ -833,11 +833,11 @@ object Events {
     // is shared — scope the conf change to THIS query and restore the
     // prior provider afterwards, or every later streaming operator in
     // the run would silently execute under a different state store
+    val base = Files.createTempDirectory("graft_tws")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val priorProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val base = Files.createTempDirectory("graft_tws")
     val staged = base.toString + "/in"
     try {
       Tables.load(spark, dir, "events")
@@ -908,11 +908,11 @@ object Events {
                           gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
+    val base = Files.createTempDirectory("graft_timer_sess")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val priorProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val base = Files.createTempDirectory("graft_timer_sess")
     val staged = base.toString + "/in"
     try {
       val ev = Tables.eventsTsAsNanosLong(spark, dir)
@@ -990,12 +990,14 @@ object Events {
     */
   def streamQuota(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
     import spark.implicits._
+    val base = Files.createTempDirectory("graft_quota")
+    val staged = base.toString + "/in"
+    // conf flips AFTER every fallible setup step: a throw before the
+    // try would leak the provider onto the session (review finding)
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val priorProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val base = Files.createTempDirectory("graft_quota")
-    val staged = base.toString + "/in"
     try {
       val ev = Tables.eventsTsAsNanosLong(spark, dir)
         .select(col("user_id"), col("ts"), col("event_id"))

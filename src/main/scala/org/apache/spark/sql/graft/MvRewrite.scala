@@ -75,15 +75,26 @@ object MvRewrite extends Rule[LogicalPlan] {
     val views = catalog.toMap.values
     if (views.isEmpty) return plan
     plan.transformUp {
-      case sub if views.exists(v => sub.sameResult(v.definition)) =>
-        val mv = views.find(v => sub.sameResult(v.definition)).get
-        // the materialization's column ORDER matches the definition's
-        // output (parquet round-trip preserves it); re-alias onto the
-        // matched subtree's attribute ids so parents resolve unchanged
-        Project(sub.output.zip(mv.materialization.output).map {
-          case (orig, repl) =>
-            Alias(repl, orig.name)(exprId = orig.exprId)
-        }, mv.materialization)
+      case sub =>
+        views.collectFirst {
+          case v if sub.sameResult(v.definition) =>
+            // FRESH leaf instance per substitution: two matches in one
+            // plan (a self-join of the aggregate) must not share
+            // output exprIds — the post-analysis invariant the
+            // analyzer's DeduplicateRelations normally maintains
+            val mat = v.materialization.transform {
+              case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+                m.newInstance().asInstanceOf[LogicalPlan]
+            }
+            // the materialization's column ORDER matches the
+            // definition's output (parquet round-trip preserves it);
+            // re-alias onto the matched subtree's attribute ids so
+            // parents resolve unchanged
+            Project(sub.output.zip(mat.output).map {
+              case (orig, repl) =>
+                Alias(repl, orig.name)(exprId = orig.exprId)
+            }, mat)
+        }.getOrElse(sub)
     }
   }
 }

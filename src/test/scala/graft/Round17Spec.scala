@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-8 (second batch) hand-data specs for the six new operators —
+/** Round-8 (second batch) hand-data specs for the seven new operators —
   * the adversarial-review defense for bugs the oracle gate cannot see
   * (an error mirrored into `oracleSql` hash-matches; a hand-built
   * input with a known closed-form answer does not lie).
@@ -94,20 +94,27 @@ class Round17Spec extends SparkSpec {
       (1L, "x" * 130),   // clean (1 % 23 != 0)
       (23L, "y" * 130),  // pos = 23 % 130 + 1 = 24 → block 1
       (115L, "z" * 130), // pos = 115 % 130 + 1 = 116 → block 2
-      (46L, "#" * 70)    // all-'#' payload: flip must pick '@', pos 47 → block 1
+      (46L, "#" * 70),   // all-'#' payload: flip must pick '@', pos 47 → block 1
+      (69L, "")          // empty payload, corrupt-eligible id: zero blocks, clean
     ).toDF("doc_id", "text")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     val rows = graft.operators.Multimodal.integrityOf(media, 64)
       .orderBy("doc_id").collect()
     val clean = rows(0)
     assert(clean.getLong(1) == 3 && !clean.getBoolean(3) && clean.getLong(4) == 0)
+    // sorted by doc_id: 1, 23, 46, 69, 115
     val b1 = rows(1)
     assert(b1.getBoolean(3) && b1.getLong(4) == 1,
       s"offset 24 must localize to block 1, got $b1")
     val hash = rows(2)
     assert(hash.getLong(1) == 2 && hash.getBoolean(3) && hash.getLong(4) == 1,
       s"all-'#' payload must still corrupt (flip to '@'), got $hash")
-    val b2 = rows(3)
+    // Spark's sequence(0, -1) descends — an unguarded block range would
+    // hand an empty payload two phantom blocks (review finding)
+    val empty = rows(3)
+    assert(empty.getLong(1) == 0 && !empty.getBoolean(3) && empty.getLong(4) == 0,
+      s"empty payload must digest to zero blocks and stay clean, got $empty")
+    val b2 = rows(4)
     assert(b2.getBoolean(3) && b2.getLong(4) == 2,
       s"offset 116 must localize to block 2, got $b2")
   }
