@@ -70,7 +70,11 @@ object Bench {
     "t_skew_advisor",
     // round-8 addition (sink_time_travel is a sink entry — stays
     // correctness-gated per the policy above)
-    "q_bloom_join_rule")
+    "q_bloom_join_rule",
+    // round-8 batch-2 additions (e_stream_quota is a stream entry and
+    // q_mv_rewrite's cost is its MV write — both stay correctness-gated)
+    "g_components", "t_impute", "text_encoding", "ts_strength",
+    "mm_integrity")
 
   /** The scale-step set: the heaviest operators over the tables the
     * 10× blow-up synthesizes (documents/embeddings since round 6;
