@@ -90,7 +90,10 @@ object Bench {
     "g_pagerank", "g_kcore", "g_clustering",
     // round-8 additions (VERDICT r7 #6): the IVF family and the two
     // biggest text extended entries, never stepped before
-    "ann_ivfpq", "ann_ivf_sweep", "text_transfer", "text_rake")
+    "ann_ivfpq", "ann_ivf_sweep", "text_transfer", "text_rake",
+    // round-8 batch 2: CC over the 10× trade graph (pointer jumping —
+    // rounds grow log(diameter), per-round work edge-linear)
+    "g_components")
 
   /** Build (once; cached by a _DONE marker) a deterministic `factor`×
     * blow-up of documents + embeddings under /tmp. Replica 0 is the

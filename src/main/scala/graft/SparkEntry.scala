@@ -177,6 +177,7 @@ object SparkEntry {
     "q_dpp" -> (IOQueries.qDpp _),
     "p_dirty_partitions" -> ((s, d) => IOQueries.pDirtyPartitions(s, d)),
     "sink_wap" -> ((s, d) => IOQueries.sinkWap(s, d)),
+    "sink_txn" -> ((s, d) => IOQueries.sinkTxn(s, d)),
     "dq_fk" -> (IOQueries.dqFk _),
     "src_fvecs" -> (IOQueries.srcFvecs _),
     "src_url" -> (IOQueries.srcUrl _),
@@ -1393,6 +1394,31 @@ object SparkEntry {
     // the oracle replays what SHOULD have happened at every stage of
     // the write-audit-publish protocol — publishing a failing batch or
     // drifting the visible version breaks the hash
+    // K25: the oracle recomputes the expected FINAL state of both
+    // tables from raw facts — a leaked half-transaction (the crashed
+    // writer's full-data monthly files alongside v1's half-data
+    // priority files) would break grand_n/grand_total on table A
+    "sink_txn" ->
+      """WITH t AS (
+        |  SELECT CAST(round(o_totalprice * 1e6) AS BIGINT) AS micro,
+        |    strftime(o_orderdate, '%Y-%m') AS m, o_orderpriority AS p
+        |  FROM orders
+        |), s AS (
+        |  SELECT 'orders_by_priority' AS tbl,
+        |    CAST(count(DISTINCT p) AS BIGINT) AS n_groups,
+        |    CAST(count(*) AS BIGINT) AS grand_n,
+        |    CAST(sum(micro) AS BIGINT) AS grand_total_micro
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'orders_monthly',
+        |    CAST(count(DISTINCT m) AS BIGINT),
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(micro) AS BIGINT)
+        |  FROM t
+        |)
+        |SELECT tbl, n_groups, grand_n, grand_total_micro,
+        |  CAST(2 AS BIGINT) AS catalog_version, true AS consistent
+        |FROM s ORDER BY tbl""".stripMargin,
     "sink_wap" ->
       """WITH n AS (SELECT cast(count(*) AS bigint) AS total FROM orders),
         |bad AS (SELECT cast(count(*) AS bigint) AS nb FROM orders WHERE o_orderkey % 7 = 0)

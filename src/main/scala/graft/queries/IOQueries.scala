@@ -1509,6 +1509,90 @@ object IOQueries {
       .orderBy("stage")
   }
 
+  /** K25: MULTI-TABLE atomic transaction — one commit spanning two
+    * tables, the catalog-level ACID that single-table formats
+    * (classic Delta) cannot express and catalog-versioned ones
+    * (Iceberg REST / Nessie, LakeFS) exist for: a rollup pair that
+    * must agree (both partition the same fact set) is published by
+    * ONE catalog manifest listing BOTH tables' complete file lists,
+    * so readers see the pair flip together or not at all — there is
+    * no window where table A is new and table B old.
+    *
+    * Mechanics: data files stage under per-transaction directories
+    * (invisible — readers resolve files only through the committed
+    * catalog manifest), and commit is [[graft.sinks.ManifestStore]]'s
+    * single atomic rename. The demo runs the full failure story:
+    * txn 1 commits both tables over half the facts; a CRASHED writer
+    * stages full-data files for ONE table and dies before the
+    * catalog publish (its files stay orphaned on disk, never
+    * readable); txn 2 commits both tables over the full facts. The
+    * output reads back through the final catalog version and carries
+    * the cross-table invariant (grand counts and micro totals equal
+    * across the pair) — if the half-transaction had leaked, the
+    * hashes break. At 100 TB the catalog manifest is table-count ×
+    * file-count rows of metadata; data files never rewrite for the
+    * commit itself.
+    */
+  def sinkTxn(spark: SparkSession, dir: String,
+              baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(tmpDir("txn"))
+    val catalog = base + "/catalog"
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    def monthly(src: DataFrame) = src
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 1e6).cast("long")).as("total_micro"))
+    def byPriority(src: DataFrame) = src
+      .groupBy(col("o_orderpriority").as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 1e6).cast("long")).as("total_micro"))
+    // stage a table's files for a transaction (the write is eager;
+    // visibility waits for the catalog commit) and return its
+    // catalog-manifest rows
+    def stageFiles(txn: String, table: String, df: DataFrame): DataFrame = {
+      val path = s"$base/lake/$table/$txn"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(table).as("table"), col("file"), col("n_rows"))
+    }
+    val half = orders.filter(col("o_orderkey") % 2 === 0)
+    // txn 1: both tables over half the facts — ONE commit
+    graft.sinks.ManifestStore.publish(spark, catalog,
+      stageFiles("txn1", "orders_monthly", monthly(half))
+        .unionByName(stageFiles("txn1", "orders_by_priority", byPriority(half))))
+    // the crashed writer: full-data files staged for ONE table, death
+    // before the catalog publish — a reader must never see this
+    stageFiles("txn_crashed", "orders_monthly", monthly(orders))
+    // txn 2: both tables over the full facts — ONE commit
+    val v2 = graft.sinks.ManifestStore.publish(spark, catalog,
+      stageFiles("txn2", "orders_monthly", monthly(orders))
+        .unionByName(stageFiles("txn2", "orders_by_priority", byPriority(orders))))
+    val (ver, cat) = graft.sinks.ManifestStore.current(spark, catalog)
+    require(ver == v2, s"catalog head $ver != committed $v2")
+    def summary(table: String): DataFrame = {
+      val files = cat.filter(col("table") === table)
+        .select("file").collect().map(_.getString(0))
+      spark.read.parquet(files: _*)
+        .agg(count(lit(1)).as("n_groups"),
+          sum("n").as("grand_n"),
+          sum(col("total_micro").cast("decimal(38,0)")).cast("long")
+            .as("grand_total_micro"))
+        .select(lit(table).as("tbl"), col("n_groups"), col("grand_n"),
+          col("grand_total_micro"))
+    }
+    val pair = summary("orders_monthly").unionByName(summary("orders_by_priority"))
+      .localCheckpoint()
+    val Array(r1, r2) = pair.orderBy("tbl").collect()
+    pair
+      .withColumn("catalog_version", lit(ver))
+      .withColumn("consistent",
+        lit(r1.getLong(2) == r2.getLong(2) && r1.getLong(3) == r2.getLong(3)))
+      .orderBy("tbl")
+  }
+
   /** P6: dirty-partition incremental recompute — the "make for data"
     * contract behind dbt incremental models and every sane nightly
     * build: each output partition records a FINGERPRINT of its input

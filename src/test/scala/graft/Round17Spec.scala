@@ -196,6 +196,39 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("sink_txn: half-transactions are invisible; version 1 is a consistent pair") {
+    val base = java.nio.file.Files.createTempDirectory("graft_txn_spec").toString
+    val out = graft.queries.IOQueries.sinkTxn(spark, sfDir, Some(base)).collect()
+    assert(out.forall(_.getBoolean(5)), "final pair must be consistent")
+    // exactly two commits ever happened — the crashed writer's staging
+    // never produced a version
+    assert(graft.sinks.ManifestStore.versions(spark, base + "/catalog") == Seq(1L, 2L))
+    // the crashed writer's files exist on disk…
+    val crashed = new java.io.File(base + "/lake/orders_monthly/txn_crashed")
+    assert(crashed.exists && crashed.listFiles.exists(_.getName.endsWith(".parquet")))
+    // …but no committed catalog version ever lists them
+    Seq(1L, 2L).foreach { v =>
+      val (_, cat) = graft.sinks.ManifestStore.at(spark, base + "/catalog", Some(v))
+      assert(cat.filter(col("file").contains("txn_crashed")).count() == 0,
+        s"version $v leaks the crashed writer's files")
+    }
+    // version 1 is itself a CONSISTENT pair (both tables at half data):
+    // cross-table grand counts agree at the pinned version too
+    val (_, cat1) = graft.sinks.ManifestStore.at(spark, base + "/catalog", Some(1L))
+    def grandN(table: String): Long = {
+      val files = cat1.filter(col("table") === table)
+        .select("file").collect().map(_.getString(0))
+      spark.read.parquet(files: _*).agg(sum("n")).head.getLong(0)
+    }
+    assert(grandN("orders_monthly") == grandN("orders_by_priority"),
+      "version 1 must be a consistent cross-table snapshot")
+    // and version 1's data is the half feed, not the crashed full feed
+    val half = graft.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 2 === 0).count()
+    assert(grandN("orders_monthly") == half)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("e_stream_quota: stream admit set ≡ batch row_number admit set") {
     val streamed = graft.streaming.Events.streamQuota(spark, sfDir, cap = 20)
     val batch = graft.Tables.eventsTsAsNanosLong(spark, sfDir)
