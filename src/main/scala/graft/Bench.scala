@@ -74,7 +74,11 @@ object Bench {
     // round-8 batch-2 additions (e_stream_quota is a stream entry and
     // q_mv_rewrite's cost is its MV write — both stay correctness-gated)
     "g_components", "t_impute", "text_encoding", "ts_strength",
-    "mm_integrity")
+    "mm_integrity",
+    // round-8 batch-3 additions (sink_restore/sink_drop_column are
+    // sink entries — correctness-gated per the policy above)
+    "q_pit_join", "ts_holt", "t_feature_hash", "t_neg_sample",
+    "ann_range")
 
   /** The scale-step set: the heaviest operators over the tables the
     * 10× blow-up synthesizes (documents/embeddings since round 6;

@@ -84,6 +84,7 @@ object SparkEntry {
     "q_rolling_7d" -> (Analytics.qRolling7d _),
     "q_rolling_median" -> (Analytics.qRollingMedian _),
     "q_skyline" -> (Relational.qSkyline _),
+    "q_pit_join" -> (Relational.qPitJoin _),
     // HLL inclusion-exclusion overlap: sketch estimates are
     // engine-specific -> rows-only; error vs exact in Round9Spec/RECALL
     "q_overlap_sketch" -> (Analytics.qOverlapSketch _),
@@ -155,6 +156,8 @@ object SparkEntry {
     // spec-pinned in Round15Spec
     "sink_clone" -> ((s, d) => IOQueries.sinkClone(s, d)),
     "sink_cdf" -> ((s, d) => IOQueries.sinkCdf(s, d)),
+    "sink_restore" -> ((s, d) => IOQueries.sinkRestore(s, d)),
+    "sink_drop_column" -> ((s, d) => IOQueries.sinkDropColumn(s, d)),
     // K24: SQL time travel — graft_table('<base>', version) TVF over
     // the manifest lake (injectTableFunction extension rung)
     "sink_time_travel" -> ((s, d) => IOQueries.sinkTimeTravelSql(s, d)),
@@ -241,6 +244,7 @@ object SparkEntry {
     "text_gram_decay" -> ((s, d) => TextQueries.textGramDecay(s, d)),
     "text_zipf" -> ((s, d) => TextQueries.textZipf(s, d)),
     "t_feature_asof" -> (Analytics.tFeatureAsof _),
+    "t_neg_sample" -> ((s, d) => Analytics.negSample(s, d)),
     "t_purged_folds" -> ((s, d) => Analytics.tPurgedFolds(s, d)),
     "t_skew_advisor" -> ((s, d) => Analytics.tSkewAdvisor(s, d)),
     "emb_drift" -> (Similarity.embDrift _),
@@ -282,8 +286,10 @@ object SparkEntry {
     "text_novelty" -> ((s, d) => TextQueries.textNovelty(s, d)),
     "text_phrase" -> ((s, d) => TextQueries.textPhrase(s, d)),
     "text_boilerplate" -> ((s, d) => TextQueries.textBoilerplate(s, d)),
+    "t_feature_hash" -> ((s, d) => TextQueries.featureHash(s, d)),
     "t_weighted_sample" -> ((s, d) => Relational.tWeightedSample(s, d)),
     "ts_ewma" -> (TimeSeries.ewma _),
+    "ts_holt" -> (TimeSeries.holt _),
     "ts_ols" -> (TimeSeries.ols _),
     "ts_residual_anomaly" -> (TimeSeries.residualAnomaly _),
     "ts_theil_sen" -> (TimeSeries.theilSen _),
@@ -293,6 +299,7 @@ object SparkEntry {
     "q_assoc_rules" -> ((s, d) => Analytics.qAssocRules(s, d)),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_mips" -> ((s, d) => Similarity.mipsTopK(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lshAnn(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivfAnn(s, d)),
@@ -1005,6 +1012,28 @@ object SparkEntry {
         |  WHERE b.p_size <= a.p_size AND b.p_retailprice <= a.p_retailprice
         |    AND (b.p_size < a.p_size OR b.p_retailprice < a.p_retailprice))
         |ORDER BY p_size, p_partkey""".stripMargin,
+    // Q52: the SCD2 build is replayed inline (lag-filter-lead, T17's
+    // exact window order), then facts resolve by key-equi + range
+    "q_pit_join" ->
+      """WITH ch AS (
+        |  SELECT o_custkey, o_orderstatus AS status, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders
+        |), v AS (
+        |  SELECT o_custkey, status, o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM ch WHERE prev IS NULL OR prev <> status
+        |)
+        |SELECT v.status, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l.l_extendedprice), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN v ON o.o_custkey = v.o_custkey
+        |  AND l.l_shipdate >= v.valid_from
+        |  AND (v.valid_to IS NULL OR l.l_shipdate < v.valid_to)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "t_fuzzy_join" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
         |typos AS (
@@ -1983,6 +2012,53 @@ object SparkEntry {
         |  len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // T35: bucket and sign fold the md5 hex via ascii arithmetic —
+    // identical md5/ascii/substr on both engines, so the sparse
+    // vectors replay bit-equal (the mm_integrity idiom)
+    "t_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, md5(tok) AS m FROM toks WHERE tok <> ''
+        |), b AS (
+        |  SELECT doc_id,
+        |    ((ascii(substr(m, 1, 1)) * 131 + ascii(substr(m, 2, 1))) * 131
+        |      + ascii(substr(m, 3, 1))) * 131 + ascii(substr(m, 4, 1)) AS f,
+        |    CASE WHEN ascii(substr(m, 5, 1)) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM h
+        |)
+        |SELECT doc_id, CAST(f % 64 AS BIGINT) AS bucket,
+        |  CAST(sum(sgn) AS BIGINT) AS v
+        |FROM b GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+    // T36: probe sequence, anti-join and first-k selection replayed
+    // with the same multiplicative-hash arithmetic (all terms
+    // positive, so plain % ≡ pmod on both engines)
+    "t_neg_sample" ->
+      """WITH np AS (SELECT count(*) AS n FROM part),
+        |pos AS (
+        |  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), cust AS (SELECT DISTINCT custkey FROM pos),
+        |probes AS (
+        |  SELECT c.custkey, t.j,
+        |    ((c.custkey * 2654435761 + t.j * 40503) % 4294967296) % np.n + 1
+        |      AS partkey
+        |  FROM cust c, range(0, 12) t(j), np
+        |), neg AS (
+        |  SELECT p.custkey, p.partkey, min(p.j) AS jmin
+        |  FROM probes p
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos
+        |    WHERE pos.custkey = p.custkey AND pos.partkey = p.partkey)
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT custkey, partkey,
+        |    row_number() OVER (PARTITION BY custkey ORDER BY jmin, partkey) AS rnk
+        |  FROM neg
+        |)
+        |SELECT custkey, CAST(rnk AS BIGINT) AS rnk, partkey
+        |FROM r WHERE rnk <= 4 ORDER BY custkey, rnk""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2610,6 +2686,52 @@ object SparkEntry {
          |  i.y - CAST(round(CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE)) AS BIGINT)
          |    AS dev_micro
          |FROM i JOIN a ON a.ti = i.i ORDER BY d""".stripMargin
+    },
+    // F11: F4's exact truncated-EWMA pass applied twice (s2 smooths
+    // the ROUNDED s1 longs, so both passes replay bit-equal), then
+    // Brown's level/trend with the one α/(1−α)=1/3 division on
+    // bit-equal integers — an integer/3.0 can never land on a .5
+    // rounding boundary, so round() agrees across engines
+    "ts_holt" -> {
+      val vals = graft.queries.TimeSeries.ewmaWeights(14).zipWithIndex
+        .map { case (w, j) => s"($j, $w)" }.mkString(", ")
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1
+         |), i1 AS (
+         |  SELECT d, y, row_number() OVER (ORDER BY d) AS i FROM daily
+         |), wts AS (
+         |  SELECT * FROM (VALUES $vals) AS t(j, wt)
+         |), a1 AS (
+         |  SELECT i1.i + w.j AS ti,
+         |    sum(CAST(i1.y AS HUGEINT) * w.wt) AS num, sum(w.wt) AS den
+         |  FROM i1, wts w GROUP BY 1
+         |), p1 AS (
+         |  SELECT i1.d, i1.y, i1.i,
+         |    CAST(round(CAST(a1.num AS DOUBLE) / CAST(a1.den AS DOUBLE)) AS BIGINT) AS s1
+         |  FROM i1 JOIN a1 ON a1.ti = i1.i
+         |), a2 AS (
+         |  SELECT p.i + w.j AS ti,
+         |    sum(CAST(p.s1 AS HUGEINT) * w.wt) AS num, sum(w.wt) AS den
+         |  FROM p1 p, wts w GROUP BY 1
+         |), p2 AS (
+         |  SELECT p1.d, p1.y, p1.s1,
+         |    CAST(round(CAST(a2.num AS DOUBLE) / CAST(a2.den AS DOUBLE)) AS BIGINT) AS s2
+         |  FROM p1 JOIN a2 ON a2.ti = p1.i
+         |), f AS (
+         |  SELECT d, y, 2 * s1 - s2 AS lvl,
+         |    CAST(round(CAST(s1 - s2 AS DOUBLE) / 3.0) AS BIGINT) AS trend
+         |  FROM p2
+         |), b AS (
+         |  SELECT d, y AS y_micro,
+         |    lag(lvl) OVER (ORDER BY d) + lag(trend) OVER (ORDER BY d)
+         |      AS forecast_micro
+         |  FROM f
+         |)
+         |SELECT d, y_micro, forecast_micro,
+         |  abs(y_micro - forecast_micro) AS abs_err_micro
+         |FROM b WHERE forecast_micro IS NOT NULL ORDER BY d""".stripMargin
     },
     "q_winsorize" ->
       """WITH p AS (
@@ -3502,6 +3624,21 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders WHERE strftime(o_orderdate, '%Y-%m') < '1997-01')
         |    AS source_rows
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // K26: a restored table must be indistinguishable from never
+    // having lost data; the metadata-only mechanics are spec-pinned
+    "sink_restore" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(1 AS BIGINT) AS restored_from_version,
+        |  CAST(3 AS BIGINT) AS current_version
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // K27: post-purge table ≡ source projected without the dropped
+    // column; zero-write drop + bounded rewrite set are spec-pinned
+    "sink_drop_column" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  true AS purged, CAST(4 AS BIGINT) AS current_version
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "sink_optimize" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS optimized
@@ -3891,6 +4028,31 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
         |  FROM sims
         |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // A27: ball membership compares the 4dp-ROUNDED sim (A1's
+    // contract), so the count and argmax replay exactly; empty balls
+    // surface as (-1, -1.0) sentinels, never NULLs
+    "ann_range" ->
+      """WITH sims AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |    round(list_cosine_similarity(
+        |      list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 16 AND c.vec_id <> q.vec_id
+        |), agg AS (
+        |  SELECT q_id,
+        |    CAST(sum(CASE WHEN sim >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+        |  FROM sims GROUP BY 1
+        |), best AS (
+        |  SELECT q_id, vec_id AS best_vec_id, sim AS best_sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM sims WHERE sim >= 0.2
+        |)
+        |SELECT a.q_id, a.n_within,
+        |  coalesce(b.best_vec_id, -1) AS best_vec_id,
+        |  coalesce(b.best_sim, -1.0) AS best_sim
+        |FROM agg a LEFT JOIN best b ON b.q_id = a.q_id AND b.rn = 1
+        |ORDER BY a.q_id""".stripMargin,
     "mm_schema" ->
       """SELECT doc_id, 'utf8' AS format,
         |  octet_length(encode(text)) AS n_bytes,

@@ -131,6 +131,46 @@ object Similarity {
     * the exact kernel here is both the baseline and the rerank tail
     * those paths share.
     */
+  /** A27: radius (range) similarity search — everything within a
+    * cosine THRESHOLD of each query rather than a fixed top-k (the
+    * retrieval mode dedup-verification, recall-oriented RAG, and
+    * near-dup auditing actually want: "all neighbors closer than τ",
+    * however many exist). Per query: the neighbor count inside the
+    * radius plus the single best hit, sentinel (-1, -1.0) when the
+    * ball is empty — one row per query regardless, so the output
+    * shape is |queries| at any corpus size.
+    *
+    * Scale shape: broadcast query set × one corpus scan scored by the
+    * codegen'd cosine kernel, then a map-side-combinable per-query
+    * aggregate (a conditional count + a struct-max argmax — the
+    * Round-4 keep-first idiom, vec_id negated so the tie-break is
+    * ascending). NOTHING candidate-shaped crosses the shuffle: unlike
+    * A1's top-k heap this needs no per-partition buffer at all, just
+    * |queries| partial rows per partition. The threshold compares the
+    * 4dp-ROUNDED similarity (A1's cross-engine contract), so the
+    * ball membership itself replays exactly on the oracle. At 100 TB
+    * the LSH/IVF bucketing (A2/A3) would pre-filter the scan; exact
+    * verify inside the ball stays this plan over the candidates.
+    */
+  def rangeSearch(spark: SparkSession, dir: String,
+                  tau: Double = 0.2, nQueries: Int = 16): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = broadcast(querySet(e, nQueries))
+    val hit = col("sim") >= tau
+    e.join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4).as("sim"),
+        col("vec_id"))
+      .groupBy("q_id")
+      .agg(
+        sum(when(hit, 1L).otherwise(0L)).as("n_within"),
+        max(when(hit, struct(col("sim"), (-col("vec_id")).as("nid")))).as("best"))
+      .select(col("q_id"), col("n_within"),
+        coalesce(-col("best.nid"), lit(-1L)).as("best_vec_id"),
+        coalesce(col("best.sim"), lit(-1.0)).as("best_sim"))
+      .orderBy("q_id")
+  }
+
   def mipsTopK(spark: SparkSession, dir: String,
                k: Int = 5, nQueries: Int = 10): DataFrame =
     mipsTopKOf(corpus(spark, dir), k, nQueries)

@@ -1740,4 +1740,48 @@ object Analytics {
         |FROM graft_emb a JOIN graft_emb b ON a.vec_id < b.vec_id
         |ORDER BY id_a, id_b""".stripMargin)
   }
+
+  /** T36: deterministic negative sampling for contrastive pairs — for
+    * every customer, draw k parts they did NOT buy, the negative half
+    * of a (user, item) contrastive training set (word2vec/SimCLR-style
+    * two-tower recommenders need ~k negatives per positive). Candidate
+    * generation is m hash probes per customer into the contiguous
+    * part-key space — NEVER a customer×part cross join (the naive
+    * anti-join universe is |C|·|P|, quadratic at 100 TB; probes are
+    * |C|·m and collision-dedup makes them distinct) — then one
+    * broadcast-able anti-join against the positives knocks out true
+    * interactions, and the first k survivors per customer (by probe
+    * index, the T7 multiplicative hash making the sequence
+    * reproducible on any engine/partitioning) are the sample.
+    *
+    * m > k absorbs both probe collisions and positive hits; with
+    * |positives per customer| ≪ |P| the miss probability per probe is
+    * tiny, so m = 2k+4 suffices at every SF (spec asserts full k for
+    * every sampled customer). Scale shape: probe fan-out is scan-side,
+    * the anti-join is key-equi on (custkey, partkey), and the
+    * first-k selection is one bounded window over ≤ m rows per key.
+    */
+  def negSample(spark: SparkSession, dir: String,
+                k: Int = 4, m: Int = 12): DataFrame = {
+    val nPart = Tables.load(spark, dir, "part").count()
+    val positives = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
+      .distinct()
+    val probes = positives.select("custkey").distinct()
+      .select(col("custkey"), explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .select(col("custkey"), col("j"),
+        (pmod(col("custkey") * lit(2654435761L) + col("j") * lit(40503L),
+          lit(4294967296L)) % nPart + 1L).as("partkey"))
+    probes.join(positives, Seq("custkey", "partkey"), "left_anti")
+      .groupBy("custkey", "partkey").agg(min("j").as("jmin"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("custkey").orderBy("jmin", "partkey")))
+      .filter(col("rnk") <= k)
+      .select(col("custkey"), col("rnk").cast("long").as("rnk"), col("partkey"))
+      .orderBy("custkey", "rnk")
+  }
 }

@@ -1985,4 +1985,141 @@ object IOQueries {
       .agg(sum("n").as("n"), round(sum("total"), 2).as("total"))
       .orderBy("month")
   }
+
+  /** K26: RESTORE to an earlier version as a NEW commit (Delta
+    * `RESTORE TABLE ... TO VERSION AS OF` / Iceberg rollback): undo a
+    * bad commit by publishing the pinned version's file list FORWARD
+    * as the next version — pure metadata, zero data files written or
+    * deleted, and history stays intact (the bad version remains
+    * readable for forensics; K18's vacuum is what eventually reclaims
+    * anything it orphaned). This is the recovery half of K9's
+    * versioning contract: time travel READS the past, restore makes
+    * the past current again — at 100 TB the difference between a
+    * one-rename fix and re-landing a table.
+    *
+    * The demo lands two month-bands, "accidentally" commits a version
+    * that drops the later band's files, restores to v1, and reads
+    * back through the current version. The oracle checks the restored
+    * table is indistinguishable from never having lost data; the spec
+    * pins the mechanics — v3's file list ≡ v1's, nothing written
+    * during restore, v2 still serving the damaged snapshot.
+    */
+  def sinkRestore(spark: SparkSession, dir: String,
+                  cutoff: String = "1997-01",
+                  baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(tmpDir("restore"))
+    val man = base + "/manifest"
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select("month", "o_orderkey", "o_totalprice")
+    def manifestOf(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+    orders.filter(col("month") < cutoff)
+      .repartition(3).write.mode("overwrite").parquet(base + "/lake/genA")
+    orders.filter(col("month") >= cutoff)
+      .repartition(3).write.mode("overwrite").parquet(base + "/lake/genB")
+    // v1: the healthy table
+    graft.sinks.ManifestStore.publish(spark, man,
+      manifestOf(base + "/lake/genA").unionByName(manifestOf(base + "/lake/genB")))
+    // v2: the bad commit — a botched retention job drops genB's files
+    val (_, v1) = graft.sinks.ManifestStore.current(spark, man)
+    graft.sinks.ManifestStore.publish(spark, man,
+      v1.filter(col("file").contains("/genA/")))
+    // v3: RESTORE TO VERSION 1 — republish v1's rows by reference
+    val (_, pinned) = graft.sinks.ManifestStore.at(spark, man, Some(1L))
+    graft.sinks.ManifestStore.publish(spark, man, pinned.select("file", "n_rows"))
+    val (curV, cur) = graft.sinks.ManifestStore.current(spark, man)
+    val files = cur.select("file").collect().map(_.getString(0))
+    spark.read.parquet(files: _*)
+      .groupBy("month")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("restored_from_version", lit(1L))
+      .withColumn("current_version", lit(curV))
+      .orderBy("month")
+  }
+
+  /** K27: DROP COLUMN as a metadata commit + REORG PURGE (Delta
+    * `ALTER TABLE DROP COLUMN` + `REORG TABLE ... APPLY (PURGE)`,
+    * Iceberg schema evolution): the drop is one manifest publish that
+    * narrows the TABLE schema while every data file stays byte-intact
+    * — readers plan the narrowed schema and the parquet reader never
+    * materializes the dead column. The later REORG physically purges
+    * it by rewriting ONLY files whose recorded physical schema still
+    * carries the column; files born after the drop are already narrow
+    * and carry forward by reference. Rewrite traffic ∝ pre-drop mass,
+    * never table size — at 100 TB the instant-drop/deferred-purge
+    * split is the only affordable shape for schema shrink.
+    *
+    * Manifest rows carry both the table schema of the version
+    * (`table_ddl`, stamped on every row — a version property) and the
+    * file's physical footer schema (`file_ddl`), so the REORG planner
+    * selects its rewrite set metadata-only (K21's discipline: never
+    * probe storage footers). The oracle checks the final table equals
+    * the source projected without the column; the spec pins the
+    * mechanics — the drop wrote nothing, REORG rewrote exactly the
+    * wide files, post-REORG footers are physically narrow.
+    */
+  def sinkDropColumn(spark: SparkSession, dir: String,
+                     cutoff: String = "1997-01",
+                     baseOverride: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val base = baseOverride.getOrElse(tmpDir("drop_column"))
+    val man = base + "/manifest"
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+    def landed(path: String, df: org.apache.spark.sql.DataFrame,
+               schemaV: Long): DataFrame = {
+      df.write.mode("overwrite").parquet(path)
+      val onDisk = spark.read.parquet(path)
+      onDisk.groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("schema_version", lit(schemaV))
+        .withColumn("table_ddl", lit(onDisk.schema.toDDL))
+        .withColumn("file_ddl", lit(onDisk.schema.toDDL))
+    }
+    // v1: the wide feed (carries the soon-to-die column)
+    graft.sinks.ManifestStore.publish(spark, man,
+      landed(base + "/lake/batch1",
+        orders.filter(col("month") < cutoff)
+          .select("month", "o_orderkey", "o_totalprice", "o_orderpriority"), 1L))
+    // v2: DROP COLUMN o_orderpriority — metadata only, zero data writes
+    val (_, v1) = graft.sinks.ManifestStore.current(spark, man)
+    val wideDdl = v1.select("table_ddl").head.getString(0)
+    val narrow = StructType(
+      StructType.fromDDL(wideDdl).fields.filterNot(_.name == "o_orderpriority"))
+    graft.sinks.ManifestStore.publish(spark, man,
+      v1.withColumn("schema_version", lit(2L))
+        .withColumn("table_ddl", lit(narrow.toDDL)))
+    // v3: a post-drop append lands already-narrow files
+    val (_, v2) = graft.sinks.ManifestStore.current(spark, man)
+    graft.sinks.ManifestStore.publish(spark, man,
+      v2.unionByName(landed(base + "/lake/batch2",
+        orders.filter(col("month") >= cutoff)
+          .select("month", "o_orderkey", "o_totalprice"), 2L)))
+    // v4: REORG PURGE — rewrite set chosen from file_ddl, metadata-only
+    val (_, v3) = graft.sinks.ManifestStore.current(spark, man)
+    val wide = v3.filter(col("file_ddl").contains("o_orderpriority"))
+      .select("file").collect().map(_.getString(0))
+    val purgedDir = base + "/lake/purged"
+    spark.read.schema(narrow).parquet(wide: _*)
+      .repartition(2).write.mode("overwrite").parquet(purgedDir)
+    val purgedRows = spark.read.parquet(purgedDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("schema_version", lit(2L))
+      .withColumn("table_ddl", lit(narrow.toDDL))
+      .withColumn("file_ddl", lit(narrow.toDDL))
+    graft.sinks.ManifestStore.publish(spark, man,
+      v3.filter(!col("file_ddl").contains("o_orderpriority"))
+        .unionByName(purgedRows))
+    val (curV, cur) = graft.sinks.ManifestStore.current(spark, man)
+    val files = cur.select("file").collect().map(_.getString(0))
+    spark.read.schema(narrow).parquet(files: _*)
+      .groupBy("month")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("purged", lit(true))
+      .withColumn("current_version", lit(curV))
+      .orderBy("month")
+  }
 }

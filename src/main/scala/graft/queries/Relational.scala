@@ -729,4 +729,45 @@ object Relational {
       .select("p_partkey", "p_size", "p_retailprice")
       .orderBy("p_size", "p_partkey")
   }
+
+  /** Q52: point-in-time dimension join — facts resolved against the
+    * SCD2 version (T17's build) that was valid WHEN THE FACT HAPPENED,
+    * the query-side half of the slowly-changing-dimension contract
+    * (T29 does the same for feature assembly over events; this is the
+    * warehouse fact-to-dim form every BI rollup needs once a dimension
+    * has history). Each lineitem's revenue lands under the customer
+    * STATUS in force at ship time, not today's status.
+    *
+    * Scale shape: this is NOT a range join — the join is EQUI on the
+    * entity key with the validity range as a post-join filter, correct
+    * because versions-per-entity is bounded (a handful of status
+    * flips), so the fan-out before the filter is |facts|·versions ≈
+    * O(|facts|). Half-open ranges `[valid_from, valid_to)` chain
+    * exactly (T17 guarantees it), so each fact matches AT MOST one
+    * version; a fact dated BEFORE its entity's first version has no
+    * dimension truth to join to and is excluded (inner PIT semantics —
+    * the synthetic feed ships some lineitems before their customer's
+    * first order, and inventing a status for those would be leakage).
+    * Both laws are spec-pinned against an independent count. One
+    * shuffle per side on the key; at
+    * 100 TB both sides would pre-bucket on custkey and the exchange
+    * disappears.
+    */
+  def qPitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = tScd2(spark, dir)
+      .select(col("o_custkey").as("d_custkey"), col("status"),
+        col("valid_from"), col("valid_to"))
+    val facts = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+    facts.join(dim,
+        col("o_custkey") === col("d_custkey") &&
+          col("l_shipdate") >= col("valid_from") &&
+          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("status")
+  }
 }

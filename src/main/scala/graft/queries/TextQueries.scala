@@ -1537,4 +1537,42 @@ object TextQueries {
           x => x.getField("sent")), ". ")).as("clean_md5"))
       .orderBy("doc_id")
   }
+
+  /** T35: hashing-trick feature vectorization (Weinberger et al.,
+    * ICML 2009) — project each document's token stream into a FIXED
+    * d-dimensional sparse vector by hashing tokens to buckets, with a
+    * second hash choosing the sign so colliding tokens cancel in
+    * expectation instead of biasing upward. The point vs X13's
+    * vocabulary build: NO corpus-wide vocab state exists — no global
+    * dictionary shuffle, no OOV problem, the feature space is fixed
+    * before the first byte is read, and two independently-processed
+    * corpora land in the SAME space (the property streaming/federated
+    * featurization needs at 100 TB).
+    *
+    * Exactness: bucket and sign derive from md5 hex via ascii
+    * arithmetic — both engines produce identical md5 strings and
+    * identical ascii/substr, so the vectors replay bit-equal (the
+    * mm_integrity idiom, folded to an integer the T7 way). Scale
+    * shape: one scan-side codegen projection (md5 + ascii are
+    * builtins) + one map-side-combinable (doc, bucket) aggregate;
+    * output is the sparse COO form, ≤ min(tokens, d) rows per doc.
+    */
+  def featureHash(spark: SparkSession, dir: String, nBuckets: Int = 64): DataFrame =
+    featureHashOf(Tables.load(spark, dir, "documents"), nBuckets)
+
+  /** [[featureHash]]'s core over ANY (doc_id, text) frame. */
+  private[graft] def featureHashOf(docs: DataFrame, nBuckets: Int): DataFrame = {
+    val m = md5(col("tok"))
+    def a(i: Int) = ascii(substring(m, i, 1))
+    docs
+      .select(col("doc_id"), explode(normToks).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"),
+        pmod(((a(1) * 131 + a(2)) * 131 + a(3)) * 131 + a(4), lit(nBuckets))
+          .cast("long").as("bucket"),
+        when(a(5) % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum("sgn").as("v"))
+      .orderBy("doc_id", "bucket")
+  }
 }

@@ -472,4 +472,48 @@ object TimeSeries {
           .otherwise("no_trend"))
       .orderBy("dow")
   }
+
+  /** F11: Brown double exponential smoothing forecast backtest — the
+    * trend-following rung between F4's flat EWMA (lags trends) and
+    * F5's rolling OLS (refits a window per day): smooth the series
+    * once (s1), smooth the smoothed series (s2), and the pair yields
+    * level 2·s1−s2 and trend (α/(1−α))·(s1−s2) — a one-step-ahead
+    * forecast level+trend that extrapolates without any per-window
+    * refitting (Brown 1963, the exponential twin of Holt's method).
+    *
+    * Exactness: both passes are [[ewmaOf]]'s truncated renormalized
+    * integer-weight form (α=1/4, L=14) — s1/s2 are rounded longs that
+    * replay bit-equal on any engine; level is exact long arithmetic;
+    * trend's one α/(1−α)=1/3 division happens on bit-equal longs in
+    * IEEE doubles and rounds to micro (the F2/F3 one-division rule).
+    * The forecast for day t uses (s1, s2) strictly at the PREVIOUS
+    * observation — a lag, never the current row, so the backtest is
+    * leakage-free.
+    *
+    * Scale shape: two corpus-linear daily aggregates + |days|·L
+    * bounded fan-out rows per pass + one window lag over |days| rows
+    * — the heavy table is touched exactly once, by pass 1's daily
+    * rollup.
+    */
+  def holt(spark: SparkSession, dir: String): DataFrame =
+    holtOf(daily(spark, dir))
+
+  /** [[holt]]'s core over ANY (d DATE, y LONG) daily series. */
+  private[graft] def holtOf(series: DataFrame): DataFrame = {
+    val p1 = ewmaOf(series)
+      .select(col("d"), col("y_micro"), col("ewma_micro").as("s1"))
+    val p2 = ewmaOf(p1.select(col("d"), col("s1").as("y")))
+      .select(col("d"), col("ewma_micro").as("s2"))
+    val w = Window.orderBy("d")
+    p1.join(p2, "d")
+      .withColumn("level", lit(2L) * col("s1") - col("s2"))
+      .withColumn("trend",
+        round((col("s1") - col("s2")).cast("double") / lit(3.0)).cast("long"))
+      .withColumn("forecast_micro",
+        lag("level", 1).over(w) + lag("trend", 1).over(w))
+      .filter(col("forecast_micro").isNotNull)
+      .select(col("d"), col("y_micro"), col("forecast_micro"),
+        abs(col("y_micro") - col("forecast_micro")).as("abs_err_micro"))
+      .orderBy("d")
+  }
 }
