@@ -115,22 +115,6 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
-  /** A18: exact maximum-inner-product top-k (MIPS) — retrieval where
-    * MAGNITUDE is the point: recommendation scores, un-normalized
-    * output-embedding lookups, learned-sparse rankers. Cosine (A1)
-    * deliberately erases length; MIPS keeps it, and the two rankings
-    * genuinely differ whenever vector norms vary (spec-checked).
-    *
-    * Same scale shape as A1: broadcast query set × corpus scan scored
-    * by the codegen'd [[org.apache.spark.sql.graft.DotProduct]]
-    * kernel, ranked by the mergeable top-k aggregate — ≤ k rows per
-    * (query, partition) cross the shuffle. The classic
-    * norm-augmentation reduction (append sqrt(M²−‖x‖²) to make MIPS a
-    * cosine problem — Bachrach et al., RecSys 2014) is what you'd
-    * layer on to reuse the LSH/IVF index paths (A2/A3) at 100 TB;
-    * the exact kernel here is both the baseline and the rerank tail
-    * those paths share.
-    */
   /** A27: radius (range) similarity search — everything within a
     * cosine THRESHOLD of each query rather than a fixed top-k (the
     * retrieval mode dedup-verification, recall-oriented RAG, and
@@ -171,6 +155,22 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** A18: exact maximum-inner-product top-k (MIPS) — retrieval where
+    * MAGNITUDE is the point: recommendation scores, un-normalized
+    * output-embedding lookups, learned-sparse rankers. Cosine (A1)
+    * deliberately erases length; MIPS keeps it, and the two rankings
+    * genuinely differ whenever vector norms vary (spec-checked).
+    *
+    * Same scale shape as A1: broadcast query set × corpus scan scored
+    * by the codegen'd [[org.apache.spark.sql.graft.DotProduct]]
+    * kernel, ranked by the mergeable top-k aggregate — ≤ k rows per
+    * (query, partition) cross the shuffle. The classic
+    * norm-augmentation reduction (append sqrt(M²−‖x‖²) to make MIPS a
+    * cosine problem — Bachrach et al., RecSys 2014) is what you'd
+    * layer on to reuse the LSH/IVF index paths (A2/A3) at 100 TB;
+    * the exact kernel here is both the baseline and the rerank tail
+    * those paths share.
+    */
   def mipsTopK(spark: SparkSession, dir: String,
                k: Int = 5, nQueries: Int = 10): DataFrame =
     mipsTopKOf(corpus(spark, dir), k, nQueries)

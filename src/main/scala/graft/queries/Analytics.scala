@@ -1770,7 +1770,17 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
       .distinct()
-    val probes = positives.select("custkey").distinct()
+    // the probe domain (customers WITH a positive) is derived by a
+    // cheap semi-join rather than re-running the positives subplan —
+    // a lazily-returned frame can't own a cache lifecycle, and Spark
+    // won't reuse the positives exchange across the two branches
+    // (column pruning gives them different canonical subtrees); the
+    // two derivations agree: a customer has a positive iff one of its
+    // orders appears in lineitem
+    val probes = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "lineitem").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_custkey").as("custkey")).distinct()
       .select(col("custkey"), explode(sequence(lit(0), lit(m - 1))).as("j"))
       .select(col("custkey"), col("j"),
         (pmod(col("custkey") * lit(2654435761L) + col("j") * lit(40503L),

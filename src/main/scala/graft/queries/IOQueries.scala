@@ -1583,13 +1583,17 @@ object IOQueries {
         .select(lit(table).as("tbl"), col("n_groups"), col("grand_n"),
           col("grand_total_micro"))
     }
-    val pair = summary("orders_monthly").unionByName(summary("orders_by_priority"))
-      .localCheckpoint()
-    val Array(r1, r2) = pair.orderBy("tbl").collect()
-    pair
+    // the pair is 2 rows: collect once and rebuild locally instead of
+    // localCheckpoint (whose persisted RDD a returned-lazy frame could
+    // never free — the graph shared-cache leak class)
+    val Array(r1, r2) = summary("orders_monthly")
+      .unionByName(summary("orders_by_priority")).orderBy("tbl").collect()
+    val consistent = r1.getLong(2) == r2.getLong(2) && r1.getLong(3) == r2.getLong(3)
+    import spark.implicits._
+    Seq(r1, r2).map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toDF("tbl", "n_groups", "grand_n", "grand_total_micro")
       .withColumn("catalog_version", lit(ver))
-      .withColumn("consistent",
-        lit(r1.getLong(2) == r2.getLong(2) && r1.getLong(3) == r2.getLong(3)))
+      .withColumn("consistent", lit(consistent))
       .orderBy("tbl")
   }
 
