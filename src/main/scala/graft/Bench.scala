@@ -78,7 +78,10 @@ object Bench {
     // round-8 batch-3 additions (sink_restore/sink_drop_column are
     // sink entries — correctness-gated per the policy above)
     "q_pit_join", "ts_holt", "t_feature_hash", "t_neg_sample",
-    "ann_range")
+    "ann_range",
+    // round-8 batch-4 additions (sink_part_evolve is a sink entry and
+    // e_stream_union a stream entry — correctness-gated)
+    "ts_periodogram", "text_heldout", "t_scale")
 
   /** The scale-step set: the heaviest operators over the tables the
     * 10× blow-up synthesizes (documents/embeddings since round 6;

@@ -158,6 +158,7 @@ object SparkEntry {
     "sink_cdf" -> ((s, d) => IOQueries.sinkCdf(s, d)),
     "sink_restore" -> ((s, d) => IOQueries.sinkRestore(s, d)),
     "sink_drop_column" -> ((s, d) => IOQueries.sinkDropColumn(s, d)),
+    "sink_part_evolve" -> ((s, d) => IOQueries.sinkPartitionEvolve(s, d)),
     // K24: SQL time travel — graft_table('<base>', version) TVF over
     // the manifest lake (injectTableFunction extension rung)
     "sink_time_travel" -> ((s, d) => IOQueries.sinkTimeTravelSql(s, d)),
@@ -207,6 +208,7 @@ object SparkEntry {
     "text_dsir" -> (TextQueries.textDsir _),
     "text_drift" -> ((s, d) => TextQueries.textDrift(s, d)),
     "text_bigram_surprisal" -> (TextQueries.textBigramSurprisal _),
+    "text_heldout" -> (TextQueries.textHeldout _),
     // trained rule-distillation classifier: sigmoid doubles + xxhash64
     // buckets are unreplayable in SQL → rows-only; weight determinism
     // across partitionings + accuracy >= 0.9 pinned in Round8Spec
@@ -290,11 +292,13 @@ object SparkEntry {
     "t_weighted_sample" -> ((s, d) => Relational.tWeightedSample(s, d)),
     "ts_ewma" -> (TimeSeries.ewma _),
     "ts_holt" -> (TimeSeries.holt _),
+    "ts_periodogram" -> (TimeSeries.periodogram _),
     "ts_ols" -> (TimeSeries.ols _),
     "ts_residual_anomaly" -> (TimeSeries.residualAnomaly _),
     "ts_theil_sen" -> (TimeSeries.theilSen _),
     "q_winsorize" -> (Analytics.qWinsorize _),
     "t_impute" -> (Analytics.tImpute _),
+    "t_scale" -> (Analytics.tScale _),
     "q_mv_rewrite" -> (Analytics.qMvRewrite _),
     "q_assoc_rules" -> ((s, d) => Analytics.qAssocRules(s, d)),
     // Similarity search (A1–A3)
@@ -344,6 +348,7 @@ object SparkEntry {
     "e_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "e_session_window" -> ((s, d) => Events.sessionWindow(s, d)),
     "e_stream_parity" -> (Events.streamParity _),
+    "e_stream_union" -> (Events.streamUnion _),
     "e_stream_dedup" -> (Events.streamDedup _),
     "e_stream_sessionize" -> ((s, d) => Events.streamSessionize(s, d)),
     "e_stream_sliding" -> (Events.streamSliding _),
@@ -2012,6 +2017,68 @@ object SparkEntry {
         |  len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS ws_tokens,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // X37: the bigram LM is fitted on the train split only; unseen
+    // test bigrams coalesce to the smoothing floor
+    "text_heldout" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), dd AS (
+        |  SELECT doc_id, source, toks FROM d WHERE len(toks) >= 2
+        |), tr AS (
+        |  SELECT * FROM dd WHERE doc_id % 5 <> 0
+        |), trb AS (
+        |  SELECT toks[i] AS l, toks[i+1] AS r
+        |  FROM tr, unnest(range(1, len(toks))) AS u(i)
+        |), pc AS (
+        |  SELECT l, r, count(*) AS c_lr FROM trb GROUP BY l, r
+        |), cc AS (
+        |  SELECT l, count(*) AS c_l FROM trb GROUP BY l
+        |), vv AS (
+        |  SELECT count(DISTINCT tok) AS v FROM (
+        |    SELECT unnest(toks) AS tok FROM tr
+        |  ) WHERE length(tok) > 0
+        |), teb AS (
+        |  SELECT doc_id, source, toks[i] AS l, toks[i+1] AS r
+        |  FROM dd, unnest(range(1, len(toks))) AS u(i)
+        |  WHERE doc_id % 5 = 0
+        |), s AS (
+        |  SELECT source, doc_id,
+        |    CAST(round(ln(CAST(coalesce(c_l, 0) + v AS DOUBLE) /
+        |      (coalesce(c_lr, 0) + 1)) * 1000000) AS BIGINT) AS m
+        |  FROM teb LEFT JOIN pc USING (l, r) LEFT JOIN cc USING (l) CROSS JOIN vv
+        |)
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(m) // count(*) AS BIGINT) AS mean_surprisal_micro
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    // T37: z-scores from train-only moments; both splits scored on
+    // the train scale (the leakage-safe scaler contract)
+    "t_scale" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice * 1e6) AS BIGINT) AS v,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'test' ELSE 'train' END AS split
+        |  FROM orders
+        |), st AS (
+        |  SELECT grp, count(*) AS n_tr,
+        |    sum(CAST(v AS HUGEINT)) AS sv,
+        |    sum(CAST(v AS HUGEINT) * v) AS svv
+        |  FROM r WHERE split = 'train' GROUP BY grp
+        |), mu AS (
+        |  SELECT grp, CAST(sv AS DOUBLE) / n_tr AS mu,
+        |    sqrt(CAST(n_tr * svv - sv * sv AS DOUBLE)) / n_tr AS sd
+        |  FROM st
+        |), z AS (
+        |  SELECT r.grp, r.split,
+        |    CAST(round((CAST(v AS DOUBLE) - mu) / sd * 1e6) AS BIGINT) AS zm
+        |  FROM r JOIN mu ON r.grp = mu.grp
+        |)
+        |SELECT grp, split, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(zm) AS BIGINT) AS sum_z_micro,
+        |  CAST(max(abs(zm)) AS BIGINT) AS max_abs_z_micro
+        |FROM z GROUP BY 1, 2 ORDER BY grp, split""".stripMargin,
     // T35: bucket and sign fold the md5 hex via ascii arithmetic —
     // identical md5/ascii/substr on both engines, so the sparse
     // vectors replay bit-equal (the mm_integrity idiom)
@@ -2733,6 +2800,43 @@ object SparkEntry {
          |  abs(y_micro - forecast_micro) AS abs_err_micro
          |FROM b WHERE forecast_micro IS NOT NULL ORDER BY d""".stripMargin
     },
+    // F12: per-term micro-rounded cos/sin (the adamic-adar ln
+    // convention) then exact HUGEINT sums; the normalization is the
+    // same IEEE op sequence on bit-equal integers in both engines
+    "ts_periodogram" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1
+        |), i AS (
+        |  SELECT d, y, row_number() OVER (ORDER BY d) - 1 AS t FROM daily
+        |), st AS (
+        |  SELECT CAST(sum(y) AS BIGINT) AS sy, count(*) AS n FROM i
+        |), c AS (
+        |  SELECT i.t, i.y - (st.sy // st.n) AS yc, st.n, p.p
+        |  FROM i, st, (SELECT unnest(range(2, 15)) AS p) p
+        |), tm AS (
+        |  SELECT p, n, yc,
+        |    CAST(round(cos((t % p) * 6.283185307179586 / p) * 1e6) AS BIGINT) AS cv,
+        |    CAST(round(sin((t % p) * 6.283185307179586 / p) * 1e6) AS BIGINT) AS sv
+        |  FROM c
+        |), pr AS (
+        |  SELECT p,
+        |    sum(CAST(yc AS HUGEINT) * cv) AS cc,
+        |    sum(CAST(yc AS HUGEINT) * sv) AS ss,
+        |    max(n) AS n
+        |  FROM tm GROUP BY p
+        |), nd AS (
+        |  SELECT CAST(p AS BIGINT) AS period,
+        |    CAST(cc AS DOUBLE) / n / 1e12 AS cd,
+        |    CAST(ss AS DOUBLE) / n / 1e12 AS sd
+        |  FROM pr
+        |), pw AS (
+        |  SELECT period, cd * cd + sd * sd AS spec_power FROM nd
+        |)
+        |SELECT period, spec_power,
+        |  row_number() OVER (ORDER BY spec_power DESC, period) = 1 AS dominant
+        |FROM pw ORDER BY period""".stripMargin,
     "q_winsorize" ->
       """WITH p AS (
         |  SELECT o_orderpriority AS grp,
@@ -3624,6 +3728,16 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders WHERE strftime(o_orderdate, '%Y-%m') < '1997-01')
         |    AS source_rows
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // K28: the straddling query's answer must equal the raw table's —
+    // both layouts pruned from the manifest, old files' priority
+    // filter applied as a residual row predicate
+    "sink_part_evolve" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  true AS pruned, CAST(2 AS BIGINT) AS n_specs
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') >= '1996-10'
+        |  AND strftime(o_orderdate, '%Y-%m') <= '1997-03'
+        |  AND o_orderpriority = '1-URGENT'""".stripMargin,
     // K26: a restored table must be indistinguishable from never
     // having lost data; the metadata-only mechanics are spec-pinned
     "sink_restore" ->
@@ -4309,6 +4423,12 @@ object SparkEntry {
     "e_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // E33: two disjoint feeds with misaligned watermarks must still
+    // aggregate to the batch rollup of their union — every event once
+    "e_stream_union" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "e_session_window" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
         |x AS (

@@ -1761,6 +1761,50 @@ object Analytics {
     * the anti-join is key-equi on (custkey, partkey), and the
     * first-k selection is one bounded window over ≤ m rows per key.
     */
+  /** T37: leakage-safe feature standardization — z-scores computed
+    * with statistics fitted on the TRAIN split ONLY and applied to
+    * both splits (the scaler contract every sklearn `fit`/`transform`
+    * pipeline encodes and every hand-rolled SQL featurizer gets wrong
+    * by normalizing with full-table stats, leaking test moments into
+    * training features — T24's boundary, at the feature-scaling
+    * rung). Split by the T7 deterministic hash; per-group (μ, σ) from
+    * exact integer sums; the train rows' micro-rounded z-scores sum
+    * to ~0 BY CONSTRUCTION (|Σ| bounded by accumulated rounding, a
+    * built-in self-check) while test rows are measured on the train
+    * scale — the honest covariate-shift readout.
+    *
+    * Exactness: sums and squared sums accumulate as decimal(38,0) ↔
+    * HUGEINT; μ = Σv/n and σ = √(n·Σv²−(Σv)²)/n are IEEE ops on
+    * bit-equal integers; each z micro-rounds BEFORE the exact long
+    * aggregates (X15's rule — doubles never sum). One scan for the
+    * stats, one for the transform, both map-side combinable.
+    */
+  def tScale(spark: SparkSession, dir: String): DataFrame = {
+    val v = round(col("o_totalprice") * 1e6).cast("long")
+    val rows = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("grp"), v.as("v"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, "test")
+          .otherwise("train").as("split"))
+    val stats = rows.filter(col("split") === "train")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_tr"),
+        sum(col("v").cast("decimal(38,0)")).as("sv"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("svv"))
+      .select(col("grp"),
+        (col("sv").cast("double") / col("n_tr")).as("mu"),
+        (sqrt((col("n_tr").cast("decimal(38,0)") * col("svv") -
+          col("sv") * col("sv")).cast("double")) / col("n_tr")).as("sd"))
+    rows.join(broadcast(stats), "grp")
+      .select(col("grp"), col("split"),
+        round((col("v").cast("double") - col("mu")) / col("sd") * 1e6)
+          .cast("long").as("zm"))
+      .groupBy("grp", "split")
+      .agg(count(lit(1)).as("n"),
+        sum("zm").as("sum_z_micro"),
+        max(abs(col("zm"))).as("max_abs_z_micro"))
+      .orderBy("grp", "split")
+  }
+
   def negSample(spark: SparkSession, dir: String,
                 k: Int = 4, m: Int = 12): DataFrame = {
     val nPart = Tables.load(spark, dir, "part").count()

@@ -1990,6 +1990,78 @@ object IOQueries {
       .orderBy("month")
   }
 
+  /** K28: partition-spec evolution (Iceberg's flagship metadata move:
+    * CHANGE the table's partitioning going forward without rewriting a
+    * byte of history — old files keep the old layout, new files land
+    * under the new one, and the manifest records each file's partition
+    * VALUES so the planner prunes BOTH layouts in one query). Here the
+    * table starts month-partitioned and evolves to (month, priority):
+    * a query filtering on month AND priority prunes old files on month
+    * only (priority becomes a residual row filter inside them) and new
+    * files on both dimensions — at 100 TB, re-partitioning by rewrite
+    * is a table-sized job while spec evolution is one commit, which is
+    * why directory-encoded (Hive-style) layouts fossilize and
+    * manifest-encoded ones don't.
+    *
+    * Each generation reads back through its own `basePath` so Spark
+    * recovers the directory-encoded partition columns. The oracle
+    * checks the straddling query's answer against the raw table; the
+    * spec pins the mechanics — zero rewrite at evolution, the exact
+    * per-layout pruned file sets, residual-vs-partition filtering.
+    */
+  def sinkPartitionEvolve(spark: SparkSession, dir: String,
+                          cutoff: String = "1997-01",
+                          qLo: String = "1996-10", qHi: String = "1997-03",
+                          target: String = "1-URGENT",
+                          baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(tmpDir("part_evolve"))
+    val man = base + "/manifest"
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select("month", "o_orderkey", "o_totalprice", "o_orderpriority")
+    def rowsOf(path: String, spec: Long, partPriority: Boolean) =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"), min("month").as("month"),
+          (if (partPriority) min("o_orderpriority")
+           else lit(null).cast("string")).as("priority"))
+        .withColumn("spec_version", lit(spec))
+    // spec 1: month layout
+    orders.filter(col("month") < cutoff)
+      .write.partitionBy("month").mode("overwrite").parquet(base + "/lake/gen1")
+    graft.sinks.ManifestStore.publish(spark, man,
+      rowsOf(base + "/lake/gen1", 1L, partPriority = false))
+    // EVOLVE: new spec applies to new files only — one commit, no rewrite
+    orders.filter(col("month") >= cutoff)
+      .write.partitionBy("month", "o_orderpriority").mode("overwrite")
+      .parquet(base + "/lake/gen2")
+    val (_, v1) = graft.sinks.ManifestStore.current(spark, man)
+    // the JSON manifest drops v1's all-null priority column on
+    // read-back — union with allowMissingColumns restores it as null
+    // ("this file is not priority-partitioned")
+    graft.sinks.ManifestStore.publish(spark, man,
+      v1.unionByName(rowsOf(base + "/lake/gen2", 2L, partPriority = true),
+        allowMissingColumns = true))
+    // plan the straddling query from the manifest: both layouts pruned
+    val (_, cur) = graft.sinks.ManifestStore.current(spark, man)
+    val filesTotal = cur.count()
+    val wanted = cur.filter(col("month") >= qLo && col("month") <= qHi &&
+        (col("priority").isNull || col("priority") === target))
+      .select("file").collect().map(_.getString(0))
+    def gen(tag: String) = wanted.filter(_.contains(s"/$tag/"))
+    def read(files: Array[String], basePath: String) =
+      spark.read.option("basePath", basePath).parquet(files: _*)
+    // old layout: priority is a residual ROW filter; new layout: both
+    // dimensions already pruned at file level
+    val part1 = read(gen("gen1"), base + "/lake/gen1")
+      .filter(col("o_orderpriority") === target).select("o_totalprice")
+    val part2 = read(gen("gen2"), base + "/lake/gen2").select("o_totalprice")
+    part1.unionByName(part2)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("pruned", lit(wanted.length < filesTotal))
+      .withColumn("n_specs", lit(2L))
+  }
+
   /** K26: RESTORE to an earlier version as a NEW commit (Delta
     * `RESTORE TABLE ... TO VERSION AS OF` / Iceberg rollback): undo a
     * bad commit by publishing the pinned version's file list FORWARD

@@ -1538,6 +1538,60 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** X37: held-out perplexity evaluation — fit the add-1-smoothed
+    * bigram LM (X19's scorer) on a TRAIN split only and score the
+    * held-out split per source, the eval loop every corpus-quality
+    * iteration runs: X19 scores documents under a model that saw
+    * them (fine for outlier detection, circular for evaluation);
+    * this is the honest number — unseen test bigrams pay the full
+    * smoothed surprisal, so a source whose test half diverges from
+    * its train half surfaces immediately (and comparing per-source
+    * rows ranks which domains the LM transfers to, X30's matrix
+    * collapsed to its honest diagonal). Split by doc_id % 5 — the
+    * deterministic hash split (T7), not random.
+    *
+    * Scale shape: train bigram/context counts are two
+    * map-side-combinable aggregates; test bigrams LEFT-join them on
+    * the bigram key (unseen → coalesce 0, the smoothing floor) plus
+    * a 1-row vocab broadcast; per-token micro-rounded ln before the
+    * exact per-source sums (X15's contract). The join keys here are
+    * token strings — at 100 TB both sides would carry 8-byte token
+    * hashes instead (the D2/X29 move); left as strings so the oracle
+    * joins literally.
+    */
+  def textHeldout(spark: SparkSession, dir: String): DataFrame =
+    textHeldoutOf(Tables.load(spark, dir, "documents"))
+
+  /** [[textHeldout]]'s core over ANY (doc_id, source, text) frame. */
+  private[graft] def textHeldoutOf(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), col("source"), normToks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+    def bigramsOf(d: DataFrame) = d.select(col("doc_id"), col("source"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1).as("l"),
+          slice(col("toks"), lit(2), size(col("toks")) - 1).as("r"))).as("p"))
+      .select(col("doc_id"), col("source"), col("p.l").as("l"), col("p.r").as("r"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val trainBg = bigramsOf(train)
+    val pc = trainBg.groupBy("l", "r").agg(count(lit(1)).as("c_lr"))
+    val cc = trainBg.groupBy("l").agg(count(lit(1)).as("c_l"))
+    val vocab = train.select(explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) > 0).agg(countDistinct("tok").as("v"))
+    bigramsOf(docs.filter(col("doc_id") % 5 === 0))
+      .join(pc, Seq("l", "r"), "left")
+      .join(cc, Seq("l"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("source"), col("doc_id"),
+        round(log((coalesce(col("c_l"), lit(0L)) + col("v")).cast("double") /
+          (coalesce(col("c_lr"), lit(0L)) + 1)) * 1e6).cast("long").as("m"))
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        expr("sum(m) div count(1)").as("mean_surprisal_micro"))
+      .orderBy("source")
+  }
+
   /** T35: hashing-trick feature vectorization (Weinberger et al.,
     * ICML 2009) — project each document's token stream into a FIXED
     * d-dimensional sparse vector by hashing tokens to buckets, with a

@@ -498,6 +498,62 @@ object TimeSeries {
   def holt(spark: SparkSession, dir: String): DataFrame =
     holtOf(daily(spark, dir))
 
+  /** F12: fixed-frequency periodogram — the power of the daily series
+    * at each candidate period p ∈ [2, 14] days (squared projection
+    * onto the cos/sin pair at frequency 1/p), the detector that tells
+    * you WHICH cycle a series carries before F2/F10 assume weekly:
+    * the dominant period is the argmax, and a flat series has no
+    * dominant structure at all. This is the Schuster periodogram
+    * restricted to the periods a daily business signal can plausibly
+    * carry — a 13-point scan, not an FFT (no power-of-2 padding, no
+    * complex shuffle; each period is one conditional projection over
+    * the same |days| rows).
+    *
+    * Exactness: the series is mean-centered with an exact integer
+    * floor-mean (y ≥ 0, no div-vs-// hazard); cos/sin are evaluated
+    * at 2π·(t mod p)/p — the small argument keeps libm agreement —
+    * and MICRO-ROUNDED per term before the exact decimal(38,0) sums
+    * (the adamic-adar ln convention: one rounded transcendental per
+    * term, then integer arithmetic); the final normalization is two
+    * divisions and two multiplies on bit-equal integers, IEEE-
+    * identical on both engines. Scale shape: one daily rollup over
+    * the fact table, then |days|·13 bounded fan-out rows into one
+    * map-side-combinable aggregate.
+    */
+  def periodogram(spark: SparkSession, dir: String): DataFrame =
+    periodogramOf(daily(spark, dir))
+
+  /** [[periodogram]]'s core over ANY (d DATE, y LONG) daily series. */
+  private[graft] def periodogramOf(series: DataFrame,
+                                   periods: Seq[Int] = (2 to 14)): DataFrame = {
+    val twoPi = 6.283185307179586
+    val idx = series
+      .withColumn("t", row_number().over(Window.orderBy("d")) - 1)
+    val stats = idx.agg(sum("y").as("sy"), count(lit(1)).as("n"))
+    val terms = idx.crossJoin(broadcast(stats))
+      .withColumn("yc", col("y") - expr("sy div n"))
+      .select(col("yc"), col("n"), col("t"),
+        explode(typedlit(periods)).as("p"))
+      .withColumn("th", pmod(col("t"), col("p")) * lit(twoPi) / col("p"))
+      .withColumn("c", round(cos(col("th")) * 1e6).cast("long"))
+      .withColumn("s", round(sin(col("th")) * 1e6).cast("long"))
+    val proj = terms.groupBy("p")
+      .agg(
+        sum(col("yc").cast("decimal(38,0)") * col("c")).as("cc"),
+        sum(col("yc").cast("decimal(38,0)") * col("s")).as("ss"),
+        max("n").as("n"))
+      .select(col("p"),
+        (col("cc").cast("double") / col("n") / lit(1e12)).as("cd"),
+        (col("ss").cast("double") / col("n") / lit(1e12)).as("sd"))
+      .select(col("p").cast("long").as("period"),
+        (col("cd") * col("cd") + col("sd") * col("sd")).as("spec_power"))
+    proj
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("spec_power").desc, col("period"))))
+      .select(col("period"), col("spec_power"), (col("rnk") === 1).as("dominant"))
+      .orderBy("period")
+  }
+
   /** [[holt]]'s core over ANY (d DATE, y LONG) daily series. */
   private[graft] def holtOf(series: DataFrame): DataFrame = {
     val p1 = ewmaOf(series)

@@ -719,6 +719,50 @@ object Events {
     spark.table(sinkName).orderBy("window_start", "event_type")
   }
 
+  /** E33: streaming UNION of two independently-delivered feeds — the
+    * multi-source ingestion shape (two regions, two Kafka clusters, a
+    * backfill feed beside the live one) where each source carries its
+    * OWN event-time watermark and the union's effective watermark is
+    * their MINIMUM: the slowest feed gates window finalization for
+    * everyone, which is exactly the correctness contract (finalizing
+    * on the fast feed's clock would drop the slow feed's late rows).
+    * The feeds here are deliberately given misaligned delays (1h vs
+    * 2h) to exercise that min: the aggregate must still equal the
+    * batch rollup over the union of both feeds — every event counted
+    * once, no window closed early.
+    *
+    * Scale shape: each feed is its own file-stream scan; the union is
+    * plan-level (no shuffle of its own); one keyed state exchange for
+    * the windowed aggregate, state bounded by watermark retention.
+    */
+  def streamUnion(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_stream_union").toString
+    val raw = Tables.eventsTsAsNanosLong(spark, dir)
+    // two disjoint feeds covering the table (a deterministic split)
+    raw.filter(col("event_id") % 2 === 0)
+      .repartition(4).write.mode("overwrite").parquet(base + "/feedA")
+    raw.filter(col("event_id") % 2 === 1)
+      .repartition(4).write.mode("overwrite").parquet(base + "/feedB")
+    val schema = spark.read.parquet(base + "/feedA").schema
+    def feed(path: String, delay: String) =
+      spark.readStream.schema(schema).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", delay)
+    val agg = feed(base + "/feedA", "1 hour")
+      .unionByName(feed(base + "/feedB", "2 hours"))
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+    val sinkName = s"graft_stream_union_${streamCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("window_start", "event_type")
+  }
+
   /** E5: custom stateful sessionization in a real stream —
     * `KeyValueGroupedDataset.flatMapGroupsWithState` with per-user
     * session state. Each invocation merges the batch's events into the

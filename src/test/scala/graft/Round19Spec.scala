@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 (fourth batch) hand-data and mechanics specs for the five
+  * new operators — the oracle-invisible half of each contract.
+  */
+class Round19Spec extends SparkSpec {
+
+  test("sink_part_evolve: evolution carries old files by reference; both layouts prune to the expected sets") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pevolve_spec").toString
+    graft.queries.IOQueries.sinkPartitionEvolve(spark, sfDir,
+      baseOverride = Some(base)).collect()
+    def manifest(v: Long) =
+      graft.sinks.ManifestStore.at(spark, base + "/manifest", Some(v))._2
+    val v1Files = manifest(1L).select("file").collect().map(_.getString(0)).toSet
+    val v2 = manifest(2L).collect()
+    // the old layout's files carried verbatim into the evolved version
+    val v2Gen1 = v2.map(_.getAs[String]("file")).filter(_.contains("/gen1/")).toSet
+    assert(v2Gen1 == v1Files, "spec evolution must not rewrite or drop old-layout files")
+    // per-file partition values recorded per layout: gen1 rows carry
+    // month only (priority null), gen2 rows carry both dimensions
+    assert(v2.filter(_.getAs[String]("file").contains("/gen1/"))
+      .forall(r => r.getAs[String]("priority") == null && r.getAs[String]("month") != null))
+    assert(v2.filter(_.getAs[String]("file").contains("/gen2/"))
+      .forall(r => r.getAs[String]("priority") != null && r.getAs[String]("month") != null))
+    // pruning law: a month+priority query selects ALL priorities of the
+    // old layout's in-range months (residual filtering inside), but
+    // exactly ONE priority slice of the new layout's
+    val gen2InRange = v2.filter(r => r.getAs[String]("file").contains("/gen2/") &&
+      r.getAs[String]("month") >= "1996-10" && r.getAs[String]("month") <= "1997-03")
+    val target = gen2InRange.filter(_.getAs[String]("priority") == "1-URGENT")
+    assert(gen2InRange.map(_.getAs[String]("priority")).distinct.length == 5)
+    assert(target.nonEmpty && target.length * 5 == gen2InRange.length)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("ts_periodogram: a planted 7-day cycle dominates; a constant series has zero power everywhere") {
+    import spark.implicits._
+    def series(ys: Seq[Long]) =
+      ys.zipWithIndex.map { case (y, i) =>
+        (java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)), y)
+      }.toDF("d", "y")
+    // amplitude 1e6 micro, period 7: power at 7 must beat every other period
+    val cyc = (0 until 70).map(t =>
+      10000000L + math.round(1000000.0 * math.cos(2 * math.Pi * t / 7)))
+    val dom = graft.queries.TimeSeries.periodogramOf(series(cyc))
+      .filter(col("dominant")).select("period").head.getLong(0)
+    assert(dom == 7L, s"planted weekly cycle must dominate, got period $dom")
+    val flat = graft.queries.TimeSeries.periodogramOf(series(Seq.fill(70)(5000000L)))
+      .agg(max(abs(col("spec_power")))).head.getDouble(0)
+    assert(flat == 0.0, "a constant series mean-centers to exact zeros")
+  }
+
+  test("text_heldout: hand corpus — unseen test bigrams pay the smoothing floor, seen ones the fitted count") {
+    import spark.implicits._
+    // train (ids 1,2): "a b" x2 and "a c"; test (id 5): "a b a d"
+    // train model: c(a,b)=2, c(a,c)=1, c_l(a)=3, vocab {a,b,c} v=3
+    val docs = Seq(
+      (1L, "s", "a b"), (2L, "s", "a b"), (3L, "s", "a c"),
+      (5L, "s", "a b a d")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.queries.TextQueries.textHeldoutOf(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // test bigrams: (a,b) seen → ln((3+3)/(2+1)); (b,a) unseen context →
+    // ln((0+3)/(0+1)); (a,d) unseen pair, seen context → ln((3+3)/(0+1))
+    val exp = Seq(math.log(6.0 / 3), math.log(3.0 / 1), math.log(6.0 / 1))
+      .map(x => math.round(x * 1e6))
+    assert(r.getAs[Long]("n_docs") == 1L && r.getAs[Long]("n_bigrams") == 3L)
+    assert(r.getAs[Long]("mean_surprisal_micro") == exp.sum / 3,
+      s"hand-computable surprisal mismatch: ${r.getAs[Long]("mean_surprisal_micro")} vs ${exp.sum / 3}")
+  }
+
+  test("t_scale: train z-scores sum to ~0 by construction; test rows are scored on the train scale") {
+    val out = graft.queries.Analytics.tScale(spark, sfDir).collect()
+    val train = out.filter(_.getAs[String]("split") == "train")
+    assert(train.nonEmpty)
+    // each micro-rounding is off by < 0.5, so |Σ zm| < n/2 on the split
+    // the stats were fitted on — a leaked full-table fit breaks this
+    train.foreach { r =>
+      assert(math.abs(r.getAs[Long]("sum_z_micro")) <= r.getAs[Long]("n") / 2 + 1,
+        s"train z-sum must vanish for ${r.getAs[String]("grp")}: $r")
+    }
+    // test rows exist for every group and are NOT centered at zero by
+    // construction (they carry the train moments, not their own)
+    val test = out.filter(_.getAs[String]("split") == "test")
+    assert(test.length == train.length)
+    // independent replay of one group's stats, driver-side
+    val grp = train.head.getAs[String]("grp")
+    val vs = graft.Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === grp && pmod(col("o_orderkey"), lit(5)) =!= 0)
+      .select(round(col("o_totalprice") * 1e6).cast("long")).collect().map(_.getLong(0))
+    val n = vs.length.toDouble
+    val mu = vs.map(BigDecimal(_)).sum.toDouble / n
+    val sd = math.sqrt((BigDecimal(vs.length) * vs.map(v => BigDecimal(v) * BigDecimal(v)).sum
+      - vs.map(BigDecimal(_)).sum * vs.map(BigDecimal(_)).sum).toDouble) / n
+    val sumZ = vs.map(v => math.round((v - mu) / sd * 1e6)).sum
+    assert(train.find(_.getAs[String]("grp") == grp).get.getAs[Long]("sum_z_micro") == sumZ,
+      "driver replay of the train split's z-sum must match bit-for-bit")
+  }
+
+  test("e_stream_union: the two staged feeds are disjoint and cover the table") {
+    val raw = graft.Tables.eventsTsAsNanosLong(spark, sfDir)
+    val a = raw.filter(col("event_id") % 2 === 0).count()
+    val b = raw.filter(col("event_id") % 2 === 1).count()
+    assert(a > 0 && b > 0, "both feeds must carry events for the union to mean anything")
+    assert(a + b == raw.count())
+  }
+}
