@@ -299,6 +299,7 @@ object SparkEntry {
     "q_winsorize" -> (Analytics.qWinsorize _),
     "t_impute" -> (Analytics.tImpute _),
     "t_scale" -> (Analytics.tScale _),
+    "dq_completeness" -> ((s, d) => IOQueries.dqCompleteness(s, d)),
     "q_mv_rewrite" -> (Analytics.qMvRewrite _),
     "q_assoc_rules" -> ((s, d) => Analytics.qAssocRules(s, d)),
     // Similarity search (A1–A3)
@@ -3728,6 +3729,25 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders WHERE strftime(o_orderdate, '%Y-%m') < '1997-01')
         |    AS source_rows
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // T38: the hole rule and per-month counts replay from the raw
+    // table; the landed flag derives from the planted i%7==3 drops
+    "dq_completeness" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+        |  FROM orders GROUP BY 1
+        |), idx AS (
+        |  SELECT month, n, row_number() OVER (ORDER BY month) - 1 AS i FROM m
+        |), span AS (
+        |  SELECT min(month) AS lo, max(month) AS hi FROM m
+        |), exp AS (
+        |  SELECT strftime(t.m, '%Y-%m') AS month FROM span,
+        |    unnest(generate_series(CAST(lo || '-01' AS DATE),
+        |      CAST(hi || '-01' AS DATE), INTERVAL 1 MONTH)) AS t(m)
+        |)
+        |SELECT e.month,
+        |  coalesce(i.i % 7 <> 3, false) AS landed,
+        |  CASE WHEN coalesce(i.i % 7 <> 3, false) THEN i.n ELSE 0 END AS n_rows
+        |FROM exp e LEFT JOIN idx i USING (month) ORDER BY month""".stripMargin,
     // K28: the straddling query's answer must equal the raw table's —
     // both layouts pruned from the manifest, old files' priority
     // filter applied as a residual row predicate

@@ -1990,6 +1990,56 @@ object IOQueries {
       .orderBy("month")
   }
 
+  /** T38: partition-completeness gate (dq_completeness) — the audit
+    * every scheduled consumer runs before trusting a feed: compare the
+    * CALENDAR the source implies (every month between its first and
+    * last) against the partitions that actually LANDED in the lake's
+    * manifest, and report each expected partition as landed-with-count
+    * or hole. The check is METADATA-ONLY — manifest rows carry
+    * per-file (month, n_rows), so at 100 TB the gate costs a manifest
+    * scan, never a data read; this is the "did yesterday land?"
+    * primitive P6's dirty-partition planner and every SLA monitor sit
+    * on. The demo plants deterministic holes (every 7th month by
+    * index) so the gate has something to catch; holes surface as
+    * landed=false with an n_rows=0 sentinel (never NULL).
+    */
+  def dqCompleteness(spark: SparkSession, dir: String,
+                     baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(tmpDir("completeness"))
+    val man = base + "/manifest"
+    val monthly = Tables.load(spark, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+    // land everything EXCEPT the planted holes, month-partitioned
+    val holes = monthly.select("month").distinct()
+      .withColumn("i", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("month")) - 1)
+      .filter(col("i") % 7 === 3).select("month")
+    monthly.join(broadcast(holes), Seq("month"), "left_anti")
+      .write.partitionBy("month").mode("overwrite").parquet(base + "/lake")
+    graft.sinks.ManifestStore.publish(spark, man,
+      spark.read.parquet(base + "/lake")
+        .groupBy(input_file_name().as("file"))
+        .agg(min("month").as("month"), count(lit(1)).as("n_rows")))
+    // the audit: expected calendar (from the source's span) vs the
+    // manifest — metadata-only, the lake is never scanned
+    val (_, cur) = graft.sinks.ManifestStore.current(spark, man)
+    val landed = cur.groupBy("month").agg(sum("n_rows").as("n_landed"))
+    // expected = the full calendar the source SPAN implies, not the
+    // months that happen to be present — a feed that skipped a month
+    // entirely must still surface it as a hole
+    val expected = monthly.agg(min("month").as("lo"), max("month").as("hi"))
+      .select(explode(sequence(
+        to_date(col("lo"), "yyyy-MM"), to_date(col("hi"), "yyyy-MM"),
+        expr("interval 1 month"))).as("m"))
+      .select(date_format(col("m"), "yyyy-MM").as("month"))
+    expected
+      .join(landed, Seq("month"), "left")
+      .select(col("month"),
+        col("n_landed").isNotNull.as("landed"),
+        coalesce(col("n_landed"), lit(0L)).as("n_rows"))
+      .orderBy("month")
+  }
+
   /** K28: partition-spec evolution (Iceberg's flagship metadata move:
     * CHANGE the table's partitioning going forward without rewriting a
     * byte of history — old files keep the old layout, new files land

@@ -100,6 +100,24 @@ class Round19Spec extends SparkSpec {
       "driver replay of the train split's z-sum must match bit-for-bit")
   }
 
+  test("dq_completeness: exactly the planted holes surface, landed counts match the source") {
+    val out = graft.queries.IOQueries.dqCompleteness(spark, sfDir).collect()
+    val source = graft.Tables.load(spark, sfDir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plantedHoles = source.keys.toSeq.sorted.zipWithIndex
+      .collect { case (m, i) if i % 7 == 3 => m }.toSet
+    val holes = out.filter(!_.getAs[Boolean]("landed"))
+    assert(holes.map(_.getString(0)).toSet == plantedHoles,
+      "the gate must report exactly the planted holes")
+    assert(holes.forall(_.getAs[Long]("n_rows") == 0L))
+    out.filter(_.getAs[Boolean]("landed")).foreach { r =>
+      assert(r.getAs[Long]("n_rows") == source(r.getString(0)),
+        s"landed month ${r.getString(0)} must carry the full source count")
+    }
+  }
+
   test("e_stream_union: the two staged feeds are disjoint and cover the table") {
     val raw = graft.Tables.eventsTsAsNanosLong(spark, sfDir)
     val a = raw.filter(col("event_id") % 2 === 0).count()
