@@ -80,8 +80,9 @@ object Bench {
     "q_pit_join", "ts_holt", "t_feature_hash", "t_neg_sample",
     "ann_range",
     // round-8 batch-4 additions (sink_part_evolve is a sink entry and
-    // e_stream_union a stream entry — correctness-gated)
-    "ts_periodogram", "text_heldout", "t_scale")
+    // e_stream_union a stream entry — correctness-gated; so is
+    // dq_completeness, whose cost is its staged lake write)
+    "ts_periodogram", "text_heldout", "t_scale", "dq_ks_drift")
 
   /** The scale-step set: the heaviest operators over the tables the
     * 10× blow-up synthesizes (documents/embeddings since round 6;

@@ -300,6 +300,7 @@ object SparkEntry {
     "t_impute" -> (Analytics.tImpute _),
     "t_scale" -> (Analytics.tScale _),
     "dq_completeness" -> ((s, d) => IOQueries.dqCompleteness(s, d)),
+    "dq_ks_drift" -> (Analytics.dqKsDrift _),
     "q_mv_rewrite" -> (Analytics.qMvRewrite _),
     "q_assoc_rules" -> ((s, d) => Analytics.qAssocRules(s, d)),
     // Similarity search (A1–A3)
@@ -3729,6 +3730,41 @@ object SparkEntry {
         |  (SELECT count(*) FROM orders WHERE strftime(o_orderdate, '%Y-%m') < '1997-01')
         |    AS source_rows
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // T39: the KS argmax is exact cross-multiplied integers; only the
+    // final per-source scalar divides (micro-rounded, IEEE-identical)
+    "dq_ks_drift" ->
+      """WITH vals AS (
+        |  SELECT source, n_chars AS v FROM documents
+        |), tot AS (
+        |  SELECT source, count(*) AS ns FROM vals GROUP BY 1
+        |), grand AS (
+        |  SELECT count(*) AS n FROM vals
+        |), grid AS (
+        |  SELECT DISTINCT v FROM vals
+        |), pv AS (
+        |  SELECT source, v, count(*) AS c FROM vals GROUP BY 1, 2
+        |), gv AS (
+        |  SELECT v, count(*) AS g FROM vals GROUP BY 1
+        |), ggrid AS (
+        |  SELECT g1.v, sum(coalesce(gv.g, 0)) OVER (ORDER BY g1.v) AS gcs
+        |  FROM grid g1 LEFT JOIN gv ON g1.v = gv.v
+        |), cum AS (
+        |  SELECT t.source, t.ns, g.v,
+        |    sum(coalesce(pv.c, 0)) OVER (PARTITION BY t.source ORDER BY g.v) AS cs
+        |  FROM tot t CROSS JOIN grid g
+        |  LEFT JOIN pv ON pv.source = t.source AND pv.v = g.v
+        |), d AS (
+        |  SELECT c.source, c.ns, gr.n,
+        |    abs(c.cs * (gr.n - c.ns) - (gg.gcs - c.cs) * c.ns) AS num
+        |  FROM cum c JOIN ggrid gg ON c.v = gg.v CROSS JOIN grand gr
+        |), m AS (
+        |  SELECT source, min(ns) AS ns, min(n) AS n, max(num) AS mx
+        |  FROM d GROUP BY source
+        |)
+        |SELECT source, CAST(ns AS BIGINT) AS n_src,
+        |  CAST(round(CAST(mx AS DOUBLE) /
+        |    (CAST(ns AS DOUBLE) * (n - ns)) * 1e6) AS BIGINT) AS ks_micro
+        |FROM m ORDER BY source""".stripMargin,
     // T38: the hole rule and per-month counts replay from the raw
     // table; the landed flag derives from the planted i%7==3 drops
     "dq_completeness" ->

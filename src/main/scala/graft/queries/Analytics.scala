@@ -1805,6 +1805,58 @@ object Analytics {
       .orderBy("grp", "split")
   }
 
+  /** T39: two-sample Kolmogorov–Smirnov drift gate (dq_ks_drift) —
+    * for every source, the KS distance between ITS distribution of a
+    * numeric feature (document length) and the REST of the corpus:
+    * max over the value grid of |CDF_s − CDF_rest|, the standard
+    * covariate-drift test a mixture pipeline runs per ingestion batch
+    * (X21's KL monitor compares hashed token buckets; this compares
+    * distributional SHAPE on an ordered domain — the two catch
+    * different drifts). The maximizing comparison is EXACT: CDFs are
+    * cross-multiplied counts (|cs·n_r − cr·n_s|, pure integers), so
+    * the argmax can't be perturbed by float CDFs; only the final
+    * per-source scalar divides (one IEEE op on bit-equal longs,
+    * micro-rounded — the F2/F3 convention).
+    *
+    * Scale shape: per-(source, value) counts are one partial-agg
+    * exchange; the evaluation grid is |sources|·|distinct values|
+    * (bounded by feature cardinality — at 100 TB you bucketize the
+    * feature first, same contract); cumulative sums are per-source
+    * windows over grid-sized rows. Cross-products cs·n_r stay in
+    * int64 up to ~3·10⁹ rows — the stated bound.
+    */
+  def dqKsDrift(spark: SparkSession, dir: String): DataFrame =
+    dqKsDriftOf(Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars").as("v")))
+
+  /** [[dqKsDrift]]'s core over ANY (source, v) frame. */
+  private[graft] def dqKsDriftOf(vals: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val tot = vals.groupBy("source").agg(count(lit(1)).as("ns"))
+    val grand = vals.agg(count(lit(1)).as("n"))
+    val grid = vals.select("v").distinct()
+    val pv = vals.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val ggrid = grid
+      .join(vals.groupBy("v").agg(count(lit(1)).as("g")), Seq("v"), "left")
+      .withColumn("gcs", sum(coalesce(col("g"), lit(0L))).over(w.orderBy("v")))
+      .select("v", "gcs")
+    val cum = tot.crossJoin(grid)
+      .join(pv, Seq("source", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cs", sum("c").over(w.partitionBy("source").orderBy("v")))
+    cum.join(ggrid, "v").crossJoin(broadcast(grand))
+      .select(col("source"), col("ns"), col("n"),
+        abs(col("cs") * (col("n") - col("ns")) -
+          (col("gcs") - col("cs")) * col("ns")).as("num"))
+      .groupBy("source")
+      .agg(min("ns").as("ns"), min("n").as("n"), max("num").as("mx"))
+      .select(col("source"), col("ns").as("n_src"),
+        round(col("mx").cast("double") /
+          (col("ns").cast("double") * (col("n") - col("ns"))) * 1e6)
+          .cast("long").as("ks_micro"))
+      .orderBy("source")
+  }
+
   def negSample(spark: SparkSession, dir: String,
                 k: Int = 4, m: Int = 12): DataFrame = {
     val nPart = Tables.load(spark, dir, "part").count()

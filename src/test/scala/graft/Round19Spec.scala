@@ -118,6 +118,26 @@ class Round19Spec extends SparkSpec {
     }
   }
 
+  test("dq_ks_drift: identical distributions score 0; disjoint supports score the closed-form maximum") {
+    import spark.implicits._
+    // sources a, b identical {1,2,3} → every CDF diff is 0
+    val same = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 1L), ("b", 2L), ("b", 3L)).toDF("source", "v")
+    val zero = graft.queries.Analytics.dqKsDriftOf(same).collect()
+    assert(zero.forall(_.getAs[Long]("ks_micro") == 0L))
+    // a = {1,2}, b = {10,11}: at v=2 CDF_a=1, CDF_rest=0 → KS = 1
+    val disj = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L)).toDF("source", "v")
+    val one = graft.queries.Analytics.dqKsDriftOf(disj).collect()
+    assert(one.forall(_.getAs[Long]("ks_micro") == 1000000L),
+      s"disjoint supports must hit KS = 1: ${one.mkString(",")}")
+    // a shifted version of the rest: hand-computable intermediate KS —
+    // a={1,2,3,4}, b={3,4,5,6}: max |CDF| gap at v=2 is 2/4 - 0 = 0.5
+    val shift = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 3L), ("b", 4L), ("b", 5L), ("b", 6L)).toDF("source", "v")
+    val half = graft.queries.Analytics.dqKsDriftOf(shift).collect()
+    assert(half.forall(_.getAs[Long]("ks_micro") == 500000L))
+  }
+
   test("e_stream_union: the two staged feeds are disjoint and cover the table") {
     val raw = graft.Tables.eventsTsAsNanosLong(spark, sfDir)
     val a = raw.filter(col("event_id") % 2 === 0).count()
