@@ -2074,7 +2074,9 @@ object SparkEntry {
         |  FROM st
         |), z AS (
         |  SELECT r.grp, r.split,
-        |    CAST(round((CAST(v AS DOUBLE) - mu) / sd * 1e6) AS BIGINT) AS zm
+        |    CASE WHEN sd = 0 THEN 0 ELSE
+        |      CAST(round((CAST(v AS DOUBLE) - mu) / sd * 1e6) AS BIGINT)
+        |    END AS zm
         |  FROM r JOIN mu ON r.grp = mu.grp
         |)
         |SELECT grp, split, CAST(count(*) AS BIGINT) AS n,
@@ -2837,7 +2839,8 @@ object SparkEntry {
         |  SELECT period, cd * cd + sd * sd AS spec_power FROM nd
         |)
         |SELECT period, spec_power,
-        |  row_number() OVER (ORDER BY spec_power DESC, period) = 1 AS dominant
+        |  (row_number() OVER (ORDER BY spec_power DESC, period) = 1
+        |    AND spec_power > 0) AS dominant
         |FROM pw ORDER BY period""".stripMargin,
     "q_winsorize" ->
       """WITH p AS (
@@ -3764,7 +3767,7 @@ object SparkEntry {
         |SELECT source, CAST(ns AS BIGINT) AS n_src,
         |  CAST(round(CAST(mx AS DOUBLE) /
         |    (CAST(ns AS DOUBLE) * (n - ns)) * 1e6) AS BIGINT) AS ks_micro
-        |FROM m ORDER BY source""".stripMargin,
+        |FROM m WHERE ns < n ORDER BY source""".stripMargin,
     // T38: the hole rule and per-month counts replay from the raw
     // table; the landed flag derives from the planted i%7==3 drops
     "dq_completeness" ->

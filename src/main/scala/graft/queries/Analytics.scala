@@ -1794,10 +1794,15 @@ object Analytics {
         (col("sv").cast("double") / col("n_tr")).as("mu"),
         (sqrt((col("n_tr").cast("decimal(38,0)") * col("svv") -
           col("sv") * col("sv")).cast("double")) / col("n_tr")).as("sd"))
+    // a zero-variance train group has every value at its mean: define
+    // z := 0 rather than dividing by zero (Spark would emit ±Inf/NaN
+    // silently while the oracle's CAST would error — the engines must
+    // agree on degenerate-but-valid input)
     rows.join(broadcast(stats), "grp")
       .select(col("grp"), col("split"),
-        round((col("v").cast("double") - col("mu")) / col("sd") * 1e6)
-          .cast("long").as("zm"))
+        when(col("sd") === 0.0, lit(0L)).otherwise(
+          round((col("v").cast("double") - col("mu")) / col("sd") * 1e6)
+            .cast("long")).as("zm"))
       .groupBy("grp", "split")
       .agg(count(lit(1)).as("n"),
         sum("zm").as("sum_z_micro"),
@@ -1850,6 +1855,10 @@ object Analytics {
           (col("gcs") - col("cs")) * col("ns")).as("num"))
       .groupBy("source")
       .agg(min("ns").as("ns"), min("n").as("n"), max("num").as("mx"))
+      // a source with no complement (it IS the whole frame) has no
+      // drift question — the statistic is 0/0-undefined, and emitting
+      // 0 would read as "no drift"; the row is excluded instead
+      .filter(col("ns") < col("n"))
       .select(col("source"), col("ns").as("n_src"),
         round(col("mx").cast("double") /
           (col("ns").cast("double") * (col("n") - col("ns"))) * 1e6)

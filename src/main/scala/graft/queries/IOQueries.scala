@@ -2099,8 +2099,14 @@ object IOQueries {
         (col("priority").isNull || col("priority") === target))
       .select("file").collect().map(_.getString(0))
     def gen(tag: String) = wanted.filter(_.contains(s"/$tag/"))
+    // a layout can legitimately contribute ZERO files (range entirely
+    // on one side of the cutoff) — answer from metadata, open nothing
     def read(files: Array[String], basePath: String) =
-      spark.read.option("basePath", basePath).parquet(files: _*)
+      if (files.isEmpty)
+        spark.range(0).select(lit(0.0).as("o_totalprice"),
+          lit("").as("o_orderpriority"))
+      else spark.read.option("basePath", basePath).parquet(files: _*)
+        .select("o_totalprice", "o_orderpriority")
     // old layout: priority is a residual ROW filter; new layout: both
     // dimensions already pruned at file level
     val part1 = read(gen("gen1"), base + "/lake/gen1")

@@ -550,7 +550,11 @@ object TimeSeries {
     proj
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("spec_power").desc, col("period"))))
-      .select(col("period"), col("spec_power"), (col("rnk") === 1).as("dominant"))
+      // a flat series mean-centers to zero power everywhere — then NO
+      // period is dominant (the argmax alone would install a spurious
+      // period-2 cycle on ties-at-zero)
+      .select(col("period"), col("spec_power"),
+        (col("rnk") === 1 && col("spec_power") > 0.0).as("dominant"))
       .orderBy("period")
   }
 

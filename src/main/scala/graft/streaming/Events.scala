@@ -704,19 +704,38 @@ object Events {
     val schema = spark.read.parquet(input).schema
     val stream = spark.readStream.schema(schema).parquet(input)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = stream
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
-        col("event_type"))
+    runToMemory(hourlyAgg(stream.withWatermark("ts", "1 hour")),
+      "graft_stream_parity", "complete")
+      .orderBy("window_start", "event_type")
+  }
+
+  /** The hourly (window_start, event_type) rollup shared by E3's
+    * parity check and E33's union — one definition so the two parity
+    * operators cannot drift apart.
+    */
+  private def hourlyAgg(stream: DataFrame): DataFrame =
+    // group by the FULL window struct: append mode's checker only
+    // recognizes the event-time column itself in the grouping — a
+    // getField("start") there reads as a plain expression and fails
+    // the has-watermark validation
+    stream
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
-    val sinkName = s"graft_stream_parity_${streamCounter.incrementAndGet()}"
-    val q = agg.writeStream
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Drive a streaming frame to completion (availableNow) into a
+    * memory sink and return its table.
+    */
+  private def runToMemory(df: DataFrame, prefix: String, mode: String): DataFrame = {
+    val sinkName = s"${prefix}_${streamCounter.incrementAndGet()}"
+    val q = df.writeStream
       .format("memory").queryName(sinkName)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName).orderBy("window_start", "event_type")
+    df.sparkSession.table(sinkName)
   }
 
   /** E33: streaming UNION of two independently-delivered feeds — the
@@ -726,10 +745,25 @@ object Events {
     * their MINIMUM: the slowest feed gates window finalization for
     * everyone, which is exactly the correctness contract (finalizing
     * on the fast feed's clock would drop the slow feed's late rows).
-    * The feeds here are deliberately given misaligned delays (1h vs
-    * 2h) to exercise that min: the aggregate must still equal the
-    * batch rollup over the union of both feeds — every event counted
-    * once, no window closed early.
+    *
+    * The min is LOAD-BEARING here, not decorative: the query runs in
+    * APPEND mode (only watermark-finalized windows emit — E21's
+    * discipline), both feeds declare 1h lateness, and feed B DELIVERS
+    * an hour behind feed A (its first batch stops at globalMax−1h —
+    * the lagging-region shape): after batch 1 the correct union
+    * watermark is min(maxA, maxB)−1h ≈ max−2h, while a fast-feed
+    * watermark would sit at max−1h. Feed B's second batch carries its
+    * held-back recent hour plus one deterministic STRAGGLER whose
+    * window end lies in (max−2h, max−1h]: admissible under the min
+    * watermark, discarded as late under the fast feed's. Far-future
+    * sentinel rows in each feed's last batch then push the watermark
+    * past every real window so append emits them all (the sentinels'
+    * own window never finalizes and never appears). The result must
+    * equal the batch rollup of the union INCLUDING the straggler — a
+    * max-watermark union hash-mismatches the oracle by exactly that
+    * event. (Equal declared delays matter mechanically too: Union
+    * merges column metadata and drops a CONFLICTING watermark tag —
+    * misalignment must come from delivery, not from the declaration.)
     *
     * Scale shape: each feed is its own file-stream scan; the union is
     * plan-level (no shuffle of its own); one keyed state exchange for
@@ -738,29 +772,35 @@ object Events {
   def streamUnion(spark: SparkSession, dir: String): DataFrame = {
     val base = Files.createTempDirectory("graft_stream_union").toString
     val raw = Tables.eventsTsAsNanosLong(spark, dir)
-    // two disjoint feeds covering the table (a deterministic split)
-    raw.filter(col("event_id") % 2 === 0)
-      .repartition(4).write.mode("overwrite").parquet(base + "/feedA")
-    raw.filter(col("event_id") % 2 === 1)
-      .repartition(4).write.mode("overwrite").parquet(base + "/feedB")
+    val evens = raw.filter(col("event_id") % 2 === 0)
+    val odds = raw.filter(col("event_id") % 2 === 1)
+    val hourNs = 3600L * 1000000000L
+    val mNs = raw.agg(max("ts")).head.getLong(0)
+    // H = the last hour boundary at or before globalMax − 1h; any event
+    // strictly inside (H−1h, H) has window end H ∈ (max−2h, max−1h]
+    val hBound = ((mNs - hourNs) / hourNs) * hourNs
+    val stragglerIds = odds
+      .filter(col("ts") > hBound - hourNs && col("ts") < hBound)
+      .orderBy(col("ts").desc, col("event_id").asc).limit(1)
+      .select("event_id").collect().map(_.getLong(0))
+    def sentinel(feed: DataFrame) =
+      feed.limit(1).withColumn("ts", lit(mNs + 10 * hourNs))
+    val straggler = col("event_id").isin(stragglerIds: _*)
+    val lagged = col("ts") > mNs - hourNs // B's held-back recent hour
+    StreamStage.stageOrderedBatches(base + "/feedA",
+      Seq(evens, sentinel(evens)))
+    StreamStage.stageOrderedBatches(base + "/feedB", Seq(
+      odds.filter(!straggler && !lagged),
+      odds.filter(straggler || lagged).unionByName(sentinel(odds))))
     val schema = spark.read.parquet(base + "/feedA").schema
-    def feed(path: String, delay: String) =
-      spark.readStream.schema(schema).parquet(path)
+    def feed(path: String) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(path)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .withWatermark("ts", delay)
-    val agg = feed(base + "/feedA", "1 hour")
-      .unionByName(feed(base + "/feedB", "2 hours"))
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
-    val sinkName = s"graft_stream_union_${streamCounter.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory").queryName(sinkName)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName).orderBy("window_start", "event_type")
+        .withWatermark("ts", "1 hour")
+    val union = feed(base + "/feedA").union(feed(base + "/feedB"))
+    runToMemory(hourlyAgg(union), "graft_stream_union", "append")
+      .orderBy("window_start", "event_type")
   }
 
   /** E5: custom stateful sessionization in a real stream —

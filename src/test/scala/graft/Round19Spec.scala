@@ -24,15 +24,28 @@ class Round19Spec extends SparkSpec {
       .forall(r => r.getAs[String]("priority") == null && r.getAs[String]("month") != null))
     assert(v2.filter(_.getAs[String]("file").contains("/gen2/"))
       .forall(r => r.getAs[String]("priority") != null && r.getAs[String]("month") != null))
-    // pruning law: a month+priority query selects ALL priorities of the
-    // old layout's in-range months (residual filtering inside), but
+    // pruning law on PARTITION TUPLES (file counts per partition are a
+    // writer detail): a month+priority query selects all priorities of
+    // the old layout's in-range months (residual filtering inside) but
     // exactly ONE priority slice of the new layout's
     val gen2InRange = v2.filter(r => r.getAs[String]("file").contains("/gen2/") &&
       r.getAs[String]("month") >= "1996-10" && r.getAs[String]("month") <= "1997-03")
-    val target = gen2InRange.filter(_.getAs[String]("priority") == "1-URGENT")
-    assert(gen2InRange.map(_.getAs[String]("priority")).distinct.length == 5)
-    assert(target.nonEmpty && target.length * 5 == gen2InRange.length)
+    val tuples = gen2InRange.map(r =>
+      (r.getAs[String]("month"), r.getAs[String]("priority"))).distinct
+    val months = tuples.map(_._1).distinct
+    val targetTuples = tuples.filter(_._2 == "1-URGENT")
+    assert(targetTuples.nonEmpty && targetTuples.length == months.length,
+      "the target slice must cover exactly the in-range months, once each")
+    assert(tuples.length > targetTuples.length,
+      "pruning must have excluded the other priority slices")
+    // a range entirely on the old-layout side: the new layout
+    // contributes zero files and the query must still answer
+    val preOnly = graft.queries.IOQueries.sinkPartitionEvolve(spark, sfDir,
+      qLo = "1996-01", qHi = "1996-06",
+      baseOverride = Some(base + "_pre")).collect().head
+    assert(preOnly.getAs[Long]("n") > 0L)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base + "_pre"))
   }
 
   test("ts_periodogram: a planted 7-day cycle dominates; a constant series has zero power everywhere") {
@@ -48,8 +61,11 @@ class Round19Spec extends SparkSpec {
       .filter(col("dominant")).select("period").head.getLong(0)
     assert(dom == 7L, s"planted weekly cycle must dominate, got period $dom")
     val flat = graft.queries.TimeSeries.periodogramOf(series(Seq.fill(70)(5000000L)))
-      .agg(max(abs(col("spec_power")))).head.getDouble(0)
-    assert(flat == 0.0, "a constant series mean-centers to exact zeros")
+      .collect()
+    assert(flat.forall(_.getAs[Double]("spec_power") == 0.0),
+      "a constant series mean-centers to exact zeros")
+    assert(flat.forall(!_.getAs[Boolean]("dominant")),
+      "zero power everywhere means NO dominant period, not an arbitrary tie-winner")
   }
 
   test("text_heldout: hand corpus — unseen test bigrams pay the smoothing floor, seen ones the fitted count") {
@@ -136,13 +152,27 @@ class Round19Spec extends SparkSpec {
       ("b", 3L), ("b", 4L), ("b", 5L), ("b", 6L)).toDF("source", "v")
     val half = graft.queries.Analytics.dqKsDriftOf(shift).collect()
     assert(half.forall(_.getAs[Long]("ks_micro") == 500000L))
+    // a lone source has no complement — the statistic is undefined and
+    // the row is excluded (0 would misread as "no drift")
+    val lone = Seq(("a", 1L), ("a", 2L)).toDF("source", "v")
+    assert(graft.queries.Analytics.dqKsDriftOf(lone).collect().isEmpty)
   }
 
-  test("e_stream_union: the two staged feeds are disjoint and cover the table") {
+  test("e_stream_union: feeds are disjoint and cover the table; a discriminating straggler exists") {
     val raw = graft.Tables.eventsTsAsNanosLong(spark, sfDir)
     val a = raw.filter(col("event_id") % 2 === 0).count()
     val b = raw.filter(col("event_id") % 2 === 1).count()
     assert(a > 0 && b > 0, "both feeds must carry events for the union to mean anything")
     assert(a + b == raw.count())
+    // the min-vs-max watermark discrimination needs an odd-id event
+    // whose window end falls in (max−2h, max−1h] — i.e. one strictly
+    // inside (H−1h, H) for H = floor_hour(max−1h); without it the
+    // operator still passes but pins nothing beyond parity
+    val hourNs = 3600L * 1000000000L
+    val mNs = raw.agg(max("ts")).head.getLong(0)
+    val hBound = ((mNs - hourNs) / hourNs) * hourNs
+    val straggles = raw.filter(col("event_id") % 2 === 1 &&
+      col("ts") > hBound - hourNs && col("ts") < hBound).count()
+    assert(straggles > 0, "testdata must offer a straggler candidate at this SF")
   }
 }
