@@ -101,7 +101,12 @@ object Bench {
     "ann_ivfpq", "ann_ivf_sweep", "text_transfer", "text_rake",
     // round-8 batch 2: CC over the 10× trade graph (pointer jumping —
     // rounds grow log(diameter), per-round work edge-linear)
-    "g_components")
+    "g_components",
+    // round-8 batch 3/4: the two heaviest new read ops, both
+    // fact-join-bound over the blown-up orders/lineitem (expected
+    // ≈linear: probes are |C|·m scan-side; the PIT equi-join fan-out
+    // is |facts|·versions-per-key)
+    "t_neg_sample", "q_pit_join")
 
   /** Build (once; cached by a _DONE marker) a deterministic `factor`×
     * blow-up of documents + embeddings under /tmp. Replica 0 is the
