@@ -135,9 +135,9 @@ object Bench {
     */
   private[graft] def ensureScaled(spark: SparkSession, sfDir: String, factor: Int): String = {
     val base = new java.io.File(sfDir).getName
-    // v2: adds replicated orders/lineitem (graph-family scale steps);
-    // the suffix bump invalidates any round-6 cache that lacks them
-    val out = s"/tmp/graft_scale${factor}x_v2_$base"
+    // v3: adds replicated part (t_neg_sample's step); each suffix
+    // bump invalidates stale caches that lack the newer tables
+    val out = s"/tmp/graft_scale${factor}x_v3_$base"
     val marker = new java.io.File(s"$out/_DONE")
     if (!marker.exists()) {
       val reps = spark.range(factor).select(col("id").cast("int").as("rep"))
@@ -188,6 +188,14 @@ object Bench {
         .withColumn("l_partkey", col("l_partkey") + col("rep") * maxP)
         .drop("rep")
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      // part replicates under the SAME l_partkey offset so lineitem's
+      // foreign keys stay resolvable within each replica (t_neg_sample
+      // probes the contiguous part-key space modulo |part|)
+      spark.read.parquet(s"$sfDir/part.parquet")
+        .crossJoin(broadcast(reps))
+        .withColumn("p_partkey", col("p_partkey") + col("rep") * maxP)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$out/part.parquet")
       marker.createNewFile()
     }
     out
