@@ -162,6 +162,10 @@ object SparkEntry {
     // K24: SQL time travel — graft_table('<base>', version) TVF over
     // the manifest lake (injectTableFunction extension rung)
     "sink_time_travel" -> ((s, d) => IOQueries.sinkTimeTravelSql(s, d)),
+    // K29: DSv2 TableCatalog — CREATE/INSERT/SELECT/VERSION AS OF as
+    // plain SQL over the manifest lake, one atomic version per INSERT
+    // (commit/isolation/race semantics spec-pinned in Round20Spec)
+    "sink_catalog_sql" -> ((s, d) => IOQueries.sinkCatalogSql(s, d)),
     // E30: streaming append whose mid-feed schema drift evolves the
     // lake through K19's commit across a checkpointed query restart
     "e_stream_evolve" -> ((s, d) => streaming.Events.streamEvolve(s, d)),
@@ -1539,6 +1543,16 @@ object SparkEntry {
       """SELECT 'v1_pinned' AS snapshot, cast(count(*) AS bigint) AS n,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_orderdate < '1998-01-01'
+        |UNION ALL
+        |SELECT 'v2_latest', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
+        |FROM orders
+        |ORDER BY snapshot""".stripMargin,
+    // K29: the pinned v1 catalog read must equal the first INSERT's
+    // batch exactly; the latest read must equal both batches
+    "sink_catalog_sql" ->
+      """SELECT 'v1_pinned' AS snapshot, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderdate < '1997-07-01'
         |UNION ALL
         |SELECT 'v2_latest', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
         |FROM orders

@@ -233,6 +233,61 @@ object IOQueries {
          |ORDER BY snapshot""".stripMargin)
   }
 
+  /** K29: SQL-NATIVE catalog over the manifest lake — the DSv2
+    * `TableCatalog` rung ([[org.apache.spark.sql.graft.GraftCatalog]]):
+    * `CREATE TABLE` / `INSERT INTO` / `SELECT` / `VERSION AS OF` run as
+    * plain SQL against `graft.lake.*`, with every INSERT publishing ONE
+    * atomic manifest version (the reference's `to_sql`-then-query loop,
+    * reference: week_1/data_ingest/data_ingest.py:120-178, fully
+    * SQL-native — K24 covered pinned READS via a TVF; this is the
+    * write path on the standard catalog surface).
+    *
+    * Two INSERTs land orders as versions 1 and 2; the readback
+    * aggregates the PINNED v1 snapshot (must equal the first batch
+    * exactly, even though the lake moved on) and the latest snapshot
+    * (both batches) — all four statements pure SQL. Commit-per-INSERT,
+    * version isolation, concurrent-INSERT serialization and
+    * CREATE/DROP semantics are spec-pinned in Round20Spec where the
+    * oracle can't reach.
+    */
+  def sinkCatalogSql(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", catalogRoot)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .createOrReplaceTempView("orders_cat_src")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+    // idempotent per invocation (bench iterates in one JVM): drop +
+    // recreate resets the version history to [1, 2] every run
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_cat")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_cat (
+        |  o_orderkey BIGINT, o_orderstatus STRING,
+        |  o_totalprice DOUBLE, o_orderdate DATE)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_cat
+        |SELECT * FROM orders_cat_src WHERE o_orderdate < DATE'1997-07-01'""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_cat
+        |SELECT * FROM orders_cat_src WHERE o_orderdate >= DATE'1997-07-01'""".stripMargin)
+    spark.sql(
+      """SELECT 'v1_pinned' AS snapshot, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graft.lake.orders_cat VERSION AS OF 1
+        |UNION ALL
+        |SELECT 'v2_latest', count(*), round(sum(o_totalprice), 2)
+        |FROM graft.lake.orders_cat
+        |ORDER BY snapshot""".stripMargin)
+  }
+
+  /** One catalog root per JVM: the catalog INSTANCE is cached by the
+    * session's CatalogManager at first use, so its `root` option must
+    * never change within a JVM — per-invocation freshness comes from
+    * DROP + CREATE inside [[sinkCatalogSql]], not from a new root.
+    */
+  private lazy val catalogRoot: String = tmpDir("catalog") + "/lake_root"
+
   /** K1: replace / append / fail write-mode semantics
     * (reference: `if_exists` in week_1/data_ingest/data_ingest.py:50).
     * Emits the table row count observed after each step; `fail` must

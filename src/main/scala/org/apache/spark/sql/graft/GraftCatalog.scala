@@ -1,0 +1,370 @@
+package org.apache.spark.sql.graft
+
+import graft.sinks.ManifestStore
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.analysis._
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{count, input_file_name, lit}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.util
+
+/** DataSource V2 `TableCatalog` over the graft manifest lake — the last
+  * rung of the extension ladder: the versioned, atomically-committed
+  * table store (K11/K23/K26's machinery) surfaced as a SQL CATALOG, so
+  * the reference's `to_sql`-then-query loop (reference:
+  * week_1/data_ingest/data_ingest.py:120-178, store_table_in_db +
+  * query_data_from_table) runs fully SQL-native:
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = org.apache.spark.sql.graft.GraftCatalog
+  *   spark.sql.catalog.graft.root = /lake/root
+  *
+  *   CREATE NAMESPACE graft.lake
+  *   CREATE TABLE graft.lake.t (k STRING, v BIGINT)
+  *   INSERT INTO graft.lake.t SELECT ...          -- ONE atomic version
+  *   SELECT * FROM graft.lake.t                   -- latest snapshot
+  *   SELECT * FROM graft.lake.t VERSION AS OF 1   -- pinned time travel
+  * }}}
+  *
+  * Layout: `<root>/<ns...>/<table>/` holds
+  *   - `_graft_table.json` — the table's schema (created exclusively;
+  *     existence IS table existence),
+  *   - `data_<writer>/part-*.parquet` — immutable data dirs, one per
+  *     INSERT (files are never rewritten, only re-listed),
+  *   - `manifest/manifest_v<N>/` — [[graft.sinks.ManifestStore]]
+  *     versions; each row is (file, n_rows) and version N's file list
+  *     IS the table at commit N.
+  *
+  * Commit semantics: every INSERT publishes exactly one manifest
+  * version via [[ManifestStore.tryPublish]] at `basedOn + 1` — an
+  * append that loses the version race RE-READS the winner's file list
+  * and retries, so concurrent INSERTs serialize with no lost files
+  * (same optimistic-concurrency loop as
+  * [[graft.sinks.TableStore.mergeCdc]]; raced live in Round20Spec).
+  * INSERT OVERWRITE publishes a version listing only the new files —
+  * old versions stay committed, which is what makes `VERSION AS OF`
+  * free. Readers resolve the manifest ONCE at scan build, so a query
+  * plan never sees a moving file list.
+  *
+  * Read path: the resolved file list is handed to Spark's own
+  * [[ParquetTable]], so SELECTs get the stock vectorized parquet scan
+  * with filter pushdown, column pruning and AQE — the catalog is a
+  * metadata plane only; at 100 TB the per-query cost it adds is one
+  * driver-side manifest read (the Delta/Iceberg snapshot-resolution
+  * shape). Write path: the V1 write bridge ([[V1Write]]) hands the
+  * whole query DataFrame to [[InsertableRelation.insert]], which lands
+  * executor-parallel parquet into an immutable data dir and commits
+  * metadata-only.
+  *
+  * Durability notes for object stores without atomic rename: table
+  * creation uses create-exclusive (`fs.create(..., overwrite=false)`)
+  * and the manifest commit relies on [[ManifestStore]]'s
+  * sentinel-verified rename claim — on S3-like stores both map to
+  * conditional PUTs (documented CONTRACT, same as K11).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"catalog '$name' requires spark.sql.catalog.$name.root")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Path-safe identifier parts only — a namespace or table name that
+    * could escape `root` (separators, traversal) is rejected at the
+    * catalog boundary, not discovered as filesystem damage later.
+    */
+  private def safePart(part: String): String = {
+    require(part.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") && !part.contains(".."),
+      s"identifier part '$part' is not path-safe ([A-Za-z0-9_.-], no '..')")
+    part
+  }
+
+  private def nsPath(namespace: Array[String]): Path =
+    namespace.foldLeft(new Path(root))((p, n) => new Path(p, safePart(n)))
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace()), safePart(ident.name()))
+  private def metaFile(dir: Path): Path = new Path(dir, "_graft_table.json")
+  private val NamespaceMarker = "_graft_namespace"
+
+  // ---- namespaces -------------------------------------------------------
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      fs.exists(new Path(nsPath(namespace), NamespaceMarker))
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(namespace)
+    val dir = nsPath(namespace)
+    fs.mkdirs(dir)
+    fs.create(new Path(dir, NamespaceMarker), true).close()
+  }
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new Path(st.getPath, NamespaceMarker)))
+      .map(st => namespace :+ st.getPath.getName)
+      .sortBy(_.mkString("."))
+      .toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog '$catalogName' does not support ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new NonEmptyNamespaceException(namespace)
+    fs.delete(nsPath(namespace), true)
+  }
+
+  // ---- tables -----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && fs.exists(metaFile(st.getPath)))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .sortBy(_.name())
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(metaFile(tablePath(ident)))
+
+  override def loadTable(ident: Identifier): Table =
+    loadPinned(ident, None)
+
+  /** `VERSION AS OF <v>` — a pinned snapshot read through the catalog
+    * (the same metadata-plane resolution as K24's `graft_table` TVF,
+    * now on the standard SQL surface).
+    */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadPinned(ident, Some(version.toLong))
+
+  private def loadPinned(ident: Identifier, version: Option[Long]): Table = {
+    val dir = tablePath(ident)
+    val meta = metaFile(dir)
+    if (!fs.exists(meta)) throw new NoSuchTableException(ident)
+    val in = fs.open(meta)
+    val schemaJson =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new GraftLakeTable(s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+      dir.toString, schema, version)
+  }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    if (info.partitions().nonEmpty)
+      throw new UnsupportedOperationException(
+        s"catalog '$catalogName' does not support partition transforms " +
+          "(sort-cluster with K10's machinery instead)")
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    val dir = tablePath(ident)
+    fs.mkdirs(dir)
+    // create-exclusive: existence of the meta file IS table existence,
+    // so the failing create is the CREATE TABLE uniqueness check
+    val out =
+      try fs.create(metaFile(dir), false)
+      catch { case _: java.io.IOException =>
+        throw new TableAlreadyExistsException(ident)
+      }
+    try out.write(info.schema().json.getBytes("UTF-8")) finally out.close()
+    new GraftLakeTable(s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+      dir.toString, info.schema(), None)
+  }
+
+  @deprecated("use createTable(Identifier, TableInfo)", "kept for the interface")
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    createTable(ident, new TableInfo.Builder()
+      .withColumns(CatalogV2Util.structTypeToV2Columns(schema))
+      .withPartitions(partitions)
+      .withProperties(properties)
+      .build())
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"catalog '$catalogName' does not support ALTER TABLE " +
+        "(write-side schema evolution is K19's manifest-commit path)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tablePath(ident)
+    if (!fs.exists(metaFile(dir))) false
+    else fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!namespaceExists(newIdent.namespace()))
+      throw new NoSuchNamespaceException(newIdent.namespace())
+    // rename moves the data dirs, but manifests list ABSOLUTE file
+    // paths — rewrite them under the new location in one metadata pass
+    // (same version numbers, each version's file list re-rooted)
+    val from = tablePath(oldIdent)
+    val to = tablePath(newIdent)
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"rename $from -> $to failed")
+    val manBase = new Path(to, "manifest").toString
+    val session = spark
+    import session.implicits._
+    ManifestStore.versions(spark, manBase).foreach { v =>
+      val rows = GraftLakeTable.manifestRows(spark, manBase, v)
+        .map { case (f, n) => (f.replace(from.toString + "/", to.toString + "/"), n) }
+      if (!ManifestStore.tryPublish(spark, manBase + "_rewrite",
+          rows.toDF("file", "n_rows"), v))
+        throw new java.io.IOException(s"manifest re-root for $to v$v failed")
+    }
+    if (fs.exists(new Path(manBase))) fs.delete(new Path(manBase), true)
+    if (fs.exists(new Path(manBase + "_rewrite")))
+      fs.rename(new Path(manBase + "_rewrite"), new Path(manBase))
+  }
+}
+
+/** One manifest-lake table: reads delegate to Spark's parquet DSv2 over
+  * the pinned version's file list; writes land an immutable data dir
+  * and commit one manifest version (see [[GraftCatalog]]).
+  */
+private[graft] class GraftLakeTable(tableName: String, dir: String,
+                                    tableSchema: StructType,
+                                    pinnedVersion: Option[Long])
+  extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private def manBase: String = s"$dir/manifest"
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** The pinned (or latest) committed file list — resolved ONCE per
+    * scan build, so one query never sees two snapshots. An empty table
+    * (no committed version yet) is a valid zero-file scan.
+    */
+  private def currentFiles(): Seq[String] = {
+    val committed = ManifestStore.versions(spark, manBase)
+    val v = pinnedVersion match {
+      case Some(p) =>
+        if (!committed.contains(p)) throw new java.util.NoSuchElementException(
+          s"$tableName: version $p is not committed (available: ${committed.mkString(", ")})")
+        Some(p)
+      case None => committed.lastOption
+    }
+    v match {
+      case None => Seq.empty
+      case Some(ver) =>
+        GraftLakeTable.manifestRows(spark, manBase, ver).map(_._1).sorted
+    }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetTable(tableName, spark, options, currentFiles(),
+      Some(tableSchema), classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
+              GraftLakeTable.insert(data.sparkSession, dir, data,
+                overwrite || overwriteFlag)
+          }
+      }
+    }
+}
+
+object GraftLakeTable {
+
+  /** A committed version's (file, n_rows) rows. Read with an EXPLICIT
+    * schema: a zero-row INSERT commits an EMPTY manifest version, and
+    * schemaless `read.json` of an empty dir has no columns (the
+    * JSON-manifests-drop-columns gotcha) — the explicit schema makes
+    * the empty snapshot a first-class table state instead of an error.
+    */
+  def manifestRows(spark: SparkSession, manBase: String,
+                   version: Long): Seq[(String, Long)] =
+    spark.read.schema("file STRING, n_rows BIGINT")
+      .json(s"$manBase/manifest_v$version")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** One INSERT = one immutable data dir + ONE committed manifest
+    * version. Appends serialize through the same optimistic loop as
+    * [[graft.sinks.TableStore.mergeCdc]]: commit at exactly
+    * `basedOn + 1`, and on losing the race re-read the WINNER'S file
+    * list and retry — two concurrent INSERTs both land, in some order,
+    * with no lost files. The data write itself happens once; retries
+    * move metadata only.
+    */
+  def insert(spark: SparkSession, dir: String, data: DataFrame,
+             overwrite: Boolean, maxRetries: Int = 50): Unit = {
+    val manBase = s"$dir/manifest"
+    val writerId = java.util.UUID.randomUUID().toString.take(12)
+    val dataDir = s"$dir/data_$writerId"
+    data.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    // per-file row counts in one read-back aggregate (K11's sidecar
+    // pass) — metadata-scale rows collected for the commit loop
+    val newRows = spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    import spark.implicits._
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      attempt += 1
+      val basedOn = ManifestStore.versions(spark, manBase).lastOption.getOrElse(0L)
+      val carried =
+        if (overwrite || basedOn == 0L) Seq.empty
+        else manifestRows(spark, manBase, basedOn)
+      val manifest = (carried ++ newRows).toDF("file", "n_rows")
+      if (ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1)) return
+    }
+    throw new java.io.IOException(
+      s"INSERT under $dir lost the commit race $maxRetries times")
+  }
+}
