@@ -373,7 +373,6 @@ object Graph {
   private def partsGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (pp, stream, _) =
       partsGraphCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + dir, {
-        val before = spark.sparkContext.getPersistentRDDs.keySet
         val l1 = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
         val pp = l1.as("x").join(l1.as("y"),
             col("x.l_orderkey") === col("y.l_orderkey") &&
@@ -382,7 +381,11 @@ object Graph {
           .distinct()
           .localCheckpoint()
         val stream = triangleStream(orientedOf(pp)).localCheckpoint()
-        val mine = (spark.sparkContext.getPersistentRDDs.keySet -- before).toSeq.sorted
+        // ids read off the frames themselves (their LogicalRDD leaves):
+        // a getPersistentRDDs set-diff around the build would claim any
+        // CONCURRENTLY persisted RDD too, and dropSharedCache's blocking
+        // unpersist would then free a foreign checkpoint's only copy
+        val mine = org.apache.spark.sql.graft.CheckpointIds.of(pp, stream)
         (pp, stream, mine)
       })
     (pp, stream)

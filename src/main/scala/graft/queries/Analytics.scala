@@ -78,11 +78,12 @@ object Analytics {
         // sum in decimal(38,0), not long: a long sum wraps silently
         // past int64 (~9.2e12 in price units — reachable at 100 TB)
         // while the DuckDB oracle sums into HUGEINT; the decimal sum
-        // is exact to 1e38 and the final long cast fails LOUDLY under
-        // ANSI on overflow, matching the oracle's HUGEINT→BIGINT
-        // behavior instead of diverging wrap-vs-exact
+        // is exact to 1e38 and the long conversion happens driver-side
+        // via longValueExact below, which throws on overflow REGARDLESS
+        // of the session's ANSI setting (an in-plan cast would be
+        // loud-or-silent depending on spark.sql.ansi.enabled)
         coalesce(sum(round(col("o_totalprice") * 1e6).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).cast("long").as("sum_price_micro"))
+          lit(0).cast("decimal(38,0)")).as("sum_price_micro"))
     // eager checkpoint = the action that flushes the observation;
     // the rollup and the counters come from ONE pass over orders
     val out = base
@@ -93,7 +94,9 @@ object Analytics {
     out
       .withColumn("observed_rows", lit(m("n_rows").asInstanceOf[Long]))
       .withColumn("observed_null_price", lit(m("n_null_price").asInstanceOf[Long]))
-      .withColumn("observed_sum_micro", lit(m("sum_price_micro").asInstanceOf[Long]))
+      .withColumn("observed_sum_micro",
+        lit(m("sum_price_micro").asInstanceOf[java.math.BigDecimal]
+          .toBigInteger.longValueExact()))
       .orderBy("month")
   }
 

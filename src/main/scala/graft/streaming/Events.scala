@@ -292,13 +292,13 @@ object Events {
         .start()
       q.awaitTermination()
     }
-    events.filter(col("event_id") % 3 =!= 0)
-      .coalesce(1).write.mode("append").parquet(feed)
+    // arrival separation is STAMPED (strictly increasing mtimes, all
+    // in the past), never slept for — the last wall-clock staging in
+    // the streaming entries, removed per VERDICT r8 "What's wrong" #1
+    StreamStage.appendAfter(feed, events.filter(col("event_id") % 3 =!= 0))
     runOnce()
     // late arrivals land AFTER the first query instance terminated
-    Thread.sleep(1100)
-    events.filter(col("event_id") % 3 === 0)
-      .coalesce(1).write.mode("append").parquet(feed)
+    StreamStage.appendAfter(feed, events.filter(col("event_id") % 3 === 0))
     runOnce()
     spark.read.parquet(out)
       .groupBy("event_type")

@@ -46,6 +46,29 @@ object StreamStage {
     }
   }
 
+  /** Append `batch` under `out` as one part-file stamped strictly
+    * AFTER every file already staged there (and still in the past) —
+    * the between-runs feed drop of a resume test (E26), with the
+    * arrival separation SET instead of slept for: a coarse-mtime
+    * filesystem cannot blur the second drop into the first listing.
+    */
+  private[graft] def appendAfter(out: String, batch: DataFrame): Unit = {
+    val dir = new java.io.File(out)
+    def partFiles(): Set[java.io.File] =
+      Option(dir.listFiles()).fold(Set.empty[java.io.File])(
+        _.filter(_.getName.startsWith("part-")).toSet)
+    val before = partFiles()
+    // first drop lands one minute in the past so later drops can be
+    // stamped after it without ever reaching a future mtime
+    val prevMax = before.map(_.lastModified()).maxOption
+      .getOrElse(System.currentTimeMillis() - 60000L)
+    batch.coalesce(1).write.mode("append").parquet(out)
+    (partFiles() -- before).foreach { f =>
+      require(f.setLastModified(prevMax + 2000L),
+        s"setLastModified failed for $f — cannot guarantee arrival order")
+    }
+  }
+
   /** Stage `df` as `nFiles` time-range-ordered arrivals (ntile over
     * `tsCol`): batch k holds the k-th quantile slice, so a
     * micro-batched stream's watermark advances BEHIND the data and
@@ -57,14 +80,14 @@ object StreamStage {
                                       out: String, nFiles: Int): Unit = {
     // free the checkpointed staging blocks by RDD id: Dataset.unpersist
     // is a no-op for localCheckpoint'ed frames (CacheManager has no
-    // entry — the storage is on the internal RDD), the exact leak
-    // class fixed in Graph.dropSharedCache this round
+    // entry — the storage is on the internal RDD). The ids come from
+    // the frame's own LogicalRDD leaves, not a getPersistentRDDs
+    // set-diff, so concurrent persists are never mis-attributed
     val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val bucketed = df
       .withColumn("_b", ntile(nFiles).over(Window.orderBy(col(tsCol))))
       .localCheckpoint()
-    val mine = sc.getPersistentRDDs.keySet -- before
+    val mine = org.apache.spark.sql.graft.CheckpointIds.of(bucketed)
     try
       stageOrderedBatches(out,
         (1 to nFiles).map(b => bucketed.filter(col("_b") === b).drop("_b")))

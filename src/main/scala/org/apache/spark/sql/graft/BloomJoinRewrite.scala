@@ -56,6 +56,15 @@ object BloomJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ BloomJoinRewrite
 
+  // DOCUMENTED NARROWING (not a correctness limit — the exact join
+  // still runs either way, and the rule is conf-gated opt-in): side
+  // selection uses subtree-WIDE filter presence as the selectivity
+  // signal, so an application side containing any Filter anywhere
+  // (e.g. one pre-filtered union leg) disqualifies injection, and only
+  // the FIRST equi-key is sketched on multi-key joins. Widening both
+  // (per-side filter attribution at the key-bearing subtree; all keys
+  // hashed into one sketch, as Spark's InjectRuntimeFilter does) only
+  // grows where the pushdown fires.
   private def hasFilter(p: LogicalPlan): Boolean =
     p.exists(_.isInstanceOf[Filter])
 

@@ -58,6 +58,19 @@ object MvRewrite extends Rule[LogicalPlan] {
                definition: DataFrame, path: String): Unit = {
     definition.write.mode("overwrite").parquet(path)
     val mat = spark.read.parquet(path)
+    // the substitution below restores names/exprIds/nullability, but
+    // it cannot repair a TYPE drift through the parquet round-trip —
+    // refuse at register time rather than corrupting parent operators
+    val defTypes = definition.queryExecution.optimizedPlan.output.map(_.dataType)
+    val matTypes = mat.queryExecution.analyzed.output.map(_.dataType)
+    require(defTypes == matTypes,
+      s"materialization of '$name' changed column types: $defTypes -> $matTypes")
+    // entries of stopped applications never match again (appId-prefixed
+    // keys) but would pin their plans forever in a JVM that restarts
+    // contexts — evict everything not owned by a LIVE context here
+    val live = org.apache.spark.SparkContext.getActive.map(_.applicationId).toSet
+    catalog.keys.filterNot(k => live.exists(id => k.startsWith(id + "|")))
+      .foreach(catalog.remove)
     catalog.put(spark.sparkContext.applicationId + "|" + name,
       Mv(definition.queryExecution.optimizedPlan,
         mat.queryExecution.analyzed))
@@ -89,10 +102,19 @@ object MvRewrite extends Rule[LogicalPlan] {
             // the materialization's column ORDER matches the
             // definition's output (parquet round-trip preserves it);
             // re-alias onto the matched subtree's attribute ids so
-            // parents resolve unchanged
+            // parents resolve unchanged. Parquet read-back WIDENS
+            // nullability (a non-nullable count() comes back nullable)
+            // — restore the original contract with AssertNotNull so
+            // parent operators' attribute metadata stays truthful
+            // (values are non-null by construction: the file was
+            // written from the non-nullable column)
             Project(sub.output.zip(mat.output).map {
               case (orig, repl) =>
-                Alias(repl, orig.name)(exprId = orig.exprId)
+                val child =
+                  if (!orig.nullable && repl.nullable)
+                    org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(repl)
+                  else repl
+                Alias(child, orig.name)(exprId = orig.exprId)
             }, mat)
         }.getOrElse(sub)
     }
