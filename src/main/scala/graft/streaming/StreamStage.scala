@@ -20,19 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object StreamStage {
 
+  private def partFiles(out: String): Set[java.io.File] =
+    Option(new java.io.File(out).listFiles()).fold(Set.empty[java.io.File])(
+      _.filter(_.getName.startsWith("part-")).toSet)
+
   /** Stage `batches` under `out` (one parquet part-file each, in
     * order) such that a file stream over `out` observes them as
     * distinct, ordered arrivals. Empty batches are skipped.
     */
   private[graft] def stageOrderedBatches(out: String, batches: Seq[DataFrame]): Unit = {
-    val dir = new java.io.File(out)
-    def partFiles(): Set[java.io.File] =
-      Option(dir.listFiles()).fold(Set.empty[java.io.File])(
-        _.filter(_.getName.startsWith("part-")).toSet)
-    var seen = partFiles()
+    var seen = partFiles(out)
     val ordered = batches.flatMap { b =>
       b.coalesce(1).write.mode("append").parquet(out)
-      val now = partFiles()
+      val now = partFiles(out)
       val fresh = (now -- seen).toSeq
       seen = now
       fresh // 0 files if the batch was empty, else exactly 1
@@ -53,18 +53,23 @@ object StreamStage {
     * filesystem cannot blur the second drop into the first listing.
     */
   private[graft] def appendAfter(out: String, batch: DataFrame): Unit = {
-    val dir = new java.io.File(out)
-    def partFiles(): Set[java.io.File] =
-      Option(dir.listFiles()).fold(Set.empty[java.io.File])(
-        _.filter(_.getName.startsWith("part-")).toSet)
-    val before = partFiles()
+    val before = partFiles(out)
     // first drop lands one minute in the past so later drops can be
     // stamped after it without ever reaching a future mtime
     val prevMax = before.map(_.lastModified()).maxOption
       .getOrElse(System.currentTimeMillis() - 60000L)
+    val stamp = prevMax + 2000L
+    // the contract is "after every staged file AND still in the past";
+    // both are only satisfiable over a feed whose files were stamped by
+    // this object's stagers — an unstamped (wall-clock-fresh) feed must
+    // fail loudly, not get a future mtime that maxFileAge arithmetic
+    // handles unpredictably
+    require(stamp < System.currentTimeMillis(),
+      s"feed $out has files stamped too close to now ($prevMax) — " +
+        "stage it via StreamStage so arrival order is set, not inherited")
     batch.coalesce(1).write.mode("append").parquet(out)
-    (partFiles() -- before).foreach { f =>
-      require(f.setLastModified(prevMax + 2000L),
+    (partFiles(out) -- before).foreach { f =>
+      require(f.setLastModified(stamp),
         s"setLastModified failed for $f — cannot guarantee arrival order")
     }
   }

@@ -147,7 +147,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    if (!cascade && listTables(namespace).nonEmpty)
+    // non-cascade must refuse on CHILD NAMESPACES too, not just direct
+    // tables — the recursive delete below would otherwise silently
+    // destroy nested namespaces' tables (review finding, round 9)
+    if (!cascade &&
+        (listTables(namespace).nonEmpty || listNamespaces(namespace).nonEmpty))
       throw new NonEmptyNamespaceException(namespace)
     fs.delete(nsPath(namespace), true)
   }
@@ -176,7 +180,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * now on the standard SQL surface).
     */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadPinned(ident, Some(version.toLong))
+    loadPinned(ident, Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"table ${ident.name()}: VERSION AS OF takes an integer commit " +
+          s"version, got '$version'"))))
 
   private def loadPinned(ident: Identifier, version: Option[Long]): Table = {
     val dir = tablePath(ident)
@@ -186,7 +193,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val schemaJson =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    // a truncated meta file (disk-full/kill during CREATE) must fail
+    // with a NAMED remedy, not a raw JSON parse error wedging the
+    // identifier opaquely
+    val schema =
+      try DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"table metadata at $meta is unreadable (interrupted CREATE " +
+            s"TABLE?) — drop the table directory to recover", e)
+      }
     new GraftLakeTable(s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
       dir.toString, schema, version)
   }
@@ -207,7 +223,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       catch { case _: java.io.IOException =>
         throw new TableAlreadyExistsException(ident)
       }
-    try out.write(info.schema().json.getBytes("UTF-8")) finally out.close()
+    // an in-process write failure must not wedge the identifier: drop
+    // the claimed meta file before rethrowing (a kill -9 mid-write can
+    // still leave a truncated file — loadTable names the remedy)
+    try { out.write(info.schema().json.getBytes("UTF-8")); out.close() }
+    catch { case e: Throwable =>
+      try { out.close() } catch { case _: Throwable => () }
+      fs.delete(metaFile(dir), false)
+      throw e
+    }
     new GraftLakeTable(s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
       dir.toString, info.schema(), None)
   }
@@ -238,26 +262,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     if (!namespaceExists(newIdent.namespace()))
       throw new NoSuchNamespaceException(newIdent.namespace())
-    // rename moves the data dirs, but manifests list ABSOLUTE file
-    // paths — rewrite them under the new location in one metadata pass
-    // (same version numbers, each version's file list re-rooted)
+    // manifests store paths RELATIVE to the table dir, so rename is
+    // ONE atomic directory move — no manifest rewrite, no window where
+    // the version history exists in neither place (the round-9 review
+    // killed a rewrite-based variant exactly for that window)
     val from = tablePath(oldIdent)
     val to = tablePath(newIdent)
     if (!fs.rename(from, to))
       throw new java.io.IOException(s"rename $from -> $to failed")
-    val manBase = new Path(to, "manifest").toString
-    val session = spark
-    import session.implicits._
-    ManifestStore.versions(spark, manBase).foreach { v =>
-      val rows = GraftLakeTable.manifestRows(spark, manBase, v)
-        .map { case (f, n) => (f.replace(from.toString + "/", to.toString + "/"), n) }
-      if (!ManifestStore.tryPublish(spark, manBase + "_rewrite",
-          rows.toDF("file", "n_rows"), v))
-        throw new java.io.IOException(s"manifest re-root for $to v$v failed")
-    }
-    if (fs.exists(new Path(manBase))) fs.delete(new Path(manBase), true)
-    if (fs.exists(new Path(manBase + "_rewrite")))
-      fs.rename(new Path(manBase + "_rewrite"), new Path(manBase))
   }
 }
 
@@ -295,7 +307,10 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
     v match {
       case None => Seq.empty
       case Some(ver) =>
-        GraftLakeTable.manifestRows(spark, manBase, ver).map(_._1).sorted
+        // manifest rows are table-dir-relative (what makes RENAME one
+        // atomic move); resolve against the CURRENT location here
+        GraftLakeTable.manifestRows(spark, manBase, ver)
+          .map(r => s"$dir/${r._1}").sorted
     }
   }
 
@@ -348,11 +363,19 @@ object GraftLakeTable {
     val dataDir = s"$dir/data_$writerId"
     data.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     // per-file row counts in one read-back aggregate (K11's sidecar
-    // pass) — metadata-scale rows collected for the commit loop
+    // pass) — metadata-scale rows collected for the commit loop.
+    // Paths are stored RELATIVE to the table dir (data_<writer>/part-…)
+    // so the whole table — history included — survives RENAME as one
+    // atomic directory move
     val newRows = spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .collect().map { r =>
+        val abs = r.getString(0)
+        val idx = abs.lastIndexOf("/data_")
+        require(idx >= 0, s"unexpected data file path $abs")
+        (abs.substring(idx + 1), r.getLong(1))
+      }.toSeq
     import spark.implicits._
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -365,6 +388,6 @@ object GraftLakeTable {
       if (ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1)) return
     }
     throw new java.io.IOException(
-      s"INSERT under $dir lost the commit race $maxRetries times")
+      s"INSERT under $dir lost the commit race $attempt times")
   }
 }

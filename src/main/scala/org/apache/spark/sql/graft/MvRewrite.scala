@@ -61,8 +61,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     // the substitution below restores names/exprIds/nullability, but
     // it cannot repair a TYPE drift through the parquet round-trip —
     // refuse at register time rather than corrupting parent operators
-    val defTypes = definition.queryExecution.optimizedPlan.output.map(_.dataType)
-    val matTypes = mat.queryExecution.analyzed.output.map(_.dataType)
+    // compare under asNullable normalization: parquet read-back widens
+    // NESTED nullability too (array containsNull, struct field
+    // nullability), which is the benign widening the substitution
+    // repairs — only a genuine TYPE change should refuse
+    val defTypes = definition.queryExecution.optimizedPlan.output
+      .map(_.dataType.asNullable)
+    val matTypes = mat.queryExecution.analyzed.output
+      .map(_.dataType.asNullable)
     require(defTypes == matTypes,
       s"materialization of '$name' changed column types: $defTypes -> $matTypes")
     // entries of stopped applications never match again (appId-prefixed
