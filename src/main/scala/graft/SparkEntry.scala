@@ -166,6 +166,12 @@ object SparkEntry {
     // plain SQL over the manifest lake, one atomic version per INSERT
     // (commit/isolation/race semantics spec-pinned in Round20Spec)
     "sink_catalog_sql" -> ((s, d) => IOQueries.sinkCatalogSql(s, d)),
+    // K30: SQL DELETE FROM through the catalog (K14's erasure,
+    // one survivor-rewrite commit; pre-delete snapshot pinned)
+    "sink_catalog_delete" -> ((s, d) => IOQueries.sinkCatalogDelete(s, d)),
+    // K31: SQL ALTER TABLE ADD COLUMN through the catalog (K19's
+    // evolution; old files null-fill, nothing rewritten)
+    "sink_catalog_evolve" -> ((s, d) => IOQueries.sinkCatalogEvolve(s, d)),
     // E30: streaming append whose mid-feed schema drift evolves the
     // lake through K19's commit across a checkpointed query restart
     "e_stream_evolve" -> ((s, d) => streaming.Events.streamEvolve(s, d)),
@@ -1557,6 +1563,24 @@ object SparkEntry {
         |SELECT 'v2_latest', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
         |FROM orders
         |ORDER BY snapshot""".stripMargin,
+    // K30: v1 must equal the full load; v2 must equal the survivors of
+    // the exact DELETE predicate (null semantics included)
+    "sink_catalog_delete" ->
+      """SELECT 'v1_pre_delete' AS snapshot, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |UNION ALL
+        |SELECT 'v2_post_delete', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
+        |FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 150000.0)
+        |ORDER BY snapshot""".stripMargin,
+    // K31: pre-evolution rows must bucket under the null fill, and
+    // post-evolution rows must carry their real status
+    "sink_catalog_evolve" ->
+      """SELECT CASE WHEN o_orderdate < '1997-01-01' THEN '_legacy'
+        |  ELSE o_orderstatus END AS status_bucket,
+        |  cast(count(*) AS bigint) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY 1 ORDER BY status_bucket""".stripMargin,
     "text_pack" ->
       """WITH t AS (
         |  SELECT source, doc_id,

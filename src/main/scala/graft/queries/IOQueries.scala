@@ -251,13 +251,10 @@ object IOQueries {
     * oracle can't reach.
     */
   def sinkCatalogSql(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.catalog.graft",
-      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft.root", catalogRoot)
+    ensureCatalog(spark)
     Tables.load(spark, dir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
       .createOrReplaceTempView("orders_cat_src")
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
     // idempotent per invocation (bench iterates in one JVM): drop +
     // recreate resets the version history to [1, 2] every run
     spark.sql("DROP TABLE IF EXISTS graft.lake.orders_cat")
@@ -287,6 +284,80 @@ object IOQueries {
     * DROP + CREATE inside [[sinkCatalogSql]], not from a new root.
     */
   private lazy val catalogRoot: String = tmpDir("catalog") + "/lake_root"
+
+  private def ensureCatalog(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", catalogRoot)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.lake")
+  }
+
+  /** K30: SQL `DELETE FROM` over the catalog — K14's targeted erasure
+    * on the standard SQL surface ([[org.apache.spark.sql.graft
+    * .GraftLakeTable.deleteWhere]]): survivors land in a fresh
+    * immutable data dir and commit as ONE new manifest version;
+    * DELETE's null semantics (a NULL predicate does not delete) come
+    * from the survivors filter `NOT coalesce(cond, false)`. The
+    * pre-delete snapshot stays readable via `VERSION AS OF` — erasure
+    * completes at VACUUM retention (K18), the Delta/Iceberg contract,
+    * and the readback aggregates BOTH snapshots so the oracle checks
+    * history isolation and the deletion in one hash.
+    */
+  def sinkCatalogDelete(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_del_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_del")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_del (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.orders_del SELECT * FROM orders_del_src")
+    spark.sql(
+      """DELETE FROM graft.lake.orders_del
+        |WHERE o_orderstatus = 'F' AND o_totalprice < 150000.0""".stripMargin)
+    spark.sql(
+      """SELECT 'v1_pre_delete' AS snapshot, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graft.lake.orders_del VERSION AS OF 1
+        |UNION ALL
+        |SELECT 'v2_post_delete', count(*), round(sum(o_totalprice), 2)
+        |FROM graft.lake.orders_del
+        |ORDER BY snapshot""".stripMargin)
+  }
+
+  /** K31: SQL `ALTER TABLE ADD COLUMN` over the catalog — K19's
+    * schema evolution on the standard SQL surface: the meta file
+    * evolves (atomic temp-write + rename), files written BEFORE the
+    * evolution simply lack the column and the parquet reader
+    * null-fills it, files after carry it — nothing is rewritten. The
+    * readback buckets legacy rows under the null fill, so the oracle
+    * hash proves both the null-fill semantics and that post-evolution
+    * INSERTs carry the new column.
+    */
+  def sinkCatalogEvolve(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate")
+      .createOrReplaceTempView("orders_ev_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_ev")
+    spark.sql(
+      "CREATE TABLE graft.lake.orders_ev (o_orderkey BIGINT, o_totalprice DOUBLE)")
+    spark.sql(
+      """INSERT INTO graft.lake.orders_ev
+        |SELECT o_orderkey, o_totalprice FROM orders_ev_src
+        |WHERE o_orderdate < DATE'1997-01-01'""".stripMargin)
+    spark.sql("ALTER TABLE graft.lake.orders_ev ADD COLUMNS (o_orderstatus STRING)")
+    spark.sql(
+      """INSERT INTO graft.lake.orders_ev
+        |SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders_ev_src
+        |WHERE o_orderdate >= DATE'1997-01-01'""".stripMargin)
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, '_legacy') AS status_bucket,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM graft.lake.orders_ev
+        |GROUP BY 1 ORDER BY status_bucket""".stripMargin)
+  }
 
   /** K1: replace / append / fail write-mode semantics
     * (reference: `if_exists` in week_1/data_ingest/data_ingest.py:50).

@@ -246,10 +246,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .withProperties(properties)
       .build())
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"catalog '$catalogName' does not support ALTER TABLE " +
-        "(write-side schema evolution is K19's manifest-commit path)")
+  /** ALTER TABLE — the SAFE evolution subset for immutable parquet
+    * files: ADD COLUMN, top-level, nullable, no default, no position.
+    * Existing files simply lack the column and the parquet reader
+    * null-fills it (K19's read-side contract); later INSERTs carry it.
+    * Everything else (drop/rename/retype) would change how EXISTING
+    * files resolve by name and is refused — that's K27's
+    * metadata-commit + REORG territory, not a meta-file edit.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tablePath(ident)
+    if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    val supported = changes.forall {
+      case a: TableChange.AddColumn =>
+        a.fieldNames().length == 1 && a.isNullable &&
+          a.defaultValue() == null && a.position() == null
+      case _ => false
+    }
+    if (!supported)
+      throw new UnsupportedOperationException(
+        s"catalog '$catalogName' supports only ALTER TABLE ADD COLUMN " +
+          "(top-level, nullable, no default) — other changes would " +
+          "re-map existing immutable files")
+    val current = loadPinned(ident, None).schema()
+    val evolved = CatalogV2Util.applySchemaChanges(
+      current, changes.toSeq, None, "ALTER TABLE")
+    // temp-write + OVERWRITE-rename (FileContext — FileSystem.rename
+    // refuses file-onto-file): atomic on POSIX, a conditional PUT on
+    // object stores, so readers see the old or the new schema, never
+    // a truncated meta file
+    val tmp = new Path(dir, s".meta_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(evolved.json.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(metaFile(dir).toUri, spark.sessionState.newHadoopConf())
+      .rename(tmp, metaFile(dir), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    new GraftLakeTable(
+      s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+      dir.toString, evolved, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tablePath(ident)
@@ -280,7 +315,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 private[graft] class GraftLakeTable(tableName: String, dir: String,
                                     tableSchema: StructType,
                                     pinnedVersion: Option[Long])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
   private def manBase: String = s"$dir/manifest"
@@ -319,6 +354,36 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
       Some(tableSchema), classOf[ParquetFileFormat])
       .newScanBuilder(options)
 
+  /** `DELETE FROM` — K14's targeted erasure on the SQL surface: read
+    * the current snapshot, keep the survivors (DELETE's null
+    * semantics: a NULL-evaluating predicate does NOT delete), land
+    * them in a fresh immutable data dir and publish ONE new version
+    * listing only the survivor files. Old versions stay committed —
+    * pre-delete snapshots remain readable via `VERSION AS OF` until
+    * K18's VACUUM retention sweeps them (a GDPR erasure therefore
+    * pairs DELETE with a retention sweep, the Delta/Iceberg contract).
+    * This rewrite is FULL-table because the catalog's manifest carries
+    * (file, n_rows) only; with K14's min/max sidecar the plan prunes
+    * to intersecting files — same commit protocol, fewer rewrites.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => GraftLakeTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val session = spark
+    val doomed = filters.flatMap(GraftLakeTable.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val files = currentFiles()
+    val current =
+      if (files.isEmpty)
+        session.createDataFrame(session.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+      else session.read.schema(tableSchema).parquet(files: _*)
+    val survivors = current.where(
+      !org.apache.spark.sql.functions.coalesce(doomed, org.apache.spark.sql.functions.lit(false)))
+    GraftLakeTable.insert(session, dir, survivors, overwrite = true)
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
@@ -335,6 +400,38 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
 }
 
 object GraftLakeTable {
+
+  /** V1 source Filter → Column, for the DELETE predicate. Covers the
+    * comparison/null/set/boolean/string family; anything else makes
+    * `canDeleteWhere` refuse (Spark then reports the DELETE as
+    * unsupported instead of silently deleting the wrong rows).
+    */
+  private[graft] def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.sources._
+    def c(name: String) = col(s"`$name`")
+    f match {
+      case EqualTo(a, v) => Some(c(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(c(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+      case LessThan(a, v) => Some(c(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+      case In(a, vs) => Some(c(a).isInCollection(vs.toSeq))
+      case IsNull(a) => Some(c(a).isNull)
+      case IsNotNull(a) => Some(c(a).isNotNull)
+      case StringStartsWith(a, v) => Some(c(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(c(a).endsWith(v))
+      case StringContains(a, v) => Some(c(a).contains(v))
+      case And(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) => for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(x) => filterToColumn(x).map(not)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
 
   /** A committed version's (file, n_rows) rows. Read with an EXPLICIT
     * schema: a zero-row INSERT commits an EMPTY manifest version, and

@@ -166,6 +166,53 @@ class Round20Spec extends SparkSpec {
     }
   }
 
+  test("catalog DELETE: one survivor-rewrite commit, null predicate keeps the row, history pinned") {
+    val cat = freshCatalog("k30del")
+    spark.sql(s"CREATE TABLE $cat.lake.t (k STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.lake.t VALUES ('a', 1), ('b', 2), (NULL, 3)")
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    val manBase = s"$root/lake/t/manifest"
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE k = 'a'")
+    // exactly one new version, listing only survivor files
+    assert(graft.sinks.ManifestStore.versions(spark, manBase) == Seq(1L, 2L))
+    val v1Files = org.apache.spark.sql.graft.GraftLakeTable.manifestRows(spark, manBase, 1L).map(_._1).toSet
+    val v2Files = org.apache.spark.sql.graft.GraftLakeTable.manifestRows(spark, manBase, 2L).map(_._1).toSet
+    assert(v2Files.nonEmpty && v2Files.intersect(v1Files).isEmpty,
+      "delete must rewrite survivors into fresh files, not edit committed ones")
+    // DELETE null semantics: k = 'a' is NULL for the NULL row → kept
+    val left = spark.sql(s"SELECT v FROM $cat.lake.t ORDER BY v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(2L, 3L), s"NULL-predicate row must survive, got $left")
+    // the pre-delete snapshot is still a complete pinned read
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.t VERSION AS OF 1").head.getLong(0) == 3L)
+  }
+
+  test("catalog ALTER ADD COLUMN: meta-only evolution — no committed file rewritten, legacy rows null-fill") {
+    val cat = freshCatalog("k31evolve")
+    spark.sql(s"CREATE TABLE $cat.lake.t (k STRING, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.lake.t VALUES ('a', 1)")
+    val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+    val manBase = s"$root/lake/t/manifest"
+    val preFiles = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRows(spark, manBase, 1L).map(_._1)
+    val preBytes = preFiles.map(f => new java.io.File(s"$root/lake/t/$f").length())
+    spark.sql(s"ALTER TABLE $cat.lake.t ADD COLUMNS (w STRING)")
+    // evolution is a meta-file edit: no new version, no file touched
+    assert(graft.sinks.ManifestStore.versions(spark, manBase) == Seq(1L),
+      "ADD COLUMN must not consume a data version")
+    assert(preFiles.map(f => new java.io.File(s"$root/lake/t/$f").length()) == preBytes,
+      "ADD COLUMN must not rewrite committed files")
+    spark.sql(s"INSERT INTO $cat.lake.t VALUES ('b', 2, 'tagged')")
+    val rows = spark.sql(s"SELECT k, v, w FROM $cat.lake.t ORDER BY v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq(("a", 1L, null), ("b", 2L, "tagged")),
+      s"legacy rows must null-fill the added column, got $rows")
+    // the UNSAFE evolutions are refused: dropping or re-typing would
+    // re-map existing immutable files
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.lake.t DROP COLUMN v") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.lake.t ALTER COLUMN v TYPE STRING") }
+  }
+
   test("catalog: rename re-roots every version's manifest; data survives under the new name") {
     val cat = freshCatalog("k29rename")
     spark.sql(s"CREATE TABLE $cat.lake.src (k STRING, v BIGINT)")
