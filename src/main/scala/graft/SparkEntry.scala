@@ -172,6 +172,10 @@ object SparkEntry {
     // K31: SQL ALTER TABLE ADD COLUMN through the catalog (K19's
     // evolution; old files null-fill, nothing rewritten)
     "sink_catalog_evolve" -> ((s, d) => IOQueries.sinkCatalogEvolve(s, d)),
+    // E34: streaming ingest into the versioned lake, exactly-once via
+    // txn-tagged manifest commits; every batch deliberately applied
+    // twice — a failed guard doubles rows and breaks the oracle hash
+    "e_stream_lake" -> ((s, d) => streaming.Events.streamLakeIngest(s, d)),
     // E30: streaming append whose mid-feed schema drift evolves the
     // lake through K19's commit across a checkpointed query restart
     "e_stream_evolve" -> ((s, d) => streaming.Events.streamEvolve(s, d)),
@@ -1563,6 +1567,14 @@ object SparkEntry {
         |SELECT 'v2_latest', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
         |FROM orders
         |ORDER BY snapshot""".stripMargin,
+    // E34: the lake after the drain (with every batch REDELIVERED
+    // once) must equal a direct aggregate of the raw feed — a failed
+    // idempotence guard doubles every count/sum
+    "e_stream_lake" ->
+      """SELECT event_type, cast(count(*) AS bigint) AS n,
+        |  cast(count(DISTINCT event_id) AS bigint) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // K30: v1 must equal the full load; v2 must equal the survivors of
     // the exact DELETE predicate (null semantics included)
     "sink_catalog_delete" ->

@@ -418,6 +418,58 @@ object Events {
         round(sum("value"), 2).as("total_value"))
   }
 
+  /** E34: streaming ingest into the VERSIONED LAKE with exactly-once
+    * idempotent commits — the Delta/Iceberg `txn` pattern on graft's
+    * manifest commit: each micro-batch lands an immutable data dir and
+    * publishes ONE manifest version whose rows carry the batch's
+    * transaction tag, so "data committed" and "txn recorded" are one
+    * atomic rename. A REDELIVERED batch (foreachBatch replays after
+    * any failure between sink write and checkpoint commit — the
+    * documented at-least-once window every foreachBatch sink has)
+    * finds its tag in [[org.apache.spark.sql.graft.GraftLakeTable
+    * .committedTxns]] and skips.
+    *
+    * The op PROVES the idempotence in-band: every batch is applied
+    * TWICE (the second apply simulates the redelivery), so if the
+    * txn guard ever failed, every row would double and the oracle —
+    * a direct aggregate of the raw events table — would hash-mismatch.
+    * At 100 TB this is the nightly-ingest contract: restarts and
+    * speculative retries may re-offer a batch, the lake accepts it
+    * once. Versions-per-batch and tag accounting are spec-pinned in
+    * Round20Spec.
+    */
+  def streamLakeIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftLakeTable
+    val input = stageStreamInput(spark, dir, copies = 1)
+    val schema = spark.read.parquet(input).schema
+    val table = Files.createTempDirectory("graft_stream_lake").toString + "/t"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2") // force several commits
+      .parquet(input)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val txn = s"lake_ingest:$batchId"
+        def applyOnce(): Unit =
+          if (!GraftLakeTable.committedTxns(spark, s"$table/manifest").contains(txn))
+            GraftLakeTable.insert(spark, table, batch, overwrite = false, txn = txn)
+        applyOnce()
+        applyOnce() // redelivery: the tag is committed, so this no-ops
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val manBase = s"$table/manifest"
+    val v = graft.sinks.ManifestStore.versions(spark, manBase).last
+    val files = GraftLakeTable.manifestRows(spark, manBase, v).map(r => s"$table/${r._1}")
+    spark.read.parquet(files: _*)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("event_id").as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
   /** E20: streaming materialized-view maintenance — T18's incremental
     * rollup driven by Structured Streaming: each micro-batch aggregates
     * only its own rows to daily partials (count + integer-micro value

@@ -445,6 +445,22 @@ object GraftLakeTable {
       .json(s"$manBase/manifest_v$version")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  /** Every transaction tag committed under `manBase`, across ALL
+    * versions (an overwrite drops prior FILES from the current list
+    * but its version — and its txn — stays committed). The tag rides
+    * the manifest rows themselves, so "data committed" and "txn
+    * recorded" are ONE atomic rename — the property idempotent
+    * streaming writes stand on (Delta's txn/appId pattern): a
+    * redelivered micro-batch finds its tag and skips, a batch whose
+    * writer died before the rename left neither data nor tag.
+    */
+  def committedTxns(spark: SparkSession, manBase: String): Set[String] =
+    ManifestStore.versions(spark, manBase).flatMap { v =>
+      spark.read.schema("file STRING, n_rows BIGINT, txn STRING")
+        .json(s"$manBase/manifest_v$v")
+        .collect().flatMap(r => Option(r.getString(2))).filter(_.nonEmpty)
+    }.toSet
+
   /** One INSERT = one immutable data dir + ONE committed manifest
     * version. Appends serialize through the same optimistic loop as
     * [[graft.sinks.TableStore.mergeCdc]]: commit at exactly
@@ -454,7 +470,8 @@ object GraftLakeTable {
     * move metadata only.
     */
   def insert(spark: SparkSession, dir: String, data: DataFrame,
-             overwrite: Boolean, maxRetries: Int = 50): Unit = {
+             overwrite: Boolean, maxRetries: Int = 50,
+             txn: String = ""): Unit = {
     val manBase = s"$dir/manifest"
     val writerId = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$dir/data_$writerId"
@@ -481,7 +498,11 @@ object GraftLakeTable {
       val carried =
         if (overwrite || basedOn == 0L) Seq.empty
         else manifestRows(spark, manBase, basedOn)
-      val manifest = (carried ++ newRows).toDF("file", "n_rows")
+      // the txn tag rides THIS version's new rows only (empty string,
+      // never null — JSON read-back drops all-null columns); carried
+      // rows get "" so a carried file never re-asserts an old txn
+      val manifest = (carried.map { case (f, n) => (f, n, "") } ++
+        newRows.map { case (f, n) => (f, n, txn) }).toDF("file", "n_rows", "txn")
       if (ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1)) return
     }
     throw new java.io.IOException(

@@ -213,6 +213,36 @@ class Round20Spec extends SparkSpec {
     intercept[Exception] { spark.sql(s"ALTER TABLE $cat.lake.t ALTER COLUMN v TYPE STRING") }
   }
 
+  test("lake txn commits: one version per distinct txn, redelivered tags skip, zero-row insert keeps its commit") {
+    val base = java.nio.file.Files.createTempDirectory("graft_txn").toString + "/t"
+    val manBase = s"$base/manifest"
+    import spark.implicits._
+    val b0 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    def applyBatch(df: org.apache.spark.sql.DataFrame, txn: String): Unit =
+      if (!org.apache.spark.sql.graft.GraftLakeTable.committedTxns(spark, manBase).contains(txn))
+        org.apache.spark.sql.graft.GraftLakeTable.insert(spark, base, df, overwrite = false, txn = txn)
+    applyBatch(b0, "q:0")
+    applyBatch(b0, "q:0") // redelivery — must not commit a second version
+    assert(graft.sinks.ManifestStore.versions(spark, manBase) == Seq(1L))
+    applyBatch(Seq(("c", 3L)).toDF("k", "v"), "q:1")
+    assert(graft.sinks.ManifestStore.versions(spark, manBase) == Seq(1L, 2L))
+    assert(org.apache.spark.sql.graft.GraftLakeTable.committedTxns(spark, manBase) ==
+      Set("q:0", "q:1"))
+    // carried files must never re-assert their old txn: version 2's
+    // rows tag only the NEW file
+    val v2 = spark.read.schema("file STRING, n_rows BIGINT, txn STRING")
+      .json(s"$manBase/manifest_v2").collect()
+    assert(v2.count(_.getString(2) == "q:1") == 1 &&
+      v2.count(_.getString(2) == "q:0") == 0,
+      "carried rows must carry an empty txn, not the old one")
+    // rows are exactly the two batches, once each
+    val rows = spark.read.parquet(
+        org.apache.spark.sql.graft.GraftLakeTable.manifestRows(spark, manBase, 2L)
+          .map(r => s"$base/${r._1}"): _*)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows == Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
   test("catalog: rename re-roots every version's manifest; data survives under the new name") {
     val cat = freshCatalog("k29rename")
     spark.sql(s"CREATE TABLE $cat.lake.src (k STRING, v BIGINT)")
