@@ -82,7 +82,10 @@ object Bench {
     // round-8 batch-4 additions (sink_part_evolve is a sink entry and
     // e_stream_union a stream entry — correctness-gated; so is
     // dq_completeness, whose cost is its staged lake write)
-    "ts_periodogram", "text_heldout", "t_scale", "dq_ks_drift")
+    "ts_periodogram", "text_heldout", "t_scale", "dq_ks_drift",
+    // round-9 addition (the catalog/streaming entries are sink/stream
+    // ops — correctness-gated per the policy above)
+    "g_closeness")
 
   /** The scale-step set: the heaviest operators over the tables the
     * 10× blow-up synthesizes (documents/embeddings since round 6;

@@ -280,6 +280,9 @@ object SparkEntry {
     "g_jaccard" -> ((s, d) => Graph.jaccardPairs(s, d)),
     "g_adamic_adar" -> ((s, d) => Graph.adamicAdar(s, d)),
     "g_sssp" -> ((s, d) => Graph.sssp(s, d)),
+    // G11: landmark harmonic centrality — one multi-source BFS with
+    // (node, landmark) state; integer micro contract, CTE-replayed
+    "g_closeness" -> ((s, d) => Graph.closeness(s, d)),
     "g_components" -> ((s, d) => Graph.components(s, d)),
     "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
     "ts_mann_kendall" -> ((s, d) => TimeSeries.mannKendall(s, d)),
@@ -3110,6 +3113,38 @@ object SparkEntry {
       base + stages +
         s"\nSELECT node, CAST(dist AS BIGINT) AS dist_micro FROM d6" +
         s"\nWHERE dist < $inf ORDER BY dist, node LIMIT 20"
+    },
+    // G11: unrolled multi-source BFS replay — (node, landmark) state,
+    // min-combine per hop, integer micro harmonic sum, total-order tie
+    "g_closeness" -> {
+      val base =
+        """WITH p AS (
+          |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |), e AS (
+          |  SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p
+          |), lms AS (
+          |  SELECT node FROM (SELECT DISTINCT src AS node FROM e) ORDER BY node LIMIT 8
+          |), d0 AS (
+          |  SELECT node, node AS lm, 0 AS dist FROM lms
+          |)""".stripMargin
+      val stages = (1 to 4).map { i =>
+        s""",
+           |d$i AS (
+           |  SELECT node, lm, min(dist) AS dist FROM (
+           |    SELECT node, lm, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, pd.lm, pd.dist + 1 AS dist
+           |    FROM e JOIN d${i - 1} pd ON pd.node = e.src
+           |  ) u GROUP BY 1, 2
+           |)""".stripMargin
+      }.mkString
+      base + stages +
+        """
+          |SELECT node, cast(count(*) AS bigint) AS n_landmarks,
+          |  cast(sum(1000000 // dist) AS bigint) AS harmonic_micro
+          |FROM d4 WHERE dist > 0
+          |GROUP BY node ORDER BY harmonic_micro DESC, node LIMIT 20""".stripMargin
     },
     // ACF: floor-mean deviations, HUGEINT term products, one double
     // division per lag on bit-equal 128-bit integers

@@ -718,4 +718,56 @@ object Graph {
       .select(col("id").as("node"), col("lbl").as("component"), col("comp_size"))
       .orderBy("node")
   }
+
+  /** G11: LANDMARK harmonic centrality over the trade graph — "who
+    * sits close to everything" without the all-pairs cost: exact
+    * closeness needs V BFS trees (O(V·E), dead at scale), so the
+    * production form fixes L landmark sources and measures every
+    * node's harmonic sum Σ 1/d(node, lm) against them (Potamias et
+    * al.'s landmark scheme; HyperBall is the sketch alternative and
+    * would land as a `spec` op). Work is ONE multi-source BFS with
+    * (node, landmark) state — V·L rows, L fixed — per round: an
+    * equi-join frontier expansion + a min-combine, the same
+    * scale shape as G6, linear in E·L per hop.
+    *
+    * Determinism/oracle contract: unweighted hop distances within
+    * `iters` hops; per-landmark contribution = `1000000 div d` (exact
+    * integer micro, no doubles anywhere); landmarks = the L smallest
+    * node ids (deterministic); full (harmonic desc, node) tie-break;
+    * top-K via TakeOrdered. The DuckDB oracle replays the BFS as an
+    * unrolled CTE — bit-exact.
+    */
+  def closeness(spark: SparkSession, dir: String, iters: Int = 4,
+                nLandmarks: Int = 8, topK: Int = 20): DataFrame =
+    closenessOf(tradeRows(spark, dir)
+      .select(col("cust_node").as("src"), col("supp_node").as("dst"))
+      .distinct(), iters, nLandmarks, topK)
+
+  /** [[closeness]]'s core over ANY undirected pair set. */
+  private[graft] def closenessOf(pairs: DataFrame, iters: Int,
+                                 nLandmarks: Int, topK: Int): DataFrame = {
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val landmarks = edges.select(col("src").as("node")).distinct()
+      .orderBy("node").limit(nLandmarks)
+    var dist = landmarks
+      .select(col("node"), col("node").as("lm"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val relax = edges
+        .join(dist.select(col("node").as("src"), col("lm"), col("dist")), "src")
+        .groupBy(col("dst").as("node"), col("lm"))
+        .agg(min(col("dist") + 1L).as("dist"))
+      dist = dist.unionByName(relax)
+        .groupBy("node", "lm").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist.filter(col("dist") > 0) // a landmark's distance to itself carries no signal
+      .withColumn("h", expr("1000000L div dist"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_landmarks"), sum("h").as("harmonic_micro"))
+      .orderBy(col("harmonic_micro").desc, col("node"))
+      .limit(topK)
+  }
 }

@@ -36,7 +36,7 @@ class PlanShapeSpec extends SparkSpec {
     // graph family — every round must stay one equi-join + one
     // map-side-combinable aggregate over checkpointed edges
     "g_clustering", "g_kcore", "g_components", "g_pagerank", "g_ppr",
-    "g_sssp", "g_adamic_adar", "g_jaccard", "g_communities",
+    "g_sssp", "g_adamic_adar", "g_jaccard", "g_communities", "g_closeness",
     // dedup candidate generation — inverted-index / banding / block
     // equi-joins only; the quadratic form lives in the ORACLE, not here
     "dedup_containment", "dedup_ngram_jaccard", "dedup_substring",
@@ -88,7 +88,7 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  Seq("g_adamic_adar", "q_streaks", "q_topk", "text_pmi").foreach { name =>
+  Seq("g_adamic_adar", "q_streaks", "q_topk", "text_pmi", "g_closeness").foreach { name =>
     test(s"$name: global top-K distributes as TakeOrderedAndProject") {
       val plan = planOf(name)
       assert(plan.contains("TakeOrderedAndProject"),

@@ -243,6 +243,21 @@ class Round20Spec extends SparkSpec {
     assert(rows == Seq(("a", 1L), ("b", 2L), ("c", 3L)))
   }
 
+  test("g_closeness hand data: path graph harmonics computed by hand, landmark self-distance excluded") {
+    import spark.implicits._
+    // path 1—2—3—4—5, landmarks = 2 smallest ids {1, 2}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = graft.operators.Graph.closenessOf(pairs, iters = 4,
+      nLandmarks = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // by hand (1e6 div d): n3: lm1 d2 + lm2 d1 = 1_500_000; n1: lm2 d1;
+    // n2: lm1 d1 (its own lm2 distance-0 row is excluded); n4: d3+d2 =
+    // 333333+500000; n5: d4+d3 = 250000+333333; ties break node-asc
+    assert(got == Seq(
+      (3L, 2L, 1500000L), (1L, 1L, 1000000L), (2L, 1L, 1000000L),
+      (4L, 2L, 833333L), (5L, 2L, 583333L)), s"got $got")
+  }
+
   test("catalog: rename re-roots every version's manifest; data survives under the new name") {
     val cat = freshCatalog("k29rename")
     spark.sql(s"CREATE TABLE $cat.lake.src (k STRING, v BIGINT)")
