@@ -308,6 +308,9 @@ object SparkEntry {
     "t_feature_hash" -> ((s, d) => TextQueries.featureHash(s, d)),
     "t_weighted_sample" -> ((s, d) => Relational.tWeightedSample(s, d)),
     "ts_ewma" -> (TimeSeries.ewma _),
+    // F13: Croston intermittent demand — size/interval smoothings over
+    // demand events per part, truncated-weight exact per F4's contract
+    "ts_croston" -> ((s, d) => TimeSeries.croston(s, d)),
     "ts_holt" -> (TimeSeries.holt _),
     "ts_periodogram" -> (TimeSeries.periodogram _),
     "ts_ols" -> (TimeSeries.ols _),
@@ -3145,6 +3148,45 @@ object SparkEntry {
           |  cast(sum(1000000 // dist) AS bigint) AS harmonic_micro
           |FROM d4 WHERE dist > 0
           |GROUP BY node ORDER BY harmonic_micro DESC, node LIMIT 20""".stripMargin
+    },
+    // F13: per-part demand-event weight expansion; z/p/rate each one
+    // rounded double division over bit-equal integers
+    "ts_croston" -> {
+      val vals = graft.queries.TimeSeries.ewmaWeights(14).zipWithIndex
+        .map { case (wt, j) => s"($j, $wt)" }.mkString(", ")
+      s"""WITH demand AS (
+         |  SELECT l_partkey AS part, CAST(o_orderdate AS DATE) AS d,
+         |    CAST(round(sum(l_quantity) * 1e6) AS BIGINT) AS q
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2
+         |), i AS (
+         |  SELECT part, d, q,
+         |    row_number() OVER (PARTITION BY part ORDER BY d) AS i,
+         |    coalesce(date_diff('day',
+         |      lag(d) OVER (PARTITION BY part ORDER BY d), d), 1) * 1000000
+         |      AS gap_micro
+         |  FROM demand
+         |), nn AS (SELECT part, max(i) AS n FROM i GROUP BY 1),
+         |wts AS (SELECT * FROM (VALUES $vals) AS t(j, wt)),
+         |sm AS (
+         |  SELECT i.part, nn.n,
+         |    sum(CAST(i.q AS HUGEINT) * w.wt) AS znum,
+         |    sum(CAST(i.gap_micro AS HUGEINT) * w.wt) AS pnum,
+         |    sum(w.wt) AS den
+         |  FROM i JOIN nn ON nn.part = i.part
+         |  JOIN wts w ON w.j = nn.n - i.i
+         |  WHERE nn.n - i.i < 14
+         |  GROUP BY 1, 2
+         |), fin AS (
+         |  SELECT part, CAST(n AS BIGINT) AS n_demands,
+         |    CAST(round(CAST(znum AS DOUBLE) / CAST(den AS DOUBLE)) AS BIGINT) AS z_micro,
+         |    CAST(round(CAST(pnum AS DOUBLE) / CAST(den AS DOUBLE)) AS BIGINT) AS p_micro
+         |  FROM sm WHERE n >= 5
+         |)
+         |SELECT part, n_demands, z_micro, p_micro,
+         |  CAST(round(1e6 * CAST(z_micro AS DOUBLE) / CAST(p_micro AS DOUBLE)) AS BIGINT)
+         |    AS rate_micro
+         |FROM fin ORDER BY rate_micro DESC, part LIMIT 20""".stripMargin
     },
     // ACF: floor-mean deviations, HUGEINT term products, one double
     // division per lag on bit-equal 128-bit integers

@@ -278,6 +278,69 @@ object TimeSeries {
   private[graft] def ewmaWeights(lags: Int): Seq[Long] =
     (0 until lags).map(j => (BigInt(3).pow(j) * BigInt(4).pow(lags - 1 - j)).toLong)
 
+  /** F13: Croston intermittent-demand forecast — the method for the
+    * series classical smoothing gets WRONG: per-part demand is mostly
+    * zero days with occasional spikes, and an EWMA over the calendar
+    * series decays toward zero between spikes, while Croston (1972)
+    * smooths the DEMAND SIZES and the INTER-DEMAND INTERVALS as two
+    * separate series over demand events only, forecasting rate = z/p.
+    * The spare-parts / long-tail-SKU standard, and exactly the shape
+    * of per-part order flow here (parts order sparsely at every SF).
+    *
+    * Exactness (F4's truncated-weight contract, per part): both
+    * smoothings are the SAME integer-weight expansion over the last
+    * `lags` demand EVENTS of each part — w_j = 3^j·4^(lags−1−j) exact
+    * longs, sizes in micro-quantity, intervals in micro-days; one
+    * rounded double division each (z, p), then one more for the rate,
+    * all three expression shapes identical in the DuckDB replay.
+    * Event indexing is a per-part window (row_number / lag over the
+    * part's own demand days) — fact rows are touched once by the
+    * (part, day) aggregate, everything after is events-per-part
+    * bounded. Output: the `topK` hottest forecast rates among parts
+    * with ≥ `minEvents` demand events, total-order tie-broken.
+    */
+  def croston(spark: SparkSession, dir: String, lags: Int = 14,
+              minEvents: Int = 5, topK: Int = 20): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_orderkey", "l_quantity")
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderdate")
+    val demand = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey").as("part"), col("o_orderdate").cast("date").as("d"))
+      .agg(sum(round(col("l_quantity") * lit(1e6)).cast("long")).as("q"))
+    crostonOf(demand, lags, minEvents, topK)
+  }
+
+  /** [[croston]]'s core over ANY (part, d DATE, q micro-long) demand
+    * event set.
+    */
+  private[graft] def crostonOf(demand: DataFrame, lags: Int,
+                               minEvents: Int, topK: Int): DataFrame = {
+    val w = Window.partitionBy("part").orderBy("d")
+    val idx = demand
+      .withColumn("i", row_number().over(w))
+      .withColumn("gap_micro",
+        coalesce(datediff(col("d"), lag("d", 1).over(w)).cast("long"), lit(1L)) * 1000000L)
+    val n = idx.groupBy("part").agg(max("i").as("n"))
+    val wts = ewmaWeights(lags)
+    val sm = idx.join(n, "part")
+      .filter(col("n") - col("i") < lags)
+      .withColumn("wt", element_at(typedlit(wts), (col("n") - col("i") + 1).cast("int")))
+      .groupBy("part", "n")
+      .agg(sum(col("q").cast("decimal(38,0)") * col("wt")).as("znum"),
+        sum(col("gap_micro").cast("decimal(38,0)") * col("wt")).as("pnum"),
+        sum("wt").as("den"))
+    val zc = round(col("znum").cast("double") / col("den").cast("double")).cast("long")
+    val pc = round(col("pnum").cast("double") / col("den").cast("double")).cast("long")
+    sm.filter(col("n") >= minEvents)
+      .select(col("part"), col("n").cast("long").as("n_demands"),
+        zc.as("z_micro"), pc.as("p_micro"))
+      .withColumn("rate_micro",
+        round(lit(1e6) * col("z_micro").cast("double") / col("p_micro").cast("double"))
+          .cast("long"))
+      .orderBy(col("rate_micro").desc, col("part"))
+      .limit(topK)
+  }
+
   /** [[cusum]]'s core over ANY (d DATE, y LONG) daily series. */
   private[graft] def cusumOf(series: DataFrame): DataFrame = {
     val w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)

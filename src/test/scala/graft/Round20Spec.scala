@@ -258,6 +258,36 @@ class Round20Spec extends SparkSpec {
       (4L, 2L, 833333L), (5L, 2L, 583333L)), s"got $got")
   }
 
+  test("ts_croston hand data: scalar replay of the size/interval smoothings, short-history part excluded") {
+    import spark.implicits._
+    def day(s: String) = java.sql.Date.valueOf(s)
+    // part 1: demands 2,4,6,2,10 on gaps 1,2,3,4,1 days; part 2: only
+    // 3 events — below minEvents, must not appear
+    val demand = Seq(
+      (1L, day("2020-01-01"), 2000000L), (1L, day("2020-01-03"), 4000000L),
+      (1L, day("2020-01-06"), 6000000L), (1L, day("2020-01-10"), 2000000L),
+      (1L, day("2020-01-11"), 10000000L),
+      (2L, day("2020-01-01"), 1000000L), (2L, day("2020-01-02"), 1000000L),
+      (2L, day("2020-01-03"), 1000000L)
+    ).toDF("part", "d", "q")
+    val got = graft.queries.TimeSeries.crostonOf(demand, lags = 14,
+      minEvents = 5, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent SCALAR replay (BigInt sums, the same three rounded
+    // divisions) — the bit-exact driver-replay pattern
+    val wts = graft.queries.TimeSeries.ewmaWeights(14)
+    val qs = Seq(2L, 4L, 6L, 2L, 10L).map(_ * 1000000L)
+    val gaps = Seq(1L, 2L, 3L, 4L, 1L).map(_ * 1000000L)
+    val js = Seq(4, 3, 2, 1, 0) // j = n - i
+    val den = js.map(wts).sum
+    val znum = qs.zip(js).map { case (q, j) => BigInt(q) * wts(j) }.sum
+    val pnum = gaps.zip(js).map { case (g, j) => BigInt(g) * wts(j) }.sum
+    val z = math.round(znum.toDouble / den)
+    val p = math.round(pnum.toDouble / den)
+    val rate = math.round(1e6 * z.toDouble / p)
+    assert(got.toSeq == Seq((1L, 5L, z, p, rate)), s"got ${got.toSeq}, want (1,5,$z,$p,$rate)")
+  }
+
   test("catalog: rename re-roots every version's manifest; data survives under the new name") {
     val cat = freshCatalog("k29rename")
     spark.sql(s"CREATE TABLE $cat.lake.src (k STRING, v BIGINT)")
