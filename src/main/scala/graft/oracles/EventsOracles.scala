@@ -1,0 +1,414 @@
+package graft.oracles
+
+/** DuckDB-dialect oracle SQL for the events & streaming operators.
+  *
+  * Split out of SparkEntry (VERDICT r9 "Next round" #6) — the strings
+  * are the driver-contract oracles; column names must match the Spark
+  * plans exactly (the compare sorts columns by name before hashing).
+  */
+private[graft] object EventsOracles {
+  val sql: Map[String, String] = Map(
+    "e_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), v AS (
+        |  SELECT user_id, min(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(us) AS c_us FROM e
+        |  JOIN v ON e.user_id = v.user_id AND us > v_us
+        |  WHERE event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(us) AS p_us FROM e
+        |  JOIN c ON e.user_id = c.user_id AND us > c_us
+        |  WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT '1_view' AS stage, cast(count(*) AS bigint) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click_after_view', cast(count(*) AS bigint) FROM c
+        |UNION ALL
+        |SELECT '3_purchase_after_click', cast(count(*) AS bigint) FROM p
+        |ORDER BY stage""".stripMargin,
+    "e_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |), coh AS (
+        |  SELECT user_id, min(d) AS cohort_d FROM act GROUP BY 1
+        |)
+        |SELECT cohort_d,
+        |  cast(count(DISTINCT a.user_id) AS bigint) AS n_users,
+        |  cast(count(DISTINCT CASE WHEN d = cohort_d + 1 THEN a.user_id END) AS bigint) AS d1_retained,
+        |  cast(count(DISTINCT CASE WHEN d = cohort_d + 7 THEN a.user_id END) AS bigint) AS d7_retained
+        |FROM act a JOIN coh ON a.user_id = coh.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same window (total order on ts_ns, event_id), same 7-day nanos
+    // expiry, IGNORE NULLS carrying the latest prior touch
+    "e_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS tns,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |                    THEN epoch_ns(ts) END IGNORE NULLS)
+        |      OVER w AS touch_ts,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT CASE WHEN touch_type IS NULL
+        |            OR tns - touch_ts > 604800000000000 THEN 'none'
+        |            ELSE touch_type END AS channel,
+        |  cast(count(*) AS bigint) AS n_purchases,
+        |  round(sum(value), 2) AS revenue
+        |FROM e WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    // same two-pass shape, exact integer-second latencies, discrete
+    // percentiles (actual elements — engine-identical)
+    "e_time_to_convert" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS tv
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), conv AS (
+        |  SELECT e.user_id, min(fv.tv) AS tv, min(epoch_ns(e.ts)) AS tp
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= fv.tv
+        |  GROUP BY 1
+        |), d AS (
+        |  SELECT strftime(make_timestamp(tv // 1000), '%Y-%m') AS cohort,
+        |    (tp - tv) // 1000000000 AS delta_s
+        |  FROM conv
+        |)
+        |SELECT cohort, cast(count(*) AS bigint) AS n_converted,
+        |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY delta_s) AS BIGINT) AS median_s,
+        |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY delta_s) AS BIGINT) AS p90_s
+        |FROM d GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "e_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type FROM events
+        |), x AS (
+        |  SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS from_type
+        |  FROM e
+        |)
+        |SELECT from_type, to_type, count(*) AS n FROM x
+        |WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    "e_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT min(date_trunc('hour', ts)) AS mn, max(date_trunc('hour', ts)) AS mx
+        |  FROM events
+        |), cal AS (
+        |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+        |), t AS (SELECT DISTINCT event_type AS et FROM events)
+        |SELECT t.et AS event_type, epoch_us(cal.h) AS hour_us,
+        |  cast(coalesce(n, 0) AS bigint) AS n
+        |FROM t CROSS JOIN cal
+        |LEFT JOIN hourly ON t.et = hourly.event_type AND cal.h = hourly.h
+        |ORDER BY event_type, hour_us""".stripMargin,
+    // the streamed CDC feed replays sink_merge's arithmetic, so the
+    // converged table must match the same final-state oracle
+    "e_stream_cdc" ->
+      """WITH fin AS (
+        |  SELECT o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 1000
+        |  FROM orders WHERE o_orderkey % 4 = 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 500
+        |  FROM orders WHERE o_orderkey % 4 = 3
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM fin GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // E34: the lake after the drain (with every batch REDELIVERED
+    // once) must equal a direct aggregate of the raw feed — a failed
+    // idempotence guard doubles every count/sum
+    "e_stream_lake" ->
+      """SELECT event_type, cast(count(*) AS bigint) AS n,
+        |  cast(count(DISTINCT event_id) AS bigint) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "e_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type, h, n,
+        |    CAST(round(avg(n) OVER (PARTITION BY event_type) * 1e6) AS BIGINT) AS mean_micro,
+        |    CAST(round(stddev_samp(n) OVER (PARTITION BY event_type) * 1e6) AS BIGINT) AS sd_micro
+        |  FROM hourly
+        |)
+        |SELECT event_type, epoch_us(h) AS hour_us, n, mean_micro, sd_micro
+        |FROM stats
+        |WHERE abs(n * 1000000 - mean_micro) > 2 * sd_micro
+        |ORDER BY event_type, hour_us""".stripMargin,
+    "e_stream_tws" ->
+      """SELECT user_id, cast(count(*) AS bigint) AS n_purchases,
+        |  round(sum(value), 2) AS total_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // E32: the quota stream's admit set replays as a batch row_number
+    // over the same (ts, event_id) per-user order (the engine orders
+    // by the exact nanos long; epoch order ≡ timestamp order here)
+    "e_stream_quota" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_seen,
+        |  CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        |  CAST(sum(CASE WHEN rn <= 20 THEN event_id ELSE 0 END) AS BIGINT)
+        |    AS admitted_id_sum
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "e_stream_upsert" ->
+      """WITH p AS (
+        |  SELECT DISTINCT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT cast(count(*) AS bigint) AS n_rows,
+        |  cast(count(DISTINCT event_id) AS bigint) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM p""".stripMargin,
+    "e_stream_enrich" ->
+      """WITH dim AS (
+        |  SELECT user_id, cast(count(*) AS bigint) AS user_events,
+        |    round(avg(value), 2) AS user_avg_value
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.user_id, event_id, epoch_us(ts) AS ts_us,
+        |  user_events, user_avg_value
+        |FROM events e JOIN dim USING (user_id)
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    // sequence patterns: same symbol encoding, same (ts, event_id)
+    // order, RE2-safe regexes evaluate identically in both engines
+    "e_seq_pattern" ->
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+        |  FROM events GROUP BY user_id
+        |), pats AS (
+        |  SELECT * FROM (VALUES
+        |    ('browse_to_buy', 'v[cv]*p'),
+        |    ('error_then_churn', 'e[^p]*$'),
+        |    ('retry_loop', 'ee')) AS t(pattern, re)
+        |)
+        |SELECT pattern,
+        |  CAST(sum(CASE WHEN regexp_matches(s, re) THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  count(*) AS n_users,
+        |  (1000000 * CAST(sum(CASE WHEN regexp_matches(s, re) THEN 1 ELSE 0 END) AS BIGINT)) // count(*)
+        |    AS match_rate_micro
+        |FROM seq, pats GROUP BY pattern ORDER BY pattern""".stripMargin,
+    "e_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.ts_us AS purchase_us, c.ts_us AS click_us,
+        |  p.ts_us - c.ts_us AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.user_id, purchase_us, p.event_id""".stripMargin,
+    "e_stream_asof" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |c AS (SELECT user_id, ts_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.ts_us AS purchase_us, c.ts_us AS click_us,
+        |  p.ts_us - c.ts_us AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.user_id, purchase_us, p.event_id""".stripMargin,
+    "e_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+        |w AS (
+        |  SELECT unnest([tus // 1800000000 * 1800000000,
+        |                 tus // 1800000000 * 1800000000 - 1800000000]) AS window_start_us,
+        |    event_type, value
+        |  FROM e
+        |)
+        |SELECT window_start_us, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e_stream_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+        |w AS (
+        |  SELECT unnest([tus // 1800000000 * 1800000000,
+        |                 tus // 1800000000 * 1800000000 - 1800000000]) AS window_start_us,
+        |    event_type, value
+        |  FROM e
+        |)
+        |SELECT window_start_us, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |c AS (SELECT user_id AS cu, ts_us AS click_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts_us AS purchase_us FROM e WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, purchase_us, click_us
+        |FROM p JOIN c ON user_id = cu
+        |  AND click_us <= purchase_us
+        |  AND click_us >= purchase_us - 1800000000
+        |ORDER BY user_id, purchase_us, event_id, click_us""".stripMargin,
+    // end-to-end conservation across two query instances: one duplicated
+    // or dropped row anywhere breaks n/n_distinct/total
+    "e_stream_resume" ->
+      """SELECT event_type, cast(count(*) AS bigint) AS n,
+        |  cast(count(DISTINCT event_id) AS bigint) AS n_distinct,
+        |  round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // LEFT OUTER with the identical interval — null-extended purchases
+    // prove the watermark actually flushed the unmatched tail
+    "e_stream_outer_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |c AS (SELECT user_id AS cu, ts_us AS click_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts_us AS purchase_us FROM e WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, purchase_us, click_us
+        |FROM p LEFT JOIN c ON user_id = cu
+        |  AND click_us <= purchase_us
+        |  AND click_us >= purchase_us - 1800000000
+        |ORDER BY user_id, purchase_us, event_id, click_us""".stripMargin,
+    "e_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(CAST(props->>'$.k' AS BIGINT)) AS bigint) AS sum_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e_json_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(CAST(props->>'$.k' AS BIGINT)) AS bigint) AS sum_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // bounded funnel: the e_funnel oracle with the 1h gap predicate
+    // inside each stage's conditional min
+    "e_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), v AS (
+        |  SELECT user_id, min(us) AS v_us FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(us) AS c_us FROM e
+        |  JOIN v ON e.user_id = v.user_id AND us > v_us AND us <= v_us + 3600000000
+        |  WHERE event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(us) AS p_us FROM e
+        |  JOIN c ON e.user_id = c.user_id AND us > c_us AND us <= c_us + 3600000000
+        |  WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT '1_view' AS stage, cast(count(*) AS bigint) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click_within_1h', cast(count(*) AS bigint) FROM c
+        |UNION ALL
+        |SELECT '3_purchase_within_1h', cast(count(*) AS bigint) FROM p
+        |ORDER BY stage""".stripMargin,
+    // the streaming twin: restart + exactly-once + evolution all sit
+    // under the same raw-table replay hash
+    "e_stream_evolve" ->
+      """WITH u AS (
+        |  SELECT o_totalprice,
+        |    CASE WHEN strftime(o_orderdate, '%Y-%m') >= '1997-01'
+        |      THEN (CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END)
+        |    END AS channel
+        |  FROM orders
+        |)
+        |SELECT coalesce(channel, 'pre_evolution') AS channel,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM u GROUP BY 1 ORDER BY channel""".stripMargin,
+    "e_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the stream-maintained rollup must equal a from-scratch daily
+    // rollup — integer-micro partials make the merge order irrelevant
+    "e_stream_incr_rollup" ->
+      """SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+        |        / 1000000.0, 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
+    "e_stream_timer_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |x AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM x
+        |)
+        |SELECT user_id, min(tus) AS session_start_us,
+        |  count(*) AS n_events, max(tus) - min(tus) AS duration_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    "e_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |x AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    cast(sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS bigint) AS session_id
+        |  FROM x
+        |)
+        |SELECT user_id, session_id, min(tus) AS session_start_us,
+        |  count(*) AS n_events, max(tus) - min(tus) AS duration_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "e_stream_parity" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // E33: two disjoint feeds with misaligned watermarks must still
+    // aggregate to the batch rollup of their union — every event once
+    "e_stream_union" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "e_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |x AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x
+        |)
+        |SELECT user_id, min(tus) AS session_start_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+    "e_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |x AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x
+        |)
+        |SELECT user_id, min(tus) AS session_start_us,
+        |  count(*) AS n_events, max(tus) - min(tus) AS duration_us
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin
+  )
+}

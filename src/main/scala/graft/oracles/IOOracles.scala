@@ -1,0 +1,467 @@
+package graft.oracles
+
+/** DuckDB-dialect oracle SQL for the source/sink/pipeline operators.
+  *
+  * Split out of SparkEntry (VERDICT r9 "Next round" #6) — the strings
+  * are the driver-contract oracles; column names must match the Spark
+  * plans exactly (the compare sorts columns by name before hashing).
+  */
+private[graft] object IOOracles {
+  val sql: Map[String, String] = Map(
+    "src_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+        |            ELSE 'PRE_EVOLUTION' END AS status,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    "src_incremental" ->
+      """SELECT year(o_orderdate) AS yr, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_sorted" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 5000""".stripMargin,
+    "src_fvecs" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS vsum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "src_xml" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_json_multiline" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "src_jsonl_corrupt" ->
+      """SELECT cast(sum(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END) AS bigint) AS n_good,
+        |  cast(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS bigint) AS n_corrupt,
+        |  round(sum(CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END), 2) AS total_good
+        |FROM orders""".stripMargin,
+    // the oracle replays what SHOULD have happened at every stage of
+    // the write-audit-publish protocol — publishing a failing batch or
+    // drifting the visible version breaks the hash
+    // K25: the oracle recomputes the expected FINAL state of both
+    // tables from raw facts — a leaked half-transaction (the crashed
+    // writer's full-data monthly files alongside v1's half-data
+    // priority files) would break grand_n/grand_total on table A
+    "sink_txn" ->
+      """WITH t AS (
+        |  SELECT CAST(round(o_totalprice * 1e6) AS BIGINT) AS micro,
+        |    strftime(o_orderdate, '%Y-%m') AS m, o_orderpriority AS p
+        |  FROM orders
+        |), s AS (
+        |  SELECT 'orders_by_priority' AS tbl,
+        |    CAST(count(DISTINCT p) AS BIGINT) AS n_groups,
+        |    CAST(count(*) AS BIGINT) AS grand_n,
+        |    CAST(sum(micro) AS BIGINT) AS grand_total_micro
+        |  FROM t
+        |  UNION ALL
+        |  SELECT 'orders_monthly',
+        |    CAST(count(DISTINCT m) AS BIGINT),
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(micro) AS BIGINT)
+        |  FROM t
+        |)
+        |SELECT tbl, n_groups, grand_n, grand_total_micro,
+        |  CAST(2 AS BIGINT) AS catalog_version, true AS consistent
+        |FROM s ORDER BY tbl""".stripMargin,
+    "sink_wap" ->
+      """WITH n AS (SELECT cast(count(*) AS bigint) AS total FROM orders),
+        |bad AS (SELECT cast(count(*) AS bigint) AS nb FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT '1_publish_clean' AS stage, total AS n_rows,
+        |  cast(0 AS bigint) AS n_violations, true AS published,
+        |  cast(1 AS bigint) AS current_version,
+        |  total - nb AS live_rows FROM n, bad
+        |UNION ALL
+        |SELECT '2_reject_corrupt', total, nb, false, 1, total - nb FROM n, bad
+        |UNION ALL
+        |SELECT '3_publish_fixed', total - nb, 0, true, 2, total - nb FROM n, bad
+        |ORDER BY stage""".stripMargin,
+    // the incrementally-rebuilt table must equal a from-scratch build
+    // of the MODIFIED source (stale or doubled partitions break this)
+    "p_dirty_partitions" ->
+      """WITH b AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CASE WHEN strftime(o_orderdate, '%Y-%m') = '1996-03'
+        |         THEN o_totalprice + 100 ELSE o_totalprice END AS p
+        |  FROM orders
+        |)
+        |SELECT month, cast(count(*) AS bigint) AS n, round(sum(p), 2) AS total
+        |FROM b GROUP BY 1 ORDER BY month""".stripMargin,
+    // the log lines are rendered from events with this exact
+    // arithmetic; a hash match proves the text round-trip parsed every
+    // field exactly
+    "src_logs" ->
+      """SELECT '/t/' || event_type AS path,
+        |  cast(200 + CASE WHEN event_id % 20 = 0 THEN 204 ELSE 0 END AS int) AS status,
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(sum(event_id % 997) AS bigint) AS total_bytes,
+        |  cast(min(epoch_us(ts) // 1000000) AS bigint) AS min_ts_s,
+        |  cast(max(epoch_us(ts) // 1000000) AS bigint) AS max_ts_s
+        |FROM events GROUP BY 1, 2 ORDER BY path, status""".stripMargin,
+    "sink_versioned" ->
+      """SELECT 'v1_pinned' AS snapshot, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderdate < '1998-01-01'
+        |UNION ALL
+        |SELECT 'v2_latest', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
+        |FROM orders
+        |ORDER BY snapshot""".stripMargin,
+    // K24: the pinned v1 TVF read must equal pre-1998 history; the
+    // un-pinned read must equal the full table (v2 = v1 + appends)
+    "sink_time_travel" ->
+      """SELECT 'v1_pinned' AS snapshot, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderdate < '1998-01-01'
+        |UNION ALL
+        |SELECT 'v2_latest', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
+        |FROM orders
+        |ORDER BY snapshot""".stripMargin,
+    // K29: the pinned v1 catalog read must equal the first INSERT's
+    // batch exactly; the latest read must equal both batches
+    "sink_catalog_sql" ->
+      """SELECT 'v1_pinned' AS snapshot, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderdate < '1997-07-01'
+        |UNION ALL
+        |SELECT 'v2_latest', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
+        |FROM orders
+        |ORDER BY snapshot""".stripMargin,
+    // K30: v1 must equal the full load; v2 must equal the survivors of
+    // the exact DELETE predicate (null semantics included)
+    "sink_catalog_delete" ->
+      """SELECT 'v1_pre_delete' AS snapshot, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |UNION ALL
+        |SELECT 'v2_post_delete', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
+        |FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 150000.0)
+        |ORDER BY snapshot""".stripMargin,
+    // K31: pre-evolution rows must bucket under the null fill, and
+    // post-evolution rows must carry their real status
+    "sink_catalog_evolve" ->
+      """SELECT CASE WHEN o_orderdate < '1997-01-01' THEN '_legacy'
+        |  ELSE o_orderstatus END AS status_bucket,
+        |  cast(count(*) AS bigint) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY 1 ORDER BY status_bucket""".stripMargin,
+    // concurrent branches must produce exactly the sequential results
+    "p_parallel" ->
+      """SELECT 'events' AS branch,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_groups,
+        |  CAST(count(*) AS BIGINT) AS n_rows FROM events
+        |UNION ALL SELECT 'lineitem',
+        |  CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'orders',
+        |  CAST(count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT),
+        |  CAST(count(*) AS BIGINT) FROM orders
+        |ORDER BY branch""".stripMargin,
+    // the manifest-pruned read must return exactly the raw-table range
+    // query; `pruned` asserts files were actually skipped
+    "sink_manifest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  true AS pruned
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
+    // Sources: the oracle aggregates the ORIGINAL parquet — a match
+    // proves the write→read round-trip through the format was lossless.
+    "src_parquet" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem WHERE l_returnflag <> 'N'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "src_url" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "src_csv" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "src_json" ->
+      // CAST to DATE on the oracle side too: o_orderdate has shipped as
+      // both DATE and TIMESTAMP(MICROS) parquet across testdata
+      // generations, and the Spark side normalizes to DATE after the
+      // JSON round-trip — both casts truncate, so they agree under
+      // either encoding
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  max(CAST(o_orderdate AS DATE)) AS last_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "src_autodetect" ->
+      """SELECT * FROM (
+        |  SELECT 'parquet' AS fmt, count(*) AS n, cast(sum(n_nationkey) AS bigint) AS key_sum FROM nation
+        |  UNION ALL
+        |  SELECT 'csv', count(*), cast(sum(n_nationkey) AS bigint) FROM nation
+        |  UNION ALL
+        |  SELECT 'json', count(*), cast(sum(n_nationkey) AS bigint) FROM nation
+        |) ORDER BY fmt""".stripMargin,
+    "sink_modes" ->
+      """SELECT * FROM (
+        |  SELECT '1_replace' AS step, count(*) AS n_rows, true AS ok FROM orders
+        |  UNION ALL SELECT '2_append', 2 * count(*), true FROM orders
+        |  UNION ALL SELECT '3_fail', 2 * count(*), true FROM orders
+        |) ORDER BY step""".stripMargin,
+    "sink_jdbc" ->
+      """SELECT * FROM (
+        |  SELECT '1_replace' AS step, count(*) AS n_rows, true AS ok FROM nation
+        |  UNION ALL SELECT '2_append', 2 * count(*), true FROM nation
+        |  UNION ALL SELECT '3_fail', 2 * count(*), true FROM nation
+        |  UNION ALL SELECT '4_replace_again', count(*), true FROM nation
+        |) ORDER BY step""".stripMargin,
+    "sink_compress" ->
+      """SELECT * FROM (
+        |  SELECT 'gzip' AS codec, count(*) AS n, round(sum(l_extendedprice), 2) AS total FROM lineitem
+        |  UNION ALL SELECT 'snappy', count(*), round(sum(l_extendedprice), 2) FROM lineitem
+        |  UNION ALL SELECT 'zstd', count(*), round(sum(l_extendedprice), 2) FROM lineitem
+        |) ORDER BY codec""".stripMargin,
+    "sink_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "sink_csv" ->
+      """SELECT cast(ts AS date) AS d, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sink_partitioned" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // CDC apply replayed as arithmetic: 0 mod 4 untouched, 1 mod 4
+    // updated (+1000), 2 mod 4 deleted (update@seq1 superseded by
+    // delete@seq3), 3 mod 4 inserted (+500)
+    "sink_merge" ->
+      """WITH fin AS (
+        |  SELECT o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 1000
+        |  FROM orders WHERE o_orderkey % 4 = 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 500
+        |  FROM orders WHERE o_orderkey % 4 = 3
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM fin GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "sink_warehouse" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice
+        |                 ELSE o_totalprice + 1000 END), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // targeted erasure: the surviving table is everything outside the
+    // doomed custkey range; `pruned` asserts files were carried forward
+    "sink_delete" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  true AS pruned
+        |FROM orders WHERE o_custkey < 100 OR o_custkey > 120""".stripMargin,
+    // bloom point lookup: min/max orderkey probes against the raw
+    // table; `pruned` asserts the bloom manifest skipped files
+    "sink_bloom_index" ->
+      """WITH p AS (
+        |  SELECT min(o_orderkey) AS k FROM orders
+        |  UNION SELECT max(o_orderkey) FROM orders
+        |)
+        |SELECT o_orderkey, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total, true AS pruned
+        |FROM orders WHERE o_orderkey IN (SELECT k FROM p)
+        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
+    // quoted CSV: the oracle rebuilds the identical note (chr(10)
+    // newline, literal quotes) straight from parquet — a hash match
+    // proves the CSV round-trip was byte-exact on every row
+    "src_csv_quoted" ->
+      """SELECT o_orderkey, o_custkey,
+        |  round(o_totalprice, 2) AS o_totalprice,
+        |  md5('order "' || CAST(o_orderkey AS VARCHAR) ||
+        |      '", priority, line1' || chr(10) ||
+        |      'line2 for cust ' || CAST(o_custkey AS VARCHAR)) AS note_md5,
+        |  CAST(length('order "' || CAST(o_orderkey AS VARCHAR) ||
+        |      '", priority, line1' || chr(10) ||
+        |      'line2 for cust ' || CAST(o_custkey AS VARCHAR)) AS BIGINT) AS note_len
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "sink_orc" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sink_compact" ->
+      """SELECT '1_fragmented' AS step, CAST(64 AS BIGINT) AS n, true AS ok
+        |UNION ALL
+        |SELECT '2_compacted', 4, true
+        |UNION ALL
+        |SELECT '3_rows_kept', (SELECT count(*) FROM events), true
+        |ORDER BY step""".stripMargin,
+    // gzip JSONL: oracle aggregates the same fields from parquet —
+    // a match proves the compressed round-trip field-exact
+    "src_jsonl_gz" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
+    // fixed-width: oracle projects the fields straight from parquet —
+    // hash match proves the render→parse cycle field-exact
+    "src_fixed_width" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(round(o_totalprice * 1e6) AS BIGINT) AS price_micro,
+        |  CAST(o_orderdate AS DATE) AS d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // vacuum: the oracle checks the survivors; which files died is
+    // spec-pinned (exactly the unreferenced set)
+    "sink_vacuum" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS vacuumed
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_cdf" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        |  WHERE strftime(o_orderdate, '%Y-%m') < '1997-01'
+        |), v2 AS (
+        |  SELECT k, CASE WHEN k % 5 = 1 THEN round(p + 100.0, 2) ELSE p END AS p
+        |  FROM v1 WHERE k % 5 <> 2
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
+        |), j AS (
+        |  SELECT coalesce(v1.k, v2.k) AS o_orderkey, v1.p AS pre_price, v2.p AS post_price
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+        |)
+        |SELECT CASE WHEN post_price IS NULL THEN 'delete'
+        |         WHEN pre_price IS NULL THEN 'insert'
+        |         ELSE 'update' END AS "_change_type",
+        |  o_orderkey, pre_price, post_price
+        |FROM j
+        |WHERE post_price IS NULL OR pre_price IS NULL OR pre_price <> post_price
+        |ORDER BY 1, o_orderkey""".stripMargin,
+    "sink_clone" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders WHERE strftime(o_orderdate, '%Y-%m') < '1997-01')
+        |    AS source_rows
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // K28: the straddling query's answer must equal the raw table's —
+    // both layouts pruned from the manifest, old files' priority
+    // filter applied as a residual row predicate
+    "sink_part_evolve" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  true AS pruned, CAST(2 AS BIGINT) AS n_specs
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') >= '1996-10'
+        |  AND strftime(o_orderdate, '%Y-%m') <= '1997-03'
+        |  AND o_orderpriority = '1-URGENT'""".stripMargin,
+    // K26: a restored table must be indistinguishable from never
+    // having lost data; the metadata-only mechanics are spec-pinned
+    "sink_restore" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(1 AS BIGINT) AS restored_from_version,
+        |  CAST(3 AS BIGINT) AS current_version
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // K27: post-purge table ≡ source projected without the dropped
+    // column; zero-write drop + bounded rewrite set are spec-pinned
+    "sink_drop_column" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  true AS purged, CAST(4 AS BIGINT) AS current_version
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_optimize" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS optimized
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_dyn_overwrite" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n,
+        |  round(sum(CASE WHEN strftime(o_orderdate, '%Y-%m') = '1997-03'
+        |    THEN round(o_totalprice + 10.0, 2) ELSE o_totalprice END), 2) AS total,
+        |  strftime(o_orderdate, '%Y-%m') = '1997-03' AS corrected
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // evolution replayed from the raw table: batch-1 months carry a
+    // NULL channel (the column predates them), batch-2 months derive it
+    "sink_schema_evolve" ->
+      """WITH u AS (
+        |  SELECT o_totalprice,
+        |    CASE WHEN strftime(o_orderdate, '%Y-%m') >= '1997-01'
+        |      THEN (CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END)
+        |    END AS channel
+        |  FROM orders
+        |)
+        |SELECT coalesce(channel, 'pre_evolution') AS channel,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS evolved
+        |FROM u GROUP BY 1 ORDER BY channel""".stripMargin,
+    // TTL: the oracle sees the surviving aggregate; the by-reference
+    // carry (no rewrite) is spec-pinned where the oracle can't reach
+    "sink_ttl" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total, true AS pruned
+        |FROM orders WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DAG: waves are a pure function of the declared edges
+    "p_dag" ->
+      """SELECT 'scan' AS task, 1 AS wave, (SELECT count(*) FROM lineitem) AS value
+        |UNION ALL SELECT 'orders_agg', 2, (SELECT count(*) FROM orders)
+        |UNION ALL SELECT 'customer_agg', 2, (SELECT count(*) FROM customer)
+        |UNION ALL SELECT 'report', 3,
+        |  (SELECT count(*) FROM orders) + (SELECT count(*) FROM customer)
+        |ORDER BY wave, task""".stripMargin,
+    "p_backfill" ->
+      """SELECT year(o_orderdate) AS yr, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE year(o_orderdate) IN (1995, 1996, 1997)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p_flow_e2e" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty,
+        |  'this is an artificial transformation just to practice prefect' AS note
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "p_flow_cache" ->
+      """WITH m AS (
+        |  SELECT month(o_orderdate) AS mo, cast(count(*) AS bigint) AS n,
+        |    round(sum(o_totalprice), 2) AS total
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT 1 AS call_idx, 1 AS month, n, total, 1 AS body_runs FROM m WHERE mo = 1
+        |UNION ALL
+        |SELECT 2 AS call_idx, 2 AS month, n, total, 2 AS body_runs FROM m WHERE mo = 2
+        |UNION ALL
+        |SELECT 3 AS call_idx, 1 AS month, n, total, 2 AS body_runs FROM m WHERE mo = 1
+        |ORDER BY call_idx""".stripMargin,
+    "p_corpus_e2e" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, source,
+        |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks, toks, h
+        |  FROM t WHERE len(toks) BETWEEN 20 AND 1000
+        |), ke AS (
+        |  SELECT min(doc_id) AS doc_id FROM q GROUP BY h
+        |), qe AS (
+        |  SELECT q.* FROM q JOIN ke USING (doc_id)
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+        |  FROM qe WHERE len(toks) >= 3
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), walk(src, reach) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, w.reach FROM edges e JOIN walk w ON e.dst = w.src
+        |), lbl AS (
+        |  SELECT src AS id, min(reach) AS cluster_id FROM walk GROUP BY 1
+        |), fin AS (
+        |  SELECT * FROM qe
+        |  WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id != cluster_id)
+        |)
+        |SELECT source, cast(count(*) AS bigint) AS n_docs,
+        |  cast(sum(CAST(floor((n_toks - 1) / 48) AS BIGINT) + 1) AS bigint) AS n_chunks,
+        |  cast(sum(n_toks) AS bigint) AS n_tokens
+        |FROM fin GROUP BY 1 ORDER BY source""".stripMargin
+  )
+}
