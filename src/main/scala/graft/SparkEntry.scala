@@ -172,6 +172,8 @@ object SparkEntry {
     // K31: SQL ALTER TABLE ADD COLUMN through the catalog (K19's
     // evolution; old files null-fill, nothing rewritten)
     "sink_catalog_evolve" -> ((s, d) => IOQueries.sinkCatalogEvolve(s, d)),
+    "sink_catalog_merge" -> ((s, d) => IOQueries.sinkCatalogMerge(s, d)),
+    "sink_catalog_update" -> ((s, d) => IOQueries.sinkCatalogUpdate(s, d)),
     // E34: streaming ingest into the versioned lake, exactly-once via
     // txn-tagged manifest commits; every batch deliberately applied
     // twice — a failed guard doubles rows and breaks the oracle hash

@@ -146,6 +146,47 @@ private[graft] object IOOracles {
         |  cast(count(*) AS bigint) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |GROUP BY 1 ORDER BY status_bucket""".stripMargin,
+    // MERGE replay: matched+('F'-source) deleted, matched updated with
+    // the summed price (target status kept), unmatched target carried,
+    // unmatched source inserted — v1 is the pre-merge base verbatim
+    "sink_catalog_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 < 3
+        |), src AS (
+        |  SELECT o_orderkey, o_orderstatus || 'S' AS o_orderstatus,
+        |    o_totalprice / 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 4 >= 2
+        |), merged AS (
+        |  SELECT t.o_orderkey, t.o_orderstatus,
+        |    CASE WHEN s.o_orderkey IS NOT NULL
+        |      THEN t.o_totalprice + s.o_totalprice ELSE t.o_totalprice
+        |    END AS o_totalprice
+        |  FROM base t LEFT JOIN src s USING (o_orderkey)
+        |  WHERE NOT (s.o_orderkey IS NOT NULL AND s.o_orderstatus = 'FS')
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+        |  FROM src s LEFT JOIN base t USING (o_orderkey)
+        |  WHERE t.o_orderkey IS NULL
+        |)
+        |SELECT 'v1_pre_merge' AS snapshot, o_orderstatus,
+        |  cast(count(*) AS bigint) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM base GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'v2_post_merge', o_orderstatus,
+        |  cast(count(*) AS bigint), round(sum(o_totalprice), 2)
+        |FROM merged GROUP BY 1, 2
+        |ORDER BY snapshot, o_orderstatus""".stripMargin,
+    "sink_catalog_update" ->
+      """SELECT 'v1_pre_update' AS snapshot, o_orderstatus,
+        |  cast(count(*) AS bigint) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'v2_post_update', o_orderstatus, cast(count(*) AS bigint),
+        |  round(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN o_totalprice / 2 ELSE o_totalprice END), 2)
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY snapshot, o_orderstatus""".stripMargin,
     // concurrent branches must produce exactly the sequential results
     "p_parallel" ->
       """SELECT 'events' AS branch,

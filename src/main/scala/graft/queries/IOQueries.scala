@@ -359,6 +359,90 @@ object IOQueries {
         |GROUP BY 1 ORDER BY status_bucket""".stripMargin)
   }
 
+  /** K32: SQL `MERGE INTO` over the catalog — the standard warehouse
+    * upsert statement (the reference's `if_exists='append'`-then-dedupe
+    * loop done properly, reference: week_1/data_ingest/data_ingest
+    * .py:65-104) through Spark's `SupportsRowLevelOperations`
+    * group-based rewrite ([[org.apache.spark.sql.graft
+    * .GraftRowLevelOperation]]): the scan reads the touched FILES
+    * (runtime group filtering prunes on the manifest's per-file
+    * min/max key stats), matched rows are deleted/updated, unmatched
+    * source rows inserted, and ONE manifest version commits the
+    * rewritten groups plus every untouched file CARRIED BY REFERENCE.
+    * The source halves prices and suffixes statuses so the readback
+    * buckets discriminate updated (target status, summed price),
+    * carried (target rows untouched), deleted ('F' matches), and
+    * inserted ('…S' statuses) provenance in one hash; the pre-merge
+    * snapshot stays readable via `VERSION AS OF`. One-version-per-
+    * MERGE, carry-by-reference, carry-over-row safety, and the
+    * concurrent MERGE/INSERT race are pinned in Round21Spec.
+    */
+  def sinkCatalogMerge(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders.filter(col("o_orderkey") % 4 < lit(3))
+      .createOrReplaceTempView("orders_mrg_base")
+    orders.filter(col("o_orderkey") % 4 >= lit(2))
+      .select(col("o_orderkey"),
+        concat(col("o_orderstatus"), lit("S")).as("o_orderstatus"),
+        (col("o_totalprice") / 2).as("o_totalprice"))
+      .createOrReplaceTempView("orders_mrg_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_mrg")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_mrg (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.orders_mrg SELECT * FROM orders_mrg_base")
+    spark.sql(
+      """MERGE INTO graft.lake.orders_mrg t USING orders_mrg_src s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.o_orderstatus = 'FS' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + s.o_totalprice
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(
+      """SELECT 'v1_pre_merge' AS snapshot, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graft.lake.orders_mrg VERSION AS OF 1
+        |GROUP BY snapshot, o_orderstatus
+        |UNION ALL
+        |SELECT 'v2_post_merge', o_orderstatus, count(*), round(sum(o_totalprice), 2)
+        |FROM graft.lake.orders_mrg
+        |GROUP BY 1, o_orderstatus
+        |ORDER BY snapshot, o_orderstatus""".stripMargin)
+  }
+
+  /** K33: SQL `UPDATE` over the catalog — the same group-based
+    * copy-on-write engine as K32 with command UPDATE: touched files
+    * are rewritten with the assignment applied, untouched files carry
+    * by reference, pre-update history stays pinned. The readback
+    * aggregates both snapshots by status so the hash proves exactly
+    * the 'F' bucket moved and every other row is byte-stable.
+    */
+  def sinkCatalogUpdate(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_upd_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_upd")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_upd (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.orders_upd SELECT * FROM orders_upd_src")
+    spark.sql(
+      """UPDATE graft.lake.orders_upd
+        |SET o_totalprice = o_totalprice / 2 WHERE o_orderstatus = 'F'""".stripMargin)
+    spark.sql(
+      """SELECT 'v1_pre_update' AS snapshot, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graft.lake.orders_upd VERSION AS OF 1
+        |GROUP BY snapshot, o_orderstatus
+        |UNION ALL
+        |SELECT 'v2_post_update', o_orderstatus, count(*), round(sum(o_totalprice), 2)
+        |FROM graft.lake.orders_upd
+        |GROUP BY 1, o_orderstatus
+        |ORDER BY snapshot, o_orderstatus""".stripMargin)
+  }
+
   /** K1: replace / append / fail write-mode semantics
     * (reference: `if_exists` in week_1/data_ingest/data_ingest.py:50).
     * Emits the table row count observed after each step; `fail` must

@@ -315,7 +315,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 private[graft] class GraftLakeTable(tableName: String, dir: String,
                                     tableSchema: StructType,
                                     pinnedVersion: Option[Long])
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations {
+
+  /** SQL MERGE INTO / UPDATE — K32/K33's group-based copy-on-write
+    * rewrite (see [[GraftRowLevelOperation]]): the operation's scan
+    * reads the touched files (runtime group filtering prunes via the
+    * manifest's per-file min/max stats), the write lands the rewritten
+    * groups in a fresh immutable data dir, and ONE manifest version
+    * commits rewritten + carried-by-reference untouched files. DELETE
+    * keeps its K30 metadata path (`SupportsDelete`) when the predicate
+    * translates; otherwise it flows through the same group rewrite.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(info.command(), dir, tableSchema)
 
   private def spark: SparkSession = SparkSession.active
   private def manBase: String = s"$dir/manifest"
@@ -445,6 +460,85 @@ object GraftLakeTable {
       .json(s"$manBase/manifest_v$version")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  /** One manifest row in full: table-dir-relative file, row count, txn
+    * tag, and the per-file column stats `col -> [min, max]` (both cast
+    * to string at write; see [[statColumns]] for the comparison rules).
+    * Files committed before stats existed read back with an empty map —
+    * the group filter then treats them as always-touched (conservative).
+    */
+  case class ManifestRow(file: String, nRows: Long, txn: String,
+                         stats: Map[String, Seq[String]])
+
+  def manifestRowsFull(spark: SparkSession, manBase: String,
+                       version: Long): Seq[ManifestRow] =
+    spark.read
+      .schema("file STRING, n_rows BIGINT, txn STRING, stats MAP<STRING, ARRAY<STRING>>")
+      .json(s"$manBase/manifest_v$version")
+      .collect().map { r =>
+        val stats = Option(r.getMap[String, scala.collection.Seq[String]](3))
+          .map(_.map { case (k, v) => k -> v.toSeq }.toMap)
+          .getOrElse(Map.empty[String, Seq[String]])
+        ManifestRow(r.getString(0), r.getLong(1),
+          Option(r.getString(2)).getOrElse(""), stats)
+      }.toSeq
+
+  /** Columns that get per-file min/max stats in the manifest — the
+    * orderable top-level types whose string-cast min/max can be
+    * compared CONSERVATIVELY on the driver: integrals and decimals via
+    * BigDecimal, doubles likewise (NaN/Infinity fail the parse and the
+    * file counts as touched), strings via unsigned UTF-8 bytes (Spark's
+    * own string ordering), dates via the ISO `cast(... AS STRING)` form
+    * which is lexicographically ordered. Timestamps and nested types
+    * carry no stats — predicates on them never prune, which errs on
+    * rewriting more files, never on losing rows.
+    */
+  private[graft] def statColumns(schema: StructType): Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    schema.fields.toSeq.filter(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | DateType => true
+      case _: DecimalType => true
+      case _ => false
+    })
+  }
+
+  /** Per-file (relative-path, n_rows, stats) for every parquet file
+    * under `dataDir` — ONE read-back aggregate (K11's sidecar pass),
+    * metadata-scale rows collected for the commit loop. Paths come
+    * back RELATIVE to the table dir (`data_<writer>/part-…`) so the
+    * whole table — history included — survives RENAME as one atomic
+    * directory move.
+    */
+  private[graft] def fileStats(spark: SparkSession, dataDir: String,
+                               schema: StructType): Seq[(String, Long, Map[String, Seq[String]])] = {
+    import org.apache.spark.sql.functions.{max, min}
+    val fs = new Path(dataDir).getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(dataDir))) return Seq.empty
+    val cols = statColumns(schema)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { f =>
+      val c = org.apache.spark.sql.functions.col(s"`${f.name}`")
+      Seq(min(c).cast("string").as(s"__min_${f.name}"),
+          max(c).cast("string").as(s"__max_${f.name}"))
+    }
+    spark.read.schema(schema).parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val abs = r.getString(0)
+        val idx = abs.lastIndexOf("/data_")
+        require(idx >= 0, s"unexpected data file path $abs")
+        val stats = cols.zipWithIndex.flatMap { case (f, i) =>
+          val mn = r.getString(2 + 2 * i)
+          val mx = r.getString(3 + 2 * i)
+          // an all-null file has null min/max — no stats entry, so a
+          // predicate on the column keeps the file touched
+          if (mn == null || mx == null) None
+          else Some(f.name -> Seq(mn, mx))
+        }.toMap
+        (abs.substring(idx + 1), r.getLong(1), stats)
+      }.toSeq
+  }
+
   /** Every transaction tag committed under `manBase`, across ALL
     * versions (an overwrite drops prior FILES from the current list
     * but its version — and its txn — stays committed). The tag rides
@@ -476,36 +570,34 @@ object GraftLakeTable {
     val writerId = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$dir/data_$writerId"
     data.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
-    // per-file row counts in one read-back aggregate (K11's sidecar
-    // pass) — metadata-scale rows collected for the commit loop.
-    // Paths are stored RELATIVE to the table dir (data_<writer>/part-…)
-    // so the whole table — history included — survives RENAME as one
-    // atomic directory move
-    val newRows = spark.read.parquet(dataDir)
-      .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"))
-      .collect().map { r =>
-        val abs = r.getString(0)
-        val idx = abs.lastIndexOf("/data_")
-        require(idx >= 0, s"unexpected data file path $abs")
-        (abs.substring(idx + 1), r.getLong(1))
-      }.toSeq
-    import spark.implicits._
+    // per-file row counts + min/max stats in one read-back aggregate
+    // (K11's sidecar pass) — metadata-scale rows collected for the
+    // commit loop; the stats feed MERGE/UPDATE's runtime group filter
+    val newRows = fileStats(spark, dataDir, data.schema)
     var attempt = 0
     while (attempt <= maxRetries) {
       attempt += 1
       val basedOn = ManifestStore.versions(spark, manBase).lastOption.getOrElse(0L)
       val carried =
         if (overwrite || basedOn == 0L) Seq.empty
-        else manifestRows(spark, manBase, basedOn)
+        else manifestRowsFull(spark, manBase, basedOn)
       // the txn tag rides THIS version's new rows only (empty string,
       // never null — JSON read-back drops all-null columns); carried
-      // rows get "" so a carried file never re-asserts an old txn
-      val manifest = (carried.map { case (f, n) => (f, n, "") } ++
-        newRows.map { case (f, n) => (f, n, txn) }).toDF("file", "n_rows", "txn")
+      // rows keep their stats but get txn "" so a carried file never
+      // re-asserts an old txn
+      val manifest = publishRows(spark,
+        carried.map(c => (c.file, c.nRows, "", c.stats)) ++
+          newRows.map { case (f, n, st) => (f, n, txn, st) })
       if (ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1)) return
     }
     throw new java.io.IOException(
       s"INSERT under $dir lost the commit race $attempt times")
+  }
+
+  /** Manifest rows -> the DataFrame shape every commit publishes. */
+  private[graft] def publishRows(spark: SparkSession,
+      rows: Seq[(String, Long, String, Map[String, Seq[String]])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("file", "n_rows", "txn", "stats")
   }
 }
