@@ -177,6 +177,12 @@ private[graft] object IOOracles {
         |  cast(count(*) AS bigint), round(sum(o_totalprice), 2)
         |FROM merged GROUP BY 1, 2
         |ORDER BY snapshot, o_orderstatus""".stripMargin,
+    "sink_catalog_bucketed" ->
+      """SELECT c_mktsegment, cast(count(*) AS bigint) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "sink_catalog_update" ->
       """SELECT 'v1_pre_update' AS snapshot, o_orderstatus,
         |  cast(count(*) AS bigint) AS n, round(sum(o_totalprice), 2) AS total

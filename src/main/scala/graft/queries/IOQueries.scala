@@ -443,6 +443,55 @@ object IOQueries {
         |ORDER BY snapshot, o_orderstatus""".stripMargin)
   }
 
+  /** K34: storage-partitioned catalog tables — K6's co-located join
+    * through the DSv2 path, no `saveAsTable` ([[org.apache.spark.sql
+    * .graft.GraftBucketed]]): both tables are `PARTITIONED BY
+    * (bucket(8, custkey))`, every INSERT routes rows into per-bucket
+    * files, the scans report `KeyGroupedPartitioning` over the
+    * catalog-registered `bucket` function, and Spark's storage-
+    * partitioned join plans the orders⋈customer equi-join with NO
+    * Exchange on either side (plan-asserted in Round21Spec; broadcast
+    * is disabled here so the shuffle-free property is what executes).
+    * At 100 TB this is the mechanism that deletes the fact-join
+    * shuffle — bucket count chosen like Hive bucketing, since it is
+    * also the scan parallelism.
+    */
+  def sinkCatalogBucketed(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .createOrReplaceTempView("orders_bkt_src")
+    Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment")
+      .createOrReplaceTempView("customer_bkt_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.customer_bkt")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_bkt (
+        |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+        |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.lake.customer_bkt (
+        |  c_custkey BIGINT, c_mktsegment STRING)
+        |PARTITIONED BY (bucket(8, c_custkey))""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.orders_bkt SELECT * FROM orders_bkt_src")
+    spark.sql("INSERT INTO graft.lake.customer_bkt SELECT * FROM customer_bkt_src")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // materialize under the no-broadcast conf so the executed join
+      // is the storage-partitioned one the operator exists to prove
+      spark.sql(
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |  round(sum(o_totalprice), 2) AS total
+          |FROM graft.lake.orders_bkt o
+          |JOIN graft.lake.customer_bkt c ON o.o_custkey = c.c_custkey
+          |GROUP BY c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin).localCheckpoint()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   /** K1: replace / append / fail write-mode semantics
     * (reference: `if_exists` in week_1/data_ingest/data_ingest.py:50).
     * Emits the table row count observed after each step; `fail` must

@@ -71,7 +71,22 @@ import java.util
   * sentinel-verified rename claim — on S3-like stores both map to
   * conditional PUTs (documented CONTRACT, same as K11).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog {
+
+  /** The one catalog function: `bucket(n, key)` — what resolves the
+    * bucket transform of a K34 storage-partitioned table for Spark's
+    * storage-partitioned join (see [[GraftBucketed]]).
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(namespace, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) new GraftBucketUnbound
+    else throw new NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var root: String = _
@@ -104,7 +119,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def tablePath(ident: Identifier): Path =
     new Path(nsPath(ident.namespace()), safePart(ident.name()))
   private def metaFile(dir: Path): Path = new Path(dir, "_graft_table.json")
+  private def bucketFile(dir: Path): Path = new Path(dir, "_graft_bucket.json")
   private val NamespaceMarker = "_graft_namespace"
+
+  /** The table's bucket spec (col, n), if `_graft_bucket.json` exists. */
+  private def readBucketSpec(dir: Path): Option[(String, Int)] = {
+    if (!fs.exists(bucketFile(dir))) None
+    else {
+      val in = fs.open(bucketFile(dir))
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val Re = """\{"col":"([^"]+)","n":(\d+)\}""".r
+      txt.trim match {
+        case Re(col, n) => Some((col, n.toInt))
+        case _ => throw new IllegalStateException(
+          s"bucket spec at ${bucketFile(dir)} is unreadable: $txt")
+      }
+    }
+  }
 
   // ---- namespaces -------------------------------------------------------
 
@@ -204,18 +237,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"TABLE?) — drop the table directory to recover", e)
       }
     new GraftLakeTable(s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-      dir.toString, schema, version)
+      dir.toString, schema, version, readBucketSpec(dir))
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    if (info.partitions().nonEmpty)
-      throw new UnsupportedOperationException(
-        s"catalog '$catalogName' does not support partition transforms " +
-          "(sort-cluster with K10's machinery instead)")
+    // the ONE supported partition transform: bucket(n, bigintCol) —
+    // K34 storage-partitioned tables. Anything else is refused loudly
+    val bucketSpec: Option[(String, Int)] = info.partitions().toSeq match {
+      case Seq() => None
+      case Seq(t) =>
+        (t.name(), t.arguments().toSeq) match {
+          case ("bucket", Seq(
+              n: org.apache.spark.sql.connector.expressions.Literal[_],
+              f: org.apache.spark.sql.connector.expressions.NamedReference))
+              if n.dataType() == org.apache.spark.sql.types.IntegerType &&
+                f.fieldNames().length == 1 =>
+            val col = f.fieldNames()(0)
+            val field = info.schema().fields.find(_.name == col).getOrElse(
+              throw new IllegalArgumentException(
+                s"bucket column '$col' is not in the table schema"))
+            require(field.dataType == org.apache.spark.sql.types.LongType,
+              s"bucket column '$col' must be BIGINT (got ${field.dataType.simpleString})")
+            Some((col, n.value().asInstanceOf[Int]))
+          case _ => throw new UnsupportedOperationException(
+            s"catalog '$catalogName' supports only PARTITIONED BY " +
+              s"(bucket(n, bigintCol)), got ${t.describe()}")
+        }
+      case _ => throw new UnsupportedOperationException(
+        s"catalog '$catalogName' supports at most one bucket transform")
+    }
     if (!namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
     val dir = tablePath(ident)
     fs.mkdirs(dir)
+    // the bucket spec lands BEFORE the meta file (meta existence IS
+    // table existence; a spec orphaned by a failed CREATE is inert and
+    // overwritten by the next CREATE)
+    bucketSpec.foreach { case (col, n) =>
+      val out = fs.create(bucketFile(dir), true)
+      try out.write(s"""{"col":"$col","n":$n}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+    if (bucketSpec.isEmpty && fs.exists(bucketFile(dir)))
+      fs.delete(bucketFile(dir), false)
     // create-exclusive: existence of the meta file IS table existence,
     // so the failing create is the CREATE TABLE uniqueness check
     val out =
@@ -233,7 +297,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw e
     }
     new GraftLakeTable(s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-      dir.toString, info.schema(), None)
+      dir.toString, info.schema(), None, bucketSpec)
   }
 
   @deprecated("use createTable(Identifier, TableInfo)", "kept for the interface")
@@ -283,7 +347,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .rename(tmp, metaFile(dir), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     new GraftLakeTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-      dir.toString, evolved, None)
+      dir.toString, evolved, None, readBucketSpec(dir))
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -314,9 +378,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   */
 private[graft] class GraftLakeTable(tableName: String, dir: String,
                                     tableSchema: StructType,
-                                    pinnedVersion: Option[Long])
+                                    pinnedVersion: Option[Long],
+                                    bucketSpec: Option[(String, Int)] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations {
+
+  override def partitioning(): Array[Transform] =
+    bucketSpec.map { case (col, n) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)
+    }.toArray
 
   /** SQL MERGE INTO / UPDATE — K32/K33's group-based copy-on-write
     * rewrite (see [[GraftRowLevelOperation]]): the operation's scan
@@ -330,7 +400,7 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(info.command(), dir, tableSchema)
+    () => new GraftRowLevelOperation(info.command(), dir, tableSchema, bucketSpec)
 
   private def spark: SparkSession = SparkSession.active
   private def manBase: String = s"$dir/manifest"
@@ -365,9 +435,15 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetTable(tableName, spark, options, currentFiles(),
-      Some(tableSchema), classOf[ParquetFileFormat])
-      .newScanBuilder(options)
+    bucketSpec match {
+      case Some((col, n)) =>
+        new GraftBucketedScanBuilder(spark, tableName, currentFiles(),
+          tableSchema, col, n, options)
+      case None =>
+        ParquetTable(tableName, spark, options, currentFiles(),
+          Some(tableSchema), classOf[ParquetFileFormat])
+          .newScanBuilder(options)
+    }
 
   /** `DELETE FROM` — K14's targeted erasure on the SQL surface: read
     * the current snapshot, keep the survivors (DELETE's null
@@ -396,7 +472,8 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
       else session.read.schema(tableSchema).parquet(files: _*)
     val survivors = current.where(
       !org.apache.spark.sql.functions.coalesce(doomed, org.apache.spark.sql.functions.lit(false)))
-    GraftLakeTable.insert(session, dir, survivors, overwrite = true)
+    GraftLakeTable.insert(session, dir, survivors, overwrite = true,
+      bucketSpec = bucketSpec)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -408,7 +485,7 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
           new InsertableRelation {
             override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
               GraftLakeTable.insert(data.sparkSession, dir, data,
-                overwrite || overwriteFlag)
+                overwrite || overwriteFlag, bucketSpec = bucketSpec)
           }
       }
     }
@@ -510,7 +587,8 @@ object GraftLakeTable {
     * directory move.
     */
   private[graft] def fileStats(spark: SparkSession, dataDir: String,
-                               schema: StructType): Seq[(String, Long, Map[String, Seq[String]])] = {
+                               schema: StructType, bucketed: Boolean = false)
+      : Seq[(String, Long, Map[String, Seq[String]])] = {
     import org.apache.spark.sql.functions.{max, min}
     val fs = new Path(dataDir).getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(dataDir))) return Seq.empty
@@ -520,7 +598,13 @@ object GraftLakeTable {
       Seq(min(c).cast("string").as(s"__min_${f.name}"),
           max(c).cast("string").as(s"__max_${f.name}"))
     }
-    spark.read.schema(schema).parquet(dataDir)
+    // a bucketed data dir carries the bucket id as a partition
+    // DIRECTORY column — the read schema must name it or the files
+    // fail to resolve; stats stay on the data columns only
+    val readSchema =
+      if (bucketed) schema.add("__graft_bucket", org.apache.spark.sql.types.IntegerType)
+      else schema
+    spark.read.schema(readSchema).parquet(dataDir)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
@@ -565,15 +649,16 @@ object GraftLakeTable {
     */
   def insert(spark: SparkSession, dir: String, data: DataFrame,
              overwrite: Boolean, maxRetries: Int = 50,
-             txn: String = ""): Unit = {
+             txn: String = "", bucketSpec: Option[(String, Int)] = None): Unit = {
     val manBase = s"$dir/manifest"
     val writerId = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$dir/data_$writerId"
-    data.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    writeData(dataDir, data, bucketSpec)
     // per-file row counts + min/max stats in one read-back aggregate
     // (K11's sidecar pass) — metadata-scale rows collected for the
     // commit loop; the stats feed MERGE/UPDATE's runtime group filter
-    val newRows = fileStats(spark, dataDir, data.schema)
+    val newRows = fileStats(spark, dataDir, data.schema,
+      bucketed = bucketSpec.isDefined)
     var attempt = 0
     while (attempt <= maxRetries) {
       attempt += 1
@@ -593,6 +678,25 @@ object GraftLakeTable {
     throw new java.io.IOException(
       s"INSERT under $dir lost the commit race $attempt times")
   }
+
+  /** One data-dir write, bucket-routed when the table is bucketed:
+    * directory partitioning on the computed bucket id means every file
+    * holds exactly one bucket (what `HasPartitionKey` needs), the id
+    * rides the path, and the data columns stay bucket-free.
+    * `pmod(hash, n)` here MUST match [[GraftBucketed.bucketId]].
+    */
+  private[graft] def writeData(dataDir: String, data: DataFrame,
+                               bucketSpec: Option[(String, Int)]): Unit =
+    bucketSpec match {
+      case Some((col, n)) =>
+        import org.apache.spark.sql.functions.{hash, pmod}
+        data.withColumn("__graft_bucket",
+            pmod(hash(org.apache.spark.sql.functions.col(s"`$col`")), lit(n)))
+          .write.mode(SaveMode.ErrorIfExists)
+          .partitionBy("__graft_bucket").parquet(dataDir)
+      case None =>
+        data.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    }
 
   /** Manifest rows -> the DataFrame shape every commit publishes. */
   private[graft] def publishRows(spark: SparkSession,

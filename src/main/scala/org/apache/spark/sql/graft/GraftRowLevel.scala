@@ -63,7 +63,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[graft] class GraftRowLevelOperation(
     cmd: RowLevelOperation.Command,
     dir: String,
-    tableSchema: StructType)
+    tableSchema: StructType,
+    private[graft] val bucketSpec: Option[(String, Int)] = None)
   extends RowLevelOperation {
 
   private def spark: SparkSession = SparkSession.active
@@ -157,6 +158,11 @@ private[graft] class GraftGroupScan(
 
   override def toBatch: Batch = {
     val paths = effective.map(r => s"$dir/${r.file}")
+    // the row-level scan never reports bucket partitioning (the merge
+    // query's own joins decide their distribution), so the plain
+    // parquet delegation reads bucketed and flat tables alike — the
+    // bucket id lives only in directory names the file index ignores
+    // under an explicit schema
     ParquetTable("graft-rlo-scan", spark, options, paths,
       Some(tableSchema), classOf[ParquetFileFormat])
       .newScanBuilder(options).build().toBatch
@@ -277,7 +283,28 @@ private[graft] class GraftReplaceWrite(
     val manBase = s"$dir/manifest"
     // the groups this operation read — and therefore replaces
     val replaced = op.replacedFiles
-    val newRows = GraftLakeTable.fileStats(spark, dataDir, info.schema())
+    // bucketed table: the V2 file write landed the rewritten groups
+    // FLAT; bucket-route them in a second pass so the layout invariant
+    // (one bucket per file, id in the path) survives every DML. Costs
+    // one extra read+write of the TOUCHED groups only — the price of
+    // reusing Spark's stock parquet writer; a custom partitioned
+    // BatchWrite is the single-pass refinement.
+    val finalDataDir = op.bucketSpec match {
+      case Some(bs) =>
+        val fs = new org.apache.hadoop.fs.Path(dataDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(new org.apache.hadoop.fs.Path(dataDir))) dataDir
+        else {
+          val routed = s"$dir/data_${java.util.UUID.randomUUID().toString.take(12)}"
+          GraftLakeTable.writeData(routed,
+            spark.read.schema(info.schema()).parquet(dataDir), Some(bs))
+          fs.delete(new org.apache.hadoop.fs.Path(dataDir), true)
+          routed
+        }
+      case None => dataDir
+    }
+    val newRows = GraftLakeTable.fileStats(spark, finalDataDir, info.schema(),
+      bucketed = op.bucketSpec.isDefined)
     var attempt = 0
     while (attempt <= 50) {
       attempt += 1

@@ -146,6 +146,84 @@ class Round21Spec extends SparkSpec {
       s"merge + concurrent insert must both land: $rows")
   }
 
+  test("K34 bucketed tables: same-bucket equi-join plans with NO Exchange; layout survives DELETE and MERGE") {
+    val (cat, root) = freshCatalog("k34spj")
+    val prevBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql(s"CREATE TABLE $cat.lake.a (k BIGINT, va DOUBLE) PARTITIONED BY (bucket(4, k))")
+      spark.sql(s"CREATE TABLE $cat.lake.b (k BIGINT, vb STRING) PARTITIONED BY (bucket(4, k))")
+      import spark.implicits._
+      (1L to 40L).map(i => (i, i * 1.0)).toDF("k", "va")
+        .createOrReplaceTempView("r21_bkt_a")
+      (1L to 40L).map(i => (i, s"s$i")).toDF("k", "vb")
+        .createOrReplaceTempView("r21_bkt_b")
+      spark.sql(s"INSERT INTO $cat.lake.a SELECT * FROM r21_bkt_a")
+      spark.sql(s"INSERT INTO $cat.lake.b SELECT * FROM r21_bkt_b")
+
+      // every committed file is bucket-routed, one bucket per file
+      val manBase = s"$root/lake/a/manifest"
+      val files = manifestFiles(manBase, 1L)
+      assert(files.nonEmpty && files.forall(_.contains("__graft_bucket=")),
+        s"bucketed INSERT must route every file into a bucket dir: $files")
+
+      // the co-located join: storage-partitioned, shuffle-free
+      val j = spark.sql(
+        s"""SELECT a.k, a.va, b.vb FROM $cat.lake.a a
+           |JOIN $cat.lake.b b ON a.k = b.k""".stripMargin)
+      assert(j.count() == 40L)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"same-bucket equi-join must plan WITHOUT a shuffle:\n$plan")
+      assert(plan.contains("GraftBucketedScan"),
+        s"both sides must read through the bucketed scan:\n$plan")
+      val rows = j.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      assert(rows.take(2).toSeq == Seq((1L, 1.0, "s1"), (2L, 2.0, "s2")))
+
+      // DELETE keeps the bucket layout (survivor rewrite is
+      // bucket-aware), so the join stays shuffle-free afterwards
+      spark.sql(s"DELETE FROM $cat.lake.a WHERE k > 30")
+      val v2files = manifestFiles(manBase, 2L)
+      assert(v2files.nonEmpty && v2files.forall(_.contains("__graft_bucket=")),
+        s"post-DELETE files must stay bucket-routed: $v2files")
+      val j2 = spark.sql(
+        s"""SELECT count(*) FROM $cat.lake.a a
+           |JOIN $cat.lake.b b ON a.k = b.k""".stripMargin)
+      assert(j2.head.getLong(0) == 30L)
+      // the scalar count adds an Exchange SinglePartition on top —
+      // the JOIN itself must still be shuffle-free
+      assert(!j2.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+
+      // MERGE preserves the bucket layout (the replace write
+      // re-routes the rewritten groups), so the join stays
+      // shuffle-free after arbitrary DML
+      Seq((1L, 111.0), (99L, 99.0)).toDF("k", "va")
+        .createOrReplaceTempView("r21_bkt_m")
+      spark.sql(
+        s"""MERGE INTO $cat.lake.a t USING r21_bkt_m s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET va = s.va
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val v3files = manifestFiles(manBase, 3L)
+      assert(v3files.nonEmpty && v3files.forall(_.contains("__graft_bucket=")),
+        s"post-MERGE files must stay bucket-routed: $v3files")
+      val j3 = spark.sql(
+        s"""SELECT sum(a.va) FROM $cat.lake.a a
+           |JOIN $cat.lake.b b ON a.k = b.k""".stripMargin)
+      // updated k=1 contributes 111 instead of 1; inserted k=99 has no
+      // b-side match; survivors of the DELETE contribute 2..30
+      assert(j3.head.getDouble(0) == 111.0 + (2L to 30L).map(_.toDouble).sum)
+      assert(!j3.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+        "bucketed join must stay shuffle-free after MERGE")
+    } finally {
+      prevBucketing.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        v => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
   test("K32 MERGE/MERGE conflict: no lost update — serialize or abort, never both-silently-succeed") {
     val (cat, _) = freshCatalog("k32conflict")
     spark.sql(s"CREATE TABLE $cat.lake.c (k BIGINT, amt DOUBLE)")
