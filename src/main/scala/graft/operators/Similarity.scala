@@ -333,19 +333,126 @@ object Similarity {
                                  nTables: Int = 16, bitsPerTable: Int = 4,
                                  seed: Long = 42L,
                                  targetOccupancy: Long = 128L): DataFrame = {
-    val e = corpus(spark, dir)
-    val dim = embeddingDim(spark, dir)
     val bits = lshDepth(embeddingRows(spark, dir), bitsPerTable, targetOccupancy)
-    val tables = hyperplanes(dim, nTables, bits, seed)
-    def codes(embCol: String): org.apache.spark.sql.Column =
-      ColumnShim.column(HyperplaneCodes(ColumnShim.expression(col(embCol)), tables))
-    val buckets = e.select(col("vec_id"), posexplode(codes("embedding")))
-      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "code"))
+    val buckets = lshBuckets(spark, dir, nTables, bits, seed)
     buckets
       .join(buckets.select(col("vec_id").as("nbr"), col("tbl"), col("code")), Seq("tbl", "code"))
       .filter(col("vec_id") =!= col("nbr"))
       .select(col("vec_id").as("src"), col("nbr"))
       .distinct()
+  }
+
+  /** (vec_id, tbl, code) bucket assignments at an explicit depth. */
+  private[graft] def lshBuckets(spark: SparkSession, dir: String,
+                                nTables: Int, bits: Int, seed: Long): DataFrame = {
+    val e = corpus(spark, dir)
+    val dim = embeddingDim(spark, dir)
+    val tables = hyperplanes(dim, nTables, bits, seed)
+    e.select(col("vec_id"), posexplode(
+        ColumnShim.column(HyperplaneCodes(ColumnShim.expression(col("embedding")), tables))))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "code"))
+  }
+
+  /** The probe-side explode for multiprobe LSH: every code within
+    * Hamming distance ≤ `probe` of the vector's own code (own + single
+    * flips + pair flips). 1 + bits + C(bits,2) probes per (vec, table).
+    */
+  private def probeCodes(bits: Int, probe: Int): Seq[org.apache.spark.sql.Column] = {
+    val own = Seq(col("code"))
+    val one = (0 until bits).map(j => col("code").bitwiseXOR(lit(1L << j)))
+    val two = for (a <- 0 until bits; b <- a + 1 until bits)
+      yield col("code").bitwiseXOR(lit((1L << a) | (1L << b)))
+    probe match {
+      case 0 => own
+      case 1 => own ++ one
+      case _ => own ++ one ++ two
+    }
+  }
+
+  /** Multiprobe candidate pairs at an explicit depth: the probe side
+    * lands in its own bucket and every bucket ≤ `probe` bit-flips
+    * away, then equi-joins the plain bucket table. Returns
+    * (candidate-join rows BEFORE distinct — the generation cost the
+    * budget loop measures) when `countOnly`, else the distinct
+    * directed (src, nbr) pairs.
+    */
+  private[graft] def probedPairs(spark: SparkSession, dir: String,
+                                 nTables: Int, bits: Int, seed: Long,
+                                 probe: Int): DataFrame = {
+    val buckets = lshBuckets(spark, dir, nTables, bits, seed)
+    val probed = buckets.select(col("vec_id"), col("tbl"),
+      explode(array(probeCodes(bits, probe): _*)).as("code"))
+    probed
+      .join(buckets.select(col("vec_id").as("nbr"), col("tbl"), col("code")), Seq("tbl", "code"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id").as("src"), col("nbr"))
+  }
+
+  /** The CLOSED candidate-budget loop (VERDICT r9 "Next round" #3): at
+    * fixed provisioning the measured candidate load drifted 321 → 1197
+    * pairs/vec across one decade (within the uniform-expectation
+    * ceiling — the skew the n/2^bits formula cannot see). The tuned
+    * depth follows the MEASUREMENT: start at the uniform depth,
+    * measure the probed candidate-join load (one count, no pairs
+    * materialized or verified), and add ceil(log2(measured/cap)) bits
+    * until the load is under `capPairsPerVec` (≤4 rounds; uniform
+    * halving per bit makes the multiplicative step converge in ~2
+    * rounds for a decade of drift). Deep codes alone would trade the
+    * bound for recall — that is why [[knnJoinLshTuned]] pairs the loop
+    * with Hamming-≤2 MULTIPROBE, which re-finds the near-miss buckets
+    * a deep code splits: measured on the 10× corpus, probe-2 at the
+    * tuned depth holds ~0.8 recall at ~970 pairs/vec where the plain
+    * deep code manages 0.37 at the same budget. Tuning cost: one
+    * candidate-count join per round; at production scale the chosen
+    * (bits, probe) is cached per corpus snapshot, not re-probed per
+    * query.
+    */
+  private[graft] def tunedProbeBits(spark: SparkSession, dir: String,
+                                    nTables: Int, seed: Long,
+                                    capPairsPerVec: Double,
+                                    probe: Int): (Int, Double) = {
+    val n = math.max(1L, embeddingRows(spark, dir))
+    var bits = lshDepth(n, 4, 128L)
+    // DISTINCT pairs — the quantity the verify stage actually pays
+    // for and the spec reports; raw join rows overcount by the
+    // table×probe multiplicity and over-deepen the code
+    def load(b: Int): Double =
+      probedPairs(spark, dir, nTables, b, seed, probe)
+        .distinct().count().toDouble / n
+    var measured = load(bits)
+    var rounds = 0
+    while (measured > capPairsPerVec && bits < 30 && rounds < 4) {
+      bits = math.min(30, bits + math.max(1,
+        math.ceil(math.log(measured / capPairsPerVec) / math.log(2.0)).toInt))
+      measured = load(bits)
+      rounds += 1
+    }
+    (bits, measured)
+  }
+
+  /** A28: the self-tuned multiprobe LSH kNN join — [[knnJoinLsh]]'s
+    * scale-hardened sibling. Depth comes from [[tunedProbeBits]]'s
+    * measured budget loop (candidate pairs per vector stay under
+    * `capPairsPerVec` at EVERY corpus size — the invariant that makes
+    * cost per vector flat across decades), recall comes from Hamming-≤2
+    * multiprobe at that depth; exact cosine rerank on the surviving
+    * candidates, same output contract as A12. Probabilistic →
+    * rows-only; Round14Spec measures pairs/vec AND recall at 1× and
+    * the 10× corpus, numbers in RECALL_r10.
+    */
+  def knnJoinLshTuned(spark: SparkSession, dir: String, k: Int = 3,
+                      nTables: Int = 16, seed: Long = 42L,
+                      capPairsPerVec: Double = 1024.0,
+                      probe: Int = 2): DataFrame = {
+    val e = corpus(spark, dir)
+    val (bits, _) = tunedProbeBits(spark, dir, nTables, seed, capPairsPerVec, probe)
+    val cand = probedPairs(spark, dir, nTables, bits, seed, probe).distinct()
+      .join(e.select(col("vec_id").as("src"), col("embedding")), Seq("src"))
+      .join(e.select(col("vec_id").as("nbr"), col("embedding").as("nbr_emb")), Seq("nbr"))
+      .select(col("src"),
+        round(VectorFunctions.cosine(col("embedding"), col("nbr_emb")), 4).as("sim"),
+        col("nbr"))
+    rankTopK(cand, udaf(graft.functions.Aggregators.TopKByScore(k)))
   }
 
   /** [[knnJoinLsh]]'s occupancy law, split out so the spec can pin the

