@@ -85,7 +85,10 @@ object Bench {
     "ts_periodogram", "text_heldout", "t_scale", "dq_ks_drift",
     // round-9 addition (the catalog/streaming entries are sink/stream
     // ops — correctness-gated per the policy above)
-    "g_closeness")
+    "g_closeness",
+    // round-10 additions (the K32-K34 catalog entries are sink ops —
+    // correctness-gated per the policy above)
+    "g_hyperball", "ann_knn_lsh_tuned", "dedup_minhash_tuned")
 
   /** The scale-step set: the heaviest operators over the tables the
     * 10× blow-up synthesizes (documents/embeddings since round 6;

@@ -78,6 +78,41 @@ object Aggregators {
     * matrix, eigensolved locally (see [[LinAlg.symEig]]) — the classic
     * big-data PCA split (heavy pass distributed, tiny solve local).
     */
+  /** Element-wise MAX over fixed-width integer register arrays — the
+    * HLL-union half of HyperBall (G12): merging two balls' sketches is
+    * exactly register-wise max, associative and commutative, so the
+    * union over a node's whole neighborhood is one map-side-combined
+    * aggregate whose buffer is a single m-register array per (group,
+    * partition) — neighbor SETS never shuffle, only sketches do.
+    */
+  object RegisterMax extends Aggregator[Seq[Int], Array[Int], Seq[Int]] {
+    override def zero: Array[Int] = Array.empty[Int]
+    override def reduce(b: Array[Int], v: Seq[Int]): Array[Int] = {
+      if (v == null) b
+      else {
+        val regs = if (b.isEmpty) new Array[Int](v.length) else b
+        require(regs.length == v.length,
+          s"register width mismatch: ${v.length} vs ${regs.length}")
+        var i = 0
+        while (i < v.length) { if (v(i) > regs(i)) regs(i) = v(i); i += 1 }
+        regs
+      }
+    }
+    override def merge(x: Array[Int], y: Array[Int]): Array[Int] =
+      if (x.isEmpty) y
+      else if (y.isEmpty) x
+      else {
+        require(x.length == y.length,
+          s"register width mismatch: ${x.length} vs ${y.length}")
+        var i = 0
+        while (i < y.length) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+        x
+      }
+    override def finish(b: Array[Int]): Seq[Int] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
+  }
+
   object GramMatrix
       extends Aggregator[Seq[Float], (Array[Double], Array[Double], Long),
                          (Seq[Double], Seq[Double], Long)] {

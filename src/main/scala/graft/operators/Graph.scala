@@ -743,6 +743,108 @@ object Graph {
       .select(col("cust_node").as("src"), col("supp_node").as("dst"))
       .distinct(), iters, nLandmarks, topK)
 
+  /** G12: HyperBall neighborhood-function sketches — G11's sketch
+    * sibling (VERDICT r9 "Next round" #4). Every node carries an HLL
+    * register array sketching its ball B(v, r) = {nodes within
+    * distance ≤ r}; one round is `sketch(v) ← max(sketch(v),
+    * max over neighbors u of sketch(u))` — the HLL union IS
+    * register-wise max ([[graft.functions.Aggregators.RegisterMax]]),
+    * associative and map-side-combinable, so a round is ONE edges⋈state
+    * equi-join plus one combine-aggregate moving m-int sketches, never
+    * node sets. log-diameter rounds give the neighborhood function
+    * N(r) = Σ_v |B(v, r)| for ALL nodes at O(E·m·log d) — the
+    * all-nodes distance-distribution answer whose exact form is the
+    * O(V·E) trap G11's landmarks exist to avoid.
+    *
+    * Output: one row per radius — estimated reachable pairs, the
+    * per-radius delta, the cumulative fraction of the final mass
+    * (micro), and the effective-diameter flag (first radius covering
+    * ≥90% — the standard HyperANF readout). Deterministic (fixed
+    * xxhash64 seed, integer-micro estimates) but sketch-approximate →
+    * rows-only; the spec replays exact BFS ball sizes on the testdata
+    * graph and records the measured per-radius and per-node error in
+    * RECALL_r10.
+    */
+  /** The distinct customer→supplier trade pairs every ball/distance
+    * operator walks — shared so the spec's exact-BFS replay runs over
+    * the SAME graph the sketches do.
+    */
+  private[graft] def tradePairs(spark: SparkSession, dir: String): DataFrame =
+    tradeRows(spark, dir)
+      .select(col("cust_node").as("src"), col("supp_node").as("dst"))
+      .distinct()
+
+  def hyperball(spark: SparkSession, dir: String, iters: Int = 8,
+                b: Int = 7): DataFrame = {
+    val perNode = hyperballNodes(spark, tradePairs(spark, dir), iters, b)
+    val spark2 = spark
+    import spark2.implicits._
+    // iters+1 scalar rows — metadata-scale, assembled driver-side
+    val byRadius = perNode.groupBy("r")
+      .agg(sum("ball_micro").as("pairs_micro"), count(lit(1)).as("n_nodes"))
+      .orderBy("r")
+      .collect().map(row => (row.getInt(0), row.getLong(1), row.getLong(2)))
+    val finalMass = math.max(1L, byRadius.last._2)
+    val rows = byRadius.map { case (r, pairs, nNodes) =>
+      (r, pairs, nNodes, pairs * 1000000L / finalMass)
+    }
+    val effR = rows.find(_._4 >= 900000L).map(_._1).getOrElse(iters)
+    rows.toSeq
+      .map { case (r, pairs, nNodes, frac) => (r, pairs, nNodes, frac, r == effR) }
+      .toDF("r", "pairs_est_micro", "n_nodes", "frac_micro", "is_effective_diameter")
+  }
+
+  /** [[hyperball]]'s per-node neighborhood function: (node, r,
+    * ball_micro) for every round — the sketch estimates the spec
+    * compares against exact BFS ball sizes.
+    */
+  private[graft] def hyperballNodes(spark: SparkSession, pairs: DataFrame,
+                                    iters: Int, b: Int): DataFrame = {
+    val m = 1 << b
+    val edges = pairs
+      .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val regMax = udaf(graft.functions.Aggregators.RegisterMax)
+    // init: each node's sketch holds exactly itself — register
+    // idx = low b bits of the hash, value ρ = 1 + trailing zeros of
+    // the remaining bits (a geometric rank; x & −x isolates the
+    // lowest set bit, exactly representable so log2 is exact)
+    val h = xxhash64(col("node"))
+    val idx = h.bitwiseAND(lit((m - 1).toLong)).cast("int")
+    val rest = shiftrightunsigned(h, b)
+    val rho = when(rest === 0L, lit(65 - b))
+      .otherwise((round(log2(rest.bitwiseAND(-rest))) + 1).cast("int"))
+    var state = edges.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        transform(sequence(lit(0), lit(m - 1)),
+          i => when(i === idx, rho).otherwise(lit(0)).cast("int")).as("regs"))
+      .localCheckpoint()
+    // HLL estimate, floored to micro BEFORE any cross-node sum so
+    // aggregates stay exact integers (partition-order-proof)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    def estMicro(regs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val isum = aggregate(regs, lit(0.0), (a, r) => a + pow(lit(2.0), -r.cast("double")))
+      val zeros = size(filter(regs, r => r === 0)).cast("double")
+      val raw = lit(alpha * m * m) / isum
+      val est = when(raw <= lit(2.5 * m) && zeros > 0.0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
+      floor(est * 1e6 + 0.5).cast("long")
+    }
+    var perRound = Seq(state.select(col("node"), lit(0).as("r"),
+      estMicro(col("regs")).as("ball_micro")))
+    for (r <- 1 to iters) {
+      val contrib = edges
+        .join(state.select(col("node").as("src"), col("regs")), "src")
+        .select(col("dst").as("node"), col("regs"))
+      state = state.unionByName(contrib)
+        .groupBy("node").agg(regMax(col("regs")).as("regs"))
+        .localCheckpoint()
+      perRound = perRound :+ state.select(col("node"), lit(r).as("r"),
+        estMicro(col("regs")).as("ball_micro"))
+    }
+    perRound.reduce(_ unionByName _)
+  }
+
   /** [[closeness]]'s core over ANY undirected pair set. */
   private[graft] def closenessOf(pairs: DataFrame, iters: Int,
                                  nLandmarks: Int, topK: Int): DataFrame = {
