@@ -183,6 +183,18 @@ private[graft] object IOOracles {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "sink_catalog_prune" ->
+      """SELECT 'date_band' AS q, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE '1996-03-01' AND DATE '1996-09-30'
+        |UNION ALL
+        |SELECT 'key_band', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 2000
+        |UNION ALL
+        |SELECT 'no_prune_mod', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderkey % 7 = 3
+        |ORDER BY q""".stripMargin,
     "sink_catalog_update" ->
       """SELECT 'v1_pre_update' AS snapshot, o_orderstatus,
         |  cast(count(*) AS bigint) AS n, round(sum(o_totalprice), 2) AS total

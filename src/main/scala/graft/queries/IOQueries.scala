@@ -492,6 +492,45 @@ object IOQueries {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  /** K35: manifest-stats data skipping on catalog reads — the per-file
+    * min/max stats every INSERT commits (K32's machinery) now prune
+    * plain SELECTs too ([[org.apache.spark.sql.graft
+    * .GraftPrunedScanBuilder]]): pushed filters knock provably-empty
+    * files out of the scan's file list before Spark lists or opens
+    * them, then parquet row-group skipping stacks on top. Three
+    * INSERTs land disjoint o_orderdate eras, so the range query's
+    * plan touches one era's files (file-count pruning plan-asserted
+    * in Round22Spec); the readback also runs a numeric-key point
+    * band and an untranslatable predicate (modulo) that must fall
+    * back to the full list — correctness never depends on a prune.
+    */
+  def sinkCatalogPrune(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .createOrReplaceTempView("orders_pr_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_pr")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_pr (
+        |  o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)""".stripMargin)
+    Seq("o_orderdate < DATE'1996-01-01'",
+      "o_orderdate >= DATE'1996-01-01' AND o_orderdate < DATE'1997-01-01'",
+      "o_orderdate >= DATE'1997-01-01'").foreach { era =>
+      spark.sql(s"INSERT INTO graft.lake.orders_pr SELECT * FROM orders_pr_src WHERE $era")
+    }
+    spark.sql(
+      """SELECT 'date_band' AS q, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM graft.lake.orders_pr
+        |WHERE o_orderdate BETWEEN DATE'1996-03-01' AND DATE'1996-09-30'
+        |UNION ALL
+        |SELECT 'key_band', count(*), round(sum(o_totalprice), 2)
+        |FROM graft.lake.orders_pr WHERE o_orderkey BETWEEN 100 AND 2000
+        |UNION ALL
+        |SELECT 'no_prune_mod', count(*), round(sum(o_totalprice), 2)
+        |FROM graft.lake.orders_pr WHERE o_orderkey % 7 = 3
+        |ORDER BY q""".stripMargin)
+  }
+
   /** K1: replace / append / fail write-mode semantics
     * (reference: `if_exists` in week_1/data_ingest/data_ingest.py:50).
     * Emits the table row count observed after each step; `fail` must

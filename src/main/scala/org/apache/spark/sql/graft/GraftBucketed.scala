@@ -159,6 +159,76 @@ private[graft] class GraftBucketedScan(inner: Scan, bucketCol: String,
     new GraftBucketReaderFactory(inner.toBatch.createReaderFactory())
 }
 
+/** Scan builder for plain (non-bucketed) catalog tables — K35: the
+  * manifest's per-file min/max stats prune the FILE LIST at scan build
+  * from the pushed filters, before Spark's parquet machinery ever
+  * lists or opens a file (the Iceberg/Delta data-skipping shape: the
+  * same metadata MERGE's runtime group filter uses, applied statically
+  * to every SELECT). Pruning uses [[GraftGroupScan.mayMatch]], which
+  * answers `false` only for provably-empty files — unsupported
+  * predicate shapes, stat-less files and incomparable values all keep
+  * the file, so a missed prune costs I/O, never rows. Column pruning
+  * and filter pushdown then continue untouched in Spark's own parquet
+  * builder over the surviving files (row-group skipping stacks on
+  * top). At 100 TB: a point or range query touches the intersecting
+  * files' bytes, not the table's.
+  */
+private[graft] class GraftPrunedScanBuilder(
+    spark: SparkSession,
+    tableName: String,
+    dir: String,
+    rows: Seq[GraftLakeTable.ManifestRow],
+    tableSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownCatalystFilters {
+
+  private def allPaths = rows.map(r => s"$dir/${r.file}")
+  // eager inner builder over the FULL list: it owns the
+  // pushdown-state bookkeeping Spark queries between calls
+  // (pushedFilters for plan display); build() replays onto the
+  // pruned list
+  private val probe = ParquetTable(tableName, spark, options, allPaths,
+    Some(tableSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+  private var required: Option[StructType] = None
+  private var pushedExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = Some(requiredSchema)
+    probe.pruneColumns(requiredSchema)
+  }
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    pushedExprs = filters
+    probe.pushFilters(filters)
+  }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    probe.pushedFilters
+
+  override def build(): Scan = {
+    val v1 = pushedExprs.flatMap(e =>
+      org.apache.spark.sql.execution.datasources.DataSourceStrategy
+        .translateFilter(e, supportNestedPredicatePushdown = true))
+    val survivors =
+      if (v1.isEmpty) rows
+      else rows.filter(r =>
+        v1.forall(f => GraftGroupScan.mayMatch(tableSchema, r.stats, f)))
+    if (survivors.length == rows.length) probe.build()
+    else {
+      val inner = ParquetTable(tableName, spark, options,
+        survivors.map(r => s"$dir/${r.file}"),
+        Some(tableSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+      required.foreach(inner.pruneColumns)
+      inner.pushFilters(pushedExprs)
+      inner.build()
+    }
+  }
+}
+
 /** A bucket's files, tagged with the partition-key row SPJ groups by. */
 private[graft] class GraftBucketPartition(val delegate: FilePartition,
                                           key: InternalRow)

@@ -415,7 +415,7 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
     * scan build, so one query never sees two snapshots. An empty table
     * (no committed version yet) is a valid zero-file scan.
     */
-  private def currentFiles(): Seq[String] = {
+  private def currentManifestRows(): Seq[GraftLakeTable.ManifestRow] = {
     val committed = ManifestStore.versions(spark, manBase)
     val v = pinnedVersion match {
       case Some(p) =>
@@ -428,11 +428,13 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
       case None => Seq.empty
       case Some(ver) =>
         // manifest rows are table-dir-relative (what makes RENAME one
-        // atomic move); resolve against the CURRENT location here
-        GraftLakeTable.manifestRows(spark, manBase, ver)
-          .map(r => s"$dir/${r._1}").sorted
+        // atomic move); callers resolve against the CURRENT location
+        GraftLakeTable.manifestRowsFull(spark, manBase, ver).sortBy(_.file)
     }
   }
+
+  private def currentFiles(): Seq[String] =
+    currentManifestRows().map(r => s"$dir/${r.file}")
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     bucketSpec match {
@@ -440,9 +442,10 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
         new GraftBucketedScanBuilder(spark, tableName, currentFiles(),
           tableSchema, col, n, options)
       case None =>
-        ParquetTable(tableName, spark, options, currentFiles(),
-          Some(tableSchema), classOf[ParquetFileFormat])
-          .newScanBuilder(options)
+        // K35: manifest-stats file pruning wraps the stock parquet
+        // builder — SELECTs skip provably-non-matching files
+        new GraftPrunedScanBuilder(spark, tableName, dir,
+          currentManifestRows(), tableSchema, options)
     }
 
   /** `DELETE FROM` — K14's targeted erasure on the SQL surface: read
@@ -460,20 +463,35 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(f => GraftLakeTable.filterToColumn(f).isDefined)
 
+  /** DELETE with K14's min/max refinement, now real (the manifest
+    * carries per-file stats): only files that MAY hold a matching row
+    * are read and rewritten; provably-clean files carry BY REFERENCE
+    * through [[GraftLakeTable.commitReplace]] — which also means a
+    * racing INSERT's files survive a concurrent DELETE (the old
+    * full-overwrite commit dropped them).
+    */
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val session = spark
     val doomed = filters.flatMap(GraftLakeTable.filterToColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    val files = currentFiles()
-    val current =
-      if (files.isEmpty)
-        session.createDataFrame(session.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
-      else session.read.schema(tableSchema).parquet(files: _*)
-    val survivors = current.where(
-      !org.apache.spark.sql.functions.coalesce(doomed, org.apache.spark.sql.functions.lit(false)))
-    GraftLakeTable.insert(session, dir, survivors, overwrite = true,
-      bucketSpec = bucketSpec)
+    val rows = currentManifestRows()
+    val (touched, _) = rows.partition(r =>
+      filters.forall(f => GraftGroupScan.mayMatch(tableSchema, r.stats, f)))
+    val writerId = java.util.UUID.randomUUID().toString.take(12)
+    val dataDir = s"$dir/data_$writerId"
+    if (touched.nonEmpty) {
+      val current = session.read.schema(tableSchema)
+        .parquet(touched.map(r => s"$dir/${r.file}"): _*)
+      val survivors = current.where(
+        !org.apache.spark.sql.functions.coalesce(doomed, org.apache.spark.sql.functions.lit(false)))
+      GraftLakeTable.writeData(dataDir, survivors, bucketSpec)
+    }
+    // a DELETE matching nothing still commits one (identical) version —
+    // the statement happened, the history says so
+    GraftLakeTable.commitReplace(session, dir, dataDir,
+      touched.map(_.file).toSet, tableSchema, bucketSpec.isDefined,
+      s"DELETE on $tableName")
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -697,6 +715,42 @@ object GraftLakeTable {
       case None =>
         data.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     }
+
+  /** The replace-groups commit shared by DELETE and the row-level
+    * write: publish ONE version = `basedOn`'s rows minus `replaced`
+    * (carried by reference, stats preserved) plus the files under
+    * `dataDir`, through the optimistic loop, aborting if a racing
+    * committer removed a replaced file (write-serializable; concurrent
+    * appends commute).
+    */
+  private[graft] def commitReplace(spark: SparkSession, dir: String,
+                                   dataDir: String, replaced: Set[String],
+                                   schema: StructType, bucketed: Boolean,
+                                   opDesc: String, maxRetries: Int = 50): Unit = {
+    val manBase = s"$dir/manifest"
+    val newRows = fileStats(spark, dataDir, schema, bucketed)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      attempt += 1
+      val basedOn = ManifestStore.versions(spark, manBase).lastOption.getOrElse(0L)
+      val current =
+        if (basedOn == 0L) Seq.empty
+        else manifestRowsFull(spark, manBase, basedOn)
+      val live = current.map(_.file).toSet
+      val gone = replaced -- live
+      if (gone.nonEmpty)
+        throw new java.io.IOException(
+          s"$opDesc: concurrent commit removed rewritten file(s) " +
+            s"${gone.take(3).mkString(", ")} — retry the statement")
+      val carried = current.filterNot(r => replaced.contains(r.file))
+      val manifest = publishRows(spark,
+        carried.map(c => (c.file, c.nRows, "", c.stats)) ++
+          newRows.map { case (f, n, st) => (f, n, "", st) })
+      if (ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1)) return
+    }
+    throw new java.io.IOException(
+      s"$opDesc lost the commit race $attempt times")
+  }
 
   /** Manifest rows -> the DataFrame shape every commit publishes. */
   private[graft] def publishRows(spark: SparkSession,

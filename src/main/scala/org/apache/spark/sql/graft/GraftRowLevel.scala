@@ -191,12 +191,14 @@ private[graft] object GraftGroupScan {
       case _ => None
     }
 
-  /** Conservative range test of one literal against a file's
-    * string-cast [min, max]: any parse surprise keeps the file
-    * touched. String order is unsigned UTF-8 bytes — Spark's own
-    * string comparison — NOT Java's UTF-16 compareTo.
+  /** Compare a literal against one string-cast stat value under the
+    * column's type: BigDecimal for numerics (NaN/Infinity fail the
+    * parse → None), unsigned UTF-8 bytes for strings (Spark's own
+    * string order — NOT Java's UTF-16 compareTo), ISO form for dates
+    * (the runtime literal is days-since-epoch). None = incomparable —
+    * every caller must treat it as "cannot prune".
     */
-  private[graft] def mayContain(dt: DataType, mn: String, mx: String, v: Any): Boolean =
+  private[graft] def cmpStat(dt: DataType, v: Any, stat: String): Option[Int] =
     try {
       dt match {
         case ByteType | ShortType | IntegerType | LongType |
@@ -205,24 +207,36 @@ private[graft] object GraftGroupScan {
             case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
             case other => other
           }))
-          x.compareTo(new java.math.BigDecimal(mn)) >= 0 &&
-            x.compareTo(new java.math.BigDecimal(mx)) <= 0
+          Some(x.compareTo(new java.math.BigDecimal(stat)))
         case StringType =>
           val b = v match {
             case s: UTF8String => s.getBytes
             case s => String.valueOf(s).getBytes("UTF-8")
           }
-          utf8Compare(b, mn.getBytes("UTF-8")) >= 0 &&
-            utf8Compare(b, mx.getBytes("UTF-8")) <= 0
+          Some(utf8Compare(b, stat.getBytes("UTF-8")))
         case DateType =>
-          // stats hold `cast(date AS STRING)` (ISO, lexicographically
-          // ordered); the runtime literal is days-since-epoch
-          val iso = java.time.LocalDate.ofEpochDay(
-            String.valueOf(v).toLong).toString
-          iso.compareTo(mn) >= 0 && iso.compareTo(mx) <= 0
-        case _ => true
+          val iso = v match {
+            case i: Integer => java.time.LocalDate.ofEpochDay(i.longValue()).toString
+            case l: java.lang.Long => java.time.LocalDate.ofEpochDay(l).toString
+            case d: java.sql.Date => d.toLocalDate.toString
+            case d: java.time.LocalDate => d.toString
+            case other => java.time.LocalDate.ofEpochDay(
+              String.valueOf(other).toLong).toString
+          }
+          Some(iso.compareTo(stat))
+        case _ => None
       }
-    } catch { case _: Exception => true }
+    } catch { case _: Exception => None }
+
+  /** Conservative range test of one literal against a file's
+    * string-cast [min, max]: any parse surprise keeps the file
+    * touched.
+    */
+  private[graft] def mayContain(dt: DataType, mn: String, mx: String, v: Any): Boolean =
+    (cmpStat(dt, v, mn), cmpStat(dt, v, mx)) match {
+      case (Some(lo), Some(hi)) => lo >= 0 && hi <= 0
+      case _ => true
+    }
 
   private def utf8Compare(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
@@ -232,6 +246,43 @@ private[graft] object GraftGroupScan {
       i += 1
     }
     a.length - b.length
+  }
+
+  /** Can `file` (with stats) possibly hold a row matching the V1
+    * filter? `false` ONLY when provably empty — the K35/K14 min/max
+    * pruning law: unknown columns, missing stats, unsupported shapes
+    * all answer `true`.
+    */
+  private[graft] def mayMatch(schema: StructType,
+                              stats: Map[String, Seq[String]],
+                              f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    val byName = schema.fields.map(x => x.name -> x.dataType).toMap
+    def range(a: String): Option[(DataType, String, String)] =
+      for (dt <- byName.get(a); s <- stats.get(a); if s.length == 2)
+        yield (dt, s(0), s(1))
+    f match {
+      case EqualTo(a, v) =>
+        range(a).forall { case (dt, mn, mx) => mayContain(dt, mn, mx, v) }
+      case In(a, vs) =>
+        range(a).forall { case (dt, mn, mx) =>
+          vs.exists(v => mayContain(dt, mn, mx, v)) }
+      case GreaterThan(a, v) =>
+        range(a).forall { case (dt, _, mx) =>
+          cmpStat(dt, v, mx).forall(_ < 0) }
+      case GreaterThanOrEqual(a, v) =>
+        range(a).forall { case (dt, _, mx) =>
+          cmpStat(dt, v, mx).forall(_ <= 0) }
+      case LessThan(a, v) =>
+        range(a).forall { case (dt, mn, _) =>
+          cmpStat(dt, v, mn).forall(_ > 0) }
+      case LessThanOrEqual(a, v) =>
+        range(a).forall { case (dt, mn, _) =>
+          cmpStat(dt, v, mn).forall(_ >= 0) }
+      case And(l, r) => mayMatch(schema, stats, l) && mayMatch(schema, stats, r)
+      case Or(l, r) => mayMatch(schema, stats, l) || mayMatch(schema, stats, r)
+      case _ => true // IsNull/Not/string ops/unknown: never prune on them
+    }
   }
 }
 
@@ -303,32 +354,8 @@ private[graft] class GraftReplaceWrite(
         }
       case None => dataDir
     }
-    val newRows = GraftLakeTable.fileStats(spark, finalDataDir, info.schema(),
-      bucketed = op.bucketSpec.isDefined)
-    var attempt = 0
-    while (attempt <= 50) {
-      attempt += 1
-      val basedOn = ManifestStore.versions(spark, manBase).lastOption.getOrElse(0L)
-      val current =
-        if (basedOn == 0L) Seq.empty
-        else GraftLakeTable.manifestRowsFull(spark, manBase, basedOn)
-      // write-serializable conflict check: every group this operation
-      // rewrote must still be live in the base version — a racing
-      // committer that removed one invalidated this rewrite's inputs
-      val live = current.map(_.file).toSet
-      val gone = replaced -- live
-      if (gone.nonEmpty)
-        throw new java.io.IOException(
-          s"${op.description()}: concurrent commit removed rewritten " +
-            s"file(s) ${gone.take(3).mkString(", ")} — retry the statement")
-      val carried = current.filterNot(r => replaced.contains(r.file))
-      val manifest = GraftLakeTable.publishRows(spark,
-        carried.map(c => (c.file, c.nRows, "", c.stats)) ++
-          newRows.map { case (f, n, st) => (f, n, "", st) })
-      if (ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1)) return
-    }
-    throw new java.io.IOException(
-      s"${op.description()} lost the commit race $attempt times")
+    GraftLakeTable.commitReplace(spark, dir, finalDataDir, replaced,
+      info.schema(), bucketed = op.bucketSpec.isDefined, op.description())
   }
 
   override def description(): String = s"GraftReplaceWrite($dataDir)"

@@ -173,12 +173,24 @@ class Round20Spec extends SparkSpec {
     val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
     val manBase = s"$root/lake/t/manifest"
     spark.sql(s"DELETE FROM $cat.lake.t WHERE k = 'a'")
-    // exactly one new version, listing only survivor files
+    // exactly one new version; files the predicate MAY touch (the 'a'
+    // file by its stats, the all-NULL file conservatively — it has no
+    // k stats) are rewritten into FRESH files, provably-clean files
+    // carry by reference (K35's min/max refinement of K14)
     assert(graft.sinks.ManifestStore.versions(spark, manBase) == Seq(1L, 2L))
-    val v1Files = org.apache.spark.sql.graft.GraftLakeTable.manifestRows(spark, manBase, 1L).map(_._1).toSet
-    val v2Files = org.apache.spark.sql.graft.GraftLakeTable.manifestRows(spark, manBase, 2L).map(_._1).toSet
-    assert(v2Files.nonEmpty && v2Files.intersect(v1Files).isEmpty,
-      "delete must rewrite survivors into fresh files, not edit committed ones")
+    val v1Rows = org.apache.spark.sql.graft.GraftLakeTable.manifestRowsFull(spark, manBase, 1L)
+    val v2Files = org.apache.spark.sql.graft.GraftLakeTable.manifestRowsFull(spark, manBase, 2L)
+      .map(_.file).toSet
+    assert(v2Files.nonEmpty)
+    val touched = v1Rows.filter(r => r.stats.get("k") match {
+      case Some(Seq(mn, mx)) => mn <= "a" && "a" <= mx
+      case _ => true // no stats (all-NULL file) -> conservatively touched
+    }).map(_.file).toSet
+    val clean = v1Rows.map(_.file).toSet -- touched
+    assert((touched & v2Files).isEmpty,
+      s"touched files must be rewritten into fresh files: $touched vs $v2Files")
+    assert(clean.subsetOf(v2Files),
+      s"provably-clean files must carry by reference: $clean vs $v2Files")
     // DELETE null semantics: k = 'a' is NULL for the NULL row → kept
     val left = spark.sql(s"SELECT v FROM $cat.lake.t ORDER BY v")
       .collect().map(_.getLong(0)).toSeq

@@ -37,6 +37,75 @@ class Round22Spec extends SparkSpec {
     out.toMap
   }
 
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect() // execute so AQE finalizes
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case b: BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    val found = scans(df.queryExecution.executedPlan)
+    assert(found.nonEmpty, s"no BatchScan in:\n${df.queryExecution.executedPlan}")
+    found.map(_.scan match {
+      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+        p.fileIndex.allFiles().size.toLong
+      case other => fail(s"unexpected scan ${other.getClass}")
+    }).sum
+  }
+
+  test("K35 stats pruning: SELECTs touch only the intersecting files; DELETE rewrites only touched files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_k35").toString
+    val cat = "gcat_k35"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.p (k BIGINT, tag STRING)")
+    import spark.implicits._
+    // three single-file inserts with disjoint key ranges
+    for (era <- 0 to 2) {
+      Seq.tabulate(4)(i => (era * 100L + i, s"e$era")).toDF("k", "tag")
+        .coalesce(1).createOrReplaceTempView("r22_era")
+      spark.sql(s"INSERT INTO $cat.lake.p SELECT * FROM r22_era")
+    }
+    val total = filesRead(spark.sql(s"SELECT * FROM $cat.lake.p"))
+    assert(total == 3L, s"expected 3 files, scanned $total")
+    // point/range predicates prune to the one intersecting file
+    assert(filesRead(spark.sql(s"SELECT * FROM $cat.lake.p WHERE k = 101")) == 1L)
+    assert(filesRead(spark.sql(
+      s"SELECT * FROM $cat.lake.p WHERE k BETWEEN 100 AND 103")) == 1L)
+    // provably-empty range: ZERO files listed or opened
+    assert(filesRead(spark.sql(s"SELECT * FROM $cat.lake.p WHERE k = 999")) == 0L)
+    // untranslatable predicate: full list, correct rows
+    val mod = spark.sql(s"SELECT k FROM $cat.lake.p WHERE k % 100 = 1 ORDER BY k")
+    assert(filesRead(mod) == 3L)
+    assert(mod.collect().map(_.getLong(0)).toSeq == Seq(1L, 101L, 201L))
+    // string stats prune too (UTF-8 order)
+    assert(filesRead(spark.sql(s"SELECT * FROM $cat.lake.p WHERE tag = 'e2'")) == 1L)
+    // results identical to the unpruned truth
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.p WHERE k >= 100").head.getLong(0) == 8L)
+
+    // DELETE prunes its rewrite: only era-1's file is read+rewritten,
+    // the other two carry BY REFERENCE
+    val manBase = s"$root/lake/p/manifest"
+    def files(v: Long) = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, v).map(_.file).toSet
+    val v3 = files(3L)
+    spark.sql(s"DELETE FROM $cat.lake.p WHERE k = 102")
+    val v4 = files(4L)
+    val carried = v3 & v4
+    assert(carried.size == 2, s"two clean files must carry: $v3 -> $v4")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.p").head.getLong(0) == 11L)
+    // a DELETE matching nothing still commits one identical version
+    spark.sql(s"DELETE FROM $cat.lake.p WHERE k = 5555")
+    assert(files(5L) == v4, "no-op DELETE must carry every file")
+    assert(graft.sinks.ManifestStore.versions(spark, manBase) == (1L to 5L))
+  }
+
   test("g_hyperball: hand graph — ball estimates track exact sizes and the effective diameter is the true one") {
     val spark2 = spark
     import spark2.implicits._
