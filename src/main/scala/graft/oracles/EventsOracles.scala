@@ -8,6 +8,20 @@ package graft.oracles
   */
 private[graft] object EventsOracles {
   val sql: Map[String, String] = Map(
+    // last-writer-wins CDC replay: the stream's final table must equal
+    // the direct latest-event-per-user projection of the raw table —
+    // any double-applied batch or failed tag guard shifts these sums
+    "e_stream_catalog_merge" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT event_type, cast(count(*) AS bigint) AS n_users,
+        |  cast(sum(event_id) AS bigint) AS id_sum,
+        |  round(sum(value), 2) AS total_value
+        |FROM last WHERE rn = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events

@@ -283,9 +283,9 @@ object IOQueries {
     * never change within a JVM — per-invocation freshness comes from
     * DROP + CREATE inside [[sinkCatalogSql]], not from a new root.
     */
-  private lazy val catalogRoot: String = tmpDir("catalog") + "/lake_root"
+  private[graft] lazy val catalogRoot: String = tmpDir("catalog") + "/lake_root"
 
-  private def ensureCatalog(spark: SparkSession): Unit = {
+  private[graft] def ensureCatalog(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.root", catalogRoot)

@@ -470,6 +470,77 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** E35: streaming CDC apply into the CATALOG via SQL `MERGE INTO`
+    * per micro-batch — E34's exactly-once contract composed with
+    * K32's statement surface: the stream keeps one last-writer-wins
+    * row per user (writer order = event_id, so the final state is
+    * batch-split-INDEPENDENT: `WHEN MATCHED AND s.event_id >
+    * t.event_id` keeps the max-id row no matter how the feed is
+    * chopped or reordered across batches). Each batch pre-collapses
+    * to its own latest-per-key rows (MERGE requires unique source
+    * keys), tags its commit through [[org.apache.spark.sql.graft
+    * .GraftLakeTable.TxnConfKey]] — the tag rides the MERGE's one
+    * manifest version atomically — and a redelivered batch finds its
+    * tag in `committedTxns` and skips. Idempotence is proven IN-BAND
+    * (E34's pattern): every batch applies twice; if either the tag
+    * guard or the `>` guard failed, the doubled updates would shift
+    * the final state and the oracle — a direct last-per-user replay
+    * of the raw events table — would hash-mismatch.
+    *
+    * At 100 TB this is the warehouse CDC-apply loop done properly:
+    * the reference's append-then-dedupe (week_1/data_ingest/
+    * data_ingest.py:65-104) becomes per-batch MERGE with file-granular
+    * copy-on-write, stats-pruned touch sets, and exactly-once replay.
+    */
+  def streamCatalogMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftLakeTable
+    graft.queries.IOQueries.ensureCatalog(spark)
+    val input = stageStreamInput(spark, dir, copies = 1)
+    val schema = spark.read.parquet(input).schema
+    spark.sql("DROP TABLE IF EXISTS graft.lake.user_state")
+    spark.sql(
+      """CREATE TABLE graft.lake.user_state (
+        |  user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE)""".stripMargin)
+    val tableDir = s"${graft.queries.IOQueries.catalogRoot}/lake/user_state"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2") // force several MERGE commits
+      .parquet(input)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val txn = s"cat_merge:$batchId"
+        // the batch Dataset is bound to foreachBatch's CLONED session —
+        // view, txn conf and MERGE must all run on that session or the
+        // statement can't see the view (and the commit can't see the tag)
+        val s2 = batch.sparkSession
+        def applyOnce(): Unit =
+          if (!GraftLakeTable.committedTxns(s2, s"$tableDir/manifest").contains(txn)) {
+            import org.apache.spark.sql.expressions.Window
+            batch.withColumn("rn", row_number().over(
+                Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+              .filter(col("rn") === 1).drop("rn")
+              .createOrReplaceTempView("e35_batch")
+            s2.conf.set(GraftLakeTable.TxnConfKey, txn)
+            try s2.sql(
+              """MERGE INTO graft.lake.user_state t USING e35_batch s
+                |ON t.user_id = s.user_id
+                |WHEN MATCHED AND s.event_id > t.event_id THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+            finally s2.conf.unset(GraftLakeTable.TxnConfKey)
+          }
+        applyOnce()
+        applyOnce() // redelivery: the tag is committed, so this no-ops
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.sql(
+      """SELECT event_type, count(*) AS n_users,
+        |  sum(event_id) AS id_sum, round(sum(value), 2) AS total_value
+        |FROM graft.lake.user_state
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** E20: streaming materialized-view maintenance — T18's incremental
     * rollup driven by Structured Streaming: each micro-batch aggregates
     * only its own rows to daily partials (count + integer-micro value

@@ -723,11 +723,23 @@ object GraftLakeTable {
     * committer removed a replaced file (write-serializable; concurrent
     * appends commute).
     */
+  /** The session-conf key a caller sets to tag a SQL DML statement's
+    * commit with a transaction id (the Delta txn/appId pattern on the
+    * STATEMENT surface, where no writer-option plumbing exists) —
+    * read once at commit time; `foreachBatch` bodies are synchronous,
+    * so set-before / unset-after brackets exactly one statement. The
+    * tag rides the commit's NEW manifest rows; a DML whose rewrite
+    * produces zero new files records no tag (its replay is
+    * semantically idempotent anyway — deleting deleted rows).
+    */
+  val TxnConfKey = "spark.graft.commit.txn"
+
   private[graft] def commitReplace(spark: SparkSession, dir: String,
                                    dataDir: String, replaced: Set[String],
                                    schema: StructType, bucketed: Boolean,
                                    opDesc: String, maxRetries: Int = 50): Unit = {
     val manBase = s"$dir/manifest"
+    val txn = spark.conf.getOption(TxnConfKey).getOrElse("")
     val newRows = fileStats(spark, dataDir, schema, bucketed)
     var attempt = 0
     while (attempt <= maxRetries) {
@@ -745,7 +757,7 @@ object GraftLakeTable {
       val carried = current.filterNot(r => replaced.contains(r.file))
       val manifest = publishRows(spark,
         carried.map(c => (c.file, c.nRows, "", c.stats)) ++
-          newRows.map { case (f, n, st) => (f, n, "", st) })
+          newRows.map { case (f, n, st) => (f, n, txn, st) })
       if (ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1)) return
     }
     throw new java.io.IOException(

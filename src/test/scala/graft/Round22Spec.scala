@@ -106,6 +106,34 @@ class Round22Spec extends SparkSpec {
     assert(graft.sinks.ManifestStore.versions(spark, manBase) == (1L to 5L))
   }
 
+  test("E35 streaming catalog MERGE: one tagged commit per batch despite double-apply; state equals the batch replay") {
+    import org.apache.spark.sql.functions._
+    val out = graft.streaming.Events.streamCatalogMerge(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the in-band double-apply means: if the txn guard failed, every
+    // batch would commit twice — versions would exceed tags
+    val tableDir = s"${graft.queries.IOQueries.catalogRoot}/lake/user_state"
+    val manBase = s"$tableDir/manifest"
+    val versions = graft.sinks.ManifestStore.versions(spark, manBase)
+    val tags = org.apache.spark.sql.graft.GraftLakeTable.committedTxns(spark, manBase)
+    assert(tags.nonEmpty && tags.forall(_.startsWith("cat_merge:")))
+    assert(versions.length == tags.size,
+      s"one commit per batch: ${versions.length} versions vs ${tags.size} tags")
+    assert(versions.length >= 2, "the feed must split into several batches")
+    // final state == the direct last-writer-wins replay of the table
+    val expect = graft.Tables.load(spark, sfDir, "events")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum("event_id").as("id_sum"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == expect.toSeq)
+  }
+
   test("g_hyperball: hand graph — ball estimates track exact sizes and the effective diameter is the true one") {
     val spark2 = spark
     import spark2.implicits._
