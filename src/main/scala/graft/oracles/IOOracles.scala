@@ -195,6 +195,14 @@ private[graft] object IOOracles {
         |SELECT 'no_prune_mod', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
         |FROM orders WHERE o_orderkey % 7 = 3
         |ORDER BY q""".stripMargin,
+    "sink_catalog_ts_travel" ->
+      """SELECT 'v1_as_of_commit_ts' AS snapshot,
+        |  cast(count(*) AS bigint) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderdate < DATE '1997-01-01'
+        |UNION ALL
+        |SELECT 'v2_latest', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
+        |FROM orders
+        |ORDER BY snapshot""".stripMargin,
     "sink_catalog_update" ->
       """SELECT 'v1_pre_update' AS snapshot, o_orderstatus,
         |  cast(count(*) AS bigint) AS n, round(sum(o_totalprice), 2) AS total

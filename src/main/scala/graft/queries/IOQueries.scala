@@ -531,6 +531,48 @@ object IOQueries {
         |ORDER BY q""".stripMargin)
   }
 
+  /** K36: `TIMESTAMP AS OF` time travel through the catalog — K24/K29
+    * pinned reads by VERSION; this is the wall-clock surface every
+    * lakehouse reader actually uses ("the table as the 9am job saw
+    * it"). Commit instants are the manifest version directories'
+    * mtimes — set by the atomic claim rename itself, so no extra
+    * metadata write exists to drift from the commit; resolution picks
+    * the latest version committed at or before the pin
+    * ([[org.apache.spark.sql.graft.GraftCatalog.loadTable]]). The
+    * entry pins at version 1's own commit instant (strictly before
+    * version 2's — each INSERT is a full parquet write apart) and the
+    * readback aggregates that snapshot against latest; boundary
+    * semantics (at-or-before, same-millis → highest version,
+    * before-first-commit error) are spec-pinned with CONTROLLED
+    * mtimes in Round22Spec.
+    */
+  def sinkCatalogTimeTravelTs(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+      .createOrReplaceTempView("orders_tt_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_tt")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_tt (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_tt
+        |SELECT * FROM orders_tt_src WHERE o_orderdate < DATE'1997-01-01'""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_tt
+        |SELECT * FROM orders_tt_src WHERE o_orderdate >= DATE'1997-01-01'""".stripMargin)
+    val t1 = graft.sinks.ManifestStore
+      .versionsWithTimes(spark, s"$catalogRoot/lake/orders_tt/manifest").head._2
+    spark.sql(
+      s"""SELECT 'v1_as_of_commit_ts' AS snapshot, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM graft.lake.orders_tt TIMESTAMP AS OF timestamp_millis(${t1}L)
+         |UNION ALL
+         |SELECT 'v2_latest', count(*), round(sum(o_totalprice), 2)
+         |FROM graft.lake.orders_tt
+         |ORDER BY snapshot""".stripMargin)
+  }
+
   /** K1: replace / append / fail write-mode semantics
     * (reference: `if_exists` in week_1/data_ingest/data_ingest.py:50).
     * Emits the table row count observed after each step; `fail` must

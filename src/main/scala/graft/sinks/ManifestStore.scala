@@ -52,6 +52,22 @@ object ManifestStore {
       .flatMap(st => versionOf(st.getPath.getName)).sorted
   }
 
+  /** Committed versions with their COMMIT INSTANTS (epoch millis),
+    * ascending by version. The instant is the version directory's
+    * mtime — set by the atomic claim rename itself, so it is the
+    * moment the version became visible; `TIMESTAMP AS OF` resolution
+    * reads these (K36).
+    */
+  def versionsWithTimes(spark: SparkSession, base: String): Seq[(Long, Long)] = {
+    val fs = fileSystem(spark, base)
+    val basePath = new Path(base)
+    if (!fs.exists(basePath)) Seq.empty
+    else fs.listStatus(basePath).toSeq
+      .flatMap(st => versionOf(st.getPath.getName)
+        .map(v => (v, st.getModificationTime)))
+      .sortBy(_._1)
+  }
+
   /** Atomically publish `manifest` as the next version under `base`;
     * returns the committed version number.
     */

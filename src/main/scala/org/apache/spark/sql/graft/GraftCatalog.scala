@@ -218,6 +218,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"table ${ident.name()}: VERSION AS OF takes an integer commit " +
           s"version, got '$version'"))))
 
+  /** `TIMESTAMP AS OF <t>` — resolve to the LATEST version committed
+    * at or before `t` (Spark hands micros since epoch; commit instants
+    * come from [[ManifestStore.versionsWithTimes]] — the version dir's
+    * mtime, set by the atomic claim rename, IS the commit moment).
+    * Versions sharing a millisecond resolve to the highest — "the
+    * state as of t", exactly once. A pin before the first commit fails
+    * loudly with the available range (K36).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tablePath(ident)
+    if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    val times = ManifestStore.versionsWithTimes(spark, new Path(dir, "manifest").toString)
+    val tMillis = Math.floorDiv(timestampMicros, 1000L)
+    val eligible = times.filter(_._2 <= tMillis)
+    if (eligible.isEmpty)
+      throw new IllegalArgumentException(
+        s"table ${ident.name()}: no version committed at or before " +
+          s"epoch-millis $tMillis (first commit: ${times.headOption.fold("none")(_._2.toString)})")
+    loadPinned(ident, Some(eligible.map(_._1).max))
+  }
+
   private def loadPinned(ident: Identifier, version: Option[Long]): Table = {
     val dir = tablePath(ident)
     val meta = metaFile(dir)

@@ -134,6 +134,42 @@ class Round22Spec extends SparkSpec {
     assert(out.toSeq == expect.toSeq)
   }
 
+  test("K36 TIMESTAMP AS OF: at-or-before resolution, same-millis -> highest version, pre-first-commit error") {
+    val root = java.nio.file.Files.createTempDirectory("graft_k36").toString
+    val cat = "gcat_k36"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.lake.t VALUES (1)")
+    spark.sql(s"INSERT INTO $cat.lake.t VALUES (2)")
+    spark.sql(s"INSERT INTO $cat.lake.t VALUES (3)")
+    // CONTROLLED commit instants: re-stamp the version dirs so the
+    // boundary cases are deterministic, not racing the wall clock
+    val manBase = new org.apache.hadoop.fs.Path(s"$root/lake/t/manifest")
+    val fs = manBase.getFileSystem(spark.sessionState.newHadoopConf())
+    val base = 1700000000000L
+    Seq(1L -> base, 2L -> (base + 1000), 3L -> (base + 1000)).foreach { case (v, t) =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(manBase, s"manifest_v$v"), t, -1)
+    }
+    def countAt(millis: Long): Long =
+      spark.sql(s"SELECT count(*) FROM $cat.lake.t TIMESTAMP AS OF timestamp_millis(${millis}L)")
+        .head.getLong(0)
+    assert(countAt(base) == 1L, "exactly the first commit instant sees v1")
+    assert(countAt(base + 999) == 1L, "between commits resolves backward")
+    // v2 and v3 share a millisecond: 'as of t' is the HIGHEST state
+    // visible at t — both rows of the shared instant
+    assert(countAt(base + 1000) == 3L)
+    assert(countAt(base + 999999) == 3L)
+    val err = intercept[Exception](countAt(base - 1))
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Seq.empty else e +: causes(e.getCause)
+    assert(causes(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("no version committed"))),
+      s"pre-first-commit pin must fail loudly: $err")
+  }
+
   test("g_hyperball: hand graph — ball estimates track exact sizes and the effective diameter is the true one") {
     val spark2 = spark
     import spark2.implicits._
