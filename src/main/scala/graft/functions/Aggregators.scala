@@ -113,6 +113,40 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
   }
 
+  /** Misra–Gries frequent-items summary over long keys — E36's
+    * streaming heavy-hitter state. The buffer is a ≤`capacity`-entry
+    * count map; `reduce` is the classic decrement-on-overflow step and
+    * `merge` the summary merge (sum counts, subtract the (k+1)-largest,
+    * drop non-positives), so the whole sketch is ONE map-side-combined
+    * aggregate whose state-store footprint is `capacity` entries no
+    * matter how many distinct keys stream past. Guarantee (any batch
+    * split / merge order): every key with true count > n/(capacity+1)
+    * survives, and estimates undercount by at most n/(capacity+1) —
+    * the bound the spec measures against exact counts.
+    */
+  case class MisraGries(capacity: Int)
+      extends Aggregator[Long, Map[Long, Long], Seq[(Long, Long)]] {
+    override def zero: Map[Long, Long] = Map.empty
+    override def reduce(b: Map[Long, Long], key: Long): Map[Long, Long] = {
+      val cur = b.getOrElse(key, 0L)
+      if (cur > 0 || b.size < capacity) b.updated(key, cur + 1)
+      else b.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+    }
+    override def merge(x: Map[Long, Long], y: Map[Long, Long]): Map[Long, Long] = {
+      val sum = (x.keySet ++ y.keySet).iterator
+        .map(k => k -> (x.getOrElse(k, 0L) + y.getOrElse(k, 0L))).toMap
+      if (sum.size <= capacity) sum
+      else {
+        val thresh = sum.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+        sum.view.mapValues(_ - thresh).filter(_._2 > 0L).toMap
+      }
+    }
+    override def finish(b: Map[Long, Long]): Seq[(Long, Long)] =
+      b.toSeq.sortBy { case (k, c) => (-c, k) }
+    override def bufferEncoder: Encoder[Map[Long, Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
+  }
+
   object GramMatrix
       extends Aggregator[Seq[Float], (Array[Double], Array[Double], Long),
                          (Seq[Double], Seq[Double], Long)] {

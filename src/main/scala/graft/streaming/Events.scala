@@ -541,6 +541,57 @@ object Events {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** E36: streaming heavy hitters — a Misra–Gries frequent-items
+    * sketch ([[graft.functions.Aggregators.MisraGries]]) maintained as
+    * STREAMING AGGREGATION STATE: the state store holds one
+    * ≤capacity-entry count map however many distinct keys stream past,
+    * each micro-batch folds in via the map-side-combined reduce/merge,
+    * and the complete-mode readout after the drain is the summary —
+    * the bounded-memory answer to "top keys so far" that an exact
+    * streaming groupBy-count (state ∝ distinct keys) cannot give at
+    * 100 TB.
+    *
+    * The key plants deterministic skew (60% of events hash onto 5 hot
+    * keys by `event_id % 10 < 6`, the rest stay unique-ish long tail)
+    * so the MG guarantee has teeth at spec scale: every key with true
+    * count > n/(capacity+1) MUST survive any batch split, estimates
+    * undercount by ≤ n/(capacity+1). Survivor sets and estimates are
+    * merge-order-dependent within the bound → rows-only; coverage and
+    * measured error vs exact counts are spec-pinned, numbers in
+    * RECALL_r10.
+    */
+  def streamHeavyHitters(spark: SparkSession, dir: String,
+                         capacity: Int = 64, topK: Int = 10): DataFrame = {
+    val input = stageStreamInput(spark, dir, copies = 1)
+    val schema = spark.read.parquet(input).schema
+    val mg = udaf(graft.functions.Aggregators.MisraGries(capacity))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2") // several state-fold rounds
+      .parquet(input)
+      .select(when(expr("event_id % 10 < 6"), expr("user_id % 5"))
+        .otherwise(col("event_id") + 1000000L).as("hot_key"))
+    val sketch = stream.groupBy().agg(mg(col("hot_key")).as("summary"))
+    val q = sketch.writeStream
+      .format("memory").queryName("graft_stream_hh")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // emit only keys whose ESTIMATE clears the n/(k+1) guarantee line:
+    // that set is exactly the keys provably heavy (est ≤ true, and any
+    // true count > 2·bound estimates above bound), so the ROW SET is
+    // stable across merge orders even though estimates wobble within
+    // the bound
+    val n = spark.read.parquet(input).count()
+    val bound = n / (capacity + 1)
+    spark.table("graft_stream_hh")
+      .select(explode(col("summary")).as("e"))
+      .select(col("e._1").as("hot_key"), col("e._2").as("est_count"))
+      .filter(col("est_count") > bound)
+      .orderBy(col("est_count").desc, col("hot_key"))
+      .limit(topK)
+  }
+
   /** E20: streaming materialized-view maintenance — T18's incremental
     * rollup driven by Structured Streaming: each micro-batch aggregates
     * only its own rows to daily partials (count + integer-micro value

@@ -170,6 +170,38 @@ class Round22Spec extends SparkSpec {
       s"pre-first-commit pin must fail loudly: $err")
   }
 
+  test("E36 streaming heavy hitters: MG guarantee holds across batch splits — coverage and error bound measured") {
+    import org.apache.spark.sql.functions._
+    val capacity = 64
+    val out = graft.streaming.Events
+      .streamHeavyHitters(spark, sfDir, capacity = capacity, topK = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact counts of the SAME derived key
+    val exact = graft.Tables.load(spark, sfDir, "events")
+      .select(when(expr("event_id % 10 < 6"), expr("user_id % 5"))
+        .otherwise(col("event_id") + 1000000L).as("hot_key"))
+      .groupBy("hot_key").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = n / (capacity + 1)
+    val guaranteed = exact.filter(_._2 > bound)
+    assert(guaranteed.nonEmpty, s"test setup: planted skew must clear n/(k+1)=$bound")
+    // every guaranteed heavy hitter survives, in the top-k readout
+    guaranteed.keys.foreach(k =>
+      assert(out.contains(k), s"hot key $k (true ${guaranteed(k)}) missing from $out"))
+    // MG undercounts by at most the bound, never overcounts
+    val errs = out.collect { case (k, est) if exact.contains(k) =>
+      val t = exact(k)
+      assert(est <= t, s"MG must never overcount: key $k est $est > true $t")
+      (t - est).toDouble
+    }
+    assert(errs.forall(_ <= bound.toDouble),
+      s"undercount beyond n/(k+1)=$bound: $errs")
+    RecallLog.record("e_stream_heavy_hitters", "n_guaranteed", guaranteed.size.toDouble)
+    RecallLog.record("e_stream_heavy_hitters", "max_undercount_frac",
+      if (errs.isEmpty) 0.0 else errs.max / math.max(1L, guaranteed.values.min))
+  }
+
   test("g_hyperball: hand graph — ball estimates track exact sizes and the effective diameter is the true one") {
     val spark2 = spark
     import spark2.implicits._
