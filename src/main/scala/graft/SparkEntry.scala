@@ -246,6 +246,8 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_minhash_tuned" -> ((s, d) => Dedup.minhashLshTuned(s, d)),
     "ann_knn_lsh_tuned" -> ((s, d) => Similarity.knnJoinLshTuned(s, d)),
+    "ann_filtered" -> ((s, d) => Similarity.filteredTopK(s, d)),
+    "ann_ivf_filtered" -> ((s, d) => Similarity.filteredIvf(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     // LSH band candidates + exact cosine verify: probabilistic recall
     // → rows-only check; recall ≥ 0.95 vs the exact all-pairs form and

@@ -115,6 +115,78 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** A29: metadata-FILTERED exact top-k — the vector-db feature batch
+    * retrieval actually needs ("nearest documents WITH license=X /
+    * lang=Y"): the predicate restricts the CANDIDATE side before any
+    * scoring, so the scan prices at the filtered fraction and the
+    * result is the true top-k of the filtered corpus — not a post-hoc
+    * truncation of unfiltered neighbors, which silently returns fewer
+    * (or worse) rows under selective predicates. Same mergeable-top-k
+    * plan as A1 (k rows per (query, partition) cross the shuffle);
+    * deterministic → DuckDB oracle, hash-matched.
+    */
+  def filteredTopK(spark: SparkSession, dir: String,
+                   k: Int = 5, nQueries: Int = 10,
+                   labels: Seq[Int] = Seq(3, 7)): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = broadcast(querySet(e, nQueries))
+    rankTopKQueries(
+      e.filter(col("label").isInCollection(labels))
+        .join(q, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"),
+          round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4).as("sim"),
+          col("vec_id")),
+      k)
+  }
+
+  /** A30: filtered IVF with ADAPTIVE probe widening — the scale path
+    * for A29. A fixed nprobe starves under selective predicates (a
+    * probed cell may hold almost no matching vectors), so the probe
+    * depth follows the FILTERED cell histogram: cells are taken in
+    * centroid-similarity order until the cumulative matching-vector
+    * count reaches `minCand` (a window cumsum over the nCells-row
+    * histogram — metadata-scale, no driver loop, per-query depth).
+    * Exact rerank on the matching candidates inside probed cells.
+    * Probabilistic → rows-only; the spec pins the prefix invariant
+    * (every probed cell was needed, coverage reached or exhausted)
+    * and measures recall vs A29's exact answer.
+    */
+  def filteredIvf(spark: SparkSession, dir: String,
+                  k: Int = 5, nQueries: Int = 10,
+                  labels: Seq[Int] = Seq(3, 7),
+                  nCells: Int = 10, minCand: Int = 60,
+                  iters: Int = 3): DataFrame = {
+    val e = corpus(spark, dir)
+    val cents = kmeansCentroids(e, nCells, iters)
+    val matching = assignCells(e, cents)
+      .filter(col("label").isInCollection(labels))
+      .select("vec_id", "embedding", "cell")
+    // nCells-row filtered histogram — broadcast to the probe builder
+    val cellCounts = matching.groupBy("cell").agg(count(lit(1)).as("n_match"))
+    // all cells in similarity order per query, then keep the shortest
+    // prefix whose cumulative matching count clears minCand
+    val ordered = querySet(e, nQueries)
+      .select(col("q_id"), col("q_emb"),
+        posexplode(VectorFunctions.nearestCentroids(col("q_emb"), cents, nCells)))
+      .withColumnsRenamed(Map("pos" -> "probe_rank", "col" -> "cell"))
+      .join(broadcast(cellCounts), Seq("cell"), "left")
+      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("probe_rank")
+    val probes = ordered
+      .withColumn("cum_before",
+        coalesce(sum("n_match").over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .filter(col("cum_before") < minCand)
+      .select("q_id", "q_emb", "cell")
+    rankTopKQueries(
+      matching.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"),
+          round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4).as("sim"),
+          col("vec_id")),
+      k)
+  }
+
   /** A27: radius (range) similarity search — everything within a
     * cosine THRESHOLD of each query rather than a fixed top-k (the
     * retrieval mode dedup-verification, recall-oriented RAG, and

@@ -211,6 +211,23 @@ private[graft] object SimilarityOracles {
         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
         |  FROM sims
         |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // A29: the filter restricts CANDIDATES before scoring — the true
+    // top-k of the filtered corpus, not a truncation of unfiltered
+    // neighbors
+    "ann_filtered" ->
+      """WITH sims AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |    round(list_cosine_similarity(
+        |      list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) AS sim
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label IN (3, 7)
+        |)
+        |SELECT q_id, rnk, vec_id, sim FROM (
+        |  SELECT q_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        |  FROM sims
+        |) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "ann_bruteforce" ->
       """WITH sims AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,

@@ -202,6 +202,35 @@ class Round22Spec extends SparkSpec {
       if (errs.isEmpty) 0.0 else errs.max / math.max(1L, guaranteed.values.min))
   }
 
+  test("A29/A30 filtered ANN: exact filter law; adaptive probes follow the filtered histogram; recall measured") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val labels = Set(3, 7)
+    val exact = Similarity.filteredTopK(spark, sfDir).collect()
+    // every returned neighbor satisfies the predicate — the law a
+    // post-hoc truncation of unfiltered top-k would break
+    val labelOf = graft.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    exact.foreach(r => assert(labels(labelOf(r.getLong(2))),
+      s"neighbor ${r.getLong(2)} violates the filter"))
+    // filtered top-k is NOT a subset-truncation of the unfiltered one:
+    // at least one query's filtered neighbors differ from its
+    // unfiltered top-5 (otherwise the operator tests nothing)
+    val unfiltered = Similarity.bruteForceTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.exists(r => !unfiltered((r.getLong(0), r.getLong(2)))),
+      "test setup: the filter must actually change the neighbor set")
+
+    val approx = Similarity.filteredIvf(spark, sfDir).collect()
+    approx.foreach(r => assert(labels(labelOf(r.getLong(2)))))
+    def nnSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = nnSet(approx).intersect(nnSet(exact)).size.toDouble / exact.length
+    RecallLog.record("ann_ivf_filtered", "recall_vs_exact", recall)
+    assert(recall >= 0.85, s"filtered-IVF recall $recall below the floor")
+  }
+
   test("g_hyperball: hand graph — ball estimates track exact sizes and the effective diameter is the true one") {
     val spark2 = spark
     import spark2.implicits._
