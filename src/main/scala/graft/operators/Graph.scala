@@ -739,9 +739,7 @@ object Graph {
     */
   def closeness(spark: SparkSession, dir: String, iters: Int = 4,
                 nLandmarks: Int = 8, topK: Int = 20): DataFrame =
-    closenessOf(tradeRows(spark, dir)
-      .select(col("cust_node").as("src"), col("supp_node").as("dst"))
-      .distinct(), iters, nLandmarks, topK)
+    closenessOf(tradePairs(spark, dir), iters, nLandmarks, topK)
 
   /** G12: HyperBall neighborhood-function sketches — G11's sketch
     * sibling (VERDICT r9 "Next round" #4). Every node carries an HLL

@@ -458,7 +458,9 @@ object IOQueries {
     */
   def sinkCatalogBucketed(spark: SparkSession, dir: String): DataFrame = {
     ensureCatalog(spark)
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+    val prevBucketing = spark.conf.getOption(bucketingKey)
+    spark.conf.set(bucketingKey, "true")
     Tables.load(spark, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .createOrReplaceTempView("orders_bkt_src")
@@ -489,7 +491,14 @@ object IOQueries {
           |JOIN graft.lake.customer_bkt c ON o.o_custkey = c.c_custkey
           |GROUP BY c_mktsegment
           |ORDER BY c_mktsegment""".stripMargin).localCheckpoint()
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      // restore the planner-global flag too — a bench session must not
+      // plan the next ~300 entries under a conf only this one opted
+      // into (review finding, round 10)
+      prevBucketing.fold(spark.conf.unset(bucketingKey))(
+        v => spark.conf.set(bucketingKey, v))
+    }
   }
 
   /** K35: manifest-stats data skipping on catalog reads — the per-file
@@ -535,12 +544,14 @@ object IOQueries {
     * pinned reads by VERSION; this is the wall-clock surface every
     * lakehouse reader actually uses ("the table as the 9am job saw
     * it"). Commit instants are the manifest version directories'
-    * mtimes — set by the atomic claim rename itself, so no extra
-    * metadata write exists to drift from the commit; resolution picks
-    * the latest version committed at or before the pin
+    * mtimes, NORMALIZED by the winning publisher to be strictly
+    * increasing in version order (Delta's in-commit-timestamp pattern
+    * — raw rename mtimes are the staging instant and coarse-mtime
+    * stores can collapse adjacent commits onto one tick); resolution
+    * picks the latest version committed at or before the pin
     * ([[org.apache.spark.sql.graft.GraftCatalog.loadTable]]). The
     * entry pins at version 1's own commit instant (strictly before
-    * version 2's — each INSERT is a full parquet write apart) and the
+    * version 2's by the normalization invariant) and the
     * readback aggregates that snapshot against latest; boundary
     * semantics (at-or-before, same-millis → highest version,
     * before-first-commit error) are spec-pinned with CONTROLLED

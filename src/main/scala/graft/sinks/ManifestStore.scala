@@ -54,9 +54,9 @@ object ManifestStore {
 
   /** Committed versions with their COMMIT INSTANTS (epoch millis),
     * ascending by version. The instant is the version directory's
-    * mtime — set by the atomic claim rename itself, so it is the
-    * moment the version became visible; `TIMESTAMP AS OF` resolution
-    * reads these (K36).
+    * mtime, normalized by the winning publisher to be strictly
+    * increasing in version order (see [[commitAttempt]]) — what
+    * `TIMESTAMP AS OF` resolution reads (K36).
     */
   def versionsWithTimes(spark: SparkSession, base: String): Seq[(Long, Long)] = {
     val fs = fileSystem(spark, base)
@@ -135,7 +135,23 @@ object ManifestStore {
                             writerId: String, v: Long): Option[Boolean] = {
     val dst = new Path(basePath, s"manifest_v$v")
     val renamed = fs.rename(temp, dst)
-    if (renamed && fs.exists(new Path(dst, s"_writer_$writerId"))) Some(true)
+    if (renamed && fs.exists(new Path(dst, s"_writer_$writerId"))) {
+      // in-commit-timestamp normalization (K36): POSIX rename PRESERVES
+      // the staged dir's mtime (the staging-write instant, not the
+      // claim), and coarse-mtime stores can collapse back-to-back
+      // commits onto one tick — so the WINNER re-stamps its version to
+      // be strictly after its predecessor's, making `TIMESTAMP AS OF`
+      // resolution monotone in version order by construction
+      try {
+        val prev = if (v <= 1) 0L else {
+          val p = new Path(basePath, s"manifest_v${v - 1}")
+          if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+        }
+        val mine = fs.getFileStatus(dst).getModificationTime
+        if (mine <= prev) fs.setTimes(dst, prev + 1, -1)
+      } catch { case _: Exception => () } // stamp is best-effort; order, not the commit, depends on it
+      Some(true)
+    }
     else if (!renamed && !fs.exists(dst))
       // rename only legitimately fails when a concurrent publisher
       // claimed this version first; anything else is a real IO error

@@ -577,11 +577,13 @@ object Events {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // emit only keys whose ESTIMATE clears the n/(k+1) guarantee line:
-    // that set is exactly the keys provably heavy (est ≤ true, and any
-    // true count > 2·bound estimates above bound), so the ROW SET is
-    // stable across merge orders even though estimates wobble within
-    // the bound
+    // emit only keys whose ESTIMATE clears the n/(k+1) guarantee line.
+    // Honest stability claim: keys with true count > 2·bound ALWAYS
+    // pass (est ≥ true − bound > bound) and keys ≤ bound never do
+    // (est ≤ true); a key in (bound, 2·bound] could flap with merge
+    // order — the planted skew puts the hot keys far above 2·bound and
+    // the tail at 1, so no key lives in the flappable band HERE; a
+    // reuse with different skew must re-check that separation
     val n = spark.read.parquet(input).count()
     val bound = n / (capacity + 1)
     spark.table("graft_stream_hh")

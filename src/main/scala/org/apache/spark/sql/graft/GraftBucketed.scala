@@ -35,9 +35,10 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   * Trade-off, stated: a bucketed scan exposes AT MOST one input
   * partition per bucket (that is what makes the join co-located), so
   * `n` is also the read parallelism — pick it like Hive bucket counts.
-  * Row-level MERGE/UPDATE is refused on bucketed tables (the rewrite
-  * path does not yet preserve bucket layout); DELETE works — its
-  * survivor rewrite goes through the bucket-aware INSERT path.
+  * Every DML preserves the layout: DELETE's survivor rewrite goes
+  * through the bucket-aware INSERT path, and MERGE/UPDATE's replace
+  * write bucket-routes the rewritten groups in a second pass over the
+  * touched files (see [[GraftRowLevel]]'s commit).
   */
 object GraftBucketed {
 

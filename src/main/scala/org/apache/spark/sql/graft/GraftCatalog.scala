@@ -119,24 +119,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def tablePath(ident: Identifier): Path =
     new Path(nsPath(ident.namespace()), safePart(ident.name()))
   private def metaFile(dir: Path): Path = new Path(dir, "_graft_table.json")
-  private def bucketFile(dir: Path): Path = new Path(dir, "_graft_bucket.json")
   private val NamespaceMarker = "_graft_namespace"
 
-  /** The table's bucket spec (col, n), if `_graft_bucket.json` exists. */
-  private def readBucketSpec(dir: Path): Option[(String, Int)] = {
-    if (!fs.exists(bucketFile(dir))) None
-    else {
-      val in = fs.open(bucketFile(dir))
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val Re = """\{"col":"([^"]+)","n":(\d+)\}""".r
-      txt.trim match {
-        case Re(col, n) => Some((col, n.toInt))
-        case _ => throw new IllegalStateException(
-          s"bucket spec at ${bucketFile(dir)} is unreadable: $txt")
-      }
+  /** Meta-file content: schema + (optional) bucket spec in ONE file,
+    * so the create-exclusive write that IS table existence also
+    * carries the bucketing atomically — a failed duplicate CREATE can
+    * never corrupt a live table's bucket metadata the way a separate
+    * spec file written before the uniqueness check could (review
+    * finding, round 10). Unbucketed tables keep the legacy
+    * schema-JSON-only form.
+    */
+  private def metaText(schema: StructType, bucketSpec: Option[(String, Int)]): String =
+    bucketSpec match {
+      case Some((col, n)) =>
+        s"""{"graftBucket":{"col":"$col","n":$n},"schema":${schema.json}}"""
+      case None => schema.json
     }
+
+  private val WrappedMeta =
+    """(?s)\{"graftBucket":\{"col":"([^"]+)","n":(\d+)\},"schema":(.*)\}""".r
+
+  private def parseMeta(meta: Path, txt: String): (StructType, Option[(String, Int)]) = {
+    val (schemaJson, spec) = txt.trim match {
+      case WrappedMeta(col, n, rest) => (rest, Some((col, n.toInt)))
+      case other => (other, None)
+    }
+    // a truncated meta file (disk-full/kill during CREATE) must fail
+    // with a NAMED remedy, not a raw JSON parse error wedging the
+    // identifier opaquely
+    val schema =
+      try DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"table metadata at $meta is unreadable (interrupted CREATE " +
+            s"TABLE?) — drop the table directory to recover", e)
+      }
+    (schema, spec)
   }
 
   // ---- namespaces -------------------------------------------------------
@@ -221,10 +239,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** `TIMESTAMP AS OF <t>` — resolve to the LATEST version committed
     * at or before `t` (Spark hands micros since epoch; commit instants
     * come from [[ManifestStore.versionsWithTimes]] — the version dir's
-    * mtime, set by the atomic claim rename, IS the commit moment).
-    * Versions sharing a millisecond resolve to the highest — "the
-    * state as of t", exactly once. A pin before the first commit fails
-    * loudly with the available range (K36).
+    * mtime, which the winning publisher NORMALIZES to be strictly
+    * after its predecessor's at claim time, Delta's in-commit-
+    * timestamp pattern, so resolution is monotone in version order
+    * even on coarse-mtime stores). A pin before the first commit
+    * fails loudly with the available range (K36).
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val dir = tablePath(ident)
@@ -244,21 +263,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val meta = metaFile(dir)
     if (!fs.exists(meta)) throw new NoSuchTableException(ident)
     val in = fs.open(meta)
-    val schemaJson =
+    val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    // a truncated meta file (disk-full/kill during CREATE) must fail
-    // with a NAMED remedy, not a raw JSON parse error wedging the
-    // identifier opaquely
-    val schema =
-      try DataType.fromJson(schemaJson).asInstanceOf[StructType]
-      catch { case e: Exception =>
-        throw new IllegalStateException(
-          s"table metadata at $meta is unreadable (interrupted CREATE " +
-            s"TABLE?) — drop the table directory to recover", e)
-      }
+    val (schema, bucketSpec) = parseMeta(meta, txt)
     new GraftLakeTable(s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-      dir.toString, schema, version, readBucketSpec(dir))
+      dir.toString, schema, version, bucketSpec)
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
@@ -291,18 +301,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchNamespaceException(ident.namespace())
     val dir = tablePath(ident)
     fs.mkdirs(dir)
-    // the bucket spec lands BEFORE the meta file (meta existence IS
-    // table existence; a spec orphaned by a failed CREATE is inert and
-    // overwritten by the next CREATE)
-    bucketSpec.foreach { case (col, n) =>
-      val out = fs.create(bucketFile(dir), true)
-      try out.write(s"""{"col":"$col","n":$n}""".getBytes("UTF-8"))
-      finally out.close()
-    }
-    if (bucketSpec.isEmpty && fs.exists(bucketFile(dir)))
-      fs.delete(bucketFile(dir), false)
     // create-exclusive: existence of the meta file IS table existence,
-    // so the failing create is the CREATE TABLE uniqueness check
+    // so the failing create is the CREATE TABLE uniqueness check; the
+    // bucket spec rides the same single write, so a losing CREATE
+    // cannot touch the winner's metadata
     val out =
       try fs.create(metaFile(dir), false)
       catch { case _: java.io.IOException =>
@@ -311,7 +313,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // an in-process write failure must not wedge the identifier: drop
     // the claimed meta file before rethrowing (a kill -9 mid-write can
     // still leave a truncated file — loadTable names the remedy)
-    try { out.write(info.schema().json.getBytes("UTF-8")); out.close() }
+    try { out.write(metaText(info.schema(), bucketSpec).getBytes("UTF-8")); out.close() }
     catch { case e: Throwable =>
       try { out.close() } catch { case _: Throwable => () }
       fs.delete(metaFile(dir), false)
@@ -353,22 +355,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"catalog '$catalogName' supports only ALTER TABLE ADD COLUMN " +
           "(top-level, nullable, no default) — other changes would " +
           "re-map existing immutable files")
-    val current = loadPinned(ident, None).schema()
+    val currentTable = loadPinned(ident, None).asInstanceOf[GraftLakeTable]
     val evolved = CatalogV2Util.applySchemaChanges(
-      current, changes.toSeq, None, "ALTER TABLE")
+      currentTable.schema(), changes.toSeq, None, "ALTER TABLE")
     // temp-write + OVERWRITE-rename (FileContext — FileSystem.rename
     // refuses file-onto-file): atomic on POSIX, a conditional PUT on
     // object stores, so readers see the old or the new schema, never
-    // a truncated meta file
+    // a truncated meta file; the bucket spec rides along unchanged
     val tmp = new Path(dir, s".meta_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
-    try out.write(evolved.json.getBytes("UTF-8")) finally out.close()
+    try out.write(metaText(evolved, currentTable.bucket).getBytes("UTF-8"))
+    finally out.close()
     org.apache.hadoop.fs.FileContext
       .getFileContext(metaFile(dir).toUri, spark.sessionState.newHadoopConf())
       .rename(tmp, metaFile(dir), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     new GraftLakeTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-      dir.toString, evolved, None, readBucketSpec(dir))
+      dir.toString, evolved, None, currentTable.bucket)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -403,6 +406,8 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
                                     bucketSpec: Option[(String, Int)] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations {
+
+  private[graft] def bucket: Option[(String, Int)] = bucketSpec
 
   override def partitioning(): Array[Transform] =
     bucketSpec.map { case (col, n) =>
