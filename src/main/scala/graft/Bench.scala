@@ -88,7 +88,8 @@ object Bench {
     "g_closeness",
     // round-10 additions (the K32-K34 catalog entries are sink ops —
     // correctness-gated per the policy above)
-    "g_hyperball", "ann_knn_lsh_tuned", "dedup_minhash_tuned")
+    "g_hyperball", "ann_knn_lsh_tuned", "dedup_minhash_tuned",
+    "g_betweenness", "ann_filtered", "ann_ivf_filtered")
 
   /** The scale-step set: the heaviest operators over the tables the
     * 10× blow-up synthesizes (documents/embeddings since round 6;

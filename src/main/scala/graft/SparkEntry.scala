@@ -295,6 +295,7 @@ object SparkEntry {
     // (node, landmark) state; integer micro contract, CTE-replayed
     "g_closeness" -> ((s, d) => Graph.closeness(s, d)),
     "g_hyperball" -> ((s, d) => Graph.hyperball(s, d)),
+    "g_betweenness" -> ((s, d) => Graph.betweenness(s, d)),
     "g_components" -> ((s, d) => Graph.components(s, d)),
     "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
     "ts_mann_kendall" -> ((s, d) => TimeSeries.mannKendall(s, d)),

@@ -231,6 +231,67 @@ class Round22Spec extends SparkSpec {
     assert(recall >= 0.85, s"filtered-IVF recall $recall below the floor")
   }
 
+  /** Driver-side Brandes with the SAME integer-micro arithmetic — the
+    * exact replay the distributed rounds must match bit-for-bit.
+    */
+  private def brandesMicro(edges: Seq[(Long, Long)], sources: Seq[Long],
+                           iters: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val acc = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (s <- sources) {
+      val dist = scala.collection.mutable.Map[Long, Int](s -> 0)
+      val sigma = scala.collection.mutable.Map[Long, Long](s -> 1L)
+      var frontier = Seq(s)
+      for (r <- 1 to iters) {
+        val next = scala.collection.mutable.Map[Long, Long]()
+        frontier.foreach(u => adj.getOrElse(u, Seq.empty).foreach { v =>
+          if (!dist.contains(v)) next(v) = next.getOrElse(v, 0L) + sigma(u)
+        })
+        next.foreach { case (v, sg) => dist(v) = r; sigma(v) = sg }
+        frontier = next.keys.toSeq
+      }
+      val delta = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for (r <- iters to 1 by -1) {
+        val level = dist.collect { case (v, d) if d == r => v }
+        level.foreach { v =>
+          adj.getOrElse(v, Seq.empty).foreach { u =>
+            if (dist.get(u).contains(r - 1))
+              delta(u) += Math.floorDiv(
+                sigma(u) * (1000000L + delta(v)), sigma(v))
+          }
+        }
+      }
+      delta.foreach { case (v, dm) => if (v != s) acc(v) += dm }
+    }
+    acc.toMap
+  }
+
+  test("g_betweenness: hand-path closed form and exact corpus replay, bit-for-bit") {
+    val spark2 = spark
+    import spark2.implicits._
+    // path 1-2-3-4-5, all 5 nodes as sources: ordered pairs routed
+    // THROUGH v: node 2 carries (1,3),(1,4),(1,5) ×2 directions = 6e6;
+    // node 3 carries (1,4),(1,5),(2,4),(2,5) ×2 = 8e6 (single shortest
+    // paths everywhere, so no division residue)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val hand = Graph.betweennessOf(pairs, iters = 4, nSources = 5, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hand == Map(2L -> 6000000L, 3L -> 8000000L, 4L -> 6000000L),
+      s"path-graph betweenness wrong: $hand")
+
+    // corpus graph: the distributed rounds equal the driver Brandes
+    // replay EXACTLY (same integer-micro arithmetic, no tolerance)
+    val corpusPairs = Graph.tradePairs(spark, sfDir).localCheckpoint()
+    val edgeSeq = corpusPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sources = (edgeSeq.map(_._1) ++ edgeSeq.map(_._2)).distinct.sorted.take(8)
+    val expect = brandesMicro(edgeSeq, sources, iters = 4)
+    val topExpect = expect.toSeq.sortBy { case (n, b) => (-b, n) }.take(20)
+    val got = Graph.betweennessOf(corpusPairs, iters = 4, nSources = 8, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == topExpect, s"distributed vs driver Brandes:\n$got\n$topExpect")
+  }
+
   test("g_hyperball: hand graph — ball estimates track exact sizes and the effective diameter is the true one") {
     val spark2 = spark
     import spark2.implicits._
