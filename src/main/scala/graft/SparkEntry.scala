@@ -177,6 +177,7 @@ object SparkEntry {
     "sink_catalog_bucketed" -> ((s, d) => IOQueries.sinkCatalogBucketed(s, d)),
     "sink_catalog_prune" -> ((s, d) => IOQueries.sinkCatalogPrune(s, d)),
     "sink_catalog_ts_travel" -> ((s, d) => IOQueries.sinkCatalogTimeTravelTs(s, d)),
+    "sink_catalog_call" -> ((s, d) => IOQueries.sinkCatalogCall(s, d)),
     // E34: streaming ingest into the versioned lake, exactly-once via
     // txn-tagged manifest commits; every batch deliberately applied
     // twice — a failed guard doubles rows and breaks the oracle hash

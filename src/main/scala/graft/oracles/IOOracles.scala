@@ -203,6 +203,13 @@ private[graft] object IOOracles {
         |SELECT 'v2_latest', cast(count(*) AS bigint), round(sum(o_totalprice), 2)
         |FROM orders
         |ORDER BY snapshot""".stripMargin,
+    // maintenance moves metadata and file layout, never data: the
+    // post-optimize+vacuum table must aggregate the raw rows exactly
+    "sink_catalog_call" ->
+      """SELECT 'post_maintenance' AS snapshot,
+        |  cast(count(*) AS bigint) AS n, round(sum(o_totalprice), 2) AS total,
+        |  cast(count(DISTINCT o_orderkey) AS bigint) AS n_keys
+        |FROM orders""".stripMargin,
     "sink_catalog_update" ->
       """SELECT 'v1_pre_update' AS snapshot, o_orderstatus,
         |  cast(count(*) AS bigint) AS n, round(sum(o_totalprice), 2) AS total

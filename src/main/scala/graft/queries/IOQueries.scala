@@ -584,6 +584,46 @@ object IOQueries {
          |ORDER BY snapshot""".stripMargin)
   }
 
+  /** K37: table maintenance on the SQL `CALL` surface — Spark 4's
+    * `ProcedureCatalog` rung ([[org.apache.spark.sql.graft
+    * .GraftProcedures]], the Iceberg `CALL catalog.system.*` shape):
+    * four quarter-sliced single-file INSERTs fragment the table, `CALL
+    * graft.system.optimize` bin-packs them through the shared
+    * replace-commit (one new version, at-size files would carry by
+    * reference), `CALL graft.system.vacuum` sweeps the pre-compaction
+    * versions and GCs their now-unreferenced data files — and the
+    * readback must still aggregate every inserted row byte-exactly,
+    * which is the whole point: maintenance moves METADATA and file
+    * layout, never data. Structural pins (file counts, carried
+    * big file, disk GC, swept-pin failure) live in Round22Spec.
+    */
+  def sinkCatalogCall(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .createOrReplaceTempView("orders_call_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_opt")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_opt (
+        |  o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE)""".stripMargin)
+    Seq("< DATE'1995-01-01'",
+      ">= DATE'1995-01-01' AND o_orderdate < DATE'1996-01-01'",
+      ">= DATE'1996-01-01' AND o_orderdate < DATE'1997-01-01'",
+      ">= DATE'1997-01-01'").foreach { era =>
+      spark.sql(
+        s"""INSERT INTO graft.lake.orders_opt
+           |SELECT /*+ REPARTITION(1) */ * FROM orders_call_src
+           |WHERE o_orderdate $era""".stripMargin)
+    }
+    spark.sql("CALL graft.system.optimize('lake.orders_opt', 100000000)")
+    spark.sql("CALL graft.system.vacuum('lake.orders_opt', 1)")
+    spark.sql(
+      """SELECT 'post_maintenance' AS snapshot, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  count(DISTINCT o_orderkey) AS n_keys
+        |FROM graft.lake.orders_opt""".stripMargin)
+  }
+
   /** K1: replace / append / fail write-mode semantics
     * (reference: `if_exists` in week_1/data_ingest/data_ingest.py:50).
     * Emits the table row count observed after each step; `fail` must

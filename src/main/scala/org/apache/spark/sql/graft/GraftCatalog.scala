@@ -72,7 +72,18 @@ import java.util
   * conditional PUTs (documented CONTRACT, same as K11).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with FunctionCatalog {
+  with FunctionCatalog with ProcedureCatalog {
+
+  /** SQL `CALL graft.system.{optimize,vacuum}(...)` — table
+    * maintenance on Spark 4's procedure surface (K37, see
+    * [[GraftProcedures]]).
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(catalogName, root, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   /** The one catalog function: `bucket(n, key)` — what resolves the
     * bucket transform of a K34 storage-partitioned table for Spark's

@@ -1,0 +1,194 @@
+package org.apache.spark.sql.graft
+
+import graft.sinks.ManifestStore
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Table-maintenance procedures on the SQL `CALL` surface (K37) —
+  * Spark 4's `ProcedureCatalog` rung, the Iceberg `CALL
+  * catalog.system.*` shape:
+  *
+  * {{{
+  *   CALL graft.system.optimize('lake.t', 100000)   -- bin-pack files
+  *   CALL graft.system.vacuum('lake.t', 2)          -- retention GC
+  * }}}
+  *
+  * `optimize` is K21's small-file compaction on the catalog plane:
+  * files whose row count is under the target are read once, rewritten
+  * bin-packed (bucket-aware on bucketed tables), and committed as ONE
+  * manifest version through the shared replace-commit — files already
+  * at size CARRY BY REFERENCE, and the conflict/carry semantics are
+  * exactly MERGE's. `vacuum` is K18's retention sweep: manifest
+  * versions below latest−keep are dropped, then every data file no
+  * RETAINED version references is deleted — referenced-set arithmetic
+  * on manifest rows, a metadata job at any table size. Both return
+  * one metrics row through a [[LocalScan]], so `CALL` results land in
+  * ordinary query output.
+  */
+private[graft] object GraftProcedures {
+
+  private def spark: SparkSession = SparkSession.active
+
+  def load(catalogName: String, root: String,
+           ident: org.apache.spark.sql.connector.catalog.Identifier): UnboundProcedure = {
+    val ns = ident.namespace().toSeq
+    if (ns != Seq("system"))
+      throw new RuntimeException(s"catalog procedure not found: ${ident.namespace().mkString(".")}.${ident.name()} (available: system.optimize, system.vacuum)")
+    ident.name().toLowerCase match {
+      case "optimize" => new OptimizeProcedure(catalogName, root)
+      case "vacuum" => new VacuumProcedure(catalogName, root)
+      case _ =>
+        throw new RuntimeException(s"catalog procedure not found: ${ident.namespace().mkString(".")}.${ident.name()} (available: system.optimize, system.vacuum)")
+    }
+  }
+
+  def list(ns: Array[String]): Array[org.apache.spark.sql.connector.catalog.Identifier] =
+    Array(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "optimize"),
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "vacuum"))
+
+  /** Resolve `'ns.table'` under the catalog root + load its meta. */
+  private def resolve(catalogName: String, root: String, table: String)
+      : (String, StructType, Option[(String, Int)]) = {
+    val parts = table.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(_.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*")),
+      s"procedure table argument '$table' is not a path-safe ns.table name")
+    val dir = parts.foldLeft(new Path(root))((p, n) => new Path(p, n))
+    val meta = new Path(dir, "_graft_table.json")
+    val fs = fileSystem(root)
+    require(fs.exists(meta), s"catalog '$catalogName' has no table '$table'")
+    val in = fs.open(meta)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val WrappedMeta =
+      """(?s)\{"graftBucket":\{"col":"([^"]+)","n":(\d+)\},"schema":(.*)\}""".r
+    val (schemaJson, spec) = txt.trim match {
+      case WrappedMeta(col, n, rest) => (rest, Some((col, n.toInt)))
+      case other => (other, None)
+    }
+    (dir.toString, DataType.fromJson(schemaJson).asInstanceOf[StructType], spec)
+  }
+
+  private def fileSystem(root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def resultScan(schema: StructType, row: Seq[Any]): java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(row.map {
+          case s: String => UTF8String.fromString(s)
+          case other => other
+        }.toArray))
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  /** `CALL graft.system.optimize(table, target_rows)` — rewrite files
+    * under `target_rows` bin-packed; larger files carry by reference.
+    */
+  private class OptimizeProcedure(catalogName: String, root: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "optimize"
+    override def description(): String =
+      "bin-pack files under target_rows into one rewrite commit"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target_rows", LongType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val target = input.getLong(1)
+      val (dir, schema, bucketSpec) = resolve(catalogName, root, table)
+      val manBase = s"$dir/manifest"
+      val session = spark
+      val current = ManifestStore.versions(session, manBase).lastOption
+        .map(v => GraftLakeTable.manifestRowsFull(session, manBase, v))
+        .getOrElse(Seq.empty)
+      val (small, big) = current.partition(_.nRows < target)
+      // 0 or 1 small file: nothing to pack — report without committing
+      if (small.length <= 1)
+        return resultScan(outSchema, Seq(0L, current.length.toLong, 0L))
+      val writerId = java.util.UUID.randomUUID().toString.take(12)
+      val dataDir = s"$dir/data_$writerId"
+      val packed = session.read.schema(schema)
+        .parquet(small.map(r => s"$dir/${r.file}"): _*)
+        .coalesce(math.max(1, (small.map(_.nRows).sum / math.max(1L, target)).toInt))
+      GraftLakeTable.writeData(dataDir, packed, bucketSpec)
+      GraftLakeTable.commitReplace(session, dir, dataDir,
+        small.map(_.file).toSet, schema, bucketSpec.isDefined,
+        s"OPTIMIZE $table")
+      val after = GraftLakeTable.manifestRowsFull(session, manBase,
+        ManifestStore.versions(session, manBase).last)
+      resultScan(outSchema,
+        Seq(small.length.toLong, big.length.toLong,
+          (after.length - big.length).toLong))
+    }
+
+    private val outSchema = StructType(Seq(
+      StructField("rewritten_files", LongType),
+      StructField("carried_files", LongType),
+      StructField("new_files", LongType)))
+  }
+
+  /** `CALL graft.system.vacuum(table, keep)` — drop manifest versions
+    * below latest−keep, then delete every data file no retained
+    * version references. Readers pinned below the retention window
+    * break by contract (K18/Delta's VACUUM semantics).
+    */
+  private class VacuumProcedure(catalogName: String, root: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "drop versions below latest-keep and GC unreferenced data files"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep", IntegerType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val keep = input.getInt(1)
+      val (dir, _, _) = resolve(catalogName, root, table)
+      val manBase = s"$dir/manifest"
+      val session = spark
+      val swept = ManifestStore.retain(session, manBase, keep)
+      val retained = ManifestStore.versions(session, manBase)
+      val referenced = retained.flatMap(v =>
+        GraftLakeTable.manifestRowsFull(session, manBase, v).map(_.file)).toSet
+      val fs = fileSystem(root)
+      // data files live under <dir>/data_<writer>[/bucket=...]/*.parquet
+      val onDisk = fs.listStatus(new Path(dir)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("data_"))
+        .flatMap { d =>
+          val it = fs.listFiles(d.getPath, true)
+          val buf = scala.collection.mutable.ArrayBuffer[String]()
+          while (it.hasNext) {
+            val f = it.next().getPath.toString
+            if (f.endsWith(".parquet")) buf += f
+          }
+          buf.toSeq
+        }
+      val doomed = onDisk.filterNot { abs =>
+        val idx = abs.lastIndexOf("/data_")
+        idx >= 0 && referenced.contains(abs.substring(idx + 1))
+      }
+      doomed.foreach(f => fs.delete(new Path(f), false))
+      resultScan(outSchema,
+        Seq(swept.length.toLong, doomed.length.toLong, referenced.size.toLong))
+    }
+
+    private val outSchema = StructType(Seq(
+      StructField("swept_versions", LongType),
+      StructField("deleted_files", LongType),
+      StructField("live_files", LongType)))
+  }
+}

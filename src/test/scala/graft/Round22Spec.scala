@@ -292,6 +292,55 @@ class Round22Spec extends SparkSpec {
     assert(got == topExpect, s"distributed vs driver Brandes:\n$got\n$topExpect")
   }
 
+  test("K37 CALL procedures: optimize packs small files and carries big ones; vacuum GCs exactly the unreferenced") {
+    val root = java.nio.file.Files.createTempDirectory("graft_k37").toString
+    val cat = "gcat_k37"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[org.apache.spark.sql.graft.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.m (k BIGINT)")
+    import spark.implicits._
+    // three 2-row files + one 50-row file (the at-size carry case)
+    for (era <- 0 to 2) {
+      Seq(era * 10L, era * 10L + 1).toDF("k").coalesce(1)
+        .createOrReplaceTempView("r22_call_batch")
+      spark.sql(s"INSERT INTO $cat.lake.m SELECT * FROM r22_call_batch")
+    }
+    (100L until 150L).toDF("k").coalesce(1).createOrReplaceTempView("r22_call_big")
+    spark.sql(s"INSERT INTO $cat.lake.m SELECT * FROM r22_call_big")
+    val manBase = s"$root/lake/m/manifest"
+    def rowsAt(v: Long) = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, v)
+    val v4 = rowsAt(4L)
+    val bigFiles = v4.filter(_.nRows >= 10).map(_.file).toSet
+    assert(v4.length == 4 && bigFiles.size == 1)
+
+    val opt = spark.sql(s"CALL $cat.system.optimize('lake.m', 10)").collect()
+    assert(opt.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((3L, 1L, 1L)),
+      s"optimize must rewrite the 3 small files into 1 and carry the big one: ${opt.toSeq}")
+    val v5 = rowsAt(5L)
+    assert(bigFiles.subsetOf(v5.map(_.file).toSet),
+      "the at-size file must carry by reference through OPTIMIZE")
+    assert(v5.length == 2, s"post-optimize layout must be big+packed: $v5")
+    assert(spark.sql(s"SELECT count(*), sum(k) FROM $cat.lake.m").head.toSeq ==
+      Seq(56L, 6288L))
+
+    // vacuum keep=1: versions 1-4 swept, their unreferenced files GC'd,
+    // everything v5 references stays readable
+    val vac = spark.sql(s"CALL $cat.system.vacuum('lake.m', 1)").collect()
+    assert(vac.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((4L, 3L, 2L)),
+      s"vacuum must sweep 4 versions, GC the 3 packed-away files, keep 2 live: ${vac.toSeq}")
+    assert(graft.sinks.ManifestStore.versions(spark, manBase) == Seq(5L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.m").head.getLong(0) == 56L)
+    // a pin below the retention window fails loudly, not silently
+    val err = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.lake.m VERSION AS OF 2").collect())
+    assert(err.getMessage != null || err.getCause != null)
+  }
+
   test("g_hyperball: hand graph — ball estimates track exact sizes and the effective diameter is the true one") {
     val spark2 = spark
     import spark2.implicits._
