@@ -373,6 +373,33 @@ class Round22Spec extends SparkSpec {
       s"effective diameter: est $effEst vs exact $effExact")
   }
 
+  test("g_harmonic_all: sketch harmonic tracks the exact BFS harmonic; top ranking agrees") {
+    val iters = 6
+    val pairs = Graph.tradePairs(spark, sfDir).localCheckpoint()
+    val exact = exactBalls(pairs, iters)
+    // exact harmonic with the SAME micro formula the sketch uses
+    val nodes = exact.keys.map(_._1).toSeq.distinct
+    val exactH = nodes.map { v =>
+      v -> (1 to iters).map { r =>
+        math.max(0L, exact((v, r)) - exact((v, r - 1))) * 1000000L / r
+      }.sum
+    }.toMap
+    val est = Graph.hyperballHarmonic(spark, sfDir, iters = iters, topK = 10000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exactH.keySet)
+    val relErrs = exactH.toSeq.map { case (v, t) =>
+      math.abs(est(v) - t).toDouble / math.max(1L, t) }
+    val meanErr = relErrs.sum / relErrs.size
+    RecallLog.record("g_harmonic_all", "mean_rel_err", meanErr)
+    assert(meanErr <= 0.12, s"mean harmonic error $meanErr")
+    // ranking quality: the sketch top-20 overlaps the exact top-20
+    def top(m: Map[Long, Long]) =
+      m.toSeq.sortBy { case (n, h) => (-h, n) }.take(20).map(_._1).toSet
+    val overlap = top(est).intersect(top(exactH)).size
+    RecallLog.record("g_harmonic_all", "top20_overlap", overlap.toDouble / 20)
+    assert(overlap >= 14, s"top-20 overlap only $overlap/20")
+  }
+
   test("g_hyperball: corpus graph — per-node and aggregate error within the HLL bound, recorded") {
     val iters = 6
     val pairs = Graph.tradePairs(spark, sfDir).localCheckpoint()
