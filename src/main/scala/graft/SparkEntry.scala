@@ -327,6 +327,7 @@ object SparkEntry {
     // demand events per part, truncated-weight exact per F4's contract
     "ts_croston" -> ((s, d) => TimeSeries.croston(s, d)),
     "ts_holt" -> (TimeSeries.holt _),
+    "ts_holt_winters" -> (TimeSeries.holtWinters _),
     "ts_periodogram" -> (TimeSeries.periodogram _),
     "ts_ols" -> (TimeSeries.ols _),
     "ts_residual_anomaly" -> (TimeSeries.residualAnomaly _),

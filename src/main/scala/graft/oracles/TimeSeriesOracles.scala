@@ -292,6 +292,67 @@ private[graft] object TimeSeriesOracles {
          |  abs(y_micro - forecast_micro) AS abs_err_micro
          |FROM b WHERE forecast_micro IS NOT NULL ORDER BY d""".stripMargin
     },
+    // F14: trailing per-dow floor-mean seasonal (strictly past rows,
+    // nonneg longs so // ↔ div agree), then ts_holt's exact Brown
+    // chain over the deseasonalized residual, forecast re-adds the
+    // current row's seasonal
+    "ts_holt_winters" -> {
+      val vals = graft.queries.TimeSeries.ewmaWeights(14).zipWithIndex
+        .map { case (w, j) => s"($j, $w)" }.mkString(", ")
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS d,
+         |    CAST(sum(CAST(round(o_totalprice * 1e6) AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders GROUP BY 1
+         |), dx AS (
+         |  SELECT d, y,
+         |    ((datediff('day', DATE '1995-01-01', d) % 7) + 7) % 7 AS dow
+         |  FROM daily
+         |), sw AS (
+         |  SELECT d, y,
+         |    count(*) OVER w AS sn,
+         |    sum(CAST(y AS HUGEINT)) OVER w AS ssum
+         |  FROM dx
+         |  WINDOW w AS (PARTITION BY dow ORDER BY d
+         |               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+         |), se AS (
+         |  SELECT d, y, CAST(ssum // sn AS BIGINT) AS seasonal
+         |  FROM sw WHERE sn = 4
+         |), i1 AS (
+         |  SELECT d, y, seasonal, y - seasonal AS yd,
+         |    row_number() OVER (ORDER BY d) AS i
+         |  FROM se
+         |), wts AS (
+         |  SELECT * FROM (VALUES $vals) AS t(j, wt)
+         |), a1 AS (
+         |  SELECT i1.i + w.j AS ti,
+         |    sum(CAST(i1.yd AS HUGEINT) * w.wt) AS num, sum(w.wt) AS den
+         |  FROM i1, wts w GROUP BY 1
+         |), p1 AS (
+         |  SELECT i1.d, i1.y, i1.seasonal, i1.i,
+         |    CAST(round(CAST(a1.num AS DOUBLE) / CAST(a1.den AS DOUBLE)) AS BIGINT) AS s1
+         |  FROM i1 JOIN a1 ON a1.ti = i1.i
+         |), a2 AS (
+         |  SELECT p.i + w.j AS ti,
+         |    sum(CAST(p.s1 AS HUGEINT) * w.wt) AS num, sum(w.wt) AS den
+         |  FROM p1 p, wts w GROUP BY 1
+         |), p2 AS (
+         |  SELECT p1.d, p1.y, p1.seasonal, p1.s1,
+         |    CAST(round(CAST(a2.num AS DOUBLE) / CAST(a2.den AS DOUBLE)) AS BIGINT) AS s2
+         |  FROM p1 JOIN a2 ON a2.ti = p1.i
+         |), f AS (
+         |  SELECT d, y, seasonal, 2 * s1 - s2 AS lvl,
+         |    CAST(round(CAST(s1 - s2 AS DOUBLE) / 3.0) AS BIGINT) AS trend
+         |  FROM p2
+         |), b AS (
+         |  SELECT d, y AS y_micro, seasonal AS seasonal_micro,
+         |    lag(lvl) OVER (ORDER BY d) + lag(trend) OVER (ORDER BY d)
+         |      + seasonal AS forecast_micro
+         |  FROM f
+         |)
+         |SELECT d, y_micro, seasonal_micro, forecast_micro,
+         |  abs(y_micro - forecast_micro) AS abs_err_micro
+         |FROM b WHERE forecast_micro IS NOT NULL ORDER BY d""".stripMargin
+    },
     // F12: per-term micro-rounded cos/sin (the adamic-adar ln
     // convention) then exact HUGEINT sums; the normalization is the
     // same IEEE op sequence on bit-equal integers in both engines

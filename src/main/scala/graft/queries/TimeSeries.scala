@@ -621,6 +621,71 @@ object TimeSeries {
       .orderBy("period")
   }
 
+  /** F14: Holt–Winters additive-seasonal forecast backtest — the
+    * seasonal rung above F11: Brown's level+trend alone lags a weekly
+    * cycle by construction (the smoothed level averages across the
+    * cycle), and F1's seasonal-naive carries no trend at all; the
+    * additive-seasonal form forecasts level + trend + seasonal, the
+    * standard triple for a trending series with a stable weekly shape
+    * (Winters 1960, the additive variant of Holt–Winters).
+    *
+    * Decomposition discipline (the fully-coupled textbook recursion
+    * is order-dependent and replays nowhere): the seasonal component
+    * for day t is the FLOOR-mean of that day-of-week's previous
+    * `seasonK` observations — a trailing per-dow window, strictly
+    * past data, leakage-free by construction; the deseasonalized
+    * residual y − s then runs F11's EXACT Brown pass (two truncated
+    * renormalized integer-weight smoothings), and the forecast is
+    * lag(level) + lag(trend) + s. Every piece replays bit-equal: dow
+    * from the F2 fixed epoch mod 7 (engine-identical, unlike
+    * dayofweek), the seasonal floor-mean is `div` on nonnegative
+    * longs (no div-vs-// hazard), s1/s2 are [[ewmaOf]]'s rounded
+    * longs, and trend's one /3.0 division can never land on a .5
+    * boundary (integer/3.0 has fractional part ∈ {0,⅓,⅔}).
+    *
+    * Scale shape: one daily rollup touches the fact table; the per-dow
+    * trailing window, both smoothing passes (|days|·L bounded fan-out)
+    * and the final lag all run on |days| rows — the F-family
+    * deliberately-bounded tail. Warm-up rows (fewer than `seasonK`
+    * prior same-dow observations) have no seasonal estimate and are
+    * excluded from the backtest, exactly as F5 excludes n<8 windows.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame =
+    holtWintersOf(daily(spark, dir))
+
+  /** [[holtWinters]]'s core over ANY (d DATE, y LONG ≥ 0) daily
+    * series — split out so specs can feed hand series (a pure
+    * trend+weekly-cycle series must backtest near-exactly once the
+    * seasonal window is warm).
+    */
+  private[graft] def holtWintersOf(series: DataFrame, seasonK: Int = 4): DataFrame = {
+    val dowW = Window.partitionBy("dow").orderBy("d").rowsBetween(-seasonK, -1)
+    val withS = series
+      .withColumn("dow",
+        pmod(datediff(col("d"), lit("1995-01-01").cast("date")), lit(7)))
+      .withColumn("sn", count(lit(1)).over(dowW))
+      .withColumn("ssum", sum("y").over(dowW))
+      .filter(col("sn") === seasonK)
+      .withColumn("seasonal_micro", expr("ssum div sn"))
+      .select("d", "y", "seasonal_micro")
+    val p1 = ewmaOf(withS.select(col("d"), (col("y") - col("seasonal_micro")).as("y")))
+      .select(col("d"), col("ewma_micro").as("s1"))
+    val p2 = ewmaOf(p1.select(col("d"), col("s1").as("y")))
+      .select(col("d"), col("ewma_micro").as("s2"))
+    val w = Window.orderBy("d")
+    withS.join(p1, "d").join(p2, "d")
+      .withColumn("level", lit(2L) * col("s1") - col("s2"))
+      .withColumn("trend",
+        round((col("s1") - col("s2")).cast("double") / lit(3.0)).cast("long"))
+      .withColumn("forecast_micro",
+        lag("level", 1).over(w) + lag("trend", 1).over(w) + col("seasonal_micro"))
+      .filter(col("forecast_micro").isNotNull)
+      .select(col("d"), col("y").as("y_micro"), col("seasonal_micro"),
+        col("forecast_micro"),
+        abs(col("y") - col("forecast_micro")).as("abs_err_micro"))
+      .orderBy("d")
+  }
+
   /** [[holt]]'s core over ANY (d DATE, y LONG) daily series. */
   private[graft] def holtOf(series: DataFrame): DataFrame = {
     val p1 = ewmaOf(series)

@@ -435,4 +435,34 @@ class Round22Spec extends SparkSpec {
     assert(math.abs(eff - effExact) <= 1,
       s"effective diameter: sketch $eff vs exact $effExact")
   }
+
+  test("ts_holt_winters: pure weekly cycle forecasts exactly after warm-up; trend+cycle tracks within one slope step") {
+    import spark.implicits._
+    def series(rows: Seq[(String, Long)]) =
+      rows.toDF("ds", "y").select(col("ds").cast("date").as("d"), col("y"))
+    val epoch = java.time.LocalDate.parse("1995-01-01")
+    val d0 = java.time.LocalDate.parse("2020-01-01")
+    val days = (0 until 70).map(i => d0.plusDays(i.toLong).toString)
+    val cyc = Array(3000000L, 5000000L, 2000000L, 8000000L, 1000000L, 9000000L, 4000000L)
+    def dowOf(i: Int): Int =
+      (java.time.temporal.ChronoUnit.DAYS.between(epoch, d0.plusDays(i.toLong)) % 7).toInt
+    // pure cycle: seasonal = trailing mean of 4 identical values = the
+    // exact component; deseasonalized residual is constant → Brown is
+    // exact → every post-warm-up forecast is exact
+    val pure = graft.queries.TimeSeries.holtWintersOf(
+      series(days.zipWithIndex.map { case (ds, i) => (ds, 20000000L + cyc(dowOf(i))) }))
+      .collect()
+    assert(pure.nonEmpty && pure.forall(_.getAs[Long]("abs_err_micro") == 0L),
+      "additive HW must be exact on a pure weekly cycle after warm-up")
+    // trend b/day + cycle: the trailing same-dow mean lags the trend by
+    // exactly 17.5 days' growth — a CONSTANT the level absorbs, so the
+    // backtest must track within one slope step (floor wobble aside)
+    val b = 1000000L
+    val tr = graft.queries.TimeSeries.holtWintersOf(
+      series(days.zipWithIndex.map { case (ds, i) =>
+        (ds, 20000000L + b * i + cyc(dowOf(i))) }))
+      .filter(col("d") >= "2020-03-01").collect()
+    assert(tr.nonEmpty && tr.forall(_.getAs[Long]("abs_err_micro") <= b),
+      "additive HW must track trend+cycle within one slope unit after warm-up")
+  }
 }
