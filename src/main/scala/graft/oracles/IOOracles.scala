@@ -78,6 +78,27 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT '3_publish_fixed', total - nb, 0, true, 2, total - nb FROM n, bad
         |ORDER BY stage""".stripMargin,
+    // K38: arithmetic replay of the branch/tag protocol outcomes —
+    // branch isolation, rollback invisibility, fast-forward identity,
+    // tag pinning; versions are deterministic (v1 full, v2 candidate,
+    // v3 fixed) because the flow is single-writer
+    "sink_branch" ->
+      """WITH n AS (SELECT cast(count(*) AS bigint) AS total FROM orders),
+        |bad AS (SELECT cast(count(*) AS bigint) AS nb FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT '1_create_main' AS step, 'main' AS ref_name, 'branch' AS kind,
+        |  cast(1 AS bigint) AS at_version, cast(0 AS bigint) AS n_bad,
+        |  total AS ref_rows, total AS main_rows FROM n, bad
+        |UNION ALL
+        |SELECT '2_tag_release', 'release', 'tag', 1, 0, total, total FROM n, bad
+        |UNION ALL
+        |SELECT '3_create_branch', 'audit', 'branch', 1, 0, total, total FROM n, bad
+        |UNION ALL
+        |SELECT '4_reject_candidate', 'audit', 'branch', 1, nb, total, total FROM n, bad
+        |UNION ALL
+        |SELECT '5_publish_main', 'main', 'branch', 3, 0, total - nb, total - nb FROM n, bad
+        |UNION ALL
+        |SELECT '6_tag_pinned', 'release', 'tag', 1, 0, total, total - nb FROM n, bad
+        |ORDER BY step""".stripMargin,
     // the incrementally-rebuilt table must equal a from-scratch build
     // of the MODIFIED source (stale or doubled partitions break this)
     "p_dirty_partitions" ->

@@ -1900,6 +1900,100 @@ object IOQueries {
       .orderBy("stage")
   }
 
+  /** K38: BRANCHES and TAGS on the manifest lake — the Iceberg ref
+    * system over [[graft.sinks.ManifestStore]]'s version history via
+    * [[graft.sinks.RefStore]]: a branch is a mutable name→version
+    * pointer, a tag an immutable one, and because every manifest
+    * version is a complete snapshot, reading a ref IS reading the
+    * manifest at its head — so branch creation, audit-branch commits,
+    * rollback, fast-forward publish and release pinning are all
+    * O(refs) metadata commits that never move a data file.
+    *
+    * The flow runs K16's write-audit-publish AS a branch workflow
+    * (the Iceberg-documented WAP successor): main is created at v1
+    * and tagged `release`; an `audit` branch forks from main; a
+    * corrupted candidate COMMITS on the branch (v2 — real commit,
+    * reader-visible through the branch ref, exactly how a human
+    * audits a staged load), the audit reads THROUGH the branch, finds
+    * the planted violations and ROLLS THE BRANCH BACK (a ref flip —
+    * main never saw anything); the fixed batch commits (v3), passes,
+    * and publishing is a fast-forward of main's ref to the branch
+    * head. The `release` tag still pins v1 after main moves — the
+    * reproducibility contract tags exist for. Every output value is
+    * a protocol ACTUAL (ref resolution, rows read through the ref),
+    * so the oracle's arithmetic replay hash-checks the semantics:
+    * branch isolation, rollback invisibility, fast-forward identity,
+    * tag pinning.
+    */
+  def sinkBranch(spark: SparkSession, dir: String,
+                 baseOverride: Option[String] = None): DataFrame = {
+    val base = baseOverride.getOrElse(tmpDir("branch"))
+    val versionsDir = base + "/versions"
+    val refsDir = base + "/refs"
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    def commitSnapshot(name: String, df: DataFrame): Long = {
+      val path = s"$base/data/$name"
+      df.write.mode("overwrite").parquet(path)
+      val files = spark.read.parquet(path)
+        .groupBy(input_file_name().as("file")).agg(count(lit(1)).as("n_rows"))
+      graft.sinks.ManifestStore.publish(spark, versionsDir, files)
+    }
+    def readRef(name: String): DataFrame = {
+      val (_, v) = graft.sinks.RefStore.resolve(spark, refsDir, name)
+      val (_, man) = graft.sinks.ManifestStore.at(spark, versionsDir, Some(v))
+      spark.read.parquet(man.select("file").collect().map(_.getString(0)): _*)
+    }
+    def refVersion(name: String): Long =
+      graft.sinks.RefStore.resolve(spark, refsDir, name)._2
+
+    val v1 = commitSnapshot("full", orders)
+    graft.sinks.RefStore.set(spark, refsDir, "main", "branch", v1)
+    graft.sinks.RefStore.set(spark, refsDir, "release", "tag", v1)
+    graft.sinks.RefStore.set(spark, refsDir, "audit", "branch",
+      refVersion("main"))
+    val step3 = ("3_create_branch", "audit", "branch", refVersion("audit"), 0L,
+      readRef("audit").count(), readRef("main").count())
+    // the corrupted nightly load COMMITS on the branch (every 7th
+    // key's price negated) — visible through `audit`, never `main`
+    val corrupt = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 7 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")))
+    val v2 = commitSnapshot("candidate", corrupt)
+    graft.sinks.RefStore.set(spark, refsDir, "audit", "branch", v2)
+    val nBad = readRef("audit")
+      .filter(col("o_totalprice") <= 0 || col("o_orderstatus").isNull).count()
+    // audit failed → roll the BRANCH back to main's head (a ref flip;
+    // v2 stays in the version store, unreachable from any ref)
+    graft.sinks.RefStore.set(spark, refsDir, "audit", "branch",
+      refVersion("main"))
+    val step4 = ("4_reject_candidate", "audit", "branch", refVersion("audit"),
+      nBad, readRef("audit").count(), readRef("main").count())
+    val fixed = corrupt
+      .filter(col("o_totalprice") > 0 && col("o_orderstatus").isNotNull)
+    val v3 = commitSnapshot("fixed", fixed)
+    graft.sinks.RefStore.set(spark, refsDir, "audit", "branch", v3)
+    val nBadFixed = readRef("audit")
+      .filter(col("o_totalprice") <= 0 || col("o_orderstatus").isNull).count()
+    // audit passed → publish = fast-forward main to the branch head
+    if (nBadFixed == 0L)
+      graft.sinks.RefStore.set(spark, refsDir, "main", "branch",
+        refVersion("audit"))
+    val step5 = ("5_publish_main", "main", "branch", refVersion("main"),
+      nBadFixed, readRef("main").count(), readRef("main").count())
+    val step6 = ("6_tag_pinned", "release", "tag", refVersion("release"), 0L,
+      readRef("release").count(), readRef("main").count())
+    val step1 = ("1_create_main", "main", "branch", v1, 0L,
+      step3._6, step3._6)
+    val step2 = ("2_tag_release", "release", "tag", v1, 0L,
+      step3._6, step3._6)
+    import spark.implicits._
+    Seq(step1, step2, step3, step4, step5, step6)
+      .toDF("step", "ref_name", "kind", "at_version", "n_bad",
+        "ref_rows", "main_rows")
+      .orderBy("step")
+  }
+
   /** K25: MULTI-TABLE atomic transaction — one commit spanning two
     * tables, the catalog-level ACID that single-table formats
     * (classic Delta) cannot express and catalog-versioned ones
