@@ -78,6 +78,28 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT '3_publish_fixed', total - nb, 0, true, 2, total - nb FROM n, bad
         |ORDER BY stage""".stripMargin,
+    // K39: MoR replay — v1 = full load (time travel), v3 = post-DML
+    // masked read (deletes applied, updates visible), x_protocol =
+    // manifest actuals (delete-file key count; carried flag 1.0 = no
+    // data file was rewritten by either DML)
+    "sink_catalog_mor" ->
+      """WITH src AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |keep AS (
+        |  SELECT o_totalprice
+        |    + CASE WHEN o_orderkey % 5 = 0 THEN 1000.0 ELSE 0 END AS p
+        |  FROM src WHERE o_orderkey % 7 <> 0
+        |), dk AS (
+        |  SELECT cast((SELECT count(*) FROM src WHERE o_orderkey % 7 = 0)
+        |    + (SELECT count(*) FROM src
+        |       WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0) AS bigint) AS n
+        |)
+        |SELECT 'v1_full' AS snapshot, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total FROM src
+        |UNION ALL
+        |SELECT 'v3_mor', cast(count(*) AS bigint), round(sum(p), 2) FROM keep
+        |UNION ALL
+        |SELECT 'x_protocol', n, 1.0 FROM dk
+        |ORDER BY snapshot""".stripMargin,
     // K38: arithmetic replay of the branch/tag protocol outcomes —
     // branch isolation, rollback invisibility, fast-forward identity,
     // tag pinning; versions are deterministic (v1 full, v2 candidate,

@@ -278,6 +278,62 @@ object IOQueries {
         |ORDER BY snapshot""".stripMargin)
   }
 
+  /** K39: MERGE-ON-READ row-level writes through the catalog
+    * ([[org.apache.spark.sql.graft.GraftDeltaOperation]],
+    * `SupportsDelta`) — the other half of the Delta/Iceberg row-level
+    * design space next to K32's copy-on-write: a table created with
+    * `TBLPROPERTIES('graft.merge-on-read.key'='<bigintCol>')` turns
+    * DELETE/UPDATE/MERGE into EQUALITY-DELETE files + new data files,
+    * never rewriting a committed data file — at 100 TB a DML touching
+    * 100 rows costs ~100 rows of IO instead of `touched files ×
+    * rewrite`, the write-amplification trade that makes MoR the
+    * streaming-CDC-ingest mode. Reads apply the deletes by the
+    * Iceberg sequence-number rule (a delete masks only STRICTLY OLDER
+    * data files — what lets one UPDATE delete and reinsert the same
+    * key); compaction is INSERT OVERWRITE from the masked self-read.
+    *
+    * The flow: full load → keyed DELETE (every 7th key) → keyed
+    * UPDATE (+1000 on every 5th surviving key). Output rows carry the
+    * pre-DML snapshot (time travel), the post-DML masked read, and a
+    * protocol row whose values are ACTUALS read from the manifest:
+    * total delete-file keys, and a carried flag that is 1.0 only if
+    * every v1 data file survived both DMLs untouched — a rewrite
+    * anywhere breaks the hash.
+    */
+  def sinkCatalogMor(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_mor_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_mor")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_mor (
+        |  o_orderkey BIGINT NOT NULL, o_orderstatus STRING, o_totalprice DOUBLE)
+        |TBLPROPERTIES('graft.merge-on-read.key'='o_orderkey')""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.orders_mor SELECT * FROM orders_mor_src")
+    val manBase = catalogRoot + "/lake/orders_mor/manifest"
+    val v1Files = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, 1L).map(_.file).toSet
+    spark.sql("DELETE FROM graft.lake.orders_mor WHERE o_orderkey % 7 = 0")
+    spark.sql(
+      """UPDATE graft.lake.orders_mor SET o_totalprice = o_totalprice + 1000.0
+        |WHERE o_orderkey % 5 = 0""".stripMargin)
+    val v3 = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, 3L)
+    val deleteKeys = v3.filter(_.file.startsWith("deletes_")).map(_.nRows).sum
+    val carried = if (v1Files.subsetOf(v3.map(_.file).toSet)) 1.0 else 0.0
+    spark.sql(
+      s"""SELECT 'v1_full' AS snapshot, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM graft.lake.orders_mor VERSION AS OF 1
+         |UNION ALL
+         |SELECT 'v3_mor', count(*), round(sum(o_totalprice), 2)
+         |FROM graft.lake.orders_mor
+         |UNION ALL
+         |SELECT 'x_protocol', ${deleteKeys}L, $carried
+         |ORDER BY snapshot""".stripMargin)
+  }
+
   /** One catalog root per JVM: the catalog INSTANCE is cached by the
     * session's CatalogManager at first use, so its `root` option must
     * never change within a JVM — per-invocation freshness comes from

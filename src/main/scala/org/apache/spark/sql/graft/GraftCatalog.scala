@@ -140,20 +140,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * finding, round 10). Unbucketed tables keep the legacy
     * schema-JSON-only form.
     */
-  private def metaText(schema: StructType, bucketSpec: Option[(String, Int)]): String =
-    bucketSpec match {
-      case Some((col, n)) =>
+  private def metaText(schema: StructType, bucketSpec: Option[(String, Int)],
+                       morKey: Option[String] = None): String =
+    (bucketSpec, morKey) match {
+      case (Some((col, n)), _) =>
         s"""{"graftBucket":{"col":"$col","n":$n},"schema":${schema.json}}"""
-      case None => schema.json
+      case (None, Some(key)) =>
+        s"""{"graftMor":{"key":"$key"},"schema":${schema.json}}"""
+      case _ => schema.json
     }
 
   private val WrappedMeta =
     """(?s)\{"graftBucket":\{"col":"([^"]+)","n":(\d+)\},"schema":(.*)\}""".r
+  private val WrappedMorMeta =
+    """(?s)\{"graftMor":\{"key":"([^"]+)"\},"schema":(.*)\}""".r
 
-  private def parseMeta(meta: Path, txt: String): (StructType, Option[(String, Int)]) = {
-    val (schemaJson, spec) = txt.trim match {
-      case WrappedMeta(col, n, rest) => (rest, Some((col, n.toInt)))
-      case other => (other, None)
+  private def parseMeta(meta: Path, txt: String)
+      : (StructType, Option[(String, Int)], Option[String]) = {
+    val (schemaJson, spec, morKey) = txt.trim match {
+      case WrappedMeta(col, n, rest) => (rest, Some((col, n.toInt)), None)
+      case WrappedMorMeta(key, rest) => (rest, None, Some(key))
+      case other => (other, None, None)
     }
     // a truncated meta file (disk-full/kill during CREATE) must fail
     // with a NAMED remedy, not a raw JSON parse error wedging the
@@ -165,7 +172,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"table metadata at $meta is unreadable (interrupted CREATE " +
             s"TABLE?) — drop the table directory to recover", e)
       }
-    (schema, spec)
+    (schema, spec, morKey)
   }
 
   // ---- namespaces -------------------------------------------------------
@@ -277,9 +284,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val (schema, bucketSpec) = parseMeta(meta, txt)
+    val (schema, bucketSpec, morKey) = parseMeta(meta, txt)
     new GraftLakeTable(s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-      dir.toString, schema, version, bucketSpec)
+      dir.toString, schema, version, bucketSpec, morKey)
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
@@ -308,6 +315,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => throw new UnsupportedOperationException(
         s"catalog '$catalogName' supports at most one bucket transform")
     }
+    // K39: TBLPROPERTIES('graft.merge-on-read.key'='<bigintCol>') opts
+    // the table into merge-on-read row-level writes (SupportsDelta):
+    // DELETE/UPDATE/MERGE land equality-delete files keyed by this
+    // column instead of rewriting data files. The key column must be
+    // BIGINT (the delete files hold longs) and MoR composes with flat
+    // tables only (a bucketed MoR table would need bucket-routed
+    // delete files — refused, not half-supported).
+    val morKey: Option[String] =
+      Option(info.properties().get("graft.merge-on-read.key")).map { key =>
+        require(bucketSpec.isEmpty,
+          "merge-on-read and bucketing cannot combine on one table")
+        val field = info.schema().fields.find(_.name == key).getOrElse(
+          throw new IllegalArgumentException(
+            s"merge-on-read key '$key' is not in the table schema"))
+        require(field.dataType == org.apache.spark.sql.types.LongType,
+          s"merge-on-read key '$key' must be BIGINT (got ${field.dataType.simpleString})")
+        // Spark's delta rewrite refuses nullable row ids outright
+        // (NULLABLE_ROW_ID_ATTRIBUTES) — surface the requirement at
+        // CREATE, where the fix (add NOT NULL) is obvious
+        require(!field.nullable,
+          s"merge-on-read key '$key' must be declared NOT NULL " +
+            "(row ids cannot be nullable)")
+        key
+      }
     if (!namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
     val dir = tablePath(ident)
@@ -324,14 +355,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // an in-process write failure must not wedge the identifier: drop
     // the claimed meta file before rethrowing (a kill -9 mid-write can
     // still leave a truncated file — loadTable names the remedy)
-    try { out.write(metaText(info.schema(), bucketSpec).getBytes("UTF-8")); out.close() }
+    try { out.write(metaText(info.schema(), bucketSpec, morKey).getBytes("UTF-8")); out.close() }
     catch { case e: Throwable =>
       try { out.close() } catch { case _: Throwable => () }
       fs.delete(metaFile(dir), false)
       throw e
     }
     new GraftLakeTable(s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-      dir.toString, info.schema(), None, bucketSpec)
+      dir.toString, info.schema(), None, bucketSpec, morKey)
   }
 
   @deprecated("use createTable(Identifier, TableInfo)", "kept for the interface")
@@ -375,14 +406,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // a truncated meta file; the bucket spec rides along unchanged
     val tmp = new Path(dir, s".meta_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
-    try out.write(metaText(evolved, currentTable.bucket).getBytes("UTF-8"))
+    try out.write(metaText(evolved, currentTable.bucket, currentTable.morKeyCol).getBytes("UTF-8"))
     finally out.close()
     org.apache.hadoop.fs.FileContext
       .getFileContext(metaFile(dir).toUri, spark.sessionState.newHadoopConf())
       .rename(tmp, metaFile(dir), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     new GraftLakeTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-      dir.toString, evolved, None, currentTable.bucket)
+      dir.toString, evolved, None, currentTable.bucket, currentTable.morKeyCol)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -414,11 +445,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 private[graft] class GraftLakeTable(tableName: String, dir: String,
                                     tableSchema: StructType,
                                     pinnedVersion: Option[Long],
-                                    bucketSpec: Option[(String, Int)] = None)
+                                    bucketSpec: Option[(String, Int)] = None,
+                                    morKey: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations {
 
   private[graft] def bucket: Option[(String, Int)] = bucketSpec
+  private[graft] def morKeyCol: Option[String] = morKey
 
   override def partitioning(): Array[Transform] =
     bucketSpec.map { case (col, n) =>
@@ -437,7 +470,15 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(info.command(), dir, tableSchema, bucketSpec)
+    morKey match {
+      // K39: merge-on-read tables take the DELTA path (SupportsDelta):
+      // DML lands equality-delete files + new data files, never
+      // rewriting a committed data file (see [[GraftDeltaOperation]])
+      case Some(key) =>
+        () => new GraftDeltaOperation(info.command(), dir, tableSchema, key)
+      case None =>
+        () => new GraftRowLevelOperation(info.command(), dir, tableSchema, bucketSpec)
+    }
 
   private def spark: SparkSession = SparkSession.active
   private def manBase: String = s"$dir/manifest"
@@ -478,6 +519,13 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
       case Some((col, n)) =>
         new GraftBucketedScanBuilder(spark, tableName, currentFiles(),
           tableSchema, col, n, options)
+      case None if morKey.isDefined =>
+        // K39: merge-on-read read path — equality-delete files mask
+        // their keys out of OLDER data files at read time (see
+        // [[GraftMorScanBuilder]]); a delete-free snapshot degrades to
+        // the stock pruned scan
+        GraftDeltaOperation.morScanBuilder(spark, tableName, dir,
+          currentManifestRows(), tableSchema, morKey.get, options)
       case None =>
         // K35: manifest-stats file pruning wraps the stock parquet
         // builder — SELECTs skip provably-non-matching files
@@ -498,7 +546,11 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
     * to intersecting files — same commit protocol, fewer rewrites.
     */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    filters.forall(f => GraftLakeTable.filterToColumn(f).isDefined)
+    // a merge-on-read table refuses the copy-on-write metadata DELETE so
+    // the statement flows through the DELTA rewrite (delete files, no
+    // data-file rewrite — the whole point of the mode)
+    morKey.isEmpty &&
+      filters.forall(f => GraftLakeTable.filterToColumn(f).isDefined)
 
   /** DELETE with K14's min/max refinement, now real (the manifest
     * carries per-file stats): only files that MAY hold a matching row
@@ -598,20 +650,29 @@ object GraftLakeTable {
     * Files committed before stats existed read back with an empty map —
     * the group filter then treats them as always-touched (conservative).
     */
+  /** `seq` = the manifest version whose commit ADDED the file (carried
+    * rows keep theirs) — the data-sequence-number half of the Iceberg
+    * merge-on-read design: an equality-delete file applies exactly to
+    * data files with a STRICTLY SMALLER seq, which is what lets a
+    * DELETE+reinsert of the same key in one commit keep the reinserted
+    * row. Pre-seq manifests read back 0 (all deletes apply —
+    * conservative, and moot for tables that never had delete files).
+    */
   case class ManifestRow(file: String, nRows: Long, txn: String,
-                         stats: Map[String, Seq[String]])
+                         stats: Map[String, Seq[String]], seq: Long = 0L)
 
   def manifestRowsFull(spark: SparkSession, manBase: String,
                        version: Long): Seq[ManifestRow] =
     spark.read
-      .schema("file STRING, n_rows BIGINT, txn STRING, stats MAP<STRING, ARRAY<STRING>>")
+      .schema("file STRING, n_rows BIGINT, txn STRING, stats MAP<STRING, ARRAY<STRING>>, seq BIGINT")
       .json(s"$manBase/manifest_v$version")
       .collect().map { r =>
         val stats = Option(r.getMap[String, scala.collection.Seq[String]](3))
           .map(_.map { case (k, v) => k -> v.toSeq }.toMap)
           .getOrElse(Map.empty[String, Seq[String]])
         ManifestRow(r.getString(0), r.getLong(1),
-          Option(r.getString(2)).getOrElse(""), stats)
+          Option(r.getString(2)).getOrElse(""), stats,
+          if (r.isNullAt(4)) 0L else r.getLong(4))
       }.toSeq
 
   /** Columns that get per-file min/max stats in the manifest — the
@@ -659,12 +720,15 @@ object GraftLakeTable {
     val readSchema =
       if (bucketed) schema.add("__graft_bucket", org.apache.spark.sql.types.IntegerType)
       else schema
+    // relative-path marker = this write's own dir component (covers
+    // data_<writer> and K39's deletes_<writer> alike)
+    val marker = "/" + new Path(dataDir).getName
     spark.read.schema(readSchema).parquet(dataDir)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val abs = r.getString(0)
-        val idx = abs.lastIndexOf("/data_")
+        val idx = abs.lastIndexOf(marker)
         require(idx >= 0, s"unexpected data file path $abs")
         val stats = cols.zipWithIndex.flatMap { case (f, i) =>
           val mn = r.getString(2 + 2 * i)
@@ -726,8 +790,8 @@ object GraftLakeTable {
       // rows keep their stats but get txn "" so a carried file never
       // re-asserts an old txn
       val manifest = publishRows(spark,
-        carried.map(c => (c.file, c.nRows, "", c.stats)) ++
-          newRows.map { case (f, n, st) => (f, n, txn, st) })
+        carried.map(c => (c.file, c.nRows, "", c.stats, c.seq)) ++
+          newRows.map { case (f, n, st) => (f, n, txn, st, basedOn + 1) })
       if (ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1)) return
     }
     throw new java.io.IOException(
@@ -793,8 +857,8 @@ object GraftLakeTable {
             s"${gone.take(3).mkString(", ")} — retry the statement")
       val carried = current.filterNot(r => replaced.contains(r.file))
       val manifest = publishRows(spark,
-        carried.map(c => (c.file, c.nRows, "", c.stats)) ++
-          newRows.map { case (f, n, st) => (f, n, txn, st) })
+        carried.map(c => (c.file, c.nRows, "", c.stats, c.seq)) ++
+          newRows.map { case (f, n, st) => (f, n, txn, st, basedOn + 1) })
       if (ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1)) return
     }
     throw new java.io.IOException(
@@ -803,8 +867,8 @@ object GraftLakeTable {
 
   /** Manifest rows -> the DataFrame shape every commit publishes. */
   private[graft] def publishRows(spark: SparkSession,
-      rows: Seq[(String, Long, String, Map[String, Seq[String]])]): DataFrame = {
+      rows: Seq[(String, Long, String, Map[String, Seq[String]], Long)]): DataFrame = {
     import spark.implicits._
-    rows.toDF("file", "n_rows", "txn", "stats")
+    rows.toDF("file", "n_rows", "txn", "stats", "seq")
   }
 }

@@ -67,8 +67,11 @@ private[graft] object GraftProcedures {
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val WrappedMeta =
       """(?s)\{"graftBucket":\{"col":"([^"]+)","n":(\d+)\},"schema":(.*)\}""".r
+    val WrappedMorMeta =
+      """(?s)\{"graftMor":\{"key":"[^"]+"\},"schema":(.*)\}""".r
     val (schemaJson, spec) = txt.trim match {
       case WrappedMeta(col, n, rest) => (rest, Some((col, n.toInt)))
+      case WrappedMorMeta(rest) => (rest, None)
       case other => (other, None)
     }
     (dir.toString, DataType.fromJson(schemaJson).asInstanceOf[StructType], spec)
@@ -112,6 +115,15 @@ private[graft] object GraftProcedures {
       val current = ManifestStore.versions(session, manBase).lastOption
         .map(v => GraftLakeTable.manifestRowsFull(session, manBase, v))
         .getOrElse(Seq.empty)
+      // K39 guard: packing a merge-on-read data file would give it a
+      // NEW seq, detaching the equality deletes that masked its rows —
+      // the masked rows would resurrect. Compact deletes first (INSERT
+      // OVERWRITE ... SELECT reads masked and writes clean).
+      if (current.exists(r => GraftDeltaOperation.isDeleteFile(r.file)))
+        throw new UnsupportedOperationException(
+          s"OPTIMIZE on $table: table has live equality-delete files — " +
+            "compact them first (INSERT OVERWRITE from a masked read), " +
+            "then OPTIMIZE")
       val (small, big) = current.partition(_.nRows < target)
       // 0 or 1 small file: nothing to pack — report without committing
       if (small.length <= 1)
@@ -165,9 +177,13 @@ private[graft] object GraftProcedures {
       val referenced = retained.flatMap(v =>
         GraftLakeTable.manifestRowsFull(session, manBase, v).map(_.file)).toSet
       val fs = fileSystem(root)
-      // data files live under <dir>/data_<writer>[/bucket=...]/*.parquet
+      // data files live under <dir>/data_<writer>[/bucket=...]/*.parquet;
+      // K39 equality-delete files under <dir>/deletes_<writer>/ sweep
+      // by the same referenced-by-a-retained-version rule
       val onDisk = fs.listStatus(new Path(dir)).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("data_"))
+        .filter(st => st.isDirectory &&
+          (st.getPath.getName.startsWith("data_") ||
+            st.getPath.getName.startsWith("deletes_")))
         .flatMap { d =>
           val it = fs.listFiles(d.getPath, true)
           val buf = scala.collection.mutable.ArrayBuffer[String]()

@@ -84,4 +84,98 @@ class Round23Spec extends SparkSpec {
     // the ref lake recorded one version per landed flip (1 seed + 2 racers)
     assert(ManifestStore.versions(spark, refs).size == 3)
   }
+
+  test("mor: hand data — DELETE masks, UPDATE reinserts, committed data files never rewrite") {
+    graft.queries.IOQueries.ensureCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.lake.mor_hand")
+    spark.sql(
+      """CREATE TABLE graft.lake.mor_hand (k BIGINT NOT NULL, v STRING)
+        |TBLPROPERTIES('graft.merge-on-read.key'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.mor_hand VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    val manBase = graft.queries.IOQueries.catalogRoot + "/lake/mor_hand/manifest"
+    val v1Files = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, 1L).map(_.file).toSet
+    assert(v1Files.nonEmpty && v1Files.forall(_.startsWith("data_")))
+
+    spark.sql("DELETE FROM graft.lake.mor_hand WHERE k = 2")
+    spark.sql("UPDATE graft.lake.mor_hand SET v = 'c2' WHERE k = 3")
+
+    val out = spark.sql("SELECT k, v FROM graft.lake.mor_hand ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (3L, "c2"), (4L, "d")), s"got $out")
+    // projection that prunes the key away still masks (key force-read)
+    val vs = spark.sql("SELECT v FROM graft.lake.mor_hand ORDER BY v")
+      .collect().map(_.getString(0)).toSeq
+    assert(vs == Seq("a", "c2", "d"))
+    // count through the masked read
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.mor_hand")
+      .collect().head.getLong(0) == 3L)
+
+    // the merge-on-read contract: every v1 data file carried BY
+    // REFERENCE through both DMLs — no data file was rewritten
+    val v3 = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, 3L)
+    assert(v1Files.subsetOf(v3.map(_.file).toSet),
+      s"v1 files ${v1Files} must all survive in v3 ${v3.map(_.file)}")
+    val delRows = v3.filter(_.file.startsWith("deletes_"))
+    assert(delRows.nonEmpty, "DML must land equality-delete files")
+    assert(delRows.map(_.nRows).sum == 2L,
+      s"one key deleted + one updated = 2 delete keys, got ${delRows.map(_.nRows).sum}")
+    // seq rule: v1 data files carry seq 1; the UPDATE's reinserted row
+    // carries seq 3 and is NOT masked by the seq-3 delete of k=3
+    assert(v3.filter(r => v1Files.contains(r.file)).forall(_.seq == 1L))
+
+    // time travel: the pre-DML snapshot is intact
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.mor_hand VERSION AS OF 1")
+      .collect().head.getLong(0) == 4L)
+
+    // OPTIMIZE must refuse while delete files are live (resurrection)
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.optimize(table => 'lake.mor_hand', target_rows => 1000)")
+        .collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("equality-delete"),
+      s"unexpected: $e")
+
+    // compaction path: INSERT OVERWRITE from the masked self-read via a
+    // staged temp view writes a clean snapshot with no delete files
+    val masked = spark.sql("SELECT * FROM graft.lake.mor_hand")
+    masked.createOrReplaceTempView("mor_hand_masked")
+    spark.sql("INSERT OVERWRITE graft.lake.mor_hand SELECT * FROM mor_hand_masked")
+    val v4 = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, 4L)
+    assert(v4.forall(r => !r.file.startsWith("deletes_")))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.mor_hand")
+      .collect().head.getLong(0) == 3L)
+  }
+
+  test("mor: MERGE INTO applies upserts + deletes as delta, one version, no file rewrite") {
+    graft.queries.IOQueries.ensureCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.lake.mor_merge")
+    spark.sql(
+      """CREATE TABLE graft.lake.mor_merge (k BIGINT NOT NULL, v STRING)
+        |TBLPROPERTIES('graft.merge-on-read.key'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.mor_merge VALUES (1,'a'),(2,'b'),(3,'c')")
+    val manBase = graft.queries.IOQueries.catalogRoot + "/lake/mor_merge/manifest"
+    val v1Files = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, 1L).map(_.file).toSet
+    import spark.implicits._
+    Seq((2L, "B", "u"), (3L, "", "d"), (9L, "Z", "i"))
+      .toDF("k", "v", "op").createOrReplaceTempView("mor_cdc")
+    spark.sql(
+      """MERGE INTO graft.lake.mor_merge t USING mor_cdc s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'd' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val out = spark.sql("SELECT k, v FROM graft.lake.mor_merge ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "B"), (9L, "Z")), s"got $out")
+    // exactly one new version; v1 files carried by reference
+    val vs = ManifestStore.versions(spark, manBase)
+    assert(vs == Seq(1L, 2L), s"one MERGE = one version, got $vs")
+    val v2 = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, 2L)
+    assert(v1Files.subsetOf(v2.map(_.file).toSet))
+    assert(v2.exists(_.file.startsWith("deletes_")))
+  }
 }
