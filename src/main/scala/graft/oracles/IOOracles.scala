@@ -78,6 +78,22 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT '3_publish_fixed', total - nb, 0, true, 2, total - nb FROM n, bad
         |ORDER BY stage""".stripMargin,
+    // K40: per-version row totals replayed from raw parquet — v1 =
+    // even keys, v2 = all, v3 = post-DELETE survivors; the files row
+    // re-asserts v3's live total through the other metadata relation
+    "sink_meta_tables" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders)
+        |SELECT 'history' AS src, cast(1 AS bigint) AS version,
+        |  (SELECT cast(count(*) AS bigint) FROM o WHERE o_orderkey % 2 = 0) AS n_rows
+        |UNION ALL
+        |SELECT 'history', 2, (SELECT cast(count(*) AS bigint) FROM o)
+        |UNION ALL
+        |SELECT 'history', 3,
+        |  (SELECT cast(count(*) AS bigint) FROM o WHERE o_orderstatus <> 'F')
+        |UNION ALL
+        |SELECT 'files', 3,
+        |  (SELECT cast(count(*) AS bigint) FROM o WHERE o_orderstatus <> 'F')
+        |ORDER BY src, version""".stripMargin,
     // K39: MoR replay — v1 = full load (time travel), v3 = post-DML
     // masked read (deletes applied, updates visible), x_protocol =
     // manifest actuals (delete-file key count; carried flag 1.0 = no

@@ -334,6 +334,52 @@ object IOQueries {
          |ORDER BY snapshot""".stripMargin)
   }
 
+  /** K40: METADATA TABLES — the Iceberg `t.history` / `t.files`
+    * surface ([[org.apache.spark.sql.graft.GraftMetaTable]]): a lake
+    * table's commit history and current file list as plain SQL
+    * relations, resolved by identifier suffix (`cat.ns.t.history`),
+    * joinable and aggregatable like any table. This is the operational
+    * introspection every lakehouse runs on — audit "what changed at
+    * v3", monitor file counts before OPTIMIZE, drive retention — and
+    * it is manifest-sized by construction: no data file opens.
+    *
+    * Flow: two INSERTs then a DELETE (v1..v3); the readback pulls
+    * per-version row totals from `history` and the current live row
+    * total from `files` (data files only — the K39 delete split is a
+    * `history` column). Values are protocol ACTUALS from the metadata
+    * relations; the oracle replays the counts from raw parquet, so a
+    * history row drifting from what the commits actually did breaks
+    * the hash. (`files`' per-file rows are task-count-dependent —
+    * the operator aggregates them; the row-level shape is spec-pinned
+    * on hand data instead.)
+    */
+  def sinkMetaTables(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_meta_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_meta")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_meta (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_meta
+        |SELECT * FROM orders_meta_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_meta
+        |SELECT * FROM orders_meta_src WHERE o_orderkey % 2 <> 0""".stripMargin)
+    spark.sql("DELETE FROM graft.lake.orders_meta WHERE o_orderstatus = 'F'")
+    spark.sql(
+      """SELECT 'history' AS src, version, n_rows
+        |FROM graft.lake.orders_meta.history
+        |UNION ALL
+        |SELECT 'files',
+        |  (SELECT max(version) FROM graft.lake.orders_meta.history),
+        |  sum(n_rows)
+        |FROM graft.lake.orders_meta.files WHERE NOT is_delete
+        |ORDER BY src, version""".stripMargin)
+  }
+
   /** One catalog root per JVM: the catalog INSTANCE is cached by the
     * session's CatalogManager at first use, so its `root` option must
     * never change within a JVM — per-invocation freshness comes from

@@ -241,8 +241,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     fs.exists(metaFile(tablePath(ident)))
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // K40: Iceberg-style METADATA TABLES — `SELECT * FROM cat.ns.t.history`
+    // parses as namespace [ns, t] + name "history"; when no real table
+    // claims that identifier and the prefix IS a table, serve its
+    // metadata (versions, file lists) as a queryable relation. A real
+    // table named "history" under a namespace always wins — metadata
+    // resolution only fills identifiers that would otherwise fail.
+    if (!tableExists(ident) && ident.namespace().nonEmpty &&
+        GraftMetaTable.kinds.contains(ident.name().toLowerCase)) {
+      val baseIdent = Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last)
+      if (tableExists(baseIdent))
+        return new GraftMetaTable(ident.name().toLowerCase,
+          tablePath(baseIdent).toString,
+          s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}")
+    }
     loadPinned(ident, None)
+  }
 
   /** `VERSION AS OF <v>` — a pinned snapshot read through the catalog
     * (the same metadata-plane resolution as K24's `graft_table` TVF,

@@ -149,6 +149,41 @@ class Round23Spec extends SparkSpec {
       .collect().head.getLong(0) == 3L)
   }
 
+  test("meta tables: history rows track commits incl. the delete-file split; files shows the live manifest") {
+    graft.queries.IOQueries.ensureCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.lake.meta_hand")
+    spark.sql(
+      """CREATE TABLE graft.lake.meta_hand (k BIGINT NOT NULL, v STRING)
+        |TBLPROPERTIES('graft.merge-on-read.key'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.meta_hand VALUES (1,'a'),(2,'b'),(3,'c')")
+    spark.sql("DELETE FROM graft.lake.meta_hand WHERE k = 2")
+    val hist = spark.sql(
+      """SELECT version, n_data_files, n_rows, n_delete_files, n_delete_keys
+        |FROM graft.lake.meta_hand.history ORDER BY version""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(hist.length == 2)
+    assert(hist(0)._1 == 1L && hist(0)._3 == 3L && hist(0)._4 == 0L)
+    // v2 (MoR delete): SAME data files and rows, one delete file, one key
+    assert(hist(1) == (2L, hist(0)._2, 3L, 1L, 1L), s"got ${hist(1).toString}")
+    // commit instants are strictly increasing (the K36 normalization)
+    val times = spark.sql(
+      "SELECT committed_at_millis FROM graft.lake.meta_hand.history ORDER BY version")
+      .collect().map(_.getLong(0))
+    assert(times(0) < times(1))
+    val files = spark.sql(
+      "SELECT file, n_rows, seq, is_delete FROM graft.lake.meta_hand.files ORDER BY file")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(files.count(_._4) == 1 && files.filter(_._4).head._2 == 1L)
+    assert(files.filter(!_._4).forall(_._3 == 1L), "data files keep their v1 seq")
+    assert(files.filter(_._4).forall(f => f._1.startsWith("deletes_") && f._3 == 2L))
+    // a REAL table named like a metadata suffix still wins resolution
+    spark.sql("DROP TABLE IF EXISTS graft.lake.history")
+    spark.sql("CREATE TABLE graft.lake.history (x BIGINT)")
+    spark.sql("INSERT INTO graft.lake.history VALUES (42)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.lake.history")
+      .collect().head.getLong(0) == 1L)
+  }
+
   test("mor: MERGE INTO applies upserts + deletes as delta, one version, no file rewrite") {
     graft.queries.IOQueries.ensureCatalog(spark)
     spark.sql("DROP TABLE IF EXISTS graft.lake.mor_merge")
