@@ -22,6 +22,24 @@ private[graft] object EventsOracles {
         |  round(sum(value), 2) AS total_value
         |FROM last WHERE rn = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // E37: the same last-per-user replay (merge-on-read must answer
+    // exactly what copy-on-write answers) + the protocol row — 0 data
+    // files ever removed across the manifest chain, delete files
+    // present (cross-batch updates happened)
+    "e_stream_mor_merge" ->
+      """WITH last AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT event_type, cast(count(*) AS bigint) AS n_users,
+        |  cast(sum(event_id) AS bigint) AS id_sum,
+        |  round(sum(value), 2) AS total_value
+        |FROM last WHERE rn = 1
+        |GROUP BY event_type
+        |UNION ALL
+        |SELECT 'x_protocol', 0, 1, 1.0
+        |ORDER BY event_type""".stripMargin,
     "e_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events

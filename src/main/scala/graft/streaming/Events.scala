@@ -541,6 +541,89 @@ object Events {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
+  /** E37: streaming CDC apply into the MERGE-ON-READ table — E35's
+    * loop with K39's write mode, which is the combination the mode
+    * EXISTS for: per micro-batch the MERGE lands only an
+    * equality-delete file (superseded user rows) plus a small data
+    * file (the batch's latest-per-user rows) and commits one tagged
+    * manifest version; a committed data file is NEVER rewritten, so
+    * ingest cost per batch is batch-sized, not touched-file-sized —
+    * at 100 TB the difference between a CDC stream that keeps up and
+    * one that rewrites the table all night. Reads apply the delete
+    * masks by commit seq, so the final state equals E35's
+    * copy-on-write answer exactly.
+    *
+    * Exactly-once rides the same txn-tag guard (every batch applied
+    * twice in-band); the ZERO-REWRITE property is asserted in-band
+    * too: the output's protocol row scans consecutive manifest
+    * versions and counts data files that ever DISAPPEARED — any
+    * rewrite breaks the oracle hash, as does a run where no
+    * cross-batch update ever produced a delete file.
+    */
+  def streamMorMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftLakeTable
+    graft.queries.IOQueries.ensureCatalog(spark)
+    val input = stageStreamInput(spark, dir, copies = 1)
+    val schema = spark.read.parquet(input).schema
+    spark.sql("DROP TABLE IF EXISTS graft.lake.user_state_mor")
+    spark.sql(
+      """CREATE TABLE graft.lake.user_state_mor (
+        |  user_id BIGINT NOT NULL, event_id BIGINT, event_type STRING, value DOUBLE)
+        |TBLPROPERTIES('graft.merge-on-read.key'='user_id')""".stripMargin)
+    val tableDir = s"${graft.queries.IOQueries.catalogRoot}/lake/user_state_mor"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2") // force several MERGE commits
+      .parquet(input)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val txn = s"mor_merge:$batchId"
+        val s2 = batch.sparkSession
+        def applyOnce(): Unit =
+          if (!GraftLakeTable.committedTxns(s2, s"$tableDir/manifest").contains(txn)) {
+            import org.apache.spark.sql.expressions.Window
+            batch.withColumn("rn", row_number().over(
+                Window.partitionBy("user_id").orderBy(col("event_id").desc)))
+              .filter(col("rn") === 1).drop("rn")
+              .createOrReplaceTempView("e37_batch")
+            s2.conf.set(GraftLakeTable.TxnConfKey, txn)
+            try s2.sql(
+              """MERGE INTO graft.lake.user_state_mor t USING e37_batch s
+                |ON t.user_id = s.user_id
+                |WHEN MATCHED AND s.event_id > t.event_id THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+            finally s2.conf.unset(GraftLakeTable.TxnConfKey)
+          }
+        applyOnce()
+        applyOnce() // redelivery: the tag is committed, so this no-ops
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // protocol actuals from the manifest chain: data files must only
+    // ever be ADDED (merge-on-read never rewrites), and cross-batch
+    // updates must have produced at least one equality-delete file
+    val manBase = s"$tableDir/manifest"
+    val chains = graft.sinks.ManifestStore.versions(spark, manBase)
+      .map(v => GraftLakeTable.manifestRowsFull(spark, manBase, v)
+        .map(_.file).filterNot(_.startsWith("deletes_")).toSet)
+    val removed = chains.sliding(2).collect {
+      case Seq(prev, next) => (prev -- next).size
+    }.sum
+    val anyDeleteFiles = GraftLakeTable
+      .manifestRowsFull(spark, manBase,
+        graft.sinks.ManifestStore.versions(spark, manBase).last)
+      .exists(_.file.startsWith("deletes_"))
+    spark.sql(
+      s"""SELECT event_type, count(*) AS n_users,
+         |  sum(event_id) AS id_sum, round(sum(value), 2) AS total_value
+         |FROM graft.lake.user_state_mor
+         |GROUP BY event_type
+         |UNION ALL
+         |SELECT 'x_protocol', ${removed}L, ${if (anyDeleteFiles) 1L else 0L}L, 1.0
+         |ORDER BY event_type""".stripMargin)
+  }
+
   /** E36: streaming heavy hitters — a Misra–Gries frequent-items
     * sketch ([[graft.functions.Aggregators.MisraGries]]) maintained as
     * STREAMING AGGREGATION STATE: the state store holds one
