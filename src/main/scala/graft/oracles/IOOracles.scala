@@ -78,6 +78,18 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT '3_publish_fixed', total - nb, 0, true, 2, total - nb FROM n, bad
         |ORDER BY stage""".stripMargin,
+    // K41: CTAS = filtered projection totals, RTAS = the rollup's
+    // shape (status count + grand order count through the new schema)
+    "sink_ctas" ->
+      """SELECT '1_ctas' AS step,
+        |  cast(count(*) AS bigint) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |UNION ALL
+        |SELECT '2_rtas',
+        |  cast(count(DISTINCT o_orderstatus) AS bigint),
+        |  cast(count(*) AS double)
+        |FROM orders
+        |ORDER BY step""".stripMargin,
     // K40: per-version row totals replayed from raw parquet — v1 =
     // even keys, v2 = all, v3 = post-DELETE survivors; the files row
     // re-asserts v3's live total through the other metadata relation

@@ -380,6 +380,50 @@ object IOQueries {
         |ORDER BY src, version""".stripMargin)
   }
 
+  /** K41: atomic `CREATE TABLE AS SELECT` / `REPLACE TABLE AS SELECT`
+    * through the staging catalog ([[org.apache.spark.sql.graft
+    * .GraftStagedTable]]): the table builds INVISIBLY (meta + data +
+    * manifest under a dot-prefixed staging dir) and becomes real in
+    * one commit — CTAS by a single sentinel-checked directory rename,
+    * RTAS by moving staged data dirs + one overwrite manifest version
+    * + a meta swap. Without staging, Spark's fallback exposes an empty
+    * table mid-CTAS and orphans it on failure; with it, a failed
+    * CTAS/RTAS leaves no trace / the old table byte-identical
+    * (spec-pinned in Round23Spec, where the failure paths live).
+    *
+    * Flow here: CTAS a filtered projection, then RTAS the same name
+    * into a DIFFERENT SCHEMA (the per-status rollup) — the schema
+    * flip riding the commit is exactly what a naive drop-and-recreate
+    * cannot do atomically. Readbacks after each statement; the oracle
+    * replays both from raw parquet.
+    */
+  def sinkCtas(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_ctas_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_ctas")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_ctas AS
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders_ctas_src WHERE o_orderstatus <> 'P'""".stripMargin)
+    val ctas = spark.sql(
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM graft.lake.orders_ctas""".stripMargin).collect().head
+    spark.sql(
+      """REPLACE TABLE graft.lake.orders_ctas AS
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS status_total
+        |FROM orders_ctas_src GROUP BY o_orderstatus""".stripMargin)
+    val rtas = spark.sql(
+      """SELECT count(*) AS n, cast(sum(n_orders) AS double) AS total
+        |FROM graft.lake.orders_ctas""".stripMargin).collect().head
+    import spark.implicits._
+    Seq(("1_ctas", ctas.getLong(0), ctas.getDouble(1)),
+        ("2_rtas", rtas.getLong(0), rtas.getDouble(1)))
+      .toDF("step", "n", "total").orderBy("step")
+  }
+
   /** One catalog root per JVM: the catalog INSTANCE is cached by the
     * session's CatalogManager at first use, so its `root` option must
     * never change within a JVM — per-invocation freshness comes from

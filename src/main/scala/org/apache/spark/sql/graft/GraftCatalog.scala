@@ -72,7 +72,38 @@ import java.util
   * conditional PUTs (documented CONTRACT, same as K11).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-  with FunctionCatalog with ProcedureCatalog {
+  with FunctionCatalog with ProcedureCatalog with StagingTableCatalog {
+
+  /** K41: atomic CTAS/RTAS (see [[GraftStagedTable]]) — the staged
+    * table builds invisibly under a dot-prefixed dir and becomes real
+    * in one commit; a failed CTAS leaves no table, a failed RTAS
+    * leaves the old table untouched.
+    */
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replaceExisting = false)
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, info, replaceExisting = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replaceExisting = true)
+
+  private def stage(ident: Identifier, info: TableInfo,
+                    replaceExisting: Boolean): StagedTable = {
+    val (bucketSpec, morKey) = parseTableInfo(info)
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    if (!replaceExisting && tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    val staging = new Path(nsPath(ident.namespace()),
+      s".staging_${java.util.UUID.randomUUID().toString.take(12)}_${safePart(ident.name())}")
+    new GraftStagedTable(spark, fs, ident,
+      s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+      staging, tablePath(ident), info.schema(), bucketSpec, morKey,
+      metaText(info.schema(), bucketSpec, morKey), replaceExisting)
+  }
 
   /** SQL `CALL graft.system.{optimize,vacuum}(...)` — table
     * maintenance on Spark 4's procedure surface (K37, see
@@ -232,7 +263,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = nsPath(namespace)
     if (!fs.exists(dir)) Array.empty
     else fs.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && fs.exists(metaFile(st.getPath)))
+      // dot-prefixed dirs are in-flight CTAS/RTAS stagings (K41) —
+      // complete tables on disk, invisible until their commit rename
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".") &&
+        fs.exists(metaFile(st.getPath)))
       .map(st => Identifier.of(namespace, st.getPath.getName))
       .sortBy(_.name())
       .toArray
@@ -305,7 +339,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       dir.toString, schema, version, bucketSpec, morKey)
   }
 
-  override def createTable(ident: Identifier, info: TableInfo): Table = {
+  /** The ONE supported partition transform (bucket(n, bigintCol) —
+    * K34) and the K39 merge-on-read property, shared by CREATE TABLE
+    * and the staged CTAS/RTAS path.
+    */
+  private def parseTableInfo(info: TableInfo): (Option[(String, Int)], Option[String]) = {
     // the ONE supported partition transform: bucket(n, bigintCol) —
     // K34 storage-partitioned tables. Anything else is refused loudly
     val bucketSpec: Option[(String, Int)] = info.partitions().toSeq match {
@@ -355,6 +393,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "(row ids cannot be nullable)")
         key
       }
+    (bucketSpec, morKey)
+  }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val (bucketSpec, morKey) = parseTableInfo(info)
     if (!namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
     val dir = tablePath(ident)

@@ -184,6 +184,50 @@ class Round23Spec extends SparkSpec {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("staged ctas/rtas: failures leave no table / the old table untouched; no staging residue") {
+    graft.queries.IOQueries.ensureCatalog(spark)
+    val nsDir = new java.io.File(graft.queries.IOQueries.catalogRoot + "/lake")
+    def stagingResidue(): Seq[String] =
+      Option(nsDir.list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith(".staging_")).toSeq
+    // failed CTAS: the staged write throws mid-query → no table exists,
+    // nothing listed, no staging dir left behind
+    spark.sql("DROP TABLE IF EXISTS graft.lake.ctas_fail")
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft.lake.ctas_fail AS
+          |SELECT CASE WHEN k > 1 THEN raise_error('boom') ELSE 'ok' END AS v
+          |FROM VALUES (1), (2) t(k)""".stripMargin)
+    }
+    assert(!spark.catalog.tableExists("graft.lake.ctas_fail"),
+      "a failed CTAS must not leave a table")
+    assert(stagingResidue().isEmpty, s"staging residue: ${stagingResidue()}")
+    // failed RTAS: the old table survives byte-identical
+    spark.sql("DROP TABLE IF EXISTS graft.lake.rtas_keep")
+    spark.sql("CREATE TABLE graft.lake.rtas_keep AS SELECT 1L AS k, 'a' AS v")
+    intercept[Exception] {
+      spark.sql(
+        """REPLACE TABLE graft.lake.rtas_keep AS
+          |SELECT CASE WHEN k > 1 THEN raise_error('boom') ELSE 'ok' END AS v
+          |FROM VALUES (1), (2) t(k)""".stripMargin)
+    }
+    val kept = spark.sql("SELECT k, v FROM graft.lake.rtas_keep").collect()
+    assert(kept.length == 1 && kept.head.getLong(0) == 1L && kept.head.getString(1) == "a",
+      "a failed RTAS must leave the old table intact")
+    assert(stagingResidue().isEmpty)
+    // duplicate CTAS: refused at commit, the original intact
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.lake.rtas_keep AS SELECT 9L AS k, 'z' AS v")
+    }
+    assert(spark.sql("SELECT v FROM graft.lake.rtas_keep").collect().head.getString(0) == "a")
+    assert(stagingResidue().isEmpty)
+    // successful RTAS changes the schema in one statement and keeps
+    // the old snapshot's versions committed
+    spark.sql("REPLACE TABLE graft.lake.rtas_keep AS SELECT 7L AS n_total")
+    assert(spark.sql("SELECT n_total FROM graft.lake.rtas_keep")
+      .collect().head.getLong(0) == 7L)
+  }
+
   test("mor: MERGE INTO applies upserts + deletes as delta, one version, no file rewrite") {
     graft.queries.IOQueries.ensureCatalog(spark)
     spark.sql("DROP TABLE IF EXISTS graft.lake.mor_merge")
