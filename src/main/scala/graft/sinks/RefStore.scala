@@ -38,8 +38,14 @@ object RefStore {
   private def refsAt(spark: SparkSession, refBase: String,
                      v: Long): Map[String, (String, Long)] =
     if (v == 0L) Map.empty
-    else ManifestStore.at(spark, refBase, Some(v))._2
-      .select("name", "kind", "version").collect()
+    // EXPLICIT schema: dropping the last ref publishes a ZERO-ROW
+    // manifest, and schema inference over an empty JSON dir has no
+    // columns — the inferred read would wedge the store permanently
+    // (review finding, round 10)
+    else spark.read.schema("name STRING, kind STRING, version BIGINT")
+      .json(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(refBase), s"manifest_v$v").toString)
+      .collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
 
   /** Resolve `name` to (kind, version); throws if the ref does not exist. */

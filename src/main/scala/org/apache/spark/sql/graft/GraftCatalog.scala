@@ -181,30 +181,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => schema.json
     }
 
-  private val WrappedMeta =
-    """(?s)\{"graftBucket":\{"col":"([^"]+)","n":(\d+)\},"schema":(.*)\}""".r
-  private val WrappedMorMeta =
-    """(?s)\{"graftMor":\{"key":"([^"]+)"\},"schema":(.*)\}""".r
-
   private def parseMeta(meta: Path, txt: String)
-      : (StructType, Option[(String, Int)], Option[String]) = {
-    val (schemaJson, spec, morKey) = txt.trim match {
-      case WrappedMeta(col, n, rest) => (rest, Some((col, n.toInt)), None)
-      case WrappedMorMeta(key, rest) => (rest, None, Some(key))
-      case other => (other, None, None)
-    }
-    // a truncated meta file (disk-full/kill during CREATE) must fail
-    // with a NAMED remedy, not a raw JSON parse error wedging the
-    // identifier opaquely
-    val schema =
-      try DataType.fromJson(schemaJson).asInstanceOf[StructType]
-      catch { case e: Exception =>
-        throw new IllegalStateException(
-          s"table metadata at $meta is unreadable (interrupted CREATE " +
-            s"TABLE?) — drop the table directory to recover", e)
-      }
-    (schema, spec, morKey)
-  }
+      : (StructType, Option[(String, Int)], Option[String]) =
+    GraftTableMeta.parse(meta.toString, txt)
 
   // ---- namespaces -------------------------------------------------------
 
@@ -655,6 +634,39 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
           }
       }
     }
+}
+
+/** The ONE parser for `_graft_table.json` wrappers — the catalog and
+  * the CALL procedures both resolve meta through here, so a new
+  * wrapper variant cannot drift between them (round-10 review: the
+  * procedures' hand-copied regex missed the MoR wrapper and crashed
+  * OPTIMIZE on MoR tables).
+  */
+private[graft] object GraftTableMeta {
+  private val WrappedBucket =
+    """(?s)\{"graftBucket":\{"col":"([^"]+)","n":(\d+)\},"schema":(.*)\}""".r
+  private val WrappedMor =
+    """(?s)\{"graftMor":\{"key":"([^"]+)"\},"schema":(.*)\}""".r
+
+  def parse(metaPath: String, txt: String)
+      : (StructType, Option[(String, Int)], Option[String]) = {
+    val (schemaJson, spec, morKey) = txt.trim match {
+      case WrappedBucket(col, n, rest) => (rest, Some((col, n.toInt)), None)
+      case WrappedMor(key, rest) => (rest, None, Some(key))
+      case other => (other, None, None)
+    }
+    // a truncated meta file (disk-full/kill during CREATE) must fail
+    // with a NAMED remedy, not a raw JSON parse error wedging the
+    // identifier opaquely
+    val schema =
+      try DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      catch { case e: Exception =>
+        throw new IllegalStateException(
+          s"table metadata at $metaPath is unreadable (interrupted CREATE " +
+            s"TABLE?) — drop the table directory to recover", e)
+      }
+    (schema, spec, morKey)
+  }
 }
 
 object GraftLakeTable {

@@ -65,16 +65,8 @@ private[graft] object GraftProcedures {
     require(fs.exists(meta), s"catalog '$catalogName' has no table '$table'")
     val in = fs.open(meta)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val WrappedMeta =
-      """(?s)\{"graftBucket":\{"col":"([^"]+)","n":(\d+)\},"schema":(.*)\}""".r
-    val WrappedMorMeta =
-      """(?s)\{"graftMor":\{"key":"[^"]+"\},"schema":(.*)\}""".r
-    val (schemaJson, spec) = txt.trim match {
-      case WrappedMeta(col, n, rest) => (rest, Some((col, n.toInt)))
-      case WrappedMorMeta(rest) => (rest, None)
-      case other => (other, None)
-    }
-    (dir.toString, DataType.fromJson(schemaJson).asInstanceOf[StructType], spec)
+    val (schema, spec, _) = GraftTableMeta.parse(meta.toString, txt)
+    (dir.toString, schema, spec)
   }
 
   private def fileSystem(root: String): FileSystem =
@@ -193,13 +185,30 @@ private[graft] object GraftProcedures {
           }
           buf.toSeq
         }
+      // manifest-relative path = from the file's own dir component —
+      // data_<writer> and K39's deletes_<writer> alike (matching on
+      // "/data_" alone classed every live delete file as unreferenced
+      // and vacuumed it — review finding, round 10)
       val doomed = onDisk.filterNot { abs =>
-        val idx = abs.lastIndexOf("/data_")
+        val idx = math.max(abs.lastIndexOf("/data_"), abs.lastIndexOf("/deletes_"))
         idx >= 0 && referenced.contains(abs.substring(idx + 1))
       }
       doomed.foreach(f => fs.delete(new Path(f), false))
+      // K41: staging dirs orphaned by DRIVER DEATH mid-CTAS/RTAS are
+      // invisible, complete table copies under the namespace dir that
+      // no in-process abort will ever reach — sweep the ones older
+      // than the staging retention window (a LIVE staged build is
+      // seconds-to-minutes old; 24h cannot race it)
+      val nsDir = new Path(dir).getParent
+      val stagingCutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      val staleStaging = fs.listStatus(nsDir).toSeq.filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith(".staging_") &&
+          st.getModificationTime < stagingCutoff
+      }
+      staleStaging.foreach(st => fs.delete(st.getPath, true))
       resultScan(outSchema,
-        Seq(swept.length.toLong, doomed.length.toLong, referenced.size.toLong))
+        Seq(swept.length.toLong,
+          (doomed.length + staleStaging.length).toLong, referenced.size.toLong))
     }
 
     private val outSchema = StructType(Seq(

@@ -184,6 +184,40 @@ class Round23Spec extends SparkSpec {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("refstore: dropping the LAST ref leaves a usable (empty) store") {
+    val refs = freshBase() + "/refs"
+    RefStore.set(spark, refs, "main", "branch", 1L)
+    RefStore.drop(spark, refs, "main")
+    assert(RefStore.refs(spark, refs).isEmpty)
+    RefStore.set(spark, refs, "main", "branch", 2L) // store must still accept flips
+    assert(RefStore.resolve(spark, refs, "main") == ("branch", 2L))
+  }
+
+  test("vacuum: live equality-delete files survive; stale CTAS stagings are swept, fresh ones kept") {
+    graft.queries.IOQueries.ensureCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.lake.mor_vac")
+    spark.sql(
+      """CREATE TABLE graft.lake.mor_vac (k BIGINT NOT NULL, v STRING)
+        |TBLPROPERTIES('graft.merge-on-read.key'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.mor_vac VALUES (1,'a'),(2,'b'),(3,'c')")
+    spark.sql("DELETE FROM graft.lake.mor_vac WHERE k = 2")
+    // plant a STALE orphaned staging (driver-death residue) and a
+    // FRESH one (a live CTAS build) in the namespace
+    val nsDir = new java.io.File(graft.queries.IOQueries.catalogRoot + "/lake")
+    val stale = new java.io.File(nsDir, ".staging_deadbeef0001_t")
+    val fresh = new java.io.File(nsDir, ".staging_cafebabe0002_t")
+    stale.mkdirs(); fresh.mkdirs()
+    assert(stale.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000))
+    spark.sql("CALL graft.system.vacuum(table => 'lake.mor_vac', keep => 10)").collect()
+    assert(!stale.exists(), "a 48h-old orphaned staging dir must be swept")
+    assert(fresh.exists(), "a fresh staging dir (live CTAS) must survive")
+    fresh.delete()
+    // the live delete file survived the sweep: the masked read still works
+    val out = spark.sql("SELECT k FROM graft.lake.mor_vac ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 3L), s"masked read after vacuum: $out")
+  }
+
   test("staged ctas/rtas: failures leave no table / the old table untouched; no staging residue") {
     graft.queries.IOQueries.ensureCatalog(spark)
     val nsDir = new java.io.File(graft.queries.IOQueries.catalogRoot + "/lake")
