@@ -37,8 +37,8 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   * `n` is also the read parallelism — pick it like Hive bucket counts.
   * Every DML preserves the layout: DELETE's survivor rewrite goes
   * through the bucket-aware INSERT path, and MERGE/UPDATE's replace
-  * write bucket-routes the rewritten groups in a second pass over the
-  * touched files (see [[GraftRowLevel]]'s commit).
+  * write bucket-routes rewritten rows in a single pass straight into
+  * per-bucket files (see [[GraftBucketRoutedBatchWrite]]).
   */
 object GraftBucketed {
 

@@ -773,12 +773,18 @@ object GraftLakeTable {
     * whole table — history included — survives RENAME as one atomic
     * directory move.
     */
+  /** `onlyFiles` (the Iceberg commit shape): restrict the stats pass
+    * to files a committed task attempt REPORTED — what makes
+    * speculative/retried attempts' orphan files invisible to the
+    * commit (they stay unreferenced until VACUUM).
+    */
   private[graft] def fileStats(spark: SparkSession, dataDir: String,
-                               schema: StructType, bucketed: Boolean = false)
+                               schema: StructType, bucketed: Boolean = false,
+                               onlyFiles: Option[Seq[String]] = None)
       : Seq[(String, Long, Map[String, Seq[String]])] = {
     import org.apache.spark.sql.functions.{max, min}
     val fs = new Path(dataDir).getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new Path(dataDir))) return Seq.empty
+    if (!fs.exists(new Path(dataDir)) || onlyFiles.exists(_.isEmpty)) return Seq.empty
     val cols = statColumns(schema)
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { f =>
       val c = org.apache.spark.sql.functions.col(s"`${f.name}`")
@@ -794,8 +800,14 @@ object GraftLakeTable {
     // relative-path marker = this write's own dir component (covers
     // data_<writer> and K39's deletes_<writer> alike)
     val marker = "/" + new Path(dataDir).getName
-    spark.read.schema(readSchema).parquet(dataDir)
-      .groupBy(input_file_name().as("file"))
+    val src = onlyFiles match {
+      case Some(files) =>
+        // basePath keeps the bucket partition-dir column resolvable
+        // when reading explicit file paths
+        spark.read.schema(readSchema).option("basePath", dataDir).parquet(files: _*)
+      case None => spark.read.schema(readSchema).parquet(dataDir)
+    }
+    src.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val abs = r.getString(0)
@@ -909,10 +921,11 @@ object GraftLakeTable {
   private[graft] def commitReplace(spark: SparkSession, dir: String,
                                    dataDir: String, replaced: Set[String],
                                    schema: StructType, bucketed: Boolean,
-                                   opDesc: String, maxRetries: Int = 50): Unit = {
+                                   opDesc: String, maxRetries: Int = 50,
+                                   onlyFiles: Option[Seq[String]] = None): Unit = {
     val manBase = s"$dir/manifest"
     val txn = spark.conf.getOption(TxnConfKey).getOrElse("")
-    val newRows = fileStats(spark, dataDir, schema, bucketed)
+    val newRows = fileStats(spark, dataDir, schema, bucketed, onlyFiles)
     var attempt = 0
     while (attempt <= maxRetries) {
       attempt += 1

@@ -303,62 +303,174 @@ private[graft] class GraftReplaceWrite(
   private val writerId = java.util.UUID.randomUUID().toString.take(12)
   private val dataDir = s"$dir/data_$writerId"
 
-  override def toBatch: BatchWrite = new BatchWrite {
-    private val inner: BatchWrite =
-      ParquetTable("graft-rlo-write", spark, CaseInsensitiveStringMap.empty(),
-        Seq(dataDir), Some(info.schema()), classOf[ParquetFileFormat])
-        .newWriteBuilder(info).build().toBatch
+  override def toBatch: BatchWrite = op.bucketSpec match {
+    // bucketed table: SINGLE-PASS bucket-routed write — each task
+    // computes the bucket id per row and streams it straight into a
+    // final per-bucket parquet file (no Hadoop commit protocol: the
+    // manifest gates visibility, so files are written at their final
+    // paths and only the files a COMMITTED task attempt reported are
+    // registered — the Iceberg commit shape; a speculative attempt's
+    // duplicates stay unreferenced until VACUUM). Replaces the old
+    // two-pass read-back-and-re-route, saving one full read+write of
+    // the touched groups on every bucketed MERGE/UPDATE.
+    case Some((col, n)) => new BatchWrite {
+      private val routed = new GraftBucketRoutedBatchWrite(
+        spark, dataDir, info.schema(), col, n)
 
-    // ReplaceData's physical rows lead with Spark's internal
-    // `__row_operation` INT column (RowDeltaUtils.WRITE_OPERATION);
-    // with no metadata attributes declared Spark hands the raw rows to
-    // the writer (DataWritingSparkTask does not project), so the
-    // connector strips the marker itself before the parquet writer
-    override def createBatchWriterFactory(
-        pInfo: PhysicalWriteInfo): DataWriterFactory =
-      new GraftOpStrippingWriterFactory(
-        inner.createBatchWriterFactory(pInfo), info.schema())
+      override def createBatchWriterFactory(
+          pInfo: PhysicalWriteInfo): DataWriterFactory =
+        routed.writerFactory()
 
-    override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+      // file visibility is message-gated, not committer-gated — no
+      // coordinator ask needed (and none would be answered twice)
+      override def useCommitCoordinator(): Boolean = false
 
-    override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      inner.commit(messages)
-      commitManifest()
-    }
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val files = messages
+          .collect { case m: GraftBucketCommitMessage => m.files.toSeq }.flatten
+        GraftLakeTable.commitReplace(spark, dir, dataDir, op.replacedFiles,
+          info.schema(), bucketed = true, op.description(),
+          onlyFiles = Some(files))
+      }
 
-    override def abort(messages: Array[WriterCommitMessage]): Unit =
-      inner.abort(messages)
-  }
-
-  private def commitManifest(): Unit = {
-    val manBase = s"$dir/manifest"
-    // the groups this operation read — and therefore replaces
-    val replaced = op.replacedFiles
-    // bucketed table: the V2 file write landed the rewritten groups
-    // FLAT; bucket-route them in a second pass so the layout invariant
-    // (one bucket per file, id in the path) survives every DML. Costs
-    // one extra read+write of the TOUCHED groups only — the price of
-    // reusing Spark's stock parquet writer; a custom partitioned
-    // BatchWrite is the single-pass refinement.
-    val finalDataDir = op.bucketSpec match {
-      case Some(bs) =>
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
         val fs = new org.apache.hadoop.fs.Path(dataDir)
           .getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(new org.apache.hadoop.fs.Path(dataDir))) dataDir
-        else {
-          val routed = s"$dir/data_${java.util.UUID.randomUUID().toString.take(12)}"
-          GraftLakeTable.writeData(routed,
-            spark.read.schema(info.schema()).parquet(dataDir), Some(bs))
+        if (fs.exists(new org.apache.hadoop.fs.Path(dataDir)))
           fs.delete(new org.apache.hadoop.fs.Path(dataDir), true)
-          routed
-        }
-      case None => dataDir
+      }
     }
-    GraftLakeTable.commitReplace(spark, dir, finalDataDir, replaced,
-      info.schema(), bucketed = op.bucketSpec.isDefined, op.description())
+
+    case None => new BatchWrite {
+      private val inner: BatchWrite =
+        ParquetTable("graft-rlo-write", spark, CaseInsensitiveStringMap.empty(),
+          Seq(dataDir), Some(info.schema()), classOf[ParquetFileFormat])
+          .newWriteBuilder(info).build().toBatch
+
+      // ReplaceData's physical rows lead with Spark's internal
+      // `__row_operation` INT column (RowDeltaUtils.WRITE_OPERATION);
+      // with no metadata attributes declared Spark hands the raw rows to
+      // the writer (DataWritingSparkTask does not project), so the
+      // connector strips the marker itself before the parquet writer
+      override def createBatchWriterFactory(
+          pInfo: PhysicalWriteInfo): DataWriterFactory =
+        new GraftOpStrippingWriterFactory(
+          inner.createBatchWriterFactory(pInfo), info.schema())
+
+      override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        inner.commit(messages)
+        GraftLakeTable.commitReplace(spark, dir, dataDir, op.replacedFiles,
+          info.schema(), bucketed = false, op.description())
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        inner.abort(messages)
+    }
   }
 
   override def description(): String = s"GraftReplaceWrite($dataDir)"
+}
+
+/** The single-pass bucket router: parquet files open lazily per
+  * bucket id inside each task (bounded by the table's bucket count;
+  * rows need not arrive clustered) at their FINAL paths
+  * `data_<writer>/__graft_bucket=<b>/part-<pid>-<tid>.parquet`, and
+  * the task's commit message lists exactly the files it wrote. The
+  * bucket id mirrors `pmod(hash(key), n)` including Spark's
+  * hash(NULL) = seed convention, so routed files interoperate
+  * bit-for-bit with [[GraftLakeTable.writeData]]'s directory
+  * partitioning and the SPJ read path.
+  */
+private[graft] class GraftBucketRoutedBatchWrite(
+    spark: SparkSession,
+    dataDir: String,
+    dataSchema: StructType,
+    bucketCol: String,
+    nBuckets: Int) {
+
+  // prepareWrite configures the job conf the executor-side
+  // TaskAttemptContexts must carry (ParquetWriteSupport schema etc.)
+  private val (factory, serConf) = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val f = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, dataSchema)
+    (f, new org.apache.spark.util.SerializableConfiguration(job.getConfiguration))
+  }
+
+  def writerFactory(): DataWriterFactory =
+    new GraftBucketRoutedWriterFactory(factory, serConf, dataDir, dataSchema,
+      dataSchema.fieldIndex(bucketCol), nBuckets)
+}
+
+private[graft] case class GraftBucketCommitMessage(files: Array[String])
+  extends WriterCommitMessage
+
+private[graft] class GraftBucketRoutedWriterFactory(
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    serConf: org.apache.spark.util.SerializableConfiguration,
+    dataDir: String,
+    dataSchema: StructType,
+    keyIdx: Int,
+    nBuckets: Int)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+      import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+      private val ctx = new TaskAttemptContextImpl(
+        new org.apache.hadoop.conf.Configuration(serConf.value),
+        new TaskAttemptID(
+          new TaskID(new JobID("graftBucketRoute", partitionId), TaskType.MAP,
+            partitionId), 0))
+      private val ext = factory.getFileExtension(ctx)
+      private val open = new java.util.HashMap[
+        Int, org.apache.spark.sql.execution.datasources.OutputWriter]()
+      private val written = scala.collection.mutable.ArrayBuffer[String]()
+      private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        dataSchema, 1 to dataSchema.length)
+
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        // strip ReplaceData's leading __row_operation marker (see the
+        // flat path's stripping factory)
+        val r = if (row.numFields == dataSchema.length) row
+                else { proj.project(row); proj }
+        // hash(NULL) leaves the seed (42) untouched — mirror it
+        val b =
+          if (r.isNullAt(keyIdx)) ((42 % nBuckets) + nBuckets) % nBuckets
+          else GraftBucketed.bucketId(r.getLong(keyIdx), nBuckets)
+        var w = open.get(b)
+        if (w == null) {
+          val path = s"$dataDir/${GraftBucketed.BucketDirPrefix}$b/" +
+            s"part-$partitionId-$taskId$ext"
+          w = factory.newInstance(path, dataSchema, ctx)
+          open.put(b, w)
+          written += path
+        }
+        w.write(r)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        open.values().forEach(_.close())
+        GraftBucketCommitMessage(written.toArray)
+      }
+
+      override def abort(): Unit = {
+        open.values().forEach(w =>
+          try w.close() catch { case _: Exception => () })
+        val fs = new org.apache.hadoop.fs.Path(dataDir)
+          .getFileSystem(serConf.value)
+        written.foreach(p =>
+          try fs.delete(new org.apache.hadoop.fs.Path(p), false)
+          catch { case _: Exception => () })
+      }
+
+      override def close(): Unit = ()
+    }
 }
 
 /** Strips the leading `__row_operation` marker off ReplaceData rows
