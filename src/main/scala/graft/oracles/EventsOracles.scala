@@ -22,6 +22,18 @@ private[graft] object EventsOracles {
         |  round(sum(value), 2) AS total_value
         |FROM last WHERE rn = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // E38: per-status totals replayed from orders + the protocol row —
+    // the second checkpointed run must have ingested EXACTLY the
+    // holdout slice (incremental resume), the first everything else
+    "e_stream_lake_source" ->
+      """SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'x_protocol',
+        |  (SELECT cast(count(*) AS bigint) FROM orders WHERE o_orderkey % 1000 = 7),
+        |  1.0
+        |ORDER BY o_orderstatus""".stripMargin,
     // E37: the same last-per-user replay (merge-on-read must answer
     // exactly what copy-on-write answers) + the protocol row — 0 data
     // files ever removed across the manifest chain, delete files

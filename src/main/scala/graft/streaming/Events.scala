@@ -624,6 +624,63 @@ object Events {
          |ORDER BY event_type""".stripMargin)
   }
 
+  /** E38: the lake table as a STREAMING SOURCE
+    * (`spark.readStream.table` over [[org.apache.spark.sql.graft
+    * .GraftMicroBatchStream]]) — the Delta streaming-source loop
+    * closed: offsets are manifest versions, a micro-batch is exactly
+    * the files ADDED between two versions, and Spark's own offset
+    * checkpointing gives exactly-once downstream progress. The read
+    * side of what E34/E35/E37 write.
+    *
+    * The op PROVES incrementality in-band: three INSERT commits land
+    * (a holdout slice withheld), a first checkpointed run drains
+    * them, the holdout commits as a fourth version, and a SECOND run
+    * on the SAME checkpoint resumes — its input-row count (a Spark
+    * progress ACTUAL) must equal the holdout alone, and rides the
+    * output's protocol row, so a source that re-reads history (or
+    * misses a version) breaks the oracle hash. The final per-status
+    * aggregate comes from the recovered complete-mode state.
+    */
+  def streamLakeSource(spark: SparkSession, dir: String): DataFrame = {
+    graft.queries.IOQueries.ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_feed_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_feed")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_feed (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+    def ins(where: String): Unit = spark.sql(
+      s"INSERT INTO graft.lake.orders_feed SELECT * FROM orders_feed_src WHERE $where")
+    ins("o_orderkey % 3 = 0 AND o_orderkey % 1000 <> 7")
+    ins("o_orderkey % 3 = 1 AND o_orderkey % 1000 <> 7")
+    ins("o_orderkey % 3 = 2 AND o_orderkey % 1000 <> 7")
+    val ckpt = Files.createTempDirectory("graft_lake_src").toString + "/ckpt"
+    def runOnce(name: String): Long = {
+      val q = spark.readStream.table("graft.lake.orders_feed")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    val firstRows = runOnce("graft_lake_src_1")
+    ins("o_orderkey % 1000 = 7") // the holdout commits as version 4
+    val secondRows = runOnce("graft_lake_src_2")
+    val total = spark.sql("SELECT count(*) FROM graft.lake.orders_feed")
+      .collect().head.getLong(0)
+    val firstOk = if (firstRows == total - secondRows) 1.0 else 0.0
+    spark.sql(
+      s"""SELECT o_orderstatus, n, total FROM graft_lake_src_2
+         |UNION ALL
+         |SELECT 'x_protocol', ${secondRows}L, $firstOk
+         |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** E36: streaming heavy hitters — a Misra–Gries frequent-items
     * sketch ([[graft.functions.Aggregators.MisraGries]]) maintained as
     * STREAMING AGGREGATION STATE: the state store holds one

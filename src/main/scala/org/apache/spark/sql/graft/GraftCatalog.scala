@@ -525,6 +525,7 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** The pinned (or latest) committed file list — resolved ONCE per
@@ -566,9 +567,13 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
           currentManifestRows(), tableSchema, morKey.get, options)
       case None =>
         // K35: manifest-stats file pruning wraps the stock parquet
-        // builder — SELECTs skip provably-non-matching files
-        new GraftPrunedScanBuilder(spark, tableName, dir,
-          currentManifestRows(), tableSchema, options)
+        // builder — SELECTs skip provably-non-matching files; the
+        // K42 wrapper adds the version-offset streaming source
+        // (`readStream.table`) on top of the untouched batch path
+        new GraftLakeScanBuilder(
+          new GraftPrunedScanBuilder(spark, tableName, dir,
+            currentManifestRows(), tableSchema, options),
+          dir, tableSchema, options)
     }
 
   /** `DELETE FROM` — K14's targeted erasure on the SQL surface: read

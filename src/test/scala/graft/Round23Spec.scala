@@ -262,6 +262,41 @@ class Round23Spec extends SparkSpec {
       .collect().head.getLong(0) == 7L)
   }
 
+  test("lake streaming source: a rewrite version fails the stream with a named error; ignoreChanges streams past it") {
+    graft.queries.IOQueries.ensureCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.lake.feed_guard")
+    spark.sql("CREATE TABLE graft.lake.feed_guard (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.lake.feed_guard VALUES (1,'a'),(2,'b')")
+    val ckpt = freshBase() + "/ckpt"
+    def drain(reader: org.apache.spark.sql.DataFrame): Long = {
+      // noop sink: checkpoint-recoverable (memory/append is not);
+      // delivered rows counted from the progress actuals
+      val q = reader.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    // first run consumes v1 and records its offset in the checkpoint
+    assert(drain(spark.readStream.table("graft.lake.feed_guard")) == 2L)
+    // an OVERWRITE removes v1's files — a non-append version; the
+    // RESUMED stream (which already delivered v1) must refuse it
+    spark.sql("INSERT OVERWRITE graft.lake.feed_guard VALUES (3,'c')")
+    val e = intercept[Exception] {
+      drain(spark.readStream.table("graft.lake.feed_guard"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("ignoreChanges")),
+      s"the non-append guard must name the escape hatch: ${messages(e)}")
+    // the documented escape hatch: the resumed stream delivers the
+    // rewrite version's ADDED file and moves on
+    val n = drain(spark.readStream
+      .option("ignoreChanges", "true").table("graft.lake.feed_guard"))
+    assert(n == 1L, s"ignoreChanges must deliver the added file's rows, got $n")
+  }
+
   test("mor: MERGE INTO applies upserts + deletes as delta, one version, no file rewrite") {
     graft.queries.IOQueries.ensureCatalog(spark)
     spark.sql("DROP TABLE IF EXISTS graft.lake.mor_merge")
