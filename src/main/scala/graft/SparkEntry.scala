@@ -304,6 +304,7 @@ object SparkEntry {
     "g_hyperball" -> ((s, d) => Graph.hyperball(s, d)),
     "g_betweenness" -> ((s, d) => Graph.betweenness(s, d)),
     "g_harmonic_all" -> ((s, d) => Graph.hyperballHarmonic(s, d)),
+    "g_ktruss" -> ((s, d) => Graph.ktruss(s, d)),
     "g_components" -> ((s, d) => Graph.components(s, d)),
     "ts_acf" -> ((s, d) => TimeSeries.acf(s, d)),
     "ts_mann_kendall" -> ((s, d) => TimeSeries.mannKendall(s, d)),

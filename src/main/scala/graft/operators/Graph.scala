@@ -370,6 +370,59 @@ object Graph {
     }.flatten.toSeq
   }
 
+  /** G15: k-truss decomposition by synchronous edge peeling over the
+    * co-ordered-parts graph — the cohesion rung ABOVE G7's k-core:
+    * a k-core keeps nodes with k neighbors (a star qualifies — no
+    * cohesion), a k-truss keeps only edges lying in ≥ k−2 triangles
+    * among surviving edges, so every kept relationship is embedded in
+    * overlapping triads — the community primitive product and fraud
+    * work use when label propagation's communities are too loose
+    * (Cohen 2008, the standard truss definition).
+    *
+    * Each round recomputes per-edge support with G2's machinery —
+    * degree-oriented adjacency arrays intersected in place (O(√E)
+    * fan-out bound, nothing wedge-shaped crosses a shuffle), each
+    * triangle crediting its three canonical edges — then drops edges
+    * under support k−2; `rounds` fixed rounds unrolled, checkpointed
+    * (the G7 contract: fixed-round semantics replayed bit-for-bit by
+    * the DuckDB unrolled-CTE oracle, not a convergence loop). Per
+    * round cost = one triangle pass over the surviving edges; at
+    * 100 TB the orientation bound keeps that edge-linear in array
+    * payloads exactly as G2/G8.
+    */
+  def ktruss(spark: SparkSession, dir: String,
+             k: Int = 4, rounds: Int = 4): DataFrame = {
+    val (pp, _) = partsGraph(spark, dir)
+    ktrussOf(pp, k, rounds)
+  }
+
+  /** [[ktruss]]'s core over ANY distinct undirected canonical (a < b)
+    * pair set — split out so specs can feed hand graphs (a K4 clique
+    * is a stable 4-truss; a pendant triangle peels at k=4).
+    */
+  private[graft] def ktrussOf(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = pairs.select("a", "b").localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val stream = triangleStream(orientedOf(e))
+      val credits = stream
+        .select(col("src").as("u"), col("dst").as("v"),
+          explode(col("closing")).as("w"))
+        .select(explode(array(
+          struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+          struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+          struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"))))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      e = credits.groupBy("a", "b").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= k - 2)
+        .select("a", "b")
+        .localCheckpoint()
+    }
+    e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("truss_degree"))
+      .orderBy("node")
+  }
+
   private def partsGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (pp, stream, _) =
       partsGraphCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + dir, {

@@ -140,6 +140,36 @@ private[graft] object GraphOracles {
         |       (SELECT CAST(count(*) AS BIGINT)
         |        FROM o e1 JOIN o e2 ON e1.dst = e2.src
         |          JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles""".stripMargin,
+    // G15: 4 unrolled peel stages; per stage canonical a<b<c triangle
+    // enumeration credits each triangle's three edges, support < k-2
+    // drops the edge — bit-for-bit the Spark loop (support is
+    // orientation-independent)
+    "g_ktruss" -> {
+      val base =
+        """WITH e0 AS MATERIALIZED (
+          |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          |  FROM lineitem x JOIN lineitem y
+          |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          |)""".stripMargin
+      val stages = (1 to 4).map { i =>
+        s""",
+           |t$i AS MATERIALIZED (
+           |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM e${i - 1} e1 JOIN e${i - 1} e2 ON e2.a = e1.b
+           |  JOIN e${i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |c$i AS (
+           |  SELECT x AS a, y AS b FROM t$i
+           |  UNION ALL SELECT x, z FROM t$i
+           |  UNION ALL SELECT y, z FROM t$i),
+           |e$i AS MATERIALIZED (
+           |  SELECT a, b FROM c$i GROUP BY a, b HAVING count(*) >= 2)""".stripMargin
+      }.mkString
+      base + stages +
+        """
+          |SELECT node, CAST(count(*) AS BIGINT) AS truss_degree FROM (
+          |  SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4
+          |) GROUP BY node ORDER BY node""".stripMargin
+    },
     // Bellman-Ford SSSP: 6 unrolled min-plus stages replay the Spark
     // loop exactly (integer weights, INF sentinel, floor division)
     "g_sssp" -> {

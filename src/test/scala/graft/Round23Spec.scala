@@ -85,6 +85,26 @@ class Round23Spec extends SparkSpec {
     assert(ManifestStore.versions(spark, refs).size == 3)
   }
 
+  test("g_ktruss: K4 is a stable 4-truss; a pendant triangle and a tail edge peel away") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}; a pendant triangle {4,5,6}; a tail edge (6,7)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L),
+      (6L, 7L)).toDF("a", "b")
+    val out = graft.operators.Graph.ktrussOf(edges, k = 4, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: (6,7) has no triangle, pendant-triangle edges have
+    // support 1 < 2 — all peeled; K4 edges keep support 2 forever
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"4-truss of K4+pendant+tail must be exactly the K4: $out")
+    // k=3 keeps the pendant triangle too (support >= 1), drops the tail
+    val t3 = graft.operators.Graph.ktrussOf(edges, k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t3.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L) && t3(5L) == 2L,
+      s"3-truss must keep the pendant triangle: $t3")
+  }
+
   test("mor: hand data — DELETE masks, UPDATE reinserts, committed data files never rewrite") {
     graft.queries.IOQueries.ensureCatalog(spark)
     spark.sql("DROP TABLE IF EXISTS graft.lake.mor_hand")
