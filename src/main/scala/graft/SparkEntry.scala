@@ -35,6 +35,7 @@ object SparkEntry {
     "q_setops" -> (Relational.qSetOps _),
     "q_sql" -> (Relational.qSql _),
     "q_sql_script" -> (Relational.qSqlScript _),
+    "q_sql_params" -> (Relational.qSqlParams _),
     "q_recursive" -> (Relational.qRecursive _),
     "q_lateral" -> (Relational.qLateral _),
     "q_rollup" -> (Relational.qRollup _),

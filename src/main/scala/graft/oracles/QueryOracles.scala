@@ -477,6 +477,17 @@ private[graft] object QueryOracles {
         |  round(sum(l_extendedprice), 2) AS total
         |FROM lineitem WHERE l_quantity >= 45.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q53: the bound parameters inlined as literals — what the marker
+    // binding itself produces
+    "q_sql_params" ->
+      """SELECT o_orderpriority, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |  AND o_totalprice > 50000.0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_lateral" ->
       """SELECT c_custkey, t.o_orderkey,
         |       round(t.o_totalprice, 2) AS o_totalprice

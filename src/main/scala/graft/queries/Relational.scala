@@ -217,6 +217,30 @@ object Relational {
         |  USING graft_qty_floor""".stripMargin)
   }
 
+  /** Q53: PARAMETERIZED SQL — Spark 4's named parameter markers
+    * (`spark.sql(text, args)`): the injection-safe form of the
+    * reference's arbitrary-query API (week_1 data_ingest's
+    * `query_data_from_table(query)` takes a raw string; production
+    * parameterizes). Markers bind as LITERALS in the analyzed plan —
+    * never string-spliced — so a hostile value cannot change the
+    * statement shape, and Catalyst constant-folds/pushes them like
+    * any literal (the date bounds land in the parquet scan's
+    * PushedFilters exactly as if written inline).
+    */
+  def qSqlParams(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= CAST(:lo AS DATE)
+        |  AND o_orderdate <  CAST(:hi AS DATE)
+        |  AND o_totalprice > :floor
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+      Map("lo" -> "1996-01-01", "hi" -> "1997-01-01", "floor" -> 50000.0))
+  }
+
   def qSql(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(

@@ -85,6 +85,14 @@ class Round23Spec extends SparkSpec {
     assert(ManifestStore.versions(spark, refs).size == 3)
   }
 
+  test("q_sql_params: bound markers reach the parquet scan as pushed filters") {
+    val plan = graft.queries.Relational.qSqlParams(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("o_totalprice") && plan.contains("o_orderdate"),
+      s"parameter literals must push down to the scan:\n$plan")
+  }
+
   test("g_ktruss: K4 is a stable 4-truss; a pendant triangle and a tail edge peel away") {
     import spark.implicits._
     // K4 on {1,2,3,4}; a pendant triangle {4,5,6}; a tail edge (6,7)
