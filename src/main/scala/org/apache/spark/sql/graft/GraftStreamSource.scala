@@ -137,15 +137,22 @@ private[graft] class GraftLakeScanBuilder(
       case _ => Array.empty
     }
 
-  override def build(): Scan = {
-    val built = inner.build()
-    new Scan {
-      override def readSchema(): StructType = built.readSchema()
-      override def toBatch: Batch = built.toBatch
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GraftMicroBatchStream(dir, requested,
-          ignoreChanges = options.getBoolean("ignoreChanges", false))
-      override def description(): String = built.description()
-    }
-  }
+  override def build(): Scan =
+    GraftLakeScan(inner.build(), dir, requested,
+      ignoreChanges = options.getBoolean("ignoreChanges", false))
+}
+
+/** A case class (NOT an anonymous Scan) so exchange/scan-reuse keeps
+  * working off value equality, and plan inspectors can unwrap to the
+  * inner parquet scan.
+  */
+case class GraftLakeScan(inner: Scan, dir: String,
+                                        requested: StructType,
+                                        ignoreChanges: Boolean)
+  extends Scan {
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = inner.toBatch
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(dir, requested, ignoreChanges)
+  override def description(): String = inner.description()
 }

@@ -50,11 +50,19 @@ class Round22Spec extends SparkSpec {
     }
     val found = scans(df.queryExecution.executedPlan)
     assert(found.nonEmpty, s"no BatchScan in:\n${df.queryExecution.executedPlan}")
-    found.map(_.scan match {
-      case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
-        p.fileIndex.allFiles().size.toLong
-      case other => fail(s"unexpected scan ${other.getClass}")
-    }).sum
+    found.map { b =>
+      // the K42 streaming wrapper delegates batch reads untouched —
+      // unwrap to the parquet scan it carries
+      val s = b.scan match {
+        case w: org.apache.spark.sql.graft.GraftLakeScan => w.inner
+        case other => other
+      }
+      s match {
+        case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+          p.fileIndex.allFiles().size.toLong
+        case other => fail(s"unexpected scan ${other.getClass}")
+      }
+    }.sum
   }
 
   test("K35 stats pruning: SELECTs touch only the intersecting files; DELETE rewrites only touched files") {
