@@ -85,6 +85,38 @@ object Aggregators {
     * aggregate whose buffer is a single m-register array per (group,
     * partition) — neighbor SETS never shuffle, only sketches do.
     */
+  /** [[RegisterMax]] on BYTE-PACKED sketches (one register per byte,
+    * ρ ≤ 58 so signed comparison is safe) — the per-round HyperBall
+    * shuffle carries a 4×+ smaller payload and the fold runs on raw
+    * arrays (no per-element Catalyst array access).
+    */
+  object RegisterMaxBytes extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = Array.empty[Byte]
+    override def reduce(b: Array[Byte], v: Array[Byte]): Array[Byte] =
+      if (v == null) b
+      else if (b.isEmpty) v.clone()
+      else {
+        require(b.length == v.length,
+          s"register width mismatch: ${v.length} vs ${b.length}")
+        var i = 0
+        while (i < v.length) { if (v(i) > b(i)) b(i) = v(i); i += 1 }
+        b
+      }
+    override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+      if (x.isEmpty) y
+      else if (y.isEmpty) x
+      else {
+        require(x.length == y.length,
+          s"register width mismatch: ${x.length} vs ${y.length}")
+        var i = 0
+        while (i < y.length) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+        x
+      }
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   object RegisterMax extends Aggregator[Seq[Int], Array[Int], Seq[Int]] {
     override def zero: Array[Int] = Array.empty[Int]
     override def reduce(b: Array[Int], v: Seq[Int]): Array[Int] = {

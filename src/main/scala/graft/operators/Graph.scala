@@ -958,47 +958,56 @@ object Graph {
     */
   private[graft] def hyperballNodes(spark: SparkSession, pairs: DataFrame,
                                     iters: Int, b: Int): DataFrame = {
-    val m = 1 << b
+    import org.apache.spark.sql.graft.{ColumnShim, GraftHllSketch, HllBallMicro}
     val edges = pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    val regMax = udaf(graft.functions.Aggregators.RegisterMax)
-    // init: each node's sketch holds exactly itself — register
-    // idx = low b bits of the hash, value ρ = 1 + trailing zeros of
-    // the remaining bits (a geometric rank; x & −x isolates the
-    // lowest set bit, exactly representable so log2 is exact)
-    val h = xxhash64(col("node"))
-    val idx = h.bitwiseAND(lit((m - 1).toLong)).cast("int")
-    val rest = shiftrightunsigned(h, b)
-    val rho = when(rest === 0L, lit(65 - b))
-      .otherwise((round(log2(rest.bitwiseAND(-rest))) + 1).cast("int"))
-    var state = edges.select(col("src").as("node")).distinct()
-      .select(col("node"),
-        transform(sequence(lit(0), lit(m - 1)),
-          i => when(i === idx, rho).otherwise(lit(0)).cast("int")).as("regs"))
+    val regMax = udaf(graft.functions.Aggregators.RegisterMaxBytes)
+    // init: each node's sketch holds exactly itself (byte-packed —
+    // register idx = low b bits of xxhash64, value ρ = 1 + trailing
+    // zeros of the remaining bits; GraftHllSketch.init replicates the
+    // engine's own xxhash64 seed-42 exactly). One typed map over V
+    // rows, once — the hot path below never touches a lambda.
+    val spark2 = spark
+    import spark2.implicits._
+    val bb = b
+    var state = edges.select(col("src").as("node")).distinct().as[Long]
+      .map(n => (n, GraftHllSketch.init(n, bb)))
+      .toDF("node", "regs")
       .localCheckpoint()
-    // HLL estimate, floored to micro BEFORE any cross-node sum so
-    // aggregates stay exact integers (partition-order-proof)
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    def estMicro(regs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val isum = aggregate(regs, lit(0.0), (a, r) => a + pow(lit(2.0), -r.cast("double")))
-      val zeros = size(filter(regs, r => r === 0)).cast("double")
-      val raw = lit(alpha * m * m) / isum
-      val est = when(raw <= lit(2.5 * m) && zeros > 0.0,
-        lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
-      floor(est * 1e6 + 0.5).cast("long")
-    }
+    // HLL estimate via the codegen'd native readout, micro-floored
+    // per node BEFORE any cross-node sum (partition-order-proof)
+    def estMicro(regs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ColumnShim.column(HllBallMicro(ColumnShim.expression(regs), bb))
     var perRound = Seq(state.select(col("node"), lit(0).as("r"),
       estMicro(col("regs")).as("ball_micro")))
-    for (r <- 1 to iters) {
+    var r = 1
+    var converged = false
+    while (r <= iters && !converged) {
       val contrib = edges
         .join(state.select(col("node").as("src"), col("regs")), "src")
         .select(col("dst").as("node"), col("regs"))
-      state = state.unionByName(contrib)
+      val next = state.unionByName(contrib)
         .groupBy("node").agg(regMax(col("regs")).as("regs"))
         .localCheckpoint()
+      // CONVERGENCE early-exit: registers only grow, so an unchanged
+      // round means every later round is identical — stop paying the
+      // edge join and replicate the final estimates for the remaining
+      // radii (a small-diameter graph converges well before `iters`;
+      // this check is a V-row join against the E-row round it saves)
+      converged = next.as("a")
+        .join(state.as("b"), "node")
+        .filter(col("a.regs") =!= col("b.regs"))
+        .limit(1).count() == 0L
+      state = next
       perRound = perRound :+ state.select(col("node"), lit(r).as("r"),
         estMicro(col("regs")).as("ball_micro"))
+      r += 1
+    }
+    while (r <= iters) {
+      perRound = perRound :+ state.select(col("node"), lit(r).as("r"),
+        estMicro(col("regs")).as("ball_micro"))
+      r += 1
     }
     perRound.reduce(_ unionByName _)
   }
