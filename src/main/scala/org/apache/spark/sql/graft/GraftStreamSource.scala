@@ -33,8 +33,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 private[graft] class GraftMicroBatchStream(
     dir: String,
     readSchema: StructType,
-    ignoreChanges: Boolean)
-  extends MicroBatchStream {
+    ignoreChanges: Boolean,
+    startingVersion: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
   private def manBase: String = s"$dir/manifest"
@@ -43,11 +46,68 @@ private[graft] class GraftMicroBatchStream(
     if (v == 0L) Set.empty
     else GraftLakeTable.manifestRowsFull(spark, manBase, v).map(_.file).toSet
 
-  override def initialOffset(): Offset = GraftVersionOffset(0L)
+  /** `startingVersion = v` means "deliver v and everything after" —
+    * the Delta backfill-replay option; the default streams the whole
+    * history (offset 0 = before the first commit).
+    */
+  override def initialOffset(): Offset =
+    GraftVersionOffset(startingVersion.map(_ - 1).getOrElse(0L))
 
   override def latestOffset(): Offset =
-    GraftVersionOffset(
-      ManifestStore.versions(spark, manBase).lastOption.getOrElse(0L))
+    throw new IllegalStateException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  /** Rate limiting at VERSION granularity (offsets are versions, a
+    * version's files commit atomically — Delta's maxFilesPerTrigger
+    * shape): advance the end version while the accumulated ADDED-file
+    * count stays within the limit, always admitting at least one
+    * version so a single fat commit cannot stall the stream.
+    * AvailableNow pins the drain target at prepare time.
+    */
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    val committed = ManifestStore.versions(spark, manBase)
+    val ceiling = availableNowTarget.getOrElse(
+      committed.lastOption.getOrElse(0L))
+    val candidates = committed.filter(v => v > s && v <= ceiling)
+    if (candidates.isEmpty) return GraftVersionOffset(math.max(s, 0L))
+    val cap = limit match {
+      case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        Some(f.maxFiles())
+      case _ => maxFilesPerTrigger
+    }
+    cap match {
+      case None => GraftVersionOffset(candidates.last)
+      case Some(maxF) =>
+        var admitted = s
+        var files = 0
+        var prev = filesAt(s)
+        var i = 0
+        while (i < candidates.length) {
+          val v = candidates(i)
+          val cur = filesAt(v)
+          val added = (cur -- prev).count(f => !GraftDeltaOperation.isDeleteFile(f))
+          if (admitted == s || files + added <= maxF) {
+            admitted = v; files += added; prev = cur; i += 1
+          } else i = candidates.length
+        }
+        GraftVersionOffset(admitted)
+    }
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxFilesPerTrigger
+      .map(org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles)
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(ManifestStore.versions(spark, manBase).lastOption.getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toLong)
@@ -75,7 +135,7 @@ private[graft] class GraftMicroBatchStream(
     // the parquet reader factory depends on schema/conf, not on a
     // specific file list — one built over the current snapshot reads
     // any planned FilePartition
-    scanOver(filesAt(latestOffset().asInstanceOf[GraftVersionOffset].version)
+    scanOver(filesAt(ManifestStore.versions(spark, manBase).lastOption.getOrElse(0L))
       .filterNot(GraftDeltaOperation.isDeleteFile).toSeq.sorted)
       .toBatch.createReaderFactory()
 
@@ -139,7 +199,9 @@ private[graft] class GraftLakeScanBuilder(
 
   override def build(): Scan =
     GraftLakeScan(inner.build(), dir, requested,
-      ignoreChanges = options.getBoolean("ignoreChanges", false))
+      ignoreChanges = options.getBoolean("ignoreChanges", false),
+      startingVersion = Option(options.get("startingVersion")).map(_.toLong),
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
 /** A case class (NOT an anonymous Scan) so exchange/scan-reuse keeps
@@ -147,12 +209,15 @@ private[graft] class GraftLakeScanBuilder(
   * inner parquet scan.
   */
 case class GraftLakeScan(inner: Scan, dir: String,
-                                        requested: StructType,
-                                        ignoreChanges: Boolean)
+                         requested: StructType,
+                         ignoreChanges: Boolean,
+                         startingVersion: Option[Long],
+                         maxFilesPerTrigger: Option[Int])
   extends Scan {
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = inner.toBatch
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(dir, requested, ignoreChanges)
+    new GraftMicroBatchStream(dir, requested, ignoreChanges,
+      startingVersion, maxFilesPerTrigger)
   override def description(): String = inner.description()
 }

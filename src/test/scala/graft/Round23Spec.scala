@@ -113,6 +113,32 @@ class Round23Spec extends SparkSpec {
       s"3-truss must keep the pendant triangle: $t3")
   }
 
+  test("lake streaming source: maxFilesPerTrigger paces version admission; startingVersion replays mid-history") {
+    graft.queries.IOQueries.ensureCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.lake.feed_rate")
+    spark.sql("CREATE TABLE graft.lake.feed_rate (k BIGINT, v STRING)")
+    for (i <- 1 to 3)
+      spark.sql(s"INSERT INTO graft.lake.feed_rate VALUES ($i, 'v$i')")
+    def drain(reader: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val q = reader.writeStream.format("noop")
+        .option("checkpointLocation", freshBase() + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val withRows = q.recentProgress.filter(_.numInputRows > 0)
+      (withRows.length.toLong, withRows.map(_.numInputRows).sum)
+    }
+    // each INSERT committed one single-file version: a 1-file cap must
+    // pace the drain to one version per micro-batch
+    val (batches, rows) = drain(spark.readStream
+      .option("maxFilesPerTrigger", "1").table("graft.lake.feed_rate"))
+    assert(rows == 3L, s"all rows must arrive, got $rows")
+    assert(batches == 3L, s"1-file admission must take 3 batches, got $batches")
+    // startingVersion=2 skips version 1's row entirely
+    val (_, fromV2) = drain(spark.readStream
+      .option("startingVersion", "2").table("graft.lake.feed_rate"))
+    assert(fromV2 == 2L, s"startingVersion=2 must deliver versions 2..3 only, got $fromV2")
+  }
+
   test("mor: hand data — DELETE masks, UPDATE reinserts, committed data files never rewrite") {
     graft.queries.IOQueries.ensureCatalog(spark)
     spark.sql("DROP TABLE IF EXISTS graft.lake.mor_hand")
