@@ -297,11 +297,35 @@ private[graft] class GraftReplaceWrite(
     op: GraftRowLevelOperation,
     dir: String,
     info: LogicalWriteInfo)
-  extends Write {
+  extends Write
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   private def spark: SparkSession = SparkSession.active
   private val writerId = java.util.UUID.randomUUID().toString.take(12)
   private val dataDir = s"$dir/data_$writerId"
+
+  /** Bucketed tables ask Spark to CLUSTER the rewritten rows by the
+    * bucket transform before the write (the Iceberg write-distribution
+    * contract; the transform resolves through the catalog's own
+    * `bucket` function, the same machinery SPJ reads use) — each
+    * bucket then lands in exactly ONE task, so the single-pass router
+    * writes one file per bucket instead of task-count × bucket files.
+    * Flat tables leave the distribution unspecified.
+    */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    op.bucketSpec match {
+      case Some((col, n)) =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)))
+      case None =>
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+
+  override def requiredNumPartitions(): Int = 0
 
   override def toBatch: BatchWrite = op.bucketSpec match {
     // bucketed table: SINGLE-PASS bucket-routed write — each task

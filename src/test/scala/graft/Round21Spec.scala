@@ -209,6 +209,15 @@ class Round21Spec extends SparkSpec {
       val v3files = manifestFiles(manBase, 3L)
       assert(v3files.nonEmpty && v3files.forall(_.contains("__graft_bucket=")),
         s"post-MERGE files must stay bucket-routed: $v3files")
+      // the write's clustered distribution puts each bucket in ONE
+      // task, so the single-pass router lands at most one NEW file
+      // per bucket per DML (without it, every task holding rows of a
+      // bucket would open its own file)
+      val v2set = manifestFiles(manBase, 2L).toSet
+      val newPerBucket = v3files.filterNot(v2set)
+        .groupBy(f => f.substring(f.indexOf("__graft_bucket=")).split('/').head)
+      assert(newPerBucket.nonEmpty && newPerBucket.values.forall(_.length == 1),
+        s"clustered MERGE write must land one file per bucket: $newPerBucket")
       val j3 = spark.sql(
         s"""SELECT sum(a.va) FROM $cat.lake.a a
            |JOIN $cat.lake.b b ON a.k = b.k""".stripMargin)
