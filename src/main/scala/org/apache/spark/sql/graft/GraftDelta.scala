@@ -264,6 +264,12 @@ private[graft] class GraftMorReaderFactory(
     projIdx: Array[Int])
   extends PartitionReaderFactory {
 
+  // NOT per-group columnar: Spark requires every partition of one
+  // scan to answer supportColumnarReads identically ("Cannot mix
+  // row-based and columnar input partitions"), and a masked scan
+  // always has at least one masking group — so the whole scan runs
+  // row-based; the vectorized path belongs to delete-free snapshots,
+  // which never build this factory at all
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
