@@ -70,25 +70,15 @@ object Aggregators {
     override def outputEncoder: Encoder[(Seq[Double], Long)] = ExpressionEncoder()
   }
 
-  /** Mergeable second-moment state for distributed PCA: per-partition
-    * (n, Σx, upper-triangular ΣxxT), combined by elementwise addition —
-    * the covariance of a billion embeddings costs ONE aggregate whose
-    * shuffle carries a dim·(dim+3)/2-double buffer per partition, never
-    * vectors. The driver finishes the job: C = G/n − μμᵀ is a dim×dim
-    * matrix, eigensolved locally (see [[LinAlg.symEig]]) — the classic
-    * big-data PCA split (heavy pass distributed, tiny solve local).
-    */
-  /** Element-wise MAX over fixed-width integer register arrays — the
-    * HLL-union half of HyperBall (G12): merging two balls' sketches is
-    * exactly register-wise max, associative and commutative, so the
-    * union over a node's whole neighborhood is one map-side-combined
-    * aggregate whose buffer is a single m-register array per (group,
-    * partition) — neighbor SETS never shuffle, only sketches do.
-    */
-  /** [[RegisterMax]] on BYTE-PACKED sketches (one register per byte,
-    * ρ ≤ 58 so signed comparison is safe) — the per-round HyperBall
-    * shuffle carries a 4×+ smaller payload and the fold runs on raw
-    * arrays (no per-element Catalyst array access).
+  /** Element-wise MAX over BYTE-PACKED HLL register sketches (one
+    * register per byte, ρ ≤ 58 so signed comparison is safe) — the
+    * HLL-union half of HyperBall (G12): merging two balls' sketches
+    * is exactly register-wise max, associative and commutative, so
+    * the union over a node's whole neighborhood is one
+    * map-side-combined aggregate whose buffer is a single m-byte
+    * array per (group, partition) — neighbor SETS never shuffle,
+    * only sketches do, and the per-round payload is 4×+ smaller than
+    * the int-array form ([[RegisterMax]], kept for spec replays).
     */
   object RegisterMaxBytes extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
     override def zero: Array[Byte] = Array.empty[Byte]
@@ -117,6 +107,7 @@ object Aggregators {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** [[RegisterMaxBytes]]'s original int-array form. */
   object RegisterMax extends Aggregator[Seq[Int], Array[Int], Seq[Int]] {
     override def zero: Array[Int] = Array.empty[Int]
     override def reduce(b: Array[Int], v: Seq[Int]): Array[Int] = {

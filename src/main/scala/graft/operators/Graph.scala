@@ -401,6 +401,11 @@ object Graph {
     * is a stable 4-truss; a pendant triangle peels at k=4).
     */
   private[graft] def ktrussOf(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // k ≤ 2 is degenerate (threshold 0 keeps every edge) and the
+    // credits-only rebuild below would silently DROP triangle-free
+    // edges instead — refuse rather than answer wrong
+    require(k >= 3, s"k-truss is defined for k >= 3 (got $k); " +
+      "the 2-truss is the whole graph")
     var e = pairs.select("a", "b").localCheckpoint()
     for (_ <- 1 to rounds) {
       val stream = triangleStream(orientedOf(e))

@@ -180,28 +180,40 @@ object ManifestStore {
   }
 
   /** The highest committed version and its manifest rows. Throws if
-    * nothing has been published.
+    * nothing has been published. `schema` (DDL string): pass it for
+    * any manifest that can legally commit ZERO rows — schema
+    * inference over an empty JSON dir has no columns and wedges every
+    * later read (the RefStore review finding); the default inferred
+    * read is only safe for manifests that always carry rows.
     */
-  def current(spark: SparkSession, base: String): (Long, DataFrame) = {
+  def current(spark: SparkSession, base: String,
+              schema: Option[String] = None): (Long, DataFrame) = {
     val v = versions(spark, base).lastOption.getOrElse(
       throw new java.util.NoSuchElementException(s"no committed manifest under $base"))
-    (v, spark.read.json(new Path(new Path(base), s"manifest_v$v").toString))
+    (v, readVersion(spark, base, v, schema))
   }
 
   /** Time travel: the manifest rows AT a pinned committed version
     * (`None` = latest) — the `VERSION AS OF` read path. Throws with
     * the available versions listed if the pin is not committed (a
     * swept or never-committed version must fail loudly, not fall
-    * back to some other snapshot).
+    * back to some other snapshot). See [[current]] for `schema`.
     */
-  def at(spark: SparkSession, base: String, version: Option[Long]): (Long, DataFrame) =
+  def at(spark: SparkSession, base: String, version: Option[Long],
+         schema: Option[String] = None): (Long, DataFrame) =
     version match {
-      case None => current(spark, base)
+      case None => current(spark, base, schema)
       case Some(v) =>
         val committed = versions(spark, base)
         if (!committed.contains(v))
           throw new java.util.NoSuchElementException(
             s"version $v is not committed under $base (available: ${committed.mkString(", ")})")
-        (v, spark.read.json(new Path(new Path(base), s"manifest_v$v").toString))
+        (v, readVersion(spark, base, v, schema))
     }
+
+  private def readVersion(spark: SparkSession, base: String, v: Long,
+                          schema: Option[String]): DataFrame = {
+    val path = new Path(new Path(base), s"manifest_v$v").toString
+    schema.fold(spark.read.json(path))(s => spark.read.schema(s).json(path))
+  }
 }

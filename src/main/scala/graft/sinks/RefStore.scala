@@ -35,16 +35,17 @@ object RefStore {
     refsAt(spark, refBase,
       ManifestStore.versions(spark, refBase).lastOption.getOrElse(0L))
 
+  private val RefSchema = "name STRING, kind STRING, version BIGINT"
+
   private def refsAt(spark: SparkSession, refBase: String,
                      v: Long): Map[String, (String, Long)] =
     if (v == 0L) Map.empty
     // EXPLICIT schema: dropping the last ref publishes a ZERO-ROW
     // manifest, and schema inference over an empty JSON dir has no
     // columns — the inferred read would wedge the store permanently
-    // (review finding, round 10)
-    else spark.read.schema("name STRING, kind STRING, version BIGINT")
-      .json(new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(refBase), s"manifest_v$v").toString)
+    // (review finding, round 10; the schema rides ManifestStore's own
+    // read so the store's path layout stays in one place)
+    else ManifestStore.at(spark, refBase, Some(v), Some(RefSchema))._2
       .collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
 

@@ -524,9 +524,17 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    // MICRO_BATCH_READ only where the scan actually delivers it (the
+    // flat path's K42 wrapper) — advertising it on bucketed/MoR
+    // tables would pass the analyzer's capability check and then
+    // crash at stream start on Scan's default toMicroBatchStream
+    if (bucketSpec.isEmpty && morKey.isEmpty)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** The pinned (or latest) committed file list — resolved ONCE per
     * scan build, so one query never sees two snapshots. An empty table

@@ -66,9 +66,10 @@ private[graft] class GraftStagedTable(
 
   override def name(): String = fullName
   override def schema(): StructType = schema0
+  // write-only: advertising BATCH_READ without SupportsRead would
+  // pass capability checks and fail on the cast
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -100,6 +101,15 @@ private[graft] class GraftStagedTable(
     if (renamed && fs.exists(new Path(finalDir, "_graft_table.json")) &&
         !fs.exists(nested)) {
       ()
+    } else if (!renamed && !fs.exists(finalDir)) {
+      // destination free but the rename still failed: a GENUINE IO
+      // error, not a lost race — surface it (the staged table is left
+      // for abortStagedChanges; claiming "already exists" here would
+      // destroy the completed CTAS output and mask the real fault —
+      // ManifestStore.commitAttempt's exact discipline)
+      throw new java.io.IOException(
+        s"staged commit rename $stagingDir -> $finalDir failed with no " +
+          "competing table at the destination")
     } else {
       if (fs.exists(nested)) fs.delete(nested, true)
       if (fs.exists(stagingDir)) fs.delete(stagingDir, true)

@@ -50,8 +50,12 @@ private[graft] class GraftMicroBatchStream(
     * the Delta backfill-replay option; the default streams the whole
     * history (offset 0 = before the first commit).
     */
-  override def initialOffset(): Offset =
+  override def initialOffset(): Offset = {
+    startingVersion.foreach(v => require(v >= 1,
+      s"startingVersion must be >= 1 (versions start at 1; got $v — " +
+        "omit the option to stream the whole history)"))
     GraftVersionOffset(startingVersion.map(_ - 1).getOrElse(0L))
+  }
 
   override def latestOffset(): Offset =
     throw new IllegalStateException(

@@ -139,6 +139,48 @@ class Round23Spec extends SparkSpec {
     assert(fromV2 == 2L, s"startingVersion=2 must deliver versions 2..3 only, got $fromV2")
   }
 
+  test("review-fix pins: MoR streaming refused at analysis; ktruss k<=2 refused; startingVersion=0 named") {
+    graft.queries.IOQueries.ensureCatalog(spark)
+    // streaming a MoR table: the capability is withheld, so the
+    // analyzer refuses cleanly instead of crashing at stream start
+    spark.sql("DROP TABLE IF EXISTS graft.lake.mor_nostream")
+    spark.sql(
+      """CREATE TABLE graft.lake.mor_nostream (k BIGINT NOT NULL, v STRING)
+        |TBLPROPERTIES('graft.merge-on-read.key'='k')""".stripMargin)
+    val e1 = intercept[Exception] {
+      spark.readStream.table("graft.lake.mor_nostream")
+        .writeStream.format("noop")
+        .option("checkpointLocation", freshBase() + "/c")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    }
+    assert(e1.getMessage != null &&
+      e1.getMessage.toLowerCase.contains("does not support"), s"got: $e1")
+    // degenerate truss parameter refused, not silently wrong
+    import spark.implicits._
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Graph.ktrussOf(
+        Seq((1L, 2L)).toDF("a", "b"), k = 2, rounds = 1).collect()
+    }
+    assert(e2.getMessage.contains("k >= 3"))
+    // startingVersion=0 gets a named validation error, not manifest_v-1
+    spark.sql("DROP TABLE IF EXISTS graft.lake.sv_zero")
+    spark.sql("CREATE TABLE graft.lake.sv_zero (k BIGINT)")
+    spark.sql("INSERT INTO graft.lake.sv_zero VALUES (1)")
+    val e3 = intercept[Exception] {
+      val q = spark.readStream.option("startingVersion", "0")
+        .table("graft.lake.sv_zero")
+        .writeStream.format("noop")
+        .option("checkpointLocation", freshBase() + "/c2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e3).exists(_.contains("startingVersion must be >= 1")),
+      s"got: ${messages(e3)}")
+  }
+
   test("mor: hand data — DELETE masks, UPDATE reinserts, committed data files never rewrite") {
     graft.queries.IOQueries.ensureCatalog(spark)
     spark.sql("DROP TABLE IF EXISTS graft.lake.mor_hand")
