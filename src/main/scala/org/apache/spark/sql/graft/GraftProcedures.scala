@@ -43,15 +43,17 @@ private[graft] object GraftProcedures {
     ident.name().toLowerCase match {
       case "optimize" => new OptimizeProcedure(catalogName, root)
       case "vacuum" => new VacuumProcedure(catalogName, root)
+      case "compact_deletes" => new CompactDeletesProcedure(catalogName, root)
       case _ =>
-        throw new RuntimeException(s"catalog procedure not found: ${ident.namespace().mkString(".")}.${ident.name()} (available: system.optimize, system.vacuum)")
+        throw new RuntimeException(s"catalog procedure not found: ${ident.namespace().mkString(".")}.${ident.name()} (available: system.optimize, system.vacuum, system.compact_deletes)")
     }
   }
 
   def list(ns: Array[String]): Array[org.apache.spark.sql.connector.catalog.Identifier] =
     Array(
       org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "optimize"),
-      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "vacuum"))
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "vacuum"),
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "compact_deletes"))
 
   /** Resolve `'ns.table'` under the catalog root + load its meta. */
   private def resolve(catalogName: String, root: String, table: String)
@@ -87,6 +89,55 @@ private[graft] object GraftProcedures {
   /** `CALL graft.system.optimize(table, target_rows)` — rewrite files
     * under `target_rows` bin-packed; larger files carry by reference.
     */
+  /** K39's maintenance half: fold a merge-on-read table's accumulated
+    * equality-delete files into a clean snapshot — one MASKED read of
+    * the table (deletes applied), one fresh data dir, ONE overwrite
+    * manifest version listing no delete files. The pre-compaction
+    * versions stay committed (time travel), VACUUM reclaims the old
+    * bytes at retention, and OPTIMIZE (which refuses on live delete
+    * files — the resurrection hazard) becomes runnable again. This is
+    * Iceberg's `rewrite_data_files` for the equality-delete backlog,
+    * on the CALL surface.
+    */
+  private class CompactDeletesProcedure(catalogName: String, root: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact_deletes"
+    override def description(): String =
+      "fold a merge-on-read table's delete files into a clean snapshot"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val (dir, _, _) = resolve(catalogName, root, table)
+      val manBase = s"$dir/manifest"
+      val session = spark
+      val current = ManifestStore.versions(session, manBase).lastOption
+        .map(v => GraftLakeTable.manifestRowsFull(session, manBase, v))
+        .getOrElse(Seq.empty)
+      val delRows = current.filter(r => GraftDeltaOperation.isDeleteFile(r.file))
+      if (delRows.isEmpty)
+        return resultScan(outSchema, Seq(0L, 0L))
+      // the MASKED read resolves through the catalog (the MoR scan
+      // applies the deletes); the overwrite commit lists only the
+      // clean rewrite — the shared INSERT path's optimistic loop
+      val masked = session.table(s"$catalogName.$table")
+      GraftLakeTable.insert(session, dir, masked, overwrite = true)
+      val after = GraftLakeTable.manifestRowsFull(session, manBase,
+        ManifestStore.versions(session, manBase).last)
+      require(!after.exists(r => GraftDeltaOperation.isDeleteFile(r.file)),
+        "compaction must leave no delete files")
+      resultScan(outSchema,
+        Seq(delRows.length.toLong, delRows.map(_.nRows).sum))
+    }
+
+    private val outSchema = StructType(Seq(
+      StructField("delete_files_compacted", LongType),
+      StructField("delete_keys_folded", LongType)))
+  }
+
   private class OptimizeProcedure(catalogName: String, root: String)
     extends UnboundProcedure with BoundProcedure {
     override def name(): String = "optimize"

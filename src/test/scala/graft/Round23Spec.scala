@@ -393,6 +393,38 @@ class Round23Spec extends SparkSpec {
     assert(n == 1L, s"ignoreChanges must deliver the added file's rows, got $n")
   }
 
+  test("compact_deletes: folds the delete backlog into a clean snapshot; OPTIMIZE runs again") {
+    graft.queries.IOQueries.ensureCatalog(spark)
+    spark.sql("DROP TABLE IF EXISTS graft.lake.mor_compact")
+    spark.sql(
+      """CREATE TABLE graft.lake.mor_compact (k BIGINT NOT NULL, v STRING)
+        |TBLPROPERTIES('graft.merge-on-read.key'='k')""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.mor_compact VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    spark.sql("DELETE FROM graft.lake.mor_compact WHERE k IN (2, 4)")
+    val out = spark.sql(
+      "CALL graft.system.compact_deletes(table => 'lake.mor_compact')")
+      .collect().head
+    assert(out.getLong(0) == 1L && out.getLong(1) == 2L,
+      s"one delete file with two keys expected, got $out")
+    val manBase = graft.queries.IOQueries.catalogRoot + "/lake/mor_compact/manifest"
+    val after = org.apache.spark.sql.graft.GraftLakeTable.manifestRowsFull(
+      spark, manBase, ManifestStore.versions(spark, manBase).last)
+    assert(after.forall(r => !r.file.startsWith("deletes_")))
+    assert(spark.sql("SELECT k FROM graft.lake.mor_compact ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // the masked snapshot before compaction stays time-travelable
+    assert(spark.sql("SELECT count(*) FROM graft.lake.mor_compact VERSION AS OF 1")
+      .collect().head.getLong(0) == 4L)
+    // OPTIMIZE refused on live deletes — now it runs
+    spark.sql("CALL graft.system.optimize(table => 'lake.mor_compact', target_rows => 1000)")
+      .collect()
+    // idempotent: a second call is a no-op
+    val again = spark.sql(
+      "CALL graft.system.compact_deletes(table => 'lake.mor_compact')")
+      .collect().head
+    assert(again.getLong(0) == 0L && again.getLong(1) == 0L)
+  }
+
   test("mor: MERGE INTO applies upserts + deletes as delta, one version, no file rewrite") {
     graft.queries.IOQueries.ensureCatalog(spark)
     spark.sql("DROP TABLE IF EXISTS graft.lake.mor_merge")
