@@ -89,7 +89,11 @@ object Bench {
     // round-10 additions (the K32-K34 catalog entries are sink ops —
     // correctness-gated per the policy above)
     "g_hyperball", "ann_knn_lsh_tuned", "dedup_minhash_tuned",
-    "g_betweenness", "ann_filtered", "ann_ivf_filtered")
+    "g_betweenness", "ann_filtered", "ann_ivf_filtered",
+    // round-10 batch 2: the iterative truss peel, the sketch-read
+    // centrality, HW backtest, and the two heaviest lake protocols
+    "g_ktruss", "g_harmonic_all", "ts_holt_winters",
+    "sink_catalog_mor", "sink_branch")
 
   /** The scale-step set: the heaviest operators over the tables the
     * 10× blow-up synthesizes (documents/embeddings since round 6;

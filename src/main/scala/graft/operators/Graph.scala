@@ -407,7 +407,13 @@ object Graph {
     require(k >= 3, s"k-truss is defined for k >= 3 (got $k); " +
       "the 2-truss is the whole graph")
     var e = pairs.select("a", "b").localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // peeling only REMOVES edges, so an unchanged edge COUNT proves a
+    // fixpoint — every later round is the identity; stop paying the
+    // triangle pass (the HyperBall early-exit, count-sufficient here)
+    var prevCount = e.count()
+    var round = 1
+    var converged = false
+    while (round <= rounds && !converged) {
       val stream = triangleStream(orientedOf(e))
       val credits = stream
         .select(col("src").as("u"), col("dst").as("v"),
@@ -422,6 +428,10 @@ object Graph {
         .filter(col("sup") >= k - 2)
         .select("a", "b")
         .localCheckpoint()
+      val n = e.count()
+      converged = n == prevCount
+      prevCount = n
+      round += 1
     }
     e.select(col("a").as("node")).unionByName(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("truss_degree"))
