@@ -929,6 +929,12 @@ object Graph {
       .agg(sum("ball_micro").as("pairs_micro"), count(lit(1)).as("n_nodes"))
       .orderBy("r")
       .collect().map(row => (row.getInt(0), row.getLong(1), row.getLong(2)))
+    // an edgeless graph has no state rows at all — degrade to the
+    // empty readout like the rest of the G family, instead of
+    // NoSuchElementException on .last (review, round 11)
+    if (byRadius.isEmpty)
+      return Seq.empty[(Int, Long, Long, Long, Boolean)]
+        .toDF("r", "pairs_est_micro", "n_nodes", "frac_micro", "is_effective_diameter")
     val finalMass = math.max(1L, byRadius.last._2)
     val rows = byRadius.map { case (r, pairs, nNodes) =>
       (r, pairs, nNodes, pairs * 1000000L / finalMass)

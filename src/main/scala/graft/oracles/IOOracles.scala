@@ -128,6 +128,32 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT 'x_protocol', n, 1.0 FROM dk
         |ORDER BY snapshot""".stripMargin,
+    // K42: positional-MoR replay — same keep-set arithmetic as K39
+    // (the two modes must agree on DATA); the protocol rows pin the
+    // manifest actuals (delete-vector rows, carried flag) and the
+    // COLUMNAR flag the Spark side reads from its own executed plan —
+    // expected 1.0: a masked read that fell back to row-based scans
+    // hash-mismatches here
+    "sink_catalog_mor_pos" ->
+      """WITH src AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |keep AS (
+        |  SELECT o_totalprice
+        |    + CASE WHEN o_orderkey % 5 = 0 THEN 1000.0 ELSE 0 END AS p
+        |  FROM src WHERE o_orderkey % 7 <> 0
+        |), dk AS (
+        |  SELECT cast((SELECT count(*) FROM src WHERE o_orderkey % 7 = 0)
+        |    + (SELECT count(*) FROM src
+        |       WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0) AS bigint) AS n
+        |)
+        |SELECT 'v1_full' AS snapshot, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total FROM src
+        |UNION ALL
+        |SELECT 'v3_mor', cast(count(*) AS bigint), round(sum(p), 2) FROM keep
+        |UNION ALL
+        |SELECT 'x_protocol', n, 1.0 FROM dk
+        |UNION ALL
+        |SELECT 'y_columnar', cast(2 AS bigint), 1.0
+        |ORDER BY snapshot""".stripMargin,
     // K38: arithmetic replay of the branch/tag protocol outcomes —
     // branch isolation, rollback invisibility, fast-forward identity,
     // tag pinning; versions are deterministic (v1 full, v2 candidate,

@@ -334,6 +334,80 @@ object IOQueries {
          |ORDER BY snapshot""".stripMargin)
   }
 
+  /** K42: POSITIONAL-delete merge-on-read through the catalog
+    * ([[org.apache.spark.sql.graft.GraftPosDeltaOperation]]) — the
+    * Iceberg v2 position-delete / Delta deletion-vector shape, closing
+    * K39's read-side trade: a table created with
+    * `TBLPROPERTIES('graft.merge-on-read.mode'='position')` turns
+    * DELETE/UPDATE/MERGE into `(file, row_index)` DELETE VECTORS (the
+    * DML scan knows both for free via the `_file`/`_pos` metadata-
+    * column row id), and masked reads apply them as a batch-level
+    * index remap — so a snapshot with LIVE deletes keeps the
+    * VECTORIZED parquet path and whole-stage codegen, where K39's
+    * equality masks force row-based scans. At 100 TB this is the mode
+    * for read-heavy tables under continuous CDC: O(changed rows)
+    * writes AND columnar reads.
+    *
+    * Flow mirrors K39 (same DMLs, same readback shape) so the two
+    * modes are directly comparable: full load → keyed DELETE (every
+    * 7th) → keyed UPDATE (+1000 on every 5th survivor). The protocol
+    * rows carry ACTUALS: total position-delete rows and the
+    * carried-by-reference flag ('x_protocol'), then the posdel FILE
+    * count and a COLUMNAR flag read from the masked read's OWN
+    * executed plan ('y_columnar') — a regression to row-based scans
+    * breaks the hash, which is the round-11 acceptance criterion.
+    */
+  def sinkCatalogMorPos(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_morpos_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_morpos")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_morpos (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        |TBLPROPERTIES('graft.merge-on-read.mode'='position')""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.orders_morpos SELECT * FROM orders_morpos_src")
+    val manBase = catalogRoot + "/lake/orders_morpos/manifest"
+    val v1Files = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, 1L).map(_.file).toSet
+    spark.sql("DELETE FROM graft.lake.orders_morpos WHERE o_orderkey % 7 = 0")
+    spark.sql(
+      """UPDATE graft.lake.orders_morpos SET o_totalprice = o_totalprice + 1000.0
+        |WHERE o_orderkey % 5 = 0""".stripMargin)
+    val v3 = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, 3L)
+    val posDel = v3.filter(_.file.startsWith("posdel_"))
+    val carried = if (v1Files.subsetOf(v3.map(_.file).toSet)) 1.0 else 0.0
+    // the acceptance ACTUAL: the masked read (live delete vectors!)
+    // must still plan a COLUMNAR batch scan — read from the executed
+    // plan, not asserted in prose
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case other => other.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+    }
+    val maskedScans = scans(
+      spark.table("graft.lake.orders_morpos").queryExecution.executedPlan)
+    val columnar =
+      if (maskedScans.nonEmpty && maskedScans.forall(_.supportsColumnar)) 1.0 else 0.0
+    spark.sql(
+      s"""SELECT 'v1_full' AS snapshot, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM graft.lake.orders_morpos VERSION AS OF 1
+         |UNION ALL
+         |SELECT 'v3_mor', count(*), round(sum(o_totalprice), 2)
+         |FROM graft.lake.orders_morpos
+         |UNION ALL
+         |SELECT 'x_protocol', ${posDel.map(_.nRows).sum}L, $carried
+         |UNION ALL
+         |SELECT 'y_columnar', ${posDel.length}L, $columnar
+         |ORDER BY snapshot""".stripMargin)
+  }
+
   /** K40: METADATA TABLES — the Iceberg `t.history` / `t.files`
     * surface ([[org.apache.spark.sql.graft.GraftMetaTable]]): a lake
     * table's commit history and current file list as plain SQL
@@ -762,7 +836,11 @@ object IOQueries {
            |WHERE o_orderdate $era""".stripMargin)
     }
     spark.sql("CALL graft.system.optimize('lake.orders_opt', 100000000)")
-    spark.sql("CALL graft.system.vacuum('lake.orders_opt', 1)")
+    // grace_hours=0: this flow QUIESCES before vacuuming (no in-flight
+    // writer), so the orphan-GC age gate can be waived to actually
+    // reclaim the just-compacted files; production callers keep the
+    // 24h default
+    spark.sql("CALL graft.system.vacuum('lake.orders_opt', 1, 0)")
     spark.sql(
       """SELECT 'post_maintenance' AS snapshot, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total,

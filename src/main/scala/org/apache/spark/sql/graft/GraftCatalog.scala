@@ -92,7 +92,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def stage(ident: Identifier, info: TableInfo,
                     replaceExisting: Boolean): StagedTable = {
-    val (bucketSpec, morKey) = parseTableInfo(info)
+    val (bucketSpec, morKey, morPos) = parseTableInfo(info)
     if (!namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
     if (!replaceExisting && tableExists(ident))
@@ -102,7 +102,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftStagedTable(spark, fs, ident,
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
       staging, tablePath(ident), info.schema(), bucketSpec, morKey,
-      metaText(info.schema(), bucketSpec, morKey), replaceExisting)
+      metaText(info.schema(), bucketSpec, morKey, morPos), replaceExisting)
   }
 
   /** SQL `CALL graft.system.{optimize,vacuum}(...)` — table
@@ -172,17 +172,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * schema-JSON-only form.
     */
   private def metaText(schema: StructType, bucketSpec: Option[(String, Int)],
-                       morKey: Option[String] = None): String =
-    (bucketSpec, morKey) match {
-      case (Some((col, n)), _) =>
+                       morKey: Option[String] = None,
+                       morPos: Boolean = false): String =
+    (bucketSpec, morKey, morPos) match {
+      case (Some((col, n)), _, _) =>
         s"""{"graftBucket":{"col":"$col","n":$n},"schema":${schema.json}}"""
-      case (None, Some(key)) =>
+      case (None, Some(key), _) =>
         s"""{"graftMor":{"key":"$key"},"schema":${schema.json}}"""
+      case (None, None, true) =>
+        s"""{"graftMorPos":true,"schema":${schema.json}}"""
       case _ => schema.json
     }
 
   private def parseMeta(meta: Path, txt: String)
-      : (StructType, Option[(String, Int)], Option[String]) =
+      : (StructType, Option[(String, Int)], Option[String], Boolean) =
     GraftTableMeta.parse(meta.toString, txt)
 
   // ---- namespaces -------------------------------------------------------
@@ -313,16 +316,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val (schema, bucketSpec, morKey) = parseMeta(meta, txt)
+    val (schema, bucketSpec, morKey, morPos) = parseMeta(meta, txt)
     new GraftLakeTable(s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-      dir.toString, schema, version, bucketSpec, morKey)
+      dir.toString, schema, version, bucketSpec, morKey, morPos)
   }
 
   /** The ONE supported partition transform (bucket(n, bigintCol) —
     * K34) and the K39 merge-on-read property, shared by CREATE TABLE
     * and the staged CTAS/RTAS path.
     */
-  private def parseTableInfo(info: TableInfo): (Option[(String, Int)], Option[String]) = {
+  private def parseTableInfo(info: TableInfo)
+      : (Option[(String, Int)], Option[String], Boolean) = {
     // the ONE supported partition transform: bucket(n, bigintCol) —
     // K34 storage-partitioned tables. Anything else is refused loudly
     val bucketSpec: Option[(String, Int)] = info.partitions().toSeq match {
@@ -372,11 +376,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "(row ids cannot be nullable)")
         key
       }
-    (bucketSpec, morKey)
+    // K42: TBLPROPERTIES('graft.merge-on-read.mode'='position') opts
+    // the table into POSITIONAL merge-on-read ([[GraftPosDeltaOperation]]):
+    // DML records (file, row_index) delete vectors and masked reads
+    // keep the vectorized parquet path. No key column needed — the row
+    // id is the (_file, _pos) metadata-column pair, so the two modes
+    // are exclusive, and the metadata names must be free in the schema.
+    val morPos: Boolean =
+      Option(info.properties().get("graft.merge-on-read.mode")) match {
+        case None => false
+        case Some("position") =>
+          require(morKey.isEmpty,
+            "merge-on-read.mode='position' uses the (_file, _pos) row id — " +
+              "drop the 'graft.merge-on-read.key' property")
+          require(bucketSpec.isEmpty,
+            "merge-on-read and bucketing cannot combine on one table")
+          require(!info.schema().fieldNames.exists(n =>
+              n == GraftPosMeta.FileCol || n == GraftPosMeta.PosCol),
+            s"positional merge-on-read reserves the metadata column names " +
+              s"'${GraftPosMeta.FileCol}' and '${GraftPosMeta.PosCol}'")
+          true
+        case Some(other) => throw new IllegalArgumentException(
+          s"graft.merge-on-read.mode '$other' is not supported " +
+            "(only 'position'; equality mode is keyed by " +
+            "'graft.merge-on-read.key')")
+      }
+    (bucketSpec, morKey, morPos)
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    val (bucketSpec, morKey) = parseTableInfo(info)
+    val (bucketSpec, morKey, morPos) = parseTableInfo(info)
     if (!namespaceExists(ident.namespace()))
       throw new NoSuchNamespaceException(ident.namespace())
     val dir = tablePath(ident)
@@ -393,14 +422,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // an in-process write failure must not wedge the identifier: drop
     // the claimed meta file before rethrowing (a kill -9 mid-write can
     // still leave a truncated file — loadTable names the remedy)
-    try { out.write(metaText(info.schema(), bucketSpec, morKey).getBytes("UTF-8")); out.close() }
+    try { out.write(metaText(info.schema(), bucketSpec, morKey, morPos).getBytes("UTF-8")); out.close() }
     catch { case e: Throwable =>
       try { out.close() } catch { case _: Throwable => () }
       fs.delete(metaFile(dir), false)
       throw e
     }
     new GraftLakeTable(s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-      dir.toString, info.schema(), None, bucketSpec, morKey)
+      dir.toString, info.schema(), None, bucketSpec, morKey, morPos)
   }
 
   @deprecated("use createTable(Identifier, TableInfo)", "kept for the interface")
@@ -444,14 +473,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // a truncated meta file; the bucket spec rides along unchanged
     val tmp = new Path(dir, s".meta_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
-    try out.write(metaText(evolved, currentTable.bucket, currentTable.morKeyCol).getBytes("UTF-8"))
+    try out.write(metaText(evolved, currentTable.bucket, currentTable.morKeyCol,
+      currentTable.morPositional).getBytes("UTF-8"))
     finally out.close()
     org.apache.hadoop.fs.FileContext
       .getFileContext(metaFile(dir).toUri, spark.sessionState.newHadoopConf())
       .rename(tmp, metaFile(dir), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     new GraftLakeTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-      dir.toString, evolved, None, currentTable.bucket, currentTable.morKeyCol)
+      dir.toString, evolved, None, currentTable.bucket, currentTable.morKeyCol,
+      currentTable.morPositional)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -484,12 +515,23 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
                                     tableSchema: StructType,
                                     pinnedVersion: Option[Long],
                                     bucketSpec: Option[(String, Int)] = None,
-                                    morKey: Option[String] = None)
+                                    morKey: Option[String] = None,
+                                    morPos: Boolean = false)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-  with SupportsRowLevelOperations {
+  with SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private[graft] def bucket: Option[(String, Int)] = bucketSpec
   private[graft] def morKeyCol: Option[String] = morKey
+  private[graft] def morPositional: Boolean = morPos
+
+  /** K42: positional-MoR tables expose the `_file`/`_pos` metadata
+    * columns — the DML row id, and user-queryable like Iceberg's
+    * reserved pair. Other table modes expose none.
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (morPos) GraftPosMeta.columns
+    else Array.empty
 
   override def partitioning(): Array[Transform] =
     bucketSpec.map { case (col, n) =>
@@ -514,6 +556,11 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
       // rewriting a committed data file (see [[GraftDeltaOperation]])
       case Some(key) =>
         () => new GraftDeltaOperation(info.command(), dir, tableSchema, key)
+      // K42: positional MoR — the delta row id is the (_file, _pos)
+      // metadata pair; DML lands position-delete files (see
+      // [[GraftPosDeltaOperation]])
+      case None if morPos =>
+        () => new GraftPosDeltaOperation(info.command(), dir, tableSchema)
       case None =>
         () => new GraftRowLevelOperation(info.command(), dir, tableSchema, bucketSpec)
     }
@@ -528,7 +575,7 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
     // flat path's K42 wrapper) — advertising it on bucketed/MoR
     // tables would pass the analyzer's capability check and then
     // crash at stream start on Scan's default toMicroBatchStream
-    if (bucketSpec.isEmpty && morKey.isEmpty)
+    if (bucketSpec.isEmpty && morKey.isEmpty && !morPos)
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -573,6 +620,13 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
         // the stock pruned scan
         GraftDeltaOperation.morScanBuilder(spark, tableName, dir,
           currentManifestRows(), tableSchema, morKey.get, options)
+      case None if morPos =>
+        // K42: positional-MoR read path — delete positions mask rows
+        // out of exactly the files that recorded them, on the
+        // VECTORIZED path (see [[GraftPosScanBuilder]]); delete-free
+        // snapshots degrade to the stock pruned scan
+        GraftPosMeta.scanBuilder(spark, tableName, dir,
+          currentManifestRows(), tableSchema, options)
       case None =>
         // K35: manifest-stats file pruning wraps the stock parquet
         // builder — SELECTs skip provably-non-matching files; the
@@ -597,10 +651,10 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
     * to intersecting files — same commit protocol, fewer rewrites.
     */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    // a merge-on-read table refuses the copy-on-write metadata DELETE so
-    // the statement flows through the DELTA rewrite (delete files, no
-    // data-file rewrite — the whole point of the mode)
-    morKey.isEmpty &&
+    // a merge-on-read table (either mode) refuses the copy-on-write
+    // metadata DELETE so the statement flows through the DELTA rewrite
+    // (delete files, no data-file rewrite — the whole point of the mode)
+    morKey.isEmpty && !morPos &&
       filters.forall(f => GraftLakeTable.filterToColumn(f).isDefined)
 
   /** DELETE with K14's min/max refinement, now real (the manifest
@@ -660,13 +714,16 @@ private[graft] object GraftTableMeta {
     """(?s)\{"graftBucket":\{"col":"([^"]+)","n":(\d+)\},"schema":(.*)\}""".r
   private val WrappedMor =
     """(?s)\{"graftMor":\{"key":"([^"]+)"\},"schema":(.*)\}""".r
+  private val WrappedMorPos =
+    """(?s)\{"graftMorPos":true,"schema":(.*)\}""".r
 
   def parse(metaPath: String, txt: String)
-      : (StructType, Option[(String, Int)], Option[String]) = {
-    val (schemaJson, spec, morKey) = txt.trim match {
-      case WrappedBucket(col, n, rest) => (rest, Some((col, n.toInt)), None)
-      case WrappedMor(key, rest) => (rest, None, Some(key))
-      case other => (other, None, None)
+      : (StructType, Option[(String, Int)], Option[String], Boolean) = {
+    val (schemaJson, spec, morKey, morPos) = txt.trim match {
+      case WrappedBucket(col, n, rest) => (rest, Some((col, n.toInt)), None, false)
+      case WrappedMor(key, rest) => (rest, None, Some(key), false)
+      case WrappedMorPos(rest) => (rest, None, None, true)
+      case other => (other, None, None, false)
     }
     // a truncated meta file (disk-full/kill during CREATE) must fail
     // with a NAMED remedy, not a raw JSON parse error wedging the
@@ -678,7 +735,7 @@ private[graft] object GraftTableMeta {
           s"table metadata at $metaPath is unreadable (interrupted CREATE " +
             s"TABLE?) — drop the table directory to recover", e)
       }
-    (schema, spec, morKey)
+    (schema, spec, morKey, morPos)
   }
 }
 

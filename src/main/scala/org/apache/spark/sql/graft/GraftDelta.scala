@@ -110,8 +110,17 @@ private[graft] class GraftDeltaOperation(
 
 private[graft] object GraftDeltaOperation {
 
-  /** Relative manifest paths of equality-delete files. */
+  /** Relative manifest paths of delete files — K39's equality deletes
+    * AND K42's position deletes (one table only ever has one kind, but
+    * every mode-agnostic consumer — metadata tables, VACUUM liveness,
+    * OPTIMIZE's resurrection guard, the streaming source's non-append
+    * detection — must treat both as "this version deletes rows").
+    */
   private[graft] def isDeleteFile(rel: String): Boolean =
+    rel.startsWith("deletes_") || GraftPosMeta.isPosDeleteFile(rel)
+
+  /** Equality-delete files only (the K39 masked-scan grouping). */
+  private[graft] def isEqDeleteFile(rel: String): Boolean =
     rel.startsWith("deletes_")
 
   /** The merge-on-read scan builder over a resolved snapshot: data
@@ -126,7 +135,7 @@ private[graft] object GraftDeltaOperation {
                      rows: Seq[GraftLakeTable.ManifestRow],
                      tableSchema: StructType, keyCol: String,
                      options: CaseInsensitiveStringMap): ScanBuilder = {
-    val (delRows, dataRows) = rows.partition(r => isDeleteFile(r.file))
+    val (delRows, dataRows) = rows.partition(r => isEqDeleteFile(r.file))
     if (delRows.isEmpty)
       return new GraftPrunedScanBuilder(spark, tableName, dir, dataRows,
         tableSchema, options)

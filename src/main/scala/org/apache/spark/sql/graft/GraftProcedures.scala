@@ -67,7 +67,7 @@ private[graft] object GraftProcedures {
     require(fs.exists(meta), s"catalog '$catalogName' has no table '$table'")
     val in = fs.open(meta)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val (schema, spec, _) = GraftTableMeta.parse(meta.toString, txt)
+    val (schema, spec, _, _) = GraftTableMeta.parse(meta.toString, txt)
     (dir.toString, schema, spec)
   }
 
@@ -111,22 +111,43 @@ private[graft] object GraftProcedures {
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
-      val (dir, _, _) = resolve(catalogName, root, table)
+      val (dir, schema, _) = resolve(catalogName, root, table)
       val manBase = s"$dir/manifest"
       val session = spark
-      val current = ManifestStore.versions(session, manBase).lastOption
-        .map(v => GraftLakeTable.manifestRowsFull(session, manBase, v))
-        .getOrElse(Seq.empty)
+      // PIN the snapshot the masked read is built from: a MoR DML
+      // committing between this pin and the overwrite publish would be
+      // silently DISCARDED by an unconditional overwrite (its delete
+      // files dropped, its rows lost — a lost update, while the MoR
+      // write path itself strictly serializes). The publish below
+      // commits at exactly pinned+1 or aborts with a retry error —
+      // the same write-serializable contract as the DML commits.
+      val pinned = ManifestStore.versions(session, manBase).lastOption.getOrElse(0L)
+      val current =
+        if (pinned == 0L) Seq.empty
+        else GraftLakeTable.manifestRowsFull(session, manBase, pinned)
       val delRows = current.filter(r => GraftDeltaOperation.isDeleteFile(r.file))
       if (delRows.isEmpty)
         return resultScan(outSchema, Seq(0L, 0L))
       // the MASKED read resolves through the catalog (the MoR scan
-      // applies the deletes); the overwrite commit lists only the
-      // clean rewrite — the shared INSERT path's optimistic loop
+      // applies the deletes); the clean rewrite lands in a fresh data
+      // dir and ONE overwrite version publishes it — conditionally
       val masked = session.table(s"$catalogName.$table")
-      GraftLakeTable.insert(session, dir, masked, overwrite = true)
-      val after = GraftLakeTable.manifestRowsFull(session, manBase,
-        ManifestStore.versions(session, manBase).last)
+      val writerId = java.util.UUID.randomUUID().toString.take(12)
+      val dataDir = s"$dir/data_$writerId"
+      GraftLakeTable.writeData(dataDir, masked, None)
+      val newRows = GraftLakeTable.fileStats(session, dataDir, schema)
+      val basedOn = ManifestStore.versions(session, manBase).lastOption.getOrElse(0L)
+      if (basedOn != pinned)
+        throw new java.io.IOException(
+          s"compact_deletes on $table: concurrent commit moved the table " +
+            s"to v$basedOn past the pinned v$pinned — retry the compaction")
+      val manifest = GraftLakeTable.publishRows(session,
+        newRows.map { case (f, n, st) => (f, n, "", st, basedOn + 1) })
+      if (!ManifestStore.tryPublish(session, manBase, manifest, basedOn + 1))
+        throw new java.io.IOException(
+          s"compact_deletes on $table: lost the commit race at " +
+            s"v${basedOn + 1} — retry the compaction")
+      val after = GraftLakeTable.manifestRowsFull(session, manBase, basedOn + 1)
       require(!after.exists(r => GraftDeltaOperation.isDeleteFile(r.file)),
         "compaction must leave no delete files")
       resultScan(outSchema,
@@ -207,11 +228,21 @@ private[graft] object GraftProcedures {
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("keep", IntegerType).build())
+      ProcedureParameter.in("keep", IntegerType).build(),
+      // unreferenced-file GC grace (Delta/Iceberg's orphan-GC age
+      // gate): an IN-FLIGHT writer lands files in its fresh
+      // data_<writer> dir BEFORE publishing the manifest — with no
+      // age threshold a concurrent vacuum sweeps them and the
+      // writer's subsequent commit publishes a manifest referencing
+      // deleted files, a permanently corrupt snapshot. Files younger
+      // than the grace are skipped; pass 0 only on a quiesced table.
+      ProcedureParameter.in("grace_hours", IntegerType)
+        .defaultValue("24").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
       val keep = input.getInt(1)
+      val graceHours = input.getInt(2)
       val (dir, _, _) = resolve(catalogName, root, table)
       val manBase = s"$dir/manifest"
       val session = spark
@@ -221,29 +252,38 @@ private[graft] object GraftProcedures {
         GraftLakeTable.manifestRowsFull(session, manBase, v).map(_.file)).toSet
       val fs = fileSystem(root)
       // data files live under <dir>/data_<writer>[/bucket=...]/*.parquet;
-      // K39 equality-delete files under <dir>/deletes_<writer>/ sweep
+      // K39 equality-delete files under <dir>/deletes_<writer>/ and
+      // K42 position-delete files under <dir>/posdel_<writer>/ sweep
       // by the same referenced-by-a-retained-version rule
+      val deleteCutoff = System.currentTimeMillis() - graceHours * 3600_000L
       val onDisk = fs.listStatus(new Path(dir)).toSeq
         .filter(st => st.isDirectory &&
           (st.getPath.getName.startsWith("data_") ||
-            st.getPath.getName.startsWith("deletes_")))
+            st.getPath.getName.startsWith("deletes_") ||
+            st.getPath.getName.startsWith("posdel_")))
         .flatMap { d =>
           val it = fs.listFiles(d.getPath, true)
-          val buf = scala.collection.mutable.ArrayBuffer[String]()
+          val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
           while (it.hasNext) {
-            val f = it.next().getPath.toString
-            if (f.endsWith(".parquet")) buf += f
+            val f = it.next()
+            if (f.getPath.toString.endsWith(".parquet"))
+              buf += ((f.getPath.toString, f.getModificationTime))
           }
           buf.toSeq
         }
       // manifest-relative path = from the file's own dir component —
-      // data_<writer> and K39's deletes_<writer> alike (matching on
-      // "/data_" alone classed every live delete file as unreferenced
-      // and vacuumed it — review finding, round 10)
-      val doomed = onDisk.filterNot { abs =>
-        val idx = math.max(abs.lastIndexOf("/data_"), abs.lastIndexOf("/deletes_"))
-        idx >= 0 && referenced.contains(abs.substring(idx + 1))
-      }
+      // data_<writer>, K39's deletes_<writer> and K42's posdel_<writer>
+      // alike (matching on "/data_" alone classed every live delete
+      // file as unreferenced and vacuumed it — review finding, round
+      // 10); unreferenced files younger than the grace window stay
+      // (an in-flight writer's pre-publish files — review, round 11)
+      val doomed = onDisk.filter { case (abs, mtime) =>
+        val idx = Seq(abs.lastIndexOf("/data_"), abs.lastIndexOf("/deletes_"),
+          abs.lastIndexOf("/posdel_")).max
+        val unreferenced =
+          !(idx >= 0 && referenced.contains(abs.substring(idx + 1)))
+        unreferenced && mtime < deleteCutoff
+      }.map(_._1)
       doomed.foreach(f => fs.delete(new Path(f), false))
       // K41: staging dirs orphaned by DRIVER DEATH mid-CTAS/RTAS are
       // invisible, complete table copies under the namespace dir that

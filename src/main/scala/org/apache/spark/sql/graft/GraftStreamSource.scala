@@ -42,9 +42,40 @@ private[graft] class GraftMicroBatchStream(
   private def spark: SparkSession = SparkSession.active
   private def manBase: String = s"$dir/manifest"
 
+  /** Committed manifests are IMMUTABLE, so each version's file set is
+    * read once per stream and cached (bounded LRU) — the admission
+    * loop's per-candidate diffs cost one manifest read each for the
+    * stream's lifetime, not one per trigger. A version missing from
+    * the committed list (a checkpointed offset swept by VACUUM
+    * retention) fails with a NAMED out-of-retention error instead of
+    * a raw missing-path read error.
+    */
+  private val manifestCache =
+    new java.util.LinkedHashMap[Long, Set[String]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Set[String]]): Boolean = size() > 64
+    }
+
   private def filesAt(v: Long): Set[String] =
     if (v == 0L) Set.empty
-    else GraftLakeTable.manifestRowsFull(spark, manBase, v).map(_.file).toSet
+    else manifestCache.synchronized {
+      val hit = manifestCache.get(v)
+      if (hit != null) hit
+      else {
+        val committed = ManifestStore.versions(spark, manBase)
+        if (!committed.contains(v))
+          throw new IllegalStateException(
+            s"streaming source over $dir: version $v is no longer committed " +
+              s"(retained: ${committed.headOption.getOrElse(0L)}.." +
+              s"${committed.lastOption.getOrElse(0L)}) — the checkpointed " +
+              "offset fell out of VACUUM retention; restart the stream " +
+              "from a retained startingVersion or a fresh checkpoint")
+        val files = GraftLakeTable.manifestRowsFull(spark, manBase, v)
+          .map(_.file).toSet
+        manifestCache.put(v, files)
+        files
+      }
+    }
 
   /** `startingVersion = v` means "deliver v and everything after" —
     * the Delta backfill-replay option; the default streams the whole

@@ -337,7 +337,7 @@ class Round22Spec extends SparkSpec {
 
     // vacuum keep=1: versions 1-4 swept, their unreferenced files GC'd,
     // everything v5 references stays readable
-    val vac = spark.sql(s"CALL $cat.system.vacuum('lake.m', 1)").collect()
+    val vac = spark.sql(s"CALL $cat.system.vacuum('lake.m', 1, 0)").collect()
     assert(vac.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq((4L, 3L, 2L)),
       s"vacuum must sweep 4 versions, GC the 3 packed-away files, keep 2 live: ${vac.toSeq}")

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.sinks.ManifestStore
+
+/** Round-11 specs: K42 positional-delete merge-on-read — the contracts
+  * the DataFrame-level oracle can't see: no data-file rewrite under
+  * DML, the COLUMNAR scan surviving live deletes, `_file`/`_pos`
+  * metadata-column semantics, position union across successive DMLs,
+  * compaction/OPTIMIZE interplay, and the round-11 VACUUM orphan-GC
+  * grace window.
+  */
+class Round24Spec extends SparkSpec {
+
+  private val cat = "graft"
+
+  private def ensure(): Unit = graft.queries.IOQueries.ensureCatalog(spark)
+
+  private def manBase(table: String): String =
+    graft.queries.IOQueries.catalogRoot + s"/lake/$table/manifest"
+
+  private def manifestFiles(table: String): Seq[String] = {
+    val mb = manBase(table)
+    ManifestStore.versions(spark, mb).lastOption
+      .map(v => org.apache.spark.sql.graft.GraftLakeTable
+        .manifestRowsFull(spark, mb, v).map(_.file))
+      .getOrElse(Seq.empty)
+  }
+
+  private def freshPosTable(name: String): Unit = {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.$name")
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.$name (k BIGINT NOT NULL, v STRING, amt DOUBLE)
+         |TBLPROPERTIES('graft.merge-on-read.mode'='position')""".stripMargin)
+  }
+
+  private def batchScans(plan: SparkPlan): Seq[BatchScanExec] =
+    plan.collect { case b: BatchScanExec => b }
+
+  test("posdelta: DELETE masks rows, rewrites no data file, lands one posdel file") {
+    freshPosTable("pos_t")
+    spark.sql(s"INSERT INTO $cat.lake.pos_t VALUES (1,'a',1.0),(2,'b',2.0),(3,'c',3.0)")
+    spark.sql(s"INSERT INTO $cat.lake.pos_t VALUES (4,'d',4.0),(5,'e',5.0)")
+    val dataBefore = manifestFiles("pos_t").filter(_.startsWith("data_")).toSet
+    spark.sql(s"DELETE FROM $cat.lake.pos_t WHERE k % 2 = 0")
+    val after = manifestFiles("pos_t")
+    assert(after.filter(_.startsWith("data_")).toSet == dataBefore,
+      s"DELETE must not rewrite or drop committed data files: $after")
+    assert(after.count(_.startsWith("posdel_")) == 1,
+      s"DELETE must land exactly one position-delete file: $after")
+    val out = spark.sql(s"SELECT k, v FROM $cat.lake.pos_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (3L, "c"), (5L, "e")), s"masked read: $out")
+  }
+
+  test("posdelta: masked reads stay COLUMNAR (the whole point vs equality deletes)") {
+    freshPosTable("pos_col")
+    spark.sql(s"INSERT INTO $cat.lake.pos_col VALUES (1,'a',1.0),(2,'b',2.0),(3,'c',3.0)")
+    spark.sql(s"DELETE FROM $cat.lake.pos_col WHERE k = 2")
+    assert(manifestFiles("pos_col").exists(_.startsWith("posdel_")),
+      "precondition: live position deletes")
+    val df = spark.sql(s"SELECT k, amt FROM $cat.lake.pos_col")
+    val scans = batchScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a BatchScanExec")
+    assert(scans.forall(_.supportsColumnar),
+      s"a masked positional read must keep the columnar scan:\n${df.queryExecution.executedPlan}")
+    assert(df.schema.fieldNames.toSeq == Seq("k", "amt"),
+      "the internal row-index column must not leak into the output")
+    val got = df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L), s"columnar masked values: $got")
+  }
+
+  test("posdelta: UPDATE = position delete + reinsert; old files untouched") {
+    freshPosTable("pos_u")
+    spark.sql(s"INSERT INTO $cat.lake.pos_u VALUES (1,'a',1.0),(2,'b',2.0)")
+    val dataBefore = manifestFiles("pos_u").filter(_.startsWith("data_")).toSet
+    spark.sql(s"UPDATE $cat.lake.pos_u SET amt = amt + 100.0 WHERE k = 2")
+    val after = manifestFiles("pos_u")
+    assert(dataBefore.subsetOf(after.filter(_.startsWith("data_")).toSet),
+      "UPDATE must carry old data files by reference")
+    assert(after.count(_.startsWith("posdel_")) == 1)
+    val out = spark.sql(s"SELECT k, amt FROM $cat.lake.pos_u ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((1L, 1.0), (2L, 102.0)), s"updated read: $out")
+  }
+
+  test("posdelta: _file/_pos are user-queryable metadata columns with file-ordinal semantics") {
+    freshPosTable("pos_m")
+    spark.sql(
+      s"""INSERT INTO $cat.lake.pos_m
+         |SELECT /*+ REPARTITION(1) */ id + 10 AS k, 'x' AS v,
+         |  cast(id AS DOUBLE) AS amt FROM range(3)""".stripMargin)
+    val rows = spark.sql(s"SELECT _file, _pos, k FROM $cat.lake.pos_m ORDER BY _pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.forall(_._1.startsWith("data_")),
+      s"_file must be the table-relative data file path: $rows")
+    // single-partition insert = one file; ordinals are 0..n-1
+    assert(rows.map(_._2).sorted == Seq(0L, 1L, 2L), s"_pos ordinals: $rows")
+    assert(rows.map(_._1).distinct.size == 1, s"one file expected: $rows")
+  }
+
+  test("posdelta: successive DMLs union positions; delete of an updated row's new copy works") {
+    freshPosTable("pos_s")
+    spark.sql(s"INSERT INTO $cat.lake.pos_s VALUES (1,'a',1.0),(2,'b',2.0),(3,'c',3.0)")
+    spark.sql(s"DELETE FROM $cat.lake.pos_s WHERE k = 1")
+    spark.sql(s"UPDATE $cat.lake.pos_s SET v = 'B' WHERE k = 2")
+    // the updated copy of k=2 lives in a NEW file; deleting it must
+    // mask the reinserted row, not the original (already-masked) one
+    spark.sql(s"DELETE FROM $cat.lake.pos_s WHERE k = 2")
+    val out = spark.sql(s"SELECT k, v FROM $cat.lake.pos_s ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((3L, "c")), s"after delete/update/delete: $out")
+    assert(manifestFiles("pos_s").count(_.startsWith("posdel_")) == 3)
+  }
+
+  test("posdelta: MERGE INTO drives matched-update / not-matched-insert through positions") {
+    freshPosTable("pos_mg")
+    spark.sql(s"INSERT INTO $cat.lake.pos_mg VALUES (1,'a',1.0),(2,'b',2.0)")
+    spark.range(2, 4).selectExpr("id AS k", "'m' AS v", "cast(id as double) AS amt")
+      .createOrReplaceTempView("pos_mg_src")
+    spark.sql(
+      s"""MERGE INTO $cat.lake.pos_mg t USING pos_mg_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v, amt = s.amt
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = spark.sql(s"SELECT k, v, amt FROM $cat.lake.pos_mg ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a", 1.0), (2L, "m", 2.0), (3L, "m", 3.0)), s"merged: $out")
+  }
+
+  test("posdelta: OPTIMIZE refuses on live position deletes; compact_deletes folds them") {
+    freshPosTable("pos_c")
+    spark.sql(s"INSERT INTO $cat.lake.pos_c VALUES (1,'a',1.0),(2,'b',2.0),(3,'c',3.0)")
+    spark.sql(s"DELETE FROM $cat.lake.pos_c WHERE k = 2")
+    val err = intercept[Exception](
+      spark.sql(s"CALL $cat.system.optimize('lake.pos_c', 100)").collect())
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("delete"), s"OPTIMIZE must refuse with a named error: ${err.getMessage}")
+    val metrics = spark.sql(s"CALL $cat.system.compact_deletes('lake.pos_c')")
+      .collect().head
+    assert(metrics.getLong(0) == 1L && metrics.getLong(1) == 1L,
+      s"compaction metrics: $metrics")
+    assert(!manifestFiles("pos_c").exists(_.startsWith("posdel_")),
+      "compaction must leave no delete files")
+    val out = spark.sql(s"SELECT k FROM $cat.lake.pos_c ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 3L))
+    // and OPTIMIZE now runs
+    spark.sql(s"CALL $cat.system.optimize('lake.pos_c', 100)").collect()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.pos_c").head.getLong(0) == 2L)
+  }
+
+  test("posdelta: filter pushdown and stats file-pruning still reach the masked scan") {
+    freshPosTable("pos_f")
+    spark.sql(s"INSERT INTO $cat.lake.pos_f VALUES (1,'a',1.0),(2,'b',2.0)")
+    spark.sql(s"INSERT INTO $cat.lake.pos_f VALUES (100,'x',10.0),(101,'y',11.0)")
+    spark.sql(s"DELETE FROM $cat.lake.pos_f WHERE k = 100")
+    val df = spark.sql(s"SELECT k FROM $cat.lake.pos_f WHERE k >= 100")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [k >= 100]"),
+      s"filters must push into the parquet scan:\n$plan")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(101L))
+  }
+
+  test("vacuum grace window: young unreferenced files survive; grace 0 reclaims them") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.grace_t")
+    spark.sql(s"CREATE TABLE $cat.lake.grace_t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.lake.grace_t VALUES (1,'a')")
+    spark.sql(s"INSERT OVERWRITE $cat.lake.grace_t VALUES (2,'b')")
+    val dir = new java.io.File(graft.queries.IOQueries.catalogRoot + "/lake/grace_t")
+    def dataFiles(): Seq[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(_.getName.startsWith("data_"))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty).toSeq)
+        .filter(_.getName.endsWith(".parquet"))
+    val before = dataFiles().size
+    assert(before >= 2, s"precondition: v1's file still on disk ($before)")
+    // default 24h grace: the just-unreferenced v1 file is YOUNG — an
+    // in-flight writer's files look exactly like this; must survive
+    spark.sql(s"CALL $cat.system.vacuum(table => 'lake.grace_t', keep => 1)").collect()
+    assert(dataFiles().size == before,
+      "a young unreferenced file must survive the default grace window")
+    // explicit grace 0 on a quiesced table reclaims it
+    spark.sql(s"CALL $cat.system.vacuum('lake.grace_t', 1, 0)").collect()
+    assert(dataFiles().size < before,
+      "grace 0 must reclaim the unreferenced file")
+    assert(spark.sql(s"SELECT k FROM $cat.lake.grace_t").head.getLong(0) == 2L)
+  }
+}
