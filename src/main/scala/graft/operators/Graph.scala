@@ -379,52 +379,161 @@ object Graph {
     * work use when label propagation's communities are too loose
     * (Cohen 2008, the standard truss definition).
     *
-    * Each round recomputes per-edge support with G2's machinery —
+    * Round 1 computes per-edge support with G2's machinery —
     * degree-oriented adjacency arrays intersected in place (O(√E)
     * fan-out bound, nothing wedge-shaped crosses a shuffle), each
-    * triangle crediting its three canonical edges — then drops edges
-    * under support k−2; `rounds` fixed rounds unrolled, checkpointed
-    * (the G7 contract: fixed-round semantics replayed bit-for-bit by
-    * the DuckDB unrolled-CTE oracle, not a convergence loop). Per
-    * round cost = one triangle pass over the surviving edges; at
-    * 100 TB the orientation bound keeps that edge-linear in array
-    * payloads exactly as G2/G8.
+    * triangle crediting its three canonical edges. Rounds 2..k are
+    * INCREMENTAL (the round-11 refinement): peeling only removes
+    * edges, so a surviving edge's support changes only when a
+    * triangle it sat in is DESTROYED by a dropped edge — each round
+    * enumerates exactly the triangles through last round's dropped
+    * edges (wedge join from the dropped endpoints, deduped per
+    * triangle), decrements the surviving edges' supports, and drops
+    * what falls under k−2. Cost per later round = Σ_{e∈D} deg(e)
+    * instead of a full O(E^1.5) triangle pass; result BIT-IDENTICAL
+    * to the full recompute (support is monotone under peeling —
+    * spec-pinned against [[ktrussFullOf]] on hand graphs AND the real
+    * parts graph). `rounds` fixed rounds unrolled, checkpointed, with
+    * the empty-drop fixpoint early-exit (the G7 contract: fixed-round
+    * semantics replayed bit-for-bit by the DuckDB unrolled-CTE
+    * oracle, not a convergence loop).
     */
   def ktruss(spark: SparkSession, dir: String,
              k: Int = 4, rounds: Int = 4): DataFrame = {
-    val (pp, _) = partsGraph(spark, dir)
-    ktrussOf(pp, k, rounds)
+    // reuse the SHARED cached triangle stream for round 1 — the same
+    // pass g_triangles/g_clustering amortize; the peel then never
+    // re-enumerates the full graph's triangles
+    val (pp, stream) = partsGraph(spark, dir)
+    ktrussOf(pp, k, rounds, Some(stream))
   }
+
+  /** Per-edge support (triangle counts) from an already-enumerated
+    * triangle stream; edges in no triangle get no row.
+    */
+  private def supportFromStream(stream: DataFrame): DataFrame =
+    stream
+      .select(col("src").as("u"), col("dst").as("v"),
+        explode(col("closing")).as("w"))
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"))))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+
+  /** One full support pass: per-edge triangle counts over `edges`
+    * (canonical a < b pairs); edges in no triangle get no row.
+    */
+  private def edgeSupport(edges: DataFrame): DataFrame =
+    supportFromStream(triangleStream(orientedOf(edges)))
 
   /** [[ktruss]]'s core over ANY distinct undirected canonical (a < b)
     * pair set — split out so specs can feed hand graphs (a K4 clique
     * is a stable 4-truss; a pendant triangle peels at k=4).
     */
-  private[graft] def ktrussOf(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+  private[graft] def ktrussOf(pairs: DataFrame, k: Int, rounds: Int,
+                              stream: Option[DataFrame] = None): DataFrame = {
     // k ≤ 2 is degenerate (threshold 0 keeps every edge) and the
     // credits-only rebuild below would silently DROP triangle-free
     // edges instead — refuse rather than answer wrong
     require(k >= 3, s"k-truss is defined for k >= 3 (got $k); " +
       "the 2-truss is the whole graph")
+    val edges = pairs.select("a", "b")
+    // round 1: support for every edge — from the caller's cached
+    // triangle stream when available; survivors carry their support
+    // as STATE for the later rounds
+    var surv = stream.map(supportFromStream).getOrElse(edgeSupport(edges))
+      .filter(col("sup") >= k - 2)
+      .localCheckpoint()
+    var survCount = surv.count()
+    // every edge not surviving round 1 (zero-credit edges included)
+    var dropped = edges
+      .join(surv.select("a", "b"), Seq("a", "b"), "left_anti")
+      .localCheckpoint()
+    var droppedCount = dropped.count()
+    // the edge set the drop was computed AGAINST — destroyed triangles
+    // live in THIS set (a triangle with two dropped edges still
+    // existed before the round and must decrement its third edge once)
+    var ePrev = edges
+    var round = 2
+    while (round <= rounds && droppedCount > 0) {
+      // COST-BASED round: the first peel typically sheds MOST of the
+      // graph (triangle-poor edges), where wedges-from-the-drop cost
+      // more than re-enumerating the small survivor core — recompute
+      // full support over the survivors then. Late rounds shed few
+      // edges — decrement exactly the triangles the drop destroyed.
+      // Both branches produce the SAME survivor set (support is
+      // monotone under peeling), so the heuristic is perf-only.
+      val updated =
+        if (droppedCount * 4 > survCount) {
+          // full recompute over the (small) survivor edge set; a
+          // survivor losing all its triangles gets NO support row —
+          // coalesce to 0 so it drops like the incremental branch
+          surv.select("a", "b")
+            .join(edgeSupport(surv.select("a", "b")), Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              coalesce(col("sup"), lit(0L)).as("sup"))
+            .localCheckpoint()
+        } else {
+          // triangles through a dropped edge (u,v): w adjacent to u in
+          // ePrev, with (v,w) also in ePrev — wedge fan-out Σ_D deg(u),
+          // proportional to the dropped neighborhood, not the graph
+          val adj = ePrev.select(col("a").as("u"), col("b").as("w"))
+            .unionAll(ePrev.select(col("b").as("u"), col("a").as("w")))
+          val destroyed = dropped.select(col("a").as("u"), col("b").as("v"))
+            .join(adj, Seq("u"))
+            .filter(col("w") =!= col("v"))
+            .join(ePrev.select(col("a").as("va"), col("b").as("vb")),
+              least(col("v"), col("w")) === col("va") &&
+                greatest(col("v"), col("w")) === col("vb"),
+              "left_semi")
+            // one decrement per DESTROYED TRIANGLE, however many
+            // dropped edges it contains — dedup by the node triple
+            .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
+            .distinct()
+            .select(col("t")(0).as("x"), col("t")(1).as("y"), col("t")(2).as("z"))
+          val decs = destroyed
+            .select(explode(array(
+              struct(col("x").as("a"), col("y").as("b")),
+              struct(col("x").as("a"), col("z").as("b")),
+              struct(col("y").as("a"), col("z").as("b")))).as("e"))
+            .select(col("e.a").as("a"), col("e.b").as("b"))
+            // only SURVIVING edges of a destroyed triangle lose
+            // support — its dropped edges are already gone
+            .join(surv.select("a", "b"), Seq("a", "b"), "left_semi")
+            .groupBy("a", "b").agg(count(lit(1)).as("dec"))
+          surv.join(decs, Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
+            .localCheckpoint()
+        }
+      ePrev = surv.select("a", "b")
+      surv = updated.filter(col("sup") >= k - 2).localCheckpoint()
+      survCount = surv.count()
+      dropped = updated.filter(col("sup") < k - 2)
+        .select("a", "b").localCheckpoint()
+      droppedCount = dropped.count()
+      round += 1
+    }
+    surv.select(col("a").as("node")).unionByName(surv.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("truss_degree"))
+      .orderBy("node")
+  }
+
+  /** The pre-round-11 full-recompute peel — one complete triangle pass
+    * per round. Kept as the EQUIVALENCE REFERENCE the incremental
+    * [[ktrussOf]] is spec-pinned against (Round24Spec): same survivors
+    * every round by support monotonicity under peeling.
+    */
+  private[graft] def ktrussFullOf(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss is defined for k >= 3 (got $k)")
     var e = pairs.select("a", "b").localCheckpoint()
-    // peeling only REMOVES edges, so an unchanged edge COUNT proves a
-    // fixpoint — every later round is the identity; stop paying the
-    // triangle pass (the HyperBall early-exit, count-sufficient here)
     var prevCount = e.count()
     var round = 1
     var converged = false
     while (round <= rounds && !converged) {
-      val stream = triangleStream(orientedOf(e))
-      val credits = stream
-        .select(col("src").as("u"), col("dst").as("v"),
-          explode(col("closing")).as("w"))
-        .select(explode(array(
-          struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
-          struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
-          struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"))))
-          .as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-      e = credits.groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      e = edgeSupport(e)
         .filter(col("sup") >= k - 2)
         .select("a", "b")
         .localCheckpoint()

@@ -164,6 +164,41 @@ class Round24Spec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(101L))
   }
 
+  test("ktruss incremental peel ≡ full recompute on hand graphs and the real parts graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def run(pairs: org.apache.spark.sql.DataFrame, k: Int, rounds: Int) = {
+      val inc = graft.operators.Graph.ktrussOf(pairs, k, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val full = graft.operators.Graph.ktrussFullOf(pairs, k, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(inc == full, s"incremental vs full diverged (k=$k): inc=$inc full=$full")
+      inc
+    }
+    // K4 clique (stable 4-truss) + pendant triangle (peels at k=4):
+    // nodes 1..4 = K4; triangle 4-5-6 hangs off node 4
+    val hand = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val k4 = run(hand, 4, 4)
+    assert(k4 == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)),
+      s"K4 must survive k=4, the pendant triangle must peel: $k4")
+    // k=3 keeps both (every edge sits in >= 1 triangle)
+    assert(run(hand, 3, 4).map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // a CHAIN of triangles sharing edges peels over MULTIPLE rounds at
+    // k=4 — exercises the round>2 decrement path (drops cascade)
+    val chain = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    assert(run(chain, 4, 4).isEmpty, "a bare triangle chain has no 4-truss")
+    // the REAL co-ordered-parts graph (same build as g_ktruss)
+    val l1 = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey")
+    val pp = l1.as("x").join(l1.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    run(pp, 4, 4)
+  }
+
   test("vacuum grace window: young unreferenced files survive; grace 0 reclaims them") {
     ensure()
     spark.sql(s"DROP TABLE IF EXISTS $cat.lake.grace_t")
