@@ -34,6 +34,38 @@ private[graft] object EventsOracles {
         |  (SELECT cast(count(*) AS bigint) FROM orders WHERE o_orderkey % 1000 = 7),
         |  1.0
         |ORDER BY o_orderstatus""".stripMargin,
+    // E39: per-(commit, change-type) CDF aggregate replayed
+    // arithmetically from orders (v1 = pre-1997-01 inserts; v2 =
+    // deletes ≡2 mod 5, ±update images ≡1 mod 5, mid-months inserts;
+    // v3 = late-months inserts) + the protocol row — the resumed
+    // second run must have ingested EXACTLY v3's change rows
+    "e_stream_cdf" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p,
+        |    strftime(o_orderdate, '%Y-%m') AS m FROM orders
+        |), v1 AS (SELECT * FROM src WHERE m < '1997-01'),
+        |ins2 AS (SELECT * FROM src WHERE m >= '1997-01' AND m < '1997-07'),
+        |ins3 AS (SELECT * FROM src WHERE m >= '1997-07')
+        |SELECT cast(1 AS bigint) AS ver, 'insert' AS change_type,
+        |  cast(count(*) AS bigint) AS n, round(sum(p), 2) AS total FROM v1
+        |UNION ALL
+        |SELECT 2, 'delete', cast(count(*) AS bigint), round(sum(p), 2)
+        |FROM v1 WHERE k % 5 = 2
+        |UNION ALL
+        |SELECT 2, 'insert', cast(count(*) AS bigint), round(sum(p), 2) FROM ins2
+        |UNION ALL
+        |SELECT 2, 'update_preimage', cast(count(*) AS bigint), round(sum(p), 2)
+        |FROM v1 WHERE k % 5 = 1
+        |UNION ALL
+        |SELECT 2, 'update_postimage', cast(count(*) AS bigint),
+        |  round(sum(round(p + 100.0, 2)), 2)
+        |FROM v1 WHERE k % 5 = 1
+        |UNION ALL
+        |SELECT 3, 'insert', cast(count(*) AS bigint), round(sum(p), 2) FROM ins3
+        |UNION ALL
+        |SELECT 99, 'x_protocol',
+        |  (SELECT cast(count(*) AS bigint) FROM ins3), 1.0
+        |ORDER BY ver, change_type""".stripMargin,
     // E37: the same last-per-user replay (merge-on-read must answer
     // exactly what copy-on-write answers) + the protocol row — 0 data
     // files ever removed across the manifest chain, delete files

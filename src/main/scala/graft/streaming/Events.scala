@@ -681,6 +681,88 @@ object Events {
          |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** E39: the STREAMING CHANGE DATA FEED
+    * ([[org.apache.spark.sql.graft.GraftCdfSourceProvider]], format
+    * `graft-cdf`) — Delta's `readChangeFeed` stream over the
+    * versioned lake: offsets are manifest versions, each micro-batch
+    * is the union of PER-COMMIT K23 row-level diffs (full row image +
+    * `_change_type` in insert/delete/update_preimage/update_postimage
+    * + `_commit_version`). This is the rung E38 leaves open:
+    * downstream incremental consumers (T18/T25 maintenance) now
+    * subscribe to UPDATEs and DELETEs too, not just appended files.
+    *
+    * Flow: three committed versions (initial months; deletes ≡2 mod 5
+    * + price bumps ≡1 mod 5 + mid-months inserts; late-months
+    * inserts), drained as TWO checkpointed AvailableNow runs with v3
+    * committed between them — run 2's input-row count (a Spark
+    * progress ACTUAL) must equal v3's change rows alone, riding the
+    * protocol row (E26's resume/exactly-once contract on the CDF
+    * surface). The output is the complete-mode per-(version, type)
+    * change aggregate, replayed arithmetically by the oracle.
+    */
+  def streamCdf(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_cdf_stream").toString
+    val lake = base + "/lake"
+    val man = base + "/manifest"
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("month"))
+    def manifestOf(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+    val (c1, c2) = ("1997-01", "1997-07")
+    val v1data = orders.filter(col("month") < c1)
+    v1data.repartition(4).write.mode("overwrite").parquet(lake + "/gen1")
+    graft.sinks.ManifestStore.publish(spark, man, manifestOf(lake + "/gen1"))
+    val k5 = col("o_orderkey") % 5
+    val v2data = v1data.filter(k5 =!= 2)
+      .withColumn("o_totalprice",
+        when(k5 === 1, round(col("o_totalprice") + 100.0, 2))
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.filter(col("month") >= c1 && col("month") < c2))
+    v2data.repartition(4).write.mode("overwrite").parquet(lake + "/gen2")
+    graft.sinks.ManifestStore.publish(spark, man, manifestOf(lake + "/gen2"))
+    val tableSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("month",
+        org.apache.spark.sql.types.StringType)))
+    val ckpt = base + "/ckpt"
+    def runOnce(name: String): Long = {
+      val q = spark.readStream.format("graft-cdf")
+        .schema(tableSchema)
+        .option("manifest", man)
+        .option("key", "o_orderkey")
+        .load()
+        .groupBy(col("_commit_version").as("ver"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    runOnce("graft_cdf_1") // drains v1 + v2 changes
+    // v3 commits BETWEEN the runs: the resumed checkpoint must deliver
+    // exactly its change rows (the late-months inserts)
+    val v3data = v2data.unionByName(orders.filter(col("month") >= c2))
+    v3data.repartition(4).write.mode("overwrite").parquet(lake + "/gen3")
+    graft.sinks.ManifestStore.publish(spark, man, manifestOf(lake + "/gen3"))
+    val secondRows = runOnce("graft_cdf_2")
+    val v3Inserts = orders.filter(col("month") >= c2).count()
+    val secondOk = if (secondRows == v3Inserts) 1.0 else 0.0
+    spark.sql(
+      s"""SELECT ver, change_type, n, total FROM graft_cdf_2
+         |UNION ALL
+         |SELECT 99L, 'x_protocol', ${secondRows}L, $secondOk
+         |ORDER BY ver, change_type""".stripMargin)
+  }
+
   /** E36: streaming heavy hitters — a Misra–Gries frequent-items
     * sketch ([[graft.functions.Aggregators.MisraGries]]) maintained as
     * STREAMING AGGREGATION STATE: the state store holds one

@@ -164,6 +164,51 @@ class Round24Spec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(101L))
   }
 
+  test("cdf stream: per-commit attribution, delta images, retention guard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    val base = java.nio.file.Files.createTempDirectory("graft_cdfspec").toString
+    val (lake, man) = (base + "/lake", base + "/man")
+    def publish(rows: Seq[(Long, Double)], gen: Int): Unit = {
+      rows.toDF("k", "p").repartition(1).write.parquet(s"$lake/gen$gen")
+      graft.sinks.ManifestStore.publish(spark, man,
+        spark.read.parquet(s"$lake/gen$gen")
+          .groupBy(input_file_name().as("file")).agg(count(lit(1)).as("n_rows")))
+    }
+    publish(Seq((1L, 1.0), (2L, 2.0)), 1)                 // v1: two inserts
+    publish(Seq((1L, 9.0), (3L, 3.0)), 2)                 // v2: upd k1, del k2, ins k3
+    publish(Seq((1L, 9.0)), 3)                            // v3: del k3
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.DoubleType)))
+    def drain(name: String): Unit = {
+      val q = spark.readStream.format("graft-cdf").schema(schema)
+        .option("manifest", man).option("key", "k").load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$base/ckpt_$name")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain("cdfspec")
+    val got = spark.sql("SELECT * FROM cdfspec ORDER BY _commit_version, _change_type, k")
+      .collect().map(r => (r.getLong(3), r.getString(2), r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq(
+      (1L, "insert", 1L, 1.0), (1L, "insert", 2L, 2.0),
+      (2L, "delete", 2L, 2.0), (2L, "insert", 3L, 3.0),
+      (2L, "update_postimage", 1L, 9.0), (2L, "update_preimage", 1L, 1.0),
+      (3L, "delete", 3L, 3.0)),
+      s"per-commit delta images: $got")
+    // retention guard: sweep v1/v2, a fresh drain needs v2 as the base
+    // of step v3 and must fail NAMED, never re-baseline to inserts
+    graft.sinks.ManifestStore.retain(spark, man, 1)
+    val err = intercept[Exception](drain("cdfspec_swept"))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(err).contains("no longer committed"),
+      s"swept base must fail with the named retention error: ${msgs(err)}")
+  }
+
   test("ktruss incremental peel ≡ full recompute on hand graphs and the real parts graph") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
