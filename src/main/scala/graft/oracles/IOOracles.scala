@@ -128,6 +128,20 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT 'x_protocol', n, 1.0 FROM dk
         |ORDER BY snapshot""".stripMargin,
+    // K43: partitions-rollup replay — row totals through the rollup at
+    // the v2 pin (everything inserted) and latest (post-DELETE); the
+    // layout/truncation laws ride the ok flags (expected 1.0), the
+    // pinned history row count is 2 by construction
+    "sink_meta_partitions" ->
+      """SELECT '1_v2_rollup' AS step,
+        |  (SELECT cast(count(*) AS bigint) FROM orders) AS n, 1.0 AS ok
+        |UNION ALL
+        |SELECT '2_v3_rollup',
+        |  (SELECT cast(count(*) AS bigint) FROM orders WHERE o_orderstatus <> 'F'),
+        |  1.0
+        |UNION ALL
+        |SELECT '3_history_pin', cast(2 AS bigint), 1.0
+        |ORDER BY step""".stripMargin,
     // K42: positional-MoR replay — same keep-set arithmetic as K39
     // (the two modes must agree on DATA); the protocol rows pin the
     // manifest actuals (delete-vector rows, carried flag) and the

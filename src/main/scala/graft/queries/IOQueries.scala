@@ -454,6 +454,68 @@ object IOQueries {
         |ORDER BY src, version""".stripMargin)
   }
 
+  /** K43: the `t.partitions` METADATA TABLE + metadata relations AT a
+    * version ([[org.apache.spark.sql.graft.GraftMetaTable]]) — the
+    * Iceberg `t.partitions` rollup: partition value (the K34 bucket
+    * directory) → live files, rows, on-disk bytes, computed from the
+    * manifest on the driver (one file-status per live file, no data
+    * opened). `VERSION AS OF` now resolves for metadata relations
+    * too: `t.partitions VERSION AS OF 2` is the layout a reader
+    * pinned at v2 sees, `t.history VERSION AS OF 2` truncates to
+    * commits ≤ 2 — what layout monitoring and partition-completeness
+    * gates (T38) read instead of listing the filesystem.
+    *
+    * Flow: a bucket(4) table, two half-slice INSERTs, a DELETE. The
+    * bucket VALUES are Spark-hash-assigned (not replayable in an
+    * external engine), so the hashed output pins (a) the replayable
+    * per-snapshot ROW TOTALS read back through the partitions rollup
+    * (pinned v2 and latest), and (b) protocol ACTUALS only the
+    * correct rollup produces: 4 partitions at both versions, exactly
+    * one file per bucket per INSERT at v2 (the single-pass bucket
+    * router's layout law), positive bytes everywhere, and the
+    * history truncation law at the pin.
+    */
+  def sinkMetaPartitions(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_mparts_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_mparts")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_mparts (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        |PARTITIONED BY (bucket(4, o_orderkey))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_mparts
+        |SELECT * FROM orders_mparts_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_mparts
+        |SELECT * FROM orders_mparts_src WHERE o_orderkey % 2 <> 0""".stripMargin)
+    spark.sql("DELETE FROM graft.lake.orders_mparts WHERE o_orderstatus = 'F'")
+    val v2 = spark.sql(
+      "SELECT * FROM graft.lake.orders_mparts.partitions VERSION AS OF 2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val v3 = spark.sql("SELECT * FROM graft.lake.orders_mparts.partitions")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val histPinned = spark.sql(
+      "SELECT count(*) FROM graft.lake.orders_mparts.history VERSION AS OF 2")
+      .head.getLong(0)
+    val histAll = spark.sql("SELECT count(*) FROM graft.lake.orders_mparts.history")
+      .head.getLong(0)
+    val v2Ok =
+      if (v2.length == 4 && v2.forall(p => p._2 == 2L && p._1.startsWith("__graft_bucket=")))
+        1.0 else 0.0
+    val v3Ok = if (v3.length == 4 && v3.forall(_._4 > 0L)) 1.0 else 0.0
+    val histOk = if (histPinned == 2L && histAll == 3L) 1.0 else 0.0
+    spark.sql(
+      s"""SELECT '1_v2_rollup' AS step, ${v2.map(_._3).sum}L AS n, $v2Ok AS ok
+         |UNION ALL
+         |SELECT '2_v3_rollup', ${v3.map(_._3).sum}L, $v3Ok
+         |UNION ALL
+         |SELECT '3_history_pin', ${histPinned}L, $histOk
+         |ORDER BY step""".stripMargin)
+  }
+
   /** K41: atomic `CREATE TABLE AS SELECT` / `REPLACE TABLE AS SELECT`
     * through the staging catalog ([[org.apache.spark.sql.graft
     * .GraftStagedTable]]): the table builds INVISIBLY (meta + data +

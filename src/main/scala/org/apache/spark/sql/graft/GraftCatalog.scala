@@ -280,11 +280,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * (the same metadata-plane resolution as K24's `graft_table` TVF,
     * now on the standard SQL surface).
     */
-  override def loadTable(ident: Identifier, version: String): Table =
-    loadPinned(ident, Some(version.toLongOption.getOrElse(
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toLongOption.getOrElse(
       throw new IllegalArgumentException(
         s"table ${ident.name()}: VERSION AS OF takes an integer commit " +
-          s"version, got '$version'"))))
+          s"version, got '$version'"))
+    // K43: metadata relations resolve AT a version too —
+    // `t.files VERSION AS OF 3` is the file list a reader pinned at v3
+    // sees, `t.history` truncates to commits ≤ v3 (same
+    // suffix-resolution rule as the unpinned path: a real table named
+    // like a metadata kind always wins)
+    if (!tableExists(ident) && ident.namespace().nonEmpty &&
+        GraftMetaTable.kinds.contains(ident.name().toLowerCase)) {
+      val baseIdent = Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last)
+      if (tableExists(baseIdent))
+        return new GraftMetaTable(ident.name().toLowerCase,
+          tablePath(baseIdent).toString,
+          s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+          Some(v))
+    }
+    loadPinned(ident, Some(v))
+  }
 
   /** `TIMESTAMP AS OF <t>` — resolve to the LATEST version committed
     * at or before `t` (Spark hands micros since epoch; commit instants

@@ -244,6 +244,37 @@ class Round24Spec extends SparkSpec {
     run(pp, 4, 4)
   }
 
+  test("metadata tables at a version: files/history pin, flat partitions rollup, bad pin named") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.meta_pin")
+    spark.sql(s"CREATE TABLE $cat.lake.meta_pin (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.lake.meta_pin VALUES (1,'a'),(2,'b')")
+    spark.sql(s"INSERT INTO $cat.lake.meta_pin VALUES (3,'c')")
+    spark.sql(s"DELETE FROM $cat.lake.meta_pin WHERE k = 1")
+    // files at the v1 pin = exactly v1's layout (rows sum 2)
+    val v1Rows = spark.sql(
+      s"SELECT sum(n_rows) FROM $cat.lake.meta_pin.files VERSION AS OF 1")
+      .head.getLong(0)
+    assert(v1Rows == 2L, s"pinned files must report v1's layout: $v1Rows")
+    // history pinned at v2 truncates to commits <= 2
+    val hist = spark.sql(
+      s"SELECT version FROM $cat.lake.meta_pin.history VERSION AS OF 2 ORDER BY version")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hist == Seq(1L, 2L), s"pinned history: $hist")
+    // a flat table's partitions rollup: ONE '' partition, live rows only
+    val parts = spark.sql(s"SELECT * FROM $cat.lake.meta_pin.partitions")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(parts.length == 1 && parts.head._1 == "" &&
+      parts.head._2 == 2L && parts.head._3 > 0L,
+      s"flat partitions rollup: $parts")
+    // an uncommitted pin fails with the available range, not a raw read
+    val err = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.lake.meta_pin.files VERSION AS OF 9").collect())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(err).contains("not committed"), s"named pin error: ${msgs(err)}")
+  }
+
   test("vacuum grace window: young unreferenced files survive; grace 0 reclaims them") {
     ensure()
     spark.sql(s"DROP TABLE IF EXISTS $cat.lake.grace_t")
