@@ -128,6 +128,21 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT 'x_protocol', n, 1.0 FROM dk
         |ORDER BY snapshot""".stripMargin,
+    // K44: default-value replay — 'std' = pre-ADD rows (existence
+    // default projected over untouched v1 files) + omitted-column
+    // inserts (current default materialized); 'vip' = explicit values;
+    // protocol = zero NULL segments + the carried (metadata-only) flag
+    "sink_catalog_default" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+        |SELECT 'std' AS segment, cast(count(*) AS bigint) AS n,
+        |  round(sum(p), 2) AS total
+        |FROM src WHERE k % 2 = 0 OR k % 3 <> 0
+        |UNION ALL
+        |SELECT 'vip', cast(count(*) AS bigint), round(sum(p), 2)
+        |FROM src WHERE k % 2 <> 0 AND k % 3 = 0
+        |UNION ALL
+        |SELECT 'x_protocol', cast(0 AS bigint), 1.0
+        |ORDER BY segment""".stripMargin,
     // K43: partitions-rollup replay — row totals through the rollup at
     // the v2 pin (everything inserted) and latest (post-DELETE); the
     // layout/truncation laws ride the ok flags (expected 1.0), the

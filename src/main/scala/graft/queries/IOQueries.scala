@@ -454,6 +454,63 @@ object IOQueries {
         |ORDER BY src, version""".stripMargin)
   }
 
+  /** K44: COLUMN DEFAULT VALUES through the catalog — Spark's
+    * `SUPPORT_COLUMN_DEFAULT_VALUE` surface on the manifest lake:
+    * `ALTER TABLE ADD COLUMN ... DEFAULT <literal>` is a METADATA-ONLY
+    * commit (the default rides the schema JSON as Spark's
+    * CURRENT/EXISTS default metadata pair). Rows in files committed
+    * BEFORE the column existed project the EXISTENCE default at read
+    * (the parquet readers' existence-default fill — no file rewrite,
+    * no null backfill job); INSERTs that omit the column materialize
+    * the CURRENT default at analysis; explicit values win. At 100 TB
+    * this is the difference between "add a column with a default" =
+    * one meta write vs a full-table rewrite. Non-literal defaults are
+    * refused by Spark's constant-folding gate (spec-pinned).
+    *
+    * Flow: v1 inserts half the keys pre-ADD (their rows must read the
+    * default, not NULL), the ADD lands, v2 inserts rows OMITTING the
+    * column, v3 inserts explicit values. The protocol row carries the
+    * metadata-only ACTUAL: every v1 data file survives the ADD
+    * byte-identically (carried flag).
+    */
+  def sinkCatalogDefault(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .createOrReplaceTempView("orders_def_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_def")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_def (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_def
+        |SELECT * FROM orders_def_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    val manBase = catalogRoot + "/lake/orders_def/manifest"
+    val v1Files = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, 1L).map(_.file).toSet
+    spark.sql(
+      "ALTER TABLE graft.lake.orders_def ADD COLUMN segment STRING DEFAULT 'std'")
+    spark.sql(
+      """INSERT INTO graft.lake.orders_def (o_orderkey, o_totalprice)
+        |SELECT * FROM orders_def_src
+        |WHERE o_orderkey % 2 <> 0 AND o_orderkey % 3 <> 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_def
+        |SELECT o_orderkey, o_totalprice, 'vip'
+        |FROM orders_def_src
+        |WHERE o_orderkey % 2 <> 0 AND o_orderkey % 3 = 0""".stripMargin)
+    val v3 = org.apache.spark.sql.graft.GraftLakeTable.manifestRowsFull(spark,
+      manBase, graft.sinks.ManifestStore.versions(spark, manBase).last)
+    val carried = if (v1Files.subsetOf(v3.map(_.file).toSet)) 1.0 else 0.0
+    spark.sql(
+      s"""SELECT segment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         |FROM graft.lake.orders_def GROUP BY segment
+         |UNION ALL
+         |SELECT 'x_protocol', count(*), $carried
+         |FROM graft.lake.orders_def WHERE segment IS NULL
+         |ORDER BY segment""".stripMargin)
+  }
+
   /** K43: the `t.partitions` METADATA TABLE + metadata relations AT a
     * version ([[org.apache.spark.sql.graft.GraftMetaTable]]) — the
     * Iceberg `t.partitions` rollup: partition value (the K34 bucket

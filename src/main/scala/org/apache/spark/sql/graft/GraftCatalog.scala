@@ -142,6 +142,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** K44: the catalog accepts column DEFAULT values (Spark's
+    * `SUPPORT_COLUMN_DEFAULT_VALUE` rung) — `CREATE TABLE (... c INT
+    * DEFAULT 5)` and `ALTER TABLE ADD COLUMN ... DEFAULT <literal>`.
+    * Defaults ride the schema JSON as field metadata (Spark's
+    * CURRENT_DEFAULT / EXISTS_DEFAULT pair): INSERTs that omit the
+    * column materialize the CURRENT default at analysis; files
+    * committed BEFORE the column existed project the EXISTENCE
+    * default at read (the parquet readers' existence-default fill) —
+    * a metadata-only commit, no file rewrite, the Delta/Iceberg ADD
+    * COLUMN DEFAULT shape. Non-literal defaults never reach the
+    * catalog: Spark requires constant-foldable DEFAULT expressions.
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def spark: SparkSession = SparkSession.active
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
@@ -460,11 +475,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .build())
 
   /** ALTER TABLE — the SAFE evolution subset for immutable parquet
-    * files: ADD COLUMN, top-level, nullable, no default, no position.
-    * Existing files simply lack the column and the parquet reader
-    * null-fills it (K19's read-side contract); later INSERTs carry it.
-    * Everything else (drop/rename/retype) would change how EXISTING
-    * files resolve by name and is refused — that's K27's
+    * files: ADD COLUMN, top-level, no position; nullable, OR carrying
+    * a literal DEFAULT (K44 — the default then backs rows in files
+    * committed before the column existed, so even a non-nullable add
+    * is total). Existing files simply lack the column and the parquet
+    * reader fills the EXISTENCE default (null when none — K19's
+    * read-side contract); later INSERTs materialize the CURRENT
+    * default. Everything else (drop/rename/retype) would change how
+    * EXISTING files resolve by name and is refused — that's K27's
     * metadata-commit + REORG territory, not a meta-file edit.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -472,18 +490,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
     val supported = changes.forall {
       case a: TableChange.AddColumn =>
-        a.fieldNames().length == 1 && a.isNullable &&
-          a.defaultValue() == null && a.position() == null
+        a.fieldNames().length == 1 && a.position() == null &&
+          (a.isNullable || a.defaultValue() != null)
       case _ => false
     }
     if (!supported)
       throw new UnsupportedOperationException(
         s"catalog '$catalogName' supports only ALTER TABLE ADD COLUMN " +
-          "(top-level, nullable, no default) — other changes would " +
-          "re-map existing immutable files")
+          "(top-level, nullable or with a literal DEFAULT) — other " +
+          "changes would re-map existing immutable files")
     val currentTable = loadPinned(ident, None).asInstanceOf[GraftLakeTable]
+    // the provider gates Spark's DEFAULT-value support check, and
+    // applySchemaChanges also constant-folds CURRENT defaults into the
+    // EXISTS defaults old files project (K44)
     val evolved = CatalogV2Util.applySchemaChanges(
-      currentTable.schema(), changes.toSeq, None, "ALTER TABLE")
+      currentTable.schema(), changes.toSeq, Some("parquet"), "ALTER TABLE")
     // temp-write + OVERWRITE-rename (FileContext — FileSystem.rename
     // refuses file-onto-file): atomic on POSIX, a conditional PUT on
     // object stores, so readers see the old or the new schema, never
@@ -587,6 +608,13 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+
+  /** The storage IS parquet — and naming it is what passes Spark's
+    * default-column provider gate (`spark.sql.defaultColumn
+    * .allowedProviders`) for K44's ALTER ... DEFAULT surface.
+    */
+  override def properties(): util.Map[String, String] =
+    util.Collections.singletonMap(TableCatalog.PROP_PROVIDER, "parquet")
   override def capabilities(): util.Set[TableCapability] =
     // MICRO_BATCH_READ only where the scan actually delivers it (the
     // flat path's K42 wrapper) — advertising it on bucketed/MoR

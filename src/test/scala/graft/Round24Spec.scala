@@ -275,6 +275,37 @@ class Round24Spec extends SparkSpec {
     assert(msgs(err).contains("not committed"), s"named pin error: ${msgs(err)}")
   }
 
+  test("column defaults: existence default backs old files, current default fills inserts") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.def_t")
+    spark.sql(s"CREATE TABLE $cat.lake.def_t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.lake.def_t VALUES (1,'a')")
+    // meta-only commit: the OLD file is untouched, its rows project 2.5
+    val filesBefore = manifestFiles("def_t").toSet
+    spark.sql(s"ALTER TABLE $cat.lake.def_t ADD COLUMN score DOUBLE DEFAULT 2.5")
+    assert(manifestFiles("def_t").toSet == filesBefore,
+      "ADD COLUMN DEFAULT must be a metadata-only change")
+    // an INSERT omitting the column materializes the CURRENT default
+    spark.sql(s"INSERT INTO $cat.lake.def_t (k, v) VALUES (2,'b')")
+    // an explicit value wins
+    spark.sql(s"INSERT INTO $cat.lake.def_t VALUES (3,'c', 9.9)")
+    val got = spark.sql(s"SELECT k, score FROM $cat.lake.def_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 2.5), (2L, 2.5), (3L, 9.9)),
+      s"existence/current default read-back: $got")
+    // CREATE TABLE with an inline default
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.def_t2")
+    spark.sql(s"CREATE TABLE $cat.lake.def_t2 (k BIGINT, s STRING DEFAULT 'x')")
+    spark.sql(s"INSERT INTO $cat.lake.def_t2 (k) VALUES (7)")
+    assert(spark.sql(s"SELECT s FROM $cat.lake.def_t2").head.getString(0) == "x")
+    // a NON-LITERAL default is refused (Spark's constant-folding gate)
+    val err = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.lake.def_t ADD COLUMN r DOUBLE DEFAULT rand()"))
+    assert(err.getMessage != null)
+    // the table still reads after the refusal
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.def_t").head.getLong(0) == 3L)
+  }
+
   test("vacuum grace window: young unreferenced files survive; grace 0 reclaims them") {
     ensure()
     spark.sql(s"DROP TABLE IF EXISTS $cat.lake.grace_t")
