@@ -128,6 +128,24 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT 'x_protocol', n, 1.0 FROM dk
         |ORDER BY snapshot""".stripMargin,
+    // K45: zorder replay — box and full aggregates from the same
+    // derivation; protocol = 4 fragments rewritten + the pruning flag
+    // (expected 1.0: the box scan must touch < half the files)
+    "sink_catalog_zorder" ->
+      """WITH src AS (
+        |  SELECT o_custkey % 256 AS xk,
+        |    cast(floor(o_totalprice / 1000.0) AS bigint) AS yb,
+        |    o_totalprice AS p
+        |  FROM orders
+        |)
+        |SELECT '1_box' AS step, cast(count(*) AS bigint) AS n,
+        |  round(sum(p), 2) AS total
+        |FROM src WHERE xk BETWEEN 32 AND 63 AND yb BETWEEN 64 AND 127
+        |UNION ALL
+        |SELECT '2_full', cast(count(*) AS bigint), round(sum(p), 2) FROM src
+        |UNION ALL
+        |SELECT '3_protocol', cast(4 AS bigint), 1.0
+        |ORDER BY step""".stripMargin,
     // K44: default-value replay — 'std' = pre-ADD rows (existence
     // default projected over untouched v1 files) + omitted-column
     // inserts (current default materialized); 'vip' = explicit values;

@@ -454,6 +454,91 @@ object IOQueries {
         |ORDER BY src, version""".stripMargin)
   }
 
+  /** K45: `OPTIMIZE ... ZORDER` on the CALL surface — T16's
+    * bit-interleave curve wired into K37's rewrite commit and K35's
+    * stats skipping ([[org.apache.spark.sql.graft.GraftProcedures]]):
+    * `CALL graft.system.optimize(t, target, zorder => array('x','y'))`
+    * rewrites the whole layout range-partitioned on the interleaved
+    * key, so every output file is one curve segment with a TIGHT
+    * min/max box on BOTH dimensions in the manifest — a 2-D box
+    * predicate then prunes to the files whose segment crosses the box
+    * (rectangle skipping), where a single-column sort only ever
+    * pruned one axis. At 100 TB this is the difference between a
+    * box query reading the intersecting curve segments' bytes and
+    * reading a full sorted dimension.
+    *
+    * Flow: four fragment INSERTs, the ZORDER rewrite, then a 2-D box
+    * aggregate and the full aggregate (both replayed by the oracle).
+    * The protocol row carries ACTUALS: the metrics row's
+    * rewritten-file count, and a pruning flag read from the box
+    * query's OWN executed scan — it must touch fewer than HALF the
+    * files (the tight curve-segment law is spec-pinned at ≤ 1/4 on
+    * a uniform hand grid).
+    */
+  def sinkCatalogZorder(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .selectExpr("o_custkey % 256 AS xk",
+        "CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS yb",
+        "o_totalprice")
+      .createOrReplaceTempView("orders_zo_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_zo")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_zo (
+        |  xk BIGINT, yb BIGINT, o_totalprice DOUBLE)""".stripMargin)
+    (0 until 4).foreach { s =>
+      spark.sql(
+        s"""INSERT INTO graft.lake.orders_zo
+           |SELECT /*+ REPARTITION(1) */ * FROM orders_zo_src
+           |WHERE abs(hash(xk, yb, o_totalprice)) % 4 = $s""".stripMargin)
+    }
+    val total = spark.table("graft.lake.orders_zo").count()
+    val target = math.max(1L, math.ceil(total / 16.0).toLong)
+    val metrics = spark.sql(
+      s"""CALL graft.system.optimize('lake.orders_zo', $target,
+         |  array('xk', 'yb'))""".stripMargin).collect().head
+    val box = spark.sql(
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM graft.lake.orders_zo
+        |WHERE xk BETWEEN 32 AND 63 AND yb BETWEEN 64 AND 127""".stripMargin)
+    // the pruning ACTUAL: files the box scan touches, from its own
+    // executed plan (manifest-stats skipping over the zordered layout)
+    def filesTouched(df: org.apache.spark.sql.DataFrame): Long = {
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case other => other.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+      }
+      scans(df.queryExecution.executedPlan).map(_.scan).map {
+        case g: org.apache.spark.sql.graft.GraftLakeScan => g.inner match {
+          case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            p.fileIndex.inputFiles.length.toLong
+          case _ => -1L
+        }
+        case _ => -1L
+      }.sum
+    }
+    val touched = filesTouched(box)
+    val manBase = catalogRoot + "/lake/orders_zo/manifest"
+    val nFiles = org.apache.spark.sql.graft.GraftLakeTable.manifestRowsFull(spark,
+      manBase, graft.sinks.ManifestStore.versions(spark, manBase).last).length
+    val pruned = if (touched > 0 && touched * 2 < nFiles) 1.0 else 0.0
+    spark.sql(
+      s"""SELECT '1_box' AS step, n, total FROM (
+         |  SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+         |  FROM graft.lake.orders_zo
+         |  WHERE xk BETWEEN 32 AND 63 AND yb BETWEEN 64 AND 127)
+         |UNION ALL
+         |SELECT '2_full', count(*), round(sum(o_totalprice), 2)
+         |FROM graft.lake.orders_zo
+         |UNION ALL
+         |SELECT '3_protocol', ${metrics.getLong(0)}L, $pruned
+         |ORDER BY step""".stripMargin)
+  }
+
   /** K44: COLUMN DEFAULT VALUES through the catalog — Spark's
     * `SUPPORT_COLUMN_DEFAULT_VALUE` surface on the manifest lake:
     * `ALTER TABLE ADD COLUMN ... DEFAULT <literal>` is a METADATA-ONLY

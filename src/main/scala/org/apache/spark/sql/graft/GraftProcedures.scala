@@ -163,31 +163,42 @@ private[graft] object GraftProcedures {
     extends UnboundProcedure with BoundProcedure {
     override def name(): String = "optimize"
     override def description(): String =
-      "bin-pack files under target_rows into one rewrite commit"
+      "bin-pack files under target_rows into one rewrite commit; " +
+        "zorder => array('x','y') re-clusters the layout on the interleave key"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("target_rows", LongType).build())
+      ProcedureParameter.in("target_rows", LongType).build(),
+      // K45: OPTIMIZE ... ZORDER — two numeric column names whose
+      // bit-interleaved key (T16's curve) orders the rewrite
+      ProcedureParameter.in("zorder", ArrayType(StringType))
+        .defaultValue("array()").build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
       val target = input.getLong(1)
+      val zorder: Seq[String] =
+        if (input.isNullAt(2)) Seq.empty
+        else input.getArray(2).toObjectArray(StringType)
+          .map(_.asInstanceOf[UTF8String].toString).toSeq
       val (dir, schema, bucketSpec) = resolve(catalogName, root, table)
       val manBase = s"$dir/manifest"
       val session = spark
       val current = ManifestStore.versions(session, manBase).lastOption
         .map(v => GraftLakeTable.manifestRowsFull(session, manBase, v))
         .getOrElse(Seq.empty)
-      // K39 guard: packing a merge-on-read data file would give it a
-      // NEW seq, detaching the equality deletes that masked its rows —
-      // the masked rows would resurrect. Compact deletes first (INSERT
-      // OVERWRITE ... SELECT reads masked and writes clean).
+      // K39/K42 guard: packing a merge-on-read data file would give it
+      // a NEW identity, detaching the equality/position deletes that
+      // masked its rows — the masked rows would resurrect. Compact
+      // deletes first (`CALL system.compact_deletes`), then OPTIMIZE.
       if (current.exists(r => GraftDeltaOperation.isDeleteFile(r.file)))
         throw new UnsupportedOperationException(
-          s"OPTIMIZE on $table: table has live equality-delete files — " +
-            "compact them first (INSERT OVERWRITE from a masked read), " +
-            "then OPTIMIZE")
+          s"OPTIMIZE on $table: table has live delete files — " +
+            "compact them first (CALL system.compact_deletes), then OPTIMIZE")
+      if (zorder.nonEmpty)
+        return zorderRewrite(session, table, dir, schema, bucketSpec,
+          current, target, zorder)
       val (small, big) = current.partition(_.nRows < target)
       // 0 or 1 small file: nothing to pack — report without committing
       if (small.length <= 1)
@@ -206,6 +217,79 @@ private[graft] object GraftProcedures {
       resultScan(outSchema,
         Seq(small.length.toLong, big.length.toLong,
           (after.length - big.length).toLong))
+    }
+
+    /** K45: `CALL graft.system.optimize(t, target, zorder =>
+      * array('x','y'))` — rewrite the WHOLE layout ordered by T16's
+      * bit-interleaved curve over the two dimensions: each column is
+      * min/max-normalized to 10 bits (one metadata-sized aggregate),
+      * the zkey interleaves them, and a range-repartition on zkey
+      * lands one curve segment per file. The manifest's per-file
+      * min/max stats (K35) then bound BOTH dimensions per file, so a
+      * 2-D box predicate prunes to the files whose curve segment
+      * crosses the box — rectangle skipping from the same stats that
+      * previously only pruned one sorted dimension (the
+      * Delta/Iceberg OPTIMIZE ZORDER shape; the pruning law is
+      * spec-pinned). Same replace-commit and conflict semantics as
+      * bin-packing; `target_rows` sizes the output files.
+      */
+    private def zorderRewrite(session: SparkSession, table: String,
+                              dir: String, schema: StructType,
+                              bucketSpec: Option[(String, Int)],
+                              current: Seq[GraftLakeTable.ManifestRow],
+                              target: Long,
+                              zorder: Seq[String]): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.functions._
+      require(zorder.length == 2,
+        s"zorder takes exactly two column names (got ${zorder.mkString(", ")})")
+      require(bucketSpec.isEmpty,
+        "OPTIMIZE ZORDER on a bucketed table would break its bucket routing")
+      zorder.foreach { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"zorder column '$c' is not in the table schema"))
+        require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"zorder column '$c' must be numeric (got ${f.dataType.simpleString})")
+      }
+      if (current.isEmpty)
+        return resultScan(outSchema, Seq(0L, 0L, 0L))
+      val data = session.read.schema(schema)
+        .parquet(current.map(r => s"$dir/${r.file}"): _*)
+      val Seq(cx, cy) = zorder.map(c => col(s"`$c`").cast("double"))
+      // one metadata-sized aggregate normalizes both dims to 10 bits
+      val b = data.agg(min(cx), max(cx), min(cy), max(cy)).head()
+      if (b.isNullAt(0) || b.isNullAt(2))
+        return resultScan(outSchema, Seq(0L, current.length.toLong, 0L))
+      val (xLo, xHi) = (b.getDouble(0), b.getDouble(1))
+      val (yLo, yHi) = (b.getDouble(2), b.getDouble(3))
+      def norm(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+        if (hi == lo) lit(0L)
+        else least(lit(1023L), greatest(lit(0L),
+          floor((c - lit(lo)) / lit(hi - lo) * 1024.0).cast("long")))
+      val (nx, ny) = (norm(cx, xLo, xHi), norm(cy, yLo, yHi))
+      val zkey = (0 until 10).foldLeft(lit(0L)) { (acc, bit) =>
+        acc +
+          shiftleft(shiftright(nx, bit).bitwiseAND(lit(1L)), 2 * bit) +
+          shiftleft(shiftright(ny, bit).bitwiseAND(lit(1L)), 2 * bit + 1)
+      }
+      val totalRows = current.map(_.nRows).sum
+      val nFiles = math.max(1, math.ceil(
+        totalRows.toDouble / math.max(1L, target)).toInt)
+      val writerId = java.util.UUID.randomUUID().toString.take(12)
+      val dataDir = s"$dir/data_$writerId"
+      val clustered = data.withColumn("__graft_zkey", zkey)
+        .repartitionByRange(nFiles, col("__graft_zkey"))
+        .sortWithinPartitions("__graft_zkey")
+        .drop("__graft_zkey")
+      GraftLakeTable.writeData(dataDir, clustered, None)
+      GraftLakeTable.commitReplace(session, dir, dataDir,
+        current.map(_.file).toSet, schema, bucketed = false,
+        s"OPTIMIZE ZORDER $table")
+      val manBase = s"$dir/manifest"
+      val after = GraftLakeTable.manifestRowsFull(session, manBase,
+        ManifestStore.versions(session, manBase).last)
+      resultScan(outSchema,
+        Seq(current.length.toLong, 0L, after.length.toLong))
     }
 
     private val outSchema = StructType(Seq(

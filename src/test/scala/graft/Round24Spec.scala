@@ -306,6 +306,54 @@ class Round24Spec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.lake.def_t").head.getLong(0) == 3L)
   }
 
+  test("optimize zorder: a 2-D box on a uniform grid touches a bounded file count") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.zo_grid")
+    spark.sql(s"CREATE TABLE $cat.lake.zo_grid (x BIGINT, y BIGINT, v DOUBLE)")
+    // a 64x64 uniform grid, inserted in x-striped fragments (so the
+    // pre-zorder layout is sorted on ONE axis — the case zorder fixes)
+    spark.sql(
+      s"""INSERT INTO $cat.lake.zo_grid
+         |SELECT id % 64 AS x, id DIV 64 AS y, cast(id AS DOUBLE) AS v
+         |FROM range(4096)""".stripMargin)
+    val metrics = spark.sql(
+      s"CALL $cat.system.optimize('lake.zo_grid', 256, array('x', 'y'))")
+      .collect().head
+    assert(metrics.getLong(2) == 16L,
+      s"4096 rows at target 256 must land 16 curve-segment files: $metrics")
+    def touched(sql: String): Long = {
+      val df = spark.sql(sql)
+      df.collect() // force execution (the pruned scan is in the plan)
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case g: org.apache.spark.sql.graft.GraftLakeScan => g.inner match {
+              case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+                p.fileIndex.inputFiles.length.toLong
+              case _ => fail("expected the pruned parquet scan")
+            }
+            case other => fail(s"unexpected scan $other")
+          }
+      }.sum
+    }
+    // the pruning LAW: a 16x16 box (1/16 of the area) intersects at
+    // most 4 of the 16 curve segments on a uniform grid
+    val boxFiles = touched(
+      s"SELECT * FROM $cat.lake.zo_grid WHERE x BETWEEN 16 AND 31 AND y BETWEEN 16 AND 31")
+    assert(boxFiles <= 4L, s"a 1/16 box must touch <= 4 of 16 zordered files, got $boxFiles")
+    // both axes prune INDIVIDUALLY too (the whole point vs one sort)
+    val xSlice = touched(s"SELECT * FROM $cat.lake.zo_grid WHERE x BETWEEN 0 AND 7")
+    val ySlice = touched(s"SELECT * FROM $cat.lake.zo_grid WHERE y BETWEEN 0 AND 7")
+    assert(xSlice < 16L && ySlice < 16L,
+      s"single-axis slices must prune on both dims: x=$xSlice y=$ySlice")
+    // correctness: the box holds exactly its 256 grid points
+    val n = spark.sql(
+      s"""SELECT count(*) FROM $cat.lake.zo_grid
+         |WHERE x BETWEEN 16 AND 31 AND y BETWEEN 16 AND 31""".stripMargin)
+      .head.getLong(0)
+    assert(n == 256L, s"box contents after rewrite: $n")
+  }
+
   test("vacuum grace window: young unreferenced files survive; grace 0 reclaims them") {
     ensure()
     spark.sql(s"DROP TABLE IF EXISTS $cat.lake.grace_t")
