@@ -298,6 +298,11 @@ class Round22Spec extends SparkSpec {
     val got = Graph.betweennessOf(corpusPairs, iters = 4, nSources = 8, topK = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == topExpect, s"distributed vs driver Brandes:\n$got\n$topExpect")
+    // the sentinel that keeps the "every spec-only op has a number in
+    // RECALL" invariant mechanical: this op is pinned BIT-FOR-BIT
+    // against the driver Brandes replay, so the recorded quantity is
+    // exact-match, not an error bound (VERDICT r10 "What's wrong" #3)
+    RecallLog.record("g_betweenness", "exact_replay_match", 1.0)
   }
 
   test("K37 CALL procedures: optimize packs small files and carries big ones; vacuum GCs exactly the unreferenced") {

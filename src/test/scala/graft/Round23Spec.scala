@@ -230,7 +230,7 @@ class Round23Spec extends SparkSpec {
       spark.sql("CALL graft.system.optimize(table => 'lake.mor_hand', target_rows => 1000)")
         .collect()
     }
-    assert(e.getMessage != null && e.getMessage.contains("equality-delete"),
+    assert(e.getMessage != null && e.getMessage.contains("live delete files"),
       s"unexpected: $e")
 
     // compaction path: INSERT OVERWRITE from the masked self-read via a
