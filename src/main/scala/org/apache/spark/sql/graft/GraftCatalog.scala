@@ -328,6 +328,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * fails loudly with the available range (K36).
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    // K43: metadata relations time-travel too — `t.files TIMESTAMP AS
+    // OF t` resolves the pin against the BASE table's commit instants
+    // (same suffix rule as the other two loadTable overloads; review
+    // finding, round 11: VERSION AS OF resolved here but TIMESTAMP AS
+    // OF fell through to NoSuchTableException)
+    if (!tableExists(ident) && ident.namespace().nonEmpty &&
+        GraftMetaTable.kinds.contains(ident.name().toLowerCase)) {
+      val baseIdent = Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last)
+      if (tableExists(baseIdent))
+        return new GraftMetaTable(ident.name().toLowerCase,
+          tablePath(baseIdent).toString,
+          s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
+          Some(resolveAtTimestamp(baseIdent, timestampMicros)))
+    }
+    loadPinned(ident, Some(resolveAtTimestamp(ident, timestampMicros)))
+  }
+
+  /** LATEST version committed at or before the instant (see the
+    * in-commit-timestamp notes on the caller).
+    */
+  private def resolveAtTimestamp(ident: Identifier, timestampMicros: Long): Long = {
     val dir = tablePath(ident)
     if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
     val times = ManifestStore.versionsWithTimes(spark, new Path(dir, "manifest").toString)
@@ -337,7 +359,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"table ${ident.name()}: no version committed at or before " +
           s"epoch-millis $tMillis (first commit: ${times.headOption.fold("none")(_._2.toString)})")
-    loadPinned(ident, Some(eligible.map(_._1).max))
+    eligible.map(_._1).max
   }
 
   private def loadPinned(ident: Identifier, version: Option[Long]): Table = {
@@ -829,6 +851,25 @@ object GraftLakeTable {
     spark.read.schema("file STRING, n_rows BIGINT")
       .json(s"$manBase/manifest_v$version")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** A committed version's file list with the RETENTION contract both
+    * streaming sources share (E38/E39): a version VACUUM swept fails
+    * with one NAMED error instead of a raw missing-path read — and the
+    * wording lives in exactly one place.
+    */
+  private[graft] def filesAtRetained(spark: SparkSession, manBase: String,
+                                     version: Long, who: String): Seq[String] = {
+    if (version == 0L) return Seq.empty
+    val versions = ManifestStore.versions(spark, manBase)
+    if (!versions.contains(version))
+      throw new IllegalStateException(
+        s"$who: version $version is no longer committed " +
+          s"(retained: ${versions.headOption.getOrElse(0L)}.." +
+          s"${versions.lastOption.getOrElse(0L)}) — it fell out of VACUUM " +
+          "retention; restart the stream from a retained startingVersion " +
+          "or a fresh checkpoint")
+    manifestRows(spark, manBase, version).map(_._1)
+  }
 
   /** One manifest row in full: table-dir-relative file, row count, txn
     * tag, and the per-file column stats `col -> [min, max]` (both cast

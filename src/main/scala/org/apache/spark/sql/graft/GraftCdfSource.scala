@@ -44,9 +44,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *     Iceberg equality deletes state). Production formats shortcut
   *     by writing CDC files at commit time; deriving keeps history
   *     replayable from data alone, at the cost of one key-partitioned
-  *     full-outer join per STEP — and carried files cancel, so the
-  *     candidate set is the changed files' rows, change-mass-sized
-  *     for MoR commits.
+  *     full-outer join per STEP.
+  *   - Versions carrying MERGE-ON-READ delete files are REFUSED with
+  *     a named error (the raw-file diff cannot apply delete masks —
+  *     an unmasked read would misread delete files as data and miss
+  *     the deletions): compact deletes first, or stream from a
+  *     copy-on-write table; CDF through the catalog's masked read is
+  *     the round-12 rung.
   *   - A version whose manifest fell out of VACUUM retention fails
   *     the stream with E38's named out-of-retention error.
   *   - `startingVersion = v` replays history from commit v (v=1 =
@@ -115,28 +119,31 @@ private[graft] class GraftCdfSource(
   override def getOffset: Option[LegacyOffset] =
     committed.lastOption.map(LongOffset.apply)
 
-  /** Resolve a version's file list against the manifest (E38's
-    * retention contract: a swept version fails NAMED, not as a raw
-    * missing-path read). Manifest rows may carry absolute paths (the
-    * K9 lake shape) or table-relative ones (the catalog lake) — the
-    * `dir` option anchors the latter.
+  /** Resolve a version's file list against the manifest (the shared
+    * E38/E39 retention contract: a swept version fails NAMED, not as
+    * a raw missing-path read). Manifest rows may carry absolute paths
+    * (the K9 lake shape) or table-relative ones (the catalog lake) —
+    * the `dir` option anchors the latter. A version carrying
+    * merge-on-read DELETE files is REFUSED: the diff reads raw data
+    * files, so an unmasked read would misread a delete file as
+    * all-null data rows and miss the deletion entirely — compact
+    * deletes first, or take the catalog table's masked read (the
+    * round-12 CDF-through-the-catalog rung).
     */
   private def filesAt(v: Long): Seq[String] = {
-    if (v == 0L) return Seq.empty
-    val versions = committed
-    if (!versions.contains(v))
-      throw new IllegalStateException(
-        s"graft-cdf over $manBase: version $v is no longer committed " +
-          s"(retained: ${versions.headOption.getOrElse(0L)}.." +
-          s"${versions.lastOption.getOrElse(0L)}) — the checkpointed offset " +
-          "fell out of VACUUM retention; restart from a retained startingVersion")
-    spark.read.schema("file STRING, n_rows BIGINT")
-      .json(s"$manBase/manifest_v$v")
-      .collect().map(_.getString(0)).toSeq
-      .map(f => dirOpt match {
-        case Some(d) if !f.startsWith("/") && !f.contains(":/") => s"$d/$f"
-        case _ => f
-      })
+    val raw = GraftLakeTable.filesAtRetained(spark, manBase, v,
+      s"graft-cdf over $manBase")
+    raw.find(f => f.startsWith("deletes_") || f.startsWith("posdel_") ||
+        f.contains("/deletes_") || f.contains("/posdel_"))
+      .foreach(f => throw new IllegalStateException(
+        s"graft-cdf over $manBase: version $v carries merge-on-read delete " +
+          s"file(s) ($f) — the key-derived diff reads raw data files and " +
+          "cannot apply delete masks; run CALL system.compact_deletes first " +
+          "or stream changes from a copy-on-write table"))
+    raw.map(f => dirOpt match {
+      case Some(d) if !f.startsWith("/") && !f.contains(":/") => s"$d/$f"
+      case _ => f
+    })
   }
 
   private def readVersion(v: Long): DataFrame = {
@@ -186,13 +193,27 @@ private[graft] class GraftCdfSource(
           schema)
       else {
         // each commit diffs against its PREDECESSOR version v−1
-        // (versions are dense: every publish commits basedOn+1). The
-        // predecessor may be below `s` — the base snapshot of the
-        // first admitted step — and if VACUUM swept it, filesAt fails
-        // with the NAMED retention error rather than silently
-        // re-baselining the diff against an empty snapshot (which
-        // would re-deliver the whole table as inserts)
-        steps.map(v => stepChanges(v - 1L, v)).reduce(_ unionByName _)
+        // (versions are dense: every publish commits basedOn+1). A
+        // predecessor VACUUM swept never silently re-baselines the
+        // diff (that would re-deliver the whole table as inserts):
+        // it is allowed ONLY when the user explicitly started AT v —
+        // startingVersion on the oldest retained version delivers its
+        // snapshot as inserts (the satisfiable remedy the retention
+        // error names) — and fails NAMED otherwise
+        val all = committed
+        steps.map { v =>
+          val base =
+            if (v == 1L || all.contains(v - 1L)) v - 1L
+            else if (startingVersion.contains(v)) 0L
+            else throw new IllegalStateException(
+              s"graft-cdf over $manBase: version ${v - 1} (the diff base of " +
+                s"v$v) is no longer committed — it fell out of VACUUM " +
+                s"retention; restart with startingVersion >= ${all.headOption
+                  .map(_ + 1).getOrElse(1L)}, or startingVersion = " +
+                s"${all.headOption.getOrElse(1L)} to re-deliver that " +
+                "version's snapshot as inserts")
+          stepChanges(base, v)
+        }.reduce(_ unionByName _)
       }
     // the engine grafts this plan in place of the streaming relation
     // and asserts isStreaming — materialize through the internal-row

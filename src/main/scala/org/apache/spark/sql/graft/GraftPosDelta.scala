@@ -284,11 +284,20 @@ private[graft] class GraftPosScan(
   override def readSchema(): StructType = out
 
   /** Table-relative path of a split's absolute file path (URI-scheme
-    * tolerant: matched by `/<relative>` suffix against the manifest).
+    * tolerant: matched by `/<relative>` suffix against the manifest),
+    * through a name-keyed index so attribution is O(splits), not
+    * O(files × splits), on the driver.
     */
-  private def relOf(abs: String): String =
-    dataRows.map(_.file).find(rel => abs.endsWith("/" + rel)).getOrElse(
-      throw new IllegalStateException(s"split file $abs is not in the scanned snapshot"))
+  private lazy val relByName: Map[String, Seq[String]] =
+    dataRows.map(_.file).groupBy(rel => rel.substring(rel.lastIndexOf('/') + 1))
+      .map { case (k, v) => (k, v.toSeq) }
+
+  private def relOf(abs: String): String = {
+    val name = abs.substring(abs.lastIndexOf('/') + 1)
+    relByName.getOrElse(name, Seq.empty)
+      .find(rel => abs.endsWith("/" + rel)).getOrElse(
+        throw new IllegalStateException(s"split file $abs is not in the scanned snapshot"))
+  }
 
   private def perSplit(scan: Scan, fromDirty: Boolean): Array[InputPartition] =
     scan.toBatch.planInputPartitions().flatMap {
@@ -307,7 +316,11 @@ private[graft] class GraftPosScan(
     private val cleanBatch = cleanScan.toBatch
     private val dirtyBatch = dirtyScan.map(_.toBatch)
 
-    override def planInputPartitions(): Array[InputPartition] = {
+    // planned ONCE: Spark calls planInputPartitions and
+    // createReaderFactory separately, and the columnar decision below
+    // reads the same array — re-planning would re-run both inner
+    // scans' split planning per query (review finding, round 11)
+    private lazy val planned: Array[InputPartition] = {
       val dirty = dirtyBatch.map(_ => perSplit(dirtyScan.get, fromDirty = true))
         .getOrElse(Array.empty)
       val clean =
@@ -315,6 +328,8 @@ private[graft] class GraftPosScan(
         else cleanBatch.planInputPartitions().map(new GraftPosCleanPartition(_): InputPartition)
       clean ++ dirty
     }
+
+    override def planInputPartitions(): Array[InputPartition] = planned
 
     override def createReaderFactory(): PartitionReaderFactory = {
       val cleanF = cleanBatch.createReaderFactory()
@@ -326,8 +341,7 @@ private[graft] class GraftPosScan(
         case _: ArrayType | _: MapType | _: StructType => false
         case _ => true
       })
-      val parts = planInputPartitions()
-      val columnar = !metaReq && flatAtomic && parts.forall {
+      val columnar = !metaReq && flatAtomic && planned.forall {
         case c: GraftPosCleanPartition => cleanF.supportColumnarReads(c.delegate)
         case p: GraftPosPartition => dirtyF.exists(_.supportColumnarReads(p.delegate))
         case _ => false

@@ -62,16 +62,8 @@ private[graft] class GraftMicroBatchStream(
       val hit = manifestCache.get(v)
       if (hit != null) hit
       else {
-        val committed = ManifestStore.versions(spark, manBase)
-        if (!committed.contains(v))
-          throw new IllegalStateException(
-            s"streaming source over $dir: version $v is no longer committed " +
-              s"(retained: ${committed.headOption.getOrElse(0L)}.." +
-              s"${committed.lastOption.getOrElse(0L)}) — the checkpointed " +
-              "offset fell out of VACUUM retention; restart the stream " +
-              "from a retained startingVersion or a fresh checkpoint")
-        val files = GraftLakeTable.manifestRowsFull(spark, manBase, v)
-          .map(_.file).toSet
+        val files = GraftLakeTable.filesAtRetained(spark, manBase, v,
+          s"streaming source over $dir").toSet
         manifestCache.put(v, files)
         files
       }

@@ -207,6 +207,46 @@ class Round24Spec extends SparkSpec {
       if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
     assert(msgs(err).contains("no longer committed"),
       s"swept base must fail with the named retention error: ${msgs(err)}")
+    // ...and the named remedy is SATISFIABLE: startingVersion on the
+    // oldest retained version re-delivers its snapshot as inserts
+    val q2 = spark.readStream.format("graft-cdf").schema(schema)
+      .option("manifest", man).option("key", "k")
+      .option("startingVersion", "3").load()
+      .writeStream.format("memory").queryName("cdfspec_sv")
+      .option("checkpointLocation", s"$base/ckpt_sv")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val sv = spark.sql("SELECT k, p, _change_type, _commit_version FROM cdfspec_sv")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3))).toSeq
+    assert(sv == Seq((1L, 9.0, "insert", 3L)),
+      s"oldest-retained startingVersion must deliver the snapshot as inserts: $sv")
+  }
+
+  test("cdf stream: merge-on-read delete files are refused, never misread as data") {
+    freshPosTable("pos_cdf")
+    spark.sql(s"INSERT INTO $cat.lake.pos_cdf VALUES (1,'a',1.0),(2,'b',2.0)")
+    spark.sql(s"DELETE FROM $cat.lake.pos_cdf WHERE k = 2")
+    val tdir = graft.queries.IOQueries.catalogRoot + "/lake/pos_cdf"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("amt", org.apache.spark.sql.types.DoubleType)))
+    val err = intercept[Exception] {
+      val q = spark.readStream.format("graft-cdf").schema(schema)
+        .option("manifest", s"$tdir/manifest").option("key", "k")
+        .option("dir", tdir).load()
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_cdfmor").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(err).contains("delete file"),
+      s"MoR versions must be refused with a named error: ${msgs(err)}")
   }
 
   test("ktruss incremental peel ≡ full recompute on hand graphs and the real parts graph") {
@@ -267,6 +307,12 @@ class Round24Spec extends SparkSpec {
     assert(parts.length == 1 && parts.head._1 == "" &&
       parts.head._2 == 2L && parts.head._3 > 0L,
       s"flat partitions rollup: $parts")
+    // TIMESTAMP AS OF resolves for metadata relations too (against the
+    // BASE table's commit instants; a far-future instant pins latest)
+    val histTs = spark.sql(
+      s"SELECT count(*) FROM $cat.lake.meta_pin.history TIMESTAMP AS OF '2999-01-01'")
+      .head.getLong(0)
+    assert(histTs == 3L, s"timestamp-pinned metadata history: $histTs")
     // an uncommitted pin fails with the available range, not a raw read
     val err = intercept[Exception](
       spark.sql(s"SELECT * FROM $cat.lake.meta_pin.files VERSION AS OF 9").collect())
