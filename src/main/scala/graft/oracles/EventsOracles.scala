@@ -66,6 +66,27 @@ private[graft] object EventsOracles {
         |SELECT 99, 'x_protocol',
         |  (SELECT cast(count(*) AS bigint) FROM ins3), 1.0
         |ORDER BY ver, change_type""".stripMargin,
+    // E40: catalog-CDF replay over the positional-MoR DML history —
+    // v1 = full insert, v2 = deletes ≡0 mod 7 (pre-image prices,
+    // masked by the delete vectors the raw mode cannot apply), v3 =
+    // ±update images on ≡0 mod 5 survivors
+    "e_stream_cdf_catalog" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |surv AS (SELECT * FROM src WHERE k % 7 <> 0),
+        |upd AS (SELECT * FROM surv WHERE k % 5 = 0)
+        |SELECT cast(1 AS bigint) AS ver, 'insert' AS change_type,
+        |  cast(count(*) AS bigint) AS n, round(sum(p), 2) AS total FROM src
+        |UNION ALL
+        |SELECT 2, 'delete', cast(count(*) AS bigint), round(sum(p), 2)
+        |FROM src WHERE k % 7 = 0
+        |UNION ALL
+        |SELECT 3, 'update_preimage', cast(count(*) AS bigint), round(sum(p), 2)
+        |FROM upd
+        |UNION ALL
+        |SELECT 3, 'update_postimage', cast(count(*) AS bigint),
+        |  round(sum(p + 1000.0), 2)
+        |FROM upd
+        |ORDER BY ver, change_type""".stripMargin,
     // E37: the same last-per-user replay (merge-on-read must answer
     // exactly what copy-on-write answers) + the protocol row — 0 data
     // files ever removed across the manifest chain, delete files

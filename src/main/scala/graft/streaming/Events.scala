@@ -763,6 +763,57 @@ object Events {
          |ORDER BY ver, change_type""".stripMargin)
   }
 
+  /** E40: the CHANGE DATA FEED through the CATALOG — E39's stream with
+    * snapshots read via `VERSION AS OF` through the table's OWN masked
+    * read ([[org.apache.spark.sql.graft.GraftCdfSourceProvider]]'s
+    * `table` option), which is what makes CDF CORRECT over
+    * merge-on-read tables: K42's position-delete vectors apply before
+    * the diff, so a MoR DELETE surfaces as `delete` change rows —
+    * exactly the case the raw manifest mode must refuse (it cannot
+    * apply masks; round-11 review finding #1). Schema and manifest
+    * resolve from the catalog; offsets stay manifest versions with
+    * the same checkpointed exactly-once progress.
+    *
+    * Flow: a positional-MoR table takes INSERT → DELETE (every 7th
+    * key) → UPDATE (+1000 on every 5th survivor) — O(changed rows)
+    * write cost — and one AvailableNow drain aggregates the feed
+    * per (commit, change type). The DELETE and both UPDATE images
+    * land under the hash; the oracle replays all of it from orders.
+    */
+  def streamCdfCatalog(spark: SparkSession, dir: String): DataFrame = {
+    graft.queries.IOQueries.ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .createOrReplaceTempView("orders_cdfm_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_cdfm")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_cdfm (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE)
+        |TBLPROPERTIES('graft.merge-on-read.mode'='position')""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.orders_cdfm SELECT * FROM orders_cdfm_src")
+    spark.sql("DELETE FROM graft.lake.orders_cdfm WHERE o_orderkey % 7 = 0")
+    spark.sql(
+      """UPDATE graft.lake.orders_cdfm SET o_totalprice = o_totalprice + 1000.0
+        |WHERE o_orderkey % 5 = 0""".stripMargin)
+    val ckpt = Files.createTempDirectory("graft_cdf_cat").toString + "/ckpt"
+    val q = spark.readStream.format("graft-cdf")
+      .option("table", "graft.lake.orders_cdfm")
+      .option("key", "o_orderkey")
+      .load()
+      .groupBy(col("_commit_version").as("ver"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .writeStream.format("memory").queryName("graft_cdf_cat")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.sql(
+      """SELECT ver, change_type, n, total FROM graft_cdf_cat
+        |ORDER BY ver, change_type""".stripMargin)
+  }
+
   /** E36: streaming heavy hitters — a Misra–Gries frequent-items
     * sketch ([[graft.functions.Aggregators.MisraGries]]) maintained as
     * STREAMING AGGREGATION STATE: the state store holds one

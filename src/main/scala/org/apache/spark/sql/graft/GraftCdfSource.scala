@@ -61,12 +61,37 @@ class GraftCdfSourceProvider extends StreamSourceProvider with DataSourceRegiste
 
   override def shortName(): String = "graft-cdf"
 
+  /** `option("table", "cat.ns.t")` — the CATALOG rung (E40): snapshots
+    * read THROUGH the catalog's `VERSION AS OF`, i.e. the table's own
+    * masked read — so merge-on-read delete vectors apply and MoR
+    * tables get a correct change feed (deletions appear as deletes,
+    * where the raw manifest mode must refuse). Schema and manifest
+    * location resolve from the catalog; only `key` stays required.
+    */
+  private def tableConfig(sqlContext: SQLContext,
+                          parameters: Map[String, String])
+      : Option[(String, String, StructType)] =
+    parameters.get("table").map { tbl =>
+      val spark = sqlContext.sparkSession
+      val parts = tbl.split('.')
+      require(parts.length >= 3,
+        s"graft-cdf table option must be a catalog-qualified name (got '$tbl')")
+      val root = spark.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-cdf: '${parts.head}' is not a configured graft catalog"))
+      val dir = (parts.tail.foldLeft(new org.apache.hadoop.fs.Path(root))(
+        (p, n) => new org.apache.hadoop.fs.Path(p, n))).toString
+      (tbl, s"$dir/manifest", spark.table(tbl).schema)
+    }
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
-    val table = schema.getOrElse(throw new IllegalArgumentException(
-      "graft-cdf requires the table schema (.schema(...)): key + value columns"))
+    val table = tableConfig(sqlContext, parameters).map(_._3)
+      .orElse(schema)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-cdf requires the table schema (.schema(...)) or option 'table'"))
     (shortName(), GraftCdfSource.cdfSchema(table))
   }
 
@@ -75,17 +100,20 @@ class GraftCdfSourceProvider extends StreamSourceProvider with DataSourceRegiste
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): Source = {
-    val table = schema.getOrElse(throw new IllegalArgumentException(
-      "graft-cdf requires the table schema (.schema(...)): key + value columns"))
-    val manifest = parameters.getOrElse("manifest",
-      throw new IllegalArgumentException("graft-cdf requires option 'manifest'"))
+    val cat = tableConfig(sqlContext, parameters)
+    val table = cat.map(_._3).orElse(schema).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-cdf requires the table schema (.schema(...)) or option 'table'"))
+    val manifest = cat.map(_._2).orElse(parameters.get("manifest")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-cdf requires option 'manifest' (or 'table')"))
     val key = parameters.getOrElse("key",
       throw new IllegalArgumentException("graft-cdf requires option 'key'"))
     require(table.fieldNames.contains(key),
       s"key column '$key' is not in the schema ${table.simpleString}")
     new GraftCdfSource(sqlContext.sparkSession, manifest, key, table,
       parameters.get("startingVersion").map(_.toLong),
-      parameters.get("dir"))
+      parameters.get("dir"), cat.map(_._1))
   }
 }
 
@@ -103,7 +131,8 @@ private[graft] class GraftCdfSource(
     keyCol: String,
     tableSchema: StructType,
     startingVersion: Option[Long],
-    dirOpt: Option[String])
+    dirOpt: Option[String],
+    catalogTable: Option[String] = None)
   extends Source {
 
   override val schema: StructType = GraftCdfSource.cdfSchema(tableSchema)
@@ -146,12 +175,25 @@ private[graft] class GraftCdfSource(
     })
   }
 
-  private def readVersion(v: Long): DataFrame = {
-    val files = filesAt(v)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        tableSchema)
-    else spark.read.schema(tableSchema).parquet(files: _*)
+  private def readVersion(v: Long): DataFrame = catalogTable match {
+    // catalog mode: the snapshot is the table's OWN pinned read —
+    // merge-on-read delete vectors/keys apply, so deletions diff as
+    // deletes instead of being refused (the raw mode's limitation);
+    // retention still fails named (the pin validation at scan build)
+    case Some(tbl) =>
+      if (v == 0L)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          tableSchema)
+      else {
+        GraftLakeTable.filesAtRetained(spark, manBase, v, s"graft-cdf over $tbl")
+        spark.sql(s"SELECT * FROM $tbl VERSION AS OF $v")
+      }
+    case None =>
+      val files = filesAt(v)
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          tableSchema)
+      else spark.read.schema(tableSchema).parquet(files: _*)
   }
 
   /** One commit's row-level changes: K23's full-outer-by-key diff of

@@ -249,6 +249,30 @@ class Round24Spec extends SparkSpec {
       s"MoR versions must be refused with a named error: ${msgs(err)}")
   }
 
+  test("cdf stream through the catalog: masked snapshots make MoR deletes diff as deletes") {
+    freshPosTable("pos_cdfc")
+    spark.sql(s"INSERT INTO $cat.lake.pos_cdfc VALUES (1,'a',1.0),(2,'b',2.0)")
+    spark.sql(s"DELETE FROM $cat.lake.pos_cdfc WHERE k = 2")
+    spark.sql(s"UPDATE $cat.lake.pos_cdfc SET amt = 9.0 WHERE k = 1")
+    val q = spark.readStream.format("graft-cdf")
+      .option("table", s"$cat.lake.pos_cdfc").option("key", "k").load()
+      .writeStream.format("memory").queryName("cdfc")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cdfc").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.sql(
+      "SELECT _commit_version, _change_type, k, amt FROM cdfc " +
+        "ORDER BY _commit_version, _change_type, k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, "insert", 1L, 1.0), (1L, "insert", 2L, 2.0),
+      (2L, "delete", 2L, 2.0),
+      (3L, "update_postimage", 1L, 9.0), (3L, "update_preimage", 1L, 1.0)),
+      s"catalog CDF over positional MoR: $got")
+  }
+
   test("ktruss incremental peel ≡ full recompute on hand graphs and the real parts graph") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
