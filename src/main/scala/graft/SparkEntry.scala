@@ -214,6 +214,7 @@ object SparkEntry {
     "sink_meta_partitions" -> ((s, d) => IOQueries.sinkMetaPartitions(s, d)),
     "sink_catalog_default" -> ((s, d) => IOQueries.sinkCatalogDefault(s, d)),
     "sink_catalog_zorder" -> ((s, d) => IOQueries.sinkCatalogZorder(s, d)),
+    "sink_catalog_bucketed_dist" -> ((s, d) => IOQueries.sinkCatalogBucketedDist(s, d)),
     "sink_meta_tables" -> ((s, d) => IOQueries.sinkMetaTables(s, d)),
     "sink_ctas" -> ((s, d) => IOQueries.sinkCtas(s, d)),
     "sink_txn" -> ((s, d) => IOQueries.sinkTxn(s, d)),

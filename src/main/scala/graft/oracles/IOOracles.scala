@@ -128,6 +128,16 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT 'x_protocol', n, 1.0 FROM dk
         |ORDER BY snapshot""".stripMargin,
+    // K46: write-distribution replay — per-status totals from orders;
+    // protocol = exactly 8 files, one per bucket dir (expected flag
+    // 1.0: a write that fanned out per source task breaks the hash)
+    "sink_catalog_bucketed_dist" ->
+      """SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'x_protocol', cast(8 AS bigint), 1.0
+        |ORDER BY o_orderstatus""".stripMargin,
     // K45: zorder replay — box and full aggregates from the same
     // derivation; protocol = 4 fragments rewritten + the pruning flag
     // (expected 1.0: the box scan must touch < half the files)

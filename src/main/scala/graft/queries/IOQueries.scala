@@ -454,6 +454,54 @@ object IOQueries {
         |ORDER BY src, version""".stripMargin)
   }
 
+  /** K46: WRITE DISTRIBUTION for bucketed INSERTs —
+    * `RequiresDistributionAndOrdering` on a real V2 write
+    * ([[org.apache.spark.sql.graft.GraftBucketedInsertWrite]]): the
+    * write asks Spark to CLUSTER incoming rows by the bucket transform
+    * (resolved through the catalog's own `bucket` function — the
+    * Iceberg write-distribution contract), so each bucket lands in
+    * exactly ONE task and the single-pass router writes ONE file per
+    * bucket per INSERT regardless of the source's partitioning. The V1
+    * path fanned out up to tasks × buckets files and leaned on
+    * callers' REPARTITION hints; at 100 TB, file-count discipline at
+    * WRITE time is what keeps the storage-partitioned read path (K34)
+    * and the metadata plane (K43) from drowning in small files.
+    *
+    * Flow: a bucket(8) table takes one INSERT from a DELIBERATELY
+    * 16-way-repartitioned source. The protocol row carries ACTUALS:
+    * total data files (must be 8) and a one-per-bucket-dir flag; the
+    * aggregate readback (and the SPJ layout, proven in K34) rides the
+    * same hash.
+    */
+  def sinkCatalogBucketedDist(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_bdist_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_bdist")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_bdist (
+        |  o_orderkey BIGINT, o_custkey BIGINT,
+        |  o_orderstatus STRING, o_totalprice DOUBLE)
+        |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_bdist
+        |SELECT /*+ REPARTITION(16) */ * FROM orders_bdist_src""".stripMargin)
+    val manBase = catalogRoot + "/lake/orders_bdist/manifest"
+    val files = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, 1L).map(_.file)
+    val oneEach =
+      if (files.length == 8 &&
+          files.map(f => f.split('/')(1)).distinct.length == 8) 1.0 else 0.0
+    spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM graft.lake.orders_bdist GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'x_protocol', ${files.length}L, $oneEach
+         |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** K45: `OPTIMIZE ... ZORDER` on the CALL surface — T16's
     * bit-interleave curve wired into K37's rewrite commit and K35's
     * stats skipping ([[org.apache.spark.sql.graft.GraftProcedures]]):

@@ -646,6 +646,11 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else if (bucketSpec.isDefined)
+      // K46: bucketed INSERTs take the REAL V2 write (the
+      // RequiresDistributionAndOrdering + single-pass-router path)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
     else
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -756,18 +761,101 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
-              GraftLakeTable.insert(data.sparkSession, dir, data,
-                overwrite || overwriteFlag, bucketSpec = bucketSpec)
+    bucketSpec match {
+      // K46: bucketed INSERT/OVERWRITE as a REAL V2 write that asks
+      // Spark to CLUSTER incoming rows by the bucket transform
+      // (RequiresDistributionAndOrdering, resolved through the
+      // catalog's own `bucket` function — the Iceberg
+      // write-distribution contract): each bucket lands in exactly ONE
+      // task, so the single-pass router writes ONE file per bucket per
+      // INSERT regardless of the source's partitioning — where the V1
+      // path's directory-partitioned write fanned out up to
+      // tasks × buckets files and leaned on callers' REPARTITION
+      // hints. Same manifest-gated commit as the row-level router.
+      case Some((col, n)) =>
+        new WriteBuilder with SupportsTruncate {
+          private var overwrite = false
+          override def truncate(): WriteBuilder = { overwrite = true; this }
+          override def build(): Write =
+            new GraftBucketedInsertWrite(dir, info, col, n, overwrite)
+        }
+      case None =>
+        new WriteBuilder with SupportsTruncate {
+          private var overwrite = false
+          override def truncate(): WriteBuilder = { overwrite = true; this }
+          override def build(): Write = new V1Write {
+            override def toInsertableRelation: InsertableRelation =
+              new InsertableRelation {
+                override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
+                  GraftLakeTable.insert(data.sparkSession, dir, data,
+                    overwrite || overwriteFlag, bucketSpec = bucketSpec)
+              }
           }
+        }
+    }
+}
+
+/** K46: the bucketed-table INSERT write — see
+  * [[GraftLakeTable.newWriteBuilder]]. Distribution-clustered,
+  * single-pass-routed, append-committed through the shared optimistic
+  * loop (appends commute; OVERWRITE publishes the new files alone).
+  */
+private[graft] class GraftBucketedInsertWrite(
+    dir: String,
+    info: LogicalWriteInfo,
+    bucketCol: String,
+    nBuckets: Int,
+    overwrite: Boolean)
+  extends Write
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  private def spark: SparkSession = SparkSession.active
+  private val writerId = java.util.UUID.randomUUID().toString.take(12)
+  private val dataDir = s"$dir/data_$writerId"
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(nBuckets, bucketCol)))
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+
+  override def requiredNumPartitions(): Int = 0
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new org.apache.spark.sql.connector.write.BatchWrite {
+      private val routed = new GraftBucketRoutedBatchWrite(
+        spark, dataDir, info.schema(), bucketCol, nBuckets)
+
+      override def createBatchWriterFactory(
+          pInfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.DataWriterFactory =
+        routed.writerFactory()
+
+      // manifest-gated visibility, no coordinator ask (see the
+      // row-level router)
+      override def useCommitCoordinator(): Boolean = false
+
+      override def commit(
+          messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+        val files = messages
+          .collect { case m: GraftBucketCommitMessage => m.files.toSeq }.flatten
+        GraftLakeTable.commitAppend(spark, dir, dataDir, info.schema(),
+          overwrite, spark.conf.getOption(GraftLakeTable.TxnConfKey).getOrElse(""),
+          bucketed = true, onlyFiles = Some(files))
+      }
+
+      override def abort(
+          messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+        val p = new Path(dataDir)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true)
       }
     }
+
+  override def description(): String = s"GraftBucketedInsertWrite($dataDir)"
 }
 
 /** The ONE parser for `_graft_table.json` wrappers — the catalog and
@@ -1008,15 +1096,30 @@ object GraftLakeTable {
   def insert(spark: SparkSession, dir: String, data: DataFrame,
              overwrite: Boolean, maxRetries: Int = 50,
              txn: String = "", bucketSpec: Option[(String, Int)] = None): Unit = {
-    val manBase = s"$dir/manifest"
     val writerId = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$dir/data_$writerId"
     writeData(dataDir, data, bucketSpec)
-    // per-file row counts + min/max stats in one read-back aggregate
-    // (K11's sidecar pass) — metadata-scale rows collected for the
-    // commit loop; the stats feed MERGE/UPDATE's runtime group filter
-    val newRows = fileStats(spark, dataDir, data.schema,
-      bucketed = bucketSpec.isDefined)
+    commitAppend(spark, dir, dataDir, data.schema, overwrite, txn,
+      bucketed = bucketSpec.isDefined, maxRetries = maxRetries)
+  }
+
+  /** The append-commit half of [[insert]], shared with K46's V2
+    * bucketed write (whose data lands through the single-pass router
+    * before this runs): per-file stats in one read-back aggregate
+    * (K11's sidecar pass — the stats feed MERGE/UPDATE's runtime group
+    * filter), then the optimistic publish loop. The txn tag rides THIS
+    * version's new rows only (empty string, never null — JSON
+    * read-back drops all-null columns); carried rows keep their stats
+    * but get txn "" so a carried file never re-asserts an old txn.
+    */
+  private[graft] def commitAppend(spark: SparkSession, dir: String,
+                                  dataDir: String, schema: StructType,
+                                  overwrite: Boolean, txn: String,
+                                  bucketed: Boolean,
+                                  onlyFiles: Option[Seq[String]] = None,
+                                  maxRetries: Int = 50): Unit = {
+    val manBase = s"$dir/manifest"
+    val newRows = fileStats(spark, dataDir, schema, bucketed, onlyFiles)
     var attempt = 0
     while (attempt <= maxRetries) {
       attempt += 1
@@ -1024,17 +1127,13 @@ object GraftLakeTable {
       val carried =
         if (overwrite || basedOn == 0L) Seq.empty
         else manifestRowsFull(spark, manBase, basedOn)
-      // the txn tag rides THIS version's new rows only (empty string,
-      // never null — JSON read-back drops all-null columns); carried
-      // rows keep their stats but get txn "" so a carried file never
-      // re-asserts an old txn
       val manifest = publishRows(spark,
         carried.map(c => (c.file, c.nRows, "", c.stats, c.seq)) ++
           newRows.map { case (f, n, st) => (f, n, txn, st, basedOn + 1) })
       if (ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1)) return
     }
     throw new java.io.IOException(
-      s"INSERT under $dir lost the commit race $attempt times")
+      s"append under $dir lost the commit race $attempt times")
   }
 
   /** One data-dir write, bucket-routed when the table is bucketed:

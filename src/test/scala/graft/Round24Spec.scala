@@ -424,6 +424,41 @@ class Round24Spec extends SparkSpec {
     assert(n == 256L, s"box contents after rewrite: $n")
   }
 
+  test("bucketed INSERT write distribution: one file per bucket regardless of source partitioning") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.bdist")
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.bdist (k BIGINT, v DOUBLE)
+         |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    // a deliberately MULTI-partition source: without the clustered
+    // write distribution the router would land up to tasks x buckets
+    // files; with it, each bucket lives in exactly one task
+    spark.sql(
+      s"""INSERT INTO $cat.lake.bdist
+         |SELECT /*+ REPARTITION(8) */ id AS k, cast(id AS DOUBLE) AS v
+         |FROM range(1000)""".stripMargin)
+    val files1 = manifestFiles("bdist")
+    assert(files1.length == 4, s"one file per bucket expected: $files1")
+    assert(files1.map(f => f.split('/')(1)).distinct.length == 4,
+      s"each bucket dir exactly once: $files1")
+    // a second insert appends one more file per bucket
+    spark.sql(
+      s"""INSERT INTO $cat.lake.bdist
+         |SELECT /*+ REPARTITION(8) */ id + 1000 AS k, cast(id AS DOUBLE) AS v
+         |FROM range(1000)""".stripMargin)
+    assert(manifestFiles("bdist").length == 8)
+    // data intact and the SPJ-readable layout preserved
+    assert(spark.sql(s"SELECT count(*), sum(k) FROM $cat.lake.bdist")
+      .head.toSeq == Seq(2000L, (0L until 2000L).sum))
+    // INSERT OVERWRITE resets to one file per bucket
+    spark.sql(
+      s"""INSERT OVERWRITE $cat.lake.bdist
+         |SELECT /*+ REPARTITION(8) */ id AS k, 0.0 AS v FROM range(100)""".stripMargin)
+    assert(manifestFiles("bdist").length == 4,
+      s"overwrite must land a fresh one-file-per-bucket layout: ${manifestFiles("bdist")}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.bdist").head.getLong(0) == 100L)
+  }
+
   test("vacuum grace window: young unreferenced files survive; grace 0 reclaims them") {
     ensure()
     spark.sql(s"DROP TABLE IF EXISTS $cat.lake.grace_t")
