@@ -215,6 +215,7 @@ object SparkEntry {
     "sink_catalog_default" -> ((s, d) => IOQueries.sinkCatalogDefault(s, d)),
     "sink_catalog_zorder" -> ((s, d) => IOQueries.sinkCatalogZorder(s, d)),
     "sink_catalog_bucketed_dist" -> ((s, d) => IOQueries.sinkCatalogBucketedDist(s, d)),
+    "sink_catalog_set_default" -> ((s, d) => IOQueries.sinkCatalogSetDefault(s, d)),
     "sink_meta_tables" -> ((s, d) => IOQueries.sinkMetaTables(s, d)),
     "sink_ctas" -> ((s, d) => IOQueries.sinkCtas(s, d)),
     "sink_txn" -> ((s, d) => IOQueries.sinkTxn(s, d)),

@@ -128,6 +128,20 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT 'x_protocol', n, 1.0 FROM dk
         |ORDER BY snapshot""".stripMargin,
+    // K47: default-drift replay — 'old' = pre-ADD existence rows +
+    // omitted inserts under the first current default; 'new' = omitted
+    // inserts after SET DEFAULT; protocol = zero NULL segs + carried
+    "sink_catalog_set_default" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
+        |SELECT 'old' AS seg, cast(count(*) AS bigint) AS n,
+        |  round(sum(p), 2) AS total
+        |FROM src WHERE k % 2 = 0 OR k % 4 = 1
+        |UNION ALL
+        |SELECT 'new', cast(count(*) AS bigint), round(sum(p), 2)
+        |FROM src WHERE k % 4 = 3
+        |UNION ALL
+        |SELECT 'x_protocol', cast(0 AS bigint), 1.0
+        |ORDER BY seg""".stripMargin,
     // K46: write-distribution replay — per-status totals from orders;
     // protocol = exactly 8 files, one per bucket dir (expected flag
     // 1.0: a write that fanned out per source task breaks the hash)

@@ -502,6 +502,60 @@ object IOQueries {
          |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** K47: `ALTER COLUMN ... SET/DROP DEFAULT` — the CURRENT default
+    * drifts while the EXISTENCE default stays pinned at what it was
+    * when the column appeared (the whole point of storing the pair
+    * separately, K44): rows in files written BEFORE the column
+    * existed keep projecting the ORIGINAL backfill value after any
+    * number of SET DEFAULT edits, omitted-column INSERTs materialize
+    * whatever the CURRENT default is at write time, and DROP DEFAULT
+    * returns later inserts to null-fill — every step a metadata-only
+    * meta-file swap, no file rewritten at any table size.
+    *
+    * Flow: v1 inserts half the keys pre-ADD ('old' by existence),
+    * ADD DEFAULT 'old', v2 inserts a quarter omitting the column
+    * ('old' by current), SET DEFAULT 'new', v3 inserts the rest
+    * omitting it ('new') — the three populations land under one
+    * grouped hash; the protocol row pins the carried-files
+    * (metadata-only) actual across BOTH alters.
+    */
+  def sinkCatalogSetDefault(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .createOrReplaceTempView("orders_sdef_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_sdef")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_sdef (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_sdef
+        |SELECT * FROM orders_sdef_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    val manBase = catalogRoot + "/lake/orders_sdef/manifest"
+    val v1Files = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, 1L).map(_.file).toSet
+    spark.sql(
+      "ALTER TABLE graft.lake.orders_sdef ADD COLUMN seg STRING DEFAULT 'old'")
+    spark.sql(
+      """INSERT INTO graft.lake.orders_sdef (o_orderkey, o_totalprice)
+        |SELECT * FROM orders_sdef_src WHERE o_orderkey % 4 = 1""".stripMargin)
+    spark.sql(
+      "ALTER TABLE graft.lake.orders_sdef ALTER COLUMN seg SET DEFAULT 'new'")
+    spark.sql(
+      """INSERT INTO graft.lake.orders_sdef (o_orderkey, o_totalprice)
+        |SELECT * FROM orders_sdef_src WHERE o_orderkey % 4 = 3""".stripMargin)
+    val vLast = org.apache.spark.sql.graft.GraftLakeTable.manifestRowsFull(spark,
+      manBase, graft.sinks.ManifestStore.versions(spark, manBase).last)
+    val carried = if (v1Files.subsetOf(vLast.map(_.file).toSet)) 1.0 else 0.0
+    spark.sql(
+      s"""SELECT seg, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         |FROM graft.lake.orders_sdef GROUP BY seg
+         |UNION ALL
+         |SELECT 'x_protocol', count(*), $carried
+         |FROM graft.lake.orders_sdef WHERE seg IS NULL
+         |ORDER BY seg""".stripMargin)
+  }
+
   /** K45: `OPTIMIZE ... ZORDER` on the CALL surface — T16's
     * bit-interleave curve wired into K37's rewrite commit and K35's
     * stats skipping ([[org.apache.spark.sql.graft.GraftProcedures]]):

@@ -514,13 +514,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case a: TableChange.AddColumn =>
         a.fieldNames().length == 1 && a.position() == null &&
           (a.isNullable || a.defaultValue() != null)
+      // K47: ALTER COLUMN ... SET/DROP DEFAULT — a CURRENT-default-only
+      // edit (the EXISTENCE default stays what it was when the column
+      // appeared, so rows in old files keep reading their original
+      // backfill value — the drift the CURRENT/EXISTS pair exists for).
+      // Metadata-only by construction: no file resolves differently.
+      case u: TableChange.UpdateColumnDefaultValue =>
+        u.fieldNames().length == 1
       case _ => false
     }
     if (!supported)
       throw new UnsupportedOperationException(
         s"catalog '$catalogName' supports only ALTER TABLE ADD COLUMN " +
-          "(top-level, nullable or with a literal DEFAULT) — other " +
-          "changes would re-map existing immutable files")
+          "(top-level, nullable or with a literal DEFAULT) and ALTER " +
+          "COLUMN ... SET/DROP DEFAULT — other changes would re-map " +
+          "existing immutable files")
     val currentTable = loadPinned(ident, None).asInstanceOf[GraftLakeTable]
     // the provider gates Spark's DEFAULT-value support check, and
     // applySchemaChanges also constant-folds CURRENT defaults into the

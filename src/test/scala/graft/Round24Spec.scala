@@ -459,6 +459,31 @@ class Round24Spec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.lake.bdist").head.getLong(0) == 100L)
   }
 
+  test("alter column set/drop default: current default drifts, existence default stays") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.def_drift")
+    spark.sql(s"CREATE TABLE $cat.lake.def_drift (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.lake.def_drift VALUES (1,'a')")
+    spark.sql(s"ALTER TABLE $cat.lake.def_drift ADD COLUMN seg STRING DEFAULT 'old'")
+    spark.sql(s"INSERT INTO $cat.lake.def_drift (k, v) VALUES (2,'b')")
+    // the CURRENT default moves; the EXISTENCE default must NOT —
+    // rows in files written before the column appeared keep 'old'
+    spark.sql(s"ALTER TABLE $cat.lake.def_drift ALTER COLUMN seg SET DEFAULT 'new'")
+    spark.sql(s"INSERT INTO $cat.lake.def_drift (k, v) VALUES (3,'c')")
+    val got = spark.sql(s"SELECT k, seg FROM $cat.lake.def_drift ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "old"), (2L, "old"), (3L, "new")),
+      s"existence default must stay 'old' for pre-ADD rows while the " +
+        s"current default drifts to 'new': $got")
+    // DROP DEFAULT: later omitted inserts null-fill; history unchanged
+    spark.sql(s"ALTER TABLE $cat.lake.def_drift ALTER COLUMN seg DROP DEFAULT")
+    spark.sql(s"INSERT INTO $cat.lake.def_drift (k, v) VALUES (4,'d')")
+    val afterDrop = spark.sql(s"SELECT k, seg FROM $cat.lake.def_drift ORDER BY k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("NULL"))).toSeq
+    assert(afterDrop == Seq((1L, "old"), (2L, "old"), (3L, "new"), (4L, "NULL")),
+      s"after DROP DEFAULT: $afterDrop")
+  }
+
   test("vacuum grace window: young unreferenced files survive; grace 0 reclaims them") {
     ensure()
     spark.sql(s"DROP TABLE IF EXISTS $cat.lake.grace_t")
