@@ -82,8 +82,16 @@ private[graft] class GraftBucketFunction extends ScalarFunction[Integer] {
   override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
   override def resultType(): DataType = IntegerType
   override def isDeterministic: Boolean = true
-  override def produceResult(input: InternalRow): Integer =
-    GraftBucketed.bucketId(input.getLong(1), input.getInt(0))
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    // NULL keys must hash like Spark's hash(NULL) = seed (42) — the
+    // single-pass router files them under __graft_bucket=(42%n), so
+    // the write distribution must CLUSTER them into that same bucket's
+    // task or a NULL-carrying INSERT lands two files in one bucket dir
+    // (review finding, round 11; getLong on a null slot reads 0)
+    if (input.isNullAt(1)) ((42 % n) + n) % n
+    else GraftBucketed.bucketId(input.getLong(1), n)
+  }
 }
 
 /** Scan builder for a bucketed table: column pruning and filter

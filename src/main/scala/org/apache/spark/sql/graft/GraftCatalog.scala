@@ -533,8 +533,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the provider gates Spark's DEFAULT-value support check, and
     // applySchemaChanges also constant-folds CURRENT defaults into the
     // EXISTS defaults old files project (K44)
-    val evolved = CatalogV2Util.applySchemaChanges(
+    val applied = CatalogV2Util.applySchemaChanges(
       currentTable.schema(), changes.toSeq, Some("parquet"), "ALTER TABLE")
+    // applySchemaChanges' AddColumn path RE-FOLDS every field's CURRENT
+    // default into its EXISTS default — which would silently corrupt
+    // K47's drift (an ADD COLUMN after SET DEFAULT 'new' would flip
+    // pre-ADD rows from 'old' to 'new'). An existence default is set
+    // exactly ONCE, when its column appears: restore pre-existing
+    // fields' EXISTS metadata verbatim (review finding, round 11).
+    val existsKey = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .EXISTS_DEFAULT_COLUMN_METADATA_KEY
+    val prior = currentTable.schema().fields.map(f => f.name -> f).toMap
+    val evolved = StructType(applied.fields.map { f =>
+      prior.get(f.name) match {
+        case Some(old) =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          val restored =
+            if (old.metadata.contains(existsKey))
+              mb.putString(existsKey, old.metadata.getString(existsKey)).build()
+            else { mb.remove(existsKey); mb.build() }
+          f.copy(metadata = restored)
+        case None => f
+      }
+    })
     // temp-write + OVERWRITE-rename (FileContext — FileSystem.rename
     // refuses file-onto-file): atomic on POSIX, a conditional PUT on
     // object stores, so readers see the old or the new schema, never
@@ -833,34 +855,11 @@ private[graft] class GraftBucketedInsertWrite(
   override def requiredNumPartitions(): Int = 0
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-    new org.apache.spark.sql.connector.write.BatchWrite {
-      private val routed = new GraftBucketRoutedBatchWrite(
-        spark, dataDir, info.schema(), bucketCol, nBuckets)
-
-      override def createBatchWriterFactory(
-          pInfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
-          : org.apache.spark.sql.connector.write.DataWriterFactory =
-        routed.writerFactory()
-
-      // manifest-gated visibility, no coordinator ask (see the
-      // row-level router)
-      override def useCommitCoordinator(): Boolean = false
-
-      override def commit(
-          messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
-        val files = messages
-          .collect { case m: GraftBucketCommitMessage => m.files.toSeq }.flatten
-        GraftLakeTable.commitAppend(spark, dir, dataDir, info.schema(),
-          overwrite, spark.conf.getOption(GraftLakeTable.TxnConfKey).getOrElse(""),
-          bucketed = true, onlyFiles = Some(files))
-      }
-
-      override def abort(
-          messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
-        val p = new Path(dataDir)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(p)) fs.delete(p, true)
-      }
+    GraftBucketRoutedBatchWrite.batchWrite(
+      spark, dataDir, info.schema(), bucketCol, nBuckets) { files =>
+      GraftLakeTable.commitAppend(spark, dir, dataDir, info.schema(),
+        overwrite, spark.conf.getOption(GraftLakeTable.TxnConfKey).getOrElse(""),
+        bucketed = true, onlyFiles = Some(files))
     }
 
   override def description(): String = s"GraftBucketedInsertWrite($dataDir)"

@@ -68,20 +68,30 @@ class GraftCdfSourceProvider extends StreamSourceProvider with DataSourceRegiste
     * where the raw manifest mode must refuse). Schema and manifest
     * location resolve from the catalog; only `key` stays required.
     */
+  // memoized per provider instance: the engine calls sourceSchema and
+  // createSource on the SAME instance at stream start, and the table
+  // resolve (catalog round-trip + analysis) need not run twice
+  @volatile private var tableMemo: Map[String, (String, String, StructType)] =
+    Map.empty
+
   private def tableConfig(sqlContext: SQLContext,
                           parameters: Map[String, String])
       : Option[(String, String, StructType)] =
     parameters.get("table").map { tbl =>
-      val spark = sqlContext.sparkSession
-      val parts = tbl.split('.')
-      require(parts.length >= 3,
-        s"graft-cdf table option must be a catalog-qualified name (got '$tbl')")
-      val root = spark.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
-        .getOrElse(throw new IllegalArgumentException(
-          s"graft-cdf: '${parts.head}' is not a configured graft catalog"))
-      val dir = (parts.tail.foldLeft(new org.apache.hadoop.fs.Path(root))(
-        (p, n) => new org.apache.hadoop.fs.Path(p, n))).toString
-      (tbl, s"$dir/manifest", spark.table(tbl).schema)
+      tableMemo.getOrElse(tbl, {
+        val spark = sqlContext.sparkSession
+        val parts = tbl.split('.')
+        require(parts.length >= 3,
+          s"graft-cdf table option must be a catalog-qualified name (got '$tbl')")
+        val root = spark.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-cdf: '${parts.head}' is not a configured graft catalog"))
+        val dir = (parts.tail.foldLeft(new org.apache.hadoop.fs.Path(root))(
+          (p, n) => new org.apache.hadoop.fs.Path(p, n))).toString
+        val resolved = (tbl, s"$dir/manifest", spark.table(tbl).schema)
+        tableMemo += tbl -> resolved
+        resolved
+      })
     }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -175,17 +185,23 @@ private[graft] class GraftCdfSource(
     })
   }
 
-  private def readVersion(v: Long): DataFrame = catalogTable match {
+  private def readVersion(v: Long, retained: Seq[Long]): DataFrame = catalogTable match {
     // catalog mode: the snapshot is the table's OWN pinned read —
     // merge-on-read delete vectors/keys apply, so deletions diff as
     // deletes instead of being refused (the raw mode's limitation);
-    // retention still fails named (the pin validation at scan build)
+    // retention fails named off the ALREADY-LISTED version set (no
+    // extra manifest read per snapshot — review finding, round 11)
     case Some(tbl) =>
       if (v == 0L)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           tableSchema)
       else {
-        GraftLakeTable.filesAtRetained(spark, manBase, v, s"graft-cdf over $tbl")
+        if (!retained.contains(v))
+          throw new IllegalStateException(
+            s"graft-cdf over $tbl: version $v is no longer committed " +
+              s"(retained: ${retained.headOption.getOrElse(0L)}.." +
+              s"${retained.lastOption.getOrElse(0L)}) — it fell out of " +
+              "VACUUM retention; restart from a retained startingVersion")
         spark.sql(s"SELECT * FROM $tbl VERSION AS OF $v")
       }
     case None =>
@@ -200,10 +216,12 @@ private[graft] class GraftCdfSource(
     * the two adjacent snapshots, Delta-shaped (update = preimage row +
     * postimage row), tagged with the commit version.
     */
-  private def stepChanges(prevV: Long, v: Long): DataFrame = {
+  private def stepChanges(prevV: Long, v: Long, retained: Seq[Long]): DataFrame = {
     val valueCols = tableSchema.fieldNames.filterNot(_ == keyCol).toSeq
-    val pre = readVersion(prevV).select(col(keyCol), imgStruct(valueCols).as("pre"))
-    val post = readVersion(v).select(col(keyCol), imgStruct(valueCols).as("post"))
+    val pre = readVersion(prevV, retained)
+      .select(col(keyCol), imgStruct(valueCols).as("pre"))
+    val post = readVersion(v, retained)
+      .select(col(keyCol), imgStruct(valueCols).as("post"))
     pre.join(post, Seq(keyCol), "full_outer")
       .withColumn("changes",
         when(col("post").isNull,
@@ -215,8 +233,15 @@ private[graft] class GraftCdfSource(
             struct(col("post").as("img"), lit("update_postimage").as("t"))))
         .otherwise(array()))
       .select(col(keyCol), explode(col("changes")).as("c"))
+      // emit in TABLE-SCHEMA order: the streaming bridge binds these
+      // internal rows POSITIONALLY against cdfSchema(tableSchema), so
+      // a key column that is not the table's first column must land
+      // at its declared ordinal, not at position 0 (review finding,
+      // round 11 — long bits read as double otherwise)
       .select(
-        (col(keyCol) +: valueCols.map(c => col(s"c.img.$c").as(c))) ++
+        tableSchema.fieldNames.toSeq.map(c =>
+          if (c == keyCol) col(s"`$keyCol`")
+          else col(s"c.img.`$c`").as(c)) ++
           Seq(col("c.t").as("_change_type"),
             lit(v).as("_commit_version")): _*)
   }
@@ -254,7 +279,7 @@ private[graft] class GraftCdfSource(
                   .map(_ + 1).getOrElse(1L)}, or startingVersion = " +
                 s"${all.headOption.getOrElse(1L)} to re-deliver that " +
                 "version's snapshot as inserts")
-          stepChanges(base, v)
+          stepChanges(base, v, all)
         }.reduce(_ unionByName _)
       }
     // the engine grafts this plan in place of the streaming relation

@@ -337,33 +337,13 @@ private[graft] class GraftReplaceWrite(
     // duplicates stay unreferenced until VACUUM). Replaces the old
     // two-pass read-back-and-re-route, saving one full read+write of
     // the touched groups on every bucketed MERGE/UPDATE.
-    case Some((col, n)) => new BatchWrite {
-      private val routed = new GraftBucketRoutedBatchWrite(
-        spark, dataDir, info.schema(), col, n)
-
-      override def createBatchWriterFactory(
-          pInfo: PhysicalWriteInfo): DataWriterFactory =
-        routed.writerFactory()
-
-      // file visibility is message-gated, not committer-gated — no
-      // coordinator ask needed (and none would be answered twice)
-      override def useCommitCoordinator(): Boolean = false
-
-      override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        val files = messages
-          .collect { case m: GraftBucketCommitMessage => m.files.toSeq }.flatten
+    case Some((col, n)) =>
+      GraftBucketRoutedBatchWrite.batchWrite(
+        spark, dataDir, info.schema(), col, n) { files =>
         GraftLakeTable.commitReplace(spark, dir, dataDir, op.replacedFiles,
           info.schema(), bucketed = true, op.description(),
           onlyFiles = Some(files))
       }
-
-      override def abort(messages: Array[WriterCommitMessage]): Unit = {
-        val fs = new org.apache.hadoop.fs.Path(dataDir)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(new org.apache.hadoop.fs.Path(dataDir)))
-          fs.delete(new org.apache.hadoop.fs.Path(dataDir), true)
-      }
-    }
 
     case None => new BatchWrite {
       private val inner: BatchWrite =
@@ -407,6 +387,39 @@ private[graft] class GraftReplaceWrite(
   * bit-for-bit with [[GraftLakeTable.writeData]]'s directory
   * partitioning and the SPJ read path.
   */
+private[graft] object GraftBucketRoutedBatchWrite {
+  /** The shared bucket-routed [[BatchWrite]] shell — single-pass
+    * router, manifest-gated visibility (files written at FINAL paths;
+    * only COMMITTED tasks' reported files reach `commitFiles`), no
+    * coordinator ask. The row-level replace (K32/K34) and the K46
+    * bucketed append differ only in the commit they publish.
+    */
+  def batchWrite(spark: SparkSession, dataDir: String, dataSchema: StructType,
+                 bucketCol: String, nBuckets: Int)
+                (commitFiles: Seq[String] => Unit): BatchWrite = new BatchWrite {
+    private val routed = new GraftBucketRoutedBatchWrite(
+      spark, dataDir, dataSchema, bucketCol, nBuckets)
+
+    override def createBatchWriterFactory(
+        pInfo: PhysicalWriteInfo): DataWriterFactory =
+      routed.writerFactory()
+
+    // file visibility is message-gated, not committer-gated — no
+    // coordinator ask needed (and none would be answered twice)
+    override def useCommitCoordinator(): Boolean = false
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      commitFiles(messages
+        .collect { case m: GraftBucketCommitMessage => m.files.toSeq }.flatten.toSeq)
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dataDir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+}
+
 private[graft] class GraftBucketRoutedBatchWrite(
     spark: SparkSession,
     dataDir: String,

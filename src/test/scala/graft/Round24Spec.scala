@@ -482,6 +482,67 @@ class Round24Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("NULL"))).toSeq
     assert(afterDrop == Seq((1L, "old"), (2L, "old"), (3L, "new"), (4L, "NULL")),
       s"after DROP DEFAULT: $afterDrop")
+    // the review-pinned refold hazard: a LATER ADD COLUMN runs every
+    // field through applySchemaChanges, whose AddColumn path re-folds
+    // CURRENT defaults into EXISTS defaults — pre-ADD rows must still
+    // read their ORIGINAL existence value afterwards
+    spark.sql(s"ALTER TABLE $cat.lake.def_drift ALTER COLUMN seg SET DEFAULT 'newer'")
+    spark.sql(s"ALTER TABLE $cat.lake.def_drift ADD COLUMN extra BIGINT")
+    val afterAdd = spark.sql(
+      s"SELECT seg FROM $cat.lake.def_drift WHERE k = 1").head.getString(0)
+    assert(afterAdd == "old",
+      s"a later ADD COLUMN must not re-fold the drifted current default " +
+        s"into the existence default: got '$afterAdd'")
+  }
+
+  test("cdf through the catalog binds columns by ordinal even when the key is not first") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.cdf_kord")
+    // key column deliberately LAST: a positional misbind would read
+    // long bits as double (garbage) — review finding, round 11
+    spark.sql(s"CREATE TABLE $cat.lake.cdf_kord (amt DOUBLE, name STRING, k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.lake.cdf_kord VALUES (1.5,'a',10),(2.5,'b',20)")
+    spark.sql(s"DELETE FROM $cat.lake.cdf_kord WHERE k = 20")
+    val q = spark.readStream.format("graft-cdf")
+      .option("table", s"$cat.lake.cdf_kord").option("key", "k").load()
+      .writeStream.format("memory").queryName("cdf_kord")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_kord").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.sql(
+      "SELECT _commit_version, _change_type, amt, name, k FROM cdf_kord " +
+        "ORDER BY _commit_version, _change_type, k")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, "insert", 1.5, "a", 10L), (1L, "insert", 2.5, "b", 20L),
+      (2L, "delete", 2.5, "b", 20L)),
+      s"key-last table must bind by declared ordinal: $got")
+  }
+
+  test("bucketed write distribution handles NULL keys like hash(NULL)=seed") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.bnull")
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.bnull (k BIGINT, v DOUBLE)
+         |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    // NULL keys from a multi-partition source: the shuffle must route
+    // them to the SAME task as the seed bucket's non-null keys or the
+    // one-file-per-bucket law breaks (review finding, round 11)
+    spark.sql(
+      s"""INSERT INTO $cat.lake.bnull
+         |SELECT /*+ REPARTITION(8) */
+         |  CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS k,
+         |  cast(id AS DOUBLE) AS v
+         |FROM range(1000)""".stripMargin)
+    val files = manifestFiles("bnull")
+    assert(files.length == 4,
+      s"NULL keys must not split a bucket into extra files: $files")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.bnull").head.getLong(0) == 1000L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.bnull WHERE k IS NULL")
+      .head.getLong(0) == 100L)
   }
 
   test("vacuum grace window: young unreferenced files survive; grace 0 reclaims them") {
