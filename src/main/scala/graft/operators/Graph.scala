@@ -440,80 +440,66 @@ object Graph {
     require(k >= 3, s"k-truss is defined for k >= 3 (got $k); " +
       "the 2-truss is the whole graph")
     val edges = pairs.select("a", "b")
-    // round 1: support for every edge — from the caller's cached
-    // triangle stream when available; survivors carry their support
-    // as STATE for the later rounds
-    var surv = stream.map(supportFromStream).getOrElse(edgeSupport(edges))
-      .filter(col("sup") >= k - 2)
-      .localCheckpoint()
+    // Triangles are enumerated ONCE (the wedge-join pass — from the
+    // shared cached stream when available). Round 1 takes per-edge
+    // support straight off that stream; the peel then keeps a list of
+    // ALIVE triangles (a triangle is alive iff all three edges
+    // survive; support(e) over the current edge set = alive triangles
+    // containing e), so no round ever re-runs a wedge join. The alive
+    // list materializes only AFTER the first drop — as triangles whose
+    // three edges all sit in the (small, BROADCAST) survivor set, i.e.
+    // the dense core's triangles, not the corpus's (checkpointing the
+    // full triple table measured as half the operator's cost).
+    val triples = stream.getOrElse(triangleStream(orientedOf(edges)))
+      .select(col("src").as("u"), col("dst").as("v"),
+        explode(col("closing")).as("w"))
+      .select(
+        least(col("u"), col("v")).as("a1"), greatest(col("u"), col("v")).as("b1"),
+        least(col("u"), col("w")).as("a2"), greatest(col("u"), col("w")).as("b2"),
+        least(col("v"), col("w")).as("a3"), greatest(col("v"), col("w")).as("b3"))
+
+    def supportOf(tri: DataFrame): DataFrame = tri
+      .select(explode(array(
+        struct(col("a1").as("a"), col("b1").as("b")),
+        struct(col("a2").as("a"), col("b2").as("b")),
+        struct(col("a3").as("a"), col("b3").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+
+    // broadcast the survivor set when it is broadcast-SIZED (the
+    // common case: the dense core); a huge core degrades to hash
+    // semi-joins rather than a driver-side OOM
+    def keepAlive(tri: DataFrame, kept: DataFrame, keptCount: Long): DataFrame = {
+      def side(aCol: String, bCol: String) = {
+        val k = kept.select(col("a").as(aCol), col("b").as(bCol))
+        if (keptCount <= 2_000_000L) broadcast(k) else k
+      }
+      tri.join(side("a1", "b1"), Seq("a1", "b1"), "left_semi")
+        .join(side("a2", "b2"), Seq("a2", "b2"), "left_semi")
+        .join(side("a3", "b3"), Seq("a3", "b3"), "left_semi")
+    }
+
+    // round 1: support from the full triangle stream; an edge in no
+    // triangle has sup 0 < k-2 and drops here
+    var surv = supportOf(triples).filter(col("sup") >= k - 2)
+      .select("a", "b").localCheckpoint()
     var survCount = surv.count()
-    // every edge not surviving round 1 (zero-credit edges included)
-    var dropped = edges
-      .join(surv.select("a", "b"), Seq("a", "b"), "left_anti")
-      .localCheckpoint()
-    var droppedCount = dropped.count()
-    // the edge set the drop was computed AGAINST — destroyed triangles
-    // live in THIS set (a triangle with two dropped edges still
-    // existed before the round and must decrement its third edge once)
-    var ePrev = edges
+    var prevCount = edges.count()
+    var alive: DataFrame = null // materialized lazily at the first peel
     var round = 2
-    while (round <= rounds && droppedCount > 0) {
-      // COST-BASED round: the first peel typically sheds MOST of the
-      // graph (triangle-poor edges), where wedges-from-the-drop cost
-      // more than re-enumerating the small survivor core — recompute
-      // full support over the survivors then. Late rounds shed few
-      // edges — decrement exactly the triangles the drop destroyed.
-      // Both branches produce the SAME survivor set (support is
-      // monotone under peeling), so the heuristic is perf-only.
-      val updated =
-        if (droppedCount * 4 > survCount) {
-          // full recompute over the (small) survivor edge set; a
-          // survivor losing all its triangles gets NO support row —
-          // coalesce to 0 so it drops like the incremental branch
-          surv.select("a", "b")
-            .join(edgeSupport(surv.select("a", "b")), Seq("a", "b"), "left")
-            .select(col("a"), col("b"),
-              coalesce(col("sup"), lit(0L)).as("sup"))
-            .localCheckpoint()
-        } else {
-          // triangles through a dropped edge (u,v): w adjacent to u in
-          // ePrev, with (v,w) also in ePrev — wedge fan-out Σ_D deg(u),
-          // proportional to the dropped neighborhood, not the graph
-          val adj = ePrev.select(col("a").as("u"), col("b").as("w"))
-            .unionAll(ePrev.select(col("b").as("u"), col("a").as("w")))
-          val destroyed = dropped.select(col("a").as("u"), col("b").as("v"))
-            .join(adj, Seq("u"))
-            .filter(col("w") =!= col("v"))
-            .join(ePrev.select(col("a").as("va"), col("b").as("vb")),
-              least(col("v"), col("w")) === col("va") &&
-                greatest(col("v"), col("w")) === col("vb"),
-              "left_semi")
-            // one decrement per DESTROYED TRIANGLE, however many
-            // dropped edges it contains — dedup by the node triple
-            .select(array_sort(array(col("u"), col("v"), col("w"))).as("t"))
-            .distinct()
-            .select(col("t")(0).as("x"), col("t")(1).as("y"), col("t")(2).as("z"))
-          val decs = destroyed
-            .select(explode(array(
-              struct(col("x").as("a"), col("y").as("b")),
-              struct(col("x").as("a"), col("z").as("b")),
-              struct(col("y").as("a"), col("z").as("b")))).as("e"))
-            .select(col("e.a").as("a"), col("e.b").as("b"))
-            // only SURVIVING edges of a destroyed triangle lose
-            // support — its dropped edges are already gone
-            .join(surv.select("a", "b"), Seq("a", "b"), "left_semi")
-            .groupBy("a", "b").agg(count(lit(1)).as("dec"))
-          surv.join(decs, Seq("a", "b"), "left")
-            .select(col("a"), col("b"),
-              (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
-            .localCheckpoint()
-        }
-      ePrev = surv.select("a", "b")
-      surv = updated.filter(col("sup") >= k - 2).localCheckpoint()
+    while (round <= rounds && survCount < prevCount) {
+      // keep exactly the triangles whose three edges all survive —
+      // broadcast semi-joins (survivors are the small core), one pass
+      // over the cached stream the first time, then over the shrinking
+      // alive list
+      alive = keepAlive(if (alive == null) triples else alive, surv, survCount)
+        .localCheckpoint()
+      val next = supportOf(alive).filter(col("sup") >= k - 2)
+        .select("a", "b")
+        .localCheckpoint()
+      prevCount = survCount
+      surv = next
       survCount = surv.count()
-      dropped = updated.filter(col("sup") < k - 2)
-        .select("a", "b").localCheckpoint()
-      droppedCount = dropped.count()
       round += 1
     }
     surv.select(col("a").as("node")).unionByName(surv.select(col("b").as("node")))
