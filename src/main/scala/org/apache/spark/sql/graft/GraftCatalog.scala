@@ -172,7 +172,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def nsPath(namespace: Array[String]): Path =
-    namespace.foldLeft(new Path(root))((p, n) => new Path(p, safePart(n)))
+    GraftCatalog.layoutDir(root, namespace.toSeq.map(safePart))
   private def tablePath(ident: Identifier): Path =
     new Path(nsPath(ident.namespace()), safePart(ident.name()))
   private def metaFile(dir: Path): Path = new Path(dir, "_graft_table.json")
@@ -597,6 +597,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 }
 
+object GraftCatalog {
+  /** The catalog's directory-layout convention — `<root>/<ns...>/<table>`
+    * — in ONE place: the catalog's own `nsPath`/`tablePath` and every
+    * out-of-catalog resolver (the graft-cdf stream provider) derive
+    * table directories through here, so a layout change cannot
+    * silently desynchronize a stream's manifest location from the
+    * catalog's (ADVICE finding, round 11).
+    */
+  private[graft] def layoutDir(root: String, parts: Seq[String]): Path =
+    parts.foldLeft(new Path(root))((p, n) => new Path(p, n))
+}
+
 /** One manifest-lake table: reads delegate to Spark's parquet DSv2 over
   * the pinned version's file list; writes land an immutable data dir
   * and commit one manifest version (see [[GraftCatalog]]).
@@ -953,7 +965,17 @@ object GraftLakeTable {
     * wording lives in exactly one place.
     */
   private[graft] def filesAtRetained(spark: SparkSession, manBase: String,
-                                     version: Long, who: String): Seq[String] = {
+                                     version: Long, who: String): Seq[String] =
+    rowsAtRetained(spark, manBase, version, who).map(_.file)
+
+  /** [[filesAtRetained]] with the FULL manifest rows (seq + stats) —
+    * what the change-data-feed derivation reads: it needs per-file
+    * commit sequence numbers and key stats, under the same named
+    * retention contract.
+    */
+  private[graft] def rowsAtRetained(spark: SparkSession, manBase: String,
+                                    version: Long, who: String)
+      : Seq[ManifestRow] = {
     if (version == 0L) return Seq.empty
     val versions = ManifestStore.versions(spark, manBase)
     if (!versions.contains(version))
@@ -963,7 +985,7 @@ object GraftLakeTable {
           s"${versions.lastOption.getOrElse(0L)}) — it fell out of VACUUM " +
           "retention; restart the stream from a retained startingVersion " +
           "or a fresh checkpoint")
-    manifestRows(spark, manBase, version).map(_._1)
+    manifestRowsFull(spark, manBase, version)
   }
 
   /** One manifest row in full: table-dir-relative file, row count, txn

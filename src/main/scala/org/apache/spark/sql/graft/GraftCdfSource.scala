@@ -25,58 +25,86 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * progress rides Spark's own checkpointing: resume mid-history,
   * exactly-once per version). Each micro-batch is the union of
   * PER-COMMIT row-level diffs across the admitted version range —
-  * K23's full-outer-by-key derivation, one step per version so every
-  * change row carries its `_commit_version` (the Delta CDF contract:
-  * changes are attributed to the commit that made them, never
-  * collapsed across commits). Change rows are Delta-shaped: the full
-  * row image plus `_change_type` in `insert | delete |
-  * update_preimage | update_postimage`.
+  * one step per version so every change row carries its
+  * `_commit_version` (the Delta CDF contract: changes are attributed
+  * to the commit that made them, never collapsed across commits).
+  * Change rows are Delta-shaped: the full row image plus
+  * `_change_type` in `insert | delete | update_preimage |
+  * update_postimage`.
   *
-  * This closes the gap E38 leaves for incremental consumers: E38
-  * follows appended FILES and refuses rewriting versions, so
-  * downstream aggregate/join maintenance (T18/T25) only ever saw
-  * inserts. The CDF stream subscribes them to UPDATEs and DELETEs
-  * too — the maintenance delta is exactly `getBatch`'s output.
+  * COST CLASS — O(change), not O(table) (round-12 rework): a commit's
+  * changes are derived from its MANIFEST DELTA, never from rereading
+  * the snapshots. Per step `(v-1, v)`:
   *
-  * Contract + scale posture, stated:
+  *   - pre-side  = live rows of data files the commit REMOVED, plus
+  *     rows newly masked by the commit's ADDED position/equality
+  *     delete files (read from exactly the files those deletes name,
+  *     position/key-filtered);
+  *   - post-side = rows of data files the commit ADDED (a file added
+  *     at v can carry no v-mask: position deletes name only
+  *     already-committed files and equality deletes apply strictly
+  *     below their own seq);
+  *   - the K23 full-outer-by-key diff runs over those two row sets
+  *     alone. Rows in carried (path-identical) files with unchanged
+  *     masks are by construction identical in both snapshots and can
+  *     never produce a change row, so restricting the diff to the
+  *     touched files preserves the output bit-for-bit — while a 1-row
+  *     DML's micro-batch now reads O(1) files on a million-file table
+  *     (spec-pinned by counting input files off the executed plan).
+  *     A pure append short-circuits to `insert`-tagged reads of the
+  *     added files with no join at all; a version that only rewrites
+  *     rows it does not change (compaction, Z-ORDER) costs the
+  *     rewritten files and emits nothing.
+  *
+  * Admission control (round-12): `maxVersionsPerTrigger` (default 128)
+  * bounds how many versions one micro-batch may union — a
+  * `startingVersion = 1` replay of an N-commit history drains in
+  * ⌈N/cap⌉ batches instead of building one N-join plan. Under
+  * `Trigger.AvailableNow` the V1-source wrapper latches one offset per
+  * RUN, so a capped replay drains cap versions per run — re-trigger
+  * (or raise the cap) to continue; a continuous stream catches up
+  * across triggers.
+  *
+  * Contract, stated:
   *   - The diff is DERIVED BY KEY (`key` must identify a row within a
   *     version — the same uniqueness contract K13's CDC merge and
-  *     Iceberg equality deletes state). Production formats shortcut
-  *     by writing CDC files at commit time; deriving keeps history
-  *     replayable from data alone, at the cost of one key-partitioned
-  *     full-outer join per STEP.
-  *   - Versions carrying MERGE-ON-READ delete files are REFUSED with
-  *     a named error (the raw-file diff cannot apply delete masks —
-  *     an unmasked read would misread delete files as data and miss
-  *     the deletions): compact deletes first, or stream from a
-  *     copy-on-write table; CDF through the catalog's masked read is
-  *     the round-12 rung.
+  *     Iceberg equality deletes state).
+  *   - Raw-manifest mode refuses versions carrying MERGE-ON-READ
+  *     delete files with a named error (a raw-file read cannot apply
+  *     delete masks); the CATALOG mode (`option("table", ...)`, E40)
+  *     applies position/equality masks file-level and diffs MoR DML
+  *     correctly.
   *   - A version whose manifest fell out of VACUUM retention fails
   *     the stream with E38's named out-of-retention error.
-  *   - `startingVersion = v` replays history from commit v (v=1 =
-  *     initial snapshot delivered as inserts, Delta's
-  *     startingVersion=0 semantics).
+  *   - `startingVersion = v` replays history from commit v; the base
+  *     snapshot (v=1, or a startingVersion pinned on the oldest
+  *     retained version) is delivered as `insert` rows via the
+  *     table's own (masked) snapshot read — inherently O(snapshot),
+  *     exactly once per stream.
   */
 class GraftCdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-cdf"
 
-  /** `option("table", "cat.ns.t")` — the CATALOG rung (E40): snapshots
-    * read THROUGH the catalog's `VERSION AS OF`, i.e. the table's own
-    * masked read — so merge-on-read delete vectors apply and MoR
-    * tables get a correct change feed (deletions appear as deletes,
-    * where the raw manifest mode must refuse). Schema and manifest
-    * location resolve from the catalog; only `key` stays required.
+  /** `option("table", "cat.ns.t")` — the CATALOG rung (E40): delete
+    * masks resolve from the table's own manifest (position/equality
+    * files), so merge-on-read tables get a correct change feed
+    * (deletions appear as deletes, where the raw manifest mode must
+    * refuse). Schema, manifest location and table dir resolve from
+    * the catalog; only `key` stays required.
     */
   // memoized per provider instance: the engine calls sourceSchema and
   // createSource on the SAME instance at stream start, and the table
-  // resolve (catalog round-trip + analysis) need not run twice
-  @volatile private var tableMemo: Map[String, (String, String, StructType)] =
+  // resolve (catalog round-trip + analysis) need not run twice. The
+  // memo PINS the stream-start schema: a concurrent ALTER between
+  // sourceSchema and createSource does not move the stream's schema
+  // mid-start (the stream reads what it declared).
+  @volatile private var tableMemo: Map[String, (String, String, StructType, String)] =
     Map.empty
 
   private def tableConfig(sqlContext: SQLContext,
                           parameters: Map[String, String])
-      : Option[(String, String, StructType)] =
+      : Option[(String, String, StructType, String)] =
     parameters.get("table").map { tbl =>
       tableMemo.getOrElse(tbl, {
         val spark = sqlContext.sparkSession
@@ -86,9 +114,11 @@ class GraftCdfSourceProvider extends StreamSourceProvider with DataSourceRegiste
         val root = spark.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
           .getOrElse(throw new IllegalArgumentException(
             s"graft-cdf: '${parts.head}' is not a configured graft catalog"))
-        val dir = (parts.tail.foldLeft(new org.apache.hadoop.fs.Path(root))(
-          (p, n) => new org.apache.hadoop.fs.Path(p, n))).toString
-        val resolved = (tbl, s"$dir/manifest", spark.table(tbl).schema)
+        // the table dir resolves through the catalog's OWN layout
+        // helper — the one place the <root>/<ns...>/<table> convention
+        // lives (see GraftCatalog.layoutDir)
+        val dir = GraftCatalog.layoutDir(root, parts.tail.toSeq).toString
+        val resolved = (tbl, s"$dir/manifest", spark.table(tbl).schema, dir)
         tableMemo += tbl -> resolved
         resolved
       })
@@ -123,7 +153,8 @@ class GraftCdfSourceProvider extends StreamSourceProvider with DataSourceRegiste
       s"key column '$key' is not in the schema ${table.simpleString}")
     new GraftCdfSource(sqlContext.sparkSession, manifest, key, table,
       parameters.get("startingVersion").map(_.toLong),
-      parameters.get("dir"), cat.map(_._1))
+      cat.map(_._4).orElse(parameters.get("dir")), cat.map(_._1),
+      parameters.get("maxVersionsPerTrigger").map(_.toInt).getOrElse(128))
   }
 }
 
@@ -135,15 +166,19 @@ private[graft] object GraftCdfSource {
       StructField("_commit_version", LongType, nullable = false)))
 }
 
-private[graft] class GraftCdfSource(
+class GraftCdfSource(
     spark: SparkSession,
     manBase: String,
     keyCol: String,
     tableSchema: StructType,
     startingVersion: Option[Long],
     dirOpt: Option[String],
-    catalogTable: Option[String] = None)
+    catalogTable: Option[String] = None,
+    maxVersionsPerTrigger: Int = 128)
   extends Source {
+
+  require(maxVersionsPerTrigger >= 1,
+    s"maxVersionsPerTrigger must be >= 1 (got $maxVersionsPerTrigger)")
 
   override val schema: StructType = GraftCdfSource.cdfSchema(tableSchema)
 
@@ -155,73 +190,264 @@ private[graft] class GraftCdfSource(
     case other => other.json().trim.toLong
   }
 
-  override def getOffset: Option[LegacyOffset] =
-    committed.lastOption.map(LongOffset.apply)
-
-  /** Resolve a version's file list against the manifest (the shared
-    * E38/E39 retention contract: a swept version fails NAMED, not as
-    * a raw missing-path read). Manifest rows may carry absolute paths
-    * (the K9 lake shape) or table-relative ones (the catalog lake) —
-    * the `dir` option anchors the latter. A version carrying
-    * merge-on-read DELETE files is REFUSED: the diff reads raw data
-    * files, so an unmasked read would misread a delete file as
-    * all-null data rows and miss the deletion entirely — compact
-    * deletes first, or take the catalog table's masked read (the
-    * round-12 CDF-through-the-catalog rung).
+  /** The highest version a batch has covered — what the per-trigger
+    * version cap advances from. Restored on resume through the
+    * engine's own restart `getBatch` call (MicroBatchExecution
+    * re-invokes V1 sources with the checkpointed range exactly so
+    * they can restore internal tracking).
     */
-  private def filesAt(v: Long): Seq[String] = {
-    val raw = GraftLakeTable.filesAtRetained(spark, manBase, v,
-      s"graft-cdf over $manBase")
-    raw.find(f => f.startsWith("deletes_") || f.startsWith("posdel_") ||
-        f.contains("/deletes_") || f.contains("/posdel_"))
-      .foreach(f => throw new IllegalStateException(
+  @volatile private var progressedTo: Long = -1L
+
+  /** Cap the admitted end version at `maxVersionsPerTrigger` past the
+    * covered progress — the per-trigger admission control (ADVICE
+    * finding, round 11): a long startingVersion replay drains in
+    * bounded batches instead of unioning one unbounded plan.
+    */
+  override def getOffset: Option[LegacyOffset] = {
+    val all = committed
+    if (all.isEmpty) return None
+    val base = math.max(progressedTo,
+      startingVersion.map(_ - 1L).getOrElse(0L))
+    val pending = all.filter(_ > base)
+    if (pending.isEmpty) Some(LongOffset(math.min(base, all.last)))
+    else Some(LongOffset(pending.take(maxVersionsPerTrigger).last))
+  }
+
+  // ---- manifest-delta classification -------------------------------------
+
+  private def who: String = s"graft-cdf over ${catalogTable.getOrElse(manBase)}"
+
+  private def rowsAt(v: Long): Seq[GraftLakeTable.ManifestRow] =
+    GraftLakeTable.rowsAtRetained(spark, manBase, v, who)
+
+  private def isPosDel(f: String): Boolean =
+    f.startsWith("posdel_") || f.contains("/posdel_")
+  private def isEqDel(f: String): Boolean =
+    f.startsWith("deletes_") || f.contains("/deletes_")
+  private def isDel(f: String): Boolean = isPosDel(f) || isEqDel(f)
+
+  /** Raw-manifest mode cannot apply delete masks — refuse NAMED (the
+    * round-11 review finding: an unmasked read would misread delete
+    * files as data and miss the deletions).
+    */
+  private def refuseRawDeletes(v: Long, rows: Seq[GraftLakeTable.ManifestRow]): Unit =
+    if (catalogTable.isEmpty)
+      rows.find(r => isDel(r.file)).foreach(r => throw new IllegalStateException(
         s"graft-cdf over $manBase: version $v carries merge-on-read delete " +
-          s"file(s) ($f) — the key-derived diff reads raw data files and " +
+          s"file(s) (${r.file}) — the key-derived diff reads raw data files and " +
           "cannot apply delete masks; run CALL system.compact_deletes first " +
           "or stream changes from a copy-on-write table"))
-    raw.map(f => dirOpt match {
-      case Some(d) if !f.startsWith("/") && !f.contains(":/") => s"$d/$f"
-      case _ => f
-    })
+
+  private def absOf(f: String): String = dirOpt match {
+    case Some(d) if !f.startsWith("/") && !f.contains(":/") => s"$d/$f"
+    case _ => f
   }
 
-  private def readVersion(v: Long, retained: Seq[Long]): DataFrame = catalogTable match {
-    // catalog mode: the snapshot is the table's OWN pinned read —
-    // merge-on-read delete vectors/keys apply, so deletions diff as
-    // deletes instead of being refused (the raw mode's limitation);
-    // retention fails named off the ALREADY-LISTED version set (no
-    // extra manifest read per snapshot — review finding, round 11)
-    case Some(tbl) =>
-      if (v == 0L)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          tableSchema)
-      else {
-        if (!retained.contains(v))
-          throw new IllegalStateException(
-            s"graft-cdf over $tbl: version $v is no longer committed " +
-              s"(retained: ${retained.headOption.getOrElse(0L)}.." +
-              s"${retained.lastOption.getOrElse(0L)}) — it fell out of " +
-              "VACUUM retention; restart from a retained startingVersion")
-        spark.sql(s"SELECT * FROM $tbl VERSION AS OF $v")
-      }
-    case None =>
-      val files = filesAt(v)
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          tableSchema)
-      else spark.read.schema(tableSchema).parquet(files: _*)
-  }
+  private val posDelSchema = StructType(Seq(
+    StructField("file", StringType), StructField("pos", LongType)))
 
-  /** One commit's row-level changes: K23's full-outer-by-key diff of
-    * the two adjacent snapshots, Delta-shaped (update = preimage row +
-    * postimage row), tagged with the commit version.
+  private def emptyDf(s: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+
+  private def readData(rows: Seq[GraftLakeTable.ManifestRow]): DataFrame =
+    if (rows.isEmpty) emptyDf(tableSchema)
+    else spark.read.schema(tableSchema).parquet(rows.map(r => absOf(r.file)): _*)
+
+  /** Read data files WITH row lineage: the table columns plus the
+    * manifest-relative path (`__rel`), the in-file row ordinal
+    * (`__pos`, the parquet reader's native `_metadata.row_index`) and
+    * the file's commit seq (`__fseq`) — what position/equality masks
+    * join against. The rel resolution is an equi-join on the file's
+    * BASENAME (part-file names carry a write-unique UUID) against the
+    * broadcast manifest-row list, with the full `/<rel>` suffix kept
+    * as a correctness filter.
     */
-  private def stepChanges(prevV: Long, v: Long, retained: Seq[Long]): DataFrame = {
+  private def readWithLineage(rows: Seq[GraftLakeTable.ManifestRow]): DataFrame = {
+    import spark.implicits._
+    val rel = rows.map(r =>
+        (r.file, r.file.substring(r.file.lastIndexOf('/') + 1), r.seq))
+      .toDF("__rel", "__base", "__fseq")
+    spark.read.schema(tableSchema).parquet(rows.map(r => absOf(r.file)): _*)
+      .withColumn("__abs", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .withColumn("__base", element_at(split(col("__abs"), "/"), -1))
+      .join(broadcast(rel), "__base")
+      .where(col("__abs").endsWith(concat(lit("/"), col("__rel"))))
+  }
+
+  /** Drop rows masked at the PRE version: anti-join the position
+    * pairs and the seq-applicable equality keys (an equality delete
+    * masks only files with a strictly smaller seq — the Iceberg
+    * data-sequence rule the read path also follows).
+    */
+  private def applyMasks(lineage: DataFrame,
+                         posPairs: Option[DataFrame],
+                         eqKeys: Option[DataFrame]): DataFrame = {
+    var df = lineage
+    posPairs.foreach { p =>
+      df = df.join(p,
+        df("__rel") === p("file") && df("__pos") === p("pos"), "left_anti")
+    }
+    eqKeys.foreach { k =>
+      df = df.join(k,
+        df(s"`$keyCol`") === k("__dkey") && k("__dseq") > df("__fseq"),
+        "left_anti")
+    }
+    df
+  }
+
+  private def dataCols: Seq[org.apache.spark.sql.Column] =
+    tableSchema.fieldNames.toSeq.map(c => col(s"`$c`"))
+
+  /** The whole snapshot at `v` delivered as `insert` rows — the
+    * startingVersion base case (and v=1). Catalog mode reads through
+    * the table's own masked `VERSION AS OF`; inherently O(snapshot),
+    * exactly once per stream.
+    */
+  private def snapshotAsInserts(v: Long): DataFrame = {
+    val body = catalogTable match {
+      case Some(tbl) => spark.sql(s"SELECT * FROM $tbl VERSION AS OF $v")
+      case None =>
+        val rows = rowsAt(v)
+        refuseRawDeletes(v, rows)
+        readData(rows)
+    }
+    tagged(body, "insert", v)
+  }
+
+  private def tagged(df: DataFrame, changeType: String, v: Long): DataFrame =
+    df.select(dataCols ++ Seq(
+      lit(changeType).as("_change_type"), lit(v).as("_commit_version")): _*)
+
+  /** One commit's row-level changes, derived from its MANIFEST DELTA
+    * (see the class scaladoc for the cost argument): K23's
+    * full-outer-by-key diff of the commit's pre-side (removed files'
+    * live rows + newly-masked rows) against its post-side (added
+    * files' rows), Delta-shaped and tagged with the commit version.
+    * Pure appends short-circuit to inserts; pure removals to deletes.
+    */
+  private def stepChanges(prevV: Long, v: Long): DataFrame = {
+    if (prevV == 0L) return snapshotAsInserts(v)
+    val prevRows = rowsAt(prevV)
+    val curRows = rowsAt(v)
+    refuseRawDeletes(prevV, prevRows)
+    refuseRawDeletes(v, curRows)
+
+    val prevData = prevRows.filterNot(r => isDel(r.file))
+    val curData = curRows.filterNot(r => isDel(r.file))
+    val prevFiles = prevData.map(_.file).toSet
+    val curFiles = curData.map(_.file).toSet
+    val removedData = prevData.filterNot(r => curFiles.contains(r.file))
+    val addedData = curData.filterNot(r => prevFiles.contains(r.file))
+    val carriedData = curData.filter(r => prevFiles.contains(r.file))
+
+    val prevPos = prevRows.filter(r => isPosDel(r.file))
+    val curPos = curRows.filter(r => isPosDel(r.file))
+    val prevEq = prevRows.filter(r => isEqDel(r.file))
+    val curEq = curRows.filter(r => isEqDel(r.file))
+    val prevPosFiles = prevPos.map(_.file).toSet
+    val prevEqFiles = prevEq.map(_.file).toSet
+    val addedPos = curPos.filterNot(r => prevPosFiles.contains(r.file))
+    val addedEq = curEq.filterNot(r => prevEqFiles.contains(r.file))
+
+    // pure append: every added row is an insert, no join, no pre-read
+    if (removedData.isEmpty && addedPos.isEmpty && addedEq.isEmpty)
+      return tagged(readData(addedData), "insert", v)
+
+    // masks in force at the PRE version (empty for copy-on-write
+    // tables — the common case reads removed files with no lineage)
+    val prevPosPairs: Option[DataFrame] =
+      if (prevPos.isEmpty) None
+      else Some(spark.read.schema(posDelSchema)
+        .parquet(prevPos.map(r => absOf(r.file)): _*))
+    val prevEqKeys: Option[DataFrame] =
+      if (prevEq.isEmpty) None
+      else Some(prevEq.groupBy(_.seq).toSeq.map { case (s, rs) =>
+        spark.read.schema(StructType(Seq(StructField(keyCol, LongType))))
+          .parquet(rs.map(r => absOf(r.file)): _*)
+          .where(col(s"`$keyCol`").isNotNull)
+          .select(col(s"`$keyCol`").as("__dkey"), lit(s).as("__dseq"))
+      }.reduce(_ unionByName _))
+
+    // pre 1/3: live rows of the files the commit removed
+    val preRemoved: Option[DataFrame] =
+      if (removedData.isEmpty) None
+      else if (prevPosPairs.isEmpty && prevEqKeys.isEmpty)
+        Some(readData(removedData))
+      else Some(applyMasks(readWithLineage(removedData),
+        prevPosPairs, prevEqKeys).select(dataCols: _*))
+
+    // pre 2/3: rows newly masked by the commit's position-delete
+    // files — read exactly the files they name, position-filtered.
+    // The pairs name only rows LIVE at prevV (the DML scan reads
+    // masked rows as absent and commits serialize strictly against
+    // the pinned snapshot), so no re-masking is needed.
+    val preNewPos: Option[DataFrame] =
+      if (addedPos.isEmpty) None
+      else {
+        val pairs = spark.read.schema(posDelSchema)
+          .parquet(addedPos.map(r => absOf(r.file)): _*)
+        val targetRels = pairs.select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        val targets = prevData.filter(r => targetRels.contains(r.file))
+        Some(readWithLineage(targets)
+          .join(pairs,
+            col("__rel") === pairs("file") && col("__pos") === pairs("pos"),
+            "left_semi")
+          .select(dataCols: _*))
+      }
+
+    // pre 3/3: rows newly masked by the commit's equality-delete
+    // files — carried data files, key-stat-pruned when the key list
+    // is small enough to collect, old masks applied BEFORE the new-key
+    // semi-join (an already-masked key must not re-diff as a delete)
+    val preNewEq: Option[DataFrame] =
+      if (addedEq.isEmpty) None
+      else {
+        val newKeys = spark.read
+          .schema(StructType(Seq(StructField(keyCol, LongType))))
+          .parquet(addedEq.map(r => absOf(r.file)): _*)
+          .where(col(s"`$keyCol`").isNotNull).distinct()
+        val keyVals: Option[Array[Long]] = {
+          val head = newKeys.limit(10001).collect()
+          if (head.length > 10000) None else Some(head.map(_.getLong(0)))
+        }
+        val candidates = carriedData.filter { r =>
+          keyVals match {
+            case Some(ks) => r.stats.get(keyCol) match {
+              case Some(Seq(mn, mx)) =>
+                ks.exists(k => GraftGroupScan.mayContain(LongType, mn, mx, k))
+              case _ => true
+            }
+            case None => true
+          }
+        }
+        if (candidates.isEmpty) None
+        else Some(applyMasks(readWithLineage(candidates),
+            prevPosPairs, prevEqKeys)
+          .join(newKeys.withColumnRenamed(keyCol, "__nk"),
+            col(s"`$keyCol`") === col("__nk"), "left_semi")
+          .select(dataCols: _*))
+      }
+
+    val pre = Seq(preRemoved, preNewPos, preNewEq).flatten
+      .reduceOption(_ unionByName _)
+    val post = readData(addedData)
+
+    pre match {
+      case None => tagged(post, "insert", v)
+      case Some(p) if addedData.isEmpty => tagged(p, "delete", v)
+      case Some(p) => diffByKey(p, post, v)
+    }
+  }
+
+  /** K23's full-outer-by-key diff, Delta-shaped (update = preimage row
+    * + postimage row), tagged with the commit version.
+    */
+  private def diffByKey(pre0: DataFrame, post0: DataFrame, v: Long): DataFrame = {
     val valueCols = tableSchema.fieldNames.filterNot(_ == keyCol).toSeq
-    val pre = readVersion(prevV, retained)
-      .select(col(keyCol), imgStruct(valueCols).as("pre"))
-    val post = readVersion(v, retained)
-      .select(col(keyCol), imgStruct(valueCols).as("post"))
+    val pre = pre0.select(col(s"`$keyCol`"), imgStruct(valueCols).as("pre"))
+    val post = post0.select(col(s"`$keyCol`"), imgStruct(valueCols).as("post"))
     pre.join(post, Seq(keyCol), "full_outer")
       .withColumn("changes",
         when(col("post").isNull,
@@ -253,11 +479,10 @@ private[graft] class GraftCdfSource(
     val s = start.map(longOf).getOrElse(
       startingVersion.map(_ - 1L).getOrElse(0L))
     val e = longOf(end)
+    progressedTo = math.max(progressedTo, math.max(s, e))
     val steps = committed.filter(v => v > s && v <= e).sorted
     val batch =
-      if (steps.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          schema)
+      if (steps.isEmpty) emptyDf(schema)
       else {
         // each commit diffs against its PREDECESSOR version v−1
         // (versions are dense: every publish commits basedOn+1). A
@@ -279,7 +504,7 @@ private[graft] class GraftCdfSource(
                   .map(_ + 1).getOrElse(1L)}, or startingVersion = " +
                 s"${all.headOption.getOrElse(1L)} to re-deliver that " +
                 "version's snapshot as inserts")
-          stepChanges(base, v, all)
+          stepChanges(base, v)
         }.reduce(_ unionByName _)
       }
     // the engine grafts this plan in place of the streaming relation
@@ -290,9 +515,20 @@ private[graft] class GraftCdfSource(
         batch.queryExecution.toRdd, schema, isStreaming = true)
   }
 
+  /** The per-step change plan for a committed version — the testable
+    * core `getBatch` unions: specs count input files off this plan's
+    * execution to pin the O(change) cost class.
+    */
+  def changesOf(v: Long): DataFrame = {
+    val all = committed
+    val base = if (v == 1L || all.contains(v - 1L)) v - 1L else 0L
+    stepChanges(base, v)
+  }
+
   override def commit(end: LegacyOffset): Unit = ()
   override def stop(): Unit = ()
 
   override def toString: String =
-    s"GraftCdfSource[$manBase, key=$keyCol, starting=$startingVersion]"
+    s"GraftCdfSource[$manBase, key=$keyCol, starting=$startingVersion, " +
+      s"maxVersionsPerTrigger=$maxVersionsPerTrigger]"
 }
