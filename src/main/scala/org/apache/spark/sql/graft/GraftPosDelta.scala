@@ -532,12 +532,27 @@ private[graft] class GraftRemapVector(inner: ColumnVector, mapping: Array[Int])
 }
 
 /** The positional delta write: data rows through the stock parquet
-  * `FileWrite` into `data_<writer>`, deleted `(file, pos)` pairs
-  * aggregated through the commit MESSAGES into ONE position-delete
-  * file under `posdel_<writer>`, and ONE manifest version carrying
-  * every pre-existing file by reference — strictly serialized against
-  * the operation's pinned snapshot (positions never commute with a
-  * concurrent rewrite).
+  * `FileWrite` into `data_<writer>`, deleted `(file, pos)` pairs into
+  * position-delete files under `posdel_<writer>`, and ONE manifest
+  * version carrying every pre-existing file by reference — strictly
+  * serialized against the operation's pinned snapshot (positions never
+  * commute with a concurrent rewrite).
+  *
+  * Delete-file placement scales with the statement (round-12 rework of
+  * the driver-side ceiling): each task BUFFERS its pairs up to a spill
+  * threshold (`spark.graft.posdelta.spillThreshold`, default 65536).
+  * A task under the threshold ships pairs in its commit MESSAGE and
+  * the driver folds every small task into ONE posdel file (targeted
+  * DML: one tidy file, zero extra task IO). A task over it SPILLS to
+  * its own executor-side parquet at a final path — the Iceberg shape:
+  * the message then carries only the file NAME, so a broad
+  * `DELETE FROM t WHERE <predicate>` matching a billion rows is
+  * bounded by task memory and file IO, never by driver heap or the
+  * RPC max message size. Spilled files become visible only through
+  * the manifest commit (the committed tasks' reported names), so a
+  * speculative attempt's duplicate file stays an unreferenced orphan
+  * until VACUUM — the same manifest-gated visibility the bucket
+  * router uses, with no commit-coordinator ask.
   */
 private[graft] class GraftPosDeltaWrite(
     op: GraftPosDeltaOperation,
@@ -564,6 +579,21 @@ private[graft] class GraftPosDeltaWrite(
         java.util.Optional.empty()
     }
 
+  /** Parquet writer plumbing for the EXECUTOR-SIDE posdel spill (the
+    * bucket router's committer-less shape): prepareWrite configures
+    * the job conf the task-side TaskAttemptContexts carry.
+    */
+  private val (posFactory, posSerConf) = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val f = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, posDelSchema)
+    (f, new org.apache.spark.util.SerializableConfiguration(job.getConfiguration))
+  }
+
+  private val spillThreshold: Int =
+    spark.conf.getOption("spark.graft.posdelta.spillThreshold")
+      .map(_.toInt).getOrElse(65536)
+
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     // a pure DELETE has an EMPTY row schema — the data sink only
     // exists when the statement lands rows (K39's conditional shape)
@@ -575,36 +605,63 @@ private[graft] class GraftPosDeltaWrite(
         .newWriteBuilder(lwi(info.schema(), info.queryId())).build().toBatch)
 
     // the file commit protocol coordinates its own task commits —
-    // same contract as GraftDeltaWrite (one ask per partition)
+    // same contract as GraftDeltaWrite (one ask per partition); the
+    // posdel spill writes final paths with NO ask, so one task still
+    // makes exactly one coordinator ask (the data file's)
     override def useCommitCoordinator(): Boolean = false
 
     override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DeltaWriterFactory =
       new GraftPosDeltaWriterFactory(
-        dataInner.map(_.createBatchWriterFactory(pInfo)).orNull)
+        dataInner.map(_.createBatchWriterFactory(pInfo)).orNull,
+        posFactory, posSerConf, posDelDir, posDelSchema, spillThreshold)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val ms = messages.map(_.asInstanceOf[GraftPosDeltaCommitMessage])
       dataInner.foreach(_.commit(ms.flatMap(_.data)))
+      // spilled tasks report file NAMES; small tasks' pairs fold into
+      // ONE driver-written file (the targeted-DML fast path)
+      val spilled = ms.flatMap(_.posDelFile)
       val pairs = ms.flatMap(m => m.deletedFiles.zip(m.deletedPos)).distinct
-      if (pairs.nonEmpty) {
-        val session = spark
-        import session.implicits._
-        pairs.toSeq.toDF("file", "pos").repartition(1).write.parquet(posDelDir)
-      }
-      commitManifest()
+      val driverFile: Option[String] =
+        if (pairs.isEmpty) None
+        else {
+          val path = s"$posDelDir/part-driver-${writerId}" +
+            posFactory.getFileExtension(GraftPosDeltaWriterFactory.taskContext(
+              posSerConf.value, 0))
+          val w = posFactory.newInstance(path, posDelSchema,
+            GraftPosDeltaWriterFactory.taskContext(posSerConf.value, 0))
+          try pairs.foreach { case (f, p) =>
+            val r = new GenericInternalRow(2)
+            r.update(0, UTF8String.fromString(f))
+            r.update(1, p)
+            w.write(r)
+          } finally w.close()
+          Some(path)
+        }
+      commitManifest((spilled ++ driverFile).toSeq)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
       val ms = messages.collect { case m: GraftPosDeltaCommitMessage => m }
       dataInner.foreach(_.abort(ms.flatMap(_.data)))
+      // spilled posdel files are manifest-gated (never committed), but
+      // clean up the ones the messages name anyway
+      val fs = new org.apache.hadoop.fs.Path(posDelDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      ms.flatMap(_.posDelFile).foreach(p =>
+        try fs.delete(new org.apache.hadoop.fs.Path(p), false)
+        catch { case _: Exception => () })
     }
   }
 
-  private def commitManifest(): Unit = {
+  private def commitManifest(posDelFiles: Seq[String]): Unit = {
     val manBase = s"$dir/manifest"
     val txn = spark.conf.getOption(GraftLakeTable.TxnConfKey).getOrElse("")
     val newData = GraftLakeTable.fileStats(spark, dataDir, tableSchema)
-    val newDel = GraftLakeTable.fileStats(spark, posDelDir, posDelSchema)
+    // only COMMITTED tasks' reported posdel files register — a
+    // speculative attempt's duplicate stays invisible until VACUUM
+    val newDel = GraftLakeTable.fileStats(spark, posDelDir, posDelSchema,
+      onlyFiles = Some(posDelFiles))
     val basedOn = ManifestStore.versions(spark, manBase).lastOption.getOrElse(0L)
     if (basedOn != op.snapshotVersion)
       throw new java.io.IOException(
@@ -624,13 +681,40 @@ private[graft] class GraftPosDeltaWrite(
   override def description(): String = s"GraftPosDeltaWrite($dataDir, $posDelDir)"
 }
 
+/** Either the task's buffered `(file, pos)` pairs (small deltas) or
+  * the FINAL PATH of the posdel parquet the task spilled executor-side
+  * (broad deltas) — never both.
+  */
 private[graft] case class GraftPosDeltaCommitMessage(
     data: Option[WriterCommitMessage],
     deletedFiles: Array[String],
-    deletedPos: Array[Long]) extends WriterCommitMessage
+    deletedPos: Array[Long],
+    posDelFile: Option[String] = None) extends WriterCommitMessage
+
+private[graft] object GraftPosDeltaWriterFactory {
+  /** A synthetic TaskAttemptContext for committer-less parquet writes
+    * (the bucket router's shape) — shared by the executor spill and
+    * the driver's small-delta fold.
+    */
+  private[graft] def taskContext(conf: org.apache.hadoop.conf.Configuration,
+                                 partitionId: Int)
+      : org.apache.hadoop.mapreduce.TaskAttemptContext = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      new org.apache.hadoop.conf.Configuration(conf),
+      new TaskAttemptID(
+        new TaskID(new JobID("graftPosDel", partitionId), TaskType.MAP,
+          partitionId), 0))
+  }
+}
 
 private[graft] class GraftPosDeltaWriterFactory(
-    dataFactory: DataWriterFactory)
+    dataFactory: DataWriterFactory,
+    posFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    posSerConf: org.apache.spark.util.SerializableConfiguration,
+    posDelDir: String,
+    posDelSchema: StructType,
+    spillThreshold: Int)
   extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -638,11 +722,37 @@ private[graft] class GraftPosDeltaWriterFactory(
       private var dataWriter: DataWriter[InternalRow] = _
       private val delFiles = scala.collection.mutable.ArrayBuffer[String]()
       private val delPos = scala.collection.mutable.ArrayBuffer[Long]()
+      // executor-side spill state: opened once the buffered pairs pass
+      // the threshold; the file lands at its FINAL path and becomes
+      // visible only through the manifest commit
+      private var spillWriter: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var spillPath: String = _
+
+      private def writePair(file: String, pos: Long): Unit = {
+        val r = new GenericInternalRow(2)
+        r.update(0, UTF8String.fromString(file))
+        r.update(1, pos)
+        spillWriter.write(r)
+      }
 
       override def delete(meta: InternalRow, id: InternalRow): Unit = {
         // (_file, _pos) in rowId order — both non-nullable by contract
-        delFiles += id.getUTF8String(0).toString
-        delPos += id.getLong(1)
+        val file = id.getUTF8String(0).toString
+        val pos = id.getLong(1)
+        if (spillWriter != null) writePair(file, pos)
+        else {
+          delFiles += file
+          delPos += pos
+          if (delFiles.length > spillThreshold) {
+            val ctx = GraftPosDeltaWriterFactory.taskContext(
+              posSerConf.value, partitionId)
+            spillPath = s"$posDelDir/part-$partitionId-$taskId" +
+              posFactory.getFileExtension(ctx)
+            spillWriter = posFactory.newInstance(spillPath, posDelSchema, ctx)
+            delFiles.zip(delPos).foreach { case (f, p) => writePair(f, p) }
+            delFiles.clear(); delPos.clear()
+          }
+        }
       }
 
       override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
@@ -659,12 +769,23 @@ private[graft] class GraftPosDeltaWriterFactory(
         dataWriter.write(row)
       }
 
-      override def commit(): WriterCommitMessage =
+      override def commit(): WriterCommitMessage = {
+        if (spillWriter != null) spillWriter.close()
         GraftPosDeltaCommitMessage(
-          Option(dataWriter).map(_.commit()), delFiles.toArray, delPos.toArray)
+          Option(dataWriter).map(_.commit()), delFiles.toArray, delPos.toArray,
+          Option(spillPath))
+      }
 
-      override def abort(): Unit =
+      override def abort(): Unit = {
         if (dataWriter != null) dataWriter.abort()
+        if (spillWriter != null) {
+          try spillWriter.close() catch { case _: Exception => () }
+          val fs = new org.apache.hadoop.fs.Path(posDelDir)
+            .getFileSystem(posSerConf.value)
+          try fs.delete(new org.apache.hadoop.fs.Path(spillPath), false)
+          catch { case _: Exception => () }
+        }
+      }
 
       override def close(): Unit =
         if (dataWriter != null) dataWriter.close()

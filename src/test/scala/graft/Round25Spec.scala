@@ -130,6 +130,37 @@ class Round25Spec extends SparkSpec {
       s"default admission: ${uncapped.getOffset}")
   }
 
+  test("posdelta: a broad DELETE spills position-delete files executor-side; " +
+      "commit messages carry file names, not a million pairs") {
+    freshPosTable("pos_big")
+    spark.sql(
+      s"""INSERT INTO $cat.lake.pos_big
+         |SELECT id, cast(id AS STRING), cast(id AS DOUBLE) FROM range(1000000)""".stripMargin)
+    val dataFiles = manifestFiles("pos_big").count(_.startsWith("data_"))
+    assert(dataFiles >= 2, s"precondition: a multi-file table, got $dataFiles")
+    // ~900k deleted rows across every data file: each DML task passes
+    // the spill threshold (65536) and writes its OWN posdel parquet at
+    // a final path — the commit message then carries only the name
+    spark.sql(s"DELETE FROM $cat.lake.pos_big WHERE k % 10 <> 0")
+    val posFiles = manifestFiles("pos_big").filter(_.startsWith("posdel_"))
+    assert(posFiles.length >= 2,
+      s"a broad DELETE must land one executor-written posdel file per " +
+        s"task, not one driver-funneled file: $posFiles")
+    assert(posFiles.forall(f => !f.contains("part-driver-")),
+      s"no task under the threshold, so no driver-side fold file: $posFiles")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.pos_big").head.getLong(0)
+      == 100000L, "masked read after the broad delete")
+    // the targeted-DML fast path still folds small tasks into ONE
+    // driver-written file (no per-task file litter for a 1-row DELETE)
+    spark.sql(s"DELETE FROM $cat.lake.pos_big WHERE k = 0")
+    val afterSmall = manifestFiles("pos_big").filter(_.startsWith("posdel_"))
+    val newFiles = afterSmall.toSet -- posFiles.toSet
+    assert(newFiles.size == 1 && newFiles.head.contains("part-driver-"),
+      s"a 1-row DELETE folds into one driver-written posdel file: $newFiles")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.pos_big").head.getLong(0)
+      == 99999L)
+  }
+
   test("cdf over equality-delete merge-on-read: DML diffs as deletes and updates") {
     ensure()
     spark.sql(s"DROP TABLE IF EXISTS $cat.lake.cdf_eq")
