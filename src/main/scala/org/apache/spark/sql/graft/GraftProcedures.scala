@@ -164,7 +164,8 @@ private[graft] object GraftProcedures {
     override def name(): String = "optimize"
     override def description(): String =
       "bin-pack files under target_rows into one rewrite commit; " +
-        "zorder => array('x','y') re-clusters the layout on the interleave key"
+        "zorder => array(2-4 numeric/date/string cols) re-clusters the " +
+        "layout on the interleave key"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -220,18 +221,32 @@ private[graft] object GraftProcedures {
     }
 
     /** K45: `CALL graft.system.optimize(t, target, zorder =>
-      * array('x','y'))` — rewrite the WHOLE layout ordered by T16's
-      * bit-interleaved curve over the two dimensions: each column is
-      * min/max-normalized to 10 bits (one metadata-sized aggregate),
-      * the zkey interleaves them, and a range-repartition on zkey
-      * lands one curve segment per file. The manifest's per-file
-      * min/max stats (K35) then bound BOTH dimensions per file, so a
-      * 2-D box predicate prunes to the files whose curve segment
-      * crosses the box — rectangle skipping from the same stats that
-      * previously only pruned one sorted dimension (the
-      * Delta/Iceberg OPTIMIZE ZORDER shape; the pruning law is
-      * spec-pinned). Same replace-commit and conflict semantics as
-      * bin-packing; `target_rows` sizes the output files.
+      * array('x','y'[,...]))` — rewrite the WHOLE layout ordered by
+      * T16's bit-interleaved curve over 2–4 dimensions: each column is
+      * mapped to an order-preserving numeric proxy, min/max-normalized
+      * to 10 bits (one metadata-sized aggregate), the zkey interleaves
+      * them round-robin, and a range-repartition on zkey lands one
+      * curve segment per file. The manifest's per-file min/max stats
+      * (K35) then bound EVERY dimension per file, so an N-D box
+      * predicate prunes to the files whose curve segment crosses the
+      * box — rectangle skipping from the same stats that previously
+      * only pruned one sorted dimension (the Delta/Iceberg OPTIMIZE
+      * ZORDER shape; the 2-D and 3-D pruning laws are spec-pinned).
+      *
+      * Proxies follow K35's comparator orders exactly (round-12
+      * generalization past 2 numeric dims):
+      *   - numerics cast to double;
+      *   - DATE becomes its epoch-day number (the comparator's ISO
+      *     order is the day order);
+      *   - STRING becomes its unsigned 6-byte UTF-8 prefix (hex is
+      *     monotone in unsigned byte order; 48 bits stays exact in a
+      *     double) — longer shared prefixes collapse into one curve
+      *     cell, which only costs pruning resolution, never rows.
+      * Timestamps and nested types are refused loudly: K35 keeps no
+      * stats for them, so a zorder on them could never prune.
+      *
+      * Same replace-commit and conflict semantics as bin-packing;
+      * `target_rows` sizes the output files.
       */
     private def zorderRewrite(session: SparkSession, table: String,
                               dir: String, schema: StructType,
@@ -240,37 +255,48 @@ private[graft] object GraftProcedures {
                               target: Long,
                               zorder: Seq[String]): java.util.Iterator[Scan] = {
       import org.apache.spark.sql.functions._
-      require(zorder.length == 2,
-        s"zorder takes exactly two column names (got ${zorder.mkString(", ")})")
+      require(zorder.length >= 2 && zorder.length <= 4,
+        s"zorder takes 2 to 4 column names (got ${zorder.mkString(", ")})")
       require(bucketSpec.isEmpty,
         "OPTIMIZE ZORDER on a bucketed table would break its bucket routing")
-      zorder.foreach { c =>
+      val proxies: Seq[org.apache.spark.sql.Column] = zorder.map { c =>
         val f = schema.fields.find(_.name == c).getOrElse(
           throw new IllegalArgumentException(
             s"zorder column '$c' is not in the table schema"))
-        require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-          s"zorder column '$c' must be numeric (got ${f.dataType.simpleString})")
+        f.dataType match {
+          case _: org.apache.spark.sql.types.NumericType =>
+            col(s"`$c`").cast("double")
+          case org.apache.spark.sql.types.DateType =>
+            unix_date(col(s"`$c`")).cast("double")
+          case org.apache.spark.sql.types.StringType =>
+            conv(rpad(substring(hex(col(s"`$c`").cast("binary")), 1, 12),
+              12, "0"), 16, 10).cast("double")
+          case other => throw new IllegalArgumentException(
+            s"zorder column '$c' must be numeric, DATE or STRING " +
+              s"(got ${other.simpleString}) — K35 keeps no stats for " +
+              "other types, so they could never prune")
+        }
       }
       if (current.isEmpty)
         return resultScan(outSchema, Seq(0L, 0L, 0L))
       val data = session.read.schema(schema)
         .parquet(current.map(r => s"$dir/${r.file}"): _*)
-      val Seq(cx, cy) = zorder.map(c => col(s"`$c`").cast("double"))
-      // one metadata-sized aggregate normalizes both dims to 10 bits
-      val b = data.agg(min(cx), max(cx), min(cy), max(cy)).head()
-      if (b.isNullAt(0) || b.isNullAt(2))
+      // one metadata-sized aggregate normalizes every dim to 10 bits
+      val aggs = proxies.flatMap(p => Seq(min(p), max(p)))
+      val b = data.agg(aggs.head, aggs.tail: _*).head()
+      if (proxies.indices.exists(i => b.isNullAt(2 * i)))
         return resultScan(outSchema, Seq(0L, current.length.toLong, 0L))
-      val (xLo, xHi) = (b.getDouble(0), b.getDouble(1))
-      val (yLo, yHi) = (b.getDouble(2), b.getDouble(3))
-      def norm(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      val norms = proxies.zipWithIndex.map { case (p, i) =>
+        val (lo, hi) = (b.getDouble(2 * i), b.getDouble(2 * i + 1))
         if (hi == lo) lit(0L)
         else least(lit(1023L), greatest(lit(0L),
-          floor((c - lit(lo)) / lit(hi - lo) * 1024.0).cast("long")))
-      val (nx, ny) = (norm(cx, xLo, xHi), norm(cy, yLo, yHi))
+          floor((p - lit(lo)) / lit(hi - lo) * 1024.0).cast("long")))
+      }
+      val d = norms.length
       val zkey = (0 until 10).foldLeft(lit(0L)) { (acc, bit) =>
-        acc +
-          shiftleft(shiftright(nx, bit).bitwiseAND(lit(1L)), 2 * bit) +
-          shiftleft(shiftright(ny, bit).bitwiseAND(lit(1L)), 2 * bit + 1)
+        norms.zipWithIndex.foldLeft(acc) { case (a, (n, i)) =>
+          a + shiftleft(shiftright(n, bit).bitwiseAND(lit(1L)), d * bit + i)
+        }
       }
       val totalRows = current.map(_.nRows).sum
       val nFiles = math.max(1, math.ceil(

@@ -161,6 +161,78 @@ class Round25Spec extends SparkSpec {
       == 99999L)
   }
 
+  test("optimize zorder: a 3-D box over numeric+date+string dims touches a bounded file count") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.zo3")
+    spark.sql(s"CREATE TABLE $cat.lake.zo3 (x BIGINT, dt DATE, s STRING, v DOUBLE)")
+    // a 16x16x16 uniform grid: x numeric, dt one of 16 days, s one of
+    // 16 single-char strings — inserted x-striped so the pre-zorder
+    // layout sorts on ONE axis only (the case zorder fixes)
+    spark.sql(
+      s"""INSERT INTO $cat.lake.zo3
+         |SELECT id % 16 AS x,
+         |       date_add(DATE'2020-01-01', cast((id DIV 16) % 16 AS INT)) AS dt,
+         |       chr(97 + (id DIV 256) % 16) AS s,
+         |       cast(id AS DOUBLE) AS v
+         |FROM range(4096)""".stripMargin)
+    val metrics = spark.sql(
+      s"CALL $cat.system.optimize('lake.zo3', 256, array('x', 'dt', 's'))")
+      .collect().head
+    assert(metrics.getLong(2) == 16L,
+      s"4096 rows at target 256 must land 16 curve-segment files: $metrics")
+    def touched(sql: String): Long = {
+      val df = spark.sql(sql)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case g: org.apache.spark.sql.graft.GraftLakeScan => g.inner match {
+              case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+                p.fileIndex.inputFiles.length.toLong
+              case _ => fail("expected the pruned parquet scan")
+            }
+            case other => fail(s"unexpected scan $other")
+          }
+      }.sum
+    }
+    // the 3-D pruning LAW: an octant (1/8 of the volume) is a
+    // contiguous Morton range — at most 2 of 16 segments plus a
+    // boundary file per side
+    val octant = touched(
+      s"SELECT * FROM $cat.lake.zo3 WHERE x <= 7 " +
+        "AND dt <= DATE'2020-01-08' AND s <= 'h'")
+    assert(octant <= 4L, s"a 1/8 octant must touch <= 4 of 16 files, got $octant")
+    // every axis — including the DATE and STRING proxies — prunes
+    // individually (the whole point vs one sorted dimension)
+    val xS = touched(s"SELECT * FROM $cat.lake.zo3 WHERE x <= 3")
+    val dS = touched(s"SELECT * FROM $cat.lake.zo3 WHERE dt <= DATE'2020-01-04'")
+    val sS = touched(s"SELECT * FROM $cat.lake.zo3 WHERE s <= 'd'")
+    assert(xS < 16L && dS < 16L && sS < 16L,
+      s"single-axis slices must prune on all three dims: x=$xS dt=$dS s=$sS")
+    // correctness: the octant holds exactly its 8*8*8 grid points
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.lake.zo3 WHERE x <= 7 " +
+        "AND dt <= DATE'2020-01-08' AND s <= 'h'").head.getLong(0) == 512L)
+  }
+
+  test("optimize zorder: refusal matrix — dim count and unsupported types fail loudly") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.zo_ref")
+    spark.sql(
+      s"CREATE TABLE $cat.lake.zo_ref (x BIGINT, y BIGINT, z BIGINT, w BIGINT, " +
+        "q BIGINT, ts TIMESTAMP)")
+    spark.sql(s"INSERT INTO $cat.lake.zo_ref VALUES (1,1,1,1,1,TIMESTAMP'2020-01-01 00:00:00')")
+    def refuse(cols: String): String =
+      intercept[Exception](spark.sql(
+        s"CALL $cat.system.optimize('lake.zo_ref', 100, array($cols))")
+      ).getMessage
+    assert(refuse("'x'").contains("2 to 4"), "one dim must refuse")
+    assert(refuse("'x','y','z','w','q'").contains("2 to 4"), "five dims must refuse")
+    assert(refuse("'x','ts'").contains("must be numeric, DATE or STRING"),
+      "a timestamp dim must refuse (K35 keeps no stats for it)")
+    assert(refuse("'x','nope'").contains("not in the table schema"))
+  }
+
   test("cdf over equality-delete merge-on-read: DML diffs as deletes and updates") {
     ensure()
     spark.sql(s"DROP TABLE IF EXISTS $cat.lake.cdf_eq")
