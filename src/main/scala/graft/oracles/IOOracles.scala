@@ -199,6 +199,20 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT '3_history_pin', cast(2 AS bigint), 1.0
         |ORDER BY step""".stripMargin,
+    // K48: partitions-history replay — per-version row mass through
+    // the sweep (v1 = even keys, v2 = all, v3 = post-DELETE); the
+    // shape/pin/monotonicity laws ride the ok flags (expected 1.0)
+    "sink_meta_partitions_history" ->
+      """SELECT '1_v1' AS step,
+        |  (SELECT cast(count(*) AS bigint) FROM orders
+        |   WHERE o_orderkey % 2 = 0) AS n, 1.0 AS ok
+        |UNION ALL
+        |SELECT '2_v2', (SELECT cast(count(*) AS bigint) FROM orders), 1.0
+        |UNION ALL
+        |SELECT '3_v3',
+        |  (SELECT cast(count(*) AS bigint) FROM orders
+        |   WHERE o_orderstatus <> 'F'), 1.0
+        |ORDER BY step""".stripMargin,
     // K42: positional-MoR replay — same keep-set arithmetic as K39
     // (the two modes must agree on DATA); the protocol rows pin the
     // manifest actuals (delete-vector rows, carried flag) and the

@@ -760,6 +760,71 @@ object IOQueries {
          |ORDER BY step""".stripMargin)
   }
 
+  /** K48: `t.partitions_history` — the K43 partitions rollup swept
+    * across EVERY retained version
+    * ([[org.apache.spark.sql.graft.GraftMetaTable]]): layout drift
+    * over time (file-count growth, row-mass movement, rewrite effect)
+    * as one queryable relation — the input a partition-TTL policy
+    * audit or compaction scheduler reads instead of replaying pinned
+    * `VERSION AS OF` rollups version by version. Bytes come from ONE
+    * recursive listing per write dir shared across all versions
+    * (carried files share dirs — never a per-file status call), and a
+    * version whose unreferenced files VACUUM already reclaimed reports
+    * bytes NULL while its manifest-true row counts stay readable (the
+    * pinned single-version `t.partitions` read instead fails the
+    * named retention error — both contracts spec-pinned).
+    *
+    * Flow: three commits (even-key INSERT, odd-key INSERT, a
+    * status-F DELETE rewrite) → the history shows the per-version
+    * row mass; the hashed output pins each version's replayable
+    * total plus protocol ACTUALS only the correct sweep produces:
+    * exactly one flat partition row per version, positive bytes
+    * everywhere (nothing swept), monotone file counts across the two
+    * appends, and the `VERSION AS OF 2` truncation law.
+    */
+  def sinkMetaPartitionsHistory(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_phist_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_phist")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_phist (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_phist
+        |SELECT * FROM orders_phist_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_phist
+        |SELECT * FROM orders_phist_src WHERE o_orderkey % 2 <> 0""".stripMargin)
+    spark.sql("DELETE FROM graft.lake.orders_phist WHERE o_orderstatus = 'F'")
+    val hist = spark.sql(
+      """SELECT version, partition, n_files, n_rows, bytes
+        |FROM graft.lake.orders_phist.partitions_history""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    val byV = hist.groupBy(_._1)
+    val rowsAt = (v: Long) => byV.get(v).map(_.map(_._4).sum).getOrElse(-1L)
+    val pinned = spark.sql(
+      """SELECT count(*) FROM
+        |graft.lake.orders_phist.partitions_history VERSION AS OF 2""".stripMargin)
+      .head.getLong(0)
+    val shapeOk =
+      if (hist.length == 3 && hist.forall(h => h._2 == "" && h._5 > 0L) &&
+          byV.keySet == Set(1L, 2L, 3L))
+        1.0 else 0.0
+    val lawOk =
+      if (pinned == 2L &&
+          byV(1L).map(_._3).sum <= byV(2L).map(_._3).sum &&
+          hist.forall(_._3 > 0L))
+        1.0 else 0.0
+    spark.sql(
+      s"""SELECT '1_v1' AS step, ${rowsAt(1L)}L AS n, $shapeOk AS ok
+         |UNION ALL SELECT '2_v2', ${rowsAt(2L)}L, $lawOk
+         |UNION ALL SELECT '3_v3', ${rowsAt(3L)}L, 1.0
+         |ORDER BY step""".stripMargin)
+  }
+
   /** K41: atomic `CREATE TABLE AS SELECT` / `REPLACE TABLE AS SELECT`
     * through the staging catalog ([[org.apache.spark.sql.graft
     * .GraftStagedTable]]): the table builds INVISIBLY (meta + data +

@@ -28,17 +28,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *     layouts) → live data files, rows, and on-disk bytes. This is
   *     what layout monitoring and T38-style completeness checks read
   *     instead of listing the filesystem.
+  *   - `<t>.partitions_history` — the K43 rollup swept across EVERY
+  *     retained version (K48): layout drift over time — file-count
+  *     growth, partition skew, compaction effect — in one relation,
+  *     the input a partition-TTL policy audit needs. Bytes are NULL
+  *     for a historical version whose unreferenced files VACUUM
+  *     already reclaimed (the row counts stay manifest-true).
   *
-  * All three accept `VERSION AS OF` (K43's second half): the catalog
+  * All accept `VERSION AS OF` (K43's second half): the catalog
   * resolves `t.files VERSION AS OF 3` to this table pinned at v3 —
-  * `files`/`partitions` report THAT snapshot, `history` truncates to
-  * commits ≤ v3 (the metadata view a reader pinned at v3 would see).
+  * `files`/`partitions` report THAT snapshot, `history` /
+  * `partitions_history` truncate to commits ≤ v3 (the metadata view a
+  * reader pinned at v3 would see).
   *
   * All are [[LocalScan]]s computed from the manifest on the DRIVER —
   * the whole point of the lakehouse metadata plane is that these
   * answers are manifest-sized, never data-sized: at 100 TB `history`
-  * costs versions × manifest-rows of JSON, `partitions` adds one
-  * file-status call per live file, and no data file is opened.
+  * costs versions × manifest-rows of JSON, `partitions` adds ONE
+  * recursive listing per write dir (not one file-status call per
+  * file — the round-11 ADVICE fix), and no data file is opened. A
+  * PINNED `partitions` read whose files were vacuumed fails with the
+  * named out-of-retention error, never a raw FileNotFound.
   */
 private[graft] class GraftMetaTable(kind: String, dir: String, fullName: String,
                                     pinned: Option[Long] = None)
@@ -93,26 +103,81 @@ private[graft] class GraftMetaTable(kind: String, dir: String, fullName: String,
         }
       }.toArray
     case "partitions" =>
-      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
       resolved(ManifestStore.versions(spark, manBase)).toSeq.flatMap { v =>
-        val data = GraftLakeTable.manifestRowsFull(spark, manBase, v)
-          .filterNot(r => GraftDeltaOperation.isDeleteFile(r.file))
+        val data = dataRowsAt(v)
+        val bytes = bytesByRel(data)
         data.groupBy(r => GraftMetaTable.partitionOf(r.file)).toSeq.sortBy(_._1)
           .map { case (part, rs) =>
-            val bytes = rs.map(r =>
-              fs.getFileStatus(new Path(dir, r.file)).getLen).sum
+            val total = rs.map(r => bytes.getOrElse(r.file,
+              throw new IllegalStateException(
+                s"$fullName: file ${r.file} (referenced by version $v) is no " +
+                  "longer on disk — it fell out of VACUUM retention; read " +
+                  "the latest version, or partitions_history for swept " +
+                  "snapshots (bytes NULL there)"))).sum
             new GenericInternalRow(Array[Any](
               UTF8String.fromString(part), rs.length.toLong,
-              rs.map(_.nRows).sum, bytes)): InternalRow
+              rs.map(_.nRows).sum, total)): InternalRow
+          }
+      }.toArray
+    case "partitions_history" =>
+      // K48: the rollup at EVERY retained version <= the pin. One
+      // recursive listing per write dir serves all versions (carried
+      // files share dirs); a swept file's bytes report NULL — history
+      // must stay readable past VACUUM, row counts are manifest-true
+      val committed = ManifestStore.versions(spark, manBase)
+      val upTo = resolved(committed)
+      val versions = committed.filter(v => upTo.exists(v <= _))
+      val allData = versions.map(v => v -> dataRowsAt(v))
+      val bytes = bytesByRel(allData.flatMap(_._2).distinctBy(_.file))
+      allData.flatMap { case (v, data) =>
+        data.groupBy(r => GraftMetaTable.partitionOf(r.file)).toSeq.sortBy(_._1)
+          .map { case (part, rs) =>
+            val sizes = rs.map(r => bytes.get(r.file))
+            val total: Any =
+              if (sizes.forall(_.isDefined)) sizes.flatten.sum else null
+            new GenericInternalRow(Array[Any](
+              v, UTF8String.fromString(part), rs.length.toLong,
+              rs.map(_.nRows).sum, total)): InternalRow
           }
       }.toArray
     case other =>
       throw new IllegalStateException(s"unknown metadata table kind '$other'")
   }
+
+  private def dataRowsAt(v: Long): Seq[GraftLakeTable.ManifestRow] =
+    GraftLakeTable.manifestRowsFull(spark, manBase, v)
+      .filterNot(r => GraftDeltaOperation.isDeleteFile(r.file))
+
+  /** On-disk length per manifest-relative file, via ONE recursive
+    * listing per write directory (never a per-file getFileStatus —
+    * driver round-trips scale with dirs, not files). Files missing
+    * from disk are simply absent; callers decide whether that is the
+    * named retention error (a pinned read) or a NULL (history).
+    */
+  private def bytesByRel(data: Seq[GraftLakeTable.ManifestRow]): Map[String, Long] = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val writeDirs = data.map(r => r.file.split('/').head).distinct
+    writeDirs.flatMap { wd =>
+      val p = new Path(dir, wd)
+      if (!fs.exists(p)) Seq.empty[(String, Long)]
+      else {
+        val marker = s"/$wd/"
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+        while (it.hasNext) {
+          val f = it.next()
+          val abs = f.getPath.toString
+          val idx = abs.lastIndexOf(marker)
+          if (idx >= 0) buf += ((abs.substring(idx + 1), f.getLen))
+        }
+        buf.toSeq
+      }
+    }.toMap
+  }
 }
 
 private[graft] object GraftMetaTable {
-  val kinds: Set[String] = Set("history", "files", "partitions")
+  val kinds: Set[String] = Set("history", "files", "partitions", "partitions_history")
 
   /** A manifest-relative file's partition value: the partition
     * directory component between the write dir and the file (the K34
@@ -143,6 +208,13 @@ private[graft] object GraftMetaTable {
       StructField("n_files", LongType, nullable = false),
       StructField("n_rows", LongType, nullable = false),
       StructField("bytes", LongType, nullable = false)))
+    case "partitions_history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("partition", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      // NULL once VACUUM reclaimed a version's unreferenced files
+      StructField("bytes", LongType, nullable = true)))
     case other =>
       throw new IllegalStateException(s"unknown metadata table kind '$other'")
   }

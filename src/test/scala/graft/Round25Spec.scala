@@ -161,6 +161,43 @@ class Round25Spec extends SparkSpec {
       == 99999L)
   }
 
+  test("t.partitions_history: drift across versions; swept bytes go NULL, pinned partitions fails named") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.pm_h")
+    spark.sql(s"CREATE TABLE $cat.lake.pm_h (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.lake.pm_h VALUES (1, 1.0)")          // v1
+    spark.sql(s"INSERT INTO $cat.lake.pm_h VALUES (2, 2.0)")          // v2
+    spark.sql(s"INSERT OVERWRITE $cat.lake.pm_h VALUES (3, 3.0)")     // v3
+    val full = spark.sql(
+      s"SELECT version, n_rows, bytes FROM $cat.lake.pm_h.partitions_history " +
+        "ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSeq
+    assert(full == Seq((1L, 1L, false), (2L, 2L, false), (3L, 1L, false)),
+      s"drift rollup: $full")
+    // the pin truncates the history (same law as t.history)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.lake.pm_h.partitions_history VERSION AS OF 2")
+      .head.getLong(0) == 2L)
+    // out-of-band sweep of v1/v2's files (what VACUUM does after the
+    // overwrite): history rows stay readable with NULL bytes; the
+    // PINNED single-version rollup fails the named retention error
+    val v1Files = GraftLakeTable.manifestRowsFull(spark, manBase("pm_h"), 1L)
+    val fs = new org.apache.hadoop.fs.Path(tableDir("pm_h"))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    v1Files.foreach(r => fs.delete(
+      new org.apache.hadoop.fs.Path(tableDir("pm_h"), r.file), false))
+    val after = spark.sql(
+      s"SELECT version, n_rows, bytes FROM $cat.lake.pm_h.partitions_history " +
+        "ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSeq
+    assert(after == Seq((1L, 1L, true), (2L, 2L, true), (3L, 1L, false)),
+      s"swept versions must report NULL bytes, manifest-true rows: $after")
+    val err = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.lake.pm_h.partitions VERSION AS OF 1").collect())
+    assert(err.getMessage.contains("fell out of VACUUM retention"),
+      s"a pinned rollup over swept files must fail named: ${err.getMessage}")
+  }
+
   test("optimize zorder: a 3-D box over numeric+date+string dims touches a bounded file count") {
     ensure()
     spark.sql(s"DROP TABLE IF EXISTS $cat.lake.zo3")
