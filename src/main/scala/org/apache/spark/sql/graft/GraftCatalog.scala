@@ -947,6 +947,13 @@ object GraftLakeTable {
     }
   }
 
+  /** Manifest read instrumentation: every per-version manifest read
+    * bumps this JVM-wide counter — what the memoization specs diff to
+    * assert a steady-state stream poll costs ZERO manifest reads and a
+    * new commit exactly one (the round-11 residue's assertion).
+    */
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong()
+
   /** A committed version's (file, n_rows) rows. Read with an EXPLICIT
     * schema: a zero-row INSERT commits an EMPTY manifest version, and
     * schemaless `read.json` of an empty dir has no columns (the
@@ -954,10 +961,12 @@ object GraftLakeTable {
     * the empty snapshot a first-class table state instead of an error.
     */
   def manifestRows(spark: SparkSession, manBase: String,
-                   version: Long): Seq[(String, Long)] =
+                   version: Long): Seq[(String, Long)] = {
+    manifestReads.incrementAndGet()
     spark.read.schema("file STRING, n_rows BIGINT")
       .json(s"$manBase/manifest_v$version")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
 
   /** A committed version's file list with the RETENTION contract both
     * streaming sources share (E38/E39): a version VACUUM swept fails
@@ -1006,7 +1015,8 @@ object GraftLakeTable {
                          stats: Map[String, Seq[String]], seq: Long = 0L)
 
   def manifestRowsFull(spark: SparkSession, manBase: String,
-                       version: Long): Seq[ManifestRow] =
+                       version: Long): Seq[ManifestRow] = {
+    manifestReads.incrementAndGet()
     spark.read
       .schema("file STRING, n_rows BIGINT, txn STRING, stats MAP<STRING, ARRAY<STRING>>, seq BIGINT")
       .json(s"$manBase/manifest_v$version")
@@ -1018,6 +1028,7 @@ object GraftLakeTable {
           Option(r.getString(2)).getOrElse(""), stats,
           if (r.isNullAt(4)) 0L else r.getLong(4))
       }.toSeq
+  }
 
   /** Columns that get per-file min/max stats in the manifest — the
     * orderable top-level types whose string-cast min/max can be

@@ -30,7 +30,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * costs one manifest listing and each batch plans only the added
   * files — never a table scan.
   */
-private[graft] class GraftMicroBatchStream(
+class GraftMicroBatchStream(
     dir: String,
     readSchema: StructType,
     ignoreChanges: Boolean,

@@ -161,6 +161,36 @@ class Round25Spec extends SparkSpec {
       == 99999L)
   }
 
+  test("stream source: per-version file sets are memoized — a steady-state poll reads " +
+      "zero manifests, a new commit exactly one") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.memo_t")
+    spark.sql(s"CREATE TABLE $cat.lake.memo_t (k BIGINT, v DOUBLE)")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO $cat.lake.memo_t VALUES ($i, $i.0)"))
+    val stream = new org.apache.spark.sql.graft.GraftMicroBatchStream(
+      tableDir("memo_t"), spark.table(s"$cat.lake.memo_t").schema,
+      ignoreChanges = false)
+    val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles(100)
+    val start = stream.initialOffset()
+    val reads = GraftLakeTable.manifestReads
+    val r0 = reads.get()
+    val o1 = stream.latestOffset(start, limit)
+    val firstPoll = reads.get() - r0
+    assert(firstPoll <= 3L,
+      s"the first admission poll reads each candidate version once, got $firstPoll")
+    // steady state: the same poll again must hit the cache only
+    val r1 = reads.get()
+    assert(stream.latestOffset(start, limit) == o1)
+    assert(reads.get() - r1 == 0L,
+      s"a no-new-commits poll must read ZERO manifests, got ${reads.get() - r1}")
+    // one new commit => exactly one new manifest read on the next poll
+    spark.sql(s"INSERT INTO $cat.lake.memo_t VALUES (4, 4.0)")
+    val r2 = reads.get()
+    stream.latestOffset(start, limit)
+    assert(reads.get() - r2 == 1L,
+      s"a poll after ONE new commit must read exactly one manifest, got ${reads.get() - r2}")
+  }
+
   test("t.partitions_history: drift across versions; swept bytes go NULL, pinned partitions fails named") {
     ensure()
     spark.sql(s"DROP TABLE IF EXISTS $cat.lake.pm_h")
