@@ -379,24 +379,25 @@ object Graph {
     * work use when label propagation's communities are too loose
     * (Cohen 2008, the standard truss definition).
     *
-    * Round 1 computes per-edge support with G2's machinery —
+    * Triangles are enumerated ONCE with G2's machinery —
     * degree-oriented adjacency arrays intersected in place (O(√E)
-    * fan-out bound, nothing wedge-shaped crosses a shuffle), each
-    * triangle crediting its three canonical edges. Rounds 2..k are
-    * INCREMENTAL (the round-11 refinement): peeling only removes
-    * edges, so a surviving edge's support changes only when a
-    * triangle it sat in is DESTROYED by a dropped edge — each round
-    * enumerates exactly the triangles through last round's dropped
-    * edges (wedge join from the dropped endpoints, deduped per
-    * triangle), decrements the surviving edges' supports, and drops
-    * what falls under k−2. Cost per later round = Σ_{e∈D} deg(e)
-    * instead of a full O(E^1.5) triangle pass; result BIT-IDENTICAL
-    * to the full recompute (support is monotone under peeling —
-    * spec-pinned against [[ktrussFullOf]] on hand graphs AND the real
-    * parts graph). `rounds` fixed rounds unrolled, checkpointed, with
-    * the empty-drop fixpoint early-exit (the G7 contract: fixed-round
-    * semantics replayed bit-for-bit by the DuckDB unrolled-CTE
-    * oracle, not a convergence loop).
+    * fan-out bound, nothing wedge-shaped crosses a shuffle), off the
+    * shared cached stream G2/G8 amortize. Round 1 takes per-edge
+    * support straight from that stream; rounds 2..k peel an
+    * ALIVE-TRIANGLE LIST (the round-11 design, shipped in 74e5a5a):
+    * a triangle is alive iff all three edges survive, and support
+    * over the current edge set is exactly the alive triangles per
+    * edge — so each round filters the shrinking alive list with
+    * broadcast semi-joins against the survivor set (a >2M-edge core
+    * degrades to hash semi-joins, no driver OOM path) and re-counts,
+    * never re-running a wedge join. The list materializes only AFTER
+    * the first drop, as the dense core's triangles, not the corpus's.
+    * Result BIT-IDENTICAL to the kept full recompute (support is
+    * monotone under peeling — spec-pinned against [[ktrussFullOf]] on
+    * hand graphs AND the real parts graph). `rounds` fixed rounds
+    * unrolled, checkpointed, with the no-drop fixpoint early-exit
+    * (the G7 contract: fixed-round semantics replayed bit-for-bit by
+    * the DuckDB unrolled-CTE oracle, not a convergence loop).
     */
   def ktruss(spark: SparkSession, dir: String,
              k: Int = 4, rounds: Int = 4): DataFrame = {
