@@ -308,6 +308,10 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
         val warm = Seq.fill(warmRuns)(run())
+        // load sentinel (VERDICT r11 #3): fixed-cost probe + loadavg
+        // recorded beside every entry so the artifact self-reports
+        // its noise level (see [[BenchSentinel]])
+        BenchSentinel.record(spark, name)
         val sorted = warm.sorted
         Timing(sorted(sorted.length / 2), sorted.head,
           sorted.last - sorted.head, cold +: warm)
@@ -397,7 +401,7 @@ object Bench {
     // 2000-char stdout tail — so it goes to a FILE in cwd, where the
     // end-of-round snapshot commit picks it up (VERDICT r9 "Next
     // round" #7)
-    val fullLine = f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${jsonField(results, _.median)},"queries_min":${jsonField(results, _.min)},"queries_spread":${jsonField(results, _.spread)},"extended":${jsonField(ext, _.median)},"extended_min":${jsonField(ext, _.min)},"extended_spread":${jsonField(ext, _.spread)},"extended_total":${ext.map(_._2.median).sum}%.3f$scaleJsonStr$streamingJson$itersJson,"sf":"$sfDir"$summaryJson}"""
+    val fullLine = f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${jsonField(results, _.median)},"queries_min":${jsonField(results, _.min)},"queries_spread":${jsonField(results, _.spread)},"extended":${jsonField(ext, _.median)},"extended_min":${jsonField(ext, _.min)},"extended_spread":${jsonField(ext, _.spread)},"extended_total":${ext.map(_._2.median).sum}%.3f$scaleJsonStr$streamingJson$itersJson,"sf":"$sfDir"$summaryJson${BenchSentinel.json}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL_latest.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Exception => () } // read-only cwd: stdout lines below still carry the summary
@@ -406,8 +410,8 @@ object Bench {
     // line is one small contract-shaped JSON object the parser can
     // read: metric/value/unit/queries(headline medians)/sf plus the
     // compact summary fields
-    realOut.println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${jsonField(results, _.median)},"extended_total":${ext.map(_._2.median).sum}%.3f$streamingTotalJson,"worst":$worstJson,"scale_ratio_worst":$ratioWorstJson,"sf":"$sfDir","full":"BENCH_FULL_latest.json"}""")
-    realOut.println(f"""BENCH-SUMMARY {"metric":"headline_total","value":$total%.3f,"unit":"sec","extended_total":${ext.map(_._2.median).sum}%.3f,"worst":$worstJson,"scale_ratio_worst":$ratioWorstJson$streamingTotalJson,"sf":"$sfDir"}""")
+    realOut.println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${jsonField(results, _.median)},"extended_total":${ext.map(_._2.median).sum}%.3f$streamingTotalJson,"worst":$worstJson,"scale_ratio_worst":$ratioWorstJson${BenchSentinel.compactJson},"sf":"$sfDir","full":"BENCH_FULL_latest.json"}""")
+    realOut.println(f"""BENCH-SUMMARY {"metric":"headline_total","value":$total%.3f,"unit":"sec","extended_total":${ext.map(_._2.median).sum}%.3f,"worst":$worstJson,"scale_ratio_worst":$ratioWorstJson$streamingTotalJson${BenchSentinel.compactJson},"sf":"$sfDir"}""")
     realOut.flush()
     spark.stop()
   }

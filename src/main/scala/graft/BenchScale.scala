@@ -59,10 +59,14 @@ object BenchScale {
 
     val scaledDir = Bench.ensureScaled(spark, sfDir, factor)
     // interleave decades per query (1× immediately before its N×) so
-    // any residual drift biases the RATIO as little as possible
+    // any residual drift biases the RATIO as little as possible; the
+    // load sentinel samples after each decade so a loaded segment is
+    // attributable to the specific ratio it distorted
     val rows = Bench.scaleStep.map { n =>
       val base = benchOne(n, sfDir)
+      BenchSentinel.record(spark, s"$n@1x")
       val big = benchOne(n, scaledDir)
+      BenchSentinel.record(spark, s"$n@${factor}x")
       (n, base, big)
     }
     def json(vals: Seq[(String, Double)]): String =
@@ -72,7 +76,7 @@ object BenchScale {
     }
     val itersJson = if (iters.isEmpty) "" else iters.mkString(",\"iters\":{", ",", "}")
     val line =
-      f"""{"factor":$factor,"isolated":true,"base":${json(rows.map(r => r._1 -> r._2.median))},"queries":${json(rows.map(r => r._1 -> r._3.median))},"ratio":${json(rows.map(r => r._1 -> r._3.median / math.max(r._2.median, 1e-9)))},"total":${rows.map(_._3.median).sum}%.3f$itersJson}"""
+      f"""{"factor":$factor,"isolated":true,"base":${json(rows.map(r => r._1 -> r._2.median))},"queries":${json(rows.map(r => r._1 -> r._3.median))},"ratio":${json(rows.map(r => r._1 -> r._3.median / math.max(r._2.median, 1e-9)))},"total":${rows.map(_._3.median).sum}%.3f$itersJson${BenchSentinel.json}}"""
     realOut.println(line)
     realOut.flush()
     spark.stop()

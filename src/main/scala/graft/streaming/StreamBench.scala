@@ -187,6 +187,10 @@ object StreamBench {
       def bench(name: String): Entry = {
         timeOnce(name) // cold: codegen + listing
         val runs = Seq.fill(warmRuns)(timeOnce(name)).sorted
+        // load sentinel beside each streaming entry too — r11's 7-20%
+        // streaming dip was adjudicated as box load only by analogy;
+        // the probe channel carries the evidence directly
+        graft.BenchSentinel.record(spark, s"stream:$name")
         Entry(name, runs(runs.length / 2), runs.head, events)
       }
 
