@@ -199,6 +199,35 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT '3_history_pin', cast(2 AS bigint), 1.0
         |ORDER BY step""".stripMargin,
+    // K49: manifest-stats replay — the dim join's aggregates from raw
+    // parquet; the protocol row pins the reported numRows ACTUAL (25 —
+    // nation is fixed-size at every SF) and the static-broadcast flag
+    // (expected 1.0: a stats regression un-broadcasts the static plan
+    // and hash-mismatches here)
+    "sink_catalog_stats" ->
+      """SELECT n_name AS tag, cast(count(*) AS bigint) AS n,
+        |  round(sum(c_acctbal), 2) AS total
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name
+        |UNION ALL
+        |SELECT '__stats_protocol', cast(25 AS bigint), 1.0
+        |ORDER BY tag""".stripMargin,
+    // K50: bucket-evolution replay — the same full-table aggregate
+    // before (mixed specs, flat scan) and after (converged, key-grouped
+    // scan) the OPTIMIZE rewrite; the protocol row pins the new spec id
+    // (1 — one evolution from the creation spec) and the plan/manifest
+    // actuals flag (expected 1.0: a wrong scan class or a stale spec
+    // tag hash-mismatches here)
+    "sink_catalog_bucket_evolve" ->
+      """WITH src AS (SELECT o_orderkey, o_totalprice FROM orders)
+        |SELECT '1_mixed' AS step, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total FROM src
+        |UNION ALL
+        |SELECT '2_converged', cast(count(*) AS bigint),
+        |  round(sum(o_totalprice), 2) FROM src
+        |UNION ALL
+        |SELECT '3_protocol', cast(1 AS bigint), 1.0
+        |ORDER BY step""".stripMargin,
     // K48: partitions-history replay — per-version row mass through
     // the sweep (v1 = even keys, v2 = all, v3 = post-DELETE); the
     // shape/pin/monotonicity laws ride the ok flags (expected 1.0)

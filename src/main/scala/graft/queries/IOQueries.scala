@@ -825,6 +825,166 @@ object IOQueries {
          |ORDER BY step""".stripMargin)
   }
 
+  /** K49: MANIFEST-FED SCAN STATISTICS
+    * ([[org.apache.spark.sql.graft.GraftManifestStats]]) — every graft
+    * scan now reports `SupportsReportStatistics` off the manifest:
+    * exact `numRows` from the per-file row counts K11 has always
+    * carried, `sizeInBytes` from the per-file on-disk lengths the
+    * commit's one recursive write-dir listing measures (new manifest
+    * field `bytes`; carried files keep theirs by reference, pre-K49
+    * manifests degrade to a rows × schema-width estimate). Why it
+    * matters at 100 TB: a V2 relation with NO statistics planes at the
+    * conf default ("huge"), so before this round a catalog dim table
+    * never auto-broadcast and every lake join paid two shuffles — the
+    * single most expensive planner default in the repo. With the
+    * stats, Spark's static planner picks BroadcastHashJoin for a small
+    * dim table on its own, with no hint and no AQE rescue — the
+    * Delta/Iceberg snapshot-statistics shape at metadata cost (zero
+    * extra IO per query: the stats ride the manifest rows the scan
+    * already resolved). Stats are computed on the POST-PUSHDOWN file
+    * list, so a stat-pruned scan reports its pruned size (the
+    * `FileScan` contract).
+    *
+    * Flow: nation (25 rows, fixed at every SF) and customer land as
+    * catalog tables; the dim join runs WITHOUT a broadcast hint. The
+    * protocol row carries ACTUALS read from the plans, not prose: the
+    * dim scan's reported numRows (must be exactly 25) and a flag that
+    * is 1.0 only if the STATIC physical plan (before AQE could rescue
+    * it from runtime sizes) chose BroadcastHashJoin AND the reported
+    * sizeInBytes is positive and under the broadcast threshold.
+    * Exact bytes-vs-listing equality and the MoR/bucketed paths'
+    * stats are spec-pinned where the oracle can't reach.
+    */
+  def sinkCatalogStats(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "nation")
+      .select("n_nationkey", "n_name")
+      .createOrReplaceTempView("nation_stats_src")
+    Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .createOrReplaceTempView("cust_stats_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.stats_dim")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.stats_cust")
+    spark.sql("CREATE TABLE graft.lake.stats_dim (n_nationkey INT, n_name STRING)")
+    spark.sql("INSERT INTO graft.lake.stats_dim SELECT * FROM nation_stats_src")
+    spark.sql(
+      """CREATE TABLE graft.lake.stats_cust (
+        |  c_custkey BIGINT, c_nationkey INT, c_acctbal DOUBLE)""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.stats_cust SELECT * FROM cust_stats_src")
+    val joined = spark.sql(
+      """SELECT n_name AS tag, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS total
+        |FROM graft.lake.stats_cust c JOIN graft.lake.stats_dim n
+        |  ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name""".stripMargin)
+    // the ACTUALS: reported stats off the dim scan's own relation, and
+    // the join strategy off the STATIC plan (sparkPlan — AQE's runtime
+    // rescue would mask a stats regression)
+    val dimStats = spark.table("graft.lake.stats_dim")
+      .queryExecution.optimizedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          s.scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+            .estimateStatistics()
+      }.getOrElse(throw new IllegalStateException("no V2 scan relation for stats_dim"))
+    val reportedRows = if (dimStats.numRows.isPresent) dimStats.numRows.getAsLong else -1L
+    val bytesOk = dimStats.sizeInBytes.isPresent &&
+      dimStats.sizeInBytes.getAsLong > 0L &&
+      dimStats.sizeInBytes.getAsLong <
+        spark.sessionState.conf.autoBroadcastJoinThreshold
+    val staticBroadcast =
+      joined.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin")
+    val ok = if (bytesOk && staticBroadcast) 1.0 else 0.0
+    joined.unionAll(spark.sql(
+      s"SELECT '__stats_protocol', ${reportedRows}L, $ok"))
+      .orderBy("tag")
+  }
+
+  /** K50: PARTITION-TRANSFORM EVOLUTION on the catalog —
+    * `CALL graft.system.set_bucketing(t, col, n)`
+    * ([[org.apache.spark.sql.graft.GraftProcedures]]): a METADATA-ONLY
+    * meta swap appends a new bucket spec to the table's spec history;
+    * old files keep the routing of the spec they were written under,
+    * identified by the per-file `spec` id their manifest rows carry (a
+    * per-ROW tag, not a version cutoff — an INSERT racing the
+    * evolution stays labeled with the spec it actually routed by, so
+    * SPJ can never silently group a wrong-spec file). While specs are
+    * mixed the scan DEGRADES from key-grouped to the flat stat-pruned
+    * read — correct at all times, co-location suspended (Iceberg's
+    * exact contract after spec evolution); `CALL system.optimize`
+    * counts old-spec files as rewrite candidates regardless of size,
+    * so one OPTIMIZE converges the layout and the key-grouped scan
+    * comes back under the NEW spec. At 100 TB: re-bucketing is one
+    * metadata write now + an incremental rewrite whenever, instead of
+    * a synchronous full-table rewrite blocking every writer.
+    *
+    * Flow: bucket(2) create → INSERT evens → evolve to bucket(4) →
+    * INSERT odds → mixed read (correct, FLAT scan — the actual read
+    * from the executed plan) → OPTIMIZE full rewrite → converged read
+    * (correct, bucket(4) key-grouped scan again, every manifest row on
+    * the new spec). The protocol row pins the new spec id returned by
+    * the CALL and the conjunction of the plan/manifest actuals;
+    * refusal matrix and SPJ-restoration are spec-pinned.
+    */
+  def sinkCatalogBucketEvolve(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_bevo_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_bevo")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_bevo (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        |PARTITIONED BY (bucket(2, o_orderkey))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_bevo
+        |SELECT * FROM orders_bevo_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    val newSpecId = spark.sql(
+      "CALL graft.system.set_bucketing('lake.orders_bevo', 'o_orderkey', 4)")
+      .head.getLong(0)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_bevo
+        |SELECT * FROM orders_bevo_src WHERE o_orderkey % 2 <> 0""".stripMargin)
+
+    def scanKinds(df: DataFrame): Seq[String] = {
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case other => other.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.getClass.getSimpleName
+        }
+      }
+      scans(df.queryExecution.executedPlan)
+    }
+    def specsNow(): Set[Long] = {
+      val manBase = catalogRoot + "/lake/orders_bevo/manifest"
+      org.apache.spark.sql.graft.GraftLakeTable.manifestRowsFull(spark, manBase,
+        graft.sinks.ManifestStore.versions(spark, manBase).last)
+        .map(_.spec).toSet
+    }
+    val agg = "SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+      "FROM graft.lake.orders_bevo"
+    val mixed = spark.sql(agg).head
+    val mixedFlat = scanKinds(spark.table("graft.lake.orders_bevo"))
+      .forall(k => !k.contains("GraftBucketedScan"))
+    val mixedSpecs = specsNow() == Set(0L, newSpecId)
+    spark.sql("CALL graft.system.optimize('lake.orders_bevo', 1000000000)")
+    val conv = spark.sql(agg).head
+    val convGrouped = scanKinds(spark.table("graft.lake.orders_bevo"))
+      .exists(_.contains("GraftBucketedScan"))
+    val convSpecs = specsNow() == Set(newSpecId)
+    val ok =
+      if (mixedFlat && mixedSpecs && convGrouped && convSpecs) 1.0 else 0.0
+    spark.sql(
+      s"""SELECT '1_mixed' AS step, ${mixed.getLong(0)}L AS n,
+         |  ${mixed.getDouble(1)} AS total
+         |UNION ALL
+         |SELECT '2_converged', ${conv.getLong(0)}L, ${conv.getDouble(1)}
+         |UNION ALL
+         |SELECT '3_protocol', ${newSpecId}L, $ok
+         |ORDER BY step""".stripMargin)
+  }
+
   /** K41: atomic `CREATE TABLE AS SELECT` / `REPLACE TABLE AS SELECT`
     * through the staging catalog ([[org.apache.spark.sql.graft
     * .GraftStagedTable]]): the table builds INVISIBLY (meta + data +

@@ -102,7 +102,8 @@ private[graft] class GraftBucketFunction extends ScalarFunction[Integer] {
 private[graft] class GraftBucketedScanBuilder(
     spark: SparkSession,
     tableName: String,
-    paths: Seq[String],
+    dir: String,
+    rows: Seq[GraftLakeTable.ManifestRow],
     tableSchema: StructType,
     bucketCol: String,
     nBuckets: Int,
@@ -110,7 +111,8 @@ private[graft] class GraftBucketedScanBuilder(
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownCatalystFilters {
 
-  private val inner = ParquetTable(tableName, spark, options, paths,
+  private val inner = ParquetTable(tableName, spark, options,
+    rows.map(r => s"$dir/${r.file}"),
     Some(tableSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -124,12 +126,21 @@ private[graft] class GraftBucketedScanBuilder(
     inner.pushedFilters
 
   override def build(): Scan =
-    new GraftBucketedScan(inner.build(), bucketCol, nBuckets)
+    new GraftBucketedScan(inner.build(), bucketCol, nBuckets, rows)
 }
 
 private[graft] class GraftBucketedScan(inner: Scan, bucketCol: String,
-                                       nBuckets: Int)
-  extends Scan with SupportsReportPartitioning with Batch {
+                                       nBuckets: Int,
+                                       statsRows: Seq[GraftLakeTable.ManifestRow] = Nil)
+  extends Scan with SupportsReportPartitioning with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** K49: exact manifest-fed stats (the bucketed path keeps the full
+    * snapshot list — no file-level pruning happens before build).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    GraftManifestStats.of(statsRows, readSchema())
 
   override def readSchema(): StructType = inner.readSchema()
   override def description(): String =
@@ -218,6 +229,12 @@ private[graft] class GraftPrunedScanBuilder(
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     probe.pushedFilters
 
+  /** The post-pushdown file list the LAST `build()` kept — what the
+    * wrapping scan's K49 statistics report, so a stat-pruned scan's
+    * numRows/sizeInBytes reflect the files it will actually read.
+    */
+  private[graft] var builtSurvivors: Seq[GraftLakeTable.ManifestRow] = rows
+
   override def build(): Scan = {
     val v1 = pushedExprs.flatMap(e =>
       org.apache.spark.sql.execution.datasources.DataSourceStrategy
@@ -226,6 +243,7 @@ private[graft] class GraftPrunedScanBuilder(
       if (v1.isEmpty) rows
       else rows.filter(r =>
         v1.forall(f => GraftGroupScan.mayMatch(tableSchema, r.stats, f)))
+    builtSurvivors = survivors
     if (survivors.length == rows.length) probe.build()
     else {
       val inner = ParquetTable(tableName, spark, options,

@@ -199,10 +199,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => schema.json
     }
 
-  private def parseMeta(meta: Path, txt: String)
-      : (StructType, Option[(String, Int)], Option[String], Boolean) =
-    GraftTableMeta.parse(meta.toString, txt)
-
   // ---- namespaces -------------------------------------------------------
 
   override def namespaceExists(namespace: Array[String]): Boolean =
@@ -370,9 +366,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val (schema, bucketSpec, morKey, morPos) = parseMeta(meta, txt)
+    val m = GraftTableMeta.parseFull(meta.toString, txt)
     new GraftLakeTable(s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
-      dir.toString, schema, version, bucketSpec, morKey, morPos)
+      dir.toString, m.schema, version, m.bucket, m.morKey, m.morPos,
+      bucketSpecId = m.currentSpecId)
   }
 
   /** The ONE supported partition transform (bucket(n, bigintCol) —
@@ -560,11 +557,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // temp-write + OVERWRITE-rename (FileContext — FileSystem.rename
     // refuses file-onto-file): atomic on POSIX, a conditional PUT on
     // object stores, so readers see the old or the new schema, never
-    // a truncated meta file; the bucket spec rides along unchanged
+    // a truncated meta file; the bucket spec rides along unchanged —
+    // including the K50 spec HISTORY (an ADD COLUMN on an evolved
+    // table must not refold the meta into the single-spec legacy form,
+    // which would relabel every old file as current-spec)
+    val metaIn = fs.open(metaFile(dir))
+    val metaTxt =
+      try scala.io.Source.fromInputStream(metaIn, "UTF-8").mkString
+      finally metaIn.close()
+    val fullMeta = GraftTableMeta.parseFull(metaFile(dir).toString, metaTxt)
+    val newMetaTxt =
+      if (fullMeta.bucketSpecs.length > 1 || fullMeta.currentSpecId != 0L)
+        GraftTableMeta.evoText(evolved, fullMeta.bucketSpecs, fullMeta.currentSpecId)
+      else metaText(evolved, currentTable.bucket, currentTable.morKeyCol,
+        currentTable.morPositional)
     val tmp = new Path(dir, s".meta_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
-    try out.write(metaText(evolved, currentTable.bucket, currentTable.morKeyCol,
-      currentTable.morPositional).getBytes("UTF-8"))
+    try out.write(newMetaTxt.getBytes("UTF-8"))
     finally out.close()
     org.apache.hadoop.fs.FileContext
       .getFileContext(metaFile(dir).toUri, spark.sessionState.newHadoopConf())
@@ -572,7 +581,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftLakeTable(
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
       dir.toString, evolved, None, currentTable.bucket, currentTable.morKeyCol,
-      currentTable.morPositional)
+      currentTable.morPositional, bucketSpecId = fullMeta.currentSpecId)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -618,7 +627,8 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
                                     pinnedVersion: Option[Long],
                                     bucketSpec: Option[(String, Int)] = None,
                                     morKey: Option[String] = None,
-                                    morPos: Boolean = false)
+                                    morPos: Boolean = false,
+                                    bucketSpecId: Long = 0L)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -626,6 +636,7 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
   private[graft] def bucket: Option[(String, Int)] = bucketSpec
   private[graft] def morKeyCol: Option[String] = morKey
   private[graft] def morPositional: Boolean = morPos
+  private[graft] def specId: Long = bucketSpecId
 
   /** K42: positional-MoR tables expose the `_file`/`_pos` metadata
     * columns — the DML row id, and user-queryable like Iceberg's
@@ -664,7 +675,8 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
       case None if morPos =>
         () => new GraftPosDeltaOperation(info.command(), dir, tableSchema)
       case None =>
-        () => new GraftRowLevelOperation(info.command(), dir, tableSchema, bucketSpec)
+        () => new GraftRowLevelOperation(info.command(), dir, tableSchema,
+          bucketSpec, bucketSpecId)
     }
 
   private def spark: SparkSession = SparkSession.active
@@ -719,14 +731,22 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
     }
   }
 
-  private def currentFiles(): Seq[String] =
-    currentManifestRows().map(r => s"$dir/${r.file}")
-
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     bucketSpec match {
       case Some((col, n)) =>
-        new GraftBucketedScanBuilder(spark, tableName, currentFiles(),
-          tableSchema, col, n, options)
+        val rows = currentManifestRows()
+        // K50: key-grouped partitioning is claimable ONLY when every
+        // live file was written under the CURRENT bucket spec — after
+        // a partition-transform evolution, old-spec files keep their
+        // old routing, so the mixed snapshot reads through the flat
+        // stat-pruned scan (correct, no SPJ) until a rewrite
+        // (OPTIMIZE) converges the layout. Iceberg's exact contract.
+        if (rows.forall(_.spec == bucketSpecId))
+          new GraftBucketedScanBuilder(spark, tableName, dir,
+            rows, tableSchema, col, n, options)
+        else
+          new GraftPrunedScanBuilder(spark, tableName, dir, rows,
+            tableSchema, options)
       case None if morKey.isDefined =>
         // K39: merge-on-read read path — equality-delete files mask
         // their keys out of OLDER data files at read time (see
@@ -799,7 +819,7 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
     // the statement happened, the history says so
     GraftLakeTable.commitReplace(session, dir, dataDir,
       touched.map(_.file).toSet, tableSchema, bucketSpec.isDefined,
-      s"DELETE on $tableName")
+      s"DELETE on $tableName", specId = bucketSpecId)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -819,7 +839,8 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
           private var overwrite = false
           override def truncate(): WriteBuilder = { overwrite = true; this }
           override def build(): Write =
-            new GraftBucketedInsertWrite(dir, info, col, n, overwrite)
+            new GraftBucketedInsertWrite(dir, info, col, n, overwrite,
+              bucketSpecId)
         }
       case None =>
         new WriteBuilder with SupportsTruncate {
@@ -830,7 +851,8 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
               new InsertableRelation {
                 override def insert(data: DataFrame, overwriteFlag: Boolean): Unit =
                   GraftLakeTable.insert(data.sparkSession, dir, data,
-                    overwrite || overwriteFlag, bucketSpec = bucketSpec)
+                    overwrite || overwriteFlag, bucketSpec = bucketSpec,
+                    specId = bucketSpecId)
               }
           }
         }
@@ -847,7 +869,8 @@ private[graft] class GraftBucketedInsertWrite(
     info: LogicalWriteInfo,
     bucketCol: String,
     nBuckets: Int,
-    overwrite: Boolean)
+    overwrite: Boolean,
+    specId: Long = 0L)
   extends Write
   with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -871,7 +894,7 @@ private[graft] class GraftBucketedInsertWrite(
       spark, dataDir, info.schema(), bucketCol, nBuckets) { files =>
       GraftLakeTable.commitAppend(spark, dir, dataDir, info.schema(),
         overwrite, spark.conf.getOption(GraftLakeTable.TxnConfKey).getOrElse(""),
-        bucketed = true, onlyFiles = Some(files))
+        bucketed = true, onlyFiles = Some(files), specId = specId)
     }
 
   override def description(): String = s"GraftBucketedInsertWrite($dataDir)"
@@ -890,14 +913,48 @@ private[graft] object GraftTableMeta {
     """(?s)\{"graftMor":\{"key":"([^"]+)"\},"schema":(.*)\}""".r
   private val WrappedMorPos =
     """(?s)\{"graftMorPos":true,"schema":(.*)\}""".r
+  // K50: the evolved-bucketing wrapper — the FULL spec history plus
+  // the current id, so old files' routing stays interpretable forever.
+  // Spec encoding: [id,"col",n] (bucketed) or [id,null,0] (flat).
+  private val WrappedBucketEvo =
+    """(?s)\{"graftBucketEvo":\{"current":(\d+),"specs":\[(.*?)\]\},"schema":(.*)\}""".r
+  private val SpecItem = """\[(\d+),(?:"([^"]+)"|null),(\d+)\]""".r
 
-  def parse(metaPath: String, txt: String)
-      : (StructType, Option[(String, Int)], Option[String], Boolean) = {
-    val (schemaJson, spec, morKey, morPos) = txt.trim match {
-      case WrappedBucket(col, n, rest) => (rest, Some((col, n.toInt)), None, false)
-      case WrappedMor(key, rest) => (rest, None, Some(key), false)
-      case WrappedMorPos(rest) => (rest, None, None, true)
-      case other => (other, None, None, false)
+  /** The full table metadata: mode flags plus (K50) the bucket-spec
+    * history. Legacy wrappers parse as a single spec with id 0.
+    */
+  case class TableMeta(schema: StructType, bucket: Option[(String, Int)],
+                       morKey: Option[String], morPos: Boolean,
+                       bucketSpecs: Seq[(Long, Option[(String, Int)])],
+                       currentSpecId: Long)
+
+  def parseFull(metaPath: String, txt: String): TableMeta = {
+    val (schemaJson, spec, morKey, morPos, specs, currentId) = txt.trim match {
+      case WrappedBucketEvo(cur, items, rest) =>
+        val parsed = SpecItem.findAllMatchIn(items).map { m =>
+          val id = m.group(1).toLong
+          val specOpt =
+            if (m.group(2) == null) None
+            else Some((m.group(2), m.group(3).toInt))
+          (id, specOpt)
+        }.toSeq
+        require(parsed.nonEmpty, s"table metadata at $metaPath: empty spec list")
+        val curId = cur.toLong
+        val current = parsed.find(_._1 == curId).getOrElse(
+          throw new IllegalStateException(
+            s"table metadata at $metaPath: current spec $curId not in " +
+              s"the spec list ${parsed.map(_._1).mkString(", ")}")
+        )._2
+        (rest, current, None, false, parsed, curId)
+      case WrappedBucket(col, n, rest) =>
+        val s = Some((col, n.toInt))
+        (rest, s, None, false, Seq((0L, s)), 0L)
+      case WrappedMor(key, rest) =>
+        (rest, None, Some(key), false, Seq((0L, None)), 0L)
+      case WrappedMorPos(rest) =>
+        (rest, None, None, true, Seq((0L, None)), 0L)
+      case other =>
+        (other, None, None, false, Seq((0L, None)), 0L)
     }
     // a truncated meta file (disk-full/kill during CREATE) must fail
     // with a NAMED remedy, not a raw JSON parse error wedging the
@@ -909,7 +966,24 @@ private[graft] object GraftTableMeta {
           s"table metadata at $metaPath is unreadable (interrupted CREATE " +
             s"TABLE?) — drop the table directory to recover", e)
       }
-    (schema, spec, morKey, morPos)
+    TableMeta(schema, spec, morKey, morPos, specs, currentId)
+  }
+
+  def parse(metaPath: String, txt: String)
+      : (StructType, Option[(String, Int)], Option[String], Boolean) = {
+    val m = parseFull(metaPath, txt)
+    (m.schema, m.bucket, m.morKey, m.morPos)
+  }
+
+  /** The evolved wrapper's text form (see [[WrappedBucketEvo]]). */
+  def evoText(schema: StructType,
+              specs: Seq[(Long, Option[(String, Int)])],
+              currentId: Long): String = {
+    val items = specs.map {
+      case (id, Some((col, n))) => s"""[$id,"$col",$n]"""
+      case (id, None) => s"""[$id,null,0]"""
+    }.mkString(",")
+    s"""{"graftBucketEvo":{"current":$currentId,"specs":[$items]},"schema":${schema.json}}"""
   }
 }
 
@@ -1011,14 +1085,31 @@ object GraftLakeTable {
     * row. Pre-seq manifests read back 0 (all deletes apply —
     * conservative, and moot for tables that never had delete files).
     */
+  /** `bytes` = the data file's on-disk length, measured by ONE
+    * recursive listing of the commit's write dir (K49) — what feeds
+    * [[GraftManifestStats]]' `sizeInBytes` so the planner can
+    * auto-broadcast small lake tables. Pre-K49 manifests read back -1
+    * ("unknown"); the estimator then falls back to rows × schema width,
+    * never to the unbroadcastable conf default.
+    */
+  /** `spec` = the bucket-spec id current when the file was WRITTEN
+    * (K50 partition-transform evolution): a file keeps its layout for
+    * life, so the scan can only claim key-grouped partitioning when
+    * EVERY live file's spec equals the table's current one — the
+    * per-row tag (not a version cutoff) is what keeps a racing INSERT
+    * that loaded the pre-evolution table honest: its files say spec N,
+    * the read degrades to the flat scan, results stay correct.
+    * Pre-evolution manifests read back 0 — the creation spec's id.
+    */
   case class ManifestRow(file: String, nRows: Long, txn: String,
-                         stats: Map[String, Seq[String]], seq: Long = 0L)
+                         stats: Map[String, Seq[String]], seq: Long = 0L,
+                         bytes: Long = -1L, spec: Long = 0L)
 
   def manifestRowsFull(spark: SparkSession, manBase: String,
                        version: Long): Seq[ManifestRow] = {
     manifestReads.incrementAndGet()
     spark.read
-      .schema("file STRING, n_rows BIGINT, txn STRING, stats MAP<STRING, ARRAY<STRING>>, seq BIGINT")
+      .schema("file STRING, n_rows BIGINT, txn STRING, stats MAP<STRING, ARRAY<STRING>>, seq BIGINT, bytes BIGINT, spec BIGINT")
       .json(s"$manBase/manifest_v$version")
       .collect().map { r =>
         val stats = Option(r.getMap[String, scala.collection.Seq[String]](3))
@@ -1026,7 +1117,9 @@ object GraftLakeTable {
           .getOrElse(Map.empty[String, Seq[String]])
         ManifestRow(r.getString(0), r.getLong(1),
           Option(r.getString(2)).getOrElse(""), stats,
-          if (r.isNullAt(4)) 0L else r.getLong(4))
+          if (r.isNullAt(4)) 0L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) 0L else r.getLong(6))
       }.toSeq
   }
 
@@ -1065,7 +1158,7 @@ object GraftLakeTable {
   private[graft] def fileStats(spark: SparkSession, dataDir: String,
                                schema: StructType, bucketed: Boolean = false,
                                onlyFiles: Option[Seq[String]] = None)
-      : Seq[(String, Long, Map[String, Seq[String]])] = {
+      : Seq[(String, Long, Map[String, Seq[String]], Long)] = {
     import org.apache.spark.sql.functions.{max, min}
     val fs = new Path(dataDir).getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(dataDir)) || onlyFiles.exists(_.isEmpty)) return Seq.empty
@@ -1091,6 +1184,20 @@ object GraftLakeTable {
         spark.read.schema(readSchema).option("basePath", dataDir).parquet(files: _*)
       case None => spark.read.schema(readSchema).parquet(dataDir)
     }
+    // K49: on-disk lengths from ONE recursive listing of the write dir
+    // (driver-side, bounded by this commit's file count) — they ride
+    // the manifest as `bytes` so scan statistics never re-list files
+    val lens: Map[String, Long] = {
+      val it = fs.listFiles(new Path(dataDir), true)
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) {
+        val st = it.next()
+        val abs = st.getPath.toString
+        val idx = abs.lastIndexOf(marker)
+        if (idx >= 0) m(abs.substring(idx + 1)) = st.getLen
+      }
+      m.toMap
+    }
     src.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
@@ -1105,7 +1212,8 @@ object GraftLakeTable {
           if (mn == null || mx == null) None
           else Some(f.name -> Seq(mn, mx))
         }.toMap
-        (abs.substring(idx + 1), r.getLong(1), stats)
+        val rel = abs.substring(idx + 1)
+        (rel, r.getLong(1), stats, lens.getOrElse(rel, -1L))
       }.toSeq
   }
 
@@ -1135,12 +1243,13 @@ object GraftLakeTable {
     */
   def insert(spark: SparkSession, dir: String, data: DataFrame,
              overwrite: Boolean, maxRetries: Int = 50,
-             txn: String = "", bucketSpec: Option[(String, Int)] = None): Unit = {
+             txn: String = "", bucketSpec: Option[(String, Int)] = None,
+             specId: Long = 0L): Unit = {
     val writerId = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$dir/data_$writerId"
     writeData(dataDir, data, bucketSpec)
     commitAppend(spark, dir, dataDir, data.schema, overwrite, txn,
-      bucketed = bucketSpec.isDefined, maxRetries = maxRetries)
+      bucketed = bucketSpec.isDefined, maxRetries = maxRetries, specId = specId)
   }
 
   /** The append-commit half of [[insert]], shared with K46's V2
@@ -1157,7 +1266,8 @@ object GraftLakeTable {
                                   overwrite: Boolean, txn: String,
                                   bucketed: Boolean,
                                   onlyFiles: Option[Seq[String]] = None,
-                                  maxRetries: Int = 50): Unit = {
+                                  maxRetries: Int = 50,
+                                  specId: Long = 0L): Unit = {
     val manBase = s"$dir/manifest"
     val newRows = fileStats(spark, dataDir, schema, bucketed, onlyFiles)
     var attempt = 0
@@ -1168,8 +1278,9 @@ object GraftLakeTable {
         if (overwrite || basedOn == 0L) Seq.empty
         else manifestRowsFull(spark, manBase, basedOn)
       val manifest = publishRows(spark,
-        carried.map(c => (c.file, c.nRows, "", c.stats, c.seq)) ++
-          newRows.map { case (f, n, st) => (f, n, txn, st, basedOn + 1) })
+        carried.map(_.copy(txn = "")) ++
+          newRows.map { case (f, n, st, b) =>
+            ManifestRow(f, n, txn, st, basedOn + 1, b, specId) })
       if (ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1)) return
     }
     throw new java.io.IOException(
@@ -1217,7 +1328,8 @@ object GraftLakeTable {
                                    dataDir: String, replaced: Set[String],
                                    schema: StructType, bucketed: Boolean,
                                    opDesc: String, maxRetries: Int = 50,
-                                   onlyFiles: Option[Seq[String]] = None): Unit = {
+                                   onlyFiles: Option[Seq[String]] = None,
+                                   specId: Long = 0L): Unit = {
     val manBase = s"$dir/manifest"
     val txn = spark.conf.getOption(TxnConfKey).getOrElse("")
     val newRows = fileStats(spark, dataDir, schema, bucketed, onlyFiles)
@@ -1236,8 +1348,9 @@ object GraftLakeTable {
             s"${gone.take(3).mkString(", ")} — retry the statement")
       val carried = current.filterNot(r => replaced.contains(r.file))
       val manifest = publishRows(spark,
-        carried.map(c => (c.file, c.nRows, "", c.stats, c.seq)) ++
-          newRows.map { case (f, n, st) => (f, n, txn, st, basedOn + 1) })
+        carried.map(_.copy(txn = "")) ++
+          newRows.map { case (f, n, st, b) =>
+            ManifestRow(f, n, txn, st, basedOn + 1, b, specId) })
       if (ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1)) return
     }
     throw new java.io.IOException(
@@ -1246,8 +1359,9 @@ object GraftLakeTable {
 
   /** Manifest rows -> the DataFrame shape every commit publishes. */
   private[graft] def publishRows(spark: SparkSession,
-      rows: Seq[(String, Long, String, Map[String, Seq[String]], Long)]): DataFrame = {
+                                 rows: Seq[ManifestRow]): DataFrame = {
     import spark.implicits._
-    rows.toDF("file", "n_rows", "txn", "stats", "seq")
+    rows.map(r => (r.file, r.nRows, r.txn, r.stats, r.seq, r.bytes, r.spec))
+      .toDF("file", "n_rows", "txn", "stats", "seq", "bytes", "spec")
   }
 }

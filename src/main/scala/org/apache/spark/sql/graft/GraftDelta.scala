@@ -210,8 +210,10 @@ private[graft] class GraftMorScanBuilder(
 
   override def build(): Scan = {
     val augmented = withKey(requested)
-    new GraftMorScan(builders.map(_.build()), groups.map(_._2),
-      requested, augmented, augmented.fieldIndex(keyCol))
+    val scans = builders.map(_.build())
+    new GraftMorScan(scans, groups.map(_._2),
+      requested, augmented, augmented.fieldIndex(keyCol),
+      statsRows = builders.flatMap(_.builtSurvivors))
   }
 }
 
@@ -225,10 +227,21 @@ private[graft] class GraftMorScan(
     keysets: Seq[Array[Long]],
     out: StructType,
     augmented: StructType,
-    keyIdx: Int)
-  extends Scan {
+    keyIdx: Int,
+    statsRows: Seq[GraftLakeTable.ManifestRow] = Nil)
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = out
+
+  /** K49: manifest stats over the snapshot's DATA files. Equality
+    * deletes are not subtracted — a delete key may match nothing, and
+    * rows/bytes overestimates are the safe direction for broadcast
+    * planning.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    GraftManifestStats.of(statsRows, out)
 
   override def toBatch: Batch = new Batch {
     private val batches = scans.map(_.toBatch)
@@ -403,8 +416,9 @@ private[graft] class GraftDeltaWrite(
           "deletes do not commute with concurrent writes; retry the statement")
     val current = op.snapshotRows
     val manifest = GraftLakeTable.publishRows(spark,
-      current.map(c => (c.file, c.nRows, "", c.stats, c.seq)) ++
-        (newData ++ newDel).map { case (f, n, st) => (f, n, txn, st, basedOn + 1) })
+      current.map(_.copy(txn = "")) ++
+        (newData ++ newDel).map { case (f, n, st, b) =>
+          GraftLakeTable.ManifestRow(f, n, txn, st, basedOn + 1, b) })
     if (!ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1))
       throw new java.io.IOException(
         s"${op.description()}: lost the commit race at v${basedOn + 1} — " +

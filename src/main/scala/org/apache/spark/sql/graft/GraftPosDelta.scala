@@ -279,9 +279,19 @@ private[graft] class GraftPosScan(
     metaReq: Boolean,
     rowIdxName: String,
     pushedDesc: Seq[String] = Nil)
-  extends Scan {
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = out
+
+  /** K49: manifest stats with the position deletes subtracted EXACTLY
+    * (each recorded `(file, pos)` masks one real row — the one delete
+    * family whose row effect is knowable at metadata cost).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    GraftManifestStats.of(dataRows, out,
+      deletedRows = posByFile.valuesIterator.map(_.length.toLong).sum)
 
   /** Table-relative path of a split's absolute file path (URI-scheme
     * tolerant: matched by `/<relative>` suffix against the manifest),
@@ -670,8 +680,9 @@ private[graft] class GraftPosDeltaWrite(
           "positions do not commute with concurrent writes; retry the statement")
     val current = op.snapshotRows
     val manifest = GraftLakeTable.publishRows(spark,
-      current.map(c => (c.file, c.nRows, "", c.stats, c.seq)) ++
-        (newData ++ newDel).map { case (f, n, st) => (f, n, txn, st, basedOn + 1) })
+      current.map(_.copy(txn = "")) ++
+        (newData ++ newDel).map { case (f, n, st, b) =>
+          GraftLakeTable.ManifestRow(f, n, txn, st, basedOn + 1, b) })
     if (!ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1))
       throw new java.io.IOException(
         s"${op.description()}: lost the commit race at v${basedOn + 1} — " +

@@ -44,8 +44,9 @@ private[graft] object GraftProcedures {
       case "optimize" => new OptimizeProcedure(catalogName, root)
       case "vacuum" => new VacuumProcedure(catalogName, root)
       case "compact_deletes" => new CompactDeletesProcedure(catalogName, root)
+      case "set_bucketing" => new SetBucketingProcedure(catalogName, root)
       case _ =>
-        throw new RuntimeException(s"catalog procedure not found: ${ident.namespace().mkString(".")}.${ident.name()} (available: system.optimize, system.vacuum, system.compact_deletes)")
+        throw new RuntimeException(s"catalog procedure not found: ${ident.namespace().mkString(".")}.${ident.name()} (available: system.optimize, system.vacuum, system.compact_deletes, system.set_bucketing)")
     }
   }
 
@@ -53,11 +54,22 @@ private[graft] object GraftProcedures {
     Array(
       org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "optimize"),
       org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "vacuum"),
-      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "compact_deletes"))
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "compact_deletes"),
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "set_bucketing"))
 
   /** Resolve `'ns.table'` under the catalog root + load its meta. */
   private def resolve(catalogName: String, root: String, table: String)
       : (String, StructType, Option[(String, Int)]) = {
+    val (dir, m) = resolveFull(catalogName, root, table)
+    (dir, m.schema, m.bucket)
+  }
+
+  /** [[resolve]] with the FULL meta (mode flags + the K50 bucket-spec
+    * history) — what the evolution procedure and spec-aware commits
+    * read.
+    */
+  private def resolveFull(catalogName: String, root: String, table: String)
+      : (String, GraftTableMeta.TableMeta) = {
     val parts = table.split('.').toSeq
     require(parts.nonEmpty && parts.forall(_.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*")),
       s"procedure table argument '$table' is not a path-safe ns.table name")
@@ -67,8 +79,7 @@ private[graft] object GraftProcedures {
     require(fs.exists(meta), s"catalog '$catalogName' has no table '$table'")
     val in = fs.open(meta)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val (schema, spec, _, _) = GraftTableMeta.parse(meta.toString, txt)
-    (dir.toString, schema, spec)
+    (dir.toString, GraftTableMeta.parseFull(meta.toString, txt))
   }
 
   private def fileSystem(root: String): FileSystem =
@@ -142,7 +153,8 @@ private[graft] object GraftProcedures {
           s"compact_deletes on $table: concurrent commit moved the table " +
             s"to v$basedOn past the pinned v$pinned — retry the compaction")
       val manifest = GraftLakeTable.publishRows(session,
-        newRows.map { case (f, n, st) => (f, n, "", st, basedOn + 1) })
+        newRows.map { case (f, n, st, b) =>
+          GraftLakeTable.ManifestRow(f, n, "", st, basedOn + 1, b) })
       if (!ManifestStore.tryPublish(session, manBase, manifest, basedOn + 1))
         throw new java.io.IOException(
           s"compact_deletes on $table: lost the commit race at " +
@@ -183,7 +195,9 @@ private[graft] object GraftProcedures {
         if (input.isNullAt(2)) Seq.empty
         else input.getArray(2).toObjectArray(StringType)
           .map(_.asInstanceOf[UTF8String].toString).toSeq
-      val (dir, schema, bucketSpec) = resolve(catalogName, root, table)
+      val (dir, fullMeta) = resolveFull(catalogName, root, table)
+      val (schema, bucketSpec) = (fullMeta.schema, fullMeta.bucket)
+      val specId = fullMeta.currentSpecId
       val manBase = s"$dir/manifest"
       val session = spark
       val current = ManifestStore.versions(session, manBase).lastOption
@@ -199,10 +213,17 @@ private[graft] object GraftProcedures {
             "compact them first (CALL system.compact_deletes), then OPTIMIZE")
       if (zorder.nonEmpty)
         return zorderRewrite(session, table, dir, schema, bucketSpec,
-          current, target, zorder)
-      val (small, big) = current.partition(_.nRows < target)
+          current, target, zorder, specId)
+      // K50: OPTIMIZE is also the spec-convergence rewrite — files
+      // written under an OLD bucket spec count as rewrite candidates
+      // regardless of size, so one full-target OPTIMIZE re-routes the
+      // whole layout under the current spec and SPJ comes back
+      val (small, big) = current.partition(r =>
+        r.nRows < target || r.spec != specId)
       // 0 or 1 small file: nothing to pack — report without committing
-      if (small.length <= 1)
+      // (unless that one file is on an OLD spec: re-routing it IS work)
+      if (small.isEmpty ||
+          (small.length == 1 && small.head.spec == specId))
         return resultScan(outSchema, Seq(0L, current.length.toLong, 0L))
       val writerId = java.util.UUID.randomUUID().toString.take(12)
       val dataDir = s"$dir/data_$writerId"
@@ -212,7 +233,7 @@ private[graft] object GraftProcedures {
       GraftLakeTable.writeData(dataDir, packed, bucketSpec)
       GraftLakeTable.commitReplace(session, dir, dataDir,
         small.map(_.file).toSet, schema, bucketSpec.isDefined,
-        s"OPTIMIZE $table")
+        s"OPTIMIZE $table", specId = specId)
       val after = GraftLakeTable.manifestRowsFull(session, manBase,
         ManifestStore.versions(session, manBase).last)
       resultScan(outSchema,
@@ -253,7 +274,8 @@ private[graft] object GraftProcedures {
                               bucketSpec: Option[(String, Int)],
                               current: Seq[GraftLakeTable.ManifestRow],
                               target: Long,
-                              zorder: Seq[String]): java.util.Iterator[Scan] = {
+                              zorder: Seq[String],
+                              specId: Long = 0L): java.util.Iterator[Scan] = {
       import org.apache.spark.sql.functions._
       require(zorder.length >= 2 && zorder.length <= 4,
         s"zorder takes 2 to 4 column names (got ${zorder.mkString(", ")})")
@@ -310,7 +332,7 @@ private[graft] object GraftProcedures {
       GraftLakeTable.writeData(dataDir, clustered, None)
       GraftLakeTable.commitReplace(session, dir, dataDir,
         current.map(_.file).toSet, schema, bucketed = false,
-        s"OPTIMIZE ZORDER $table")
+        s"OPTIMIZE ZORDER $table", specId = specId)
       val manBase = s"$dir/manifest"
       val after = GraftLakeTable.manifestRowsFull(session, manBase,
         ManifestStore.versions(session, manBase).last)
@@ -322,6 +344,92 @@ private[graft] object GraftProcedures {
       StructField("rewritten_files", LongType),
       StructField("carried_files", LongType),
       StructField("new_files", LongType)))
+  }
+
+  /** K50: `CALL graft.system.set_bucketing(table, col, n)` —
+    * PARTITION-TRANSFORM EVOLUTION on the catalog, the Iceberg
+    * `ALTER TABLE ... WRITE ORDERED/PARTITIONED` shape on the CALL
+    * surface (no SQL-parser extension needed). A METADATA-ONLY meta
+    * swap appends a new bucket spec to the table's spec history and
+    * makes it current; `n = 0` (or col `'none'`) evolves to flat.
+    *
+    * Old files are NEVER rewritten: each file keeps the routing of the
+    * spec it was written under, identified by the per-file `spec` id
+    * its manifest row carries — a per-ROW tag, not a version cutoff,
+    * so an INSERT racing the evolution stays correctly labeled with
+    * the spec it actually routed by. While specs are mixed the scan
+    * degrades from key-grouped (SPJ) to the flat stat-pruned read —
+    * correct at all times, co-location suspended; `CALL
+    * system.optimize` counts old-spec files as rewrite candidates
+    * regardless of size, so one OPTIMIZE converges the layout and SPJ
+    * comes back under the new spec. At 100 TB: re-bucketing a table is
+    * one metadata write now + an incremental rewrite whenever (or
+    * never), instead of a synchronous full-table rewrite.
+    *
+    * Refusals: merge-on-read tables (either mode — their row-id
+    * layout is the delete files' addressing scheme), non-BIGINT or
+    * unknown columns, n < 1 with a named column, and a no-op spec
+    * (asking for the current spec is almost certainly a mistake).
+    */
+  private class SetBucketingProcedure(catalogName: String, root: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "set_bucketing"
+    override def description(): String =
+      "evolve the table's bucket spec (metadata-only; old files keep " +
+        "their routing; n=0 or col 'none' evolves to flat)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("col", StringType).build(),
+      ProcedureParameter.in("n", IntegerType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val colArg =
+        if (input.isNullAt(1)) "none" else input.getUTF8String(1).toString
+      val n = if (input.isNullAt(2)) 0 else input.getInt(2)
+      val (dir, m) = resolveFull(catalogName, root, table)
+      require(m.morKey.isEmpty && !m.morPos,
+        s"set_bucketing on $table: merge-on-read tables keep their " +
+          "row-id layout — bucketing evolution is refused")
+      val newSpec: Option[(String, Int)] =
+        if (colArg.isEmpty || colArg.equalsIgnoreCase("none") || n == 0) None
+        else {
+          require(n >= 1, s"set_bucketing on $table: n must be >= 1 (got $n)")
+          val field = m.schema.fields.find(_.name == colArg).getOrElse(
+            throw new IllegalArgumentException(
+              s"set_bucketing on $table: bucket column '$colArg' is not " +
+                "in the table schema"))
+          require(field.dataType == LongType,
+            s"set_bucketing on $table: bucket column '$colArg' must be " +
+              s"BIGINT (got ${field.dataType.simpleString})")
+          Some((colArg, n))
+        }
+      require(newSpec != m.bucket,
+        s"set_bucketing on $table: the table already has this spec " +
+          s"(${m.bucket.fold("flat")(s => s"bucket(${s._2}, ${s._1})")})")
+      val newId = m.bucketSpecs.map(_._1).max + 1
+      val specs = m.bucketSpecs :+ ((newId, newSpec))
+      // the same temp-write + OVERWRITE-rename swap ALTER TABLE uses:
+      // readers see the old or the new spec history, never a torn meta
+      val fs = fileSystem(root)
+      val metaPath = new Path(dir, "_graft_table.json")
+      val tmp = new Path(dir,
+        s".meta_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(GraftTableMeta.evoText(m.schema, specs, newId).getBytes("UTF-8"))
+      finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(metaPath.toUri, spark.sessionState.newHadoopConf())
+        .rename(tmp, metaPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      resultScan(setBucketingOut,
+        Seq(newId, (specs.length - 1).toLong))
+    }
+
+    private val setBucketingOut = StructType(Seq(
+      StructField("spec_id", LongType),
+      StructField("prior_specs", LongType)))
   }
 
   /** `CALL graft.system.vacuum(table, keep)` — drop manifest versions

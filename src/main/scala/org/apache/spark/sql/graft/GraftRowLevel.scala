@@ -64,7 +64,8 @@ private[graft] class GraftRowLevelOperation(
     cmd: RowLevelOperation.Command,
     dir: String,
     tableSchema: StructType,
-    private[graft] val bucketSpec: Option[(String, Int)] = None)
+    private[graft] val bucketSpec: Option[(String, Int)] = None,
+    private[graft] val specId: Long = 0L)
   extends RowLevelOperation {
 
   private def spark: SparkSession = SparkSession.active
@@ -342,7 +343,7 @@ private[graft] class GraftReplaceWrite(
         spark, dataDir, info.schema(), col, n) { files =>
         GraftLakeTable.commitReplace(spark, dir, dataDir, op.replacedFiles,
           info.schema(), bucketed = true, op.description(),
-          onlyFiles = Some(files))
+          onlyFiles = Some(files), specId = op.specId)
       }
 
     case None => new BatchWrite {
@@ -366,7 +367,7 @@ private[graft] class GraftReplaceWrite(
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         inner.commit(messages)
         GraftLakeTable.commitReplace(spark, dir, dataDir, op.replacedFiles,
-          info.schema(), bucketed = false, op.description())
+          info.schema(), bucketed = false, op.description(), specId = op.specId)
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -139,7 +139,7 @@ private[graft] class GraftStagedTable(
       attempt += 1
       val basedOn = ManifestStore.versions(spark, manBase).lastOption.getOrElse(0L)
       val manifest = GraftLakeTable.publishRows(spark,
-        stagedRows.map(r => (r.file, r.nRows, r.txn, r.stats, basedOn + 1)))
+        stagedRows.map(_.copy(seq = basedOn + 1)))
       committed = ManifestStore.tryPublish(spark, manBase, manifest, basedOn + 1)
     }
     if (!committed)

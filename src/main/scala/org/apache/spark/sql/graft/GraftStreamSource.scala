@@ -224,11 +224,22 @@ private[graft] class GraftLakeScanBuilder(
       case _ => Array.empty
     }
 
-  override def build(): Scan =
-    GraftLakeScan(inner.build(), dir, requested,
+  override def build(): Scan = {
+    val built = inner.build()
+    // K49: the scan reports manifest-fed statistics over the
+    // POST-PUSHDOWN file list (read after inner.build() runs the
+    // stat-prune), so the planner sees exact rows + on-disk bytes and
+    // can auto-broadcast a small (or small-after-pruning) lake table
+    val statsRows = inner match {
+      case p: GraftPrunedScanBuilder => p.builtSurvivors
+      case _ => Nil
+    }
+    GraftLakeScan(built, dir, requested,
       ignoreChanges = options.getBoolean("ignoreChanges", false),
       startingVersion = Option(options.get("startingVersion")).map(_.toLong),
-      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      statsRows = statsRows)
+}
 }
 
 /** A case class (NOT an anonymous Scan) so exchange/scan-reuse keeps
@@ -239,12 +250,27 @@ case class GraftLakeScan(inner: Scan, dir: String,
                          requested: StructType,
                          ignoreChanges: Boolean,
                          startingVersion: Option[Long],
-                         maxFilesPerTrigger: Option[Int])
-  extends Scan {
+                         maxFilesPerTrigger: Option[Int],
+                         statsRows: Seq[GraftLakeTable.ManifestRow] = Nil)
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = inner.toBatch
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(dir, requested, ignoreChanges,
       startingVersion, maxFilesPerTrigger)
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    if (statsRows.nonEmpty) GraftManifestStats.of(statsRows, readSchema())
+    else inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+    }
   override def description(): String = inner.description()
 }

@@ -1,0 +1,266 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.read.SupportsReportStatistics
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.graft.GraftLakeTable
+
+import graft.sinks.ManifestStore
+
+/** Round-12 batch-2 specs: manifest-fed scan statistics (K49) — exact
+  * byte/row accounting, the pruned-list contract, the broadcast
+  * consequence, the unknown-bytes fallback — and the bench load
+  * sentinel.
+  */
+class Round26Spec extends SparkSpec {
+
+  private val cat = "graft"
+
+  private def ensure(): Unit = graft.queries.IOQueries.ensureCatalog(spark)
+
+  private def tableDir(table: String): String =
+    graft.queries.IOQueries.catalogRoot + s"/lake/$table"
+  private def manBase(table: String): String = tableDir(table) + "/manifest"
+
+  private def latestRows(table: String): Seq[GraftLakeTable.ManifestRow] = {
+    val mb = manBase(table)
+    GraftLakeTable.manifestRowsFull(spark, mb,
+      ManifestStore.versions(spark, mb).last)
+  }
+
+  /** The reported stats of a DataFrame's (single) V2 scan relation. */
+  private def reportedStats(df: DataFrame): (Long, Long) = {
+    val st = df.queryExecution.optimizedPlan.collectFirst {
+      case s: DataSourceV2ScanRelation =>
+        s.scan.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    }.getOrElse(fail("no DataSourceV2ScanRelation in the plan"))
+    (if (st.numRows.isPresent) st.numRows.getAsLong else -1L,
+      if (st.sizeInBytes.isPresent) st.sizeInBytes.getAsLong else -1L)
+  }
+
+  test("manifest stats: bytes in the manifest equal the on-disk lengths exactly; " +
+      "flat-scan stats are manifest-exact") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.st_flat")
+    spark.sql(s"CREATE TABLE $cat.lake.st_flat (k BIGINT, v DOUBLE)")
+    spark.sql(
+      s"INSERT INTO $cat.lake.st_flat SELECT id, id * 1.5 FROM range(0, 1000)")
+    spark.sql(
+      s"INSERT INTO $cat.lake.st_flat SELECT id, id * 1.5 FROM range(1000, 1500)")
+    val rows = latestRows("st_flat")
+    assert(rows.nonEmpty && rows.forall(_.bytes > 0L),
+      s"every committed file must carry measured bytes: $rows")
+    val fs = new Path(tableDir("st_flat"))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    rows.foreach { r =>
+      val onDisk = fs.getFileStatus(new Path(tableDir("st_flat"), r.file)).getLen
+      assert(r.bytes == onDisk,
+        s"${r.file}: manifest bytes ${r.bytes} != on-disk $onDisk")
+    }
+    val (n, b) = reportedStats(spark.table(s"$cat.lake.st_flat"))
+    assert(n == 1500L, s"numRows must be manifest-exact, got $n")
+    assert(b == rows.map(_.bytes).sum, s"sizeInBytes must be the manifest sum, got $b")
+  }
+
+  test("manifest stats: a stat-pruned scan reports its POST-PUSHDOWN size") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.st_pruned")
+    spark.sql(s"CREATE TABLE $cat.lake.st_pruned (k BIGINT, v DOUBLE)")
+    // two disjoint key ranges in two commits → two files with disjoint
+    // min/max stats; a range predicate prunes one of them
+    spark.sql(
+      s"INSERT INTO $cat.lake.st_pruned SELECT id, id * 1.0 FROM range(0, 1000)")
+    spark.sql(
+      s"INSERT INTO $cat.lake.st_pruned SELECT id, id * 1.0 FROM range(5000, 6000)")
+    val (fullN, fullB) = reportedStats(spark.table(s"$cat.lake.st_pruned"))
+    val (prunedN, prunedB) = reportedStats(
+      spark.table(s"$cat.lake.st_pruned").where("k < 1000"))
+    assert(fullN == 2000L)
+    assert(prunedN == 1000L,
+      s"the filtered scan must report only surviving files' rows, got $prunedN")
+    assert(prunedB < fullB,
+      s"pruned sizeInBytes $prunedB must drop below the full $fullB")
+  }
+
+  test("manifest stats: a small dim table broadcasts STATICALLY, with no hint") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.st_dim")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.st_fact")
+    spark.sql(s"CREATE TABLE $cat.lake.st_dim (k BIGINT, name STRING)")
+    spark.sql(
+      s"INSERT INTO $cat.lake.st_dim SELECT id, concat('g', id) FROM range(0, 50)")
+    spark.sql(s"CREATE TABLE $cat.lake.st_fact (k BIGINT, amt DOUBLE)")
+    spark.sql(
+      s"INSERT INTO $cat.lake.st_fact SELECT id % 50, id * 1.0 FROM range(0, 20000)")
+    val joined = spark.sql(
+      s"""SELECT name, sum(amt) AS total
+         |FROM $cat.lake.st_fact f JOIN $cat.lake.st_dim d ON f.k = d.k
+         |GROUP BY name""".stripMargin)
+    // sparkPlan = the STATIC physical plan, before AQE could rescue the
+    // join from runtime sizes — only the reported stats can put a
+    // BroadcastHashJoin here
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the dim side must broadcast off manifest stats alone:\n$plan")
+  }
+
+  test("manifest stats: position deletes subtract EXACTLY; equality deletes do not") {
+    ensure()
+    // positional MoR: 1000 rows, delete 100 → numRows must be 900
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.st_pos")
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.st_pos (k BIGINT NOT NULL, v DOUBLE)
+         |TBLPROPERTIES('graft.merge-on-read.mode'='position')""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.lake.st_pos SELECT id, id * 1.0 FROM range(0, 1000)")
+    spark.sql(s"DELETE FROM $cat.lake.st_pos WHERE k % 10 = 0")
+    val (posN, posB) = reportedStats(spark.table(s"$cat.lake.st_pos"))
+    assert(posN == 900L, s"position-MoR numRows must subtract the vectors, got $posN")
+    assert(posB > 0L)
+    // equality MoR: deletes are NOT subtracted (a key may match nothing
+    // — overestimating is the safe direction for broadcast planning)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.st_eq")
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.st_eq (k BIGINT NOT NULL, v DOUBLE)
+         |TBLPROPERTIES('graft.merge-on-read.key'='k')""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.lake.st_eq SELECT id, id * 1.0 FROM range(0, 1000)")
+    spark.sql(s"DELETE FROM $cat.lake.st_eq WHERE k < 100")
+    val (eqN, eqB) = reportedStats(spark.table(s"$cat.lake.st_eq"))
+    assert(eqN == 1000L,
+      s"equality-MoR numRows stays the data-file upper bound, got $eqN")
+    assert(eqB > 0L)
+    // and the delete FILES' bytes/rows never count as data
+    val eqRows = latestRows("st_eq")
+    assert(eqRows.exists(_.file.startsWith("deletes_")),
+      "the DELETE must have landed an equality-delete file")
+  }
+
+  test("manifest stats: bucketed scans report manifest-exact stats") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.st_bucket")
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.st_bucket (k BIGINT, v DOUBLE)
+         |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $cat.lake.st_bucket SELECT id, id * 1.0 FROM range(0, 800)")
+    val (n, b) = reportedStats(spark.table(s"$cat.lake.st_bucket"))
+    assert(n == 800L, s"bucketed numRows must be manifest-exact, got $n")
+    assert(b == latestRows("st_bucket").map(_.bytes).sum)
+  }
+
+  test("manifest stats: unknown bytes (pre-K49 manifests) fall back to a " +
+      "rows-based estimate, never to 'huge'") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    val legacy = Seq(
+      GraftLakeTable.ManifestRow("data_x/part-0.parquet", 1000L, "", Map.empty),
+      GraftLakeTable.ManifestRow("data_x/part-1.parquet", 500L, "", Map.empty, 0L, 4096L))
+    val st = org.apache.spark.sql.graft.GraftManifestStats.of(legacy, schema)
+    assert(st.numRows.getAsLong == 1500L)
+    val expected = 1000L * schema.defaultSize + 4096L
+    assert(st.sizeInBytes.getAsLong == expected,
+      s"mixed known/unknown bytes must sum estimate + measured, got " +
+        s"${st.sizeInBytes.getAsLong} (expected $expected)")
+  }
+
+  test("bucket evolution: hand data stays correct through evolve + DML, and " +
+      "ALTER ADD COLUMN preserves the spec history") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.evo_hand")
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.evo_hand (k BIGINT, v STRING)
+         |PARTITIONED BY (bucket(2, k))""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.lake.evo_hand VALUES (1,'a'),(2,'b'),(3,'c')")
+    spark.sql(s"CALL $cat.system.set_bucketing('lake.evo_hand', 'k', 3)")
+    spark.sql(s"INSERT INTO $cat.lake.evo_hand VALUES (4,'d'),(5,'e'),(6,'f')")
+    // DML across MIXED specs: the copy-on-write rewrite lands survivors
+    // under the CURRENT spec
+    spark.sql(s"DELETE FROM $cat.lake.evo_hand WHERE k = 3")
+    val got = spark.table(s"$cat.lake.evo_hand")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (4L, "d"), (5L, "e"), (6L, "f")))
+    // schema evolution on an evolved table must NOT refold the meta
+    // into the single-spec legacy form (that would relabel every
+    // old-spec file as current and silently re-enable a wrong SPJ)
+    spark.sql(s"ALTER TABLE $cat.lake.evo_hand ADD COLUMN extra DOUBLE")
+    val specs = latestRows("evo_hand").map(_.spec).toSet
+    assert(specs.contains(1L), s"post-evolution writes must carry spec 1: $specs")
+    val again = spark.table(s"$cat.lake.evo_hand")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == got, "ADD COLUMN after evolution must not change reads")
+    // a further INSERT still routes by the evolved spec
+    spark.sql(s"INSERT INTO $cat.lake.evo_hand VALUES (9,'i',1.5)")
+    assert(latestRows("evo_hand").exists(r =>
+      r.spec == 1L && r.file.contains("__graft_bucket=")),
+      "post-ALTER inserts must keep the evolved bucket routing")
+  }
+
+  test("bucket evolution: evolve to FLAT (n=0) and back; writes follow the " +
+      "current spec") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.evo_flat")
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.evo_flat (k BIGINT, v DOUBLE)
+         |PARTITIONED BY (bucket(2, k))""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.lake.evo_flat SELECT id, id*1.0 FROM range(0, 100)")
+    spark.sql(s"CALL $cat.system.set_bucketing('lake.evo_flat', 'none', 0)")
+    spark.sql(s"INSERT INTO $cat.lake.evo_flat SELECT id, id*1.0 FROM range(100, 200)")
+    val rows = latestRows("evo_flat")
+    val flatNew = rows.filter(_.spec == 1L)
+    assert(flatNew.nonEmpty && flatNew.forall(!_.file.contains("__graft_bucket=")),
+      s"post-flat-evolution files must not bucket-route: ${flatNew.map(_.file)}")
+    assert(spark.table(s"$cat.lake.evo_flat").count() == 200L)
+    // converge flat, then evolve AGAIN to a new bucketing — ids are
+    // monotone, never reused
+    val id2 = spark.sql(
+      s"CALL $cat.system.set_bucketing('lake.evo_flat', 'k', 4)").head.getLong(0)
+    assert(id2 == 2L, s"spec ids must be monotone (got $id2)")
+    spark.sql(s"CALL $cat.system.optimize('lake.evo_flat', ${1L << 30})")
+    val conv = latestRows("evo_flat")
+    assert(conv.map(_.spec).toSet == Set(2L) &&
+      conv.forall(_.file.contains("__graft_bucket=")),
+      s"OPTIMIZE must converge the layout to the current spec: $conv")
+    assert(spark.table(s"$cat.lake.evo_flat").count() == 200L)
+  }
+
+  test("bucket evolution: refusal matrix — MoR, unknown/non-BIGINT column, no-op") {
+    ensure()
+    def refusal(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.evo_mor")
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.evo_mor (k BIGINT NOT NULL, v DOUBLE)
+         |TBLPROPERTIES('graft.merge-on-read.key'='k')""".stripMargin)
+    assert(refusal(s"CALL $cat.system.set_bucketing('lake.evo_mor', 'k', 4)")
+      .contains("merge-on-read"))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.evo_ref")
+    spark.sql(s"CREATE TABLE $cat.lake.evo_ref (k BIGINT, s STRING)")
+    assert(refusal(s"CALL $cat.system.set_bucketing('lake.evo_ref', 'nope', 4)")
+      .contains("not in the table schema"))
+    assert(refusal(s"CALL $cat.system.set_bucketing('lake.evo_ref', 's', 4)")
+      .contains("must be BIGINT"))
+    assert(refusal(s"CALL $cat.system.set_bucketing('lake.evo_ref', 'none', 0)")
+      .contains("already has this spec"))
+  }
+
+  test("bench load sentinel: probes record beside entries with loadavg and " +
+      "roll up median/max/flatness") {
+    BenchSentinel.record(spark, "sentinel_spec_a")
+    BenchSentinel.record(spark, "sentinel_spec_b")
+    val full = BenchSentinel.json
+    assert(full.contains("\"calibration\""))
+    assert(full.contains("\"sentinel_spec_a\":["))
+    assert(full.contains("\"probe_med\":") && full.contains("\"flatness\":"))
+    val compact = BenchSentinel.compactJson
+    assert(compact.startsWith(",\"calib\":{") && compact.contains("\"load_max\":"))
+    // the channel parses as JSON when spliced into an object tail
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree("{\"x\":1" + full + "}")
+    val cal = node.get("calibration")
+    assert(cal.get("probe_med").asDouble() > 0.0)
+    assert(cal.get("flatness").asDouble() >= 1.0)
+  }
+}
