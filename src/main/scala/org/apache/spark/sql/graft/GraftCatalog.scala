@@ -526,6 +526,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "(top-level, nullable or with a literal DEFAULT) and ALTER " +
           "COLUMN ... SET/DROP DEFAULT — other changes would re-map " +
           "existing immutable files")
+    // the whole read-modify-rename swap runs under the JVM meta-swap
+    // lock: a concurrent set_bucketing (the OTHER meta editor) reading
+    // a stale meta would otherwise overwrite this ALTER's schema — or
+    // this ALTER would erase its spec history (review finding, r12)
+    GraftTableMeta.withMetaSwapLock(metaFile(dir).toString) {
     val currentTable = loadPinned(ident, None).asInstanceOf[GraftLakeTable]
     // the provider gates Spark's DEFAULT-value support check, and
     // applySchemaChanges also constant-folds CURRENT defaults into the
@@ -582,6 +587,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}",
       dir.toString, evolved, None, currentTable.bucket, currentTable.morKeyCol,
       currentTable.morPositional, bucketSpecId = fullMeta.currentSpecId)
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -975,6 +981,21 @@ private[graft] object GraftTableMeta {
     (m.schema, m.bucket, m.morKey, m.morPos)
   }
 
+  /** Serializes read-modify-rename swaps of ONE meta file within this
+    * JVM (ALTER TABLE and `set_bucketing` both edit `_graft_table.json`
+    * — un-serialized, the loser's stale read would silently drop the
+    * winner's schema change or spec history; review finding, round 12).
+    * Cross-DRIVER meta edits keep the documented object-store CONTRACT
+    * the rest of the meta plane states: the OVERWRITE rename maps to a
+    * conditional PUT (ETag/if-match), so a concurrent remote editor
+    * fails its swap instead of losing the local one.
+    */
+  private val swapLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def withMetaSwapLock[T](metaPath: String)(body: => T): T =
+    swapLocks.computeIfAbsent(metaPath, _ => new Object).synchronized(body)
+
   /** The evolved wrapper's text form (see [[WrappedBucketEvo]]). */
   def evoText(schema: StructType,
               specs: Seq[(Long, Option[(String, Int)])],
@@ -1123,6 +1144,30 @@ object GraftLakeTable {
       }.toSeq
   }
 
+  /** On-disk length per table-relative file (`<writeDir>/<name>`)
+    * under ONE write directory, via one recursive listing — never a
+    * per-file getFileStatus (driver round-trips scale with dirs, not
+    * files). The ONE implementation both the commit's K49 `bytes`
+    * measurement and the metadata tables' partition rollups share, so
+    * their path arithmetic cannot drift (review finding, round 12).
+    * Files missing from disk are simply absent; callers decide whether
+    * that is a retention error or a NULL.
+    */
+  private[graft] def fileLengthsUnder(fs: org.apache.hadoop.fs.FileSystem,
+                                      writeDir: Path): Map[String, Long] = {
+    if (!fs.exists(writeDir)) return Map.empty
+    val marker = s"/${writeDir.getName}/"
+    val m = scala.collection.mutable.Map.empty[String, Long]
+    val it = fs.listFiles(writeDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val abs = st.getPath.toString
+      val idx = abs.lastIndexOf(marker)
+      if (idx >= 0) m(abs.substring(idx + 1)) = st.getLen
+    }
+    m.toMap
+  }
+
   /** Columns that get per-file min/max stats in the manifest — the
     * orderable top-level types whose string-cast min/max can be
     * compared CONSERVATIVELY on the driver: integrals and decimals via
@@ -1187,17 +1232,7 @@ object GraftLakeTable {
     // K49: on-disk lengths from ONE recursive listing of the write dir
     // (driver-side, bounded by this commit's file count) — they ride
     // the manifest as `bytes` so scan statistics never re-list files
-    val lens: Map[String, Long] = {
-      val it = fs.listFiles(new Path(dataDir), true)
-      val m = scala.collection.mutable.Map.empty[String, Long]
-      while (it.hasNext) {
-        val st = it.next()
-        val abs = st.getPath.toString
-        val idx = abs.lastIndexOf(marker)
-        if (idx >= 0) m(abs.substring(idx + 1)) = st.getLen
-      }
-      m.toMap
-    }
+    val lens: Map[String, Long] = fileLengthsUnder(fs, new Path(dataDir))
     src.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>

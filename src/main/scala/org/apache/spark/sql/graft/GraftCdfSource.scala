@@ -180,6 +180,30 @@ class GraftCdfSource(
   require(maxVersionsPerTrigger >= 1,
     s"maxVersionsPerTrigger must be >= 1 (got $maxVersionsPerTrigger)")
 
+  // an EQUALITY-merge-on-read table's delete files hold the table's
+  // OWN MoR key column — deriving the feed with any other key would
+  // read the delete files against an absent column, null-fill every
+  // key, and silently drop all delete masks (review finding, round
+  // 12). Positional tables are key-agnostic (masks address (file,pos)),
+  // so only the equality mode pins the stream key.
+  for (d <- dirOpt if catalogTable.isDefined) {
+    val metaPath = new org.apache.hadoop.fs.Path(d, "_graft_table.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      GraftTableMeta.parseFull(metaPath.toString, txt).morKey.foreach { mk =>
+        require(mk == keyCol,
+          s"graft-cdf over ${catalogTable.get}: the table's merge-on-read " +
+            s"key is '$mk' — the change feed must be derived with that key " +
+            s"(got option key '$keyCol'); any other key cannot interpret " +
+            "the table's equality-delete files")
+      }
+    }
+  }
+
   override val schema: StructType = GraftCdfSource.cdfSchema(tableSchema)
 
   private def committed: Seq[Long] = ManifestStore.versions(spark, manBase)
@@ -209,7 +233,13 @@ class GraftCdfSource(
     val base = math.max(progressedTo,
       startingVersion.map(_ - 1L).getOrElse(0L))
     val pending = all.filter(_ > base)
-    if (pending.isEmpty) Some(LongOffset(math.min(base, all.last)))
+    // idle: report BASE itself, never clamped to the last committed
+    // version — clamping below the startingVersion floor would record
+    // an offset under the floor and a later getBatch(start=floor-k)
+    // would deliver commits the user explicitly excluded (review
+    // finding, round 12). An offset beyond the committed head is fine:
+    // the range it opens is empty until those versions exist.
+    if (pending.isEmpty) Some(LongOffset(base))
     else Some(LongOffset(pending.take(maxVersionsPerTrigger).last))
   }
 
@@ -217,8 +247,28 @@ class GraftCdfSource(
 
   private def who: String = s"graft-cdf over ${catalogTable.getOrElse(manBase)}"
 
+  /** Committed manifests are immutable → bounded per-source LRU (the
+    * E38 stream source's cache shape): consecutive steps share their
+    * boundary version, so without the memo a 128-version batch read
+    * ~255 manifests where ~129 suffice (review finding, round 12).
+    */
+  private val manifestCache =
+    new java.util.LinkedHashMap[Long, Seq[GraftLakeTable.ManifestRow]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Seq[GraftLakeTable.ManifestRow]]): Boolean =
+        size() > 160
+    }
+
   private def rowsAt(v: Long): Seq[GraftLakeTable.ManifestRow] =
-    GraftLakeTable.rowsAtRetained(spark, manBase, v, who)
+    manifestCache.synchronized {
+      val hit = manifestCache.get(v)
+      if (hit != null) hit
+      else {
+        val rows = GraftLakeTable.rowsAtRetained(spark, manBase, v, who)
+        manifestCache.put(v, rows)
+        rows
+      }
+    }
 
   private def isPosDel(f: String): Boolean =
     f.startsWith("posdel_") || f.contains("/posdel_")

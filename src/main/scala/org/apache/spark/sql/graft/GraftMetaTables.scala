@@ -148,31 +148,16 @@ private[graft] class GraftMetaTable(kind: String, dir: String, fullName: String,
     GraftLakeTable.manifestRowsFull(spark, manBase, v)
       .filterNot(r => GraftDeltaOperation.isDeleteFile(r.file))
 
-  /** On-disk length per manifest-relative file, via ONE recursive
-    * listing per write directory (never a per-file getFileStatus —
-    * driver round-trips scale with dirs, not files). Files missing
-    * from disk are simply absent; callers decide whether that is the
-    * named retention error (a pinned read) or a NULL (history).
+  /** On-disk length per manifest-relative file, one recursive listing
+    * per write directory through the shared
+    * [[GraftLakeTable.fileLengthsUnder]] (the same helper the commit's
+    * K49 `bytes` measurement uses — one path arithmetic, not two).
     */
   private def bytesByRel(data: Seq[GraftLakeTable.ManifestRow]): Map[String, Long] = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    val writeDirs = data.map(r => r.file.split('/').head).distinct
-    writeDirs.flatMap { wd =>
-      val p = new Path(dir, wd)
-      if (!fs.exists(p)) Seq.empty[(String, Long)]
-      else {
-        val marker = s"/$wd/"
-        val it = fs.listFiles(p, true)
-        val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-        while (it.hasNext) {
-          val f = it.next()
-          val abs = f.getPath.toString
-          val idx = abs.lastIndexOf(marker)
-          if (idx >= 0) buf += ((abs.substring(idx + 1), f.getLen))
-        }
-        buf.toSeq
-      }
-    }.toMap
+    data.map(r => r.file.split('/').head).distinct
+      .flatMap(wd => GraftLakeTable.fileLengthsUnder(fs, new Path(dir, wd)))
+      .toMap
   }
 }
 

@@ -389,6 +389,12 @@ private[graft] object GraftProcedures {
       val colArg =
         if (input.isNullAt(1)) "none" else input.getUTF8String(1).toString
       val n = if (input.isNullAt(2)) 0 else input.getInt(2)
+      // read-modify-rename under the JVM meta-swap lock (shared with
+      // ALTER TABLE — the other meta editor); cross-driver edits keep
+      // the conditional-PUT rename contract (review finding, round 12)
+      val lockProbe = resolveFull(catalogName, root, table)
+      GraftTableMeta.withMetaSwapLock(
+        new Path(lockProbe._1, "_graft_table.json").toString) {
       val (dir, m) = resolveFull(catalogName, root, table)
       require(m.morKey.isEmpty && !m.morPos,
         s"set_bucketing on $table: merge-on-read tables keep their " +
@@ -425,6 +431,7 @@ private[graft] object GraftProcedures {
         .rename(tmp, metaPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       resultScan(setBucketingOut,
         Seq(newId, (specs.length - 1).toLong))
+      }
     }
 
     private val setBucketingOut = StructType(Seq(

@@ -246,6 +246,58 @@ class Round26Spec extends SparkSpec {
       .contains("already has this spec"))
   }
 
+  test("cdf: an idle getOffset never regresses below the startingVersion floor") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.cdf_floor")
+    spark.sql(s"CREATE TABLE $cat.lake.cdf_floor (k BIGINT, v DOUBLE)")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.lake.cdf_floor VALUES ($i, $i.0)"))
+    val src = new org.apache.spark.sql.graft.GraftCdfSource(spark,
+      manBase("cdf_floor"), "k", spark.table(s"$cat.lake.cdf_floor").schema,
+      startingVersion = Some(5L), dirOpt = Some(tableDir("cdf_floor")),
+      catalogTable = Some(s"$cat.lake.cdf_floor"))
+    // only v1..v3 exist; the floor (startingVersion-1 = 4) must hold —
+    // the old clamp reported min(4, last=3) = 3, the engine recorded
+    // offset 3, and the next batch (start=3) re-delivered v4 even
+    // though the user asked to start at v5
+    val idle = src.getOffset.get.json().trim.toLong
+    assert(idle == 4L, s"idle offset must stay at the floor 4, got $idle")
+    (4 to 5).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.lake.cdf_floor VALUES ($i, $i.0)"))
+    val end = src.getOffset.get.json().trim.toLong
+    assert(end == 5L, s"catch-up offset must reach the head, got $end")
+    // with the floor held, the engine's range is (4, 5] — exactly v5;
+    // the per-step derivation for v5 is sane (insert-tagged, 1 row)
+    val v5 = src.changesOf(5L)
+      .select("_change_type", "_commit_version").collect()
+    assert(v5.length == 1 && v5.head.getString(0) == "insert" &&
+      v5.head.getLong(1) == 5L)
+  }
+
+  test("cdf: an equality-MoR table refuses a stream key that is not its MoR key") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.cdf_keypin")
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.cdf_keypin (k BIGINT NOT NULL, v BIGINT)
+         |TBLPROPERTIES('graft.merge-on-read.key'='k')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.lake.cdf_keypin VALUES (1, 10)")
+    val schema = spark.table(s"$cat.lake.cdf_keypin").schema
+    // a different unique column would read the deletes_ files against
+    // an absent column and silently drop every delete mask
+    val err = intercept[IllegalArgumentException] {
+      new org.apache.spark.sql.graft.GraftCdfSource(spark,
+        manBase("cdf_keypin"), "v", schema,
+        startingVersion = None, dirOpt = Some(tableDir("cdf_keypin")),
+        catalogTable = Some(s"$cat.lake.cdf_keypin"))
+    }
+    assert(err.getMessage.contains("merge-on-read"), err.getMessage)
+    // the table's own key constructs fine
+    new org.apache.spark.sql.graft.GraftCdfSource(spark,
+      manBase("cdf_keypin"), "k", schema,
+      startingVersion = None, dirOpt = Some(tableDir("cdf_keypin")),
+      catalogTable = Some(s"$cat.lake.cdf_keypin"))
+  }
+
   test("bench load sentinel: probes record beside entries with loadavg and " +
       "roll up median/max/flatness") {
     BenchSentinel.record(spark, "sentinel_spec_a")
