@@ -36,6 +36,7 @@ object SparkEntry {
     "q_sql" -> (Relational.qSql _),
     "q_sql_script" -> (Relational.qSqlScript _),
     "q_sql_params" -> (Relational.qSqlParams _),
+    "q_sql_pipe" -> (Relational.qSqlPipe _),
     "q_recursive" -> (Relational.qRecursive _),
     "q_lateral" -> (Relational.qLateral _),
     "q_rollup" -> (Relational.qRollup _),
@@ -423,6 +424,7 @@ object SparkEntry {
     "e_stream_upsert" -> (Events.streamUpsert _),
     "e_stream_cdc" -> (Events.streamCdc _),
     "e_stream_outer_join" -> (Events.streamStreamOuterJoin _),
+    "e_stream_full_outer_join" -> (Events.streamStreamFullOuterJoin _),
     "e_stream_resume" -> ((s, d) => Events.streamResume(s, d)),
     "e_stream_incr_rollup" -> (Events.streamIncrRollup _),
     // watermark-drop metrics come from StreamingQueryProgress, not SQL

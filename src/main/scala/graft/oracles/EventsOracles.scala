@@ -368,6 +368,17 @@ private[graft] object EventsOracles {
         |  AND click_us <= purchase_us
         |  AND click_us >= purchase_us - 1800000000
         |ORDER BY user_id, purchase_us, event_id, click_us""".stripMargin,
+    // FULL OUTER with the identical interval — null-extended rows on
+    // BOTH sides prove the watermark flushed both stores' tails
+    "e_stream_full_outer_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |c AS (SELECT user_id AS cu, ts_us AS click_us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts_us AS purchase_us FROM e WHERE event_type = 'purchase')
+        |SELECT coalesce(user_id, cu) AS user_id, event_id, purchase_us, click_us
+        |FROM p FULL OUTER JOIN c ON user_id = cu
+        |  AND click_us <= purchase_us
+        |  AND click_us >= purchase_us - 1800000000
+        |ORDER BY user_id, purchase_us, event_id, click_us""".stripMargin,
     "e_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  cast(sum(CAST(props->>'$.k' AS BIGINT)) AS bigint) AS sum_k,

@@ -488,6 +488,17 @@ private[graft] object QueryOracles {
         |  AND o_totalprice > 50000.0
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // Q54: the pipe chain replayed in classic SQL — the chain is
+    // parser sugar, so the classic spelling must hash-match exactly
+    "q_sql_pipe" ->
+      """SELECT l_returnflag, l_linestatus, cast(count(*) AS bigint) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(avg(l_quantity), 4) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate IS NOT NULL AND l_quantity > 10
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 0
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_lateral" ->
       """SELECT c_custkey, t.o_orderkey,
         |       round(t.o_totalprice, 2) AS o_totalprice

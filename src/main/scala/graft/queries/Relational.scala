@@ -241,6 +241,31 @@ object Relational {
       Map("lo" -> "1996-01-01", "hi" -> "1997-01-01", "floor" -> 50000.0))
   }
 
+  /** Q54: SQL PIPE syntax — Spark 4's `|>` operator chain
+    * (FROM → WHERE → EXTEND → AGGREGATE ... GROUP BY → WHERE →
+    * ORDER BY), the linear form of the reference's ad-hoc query loop
+    * (each pipeline stage reads top-to-bottom instead of
+    * inside-out-nested subqueries). The surface is pure parser sugar:
+    * the chain lowers to exactly the Aggregate/Filter/Sort plan the
+    * classic form produces, so Catalyst's pushdown/pruning and
+    * whole-stage codegen are identical — the oracle replays the
+    * classic spelling in DuckDB and the hash must agree. The
+    * post-AGGREGATE `WHERE` is pipe-HAVING; `EXTEND` appends a
+    * computed column without re-listing the projection.
+    */
+  def qSqlPipe(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """FROM lineitem
+        ||> WHERE l_shipdate IS NOT NULL AND l_quantity > 10
+        ||> EXTEND l_extendedprice * (1 - l_discount) AS net
+        ||> AGGREGATE count(*) AS n, round(sum(net), 2) AS revenue,
+        |             round(avg(l_quantity), 4) AS avg_qty
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n > 0
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   def qSql(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(

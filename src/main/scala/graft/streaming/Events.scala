@@ -256,6 +256,65 @@ object Events {
       .orderBy("user_id", "purchase_us", "event_id", "click_us")
   }
 
+  /** E41: stream-stream FULL OUTER interval join — the last rung of
+    * the stream-join ladder (E11 inner, E25 left outer): BOTH sides'
+    * unmatched rows null-extend when the watermark proves no partner
+    * can still arrive. Production shape: attribution where purchases
+    * without a preceding click AND clicks that never converted must
+    * both land in one feed (separate inner + two anti-join streams
+    * would triple the state). State cost is the same two keyed stores
+    * the left-outer join holds — the interval condition bounds both
+    * sides' retention to the 30-minute band past the watermark, so
+    * state is O(events in band), never O(stream) — but rows now leave
+    * BOTH stores as emit-on-expiry, so the output is complete in both
+    * directions. Same staged-mtime feed discipline as E25 (pusher
+    * batches advance the watermark past every real row; pushers join
+    * each other and are filtered by the coalesced user key).
+    */
+  def streamStreamFullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val feed = Files.createTempDirectory("graft_stream_fouter").toString + "/feed"
+    val real = Tables.eventsTsAsNanosLong(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select("event_id", "ts", "user_id", "event_type")
+    val maxTs = real.agg(max("ts")).collect().head.getLong(0)
+    val dayNs = 24L * 3600 * 1000000000L
+    import spark.implicits._
+    def pusher(offsetDays: Int) = Seq(
+      (-1L, maxTs + offsetDays * dayNs, -1L, "click"),
+      (-2L, maxTs + offsetDays * dayNs, -1L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    StreamStage.stageOrderedBatches(feed, Seq(real, pusher(30), pusher(31)))
+    val schema = spark.read.parquet(feed).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("p_ts") &&
+        col("click_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+      "fullOuter")
+    val sinkName = s"graft_stream_fouter_${streamCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .filter(coalesce(col("user_id"), col("c_user")) >= 0)
+      .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("event_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        unix_micros(col("click_ts")).as("click_us"))
+      .orderBy("user_id", "purchase_us", "event_id", "click_us")
+  }
+
   /** E26: checkpointed resume with exactly-once output — the property
     * that makes streaming operable: a query processes what has
     * arrived, TERMINATES, and a later, separate query instance with
