@@ -566,11 +566,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // including the K50 spec HISTORY (an ADD COLUMN on an evolved
     // table must not refold the meta into the single-spec legacy form,
     // which would relabel every old file as current-spec)
-    val metaIn = fs.open(metaFile(dir))
-    val metaTxt =
-      try scala.io.Source.fromInputStream(metaIn, "UTF-8").mkString
-      finally metaIn.close()
-    val fullMeta = GraftTableMeta.parseFull(metaFile(dir).toString, metaTxt)
+    val fullMeta = GraftTableMeta.readFull(fs, metaFile(dir))
     val newMetaTxt =
       if (fullMeta.bucketSpecs.length > 1 || fullMeta.currentSpecId != 0L)
         GraftTableMeta.evoText(evolved, fullMeta.bucketSpecs, fullMeta.currentSpecId)
@@ -979,6 +975,20 @@ private[graft] object GraftTableMeta {
       : (StructType, Option[(String, Int)], Option[String], Boolean) = {
     val m = parseFull(metaPath, txt)
     (m.schema, m.bucket, m.morKey, m.morPos)
+  }
+
+  /** Open + read + [[parseFull]] in one place — the ONE meta reader
+    * (the catalog, the procedures and the CDF key pin all resolve
+    * through here, so encoding/error handling cannot drift; review
+    * pass 2, round 12).
+    */
+  def readFull(fs: org.apache.hadoop.fs.FileSystem, metaPath: Path)
+      : TableMeta = {
+    val in = fs.open(metaPath)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parseFull(metaPath.toString, txt)
   }
 
   /** Serializes read-modify-rename swaps of ONE meta file within this

@@ -190,11 +190,7 @@ class GraftCdfSource(
     val metaPath = new org.apache.hadoop.fs.Path(d, "_graft_table.json")
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(metaPath)) {
-      val in = fs.open(metaPath)
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      GraftTableMeta.parseFull(metaPath.toString, txt).morKey.foreach { mk =>
+      GraftTableMeta.readFull(fs, metaPath).morKey.foreach { mk =>
         require(mk == keyCol,
           s"graft-cdf over ${catalogTable.get}: the table's merge-on-read " +
             s"key is '$mk' — the change feed must be derived with that key " +
@@ -254,9 +250,13 @@ class GraftCdfSource(
     */
   private val manifestCache =
     new java.util.LinkedHashMap[Long, Seq[GraftLakeTable.ManifestRow]](16, 0.75f, true) {
+      // 8, not the version cap: each version is re-used at most by its
+      // immediate successor step, so a small window keeps the full
+      // sharing win while bounding driver heap to O(8 × table-files)
+      // rather than O(cap × table-files) (review pass 2, round 12)
       override def removeEldestEntry(
           e: java.util.Map.Entry[Long, Seq[GraftLakeTable.ManifestRow]]): Boolean =
-        size() > 160
+        size() > 8
     }
 
   private def rowsAt(v: Long): Seq[GraftLakeTable.ManifestRow] =

@@ -64,22 +64,27 @@ private[graft] object GraftProcedures {
     (dir, m.schema, m.bucket)
   }
 
+  /** The table DIRECTORY for a path-safe `'ns.table'` argument — pure
+    * path arithmetic, no meta read (what lock-key derivation needs).
+    */
+  private def tableDirOf(root: String, table: String): Path = {
+    val parts = table.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(_.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*")),
+      s"procedure table argument '$table' is not a path-safe ns.table name")
+    parts.foldLeft(new Path(root))((p, n) => new Path(p, n))
+  }
+
   /** [[resolve]] with the FULL meta (mode flags + the K50 bucket-spec
     * history) — what the evolution procedure and spec-aware commits
     * read.
     */
   private def resolveFull(catalogName: String, root: String, table: String)
       : (String, GraftTableMeta.TableMeta) = {
-    val parts = table.split('.').toSeq
-    require(parts.nonEmpty && parts.forall(_.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*")),
-      s"procedure table argument '$table' is not a path-safe ns.table name")
-    val dir = parts.foldLeft(new Path(root))((p, n) => new Path(p, n))
+    val dir = tableDirOf(root, table)
     val meta = new Path(dir, "_graft_table.json")
     val fs = fileSystem(root)
     require(fs.exists(meta), s"catalog '$catalogName' has no table '$table'")
-    val in = fs.open(meta)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    (dir.toString, GraftTableMeta.parseFull(meta.toString, txt))
+    (dir.toString, GraftTableMeta.readFull(fs, meta))
   }
 
   private def fileSystem(root: String): FileSystem =
@@ -391,10 +396,11 @@ private[graft] object GraftProcedures {
       val n = if (input.isNullAt(2)) 0 else input.getInt(2)
       // read-modify-rename under the JVM meta-swap lock (shared with
       // ALTER TABLE — the other meta editor); cross-driver edits keep
-      // the conditional-PUT rename contract (review finding, round 12)
-      val lockProbe = resolveFull(catalogName, root, table)
+      // the conditional-PUT rename contract (review finding, round 12).
+      // The lock key is pure path arithmetic — no meta read outside
+      // the lock (review pass 2)
       GraftTableMeta.withMetaSwapLock(
-        new Path(lockProbe._1, "_graft_table.json").toString) {
+        new Path(tableDirOf(root, table), "_graft_table.json").toString) {
       val (dir, m) = resolveFull(catalogName, root, table)
       require(m.morKey.isEmpty && !m.morPos,
         s"set_bucketing on $table: merge-on-read tables keep their " +
