@@ -212,6 +212,23 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT '__stats_protocol', cast(25 AS bigint), 1.0
         |ORDER BY tag""".stripMargin,
+    // K51: multi-statement-transaction replay — the net effect of the
+    // three statements (full set, F rows deleted, +1000 on every 5th
+    // key) grouped by status; the protocol row pins the commit version
+    // ACTUAL (2 — three statements, ONE version boundary) and the
+    // isolation/workspace-drop flag (expected 1.0)
+    "sink_catalog_txn_multi" ->
+      """WITH net AS (
+        |  SELECT o_orderstatus,
+        |    o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1000.0 ELSE 0 END AS p
+        |  FROM orders WHERE o_orderstatus <> 'F'
+        |)
+        |SELECT o_orderstatus AS status, cast(count(*) AS bigint) AS n,
+        |  round(sum(p), 2) AS total
+        |FROM net GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT '__txn_protocol', cast(2 AS bigint), 1.0
+        |ORDER BY status""".stripMargin,
     // K50: bucket-evolution replay — the same full-table aggregate
     // before (mixed specs, flat scan) and after (converged, key-grouped
     // scan) the OPTIMIZE rewrite; the protocol row pins the new spec id

@@ -985,6 +985,77 @@ object IOQueries {
          |ORDER BY step""".stripMargin)
   }
 
+  /** K51: SNAPSHOT-ISOLATED MULTI-STATEMENT TRANSACTIONS on the
+    * catalog (`CALL graft.system.begin_txn / commit_txn / abort_txn` —
+    * [[org.apache.spark.sql.graft.GraftProcedures]]): `begin_txn`
+    * opens a REAL catalog table seeded with the source's snapshot BY
+    * REFERENCE (`../<table>/<rel>` manifest rows — zero data copied,
+    * stats/bytes preserved so pruning and statistics keep working);
+    * any number of ordinary SQL DML statements run against it,
+    * snapshot-isolated from the source by construction; `commit_txn`
+    * verifies the source still sits at the pinned base version
+    * (optimistic concurrency — a concurrent commit ABORTS, never
+    * merges silently), moves the fresh write dirs into the source dir
+    * and publishes the whole net effect as ONE CAS-gated manifest
+    * version. Readers see all three statements' effects at exactly one
+    * version boundary or not at all — the branch-and-squash shape, at
+    * metadata cost regardless of table size.
+    *
+    * Flow: base INSERT (v1) → begin_txn → INSERT + DELETE + UPDATE
+    * inside the transaction → isolation ACTUALS read from the source
+    * (content unchanged, still ONE committed version) → commit_txn →
+    * the per-status rollup of the net effect, the commit version (2 —
+    * three statements, one version), and the protocol flag
+    * (isolation held + workspace dropped + carried/fresh counts sane).
+    * Conflict-abort, abort_txn and the unreferenced-on-lost-race
+    * contract are spec-pinned where the oracle can't reach.
+    */
+  def sinkCatalogTxnMulti(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_txn1_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_txn1")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_txn1 (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_txn1
+        |SELECT * FROM orders_txn1_src WHERE o_orderkey % 3 <> 0""".stripMargin)
+    val baseCount = spark.table("graft.lake.orders_txn1").count()
+    val opened = spark.sql(
+      "CALL graft.system.begin_txn('lake.orders_txn1')").head
+    val (txnTable, baseV) = (opened.getString(0), opened.getLong(1))
+    spark.sql(
+      s"""INSERT INTO graft.$txnTable
+         |SELECT * FROM orders_txn1_src WHERE o_orderkey % 3 = 0""".stripMargin)
+    spark.sql(s"DELETE FROM graft.$txnTable WHERE o_orderstatus = 'F'")
+    spark.sql(
+      s"""UPDATE graft.$txnTable SET o_totalprice = o_totalprice + 1000
+         |WHERE o_orderkey % 5 = 0""".stripMargin)
+    // isolation ACTUALS: the source is untouched by all three
+    // statements — same content, still exactly one committed version
+    val manBase = catalogRoot + "/lake/orders_txn1/manifest"
+    val isoOk = spark.table("graft.lake.orders_txn1").count() == baseCount &&
+      graft.sinks.ManifestStore.versions(spark, manBase) == Seq(1L)
+    val committed = spark.sql(
+      s"CALL graft.system.commit_txn('lake.orders_txn1', '$txnTable')").head
+    val (commitV, carried, fresh) =
+      (committed.getLong(0), committed.getLong(1), committed.getLong(2))
+    val dropped = !spark.catalog.tableExists(s"graft.$txnTable")
+    val ok =
+      if (isoOk && baseV == 1L && dropped && carried >= 0L && fresh > 0L) 1.0
+      else 0.0
+    spark.sql(
+      s"""SELECT o_orderstatus AS status, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM graft.lake.orders_txn1
+         |GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT '__txn_protocol', ${commitV}L, $ok
+         |ORDER BY status""".stripMargin)
+  }
+
   /** K41: atomic `CREATE TABLE AS SELECT` / `REPLACE TABLE AS SELECT`
     * through the staging catalog ([[org.apache.spark.sql.graft
     * .GraftStagedTable]]): the table builds INVISIBLY (meta + data +

@@ -156,6 +156,10 @@ private[graft] class GraftMetaTable(kind: String, dir: String, fullName: String,
   private def bytesByRel(data: Seq[GraftLakeTable.ManifestRow]): Map[String, Long] = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     data.map(r => r.file.split('/').head).distinct
+      // a K51 transaction workspace carries `../<table>/...` references
+      // — never recurse OUT of the table dir for byte accounting
+      // (those rows report NULL bytes, like swept files)
+      .filterNot(_ == "..")
       .flatMap(wd => GraftLakeTable.fileLengthsUnder(fs, new Path(dir, wd)))
       .toMap
   }

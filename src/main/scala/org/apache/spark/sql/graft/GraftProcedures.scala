@@ -45,8 +45,11 @@ private[graft] object GraftProcedures {
       case "vacuum" => new VacuumProcedure(catalogName, root)
       case "compact_deletes" => new CompactDeletesProcedure(catalogName, root)
       case "set_bucketing" => new SetBucketingProcedure(catalogName, root)
+      case "begin_txn" => new BeginTxnProcedure(catalogName, root)
+      case "commit_txn" => new CommitTxnProcedure(catalogName, root)
+      case "abort_txn" => new AbortTxnProcedure(catalogName, root)
       case _ =>
-        throw new RuntimeException(s"catalog procedure not found: ${ident.namespace().mkString(".")}.${ident.name()} (available: system.optimize, system.vacuum, system.compact_deletes, system.set_bucketing)")
+        throw new RuntimeException(s"catalog procedure not found: ${ident.namespace().mkString(".")}.${ident.name()} (available: system.optimize, system.vacuum, system.compact_deletes, system.set_bucketing, system.begin_txn, system.commit_txn, system.abort_txn)")
     }
   }
 
@@ -55,7 +58,10 @@ private[graft] object GraftProcedures {
       org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "optimize"),
       org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "vacuum"),
       org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "compact_deletes"),
-      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "set_bucketing"))
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "set_bucketing"),
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "begin_txn"),
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "commit_txn"),
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "abort_txn"))
 
   /** Resolve `'ns.table'` under the catalog root + load its meta. */
   private def resolve(catalogName: String, root: String, table: String)
@@ -443,6 +449,205 @@ private[graft] object GraftProcedures {
     private val setBucketingOut = StructType(Seq(
       StructField("spec_id", LongType),
       StructField("prior_specs", LongType)))
+  }
+
+  /** K51: SNAPSHOT-ISOLATED MULTI-STATEMENT TRANSACTIONS on the
+    * catalog — the branch-and-squash shape on the CALL surface:
+    *
+    * {{{
+    *   CALL graft.system.begin_txn('lake.t')   -- -> 'lake.t__txn_<id>'
+    *   INSERT INTO graft.lake.t__txn_<id> ...   -- any number of
+    *   DELETE FROM graft.lake.t__txn_<id> ...   -- ordinary SQL DML
+    *   MERGE INTO graft.lake.t__txn_<id> ...    -- statements
+    *   CALL graft.system.commit_txn('lake.t', 'lake.t__txn_<id>')
+    * }}}
+    *
+    * `begin_txn` creates a REAL catalog table whose first manifest
+    * version carries the source's current snapshot BY REFERENCE
+    * (every file as `../<table>/<rel>` — zero data copied, stats and
+    * bytes preserved so pruning and K49 statistics keep working), plus
+    * a `_graft_txn.json` marker pinning the base version. Statements
+    * against the txn table are ordinary catalog DML: they see the base
+    * snapshot plus their own effects (snapshot isolation by
+    * construction), while readers and writers of the SOURCE table
+    * proceed untouched — the txn table is just another table.
+    *
+    * `commit_txn` is the atomic squash: it verifies the source still
+    * sits at the pinned base version (optimistic concurrency — a
+    * concurrent commit on the source ABORTS the transaction with a
+    * named error, never merges silently), MOVES the txn table's fresh
+    * write dirs into the source dir (directory renames, the RTAS
+    * commit shape), and publishes ONE manifest version on the source:
+    * carried references stripped back to plain relative paths + the
+    * fresh files. Readers of the source see the whole multi-statement
+    * effect at exactly one version boundary or not at all. A commit
+    * that loses the final CAS (a racer landed between the check and
+    * the publish) aborts with the moved files left UNREFERENCED under
+    * the source — invisible to every reader, reclaimed by VACUUM, the
+    * same contract as any failed writer. `abort_txn` discards the
+    * workspace (a metadata-dir delete — the referenced source files
+    * are outside it and untouched).
+    *
+    * At 100 TB: begin costs one manifest read + one metadata publish
+    * (zero data IO regardless of table size); the statements cost what
+    * they cost; commit costs the fresh dirs' renames + one CAS
+    * publish. Scope v1: flat copy-on-write tables (bucketed, MoR and
+    * spec-evolved tables refuse — their routing/mask machinery would
+    * need spec-aware carries); single-table, the Delta transaction
+    * scope. Multi-table atomicity stays K25's catalog-manifest design.
+    */
+  private val TxnMarkerFile = "_graft_txn.json"
+  private val TxnMarkerRe =
+    """\{"source":"([^"]+)","base":(\d+)\}""".r
+
+  private class BeginTxnProcedure(catalogName: String, root: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "begin_txn"
+    override def description(): String =
+      "open a snapshot-isolated transaction workspace for a table"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      require(!table.contains("__txn_"),
+        s"begin_txn on $table: transactions do not nest")
+      val (dir, m) = resolveFull(catalogName, root, table)
+      require(m.bucket.isEmpty && m.morKey.isEmpty && !m.morPos &&
+          m.currentSpecId == 0L && m.bucketSpecs.length == 1,
+        s"begin_txn on $table: v1 transaction scope is flat copy-on-write " +
+          "tables (bucketed, merge-on-read and spec-evolved tables refuse)")
+      val session = spark
+      val leaf = table.split('.').last
+      val txnId = java.util.UUID.randomUUID().toString.take(8)
+      val txnTable = s"${table}__txn_$txnId"
+      val txnLeaf = s"${leaf}__txn_$txnId"
+      val txnDir = new Path(new Path(dir).getParent, txnLeaf)
+      val fs = fileSystem(root)
+      fs.mkdirs(txnDir)
+      val meta = fs.create(new Path(txnDir, "_graft_table.json"), false)
+      try meta.write(m.schema.json.getBytes("UTF-8")) finally meta.close()
+      val manBase = s"$dir/manifest"
+      val base = ManifestStore.versions(session, manBase).lastOption.getOrElse(0L)
+      val marker = fs.create(new Path(txnDir, TxnMarkerFile), false)
+      try marker.write(s"""{"source":"$table","base":$base}""".getBytes("UTF-8"))
+      finally marker.close()
+      if (base > 0L) {
+        val rows = GraftLakeTable.manifestRowsFull(session, manBase, base)
+        val seeded = GraftLakeTable.publishRows(session,
+          rows.map(r => r.copy(file = s"../$leaf/${r.file}", txn = "")))
+        require(ManifestStore.tryPublish(session, s"$txnDir/manifest", seeded, 1L),
+          s"begin_txn on $table: could not seed the workspace manifest")
+      }
+      resultScan(beginOut, Seq(UTF8String.fromString(txnTable), base))
+    }
+
+    private val beginOut = StructType(Seq(
+      StructField("txn_table", StringType),
+      StructField("base_version", LongType)))
+  }
+
+  private class CommitTxnProcedure(catalogName: String, root: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "commit_txn"
+    override def description(): String =
+      "atomically publish a transaction workspace's net effect onto " +
+        "its source table (aborts if the source moved past the base)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("txn_table", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val txnTable = input.getUTF8String(1).toString
+      val session = spark
+      val (dir, m) = resolveFull(catalogName, root, table)
+      val (txnDir, _) = resolveFull(catalogName, root, txnTable)
+      val fs = fileSystem(root)
+      val markerPath = new Path(txnDir, TxnMarkerFile)
+      require(fs.exists(markerPath),
+        s"commit_txn: $txnTable is not a transaction workspace " +
+          s"(no $TxnMarkerFile)")
+      val in = fs.open(markerPath)
+      val markerTxt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val (src, base) = markerTxt.trim match {
+        case TxnMarkerRe(s, b) => (s, b.toLong)
+        case other => throw new IllegalStateException(
+          s"commit_txn: unreadable transaction marker: $other")
+      }
+      require(src == table,
+        s"commit_txn: $txnTable was opened on '$src', not '$table'")
+      val leaf = table.split('.').last
+      val carryPrefix = s"../$leaf/"
+      val manBase = s"$dir/manifest"
+      val txnMan = s"$txnDir/manifest"
+      val latest = ManifestStore.versions(session, manBase).lastOption.getOrElse(0L)
+      if (latest != base)
+        throw new IllegalStateException(
+          s"commit_txn on $table: the source moved to v$latest past the " +
+            s"transaction's base v$base — the transaction cannot merge " +
+            "silently; abort_txn and retry on the new base")
+      val txnRows = ManifestStore.versions(session, txnMan).lastOption
+        .map(v => GraftLakeTable.manifestRowsFull(session, txnMan, v))
+        .getOrElse(Seq.empty)
+      val (carried, fresh) = txnRows.partition(_.file.startsWith(carryPrefix))
+      // fresh write dirs move under the SOURCE dir (the RTAS commit
+      // shape) — their table-relative paths are then valid verbatim
+      val freshDirs = fresh.map(_.file.split('/').head).distinct
+      freshDirs.foreach { d =>
+        val target = new Path(dir, d)
+        require(!fs.exists(target),
+          s"commit_txn on $table: write-dir collision on $d")
+        if (!fs.rename(new Path(txnDir, d), target))
+          throw new java.io.IOException(
+            s"commit_txn on $table: failed to move workspace dir $d")
+      }
+      val published = GraftLakeTable.publishRows(session,
+        carried.map(r => r.copy(file = r.file.stripPrefix(carryPrefix), txn = "")) ++
+          fresh.map(_.copy(txn = "", seq = base + 1)))
+      if (!ManifestStore.tryPublish(session, manBase, published, base + 1))
+        throw new java.io.IOException(
+          s"commit_txn on $table: lost the publish race at v${base + 1} — " +
+            "the transaction is aborted; its moved files are unreferenced " +
+            "until VACUUM")
+      fs.delete(new Path(txnDir), true)
+      resultScan(commitOut,
+        Seq(base + 1, carried.length.toLong, fresh.length.toLong))
+    }
+
+    private val commitOut = StructType(Seq(
+      StructField("version", LongType),
+      StructField("carried_files", LongType),
+      StructField("fresh_files", LongType)))
+  }
+
+  private class AbortTxnProcedure(catalogName: String, root: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "abort_txn"
+    override def description(): String =
+      "discard a transaction workspace (the source table is untouched)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("txn_table", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val txnTable = input.getUTF8String(0).toString
+      val (txnDir, _) = resolveFull(catalogName, root, txnTable)
+      val fs = fileSystem(root)
+      require(fs.exists(new Path(txnDir, TxnMarkerFile)),
+        s"abort_txn: $txnTable is not a transaction workspace")
+      fs.delete(new Path(txnDir), true)
+      resultScan(abortOut, Seq(1L))
+    }
+
+    private val abortOut = StructType(Seq(StructField("dropped", LongType)))
   }
 
   /** `CALL graft.system.vacuum(table, keep)` — drop manifest versions

@@ -298,6 +298,100 @@ class Round26Spec extends SparkSpec {
       catalogTable = Some(s"$cat.lake.cdf_keypin"))
   }
 
+  test("catalog txn: hand data through begin/DML/commit — one version boundary, " +
+      "zero-copy carry, rewrite of a carried file") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.txn_hand")
+    spark.sql(s"CREATE TABLE $cat.lake.txn_hand (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.lake.txn_hand VALUES (1,'a'),(2,'b'),(3,'c')")
+    val baseRows = latestRows("txn_hand")
+    val opened = spark.sql(
+      s"CALL $cat.system.begin_txn('lake.txn_hand')").head
+    val (txn, baseV) = (opened.getString(0), opened.getLong(1))
+    assert(baseV == 1L)
+    // the seed is BY REFERENCE: the workspace manifest points out of
+    // its own dir, and no data file was copied anywhere
+    val txnLeaf = txn.split('.').last
+    val seeded = latestRows(txnLeaf)
+    assert(seeded.nonEmpty && seeded.forall(_.file.startsWith("../txn_hand/")),
+      s"workspace must carry the base snapshot by reference: $seeded")
+    // three statements: insert, delete, and a rewrite that touches a
+    // CARRIED (../-referenced) file
+    spark.sql(s"INSERT INTO $cat.$txn VALUES (4,'d'),(5,'e')")
+    spark.sql(s"DELETE FROM $cat.$txn WHERE k = 2")
+    spark.sql(s"UPDATE $cat.$txn SET v = 'Z' WHERE k = 1")
+    // snapshot isolation, both directions
+    assert(spark.table(s"$cat.lake.txn_hand").count() == 3L,
+      "the source must not see in-flight transaction statements")
+    assert(ManifestStore.versions(spark, manBase("txn_hand")) == Seq(1L))
+    val committed = spark.sql(
+      s"CALL $cat.system.commit_txn('lake.txn_hand', '$txn')").head
+    assert(committed.getLong(0) == 2L,
+      "three statements must publish as exactly one version")
+    val got = spark.table(s"$cat.lake.txn_hand")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "Z"), (3L, "c"), (4L, "d"), (5L, "e")))
+    assert(ManifestStore.versions(spark, manBase("txn_hand")) == Seq(1L, 2L))
+    assert(!spark.catalog.tableExists(s"$cat.$txn"),
+      "commit must drop the workspace")
+    // untouched base files carried into v2 VERBATIM (same rel path)
+    val v2 = latestRows("txn_hand").map(_.file).toSet
+    val untouched = baseRows.map(_.file).filter(v2.contains)
+    assert(untouched.nonEmpty, "some base file should carry by reference")
+  }
+
+  test("catalog txn: a concurrent source commit ABORTS the transaction; " +
+      "abort_txn discards the workspace") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.txn_conflict")
+    spark.sql(s"CREATE TABLE $cat.lake.txn_conflict (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.lake.txn_conflict SELECT id, id*1.0 FROM range(0, 10)")
+    val txn = spark.sql(
+      s"CALL $cat.system.begin_txn('lake.txn_conflict')").head.getString(0)
+    spark.sql(s"INSERT INTO $cat.$txn VALUES (100, 1.0)")
+    // a RACING writer commits on the source after the txn began
+    spark.sql(s"INSERT INTO $cat.lake.txn_conflict VALUES (200, 2.0)")
+    val err = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.commit_txn('lake.txn_conflict', '$txn')").collect()
+    }
+    assert(err.getMessage.contains("moved to"), err.getMessage)
+    // the source carries ONLY the racer's effect; the txn's must not leak
+    assert(spark.table(s"$cat.lake.txn_conflict").count() == 11L)
+    spark.sql(s"CALL $cat.system.abort_txn('$txn')").collect()
+    assert(!spark.catalog.tableExists(s"$cat.$txn"))
+    assert(spark.table(s"$cat.lake.txn_conflict").count() == 11L,
+      "abort must leave the source untouched")
+  }
+
+  test("catalog txn: refusal matrix — nesting, wrong source, non-flat tables, " +
+      "non-workspace abort") {
+    ensure()
+    def refusal(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.txn_ref")
+    spark.sql(s"CREATE TABLE $cat.lake.txn_ref (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.lake.txn_ref VALUES (1, 1.0)")
+    val txn = spark.sql(
+      s"CALL $cat.system.begin_txn('lake.txn_ref')").head.getString(0)
+    assert(refusal(s"CALL $cat.system.begin_txn('$txn')").contains("do not nest"))
+    // committing onto a table the workspace was not opened on refuses
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.txn_other")
+    spark.sql(s"CREATE TABLE $cat.lake.txn_other (k BIGINT, v DOUBLE)")
+    assert(refusal(s"CALL $cat.system.commit_txn('lake.txn_other', '$txn')")
+      .contains("was opened on"))
+    spark.sql(s"CALL $cat.system.abort_txn('$txn')").collect()
+    // non-flat sources refuse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.txn_mor")
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.txn_mor (k BIGINT NOT NULL, v DOUBLE)
+         |TBLPROPERTIES('graft.merge-on-read.key'='k')""".stripMargin)
+    assert(refusal(s"CALL $cat.system.begin_txn('lake.txn_mor')")
+      .contains("flat copy-on-write"))
+    // aborting a non-workspace table refuses
+    assert(refusal(s"CALL $cat.system.abort_txn('lake.txn_ref')")
+      .contains("not a transaction workspace"))
+  }
+
   test("bench load sentinel: probes record beside entries with loadavg and " +
       "roll up median/max/flatness") {
     BenchSentinel.record(spark, "sentinel_spec_a")
