@@ -112,7 +112,7 @@ private[graft] class GraftBucketedScanBuilder(
   with SupportsPushDownRequiredColumns with SupportsPushDownCatalystFilters {
 
   private val inner = ParquetTable(tableName, spark, options,
-    rows.map(r => s"$dir/${r.file}"),
+    rows.map(r => GraftLakeTable.resolveFile(dir, r.file)),
     Some(tableSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -203,7 +203,7 @@ private[graft] class GraftPrunedScanBuilder(
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownCatalystFilters {
 
-  private def allPaths = rows.map(r => s"$dir/${r.file}")
+  private def allPaths = rows.map(r => GraftLakeTable.resolveFile(dir, r.file))
   // eager inner builder over the FULL list: it owns the
   // pushdown-state bookkeeping Spark queries between calls
   // (pushedFilters for plan display); build() replays onto the
@@ -247,7 +247,7 @@ private[graft] class GraftPrunedScanBuilder(
     if (survivors.length == rows.length) probe.build()
     else {
       val inner = ParquetTable(tableName, spark, options,
-        survivors.map(r => s"$dir/${r.file}"),
+        survivors.map(r => GraftLakeTable.resolveFile(dir, r.file)),
         Some(tableSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
       required.foreach(inner.pruneColumns)
       inner.pushFilters(pushedExprs)

@@ -812,7 +812,7 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
     val dataDir = s"$dir/data_$writerId"
     if (touched.nonEmpty) {
       val current = session.read.schema(tableSchema)
-        .parquet(touched.map(r => s"$dir/${r.file}"): _*)
+        .parquet(touched.map(r => GraftLakeTable.resolveFile(dir, r.file)): _*)
       val survivors = current.where(
         !org.apache.spark.sql.functions.coalesce(doomed, org.apache.spark.sql.functions.lit(false)))
       GraftLakeTable.writeData(dataDir, survivors, bucketSpec)
@@ -1051,6 +1051,19 @@ object GraftLakeTable {
       case _ => None
     }
   }
+
+  /** Resolve a manifest-relative file against the table dir. Plain
+    * rows concatenate as always; a K51 transaction workspace's
+    * `../<table>/<rel>` carried reference resolves through the PARENT
+    * dir to a CLEAN path with no `..` component — HDFS and S3A reject
+    * `..` path components outright, so the dot-dots must never reach
+    * the filesystem (review pass 3, round 12). Every reader that turns
+    * manifest rows into paths goes through here.
+    */
+  private[graft] def resolveFile(dir: String, rel: String): String =
+    if (rel.startsWith("../"))
+      new Path(new Path(dir).getParent, rel.substring(3)).toString
+    else s"$dir/$rel"
 
   /** Manifest read instrumentation: every per-version manifest read
     * bumps this JVM-wide counter — what the memoization specs diff to

@@ -289,7 +289,8 @@ class GraftCdfSource(
           "or stream changes from a copy-on-write table"))
 
   private def absOf(f: String): String = dirOpt match {
-    case Some(d) if !f.startsWith("/") && !f.contains(":/") => s"$d/$f"
+    case Some(d) if !f.startsWith("/") && !f.contains(":/") =>
+      GraftLakeTable.resolveFile(d, f)
     case _ => f
   }
 

@@ -145,7 +145,7 @@ private[graft] object GraftDeltaOperation {
     val bySeq: Seq[(Long, Array[Long])] = delRows.groupBy(_.seq).toSeq
       .map { case (s, rs) =>
         (s, spark.read.schema(keySchema)
-          .parquet(rs.map(r => s"$dir/${r.file}"): _*)
+          .parquet(rs.map(r => GraftLakeTable.resolveFile(dir, r.file)): _*)
           .where(org.apache.spark.sql.functions.col(s"`$keyCol`").isNotNull)
           .collect().map(_.getLong(0)))
       }.sortBy(_._1)

@@ -155,13 +155,22 @@ private[graft] class GraftMetaTable(kind: String, dir: String, fullName: String,
     */
   private def bytesByRel(data: Seq[GraftLakeTable.ManifestRow]): Map[String, Long] = {
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
-    data.map(r => r.file.split('/').head).distinct
-      // a K51 transaction workspace carries `../<table>/...` references
-      // — never recurse OUT of the table dir for byte accounting
-      // (those rows report NULL bytes, like swept files)
-      .filterNot(_ == "..")
-      .flatMap(wd => GraftLakeTable.fileLengthsUnder(fs, new Path(dir, wd)))
-      .toMap
+    // a K51 transaction workspace carries `../<table>/<writeDir>/...`
+    // references: the listing group is the SOURCE's write dir (listed
+    // through the parent, never a recursive walk of the namespace) and
+    // the length keys are re-prefixed back to the carried form so the
+    // partitions rollup reports REAL bytes for carried rows too
+    // (review pass 3, round 12)
+    data.map { r =>
+      val parts = r.file.split('/')
+      if (parts.head == "..") parts.take(3).mkString("/") else parts.head
+    }.distinct.flatMap { g =>
+      val lens = GraftLakeTable.fileLengthsUnder(fs,
+        new Path(GraftLakeTable.resolveFile(dir, g)))
+      val prefix = g.split('/').dropRight(1).mkString("/")
+      if (prefix.isEmpty) lens
+      else lens.map { case (k, v) => (s"$prefix/$k", v) }
+    }.toMap
   }
 }
 

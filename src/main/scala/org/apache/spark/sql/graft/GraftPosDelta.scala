@@ -152,7 +152,7 @@ private[graft] object GraftPosMeta {
     val posByFile: Map[String, Array[Long]] =
       if (delRows.isEmpty) Map.empty
       else spark.read.schema(posDelSchema)
-        .parquet(delRows.map(r => s"$dir/${r.file}"): _*)
+        .parquet(delRows.map(r => GraftLakeTable.resolveFile(dir, r.file)): _*)
         .collect()
         .groupBy(_.getString(0))
         .map { case (f, rs) => (f, rs.map(_.getLong(1)).distinct.sorted) }

@@ -239,7 +239,7 @@ private[graft] object GraftProcedures {
       val writerId = java.util.UUID.randomUUID().toString.take(12)
       val dataDir = s"$dir/data_$writerId"
       val packed = session.read.schema(schema)
-        .parquet(small.map(r => s"$dir/${r.file}"): _*)
+        .parquet(small.map(r => GraftLakeTable.resolveFile(dir, r.file)): _*)
         .coalesce(math.max(1, (small.map(_.nRows).sum / math.max(1L, target)).toInt))
       GraftLakeTable.writeData(dataDir, packed, bucketSpec)
       GraftLakeTable.commitReplace(session, dir, dataDir,
@@ -313,7 +313,7 @@ private[graft] object GraftProcedures {
       if (current.isEmpty)
         return resultScan(outSchema, Seq(0L, 0L, 0L))
       val data = session.read.schema(schema)
-        .parquet(current.map(r => s"$dir/${r.file}"): _*)
+        .parquet(current.map(r => GraftLakeTable.resolveFile(dir, r.file)): _*)
       // one metadata-sized aggregate normalizes every dim to 10 bits
       val aggs = proxies.flatMap(p => Seq(min(p), max(p)))
       val b = data.agg(aggs.head, aggs.tail: _*).head()
@@ -497,8 +497,13 @@ private[graft] object GraftProcedures {
     * scope. Multi-table atomicity stays K25's catalog-manifest design.
     */
   private val TxnMarkerFile = "_graft_txn.json"
+  // baseMs = the base version's commit instant, -1 for an empty base
+  // (a bare version NUMBER is not a snapshot identity: a
+  // drop-and-recreate restarts the history and can land on the same
+  // number — the instant pins the actual snapshot; review pass 3);
+  // schemaHash pins the source schema the workspace was opened on.
   private val TxnMarkerRe =
-    """\{"source":"([^"]+)","base":(\d+)\}""".r
+    """\{"source":"([^"]+)","base":(\d+),"baseMs":(-?\d+),"schemaHash":(-?\d+)\}""".r
 
   private class BeginTxnProcedure(catalogName: String, root: String)
     extends UnboundProcedure with BoundProcedure {
@@ -531,15 +536,29 @@ private[graft] object GraftProcedures {
       try meta.write(m.schema.json.getBytes("UTF-8")) finally meta.close()
       val manBase = s"$dir/manifest"
       val base = ManifestStore.versions(session, manBase).lastOption.getOrElse(0L)
+      val baseMs =
+        if (base == 0L) -1L
+        else ManifestStore.versionsWithTimes(session, manBase)
+          .find(_._1 == base).map(_._2).getOrElse(-1L)
       val marker = fs.create(new Path(txnDir, TxnMarkerFile), false)
-      try marker.write(s"""{"source":"$table","base":$base}""".getBytes("UTF-8"))
+      try marker.write(
+        s"""{"source":"$table","base":$base,"baseMs":$baseMs,"schemaHash":${m.schema.json.hashCode}}"""
+          .getBytes("UTF-8"))
       finally marker.close()
-      if (base > 0L) {
-        val rows = GraftLakeTable.manifestRowsFull(session, manBase, base)
-        val seeded = GraftLakeTable.publishRows(session,
-          rows.map(r => r.copy(file = s"../$leaf/${r.file}", txn = "")))
-        require(ManifestStore.tryPublish(session, s"$txnDir/manifest", seeded, 1L),
-          s"begin_txn on $table: could not seed the workspace manifest")
+      // a failed seed must not leave a half-built workspace that a
+      // later commit could misread as "empty net effect" — drop the
+      // dir on any failure past this point (review pass 3)
+      try {
+        if (base > 0L) {
+          val rows = GraftLakeTable.manifestRowsFull(session, manBase, base)
+          val seeded = GraftLakeTable.publishRows(session,
+            rows.map(r => r.copy(file = s"../$leaf/${r.file}", txn = "")))
+          require(ManifestStore.tryPublish(session, s"$txnDir/manifest", seeded, 1L),
+            s"begin_txn on $table: could not seed the workspace manifest")
+        }
+      } catch { case e: Throwable =>
+        try fs.delete(txnDir, true) catch { case _: Throwable => () }
+        throw e
       }
       resultScan(beginOut, Seq(UTF8String.fromString(txnTable), base))
     }
@@ -576,8 +595,8 @@ private[graft] object GraftProcedures {
       val markerTxt =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val (src, base) = markerTxt.trim match {
-        case TxnMarkerRe(s, b) => (s, b.toLong)
+      val (src, base, baseMs, schemaHash) = markerTxt.trim match {
+        case TxnMarkerRe(s, b, ms, h) => (s, b.toLong, ms.toLong, h.toInt)
         case other => throw new IllegalStateException(
           s"commit_txn: unreadable transaction marker: $other")
       }
@@ -593,7 +612,31 @@ private[graft] object GraftProcedures {
           s"commit_txn on $table: the source moved to v$latest past the " +
             s"transaction's base v$base — the transaction cannot merge " +
             "silently; abort_txn and retry on the new base")
-      val txnRows = ManifestStore.versions(session, txnMan).lastOption
+      // a version NUMBER is not a snapshot identity: a drop-and-
+      // recreate restarts the history and can land on the same number
+      // while the carried file references point at deleted files — the
+      // base version's commit INSTANT and the source schema pin the
+      // actual snapshot the workspace was opened on (review pass 3)
+      if (base > 0L) {
+        val nowMs = ManifestStore.versionsWithTimes(session, manBase)
+          .find(_._1 == base).map(_._2).getOrElse(-2L)
+        require(nowMs == baseMs,
+          s"commit_txn on $table: the source is not the table the " +
+            s"transaction was opened on (base v$base commit instant " +
+            s"moved $baseMs -> $nowMs — dropped and recreated?); " +
+            "abort_txn and reopen")
+      }
+      require(m.schema.json.hashCode == schemaHash,
+        s"commit_txn on $table: the source schema changed since " +
+          "begin_txn — abort_txn and reopen on the current schema")
+      val txnVersions = ManifestStore.versions(session, txnMan)
+      // a workspace whose seed never landed (interrupted begin) must
+      // REFUSE, not publish a zero-file version over a non-empty
+      // source (review pass 3 — the silent-wipe path)
+      require(base == 0L || txnVersions.nonEmpty,
+        s"commit_txn on $table: $txnTable has no seeded manifest " +
+          "(interrupted begin_txn?) — abort_txn and reopen")
+      val txnRows = txnVersions.lastOption
         .map(v => GraftLakeTable.manifestRowsFull(session, txnMan, v))
         .getOrElse(Seq.empty)
       val (carried, fresh) = txnRows.partition(_.file.startsWith(carryPrefix))
@@ -611,11 +654,17 @@ private[graft] object GraftProcedures {
       val published = GraftLakeTable.publishRows(session,
         carried.map(r => r.copy(file = r.file.stripPrefix(carryPrefix), txn = "")) ++
           fresh.map(_.copy(txn = "", seq = base + 1)))
-      if (!ManifestStore.tryPublish(session, manBase, published, base + 1))
+      if (!ManifestStore.tryPublish(session, manBase, published, base + 1)) {
+        // the fresh dirs already moved: the workspace's manifest now
+        // points at gone dirs, so a "kept" workspace would crash every
+        // read — drop it outright; the moved files stay unreferenced
+        // under the source until VACUUM (review pass 3)
+        try fs.delete(new Path(txnDir), true) catch { case _: Throwable => () }
         throw new java.io.IOException(
           s"commit_txn on $table: lost the publish race at v${base + 1} — " +
-            "the transaction is aborted; its moved files are unreferenced " +
-            "until VACUUM")
+            "the transaction is aborted and its workspace dropped; the " +
+            "moved files stay unreferenced until VACUUM")
+      }
       fs.delete(new Path(txnDir), true)
       resultScan(commitOut,
         Seq(base + 1, carried.length.toLong, fresh.length.toLong))
@@ -733,9 +782,23 @@ private[graft] object GraftProcedures {
           st.getModificationTime < stagingCutoff
       }
       staleStaging.foreach(st => fs.delete(st.getPath, true))
+      // K51: transaction workspaces abandoned by driver death (or a
+      // user who never commits/aborts) are REAL visible tables with a
+      // _graft_txn.json marker — same age-gated sweep; a live
+      // transaction is minutes old and cannot race the 24h window
+      // (review pass 3, round 12). Only workspaces of THIS table sweep
+      // here (the vacuum's scope is one table).
+      val staleTxn = fs.listStatus(nsDir).toSeq.filter { st =>
+        st.isDirectory &&
+          st.getPath.getName.startsWith(new Path(dir).getName + "__txn_") &&
+          fs.exists(new Path(st.getPath, "_graft_txn.json")) &&
+          st.getModificationTime < stagingCutoff
+      }
+      staleTxn.foreach(st => fs.delete(st.getPath, true))
       resultScan(outSchema,
         Seq(swept.length.toLong,
-          (doomed.length + staleStaging.length).toLong, referenced.size.toLong))
+          (doomed.length + staleStaging.length + staleTxn.length).toLong,
+          referenced.size.toLong))
     }
 
     private val outSchema = StructType(Seq(

@@ -158,7 +158,7 @@ private[graft] class GraftGroupScan(
   }
 
   override def toBatch: Batch = {
-    val paths = effective.map(r => s"$dir/${r.file}")
+    val paths = effective.map(r => GraftLakeTable.resolveFile(dir, r.file))
     // the row-level scan never reports bucket partitioning (the merge
     // query's own joins decide their distribution), so the plain
     // parquet delegation reads bucketed and flat tables alike — the

@@ -168,7 +168,8 @@ class GraftMicroBatchStream(
 
   private def scanOver(relFiles: Seq[String]): Scan = {
     val builder = ParquetTable("graft-stream-source", spark,
-      CaseInsensitiveStringMap.empty(), relFiles.map(f => s"$dir/$f"),
+      CaseInsensitiveStringMap.empty(),
+      relFiles.map(f => GraftLakeTable.resolveFile(dir, f)),
       Some(readSchema), classOf[ParquetFileFormat])
       .newScanBuilder(CaseInsensitiveStringMap.empty())
     builder.pruneColumns(readSchema)

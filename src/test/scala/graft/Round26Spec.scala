@@ -392,6 +392,53 @@ class Round26Spec extends SparkSpec {
       .contains("not a transaction workspace"))
   }
 
+  test("catalog txn: drop-and-recreate of the source cannot pass the base pin " +
+      "(snapshot identity, not version number)") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.txn_ident")
+    spark.sql(s"CREATE TABLE $cat.lake.txn_ident (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.lake.txn_ident VALUES (1, 1.0)")
+    val txn = spark.sql(
+      s"CALL $cat.system.begin_txn('lake.txn_ident')").head.getString(0)
+    // the adversary: drop + recreate lands the history back on v1 with
+    // the SAME version number but different files
+    spark.sql(s"DROP TABLE $cat.lake.txn_ident")
+    spark.sql(s"CREATE TABLE $cat.lake.txn_ident (k BIGINT, v DOUBLE)")
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $cat.lake.txn_ident VALUES (9, 9.0)")
+    val err = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.commit_txn('lake.txn_ident', '$txn')").collect()
+    }
+    assert(err.getMessage.contains("dropped and recreated") ||
+      err.getMessage.contains("commit instant"), err.getMessage)
+    // the recreated table is untouched and fully readable
+    assert(spark.table(s"$cat.lake.txn_ident")
+      .collect().map(_.getLong(0)).toSet == Set(9L))
+    spark.sql(s"CALL $cat.system.abort_txn('$txn')").collect()
+  }
+
+  test("catalog txn: a workspace with no seeded manifest refuses commit instead " +
+      "of wiping the source") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.txn_seedless")
+    spark.sql(s"CREATE TABLE $cat.lake.txn_seedless (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.lake.txn_seedless VALUES (1, 1.0), (2, 2.0)")
+    val txn = spark.sql(
+      s"CALL $cat.system.begin_txn('lake.txn_seedless')").head.getString(0)
+    // simulate an interrupted begin: the seeded manifest vanishes
+    val txnLeaf = txn.split('.').last
+    val fs = new Path(tableDir(txnLeaf))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(tableDir(txnLeaf), "manifest"), true)
+    val err = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.commit_txn('lake.txn_seedless', '$txn')").collect()
+    }
+    assert(err.getMessage.contains("no seeded manifest"), err.getMessage)
+    assert(spark.table(s"$cat.lake.txn_seedless").count() == 2L,
+      "the refusal must leave the source intact")
+    spark.sql(s"CALL $cat.system.abort_txn('$txn')").collect()
+  }
+
   test("bench load sentinel: probes record beside entries with loadavg and " +
       "roll up median/max/flatness") {
     BenchSentinel.record(spark, "sentinel_spec_a")
