@@ -21,17 +21,32 @@ package graft
   * regression.
   */
 object ProfileJobCost {
+  /** One reading of the channel: (per trivial 1-task job ms, per
+    * 32-task agg job ms). Callable from [[Bench]] so the committed
+    * artifact carries the per-job cost beside the CPU sentinel —
+    * iterative/sweep entries then self-normalize without a separate
+    * runMain (VERDICT r12 #1). Counts are parameters because the
+    * standalone profile wants precision (100 jobs) while the bench
+    * wants a bounded probe (a 148 ms/job box must not spend 15 s on
+    * calibration).
+    */
+  def measure(spark: org.apache.spark.sql.SparkSession,
+              nTrivial: Int = 100, nAgg: Int = 20): (Double, Double) = {
+    (1 to 10).foreach(_ => spark.range(1).count())
+    val t0 = System.nanoTime()
+    (1 to nTrivial).foreach(_ => spark.range(1).count())
+    val perJob = (System.nanoTime() - t0) / 1e6 / nTrivial
+    val t1 = System.nanoTime()
+    (1 to nAgg).foreach(_ => spark.range(0L, 1L << 20, 1L, 32).selectExpr("sum(id)").head())
+    val perShuffle = (System.nanoTime() - t1) / 1e6 / nAgg
+    (perJob, perShuffle)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    (1 to 10).foreach(_ => spark.range(1).count())
-    val t0 = System.nanoTime()
-    (1 to 100).foreach(_ => spark.range(1).count())
-    val perJob = (System.nanoTime() - t0) / 1e6 / 100
+    val (perJob, perShuffle) = measure(spark)
     println(f"JOBCOST per-trivial-job ms=$perJob%.2f")
-    val t1 = System.nanoTime()
-    (1 to 20).foreach(_ => spark.range(0L, 1L << 20, 1L, 32).selectExpr("sum(id)").head())
-    val perShuffle = (System.nanoTime() - t1) / 1e6 / 20
     println(f"JOBCOST per-32task-agg ms=$perShuffle%.2f")
     spark.stop()
   }
