@@ -191,8 +191,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                        morPos: Boolean = false): String =
     (bucketSpec, morKey, morPos) match {
       case (Some((col, n)), _, _) =>
+        GraftTableMeta.requireSafeMetaName("bucket column", col)
         s"""{"graftBucket":{"col":"$col","n":$n},"schema":${schema.json}}"""
       case (None, Some(key), _) =>
+        GraftTableMeta.requireSafeMetaName("merge key", key)
         s"""{"graftMor":{"key":"$key"},"schema":${schema.json}}"""
       case (None, None, true) =>
         s"""{"graftMorPos":true,"schema":${schema.json}}"""
@@ -1006,12 +1008,26 @@ private[graft] object GraftTableMeta {
   def withMetaSwapLock[T](metaPath: String)(body: => T): T =
     swapLocks.computeIfAbsent(metaPath, _ => new Object).synchronized(body)
 
+  /** Column/key names that get interpolated RAW into the meta-file
+    * JSON wrappers (bucket col, MoR key) must be JSON- and regex-safe:
+    * a name containing a double quote (legal in Spark schemas) would
+    * corrupt the wrapper irrecoverably, since the readers parse it by
+    * regex (advice, round 12). Identifier class, not full JSON
+    * escaping — the wrapper regexes themselves match `[^"]+`.
+    */
+  def requireSafeMetaName(kind: String, name: String): Unit =
+    require(name.matches("""[A-Za-z0-9_\.\-]+"""),
+      s"$kind name '$name' is not representable in table metadata — " +
+        "use letters, digits, underscore, dot or dash")
+
   /** The evolved wrapper's text form (see [[WrappedBucketEvo]]). */
   def evoText(schema: StructType,
               specs: Seq[(Long, Option[(String, Int)])],
               currentId: Long): String = {
     val items = specs.map {
-      case (id, Some((col, n))) => s"""[$id,"$col",$n]"""
+      case (id, Some((col, n))) =>
+        requireSafeMetaName("bucket column", col)
+        s"""[$id,"$col",$n]"""
       case (id, None) => s"""[$id,null,0]"""
     }.mkString(",")
     s"""{"graftBucketEvo":{"current":$currentId,"specs":[$items]},"schema":${schema.json}}"""

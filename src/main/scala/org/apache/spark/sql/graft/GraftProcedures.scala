@@ -501,9 +501,16 @@ private[graft] object GraftProcedures {
   // (a bare version NUMBER is not a snapshot identity: a
   // drop-and-recreate restarts the history and can land on the same
   // number — the instant pins the actual snapshot; review pass 3);
-  // schemaHash pins the source schema the workspace was opened on.
+  // schemaSha pins the source schema the workspace was opened on —
+  // SHA-256 of the schema JSON, not String.hashCode: a 32-bit hash
+  // collision would let a concurrent ALTER pass the commit check and
+  // publish against a different schema (advice, round 12).
   private val TxnMarkerRe =
-    """\{"source":"([^"]+)","base":(\d+),"baseMs":(-?\d+),"schemaHash":(-?\d+)\}""".r
+    """\{"source":"([^"]+)","base":(\d+),"baseMs":(-?\d+),"schemaSha":"([0-9a-f]+)"\}""".r
+
+  private def schemaSha(json: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   private class BeginTxnProcedure(catalogName: String, root: String)
     extends UnboundProcedure with BoundProcedure {
@@ -542,7 +549,7 @@ private[graft] object GraftProcedures {
           .find(_._1 == base).map(_._2).getOrElse(-1L)
       val marker = fs.create(new Path(txnDir, TxnMarkerFile), false)
       try marker.write(
-        s"""{"source":"$table","base":$base,"baseMs":$baseMs,"schemaHash":${m.schema.json.hashCode}}"""
+        s"""{"source":"$table","base":$base,"baseMs":$baseMs,"schemaSha":"${schemaSha(m.schema.json)}"}"""
           .getBytes("UTF-8"))
       finally marker.close()
       // a failed seed must not leave a half-built workspace that a
@@ -595,8 +602,8 @@ private[graft] object GraftProcedures {
       val markerTxt =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val (src, base, baseMs, schemaHash) = markerTxt.trim match {
-        case TxnMarkerRe(s, b, ms, h) => (s, b.toLong, ms.toLong, h.toInt)
+      val (src, base, baseMs, pinnedSha) = markerTxt.trim match {
+        case TxnMarkerRe(s, b, ms, h) => (s, b.toLong, ms.toLong, h)
         case other => throw new IllegalStateException(
           s"commit_txn: unreadable transaction marker: $other")
       }
@@ -626,7 +633,7 @@ private[graft] object GraftProcedures {
             s"moved $baseMs -> $nowMs — dropped and recreated?); " +
             "abort_txn and reopen")
       }
-      require(m.schema.json.hashCode == schemaHash,
+      require(schemaSha(m.schema.json) == pinnedSha,
         s"commit_txn on $table: the source schema changed since " +
           "begin_txn — abort_txn and reopen on the current schema")
       val txnVersions = ManifestStore.versions(session, txnMan)
@@ -641,15 +648,28 @@ private[graft] object GraftProcedures {
         .getOrElse(Seq.empty)
       val (carried, fresh) = txnRows.partition(_.file.startsWith(carryPrefix))
       // fresh write dirs move under the SOURCE dir (the RTAS commit
-      // shape) — their table-relative paths are then valid verbatim
+      // shape) — their table-relative paths are then valid verbatim.
+      // The move is IDEMPOTENT per dir: a driver crash between moves
+      // and the publish leaves some dirs already under the source, and
+      // a retried commit_txn must complete rather than die on a
+      // "collision" with its own half-finished work (advice, round
+      // 12). source-gone + target-present can only mean "this
+      // workspace's earlier attempt moved it" — write dirs are named
+      // by writer UUID, so no other writer can have created the target.
       val freshDirs = fresh.map(_.file.split('/').head).distinct
       freshDirs.foreach { d =>
+        val source = new Path(txnDir, d)
         val target = new Path(dir, d)
-        require(!fs.exists(target),
-          s"commit_txn on $table: write-dir collision on $d")
-        if (!fs.rename(new Path(txnDir, d), target))
-          throw new java.io.IOException(
-            s"commit_txn on $table: failed to move workspace dir $d")
+        if (fs.exists(source)) {
+          require(!fs.exists(target),
+            s"commit_txn on $table: write-dir collision on $d")
+          if (!fs.rename(source, target))
+            throw new java.io.IOException(
+              s"commit_txn on $table: failed to move workspace dir $d")
+        } else require(fs.exists(target),
+          s"commit_txn on $table: workspace dir $d is missing from both " +
+            "the workspace and the source — the transaction is corrupt; " +
+            "abort_txn and retry")
       }
       val published = GraftLakeTable.publishRows(session,
         carried.map(r => r.copy(file = r.file.stripPrefix(carryPrefix), txn = "")) ++
@@ -784,15 +804,26 @@ private[graft] object GraftProcedures {
       staleStaging.foreach(st => fs.delete(st.getPath, true))
       // K51: transaction workspaces abandoned by driver death (or a
       // user who never commits/aborts) are REAL visible tables with a
-      // _graft_txn.json marker — same age-gated sweep; a live
-      // transaction is minutes old and cannot race the 24h window
-      // (review pass 3, round 12). Only workspaces of THIS table sweep
-      // here (the vacuum's scope is one table).
+      // _graft_txn.json marker — same age-gated sweep; only workspaces
+      // of THIS table sweep here (the vacuum's scope is one table).
+      // Staleness is judged on LAST ACTIVITY — the newest mtime across
+      // the begin marker and the workspace's manifest versions (every
+      // DML statement publishes one) — not the workspace DIRECTORY
+      // mtime: a long-running transaction (a nightly batch that began
+      // >24h ago but committed a statement minutes ago) must not be
+      // swept while open (advice, round 12).
       val staleTxn = fs.listStatus(nsDir).toSeq.filter { st =>
         st.isDirectory &&
           st.getPath.getName.startsWith(new Path(dir).getName + "__txn_") &&
-          fs.exists(new Path(st.getPath, "_graft_txn.json")) &&
-          st.getModificationTime < stagingCutoff
+          fs.exists(new Path(st.getPath, "_graft_txn.json")) && {
+            val markerMs = fs.getFileStatus(
+              new Path(st.getPath, "_graft_txn.json")).getModificationTime
+            val manifestMs =
+              try fs.listStatus(new Path(st.getPath, "manifest")).toSeq
+                .map(_.getModificationTime).maxOption.getOrElse(-1L)
+              catch { case _: java.io.FileNotFoundException => -1L }
+            math.max(markerMs, manifestMs) < stagingCutoff
+          }
       }
       staleTxn.foreach(st => fs.delete(st.getPath, true))
       resultScan(outSchema,
