@@ -217,6 +217,7 @@ object SparkEntry {
     "sink_catalog_stats" -> ((s, d) => IOQueries.sinkCatalogStats(s, d)),
     "sink_catalog_bucket_evolve" -> ((s, d) => IOQueries.sinkCatalogBucketEvolve(s, d)),
     "sink_catalog_txn_multi" -> ((s, d) => IOQueries.sinkCatalogTxnMulti(s, d)),
+    "sink_catalog_txn_group" -> ((s, d) => IOQueries.sinkCatalogTxnGroup(s, d)),
     "sink_catalog_default" -> ((s, d) => IOQueries.sinkCatalogDefault(s, d)),
     "sink_catalog_zorder" -> ((s, d) => IOQueries.sinkCatalogZorder(s, d)),
     "sink_catalog_bucketed_dist" -> ((s, d) => IOQueries.sinkCatalogBucketedDist(s, d)),

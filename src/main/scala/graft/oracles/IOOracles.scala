@@ -229,6 +229,34 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT '__txn_protocol', cast(2 AS bigint), 1.0
         |ORDER BY status""".stripMargin,
+    // K52: group-transaction replay — flat table = even keys + the
+    // txn's odd-'O' insert + the racer row (txn 2's wipes must NOT
+    // appear: the group abort discards both workspaces); bucketed
+    // table = odd keys minus %10=5 with +1000 on %10=1; the protocol
+    // row pins the group commit version (2 on both tables, one journal
+    // point) and the isolation/atomicity/conflict flags (expected 1.0)
+    "sink_catalog_txn_group" ->
+      """WITH flat AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'O'
+        |  UNION ALL SELECT -1, 'RACER', 0.0
+        |), buck AS (
+        |  SELECT o_orderkey,
+        |    o_totalprice + CASE WHEN o_orderkey % 10 = 1 THEN 1000.0 ELSE 0 END AS p
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 10 <> 5
+        |)
+        |SELECT o_orderstatus AS status, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM flat GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT '__bucketed', cast(count(*) AS bigint), round(sum(p), 2)
+        |FROM buck
+        |UNION ALL
+        |SELECT '__txn_protocol', cast(2 AS bigint), 1.0
+        |ORDER BY status""".stripMargin,
     // K50: bucket-evolution replay — the same full-table aggregate
     // before (mixed specs, flat scan) and after (converged, key-grouped
     // scan) the OPTIMIZE rewrite; the protocol row pins the new spec id

@@ -1056,6 +1056,108 @@ object IOQueries {
          |ORDER BY status""".stripMargin)
   }
 
+  /** K52: GROUP TRANSACTIONS — multi-table atomicity plus bucketed
+    * scope on K51's begin/commit/abort surface ([[org.apache.spark.sql
+    * .graft.GraftProcedures]]): `begin_txn('lake.a,lake.b')` opens one
+    * snapshot-seeded workspace per table under a single transaction
+    * id, and commit runs a TWO-PHASE group commit — each table's next
+    * version is claimed as a reader-suppressed PENDING version
+    * (atomic rename carrying a `_pending_<txnId>` marker; concurrent
+    * CAS writers block behind the claim instead of publishing around
+    * it), then ONE create-exclusive journal file
+    * (`.txn_journal/committed_<txnId>`) flips every claim visible at
+    * once — the single atomic commit point, the same shape as an
+    * Iceberg REST catalog's multi-table CAS. Readers of the group see
+    * the whole transaction or none of it; a racer on ANY group table
+    * aborts the WHOLE group. Bucketed tables participate: the
+    * workspace copies the source's full meta, so DML routes buckets
+    * identically and carried references keep their storage-partitioned
+    * layout.
+    *
+    * Flow: flat + BUCKETED table seeded from orders → group begin →
+    * INSERT on the flat workspace, DELETE + UPDATE on the bucketed one
+    * → isolation actuals → group commit (both tables flip to v2) → a
+    * SECOND group transaction that loses to a racer on the flat table
+    * and must leave NEITHER table changed → per-table rollups + the
+    * protocol row. The pending-claim visibility law, crash recovery
+    * and vacuum rollback are spec-pinned where the oracle can't reach
+    * (Round27Spec).
+    */
+  def sinkCatalogTxnGroup(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_grp_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_grp_f")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_grp_b")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_grp_f (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_grp_b (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE)
+        |PARTITIONED BY (bucket(4, o_orderkey))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_grp_f
+        |SELECT * FROM orders_grp_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_grp_b
+        |SELECT o_orderkey, o_totalprice FROM orders_grp_src
+        |WHERE o_orderkey % 2 = 1""".stripMargin)
+    val (fCount, bCount) = (spark.table("graft.lake.orders_grp_f").count(),
+      spark.table("graft.lake.orders_grp_b").count())
+    val opened = spark.sql(
+      "CALL graft.system.begin_txn('lake.orders_grp_f,lake.orders_grp_b')")
+      .collect()
+    val wsF = opened.map(_.getString(0)).find(_.contains("orders_grp_f")).get
+    val wsB = opened.map(_.getString(0)).find(_.contains("orders_grp_b")).get
+    spark.sql(
+      s"""INSERT INTO graft.$wsF
+         |SELECT * FROM orders_grp_src
+         |WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'O'""".stripMargin)
+    spark.sql(s"DELETE FROM graft.$wsB WHERE o_orderkey % 10 = 5")
+    spark.sql(
+      s"""UPDATE graft.$wsB SET o_totalprice = o_totalprice + 1000
+         |WHERE o_orderkey % 10 = 1""".stripMargin)
+    // isolation actuals: neither source moved
+    val isoOk = spark.table("graft.lake.orders_grp_f").count() == fCount &&
+      spark.table("graft.lake.orders_grp_b").count() == bCount
+    val committed = spark.sql("CALL graft.system.commit_txn(" +
+      s"'lake.orders_grp_f,lake.orders_grp_b', '$wsF,$wsB')").collect()
+    val atomicOk = committed.length == 2 && committed.forall(_.getLong(0) == 2L) &&
+      !spark.catalog.tableExists(s"graft.$wsF") &&
+      !spark.catalog.tableExists(s"graft.$wsB")
+    // group txn 2: a racer on the FLAT table must abort the WHOLE
+    // group — the bucketed table's workspace effect must not leak
+    val opened2 = spark.sql(
+      "CALL graft.system.begin_txn('lake.orders_grp_f,lake.orders_grp_b')")
+      .collect().map(_.getString(0))
+    val ws2F = opened2.find(_.contains("orders_grp_f")).get
+    val ws2B = opened2.find(_.contains("orders_grp_b")).get
+    spark.sql(s"DELETE FROM graft.$ws2F WHERE o_orderkey >= 0") // would wipe
+    spark.sql(s"DELETE FROM graft.$ws2B WHERE o_orderkey >= 0") // would wipe
+    spark.sql("INSERT INTO graft.lake.orders_grp_f VALUES (-1, 'RACER', 0.0)")
+    val conflictOk =
+      try {
+        spark.sql("CALL graft.system.commit_txn(" +
+          s"'lake.orders_grp_f,lake.orders_grp_b', '$ws2F,$ws2B')").collect()
+        false
+      } catch { case e: Exception => e.getMessage.contains("moved to") }
+    spark.sql(s"CALL graft.system.abort_txn('$ws2F,$ws2B')").collect()
+    val ok = if (isoOk && atomicOk && conflictOk) 1.0 else 0.0
+    spark.sql(
+      s"""SELECT o_orderstatus AS status, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM graft.lake.orders_grp_f
+         |GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT '__bucketed', count(*), round(sum(o_totalprice), 2)
+         |FROM graft.lake.orders_grp_b
+         |UNION ALL
+         |SELECT '__txn_protocol', 2, $ok
+         |ORDER BY status""".stripMargin)
+  }
+
   /** K41: atomic `CREATE TABLE AS SELECT` / `REPLACE TABLE AS SELECT`
     * through the staging catalog ([[org.apache.spark.sql.graft
     * .GraftStagedTable]]): the table builds INVISIBLY (meta + data +

@@ -34,6 +34,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object ManifestStore {
 
   private val VersionRe = "manifest_v(\\d+)".r
+  // group-commit (2PC) breadcrumb in the manifest BASE dir:
+  // pending_v<version>_<txnId> — a zero-IO hint (it rides the listing
+  // the readers already do) that version <version> MAY be a pending
+  // group-transaction claim needing journal resolution
+  private val PendingRe = "pending_v(\\d+)_([A-Za-z0-9]+)".r
 
   private def fileSystem(spark: SparkSession, base: String): FileSystem =
     new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
@@ -43,12 +48,72 @@ object ManifestStore {
     case _ => None
   }
 
-  /** Committed versions under `base`, ascending (empty if none). */
+  /** GROUP-COMMIT VISIBILITY (the K52 two-phase protocol): a version
+    * claimed by a multi-table transaction carries a `_pending_<txnId>`
+    * marker inside its dir (staged before the atomic rename, so claim
+    * and mark are one operation) plus a `pending_v<N>_<txnId>`
+    * breadcrumb beside it. Such a version is visible IFF the journal
+    * (whose path the marker records) holds `committed_<txnId>` — so
+    * the visibility of EVERY table's claim in the group flips on one
+    * journal-file create, the single atomic commit point. Steady
+    * state costs nothing: resolution only runs for versions whose
+    * breadcrumb appears in the listing the readers already perform,
+    * and a committed claim is finalized (marker + breadcrumb removed,
+    * best-effort) by the first reader that resolves it. An UNRESOLVED
+    * claim suppresses its version: CAS writers then keep targeting the
+    * claimed number and fail the rename, i.e. they BLOCK behind the
+    * in-flight group commit instead of silently publishing around it.
+    */
+  private def listVisible(fs: FileSystem, basePath: Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    if (!fs.exists(basePath)) return Seq.empty
+    val all = fs.listStatus(basePath).toSeq
+    val crumbs = all.flatMap(_.getPath.getName match {
+      case PendingRe(v, txn) => Some((v.toLong, txn))
+      case _ => None
+    })
+    val versioned = all.filter(st => versionOf(st.getPath.getName).isDefined)
+    if (crumbs.isEmpty) return versioned
+    versioned.filter { st =>
+      val v = versionOf(st.getPath.getName).get
+      crumbs.filter(_._1 == v).forall { case (_, txn) =>
+        val marker = new Path(st.getPath, s"_pending_$txn")
+        if (!fs.exists(marker)) {
+          // already finalized (or the crumb is another claimer's
+          // leftover) — the crumb is stale; drop it best-effort
+          try fs.delete(new Path(basePath, s"pending_v${v}_$txn"), false)
+          catch { case _: Exception => () }
+          true
+        } else {
+          val journalDir =
+            try {
+              val in = fs.open(marker)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            } catch { case _: Exception => "" }
+          val committed = journalDir.nonEmpty &&
+            fs.exists(new Path(journalDir, s"committed_$txn"))
+          if (committed) {
+            // commit point passed — finalize so later listings skip
+            // the resolution (marker first: a crumb without a marker
+            // reads as stale and is cleaned above)
+            try { fs.delete(marker, false)
+              fs.delete(new Path(basePath, s"pending_v${v}_$txn"), false) }
+            catch { case _: Exception => () }
+          }
+          committed
+        }
+      }
+    }
+  }
+
+  /** Committed versions under `base`, ascending (empty if none).
+    * Pending group-commit claims whose transaction has not reached its
+    * journal commit point are NOT listed (see [[listVisible]]).
+    */
   def versions(spark: SparkSession, base: String): Seq[Long] = {
     val fs = fileSystem(spark, base)
-    val basePath = new Path(base)
-    if (!fs.exists(basePath)) Seq.empty
-    else fs.listStatus(basePath).toSeq
+    listVisible(fs, new Path(base))
       .flatMap(st => versionOf(st.getPath.getName)).sorted
   }
 
@@ -60,9 +125,7 @@ object ManifestStore {
     */
   def versionsWithTimes(spark: SparkSession, base: String): Seq[(Long, Long)] = {
     val fs = fileSystem(spark, base)
-    val basePath = new Path(base)
-    if (!fs.exists(basePath)) Seq.empty
-    else fs.listStatus(basePath).toSeq
+    listVisible(fs, new Path(base))
       .flatMap(st => versionOf(st.getPath.getName)
         .map(v => (v, st.getModificationTime)))
       .sortBy(_._1)
@@ -109,6 +172,55 @@ object ManifestStore {
     val won = commitAttempt(fs, basePath, temp, writerId, version).contains(true)
     if (!won && fs.exists(temp)) fs.delete(temp, true)
     won
+  }
+
+  /** Phase-1 of the K52 group commit: claim EXACTLY `version` as a
+    * PENDING version for transaction `txnId` — the same atomic rename
+    * CAS as [[tryPublish]], but the staged dir carries a
+    * `_pending_<txnId>` marker (recording `journalDir`) and the claim
+    * leaves a `pending_v<N>_<txnId>` breadcrumb beside it, so readers
+    * suppress the version until `<journalDir>/committed_<txnId>`
+    * exists (the group's single commit point — see [[listVisible]]).
+    * Returns false if another publisher (or pending claim) holds the
+    * version. The breadcrumb is written BEFORE the rename: a crumb
+    * pointing at a version claimed by someone else is harmless (the
+    * marker check resolves it as stale), while a marked claim without
+    * a crumb would be an invisible-forever commit.
+    */
+  def tryPublishPending(spark: SparkSession, base: String, manifest: DataFrame,
+                        version: Long, txnId: String, journalDir: String): Boolean = {
+    require(txnId.matches("[A-Za-z0-9]+"), s"unsafe txn id: $txnId")
+    val fs = fileSystem(spark, base)
+    val basePath = new Path(base)
+    fs.mkdirs(basePath)
+    val writerId = java.util.UUID.randomUUID().toString.take(12)
+    val temp = stageTemp(fs, basePath, manifest, writerId)
+    val marker = fs.create(new Path(temp, s"_pending_$txnId"), true)
+    try marker.write(journalDir.getBytes("UTF-8")) finally marker.close()
+    fs.create(new Path(basePath, s"pending_v${version}_$txnId"), true).close()
+    val won = commitAttempt(fs, basePath, temp, writerId, version).contains(true)
+    if (!won) {
+      if (fs.exists(temp)) fs.delete(temp, true)
+      try fs.delete(new Path(basePath, s"pending_v${version}_$txnId"), false)
+      catch { case _: Exception => () }
+    }
+    won
+  }
+
+  /** Drop an UNCOMMITTED pending claim (phase-1 rollback): the version
+    * dir was never visible to any reader and no writer can have based
+    * on it, so deleting it (and its breadcrumb) is safe. Must not be
+    * called after the journal commit point.
+    */
+  def abortPending(spark: SparkSession, base: String, version: Long,
+                   txnId: String): Unit = {
+    val fs = fileSystem(spark, base)
+    val basePath = new Path(base)
+    val dir = new Path(basePath, s"manifest_v$version")
+    // only this txn's claim — never a plain committed version
+    if (fs.exists(new Path(dir, s"_pending_$txnId"))) fs.delete(dir, true)
+    try fs.delete(new Path(basePath, s"pending_v${version}_$txnId"), false)
+    catch { case _: Exception => () }
   }
 
   /** Write the manifest + writer sentinel into a dot-prefixed temp dir

@@ -96,14 +96,20 @@ private[graft] object GraftProcedures {
   private def fileSystem(root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def resultScan(schema: StructType, row: Seq[Any]): java.util.Iterator[Scan] = {
+  private def resultScan(schema: StructType, row: Seq[Any]): java.util.Iterator[Scan] =
+    resultScanRows(schema, Seq(row))
+
+  private def resultScanRows(schema: StructType,
+                             outRows: Seq[Seq[Any]]): java.util.Iterator[Scan] = {
     val scan: Scan = new LocalScan {
       override def readSchema(): StructType = schema
       override def rows(): Array[InternalRow] =
-        Array(new GenericInternalRow(row.map {
-          case s: String => UTF8String.fromString(s)
-          case other => other
-        }.toArray))
+        outRows.map { row =>
+          new GenericInternalRow(row.map {
+            case s: String => UTF8String.fromString(s)
+            case other => other
+          }.toArray): InternalRow
+        }.toArray
     }
     java.util.Collections.singletonList(scan).iterator()
   }
@@ -491,26 +497,82 @@ private[graft] object GraftProcedures {
     * At 100 TB: begin costs one manifest read + one metadata publish
     * (zero data IO regardless of table size); the statements cost what
     * they cost; commit costs the fresh dirs' renames + one CAS
-    * publish. Scope v1: flat copy-on-write tables (bucketed, MoR and
-    * spec-evolved tables refuse — their routing/mask machinery would
-    * need spec-aware carries); single-table, the Delta transaction
-    * scope. Multi-table atomicity stays K25's catalog-manifest design.
+    * publish.
+    *
+    * Scope v2 (K52): BUCKETED tables participate (the workspace copies
+    * the source's full meta so the bucket router routes DML
+    * identically, and carried references keep their
+    * `__graft_bucket=<i>` path component, so `HasPartitionKey` reads
+    * stay storage-partitioned); MoR and spec-evolved tables still
+    * refuse (their mask/spec machinery would need spec-aware carries).
+    * And transactions span MULTIPLE tables: `begin_txn('lake.a,
+    * lake.b')` opens one workspace per table under one transaction id,
+    * and commit runs a TWO-PHASE group commit — phase 1 claims each
+    * table's next version as a PENDING claim (atomic rename carrying a
+    * `_pending_<txnId>` marker; readers suppress it, concurrent CAS
+    * writers block behind it — [[graft.sinks.ManifestStore]]), phase 2
+    * flips every claim visible with ONE create-exclusive journal file
+    * (`<root>/.txn_journal/committed_<txnId>`) — the single atomic
+    * commit point, the same shape as an Iceberg REST catalog's
+    * multi-table CAS. Readers of all group tables see the whole
+    * transaction or none of it. A crash between phases leaves
+    * suppressed claims that VACUUM aborts after the staging grace; a
+    * crash after the journal commit leaves a DURABLE transaction whose
+    * claims the first reader finalizes lazily.
     */
   private val TxnMarkerFile = "_graft_txn.json"
   // baseMs = the base version's commit instant, -1 for an empty base
   // (a bare version NUMBER is not a snapshot identity: a
   // drop-and-recreate restarts the history and can land on the same
   // number — the instant pins the actual snapshot; review pass 3);
-  // schemaSha pins the source schema the workspace was opened on —
-  // SHA-256 of the schema JSON, not String.hashCode: a 32-bit hash
-  // collision would let a concurrent ALTER pass the commit check and
-  // publish against a different schema (advice, round 12).
+  // metaSha pins the source's FULL meta file (schema + bucket spec
+  // history) the workspace was opened on — SHA-256, not
+  // String.hashCode: a 32-bit collision would let a concurrent
+  // ALTER/set_bucketing pass the commit check (advice, round 12);
+  // txnId + group tie the workspace to its transaction group, so a
+  // commit of a strict subset of the group refuses.
   private val TxnMarkerRe =
-    """\{"source":"([^"]+)","base":(\d+),"baseMs":(-?\d+),"schemaSha":"([0-9a-f]+)"\}""".r
+    """\{"source":"([^"]+)","base":(\d+),"baseMs":(-?\d+),"metaSha":"([0-9a-f]+)","txnId":"([A-Za-z0-9]+)","group":"([^"]+)"\}""".r
 
-  private def schemaSha(json: String): String =
+  private def sha256Hex(txt: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
-      .digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(txt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def parseTableList(arg: String): Seq[String] = {
+    val ts = arg.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(ts.nonEmpty, s"empty table list: '$arg'")
+    require(ts.distinct.length == ts.length, s"duplicate tables in '$arg'")
+    ts
+  }
+
+  private def rawMetaText(root: String, dir: String): String = {
+    val fs = fileSystem(root)
+    val in = fs.open(new Path(dir, "_graft_table.json"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def journalDir(root: String): Path = new Path(root, ".txn_journal")
+
+  private case class TxnMarker(source: String, base: Long, baseMs: Long,
+                               metaSha: String, txnId: String, group: String)
+
+  private def readMarker(root: String, txnDir: String): TxnMarker = {
+    val fs = fileSystem(root)
+    val markerPath = new Path(txnDir, TxnMarkerFile)
+    require(fs.exists(markerPath),
+      s"${new Path(txnDir).getName} is not a transaction workspace (no $TxnMarkerFile)")
+    val in = fs.open(markerPath)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.trim match {
+      case TxnMarkerRe(s, b, ms, sha, id, g) =>
+        TxnMarker(s, b.toLong, ms.toLong, sha, id, g)
+      case other => throw new IllegalStateException(
+        s"unreadable transaction marker: $other")
+    }
+  }
 
   private class BeginTxnProcedure(catalogName: String, root: String)
     extends UnboundProcedure with BoundProcedure {
@@ -523,51 +585,66 @@ private[graft] object GraftProcedures {
       ProcedureParameter.in("table", StringType).build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val table = input.getUTF8String(0).toString
-      require(!table.contains("__txn_"),
-        s"begin_txn on $table: transactions do not nest")
-      val (dir, m) = resolveFull(catalogName, root, table)
-      require(m.bucket.isEmpty && m.morKey.isEmpty && !m.morPos &&
-          m.currentSpecId == 0L && m.bucketSpecs.length == 1,
-        s"begin_txn on $table: v1 transaction scope is flat copy-on-write " +
-          "tables (bucketed, merge-on-read and spec-evolved tables refuse)")
-      val session = spark
-      val leaf = table.split('.').last
-      val txnId = java.util.UUID.randomUUID().toString.take(8)
-      val txnTable = s"${table}__txn_$txnId"
-      val txnLeaf = s"${leaf}__txn_$txnId"
-      val txnDir = new Path(new Path(dir).getParent, txnLeaf)
-      val fs = fileSystem(root)
-      fs.mkdirs(txnDir)
-      val meta = fs.create(new Path(txnDir, "_graft_table.json"), false)
-      try meta.write(m.schema.json.getBytes("UTF-8")) finally meta.close()
-      val manBase = s"$dir/manifest"
-      val base = ManifestStore.versions(session, manBase).lastOption.getOrElse(0L)
-      val baseMs =
-        if (base == 0L) -1L
-        else ManifestStore.versionsWithTimes(session, manBase)
-          .find(_._1 == base).map(_._2).getOrElse(-1L)
-      val marker = fs.create(new Path(txnDir, TxnMarkerFile), false)
-      try marker.write(
-        s"""{"source":"$table","base":$base,"baseMs":$baseMs,"schemaSha":"${schemaSha(m.schema.json)}"}"""
-          .getBytes("UTF-8"))
-      finally marker.close()
-      // a failed seed must not leave a half-built workspace that a
-      // later commit could misread as "empty net effect" — drop the
-      // dir on any failure past this point (review pass 3)
-      try {
-        if (base > 0L) {
-          val rows = GraftLakeTable.manifestRowsFull(session, manBase, base)
-          val seeded = GraftLakeTable.publishRows(session,
-            rows.map(r => r.copy(file = s"../$leaf/${r.file}", txn = "")))
-          require(ManifestStore.tryPublish(session, s"$txnDir/manifest", seeded, 1L),
-            s"begin_txn on $table: could not seed the workspace manifest")
-        }
-      } catch { case e: Throwable =>
-        try fs.delete(txnDir, true) catch { case _: Throwable => () }
-        throw e
+      val tables = parseTableList(input.getUTF8String(0).toString)
+      tables.foreach(t => require(!t.contains("__txn_"),
+        s"begin_txn on $t: transactions do not nest"))
+      val resolved = tables.map(t => (t, resolveFull(catalogName, root, t)))
+      resolved.foreach { case (t, (_, m)) =>
+        require(m.morKey.isEmpty && !m.morPos,
+          s"begin_txn on $t: merge-on-read tables refuse (their mask " +
+            "machinery would need spec-aware carries)")
+        require(m.currentSpecId == 0L && m.bucketSpecs.length == 1,
+          s"begin_txn on $t: spec-evolved tables refuse (per-file spec " +
+            "routing would need spec-aware carries); flat and bucketed " +
+            "tables participate")
       }
-      resultScan(beginOut, Seq(UTF8String.fromString(txnTable), base))
+      val session = spark
+      // first 8 uuid chars are hex — alphanumeric by construction,
+      // which the pending-claim path requires
+      val txnId = java.util.UUID.randomUUID().toString.take(8)
+      val group = tables.mkString(",")
+      val fs = fileSystem(root)
+      val created = scala.collection.mutable.ArrayBuffer[Path]()
+      // all-or-nothing: a failure opening any workspace (including a
+      // failed seed, which a later commit could misread as "empty net
+      // effect" — review pass 3) drops every workspace already created
+      val outRows =
+        try resolved.map { case (table, (dir, _)) =>
+          val leaf = table.split('.').last
+          val txnTable = s"${table}__txn_$txnId"
+          val txnDir = new Path(new Path(dir).getParent, s"${leaf}__txn_$txnId")
+          fs.mkdirs(txnDir)
+          created += txnDir
+          // the FULL meta text (schema + bucket wrapper) so a bucketed
+          // source's workspace routes DML identically (K52)
+          val rawMeta = rawMetaText(root, dir)
+          val meta = fs.create(new Path(txnDir, "_graft_table.json"), false)
+          try meta.write(rawMeta.getBytes("UTF-8")) finally meta.close()
+          val manBase = s"$dir/manifest"
+          val base = ManifestStore.versions(session, manBase).lastOption.getOrElse(0L)
+          val baseMs =
+            if (base == 0L) -1L
+            else ManifestStore.versionsWithTimes(session, manBase)
+              .find(_._1 == base).map(_._2).getOrElse(-1L)
+          val marker = fs.create(new Path(txnDir, TxnMarkerFile), false)
+          try marker.write(
+            s"""{"source":"$table","base":$base,"baseMs":$baseMs,"metaSha":"${sha256Hex(rawMeta)}","txnId":"$txnId","group":"$group"}"""
+              .getBytes("UTF-8"))
+          finally marker.close()
+          if (base > 0L) {
+            val rows = GraftLakeTable.manifestRowsFull(session, manBase, base)
+            val seeded = GraftLakeTable.publishRows(session,
+              rows.map(r => r.copy(file = s"../$leaf/${r.file}", txn = "")))
+            require(ManifestStore.tryPublish(session, s"$txnDir/manifest", seeded, 1L),
+              s"begin_txn on $table: could not seed the workspace manifest")
+          }
+          Seq[Any](UTF8String.fromString(txnTable), base)
+        } catch { case e: Throwable =>
+          created.foreach(d =>
+            try fs.delete(d, true) catch { case _: Throwable => () })
+          throw e
+        }
+      resultScanRows(beginOut, outRows)
     }
 
     private val beginOut = StructType(Seq(
@@ -588,106 +665,177 @@ private[graft] object GraftProcedures {
       ProcedureParameter.in("txn_table", StringType).build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val table = input.getUTF8String(0).toString
-      val txnTable = input.getUTF8String(1).toString
+      val tables = parseTableList(input.getUTF8String(0).toString)
+      val txnTables = parseTableList(input.getUTF8String(1).toString)
+      require(tables.length == txnTables.length,
+        s"commit_txn: ${tables.length} tables vs ${txnTables.length} " +
+          "workspaces — the lists pair positionally")
       val session = spark
-      val (dir, m) = resolveFull(catalogName, root, table)
-      val (txnDir, _) = resolveFull(catalogName, root, txnTable)
       val fs = fileSystem(root)
-      val markerPath = new Path(txnDir, TxnMarkerFile)
-      require(fs.exists(markerPath),
-        s"commit_txn: $txnTable is not a transaction workspace " +
-          s"(no $TxnMarkerFile)")
-      val in = fs.open(markerPath)
-      val markerTxt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val (src, base, baseMs, pinnedSha) = markerTxt.trim match {
-        case TxnMarkerRe(s, b, ms, h) => (s, b.toLong, ms.toLong, h)
-        case other => throw new IllegalStateException(
-          s"commit_txn: unreadable transaction marker: $other")
+
+      case class Part(table: String, dir: String, txnDir: String, mk: TxnMarker)
+      val parts = tables.zip(txnTables).map { case (table, txnTable) =>
+        val (dir, _) = resolveFull(catalogName, root, table)
+        val (txnDir, _) = resolveFull(catalogName, root, txnTable)
+        val mk = readMarker(root, txnDir)
+        require(mk.source == table,
+          s"commit_txn: $txnTable was opened on '${mk.source}', not '$table'")
+        Part(table, dir, txnDir, mk)
       }
-      require(src == table,
-        s"commit_txn: $txnTable was opened on '$src', not '$table'")
-      val leaf = table.split('.').last
-      val carryPrefix = s"../$leaf/"
-      val manBase = s"$dir/manifest"
-      val txnMan = s"$txnDir/manifest"
-      val latest = ManifestStore.versions(session, manBase).lastOption.getOrElse(0L)
-      if (latest != base)
-        throw new IllegalStateException(
-          s"commit_txn on $table: the source moved to v$latest past the " +
-            s"transaction's base v$base — the transaction cannot merge " +
-            "silently; abort_txn and retry on the new base")
-      // a version NUMBER is not a snapshot identity: a drop-and-
-      // recreate restarts the history and can land on the same number
-      // while the carried file references point at deleted files — the
-      // base version's commit INSTANT and the source schema pin the
-      // actual snapshot the workspace was opened on (review pass 3)
-      if (base > 0L) {
-        val nowMs = ManifestStore.versionsWithTimes(session, manBase)
-          .find(_._1 == base).map(_._2).getOrElse(-2L)
-        require(nowMs == baseMs,
-          s"commit_txn on $table: the source is not the table the " +
-            s"transaction was opened on (base v$base commit instant " +
-            s"moved $baseMs -> $nowMs — dropped and recreated?); " +
-            "abort_txn and reopen")
+      val txnId = parts.head.mk.txnId
+      require(parts.forall(_.mk.txnId == txnId),
+        "commit_txn: the workspaces belong to different transactions " +
+          s"(${parts.map(_.mk.txnId).distinct.mkString(", ")})")
+      // a strict subset of the group must refuse: partial visibility is
+      // exactly what the group commit exists to prevent
+      require(tables.toSet == parts.head.mk.group.split(',').toSet,
+        s"commit_txn: transaction $txnId spans '${parts.head.mk.group}' — " +
+          "all group tables commit together")
+      val journal = journalDir(root)
+
+      def countsAt(p: Part, v: Long): (Long, Long) = {
+        val rows = GraftLakeTable.manifestRowsFull(session, s"${p.dir}/manifest", v)
+        val fresh = rows.count(_.seq == v).toLong
+        (rows.length - fresh, fresh)
       }
-      require(schemaSha(m.schema.json) == pinnedSha,
-        s"commit_txn on $table: the source schema changed since " +
-          "begin_txn — abort_txn and reopen on the current schema")
-      val txnVersions = ManifestStore.versions(session, txnMan)
-      // a workspace whose seed never landed (interrupted begin) must
-      // REFUSE, not publish a zero-file version over a non-empty
-      // source (review pass 3 — the silent-wipe path)
-      require(base == 0L || txnVersions.nonEmpty,
-        s"commit_txn on $table: $txnTable has no seeded manifest " +
-          "(interrupted begin_txn?) — abort_txn and reopen")
-      val txnRows = txnVersions.lastOption
-        .map(v => GraftLakeTable.manifestRowsFull(session, txnMan, v))
-        .getOrElse(Seq.empty)
-      val (carried, fresh) = txnRows.partition(_.file.startsWith(carryPrefix))
-      // fresh write dirs move under the SOURCE dir (the RTAS commit
-      // shape) — their table-relative paths are then valid verbatim.
-      // The move is IDEMPOTENT per dir: a driver crash between moves
-      // and the publish leaves some dirs already under the source, and
-      // a retried commit_txn must complete rather than die on a
-      // "collision" with its own half-finished work (advice, round
-      // 12). source-gone + target-present can only mean "this
-      // workspace's earlier attempt moved it" — write dirs are named
-      // by writer UUID, so no other writer can have created the target.
-      val freshDirs = fresh.map(_.file.split('/').head).distinct
-      freshDirs.foreach { d =>
-        val source = new Path(txnDir, d)
-        val target = new Path(dir, d)
-        if (fs.exists(source)) {
-          require(!fs.exists(target),
-            s"commit_txn on $table: write-dir collision on $d")
-          if (!fs.rename(source, target))
-            throw new java.io.IOException(
-              s"commit_txn on $table: failed to move workspace dir $d")
-        } else require(fs.exists(target),
-          s"commit_txn on $table: workspace dir $d is missing from both " +
-            "the workspace and the source — the transaction is corrupt; " +
-            "abort_txn and retry")
+      def dropWorkspaces(): Unit = parts.foreach(p =>
+        try fs.delete(new Path(p.txnDir), true) catch { case _: Throwable => () })
+
+      // a RETRY after a crash past the journal commit point: the
+      // transaction is already durable — finalize (readers do the
+      // claim resolution lazily) and report the committed versions
+      if (fs.exists(new Path(journal, s"committed_$txnId"))) {
+        val out = parts.map { p =>
+          val (c, f) = countsAt(p, p.mk.base + 1)
+          Seq[Any](p.mk.base + 1, c, f)
+        }
+        dropWorkspaces()
+        return resultScanRows(commitOut, out)
       }
-      val published = GraftLakeTable.publishRows(session,
-        carried.map(r => r.copy(file = r.file.stripPrefix(carryPrefix), txn = "")) ++
-          fresh.map(_.copy(txn = "", seq = base + 1)))
-      if (!ManifestStore.tryPublish(session, manBase, published, base + 1)) {
-        // the fresh dirs already moved: the workspace's manifest now
-        // points at gone dirs, so a "kept" workspace would crash every
-        // read — drop it outright; the moved files stay unreferenced
-        // under the source until VACUUM (review pass 3)
-        try fs.delete(new Path(txnDir), true) catch { case _: Throwable => () }
-        throw new java.io.IOException(
-          s"commit_txn on $table: lost the publish race at v${base + 1} — " +
-            "the transaction is aborted and its workspace dropped; the " +
-            "moved files stay unreferenced until VACUUM")
+
+      // pin verification for EVERY table before any mutation
+      parts.foreach { p =>
+        val manBase = s"${p.dir}/manifest"
+        val latest = ManifestStore.versions(session, manBase).lastOption.getOrElse(0L)
+        if (latest != p.mk.base)
+          throw new IllegalStateException(
+            s"commit_txn on ${p.table}: the source moved to v$latest past " +
+              s"the transaction's base v${p.mk.base} — the transaction " +
+              "cannot merge silently; abort_txn and retry on the new base")
+        // a version NUMBER is not a snapshot identity: a drop-and-
+        // recreate restarts the history and can land on the same number
+        // while the carried file references point at deleted files — the
+        // base version's commit INSTANT and the source meta pin the
+        // actual snapshot the workspace was opened on (review pass 3)
+        if (p.mk.base > 0L) {
+          val nowMs = ManifestStore.versionsWithTimes(session, manBase)
+            .find(_._1 == p.mk.base).map(_._2).getOrElse(-2L)
+          require(nowMs == p.mk.baseMs,
+            s"commit_txn on ${p.table}: the source is not the table the " +
+              s"transaction was opened on (base v${p.mk.base} commit " +
+              s"instant moved ${p.mk.baseMs} -> $nowMs — dropped and " +
+              "recreated?); abort_txn and reopen")
+        }
+        require(sha256Hex(rawMetaText(root, p.dir)) == p.mk.metaSha,
+          s"commit_txn on ${p.table}: the source schema changed since " +
+            "begin_txn (ALTER or set_bucketing) — abort_txn and reopen " +
+            "on the current schema")
       }
-      fs.delete(new Path(txnDir), true)
-      resultScan(commitOut,
-        Seq(base + 1, carried.length.toLong, fresh.length.toLong))
+
+      // per-table squash prep: net-effect rows + idempotent dir moves
+      case class Prepared(p: Part, published: org.apache.spark.sql.DataFrame,
+                          carried: Long, fresh: Long)
+      val prepared = parts.map { p =>
+        val leaf = p.table.split('.').last
+        val carryPrefix = s"../$leaf/"
+        val txnMan = s"${p.txnDir}/manifest"
+        val txnVersions = ManifestStore.versions(session, txnMan)
+        // a workspace whose seed never landed (interrupted begin) must
+        // REFUSE, not publish a zero-file version over a non-empty
+        // source (review pass 3 — the silent-wipe path)
+        require(p.mk.base == 0L || txnVersions.nonEmpty,
+          s"commit_txn on ${p.table}: ${new Path(p.txnDir).getName} has " +
+            "no seeded manifest (interrupted begin_txn?) — abort_txn and reopen")
+        val txnRows = txnVersions.lastOption
+          .map(v => GraftLakeTable.manifestRowsFull(session, txnMan, v))
+          .getOrElse(Seq.empty)
+        val (carried, fresh) = txnRows.partition(_.file.startsWith(carryPrefix))
+        // fresh write dirs move under the SOURCE dir (the RTAS commit
+        // shape) — their table-relative paths are then valid verbatim.
+        // The move is IDEMPOTENT per dir: a driver crash between moves
+        // and the publish leaves some dirs already under the source,
+        // and a retried commit_txn must complete rather than die on a
+        // "collision" with its own half-finished work (advice, round
+        // 12). source-gone + target-present can only mean "this
+        // workspace's earlier attempt moved it" — write dirs are named
+        // by writer UUID, so no other writer can have created the target.
+        val freshDirs = fresh.map(_.file.split('/').head).distinct
+        freshDirs.foreach { d =>
+          val source = new Path(p.txnDir, d)
+          val target = new Path(p.dir, d)
+          if (fs.exists(source)) {
+            require(!fs.exists(target),
+              s"commit_txn on ${p.table}: write-dir collision on $d")
+            if (!fs.rename(source, target))
+              throw new java.io.IOException(
+                s"commit_txn on ${p.table}: failed to move workspace dir $d")
+          } else require(fs.exists(target),
+            s"commit_txn on ${p.table}: workspace dir $d is missing from " +
+              "both the workspace and the source — the transaction is " +
+              "corrupt; abort_txn and retry")
+        }
+        val published = GraftLakeTable.publishRows(session,
+          carried.map(r => r.copy(file = r.file.stripPrefix(carryPrefix), txn = "")) ++
+            fresh.map(_.copy(txn = "", seq = p.mk.base + 1)))
+        Prepared(p, published, carried.length.toLong, fresh.length.toLong)
+      }
+
+      if (parts.length == 1) {
+        // single-table: the plain CAS publish is already atomic
+        val pr = prepared.head
+        val manBase = s"${pr.p.dir}/manifest"
+        if (!ManifestStore.tryPublish(session, manBase, pr.published, pr.p.mk.base + 1)) {
+          // the fresh dirs already moved: the workspace's manifest now
+          // points at gone dirs, so a "kept" workspace would crash
+          // every read — drop it outright; the moved files stay
+          // unreferenced under the source until VACUUM (review pass 3)
+          dropWorkspaces()
+          throw new java.io.IOException(
+            s"commit_txn on ${pr.p.table}: lost the publish race at " +
+              s"v${pr.p.mk.base + 1} — the transaction is aborted and its " +
+              "workspace dropped; the moved files stay unreferenced until VACUUM")
+        }
+      } else {
+        // K52 group commit, phase 1: claim every table's next version
+        // as a reader-suppressed PENDING claim
+        val claimed = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+        val loser = prepared.find { pr =>
+          val manBase = s"${pr.p.dir}/manifest"
+          val won = ManifestStore.tryPublishPending(session, manBase,
+            pr.published, pr.p.mk.base + 1, txnId, journal.toString)
+          if (won) claimed += ((manBase, pr.p.mk.base + 1))
+          !won
+        }
+        if (loser.isDefined) {
+          // phase-1 rollback: no claim ever became visible, so dropping
+          // them is safe; moved files stay unreferenced until VACUUM
+          claimed.foreach { case (mb, v) =>
+            ManifestStore.abortPending(session, mb, v, txnId) }
+          dropWorkspaces()
+          throw new java.io.IOException(
+            s"commit_txn on ${loser.get.p.table}: lost the publish race at " +
+              s"v${loser.get.p.mk.base + 1} — the group transaction is " +
+              "aborted and its workspaces dropped; the moved files stay " +
+              "unreferenced until VACUUM")
+        }
+        // phase 2 — THE commit point: one create-exclusive journal file
+        // flips every table's claim visible at once
+        fs.mkdirs(journal)
+        fs.create(new Path(journal, s"committed_$txnId"), false).close()
+      }
+      dropWorkspaces()
+      resultScanRows(commitOut, prepared.map(pr =>
+        Seq[Any](pr.p.mk.base + 1, pr.carried, pr.fresh)))
     }
 
     private val commitOut = StructType(Seq(
@@ -707,13 +855,32 @@ private[graft] object GraftProcedures {
       ProcedureParameter.in("txn_table", StringType).build())
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      val txnTable = input.getUTF8String(0).toString
-      val (txnDir, _) = resolveFull(catalogName, root, txnTable)
+      val txnTables = parseTableList(input.getUTF8String(0).toString)
       val fs = fileSystem(root)
-      require(fs.exists(new Path(txnDir, TxnMarkerFile)),
-        s"abort_txn: $txnTable is not a transaction workspace")
-      fs.delete(new Path(txnDir), true)
-      resultScan(abortOut, Seq(1L))
+      txnTables.foreach { txnTable =>
+        val (txnDir, _) = resolveFull(catalogName, root, txnTable)
+        require(fs.exists(new Path(txnDir, TxnMarkerFile)),
+          s"abort_txn: $txnTable is not a transaction workspace")
+        val mk = readMarker(root, txnDir)
+        // a crash between a group commit's phases leaves reader-
+        // suppressed pending claims on the source — roll them back
+        // here (only while the journal has NOT committed; after the
+        // commit point the claims are durable and only the workspace
+        // is cleaned)
+        if (!fs.exists(new Path(journalDir(root), s"committed_${mk.txnId}"))) {
+          val srcMan = new Path(tableDirOf(root, mk.source), "manifest")
+          if (fs.exists(srcMan)) {
+            val crumb = s"pending_v(\\d+)_${mk.txnId}".r
+            fs.listStatus(srcMan).foreach(st => st.getPath.getName match {
+              case crumb(v) => ManifestStore.abortPending(
+                spark, srcMan.toString, v.toLong, mk.txnId)
+              case _ => ()
+            })
+          }
+        }
+        fs.delete(new Path(txnDir), true)
+      }
+      resultScan(abortOut, Seq(txnTables.length.toLong))
     }
 
     private val abortOut = StructType(Seq(StructField("dropped", LongType)))
@@ -826,6 +993,31 @@ private[graft] object GraftProcedures {
           }
       }
       staleTxn.foreach(st => fs.delete(st.getPath, true))
+      // K52: pending group-commit claims whose transaction never
+      // reached its journal commit point (a driver died between the
+      // phases) suppress their version number forever and make CAS
+      // writers targeting it fail out — age-gated rollback, same
+      // window as the workspace sweep. Committed claims are left for
+      // readers to finalize lazily.
+      val pendingCrumb = "pending_v(\\d+)_([A-Za-z0-9]+)".r
+      val manDir = new Path(manBase)
+      if (fs.exists(manDir)) fs.listStatus(manDir).foreach { st =>
+        st.getPath.getName match {
+          case pendingCrumb(v, txnId) =>
+            val vDir = new Path(manDir, s"manifest_v$v")
+            val marker = new Path(vDir, s"_pending_$txnId")
+            if (fs.exists(marker) &&
+                fs.getFileStatus(vDir).getModificationTime < stagingCutoff) {
+              val in = fs.open(marker)
+              val jd =
+                try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+              if (jd.isEmpty || !fs.exists(new Path(jd, s"committed_$txnId")))
+                ManifestStore.abortPending(session, manBase, v.toLong, txnId)
+            }
+          case _ => ()
+        }
+      }
       resultScan(outSchema,
         Seq(swept.length.toLong,
           (doomed.length + staleStaging.length + staleTxn.length).toLong,

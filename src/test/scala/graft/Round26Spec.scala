@@ -385,8 +385,9 @@ class Round26Spec extends SparkSpec {
     spark.sql(
       s"""CREATE TABLE $cat.lake.txn_mor (k BIGINT NOT NULL, v DOUBLE)
          |TBLPROPERTIES('graft.merge-on-read.key'='k')""".stripMargin)
+    // v2 (K52) widened the scope to bucketed tables; MoR still refuses
     assert(refusal(s"CALL $cat.system.begin_txn('lake.txn_mor')")
-      .contains("flat copy-on-write"))
+      .contains("merge-on-read tables refuse"))
     // aborting a non-workspace table refuses
     assert(refusal(s"CALL $cat.system.abort_txn('lake.txn_ref')")
       .contains("not a transaction workspace"))
