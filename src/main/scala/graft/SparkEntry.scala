@@ -218,6 +218,9 @@ object SparkEntry {
     "sink_catalog_bucket_evolve" -> ((s, d) => IOQueries.sinkCatalogBucketEvolve(s, d)),
     "sink_catalog_txn_multi" -> ((s, d) => IOQueries.sinkCatalogTxnMulti(s, d)),
     "sink_catalog_txn_group" -> ((s, d) => IOQueries.sinkCatalogTxnGroup(s, d)),
+    "sink_catalog_cbo" -> ((s, d) => IOQueries.sinkCatalogCbo(s, d)),
+    "sink_zorder_scoped" -> ((s, d) => IOQueries.sinkZorderScoped(s, d)),
+    "sink_branch_sql" -> ((s, d) => IOQueries.sinkBranchSql(s, d)),
     "sink_catalog_default" -> ((s, d) => IOQueries.sinkCatalogDefault(s, d)),
     "sink_catalog_zorder" -> ((s, d) => IOQueries.sinkCatalogZorder(s, d)),
     "sink_catalog_bucketed_dist" -> ((s, d) => IOQueries.sinkCatalogBucketedDist(s, d)),

@@ -257,6 +257,56 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT '__txn_protocol', cast(2 AS bigint), 1.0
         |ORDER BY status""".stripMargin,
+    // K53: CBO-stats replay — the 3-way join rollup over the derived
+    // fact/dim tables (every fact row matches exactly one key in each
+    // dim); the protocol row pins the join count (3 relations) and the
+    // reorder flag (expected 1.0: the NDV-fed CBO pulls the 10-key dim
+    // ahead of the 1000-key dim while the stats-off plan follows the
+    // written order)
+    "sink_catalog_cbo" ->
+      """WITH f AS (
+        |  SELECT l_orderkey % 1000 AS k1, l_orderkey % 10 AS k2,
+        |    l_quantity AS q
+        |  FROM lineitem
+        |)
+        |SELECT concat('b', k2) AS grp, cast(count(*) AS bigint) AS n,
+        |  round(sum(q), 2) AS total
+        |FROM f GROUP BY k2
+        |UNION ALL
+        |SELECT '__cbo_protocol', cast(3 AS bigint), 1.0
+        |ORDER BY grp""".stripMargin,
+    // K54: scoped-ZORDER replay — content is invariant under the
+    // rewrite (per-region rollup straight from lineitem); the protocol
+    // row pins the region count and the carried-file-identity flag
+    // (expected 1.0: every out-of-scope file kept its NAME, every
+    // in-scope file was replaced — computed from the manifests on the
+    // Spark side, where the oracle cannot reach)
+    "sink_zorder_scoped" ->
+      """WITH f AS (
+        |  SELECT l_orderkey % 4 AS r, l_quantity AS q FROM lineitem
+        |)
+        |SELECT cast(r AS varchar) AS grp, cast(count(*) AS bigint) AS n,
+        |  round(sum(q), 2) AS total
+        |FROM f GROUP BY r
+        |UNION ALL
+        |SELECT '__scoped_protocol', cast(4 AS bigint), 1.0
+        |ORDER BY grp""".stripMargin,
+    // K55: branch/tag-SQL replay — the per-status rollup through the
+    // fast-forwarded 'main' branch equals the full corrected load; the
+    // release-tag row pins the immutable v1 count; the protocol row
+    // pins the head version (4: clean, corrupt, delete, fix) and the
+    // isolation/audit flags (expected 1.0)
+    "sink_branch_sql" ->
+      """SELECT o_orderstatus AS status, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT '__release_tag',
+        |  (SELECT cast(count(*) AS bigint) FROM orders
+        |   WHERE o_orderstatus <> 'F'), 1.0
+        |UNION ALL
+        |SELECT '__ref_protocol', cast(4 AS bigint), 1.0
+        |ORDER BY status""".stripMargin,
     // K50: bucket-evolution replay — the same full-table aggregate
     // before (mixed specs, flat scan) and after (converged, key-grouped
     // scan) the OPTIMIZE rewrite; the protocol row pins the new spec id

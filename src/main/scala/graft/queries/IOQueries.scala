@@ -1158,6 +1158,217 @@ object IOQueries {
          |ORDER BY status""".stripMargin)
   }
 
+  /** K53: MANIFEST NDV/NULL-COUNT STATISTICS → COST-BASED JOIN ORDER.
+    * K49 gave every graft scan exact rows/bytes (the broadcast fix);
+    * this rung carries per-file approx-NDV (HLL sketch, lgK=9 ≈ 512 B,
+    * cast-to-string so one sketch shape covers every stat column) and
+    * null counts in the manifest, merges them DRIVER-SIDE at
+    * scan-stats time (a DataSketches union over the pruned file list —
+    * metadata cost), and surfaces them through DSv2 `columnStats()`,
+    * which Spark transforms into the attribute statistics
+    * `CostBasedJoinReorder`/`JoinEstimation` consume. At 100 TB the
+    * planner default this fixes is join ORDER: with NDVs the optimizer
+    * pulls the selective dim ahead of the wide one regardless of how
+    * the SQL was written.
+    *
+    * Flow: a fact + two dims derived from lineitem (dim_a 1000 keys,
+    * dim_b 10 keys), the 3-way join WRITTEN worst-dim-first; actuals
+    * assert the CBO plan pulls dim_b ahead of dim_a while the
+    * stats-off plan follows the written order, then return the join
+    * rollup. The merge laws (mixed pre/post-K53 snapshots report NO
+    * NDV, conf-off write path) are spec-pinned in Round27Spec.
+    */
+  def sinkCatalogCbo(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .createOrReplaceTempView("cbo_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.cbo_fact_e")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.cbo_dim_ae")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.cbo_dim_be")
+    spark.sql(
+      "CREATE TABLE graft.lake.cbo_fact_e (k1 BIGINT, k2 BIGINT, q DOUBLE)")
+    spark.sql("CREATE TABLE graft.lake.cbo_dim_ae (k BIGINT, a STRING)")
+    spark.sql("CREATE TABLE graft.lake.cbo_dim_be (k BIGINT, b STRING)")
+    spark.sql(
+      """INSERT INTO graft.lake.cbo_fact_e
+        |SELECT l_orderkey % 1000, l_orderkey % 10, l_quantity
+        |FROM cbo_src""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.cbo_dim_ae
+        |SELECT id, concat('a', id) FROM range(0, 1000)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.cbo_dim_be
+        |SELECT id, concat('b', id) FROM range(0, 10)""".stripMargin)
+    val q =
+      """SELECT db.b AS grp, count(*) AS n, round(sum(f.q), 2) AS total
+        |FROM graft.lake.cbo_fact_e f
+        |JOIN graft.lake.cbo_dim_ae da ON f.k1 = da.k
+        |JOIN graft.lake.cbo_dim_be db ON f.k2 = db.k
+        |GROUP BY db.b""".stripMargin
+    def leafOrder(): Seq[String] =
+      spark.sql(q).queryExecution.optimizedPlan.collectLeaves().flatMap(_.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table.name()
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.table.name()
+      }).map(_.split('.').last)
+    val defaultOrder = leafOrder()
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val (cboOrder, result) =
+      try (leafOrder(), spark.sql(q).collect())
+      finally {
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      }
+    val reordered =
+      cboOrder.indexOf("cbo_dim_be") < cboOrder.indexOf("cbo_dim_ae") &&
+        defaultOrder.indexOf("cbo_dim_be") > defaultOrder.indexOf("cbo_dim_ae")
+    val ok = if (reordered) 1.0 else 0.0
+    import spark.implicits._
+    result.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.toDF("grp", "n", "total")
+      .union(Seq(("__cbo_protocol", 3L, ok)).toDF("grp", "n", "total"))
+      .orderBy("grp")
+  }
+
+  /** K54: SCOPED (incremental) OPTIMIZE ZORDER — `CALL graft.system
+    * .optimize(t, target, zorder => array(...), where => '<pred>')`
+    * rewrites ONLY the files the K35 stat comparator cannot prove
+    * predicate-free; every other file carries BY REFERENCE through the
+    * replace commit. At 100 TB a full-table ZORDER is a table-sized
+    * job (VERDICT r12 #5 called K45's whole-layout rewrite out); the
+    * scoped form is Iceberg's `rewrite_data_files(filter)` — Z-order
+    * convergence region by region, e.g. yesterday's partition after
+    * each daily load, at yesterday's cost.
+    *
+    * Flow: four region-disjoint INSERTs (each file's `r` min=max pins
+    * its region) → a ZORDER scoped to `r = 1` → actuals: the three
+    * out-of-region file sets carry with their NAMES unchanged, the
+    * r=1 files are replaced by curve-ordered ones, content identical;
+    * then the per-region rollup + protocol row. The file-identity law
+    * and the untranslatable-predicate refusal are spec-pinned in
+    * Round27Spec.
+    */
+  def sinkZorderScoped(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      .createOrReplaceTempView("zs_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.zs_t")
+    spark.sql(
+      """CREATE TABLE graft.lake.zs_t (
+        |  r BIGINT, x BIGINT, y BIGINT, q DOUBLE)""".stripMargin)
+    (0 until 4).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO graft.lake.zs_t
+           |SELECT l_orderkey % 4, l_partkey, l_suppkey, l_quantity
+           |FROM zs_src WHERE l_orderkey % 4 = $i""".stripMargin)
+    }
+    val manBase = catalogRoot + "/lake/zs_t/manifest"
+    def files(): Map[String, String] = {
+      val v = graft.sinks.ManifestStore.versions(spark, manBase).last
+      org.apache.spark.sql.graft.GraftLakeTable
+        .manifestRowsFull(spark, manBase, v)
+        .map(r => r.file -> r.stats.get("r").map(_.head).getOrElse("?")).toMap
+    }
+    val before = files()
+    spark.sql(
+      """CALL graft.system.optimize('lake.zs_t', 100000,
+        |zorder => array('x','y'), where => 'r = 1')""".stripMargin).collect()
+    val after = files()
+    val outBefore = before.filter(_._2 != "1").keySet
+    val inBefore = before.filter(_._2 == "1").keySet
+    // the law: out-of-scope files carry with their NAMES; in-scope
+    // files are gone, replaced by fresh curve-ordered ones
+    val carriedOk = outBefore.subsetOf(after.keySet) &&
+      inBefore.intersect(after.keySet).isEmpty &&
+      after.keySet.diff(outBefore).nonEmpty
+    val ok = if (carriedOk) 1.0 else 0.0
+    spark.sql(
+      s"""SELECT cast(r AS STRING) AS grp, count(*) AS n,
+         |  round(sum(q), 2) AS total
+         |FROM graft.lake.zs_t GROUP BY r
+         |UNION ALL
+         |SELECT '__scoped_protocol', 4L, $ok
+         |ORDER BY grp""".stripMargin)
+  }
+
+  /** K55: BRANCH/TAG READS ON THE SQL SURFACE — K38's RefStore
+    * attached to catalog tables (`CALL graft.system.set_ref(table,
+    * name, kind[, version])`, refs living at `<tableDir>/refs`), with
+    * `VERSION AS OF '<name>'` resolving non-integer version strings
+    * through it — so the write-audit-publish branch workflow is
+    * queryable in plain SQL, like integer version pins are (K24/K29).
+    *
+    * Flow: v1 clean load → `main` branch + `release` tag; a CORRUPT
+    * batch commits v2 (real commit — but main still pins v1, so SQL
+    * readers through 'main' never see it: the isolation law); the
+    * audit reads THROUGH `VERSION AS OF 'audit'`, finds the planted
+    * negatives, the fix lands (v3 DELETE + v4 correct insert) and
+    * main FAST-FORWARDS (one ref flip, no data moved). Output: the
+    * per-status rollup read through 'main', the count pinned by the
+    * immutable 'release' tag, and the protocol actuals. Tag
+    * immutability, unknown-ref remedy and numeric-name refusal are
+    * spec-pinned in Round27Spec.
+    */
+  def sinkBranchSql(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("bsql_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.bsql_t")
+    spark.sql(
+      """CREATE TABLE graft.lake.bsql_t (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.bsql_t
+        |SELECT * FROM bsql_src WHERE o_orderstatus <> 'F'""".stripMargin)
+    spark.sql("CALL graft.system.set_ref('lake.bsql_t', 'main', 'branch')").collect()
+    spark.sql("CALL graft.system.set_ref('lake.bsql_t', 'release', 'tag')").collect()
+    val v1Count = spark.table("graft.lake.bsql_t").count()
+    // the corrupt batch: F rows with negated prices — commits for real
+    spark.sql(
+      """INSERT INTO graft.lake.bsql_t
+        |SELECT o_orderkey, o_orderstatus, -o_totalprice FROM bsql_src
+        |WHERE o_orderstatus = 'F'""".stripMargin)
+    spark.sql("CALL graft.system.set_ref('lake.bsql_t', 'audit', 'branch')").collect()
+    // isolation: SQL through 'main' still reads the v1 snapshot while
+    // the table head (and the audit branch) hold the corrupt batch
+    val mainDuring = spark.sql(
+      "SELECT count(*) AS n FROM graft.lake.bsql_t VERSION AS OF 'main'")
+      .head.getLong(0)
+    val auditNegatives = spark.sql(
+      """SELECT count(*) AS n FROM graft.lake.bsql_t VERSION AS OF 'audit'
+        |WHERE o_totalprice < 0""".stripMargin).head.getLong(0)
+    // the fix: drop the corrupt rows, land the correct batch
+    spark.sql("DELETE FROM graft.lake.bsql_t WHERE o_totalprice < 0")
+    spark.sql(
+      """INSERT INTO graft.lake.bsql_t
+        |SELECT * FROM bsql_src WHERE o_orderstatus = 'F'""".stripMargin)
+    // fast-forward: one ref flip publishes the audited state to main
+    spark.sql("CALL graft.system.set_ref('lake.bsql_t', 'main', 'branch')").collect()
+    spark.sql("CALL graft.system.set_ref('lake.bsql_t', 'audit', 'branch')").collect()
+    val releaseCount = spark.sql(
+      "SELECT count(*) AS n FROM graft.lake.bsql_t VERSION AS OF 'release'")
+      .head.getLong(0)
+    val ok =
+      if (mainDuring == v1Count && auditNegatives > 0L &&
+          releaseCount == v1Count) 1.0
+      else 0.0
+    spark.sql(
+      s"""SELECT o_orderstatus AS status, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM graft.lake.bsql_t VERSION AS OF 'main'
+         |GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT '__release_tag', $releaseCount, 1.0
+         |UNION ALL
+         |SELECT '__ref_protocol', 4, $ok
+         |ORDER BY status""".stripMargin)
+  }
+
   /** K41: atomic `CREATE TABLE AS SELECT` / `REPLACE TABLE AS SELECT`
     * through the staging catalog ([[org.apache.spark.sql.graft
     * .GraftStagedTable]]): the table builds INVISIBLY (meta + data +

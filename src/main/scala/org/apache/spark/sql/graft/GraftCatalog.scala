@@ -291,13 +291,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `VERSION AS OF <v>` — a pinned snapshot read through the catalog
     * (the same metadata-plane resolution as K24's `graft_table` TVF,
-    * now on the standard SQL surface).
+    * now on the standard SQL surface). K55: a NON-integer version
+    * string is a REF NAME — a branch or tag from the table's ref
+    * store (`<tableDir>/refs`, K38's RefStore attached to catalog
+    * tables via `CALL graft.system.set_ref`), so the write-audit-
+    * publish branch workflow is queryable in plain SQL:
+    * `SELECT ... FROM t VERSION AS OF 'audit'`.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = version.toLongOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"table ${ident.name()}: VERSION AS OF takes an integer commit " +
-          s"version, got '$version'"))
+    def refResolved(baseIdent: Identifier): Long = {
+      val dir = tablePath(baseIdent)
+      if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(baseIdent)
+      try graft.sinks.RefStore.resolve(spark,
+        new Path(dir, "refs").toString, version)._2
+      catch { case e: java.util.NoSuchElementException =>
+        throw new IllegalArgumentException(
+          s"table ${baseIdent.name()}: VERSION AS OF '$version' is neither " +
+            "an integer commit version nor a known branch/tag (create refs " +
+            s"with CALL $catalogName.system.set_ref): ${e.getMessage}")
+      }
+    }
+    val v = version.toLongOption.getOrElse {
+      // metadata suffixes resolve the ref against the BASE table
+      val baseIdent =
+        if (!tableExists(ident) && ident.namespace().nonEmpty &&
+            GraftMetaTable.kinds.contains(ident.name().toLowerCase))
+          Identifier.of(ident.namespace().dropRight(1), ident.namespace().last)
+        else ident
+      refResolved(baseIdent)
+    }
     // K43: metadata relations resolve AT a version too —
     // `t.files VERSION AS OF 3` is the file list a reader pinned at v3
     // sees, `t.history` truncates to commits ≤ v3 (same
@@ -1247,10 +1269,26 @@ object GraftLakeTable {
     val fs = new Path(dataDir).getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(dataDir)) || onlyFiles.exists(_.isEmpty)) return Seq.empty
     val cols = statColumns(schema)
+    // K53: per-file approx-NDV (HLL sketch, lgK=9 ≈ 512 B compact —
+    // manifest weight stays bounded at 100 TB file counts; ~4.6%
+    // relative error, plenty for join-order costing) and null counts,
+    // merged driver-side at scan-stats time into the column statistics
+    // the CBO's join reorder consumes. Values are cast to STRING
+    // before sketching: the cast is 1:1 on every stat-column type, so
+    // the NDV is preserved and one sketch shape covers them all.
+    val ndvEnabled = spark.conf.getOption("spark.graft.stats.ndv.enabled")
+      .forall(_.toBoolean)
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { f =>
       val c = org.apache.spark.sql.functions.col(s"`${f.name}`")
       Seq(min(c).cast("string").as(s"__min_${f.name}"),
-          max(c).cast("string").as(s"__max_${f.name}"))
+          max(c).cast("string").as(s"__max_${f.name}")) ++
+        (if (ndvEnabled) Seq(
+          org.apache.spark.sql.functions.base64(
+            org.apache.spark.sql.functions.expr(
+              s"hll_sketch_agg(cast(`${f.name}` AS STRING), 9)"))
+            .as(s"__hll_${f.name}"),
+          (count(lit(1)) - count(c)).as(s"__nulls_${f.name}"))
+        else Seq.empty)
     }
     // a bucketed data dir carries the bucket id as a partition
     // DIRECTORY column — the read schema must name it or the files
@@ -1278,16 +1316,28 @@ object GraftLakeTable {
         val abs = r.getString(0)
         val idx = abs.lastIndexOf(marker)
         require(idx >= 0, s"unexpected data file path $abs")
-        val stats = cols.zipWithIndex.flatMap { case (f, i) =>
-          val mn = r.getString(2 + 2 * i)
-          val mx = r.getString(3 + 2 * i)
+        val minmax = cols.flatMap { f =>
+          val mn = r.getString(r.fieldIndex(s"__min_${f.name}"))
+          val mx = r.getString(r.fieldIndex(s"__max_${f.name}"))
           // an all-null file has null min/max — no stats entry, so a
           // predicate on the column keeps the file touched
           if (mn == null || mx == null) None
           else Some(f.name -> Seq(mn, mx))
-        }.toMap
+        }
+        // K53 entries ride the same map under reserved '#'-keys (never
+        // a plain column-name lookup, so pruning/rewrite consumers are
+        // untouched)
+        val ndv =
+          if (!ndvEnabled) Seq.empty
+          else cols.flatMap { f =>
+            val sk = r.getString(r.fieldIndex(s"__hll_${f.name}"))
+            val nulls = r.getLong(r.fieldIndex(s"__nulls_${f.name}"))
+            (if (sk == null) Seq.empty
+             else Seq(s"__hll#${f.name}" -> Seq(sk))) :+
+              (s"__nulls#${f.name}" -> Seq(nulls.toString))
+          }
         val rel = abs.substring(idx + 1)
-        (rel, r.getLong(1), stats, lens.getOrElse(rel, -1L))
+        (rel, r.getLong(1), (minmax ++ ndv).toMap, lens.getOrElse(rel, -1L))
       }.toSeq
   }
 

@@ -33,16 +33,88 @@ import java.util.OptionalLong
   */
 object GraftManifestStats {
 
+  /** K53: merge the manifest's per-file HLL sketches + null counts
+    * into the DSv2 `columnStats()` map, which
+    * `DataSourceV2Relation.computeStats` transforms into catalyst
+    * attribute stats — the NDVs the CBO's `CostBasedJoinReorder` and
+    * `JoinEstimation` consume. Driver-side and metadata-cost: the
+    * sketches already rode the listing that produced `rows` (≈512 B
+    * per column per file), and a DataSketches union of k files is
+    * microseconds. A column reports stats only when EVERY data file
+    * carries its sketch (a mixed pre-K53 snapshot yields no NDV rather
+    * than a wrong one); masked MoR reads (`deletedRows` > 0) skip
+    * column stats entirely — the masked NDV is unknowable from file
+    * sketches alone, and rows/bytes still report.
+    */
+  private def columnStatsOf(data: Seq[GraftLakeTable.ManifestRow],
+                            schema: StructType)
+      : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+                      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    val withRows = data.filter(_.nRows > 0L)
+    if (withRows.isEmpty) return out
+    schema.fields.foreach { f =>
+      val sketches = withRows.flatMap(_.stats.get(s"__hll#${f.name}").map(_.head))
+      val nulls = withRows.flatMap(_.stats.get(s"__nulls#${f.name}").map(_.head))
+      // an all-null file writes no sketch but does write a null count —
+      // NDV needs sketches from every file that HAS non-null values,
+      // which "nulls says all rows are null" identifies exactly
+      val nullsByFile = withRows.map(r =>
+        r.stats.get(s"__nulls#${f.name}").map(_.head.toLong))
+      val allCounted = nullsByFile.forall(_.isDefined)
+      if (allCounted) {
+        val nullTotal = nulls.map(_.toLong).sum
+        val needSketch = withRows.zip(nullsByFile).filter {
+          case (r, nc) => nc.get < r.nRows } // files with non-null values
+        val haveAll = needSketch.forall(
+          _._1.stats.contains(s"__hll#${f.name}"))
+        val ndv: Option[Long] =
+          if (!haveAll) None
+          else if (needSketch.isEmpty) Some(0L)
+          else try {
+            val u = new org.apache.datasketches.hll.Union(12)
+            needSketch.foreach { case (r, _) =>
+              u.update(org.apache.datasketches.hll.HllSketch.heapify(
+                java.util.Base64.getDecoder.decode(
+                  r.stats(s"__hll#${f.name}").head)))
+            }
+            Some(math.max(1L, math.round(u.getEstimate)))
+          } catch { case _: Exception => None }
+        if (ndv.isDefined || allCounted) {
+          val stat = new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): OptionalLong =
+              ndv.fold(OptionalLong.empty())(OptionalLong.of)
+            override def nullCount(): OptionalLong = OptionalLong.of(nullTotal)
+          }
+          out.put(org.apache.spark.sql.connector.expressions.Expressions
+            .column(f.name), stat)
+        }
+      }
+    }
+    out
+  }
+
   def of(rows: Seq[GraftLakeTable.ManifestRow], schema: StructType,
          deletedRows: Long = 0L): Statistics = {
     val data = rows.filterNot(r => GraftDeltaOperation.isDeleteFile(r.file))
     val totalRows = math.max(0L, data.map(_.nRows).sum - deletedRows)
     val width = math.max(1, schema.defaultSize).toLong
     val size = data.map(r => if (r.bytes >= 0L) r.bytes else r.nRows * width).sum
+    val colStats =
+      if (deletedRows > 0L)
+        java.util.Collections.emptyMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      else columnStatsOf(data, schema)
     new Statistics {
       override def sizeInBytes(): OptionalLong =
         OptionalLong.of(math.max(1L, size))
       override def numRows(): OptionalLong = OptionalLong.of(totalRows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 }

@@ -48,8 +48,10 @@ private[graft] object GraftProcedures {
       case "begin_txn" => new BeginTxnProcedure(catalogName, root)
       case "commit_txn" => new CommitTxnProcedure(catalogName, root)
       case "abort_txn" => new AbortTxnProcedure(catalogName, root)
+      case "set_ref" => new SetRefProcedure(catalogName, root)
+      case "drop_ref" => new DropRefProcedure(catalogName, root)
       case _ =>
-        throw new RuntimeException(s"catalog procedure not found: ${ident.namespace().mkString(".")}.${ident.name()} (available: system.optimize, system.vacuum, system.compact_deletes, system.set_bucketing, system.begin_txn, system.commit_txn, system.abort_txn)")
+        throw new RuntimeException(s"catalog procedure not found: ${ident.namespace().mkString(".")}.${ident.name()} (available: system.optimize, system.vacuum, system.compact_deletes, system.set_bucketing, system.begin_txn, system.commit_txn, system.abort_txn, system.set_ref, system.drop_ref)")
     }
   }
 
@@ -61,7 +63,9 @@ private[graft] object GraftProcedures {
       org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "set_bucketing"),
       org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "begin_txn"),
       org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "commit_txn"),
-      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "abort_txn"))
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "abort_txn"),
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "set_ref"),
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("system"), "drop_ref"))
 
   /** Resolve `'ns.table'` under the catalog root + load its meta. */
   private def resolve(catalogName: String, root: String, table: String)
@@ -203,7 +207,44 @@ private[graft] object GraftProcedures {
       // K45: OPTIMIZE ... ZORDER — two numeric column names whose
       // bit-interleaved key (T16's curve) orders the rewrite
       ProcedureParameter.in("zorder", ArrayType(StringType))
-        .defaultValue("array()").build())
+        .defaultValue("array()").build(),
+      // K54: scope the rewrite to files that MAY hold matching rows
+      // (the K35 stat comparator decides) — Iceberg's
+      // rewrite_data_files(filter). At 100 TB a full-table ZORDER is a
+      // table-sized job; a where-scoped one converges the layout
+      // incrementally, partition by partition, with every out-of-range
+      // file carried by reference.
+      ProcedureParameter.in("where", StringType).defaultValue("''").build())
+
+    /** Parse + resolve the `where` argument against the table schema
+      * and translate it to the V1 filter the K35 comparator prunes on.
+      * Untranslatable predicates refuse loudly: silently rewriting
+      * everything would be correct but would defeat the scoping the
+      * caller asked for.
+      */
+    private def scopeFilter(session: SparkSession, schema: StructType,
+                            where: String)
+        : Option[org.apache.spark.sql.sources.Filter] = {
+      if (where.trim.isEmpty) return None
+      val df = session.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .where(org.apache.spark.sql.functions.expr(where))
+      // fold the implicit literal casts analysis inserts (`r = 2` is
+      // analyzed as `r = CAST(2 AS BIGINT)`, which translateFilter
+      // refuses) — the full optimizer can't run here because it would
+      // collapse the empty dummy relation and the Filter with it
+      val folded = org.apache.spark.sql.catalyst.optimizer.ConstantFolding(
+        df.queryExecution.analyzed)
+      val cond = folded.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(throw new IllegalArgumentException(
+        s"OPTIMIZE where '$where': not a filter predicate"))
+      Some(org.apache.spark.sql.execution.datasources.DataSourceStrategy
+        .translateFilter(cond, supportNestedPredicatePushdown = true)
+        .getOrElse(throw new IllegalArgumentException(
+          s"OPTIMIZE where '$where': predicate is not translatable to a " +
+            "stats-prunable filter (use comparisons/IN/AND/OR on table columns)")))
+    }
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
@@ -212,11 +253,14 @@ private[graft] object GraftProcedures {
         if (input.isNullAt(2)) Seq.empty
         else input.getArray(2).toObjectArray(StringType)
           .map(_.asInstanceOf[UTF8String].toString).toSeq
+      val where =
+        if (input.isNullAt(3)) "" else input.getUTF8String(3).toString
       val (dir, fullMeta) = resolveFull(catalogName, root, table)
       val (schema, bucketSpec) = (fullMeta.schema, fullMeta.bucket)
       val specId = fullMeta.currentSpecId
       val manBase = s"$dir/manifest"
       val session = spark
+      val scope = scopeFilter(session, schema, where)
       val current = ManifestStore.versions(session, manBase).lastOption
         .map(v => GraftLakeTable.manifestRowsFull(session, manBase, v))
         .getOrElse(Seq.empty)
@@ -230,13 +274,17 @@ private[graft] object GraftProcedures {
             "compact them first (CALL system.compact_deletes), then OPTIMIZE")
       if (zorder.nonEmpty)
         return zorderRewrite(session, table, dir, schema, bucketSpec,
-          current, target, zorder, specId)
+          current, target, zorder, specId, scope)
       // K50: OPTIMIZE is also the spec-convergence rewrite — files
       // written under an OLD bucket spec count as rewrite candidates
       // regardless of size, so one full-target OPTIMIZE re-routes the
-      // whole layout under the current spec and SPJ comes back
+      // whole layout under the current spec and SPJ comes back.
+      // A `where` scope (K54) restricts candidates to files the stat
+      // comparator cannot prove scope-free — out-of-scope files carry
+      // by reference no matter how small.
       val (small, big) = current.partition(r =>
-        r.nRows < target || r.spec != specId)
+        (r.nRows < target || r.spec != specId) &&
+          scope.forall(f => GraftGroupScan.mayMatch(schema, r.stats, f)))
       // 0 or 1 small file: nothing to pack — report without committing
       // (unless that one file is on an OLD spec: re-routing it IS work)
       if (small.isEmpty ||
@@ -289,15 +337,29 @@ private[graft] object GraftProcedures {
     private def zorderRewrite(session: SparkSession, table: String,
                               dir: String, schema: StructType,
                               bucketSpec: Option[(String, Int)],
-                              current: Seq[GraftLakeTable.ManifestRow],
+                              allCurrent: Seq[GraftLakeTable.ManifestRow],
                               target: Long,
                               zorder: Seq[String],
-                              specId: Long = 0L): java.util.Iterator[Scan] = {
+                              specId: Long = 0L,
+                              scope: Option[org.apache.spark.sql.sources.Filter] = None)
+        : java.util.Iterator[Scan] = {
       import org.apache.spark.sql.functions._
       require(zorder.length >= 2 && zorder.length <= 4,
         s"zorder takes 2 to 4 column names (got ${zorder.mkString(", ")})")
       require(bucketSpec.isEmpty,
         "OPTIMIZE ZORDER on a bucketed table would break its bucket routing")
+      // K54: a where-scoped ZORDER rewrites ONLY the files the K35
+      // comparator cannot prove scope-free; the rest carry by
+      // reference (commitReplace's carried = current − replaced).
+      // Curve bounds are normalized over the SCOPED data — each scoped
+      // rewrite is locally optimal, and repeated scoped calls converge
+      // the layout region by region (Iceberg rewrite_data_files(filter)
+      // semantics).
+      val (current, outOfScope) = scope match {
+        case None => (allCurrent, Seq.empty[GraftLakeTable.ManifestRow])
+        case Some(f) => allCurrent.partition(r =>
+          GraftGroupScan.mayMatch(schema, r.stats, f))
+      }
       val proxies: Seq[org.apache.spark.sql.Column] = zorder.map { c =>
         val f = schema.fields.find(_.name == c).getOrElse(
           throw new IllegalArgumentException(
@@ -317,14 +379,15 @@ private[graft] object GraftProcedures {
         }
       }
       if (current.isEmpty)
-        return resultScan(outSchema, Seq(0L, 0L, 0L))
+        return resultScan(outSchema, Seq(0L, outOfScope.length.toLong, 0L))
       val data = session.read.schema(schema)
         .parquet(current.map(r => GraftLakeTable.resolveFile(dir, r.file)): _*)
       // one metadata-sized aggregate normalizes every dim to 10 bits
       val aggs = proxies.flatMap(p => Seq(min(p), max(p)))
       val b = data.agg(aggs.head, aggs.tail: _*).head()
       if (proxies.indices.exists(i => b.isNullAt(2 * i)))
-        return resultScan(outSchema, Seq(0L, current.length.toLong, 0L))
+        return resultScan(outSchema,
+          Seq(0L, (current.length + outOfScope.length).toLong, 0L))
       val norms = proxies.zipWithIndex.map { case (p, i) =>
         val (lo, hi) = (b.getDouble(2 * i), b.getDouble(2 * i + 1))
         if (hi == lo) lit(0L)
@@ -354,7 +417,8 @@ private[graft] object GraftProcedures {
       val after = GraftLakeTable.manifestRowsFull(session, manBase,
         ManifestStore.versions(session, manBase).last)
       resultScan(outSchema,
-        Seq(current.length.toLong, 0L, after.length.toLong))
+        Seq(current.length.toLong, outOfScope.length.toLong,
+          (after.length - outOfScope.length).toLong))
     }
 
     private val outSchema = StructType(Seq(
@@ -884,6 +948,80 @@ private[graft] object GraftProcedures {
     }
 
     private val abortOut = StructType(Seq(StructField("dropped", LongType)))
+  }
+
+  /** K55: `CALL graft.system.set_ref(table, name, kind[, version])` —
+    * attach K38's branch/tag ref system to a CATALOG table: refs live
+    * in a [[graft.sinks.RefStore]] lake at `<tableDir>/refs`, and any
+    * SQL read resolves them via `VERSION AS OF '<name>'` (the
+    * write-audit-publish workflow in plain SQL). `version` omitted (or
+    * -1) pins the table's CURRENT head; an explicit pin must be a
+    * committed version. Branches re-point freely (each flip an atomic
+    * CAS commit on the ref lake); tags are immutable. At 100 TB every
+    * ref operation is O(refs) metadata — no data file ever moves.
+    */
+  private class SetRefProcedure(catalogName: String, root: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "set_ref"
+    override def description(): String =
+      "create or re-point a branch/tag ref on a catalog table " +
+        "(readable via VERSION AS OF '<name>')"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("kind", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val refName = input.getUTF8String(1).toString
+      val kind = input.getUTF8String(2).toString
+      val versionArg = input.getLong(3)
+      require(refName.nonEmpty && !refName.forall(_.isDigit),
+        s"set_ref on $table: ref name '$refName' must be non-numeric " +
+          "(an all-digit name would shadow VERSION AS OF <n> pins)")
+      val (dir, _) = resolveFull(catalogName, root, table)
+      val committed = ManifestStore.versions(spark, s"$dir/manifest")
+      val v = if (versionArg < 0L) committed.lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"set_ref on $table: the table has no committed version yet"))
+      else versionArg
+      require(committed.contains(v),
+        s"set_ref on $table: v$v is not a committed version " +
+          s"(available: ${committed.mkString(", ")})")
+      graft.sinks.RefStore.set(spark, s"$dir/refs", refName, kind, v)
+      resultScan(setRefOut, Seq(UTF8String.fromString(refName),
+        UTF8String.fromString(kind), v))
+    }
+
+    private val setRefOut = StructType(Seq(
+      StructField("name", StringType),
+      StructField("kind", StringType),
+      StructField("version", LongType)))
+  }
+
+  private class DropRefProcedure(catalogName: String, root: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_ref"
+    override def description(): String =
+      "drop a branch/tag ref from a catalog table"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val refName = input.getUTF8String(1).toString
+      val (dir, _) = resolveFull(catalogName, root, table)
+      graft.sinks.RefStore.drop(spark, s"$dir/refs", refName)
+      resultScan(dropRefOut, Seq(1L))
+    }
+
+    private val dropRefOut = StructType(Seq(StructField("dropped", LongType)))
   }
 
   /** `CALL graft.system.vacuum(table, keep)` — drop manifest versions

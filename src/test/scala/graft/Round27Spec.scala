@@ -310,6 +310,180 @@ class Round27Spec extends SparkSpec {
     assert(spark.table(s"$cat.lake.grp_bk").count() == 16L)
   }
 
+  test("K53 manifest NDV stats: per-file HLL sketches + null counts merge into " +
+      "DSv2 column stats, and the CBO reorders a 3-way lake join on them") {
+    ensure()
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.cbo_fact")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.cbo_dim_a")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.cbo_dim_b")
+    spark.sql(s"CREATE TABLE $cat.lake.cbo_fact (k1 BIGINT, k2 BIGINT, v DOUBLE)")
+    spark.sql(s"CREATE TABLE $cat.lake.cbo_dim_a (k BIGINT, a STRING)")
+    spark.sql(s"CREATE TABLE $cat.lake.cbo_dim_b (k BIGINT, b STRING)")
+    spark.sql(
+      s"""INSERT INTO $cat.lake.cbo_fact
+         |SELECT id % 1000, id % 500, id * 1.0 FROM range(0, 20000)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.lake.cbo_dim_a
+         |SELECT id, concat('a', id) FROM range(0, 1000)""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $cat.lake.cbo_dim_b
+         |SELECT id, concat('b', id) FROM range(0, 10)""".stripMargin)
+    // the merged NDV reaches the logical plan's attribute stats
+    val rel = spark.table(s"$cat.lake.cbo_dim_b").queryExecution
+      .optimizedPlan
+    val attrStats = rel.stats.attributeStats
+    val kStat = attrStats.find(_._1.name == "k").map(_._2)
+    assert(kStat.exists(_.distinctCount.exists(dc =>
+      dc.toLong >= 9 && dc.toLong <= 11)), s"dim_b k NDV: $kStat")
+    assert(kStat.exists(_.nullCount.exists(_.toLong == 0L)))
+
+    def leafOrder(sql: String): Seq[String] = {
+      val plan = spark.sql(sql).queryExecution.optimizedPlan
+      plan.collectLeaves().flatMap(_.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.table.name()
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.table.name()
+      }).map(_.split('.').last)
+    }
+    // written in the WORST order: the wide dim first, the tiny
+    // selective dim last
+    val q =
+      s"""SELECT count(*) AS n FROM $cat.lake.cbo_fact f
+         |JOIN $cat.lake.cbo_dim_a da ON f.k1 = da.k
+         |JOIN $cat.lake.cbo_dim_b db ON f.k2 = db.k""".stripMargin
+    val defaultOrder = leafOrder(q)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val cboOrder =
+      try leafOrder(q)
+      finally {
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      }
+    // with NDV stats, joining the 10-row/10-NDV dim first costs
+    // 20000·10/500 = 400 intermediate rows vs 20000 the other way —
+    // the reorder must pull dim_b ahead of dim_a
+    assert(cboOrder.indexOf("cbo_dim_b") < cboOrder.indexOf("cbo_dim_a"),
+      s"cbo order: $cboOrder (default was $defaultOrder)")
+    assert(defaultOrder.indexOf("cbo_dim_b") > defaultOrder.indexOf("cbo_dim_a"),
+      s"default order should follow the written SQL: $defaultOrder")
+  }
+
+  test("K53 NDV stats law: a mixed pre/post-K53 snapshot reports NO distinct " +
+      "count (never a wrong one); ndv write-path can be disabled by conf") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.cbo_mixed")
+    spark.sql(s"CREATE TABLE $cat.lake.cbo_mixed (k BIGINT, v DOUBLE)")
+    spark.conf.set("spark.graft.stats.ndv.enabled", "false")
+    try spark.sql(
+      s"INSERT INTO $cat.lake.cbo_mixed SELECT id, id*1.0 FROM range(0, 100)")
+    finally spark.conf.unset("spark.graft.stats.ndv.enabled")
+    spark.sql(
+      s"INSERT INTO $cat.lake.cbo_mixed SELECT id, id*1.0 FROM range(100, 200)")
+    val attrStats = spark.table(s"$cat.lake.cbo_mixed")
+      .queryExecution.optimizedPlan.stats.attributeStats
+    val kStat = attrStats.find(_._1.name == "k").map(_._2)
+    assert(!kStat.exists(_.distinctCount.isDefined),
+      s"mixed snapshot must not report NDV: $kStat")
+    // rows/bytes still exact
+    assert(spark.table(s"$cat.lake.cbo_mixed")
+      .queryExecution.optimizedPlan.stats.rowCount.exists(_.toLong == 200L))
+  }
+
+  test("K54 scoped OPTIMIZE: out-of-scope files carry BY NAME through a " +
+      "where-scoped ZORDER and bin-pack; untranslatable predicates refuse") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.zs_spec")
+    spark.sql(s"CREATE TABLE $cat.lake.zs_spec (r BIGINT, x BIGINT, y BIGINT)")
+    (0 until 3).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO $cat.lake.zs_spec
+           |SELECT $i, id % 100, (id * 7) % 100 FROM range(0, 1000)""".stripMargin)
+    }
+    def fileRegions(): Map[String, String] =
+      latestRows("zs_spec").map(r =>
+        r.file -> r.stats.get("r").map(_.head).getOrElse("?")).toMap
+    val before = fileRegions()
+    assert(before.values.toSet == Set("0", "1", "2"))
+    spark.sql(
+      s"""CALL $cat.system.optimize('lake.zs_spec', 100000,
+         |zorder => array('x','y'), where => 'r = 2')""".stripMargin).collect()
+    val after = fileRegions()
+    val outFiles = before.filter(_._2 != "2").keySet
+    assert(outFiles.subsetOf(after.keySet),
+      "out-of-scope files must carry with their names unchanged")
+    assert(before.filter(_._2 == "2").keySet.intersect(after.keySet).isEmpty,
+      "in-scope files must be replaced")
+    assert(spark.table(s"$cat.lake.zs_spec").count() == 3000L)
+    // scoped bin-pack: region-0 files stay even though they are small
+    spark.sql(
+      s"""CALL $cat.system.optimize('lake.zs_spec', 100000,
+         |where => 'r = 1')""".stripMargin).collect()
+    val after2 = fileRegions()
+    assert(after.filter(_._2 == "0").keySet.subsetOf(after2.keySet),
+      "scoped bin-pack must not touch out-of-scope files")
+    assert(spark.table(s"$cat.lake.zs_spec").count() == 3000L)
+    // a predicate the stat comparator cannot prune on refuses loudly
+    val err = intercept[Exception] {
+      spark.sql(
+        s"""CALL $cat.system.optimize('lake.zs_spec', 100000,
+           |where => 'x + y > 10')""".stripMargin).collect()
+    }
+    assert(err.getMessage.contains("not translatable"), err.getMessage)
+  }
+
+  test("K55 refs on SQL: branch isolation, tag immutability, unknown-ref " +
+      "remedy, numeric-name refusal, metadata tables through a ref") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.ref_spec")
+    spark.sql(s"CREATE TABLE $cat.lake.ref_spec (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.lake.ref_spec VALUES (1, 1.0), (2, 2.0)")
+    spark.sql(s"CALL $cat.system.set_ref('lake.ref_spec', 'main', 'branch')").collect()
+    spark.sql(s"CALL $cat.system.set_ref('lake.ref_spec', 'pin', 'tag')").collect()
+    spark.sql(s"INSERT INTO $cat.lake.ref_spec VALUES (3, 3.0)")
+    // isolation: the branch pins v1 while the head moved to v2
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.lake.ref_spec VERSION AS OF 'main'")
+      .head.getLong(0) == 2L)
+    assert(spark.table(s"$cat.lake.ref_spec").count() == 3L)
+    // metadata tables resolve refs against the BASE table
+    val filesAtMain = spark.sql(
+      s"SELECT count(*) FROM $cat.lake.ref_spec.files VERSION AS OF 'main'")
+      .head.getLong(0)
+    val filesNow = spark.sql(
+      s"SELECT count(*) FROM $cat.lake.ref_spec.files").head.getLong(0)
+    assert(filesAtMain < filesNow, s"$filesAtMain vs $filesNow")
+    // a tag refuses to move
+    val tagErr = intercept[Exception] {
+      spark.sql(
+        s"CALL $cat.system.set_ref('lake.ref_spec', 'pin', 'tag', 2)").collect()
+    }
+    assert(tagErr.getMessage.contains("immutable"), tagErr.getMessage)
+    // unknown refs name the remedy; numeric names refuse at creation
+    val unknownErr = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM $cat.lake.ref_spec VERSION AS OF 'nope'").collect()
+    }
+    assert(unknownErr.getMessage.contains("set_ref"), unknownErr.getMessage)
+    val numErr = intercept[Exception] {
+      spark.sql(
+        s"CALL $cat.system.set_ref('lake.ref_spec', '7', 'branch')").collect()
+    }
+    assert(numErr.getMessage.contains("non-numeric"), numErr.getMessage)
+    // drop_ref removes resolution
+    spark.sql(s"CALL $cat.system.drop_ref('lake.ref_spec', 'main')").collect()
+    intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM $cat.lake.ref_spec VERSION AS OF 'main'").collect()
+    }
+    // integer pins still work beside refs
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.lake.ref_spec VERSION AS OF 1")
+      .head.getLong(0) == 2L)
+  }
+
   test("bucket/merge-key names that would corrupt the meta-file JSON wrapper " +
       "refuse by name; the existing meta stays intact") {
     ensure()
