@@ -193,6 +193,16 @@ object ManifestStore {
     val fs = fileSystem(spark, base)
     val basePath = new Path(base)
     fs.mkdirs(basePath)
+    // IDEMPOTENT per transaction: a retried group commit (crash between
+    // phase 1 and phase 2) re-claims versions its earlier attempt
+    // already holds — losing the rename to YOUR OWN claim is a win, and
+    // the cleanup below must never remove the live claim's breadcrumb
+    // (the crumb file is shared across attempts; deleting it on a
+    // same-txn loss made the uncommitted claim visible — review pass 1,
+    // round 13)
+    def ownClaim(): Boolean =
+      fs.exists(new Path(basePath, s"manifest_v$version/_pending_$txnId"))
+    if (ownClaim()) return true
     val writerId = java.util.UUID.randomUUID().toString.take(12)
     val temp = stageTemp(fs, basePath, manifest, writerId)
     val marker = fs.create(new Path(temp, s"_pending_$txnId"), true)
@@ -201,10 +211,25 @@ object ManifestStore {
     val won = commitAttempt(fs, basePath, temp, writerId, version).contains(true)
     if (!won) {
       if (fs.exists(temp)) fs.delete(temp, true)
+      if (ownClaim()) return true // raced our own earlier attempt
       try fs.delete(new Path(basePath, s"pending_v${version}_$txnId"), false)
       catch { case _: Exception => () }
     }
     won
+  }
+
+  /** Remove a COMMITTED claim's marker + breadcrumb (what readers do
+    * lazily in [[listVisible]]) — the eager form the commit path runs
+    * so the journal file can be retired immediately after.
+    */
+  def finalizePending(spark: SparkSession, base: String, version: Long,
+                      txnId: String): Unit = {
+    val fs = fileSystem(spark, base)
+    val basePath = new Path(base)
+    try {
+      fs.delete(new Path(basePath, s"manifest_v$version/_pending_$txnId"), false)
+      fs.delete(new Path(basePath, s"pending_v${version}_$txnId"), false)
+    } catch { case _: Exception => () } // readers finalize lazily anyway
   }
 
   /** Drop an UNCOMMITTED pending claim (phase-1 rollback): the version

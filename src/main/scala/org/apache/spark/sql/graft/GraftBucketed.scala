@@ -171,7 +171,7 @@ private[graft] class GraftBucketedScan(inner: Scan, bucketCol: String,
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      Array(Expressions.bucket(nBuckets, bucketCol)), grouped.length)
+      Array(GraftLakeTable.bucketTransform(nBuckets, bucketCol)), grouped.length)
 
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = grouped

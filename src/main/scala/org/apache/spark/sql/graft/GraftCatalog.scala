@@ -674,7 +674,7 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
 
   override def partitioning(): Array[Transform] =
     bucketSpec.map { case (col, n) =>
-      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)
+      GraftLakeTable.bucketTransform(n, col)
     }.toArray
 
   /** SQL MERGE INTO / UPDATE — K32/K33's group-based copy-on-write
@@ -907,8 +907,7 @@ private[graft] class GraftBucketedInsertWrite(
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
     org.apache.spark.sql.connector.distributions.Distributions.clustered(
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .bucket(nBuckets, bucketCol)))
+      Array(GraftLakeTable.bucketTransform(nBuckets, bucketCol)))
 
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
@@ -1034,13 +1033,19 @@ private[graft] object GraftTableMeta {
     * JSON wrappers (bucket col, MoR key) must be JSON- and regex-safe:
     * a name containing a double quote (legal in Spark schemas) would
     * corrupt the wrapper irrecoverably, since the readers parse it by
-    * regex (advice, round 12). Identifier class, not full JSON
-    * escaping — the wrapper regexes themselves match `[^"]+`.
+    * regex (advice, round 12). BLACKLIST of the genuinely corrupting
+    * characters — `"` (ends the wrapper regexes' `[^"]+`), `\` (JSON
+    * escape) and controls — not an ASCII whitelist: spaces, `$`,
+    * non-ASCII letters are legal Spark column names that round-trip
+    * through the wrapper fine, and refusing them would break
+    * previously-working DDL (review pass 1, round 13).
     */
   def requireSafeMetaName(kind: String, name: String): Unit =
-    require(name.matches("""[A-Za-z0-9_\.\-]+"""),
+    require(name.nonEmpty &&
+        !name.exists(c => c == '"' || c == '\\' || c.isControl),
       s"$kind name '$name' is not representable in table metadata — " +
-        "use letters, digits, underscore, dot or dash")
+        "double quotes, backslashes and control characters cannot " +
+        "round-trip through the meta wrapper")
 
   /** The evolved wrapper's text form (see [[WrappedBucketEvo]]). */
   def evoText(schema: StructType,
@@ -1480,6 +1485,18 @@ object GraftLakeTable {
     throw new java.io.IOException(
       s"$opDesc lost the commit race $attempt times")
   }
+
+  /** Bucket transform over an UNPARSED single-part column reference —
+    * `Expressions.bucket(n, col)` runs the name through the SQL
+    * identifier parser, so a legal exotic column name (`order id`)
+    * crashes every read/write of the table it buckets (review pass 1,
+    * round 13).
+    */
+  private[graft] def bucketTransform(n: Int, col: String)
+      : org.apache.spark.sql.connector.expressions.Transform =
+    org.apache.spark.sql.connector.expressions.LogicalExpressions.bucket(n,
+      Array[org.apache.spark.sql.connector.expressions.NamedReference](
+        org.apache.spark.sql.connector.expressions.FieldReference(Seq(col))))
 
   /** Manifest rows -> the DataFrame shape every commit publishes. */
   private[graft] def publishRows(spark: SparkSession,

@@ -72,7 +72,10 @@ object GraftManifestStats {
           _._1.stats.contains(s"__hll#${f.name}"))
         val ndv: Option[Long] =
           if (!haveAll) None
-          else if (needSketch.isEmpty) Some(0L)
+          // an all-null column reports NO distinct count, not 0 — CBO
+          // selectivity divides by NDV, and a 0 would crash planning
+          // (review pass 1, round 13); the null count still reports
+          else if (needSketch.isEmpty) None
           else try {
             val u = new org.apache.datasketches.hll.Union(12)
             needSketch.foreach { case (r, _) =>
@@ -88,8 +91,8 @@ object GraftManifestStats {
               ndv.fold(OptionalLong.empty())(OptionalLong.of)
             override def nullCount(): OptionalLong = OptionalLong.of(nullTotal)
           }
-          out.put(org.apache.spark.sql.connector.expressions.Expressions
-            .column(f.name), stat)
+          out.put(org.apache.spark.sql.connector.expressions
+            .FieldReference(Seq(f.name)), stat)
         }
       }
     }
@@ -102,16 +105,24 @@ object GraftManifestStats {
     val totalRows = math.max(0L, data.map(_.nRows).sum - deletedRows)
     val width = math.max(1, schema.defaultSize).toLong
     val size = data.map(r => if (r.bytes >= 0L) r.bytes else r.nRows * width).sum
-    val colStats =
-      if (deletedRows > 0L)
-        java.util.Collections.emptyMap[
-          org.apache.spark.sql.connector.expressions.NamedReference,
-          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      else columnStatsOf(data, schema)
     new Statistics {
       override def sizeInBytes(): OptionalLong =
         OptionalLong.of(math.max(1L, size))
       override def numRows(): OptionalLong = OptionalLong.of(totalRows)
+      // LAZY + CBO-GATED: estimateStatistics runs on EVERY query plan
+      // (sizeInBytes drives broadcast), and Spark reads columnStats()
+      // unconditionally inside transformV2Stats — so the sketch merge
+      // (base64 + heapify + union per column per file) must not run
+      // when the CBO that would consume it is off, and must run at
+      // most once per Statistics object when it is on (review pass 1,
+      // round 13).
+      private lazy val colStats =
+        if (deletedRows > 0L ||
+            !org.apache.spark.sql.internal.SQLConf.get.cboEnabled)
+          java.util.Collections.emptyMap[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        else columnStatsOf(data, schema)
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats

@@ -663,9 +663,12 @@ private[graft] object GraftProcedures {
             "tables participate")
       }
       val session = spark
-      // first 8 uuid chars are hex — alphanumeric by construction,
-      // which the pending-claim path requires
-      val txnId = java.util.UUID.randomUUID().toString.take(8)
+      // the FULL uuid (dashes stripped -> 32 hex chars, 128 bits): the
+      // txn id keys journal commit files and pending-claim visibility,
+      // so it must be collision-free for the lake's lifetime — an
+      // 8-char/32-bit id reaches ~1% birthday-collision odds within
+      // ~9k group commits (review pass 1, round 13)
+      val txnId = java.util.UUID.randomUUID().toString.replace("-", "")
       val group = tables.mkString(",")
       val fs = fileSystem(root)
       val created = scala.collection.mutable.ArrayBuffer[Path]()
@@ -765,14 +768,28 @@ private[graft] object GraftProcedures {
       def dropWorkspaces(): Unit = parts.foreach(p =>
         try fs.delete(new Path(p.txnDir), true) catch { case _: Throwable => () })
 
+      // eager finalize + journal retirement: once every claim's marker
+      // is gone, visibility no longer depends on the journal file, so
+      // it can be deleted — the journal only ACCRUES entries for
+      // commits that crashed mid-finalize and were never retried
+      // (review pass 1, round 13: an unbounded journal is also what
+      // would make txn-id reuse dangerous)
+      def finalizeAll(): Unit = {
+        parts.foreach(p => ManifestStore.finalizePending(
+          session, s"${p.dir}/manifest", p.mk.base + 1, txnId))
+        try fs.delete(new Path(journal, s"committed_$txnId"), false)
+        catch { case _: Exception => () }
+      }
+
       // a RETRY after a crash past the journal commit point: the
-      // transaction is already durable — finalize (readers do the
-      // claim resolution lazily) and report the committed versions
+      // transaction is already durable — finalize and report the
+      // committed versions
       if (fs.exists(new Path(journal, s"committed_$txnId"))) {
         val out = parts.map { p =>
           val (c, f) = countsAt(p, p.mk.base + 1)
           Seq[Any](p.mk.base + 1, c, f)
         }
+        finalizeAll()
         dropWorkspaces()
         return resultScanRows(commitOut, out)
       }
@@ -896,6 +913,7 @@ private[graft] object GraftProcedures {
         // flips every table's claim visible at once
         fs.mkdirs(journal)
         fs.create(new Path(journal, s"committed_$txnId"), false).close()
+        finalizeAll()
       }
       dropWorkspaces()
       resultScanRows(commitOut, prepared.map(pr =>
@@ -1144,13 +1162,18 @@ private[graft] object GraftProcedures {
           case pendingCrumb(v, txnId) =>
             val vDir = new Path(manDir, s"manifest_v$v")
             val marker = new Path(vDir, s"_pending_$txnId")
-            if (fs.exists(marker) &&
-                fs.getFileStatus(vDir).getModificationTime < stagingCutoff) {
+            if (fs.exists(marker)) {
               val in = fs.open(marker)
               val jd =
                 try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                 finally in.close()
-              if (jd.isEmpty || !fs.exists(new Path(jd, s"committed_$txnId")))
+              val committed = jd.nonEmpty &&
+                fs.exists(new Path(jd, s"committed_$txnId"))
+              if (committed)
+                // committed claims finalize with no age gate — the
+                // journal point makes them durable
+                ManifestStore.finalizePending(session, manBase, v.toLong, txnId)
+              else if (fs.getFileStatus(vDir).getModificationTime < stagingCutoff)
                 ManifestStore.abortPending(session, manBase, v.toLong, txnId)
             }
           case _ => ()

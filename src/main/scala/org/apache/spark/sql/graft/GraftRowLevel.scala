@@ -318,7 +318,7 @@ private[graft] class GraftReplaceWrite(
     op.bucketSpec match {
       case Some((col, n)) =>
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)))
+          Array(GraftLakeTable.bucketTransform(n, col)))
       case None =>
         org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     }

@@ -329,10 +329,13 @@ class Round27Spec extends SparkSpec {
     spark.sql(
       s"""INSERT INTO $cat.lake.cbo_dim_b
          |SELECT id, concat('b', id) FROM range(0, 10)""".stripMargin)
-    // the merged NDV reaches the logical plan's attribute stats
-    val rel = spark.table(s"$cat.lake.cbo_dim_b").queryExecution
-      .optimizedPlan
-    val attrStats = rel.stats.attributeStats
+    // the merged NDV reaches the logical plan's attribute stats (the
+    // merge is CBO-gated, so flip the conf for the read)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    val attrStats =
+      try spark.table(s"$cat.lake.cbo_dim_b").queryExecution
+        .optimizedPlan.stats.attributeStats
+      finally spark.conf.set("spark.sql.cbo.enabled", "false")
     val kStat = attrStats.find(_._1.name == "k").map(_._2)
     assert(kStat.exists(_.distinctCount.exists(dc =>
       dc.toLong >= 9 && dc.toLong <= 11)), s"dim_b k NDV: $kStat")
@@ -482,6 +485,93 @@ class Round27Spec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) FROM $cat.lake.ref_spec VERSION AS OF 1")
       .head.getLong(0) == 2L)
+  }
+
+  test("review pass 1 pins: idempotent re-claim keeps the breadcrumb (a retry " +
+      "must not expose its own uncommitted claim), journal files retire after " +
+      "commit, 128-bit txn ids") {
+    ensure()
+    import org.apache.spark.sql.functions.lit
+    val base = graft.queries.IOQueries.catalogRoot + "/lake/pend_r/manifest"
+    val journal = graft.queries.IOQueries.catalogRoot + "/lake/.test_journal_r"
+    def mf(tag: String) = spark.range(1)
+      .select(lit(s"data_x/$tag.parquet").as("file"), lit(1L).as("n_rows"),
+        lit("").as("txn"))
+    assert(ManifestStore.tryPublish(spark, base, mf("v1"), 1L))
+    assert(ManifestStore.tryPublishPending(spark, base, mf("v2"), 2L, "dd44", journal))
+    // the F1 law: a same-txn re-claim WINS idempotently and the
+    // breadcrumb survives — the claim stays suppressed, not exposed
+    assert(ManifestStore.tryPublishPending(spark, base, mf("v2"), 2L, "dd44", journal),
+      "re-claiming your own pending version must succeed")
+    assert(fs.exists(new Path(base, "pending_v2_dd44")),
+      "the re-claim must not delete the live breadcrumb")
+    assert(ManifestStore.versions(spark, base) == Seq(1L),
+      "an uncommitted claim must stay invisible after a re-claim")
+    // a DIFFERENT txn losing to it must not disturb the crumb either
+    assert(!ManifestStore.tryPublishPending(spark, base, mf("x"), 2L, "ee55", journal))
+    assert(fs.exists(new Path(base, "pending_v2_dd44")))
+    assert(ManifestStore.versions(spark, base) == Seq(1L))
+    ManifestStore.abortPending(spark, base, 2L, "dd44")
+    // end-to-end: a successful group commit leaves NO journal file, no
+    // markers, no crumbs (eager finalize + journal retirement), and
+    // its workspaces carried a 128-bit txn id
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.jr_a")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.jr_b")
+    spark.sql(s"CREATE TABLE $cat.lake.jr_a (k BIGINT, v DOUBLE)")
+    spark.sql(s"CREATE TABLE $cat.lake.jr_b (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.lake.jr_a VALUES (1, 1.0)")
+    spark.sql(s"INSERT INTO $cat.lake.jr_b VALUES (1, 1.0)")
+    val wss = spark.sql(s"CALL $cat.system.begin_txn('lake.jr_a,lake.jr_b')")
+      .collect().map(_.getString(0))
+    assert(wss.head.split("__txn_").last.length == 32,
+      s"txn id must be the full 128-bit uuid: ${wss.head}")
+    wss.foreach(ws => spark.sql(s"INSERT INTO $cat.$ws VALUES (2, 2.0)"))
+    spark.sql(s"CALL $cat.system.commit_txn('lake.jr_a,lake.jr_b', " +
+      s"'${wss.mkString(",")}')").collect()
+    val journalDir = new Path(graft.queries.IOQueries.catalogRoot, ".txn_journal")
+    val lingering =
+      if (!fs.exists(journalDir)) Array.empty[String]
+      else fs.listStatus(journalDir).map(_.getPath.getName)
+        .filter(_.contains(wss.head.split("__txn_").last))
+    assert(lingering.isEmpty, s"journal must retire: ${lingering.mkString(",")}")
+    Seq("jr_a", "jr_b").foreach { t =>
+      val names = fs.listStatus(new Path(manBase(t))).map(_.getPath.getName)
+      assert(!names.exists(_.startsWith("pending_")), names.mkString(","))
+    }
+    assert(spark.table(s"$cat.lake.jr_a").count() == 2L)
+    assert(spark.table(s"$cat.lake.jr_b").count() == 2L)
+  }
+
+  test("review pass 1 pins: all-null columns report null counts but NO NDV " +
+      "(CBO divides by it); column stats are CBO-gated; legal exotic column " +
+      "names still bucket") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.nullndv")
+    spark.sql(s"CREATE TABLE $cat.lake.nullndv (k BIGINT, dead STRING)")
+    spark.sql(
+      s"INSERT INTO $cat.lake.nullndv SELECT id, CAST(NULL AS STRING) FROM range(0, 50)")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    val attrStats =
+      try spark.table(s"$cat.lake.nullndv")
+        .queryExecution.optimizedPlan.stats.attributeStats
+      finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    val dead = attrStats.find(_._1.name == "dead").map(_._2)
+    assert(dead.exists(_.nullCount.exists(_.toLong == 50L)), s"dead: $dead")
+    assert(!dead.exists(_.distinctCount.isDefined),
+      s"all-null column must not report an NDV: $dead")
+    // CBO off -> the sketch merge never runs and no attribute stats
+    // surface (the expensive path is gated, not just unused)
+    val offStats = spark.table(s"$cat.lake.nullndv")
+      .queryExecution.optimizedPlan.stats.attributeStats
+    assert(offStats.isEmpty, s"cbo-off must surface no column stats: $offStats")
+    // blacklist, not whitelist: a space/dollar name is legal and buckets
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.spacecol")
+    spark.sql(s"CREATE TABLE $cat.lake.spacecol (`order id` BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.lake.spacecol VALUES (1, 1.0)")
+    spark.sql(
+      s"CALL $cat.system.set_bucketing('lake.spacecol', 'order id', 4)").collect()
+    spark.sql(s"INSERT INTO $cat.lake.spacecol VALUES (2, 2.0)")
+    assert(spark.table(s"$cat.lake.spacecol").count() == 2L)
   }
 
   test("bucket/merge-key names that would corrupt the meta-file JSON wrapper " +
