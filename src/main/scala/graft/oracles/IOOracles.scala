@@ -307,6 +307,23 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT '__ref_protocol', cast(4 AS bigint), 1.0
         |ORDER BY status""".stripMargin,
+    // K56: metadata-delete replay — the post-DELETE per-day rollup
+    // (days 0..2 gone); the protocol row pins the insert count and the
+    // manifest-law flag (expected 1.0: interior files vanished with no
+    // replacement, out-of-range files carried by name, only the
+    // boundary rewrote — computed from the manifests on the Spark side)
+    "sink_delete_metadata" ->
+      """WITH t AS (
+        |  SELECT (2 * (o_orderkey % 4)) + ((o_orderkey // 4) % 2) AS day,
+        |    o_totalprice AS v
+        |  FROM orders
+        |)
+        |SELECT cast(day AS varchar) AS grp, cast(count(*) AS bigint) AS n,
+        |  round(sum(v), 2) AS total
+        |FROM t WHERE day > 2 GROUP BY day
+        |UNION ALL
+        |SELECT '__meta_delete_protocol', cast(4 AS bigint), 1.0
+        |ORDER BY grp""".stripMargin,
     // K50: bucket-evolution replay — the same full-table aggregate
     // before (mixed specs, flat scan) and after (converged, key-grouped
     // scan) the OPTIMIZE rewrite; the protocol row pins the new spec id

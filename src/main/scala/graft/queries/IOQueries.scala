@@ -1369,6 +1369,76 @@ object IOQueries {
          |ORDER BY status""".stripMargin)
   }
 
+  /** K56: METADATA-ONLY DELETE — `DELETE WHERE <pred>` drops every
+    * file whose min/max stats + K53 null counts PROVE all rows match
+    * (the [[org.apache.spark.sql.graft.GraftGroupScan.mustMatchAll]]
+    * dual of the K35 pruning comparator) from the manifest WITHOUT
+    * reading it; only boundary files (provably-matching-some, not
+    * provably-matching-all) pay the read-and-rewrite. The Delta/
+    * Iceberg partition-delete fast path: at 100 TB, `DELETE WHERE day
+    * < cutoff` is O(metadata) for the interior days and one file-set
+    * rewrite at the boundary. Null safety is part of the proof: a
+    * file with nulls in a referenced column never metadata-drops
+    * under a non-null-safe predicate (a null row does not match, but
+    * would vanish with the file).
+    *
+    * Flow: four day-range INSERTs (each file's day window disjoint) →
+    * `DELETE WHERE day <= 2` → actuals from the manifests: the wholly-
+    * inside files VANISH with zero new files attributable to them, the
+    * out-of-range files carry BY NAME, only the boundary insert's
+    * files are rewritten → remaining rollup + protocol row. The
+    * exact-boundary zero-rewrite and the null-file-must-rewrite laws
+    * are spec-pinned in Round27Spec.
+    */
+  def sinkDeleteMetadata(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .createOrReplaceTempView("dm_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.dm_t")
+    spark.sql(
+      "CREATE TABLE graft.lake.dm_t (day BIGINT, k BIGINT, v DOUBLE)")
+    // insert i covers days [2i, 2i+1]: DELETE day <= 2 wholly covers
+    // insert 0, splits insert 1 at the boundary, misses inserts 2-3
+    (0 until 4).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO graft.lake.dm_t
+           |SELECT ${2 * i} + ((o_orderkey DIV 4) % 2), o_orderkey, o_totalprice
+           |FROM dm_src WHERE o_orderkey % 4 = $i""".stripMargin)
+    }
+    val manBase = catalogRoot + "/lake/dm_t/manifest"
+    def filesByDay(): Map[String, (String, String)] = {
+      val v = graft.sinks.ManifestStore.versions(spark, manBase).last
+      org.apache.spark.sql.graft.GraftLakeTable
+        .manifestRowsFull(spark, manBase, v)
+        .map(r => r.file -> r.stats.get("day")
+          .map(s => (s.head, s(1))).getOrElse(("?", "?"))).toMap
+    }
+    val before = filesByDay()
+    spark.sql("DELETE FROM graft.lake.dm_t WHERE day <= 2")
+    val after = filesByDay()
+    val inside = before.filter { case (_, (_, mx)) => mx.toDouble <= 2.0 }.keySet
+    val outside = before.filter { case (_, (mn, _)) => mn.toDouble > 2.0 }.keySet
+    val boundary = before.keySet -- inside -- outside
+    // the laws: interior files vanish, outside files carry BY NAME,
+    // new files number at most the boundary rewrite's output
+    val newFiles = after.keySet -- before.keySet
+    val ok =
+      if (inside.nonEmpty && boundary.nonEmpty &&
+          inside.intersect(after.keySet).isEmpty &&
+          outside.subsetOf(after.keySet) &&
+          boundary.intersect(after.keySet).isEmpty &&
+          newFiles.nonEmpty) 1.0
+      else 0.0
+    spark.sql(
+      s"""SELECT cast(day AS STRING) AS grp, count(*) AS n,
+         |  round(sum(v), 2) AS total
+         |FROM graft.lake.dm_t GROUP BY day
+         |UNION ALL
+         |SELECT '__meta_delete_protocol', 4L, $ok
+         |ORDER BY grp""".stripMargin)
+  }
+
   /** K41: atomic `CREATE TABLE AS SELECT` / `REPLACE TABLE AS SELECT`
     * through the staging catalog ([[org.apache.spark.sql.graft
     * .GraftStagedTable]]): the table builds INVISIBLY (meta + data +

@@ -832,19 +832,32 @@ private[graft] class GraftLakeTable(tableName: String, dir: String,
     val rows = currentManifestRows()
     val (touched, _) = rows.partition(r =>
       filters.forall(f => GraftGroupScan.mayMatch(tableSchema, r.stats, f)))
+    // K56: METADATA-ONLY deletes — a touched file whose stats + K53
+    // null counts PROVE every row matches the predicate is dropped
+    // from the manifest without being read (the Delta/Iceberg
+    // partition-delete fast path: `DELETE WHERE day < X` at 100 TB is
+    // O(metadata) for the files wholly inside the range, and only the
+    // boundary files pay the rewrite). An empty filter set (TRUNCATE
+    // shape) proves nothing here — AlwaysTrue arrives as a filter when
+    // Spark means it.
+    val (dropped, rewrite) = touched.partition(r =>
+      filters.nonEmpty && filters.forall(f =>
+        GraftGroupScan.mustMatchAll(tableSchema, r.stats, r.nRows, f)))
     val writerId = java.util.UUID.randomUUID().toString.take(12)
     val dataDir = s"$dir/data_$writerId"
-    if (touched.nonEmpty) {
+    if (rewrite.nonEmpty) {
       val current = session.read.schema(tableSchema)
-        .parquet(touched.map(r => GraftLakeTable.resolveFile(dir, r.file)): _*)
+        .parquet(rewrite.map(r => GraftLakeTable.resolveFile(dir, r.file)): _*)
       val survivors = current.where(
         !org.apache.spark.sql.functions.coalesce(doomed, org.apache.spark.sql.functions.lit(false)))
       GraftLakeTable.writeData(dataDir, survivors, bucketSpec)
     }
     // a DELETE matching nothing still commits one (identical) version —
-    // the statement happened, the history says so
+    // the statement happened, the history says so; dropped files are
+    // simply absent from the new version (their bytes stay on disk for
+    // time travel until VACUUM, like every replaced file)
     GraftLakeTable.commitReplace(session, dir, dataDir,
-      touched.map(_.file).toSet, tableSchema, bucketSpec.isDefined,
+      (dropped ++ rewrite).map(_.file).toSet, tableSchema, bucketSpec.isDefined,
       s"DELETE on $tableName", specId = bucketSpecId)
   }
 

@@ -285,6 +285,56 @@ private[graft] object GraftGroupScan {
       case _ => true // IsNull/Not/string ops/unknown: never prune on them
     }
   }
+
+  /** Does EVERY row of `file` (with stats + the K53 null counts)
+    * provably match the V1 filter? `true` ONLY when provable — the K56
+    * metadata-DELETE law, the exact dual of [[mayMatch]]: unknown
+    * columns, missing stats, files with nulls in a referenced column
+    * (a null row never satisfies a non-null-safe predicate, but would
+    * vanish with the file), unsupported shapes all answer `false` and
+    * fall back to the rewrite path. Monotone-safe: a wrong `false`
+    * costs a rewrite, never a row.
+    */
+  private[graft] def mustMatchAll(schema: StructType,
+                                  stats: Map[String, Seq[String]],
+                                  nRows: Long,
+                                  f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    val byName = schema.fields.map(x => x.name -> x.dataType).toMap
+    def range(a: String): Option[(DataType, String, String)] =
+      for (dt <- byName.get(a); s <- stats.get(a); if s.length == 2)
+        yield (dt, s(0), s(1))
+    def nullCount(a: String): Option[Long] =
+      stats.get(s"__nulls#$a").flatMap(_.headOption).flatMap(_.toLongOption)
+    def noNulls(a: String): Boolean = nullCount(a).contains(0L)
+    f match {
+      case EqualTo(a, v) => noNulls(a) && range(a).exists {
+        case (dt, mn, mx) =>
+          cmpStat(dt, v, mn).contains(0) && cmpStat(dt, v, mx).contains(0) }
+      case In(a, vs) => noNulls(a) && range(a).exists {
+        case (dt, mn, mx) =>
+          cmpStat(dt, mn, mx).map(_ == 0).getOrElse(false) &&
+            vs.exists(v => cmpStat(dt, v, mn).contains(0)) }
+      case GreaterThan(a, v) => noNulls(a) && range(a).exists {
+        case (dt, mn, _) => cmpStat(dt, v, mn).exists(_ < 0) }
+      case GreaterThanOrEqual(a, v) => noNulls(a) && range(a).exists {
+        case (dt, mn, _) => cmpStat(dt, v, mn).exists(_ <= 0) }
+      case LessThan(a, v) => noNulls(a) && range(a).exists {
+        case (dt, _, mx) => cmpStat(dt, v, mx).exists(_ > 0) }
+      case LessThanOrEqual(a, v) => noNulls(a) && range(a).exists {
+        case (dt, _, mx) => cmpStat(dt, v, mx).exists(_ >= 0) }
+      case IsNotNull(a) => noNulls(a)
+      case IsNull(a) => nullCount(a).contains(nRows) && nRows > 0L
+      case And(l, r) =>
+        mustMatchAll(schema, stats, nRows, l) &&
+          mustMatchAll(schema, stats, nRows, r)
+      case Or(l, r) =>
+        mustMatchAll(schema, stats, nRows, l) ||
+          mustMatchAll(schema, stats, nRows, r)
+      case _: AlwaysTrue => true
+      case _ => false
+    }
+  }
 }
 
 /** The replace-groups write: rewritten rows land in a fresh immutable

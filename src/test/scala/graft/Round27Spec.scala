@@ -574,6 +574,42 @@ class Round27Spec extends SparkSpec {
     assert(spark.table(s"$cat.lake.spacecol").count() == 2L)
   }
 
+  test("K56 metadata DELETE: a file-aligned delete commits ZERO new files; " +
+      "a file with nulls in the predicate column must rewrite, not drop") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.md_t")
+    spark.sql(s"CREATE TABLE $cat.lake.md_t (day BIGINT, v DOUBLE)")
+    (0 until 3).foreach { d =>
+      spark.sql(
+        s"INSERT INTO $cat.lake.md_t SELECT $d, id * 1.0 FROM range(0, 100)")
+    }
+    val newVersionFiles = { () =>
+      val mb = manBase("md_t")
+      val v = ManifestStore.versions(spark, mb).last
+      GraftLakeTable.manifestRowsFull(spark, mb, v).filter(_.seq == v)
+    }
+    // file-aligned: every day-0 file has min=max=0, zero nulls -> the
+    // whole delete is a manifest edit, no file read or written
+    spark.sql(s"DELETE FROM $cat.lake.md_t WHERE day < 1")
+    assert(newVersionFiles().isEmpty,
+      "a file-aligned DELETE must commit zero new files")
+    assert(spark.table(s"$cat.lake.md_t").count() == 200L)
+    // a file with NULL days cannot prove "every row matches day < 2":
+    // the null row does not match and must survive a rewrite
+    spark.sql(
+      s"INSERT INTO $cat.lake.md_t VALUES (1, -1.0), (CAST(NULL AS BIGINT), -2.0)")
+    spark.sql(s"DELETE FROM $cat.lake.md_t WHERE day < 2")
+    val left = spark.table(s"$cat.lake.md_t").collect()
+      .map(r => (if (r.isNullAt(0)) -99L else r.getLong(0), r.getDouble(1)))
+    assert(left.count(_._1 == 2L) == 100L)
+    assert(left.contains((-99L, -2.0)),
+      "the null-day row must survive the delete")
+    assert(left.length == 101L)
+    // the rewrite happened (new files exist): the null file could not
+    // metadata-drop
+    assert(newVersionFiles().nonEmpty)
+  }
+
   test("bucket/merge-key names that would corrupt the meta-file JSON wrapper " +
       "refuse by name; the existing meta stays intact") {
     ensure()
