@@ -100,8 +100,15 @@ object ManifestStore {
             try { fs.delete(marker, false)
               fs.delete(new Path(basePath, s"pending_v${v}_$txn"), false) }
             catch { case _: Exception => () }
-          }
-          committed
+            true
+          } else
+            // the eager finalizer (or another reader) may have removed
+            // the marker AND retired the journal file between our
+            // exists() and the journal check — marker-gone now means
+            // FINALIZED-VISIBLE, not uncommitted; without this
+            // re-check a racing reader would serve snapshot N after
+            // N+1 was already visible (review pass 2, round 13)
+            !fs.exists(marker)
         }
       }
     }

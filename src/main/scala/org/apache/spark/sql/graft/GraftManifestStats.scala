@@ -85,15 +85,13 @@ object GraftManifestStats {
             }
             Some(math.max(1L, math.round(u.getEstimate)))
           } catch { case _: Exception => None }
-        if (ndv.isDefined || allCounted) {
-          val stat = new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-            override def distinctCount(): OptionalLong =
-              ndv.fold(OptionalLong.empty())(OptionalLong.of)
-            override def nullCount(): OptionalLong = OptionalLong.of(nullTotal)
-          }
-          out.put(org.apache.spark.sql.connector.expressions
-            .FieldReference(Seq(f.name)), stat)
+        val stat = new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+          override def distinctCount(): OptionalLong =
+            ndv.fold(OptionalLong.empty())(OptionalLong.of)
+          override def nullCount(): OptionalLong = OptionalLong.of(nullTotal)
         }
+        out.put(org.apache.spark.sql.connector.expressions
+          .FieldReference(Seq(f.name)), stat)
       }
     }
     out

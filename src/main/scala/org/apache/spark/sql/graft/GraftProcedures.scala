@@ -768,18 +768,25 @@ private[graft] object GraftProcedures {
       def dropWorkspaces(): Unit = parts.foreach(p =>
         try fs.delete(new Path(p.txnDir), true) catch { case _: Throwable => () })
 
-      // eager finalize + journal retirement: once every claim's marker
-      // is gone, visibility no longer depends on the journal file, so
-      // it can be deleted — the journal only ACCRUES entries for
-      // commits that crashed mid-finalize and were never retried
-      // (review pass 1, round 13: an unbounded journal is also what
-      // would make txn-id reuse dangerous)
-      def finalizeAll(): Unit = {
+      // eager finalize + journal retirement, ORDERED for retry
+      // idempotence (review pass 2, round 13): (1) finalize markers —
+      // visibility stops depending on the journal; (2) drop the
+      // workspaces — the retry handle goes away only after the claims
+      // are self-standing; (3) LAST, retire the journal file. Any
+      // crash before (2) leaves a retryable state (journal + workspaces
+      // both present → the committed-retry path below); a crash
+      // between (2) and (3) leaks exactly one empty journal file —
+      // bounded by crash count, never load-bearing (its markers are
+      // already gone). Deleting the journal any earlier re-opened a
+      // double-apply window: a retried, durably-committed commit_txn
+      // would have failed pin verification with 'source moved — abort
+      // and retry', inviting the caller to apply the DML twice.
+      def finalizeMarkers(): Unit =
         parts.foreach(p => ManifestStore.finalizePending(
           session, s"${p.dir}/manifest", p.mk.base + 1, txnId))
+      def retireJournal(): Unit =
         try fs.delete(new Path(journal, s"committed_$txnId"), false)
         catch { case _: Exception => () }
-      }
 
       // a RETRY after a crash past the journal commit point: the
       // transaction is already durable — finalize and report the
@@ -789,8 +796,9 @@ private[graft] object GraftProcedures {
           val (c, f) = countsAt(p, p.mk.base + 1)
           Seq[Any](p.mk.base + 1, c, f)
         }
-        finalizeAll()
+        finalizeMarkers()
         dropWorkspaces()
+        retireJournal()
         return resultScanRows(commitOut, out)
       }
 
@@ -913,9 +921,10 @@ private[graft] object GraftProcedures {
         // flips every table's claim visible at once
         fs.mkdirs(journal)
         fs.create(new Path(journal, s"committed_$txnId"), false).close()
-        finalizeAll()
+        finalizeMarkers()
       }
       dropWorkspaces()
+      if (parts.length > 1) retireJournal()
       resultScanRows(commitOut, prepared.map(pr =>
         Seq[Any](pr.p.mk.base + 1, pr.carried, pr.fresh)))
     }
@@ -1163,18 +1172,27 @@ private[graft] object GraftProcedures {
             val vDir = new Path(manDir, s"manifest_v$v")
             val marker = new Path(vDir, s"_pending_$txnId")
             if (fs.exists(marker)) {
-              val in = fs.open(marker)
+              // defensive read: the eager finalizer (or a lazy reader)
+              // can delete the marker between the exists and the open —
+              // an unreadable marker means "being finalized right now",
+              // never a reason to fail the whole VACUUM (review pass 2)
               val jd =
-                try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                finally in.close()
-              val committed = jd.nonEmpty &&
-                fs.exists(new Path(jd, s"committed_$txnId"))
-              if (committed)
-                // committed claims finalize with no age gate — the
-                // journal point makes them durable
-                ManifestStore.finalizePending(session, manBase, v.toLong, txnId)
-              else if (fs.getFileStatus(vDir).getModificationTime < stagingCutoff)
-                ManifestStore.abortPending(session, manBase, v.toLong, txnId)
+                try {
+                  val in = fs.open(marker)
+                  try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+                } catch { case _: Exception => null }
+              if (jd != null) {
+                val committed = jd.nonEmpty &&
+                  fs.exists(new Path(jd, s"committed_$txnId"))
+                if (committed)
+                  // committed claims finalize with no age gate — the
+                  // journal point makes them durable
+                  ManifestStore.finalizePending(session, manBase, v.toLong, txnId)
+                else if (fs.exists(marker) &&
+                    fs.getFileStatus(vDir).getModificationTime < stagingCutoff)
+                  ManifestStore.abortPending(session, manBase, v.toLong, txnId)
+              }
             }
           case _ => ()
         }
