@@ -187,6 +187,7 @@ object SparkEntry {
     "e_stream_catalog_merge" -> ((s, d) => streaming.Events.streamCatalogMerge(s, d)),
     "e_stream_mor_merge" -> ((s, d) => streaming.Events.streamMorMerge(s, d)),
     "e_stream_lake_source" -> ((s, d) => streaming.Events.streamLakeSource(s, d)),
+    "e_stream_ref" -> ((s, d) => streaming.Events.streamRef(s, d)),
     "e_stream_cdf" -> ((s, d) => streaming.Events.streamCdf(s, d)),
     "e_stream_cdf_catalog" -> ((s, d) => streaming.Events.streamCdfCatalog(s, d)),
     "e_stream_heavy_hitters" -> ((s, d) => streaming.Events.streamHeavyHitters(s, d)),

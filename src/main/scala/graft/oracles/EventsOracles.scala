@@ -34,6 +34,20 @@ private[graft] object EventsOracles {
         |  (SELECT cast(count(*) AS bigint) FROM orders WHERE o_orderkey % 1000 = 7),
         |  1.0
         |ORDER BY o_orderstatus""".stripMargin,
+    // E42: the ref-following stream's final rollup = all three
+    // published batches (the quarantined 'XX' batch never reaches the
+    // sink); the protocol row pins run 2's ingested-row ACTUAL (the
+    // correct %3=2 batch alone) and the published-only/never-delivered
+    // flags (expected 1.0)
+    "e_stream_ref" ->
+      """SELECT o_orderstatus, cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'x_protocol',
+        |  (SELECT cast(count(*) AS bigint) FROM orders WHERE o_orderkey % 3 = 2),
+        |  1.0
+        |ORDER BY o_orderstatus""".stripMargin,
     // E39: per-(commit, change-type) CDF aggregate replayed
     // arithmetically from orders (v1 = pre-1997-01 inserts; v2 =
     // deletes ≡2 mod 5, ±update images ≡1 mod 5, mid-months inserts;

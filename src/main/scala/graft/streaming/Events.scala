@@ -740,6 +740,90 @@ object Events {
          |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** E42: STREAMING THROUGH A REF — `readStream.table(t)` with
+    * `followRef => 'main'` pins the stream's admission ceiling to the
+    * branch's CURRENT version, re-resolved at every poll
+    * ([[org.apache.spark.sql.graft.GraftMicroBatchStream]]): the
+    * WAP-aware subscriber. A corrupt batch that COMMITS on the table
+    * but is never published (main stays behind) is never delivered
+    * downstream; when the audit publishes — one K55 ref flip — the
+    * stream picks up exactly the published versions. Because the
+    * repair DELETE of the quarantined batch is K56 metadata-only
+    * (whole-file drop), the version range the stream crosses adds and
+    * removes the corrupt files strictly INSIDE the range — the
+    * endpoint file-set diff never sees them, so no rewritten-file
+    * caveat is needed.
+    *
+    * Flow: v1+v2 published (main@v2) → corrupt v3 commits UNpublished
+    * → stream run 1 (followRef=main, AvailableNow) delivers exactly
+    * v1+v2's rows, none of v3's → repair: K56 metadata DELETE (v4) +
+    * correct batch (v5) + fast-forward main@v5 → run 2 on the same
+    * checkpoint delivers exactly the correct batch. Both
+    * delivered-row counts are Spark progress ACTUALS riding the
+    * protocol row; the never-delivered law is asserted on the
+    * memory-sink contents.
+    */
+  def streamRef(spark: SparkSession, dir: String): DataFrame = {
+    graft.queries.IOQueries.ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_reffeed_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_reffeed")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_reffeed (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)""".stripMargin)
+    def ins(where: String): Unit = spark.sql(
+      s"INSERT INTO graft.lake.orders_reffeed SELECT * FROM orders_reffeed_src WHERE $where")
+    ins("o_orderkey % 3 = 0") // v1
+    ins("o_orderkey % 3 = 1") // v2
+    spark.sql("CALL graft.system.set_ref('lake.orders_reffeed', 'main', 'branch')")
+      .collect()
+    // the corrupt batch commits on the TABLE (v3) but is never published
+    spark.sql(
+      """INSERT INTO graft.lake.orders_reffeed
+        |SELECT -o_orderkey, 'XX', 0.0 FROM orders_reffeed_src
+        |WHERE o_orderkey % 3 = 2 AND o_orderkey % 100 = 7""".stripMargin)
+    val ckpt = Files.createTempDirectory("graft_ref_stream").toString + "/ckpt"
+    def runOnce(name: String): Long = {
+      val q = spark.readStream
+        .option("followRef", "main")
+        .table("graft.lake.orders_reffeed")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    val rows1 = runOnce("graft_ref_stream_1")
+    val publishedCount = spark.sql(
+      "SELECT count(*) FROM graft.lake.orders_reffeed VERSION AS OF 'main'")
+      .head.getLong(0)
+    // the audit rejects v3: K56 metadata DELETE, correct batch, publish
+    spark.sql("DELETE FROM graft.lake.orders_reffeed WHERE o_orderstatus = 'XX'")
+    ins("o_orderkey % 3 = 2") // v5, the correct batch
+    spark.sql("CALL graft.system.set_ref('lake.orders_reffeed', 'main', 'branch')")
+      .collect()
+    val rows2 = runOnce("graft_ref_stream_2")
+    val correctCount = spark.sql(
+      "SELECT count(*) FROM orders_reffeed_src WHERE o_orderkey % 3 = 2")
+      .head.getLong(0)
+    val neverDelivered = spark.sql(
+      "SELECT count(*) FROM graft_ref_stream_2 WHERE o_orderstatus = 'XX'")
+      .head.getLong(0) == 0L
+    val ok =
+      if (rows1 == publishedCount && rows2 == correctCount && neverDelivered) 1.0
+      else 0.0
+    spark.sql(
+      s"""SELECT o_orderstatus, n, total FROM graft_ref_stream_2
+         |UNION ALL
+         |SELECT 'x_protocol', ${rows2}L, $ok
+         |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** E39: the STREAMING CHANGE DATA FEED
     * ([[org.apache.spark.sql.graft.GraftCdfSourceProvider]], format
     * `graft-cdf`) — Delta's `readChangeFeed` stream over the

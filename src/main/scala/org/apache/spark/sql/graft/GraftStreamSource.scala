@@ -35,12 +35,28 @@ class GraftMicroBatchStream(
     readSchema: StructType,
     ignoreChanges: Boolean,
     startingVersion: Option[Long] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    followRef: Option[String] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
   private def manBase: String = s"$dir/manifest"
+
+  /** E42: `followRef => '<branch-or-tag>'` pins the stream's admission
+    * CEILING to the ref's current version, re-resolved at every poll —
+    * the WAP-aware subscriber: a corrupt batch that commits on the
+    * table but never fast-forwards `main` is never delivered
+    * downstream; when the audit publishes (one ref flip, K55) the
+    * stream picks up exactly the published versions. A ref rolled
+    * BACK below the checkpointed offset makes the stream WAIT (no
+    * re-delivery, offsets never regress); a dropped ref fails the
+    * poll with K55's named remedy. Cost per poll: one ref-lake read
+    * on top of the manifest listing — still metadata-only.
+    */
+  private def refCeiling(): Option[Long] =
+    followRef.map(n =>
+      graft.sinks.RefStore.resolve(spark, s"$dir/refs", n)._2)
 
   /** Committed manifests are IMMUTABLE, so each version's file set is
     * read once per stream and cached (bounded LRU) — the admission
@@ -96,8 +112,9 @@ class GraftMicroBatchStream(
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftVersionOffset].version
     val committed = ManifestStore.versions(spark, manBase)
-    val ceiling = availableNowTarget.getOrElse(
-      committed.lastOption.getOrElse(0L))
+    val ceiling = math.min(
+      availableNowTarget.getOrElse(committed.lastOption.getOrElse(0L)),
+      refCeiling().getOrElse(Long.MaxValue))
     val candidates = committed.filter(v => v > s && v <= ceiling)
     if (candidates.isEmpty) return GraftVersionOffset(math.max(s, 0L))
     val cap = limit match {
@@ -133,8 +150,9 @@ class GraftMicroBatchStream(
   @volatile private var availableNowTarget: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget =
-      Some(ManifestStore.versions(spark, manBase).lastOption.getOrElse(0L))
+    availableNowTarget = Some(math.min(
+      ManifestStore.versions(spark, manBase).lastOption.getOrElse(0L),
+      refCeiling().getOrElse(Long.MaxValue)))
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toLong)
@@ -239,6 +257,7 @@ private[graft] class GraftLakeScanBuilder(
       ignoreChanges = options.getBoolean("ignoreChanges", false),
       startingVersion = Option(options.get("startingVersion")).map(_.toLong),
       maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      followRef = Option(options.get("followRef")),
       statsRows = statsRows)
 }
 }
@@ -252,6 +271,7 @@ case class GraftLakeScan(inner: Scan, dir: String,
                          ignoreChanges: Boolean,
                          startingVersion: Option[Long],
                          maxFilesPerTrigger: Option[Int],
+                         followRef: Option[String] = None,
                          statsRows: Seq[GraftLakeTable.ManifestRow] = Nil)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -259,7 +279,7 @@ case class GraftLakeScan(inner: Scan, dir: String,
   override def toBatch: Batch = inner.toBatch
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(dir, requested, ignoreChanges,
-      startingVersion, maxFilesPerTrigger)
+      startingVersion, maxFilesPerTrigger, followRef)
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     if (statsRows.nonEmpty) GraftManifestStats.of(statsRows, readSchema())

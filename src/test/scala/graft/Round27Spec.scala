@@ -610,6 +610,43 @@ class Round27Spec extends SparkSpec {
     assert(newVersionFiles().nonEmpty)
   }
 
+  test("E42 followRef stream: unpublished commits are not delivered, a " +
+      "lagging ref makes the stream wait, a dropped ref fails with the remedy") {
+    ensure()
+    import org.apache.spark.sql.functions.{count, lit}
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.refstream_t")
+    spark.sql(s"CREATE TABLE $cat.lake.refstream_t (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.lake.refstream_t SELECT id, id*1.0 FROM range(0, 10)")
+    spark.sql(s"CALL $cat.system.set_ref('lake.refstream_t', 'main', 'branch')").collect()
+    val ckpt = java.nio.file.Files.createTempDirectory("refstream").toString + "/ckpt"
+    def drain(name: String): Long = {
+      val q = spark.readStream.option("followRef", "main")
+        .table(s"$cat.lake.refstream_t")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    assert(drain("rs1") == 10L)
+    // head moves, the ref does not: the stream WAITS (delivers nothing)
+    spark.sql(s"INSERT INTO $cat.lake.refstream_t SELECT id, id*1.0 FROM range(10, 15)")
+    assert(drain("rs2") == 0L, "unpublished commits must not deliver")
+    // publish: one ref flip delivers exactly the published versions
+    spark.sql(s"CALL $cat.system.set_ref('lake.refstream_t', 'main', 'branch')").collect()
+    assert(drain("rs3") == 5L)
+    // a dropped ref fails the poll with K55's named remedy
+    spark.sql(s"CALL $cat.system.drop_ref('lake.refstream_t', 'main')").collect()
+    val err = intercept[Exception] { drain("rs4") }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("no ref")), msgs(err).mkString(" | "))
+  }
+
   test("bucket/merge-key names that would corrupt the meta-file JSON wrapper " +
       "refuse by name; the existing meta stays intact") {
     ensure()
