@@ -223,6 +223,7 @@ object SparkEntry {
     "sink_zorder_scoped" -> ((s, d) => IOQueries.sinkZorderScoped(s, d)),
     "sink_branch_sql" -> ((s, d) => IOQueries.sinkBranchSql(s, d)),
     "sink_delete_metadata" -> ((s, d) => IOQueries.sinkDeleteMetadata(s, d)),
+    "sink_catalog_histogram" -> ((s, d) => IOQueries.sinkCatalogHistogram(s, d)),
     "sink_catalog_default" -> ((s, d) => IOQueries.sinkCatalogDefault(s, d)),
     "sink_catalog_zorder" -> ((s, d) => IOQueries.sinkCatalogZorder(s, d)),
     "sink_catalog_bucketed_dist" -> ((s, d) => IOQueries.sinkCatalogBucketedDist(s, d)),

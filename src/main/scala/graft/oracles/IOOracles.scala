@@ -265,13 +265,13 @@ private[graft] object IOOracles {
     // written order)
     "sink_catalog_cbo" ->
       """WITH f AS (
-        |  SELECT l_orderkey % 1000 AS k1, l_orderkey % 10 AS k2,
+        |  SELECT l_orderkey % 1000 AS k1, l_orderkey % 500 AS k2,
         |    l_quantity AS q
         |  FROM lineitem
         |)
         |SELECT concat('b', k2) AS grp, cast(count(*) AS bigint) AS n,
         |  round(sum(q), 2) AS total
-        |FROM f GROUP BY k2
+        |FROM f WHERE k2 < 10 GROUP BY k2
         |UNION ALL
         |SELECT '__cbo_protocol', cast(3 AS bigint), 1.0
         |ORDER BY grp""".stripMargin,
@@ -323,6 +323,24 @@ private[graft] object IOOracles {
         |FROM t WHERE day > 2 GROUP BY day
         |UNION ALL
         |SELECT '__meta_delete_protocol', cast(4 AS bigint), 1.0
+        |ORDER BY grp""".stripMargin,
+    // K57: histogram replay — the tail rollup (x > 900, only the
+    // spread 10% reaches there) straight from lineitem; the protocol
+    // row pins the bin count and the estimator flag (expected 1.0:
+    // the CBO estimate for x > 500 lands within 3x of the actual and
+    // at least 3x below the uniform interpolation — computed on the
+    // Spark side where the oracle cannot reach)
+    "sink_catalog_histogram" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN l_orderkey % 10 = 0 THEN l_orderkey % 1000
+        |    ELSE 5 END AS x, l_quantity AS q
+        |  FROM lineitem
+        |)
+        |SELECT cast(x AS varchar) AS grp, cast(count(*) AS bigint) AS n,
+        |  round(sum(q), 2) AS total
+        |FROM t WHERE x > 900 GROUP BY x
+        |UNION ALL
+        |SELECT '__histogram_protocol', cast(32 AS bigint), 1.0
         |ORDER BY grp""".stripMargin,
     // K50: bucket-evolution replay — the same full-table aggregate
     // before (mixed specs, flat scan) and after (converged, key-grouped

@@ -1192,7 +1192,7 @@ object IOQueries {
     spark.sql("CREATE TABLE graft.lake.cbo_dim_be (k BIGINT, b STRING)")
     spark.sql(
       """INSERT INTO graft.lake.cbo_fact_e
-        |SELECT l_orderkey % 1000, l_orderkey % 10, l_quantity
+        |SELECT l_orderkey % 1000, l_orderkey % 500, l_quantity
         |FROM cbo_src""".stripMargin)
     spark.sql(
       """INSERT INTO graft.lake.cbo_dim_ae
@@ -1436,6 +1436,64 @@ object IOQueries {
          |FROM graft.lake.dm_t GROUP BY day
          |UNION ALL
          |SELECT '__meta_delete_protocol', 4L, $ok
+         |ORDER BY grp""".stripMargin)
+  }
+
+  /** K57: EQUI-HEIGHT HISTOGRAMS from the manifest — every commit's
+    * stats pass also writes a 33-point per-file QUANTILE VECTOR per
+    * numeric column (`percentile_approx`, native codegen'd agg,
+    * ~0.7 KB/col/file); at scan-stats time the pruned snapshot's
+    * vectors merge driver-side (each defines a piecewise-linear CDF;
+    * the snapshot histogram inverts their row-weighted MIXTURE into 32
+    * equi-height bins) and surface through DSv2 `columnStats()`
+    * alongside K53's NDV and typed min/max — so `FilterEstimation`
+    * sees THROUGH skew instead of interpolating uniformly over
+    * [min, max]. At 100 TB this is what keeps a CBO plan honest on the
+    * real (Zipfian) key distributions: a range predicate over a
+    * 90%-point-mass column estimates ~5% where uniform says ~50%.
+    *
+    * Flow: a skewed fact from lineitem (90% of rows at x=5, 10% spread
+    * to 999) in two commits (the MIXTURE path, not one vector) → the
+    * CBO estimate for `x > 500` must land within 3× of the actual AND
+    * at least 3× below the uniform interpolation → per-status rollup +
+    * protocol flags. Estimator-consumption law spec-pinned in
+    * Round27Spec.
+    */
+  def sinkCatalogHistogram(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .createOrReplaceTempView("histo_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.histo_t")
+    spark.sql("CREATE TABLE graft.lake.histo_t (x BIGINT, q DOUBLE)")
+    (0 until 2).foreach { half =>
+      spark.sql(
+        s"""INSERT INTO graft.lake.histo_t
+           |SELECT CASE WHEN l_orderkey % 10 = 0 THEN l_orderkey % 1000 ELSE 5 END,
+           |  l_quantity
+           |FROM histo_src WHERE l_orderkey % 2 = $half""".stripMargin)
+    }
+    val actual = spark.sql(
+      "SELECT count(*) FROM graft.lake.histo_t WHERE x > 500").head.getLong(0)
+    val totalRows = spark.table("graft.lake.histo_t").count()
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    val est =
+      try spark.table("graft.lake.histo_t").where("x > 500")
+        .queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
+      finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    // uniform-over-[min,max] interpolation would estimate ~half the
+    // table; the histogram estimate must track the skewed actual
+    val uniformEst = totalRows / 2
+    val ok =
+      if (actual > 0L && est.exists(e =>
+          e < uniformEst / 3 && e <= actual * 3 && e >= actual / 3)) 1.0
+      else 0.0
+    spark.sql(
+      s"""SELECT cast(x AS STRING) AS grp, count(*) AS n,
+         |  round(sum(q), 2) AS total
+         |FROM graft.lake.histo_t WHERE x > 900 GROUP BY x
+         |UNION ALL
+         |SELECT '__histogram_protocol', 32L, $ok
          |ORDER BY grp""".stripMargin)
   }
 

@@ -1298,6 +1298,7 @@ object GraftLakeTable {
       .forall(_.toBoolean)
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { f =>
       val c = org.apache.spark.sql.functions.col(s"`${f.name}`")
+      val numeric = f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
       Seq(min(c).cast("string").as(s"__min_${f.name}"),
           max(c).cast("string").as(s"__max_${f.name}")) ++
         (if (ndvEnabled) Seq(
@@ -1306,6 +1307,18 @@ object GraftLakeTable {
               s"hll_sketch_agg(cast(`${f.name}` AS STRING), 9)"))
             .as(s"__hll_${f.name}"),
           (count(lit(1)) - count(c)).as(s"__nulls_${f.name}"))
+        else Seq.empty) ++
+        // K57: a 33-point per-file quantile vector for numeric columns
+        // (ApproximatePercentile — native, codegen'd) — the mergeable
+        // distribution summary the scan folds into an equi-height CBO
+        // histogram (each file's vector defines a piecewise-linear
+        // CDF; the snapshot's histogram inverts their row-weighted
+        // mixture). ~0.7 KB per numeric column per file.
+        (if (ndvEnabled && numeric) Seq(
+          org.apache.spark.sql.functions.expr(
+            s"percentile_approx(cast(`${f.name}` AS DOUBLE), " +
+              s"array(${(0 to 32).map(i => i / 32.0).mkString(",")}), 2500)")
+            .as(s"__q_${f.name}"))
         else Seq.empty)
     }
     // a bucketed data dir carries the bucket id as a partition
@@ -1342,16 +1355,22 @@ object GraftLakeTable {
           if (mn == null || mx == null) None
           else Some(f.name -> Seq(mn, mx))
         }
-        // K53 entries ride the same map under reserved '#'-keys (never
-        // a plain column-name lookup, so pruning/rewrite consumers are
-        // untouched)
+        // K53/K57 entries ride the same map under reserved '#'-keys
+        // (never a plain column-name lookup, so pruning/rewrite
+        // consumers are untouched)
         val ndv =
           if (!ndvEnabled) Seq.empty
           else cols.flatMap { f =>
             val sk = r.getString(r.fieldIndex(s"__hll_${f.name}"))
             val nulls = r.getLong(r.fieldIndex(s"__nulls_${f.name}"))
+            val quant =
+              if (!f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+                Seq.empty
+              else Option(r.getAs[scala.collection.Seq[Double]](s"__q_${f.name}"))
+                .filter(_.length == 33)
+                .map(q => s"__q#${f.name}" -> q.map(_.toString).toSeq).toSeq
             (if (sk == null) Seq.empty
-             else Seq(s"__hll#${f.name}" -> Seq(sk))) :+
+             else Seq(s"__hll#${f.name}" -> Seq(sk))) ++ quant :+
               (s"__nulls#${f.name}" -> Seq(nulls.toString))
           }
         val rel = abs.substring(idx + 1)

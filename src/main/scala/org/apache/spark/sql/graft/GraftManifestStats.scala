@@ -79,22 +79,129 @@ object GraftManifestStats {
           else try {
             val u = new org.apache.datasketches.hll.Union(12)
             needSketch.foreach { case (r, _) =>
+              // MIME decoder: Spark's base64() chunks outputs past 76
+              // chars with CRLFs, which the basic decoder rejects — a
+              // KB-sized sketch (any file with real cardinality) would
+              // throw and silently lose the NDV
               u.update(org.apache.datasketches.hll.HllSketch.heapify(
-                java.util.Base64.getDecoder.decode(
+                java.util.Base64.getMimeDecoder.decode(
                   r.stats(s"__hll#${f.name}").head)))
             }
             Some(math.max(1L, math.round(u.getEstimate)))
           } catch { case _: Exception => None }
+        // K57: numeric columns additionally report typed min/max (from
+        // the same per-file stats the pruning comparators read) and an
+        // equi-height HISTOGRAM inverted from the row-weighted mixture
+        // of per-file quantile vectors — what FilterEstimation needs to
+        // see THROUGH skew instead of assuming uniform over [min, max].
+        // Per-bin NDV is the global-NDV/bins approximation (exact
+        // per-bin counting would need a sketch per bin); range
+        // estimates use boundaries + height, which are mixture-exact
+        // up to the per-file percentile accuracy.
+        val numericDt: Option[Double => Any] = f.dataType match {
+          case org.apache.spark.sql.types.ByteType => Some(d => d.toByte)
+          case org.apache.spark.sql.types.ShortType => Some(d => d.toShort)
+          case org.apache.spark.sql.types.IntegerType => Some(d => d.toInt)
+          case org.apache.spark.sql.types.LongType => Some(d => d.toLong)
+          case org.apache.spark.sql.types.FloatType => Some(d => d.toFloat)
+          case org.apache.spark.sql.types.DoubleType => Some(d => d)
+          case _ => None
+        }
+        val minMax: Option[(Any, Any)] = numericDt.flatMap { conv =>
+          val mins = withRows.flatMap(_.stats.get(f.name).map(_.head))
+          val maxs = withRows.flatMap(_.stats.get(f.name).map(_(1)))
+          val present = withRows.zip(nullsByFile).filter {
+            case (r, nc) => nc.exists(_ < r.nRows) }
+          if (present.isEmpty ||
+              !present.forall(_._1.stats.contains(f.name))) None
+          else try {
+            Some((conv(mins.map(_.toDouble).min), conv(maxs.map(_.toDouble).max)))
+          } catch { case _: Exception => None }
+        }
+        val histo: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+          if (numericDt.isEmpty || ndv.isEmpty) None
+          else {
+            val qFiles = withRows.zip(nullsByFile).filter {
+              case (r, nc) => nc.exists(_ < r.nRows) }
+            val vecs = qFiles.flatMap { case (r, nc) =>
+              r.stats.get(s"__q#${f.name}").filter(_.length == 33).map(q =>
+                (r.nRows - nc.get, q.map(_.toDouble).toArray))
+            }
+            if (vecs.length != qFiles.length || vecs.isEmpty) None
+            else {
+              val nBins = 32
+              val bounds = (0 to nBins).map {
+                case 0 => vecs.map(_._2.head).min
+                case `nBins` => vecs.map(_._2.last).max
+                case j => mixtureQuantile(vecs, j.toDouble / nBins)
+              }
+              val rowsNonNull = vecs.map(_._1).sum
+              val binNdv = math.max(1L, ndv.get / nBins)
+              val binArr = (0 until nBins).map { j =>
+                new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                  override def lo(): Double = bounds(j)
+                  override def hi(): Double = bounds(j + 1)
+                  override def ndv(): Long = binNdv
+                }
+              }.toArray
+              Some(new org.apache.spark.sql.connector.read.colstats.Histogram {
+                override def height(): Double = rowsNonNull.toDouble / nBins
+                override def bins(): Array[
+                  org.apache.spark.sql.connector.read.colstats.HistogramBin] = binArr
+              })
+            }
+          }
         val stat = new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
           override def distinctCount(): OptionalLong =
             ndv.fold(OptionalLong.empty())(OptionalLong.of)
           override def nullCount(): OptionalLong = OptionalLong.of(nullTotal)
+          override def min(): java.util.Optional[Object] =
+            minMax.fold(java.util.Optional.empty[Object]())(m =>
+              java.util.Optional.of(m._1.asInstanceOf[Object]))
+          override def max(): java.util.Optional[Object] =
+            minMax.fold(java.util.Optional.empty[Object]())(m =>
+              java.util.Optional.of(m._2.asInstanceOf[Object]))
+          override def histogram(): java.util.Optional[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+            histo.fold(java.util.Optional.empty[
+              org.apache.spark.sql.connector.read.colstats.Histogram]())(
+              java.util.Optional.of(_))
         }
         out.put(org.apache.spark.sql.connector.expressions
           .FieldReference(Seq(f.name)), stat)
       }
     }
     out
+  }
+
+  /** K57: invert the row-weighted MIXTURE of per-file piecewise-linear
+    * CDFs (each file's 33-point quantile vector) at probability `p` —
+    * the global quantile the snapshot's equi-height histogram bins on.
+    * Bisection over the value domain; 60 iterations ≈ machine
+    * precision relative to the domain width.
+    */
+  private def mixtureQuantile(files: Seq[(Long, Array[Double])], p: Double): Double = {
+    val totalW = files.map(_._1).sum.toDouble
+    def cdf(q: Array[Double], x: Double): Double = {
+      if (x <= q.head) return 0.0
+      if (x >= q.last) return 1.0
+      var i = 1
+      while (i < q.length && q(i) < x) i += 1
+      val (lo, hi) = (q(i - 1), q(i))
+      val frac = if (hi == lo) 1.0 else (x - lo) / (hi - lo)
+      ((i - 1) + frac) / (q.length - 1)
+    }
+    def mixture(x: Double): Double =
+      files.map { case (w, q) => w * cdf(q, x) }.sum / totalW
+    var lo = files.map(_._2.head).min
+    var hi = files.map(_._2.last).max
+    var it = 0
+    while (it < 60) {
+      val mid = lo / 2 + hi / 2
+      if (mixture(mid) < p) lo = mid else hi = mid
+      it += 1
+    }
+    hi
   }
 
   def of(rows: Seq[GraftLakeTable.ManifestRow], schema: StructType,

@@ -647,6 +647,57 @@ class Round27Spec extends SparkSpec {
     assert(msgs(err).exists(_.contains("no ref")), msgs(err).mkString(" | "))
   }
 
+  test("K57 histograms: the snapshot's equi-height histogram (mixture of " +
+      "per-file quantile vectors) lets FilterEstimation see through skew") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.hist_t")
+    spark.sql(s"CREATE TABLE $cat.lake.hist_t (x BIGINT, v DOUBLE)")
+    // 90% of rows at x=5, 10% spread over [0, 999] — two files so the
+    // mixture path (not a single vector) is exercised
+    (0 until 2).foreach { half =>
+      spark.sql(
+        s"""INSERT INTO $cat.lake.hist_t
+           |SELECT CASE WHEN id % 10 = 0 THEN id % 1000 ELSE 5 END, id * 1.0
+           |FROM range(${half * 50000}, ${half * 50000 + 50000})""".stripMargin)
+    }
+    val actual = spark.sql(
+      s"SELECT count(*) FROM $cat.lake.hist_t WHERE x > 500").head.getLong(0)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    val (est, attrStats) =
+      try {
+        val df = spark.table(s"$cat.lake.hist_t").where("x > 500")
+        val plan = df.queryExecution.optimizedPlan
+        (plan.stats.rowCount.map(_.toLong),
+          spark.table(s"$cat.lake.hist_t").queryExecution
+            .optimizedPlan.stats.attributeStats)
+      } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    val xStat = attrStats.find(_._1.name == "x").map(_._2)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+      import org.apache.spark.sql.connector.read.SupportsReportStatistics
+      val v2 = spark.table(s"$cat.lake.hist_t").queryExecution.optimizedPlan
+        .collectFirst { case s: DataSourceV2ScanRelation =>
+          s.scan.asInstanceOf[SupportsReportStatistics].estimateStatistics() }
+      val cs = v2.get.columnStats()
+      import scala.jdk.CollectionConverters._
+      info("v2 colstats: " + cs.asScala.map { case (k, v) =>
+        s"${k.describe()}: ndv=${v.distinctCount()} hist=${v.histogram().isPresent}"
+      }.mkString(" | "))
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    assert(xStat.exists(_.histogram.isDefined), s"x stats: $xStat")
+    assert(xStat.exists(_.min.isDefined) && xStat.exists(_.max.isDefined))
+    // uniform over [min,max]=[0,999] would estimate ~50% of 100k; the
+    // actual is ~5k; the histogram estimate must land with the actual,
+    // not the uniform number
+    val uniformEst = 100000L * 499 / 999
+    assert(est.isDefined, "CBO must produce a filter estimate")
+    assert(est.get < uniformEst / 3,
+      s"estimate ${est.get} should beat uniform $uniformEst")
+    assert(est.get <= actual * 3 && est.get >= actual / 3,
+      s"estimate ${est.get} vs actual $actual")
+  }
+
   test("bucket/merge-key names that would corrupt the meta-file JSON wrapper " +
       "refuse by name; the existing meta stays intact") {
     ensure()
