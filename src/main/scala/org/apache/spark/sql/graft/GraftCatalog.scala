@@ -1298,7 +1298,19 @@ object GraftLakeTable {
       .forall(_.toBoolean)
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { f =>
       val c = org.apache.spark.sql.functions.col(s"`${f.name}`")
-      val numeric = f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      // K57 quantile vectors: the non-decimal numerics the histogram
+      // reader consumes — writing vectors for DecimalType would be
+      // permanent manifest weight no consumer ever reads (review
+      // pass 3)
+      val numeric = f.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType => true
+        case _ => false
+      }
       Seq(min(c).cast("string").as(s"__min_${f.name}"),
           max(c).cast("string").as(s"__max_${f.name}")) ++
         (if (ndvEnabled) Seq(
@@ -1363,9 +1375,17 @@ object GraftLakeTable {
           else cols.flatMap { f =>
             val sk = r.getString(r.fieldIndex(s"__hll_${f.name}"))
             val nulls = r.getLong(r.fieldIndex(s"__nulls_${f.name}"))
+            val hasQ = f.dataType match {
+              case org.apache.spark.sql.types.ByteType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.FloatType |
+                   org.apache.spark.sql.types.DoubleType => true
+              case _ => false
+            }
             val quant =
-              if (!f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-                Seq.empty
+              if (!hasQ) Seq.empty
               else Option(r.getAs[scala.collection.Seq[Double]](s"__q_${f.name}"))
                 .filter(_.length == 33)
                 .map(q => s"__q#${f.name}" -> q.map(_.toString).toSeq).toSeq

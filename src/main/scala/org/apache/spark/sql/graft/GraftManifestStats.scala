@@ -66,8 +66,12 @@ object GraftManifestStats {
       val allCounted = nullsByFile.forall(_.isDefined)
       if (allCounted) {
         val nullTotal = nulls.map(_.toLong).sum
-        val needSketch = withRows.zip(nullsByFile).filter {
-          case (r, nc) => nc.get < r.nRows } // files with non-null values
+        // the ONE files-with-non-null-values list every consumer below
+        // (NDV, min/max, histogram) shares — three divergent copies of
+        // this predicate was a review-pass-3 finding
+        val nonNullFiles = withRows.zip(nullsByFile).filter {
+          case (r, nc) => nc.get < r.nRows }
+        val needSketch = nonNullFiles
         val haveAll = needSketch.forall(
           _._1.stats.contains(s"__hll#${f.name}"))
         val ndv: Option[Long] =
@@ -98,36 +102,59 @@ object GraftManifestStats {
         // per-bin counting would need a sketch per bin); range
         // estimates use boundaries + height, which are mixture-exact
         // up to the per-file percentile accuracy.
-        val numericDt: Option[Double => Any] = f.dataType match {
-          case org.apache.spark.sql.types.ByteType => Some(d => d.toByte)
-          case org.apache.spark.sql.types.ShortType => Some(d => d.toShort)
-          case org.apache.spark.sql.types.IntegerType => Some(d => d.toInt)
-          case org.apache.spark.sql.types.LongType => Some(d => d.toLong)
-          case org.apache.spark.sql.types.FloatType => Some(d => d.toFloat)
-          case org.apache.spark.sql.types.DoubleType => Some(d => d)
+        // exact typed parse per datatype: integrals must NOT round-trip
+        // through Double (values past 2^53 would round, and a reported
+        // min ABOVE the true min makes FilterEstimation prove matching
+        // predicates empty — review pass 3); fractional parses filter
+        // NaN, which would poison every range selectivity.
+        val isNumeric = f.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.DoubleType => true
+          case _ => false
+        }
+        def parseTyped(v: String): Option[Any] = f.dataType match {
+          case org.apache.spark.sql.types.ByteType => v.toByteOption
+          case org.apache.spark.sql.types.ShortType => v.toShortOption
+          case org.apache.spark.sql.types.IntegerType => v.toIntOption
+          case org.apache.spark.sql.types.LongType => v.toLongOption
+          case org.apache.spark.sql.types.FloatType =>
+            v.toFloatOption.filterNot(_.isNaN)
+          case org.apache.spark.sql.types.DoubleType =>
+            v.toDoubleOption.filterNot(_.isNaN)
           case _ => None
         }
-        val minMax: Option[(Any, Any)] = numericDt.flatMap { conv =>
-          val mins = withRows.flatMap(_.stats.get(f.name).map(_.head))
-          val maxs = withRows.flatMap(_.stats.get(f.name).map(_(1)))
-          val present = withRows.zip(nullsByFile).filter {
-            case (r, nc) => nc.exists(_ < r.nRows) }
-          if (present.isEmpty ||
-              !present.forall(_._1.stats.contains(f.name))) None
-          else try {
-            Some((conv(mins.map(_.toDouble).min), conv(maxs.map(_.toDouble).max)))
-          } catch { case _: Exception => None }
+        def ordered(vals: Seq[Any]): Seq[Any] = f.dataType match {
+          case org.apache.spark.sql.types.FloatType =>
+            vals.map(_.asInstanceOf[Float]).sorted
+          case org.apache.spark.sql.types.DoubleType =>
+            vals.map(_.asInstanceOf[Double]).sorted
+          case _ => vals.map(v => v.asInstanceOf[Number].longValue()).sorted
+            .map(l => parseTyped(l.toString).get)
+        }
+        val minMax: Option[(Any, Any)] = {
+          if (!isNumeric || nonNullFiles.isEmpty ||
+              !nonNullFiles.forall(_._1.stats.contains(f.name))) None
+          else {
+            val mins = nonNullFiles.flatMap(r => parseTyped(r._1.stats(f.name).head))
+            val maxs = nonNullFiles.flatMap(r => parseTyped(r._1.stats(f.name)(1)))
+            if (mins.length != nonNullFiles.length ||
+                maxs.length != nonNullFiles.length) None
+            else Some((ordered(mins).head, ordered(maxs).last))
+          }
         }
         val histo: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
-          if (numericDt.isEmpty || ndv.isEmpty) None
+          if (!isNumeric || ndv.isEmpty) None
           else {
-            val qFiles = withRows.zip(nullsByFile).filter {
-              case (r, nc) => nc.exists(_ < r.nRows) }
-            val vecs = qFiles.flatMap { case (r, nc) =>
-              r.stats.get(s"__q#${f.name}").filter(_.length == 33).map(q =>
-                (r.nRows - nc.get, q.map(_.toDouble).toArray))
+            val vecs = nonNullFiles.flatMap { case (r, nc) =>
+              r.stats.get(s"__q#${f.name}").filter(_.length == 33)
+                .map(q => (r.nRows - nc.get, q.map(_.toDouble).toArray))
+                .filterNot(_._2.exists(_.isNaN)) // NaN poisons bisection
             }
-            if (vecs.length != qFiles.length || vecs.isEmpty) None
+            if (vecs.length != nonNullFiles.length || vecs.isEmpty) None
             else {
               val nBins = 32
               val bounds = (0 to nBins).map {
@@ -187,8 +214,9 @@ object GraftManifestStats {
       if (x >= q.last) return 1.0
       var i = 1
       while (i < q.length && q(i) < x) i += 1
+      // loop exit gives q(i-1) < x <= q(i), so hi > lo by construction
       val (lo, hi) = (q(i - 1), q(i))
-      val frac = if (hi == lo) 1.0 else (x - lo) / (hi - lo)
+      val frac = (x - lo) / (hi - lo)
       ((i - 1) + frac) / (q.length - 1)
     }
     def mixture(x: Double): Double =
