@@ -698,6 +698,23 @@ class Round27Spec extends SparkSpec {
       s"estimate ${est.get} vs actual $actual")
   }
 
+  test("K57 pin: BIGINT min/max past 2^53 stay EXACT in column stats (no " +
+      "Double round-trip)") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.bigmm")
+    spark.sql(s"CREATE TABLE $cat.lake.bigmm (k BIGINT, v DOUBLE)")
+    // both values are unrepresentable in Double (2^62 + small offsets)
+    val (lo, hi) = (4611686018427387905L, 4611686018427387911L)
+    spark.sql(s"INSERT INTO $cat.lake.bigmm VALUES ($lo, 1.0), ($hi, 2.0)")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    val kStat =
+      try spark.table(s"$cat.lake.bigmm").queryExecution
+        .optimizedPlan.stats.attributeStats.find(_._1.name == "k").map(_._2)
+      finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    assert(kStat.exists(_.min.contains(lo)), s"min: ${kStat.map(_.min)}")
+    assert(kStat.exists(_.max.contains(hi)), s"max: ${kStat.map(_.max)}")
+  }
+
   test("bucket/merge-key names that would corrupt the meta-file JSON wrapper " +
       "refuse by name; the existing meta stays intact") {
     ensure()
