@@ -26,15 +26,20 @@ import org.apache.spark.sql.functions._
   * practice, not just by plan audit. Set SPARK_GRAFT_SKIP_SCALE=1 to
   * skip it.
   *
-  * Emission contract (VERDICT r12 #1): the parseable summary line is
-  * printed after EVERY completed block — headline, extended, scale,
-  * streaming — each a complete contract-shaped JSON object (metric/
-  * value/unit/queries/sf always present) enriched with the blocks done
-  * so far, so a driver timeout still captures the newest complete
-  * blocks instead of voiding the run. A wall-clock budget
-  * (SPARK_GRAFT_BENCH_BUDGET_S, default 2400 s) truncates the extended
-  * block between entries and skips scale/streaming when exceeded
-  * (reported in `skipped_blocks`/`truncated_entries`), and the
+  * Emission contract (VERDICT r12 #1, r14 #1): a contract-shaped
+  * SKELETON line (value 0.0, queries {}, blocks [], job_cost zeros)
+  * prints IMMEDIATELY after session init — before any benchmark
+  * work — and the parseable summary line is then RE-printed after
+  * every headline entry, every 10 extended entries, and every
+  * completed block, each a complete contract-shaped JSON object
+  * (metric/value/unit/queries/sf always present), so a driver kill at
+  * ANY point leaves a parseable line on stdout. `blocks` lists only
+  * blocks that actually COMPLETED; skipped ones appear solely in
+  * `skipped_blocks` (advice, round 13). A wall-clock budget
+  * (SPARK_GRAFT_BENCH_BUDGET_S, default 1200 s) truncates headline/
+  * extended between entries and skips scale/streaming when exceeded
+  * (reported in `skipped_blocks`/`truncated_entries`); one stderr
+  * heartbeat per entry timestamps where the clock goes; and the
   * [[ProfileJobCost]] per-job fixed-cost probe rides in every emission
   * (`job_cost`) beside [[BenchSentinel]]'s CPU channel.
   */
@@ -329,55 +334,63 @@ object Bench {
           sorted.last - sorted.head, cold +: warm)
       }
 
-    // Wall-clock budget (VERDICT r12 #1): BENCH_r12.json came back
-    // rc 124 / parsed null because the summary line printed only after
-    // the FULL ~45-min suite — one slow box voided numbers that had
-    // finished 40 minutes earlier. Two fixes, both here: (a) the
-    // parseable contract line is EMITTED AFTER EVERY BLOCK (headline →
-    // extended → scale → streaming), each emission a complete
-    // contract-shaped object enriched with the blocks done so far, so
-    // a kill at any point leaves the newest complete blocks on stdout;
-    // (b) a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S, default
-    // 2400 s — r11's full suite ran ~38 min inside the JVM) skips the
-    // remaining blocks (and truncates the extended block between
-    // entries) once exceeded, so the process exits rc 0 with a partial
-    // artifact instead of being killed with none.
+    // Wall-clock budget (VERDICT r12 #1, tightened r14 #1): BENCH_r12/
+    // r13 came back rc 124 / parsed null — r12 because the summary
+    // printed only after the FULL suite, r13 because the first
+    // emission still waited for the whole headline BLOCK and the
+    // driver's kill landed before it. Three fixes, all here: (a) a
+    // contract-shaped SKELETON line (value 0.0, queries {}, blocks [],
+    // job_cost zeros) prints IMMEDIATELY after session init — before
+    // any benchmark work — and the line is then RE-EMITTED after every
+    // headline entry, every 10 extended entries, and every block, each
+    // emission a complete contract object enriched with everything
+    // done so far, so a kill at ANY point leaves a parseable line on
+    // stdout; (b) a wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S,
+    // default 1200 s) truncates headline/extended between entries and
+    // skips later blocks once exceeded, exiting rc 0 with a partial
+    // artifact instead of being killed with none; (c) one stderr
+    // heartbeat per entry, so the next rc-124 log tail shows WHERE the
+    // clock went instead of dying silently at session init.
     val startNanos = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - startNanos) / 1e9
     val budgetS: Double = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
-      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(2400.0)
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1200.0)
     def overBudget: Boolean = elapsedS > budgetS
     val skippedBlocks = scala.collection.mutable.ArrayBuffer[String]()
     val truncatedEntries = scala.collection.mutable.ArrayBuffer[String]()
 
-    def bench(names: Seq[String], dir: String, warmRuns: Int = 3,
-              budgeted: Boolean = false): Seq[(String, Timing)] =
-      names.flatMap { n =>
-        if (budgeted && overBudget) { truncatedEntries += n; None }
-        else benchOne(n, dir, warmRuns).map(n -> _)
-      }
+    def heartbeat(msg: String): Unit = {
+      System.err.println(f"BENCH-HEARTBEAT elapsed=$elapsedS%.1f $msg")
+      System.err.flush()
+    }
 
-    def json(vals: Seq[(String, Double)]): String =
+    def json(vals: collection.Seq[(String, Double)]): String =
       vals.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    def jsonField(rs: Seq[(String, Timing)], f: Timing => Double): String =
+    def jsonField(rs: collection.Seq[(String, Timing)], f: Timing => Double): String =
       json(rs.map { case (k, t) => k -> f(t) })
 
+    // the headline results accumulate HERE so emissions mid-block see
+    // the entries finished so far (r14 #1: the first parseable line
+    // must not wait for the block)
+    val results = scala.collection.mutable.ArrayBuffer[(String, Timing)]()
+    def total: Double = results.map(_._2.median).sum
+
     // Per-job fixed-cost probe (the second calibration channel — see
-    // [[ProfileJobCost]]): measured ONCE up front with bounded counts
-    // so it rides in every emission; sweep/iterative entry deltas are
-    // then adjudicated against it in-artifact (jobs × per-job-cost)
-    // instead of via a separate runMain after the fact.
-    val (jobCostMs, aggCostMs) = ProfileJobCost.measure(spark, nTrivial = 30, nAgg = 8)
-    val jobCostJson = f""","job_cost":{"trivial_ms":$jobCostMs%.2f,"agg32_ms":$aggCostMs%.2f}"""
+    // [[ProfileJobCost]]): measured right after the skeleton emission
+    // so it rides in every later line; sweep/iterative entry deltas
+    // are then adjudicated against it in-artifact (jobs ×
+    // per-job-cost) instead of via a separate runMain after the fact.
+    // Until measured, the skeleton carries zeros (contract shape kept).
+    var jobCostJson = ""","job_cost":{"trivial_ms":0.00,"agg32_ms":0.00}"""
 
-    val results = bench(headline, sfDir)
-    val total = results.map(_._2.median).sum
-
-    // One contract-shaped line per completed block: metric/value/unit/
+    // One contract-shaped line per emission: metric/value/unit/
     // queries/sf are always present (the headline block runs first and
     // IS the metric), later emissions append the richer fields. The
     // driver's parser reads whichever line its tail capture retains —
-    // every emission parses to a valid summary.
+    // every emission parses to a valid summary. `blocks` lists only
+    // blocks that COMPLETED (skipped ones live solely in
+    // skipped_blocks — a parser keying on `blocks` must never misread
+    // a truncated run as complete; advice, round 13).
     def emit(blocks: Seq[String], extras: String): Unit = {
       val skipJson =
         if (skippedBlocks.isEmpty && truncatedEntries.isEmpty) ""
@@ -391,15 +404,59 @@ object Bench {
           s""","skipped_blocks":$sk,"truncated_n":${truncatedEntries.size},"truncated_first":$tr"""
         }
       val blocksJson = blocks.map("\"" + _ + "\"").mkString("[", ",", "]")
-      realOut.println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${jsonField(results, _.median)},"blocks":$blocksJson$extras$skipJson$jobCostJson,"elapsed_s":$elapsedS%.1f,"budget_s":$budgetS%.0f${BenchSentinel.compactJson},"sf":"$sfDir","full":"BENCH_FULL_latest.json"}""")
+      realOut.println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${jsonField(results.toSeq, _.median)},"blocks":$blocksJson$extras$skipJson$jobCostJson,"elapsed_s":$elapsedS%.1f,"budget_s":$budgetS%.0f${BenchSentinel.compactJson},"sf":"$sfDir","full":"BENCH_FULL_latest.json"}""")
       realOut.flush()
     }
 
-    emit(Seq("headline"), "")
+    // FIRST emission: the skeleton, before any benchmark work — a
+    // driver kill from here on always finds a parseable contract line
+    emit(Seq.empty, "")
+    heartbeat("session up, skeleton emitted; measuring job cost")
+    val (jobCostMs, aggCostMs) = ProfileJobCost.measure(spark, nTrivial = 30, nAgg = 8)
+    jobCostJson = f""","job_cost":{"trivial_ms":$jobCostMs%.2f,"agg32_ms":$aggCostMs%.2f}"""
+    emit(Seq.empty, "")
+    heartbeat(f"job cost measured (trivial $jobCostMs%.1f ms); headline starts")
 
-    val ext = bench(extended, sfDir, budgeted = true)
+    // headline: re-emit the contract line after EVERY entry (r14 #1)
+    headline.foreach { n =>
+      if (overBudget) truncatedEntries += n
+      else benchOne(n, sfDir, warmRuns = 3).foreach { t =>
+        results += (n -> t)
+        heartbeat(f"headline ${results.size}/${headline.size} $n median=${t.median}%.3f")
+        emit(Seq.empty, s""","headline_done":${results.size},"headline_n":${headline.size}""")
+      }
+    }
+    // a block is listed in `blocks` only when EVERY entry ran — a
+    // budget-truncated block stays out (its names are in
+    // truncated_entries), per the round-13 advice on blocks honesty
+    def headlineBlock: Seq[String] =
+      if (results.size == headline.size) Seq("headline") else Seq.empty
+    emit(headlineBlock, "")
+    heartbeat(s"headline block done (${results.size}/${headline.size})")
+
+    def bench(names: Seq[String], dir: String, warmRuns: Int = 3,
+              budgeted: Boolean = false): Seq[(String, Timing)] =
+      names.flatMap { n =>
+        if (budgeted && overBudget) { truncatedEntries += n; None }
+        else benchOne(n, dir, warmRuns).map(n -> _)
+      }
+
+    val ext = scala.collection.mutable.ArrayBuffer[(String, Timing)]()
     def extTotalJson = f""","extended_total":${ext.map(_._2.median).sum}%.3f"""
-    emit(Seq("headline", "extended"), extTotalJson)
+    extended.foreach { n =>
+      if (overBudget) truncatedEntries += n
+      else benchOne(n, sfDir, warmRuns = 3).foreach { t =>
+        ext += (n -> t)
+        heartbeat(f"extended ${ext.size}/${extended.size} $n median=${t.median}%.3f")
+        if (ext.size % 10 == 0)
+          emit(headlineBlock,
+            extTotalJson + s""","extended_done":${ext.size},"extended_n":${extended.size}""")
+      }
+    }
+    def extBlock: Seq[String] =
+      if (ext.size == extended.size) Seq("extended") else Seq.empty
+    emit(headlineBlock ++ extBlock, extTotalJson)
+    heartbeat(s"extended block done (${ext.size}/${extended.size})")
 
     // scale-step: heaviest operators at 10× volume. Run in a FRESH
     // JVM ([[BenchScale]]) so the committed ratios are ISOLATED
@@ -427,9 +484,17 @@ object Bench {
           (f""","scale_step":{"factor":$factor,"isolated":false,"queries":${jsonField(scaled, _.median)},"ratio":${json(ratios)},"total":${scaled.map(_._2.median).sum}%.3f}""", ratios, scaled)
       }
 
+    // blocks honesty (advice, round 13): a block name enters the
+    // emitted `blocks` array only when the block actually RAN — a
+    // skipped scale/streaming block lives solely in skipped_blocks
+    val doneBlocks = scala.collection.mutable.ArrayBuffer[String]()
+    doneBlocks ++= headlineBlock
+    doneBlocks ++= extBlock
+    if (scaleJsonStr.nonEmpty) doneBlocks += "scale"
+
     val ratioWorstEarly = scaleRatios.sortBy(-_._2).take(3).map { case (k, r) =>
       f"""{"q":"$k","ratio":$r%.2f}""" }.mkString("[", ",", "]")
-    emit(Seq("headline", "extended", "scale"),
+    emit(doneBlocks.toSeq,
       extTotalJson + s""","scale_ratio_worst":$ratioWorstEarly""")
 
     // streaming micro-batch throughput (VERDICT r7 #5): events/sec
@@ -486,10 +551,12 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL_latest.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Exception => () } // read-only cwd: stdout lines below still carry the summary
-    // final (4th) emission of the contract line, now with every block's
-    // compact rollups; a run that got this far also prints the
+    // final emission of the contract line, now with every COMPLETED
+    // block's compact rollups (skipped blocks stay out of `blocks` —
+    // advice, round 13); a run that got this far also prints the
     // BENCH-SUMMARY human line
-    emit(Seq("headline", "extended", "scale", "streaming"),
+    if (streamEntries.nonEmpty) doneBlocks += "streaming"
+    emit(doneBlocks.toSeq,
       extTotalJson + streamingTotalJson +
         s""","worst":$worstJson,"scale_ratio_worst":$ratioWorstJson""")
     realOut.println(f"""BENCH-SUMMARY {"metric":"headline_total","value":$total%.3f,"unit":"sec","extended_total":${ext.map(_._2.median).sum}%.3f,"worst":$worstJson,"scale_ratio_worst":$ratioWorstJson$streamingTotalJson$jobCostJson${BenchSentinel.compactJson},"sf":"$sfDir"}""")

@@ -918,10 +918,30 @@ private[graft] object GraftProcedures {
               "unreferenced until VACUUM")
         }
         // phase 2 — THE commit point: one create-exclusive journal file
-        // flips every table's claim visible at once
+        // flips every table's claim visible at once. The file's CONTENT
+        // is the group's table list, so VACUUM's journal sweep (advice,
+        // round 14) can verify no group table still has a pending claim
+        // before retiring a leaked journal.
         fs.mkdirs(journal)
-        fs.create(new Path(journal, s"committed_$txnId"), false).close()
+        val jOut = fs.create(new Path(journal, s"committed_$txnId"), false)
+        try jOut.write(parts.head.mk.group.getBytes("UTF-8")) finally jOut.close()
         finalizeMarkers()
+        // post-commit visibility verification (advice, round 14 — the
+        // commit-side half of the abort_txn race): if an abort_txn
+        // rolled our phase-1 claims back between the claim and the
+        // journal point, the journal flip committed a transaction whose
+        // versions no longer exist — reporting success would be a
+        // silent lost commit. Verify every table's claimed version is
+        // actually visible and fail loudly otherwise.
+        parts.foreach { p =>
+          if (!ManifestStore.versions(session, s"${p.dir}/manifest")
+              .contains(p.mk.base + 1))
+            throw new IllegalStateException(
+              s"commit_txn on ${p.table}: the journal commit point was " +
+                s"reached but v${p.mk.base + 1} is not visible — a concurrent " +
+                "abort_txn rolled back this transaction's claims between the " +
+                "phases; the transaction is LOST and must be re-run")
+        }
       }
       dropWorkspaces()
       if (parts.length > 1) retireJournal()
@@ -960,14 +980,35 @@ private[graft] object GraftProcedures {
         // is cleaned)
         if (!fs.exists(new Path(journalDir(root), s"committed_${mk.txnId}"))) {
           val srcMan = new Path(tableDirOf(root, mk.source), "manifest")
+          var rolledBack = false
           if (fs.exists(srcMan)) {
             val crumb = s"pending_v(\\d+)_${mk.txnId}".r
             fs.listStatus(srcMan).foreach(st => st.getPath.getName match {
-              case crumb(v) => ManifestStore.abortPending(
-                spark, srcMan.toString, v.toLong, mk.txnId)
+              case crumb(v) =>
+                ManifestStore.abortPending(
+                  spark, srcMan.toString, v.toLong, mk.txnId)
+                rolledBack = true
               case _ => ()
             })
           }
+          // RE-CHECK the journal after the rollback (advice, round 14):
+          // the exists-check above and abortPending are not atomic with
+          // a concurrent commit_txn sitting between its phases — if the
+          // journal holds committed_<txnId> NOW, this abort just rolled
+          // back the claims of a COMMITTED transaction (the racer's
+          // phase 2 landed mid-rollback) and the commit's versions will
+          // never become visible. Fail LOUDLY so the torn state is
+          // surfaced instead of reporting a clean abort over a silent
+          // lost commit. (Claims aborted before the journal landed are
+          // unaffected — for those the re-check still sees no journal.)
+          if (rolledBack &&
+              fs.exists(new Path(journalDir(root), s"committed_${mk.txnId}")))
+            throw new IllegalStateException(
+              s"abort_txn on $txnTable: a concurrent commit_txn reached its " +
+                s"journal commit point for transaction ${mk.txnId} DURING this " +
+                "abort's claim rollback — the committed transaction's claims " +
+                "were rolled back and its versions are lost; the abort is " +
+                "refused (workspace kept) so the state can be inspected")
         }
         fs.delete(new Path(txnDir), true)
       }
@@ -1083,7 +1124,24 @@ private[graft] object GraftProcedures {
       val (dir, _, _) = resolve(catalogName, root, table)
       val manBase = s"$dir/manifest"
       val session = spark
-      val swept = ManifestStore.retain(session, manBase, keep)
+      // K55 refs FLOOR the retention cutoff (advice, round 14): a
+      // branch/tag pins its version — and, through the referenced-set
+      // arithmetic below, that version's data files — so expiring it
+      // would break every `VERSION AS OF '<ref>'` read and followRef
+      // stream at once (Iceberg's expire_snapshots retains ref-pinned
+      // snapshots for the same reason). The effective keep widens to
+      // cover the OLDEST ref-pinned version; dropping the ref is the
+      // user's explicit way to let it expire.
+      val refPins: Seq[Long] =
+        if (!fileSystem(root).exists(new Path(dir, "refs"))) Seq.empty
+        else graft.sinks.RefStore.refs(session, s"$dir/refs")
+          .values.map(_._2).toSeq
+      val effectiveKeep = refPins.minOption match {
+        case Some(oldest) =>
+          math.max(keep, ManifestStore.versions(session, manBase).count(_ >= oldest))
+        case None => keep
+      }
+      val swept = ManifestStore.retain(session, manBase, effectiveKeep)
       val retained = ManifestStore.versions(session, manBase)
       val referenced = retained.flatMap(v =>
         GraftLakeTable.manifestRowsFull(session, manBase, v).map(_.file)).toSet
@@ -1197,9 +1255,59 @@ private[graft] object GraftProcedures {
           case _ => ()
         }
       }
+      // K52 journal sweep (advice, round 14): committed_<txnId> files
+      // are retired on commit_txn's happy/retry paths only — lazy
+      // reader finalization, or an abort_txn cleaning the workspace of
+      // an already-committed transaction, orphans them permanently
+      // (unbounded accumulation under repeated crash/abort patterns).
+      // Age-gated on the same staging grace: for a journal older than
+      // the grace, every group table (the file's CONTENT, written at
+      // the commit point) is checked for surviving pending crumbs of
+      // the txn — a survivor is FINALIZED first (the journal proves the
+      // commit point passed, so finalization needs no age gate) — and
+      // the journal then retires. Pre-content journals (empty file)
+      // are skipped: without the group list no sweep can prove some
+      // other table doesn't still need the journal for lazy
+      // finalization; they are bounded by pre-upgrade crash count.
+      var retiredJournals = 0L
+      val jDir = journalDir(root)
+      if (fs.exists(jDir)) fs.listStatus(jDir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("committed_") &&
+            st.getModificationTime < stagingCutoff) {
+          val txnId = name.stripPrefix("committed_")
+          val group =
+            try {
+              val in = fs.open(st.getPath)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            } catch { case _: Exception => "" }
+          if (group.nonEmpty && txnId.matches("[A-Za-z0-9]+")) {
+            val crumb = s"pending_v(\\d+)_$txnId".r
+            val resolvedAll = group.split(',').map(_.trim).filter(_.nonEmpty)
+              .forall { t =>
+                try {
+                  val gMan = new Path(tableDirOf(root, t), "manifest")
+                  if (fs.exists(gMan)) fs.listStatus(gMan).foreach(s2 =>
+                    s2.getPath.getName match {
+                      case crumb(v) => ManifestStore.finalizePending(
+                        session, gMan.toString, v.toLong, txnId)
+                      case _ => ()
+                    })
+                  true
+                } catch { case _: Exception => false }
+              }
+            if (resolvedAll) {
+              try { fs.delete(st.getPath, false); retiredJournals += 1L }
+              catch { case _: Exception => () }
+            }
+          }
+        }
+      }
       resultScan(outSchema,
         Seq(swept.length.toLong,
-          (doomed.length + staleStaging.length + staleTxn.length).toLong,
+          (doomed.length + staleStaging.length + staleTxn.length +
+            retiredJournals).toLong,
           referenced.size.toLong))
     }
 
