@@ -507,7 +507,12 @@ object Bench {
       if (streamEntries.isEmpty) ""
       else {
         val evps = streamEntries.map(e => e.name -> e.eventsPerSec)
-        f""","streaming":{"events":${streamEntries.headOption.fold(0L)(_.events)},"queries":${json(streamEntries.map(e => e.name -> e.sec))},"queries_min":${json(streamEntries.map(e => e.name -> e.minSec))},"events_per_sec":${json(evps)},"total":${streamEntries.map(_.sec).sum}%.3f}"""
+        // per-entry JOB COUNTS (r14 #2): jobs × job_cost.trivial_ms is
+        // the in-artifact arithmetic that separates dispatch cost from
+        // state-store work on a slow box — readable beside the sentinel
+        val jobsJson = streamEntries
+          .map(e => "\"" + e.name + "\":" + e.jobs).mkString("{", ",", "}")
+        f""","streaming":{"events":${streamEntries.headOption.fold(0L)(_.events)},"queries":${json(streamEntries.map(e => e.name -> e.sec))},"queries_min":${json(streamEntries.map(e => e.name -> e.minSec))},"events_per_sec":${json(evps)},"jobs":$jobsJson,"total":${streamEntries.map(_.sec).sum}%.3f}"""
       }
 
     // per-iteration times (run order: cold, then warm) for every

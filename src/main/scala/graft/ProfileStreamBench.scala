@@ -12,7 +12,7 @@ object ProfileStreamBench {
     val entries = graft.streaming.StreamBench.run(spark, sfDir)
     entries.foreach { e =>
       println(f"STREAM ${e.name}%-22s med=${e.sec}%6.2fs min=${e.minSec}%6.2fs " +
-        f"events=${e.events} evps=${e.eventsPerSec}%,.0f")
+        f"events=${e.events} evps=${e.eventsPerSec}%,.0f jobs=${e.jobs}")
     }
     spark.stop()
   }

@@ -33,8 +33,25 @@ import java.nio.file.Files
   */
 object StreamBench {
 
-  case class Entry(name: String, sec: Double, minSec: Double, events: Long) {
+  /** `jobs` = Spark jobs launched by the MEDIAN-time run (a counting
+    * listener bracketed by listener-bus drains, so the count is exact
+    * for the run's wall window). The adjudication channel VERDICT r13
+    * #7 asked for: a micro-batched stateful query's wall time on a
+    * slow-dispatch box is dominated by jobs × per-job cost (source
+    * listing + per-partition state commits per batch), so the artifact
+    * must carry the job count beside the seconds for the arithmetic to
+    * be checkable in-band.
+    */
+  case class Entry(name: String, sec: Double, minSec: Double, events: Long,
+                   jobs: Long = 0L) {
     def eventsPerSec: Double = events / math.max(sec, 1e-9)
+  }
+
+  private class JobCounter extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicLong()
+    override def onJobStart(
+        jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
   }
 
   private val nFiles = 16
@@ -168,9 +185,16 @@ object StreamBench {
             "append")
       }
 
-      def timeOnce(name: String): Double = {
+      val counter = new JobCounter
+      spark.sparkContext.addSparkListener(counter)
+
+      def timeOnce(name: String): (Double, Long) = {
         val (df, mode) = pipeline(name)
         val ckpt = base.toString + s"/ckpt_${name}_${System.nanoTime()}"
+        // drain + snapshot the job counter so the count covers exactly
+        // this run's window (the bus is async)
+        org.apache.spark.sql.graft.ListenerBusDrain.drain(spark.sparkContext)
+        val jobs0 = counter.jobs.get()
         val t0 = System.nanoTime()
         val q = df.writeStream
           .format("noop")
@@ -180,18 +204,21 @@ object StreamBench {
           .start()
         q.awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.ListenerBusDrain.drain(spark.sparkContext)
+        val jobs = counter.jobs.get() - jobs0
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
-        sec
+        (sec, jobs)
       }
 
       def bench(name: String): Entry = {
         timeOnce(name) // cold: codegen + listing
-        val runs = Seq.fill(warmRuns)(timeOnce(name)).sorted
+        val runs = Seq.fill(warmRuns)(timeOnce(name)).sortBy(_._1)
         // load sentinel beside each streaming entry too — r11's 7-20%
         // streaming dip was adjudicated as box load only by analogy;
         // the probe channel carries the evidence directly
         graft.BenchSentinel.record(spark, s"stream:$name")
-        Entry(name, runs(runs.length / 2), runs.head, events)
+        val (medSec, medJobs) = runs(runs.length / 2)
+        Entry(name, medSec, runs.head._1, events, medJobs)
       }
 
       val plain = Seq("s_window_agg", "s_dedup", "s_sessionize_fmgws",
@@ -210,6 +237,7 @@ object StreamBench {
           case Some(v) => spark.conf.set(providerKey, v)
           case None    => spark.conf.unset(providerKey)
         }
+      spark.sparkContext.removeSparkListener(counter)
       plain :+ tws
     } finally {
       spark.conf.set(spKey, priorSp)
