@@ -69,14 +69,40 @@ object BenchScale {
       BenchSentinel.record(spark, s"$n@${factor}x")
       (n, base, big)
     }
+    // WORK-MASS channel (VERDICT r14 #3): operator-independent work
+    // units at both decades — triangles for the parts-graph family,
+    // edges for the trade-graph iteratives — so each graph entry's
+    // time ratio can be divided by its WORK ratio in-artifact. A 13×
+    // time ratio over a 10× triangle mass normalizes to 1.3× per unit
+    // of work; raw ratios alone cannot distinguish densification from
+    // overhead. Measured AFTER the timed runs (its own passes, cache
+    // dropped) so it never contaminates a timing.
+    graft.operators.Graph.dropSharedCache(spark)
+    val workBase = graft.operators.Graph.workMass(spark, sfDir)
+    graft.operators.Graph.dropSharedCache(spark)
+    val workScaled = graft.operators.Graph.workMass(spark, scaledDir)
     def json(vals: Seq[(String, Double)]): String =
       vals.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val workJson = workBase.keys.toSeq.sorted.map { k =>
+      val (b, s) = (workBase(k), workScaled(k))
+      f""""$k":{"base":$b,"scaled":$s,"ratio":${s.toDouble / math.max(1L, b)}%.3f}"""
+    }.mkString(",\"work\":{", ",", "}")
+    val workNorm = rows.flatMap { case (n, base, big) =>
+      graft.operators.Graph.workUnitOf.get(n).map { unit =>
+        val wRatio = workScaled(unit).toDouble / math.max(1L, workBase(unit))
+        val tRatio = big.median / math.max(base.median, 1e-9)
+        n -> tRatio / math.max(wRatio, 1e-9)
+      }
+    }
+    val workNormJson =
+      if (workNorm.isEmpty) ""
+      else s""","ratio_worknorm":${json(workNorm)}"""
     val iters = rows.filter(_._3.median > 5.0).map { case (n, _, big) =>
       "\"" + n + "\":" + big.iters.map(v => f"$v%.3f").mkString("[", ",", "]")
     }
     val itersJson = if (iters.isEmpty) "" else iters.mkString(",\"iters\":{", ",", "}")
     val line =
-      f"""{"factor":$factor,"isolated":true,"base":${json(rows.map(r => r._1 -> r._2.median))},"queries":${json(rows.map(r => r._1 -> r._3.median))},"ratio":${json(rows.map(r => r._1 -> r._3.median / math.max(r._2.median, 1e-9)))},"total":${rows.map(_._3.median).sum}%.3f$itersJson${BenchSentinel.json}}"""
+      f"""{"factor":$factor,"isolated":true,"base":${json(rows.map(r => r._1 -> r._2.median))},"queries":${json(rows.map(r => r._1 -> r._3.median))},"ratio":${json(rows.map(r => r._1 -> r._3.median / math.max(r._2.median, 1e-9)))}$workJson$workNormJson,"total":${rows.map(_._3.median).sum}%.3f$itersJson${BenchSentinel.json}}"""
     realOut.println(line)
     realOut.flush()
     spark.stop()

@@ -224,6 +224,8 @@ object SparkEntry {
     "sink_branch_sql" -> ((s, d) => IOQueries.sinkBranchSql(s, d)),
     "sink_delete_metadata" -> ((s, d) => IOQueries.sinkDeleteMetadata(s, d)),
     "sink_catalog_histogram" -> ((s, d) => IOQueries.sinkCatalogHistogram(s, d)),
+    "sink_catalog_stats_mor" -> ((s, d) => IOQueries.sinkCatalogStatsMor(s, d)),
+    "sink_catalog_histogram_date" -> ((s, d) => IOQueries.sinkCatalogHistogramDate(s, d)),
     "sink_catalog_default" -> ((s, d) => IOQueries.sinkCatalogDefault(s, d)),
     "sink_catalog_zorder" -> ((s, d) => IOQueries.sinkCatalogZorder(s, d)),
     "sink_catalog_bucketed_dist" -> ((s, d) => IOQueries.sinkCatalogBucketedDist(s, d)),

@@ -240,6 +240,35 @@ object Graph {
     trianglesFrom(pp, stream)
   }
 
+  /** WORK-MASS probe for the scale artifact (VERDICT r14 #3): the
+    * operator-independent work units at `dir` — parts-graph nodes/
+    * edges/TRIANGLES (the G2/G8/G15 family's work is triangle-mass-
+    * bounded) and trade-graph edges (the iterative family's per-round
+    * work is edge-linear). BenchScale records these at BOTH decades so
+    * a step ratio can be WORK-NORMALIZED: a 13× time ratio over a 10×
+    * triangle mass is 1.3× per unit work (overhead), not super-linear
+    * work — the distinction three rounds of raw ratios could not make.
+    */
+  def workMass(spark: SparkSession, dir: String): Map[String, Long] = {
+    val row = triangles(spark, dir).head()
+    val tradeEdges = tradeRows(spark, dir)
+      .select("cust_node", "supp_node").distinct().count()
+    Map(
+      "parts_nodes" -> row.getLong(0),
+      "parts_edges" -> row.getLong(1),
+      "parts_triangles" -> row.getLong(2),
+      "trade_edges" -> tradeEdges)
+  }
+
+  /** The work-mass unit each graph scale-step entry's cost tracks —
+    * what [[graft.BenchScale]] divides the time ratio by.
+    */
+  val workUnitOf: Map[String, String] = Map(
+    "g_clustering" -> "parts_triangles",
+    "g_pagerank" -> "trade_edges",
+    "g_kcore" -> "trade_edges",
+    "g_components" -> "trade_edges")
+
   /** [[triangles]]'s core over ANY distinct undirected edge set given
     * as (a, b) with a < b — split out so specs can feed hand graphs.
     */

@@ -342,6 +342,45 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT '__histogram_protocol', cast(32 AS bigint), 1.0
         |ORDER BY grp""".stripMargin,
+    // K58: delete-mass-adjusted-stats replay — the fact⋈dim rollup
+    // over the surviving (odd-key) half of customer; the protocol row
+    // pins the scan's reported numRows ACTUAL (must equal the masked
+    // count exactly — the delete-key subtraction law) and the static-
+    // broadcast-under-pinned-threshold flag (expected 1.0: an
+    // unadjusted size report exceeds the threshold and un-broadcasts)
+    "sink_catalog_stats_mor" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 2 <> 0
+        |)
+        |SELECT cast(c_nationkey AS varchar) AS grp,
+        |  cast(count(*) AS bigint) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+        |GROUP BY c_nationkey
+        |UNION ALL
+        |SELECT '__morstats_protocol',
+        |  (SELECT cast(count(*) AS bigint) FROM customer
+        |   WHERE c_custkey % 2 <> 0), 1.0
+        |ORDER BY grp""".stripMargin,
+    // K59: date-histogram replay — the December tail rollup (only the
+    // spread 10% reaches past Nov 30) straight from lineitem; the
+    // protocol row pins the bin count and the estimator flag (expected
+    // 1.0: the CBO estimate for d > midyear lands within 3x of the
+    // actual and at least 3x below uniform — computed on the Spark
+    // side where the oracle cannot reach)
+    "sink_catalog_histogram_date" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN l_orderkey % 10 = 0
+        |    THEN DATE '2024-01-01' + CAST(l_orderkey % 365 AS INTEGER)
+        |    ELSE DATE '2024-01-05' END AS d, l_quantity AS q
+        |  FROM lineitem
+        |)
+        |SELECT cast(d AS varchar) AS grp, cast(count(*) AS bigint) AS n,
+        |  round(sum(q), 2) AS total
+        |FROM t WHERE d > DATE '2024-11-30' GROUP BY d
+        |UNION ALL
+        |SELECT '__histogram_date_protocol', cast(32 AS bigint), 1.0
+        |ORDER BY grp""".stripMargin,
     // K50: bucket-evolution replay — the same full-table aggregate
     // before (mixed specs, flat scan) and after (converged, key-grouped
     // scan) the OPTIMIZE rewrite; the protocol row pins the new spec id

@@ -1497,6 +1497,139 @@ object IOQueries {
          |ORDER BY grp""".stripMargin)
   }
 
+  /** K58: DELETE-MASS-ADJUSTED SCAN STATISTICS (r14 #4, K49's
+    * honest-rows rung) — a merge-on-read table's reported stats
+    * subtract the DISTINCT equality-delete key count (exact under the
+    * key-uniqueness contract equality deletes already carry; the same
+    * per-file counts sink_catalog_mor hashes) and scale `sizeInBytes`
+    * by the surviving fraction. At 100 TB the planner default this
+    * fixes is the STATIC broadcast: a dim that is half delete-masked
+    * would otherwise report 2× its servable bytes and fall off the
+    * `autoBroadcastJoinThreshold` cliff, costing every downstream join
+    * two shuffles for rows that no read will ever produce.
+    *
+    * Flow: a MoR dim from customer → equality-DELETE half its keys
+    * (no compaction — live delete files) → actuals: the scan's
+    * reported numRows must equal the masked count EXACTLY and its
+    * bytes must track the surviving fraction; then the LAW: with the
+    * broadcast threshold pinned BETWEEN the adjusted and the raw size
+    * (3/4 of raw), the static plan must still BroadcastHashJoin — an
+    * unadjusted report would exceed the threshold and shuffle. The
+    * fact join rollup + protocol row are the hashed output.
+    */
+  def sinkCatalogStatsMor(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .createOrReplaceTempView("smor_dim_src")
+    Tables.load(spark, dir, "orders")
+      .select("o_custkey", "o_totalprice")
+      .createOrReplaceTempView("smor_fact_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.smor_dim")
+    spark.sql(
+      """CREATE TABLE graft.lake.smor_dim (
+        |  c_custkey BIGINT NOT NULL, c_nationkey INT, c_acctbal DOUBLE)
+        |TBLPROPERTIES('graft.merge-on-read.key'='c_custkey')""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.smor_dim SELECT * FROM smor_dim_src")
+    spark.sql("DELETE FROM graft.lake.smor_dim WHERE c_custkey % 2 = 0")
+    val manBase = catalogRoot + "/lake/smor_dim/manifest"
+    val manRows = org.apache.spark.sql.graft.GraftLakeTable.manifestRowsFull(
+      spark, manBase, graft.sinks.ManifestStore.versions(spark, manBase).last)
+    val rawBytes = manRows
+      .filterNot(r => r.file.startsWith("deletes_")).map(_.bytes).sum
+    val maskedCount = spark.table("graft.lake.smor_dim").count()
+    val st = spark.table("graft.lake.smor_dim")
+      .queryExecution.optimizedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          s.scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+            .estimateStatistics()
+      }.getOrElse(throw new IllegalStateException("no V2 scan for smor_dim"))
+    val rowsOk = st.numRows.isPresent && st.numRows.getAsLong == maskedCount
+    val bytesAdjusted = st.sizeInBytes.isPresent &&
+      st.sizeInBytes.getAsLong < rawBytes * 3 / 4 &&
+      st.sizeInBytes.getAsLong > rawBytes / 4
+    // the broadcast law: threshold strictly between adjusted and raw
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(thrKey)
+    spark.conf.set(thrKey, (rawBytes * 3 / 4).toString)
+    val (staticBroadcast, joined) =
+      try {
+        val j = spark.sql(
+          """SELECT c_nationkey AS grp, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS total
+            |FROM smor_fact_src f JOIN graft.lake.smor_dim d
+            |  ON f.o_custkey = d.c_custkey
+            |GROUP BY c_nationkey""".stripMargin)
+        (j.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+          j.collect())
+      } finally spark.conf.set(thrKey, prior)
+    val ok = if (rowsOk && bytesAdjusted && staticBroadcast) 1.0 else 0.0
+    import spark.implicits._
+    joined.map(r => (r.getInt(0).toString, r.getLong(1), r.getDouble(2)))
+      .toSeq.toDF("grp", "n", "total")
+      .union(Seq(("__morstats_protocol",
+        if (st.numRows.isPresent) st.numRows.getAsLong else -1L, ok))
+        .toDF("grp", "n", "total"))
+      .orderBy("grp")
+  }
+
+  /** K59: DATE-COLUMN EQUI-HEIGHT HISTOGRAMS (r14 #7, K57 v2) — the
+    * per-file quantile vectors are written over each DATE column's
+    * EPOCH-DAY proxy (order-isomorphic, and exactly the double
+    * embedding `FilterEstimation` uses for date arithmetic), typed
+    * min/max surface as epoch-day values, and the merged mixture
+    * histogram bins in days — so a range predicate over a skewed
+    * CALENDAR (the commonest real filter: `day > cutoff` on a table
+    * whose ingest is bursty) estimates through the skew instead of
+    * interpolating uniformly over [first_day, last_day].
+    *
+    * Flow: a fact whose date column has 90% of rows on ONE day and
+    * 10% spread over the year, two commits (the mixture path) → the
+    * CBO estimate for `d > midyear` must land within 3× of the actual
+    * AND at least 3× below the uniform interpolation → December
+    * rollup + protocol row.
+    */
+  def sinkCatalogHistogramDate(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .createOrReplaceTempView("histod_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.histod_t")
+    spark.sql("CREATE TABLE graft.lake.histod_t (d DATE, q DOUBLE)")
+    (0 until 2).foreach { half =>
+      spark.sql(
+        s"""INSERT INTO graft.lake.histod_t
+           |SELECT CASE WHEN l_orderkey % 10 = 0
+           |  THEN date_add(DATE'2024-01-01', cast(l_orderkey % 365 AS INT))
+           |  ELSE DATE'2024-01-05' END,
+           |  l_quantity
+           |FROM histod_src WHERE l_orderkey % 2 = $half""".stripMargin)
+    }
+    val actual = spark.sql(
+      "SELECT count(*) FROM graft.lake.histod_t WHERE d > DATE'2024-07-01'")
+      .head.getLong(0)
+    val totalRows = spark.table("graft.lake.histod_t").count()
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    val est =
+      try spark.table("graft.lake.histod_t").where("d > DATE'2024-07-01'")
+        .queryExecution.optimizedPlan.stats.rowCount.map(_.toLong)
+      finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    // uniform over [2024-01-01, 2024-12-30] puts ~half the table past
+    // midyear; the day-binned histogram must track the ~5% actual
+    val uniformEst = totalRows / 2
+    val ok =
+      if (actual > 0L && est.exists(e =>
+          e < uniformEst / 3 && e <= actual * 3 && e >= actual / 3)) 1.0
+      else 0.0
+    spark.sql(
+      s"""SELECT cast(d AS STRING) AS grp, count(*) AS n,
+         |  round(sum(q), 2) AS total
+         |FROM graft.lake.histod_t WHERE d > DATE'2024-11-30' GROUP BY d
+         |UNION ALL
+         |SELECT '__histogram_date_protocol', 32L, $ok
+         |ORDER BY grp""".stripMargin)
+  }
+
   /** K41: atomic `CREATE TABLE AS SELECT` / `REPLACE TABLE AS SELECT`
     * through the staging catalog ([[org.apache.spark.sql.graft
     * .GraftStagedTable]]): the table builds INVISIBLY (meta + data +

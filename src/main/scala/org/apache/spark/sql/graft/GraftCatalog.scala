@@ -1298,18 +1298,26 @@ object GraftLakeTable {
       .forall(_.toBoolean)
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { f =>
       val c = org.apache.spark.sql.functions.col(s"`${f.name}`")
-      // K57 quantile vectors: the non-decimal numerics the histogram
-      // reader consumes — writing vectors for DecimalType would be
-      // permanent manifest weight no consumer ever reads (review
-      // pass 3)
-      val numeric = f.dataType match {
+      // K57 quantile vectors: the ORDER-PRESERVING NUMERIC PROXY per
+      // type the histogram reader consumes — plain numerics cast to
+      // double, DATE as its epoch-day number (r14 #7: date range
+      // predicates over skewed calendars are the commonest real
+      // filter, and FilterEstimation's toDouble reads date stats in
+      // epoch days natively). DecimalType writes no vector (permanent
+      // manifest weight no consumer reads — review pass 3); STRING
+      // stays out of v2 (FilterEstimation has no double embedding for
+      // strings, so a prefix-proxy histogram could never be consumed).
+      val qProxy: Option[String] = f.dataType match {
         case org.apache.spark.sql.types.ByteType |
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.FloatType |
-             org.apache.spark.sql.types.DoubleType => true
-        case _ => false
+             org.apache.spark.sql.types.DoubleType =>
+          Some(s"cast(`${f.name}` AS DOUBLE)")
+        case org.apache.spark.sql.types.DateType =>
+          Some(s"cast(unix_date(`${f.name}`) AS DOUBLE)")
+        case _ => None
       }
       Seq(min(c).cast("string").as(s"__min_${f.name}"),
           max(c).cast("string").as(s"__max_${f.name}")) ++
@@ -1320,15 +1328,15 @@ object GraftLakeTable {
             .as(s"__hll_${f.name}"),
           (count(lit(1)) - count(c)).as(s"__nulls_${f.name}"))
         else Seq.empty) ++
-        // K57: a 33-point per-file quantile vector for numeric columns
+        // K57: a 33-point per-file quantile vector over the proxy
         // (ApproximatePercentile — native, codegen'd) — the mergeable
         // distribution summary the scan folds into an equi-height CBO
         // histogram (each file's vector defines a piecewise-linear
         // CDF; the snapshot's histogram inverts their row-weighted
-        // mixture). ~0.7 KB per numeric column per file.
-        (if (ndvEnabled && numeric) Seq(
+        // mixture). ~0.7 KB per column per file.
+        (if (ndvEnabled && qProxy.isDefined) Seq(
           org.apache.spark.sql.functions.expr(
-            s"percentile_approx(cast(`${f.name}` AS DOUBLE), " +
+            s"percentile_approx(${qProxy.get}, " +
               s"array(${(0 to 32).map(i => i / 32.0).mkString(",")}), 2500)")
             .as(s"__q_${f.name}"))
         else Seq.empty)
@@ -1381,7 +1389,8 @@ object GraftLakeTable {
                    org.apache.spark.sql.types.IntegerType |
                    org.apache.spark.sql.types.LongType |
                    org.apache.spark.sql.types.FloatType |
-                   org.apache.spark.sql.types.DoubleType => true
+                   org.apache.spark.sql.types.DoubleType |
+                   org.apache.spark.sql.types.DateType => true
               case _ => false
             }
             val quant =

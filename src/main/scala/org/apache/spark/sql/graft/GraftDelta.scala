@@ -160,8 +160,12 @@ private[graft] object GraftDeltaOperation {
     if (groups.isEmpty)
       new GraftPrunedScanBuilder(spark, tableName, dir, Nil, tableSchema, options)
     else
+      // distinct masked keys across every delete file — the exact
+      // upper bound on masked rows under the equality-delete key-
+      // uniqueness contract, fed to the stats adjustment (r14 #4)
       new GraftMorScanBuilder(spark, tableName, dir, groups, tableSchema,
-        keyCol, options)
+        keyCol, options,
+        deletedKeys = bySeq.flatMap(_._2).distinct.length.toLong)
   }
 }
 
@@ -179,7 +183,8 @@ private[graft] class GraftMorScanBuilder(
     groups: Seq[(Seq[GraftLakeTable.ManifestRow], Array[Long])],
     tableSchema: StructType,
     keyCol: String,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    deletedKeys: Long = 0L)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownCatalystFilters {
 
@@ -213,7 +218,8 @@ private[graft] class GraftMorScanBuilder(
     val scans = builders.map(_.build())
     new GraftMorScan(scans, groups.map(_._2),
       requested, augmented, augmented.fieldIndex(keyCol),
-      statsRows = builders.flatMap(_.builtSurvivors))
+      statsRows = builders.flatMap(_.builtSurvivors),
+      deletedKeys = deletedKeys)
   }
 }
 
@@ -228,20 +234,25 @@ private[graft] class GraftMorScan(
     out: StructType,
     augmented: StructType,
     keyIdx: Int,
-    statsRows: Seq[GraftLakeTable.ManifestRow] = Nil)
+    statsRows: Seq[GraftLakeTable.ManifestRow] = Nil,
+    deletedKeys: Long = 0L)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = out
 
-  /** K49: manifest stats over the snapshot's DATA files. Equality
-    * deletes are not subtracted — a delete key may match nothing, and
-    * rows/bytes overestimates are the safe direction for broadcast
-    * planning.
+  /** K49 with the r14 delete-mass adjustment: manifest stats over the
+    * snapshot's DATA files MINUS the distinct equality-delete key
+    * count (the delete files' manifest rows carry exact key counts —
+    * the same numbers sink_catalog_mor hashes). Under the key-
+    * uniqueness contract equality deletes already rely on, that is the
+    * exact masked-row count, so a heavily-deleted dim reports its
+    * servable rows/bytes and still broadcasts statically instead of
+    * planning at 2× its size.
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
-    GraftManifestStats.of(statsRows, out)
+    GraftManifestStats.of(statsRows, out, deletedRows = deletedKeys)
 
   override def toBatch: Batch = new Batch {
     private val batches = scans.map(_.toBatch)

@@ -107,13 +107,20 @@ object GraftManifestStats {
         // min ABOVE the true min makes FilterEstimation prove matching
         // predicates empty — review pass 3); fractional parses filter
         // NaN, which would poison every range selectivity.
+        // DATE joins the numeric family here (r14 #7): its stats value
+        // is the ISO string, its CATALYST stat value the epoch-day Int
+        // (what `EstimationUtils.toDouble` reads natively), and its
+        // quantile vectors were written over the epoch-day proxy — so
+        // min/max/histogram all speak days and FilterEstimation's date
+        // range arithmetic consumes them unchanged.
         val isNumeric = f.dataType match {
           case org.apache.spark.sql.types.ByteType |
                org.apache.spark.sql.types.ShortType |
                org.apache.spark.sql.types.IntegerType |
                org.apache.spark.sql.types.LongType |
                org.apache.spark.sql.types.FloatType |
-               org.apache.spark.sql.types.DoubleType => true
+               org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.DateType => true
           case _ => false
         }
         def parseTyped(v: String): Option[Any] = f.dataType match {
@@ -125,6 +132,9 @@ object GraftManifestStats {
             v.toFloatOption.filterNot(_.isNaN)
           case org.apache.spark.sql.types.DoubleType =>
             v.toDoubleOption.filterNot(_.isNaN)
+          case org.apache.spark.sql.types.DateType =>
+            try Some(java.time.LocalDate.parse(v).toEpochDay.toInt)
+            catch { case _: Exception => None }
           case _ => None
         }
         def ordered(vals: Seq[Any]): Seq[Any] = f.dataType match {
@@ -132,8 +142,19 @@ object GraftManifestStats {
             vals.map(_.asInstanceOf[Float]).sorted
           case org.apache.spark.sql.types.DoubleType =>
             vals.map(_.asInstanceOf[Double]).sorted
-          case _ => vals.map(v => v.asInstanceOf[Number].longValue()).sorted
-            .map(l => parseTyped(l.toString).get)
+          case _ =>
+            // integral family (DATE included: its typed value is the
+            // epoch-day Int) — sort exactly as longs, convert back
+            // WITHOUT a string round-trip (parseTyped expects ISO for
+            // dates, not day numbers)
+            val longs = vals.map(_.asInstanceOf[Number].longValue()).sorted
+            f.dataType match {
+              case org.apache.spark.sql.types.ByteType => longs.map(_.toByte)
+              case org.apache.spark.sql.types.ShortType => longs.map(_.toShort)
+              case org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.DateType => longs.map(_.toInt)
+              case _ => longs
+            }
         }
         val minMax: Option[(Any, Any)] = {
           if (!isNumeric || nonNullFiles.isEmpty ||
@@ -235,9 +256,22 @@ object GraftManifestStats {
   def of(rows: Seq[GraftLakeTable.ManifestRow], schema: StructType,
          deletedRows: Long = 0L): Statistics = {
     val data = rows.filterNot(r => GraftDeltaOperation.isDeleteFile(r.file))
-    val totalRows = math.max(0L, data.map(_.nRows).sum - deletedRows)
+    val rawRows = data.map(_.nRows).sum
+    val totalRows = math.max(0L, rawRows - deletedRows)
     val width = math.max(1, schema.defaultSize).toLong
-    val size = data.map(r => if (r.bytes >= 0L) r.bytes else r.nRows * width).sum
+    val rawSize = data.map(r => if (r.bytes >= 0L) r.bytes else r.nRows * width).sum
+    // delete-mass adjustment (VERDICT r14 #4): `deletedRows` is the
+    // K42 exact position count or the K39 distinct equality-delete KEY
+    // count — on-disk bytes cover rows the mask removes, so the size
+    // the broadcast planner sees scales by the surviving fraction. A
+    // half-equality-deleted dim would otherwise report 2× its servable
+    // bytes and miss the static broadcast K49 exists to enable. (Keys
+    // that match nothing make this an underestimate bounded by the
+    // delete mass itself; the key-uniqueness contract equality deletes
+    // already carry makes it exact in the intended use.)
+    val size =
+      if (deletedRows <= 0L || rawRows <= 0L) rawSize
+      else math.max(1L, (rawSize.toDouble * totalRows / rawRows).toLong)
     new Statistics {
       override def sizeInBytes(): OptionalLong =
         OptionalLong.of(math.max(1L, size))
