@@ -219,6 +219,7 @@ object SparkEntry {
     "sink_catalog_bucket_evolve" -> ((s, d) => IOQueries.sinkCatalogBucketEvolve(s, d)),
     "sink_catalog_txn_multi" -> ((s, d) => IOQueries.sinkCatalogTxnMulti(s, d)),
     "sink_catalog_txn_group" -> ((s, d) => IOQueries.sinkCatalogTxnGroup(s, d)),
+    "sink_catalog_txn_mor" -> ((s, d) => IOQueries.sinkCatalogTxnMor(s, d)),
     "sink_catalog_cbo" -> ((s, d) => IOQueries.sinkCatalogCbo(s, d)),
     "sink_zorder_scoped" -> ((s, d) => IOQueries.sinkZorderScoped(s, d)),
     "sink_branch_sql" -> ((s, d) => IOQueries.sinkBranchSql(s, d)),
@@ -368,6 +369,7 @@ object SparkEntry {
     "dq_completeness" -> ((s, d) => IOQueries.dqCompleteness(s, d)),
     "dq_ks_drift" -> (Analytics.dqKsDrift _),
     "q_mv_rewrite" -> (Analytics.qMvRewrite _),
+    "q_mv_rollup" -> (Analytics.qMvRollup _),
     "q_assoc_rules" -> ((s, d) => Analytics.qAssocRules(s, d)),
     // Similarity search (A1–A3)
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForceTopK(s, d)),

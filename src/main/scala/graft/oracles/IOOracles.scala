@@ -257,6 +257,41 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT '__txn_protocol', cast(2 AS bigint), 1.0
         |ORDER BY status""".stripMargin,
+    // K60: MoR-transaction replay — v2 (every 7th key equality-
+    // deleted) + the txn's three statements (reinsert deleted 'O'
+    // rows; delete every 5th key INCLUDING the fresh reinserts — the
+    // intra-txn delete-after-insert law a squash would break; +1000
+    // on every 11th survivor) + the racer row; the
+    // '__stmt_granularity' row pins the VERSION AS OF 3 masked count
+    // (statement-granular time travel) and '__txn_protocol' the final
+    // version (5) with the isolation/carry/conflict flag
+    "sink_catalog_txn_mor" ->
+      """WITH v2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 7 <> 0
+        |), after1 AS (
+        |  SELECT * FROM v2
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'O'
+        |), after2 AS (
+        |  SELECT * FROM after1 WHERE o_orderkey % 5 <> 0
+        |), final AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    o_totalprice + CASE WHEN o_orderkey % 11 = 0 THEN 1000.0
+        |      ELSE 0 END AS p
+        |  FROM after2
+        |  UNION ALL SELECT -1, 'RACER', 0.0
+        |)
+        |SELECT o_orderstatus AS status, cast(count(*) AS bigint) AS n,
+        |  round(sum(p), 2) AS total
+        |FROM final GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT '__stmt_granularity',
+        |  (SELECT cast(count(*) AS bigint) FROM after1), 1.0
+        |UNION ALL
+        |SELECT '__txn_protocol', cast(5 AS bigint), 1.0
+        |ORDER BY status""".stripMargin,
     // K53: CBO-stats replay — the 3-way join rollup over the derived
     // fact/dim tables (every fact row matches exactly one key in each
     // dim); the protocol row pins the join count (3 relations) and the

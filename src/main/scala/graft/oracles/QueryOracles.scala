@@ -445,6 +445,16 @@ private[graft] object QueryOracles {
         |  CAST(count(*) AS BIGINT) AS n,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Q55: the oracle checks the SERVED RESULT equals the direct
+    // monthly aggregate — the rollup substitution itself (MV files
+    // scanned with a re-agg node, orders untouched) is plan-asserted
+    // in Round28Spec
+    "q_mv_rollup" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  max(o_totalprice) AS mx
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_assoc_rules" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem

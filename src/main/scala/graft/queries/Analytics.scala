@@ -1543,6 +1543,55 @@ object Analytics {
     }
   }
 
+  /** Q55: MV ROLLUP REWRITE (r14 #6) — a registered DAILY aggregate
+    * answering a MONTHLY GROUP BY via COMPENSATING RE-AGGREGATION
+    * ([[org.apache.spark.sql.graft.MvRewrite.tryRollup]]): the
+    * consumer's grouping `date_format(o_orderdate, 'yyyy-MM')` is a
+    * function of the MV's grouping output `day`, its count/sum/max
+    * decompose as sum-of-counts / sum-of-sums / max-of-maxes, so the
+    * executed plan scans |days| pre-aggregated MV rows with a re-agg
+    * node instead of the orders table. The other half of warehouse MV
+    * economics next to Q51's exact match: ONE daily materialization
+    * now serves every coarser grain (weekly, monthly, yearly,
+    * all-time). The spec (Round28Spec) pins what the oracle can't
+    * see: the rewritten plan reads the MV files and NOT orders,
+    * parity with the flag off, and a non-decomposable consumer
+    * (avg / distinct) left untouched.
+    */
+  def qMvRollup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.MvRewrite
+    MvRewrite.ensure(spark)
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderdate", "o_totalprice")
+    val daily = orders
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("total"),
+        max("o_totalprice").as("mx"))
+    val base = java.nio.file.Files.createTempDirectory("graft_mv_rollup")
+    MvRewrite.register(spark, "orders_daily", daily,
+      base.toString + "/orders_daily")
+    val flag = "spark.graft.mvRewrite"
+    val prior = spark.conf.getOption(flag)
+    spark.conf.set(flag, "true")
+    try
+      // the consumer writes the plain MONTHLY fact-table aggregate —
+      // the rollup substitution is the optimizer's business
+      orders
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+          max("o_totalprice").as("mx"))
+        .orderBy("month")
+        .localCheckpoint() // eager: the plan optimizes while the flag is on
+    finally {
+      prior match {
+        case Some(v) => spark.conf.set(flag, v)
+        case None    => spark.conf.unset(flag)
+      }
+      MvRewrite.clear(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+    }
+  }
+
   /** E19: time-series gap filling — densify hourly per-type counts over
     * the full [min, max] hour calendar, emitting explicit zeros for
     * silent hours (monitoring and forecasting both need the zeros; a

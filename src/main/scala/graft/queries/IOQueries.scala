@@ -1158,6 +1158,104 @@ object IOQueries {
          |ORDER BY status""".stripMargin)
   }
 
+  /** K60: TRANSACTIONS ON MERGE-ON-READ TABLES (r14 #5) — K51/K52's
+    * begin/commit/abort surface widened to K39 equality-delete tables.
+    * The two moves that make it sound: (a) the workspace manifest is
+    * seeded at the SOURCE'S VERSION NUMBER, so workspace DML seqs are
+    * identical to the seqs the rows land with on the source, and
+    * carried delete files (self-contained: key values + seq) keep
+    * masking exactly what they masked; (b) commit REPLAYS one source
+    * version per workspace STATEMENT (pending claims flipped by one
+    * journal point — all-or-nothing visibility unchanged) instead of
+    * squashing, because equality deletes mask strictly-OLDER data:
+    * an insert-then-delete transaction collapsed onto one seq would
+    * resurrect the inserted rows. Position-delete tables still refuse
+    * (their delete files address data files BY PATH, which a carried
+    * reference renames — the mask would silently detach).
+    *
+    * Flow: MoR load (v1) → pre-txn DELETE (v2, a live delete file the
+    * workspace must carry correctly) → txn: reinsert the deleted 'O'
+    * rows, DELETE every 5th key (masks the reinserts too — the
+    * intra-txn delete-after-insert law, IN the hash), UPDATE every
+    * 11th → isolation actuals → commit (versions 3,4,5 — statement
+    * granularity, time-travel-addressable) → a second transaction
+    * loses to a racing MoR-table INSERT and must leave no trace →
+    * rollup + per-statement snapshot + protocol rows.
+    */
+  def sinkCatalogTxnMor(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_txm_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_txm")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_txm (
+        |  o_orderkey BIGINT NOT NULL, o_orderstatus STRING, o_totalprice DOUBLE)
+        |TBLPROPERTIES('graft.merge-on-read.key'='o_orderkey')""".stripMargin)
+    spark.sql("INSERT INTO graft.lake.orders_txm SELECT * FROM orders_txm_src")
+    spark.sql("DELETE FROM graft.lake.orders_txm WHERE o_orderkey % 7 = 0")
+    val manBase = catalogRoot + "/lake/orders_txm/manifest"
+    val v2Count = spark.table("graft.lake.orders_txm").count()
+    val v2Files = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, 2L).map(_.file).toSet
+    val opened = spark.sql(
+      "CALL graft.system.begin_txn('lake.orders_txm')").head
+    val (txnTable, baseV) = (opened.getString(0), opened.getLong(1))
+    spark.sql(
+      s"""INSERT INTO graft.$txnTable
+         |SELECT * FROM orders_txm_src
+         |WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'O'""".stripMargin)
+    spark.sql(s"DELETE FROM graft.$txnTable WHERE o_orderkey % 5 = 0")
+    spark.sql(
+      s"""UPDATE graft.$txnTable SET o_totalprice = o_totalprice + 1000
+         |WHERE o_orderkey % 11 = 0""".stripMargin)
+    // isolation actuals: three MoR statements later the source is
+    // byte-identical — same masked count, still versions 1..2 only
+    val isoOk = spark.table("graft.lake.orders_txm").count() == v2Count &&
+      graft.sinks.ManifestStore.versions(spark, manBase) == Seq(1L, 2L)
+    val committed = spark.sql(
+      s"CALL graft.system.commit_txn('lake.orders_txm', '$txnTable')").head
+    val commitV = committed.getLong(0)
+    val dropped = !spark.catalog.tableExists(s"graft.$txnTable")
+    // statement granularity: the commit published versions 3,4,5 and
+    // every v2 file (the pre-txn data AND its delete file) carried by
+    // reference into the final snapshot
+    val v5 = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, 5L)
+    val carriedOk = v2Files.subsetOf(v5.map(_.file).toSet) &&
+      graft.sinks.ManifestStore.versions(spark, manBase) == (1L to 5L)
+    val stmt1Count = spark.sql(
+      "SELECT count(*) FROM graft.lake.orders_txm VERSION AS OF 3")
+      .head.getLong(0)
+    // conflict law: a racer's MoR-table commit aborts the whole
+    // transaction, and the aborted workspace leaves no trace
+    val opened2 = spark.sql(
+      "CALL graft.system.begin_txn('lake.orders_txm')").head.getString(0)
+    spark.sql(s"DELETE FROM graft.$opened2 WHERE o_orderkey >= 0") // would wipe
+    spark.sql("INSERT INTO graft.lake.orders_txm VALUES (-1, 'RACER', 0.0)")
+    val conflictOk =
+      try {
+        spark.sql(
+          s"CALL graft.system.commit_txn('lake.orders_txm', '$opened2')").collect()
+        false
+      } catch { case e: Exception => e.getMessage.contains("moved to") }
+    spark.sql(s"CALL graft.system.abort_txn('$opened2')").collect()
+    val ok =
+      if (isoOk && baseV == 2L && commitV == 5L && dropped && carriedOk &&
+          conflictOk) 1.0
+      else 0.0
+    spark.sql(
+      s"""SELECT o_orderstatus AS status, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM graft.lake.orders_txm
+         |GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT '__stmt_granularity', ${stmt1Count}L, 1.0
+         |UNION ALL
+         |SELECT '__txn_protocol', ${commitV}L, $ok
+         |ORDER BY status""".stripMargin)
+  }
+
   /** K53: MANIFEST NDV/NULL-COUNT STATISTICS → COST-BASED JOIN ORDER.
     * K49 gave every graft scan exact rows/bytes (the broadcast fix);
     * this rung carries per-file approx-NDV (HLL sketch, lgK=9 ≈ 512 B,

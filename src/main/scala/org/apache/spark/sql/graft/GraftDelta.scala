@@ -110,18 +110,34 @@ private[graft] class GraftDeltaOperation(
 
 private[graft] object GraftDeltaOperation {
 
+  /** A K51/K52 transaction workspace carries source files as
+    * `../<table>/<rel>` references — classification must look at the
+    * path UNDER the carry prefix, or a carried equality-delete file
+    * reads as a data file in the workspace and its masked rows
+    * resurrect (the hazard that kept MoR tables out of transactions
+    * until r14 #5). Plain rows pass through unchanged.
+    */
+  private[graft] def carryLocal(rel: String): String =
+    if (rel.startsWith("../")) {
+      val i = rel.indexOf('/', 3)
+      if (i < 0) rel else rel.substring(i + 1)
+    } else rel
+
   /** Relative manifest paths of delete files — K39's equality deletes
     * AND K42's position deletes (one table only ever has one kind, but
     * every mode-agnostic consumer — metadata tables, VACUUM liveness,
     * OPTIMIZE's resurrection guard, the streaming source's non-append
     * detection — must treat both as "this version deletes rows").
+    * Carried `../<table>/` references classify by their local path.
     */
-  private[graft] def isDeleteFile(rel: String): Boolean =
-    rel.startsWith("deletes_") || GraftPosMeta.isPosDeleteFile(rel)
+  private[graft] def isDeleteFile(rel: String): Boolean = {
+    val local = carryLocal(rel)
+    local.startsWith("deletes_") || GraftPosMeta.isPosDeleteFile(local)
+  }
 
   /** Equality-delete files only (the K39 masked-scan grouping). */
   private[graft] def isEqDeleteFile(rel: String): Boolean =
-    rel.startsWith("deletes_")
+    carryLocal(rel).startsWith("deletes_")
 
   /** The merge-on-read scan builder over a resolved snapshot: data
     * files are grouped by WHICH delete files apply to them (all delete

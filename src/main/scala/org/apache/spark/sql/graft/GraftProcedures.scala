@@ -654,9 +654,21 @@ private[graft] object GraftProcedures {
         s"begin_txn on $t: transactions do not nest"))
       val resolved = tables.map(t => (t, resolveFull(catalogName, root, t)))
       resolved.foreach { case (t, (_, m)) =>
-        require(m.morKey.isEmpty && !m.morPos,
-          s"begin_txn on $t: merge-on-read tables refuse (their mask " +
-            "machinery would need spec-aware carries)")
+        // K39 EQUALITY-delete MoR tables participate (r14 #5): their
+        // delete files are self-contained (key values + seq), so they
+        // carry by reference with seq intact — the workspace is seeded
+        // at the SOURCE's version number, so every sequence comparison
+        // (delete masks strictly-older data) replays identically inside
+        // the workspace and back onto the source at commit. POSITION-
+        // delete tables still refuse: a posdel file addresses its data
+        // file BY PATH, and a carried reference renames the path, which
+        // silently detaches the mask (the same identity hazard OPTIMIZE
+        // refuses on).
+        require(!m.morPos,
+          s"begin_txn on $t: position-delete merge-on-read tables refuse " +
+            "(position-delete files address data files by path; a carried " +
+            "'../' reference renames the path and detaches the mask); " +
+            "equality-delete tables participate")
         require(m.currentSpecId == 0L && m.bucketSpecs.length == 1,
           s"begin_txn on $t: spec-evolved tables refuse (per-file spec " +
             "routing would need spec-aware carries); flat and bucketed " +
@@ -702,7 +714,13 @@ private[graft] object GraftProcedures {
             val rows = GraftLakeTable.manifestRowsFull(session, manBase, base)
             val seeded = GraftLakeTable.publishRows(session,
               rows.map(r => r.copy(file = s"../$leaf/${r.file}", txn = "")))
-            require(ManifestStore.tryPublish(session, s"$txnDir/manifest", seeded, 1L),
+            // seed at the SOURCE's version number (not 1): workspace
+            // DML then commits at base+1, base+2, … with per-row seq
+            // EQUAL to what the rows will carry on the source — the
+            // identity mapping that makes MoR sequence comparisons
+            // (delete masks strictly-older data) replay bit-for-bit
+            // inside the workspace and across the commit (r14 #5)
+            require(ManifestStore.tryPublish(session, s"$txnDir/manifest", seeded, base),
               s"begin_txn on $table: could not seed the workspace manifest")
           }
           Seq[Any](UTF8String.fromString(txnTable), base)
@@ -760,9 +778,13 @@ private[graft] object GraftProcedures {
           "all group tables commit together")
       val journal = journalDir(root)
 
+      // carried vs fresh at a committed version: carried rows keep
+      // their source seq (≤ base), anything the transaction added has
+      // seq > base — one definition that covers both the squash (all
+      // fresh at base+1) and the MoR multi-version replay
       def countsAt(p: Part, v: Long): (Long, Long) = {
         val rows = GraftLakeTable.manifestRowsFull(session, s"${p.dir}/manifest", v)
-        val fresh = rows.count(_.seq == v).toLong
+        val fresh = rows.count(_.seq > p.mk.base).toLong
         (rows.length - fresh, fresh)
       }
       def dropWorkspaces(): Unit = parts.foreach(p =>
@@ -775,15 +797,25 @@ private[graft] object GraftProcedures {
       // are self-standing; (3) LAST, retire the journal file. Any
       // crash before (2) leaves a retryable state (journal + workspaces
       // both present → the committed-retry path below); a crash
-      // between (2) and (3) leaks exactly one empty journal file —
-      // bounded by crash count, never load-bearing (its markers are
+      // between (2) and (3) leaks a journal file — retired by VACUUM's
+      // age-gated journal sweep, never load-bearing (its markers are
       // already gone). Deleting the journal any earlier re-opened a
       // double-apply window: a retried, durably-committed commit_txn
       // would have failed pin verification with 'source moved — abort
       // and retry', inviting the caller to apply the DML twice.
-      def finalizeMarkers(): Unit =
-        parts.foreach(p => ManifestStore.finalizePending(
-          session, s"${p.dir}/manifest", p.mk.base + 1, txnId))
+      // Finalization is CRUMB-SCAN based: a MoR transaction claims one
+      // version PER STATEMENT (r14 #5), so the claims are whatever
+      // pending_v*_<txnId> breadcrumbs exist, not just base+1.
+      def finalizeMarkers(): Unit = parts.foreach { p =>
+        val manDir = new Path(p.dir, "manifest")
+        val crumb = s"pending_v(\\d+)_$txnId".r
+        if (fs.exists(manDir)) fs.listStatus(manDir).foreach(st =>
+          st.getPath.getName match {
+            case crumb(v) => ManifestStore.finalizePending(
+              session, manDir.toString, v.toLong, txnId)
+            case _ => ()
+          })
+      }
       def retireJournal(): Unit =
         try fs.delete(new Path(journal, s"committed_$txnId"), false)
         catch { case _: Exception => () }
@@ -792,11 +824,13 @@ private[graft] object GraftProcedures {
       // transaction is already durable — finalize and report the
       // committed versions
       if (fs.exists(new Path(journal, s"committed_$txnId"))) {
-        val out = parts.map { p =>
-          val (c, f) = countsAt(p, p.mk.base + 1)
-          Seq[Any](p.mk.base + 1, c, f)
-        }
         finalizeMarkers()
+        val out = parts.map { p =>
+          val last = ManifestStore.versions(session, s"${p.dir}/manifest")
+            .filter(_ > p.mk.base).lastOption.getOrElse(p.mk.base)
+          val (c, f) = if (last > p.mk.base) countsAt(p, last) else (0L, 0L)
+          Seq[Any](last, c, f)
+        }
         dropWorkspaces()
         retireJournal()
         return resultScanRows(commitOut, out)
@@ -831,8 +865,21 @@ private[graft] object GraftProcedures {
             "on the current schema")
       }
 
-      // per-table squash prep: net-effect rows + idempotent dir moves
-      case class Prepared(p: Part, published: org.apache.spark.sql.DataFrame,
+      // per-table prep: net-effect rows + idempotent dir moves. Two
+      // shapes (r14 #5):
+      //   - plain/bucketed tables SQUASH — one publish at base+1, all
+      //     fresh rows stamped seq base+1 (the branch-and-squash shape,
+      //     unchanged);
+      //   - equality-MoR tables REPLAY — one publish per workspace
+      //     STATEMENT version, rows verbatim (carry prefix stripped,
+      //     txn tags cleared, seq KEPT — the seed-at-base numbering
+      //     makes workspace seqs identical to the source seqs they
+      //     land as), because collapsing statements onto one seq would
+      //     re-order equality-delete masking: a delete at seq s masks
+      //     strictly-older data, so an insert-then-delete transaction
+      //     squashed to one seq resurrects the inserted rows.
+      case class Pub(version: Long, manifest: org.apache.spark.sql.DataFrame)
+      case class Prepared(p: Part, pubs: Seq[Pub], lastVersion: Long,
                           carried: Long, fresh: Long)
       val prepared = parts.map { p =>
         val leaf = p.table.split('.').last
@@ -845,10 +892,6 @@ private[graft] object GraftProcedures {
         require(p.mk.base == 0L || txnVersions.nonEmpty,
           s"commit_txn on ${p.table}: ${new Path(p.txnDir).getName} has " +
             "no seeded manifest (interrupted begin_txn?) — abort_txn and reopen")
-        val txnRows = txnVersions.lastOption
-          .map(v => GraftLakeTable.manifestRowsFull(session, txnMan, v))
-          .getOrElse(Seq.empty)
-        val (carried, fresh) = txnRows.partition(_.file.startsWith(carryPrefix))
         // fresh write dirs move under the SOURCE dir (the RTAS commit
         // shape) — their table-relative paths are then valid verbatim.
         // The move is IDEMPOTENT per dir: a driver crash between moves
@@ -858,8 +901,7 @@ private[graft] object GraftProcedures {
         // 12). source-gone + target-present can only mean "this
         // workspace's earlier attempt moved it" — write dirs are named
         // by writer UUID, so no other writer can have created the target.
-        val freshDirs = fresh.map(_.file.split('/').head).distinct
-        freshDirs.foreach { d =>
+        def moveDirs(freshDirs: Seq[String]): Unit = freshDirs.foreach { d =>
           val source = new Path(p.txnDir, d)
           val target = new Path(p.dir, d)
           if (fs.exists(source)) {
@@ -873,36 +915,82 @@ private[graft] object GraftProcedures {
               "both the workspace and the source — the transaction is " +
               "corrupt; abort_txn and retry")
         }
-        val published = GraftLakeTable.publishRows(session,
-          carried.map(r => r.copy(file = r.file.stripPrefix(carryPrefix), txn = "")) ++
-            fresh.map(_.copy(txn = "", seq = p.mk.base + 1)))
-        Prepared(p, published, carried.length.toLong, fresh.length.toLong)
+        def mapRows(rows: Seq[GraftLakeTable.ManifestRow]) = rows.map { r =>
+          if (r.file.startsWith(carryPrefix))
+            r.copy(file = r.file.stripPrefix(carryPrefix), txn = "")
+          else r.copy(txn = "")
+        }
+        val mor = resolveFull(catalogName, root, p.table)._2.morKey.nonEmpty
+        if (mor) {
+          // statement versions = everything the transaction committed
+          // above the seed; each replays onto the source at ITS OWN
+          // number (seed-at-base makes that the identity), so time
+          // travel and CDF see per-statement granularity and every
+          // seq comparison is preserved bit-for-bit
+          val stmtVersions = txnVersions.filter(_ > p.mk.base)
+          val rowsAt = stmtVersions.map(v =>
+            v -> GraftLakeTable.manifestRowsFull(session, txnMan, v)).toMap
+          // ALL statements' fresh dirs move (an intermediate version's
+          // files must stay reachable for time travel), deduped
+          moveDirs(stmtVersions.flatMap(v => rowsAt(v)
+            .filterNot(_.file.startsWith(carryPrefix))
+            .map(_.file.split('/').head)).distinct)
+          val pubs = stmtVersions.map(v =>
+            Pub(v, GraftLakeTable.publishRows(session, mapRows(rowsAt(v)))))
+          val lastRows = stmtVersions.lastOption.map(rowsAt).getOrElse(Seq.empty)
+          val freshN = lastRows.count(_.seq > p.mk.base).toLong
+          Prepared(p, pubs, stmtVersions.lastOption.getOrElse(p.mk.base),
+            lastRows.length - freshN, freshN)
+        } else {
+          val txnRows = txnVersions.lastOption
+            .map(v => GraftLakeTable.manifestRowsFull(session, txnMan, v))
+            .getOrElse(Seq.empty)
+          val (carried, fresh) = txnRows.partition(_.file.startsWith(carryPrefix))
+          moveDirs(fresh.map(_.file.split('/').head).distinct)
+          val published = GraftLakeTable.publishRows(session,
+            carried.map(r => r.copy(file = r.file.stripPrefix(carryPrefix), txn = "")) ++
+              fresh.map(_.copy(txn = "", seq = p.mk.base + 1)))
+          Prepared(p, Seq(Pub(p.mk.base + 1, published)), p.mk.base + 1,
+            carried.length.toLong, fresh.length.toLong)
+        }
       }
 
-      if (parts.length == 1) {
-        // single-table: the plain CAS publish is already atomic
-        val pr = prepared.head
-        val manBase = s"${pr.p.dir}/manifest"
-        if (!ManifestStore.tryPublish(session, manBase, pr.published, pr.p.mk.base + 1)) {
+      // a transaction with no statements on any table: nothing to
+      // publish — drop the workspaces and report the unchanged bases
+      val allPubs: Seq[(Part, Pub)] =
+        prepared.flatMap(pr => pr.pubs.map(pr.p -> _))
+      if (allPubs.isEmpty) {
+        dropWorkspaces()
+        return resultScanRows(commitOut,
+          prepared.map(pr => Seq[Any](pr.p.mk.base, 0L, 0L)))
+      }
+
+      if (allPubs.length == 1) {
+        // one publish total: the plain CAS is already atomic
+        val (part, pub) = allPubs.head
+        val manBase = s"${part.dir}/manifest"
+        if (!ManifestStore.tryPublish(session, manBase, pub.manifest, pub.version)) {
           // the fresh dirs already moved: the workspace's manifest now
           // points at gone dirs, so a "kept" workspace would crash
           // every read — drop it outright; the moved files stay
           // unreferenced under the source until VACUUM (review pass 3)
           dropWorkspaces()
           throw new java.io.IOException(
-            s"commit_txn on ${pr.p.table}: lost the publish race at " +
-              s"v${pr.p.mk.base + 1} — the transaction is aborted and its " +
+            s"commit_txn on ${part.table}: lost the publish race at " +
+              s"v${pub.version} — the transaction is aborted and its " +
               "workspace dropped; the moved files stay unreferenced until VACUUM")
         }
       } else {
-        // K52 group commit, phase 1: claim every table's next version
-        // as a reader-suppressed PENDING claim
+        // K52 group commit, phase 1: claim every publish's version —
+        // one per table for squashes, one per STATEMENT for MoR
+        // replays, ascending per table — as reader-suppressed PENDING
+        // claims
         val claimed = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-        val loser = prepared.find { pr =>
-          val manBase = s"${pr.p.dir}/manifest"
+        val loser = allPubs.find { case (part, pub) =>
+          val manBase = s"${part.dir}/manifest"
           val won = ManifestStore.tryPublishPending(session, manBase,
-            pr.published, pr.p.mk.base + 1, txnId, journal.toString)
-          if (won) claimed += ((manBase, pr.p.mk.base + 1))
+            pub.manifest, pub.version, txnId, journal.toString)
+          if (won) claimed += ((manBase, pub.version))
           !won
         }
         if (loser.isDefined) {
@@ -912,8 +1000,8 @@ private[graft] object GraftProcedures {
             ManifestStore.abortPending(session, mb, v, txnId) }
           dropWorkspaces()
           throw new java.io.IOException(
-            s"commit_txn on ${loser.get.p.table}: lost the publish race at " +
-              s"v${loser.get.p.mk.base + 1} — the group transaction is " +
+            s"commit_txn on ${loser.get._1.table}: lost the publish race at " +
+              s"v${loser.get._2.version} — the group transaction is " +
               "aborted and its workspaces dropped; the moved files stay " +
               "unreferenced until VACUUM")
         }
@@ -931,22 +1019,22 @@ private[graft] object GraftProcedures {
         // rolled our phase-1 claims back between the claim and the
         // journal point, the journal flip committed a transaction whose
         // versions no longer exist — reporting success would be a
-        // silent lost commit. Verify every table's claimed version is
-        // actually visible and fail loudly otherwise.
-        parts.foreach { p =>
-          if (!ManifestStore.versions(session, s"${p.dir}/manifest")
-              .contains(p.mk.base + 1))
+        // silent lost commit. Verify every claimed version is actually
+        // visible and fail loudly otherwise.
+        allPubs.foreach { case (part, pub) =>
+          if (!ManifestStore.versions(session, s"${part.dir}/manifest")
+              .contains(pub.version))
             throw new IllegalStateException(
-              s"commit_txn on ${p.table}: the journal commit point was " +
-                s"reached but v${p.mk.base + 1} is not visible — a concurrent " +
+              s"commit_txn on ${part.table}: the journal commit point was " +
+                s"reached but v${pub.version} is not visible — a concurrent " +
                 "abort_txn rolled back this transaction's claims between the " +
                 "phases; the transaction is LOST and must be re-run")
         }
       }
       dropWorkspaces()
-      if (parts.length > 1) retireJournal()
+      if (allPubs.length > 1) retireJournal()
       resultScanRows(commitOut, prepared.map(pr =>
-        Seq[Any](pr.p.mk.base + 1, pr.carried, pr.fresh)))
+        Seq[Any](pr.lastVersion, pr.carried, pr.fresh)))
     }
 
     private val commitOut = StructType(Seq(
