@@ -225,6 +225,26 @@ object ManifestStore {
     won
   }
 
+  /** The versions transaction `txnId` holds pending claims on under
+    * `base` — read off the `pending_v<N>_<txnId>` breadcrumbs. The ONE
+    * claim-discovery implementation every protocol consumer shares
+    * (commit finalization, abort rollback, VACUUM's journal sweep);
+    * the breadcrumb naming scheme must never be re-derived at call
+    * sites (review pass 1, round 14).
+    */
+  def pendingClaims(spark: SparkSession, base: String,
+                    txnId: String): Seq[Long] = {
+    require(txnId.matches("[A-Za-z0-9]+"), s"unsafe txn id: $txnId")
+    val fs = fileSystem(spark, base)
+    val basePath = new Path(base)
+    if (!fs.exists(basePath)) return Seq.empty
+    val crumb = s"pending_v(\\d+)_$txnId".r
+    fs.listStatus(basePath).toSeq.flatMap(_.getPath.getName match {
+      case crumb(v) => Some(v.toLong)
+      case _ => None
+    }).sorted
+  }
+
   /** Remove a COMMITTED claim's marker + breadcrumb (what readers do
     * lazily in [[listVisible]]) — the eager form the commit path runs
     * so the journal file can be retired immediately after.

@@ -97,6 +97,11 @@ object StreamBench {
     val spKey = "spark.sql.shuffle.partitions"
     val priorSp = spark.conf.get(spKey)
     spark.conf.set(spKey, statePartitions.toString)
+    // registered here so the finally below removes it on ANY exit —
+    // a mid-run failure must not leak a listener onto the long-lived
+    // shared session (review pass 1, round 14)
+    val counter = new JobCounter
+    spark.sparkContext.addSparkListener(counter)
     try {
       val raw = Tables.eventsTsAsNanosLong(spark, dir)
       val maxId = raw.agg(max("event_id")).head.getLong(0) + 1
@@ -185,9 +190,6 @@ object StreamBench {
             "append")
       }
 
-      val counter = new JobCounter
-      spark.sparkContext.addSparkListener(counter)
-
       def timeOnce(name: String): (Double, Long) = {
         val (df, mode) = pipeline(name)
         val ckpt = base.toString + s"/ckpt_${name}_${System.nanoTime()}"
@@ -237,9 +239,9 @@ object StreamBench {
           case Some(v) => spark.conf.set(providerKey, v)
           case None    => spark.conf.unset(providerKey)
         }
-      spark.sparkContext.removeSparkListener(counter)
       plain :+ tws
     } finally {
+      spark.sparkContext.removeSparkListener(counter)
       spark.conf.set(spKey, priorSp)
       org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
     }

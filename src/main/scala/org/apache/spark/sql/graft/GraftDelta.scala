@@ -235,7 +235,8 @@ private[graft] class GraftMorScanBuilder(
     new GraftMorScan(scans, groups.map(_._2),
       requested, augmented, augmented.fieldIndex(keyCol),
       statsRows = builders.flatMap(_.builtSurvivors),
-      deletedKeys = deletedKeys)
+      deletedKeys = deletedKeys,
+      totalDataRows = groups.flatMap(_._1).map(_.nRows).sum)
   }
 }
 
@@ -251,7 +252,8 @@ private[graft] class GraftMorScan(
     augmented: StructType,
     keyIdx: Int,
     statsRows: Seq[GraftLakeTable.ManifestRow] = Nil,
-    deletedKeys: Long = 0L)
+    deletedKeys: Long = 0L,
+    totalDataRows: Long = 0L)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -262,13 +264,25 @@ private[graft] class GraftMorScan(
     * count (the delete files' manifest rows carry exact key counts —
     * the same numbers sink_catalog_mor hashes). Under the key-
     * uniqueness contract equality deletes already rely on, that is the
-    * exact masked-row count, so a heavily-deleted dim reports its
-    * servable rows/bytes and still broadcasts statically instead of
-    * planning at 2× its size.
+    * exact masked-row count for a FULL scan. `statsRows` are the
+    * post-pushdown pruned survivors while the key count is table-wide,
+    * so the subtraction is PRO-RATED by the pruned fraction — a scan
+    * pruned to one file of ten must not have the whole table's delete
+    * mass subtracted from it (that clamped a large filtered scan to
+    * numRows 0 / 1 byte and invited an OOM-sized broadcast — review
+    * pass 1, round 14). Full scans keep the exact subtraction
+    * (prunedFraction = 1).
     */
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics =
-    GraftManifestStats.of(statsRows, out, deletedRows = deletedKeys)
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val prunedRows = statsRows
+      .filterNot(r => GraftDeltaOperation.isDeleteFile(r.file)).map(_.nRows).sum
+    val prorated =
+      if (totalDataRows <= 0L) deletedKeys
+      else math.min(deletedKeys,
+        (deletedKeys.toDouble * prunedRows / totalDataRows).toLong)
+    GraftManifestStats.of(statsRows, out, deletedRows = prorated)
+  }
 
   override def toBatch: Batch = new Batch {
     private val batches = scans.map(_.toBatch)

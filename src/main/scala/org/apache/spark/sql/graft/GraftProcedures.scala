@@ -758,14 +758,15 @@ private[graft] object GraftProcedures {
       val session = spark
       val fs = fileSystem(root)
 
-      case class Part(table: String, dir: String, txnDir: String, mk: TxnMarker)
+      case class Part(table: String, dir: String, txnDir: String,
+                      mk: TxnMarker, meta: GraftTableMeta.TableMeta)
       val parts = tables.zip(txnTables).map { case (table, txnTable) =>
-        val (dir, _) = resolveFull(catalogName, root, table)
+        val (dir, m) = resolveFull(catalogName, root, table)
         val (txnDir, _) = resolveFull(catalogName, root, txnTable)
         val mk = readMarker(root, txnDir)
         require(mk.source == table,
           s"commit_txn: $txnTable was opened on '${mk.source}', not '$table'")
-        Part(table, dir, txnDir, mk)
+        Part(table, dir, txnDir, mk, m)
       }
       val txnId = parts.head.mk.txnId
       require(parts.forall(_.mk.txnId == txnId),
@@ -805,29 +806,32 @@ private[graft] object GraftProcedures {
       // and retry', inviting the caller to apply the DML twice.
       // Finalization is CRUMB-SCAN based: a MoR transaction claims one
       // version PER STATEMENT (r14 #5), so the claims are whatever
-      // pending_v*_<txnId> breadcrumbs exist, not just base+1.
+      // pending breadcrumbs exist, not just base+1.
       def finalizeMarkers(): Unit = parts.foreach { p =>
-        val manDir = new Path(p.dir, "manifest")
-        val crumb = s"pending_v(\\d+)_$txnId".r
-        if (fs.exists(manDir)) fs.listStatus(manDir).foreach(st =>
-          st.getPath.getName match {
-            case crumb(v) => ManifestStore.finalizePending(
-              session, manDir.toString, v.toLong, txnId)
-            case _ => ()
-          })
+        val mb = s"${p.dir}/manifest"
+        ManifestStore.pendingClaims(session, mb, txnId)
+          .foreach(v => ManifestStore.finalizePending(session, mb, v, txnId))
       }
       def retireJournal(): Unit =
         try fs.delete(new Path(journal, s"committed_$txnId"), false)
         catch { case _: Exception => () }
 
       // a RETRY after a crash past the journal commit point: the
-      // transaction is already durable — finalize and report the
-      // committed versions
+      // transaction is already durable — finalize and report THIS
+      // transaction's committed versions. The versions come from the
+      // WORKSPACE manifests (still present on every retry path — the
+      // parts resolution above requires them), never from "the
+      // source's newest version": a later unrelated commit would
+      // otherwise be reported as this transaction's result (review
+      // pass 1, round 14).
       if (fs.exists(new Path(journal, s"committed_$txnId"))) {
         finalizeMarkers()
         val out = parts.map { p =>
-          val last = ManifestStore.versions(session, s"${p.dir}/manifest")
-            .filter(_ > p.mk.base).lastOption.getOrElse(p.mk.base)
+          val last =
+            if (p.meta.morKey.nonEmpty)
+              ManifestStore.versions(session, s"${p.txnDir}/manifest")
+                .filter(_ > p.mk.base).lastOption.getOrElse(p.mk.base)
+            else p.mk.base + 1
           val (c, f) = if (last > p.mk.base) countsAt(p, last) else (0L, 0L)
           Seq[Any](last, c, f)
         }
@@ -920,7 +924,7 @@ private[graft] object GraftProcedures {
             r.copy(file = r.file.stripPrefix(carryPrefix), txn = "")
           else r.copy(txn = "")
         }
-        val mor = resolveFull(catalogName, root, p.table)._2.morKey.nonEmpty
+        val mor = p.meta.morKey.nonEmpty
         if (mor) {
           // statement versions = everything the transaction committed
           // above the seed; each replays onto the source at ITS OWN
@@ -1067,18 +1071,11 @@ private[graft] object GraftProcedures {
         // commit point the claims are durable and only the workspace
         // is cleaned)
         if (!fs.exists(new Path(journalDir(root), s"committed_${mk.txnId}"))) {
-          val srcMan = new Path(tableDirOf(root, mk.source), "manifest")
-          var rolledBack = false
-          if (fs.exists(srcMan)) {
-            val crumb = s"pending_v(\\d+)_${mk.txnId}".r
-            fs.listStatus(srcMan).foreach(st => st.getPath.getName match {
-              case crumb(v) =>
-                ManifestStore.abortPending(
-                  spark, srcMan.toString, v.toLong, mk.txnId)
-                rolledBack = true
-              case _ => ()
-            })
-          }
+          val srcMan = new Path(tableDirOf(root, mk.source), "manifest").toString
+          val claims = ManifestStore.pendingClaims(spark, srcMan, mk.txnId)
+          claims.foreach(v =>
+            ManifestStore.abortPending(spark, srcMan, v, mk.txnId))
+          val rolledBack = claims.nonEmpty
           // RE-CHECK the journal after the rollback (advice, round 14):
           // the exists-check above and abortPending are not atomic with
           // a concurrent commit_txn sitting between its phases — if the
@@ -1371,18 +1368,23 @@ private[graft] object GraftProcedures {
               finally in.close()
             } catch { case _: Exception => "" }
           if (group.nonEmpty && txnId.matches("[A-Za-z0-9]+")) {
-            val crumb = s"pending_v(\\d+)_$txnId".r
+            // a journal with a SURVIVING workspace is a retryable
+            // crashed commit, not a leak: retiring it would send the
+            // caller's retry down the pin-verification path with
+            // 'source moved — abort and retry', inviting a double
+            // apply of DML that is already durably committed (review
+            // pass 1, round 14). Claims still finalize (idempotent,
+            // journal-proven); only the journal file waits for the
+            // workspaces to go.
             val resolvedAll = group.split(',').map(_.trim).filter(_.nonEmpty)
               .forall { t =>
                 try {
-                  val gMan = new Path(tableDirOf(root, t), "manifest")
-                  if (fs.exists(gMan)) fs.listStatus(gMan).foreach(s2 =>
-                    s2.getPath.getName match {
-                      case crumb(v) => ManifestStore.finalizePending(
-                        session, gMan.toString, v.toLong, txnId)
-                      case _ => ()
-                    })
-                  true
+                  val tDir = tableDirOf(root, t)
+                  val gMan = new Path(tDir, "manifest").toString
+                  ManifestStore.pendingClaims(session, gMan, txnId).foreach(
+                    v => ManifestStore.finalizePending(session, gMan, v, txnId))
+                  !fs.exists(new Path(tDir.getParent,
+                    s"${tDir.getName}__txn_$txnId"))
                 } catch { case _: Exception => false }
               }
             if (resolvedAll) {

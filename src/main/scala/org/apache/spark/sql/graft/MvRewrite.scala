@@ -175,11 +175,17 @@ object MvRewrite extends Rule[LogicalPlan] {
           case o => o
         }
         // view outputs that are pure GROUPING expressions (no agg
-        // inside) → substitutable by their materialized column
+        // inside) → substitutable by their materialized column.
+        // references.nonEmpty: a CONSTANT view output (lit("v1") AS
+        // tag) must never substitute — it would rewrite a query
+        // literal into a materialized column that is neither grouped
+        // nor aggregated, an invalid Aggregate that fails physical
+        // binding (review pass 1, round 14)
         val groupSubs: Seq[(Expression, Attribute)] =
           mvAggExprs.indices.flatMap { i =>
             val e = defExprAt(i)
-            if (e.find(_.isInstanceOf[AggregateExpression]).isEmpty)
+            if (e.references.nonEmpty &&
+                e.find(_.isInstanceOf[AggregateExpression]).isEmpty)
               Some(toQ(e) -> matOut(i))
             else None
           }
@@ -266,13 +272,29 @@ object MvRewrite extends Rule[LogicalPlan] {
           case ne =>
             rewrite(ne).map(c => Alias(c, ne.name)(exprId = ne.exprId))
         }
+        // attributes referenced OUTSIDE aggregate expressions — what
+        // must be covered by the new grouping expressions for the
+        // rewritten Aggregate to stay analyzer-valid
+        def nonAggAttrs(e: Expression): Seq[Attribute] = e match {
+          case _: AggregateExpression => Nil
+          case a: Attribute => Seq(a)
+          case other => other.children.flatMap(nonAggAttrs)
+        }
+        val groupingRefs = org.apache.spark.sql.catalyst.expressions
+          .AttributeSet(newGroupings.flatten.flatMap(_.references))
         val ok = newGroupings.forall(_.isDefined) && newAggs.forall(_.isDefined) &&
           // everything must now resolve against the materialization
           // alone — a leftover base-table reference means a grouping
           // expression was not a function of the view's grouping
           // outputs, so the rollup cannot answer it
           (newGroupings.flatten ++ newAggs.flatten)
-            .forall(_.references.subsetOf(mat.outputSet))
+            .forall(_.references.subsetOf(mat.outputSet)) &&
+          // and every output's non-aggregate reference must sit under
+          // the new groupings — the structural validity the analyzer
+          // enforced on the ORIGINAL query and substitution must not
+          // be allowed to break
+          newAggs.flatten.forall(ne =>
+            nonAggAttrs(ne).forall(groupingRefs.contains))
         if (!ok) None
         else Some(Aggregate(newGroupings.flatten, newAggs.flatten.toSeq, mat))
       case _ => None

@@ -122,11 +122,10 @@ class Round28Spec extends SparkSpec {
       // coarser grain over the SAME base: count+sum roll up (g % 2)
       val coarse = fact.groupBy((col("g") % 2).as("g2"))
         .agg(count(lit(1)).as("n"), sum("x").as("t"))
-      val expected = spark.conf.get("spark.graft.mvRewrite") match {
-        case _ =>
-          spark.conf.set("spark.graft.mvRewrite", "false")
-          try coarse.orderBy("g2").collect().toSeq
-          finally spark.conf.set("spark.graft.mvRewrite", "true")
+      val expected = {
+        spark.conf.set("spark.graft.mvRewrite", "false")
+        try coarse.orderBy("g2").collect().toSeq
+        finally spark.conf.set("spark.graft.mvRewrite", "true")
       }
       assert(scanPaths(coarse).exists(_.contains("/mv")))
       assert(coarse.orderBy("g2").collect().toSeq == expected)
@@ -231,6 +230,39 @@ class Round28Spec extends SparkSpec {
     val b = st.sizeInBytes.getAsLong
     assert(b > rawBytes / 4 && b < rawBytes * 3 / 4,
       s"bytes must scale by the surviving fraction: $b vs raw $rawBytes")
+  }
+
+  test("a PRUNED MoR scan pro-rates the delete subtraction: file-disjoint " +
+      "delete mass must not clamp a filtered scan's stats to zero") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.smor_prune")
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.smor_prune (k BIGINT NOT NULL, v DOUBLE)
+         |TBLPROPERTIES('graft.merge-on-read.key'='k')""".stripMargin)
+    // two commits = two files with disjoint key ranges
+    spark.sql(s"INSERT INTO $cat.lake.smor_prune " +
+      "SELECT id, id * 1.0 FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $cat.lake.smor_prune " +
+      "SELECT id, id * 1.0 FROM range(100, 150)")
+    // delete 40 keys, ALL in the first file's range
+    spark.sql(s"DELETE FROM $cat.lake.smor_prune WHERE k < 40")
+    def statsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          s.scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+            .estimateStatistics()
+      }.get
+    // full scan: exact subtraction (100 raw − 40 keys = 60 servable)
+    val full = statsOf(spark.table(s"$cat.lake.smor_prune"))
+    assert(full.numRows.getAsLong == 60L, s"full: ${full.numRows}")
+    // pruned to the delete-free file (50 raw rows): the table-wide 40
+    // keys pro-rate by the pruned fraction (×0.5 → 20 subtracted),
+    // never subtract wholesale (old behavior: 50−40=10, and at higher
+    // delete mass it clamped to 0/1-byte — the OOM-broadcast invite)
+    val pruned = statsOf(spark.table(s"$cat.lake.smor_prune").where("k >= 100"))
+    assert(pruned.numRows.getAsLong == 30L,
+      s"pruned rows must pro-rate (50 − 40·0.5): ${pruned.numRows}")
+    assert(pruned.sizeInBytes.getAsLong > 1L)
   }
 
   // ---------------------------------------------------------------
