@@ -232,11 +232,39 @@ private[graft] class GraftMorScanBuilder(
   override def build(): Scan = {
     val augmented = withKey(requested)
     val scans = builders.map(_.build())
+    // masked-row estimate for the PRUNED survivors, bounded PER FILE
+    // by its key-range overlap with the applicable delete keys
+    // (review pass 2, round 14): a uniform table-wide pro-rate
+    // misattributes file-correlated delete mass — a scan pruned to a
+    // delete-free file must subtract ~0, and one pruned to a fully-
+    // dead file must subtract ~all of it. The keysets are already
+    // driver-side and sorted; each survivor's bound is min(its rows,
+    // applicable keys inside its key-col min/max) — exact for
+    // range-disjoint files, conservative on overlap, capped at the
+    // distinct key total so overlapping ranges can never subtract the
+    // same key twice across the sum.
+    def keysInRange(ks: Array[Long], lo: Long, hi: Long): Long = {
+      def insertion(v: Long, upper: Boolean): Int = {
+        val i = java.util.Arrays.binarySearch(ks, v)
+        if (i >= 0) (if (upper) i + 1 else i) else -(i + 1)
+      }
+      math.max(0, insertion(hi, upper = true) - insertion(lo, upper = false)).toLong
+    }
+    val deletedForSurvivors = builders.zip(groups).map { case (b, (_, ks)) =>
+      b.builtSurvivors.map { f =>
+        val bound = f.stats.get(keyCol) match {
+          case Some(Seq(mn, mx)) =>
+            (for (lo <- mn.toLongOption; hi <- mx.toLongOption)
+              yield keysInRange(ks, lo, hi)).getOrElse(ks.length.toLong)
+          case _ => ks.length.toLong
+        }
+        math.min(f.nRows, bound)
+      }.sum
+    }.sum
     new GraftMorScan(scans, groups.map(_._2),
       requested, augmented, augmented.fieldIndex(keyCol),
       statsRows = builders.flatMap(_.builtSurvivors),
-      deletedKeys = deletedKeys,
-      totalDataRows = groups.flatMap(_._1).map(_.nRows).sum)
+      deletedKeys = math.min(deletedKeys, deletedForSurvivors))
   }
 }
 
@@ -252,37 +280,25 @@ private[graft] class GraftMorScan(
     augmented: StructType,
     keyIdx: Int,
     statsRows: Seq[GraftLakeTable.ManifestRow] = Nil,
-    deletedKeys: Long = 0L,
-    totalDataRows: Long = 0L)
+    deletedKeys: Long = 0L)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = out
 
   /** K49 with the r14 delete-mass adjustment: manifest stats over the
-    * snapshot's DATA files MINUS the distinct equality-delete key
-    * count (the delete files' manifest rows carry exact key counts —
-    * the same numbers sink_catalog_mor hashes). Under the key-
-    * uniqueness contract equality deletes already rely on, that is the
-    * exact masked-row count for a FULL scan. `statsRows` are the
-    * post-pushdown pruned survivors while the key count is table-wide,
-    * so the subtraction is PRO-RATED by the pruned fraction — a scan
-    * pruned to one file of ten must not have the whole table's delete
-    * mass subtracted from it (that clamped a large filtered scan to
-    * numRows 0 / 1 byte and invited an OOM-sized broadcast — review
-    * pass 1, round 14). Full scans keep the exact subtraction
-    * (prunedFraction = 1).
+    * scan's pruned survivor files MINUS the masked-row estimate the
+    * builder derived for exactly those survivors (per-file key-range
+    * bounds over the driver-side delete keysets — see
+    * [[GraftMorScanBuilder.build]]). Under the key-uniqueness
+    * contract equality deletes already rely on, a full scan of
+    * range-partitioned files subtracts the exact masked count, so a
+    * heavily-deleted dim reports its servable rows/bytes and still
+    * broadcasts statically instead of planning at 2× its size.
     */
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics = {
-    val prunedRows = statsRows
-      .filterNot(r => GraftDeltaOperation.isDeleteFile(r.file)).map(_.nRows).sum
-    val prorated =
-      if (totalDataRows <= 0L) deletedKeys
-      else math.min(deletedKeys,
-        (deletedKeys.toDouble * prunedRows / totalDataRows).toLong)
-    GraftManifestStats.of(statsRows, out, deletedRows = prorated)
-  }
+      : org.apache.spark.sql.connector.read.Statistics =
+    GraftManifestStats.of(statsRows, out, deletedRows = deletedKeys)
 
   override def toBatch: Batch = new Batch {
     private val batches = scans.map(_.toBatch)

@@ -969,26 +969,17 @@ private[graft] object GraftProcedures {
           prepared.map(pr => Seq[Any](pr.p.mk.base, 0L, 0L)))
       }
 
-      if (allPubs.length == 1) {
-        // one publish total: the plain CAS is already atomic
-        val (part, pub) = allPubs.head
-        val manBase = s"${part.dir}/manifest"
-        if (!ManifestStore.tryPublish(session, manBase, pub.manifest, pub.version)) {
-          // the fresh dirs already moved: the workspace's manifest now
-          // points at gone dirs, so a "kept" workspace would crash
-          // every read — drop it outright; the moved files stay
-          // unreferenced under the source until VACUUM (review pass 3)
-          dropWorkspaces()
-          throw new java.io.IOException(
-            s"commit_txn on ${part.table}: lost the publish race at " +
-              s"v${pub.version} — the transaction is aborted and its " +
-              "workspace dropped; the moved files stay unreferenced until VACUUM")
-        }
-      } else {
-        // K52 group commit, phase 1: claim every publish's version —
-        // one per table for squashes, one per STATEMENT for MoR
-        // replays, ascending per table — as reader-suppressed PENDING
-        // claims
+      {
+        // two-phase commit for EVERY transaction — single-table ones
+        // included (review pass 2, round 14): the former plain-CAS
+        // single-publish path had no journal, so a crash between the
+        // CAS and the workspace drop left a retry indistinguishable
+        // from "source moved", whose error text invites re-applying
+        // DML that already committed. The journal costs two small FS
+        // ops and makes every commit retry-idempotent.
+        // Phase 1: claim every publish's version — one per table for
+        // squashes, one per STATEMENT for MoR replays, ascending per
+        // table — as reader-suppressed PENDING claims.
         val claimed = scala.collection.mutable.ArrayBuffer[(String, Long)]()
         val loser = allPubs.find { case (part, pub) =>
           val manBase = s"${part.dir}/manifest"
@@ -1005,18 +996,31 @@ private[graft] object GraftProcedures {
           dropWorkspaces()
           throw new java.io.IOException(
             s"commit_txn on ${loser.get._1.table}: lost the publish race at " +
-              s"v${loser.get._2.version} — the group transaction is " +
+              s"v${loser.get._2.version} — the transaction is " +
               "aborted and its workspaces dropped; the moved files stay " +
               "unreferenced until VACUUM")
         }
-        // phase 2 — THE commit point: one create-exclusive journal file
-        // flips every table's claim visible at once. The file's CONTENT
-        // is the group's table list, so VACUUM's journal sweep (advice,
-        // round 14) can verify no group table still has a pending claim
-        // before retiring a leaked journal.
+        // phase 2 — THE commit point: one exclusively-created journal
+        // file flips every table's claim visible at once. The file's
+        // CONTENT is the group's table list, so VACUUM's journal sweep
+        // (advice, round 14) can verify no group table still has a
+        // pending claim before retiring a leaked journal — and the
+        // content lands ATOMICALLY (temp write + rename; a crash
+        // mid-write must not leave an existing-but-truncated journal
+        // whose partial group list the sweep would trust — review
+        // pass 2). A failed rename means another attempt of THIS txn
+        // won the create race, which is the same committed state.
         fs.mkdirs(journal)
-        val jOut = fs.create(new Path(journal, s"committed_$txnId"), false)
+        val jTmp = new Path(journal,
+          s".tmp_${txnId}_${java.util.UUID.randomUUID().toString.take(8)}")
+        val jOut = fs.create(jTmp, true)
         try jOut.write(parts.head.mk.group.getBytes("UTF-8")) finally jOut.close()
+        if (!fs.rename(jTmp, new Path(journal, s"committed_$txnId"))) {
+          try fs.delete(jTmp, false) catch { case _: Exception => () }
+          if (!fs.exists(new Path(journal, s"committed_$txnId")))
+            throw new java.io.IOException(
+              s"commit_txn: could not land journal committed_$txnId")
+        }
         finalizeMarkers()
         // post-commit visibility verification (advice, round 14 — the
         // commit-side half of the abort_txn race): if an abort_txn
@@ -1036,7 +1040,7 @@ private[graft] object GraftProcedures {
         }
       }
       dropWorkspaces()
-      if (allPubs.length > 1) retireJournal()
+      retireJournal()
       resultScanRows(commitOut, prepared.map(pr =>
         Seq[Any](pr.lastVersion, pr.carried, pr.fresh)))
     }
@@ -1300,7 +1304,25 @@ private[graft] object GraftProcedures {
             math.max(markerMs, manifestMs) < stagingCutoff
           }
       }
-      staleTxn.foreach(st => fs.delete(st.getPath, true))
+      staleTxn.foreach { st =>
+        // a stale workspace of a COMMITTED transaction (its journal
+        // exists) is COMPLETED, not discarded as junk: finalize the
+        // source's claims first — the journal proves the commit point
+        // passed, so sweeping the retry handle must never strand
+        // suppressed claims behind it (review pass 2, round 14). The
+        // loss of the retry handle itself after the grace window is
+        // the retention contract any crash-state GC has; the
+        // transaction's EFFECT is durable and visible either way.
+        try {
+          val mk = readMarker(root, st.getPath.toString)
+          if (fs.exists(new Path(journalDir(root), s"committed_${mk.txnId}"))) {
+            val mb = new Path(tableDirOf(root, mk.source), "manifest").toString
+            ManifestStore.pendingClaims(session, mb, mk.txnId).foreach(v =>
+              ManifestStore.finalizePending(session, mb, v, mk.txnId))
+          }
+        } catch { case _: Exception => () }
+        fs.delete(st.getPath, true)
+      }
       // K52: pending group-commit claims whose transaction never
       // reached its journal commit point (a driver died between the
       // phases) suppress their version number forever and make CAS

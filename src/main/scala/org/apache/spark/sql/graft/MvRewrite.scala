@@ -258,9 +258,10 @@ object MvRewrite extends Rule[LogicalPlan] {
         def rw(e: Expression): Expression = e match {
           case ae: AggregateExpression =>
             mapAgg(ae).getOrElse(throw Unmappable)
-          case other if groupSubs.exists(_._1.semanticEquals(other)) =>
-            groupSubs.find(_._1.semanticEquals(other)).get._2
-          case other => other.mapChildren(rw)
+          case other =>
+            groupSubs.collectFirst {
+              case (ge, attr) if ge.semanticEquals(other) => attr: Expression
+            }.getOrElse(other.mapChildren(rw))
         }
         def rewrite(e: Expression): Option[Expression] =
           try Some(rw(inlineQ(e)))
@@ -330,7 +331,9 @@ object MvRewrite extends Rule[LogicalPlan] {
         }.orElse(sub match {
           // no exact match: a coarser-grain aggregate may still roll
           // up from a view's materialization (r14 #6)
-          case agg: Aggregate => views.flatMap(v => tryRollup(agg, v)).headOption
+          // lazy: the first matching view wins, later ones never try
+          case agg: Aggregate =>
+            views.iterator.flatMap(v => tryRollup(agg, v)).nextOption()
           case _ => None
         }).getOrElse(sub)
     }

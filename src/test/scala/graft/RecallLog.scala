@@ -15,7 +15,7 @@ package graft
   * here, where the method-level lock is sufficient.)
   */
 object RecallLog {
-  private val round = sys.env.getOrElse("GRAFT_ROUND", "r13")
+  private val round = sys.env.getOrElse("GRAFT_ROUND", "r14")
   private val path = java.nio.file.Paths.get(
     sys.env.getOrElse("GRAFT_REPO_DIR", "/root/repo"), s"RECALL_$round.json")
 

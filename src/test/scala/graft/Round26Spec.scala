@@ -118,8 +118,12 @@ class Round26Spec extends SparkSpec {
     val (posN, posB) = reportedStats(spark.table(s"$cat.lake.st_pos"))
     assert(posN == 900L, s"position-MoR numRows must subtract the vectors, got $posN")
     assert(posB > 0L)
-    // equality MoR: deletes are NOT subtracted (a key may match nothing
-    // — overestimating is the safe direction for broadcast planning)
+    // equality MoR: since K58 (r14 #4) the distinct delete-key mass IS
+    // subtracted — exact under the key-uniqueness contract equality
+    // deletes already rely on, and what lets a half-deleted dim keep
+    // its static broadcast (the r12-era no-subtraction pin is
+    // superseded; Round28Spec carries the full exactness/per-file
+    // bound laws)
     spark.sql(s"DROP TABLE IF EXISTS $cat.lake.st_eq")
     spark.sql(
       s"""CREATE TABLE $cat.lake.st_eq (k BIGINT NOT NULL, v DOUBLE)
@@ -128,8 +132,8 @@ class Round26Spec extends SparkSpec {
       s"INSERT INTO $cat.lake.st_eq SELECT id, id * 1.0 FROM range(0, 1000)")
     spark.sql(s"DELETE FROM $cat.lake.st_eq WHERE k < 100")
     val (eqN, eqB) = reportedStats(spark.table(s"$cat.lake.st_eq"))
-    assert(eqN == 1000L,
-      s"equality-MoR numRows stays the data-file upper bound, got $eqN")
+    assert(eqN == 900L,
+      s"equality-MoR numRows subtracts the delete-key mass (K58), got $eqN")
     assert(eqB > 0L)
     // and the delete FILES' bytes/rows never count as data
     val eqRows = latestRows("st_eq")
@@ -385,9 +389,19 @@ class Round26Spec extends SparkSpec {
     spark.sql(
       s"""CREATE TABLE $cat.lake.txn_mor (k BIGINT NOT NULL, v DOUBLE)
          |TBLPROPERTIES('graft.merge-on-read.key'='k')""".stripMargin)
-    // v2 (K52) widened the scope to bucketed tables; MoR still refuses
-    assert(refusal(s"CALL $cat.system.begin_txn('lake.txn_mor')")
-      .contains("merge-on-read tables refuse"))
+    // v2 (K52) widened the scope to bucketed tables and v3 (K60, r14)
+    // to EQUALITY-delete MoR tables — only POSITION-delete tables
+    // still refuse (their delete files address data by path, which a
+    // carried reference renames); the eq-MoR begin must now SUCCEED
+    val morWs = spark.sql(
+      s"CALL $cat.system.begin_txn('lake.txn_mor')").head.getString(0)
+    spark.sql(s"CALL $cat.system.abort_txn('$morWs')").collect()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.txn_pos_ref")
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.txn_pos_ref (k BIGINT NOT NULL, v DOUBLE)
+         |TBLPROPERTIES('graft.merge-on-read.mode'='position')""".stripMargin)
+    assert(refusal(s"CALL $cat.system.begin_txn('lake.txn_pos_ref')")
+      .contains("position-delete"))
     // aborting a non-workspace table refuses
     assert(refusal(s"CALL $cat.system.abort_txn('lake.txn_ref')")
       .contains("not a transaction workspace"))

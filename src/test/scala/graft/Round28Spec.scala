@@ -232,8 +232,9 @@ class Round28Spec extends SparkSpec {
       s"bytes must scale by the surviving fraction: $b vs raw $rawBytes")
   }
 
-  test("a PRUNED MoR scan pro-rates the delete subtraction: file-disjoint " +
-      "delete mass must not clamp a filtered scan's stats to zero") {
+  test("a PRUNED MoR scan bounds the delete subtraction per file by " +
+      "key-range overlap: file-disjoint delete mass subtracts nothing " +
+      "from a delete-free file") {
     ensure()
     spark.sql(s"DROP TABLE IF EXISTS $cat.lake.smor_prune")
     spark.sql(
@@ -255,13 +256,15 @@ class Round28Spec extends SparkSpec {
     // full scan: exact subtraction (100 raw − 40 keys = 60 servable)
     val full = statsOf(spark.table(s"$cat.lake.smor_prune"))
     assert(full.numRows.getAsLong == 60L, s"full: ${full.numRows}")
-    // pruned to the delete-free file (50 raw rows): the table-wide 40
-    // keys pro-rate by the pruned fraction (×0.5 → 20 subtracted),
-    // never subtract wholesale (old behavior: 50−40=10, and at higher
-    // delete mass it clamped to 0/1-byte — the OOM-broadcast invite)
+    // pruned to the delete-free file (50 raw rows): every delete key
+    // lies outside its [100,150) key range, so the per-file bound
+    // subtracts NOTHING — the exact answer (a table-wide subtraction
+    // clamped this to 10, and at higher delete mass to 0 rows /
+    // 1 byte — the OOM-broadcast invite; a uniform pro-rate still
+    // under-reported file-correlated masks by the pruned fraction)
     val pruned = statsOf(spark.table(s"$cat.lake.smor_prune").where("k >= 100"))
-    assert(pruned.numRows.getAsLong == 30L,
-      s"pruned rows must pro-rate (50 − 40·0.5): ${pruned.numRows}")
+    assert(pruned.numRows.getAsLong == 50L,
+      s"delete-free pruned file must keep all its rows: ${pruned.numRows}")
     assert(pruned.sizeInBytes.getAsLong > 1L)
   }
 
