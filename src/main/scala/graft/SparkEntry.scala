@@ -220,6 +220,7 @@ object SparkEntry {
     "sink_catalog_txn_multi" -> ((s, d) => IOQueries.sinkCatalogTxnMulti(s, d)),
     "sink_catalog_txn_group" -> ((s, d) => IOQueries.sinkCatalogTxnGroup(s, d)),
     "sink_catalog_txn_mor" -> ((s, d) => IOQueries.sinkCatalogTxnMor(s, d)),
+    "sink_catalog_txn_evolve" -> ((s, d) => IOQueries.sinkCatalogTxnEvolve(s, d)),
     "sink_catalog_cbo" -> ((s, d) => IOQueries.sinkCatalogCbo(s, d)),
     "sink_zorder_scoped" -> ((s, d) => IOQueries.sinkZorderScoped(s, d)),
     "sink_branch_sql" -> ((s, d) => IOQueries.sinkBranchSql(s, d)),

@@ -292,6 +292,26 @@ private[graft] object IOOracles {
         |UNION ALL
         |SELECT '__txn_protocol', cast(5 AS bigint), 1.0
         |ORDER BY status""".stripMargin,
+    // K61: spec-evolved-transaction replay — the full table (evens
+    // spec-0 + odds spec-new) + the txn's statements (synthetic 'P'
+    // rows at negated keys, then +1000 on every negative key); the
+    // protocol row pins the commit version (3 — one boundary) and the
+    // isolation/spec-preservation flag (expected 1.0: carried files
+    // keep {0, new}, fresh files stamp new — computed from the
+    // manifests where the oracle cannot reach)
+    "sink_catalog_txn_evolve" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice AS p FROM orders
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'P', o_totalprice + 1000.0 FROM orders
+        |  WHERE o_orderkey % 10 = 3
+        |)
+        |SELECT o_orderstatus AS status, cast(count(*) AS bigint) AS n,
+        |  round(sum(p), 2) AS total
+        |FROM fin GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT '__txn_protocol', cast(3 AS bigint), 1.0
+        |ORDER BY status""".stripMargin,
     // K53: CBO-stats replay — the 3-way join rollup over the derived
     // fact/dim tables (every fact row matches exactly one key in each
     // dim); the protocol row pins the join count (3 relations) and the

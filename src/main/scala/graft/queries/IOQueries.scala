@@ -1256,6 +1256,94 @@ object IOQueries {
          |ORDER BY status""".stripMargin)
   }
 
+  /** K61: TRANSACTIONS ON SPEC-EVOLVED TABLES — the last
+    * refusal-matrix row closed (r14, pulled forward from the r15
+    * list): a table whose bucket spec has EVOLVED (K50 — files from
+    * multiple layout generations live side by side, each tagged with
+    * the spec it was written under) participates in K51/K52/K60
+    * transactions with NO special machinery, because everything
+    * spec-shaped already travels: the workspace meta is a byte copy
+    * of the source's (full spec history — DML routes by the same
+    * current spec), carried manifest rows keep their per-file `spec`
+    * tag verbatim, fresh commits stamp the current id, and the squash
+    * preserves `spec` through the publish. A `set_bucketing` racing
+    * the transaction ABORTS the commit through the metaSha pin —
+    * layout evolution serializes against open transactions exactly
+    * like ALTER.
+    *
+    * Flow: bucket(2) create → INSERT evens (spec 0) → evolve to
+    * bucket(4) → INSERT odds (new spec) → txn: INSERT synthetic 'P'
+    * rows at negative keys + a stats-prunable UPDATE over them (the
+    * base files provably carry, so the law is observable) →
+    * isolation actuals → commit (ONE version) → actuals from the
+    * manifest: the spec SET is preserved through the carry ({0, new})
+    * and every transaction-fresh file is stamped with the CURRENT
+    * spec → rollup + protocol row. The racing-evolution abort law is
+    * spec-pinned in Round28Spec.
+    */
+  def sinkCatalogTxnEvolve(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("orders_txe_src")
+    spark.sql("DROP TABLE IF EXISTS graft.lake.orders_txe")
+    spark.sql(
+      """CREATE TABLE graft.lake.orders_txe (
+        |  o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+        |PARTITIONED BY (bucket(2, o_orderkey))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_txe
+        |SELECT * FROM orders_txe_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    val sid = spark.sql(
+      "CALL graft.system.set_bucketing('lake.orders_txe', 'o_orderkey', 4)")
+      .head.getLong(0)
+    spark.sql(
+      """INSERT INTO graft.lake.orders_txe
+        |SELECT * FROM orders_txe_src WHERE o_orderkey % 2 = 1""".stripMargin)
+    val manBase = catalogRoot + "/lake/orders_txe/manifest"
+    val baseCount = spark.table("graft.lake.orders_txe").count()
+    val opened = spark.sql(
+      "CALL graft.system.begin_txn('lake.orders_txe')").head
+    val (txnTable, baseV) = (opened.getString(0), opened.getLong(1))
+    // stats-prunable DML: the synthetic rows live at NEGATIVE keys,
+    // so the follow-up statements (o_orderkey < 0) provably miss
+    // every base file and the pre-evolution layout CARRIES — which is
+    // what the spec-preservation law needs to observe (a whole-range
+    // DML would legitimately rewrite everything under the current
+    // spec)
+    spark.sql(
+      s"""INSERT INTO graft.$txnTable
+         |SELECT -o_orderkey, 'P', o_totalprice FROM orders_txe_src
+         |WHERE o_orderkey % 10 = 3""".stripMargin)
+    spark.sql(
+      s"""UPDATE graft.$txnTable SET o_totalprice = o_totalprice + 1000
+         |WHERE o_orderkey < 0""".stripMargin)
+    val isoOk = spark.table("graft.lake.orders_txe").count() == baseCount &&
+      graft.sinks.ManifestStore.versions(spark, manBase) == Seq(1L, 2L)
+    val committed = spark.sql(
+      s"CALL graft.system.commit_txn('lake.orders_txe', '$txnTable')").head
+    val commitV = committed.getLong(0)
+    val dropped = !spark.catalog.tableExists(s"graft.$txnTable")
+    val rows = org.apache.spark.sql.graft.GraftLakeTable
+      .manifestRowsFull(spark, manBase, commitV)
+    // the spec laws: carried files keep BOTH layout generations'
+    // tags; every transaction-fresh file is stamped the CURRENT spec
+    val carriedSpecs = rows.filter(_.seq < commitV).map(_.spec).toSet
+    val freshSpecs = rows.filter(_.seq == commitV).map(_.spec).toSet
+    val specOk = carriedSpecs == Set(0L, sid) && freshSpecs == Set(sid)
+    val ok =
+      if (isoOk && baseV == 2L && commitV == 3L && dropped && specOk) 1.0
+      else 0.0
+    spark.sql(
+      s"""SELECT o_orderstatus AS status, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM graft.lake.orders_txe
+         |GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT '__txn_protocol', ${commitV}L, $ok
+         |ORDER BY status""".stripMargin)
+  }
+
   /** K53: MANIFEST NDV/NULL-COUNT STATISTICS → COST-BASED JOIN ORDER.
     * K49 gave every graft scan exact rows/bytes (the broadcast fix);
     * this rung carries per-file approx-NDV (HLL sketch, lgK=9 ≈ 512 B,

@@ -668,11 +668,16 @@ private[graft] object GraftProcedures {
           s"begin_txn on $t: position-delete merge-on-read tables refuse " +
             "(position-delete files address data files by path; a carried " +
             "'../' reference renames the path and detaches the mask); " +
-            "equality-delete tables participate")
-        require(m.currentSpecId == 0L && m.bucketSpecs.length == 1,
-          s"begin_txn on $t: spec-evolved tables refuse (per-file spec " +
-            "routing would need spec-aware carries); flat and bucketed " +
-            "tables participate")
+            "every other table mode participates")
+        // SPEC-EVOLVED tables participate (r14, closing the last
+        // refusal-matrix row): the workspace meta is a byte copy of
+        // the source's (full spec history + current id — DML routes
+        // identically), carried manifest rows keep their per-file
+        // `spec` tag verbatim, fresh commits stamp the current spec,
+        // and both squash and replay preserve `spec` through the
+        // publish — there is nothing spec-shaped left to carry
+        // specially. A set_bucketing racing the transaction aborts
+        // the commit through the metaSha pin, same as ALTER.
       }
       val session = spark
       // the FULL uuid (dashes stripped -> 32 hex chars, 128 bits): the

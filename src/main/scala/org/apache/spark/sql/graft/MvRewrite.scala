@@ -115,11 +115,15 @@ object MvRewrite extends Rule[LogicalPlan] {
     * Decomposition contract (stated, not inferred): SUM(e) → SUM(mv
     * sum of e); COUNT(*)/COUNT(e) → SUM(mv count) coalesced to 0 and
     * cast back (count is non-nullable, a re-summed count stays so by
-    * construction); MIN/MAX(e) → MIN/MAX(mv min/max of e). DISTINCT /
-    * FILTER aggregates and AVG never decompose (AVG over a sum/count
-    * pair is a registry-v3 rung); any unmappable aggregate or a
-    * grouping expression that doesn't reduce to the view's grouping
-    * outputs leaves the query untouched — refusal is the safe side.
+    * construction); MIN/MAX(e) → MIN/MAX(mv min/max of e); AVG(e) →
+    * Σ(mv sums)/Σ(mv counts) when the view carries BOTH the matching
+    * SUM(e) and COUNT(e) (exact — both sides aggregate the identical
+    * base rows; decimal inputs refuse: Spark's decimal-division
+    * rounding is not reproducible through the two-step form).
+    * DISTINCT / FILTER aggregates never decompose; any unmappable
+    * aggregate or a grouping expression that doesn't reduce to the
+    * view's grouping outputs leaves the query untouched — refusal is
+    * the safe side.
     */
   /** Strip deterministic Project layers off an aggregate child,
     * returning the BASE plan plus a substitution from every stripped
@@ -241,6 +245,36 @@ object MvRewrite extends Rule[LogicalPlan] {
                 case Max(me) => toQ(me).semanticEquals(e)
                 case _ => false
               }).map(a => Max(a).toAggregateExpression())
+            // AVG decomposes iff the view carries BOTH the matching
+            // SUM and COUNT of the SAME argument: avg(e) over the
+            // rollup = Σ(view sums) / Σ(view counts) — exact, because
+            // both sides aggregate the identical base rows. Restricted
+            // to non-decimal inputs: avg(decimal) carries Spark's
+            // decimal-division rounding at a precision the two-step
+            // recomposition cannot reproduce bit-for-bit, and a rollup
+            // that is ALMOST the same number is worse than none.
+            case org.apache.spark.sql.catalyst.expressions.aggregate.Average(e, _)
+                if !e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+              val sums = findMv(_.aggregateFunction match {
+                case Sum(me, _) => toQ(me).semanticEquals(e)
+                case _ => false
+              })
+              val counts = findMv(_.aggregateFunction match {
+                case Count(Seq(mc)) => toQ(mc).semanticEquals(e)
+                case _ => false
+              })
+              // LEGACY divide: an all-null group has Σcounts = 0, and
+              // avg's contract there is NULL — ANSI division would
+              // turn it into a runtime error the original query never
+              // had
+              for (s <- sums; c <- counts) yield maybeCast(
+                org.apache.spark.sql.catalyst.expressions.Divide(
+                  Cast(Sum(s).toAggregateExpression(),
+                    org.apache.spark.sql.types.DoubleType),
+                  Cast(Sum(c).toAggregateExpression(),
+                    org.apache.spark.sql.types.DoubleType),
+                  org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY),
+                ae.dataType)
             case _ => None
           }
         }

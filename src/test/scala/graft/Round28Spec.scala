@@ -101,6 +101,45 @@ class Round28Spec extends SparkSpec {
     }
   }
 
+  test("mv rollup: avg decomposes through a view carrying its sum+count " +
+      "pair, exactly, all-null groups included") {
+    import org.apache.spark.sql.graft.MvRewrite
+    MvRewrite.ensure(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_mvavg").toString
+    // group 9's x is ALWAYS null — its avg must stay null through the
+    // rollup (Σcounts = 0 → legacy divide → null, never an ANSI error)
+    spark.range(0, 1000)
+      .selectExpr("id % 10 AS g",
+        "CASE WHEN id % 10 = 9 THEN CAST(NULL AS DOUBLE) ELSE cast(id AS DOUBLE) END AS x",
+        "id % 4 AS sub")
+      .write.parquet(s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    val mv = fact.groupBy(col("g"), col("sub"))
+      .agg(sum("x").as("sx"), count(col("x")).as("cx"))
+    MvRewrite.register(spark, "spec_avg", mv, s"$base/mv")
+    def consumer = fact.groupBy(col("g")).agg(avg("x").as("a"))
+    val expected = consumer.orderBy("g").collect().toSeq // flag off
+    spark.conf.set("spark.graft.mvRewrite", "true")
+    try {
+      val served = consumer.orderBy("g")
+      assert(scanPaths(served).exists(_.contains("/mv")),
+        s"avg must roll up through the sum+count pair: ${scanPaths(served)}")
+      val got = served.collect().toSeq
+      assert(got == expected, s"avg rollup parity broke:\n$got\nvs\n$expected")
+      // a view with count(*) but NOT count(x) must refuse avg(x)
+      MvRewrite.clear(spark)
+      val mvStar = fact.groupBy(col("g"), col("sub"))
+        .agg(sum("x").as("sx"), count(lit(1)).as("c1"))
+      MvRewrite.register(spark, "spec_avg2", mvStar, s"$base/mv2")
+      assert(scanPaths(consumer).exists(_.contains("/fact")),
+        "count(*) is not count(x): avg must stay on the base table")
+    } finally {
+      spark.conf.unset("spark.graft.mvRewrite")
+      MvRewrite.clear(spark)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
   test("mv rollup: the identical-grain consumer still takes the exact-match " +
       "path and distinct aggregates never decompose") {
     import org.apache.spark.sql.graft.MvRewrite
@@ -187,6 +226,58 @@ class Round28Spec extends SparkSpec {
     assert(wsKeys == Seq(1L, 3L, 5L),
       s"carried delete file not applied in the workspace: $wsKeys")
     spark.sql(s"CALL $cat.system.abort_txn('$ws')").collect()
+  }
+
+  test("transactions on spec-evolved tables: carried rows keep their " +
+      "per-file spec, fresh rows stamp the current one, and a racing " +
+      "set_bucketing aborts the commit through the meta pin") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.txn_evo_spec")
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.txn_evo_spec (k BIGINT NOT NULL, v DOUBLE)
+         |PARTITIONED BY (bucket(2, k))""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.lake.txn_evo_spec " +
+      "SELECT id * 2, id * 1.0 FROM range(0, 10)")
+    val sid = spark.sql(
+      s"CALL $cat.system.set_bucketing('lake.txn_evo_spec', 'k', 4)")
+      .head.getLong(0)
+    spark.sql(s"INSERT INTO $cat.lake.txn_evo_spec " +
+      "SELECT id * 2 + 1, id * 1.0 FROM range(0, 10)")
+    val ws = spark.sql(
+      s"CALL $cat.system.begin_txn('lake.txn_evo_spec')").head.getString(0)
+    spark.sql(s"INSERT INTO $cat.$ws VALUES (100, 100.0)")
+    // stats-prunable DML: k > 50 provably misses every base file
+    // (their key stats top out at 19), so the pre-evolution files
+    // CARRY — which is exactly what the spec-preservation law needs
+    // to observe (a whole-range DML would legitimately rewrite every
+    // file under the current spec)
+    spark.sql(s"UPDATE $cat.$ws SET v = v + 1 WHERE k > 50")
+    val commitV = spark.sql(
+      s"CALL $cat.system.commit_txn('lake.txn_evo_spec', '$ws')").head.getLong(0)
+    val rows = latestRows("txn_evo_spec")
+    assert(rows.filter(_.seq < commitV).map(_.spec).toSet == Set(0L, sid),
+      "carried files must keep both layout generations' spec tags")
+    assert(rows.filter(_.seq == commitV).map(_.spec).toSet == Set(sid),
+      "transaction-fresh files must stamp the current spec")
+    val got = spark.table(s"$cat.lake.txn_evo_spec")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.last == ((100L, 101.0)), s"txn UPDATE lost: ${got.last}")
+    assert(got.map(_._1).toSeq == ((0L to 19L) :+ 100L),
+      s"content through the evolved txn broke: ${got.toSeq}")
+    // a set_bucketing racing an OPEN transaction must abort its commit
+    val ws2 = spark.sql(
+      s"CALL $cat.system.begin_txn('lake.txn_evo_spec')").head.getString(0)
+    spark.sql(s"INSERT INTO $cat.$ws2 VALUES (200, 200.0)")
+    spark.sql(s"CALL $cat.system.set_bucketing('lake.txn_evo_spec', 'k', 8)")
+      .collect()
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.commit_txn('lake.txn_evo_spec', '$ws2')")
+        .collect()
+    }
+    assert(e.getMessage.contains("schema changed"), e.getMessage)
+    spark.sql(s"CALL $cat.system.abort_txn('$ws2')").collect()
+    assert(!spark.table(s"$cat.lake.txn_evo_spec")
+      .collect().map(_.getLong(0)).contains(200L))
   }
 
   test("begin_txn refuses position-delete MoR tables, naming the " +
