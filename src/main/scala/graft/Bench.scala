@@ -417,20 +417,30 @@ object Bench {
     emit(Seq.empty, "")
     heartbeat(f"job cost measured (trivial $jobCostMs%.1f ms); headline starts")
 
+    // names that have drifted out of the registry are REPORTED, not
+    // silently absent — otherwise a rename would keep a complete block
+    // out of `blocks` forever with no artifact field explaining why
+    // (review pass 3, round 14); completion is judged against the
+    // KNOWN names
+    val knownHeadline = headline.filter(SparkEntry.queries.contains)
+    val knownExtended = extended.filter(SparkEntry.queries.contains)
+    ((headline ++ extended).toSet -- SparkEntry.queries.keySet).foreach(n =>
+      heartbeat(s"WARNING bench entry '$n' is not in SparkEntry.queries"))
+
     // headline: re-emit the contract line after EVERY entry (r14 #1)
-    headline.foreach { n =>
+    knownHeadline.foreach { n =>
       if (overBudget) truncatedEntries += n
       else benchOne(n, sfDir, warmRuns = 3).foreach { t =>
         results += (n -> t)
-        heartbeat(f"headline ${results.size}/${headline.size} $n median=${t.median}%.3f")
-        emit(Seq.empty, s""","headline_done":${results.size},"headline_n":${headline.size}""")
+        heartbeat(f"headline ${results.size}/${knownHeadline.size} $n median=${t.median}%.3f")
+        emit(Seq.empty, s""","headline_done":${results.size},"headline_n":${knownHeadline.size}""")
       }
     }
     // a block is listed in `blocks` only when EVERY entry ran — a
     // budget-truncated block stays out (its names are in
     // truncated_entries), per the round-13 advice on blocks honesty
     def headlineBlock: Seq[String] =
-      if (results.size == headline.size) Seq("headline") else Seq.empty
+      if (results.size == knownHeadline.size) Seq("headline") else Seq.empty
     emit(headlineBlock, "")
     heartbeat(s"headline block done (${results.size}/${headline.size})")
 
@@ -443,20 +453,20 @@ object Bench {
 
     val ext = scala.collection.mutable.ArrayBuffer[(String, Timing)]()
     def extTotalJson = f""","extended_total":${ext.map(_._2.median).sum}%.3f"""
-    extended.foreach { n =>
+    knownExtended.foreach { n =>
       if (overBudget) truncatedEntries += n
       else benchOne(n, sfDir, warmRuns = 3).foreach { t =>
         ext += (n -> t)
-        heartbeat(f"extended ${ext.size}/${extended.size} $n median=${t.median}%.3f")
+        heartbeat(f"extended ${ext.size}/${knownExtended.size} $n median=${t.median}%.3f")
         if (ext.size % 10 == 0)
           emit(headlineBlock,
-            extTotalJson + s""","extended_done":${ext.size},"extended_n":${extended.size}""")
+            extTotalJson + s""","extended_done":${ext.size},"extended_n":${knownExtended.size}""")
       }
     }
     def extBlock: Seq[String] =
-      if (ext.size == extended.size) Seq("extended") else Seq.empty
+      if (ext.size == knownExtended.size) Seq("extended") else Seq.empty
     emit(headlineBlock ++ extBlock, extTotalJson)
-    heartbeat(s"extended block done (${ext.size}/${extended.size})")
+    heartbeat(s"extended block done (${ext.size}/${knownExtended.size})")
 
     // scale-step: heaviest operators at 10× volume. Run in a FRESH
     // JVM ([[BenchScale]]) so the committed ratios are ISOLATED

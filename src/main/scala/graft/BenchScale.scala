@@ -69,6 +69,16 @@ object BenchScale {
       BenchSentinel.record(spark, s"$n@${factor}x")
       (n, base, big)
     }
+    def jsonPre(vals: Seq[(String, Double)]): String =
+      vals.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // PRELIMINARY emission before the (un-budgeted) work-mass passes:
+    // the parent parses the LAST JSON line, so a kill during work-mass
+    // still leaves every finished timing on stdout instead of voiding
+    // the whole block — the same emit-before-risky-work contract the
+    // r14 #1 bench fix established (review pass 3, round 14)
+    realOut.println(
+      f"""{"factor":$factor,"isolated":true,"base":${jsonPre(rows.map(r => r._1 -> r._2.median))},"queries":${jsonPre(rows.map(r => r._1 -> r._3.median))},"ratio":${jsonPre(rows.map(r => r._1 -> r._3.median / math.max(r._2.median, 1e-9)))},"total":${rows.map(_._3.median).sum}%.3f,"work_pending":true}""")
+    realOut.flush()
     // WORK-MASS channel (VERDICT r14 #3): operator-independent work
     // units at both decades — triangles for the parts-graph family,
     // edges for the trade-graph iteratives — so each graph entry's

@@ -531,6 +531,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tablePath(ident)
     if (!fs.exists(metaFile(dir))) throw new NoSuchTableException(ident)
+    // a transaction WORKSPACE must refuse schema edits (review pass 3,
+    // round 14): commit_txn pins only the SOURCE meta, so a
+    // workspace-local ALTER would pass the pin while its added
+    // columns' data silently project away under the source schema —
+    // the user's schema change would be lost without a word. ALTER the
+    // source (open transactions then abort at commit via the metaSha
+    // pin), or commit first.
+    if (fs.exists(new Path(dir, "_graft_txn.json")))
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE on transaction workspace ${ident.name()} is refused " +
+          "— alter the source table instead (open transactions then abort " +
+          "at commit through the meta pin), or commit the transaction first")
     val supported = changes.forall {
       case a: TableChange.AddColumn =>
         a.fieldNames().length == 1 && a.position() == null &&

@@ -481,6 +481,17 @@ private[graft] object GraftProcedures {
       require(m.morKey.isEmpty && !m.morPos,
         s"set_bucketing on $table: merge-on-read tables keep their " +
           "row-id layout — bucketing evolution is refused")
+      // a transaction WORKSPACE must refuse meta edits (review pass 3,
+      // round 14): the commit pin verifies only the SOURCE meta, so a
+      // workspace-local spec evolution would pass the pin and publish
+      // rows tagged with a spec id the source's history doesn't have —
+      // breaking every later spec-routed read. Evolve the SOURCE
+      // (which aborts open transactions through the metaSha pin), not
+      // the workspace.
+      require(!fileSystem(root).exists(new Path(dir, TxnMarkerFile)),
+        s"set_bucketing on $table: transaction workspaces refuse meta " +
+          "edits — evolve the source table instead (open transactions " +
+          "then abort at commit through the meta pin)")
       val newSpec: Option[(String, Int)] =
         if (colArg.isEmpty || colArg.equalsIgnoreCase("none") || n == 0) None
         else {
@@ -1034,14 +1045,19 @@ private[graft] object GraftProcedures {
         // versions no longer exist — reporting success would be a
         // silent lost commit. Verify every claimed version is actually
         // visible and fail loudly otherwise.
-        allPubs.foreach { case (part, pub) =>
-          if (!ManifestStore.versions(session, s"${part.dir}/manifest")
-              .contains(pub.version))
-            throw new IllegalStateException(
-              s"commit_txn on ${part.table}: the journal commit point was " +
-                s"reached but v${pub.version} is not visible — a concurrent " +
-                "abort_txn rolled back this transaction's claims between the " +
-                "phases; the transaction is LOST and must be re-run")
+        // ONE visibility listing per table (not per publish — a MoR
+        // replay has one publish per statement; review pass 3)
+        allPubs.groupBy(_._1.table).foreach { case (_, pubs) =>
+          val part = pubs.head._1
+          val visible = ManifestStore.versions(session, s"${part.dir}/manifest")
+          pubs.foreach { case (_, pub) =>
+            if (!visible.contains(pub.version))
+              throw new IllegalStateException(
+                s"commit_txn on ${part.table}: the journal commit point was " +
+                  s"reached but v${pub.version} is not visible — a concurrent " +
+                  "abort_txn rolled back this transaction's claims between the " +
+                  "phases; the transaction is LOST and must be re-run")
+          }
         }
       }
       dropWorkspaces()
@@ -1385,6 +1401,14 @@ private[graft] object GraftProcedures {
       val jDir = journalDir(root)
       if (fs.exists(jDir)) fs.listStatus(jDir).foreach { st =>
         val name = st.getPath.getName
+        // a journal TEMP file (crash between create and the atomic
+        // rename) is pure garbage once past the grace — its txn either
+        // retried (and renamed a fresh temp) or aborted (review
+        // pass 3, round 14)
+        if (name.startsWith(".tmp_") &&
+            st.getModificationTime < stagingCutoff) {
+          try fs.delete(st.getPath, false) catch { case _: Exception => () }
+        }
         if (name.startsWith("committed_") &&
             st.getModificationTime < stagingCutoff) {
           val txnId = name.stripPrefix("committed_")

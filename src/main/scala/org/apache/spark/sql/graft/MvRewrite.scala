@@ -253,8 +253,15 @@ object MvRewrite extends Rule[LogicalPlan] {
             // decimal-division rounding at a precision the two-step
             // recomposition cannot reproduce bit-for-bit, and a rollup
             // that is ALMOST the same number is worse than none.
+            // NUMERIC non-decimal inputs only: decimal avg carries
+            // division rounding the two-step form cannot reproduce,
+            // and interval avgs (ANSI year-month/day-time) have no
+            // legal Cast to double — the replacement would be an
+            // unresolvable expression injected post-analysis (review
+            // pass 3, round 14)
             case org.apache.spark.sql.catalyst.expressions.aggregate.Average(e, _)
-                if !e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+                if e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+                  !e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
               val sums = findMv(_.aggregateFunction match {
                 case Sum(me, _) => toQ(me).semanticEquals(e)
                 case _ => false

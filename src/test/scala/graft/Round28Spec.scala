@@ -280,6 +280,27 @@ class Round28Spec extends SparkSpec {
       .collect().map(_.getLong(0)).contains(200L))
   }
 
+  test("transaction workspaces refuse meta edits: set_bucketing and ALTER " +
+      "on a workspace would bypass the source meta pin") {
+    ensure()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.lake.txn_meta_guard")
+    spark.sql(s"CREATE TABLE $cat.lake.txn_meta_guard (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.lake.txn_meta_guard VALUES (1, 1.0)")
+    val ws = spark.sql(
+      s"CALL $cat.system.begin_txn('lake.txn_meta_guard')").head.getString(0)
+    try {
+      val e1 = intercept[Exception] {
+        spark.sql(s"CALL $cat.system.set_bucketing('$ws', 'k', 4)").collect()
+      }
+      assert(e1.getMessage.contains("workspaces refuse meta edits"),
+        e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.$ws ADD COLUMN extra DOUBLE").collect()
+      }
+      assert(e2.getMessage.contains("transaction workspace"), e2.getMessage)
+    } finally spark.sql(s"CALL $cat.system.abort_txn('$ws')").collect()
+  }
+
   test("begin_txn refuses position-delete MoR tables, naming the " +
       "path-identity hazard") {
     ensure()
