@@ -615,7 +615,7 @@ object Dedup {
       .select(col("doc_id"), shingleHashesCol(col("text"), n).as("sh"),
         norm(col("text")).as("k1"), norm(reverse(col("text"))).as("k2"))
       .filter(size(col("sh")) > 0)
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     def passPairs(key: String): DataFrame = {
       // global rank WITHOUT the single-partition window: range
       // partitioning + per-partition sort + zipWithIndex (T12's
@@ -636,7 +636,7 @@ object Dedup {
         .select(col("doc_id"))
         .as[Long].rdd.zipWithIndex()
         .toDF("doc_id", "rn")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       ranked
         .withColumn("d", explode(sequence(lit(1), lit(window - 1))))
         .select(col("doc_id").as("id_a"), (col("rn") + col("d")).as("brn"))
@@ -906,10 +906,10 @@ object Dedup {
   private[graft] def clusterLabelsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     def propagate(ls: DataFrame): DataFrame = {
       val nbrMin = edges
         .join(ls.select(col("id").as("dst"), col("lbl").as("dst_lbl")), Seq("dst"))
@@ -947,8 +947,8 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
-      val mid = propagate(labels).localCheckpoint(eager = false)
-      val next = shortcut(mid).localCheckpoint(eager = false)
+      val mid = propagate(labels).localCheckpoint()
+      val next = shortcut(mid).localCheckpoint()
       changed = next.filter(col("chg")).count()
       labels = next.select("id", "lbl")
       rounds += 1
@@ -1187,7 +1187,7 @@ object Dedup {
       .groupBy("vec_id").agg(max("cand").as("m"))
       .select(col("vec_id"), col("m.emb").as("embedding"),
         (-col("m.ns")).as("cluster_id"), col("m.sim").as("sim"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val keepers = asg
       .groupBy("cluster_id")
       .agg(max(struct(col("sim"), (-col("vec_id")).as("nv"),

@@ -76,9 +76,9 @@ object Graph {
     val edges = pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val withDeg = edges.join(deg, "src").localCheckpoint(eager = false)
+    val withDeg = edges.join(deg, "src").localCheckpoint()
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       ranks = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -86,7 +86,7 @@ object Graph {
         .groupBy("dst").agg(sum("c").as("s"))
         .select(col("dst").as("node"),
           expr("150000L + (85L * s) div 100L").as("r"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
     }
     ranks
       .orderBy(col("r").desc, col("node"))
@@ -130,15 +130,15 @@ object Graph {
     val edges = pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val withDeg = edges.join(deg, "src").localCheckpoint(eager = false)
+    val withDeg = edges.join(deg, "src").localCheckpoint()
     val reset = deg.select(col("src").as("node"))
       .join(seeds.select(col("snode").as("node"), lit(150000L).as("rv")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("rv"), lit(0L)).as("reset"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     var ranks = reset
       .select(col("node"), when(col("reset") > 0, 1000000L).otherwise(0L).as("r"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       ranks = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -147,7 +147,7 @@ object Graph {
         .join(reset.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("dst").as("node"),
           (col("reset") + expr("(85L * s) div 100L")).as("r"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
     }
     ranks.join(reset, Seq("node"))
       .orderBy(col("r").desc, col("node"))
@@ -195,10 +195,10 @@ object Graph {
   private[graft] def labelPropOf(pairs: DataFrame, iters: Int): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       labels = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
@@ -206,7 +206,7 @@ object Graph {
         .groupBy(col("dst"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
     }
     labels.select(col("node"), col("label").as("community")).orderBy("node")
   }
@@ -273,7 +273,7 @@ object Graph {
     * as (a, b) with a < b — split out so specs can feed hand graphs.
     */
   private[graft] def trianglesOf(pairs: DataFrame): DataFrame = {
-    val pp = pairs.localCheckpoint(eager = false)
+    val pp = pairs.localCheckpoint()
     trianglesFrom(pp, triangleStream(orientedOf(pp)))
   }
 
@@ -512,7 +512,7 @@ object Graph {
     // round 1: support from the full triangle stream; an edge in no
     // triangle has sup 0 < k-2 and drops here
     var surv = supportOf(triples).filter(col("sup") >= k - 2)
-      .select("a", "b").localCheckpoint(eager = false)
+      .select("a", "b").localCheckpoint()
     var survCount = surv.count()
     var prevCount = edges.count()
     var alive: DataFrame = null // materialized lazily at the first peel
@@ -523,10 +523,10 @@ object Graph {
       // over the cached stream the first time, then over the shrinking
       // alive list
       alive = keepAlive(if (alive == null) triples else alive, surv, survCount)
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val next = supportOf(alive).filter(col("sup") >= k - 2)
         .select("a", "b")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       prevCount = survCount
       surv = next
       survCount = surv.count()
@@ -544,7 +544,7 @@ object Graph {
     */
   private[graft] def ktrussFullOf(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss is defined for k >= 3 (got $k)")
-    var e = pairs.select("a", "b").localCheckpoint(eager = false)
+    var e = pairs.select("a", "b").localCheckpoint()
     var prevCount = e.count()
     var round = 1
     var converged = false
@@ -552,7 +552,7 @@ object Graph {
       e = edgeSupport(e)
         .filter(col("sup") >= k - 2)
         .select("a", "b")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       val n = e.count()
       converged = n == prevCount
       prevCount = n
@@ -572,8 +572,8 @@ object Graph {
               col("x.l_partkey") < col("y.l_partkey"))
           .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
           .distinct()
-          .localCheckpoint(eager = false)
-        val stream = triangleStream(orientedOf(pp)).localCheckpoint(eager = false)
+          .localCheckpoint()
+        val stream = triangleStream(orientedOf(pp)).localCheckpoint()
         // ids read off the frames themselves (their LogicalRDD leaves):
         // a getPersistentRDDs set-diff around the build would claim any
         // CONCURRENTLY persisted RDD too, and dropSharedCache's blocking
@@ -637,8 +637,8 @@ object Graph {
 
   /** [[clusteringCoeff]]'s core over ANY distinct undirected pair set. */
   private[graft] def clusteringCoeffOf(pairs: DataFrame, topK: Int): DataFrame = {
-    val pp = pairs.localCheckpoint(eager = false)
-    clusteringFrom(pp, triangleStream(orientedOf(pp)).localCheckpoint(eager = false), topK)
+    val pp = pairs.localCheckpoint()
+    clusteringFrom(pp, triangleStream(orientedOf(pp)).localCheckpoint(), topK)
   }
 
   private def clusteringFrom(pp: DataFrame, stream: DataFrame, topK: Int): DataFrame = {
@@ -701,14 +701,14 @@ object Graph {
   private[graft] def kcoreOf(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     var e = pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
       e = e.join(keep, "src")
         .join(keep.withColumnRenamed("src", "dst"), "dst")
         .select("src", "dst")
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
     }
     e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_degree"))
@@ -755,11 +755,11 @@ object Graph {
     val INF = 1000000000000000L
     val edges = weighted
       .unionByName(weighted.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val srcId = edges.agg(min("src")).head.getLong(0)
     var dist = edges.select(col("src").as("node")).distinct()
       .withColumn("dist", when(col("node") === srcId, 0L).otherwise(INF))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val relax = edges
         .join(dist.select(col("node").as("src"), col("dist").as("sd")), "src")
@@ -769,7 +769,7 @@ object Graph {
       dist = dist.join(relax, Seq("node"), "left")
         .select(col("node"),
           least(col("dist"), coalesce(col("cand"), lit(INF))).as("dist"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
     }
     dist.filter(col("dist") < INF)
       .orderBy(col("dist"), col("node"))
@@ -829,7 +829,7 @@ object Graph {
     val sdeg = cs.groupBy("s").agg(count(lit(1)).as("d"))
       .filter(col("d") >= 2 && col("d") <= maxDeg)
       .select("s")
-    val capped = cs.join(sdeg, "s").localCheckpoint(eager = false)
+    val capped = cs.join(sdeg, "s").localCheckpoint()
     val wedges = capped.as("x").join(capped.as("y"),
       col("x.s") === col("y.s") && col("x.c") =!= col("y.c")).count()
     (capped.count(), wedges)
@@ -843,7 +843,7 @@ object Graph {
       .filter(col("d") >= 2 && col("d") <= maxDeg)
       .select(col("s"),
         floor(lit(1e6) / log(col("d")) + 0.5).cast("long").as("w_micro"))
-    val capped = cs.join(sdeg, "s").localCheckpoint(eager = false)
+    val capped = cs.join(sdeg, "s").localCheckpoint()
     capped.as("x").join(capped.as("y"),
         col("x.s") === col("y.s") && col("x.c") < col("y.c"))
       .groupBy(col("x.c").as("a"), col("y.c").as("b"))
@@ -859,7 +859,7 @@ object Graph {
                                     topK: Int): DataFrame = {
     val pdeg = sp.groupBy("p").agg(count(lit(1)).as("pd"))
     val capped = sp.join(pdeg.filter(col("pd") <= maxFeatureDeg), "p")
-      .select("s", "p").localCheckpoint(eager = false)
+      .select("s", "p").localCheckpoint()
     val ssize = capped.groupBy("s").agg(count(lit(1)).as("sz"))
     val inter = capped.as("x").join(capped.as("y"),
         col("x.p") === col("y.p") && col("x.s") < col("y.s"))
@@ -962,12 +962,12 @@ object Graph {
                                    nSources: Int, topK: Int): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val sources = edges.select(col("src").as("node")).distinct()
       .orderBy("node").limit(nSources)
     var dist = sources
       .select(col("node"), col("node").as("s"), lit(0).as("d"), lit(1L).as("sigma"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     var frontier = dist
     for (r <- 1 to iters) {
       val relax = edges
@@ -978,14 +978,14 @@ object Graph {
       frontier = relax
         .join(dist.select("node", "s"), Seq("node", "s"), "left_anti")
         .select("node", "s", "d", "sigma")
-        .localCheckpoint(eager = false)
-      dist = dist.unionByName(frontier).localCheckpoint(eager = false)
+        .localCheckpoint()
+      dist = dist.unionByName(frontier).localCheckpoint()
     }
     // backward: level-r deltas feed level r-1; a node's whole δ
     // arrives in one round, so the union of round frames is the total
     var deltaAt = dist.filter(col("d") === iters)
       .select(col("node"), col("s"), lit(0L).as("dm"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     var deltaFrames = List[DataFrame]()
     for (r <- iters to 1 by -1) {
       val vRows = dist.filter(col("d") === r)
@@ -1001,7 +1001,7 @@ object Graph {
         .select(col("src").as("node"), col("s"),
           expr("(u_sigma * (1000000L + v_dm)) div v_sigma").as("dm"))
         .groupBy("node", "s").agg(sum("dm").as("dm"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       deltaFrames ::= contrib
       deltaAt = contrib
     }
@@ -1107,7 +1107,7 @@ object Graph {
     import org.apache.spark.sql.graft.{ColumnShim, GraftHllSketch, HllBallMicro}
     val edges = pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val regMax = udaf(graft.functions.Aggregators.RegisterMaxBytes)
     // init: each node's sketch holds exactly itself (byte-packed —
     // register idx = low b bits of xxhash64, value ρ = 1 + trailing
@@ -1120,7 +1120,7 @@ object Graph {
     var state = edges.select(col("src").as("node")).distinct().as[Long]
       .map(n => (n, GraftHllSketch.init(n, bb)))
       .toDF("node", "regs")
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     // HLL estimate via the codegen'd native readout, micro-floored
     // per node BEFORE any cross-node sum (partition-order-proof)
     def estMicro(regs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -1135,7 +1135,7 @@ object Graph {
         .select(col("dst").as("node"), col("regs"))
       val next = state.unionByName(contrib)
         .groupBy("node").agg(regMax(col("regs")).as("regs"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
       // CONVERGENCE early-exit: registers only grow, so an unchanged
       // round means every later round is identical — stop paying the
       // edge join and replicate the final estimates for the remaining
@@ -1163,12 +1163,12 @@ object Graph {
                                  nLandmarks: Int, topK: Int): DataFrame = {
     val edges = pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val landmarks = edges.select(col("src").as("node")).distinct()
       .orderBy("node").limit(nLandmarks)
     var dist = landmarks
       .select(col("node"), col("node").as("lm"), lit(0L).as("dist"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val relax = edges
         .join(dist.select(col("node").as("src"), col("lm"), col("dist")), "src")
@@ -1176,7 +1176,7 @@ object Graph {
         .agg(min(col("dist") + 1L).as("dist"))
       dist = dist.unionByName(relax)
         .groupBy("node", "lm").agg(min("dist").as("dist"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
     }
     dist.filter(col("dist") > 0) // a landmark's distance to itself carries no signal
       .withColumn("h", expr("1000000L div dist"))

@@ -407,7 +407,7 @@ object Multimodal {
     // one-task wall at sf0.1 otherwise
     val spread = media.repartition(
       media.sparkSession.sparkContext.defaultParallelism)
-    val sigs = blockhashSig(spread).localCheckpoint(eager = false)
+    val sigs = blockhashSig(spread).localCheckpoint()
     val mask = (1L << bitsPerBand) - 1
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until nBands).map(j => struct(

@@ -949,7 +949,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding")).head
     var chosen = List((1, seedRow.getLong(0), 0L))
     var center = seedRow.getAs[scala.collection.Seq[Float]]("embedding").toSeq
-    var state = e.withColumn("min_dist", distTo(center)).localCheckpoint(eager = false)
+    var state = e.withColumn("min_dist", distTo(center)).localCheckpoint()
     for (r <- 2 to k) {
       // the embedding rides the argmax struct (third field — never
       // reached by the (min_dist, -vec_id) total order), so the
@@ -963,7 +963,7 @@ object Similarity {
       center = far.getAs[scala.collection.Seq[Float]](2).toSeq
       state = state
         .withColumn("min_dist", least(col("min_dist"), distTo(center)))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
     }
     chosen.reverse.toDF("rank", "center_id", "radius_micro").orderBy("rank")
   }
@@ -1037,7 +1037,7 @@ object Similarity {
       w => aggregate(slice(c, w * lit(32) + 1, lit(32)), lit(0L),
         (acc, x) => acc * 2 + when(x > lit(0.0f), 1L).otherwise(0L)))
     val coded = e.select(col("vec_id"), enc(col("embedding")).as("code"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val q = broadcast(e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         enc(col("embedding")).as("qcode")))
@@ -1442,7 +1442,7 @@ object Similarity {
     // materialize once: every Lloyd round + the final assignment re-read
     // this set (iters+2 passes), so truncating at the scan is the same
     // localCheckpoint pattern as the BPE/GD/coreset loops
-    val e = repartitionTo.map(base.repartition(_)).getOrElse(base).localCheckpoint(eager = false)
+    val e = repartitionTo.map(base.repartition(_)).getOrElse(base).localCheckpoint()
     var cent: Seq[Seq[Double]] = kmeansPlusPlusSeeds(e, k)
     def assign(c: Seq[Seq[Double]]): Column =
       element_at(VectorFunctions.nearestCentroids(col("embedding"), c, 1), 1)
