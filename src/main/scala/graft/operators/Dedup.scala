@@ -230,8 +230,47 @@ object Dedup {
   def containment(spark: SparkSession, dir: String,
                   threshold: Double = 0.8, n: Int = 3,
                   maxDf: Int = 50): DataFrame = {
-    val (sets, cand) = containmentCandidates(spark, dir, n, maxDf)
-    cand
+    val (sets, idx) = containmentIndex(spark, dir, n)
+    val kept = idx.filter(col("df") <= maxDf)
+    // Capped-intersection COUNT per directed pair: the same equi-join
+    // that generated candidates, AGGREGATED instead of deduplicated —
+    // one row per shared kept shingle, so count(1) per (inner, outer)
+    // is exactly |sh(a) ∩ sh(b)| restricted to df ≤ maxDf shingles.
+    // (r14 optimization: the distinct + array_intersect-every-candidate
+    // verify paid ~2.3M set intersections at sf0.1; the count is the
+    // same shuffle the distinct already did, and the bound below
+    // shrinks the exact verify to near-result pairs.)
+    val counted = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("inner_id"), col("b.doc_id").as("outer_id"))
+      .agg(count(lit(1)).as("capped_inter"))
+    // Per-doc stats: full distinct-shingle count and how many of them
+    // are hot (df > maxDf). The full intersection decomposes as
+    // capped_inter + |hot(a) ∩ hot(b)| ≤ capped_inter +
+    // min(nhot_a, nhot_b) — an upper bound with no false negatives, so
+    // filtering on it before the exact verify admits every pair that
+    // could reach the threshold (the PPJoin-style positional-filter
+    // move applied to containment). The margin 1e-4 covers the
+    // round(·, 4) in the final score: round(x,4) ≥ t ⟺ x ≥ t − 5e-5.
+    val stats = idx.groupBy("doc_id").agg(
+      count(lit(1)).as("sz"),
+      sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("nhot"))
+    // stats is one row per document — broadcast only when the corpus
+    // is provably broadcast-sized (the G15 keepAlive guard pattern);
+    // a 100 TB corpus degrades to a shuffle join, never a driver OOM
+    val statsB = if (documentsRows(spark, dir) <= 2_000_000L)
+      broadcast(stats) else stats
+    val surv = counted
+      .join(statsB.select(col("doc_id").as("inner_id"),
+        col("sz").as("sza"), col("nhot").as("nhot_a")), Seq("inner_id"))
+      .join(statsB.select(col("doc_id").as("outer_id"),
+        col("nhot").as("nhot_b")), Seq("outer_id"))
+      .filter((col("capped_inter") + least(col("nhot_a"), col("nhot_b")))
+        .cast("double") / col("sza") >= threshold - 1e-4)
+      .select("inner_id", "outer_id")
+    // exact verify from the full hashed sets — unchanged semantics,
+    // now over the bound's survivors instead of every candidate
+    surv
       .join(sets.select(col("doc_id").as("inner_id"), col("sh").as("sha")), Seq("inner_id"))
       .join(sets.select(col("doc_id").as("outer_id"), col("sh").as("shb")), Seq("outer_id"))
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
@@ -270,17 +309,41 @@ object Dedup {
   private[graft] def containmentKeptIndex(spark: SparkSession, dir: String,
                                           n: Int = 3, maxDf: Int = 50)
       : (DataFrame, DataFrame) = {
+    val (sets, idx) = containmentIndex(spark, dir, n)
+    (sets, idx.filter(col("df") <= maxDf))
+  }
+
+  /** The (sets, df-annotated inverted index) pair both the kept index
+    * and [[containment]]'s per-doc stats derive from. No size(sh) > 0
+    * filter on sets: it was semantically redundant (empty-set docs
+    * yield no index rows, so they can never be candidates, and every
+    * downstream use is an inner join against candidate docs) and the
+    * optimizer pushed it into the scan where `shingle_hashes` was then
+    * evaluated TWICE per row — once in the pushed Filter, once in the
+    * Project (r14 plan audit).
+    */
+  private def containmentIndex(spark: SparkSession, dir: String, n: Int)
+      : (DataFrame, DataFrame) = {
     val sets = spread(Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), shingleHashesCol(col("text"), n).as("sh")))
-      .filter(size(col("sh")) > 0)
-    val idx = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+      .select(col("doc_id"), shingleHashesCol(col("text"), n).as("sh")))
     // df via the unordered window in the index's own h-exchange (the
     // D2 pattern: no separate aggregate + join-back)
-    val kept = idx
+    val idx = sets.select(col("doc_id"), explode(col("sh")).as("h"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("df") <= maxDf)
-    (sets, kept)
+    (sets, idx)
   }
+
+  /** Documents-table row count, memoized per (dir, mtime) like
+    * [[graft.operators.Similarity]]'s embeddingRows — a dataset
+    * property consulted for broadcast-vs-shuffle sizing decisions, not
+    * a result cache (results never depend on it).
+    */
+  private val docsRowsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+  private def documentsRows(spark: SparkSession, dir: String): Long =
+    docsRowsCache.getOrElseUpdate(
+      (dir, new java.io.File(Tables.path(dir, "documents")).lastModified()),
+      Tables.load(spark, dir, "documents").count())
 
   /** MinHash signature: native codegen'd expression
     * ([[org.apache.spark.sql.graft.MinHashSignature]]) — the whole

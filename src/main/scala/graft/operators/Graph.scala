@@ -312,8 +312,13 @@ object Graph {
   private def triangleStream(oriented: DataFrame): DataFrame = {
     val adj = oriented.groupBy(col("src").as("n"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    oriented
-      .join(adj.select(col("n").as("src"), col("nbrs").as("nu")), Seq("src"))
+    // re-derive each node's out-edges by exploding its own adjacency
+    // row, carrying `nu` alongside — the identical (src, dst, nu) rows
+    // the oriented⋈adj(src) join produced, one join cheaper (r14; the
+    // payload mass is the same either way, the join just re-attached
+    // what the adjacency row already held)
+    adj.select(col("n").as("src"), col("nbrs").as("nu"),
+        explode(col("nbrs")).as("dst"))
       .join(adj.select(col("n").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left")
       .select(col("src"), col("dst"),
         array_intersect(col("nu"),
@@ -496,40 +501,69 @@ object Graph {
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("sup"))
 
-    // broadcast the survivor set when it is broadcast-SIZED (the
-    // common case: the dense core); a huge core degrades to hash
-    // semi-joins rather than a driver-side OOM
-    def keepAlive(tri: DataFrame, kept: DataFrame, keptCount: Long): DataFrame = {
-      def side(aCol: String, bCol: String) = {
-        val k = kept.select(col("a").as(aCol), col("b").as(bCol))
-        if (keptCount <= 2_000_000L) broadcast(k) else k
+    // Flag triangles touching the DROPPED edge set of the round — the
+    // r14 incremental peel: per round only the (small) dropped set is
+    // broadcast and joined, where the r13 shape broadcast the (big,
+    // ~|surviving core|) survivor set three times per round AND
+    // re-aggregated support over the full alive list. Support is
+    // updated by DECREMENT from the dead triangles instead, which is
+    // exact: a triangle dies in the round its first edge drops, each
+    // dead triangle is one flagged row, and a surviving edge loses
+    // exactly the dead triangles containing it. Broadcast is guarded
+    // by the dropped-count upper bound; a huge first cut (sparse
+    // graph) degrades to hash joins rather than a driver OOM.
+    def flagDead(tri: DataFrame, dropped: DataFrame, droppedUpper: Long): DataFrame = {
+      def side(aCol: String, bCol: String, flag: String) = {
+        val d = dropped.select(col("a").as(aCol), col("b").as(bCol),
+          lit(true).as(flag))
+        if (droppedUpper <= 2_000_000L) broadcast(d) else d
       }
-      tri.join(side("a1", "b1"), Seq("a1", "b1"), "left_semi")
-        .join(side("a2", "b2"), Seq("a2", "b2"), "left_semi")
-        .join(side("a3", "b3"), Seq("a3", "b3"), "left_semi")
+      tri.join(side("a1", "b1", "d1"), Seq("a1", "b1"), "left")
+        .join(side("a2", "b2", "d2"), Seq("a2", "b2"), "left")
+        .join(side("a3", "b3", "d3"), Seq("a3", "b3"), "left")
+        .withColumn("dead",
+          coalesce(col("d1"), lit(false)) || coalesce(col("d2"), lit(false)) ||
+            coalesce(col("d3"), lit(false)))
+        .select("a1", "b1", "a2", "b2", "a3", "b3", "dead")
     }
 
     // round 1: support from the full triangle stream; an edge in no
-    // triangle has sup 0 < k-2 and drops here
-    var surv = supportOf(triples).filter(col("sup") >= k - 2)
-      .select("a", "b").localCheckpoint()
+    // triangle has sup 0 < k-2 and drops here. The support frame is
+    // kept (and decremented) across rounds.
+    var supFrame = supportOf(triples).localCheckpoint()
+    var surv = supFrame.filter(col("sup") >= k - 2).select("a", "b")
     var survCount = surv.count()
     var prevCount = edges.count()
     var alive: DataFrame = null // materialized lazily at the first peel
     var round = 2
     while (round <= rounds && survCount < prevCount) {
-      // keep exactly the triangles whose three edges all survive —
-      // broadcast semi-joins (survivors are the small core), one pass
-      // over the cached stream the first time, then over the shrinking
-      // alive list
-      alive = keepAlive(if (alive == null) triples else alive, surv, survCount)
+      // dropped = this round's cut (triangle-free edges never appear in
+      // supFrame — they are in no triangle, so they cannot kill one);
+      // prevCount - survCount bounds it above for the broadcast guard
+      val dropped = supFrame.filter(col("sup") < k - 2).select("a", "b")
+      val flagged = flagDead(if (alive == null) triples else alive,
+        dropped, prevCount - survCount).localCheckpoint()
+      alive = flagged.filter(!col("dead"))
+        .select("a1", "b1", "a2", "b2", "a3", "b3")
+      // decrement surviving edges by their dead-triangle count; edges
+      // of dead triangles that themselves dropped simply never match
+      val decrements = flagged.filter(col("dead"))
+        .select(explode(array(
+          struct(col("a1").as("a"), col("b1").as("b")),
+          struct(col("a2").as("a"), col("b2").as("b")),
+          struct(col("a3").as("a"), col("b3").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("dec"))
+      supFrame = supFrame.filter(col("sup") >= k - 2)
+        .join(decrements, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
         .localCheckpoint()
-      val next = supportOf(alive).filter(col("sup") >= k - 2)
-        .select("a", "b")
-        .localCheckpoint()
+      surv = supFrame.filter(col("sup") >= k - 2).select("a", "b")
       prevCount = survCount
-      surv = next
       survCount = surv.count()
+      if (sys.env.contains("GRAFT_KTRUSS_DEBUG"))
+        println(s"KTRUSS round=$round surv=$survCount prev=$prevCount")
       round += 1
     }
     surv.select(col("a").as("node")).unionByName(surv.select(col("b").as("node")))
@@ -566,7 +600,13 @@ object Graph {
   private def partsGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (pp, stream, _) =
       partsGraphCache.getOrElseUpdate(spark.sparkContext.applicationId + "|" + dir, {
-        val l1 = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+        // spread the few-split parquet scan before the self-join: the
+        // broadcast-join probe, pair generation and partial distinct
+        // otherwise all run at the scan's task count (3 tasks at
+        // sf0.1 — measured as the build's serial bottleneck, r14)
+        val l1 = Tables.load(spark, dir, "lineitem")
+          .select("l_orderkey", "l_partkey")
+          .repartition(spark.sparkContext.defaultParallelism)
         val pp = l1.as("x").join(l1.as("y"),
             col("x.l_orderkey") === col("y.l_orderkey") &&
               col("x.l_partkey") < col("y.l_partkey"))
