@@ -164,9 +164,13 @@ object Dedup {
     // far cheaper compares. Jaccard over the hashed sets equals true
     // Jaccard unless ids collide within a pair's union
     // (P ≈ |union|²/2⁶⁵ — negligible).
+    // No size(sh) > 0 filter (r14): it was redundant — empty-set docs
+    // yield no index rows so they can never be candidates, and every
+    // consumer inner-joins against candidate docs — and the optimizer
+    // pushed it into the scan where shingle_hashes was then evaluated
+    // TWICE per row (pushed Filter + Project)
     val sets = spread(Tables.load(spark, dir, "documents")
         .select(col("doc_id"), shingleHashesCol(col("text"), n).as("sh")))
-      .filter(size(col("sh")) > 0)
     val sz = size(col("sh"))
     // prefix length = |s| − ⌈t·|s|⌉ + 1, computed from the carried sz
     val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
@@ -181,6 +185,12 @@ object Dedup {
     // must shuffle by h either way (for the join it would too), but the
     // window form skips materializing the df aggregate and joining it
     // back — one pass, same two index-linear exchanges (by h, by doc)
+    // NOT checkpointed (r14 negative result, kept for the record): the
+    // prefix frame sits on both sides of the candidate self-join and
+    // the window pass does run twice — but the broadcast-side copy
+    // builds CONCURRENTLY with the probe side on idle cores, so the
+    // duplicate work costs ~no wall clock, while a checkpoint barrier
+    // serialized the two and measured 2.5 -> 4.4 s
     val prefix = idx
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .withColumn("pos", row_number().over(
@@ -383,11 +393,16 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r))).as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // materialized once: cand feeds the verify join AND (twice) the
+    // candidate-id semi-filter below — unmaterialized, the band
+    // self-join + distinct re-ran three times per query (r14; only the
+    // signature exchange below it is deduped by AQE reuse)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint()
     // exact verify on candidates only: semi-join first so the string
     // shingle sets are computed for candidate docs alone, not the corpus
     val candIds = cand.select(col("doc_a").as("doc_id"))

@@ -800,16 +800,24 @@ object Graph {
     var dist = edges.select(col("src").as("node")).distinct()
       .withColumn("dist", when(col("node") === srcId, 0L).otherwise(INF))
       .localCheckpoint()
+    // Frontier relaxation (r14): a synchronous Bellman-Ford round only
+    // produces new candidates through nodes whose distance IMPROVED
+    // last round — an unchanged node's out-edges were already applied.
+    // Relaxing from the frontier alone yields the identical dist after
+    // every round while the per-round edges⋈state join shrinks with
+    // the frontier (to nothing once converged).
+    var frontier = dist.filter(col("dist") < INF)
     for (_ <- 1 to iters) {
       val relax = edges
-        .join(dist.select(col("node").as("src"), col("dist").as("sd")), "src")
-        .filter(col("sd") < INF)
+        .join(frontier.select(col("node").as("src"), col("dist").as("sd")), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("sd") + col("w")).as("cand"))
-      dist = dist.join(relax, Seq("node"), "left")
-        .select(col("node"),
+      val joined = dist.join(relax, Seq("node"), "left")
+        .select(col("node"), col("dist").as("prev"),
           least(col("dist"), coalesce(col("cand"), lit(INF))).as("dist"))
         .localCheckpoint()
+      frontier = joined.filter(col("dist") < col("prev")).select("node", "dist")
+      dist = joined.select("node", "dist")
     }
     dist.filter(col("dist") < INF)
       .orderBy(col("dist"), col("node"))
@@ -1005,35 +1013,40 @@ object Graph {
       .localCheckpoint()
     val sources = edges.select(col("src").as("node")).distinct()
       .orderBy("node").limit(nSources)
-    var dist = sources
+    // Per-level frames (r14): each BFS level is its own checkpointed
+    // frame — the accumulated dist is a union of materialized frames
+    // (free to read), never re-checkpointed per round, and the
+    // backward pass reads level r as frames(r) instead of filtering
+    // the whole accumulated table.
+    var frames = Vector(sources
       .select(col("node"), col("node").as("s"), lit(0).as("d"), lit(1L).as("sigma"))
-      .localCheckpoint()
-    var frontier = dist
+      .localCheckpoint())
+    var frontier = frames(0)
     for (r <- 1 to iters) {
+      val seen = frames.reduce(_ unionByName _)
       val relax = edges
         .join(frontier.select(col("node").as("src"), col("s"), col("sigma")), "src")
         .groupBy(col("dst").as("node"), col("s"))
         .agg(sum("sigma").as("sigma"))
         .withColumn("d", lit(r))
       frontier = relax
-        .join(dist.select("node", "s"), Seq("node", "s"), "left_anti")
+        .join(seen.select("node", "s"), Seq("node", "s"), "left_anti")
         .select("node", "s", "d", "sigma")
         .localCheckpoint()
-      dist = dist.unionByName(frontier).localCheckpoint()
+      frames :+= frontier
     }
     // backward: level-r deltas feed level r-1; a node's whole δ
     // arrives in one round, so the union of round frames is the total
-    var deltaAt = dist.filter(col("d") === iters)
+    var deltaAt = frames(iters)
       .select(col("node"), col("s"), lit(0L).as("dm"))
-      .localCheckpoint()
     var deltaFrames = List[DataFrame]()
     for (r <- iters to 1 by -1) {
-      val vRows = dist.filter(col("d") === r)
+      val vRows = frames(r)
         .join(deltaAt, Seq("node", "s"), "left")
         .select(col("node").as("dst"), col("s"),
           col("sigma").as("v_sigma"),
           coalesce(col("dm"), lit(0L)).as("v_dm"))
-      val uRows = dist.filter(col("d") === r - 1)
+      val uRows = frames(r - 1)
         .select(col("node").as("src"), col("s"), col("sigma").as("u_sigma"))
       val contrib = edges
         .join(vRows, Seq("dst"))
@@ -1206,18 +1219,29 @@ object Graph {
       .localCheckpoint()
     val landmarks = edges.select(col("src").as("node")).distinct()
       .orderBy("node").limit(nLandmarks)
-    var dist = landmarks
+    // Frontier BFS (r14): unweighted first arrival IS the min
+    // distance, so each round relaxes only the nodes REACHED last
+    // round and appends the newly-discovered (node, lm) pairs — where
+    // the previous shape re-aggregated and re-checkpointed the whole
+    // accumulated dist table every round. The accumulated state is a
+    // union of already-materialized per-round frames (free to read),
+    // and the per-round join/agg volume shrinks with the frontier.
+    var frontier = landmarks
       .select(col("node"), col("node").as("lm"), lit(0L).as("dist"))
       .localCheckpoint()
+    var distFrames = List(frontier)
     for (_ <- 1 to iters) {
+      val seen = distFrames.reduce(_ unionByName _)
       val relax = edges
-        .join(dist.select(col("node").as("src"), col("lm"), col("dist")), "src")
+        .join(frontier.select(col("node").as("src"), col("lm"), col("dist")), "src")
         .groupBy(col("dst").as("node"), col("lm"))
         .agg(min(col("dist") + 1L).as("dist"))
-      dist = dist.unionByName(relax)
-        .groupBy("node", "lm").agg(min("dist").as("dist"))
+      frontier = relax
+        .join(seen.select("node", "lm"), Seq("node", "lm"), "left_anti")
         .localCheckpoint()
+      distFrames ::= frontier
     }
+    val dist = distFrames.reduce(_ unionByName _)
     dist.filter(col("dist") > 0) // a landmark's distance to itself carries no signal
       .withColumn("h", expr("1000000L div dist"))
       .groupBy("node")

@@ -367,7 +367,9 @@ object Similarity {
   def knnJoinLsh(spark: SparkSession, dir: String, k: Int = 3,
                  nTables: Int = 16, bitsPerTable: Int = 4,
                  seed: Long = 42L, targetOccupancy: Long = 128L): DataFrame = {
-    val e = corpus(spark, dir)
+    // rerank sides join by key (and broadcast when small) — the corpus
+    // spread's round-robin exchange under them was pure overhead (r14)
+    val e = Tables.load(spark, dir, "embeddings")
     // Depth follows the corpus (the memoized count — same probe the
     // exact knnJoin sizes its blocks with): E[bucket] = n / 2^bits, so
     // bits = max(floor, ceil(log2(n / targetOccupancy))) pins expected
@@ -535,7 +537,8 @@ object Similarity {
                       nTables: Int = 16, seed: Long = 42L,
                       capPairsPerVec: Double = 1024.0,
                       probe: Int = 2): DataFrame = {
-    val e = corpus(spark, dir)
+    // rerank sides join by key — skip the corpus spread (r14, as A12)
+    val e = Tables.load(spark, dir, "embeddings")
     // the tuning loop's final measurement IS the candidate set — rerank
     // the materialized pairs instead of re-running the bucket join
     val (_, _, pairs) =
@@ -596,16 +599,23 @@ object Similarity {
     // side by key, query side broadcast) just for the final rerank
     val corpusBuckets = e.select(col("vec_id"), posexplode(codes("embedding")))
       .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "code"))
+    // query-side and rerank-side reads skip the corpus spread: those
+    // sides are broadcast (or joined by key), so the round-robin
+    // exchange under the broadcast was pure overhead (r14 plan audit
+    // — `Exchange RoundRobinPartitioning` directly under
+    // `BroadcastExchange`); only the signature scan above needs the
+    // compute spread
+    val raw = Tables.load(spark, dir, "embeddings")
     val queryBuckets = broadcast(
-      querySet(e, nQueries).select(col("q_id"), posexplode(codes("q_emb")))
+      querySet(raw, nQueries).select(col("q_id"), posexplode(codes("q_emb")))
         .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "code")))
     val candIds = corpusBuckets.join(queryBuckets, Seq("tbl", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id")
       .distinct()
     val cand = candIds
-      .join(e, Seq("vec_id"))
-      .join(broadcast(querySet(e, nQueries)), Seq("q_id"))
+      .join(raw, Seq("vec_id"))
+      .join(broadcast(querySet(raw, nQueries)), Seq("q_id"))
     rankTopKQueries(
       cand.select(col("q_id"),
         round(VectorFunctions.cosine(col("q_emb"), col("embedding")), 4).as("sim"),

@@ -396,4 +396,64 @@ class Round15Spec extends SparkSpec {
     val (_, cur) = ManifestStore.current(spark, man)
     assert(cur.select("schema_version").collect().map(_.getLong(0)).toSet == Set(1L))
   }
+
+  test("dedup_containment: bound-prefiltered verify ≡ verify-every-candidate on a hot-shingle corpus") {
+    // The r14 optimization counts capped-intersections in the candidate
+    // join and prefilters with capped_inter + min(nhot_a, nhot_b) >=
+    // t·sza before the exact verify. The testdata corpus never exceeds
+    // the df cap (max df 25 < 50), so the hot-shingle term of the bound
+    // is exercised HERE: a corpus where the boilerplate shingles are
+    // hot (df > maxDf) and a contained pair needs those hot shingles to
+    // reach the threshold — a bound that ignored nhot would silently
+    // drop the pair.
+    import graft.operators.Dedup
+    import spark.implicits._
+    val boiler = "alpha beta gamma delta"
+    val docs =
+      Seq(
+        (1L, s"$boiler uniq1a uniq1b uniq1c"),
+        // doc 2 extends doc 1: C(1→2) = 1.0, but doc 1's kept (rare)
+        // shingles alone give only 3/5 = 0.6 < 0.8 — the verify must
+        // count the hot boilerplate shingles to admit the pair
+        (2L, s"$boiler uniq1a uniq1b uniq1c extra2a extra2b"),
+        // partial overlap well under the threshold — bound-rejected
+        (9L, "p q r s t u"),
+        (10L, "p q r x y z w v")
+      ) ++ (3L to 8L).map(i => (i, s"$boiler junk${i}a junk${i}b"))
+    val tmp = java.nio.file.Files.createTempDirectory("contain_hot").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val maxDf = 3; val t = 0.8; val n = 3
+
+    // reference: the pre-r14 shape — every capped-index candidate
+    // exact-verified from the full hashed sets
+    val sets = spark.read.parquet(s"$tmp/documents.parquet")
+      .select(col("doc_id"), Dedup.shingleHashesCol(col("text"), n).as("sh"))
+    val idx = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+    val dfs = idx.groupBy("h").agg(count(lit(1)).as("df"))
+    assert(dfs.filter(col("df") > maxDf).count() > 0,
+      "corpus must actually contain hot shingles for this test to bite")
+    val kept = idx.join(dfs.filter(col("df") <= maxDf), "h")
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("inner_id"), col("b.doc_id").as("outer_id"))
+      .distinct()
+    val expected = cand
+      .join(sets.select(col("doc_id").as("inner_id"), col("sh").as("sha")), Seq("inner_id"))
+      .join(sets.select(col("doc_id").as("outer_id"), col("sh").as("shb")), Seq("outer_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("containment", round(col("inter").cast("double") / size(col("sha")), 4))
+      .filter(col("containment") >= t)
+      .select("inner_id", "outer_id", "containment")
+      .orderBy("inner_id", "outer_id")
+      .collect().map(_.toString)
+
+    val got = Dedup.containment(spark, tmp, t, n, maxDf)
+      .collect().map(_.toString)
+    assert(got.sameElements(expected),
+      s"bound-verify diverged: got ${got.mkString(",")} expected ${expected.mkString(",")}")
+    // the hot-branch witness: (1 → 2) is only reachable through nhot
+    assert(got.exists(_.startsWith("[1,2,")),
+      s"contained pair (1→2) missing — hot-shingle term of the bound not applied: ${got.mkString(",")}")
+  }
 }
