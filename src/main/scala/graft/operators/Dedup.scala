@@ -164,11 +164,14 @@ object Dedup {
     // far cheaper compares. Jaccard over the hashed sets equals true
     // Jaccard unless ids collide within a pair's union
     // (P ≈ |union|²/2⁶⁵ — negligible).
-    // No size(sh) > 0 filter (r14): it was redundant — empty-set docs
-    // yield no index rows so they can never be candidates, and every
-    // consumer inner-joins against candidate docs — and the optimizer
-    // pushed it into the scan where shingle_hashes was then evaluated
-    // TWICE per row (pushed Filter + Project)
+    // No explicit size(sh) > 0 filter (r14): it was redundant —
+    // empty-set docs yield no index rows so they can never be
+    // candidates, and every consumer inner-joins against candidate
+    // docs. Removing it takes the pushed-down double evaluation of
+    // shingle_hashes out of the VERIFY-side scans; the index side
+    // still gets an equivalent filter re-inferred under the explode
+    // (InferFiltersFromGenerate), which is the optimizer's own
+    // trade-off, not this operator's.
     val sets = spread(Tables.load(spark, dir, "documents")
         .select(col("doc_id"), shingleHashesCol(col("text"), n).as("sh")))
     val sz = size(col("sh"))
@@ -324,13 +327,15 @@ object Dedup {
   }
 
   /** The (sets, df-annotated inverted index) pair both the kept index
-    * and [[containment]]'s per-doc stats derive from. No size(sh) > 0
-    * filter on sets: it was semantically redundant (empty-set docs
-    * yield no index rows, so they can never be candidates, and every
-    * downstream use is an inner join against candidate docs) and the
-    * optimizer pushed it into the scan where `shingle_hashes` was then
-    * evaluated TWICE per row — once in the pushed Filter, once in the
-    * Project (r14 plan audit).
+    * and [[containment]]'s per-doc stats derive from. No explicit
+    * size(sh) > 0 filter on sets: it was semantically redundant
+    * (empty-set docs yield no index rows, so they can never be
+    * candidates, and every downstream use is an inner join against
+    * candidate docs), and its pushdown double-evaluated
+    * `shingle_hashes` in the verify-side scans (r14 plan audit). The
+    * index-side scans still carry an equivalent inferred filter from
+    * the explode (InferFiltersFromGenerate) — the optimizer's own
+    * skip-empty-rows trade-off.
     */
   private def containmentIndex(spark: SparkSession, dir: String, n: Int)
       : (DataFrame, DataFrame) = {

@@ -742,13 +742,24 @@ object Graph {
     var e = pairs
       .unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // Early-exit on convergence (r14): an unchanged edge COUNT means
+    // no node dropped, so every remaining fixed round recomputes the
+    // identical edge set — the result is bit-identical with or
+    // without them (the scaladoc's own "extra rounds only re-confirm
+    // a converged core"). The count runs on the round's materialized
+    // checkpoint — one cheap scan versus a full agg+two-join round.
+    var prevCount = e.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
       e = e.join(keep, "src")
         .join(keep.withColumnRenamed("src", "dst"), "dst")
         .select("src", "dst")
         .localCheckpoint()
+      val n = e.count()
+      converged = n == prevCount
+      prevCount = n
     }
     e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("core_degree"))
@@ -891,11 +902,28 @@ object Graph {
       .filter(col("d") >= 2 && col("d") <= maxDeg)
       .select(col("s"),
         floor(lit(1e6) / log(col("d")) + 0.5).cast("long").as("w_micro"))
-    val capped = cs.join(sdeg, "s").localCheckpoint()
+    // partition by the JOIN KEY before the checkpoint: AQE coalesces
+    // the small capped frame to a handful of partitions and the wedge
+    // self-join then ran at that task count (measured 4 tasks × ~2 s
+    // at sf0.1, r14); hash-partitioned on s, both self-join sides
+    // already satisfy the join's distribution — full parallelism with
+    // no extra exchange
+    val capped = cs.join(sdeg, "s")
+      .repartition(cs.sparkSession.sparkContext.defaultParallelism, col("s"))
+      .localCheckpoint()
     capped.as("x").join(capped.as("y"),
         col("x.s") === col("y.s") && col("x.c") < col("y.c"))
-      .groupBy(col("x.c").as("a"), col("y.c").as("b"))
-      .agg(count(lit(1)).as("n_common"), sum(col("x.w_micro")).as("aa_micro"))
+      .select(col("x.c").as("a"), col("y.c").as("b"), col("x.w_micro"))
+      // pin the pair-aggregate's parallelism: its shuffle is few BYTES
+      // but wedge-mass CPU, so AQE's byte-sized coalescing squeezed
+      // the final aggregate onto 4 tasks (2.3 s wall at sf0.1, r14);
+      // an explicit key repartition satisfies the aggregate's
+      // distribution at core count — at scale this exchange is the
+      // one the aggregate needed anyway
+      .repartition(cs.sparkSession.sparkContext.defaultParallelism,
+        col("a"), col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w_micro")).as("aa_micro"))
       .orderBy(col("aa_micro").desc, col("a"), col("b"))
       .limit(topK)
   }
@@ -907,7 +935,10 @@ object Graph {
                                     topK: Int): DataFrame = {
     val pdeg = sp.groupBy("p").agg(count(lit(1)).as("pd"))
     val capped = sp.join(pdeg.filter(col("pd") <= maxFeatureDeg), "p")
-      .select("s", "p").localCheckpoint()
+      .select("s", "p")
+      // partition by the join key — the G9 wedge-parallelism fix
+      .repartition(sp.sparkSession.sparkContext.defaultParallelism, col("p"))
+      .localCheckpoint()
     val ssize = capped.groupBy("s").agg(count(lit(1)).as("sz"))
     val inter = capped.as("x").join(capped.as("y"),
         col("x.p") === col("y.p") && col("x.s") < col("y.s"))
@@ -1186,19 +1217,22 @@ object Graph {
       val contrib = edges
         .join(state.select(col("node").as("src"), col("regs")), "src")
         .select(col("dst").as("node"), col("regs"))
-      val next = state.unionByName(contrib)
-        .groupBy("node").agg(regMax(col("regs")).as("regs"))
-        .localCheckpoint()
       // CONVERGENCE early-exit: registers only grow, so an unchanged
       // round means every later round is identical — stop paying the
       // edge join and replicate the final estimates for the remaining
-      // radii (a small-diameter graph converges well before `iters`;
-      // this check is a V-row join against the E-row round it saves)
-      converged = next.as("a")
-        .join(state.as("b"), "node")
-        .filter(col("a.regs") =!= col("b.regs"))
-        .limit(1).count() == 0L
-      state = next
+      // radii. The prev-vs-next compare rides INSIDE the round's own
+      // checkpoint (one extra node-sized join in the same action, r14)
+      // so the convergence readout is a cheap scan of materialized
+      // rows, not a separate join job per round.
+      val next = state.unionByName(contrib)
+        .groupBy("node").agg(regMax(col("regs")).as("regs"))
+        .join(state.select(col("node"), col("regs").as("prev_regs")),
+          Seq("node"), "left")
+        .select(col("node"), col("regs"),
+          (col("regs") =!= col("prev_regs")).as("chg"))
+        .localCheckpoint()
+      converged = next.filter(col("chg")).limit(1).count() == 0L
+      state = next.select("node", "regs")
       perRound = perRound :+ state.select(col("node"), lit(r).as("r"),
         estMicro(col("regs")).as("ball_micro"))
       r += 1
