@@ -527,6 +527,20 @@ object Graph {
         .select("a1", "b1", "a2", "b2", "a3", "b3", "dead")
     }
 
+    // Free a SUPERSEDED round's checkpoint blocks immediately (r14):
+    // a dereferenced localCheckpoint is only reclaimed by the async
+    // ContextCleaner after a GC, so back-to-back invocations in one
+    // JVM (the bench's cold+3-warm loop) accumulated the triangle-
+    // sized frames of every earlier run until storage-eviction churn
+    // degraded the later runs (the r7 pathology, re-measured this
+    // round as warm iters 11 s → 21 s inside one bench entry). Ids
+    // are read off the frames themselves (CheckpointIds — see
+    // dropSharedCache's aliasing note); non-blocking.
+    def free(frames: DataFrame*): Unit = {
+      val persisted = pairs.sparkSession.sparkContext.getPersistentRDDs
+      org.apache.spark.sql.graft.CheckpointIds.of(frames: _*)
+        .foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+    }
     // round 1: support from the full triangle stream; an edge in no
     // triangle has sup 0 < k-2 and drops here. The support frame is
     // kept (and decremented) across rounds.
@@ -535,6 +549,7 @@ object Graph {
     var survCount = surv.count()
     var prevCount = edges.count()
     var alive: DataFrame = null // materialized lazily at the first peel
+    var prevFlagged: DataFrame = null
     var round = 2
     while (round <= rounds && survCount < prevCount) {
       // dropped = this round's cut (triangle-free edges never appear in
@@ -543,6 +558,8 @@ object Graph {
       val dropped = supFrame.filter(col("sup") < k - 2).select("a", "b")
       val flagged = flagDead(if (alive == null) triples else alive,
         dropped, prevCount - survCount).localCheckpoint()
+      if (prevFlagged != null) free(prevFlagged) // its alive view is consumed
+      prevFlagged = flagged
       alive = flagged.filter(!col("dead"))
         .select("a1", "b1", "a2", "b2", "a3", "b3")
       // decrement surviving edges by their dead-triangle count; edges
@@ -554,11 +571,13 @@ object Graph {
           struct(col("a3").as("a"), col("b3").as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("dec"))
+      val prevSup = supFrame
       supFrame = supFrame.filter(col("sup") >= k - 2)
         .join(decrements, Seq("a", "b"), "left")
         .select(col("a"), col("b"),
           (col("sup") - coalesce(col("dec"), lit(0L))).as("sup"))
         .localCheckpoint()
+      free(prevSup) // new supFrame is materialized; the old one is dead
       surv = supFrame.filter(col("sup") >= k - 2).select("a", "b")
       prevCount = survCount
       survCount = surv.count()
@@ -566,6 +585,8 @@ object Graph {
         println(s"KTRUSS round=$round surv=$survCount prev=$prevCount")
       round += 1
     }
+    // the last round's flagged frame is not part of the output lineage
+    if (prevFlagged != null) free(prevFlagged)
     surv.select(col("a").as("node")).unionByName(surv.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("truss_degree"))
       .orderBy("node")

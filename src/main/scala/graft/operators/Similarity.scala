@@ -510,14 +510,26 @@ object Similarity {
     def pairsAt(b: Int): DataFrame =
       probedPairs(spark, dir, nTables, b, seed, probe)
         .distinct().localCheckpoint(eager = false)
+    // free a rejected depth's materialized pair frame immediately —
+    // the async ContextCleaner otherwise lets every loop depth of
+    // every back-to-back invocation pile up in storage until eviction
+    // churn degrades later runs (measured r14: bench warm iters 7 s →
+    // 21 s inside one entry)
+    def free(df: DataFrame): Unit = {
+      val persisted = spark.sparkContext.getPersistentRDDs
+      org.apache.spark.sql.graft.CheckpointIds.of(df)
+        .foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+    }
     var pairs = pairsAt(bits)
     var measured = pairs.count().toDouble / n
     var rounds = 0
     while (measured > capPairsPerVec && bits < 30 && rounds < 4) {
       bits = math.min(30, bits + math.max(1,
         math.ceil(math.log(measured / capPairsPerVec) / math.log(2.0)).toInt))
-      pairs = pairsAt(bits)
-      measured = pairs.count().toDouble / n
+      val next = pairsAt(bits)
+      measured = next.count().toDouble / n
+      free(pairs)
+      pairs = next
       rounds += 1
     }
     (bits, measured, pairs)
