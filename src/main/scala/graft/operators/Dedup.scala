@@ -1027,6 +1027,10 @@ object Dedup {
     // labels-vs-labels join. Both steps only ever LOWER labels, so a
     // round with neither step changing anything is a fixpoint of
     // neighbor-min — labels are componentwise-constant minima.
+    // No superseded-round freeing here (r14): unlike the k-truss /
+    // k-core edge frames, the label frames are pair-graph-node-sized
+    // (hundreds to low thousands of rows), so the per-round unpersist
+    // calls cost more than the blocks they reclaim.
     var changed = 1L
     var rounds = 0
     while (changed > 0) {

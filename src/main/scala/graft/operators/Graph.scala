@@ -527,20 +527,14 @@ object Graph {
         .select("a1", "b1", "a2", "b2", "a3", "b3", "dead")
     }
 
-    // Free a SUPERSEDED round's checkpoint blocks immediately (r14):
-    // a dereferenced localCheckpoint is only reclaimed by the async
-    // ContextCleaner after a GC, so back-to-back invocations in one
-    // JVM (the bench's cold+3-warm loop) accumulated the triangle-
-    // sized frames of every earlier run until storage-eviction churn
-    // degraded the later runs (the r7 pathology, re-measured this
-    // round as warm iters 11 s → 21 s inside one bench entry). Ids
-    // are read off the frames themselves (CheckpointIds — see
-    // dropSharedCache's aliasing note); non-blocking.
-    def free(frames: DataFrame*): Unit = {
-      val persisted = pairs.sparkSession.sparkContext.getPersistentRDDs
-      org.apache.spark.sql.graft.CheckpointIds.of(frames: _*)
-        .foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
-    }
+    // Free a SUPERSEDED round's checkpoint blocks immediately (the
+    // r14 orphaned-checkpoint finding — see CheckpointIds.free): the
+    // bench's cold+3-warm loop accumulated the triangle-sized frames
+    // of every earlier run until storage-eviction churn degraded the
+    // later runs (the r7 pathology, re-measured this round as warm
+    // iters 11 s → 21 s inside one bench entry).
+    def free(frames: DataFrame*): Unit =
+      org.apache.spark.sql.graft.CheckpointIds.free(frames: _*)
     // round 1: support from the full triangle stream; an edge in no
     // triangle has sup 0 < k-2 and drops here. The support frame is
     // kept (and decremented) across rounds.
@@ -772,6 +766,7 @@ object Graph {
     var prevCount = e.count()
     var converged = false
     for (_ <- 1 to rounds if !converged) {
+      val prev = e
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
       e = e.join(keep, "src")
@@ -779,6 +774,10 @@ object Graph {
         .select("src", "dst")
         .localCheckpoint()
       val n = e.count()
+      // the superseded round's blocks are dead — free them now rather
+      // than waiting on the post-GC ContextCleaner (the r14 orphaned-
+      // checkpoint finding; see CheckpointIds.free)
+      org.apache.spark.sql.graft.CheckpointIds.free(prev)
       converged = n == prevCount
       prevCount = n
     }

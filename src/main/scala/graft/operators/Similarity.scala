@@ -515,11 +515,8 @@ object Similarity {
     // every back-to-back invocation pile up in storage until eviction
     // churn degrades later runs (measured r14: bench warm iters 7 s →
     // 21 s inside one entry)
-    def free(df: DataFrame): Unit = {
-      val persisted = spark.sparkContext.getPersistentRDDs
-      org.apache.spark.sql.graft.CheckpointIds.of(df)
-        .foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
-    }
+    def free(df: DataFrame): Unit =
+      org.apache.spark.sql.graft.CheckpointIds.free(df)
     var pairs = pairsAt(bits)
     var measured = pairs.count().toDouble / n
     var rounds = 0
